@@ -131,8 +131,16 @@ object HighsFunctions {
   }
 
   /** Snap solver output to clean representable values: bounds and integers
-    * reached within tolerance print as exact doubles (0.0, 1.0, ...), the
-    * same clean values HiGHS reports on the reference's test models.
+    * reached within 1e-9 print as exact doubles (0.0, 1.0, ...), the same
+    * clean values HiGHS reports on the reference's test models.
+    *
+    * DELIBERATE OUTPUT-CONTRACT DIVERGENCE from the reference (which emits
+    * raw HiGHS col_value/col_dual): our dense-LU simplex accumulates ~1e-12
+    * float noise the native solver doesn't, and the sqllogictest golden rows
+    * (test/sql/highs.test:94-98) pin exact 0.0/1.0 literals. The 1e-9
+    * tolerance is far below any meaningful reduced cost in the reference's
+    * model corpus; a genuinely tiny nonzero reduced cost would be masked —
+    * accepted trade-off, documented here and in SURVEY.md.
     */
   private def snap(v: Double): Double = {
     val r = math.rint(v)
@@ -188,9 +196,12 @@ object HighsFunctions {
     * registry: models shuffle once on model_name (hash-partitioned), each
     * group solves independently on an executor core — a million KB-scale
     * models parallelize across the cluster with no driver bottleneck.
-    * Insertion order of variables/constraints follows the input row order
-    * within each model (the encoding is order-defining, like the
-    * reference's call order).
+    *
+    * Ordering contract: rows within a group arrive in shuffle-fetch order,
+    * which is NOT deterministic across runs/partitionings, so (unlike the
+    * reference's call-order indices) variable and constraint indices here
+    * are defined by LEXICOGRAPHIC NAME ORDER within each model. Same input
+    * => same `variable_index` strings, regardless of partitioning.
     */
   def solveMany(spark: SparkSession, variables: DataFrame,
       constraints: DataFrame, coefficients: DataFrame): Dataset[SolvedVar] = {
@@ -211,9 +222,10 @@ object HighsFunctions {
       .groupByKey(_.model_name)
       .flatMapGroups { (model, parts) =>
         val info = new ModelInfo(model)
-        // Group rows arrive unordered across kinds; buffer and apply in
-        // kind order (vars, then constraints, then coefficients).
-        val buf = parts.toArray.sortBy(_.kind)
+        // Group rows arrive unordered; buffer and apply in (kind, name)
+        // order — vars, then constraints, then coefficients, each sorted by
+        // name — so indices are deterministic across partitionings.
+        val buf = parts.toArray.sortBy(p => (p.kind, p.name, p.name2, p.d1))
         try {
           buf.foreach {
             case ModelPart(_, 0, vn, _, lb, ub, obj, tpe) => info.addVariable(vn, lb, ub, obj, tpe)

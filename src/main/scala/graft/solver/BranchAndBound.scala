@@ -87,15 +87,22 @@ object BranchAndBound {
       }
     }
 
+    // An aborted search (node limit / node-LP Unknown) must never be
+    // labeled Optimal even when an incumbent exists — unexplored subtrees
+    // may hold a better solution; the reference maps HiGHS limit statuses
+    // to Unknown too. Return the incumbent's values (best known point)
+    // with status Unknown.
     if (sawUnbounded)
       MipSolution(LpStatus.Unbounded, new Array[Double](model.nCols),
         new Array[Double](model.nCols), 0.0, nodes)
+    else if (hitLimit)
+      MipSolution(LpStatus.Unknown,
+        if (bestX != null) bestX else new Array[Double](model.nCols),
+        new Array[Double](model.nCols),
+        if (bestX != null) bestObj else 0.0, nodes)
     else if (bestX != null)
       MipSolution(LpStatus.Optimal, bestX, new Array[Double](model.nCols),
         bestObj, nodes)
-    else if (hitLimit)
-      MipSolution(LpStatus.Unknown, new Array[Double](model.nCols),
-        new Array[Double](model.nCols), 0.0, nodes)
     else
       MipSolution(LpStatus.Infeasible, new Array[Double](model.nCols),
         new Array[Double](model.nCols), 0.0, nodes)
