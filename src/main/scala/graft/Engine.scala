@@ -37,7 +37,21 @@ object Engine {
     "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as
+    * a long (legacy conf) and truncate to a microsecond TimestampType — the
+    * same truncation DuckDB applies when casting its TIMESTAMP_NS to
+    * TIMESTAMP, so both engines see identical values.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+  }
 
   /** Register every testdata table as a temp view for spark.sql queries. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,587 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Engine
+
+/** Declared analytics queries covering the host-engine SQL surface the
+  * reference inherits and its own scripts exercise (SURVEY.md §2B/§2C):
+  * scans, joins of every flavor, aggregation (plain/distinct/rollup/cube/
+  * grouping sets/approx), window functions, set ops, string/date/math
+  * scalar functions, CTEs, subqueries, VALUES relations, csv/json
+  * round-trips, and the events table.
+  *
+  * Each entry carries its DuckDB oracle SQL inline (run by the driver over
+  * the same parquet at sf0.01).
+  *
+  * Determinism rules (results are hash-compared against DuckDB):
+  *  - money: per-row `CAST(round(x*100, 0) AS BIGINT)` cents, summed as
+  *    exact integers — immune to float summation order (all price-ish
+  *    columns are exact 2-decimal values, verified in TESTDATA);
+  *  - every output has a total ORDER BY;
+  *  - no raw float aggregates except over integral values (l_quantity).
+  *
+  * Scale notes (100 TB posture): filters/projections sit directly on the
+  * parquet scan (pushdown verified via explain in QueryPlanSpec); the
+  * nation/region dimension joins are explicit `broadcast()`; fact-fact
+  * joins shuffle on their join keys and pre-aggregate before joining where
+  * the query allows it.
+  */
+object AnalyticsQueries {
+
+  final case class Declared(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  /** Exact integer cents for a 2-decimal double column. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Engine.table(spark, sfDir, name)
+
+  private val all = Seq.newBuilder[Declared]
+  private def declare(name: String, oracle: String = null)(
+      fn: (SparkSession, String) => DataFrame): Unit =
+    all += Declared(name, fn, Option(oracle))
+
+  // ------------------------------------------------------------------
+  // Aggregation over the big fact table (scan + pushdown + hash agg)
+  // ------------------------------------------------------------------
+  declare("q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+         SUM(l_quantity) AS sum_qty,
+         CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+         COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ------------------------------------------------------------------
+  // Multi-way join with broadcast dimensions (lineitem⋈supplier⋈nation⋈region)
+  // ------------------------------------------------------------------
+  declare("q02_revenue_by_nation",
+    """SELECT r_name, n_name,
+         CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         COUNT(*) AS n_items
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name
+       ORDER BY r_name, n_name""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, sfDir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // ------------------------------------------------------------------
+  // Window: ranking within groups (row_number with deterministic tie-break)
+  // ------------------------------------------------------------------
+  declare("q03_top_orders_per_priority",
+    """SELECT o_orderpriority, rn, o_orderkey, total_cents FROM (
+         SELECT o_orderpriority, o_orderkey,
+           CAST(round(o_totalprice*100, 0) AS BIGINT) AS total_cents,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) ranked
+       WHERE rn <= 3
+       ORDER BY o_orderpriority, rn""") { (spark, sfDir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_cents"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "total_cents")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  // ------------------------------------------------------------------
+  // Left outer join with null handling
+  // ------------------------------------------------------------------
+  declare("q04_customer_order_stats",
+    """SELECT c_custkey,
+         COUNT(o_orderkey) AS n_orders,
+         CAST(COALESCE(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)), 0) AS BIGINT) AS spend_cents
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       WHERE c_custkey <= 200
+       GROUP BY c_custkey
+       ORDER BY c_custkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "customer").filter(col("c_custkey") <= 200)
+      .join(t(spark, sfDir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("spend_cents"))
+      .orderBy("c_custkey")
+  }
+
+  // ------------------------------------------------------------------
+  // Semi / anti joins
+  // ------------------------------------------------------------------
+  declare("q05_semi_anti_join",
+    """SELECT 'with_orders' AS segment_kind,
+            (SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n
+       UNION ALL
+       SELECT 'without_orders',
+            (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+       ORDER BY segment_kind""") { (spark, sfDir) =>
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders")
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("segment_kind"), col("n"))
+    val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("segment_kind"), col("n"))
+    withO.union(withoutO).orderBy("segment_kind")
+  }
+
+  // ------------------------------------------------------------------
+  // Full outer join of two aggregates
+  // ------------------------------------------------------------------
+  declare("q06_full_outer_nation",
+    """SELECT COALESCE(c.k, s.k) AS nationkey,
+         COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+       FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+       FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+       ON c.k = s.k
+       ORDER BY nationkey""") { (spark, sfDir) =>
+    val c = t(spark, sfDir, "customer").groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = t(spark, sfDir, "supplier").groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  // ------------------------------------------------------------------
+  // ROLLUP / CUBE / GROUPING SETS
+  // ------------------------------------------------------------------
+  declare("q07_rollup_region_nation",
+    """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
+         COUNT(*) AS n_cust
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP(r_name, n_name)
+       ORDER BY region_name, nation_name""") { (spark, sfDir) =>
+    // Dataset.rollup + a post-agg select of grouping columns trips Spark
+    // 4.1's ambiguous-self-join check; the SQL ROLLUP form resolves fine
+    // and matches the oracle verbatim.
+    Engine.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
+           COUNT(*) AS n_cust
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY region_name, nation_name""")
+  }
+
+  declare("q08_cube_status_priority",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM orders
+       GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       ORDER BY status, priority""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total_cents"))
+      .orderBy("status", "priority")
+  }
+
+  declare("q09_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus,
+         SUM(l_quantity) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       ORDER BY rflag, lstatus""") { (spark, sfDir) =>
+    Engine.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus,
+           SUM(l_quantity) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY rflag, lstatus""")
+  }
+
+  // ------------------------------------------------------------------
+  // DISTINCT aggregates; approx_count_distinct sanity envelope
+  // ------------------------------------------------------------------
+  declare("q10_distinct_agg",
+    """SELECT l_returnflag,
+         COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  declare("q11_approx_distinct_envelope",
+    """SELECT 'l_orderkey' AS col_name,
+         CASE WHEN abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+                   <= 0.1 * COUNT(DISTINCT l_orderkey)
+              THEN 'within_10pct' ELSE 'off' END AS hll_check
+       FROM lineitem""") { (spark, sfDir) =>
+    // HLL implementations differ across engines, so the oracle-comparable
+    // output is the accuracy envelope, not the estimate itself.
+    t(spark, sfDir, "lineitem")
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .select(lit("l_orderkey").as("col_name"),
+        when(abs(col("approx") - col("exact")) <= col("exact") * 0.1, lit("within_10pct"))
+          .otherwise(lit("off")).as("hll_check"))
+  }
+
+  // ------------------------------------------------------------------
+  // Set operations
+  // ------------------------------------------------------------------
+  declare("q12_set_ops",
+    """SELECT 'both' AS op, COUNT(*) AS n FROM
+         (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) t1
+       UNION ALL
+       SELECT 'cust_only', COUNT(*) FROM
+         (SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier) t2
+       UNION ALL
+       SELECT 'union_all_rows', COUNT(*) FROM
+         (SELECT c_nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier) t3
+       ORDER BY op""") { (spark, sfDir) =>
+    val c = t(spark, sfDir, "customer").select(col("c_nationkey").as("k"))
+    val s = t(spark, sfDir, "supplier").select(col("s_nationkey").as("k"))
+    val both = c.intersect(s).agg(count(lit(1)).as("n"))
+      .select(lit("both").as("op"), col("n"))
+    val custOnly = c.except(s).agg(count(lit(1)).as("n"))
+      .select(lit("cust_only").as("op"), col("n"))
+    val unionAll = c.union(s).agg(count(lit(1)).as("n"))
+      .select(lit("union_all_rows").as("op"), col("n"))
+    both.union(custOnly).union(unionAll).orderBy("op")
+  }
+
+  // ------------------------------------------------------------------
+  // String functions: LIKE/ILIKE/IN/CASE/||/split_part/cast
+  // ------------------------------------------------------------------
+  declare("q13_string_predicates",
+    """SELECT p_partkey, p_name, p_brand FROM part
+       WHERE p_name LIKE '%gear%' AND p_name NOT LIKE 'small%'
+         AND p_brand ILIKE 'brand%'
+         AND p_type IN ('ECONOMY', 'SMALL', 'STANDARD')
+         AND p_retailprice > 500.0
+       ORDER BY p_partkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "part")
+      .filter(col("p_name").like("%gear%") && !col("p_name").like("small%")
+        && col("p_name").ilike("%GEAR%") // ilike on same rows; keeps ILIKE exercised
+        && col("p_brand").ilike("brand%")
+        && col("p_type").isin("ECONOMY", "SMALL", "STANDARD")
+        && col("p_retailprice") > 500.0)
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+  }
+
+  declare("q14_case_concat_split",
+    """SELECT p_partkey,
+         split_part(p_name, ' ', 1) AS adjective,
+         split_part(p_name, ' ', 2) AS noun,
+         CASE WHEN p_size > 30 THEN 'L' WHEN p_size > 15 THEN 'M' ELSE 'S' END
+           || '-' || CAST(p_size AS VARCHAR) AS size_class,
+         upper(p_type) || ':' || lower(p_brand) AS type_brand
+       FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "part").filter(col("p_partkey") <= 300)
+      .select(col("p_partkey"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("adjective"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("noun"),
+        concat(
+          when(col("p_size") > 30, "L").when(col("p_size") > 15, "M").otherwise("S"),
+          lit("-"), col("p_size").cast("string")).as("size_class"),
+        concat(upper(col("p_type")), lit(":"), lower(col("p_brand"))).as("type_brand"))
+      .orderBy("p_partkey")
+  }
+
+  // ------------------------------------------------------------------
+  // Date/time functions
+  // ------------------------------------------------------------------
+  declare("q15_orders_by_month",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM orders
+       WHERE EXTRACT(year FROM o_orderdate) = 1997
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders")
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy("order_month")
+  }
+
+  // ------------------------------------------------------------------
+  // Window analytics: running totals, lag, first_value over frames
+  // ------------------------------------------------------------------
+  declare("q16_running_spend",
+    """SELECT o_custkey, o_orderkey,
+         CAST(SUM(c) OVER w AS BIGINT) AS run_cents,
+         c - COALESCE(lag(c, 1) OVER w, 0) AS delta_cents,
+         first_value(c) OVER w AS first_cents
+       FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(round(o_totalprice*100, 0) AS BIGINT) AS c
+             FROM orders WHERE o_custkey <= 100) t
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY o_custkey, o_orderkey""") { (spark, sfDir) =>
+    import org.apache.spark.sql.expressions.Window
+    // lag() rejects an explicit frame in Spark — keep a frameless twin of
+    // the running-total window for the offset functions.
+    val wOrder = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, sfDir, "orders").filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("c"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum("c").over(wRun).as("run_cents"),
+        (col("c") - coalesce(lag("c", 1).over(wOrder), lit(0L))).as("delta_cents"),
+        first("c").over(wRun).as("first_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  declare("q17_ntile_acctbal",
+    """SELECT c_nationkey, tile, COUNT(*) AS n,
+         MIN(bal_cents) AS min_cents, MAX(bal_cents) AS max_cents
+       FROM (SELECT c_nationkey,
+               CAST(round(c_acctbal*100, 0) AS BIGINT) AS bal_cents,
+               ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS tile
+             FROM customer) t
+       GROUP BY c_nationkey, tile ORDER BY c_nationkey, tile""") { (spark, sfDir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    t(spark, sfDir, "customer")
+      .select(col("c_nationkey"), cents(col("c_acctbal")).as("bal_cents"),
+        ntile(4).over(w).cast("long").as("tile"))
+      .groupBy("c_nationkey", "tile")
+      .agg(count(lit(1)).as("n"), min("bal_cents").as("min_cents"),
+        max("bal_cents").as("max_cents"))
+      .orderBy("c_nationkey", "tile")
+  }
+
+  // ------------------------------------------------------------------
+  // Subqueries: scalar, IN, correlated EXISTS
+  // ------------------------------------------------------------------
+  declare("q18_scalar_subquery",
+    """SELECT COUNT(*) AS n_above_avg FROM part
+       WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)""") { (spark, sfDir) =>
+    Engine.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT COUNT(*) AS n_above_avg FROM part
+         WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)""")
+  }
+
+  declare("q19_in_exists_subquery",
+    """SELECT COUNT(*) AS n FROM orders o
+       WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""") { (spark, sfDir) =>
+    Engine.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT COUNT(*) AS n FROM orders o
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""")
+  }
+
+  // ------------------------------------------------------------------
+  // Multi-CTE chain (the reference's network-flow analytics shape)
+  // ------------------------------------------------------------------
+  declare("q20_cte_chain",
+    """WITH big_orders AS (
+         SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000
+       ), big_items AS (
+         SELECT l_orderkey,
+           CAST(round(l_extendedprice*100, 0) AS BIGINT) AS item_cents
+         FROM lineitem JOIN big_orders ON l_orderkey = o_orderkey
+       )
+       SELECT COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_items,
+         CAST(SUM(item_cents) AS BIGINT) AS total_cents
+       FROM big_items""") { (spark, sfDir) =>
+    Engine.registerViews(spark, sfDir)
+    spark.sql(
+      """WITH big_orders AS (
+           SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000
+         ), big_items AS (
+           SELECT l_orderkey,
+             CAST(round(l_extendedprice*100, 0) AS BIGINT) AS item_cents
+           FROM lineitem JOIN big_orders ON l_orderkey = o_orderkey
+         )
+         SELECT COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_items,
+           CAST(SUM(item_cents) AS BIGINT) AS total_cents
+         FROM big_items""")
+  }
+
+  // ------------------------------------------------------------------
+  // Inline VALUES relation as a decode dimension
+  // ------------------------------------------------------------------
+  declare("q21_values_decode",
+    """SELECT COALESCE(label, 'other') AS label, COUNT(*) AS n
+       FROM orders LEFT JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+         AS dim(status, label) ON o_orderstatus = status
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    Engine.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT COALESCE(label, 'other') AS label, COUNT(*) AS n
+         FROM orders LEFT JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+           AS dim(status, label) ON o_orderstatus = status
+         GROUP BY 1 ORDER BY 1""")
+  }
+
+  // ------------------------------------------------------------------
+  // Sources/sinks: csv and json round-trips through the local filesystem
+  // ------------------------------------------------------------------
+  declare("q22_csv_roundtrip",
+    """SELECT r_name, COUNT(*) AS n_nations FROM region JOIN nation ON r_regionkey = n_regionkey
+       GROUP BY r_name ORDER BY r_name""") { (spark, sfDir) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    t(spark, sfDir, "region").write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema("r_regionkey INT, r_name STRING").csv(dir)
+    back.join(broadcast(t(spark, sfDir, "nation")), col("r_regionkey") === col("n_regionkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("n_nations")).orderBy("r_name")
+  }
+
+  declare("q23_json_roundtrip",
+    """SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    t(spark, sfDir, "nation").write.mode("overwrite").json(dir)
+    spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(dir)
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n")).orderBy("n_regionkey")
+  }
+
+  declare("q24_json_extract",
+    """SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) % 10 AS k_bucket,
+         COUNT(*) AS n
+       FROM events GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    // Spark side parses the JSON properly (from_json); the oracle recovers
+    // the same integer lexically so both engines agree on values.
+    Engine.events(spark, sfDir)
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k_bucket")
+  }
+
+  // ------------------------------------------------------------------
+  // Events: hourly windows and gap sessionization (batch; streaming twin
+  // lives in graft.streaming)
+  // ------------------------------------------------------------------
+  declare("q25_events_hourly",
+    """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+       FROM events
+       GROUP BY 1, 2 ORDER BY 1, 2""") { (spark, sfDir) =>
+    Engine.events(spark, sfDir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  declare("q26_sessionize",
+    """WITH marked AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                  OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), sess AS (
+         SELECT user_id,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         FROM marked
+       )
+       SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+       FROM sess GROUP BY user_id ORDER BY user_id""") { (spark, sfDir) =>
+    import org.apache.spark.sql.expressions.Window
+    // Gap test in exact microseconds (unix_micros), matching the oracle's
+    // µs-precision interval comparison — casting to whole seconds would
+    // misclassify gaps that straddle the 30-minute boundary by <1s.
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Engine.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .withColumn("new_sess",
+        when(lag("tsu", 1).over(w).isNull ||
+          col("tsu") - lag("tsu", 1).over(w) > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sess_id", sum("new_sess").over(wRun))
+      .groupBy("user_id")
+      .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Math scalar functions
+  // ------------------------------------------------------------------
+  declare("q27_math_funcs",
+    """SELECT p_size, COUNT(*) AS n,
+         CAST(SUM(CAST(abs(p_size - 25) AS BIGINT)) AS BIGINT) AS sum_absdev,
+         MIN(CAST(round(sqrt(p_retailprice) * 1000, 0) AS BIGINT)) AS min_sqrt_milli
+       FROM part GROUP BY p_size ORDER BY p_size""") { (spark, sfDir) =>
+    t(spark, sfDir, "part")
+      .groupBy("p_size")
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("p_size") - 25).cast("long")).as("sum_absdev"),
+        min(round(sqrt(col("p_retailprice")) * 1000, 0).cast("long")).as("min_sqrt_milli"))
+      .orderBy("p_size")
+  }
+
+  // ------------------------------------------------------------------
+  // Top-N pushdown (sort + limit -> TakeOrderedAndProject)
+  // ------------------------------------------------------------------
+  declare("q28_topn",
+    """SELECT o_orderkey, CAST(round(o_totalprice*100, 0) AS BIGINT) AS total_cents
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"),
+        col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "total_cents")
+  }
+
+  val declared: Seq[Declared] = all.result()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    declared.map(d => d.name -> d.fn).toMap
+
+  val oracles: Map[String, String] =
+    declared.flatMap(d => d.oracle.map(o => d.name -> o.replaceAll("\\s+", " ").trim)).toMap
+}
