@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large document corpora.
+  *
+  * All variants follow the same 100 TB-safe shape: no all-pairs product is
+  * ever formed. Candidate generation goes through an inverted index or an
+  * LSH bucket join (shuffle keys: shingle / band-hash / simhash-chunk), and
+  * only candidate pairs are verified exactly. Costs scale with corpus size
+  * x bucket width, not corpus².
+  */
+object Dedup {
+
+  /** Exact duplicates by content hash. Returns (dup_id, kept_id): every
+    * row whose text hash already has a lower id. One shuffle on the hash.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+    val groups = hashed.groupBy("h")
+      .agg(min("doc_id").as("kept_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    hashed.join(groups, "h")
+      .filter(col("doc_id") =!= col("kept_id"))
+      .select(col("doc_id").as("dup_id"), col("kept_id"))
+  }
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val sh = transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
+    docs.select(col(idCol).as("doc_id"), explode(sh).as("shingle")).distinct()
+  }
+
+  /** Distinct character n-gram shingles per document. */
+  def charShingles(docs: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tc = col(textCol)
+    val sh = transform(
+      sequence(lit(1), greatest(length(tc) - (n - 1), lit(0))),
+      i => tc.substr(i, lit(n)))
+    docs.select(col(idCol).as("doc_id"), explode(sh).as("shingle")).distinct()
+  }
+
+  /** Exact Jaccard over a shingle set for CANDIDATE pairs only, through the
+    * inverted shingle index (never a cartesian product). `candidates` has
+    * columns (a, b); returns (a, b, jaccard).
+    */
+  def verifyJaccard(candidates: DataFrame, shingleDf: DataFrame): DataFrame = {
+    // Every intermediate column gets a unique name — unqualified references
+    // across a self-joined shingle index resolve nondeterministically in
+    // Spark's hybrid analyzer otherwise.
+    val sizes = shingleDf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shA = shingleDf.select(col("doc_id").as("a"), col("shingle").as("sh_a"))
+    val shB = shingleDf.select(col("doc_id").as("bb"), col("shingle").as("sh_b"))
+    val inter = candidates
+      .join(shA, Seq("a"))
+      .join(shB, col("b") === col("bb") && col("sh_a") === col("sh_b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+  }
+
+  /** All pairs with exact shingle-Jaccard >= threshold among an (optionally
+    * restricted) corpus, candidate-generated through the inverted index:
+    * only documents sharing at least one shingle are ever compared.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      charGrams: Boolean = false): DataFrame = {
+    val sh = if (charGrams) charShingles(docs, n) else shingles(docs, n)
+    val cands = sh.select(col("doc_id").as("a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature columns mh0..mh{k-1} per doc: one shuffle on doc_id.
+    * Hash family: xxhash64 seeded by the permutation index (deterministic,
+    * engine-independent inputs).
+    */
+  def minhashSignatures(shingleDf: DataFrame, numHashes: Int = 128): DataFrame = {
+    val aggs = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    shingleDf.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * Banding: `bands` bands of `rowsPerBand` rows (default 32x4 = 128
+    * hashes). Candidate P(detect) at Jaccard j is 1-(1-j^4)^32: ~1 for
+    * j>=0.9, 0.974 at j=0.8, so with verification the output is exact
+    * near-dup pairs minus an ~1e-7 recall loss at the 0.8 boundary.
+    * Shuffles: shingles -> signatures (doc_id), band bucket join
+    * (band idx+hash), verification joins (doc_id, shingle). Never O(n²).
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.8, numHashes: Int = 128,
+      bands: Int = 32, shingleN: Int = 3): DataFrame = {
+    require(bands * (numHashes / bands) == numHashes)
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(docs, shingleN)
+    val sig = minhashSignatures(sh, numHashes)
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+    }: _*)
+    val banded = sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+    val cands = banded.select(col("doc_id").as("a"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document over word tokens (weight 1 each):
+    * bit j of the signature is the sign of sum_t (+-1 by bit j of
+    * xxhash64(token)). One shuffle on doc_id.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val summed = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    summed.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-duplicate candidates with Hamming distance <= maxDist.
+    * Pigeonhole banding: signatures split into (maxDist+1) chunks; any pair
+    * within distance maxDist agrees on >= 1 chunk, so the bucket join on
+    * (chunk idx, chunk value) has full recall. Hamming verified via
+    * bit_count(xor). No O(n²) stage.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val nChunks = maxDist + 1
+    val bitsPerChunk = 64 / nChunks
+    val sig = simhash(docs)
+    val chunks = array((0 until nChunks).map { c =>
+      shiftrightunsigned(col("simhash"), c * bitsPerChunk)
+        .bitwiseAND((1L << bitsPerChunk) - 1)
+    }: _*)
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      posexplode(chunks).as(Seq("chunk", "cv")))
+    val cands = chunked
+      .select(col("doc_id").as("a"), col("simhash").as("sa"), col("chunk"), col("cv"))
+      .join(chunked.select(col("doc_id").as("b"), col("simhash").as("sb"),
+        col("chunk"), col("cv")), Seq("chunk", "cv"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sa", "sb").distinct()
+    cands
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scores are computed in double precision via ordered array folds
+  * (`zip_with` + `aggregate`), entirely inside whole-stage codegen — no
+  * UDFs. For determinism across engines/partitionings, ranking happens on
+  * a quantized score (`round(cos, 3)`) with the neighbor id as tie-break.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * scans the corpus once — the right plan when queries are few. The IVF
+  * path is the 100 TB shape: vectors are bucketed by nearest centroid
+  * (one shuffle), and a query only scans its `nProbe` buckets, cutting the
+  * scan by ~nCentroids/nProbe; recall is traded via nProbe.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float arrays (index-ordered fold,
+    * so the summation order is fixed and engine-independent).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * Output: (query_id, rank, neighbor_id, sim) with sim = round(cos, 3).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ne")), 3).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.select(col("query_id"), row_number().over(w).cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Assign every vector to its nearest centroid (max quantized cosine,
+    * centroid id as tie-break). Output: corpus columns + `cid`.
+    */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = broadcast(centroids.select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val scored = corpus.crossJoin(c)
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(cosine(col("embedding"), col("ce")), 6).as("csim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** IVF top-k: probe the `nProbe` nearest centroid buckets per query and
+    * search only those. Same output shape as bruteForceTopK; approximate —
+    * a neighbor assigned to an unprobed bucket is missed (recall tested in
+    * PipelineSpec against the brute-force oracle).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignToCentroids(corpus, centroids)
+    val c = broadcast(centroids.select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wq = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
+    val probes = q.crossJoin(c)
+      .select(col("query_id"), col("qe"), col("cid"),
+        round(cosine(col("qe"), col("ce")), 6).as("csim"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "qe", "cid")
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qe"), col("embedding")), 3).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.select(col("query_id"), row_number().over(w).cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-LSH bucketing: 16-bit bucket from the signs of dot products with
+    * 16 (deterministic) hyperplane vectors. Identical vectors always share
+    * a bucket, so exact-duplicate recall is 1; near-dup recall follows the
+    * random-hyperplane collision bound.
+    */
+  def signLshBucket(v: Column, hyperplanes: Seq[Seq[Double]]): Column =
+    hyperplanes.zipWithIndex.map { case (h, j) =>
+      val hc = array(h.map(lit): _*)
+      when(aggregate(zip_with(v, hc, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Near-duplicate vector pairs with cosine >= threshold, bucketed by
+    * sign-LSH over the given hyperplanes, verified exactly per bucket.
+    */
+  def cosineDuplicates(corpus: DataFrame, hyperplanes: Seq[Seq[Double]],
+      threshold: Double): DataFrame = {
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      signLshBucket(col("embedding"), hyperplanes).as("bucket"))
+    bucketed.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .select("a", "b", "cos_sim").distinct()
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language-ID heuristics, and document fingerprinting.
+  * Everything is built from codegen'd built-ins (split/transform/
+  * regexp_extract_all/md5) — no UDFs — and derived ratios are computed
+  * from exact integer counts so results are engine- and order-independent.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** BPE-ish lexical tokens: letter runs, digit runs, single other chars. */
+  def regexTokens(textCol: Column): Column =
+    regexp_extract_all(textCol, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Per-document quality metrics from exact integer counts:
+    * n_tokens, n_uniq, type-token ratio (per-mille), stopword pct,
+    * mean token length (centi-chars), short-doc flag.
+    */
+  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = tokens(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(ws).cast("long").as("n_tokens"),
+      size(array_distinct(ws)).cast("long").as("n_uniq"),
+      size(filter(ws, w => array_contains(stopArr, w))).cast("long").as("n_stop"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+      floor(col("n_uniq") * 1000.0 / col("n_tokens")).cast("long").as("ttr_millis"),
+      floor(col("n_stop") * 100.0 / col("n_tokens")).cast("long").as("stopword_pct"),
+      floor((col("n_chars") - (col("n_tokens") - 1)) * 100.0 / col("n_tokens"))
+        .cast("long").as("tok_len_centi"),
+      (col("n_tokens") < 20).as("is_short"))
+  }
+
+  /** Marker-stopword language heuristic. The synthetic corpus draws every
+    * language from one shared English-ish vocabulary, so this exercises the
+    * operator shape (the honest signal on real corpora comes from per-lang
+    * marker lists); predictions here are 'en'/'unknown'.
+    */
+  def langId(textCol: Column): Column = {
+    val ws = tokens(textCol)
+    when(array_contains(ws, "the") || array_contains(ws, "a"), "en")
+      .otherwise("unknown")
+  }
+
+  /** Document fingerprint: lexicographic min of md5(3-word shingle) — a
+    * stable 1-in-n minhash usable as a cheap near-dup prefilter key — plus
+    * the distinct-shingle count.
+    */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = tokens(col(textCol))
+    val sh = transform(
+      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+      i => md5(concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+    docs.select(col(idCol).as("doc_id"),
+      array_min(sh).as("fingerprint"),
+      size(array_distinct(sh)).cast("long").as("n_shingles"))
+  }
+}

@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Engine
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventsStreaming
+
+/** Declared queries for the training-data-pipeline operators (the
+  * beyond-reference scope): deduplication (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard / embedding-cosine), similarity search (brute-force and
+  * IVF), text analysis, multimodal binary columns, and a Structured
+  * Streaming window aggregate.
+  *
+  * Oracle notes: LSH candidate generation + exact verification makes the
+  * output equal to the exact threshold predicate (up to banding recall,
+  * ~1 at the thresholds used), so the DuckDB oracles compute the exact
+  * predicate through the same inverted-index shape. Scores that feed
+  * rankings are quantized (round 3/6) with id tie-breaks so both engines
+  * rank identically. SimHash pairs have no oracle (hash family is
+  * engine-specific); its recall is asserted in PipelineSpec instead.
+  */
+object PipelineQueries {
+
+  final case class Declared(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Engine.table(spark, sfDir, name)
+
+  private val all = Seq.newBuilder[Declared]
+  private def declare(name: String, oracle: String = null)(
+      fn: (SparkSession, String) => DataFrame): Unit =
+    all += Declared(name, fn, Option(oracle))
+
+  /** Documents corpus with 20 planted exact duplicates (ids +10000) — the
+    * synthetic corpus has no natural exact dups, so the dedup queries plant
+    * their own, reproducibly on both engines.
+    */
+  private def plantedCorpus(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text")
+      .union(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+
+  private val plantedCorpusSql =
+    """(SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20)"""
+
+  // ------------------------------------------------------------ dedup
+  declare("dedup_exact",
+    s"""WITH corpus AS (SELECT * FROM $plantedCorpusSql c(doc_id, text)),
+        h AS (SELECT doc_id, md5(text) hh FROM corpus),
+        g AS (SELECT hh, MIN(doc_id) kept_id, COUNT(*) n FROM h GROUP BY 1 HAVING COUNT(*) > 1)
+        SELECT h.doc_id AS dup_id, g.kept_id
+        FROM h JOIN g USING (hh) WHERE h.doc_id != g.kept_id
+        ORDER BY dup_id""") { (spark, sfDir) =>
+    Dedup.exact(plantedCorpus(t(spark, sfDir, "documents"))).orderBy("dup_id")
+  }
+
+  declare("dedup_minhash_lsh",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+       sh0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) shingles FROM toks),
+       sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+       sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+       inter AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) i
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a, b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS jaccard
+       FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+       WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8
+       ORDER BY a, b""") { (spark, sfDir) =>
+    Dedup.minhashLsh(t(spark, sfDir, "documents"), threshold = 0.8).orderBy("a", "b")
+  }
+
+  declare("dedup_ngram_jaccard",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+       sh0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(length(text)-4, 0)),
+                 i -> substr(text, i, 5)) gs FROM d),
+       sh AS (SELECT DISTINCT doc_id, unnest(gs) AS shingle FROM sh0),
+       sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+       inter AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) i
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a, b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS jaccard
+       FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+       WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.5
+       ORDER BY a, b""") { (spark, sfDir) =>
+    Dedup.jaccardPairs(t(spark, sfDir, "documents").filter(col("doc_id") < 120),
+      threshold = 0.5, n = 5, charGrams = true).orderBy("a", "b")
+  }
+
+  // SimHash: no DuckDB oracle (the xxhash64 family is engine-specific);
+  // recall against exact Jaccard pairs is asserted in PipelineSpec.
+  declare("dedup_simhash") { (spark, sfDir) =>
+    Dedup.simhashPairs(t(spark, sfDir, "documents"), maxDist = 3).orderBy("a", "b")
+  }
+
+  declare("dedup_embedding_cosine",
+    """SELECT a, b, CAST(1.0 AS DOUBLE) AS cos_sim FROM (
+         SELECT vec_id AS a, vec_id + 10000 AS b FROM embeddings WHERE vec_id < 10
+       ) ORDER BY a""") { (spark, sfDir) =>
+    // Plant 10 exact duplicate vectors (the corpus has none naturally:
+    // max natural pairwise cosine ~0.44), bucket by coordinate-sign LSH,
+    // verify exact cosine per bucket. Identical vectors share every
+    // bucket, so recall on the planted pairs is 1; no random pair comes
+    // near the 0.9999 threshold.
+    val e = t(spark, sfDir, "embeddings")
+    val corpus = e.select("vec_id", "embedding")
+      .union(e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val hyperplanes = (0 until 16).map(j => Seq.tabulate(64)(d => if (d == j) 1.0 else 0.0))
+    Similarity.cosineDuplicates(corpus, hyperplanes, threshold = 0.9999).orderBy("a")
+  }
+
+  // ------------------------------------------------- similarity search
+  declare("sim_topk_brute",
+    """WITH x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i
+                  FROM embeddings),
+       norms AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM x GROUP BY 1),
+       dots AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+                  SUM(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)) dp
+                FROM x q JOIN x c ON q.i = c.i AND q.vec_id != c.vec_id
+                WHERE q.vec_id < 5 GROUP BY 1, 2),
+       scored AS (SELECT query_id, neighbor_id, round(dp/(nq.nn*nc.nn), 3) sim
+                  FROM dots JOIN norms nq ON query_id = nq.vec_id
+                            JOIN norms nc ON neighbor_id = nc.vec_id),
+       ranked AS (SELECT query_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id) AS BIGINT) rnk,
+                    neighbor_id, sim FROM scored)
+       SELECT query_id, rnk, neighbor_id, sim FROM ranked WHERE rnk <= 10
+       ORDER BY query_id, rnk""") { (spark, sfDir) =>
+    val e = t(spark, sfDir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  declare("sim_topk_ivf",
+    """WITH x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i
+                  FROM embeddings),
+       norms AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM x GROUP BY 1),
+       vc AS (SELECT a.vec_id, c.vec_id cid,
+                round(SUM(CAST(a.v AS DOUBLE)*CAST(c.v AS DOUBLE))/(na.nn*nc2.nn), 6) csim
+              FROM x a JOIN x c ON a.i = c.i AND c.vec_id < 16
+              JOIN norms na ON a.vec_id = na.vec_id
+              JOIN norms nc2 ON c.vec_id = nc2.vec_id
+              GROUP BY a.vec_id, c.vec_id, na.nn, nc2.nn),
+       asg AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) rn
+                 FROM vc) WHERE rn = 1),
+       probes AS (SELECT vec_id query_id, cid FROM (
+                 SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) rn
+                 FROM vc WHERE vec_id < 5) WHERE rn <= 4),
+       cands AS (SELECT p.query_id, a.vec_id neighbor_id
+                 FROM probes p JOIN asg a ON p.cid = a.cid
+                 WHERE a.vec_id != p.query_id),
+       dots AS (SELECT cd.query_id, cd.neighbor_id,
+                  SUM(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)) dp
+                FROM cands cd
+                JOIN x q ON q.vec_id = cd.query_id
+                JOIN x c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+                GROUP BY 1, 2),
+       scored AS (SELECT query_id, neighbor_id, round(dp/(nq.nn*nc.nn), 3) sim
+                  FROM dots JOIN norms nq ON query_id = nq.vec_id
+                            JOIN norms nc ON neighbor_id = nc.vec_id),
+       ranked AS (SELECT query_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id) AS BIGINT) rnk,
+                    neighbor_id, sim FROM scored)
+       SELECT query_id, rnk, neighbor_id, sim FROM ranked WHERE rnk <= 10
+       ORDER BY query_id, rnk""") { (spark, sfDir) =>
+    val e = t(spark, sfDir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+        centroids = e.filter(col("vec_id") < 16), k = 10, nProbe = 4)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  // ------------------------------------------------------ text analysis
+  declare("text_quality",
+    """WITH q AS (SELECT doc_id, string_split(text, ' ') ws, length(text) nc
+                  FROM documents WHERE doc_id < 100)
+       SELECT doc_id,
+         CAST(len(ws) AS BIGINT) n_tokens,
+         CAST(len(list_distinct(ws)) AS BIGINT) n_uniq,
+         CAST(floor(len(list_distinct(ws))*1000.0/len(ws)) AS BIGINT) ttr_millis,
+         CAST(floor(len(list_filter(ws, w -> list_contains(['the','a','and','of','to','in','is'], w)))*100.0/len(ws)) AS BIGINT) stopword_pct,
+         CAST(floor((nc - (len(ws)-1))*100.0/len(ws)) AS BIGINT) tok_len_centi,
+         len(ws) < 20 AS is_short
+       FROM q ORDER BY doc_id""") { (spark, sfDir) =>
+    TextAnalysis.quality(t(spark, sfDir, "documents").filter(col("doc_id") < 100))
+      .orderBy("doc_id")
+  }
+
+  declare("text_stats_by_lang",
+    """SELECT lang, source, COUNT(*) n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) sum_tokens,
+         CAST(SUM(length(text)) AS BIGINT) sum_chars
+       FROM documents GROUP BY 1, 2 ORDER BY 1, 2""") { (spark, sfDir) =>
+    t(spark, sfDir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("sum_tokens"),
+        sum(length(col("text"))).cast("long").as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+
+  declare("text_langid",
+    """SELECT lang,
+         CASE WHEN list_contains(string_split(text, ' '), 'the')
+                OR list_contains(string_split(text, ' '), 'a')
+              THEN 'en' ELSE 'unknown' END predicted,
+         COUNT(*) n
+       FROM documents GROUP BY 1, 2 ORDER BY 1, 2""") { (spark, sfDir) =>
+    t(spark, sfDir, "documents")
+      .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  declare("text_fingerprint",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 100),
+       sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) h FROM toks)
+       SELECT doc_id, MIN(h) fingerprint, CAST(COUNT(DISTINCT h) AS BIGINT) n_shingles
+       FROM sh GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    TextAnalysis.fingerprint(t(spark, sfDir, "documents").filter(col("doc_id") < 100))
+      .orderBy("doc_id")
+  }
+
+  declare("text_token_regex",
+    """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) n_lex
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id""") { (spark, sfDir) =>
+    t(spark, sfDir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        size(TextAnalysis.regexTokens(col("text"))).cast("long").as("n_lex"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------- multimodal
+  declare("multimodal_assets",
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
+         COUNT(*) n,
+         CAST(SUM(octet_length(encode(text))) AS BIGINT) sum_bytes,
+         CAST(SUM(CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT)) AS BIGINT) sum_chunks
+       FROM documents GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    Multimodal.withMeta(Multimodal.syntheticAssets(t(spark, sfDir, "documents")))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), sum("size_bytes").as("sum_bytes"),
+        sum("n_chunks").as("sum_chunks"))
+      .orderBy("kind")
+  }
+
+  declare("multimodal_decode",
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
+         COUNT(*) n,
+         CAST(SUM(ascii(substr(text, 1, 1))) AS BIGINT) sum_first_byte
+       FROM documents GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    Multimodal.decodeFeatures(spark,
+        Multimodal.syntheticAssets(t(spark, sfDir, "documents")))
+      .toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum(element_at(col("feature"), 2).cast("long")).as("sum_first_byte"))
+      .orderBy("kind")
+  }
+
+  // -------------------------------------------------------- embeddings
+  declare("embed_norms_by_label",
+    """WITH x AS (SELECT vec_id, label, unnest(embedding) v FROM embeddings),
+       norms AS (SELECT vec_id, label, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn
+                 FROM x GROUP BY 1, 2)
+       SELECT label, COUNT(*) n, round(AVG(nn), 3) avg_norm
+       FROM norms GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    t(spark, sfDir, "embeddings")
+      .select(col("label"), Similarity.norm(col("embedding")).as("nn"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg("nn"), 3).as("avg_norm"))
+      .orderBy("label")
+  }
+
+  // --------------------------------------------------------- streaming
+  declare("events_stream_hourly",
+    """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (spark, sfDir) =>
+    EventsStreaming.hourlyCounts(spark, sfDir)
+  }
+
+  val declared: Seq[Declared] = all.result()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    declared.map(d => d.name -> d.fn).toMap
+
+  val oracles: Map[String, String] =
+    declared.flatMap(d => d.oracle.map(o => d.name -> o.replaceAll("\\s+", " ").trim)).toMap
+}
