@@ -49,6 +49,16 @@ object HighsFunctions {
     spark.udf.register("highs_openssl_version", (name: String) => opensslVersionString(name))
   }
 
+  /** Internal-type bridges for the codegen'd StaticInvoke registration in
+    * GraftSparkExtensions (Catalyst passes/expects UTF8String). Invoked via
+    * the mirror class's static forwarders.
+    */
+  def versionStringUtf8(name: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(versionString(name.toString))
+
+  def opensslVersionStringUtf8(name: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(opensslVersionString(name.toString))
+
   private val createVariablesSchema = StructType(Seq(
     StructField("variable_name", StringType, nullable = false),
     StructField("variable_index", StringType, nullable = false),
@@ -79,37 +89,43 @@ object HighsFunctions {
     * model, append one variable, emit one row with variable_index =
     * "{name}_{idx}" or an ERROR row on duplicates.
     */
-  def createVariables(spark: SparkSession, model: String, variable: String,
-      lower: Double, upper: Double, obj: Double, varType: String): DataFrame = {
-    val row = try {
+  def createVariablesRows(model: String, variable: String,
+      lower: Double, upper: Double, obj: Double, varType: String): Seq[Row] =
+    Seq(try {
       val idx = ModelRegistry.getOrCreate(model)
         .addVariable(variable, lower, upper, obj, varType)
       Row(variable, s"${variable}_$idx", "SUCCESS")
     } catch {
       case e: Exception => Row(variable, "ERROR", s"ERROR: ${e.getMessage}")
-    }
-    localDf(spark, createVariablesSchema, row)
-  }
+    })
+
+  def createVariables(spark: SparkSession, model: String, variable: String,
+      lower: Double, upper: Double, obj: Double, varType: String): DataFrame =
+    localDf(spark, createVariablesSchema,
+      createVariablesRows(model, variable, lower, upper, obj, varType): _*)
 
   /** highs_create_constraints (highs_extension.cpp:268-373). */
-  def createConstraints(spark: SparkSession, model: String, constraint: String,
-      lower: Double, upper: Double): DataFrame = {
-    val row = try {
+  def createConstraintsRows(model: String, constraint: String,
+      lower: Double, upper: Double): Seq[Row] =
+    Seq(try {
       val idx = ModelRegistry.getOrCreate(model).addConstraint(constraint, lower, upper)
       Row(constraint, s"${constraint}_$idx", "SUCCESS")
     } catch {
       case e: Exception => Row(constraint, "ERROR", s"ERROR: ${e.getMessage}")
-    }
-    localDf(spark, createConstraintsSchema, row)
-  }
+    })
+
+  def createConstraints(spark: SparkSession, model: String, constraint: String,
+      lower: Double, upper: Double): DataFrame =
+    localDf(spark, createConstraintsSchema,
+      createConstraintsRows(model, constraint, lower, upper): _*)
 
   /** highs_set_coefficients (highs_extension.cpp:378-507). Missing model /
     * variable / constraint each become an ERROR row with the reference's
     * message text.
     */
-  def setCoefficients(spark: SparkSession, model: String, constraint: String,
-      variable: String, coeff: Double): DataFrame = {
-    val row = ModelRegistry.get(model) match {
+  def setCoefficientsRows(model: String, constraint: String,
+      variable: String, coeff: Double): Seq[Row] =
+    Seq(ModelRegistry.get(model) match {
       case None =>
         Row(constraint, variable, coeff, s"ERROR: Model '$model' not found")
       case Some(info) =>
@@ -119,9 +135,12 @@ object HighsFunctions {
         } catch {
           case e: Exception => Row(constraint, variable, coeff, s"ERROR: ${e.getMessage}")
         }
-    }
-    localDf(spark, setCoefficientsSchema, row)
-  }
+    })
+
+  def setCoefficients(spark: SparkSession, model: String, constraint: String,
+      variable: String, coeff: Double): DataFrame =
+    localDf(spark, setCoefficientsSchema,
+      setCoefficientsRows(model, constraint, variable, coeff): _*)
 
   private def statusText(s: LpStatus): String = s match {
     case LpStatus.Optimal    => "Optimal"

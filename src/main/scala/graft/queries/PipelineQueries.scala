@@ -95,7 +95,7 @@ object PipelineQueries {
   // SimHash: no DuckDB oracle (the xxhash64 family is engine-specific);
   // recall against exact Jaccard pairs is asserted in PipelineSpec.
   declare("dedup_simhash") { (spark, sfDir) =>
-    Dedup.simhashPairs(t(spark, sfDir, "documents"), maxDist = 3).orderBy("a", "b")
+    Dedup.simhashPairs(t(spark, sfDir, "documents"), maxDist = 6).orderBy("a", "b")
   }
 
   declare("dedup_embedding_cosine",

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming over the events table.
@@ -51,5 +51,52 @@ object EventsStreaming {
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("value_cents"))
       .orderBy("hour_epoch", "event_type")
+  }
+
+  /** Input row for stateful sessionization. */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Open-session state per user. Times are epoch millis. */
+  final case class SessionAgg(startMs: Long, lastMs: Long, n: Long, sumValue: Double)
+
+  /** A closed session, emitted when the event-time watermark passes the
+    * session gap.
+    */
+  final case class SessionOut(
+      user_id: Long, n_events: Long, duration_secs: Long, sum_value: Double)
+
+  /** Custom streaming state: gap-based sessionization with
+    * flatMapGroupsWithState + event-time timeout. A session closes (and is
+    * emitted) when the watermark passes last-event + gap. The state per
+    * user is O(1) — start/last/count/sum — so a billion-user stream holds
+    * state proportional to distinct active users, not events.
+    */
+  def sessionize(events: Dataset[Ev], gapSecs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSecs * 1000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionAgg]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.n, (s.lastMs - s.startMs) / 1000L, s.sumValue))
+          } else {
+            val evs = rows.toSeq
+            val minMs = evs.map(_.ts.getTime).min
+            val maxMs = evs.map(_.ts.getTime).max
+            val merged = state.getOption match {
+              case Some(s) => SessionAgg(math.min(s.startMs, minMs),
+                math.max(s.lastMs, maxMs), s.n + evs.size, s.sumValue + evs.map(_.value).sum)
+              case None => SessionAgg(minMs, maxMs, evs.size.toLong, evs.map(_.value).sum)
+            }
+            state.update(merged)
+            state.setTimeoutTimestamp(merged.lastMs + gapMs)
+            Iterator.empty
+          }
+        })
   }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Engine, SparkTestSession}
+
+/** Recall/behavior checks for the pipeline operators that have no DuckDB
+  * oracle (hash families are engine-specific) or are deliberately
+  * approximate (IVF).
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private def docs = Engine.table(spark, SparkTestSession.sfDir, "documents")
+  private def embeddings = Engine.table(spark, SparkTestSession.sfDir, "embeddings")
+
+  test("minhash-LSH finds exactly the exact-Jaccard>=0.8 pairs") {
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // banding recall ~1 at J>=0.9; verification kills FPs
+  }
+
+  test("simhash candidates cover the exact near-dup pairs (recall)") {
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, maxDist = 6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(sim.contains).toDouble / exact.size
+    assert(recall >= 0.85, s"simhash recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("IVF top-k recalls most of the brute-force top-k") {
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val centroids = embeddings.filter(col("vec_id") < 16)
+    val brute = Similarity.bruteForceTopK(embeddings, queries, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embeddings, queries, centroids, k = 10, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size == 50)
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    // nProbe=4 of 16 arbitrary centroids over uniform random vectors —
+    // recall well above the 4/16 random-scan baseline proves the probe
+    // ordering works; exact recall rises with nProbe.
+    assert(recall >= 0.3, s"IVF recall $recall")
+    assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
+  }
+
+  test("exact dedup keeps the minimum id of each duplicate group") {
+    val corpus = docs.select("doc_id", "text")
+      .union(docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val dups = Dedup.exact(corpus).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == (0 until 5).map(i => (i + 10000L, i.toLong)).toSet)
+  }
+
+  test("multimodal decode stub preserves payload size and batch shape") {
+    val feats = Multimodal.decodeFeatures(spark,
+      Multimodal.syntheticAssets(docs.limit(50))).collect()
+    assert(feats.length == 50)
+    feats.foreach { f =>
+      assert(f.feature.length == 4)
+      assert(f.feature(0).toLong == f.size_bytes)
+    }
+  }
+}

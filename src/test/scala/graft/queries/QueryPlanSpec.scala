@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Physical-plan audits for the declared queries: filters/projections must
+  * reach the parquet scan, dimension joins must broadcast, top-N must fold
+  * into TakeOrderedAndProject, and candidate generation must never contain
+  * a cartesian product. These are the plans we would want on a 1000-executor
+  * cluster, asserted at local scale.
+  */
+class QueryPlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = SparkTestSession.sfDir
+
+  private def planString(df: DataFrame): String = {
+    val exec = df.queryExecution.executedPlan
+    val full = exec.toString
+    // AQE hides the final plan until execution; the initial plan string
+    // still carries scan/join/exchange shapes.
+    full
+  }
+
+  private def q(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+
+  test("q01 pushes the shipdate filter and prunes columns at the scan") {
+    val plan = planString(q("q01_pricing_summary"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("l_orderkey"),
+      "scan should prune unused columns like l_orderkey")
+  }
+
+  test("q02 broadcasts the nation and region dimensions") {
+    val plan = planString(q("q02_revenue_by_nation"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q28 top-N folds into TakeOrderedAndProject") {
+    val plan = planString(q("q28_topn"))
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-N pushdown in:\n$plan")
+  }
+
+  test("partial aggregation happens before the shuffle in q01") {
+    val plan = planString(q("q01_pricing_summary"))
+    // Two HashAggregate stages around one Exchange = map-side combine.
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg in:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"))
+  }
+
+  test("minhash LSH plan has no cartesian product") {
+    val plan = planString(
+      graft.operators.Dedup.minhashLsh(
+        graft.Engine.table(spark, sfDir, "documents"), threshold = 0.8))
+    assert(!plan.contains("CartesianProduct"), s"LSH must bucket-join:\n$plan")
+  }
+
+  test("brute-force topk broadcasts the query side, not the corpus") {
+    val e = graft.Engine.table(spark, sfDir, "embeddings")
+    val plan = planString(graft.operators.Similarity.bruteForceTopK(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 5), 10))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast of the tiny query set:\n$plan")
+  }
+
+  test("flagship entry returns rows") {
+    val rows = graft.SparkEntry.entry(spark).collect()
+    assert(rows.length == 2)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import EventsStreaming.{Ev, SessionOut}
+
+/** Structured Streaming behavior with a controllable source: watermarked
+  * windowed aggregation in append mode, and stateful sessionization via
+  * flatMapGroupsWithState with event-time timeout.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("watermarked window aggregation emits closed windows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val agg = source.toDS()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_windows")
+      .outputMode("append").start()
+    try {
+      // Two events in window [0,10) and one in [10,20).
+      source.addData(Ev(1, ts(1), 1.0), Ev(1, ts(2), 2.0), Ev(1, ts(11), 3.0))
+      q.processAllAvailable()
+      // Watermark is still behind: nothing final yet.
+      assert(spark.table("wm_windows").count() == 0)
+      // An event far in the future pushes the watermark past both windows.
+      source.addData(Ev(2, ts(60), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_windows")
+        .select(unix_timestamp(col("window.start")).as("w"), col("user_id"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((0L, 1L, 2L), (600L, 1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val sessions = EventsStreaming.sessionize(source.toDS(), gapSecs = 600)
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // User 1: two events 5 min apart (one session, 300s long).
+      // User 2: one event.
+      source.addData(Ev(1, ts(10), 1.0), Ev(1, ts(15), 2.0), Ev(2, ts(12), 5.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0)
+      // Advance the watermark far past both sessions' gap windows.
+      source.addData(Ev(3, ts(120), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_out").as[SessionOut].collect()
+        .map(s => (s.user_id, s.n_events, s.duration_secs, s.sum_value)).toSet
+      assert(out == Set((1L, 2L, 300L, 3.0), (2L, 1L, 0L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("file-source hourly stream matches the batch aggregation") {
+    val streamed = EventsStreaming.hourlyCounts(spark, SparkTestSession.sfDir)
+      .collect().toSeq
+    val batch = graft.Engine.events(spark, SparkTestSession.sfDir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .orderBy("hour_epoch", "event_type")
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
