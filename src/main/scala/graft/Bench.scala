@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (codegen, parquet reader, shuffle machinery) before any
+    // query is timed, so single-iteration timings measure the queries and
+    // not first-touch JIT.
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count().write.format("noop").mode("overwrite").save()
     // Time a full materialization of every column: the noop sink consumes
     // each row end-to-end (unlike count(), under which Catalyst prunes all
     // columns and skips projection/UDF work entirely).

@@ -26,15 +26,23 @@ object Dedup {
       .select(col("doc_id").as("dup_id"), col("kept_id"))
   }
 
-  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
-  def shingles(docs: DataFrame, n: Int = 3,
+  /** Distinct word n-gram shingles per document as an array column
+    * (doc_id, shingles) — computed entirely row-local, no shuffle.
+    */
+  def shingleArray(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ws = split(col(textCol), " ")
     val sh = transform(
       sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
-    docs.select(col(idCol).as("doc_id"), explode(sh).as("shingle")).distinct()
+    docs.select(col(idCol).as("doc_id"), array_distinct(sh).as("shingles"))
   }
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingleArray(docs, n, idCol, textCol)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
   /** Distinct character n-gram shingles per document. */
   def charShingles(docs: DataFrame, n: Int = 5,
@@ -51,12 +59,18 @@ object Dedup {
     * columns (a, b); returns (a, b, jaccard).
     */
   def verifyJaccard(candidates: DataFrame, shingleDf: DataFrame): DataFrame = {
+    // Only candidate documents' shingles matter — semi-join the index down
+    // first so the intersection join scans |candidate docs| x shingles
+    // rows, not the whole corpus (AQE broadcasts the id set when small).
+    val ids = candidates.select(col("a").as("doc_id"))
+      .union(candidates.select(col("b").as("doc_id"))).distinct()
+    val shc = shingleDf.join(ids, Seq("doc_id"), "left_semi")
     // Every intermediate column gets a unique name — unqualified references
     // across a self-joined shingle index resolve nondeterministically in
     // Spark's hybrid analyzer otherwise.
-    val sizes = shingleDf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val shA = shingleDf.select(col("doc_id").as("a"), col("shingle").as("sh_a"))
-    val shB = shingleDf.select(col("doc_id").as("bb"), col("shingle").as("sh_b"))
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shA = shc.select(col("doc_id").as("a"), col("shingle").as("sh_a"))
+    val shB = shc.select(col("doc_id").as("bb"), col("shingle").as("sh_b"))
     val inter = candidates
       .join(shA, Seq("a"))
       .join(shB, col("b") === col("bb") && col("sh_a") === col("sh_b"))
@@ -82,14 +96,79 @@ object Dedup {
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature columns mh0..mh{k-1} per doc: one shuffle on doc_id.
-    * Hash family: xxhash64 seeded by the permutation index (deterministic,
-    * engine-independent inputs).
+  /** splitmix64 finalizer — the per-permutation mixer for minhash. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64-bit over UTF-8 bytes — the per-shingle base hash. */
+  @inline private def fnv64(s: String): Long = {
+    val bytes = s.getBytes("UTF-8")
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Distinct word n-gram shingles of one text, imperatively. Token
+    * semantics match `split(text, " ")` / DuckDB `string_split` exactly
+    * (split keeps empty tokens), so jaccard verification agrees with the
+    * SQL-expression formulations.
     */
-  def minhashSignatures(shingleDf: DataFrame, numHashes: Int = 128): DataFrame = {
-    val aggs = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
-    shingleDf.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  private[operators] def wordShingles(text: String, n: Int): Iterator[String] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < n) Iterator.empty
+    else {
+      val seen = new java.util.HashSet[String]()
+      (0 to ws.length - n).iterator.map { i =>
+        val sb = new java.lang.StringBuilder(ws(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(ws(i + k)); k += 1 }
+        sb.toString
+      }.filter(seen.add)
+    }
+  }
+
+  /** Per-document LSH band hashes: (doc_id, band, bh), `bands` rows per
+    * document, computed in ONE row-local JIT'd pass straight off the text.
+    *
+    * Implementation note: this is deliberately a typed flatMap loop, not
+    * Column expressions — a k-wide `min(hash)` aggregate shuffles
+    * |corpus tokens| rows, and higher-order array functions (`transform`/
+    * `array_min`) always evaluate interpreted (never whole-stage codegen);
+    * both benchmarked ~10x slower. One strong base hash per shingle +
+    * k cheap splitmix derivations is the standard minhash trick; the loop
+    * does corpus-tokens x k mixes with zero allocation per hash.
+    */
+  def minhashBands(docs: DataFrame, numHashes: Int, bands: Int, shingleN: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        wordShingles(text, shingleN).foreach { s =>
+          val base = fnv64(s)
+          var i = 0
+          while (i < numHashes) {
+            val v = mix64(base ^ (i.toLong * 0xA54FF53A5F1D36F1L))
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+        }
+        (0 until bands).iterator.map { b =>
+          var h = 0xcbf29ce484222325L
+          var r = 0
+          while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
+          (id, b, h)
+        }
+      }
+      .toDF("doc_id", "band", "bh")
   }
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
@@ -104,13 +183,17 @@ object Dedup {
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8, numHashes: Int = 128,
       bands: Int = 32, shingleN: Int = 3): DataFrame = {
     require(bands * (numHashes / bands) == numHashes)
-    val rowsPerBand = numHashes / bands
-    val sh = shingles(docs, shingleN)
-    val sig = minhashSignatures(sh, numHashes)
-    val bandHashes = array((0 until bands).map { b =>
-      xxhash64((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-    }: _*)
-    val banded = sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+    // Band hashes come straight off the text in one JIT'd pass (no shuffle
+    // before the bucket join). The exploded shingle index is only built for
+    // verification — same imperative tokenizer, so the two agree — and is
+    // scanned from both sides of the intersection join.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => wordShingles(t, shingleN).map((id, _)) }
+      .toDF("doc_id", "shingle")
+    val banded = minhashBands(docs, numHashes, bands, shingleN)
     val cands = banded.select(col("doc_id").as("a"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("a") < col("b"))

@@ -468,7 +468,8 @@ object AnalyticsQueries {
     """SELECT r_name, COUNT(*) AS n_nations FROM region JOIN nation ON r_regionkey = n_regionkey
        GROUP BY r_name ORDER BY r_name""") { (spark, sfDir) =>
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
-    t(spark, sfDir, "region").write.mode("overwrite").option("header", "true").csv(dir)
+    t(spark, sfDir, "region").coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(dir)
     val back = spark.read.option("header", "true")
       .schema("r_regionkey INT, r_name STRING").csv(dir)
     back.join(broadcast(t(spark, sfDir, "nation")), col("r_regionkey") === col("n_regionkey"))
@@ -478,7 +479,7 @@ object AnalyticsQueries {
   declare("q23_json_roundtrip",
     """SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
-    t(spark, sfDir, "nation").write.mode("overwrite").json(dir)
+    t(spark, sfDir, "nation").coalesce(1).write.mode("overwrite").json(dir)
     spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(dir)
       .groupBy("n_regionkey").agg(count(lit(1)).as("n")).orderBy("n_regionkey")
   }
