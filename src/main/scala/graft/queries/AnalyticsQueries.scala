@@ -578,6 +578,72 @@ object AnalyticsQueries {
       .select("o_orderkey", "total_cents")
   }
 
+  // ------------------------------------------------------------------
+  // As-of join: each event matched to the user's latest order at or
+  // before the event time (DuckDB expresses this as ASOF JOIN; Spark has
+  // no native operator — compose equi-join + max aggregation, which
+  // shuffles once on the key and never materializes more than the
+  // matching (event, order) pairs).
+  // ------------------------------------------------------------------
+  declare("q29_asof_join",
+    """SELECT user_id,
+         COUNT(*) AS n_matched,
+         CAST(SUM(CAST(date_diff('day', last_order, CAST(ts AS TIMESTAMP)) AS BIGINT)) AS BIGINT) AS sum_gap_days
+       FROM (
+         SELECT e.user_id, e.ts, MAX(o.o_orderdate) AS last_order
+         FROM events e JOIN orders o
+           ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+         GROUP BY e.user_id, e.ts, e.event_id
+       ) m
+       GROUP BY user_id ORDER BY user_id""") { (spark, sfDir) =>
+    val e = Engine.events(spark, sfDir)
+    val o = t(spark, sfDir, "orders")
+    e.join(o, o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
+      .groupBy(e("user_id"), e("ts"), e("event_id"))
+      .agg(max(o("o_orderdate")).as("last_order"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matched"),
+        sum(datediff(col("ts"), col("last_order")).cast("long")).as("sum_gap_days"))
+      .orderBy("user_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Range (theta) join against a small banding relation -> broadcast
+  // nested loop; never a shuffle of the fact table.
+  // ------------------------------------------------------------------
+  declare("q30_range_join",
+    """SELECT band, COUNT(*) AS n,
+         CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+       FROM lineitem
+       JOIN (VALUES ('low', 0.0, 15.0), ('mid', 15.0, 35.0), ('high', 35.0, 100.0))
+         AS bands(band, lo, hi)
+         ON l_quantity > lo AND l_quantity <= hi
+       GROUP BY band ORDER BY band""") { (spark, sfDir) =>
+    import spark.implicits._
+    val bands = Seq(("low", 0.0, 15.0), ("mid", 15.0, 35.0), ("high", 35.0, 100.0))
+      .toDF("band", "lo", "hi")
+    t(spark, sfDir, "lineitem")
+      .join(broadcast(bands), col("l_quantity") > col("lo") && col("l_quantity") <= col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("price_cents"))
+      .orderBy("band")
+  }
+
+  // ------------------------------------------------------------------
+  // ORC source/sink round-trip (third columnar format after parquet/csv)
+  // ------------------------------------------------------------------
+  declare("q31_orc_roundtrip",
+    """SELECT s_nationkey, COUNT(*) AS n,
+         CAST(SUM(CAST(round(s_acctbal*100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
+       FROM supplier GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    t(spark, sfDir, "supplier").coalesce(1).write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), sum(cents(col("s_acctbal"))).as("bal_cents"))
+      .orderBy("s_nationkey")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
