@@ -15,6 +15,7 @@ object Engine {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for embedding math — the hot path of
+  * similarity search. A `zip_with`/`aggregate` higher-order formulation is
+  * semantically identical but always evaluates interpreted (lambda per
+  * element); these expressions generate a tight primitive loop inside
+  * whole-stage codegen. Accumulation is double precision in index order, so
+  * results are bit-identical to the ordered fold (asserted in
+  * PipelineSpec).
+  */
+object VectorExpressions {
+
+  /** dot/norm kernel shared by interpreted eval. */
+  private[functions] def dotNorms(a: ArrayData, b: ArrayData): (Double, Double, Double) = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    (dot, na, nb)
+  }
+}
+
+/** cosine(a, b) over two array<float> columns, fully codegen'd. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vector_cosine requires (array<float>, array<float>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (dot, na, nb) = VectorExpressions.dotNorms(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = (double) $a.getFloat($i);
+          double $y = (double) $b.getFloat($i);
+          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vector_cosine"
+}
+
+/** L2 norm of an array<float> column, fully codegen'd. */
+case class VectorNorm(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"vector_norm requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < arr.numElements()) {
+      val x = arr.getFloat(i).toDouble
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      s"""
+        double $s = 0.0;
+        for (int $i = 0; $i < $a.numElements(); $i++) {
+          double $x = (double) $a.getFloat($i);
+          $s += $x * $x;
+        }
+        ${ev.value} = java.lang.Math.sqrt($s);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNorm =
+    copy(child = newChild)
+
+  override def prettyName: String = "vector_norm"
+}

@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Scores are computed in double precision via ordered array folds
-  * (`zip_with` + `aggregate`), entirely inside whole-stage codegen — no
-  * UDFs. For determinism across engines/partitionings, ranking happens on
-  * a quantized score (`round(cos, 3)`) with the neighbor id as tie-break.
+  * Scores are computed in double precision, index-ordered, by the native
+  * Catalyst expressions in graft.functions (codegen'd primitive loops —
+  * the `zip_with`/`aggregate` fold below is the semantically identical
+  * reference implementation, but higher-order functions always evaluate
+  * interpreted). For determinism across engines/partitionings, ranking
+  * happens on a quantized score (`round(cos, 3)`) with the neighbor id as
+  * tie-break.
   *
   * Scale design: the brute-force path broadcasts the (small) query set and
   * scans the corpus once — the right plan when queries are few. The IVF
@@ -19,15 +22,30 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Double-precision dot product of two float arrays (index-ordered fold,
-    * so the summation order is fixed and engine-independent).
+    * so the summation order is fixed and engine-independent). Reference
+    * implementation — interpreted HOFs; prefer `cosine`/`norm` below.
     */
-  def dot(a: Column, b: Column): Column =
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def normFold(a: Column): Column = sqrt(dotFold(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineFold(a: Column, b: Column): Column =
+    dotFold(a, b) / (normFold(a) * normFold(b))
+
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Codegen'd cosine similarity (bit-identical to cosineFold — asserted
+    * in PipelineSpec).
+    */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd L2 norm. */
+  def norm(a: Column): Column =
+    ColumnBridge.column(graft.functions.VectorNorm(ColumnBridge.expression(a)))
 
   /** Brute-force top-k cosine neighbors for each query vector.
     * Output: (query_id, rank, neighbor_id, sim) with sim = round(cos, 3).
@@ -95,9 +113,8 @@ object Similarity {
     */
   def signLshBucket(v: Column, hyperplanes: Seq[Seq[Double]]): Column =
     hyperplanes.zipWithIndex.map { case (h, j) =>
-      val hc = array(h.map(lit): _*)
-      when(aggregate(zip_with(v, hc, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x) > 0, lit(1L << j)).otherwise(lit(0L))
+      val hc = array(h.map(x => lit(x.toFloat)): _*)
+      when(cosine(v, hc) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Near-duplicate vector pairs with cosine >= threshold, bucketed by

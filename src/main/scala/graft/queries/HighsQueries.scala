@@ -119,6 +119,27 @@ object HighsQueries {
 
   // ------------------------------------------------- reference workloads
 
+  /** The golden scenario again, driven ENTIRELY through the SQL TVF surface
+    * (SparkSessionExtensions-registered table functions) — the reference's
+    * user-facing contract, statement for statement
+    * (test/sql/highs.test:55-98). Requires the GraftSparkExtensions config
+    * on the session (Verify/Bench/Engine all set it).
+    */
+  private def qSolveSql(spark: SparkSession, sfDir: String): DataFrame = {
+    ModelRegistry.remove("model_sql")
+    Seq(
+      "SELECT * FROM highs_create_variables('model_sql', 'x', 0.0, 1e30, 1.0, 'continuous')",
+      "SELECT * FROM highs_create_variables('model_sql', 'y', 1.0, 1e30, 1.0, 'continuous')",
+      "SELECT * FROM highs_create_constraints('model_sql', 'c1', -1e30, 7.0)",
+      "SELECT * FROM highs_create_constraints('model_sql', 'c2', -1e30, 9.0)",
+      "SELECT * FROM highs_set_coefficients('model_sql', 'c1', 'x', 1.0)",
+      "SELECT * FROM highs_set_coefficients('model_sql', 'c1', 'y', 2.0)",
+      "SELECT * FROM highs_set_coefficients('model_sql', 'c2', 'x', 3.0)",
+      "SELECT * FROM highs_set_coefficients('model_sql', 'c2', 'y', 1.0)"
+    ).foreach(spark.sql(_).collect())
+    spark.sql("SELECT * FROM highs_solve('model_sql') ORDER BY variable_name")
+  }
+
   /** network_flow_example.sql:168-215 — solve, then the reference's exact
     * downstream SQL (CTE -> LIKE/NOT LIKE filter -> CASE cost mapping ->
     * SUM -> '||' -> CAST).
@@ -200,6 +221,7 @@ object HighsQueries {
     "highs_create_constraints" -> (qCreateConstraints _),
     "highs_set_coefficients" -> (qSetCoefficients _),
     "highs_solve" -> (qSolveGolden _),
+    "highs_solve_sql" -> (qSolveSql _),
     "highs_solve_missing" -> (qSolveMissing _),
     "highs_solve_mip" -> (qSolveMip _),
     "highs_solve_flow" -> (qSolveFlow _),
@@ -238,6 +260,13 @@ object HighsQueries {
         ('c1', 'x', 3.0, 'ERROR: Model ''no_such_model'' not found')
       ) AS t(constraint_name, variable_name, coefficient, status) ORDER BY coefficient""",
     "highs_solve" -> s"""
+      SELECT variable_name, variable_index, CAST(solution_value $D) AS solution_value,
+             CAST(reduced_cost $D) AS reduced_cost, status FROM (VALUES
+        ('x', 'x_0', 0.0, 1.0, 'Optimal'),
+        ('y', 'y_1', 1.0, 1.0, 'Optimal')
+      ) AS t(variable_name, variable_index, solution_value, reduced_cost, status)
+      ORDER BY variable_name""",
+    "highs_solve_sql" -> s"""
       SELECT variable_name, variable_index, CAST(solution_value $D) AS solution_value,
              CAST(reduced_cost $D) AS reduced_cost, status FROM (VALUES
         ('x', 'x_0', 0.0, 1.0, 'Optimal'),

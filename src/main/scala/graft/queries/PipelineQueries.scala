@@ -272,6 +272,26 @@ object PipelineQueries {
       .orderBy("kind")
   }
 
+  declare("sim_cosine_sql",
+    """WITH x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i
+                  FROM embeddings),
+       norms AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM x GROUP BY 1),
+       dots AS (SELECT b.vec_id, SUM(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE)) dp
+                FROM x a JOIN x b ON a.i = b.i AND a.vec_id = 0 AND b.vec_id BETWEEN 1 AND 10
+                GROUP BY 1)
+       SELECT d.vec_id, round(dp/(na.nn*nb.nn), 3) AS sim
+       FROM dots d JOIN norms na ON na.vec_id = 0 JOIN norms nb ON nb.vec_id = d.vec_id
+       ORDER BY d.vec_id""") { (spark, sfDir) =>
+    // The custom codegen'd Catalyst expression, exercised through its SQL
+    // registration (GraftSparkExtensions injectFunction).
+    Engine.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT b.vec_id, round(vector_cosine(a.embedding, b.embedding), 3) AS sim
+         FROM embeddings a JOIN embeddings b
+           ON a.vec_id = 0 AND b.vec_id BETWEEN 1 AND 10
+         ORDER BY b.vec_id""")
+  }
+
   // -------------------------------------------------------- embeddings
   declare("embed_norms_by_label",
     """WITH x AS (SELECT vec_id, label, unnest(embedding) v FROM embeddings),

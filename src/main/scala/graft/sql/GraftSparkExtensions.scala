@@ -30,6 +30,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftSparkExtensions.versionFn)
     ext.injectFunction(GraftSparkExtensions.opensslVersionFn)
+    ext.injectFunction(GraftSparkExtensions.vectorCosineFn)
+    ext.injectFunction(GraftSparkExtensions.vectorNormFn)
     GraftSparkExtensions.tableFunctions.foreach(ext.injectTableFunction)
   }
 }
@@ -56,6 +58,14 @@ object GraftSparkExtensions {
 
   val versionFn = scalarFn("highs_version", "versionStringUtf8")
   val opensslVersionFn = scalarFn("highs_openssl_version", "opensslVersionStringUtf8")
+
+  /** Embedding math as native codegen'd expressions (graft.functions). */
+  val vectorCosineFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("vector_cosine"), info("vector_cosine"),
+      (args: Seq[Expression]) => graft.functions.CosineSimilarity(args(0), args(1)))
+  val vectorNormFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("vector_norm"), info("vector_norm"),
+      (args: Seq[Expression]) => graft.functions.VectorNorm(args(0)))
 
   private def asString(v: Any): String = v match {
     case s: UTF8String => s.toString

@@ -59,6 +59,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(dups == (0 until 5).map(i => (i + 10000L, i.toLong)).toSet)
   }
 
+  test("native cosine/norm expressions are bit-identical to the ordered folds") {
+    val l = embeddings.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .filter(col("ia") < 30)
+    val r = embeddings.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      .filter(col("ib") < 30)
+    val cmp = l.crossJoin(r).select(
+      Similarity.cosine(col("ea"), col("eb")).as("c_expr"),
+      Similarity.cosineFold(col("ea"), col("eb")).as("c_fold"),
+      Similarity.norm(col("ea")).as("n_expr"),
+      Similarity.normFold(col("ea")).as("n_fold"))
+    assert(cmp.filter(col("c_expr") =!= col("c_fold") ||
+      col("n_expr") =!= col("n_fold")).count() == 0)
+    assert(cmp.count() == 900)
+  }
+
   test("multimodal decode stub preserves payload size and batch shape") {
     val feats = Multimodal.decodeFeatures(spark,
       Multimodal.syntheticAssets(docs.limit(50))).collect()
