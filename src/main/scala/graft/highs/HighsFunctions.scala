@@ -166,21 +166,41 @@ object HighsFunctions {
     if (math.abs(v - r) < 1e-9) (if (r == 0.0) 0.0 else r) else v
   }
 
+  /** The dense-LU simplex allocates an (n+m)x(m) working matrix and
+    * refactorizes O(m³) per iteration — correct for the reference's
+    * KB-scale models, but a runaway model would pin an executor core for
+    * hours. Above this dimension we fail fast with an ERROR row (the
+    * engine's error-as-data convention) instead of spinning.
+    */
+  val MaxDenseDim = 2000
+
+  private[highs] def sizeGuard(info: ModelInfo): Option[String] = {
+    val (nv, nc) = (info.varNames.size, info.conNames.size)
+    if (nv > MaxDenseDim || nc > MaxDenseDim)
+      Some(s"ERROR: Model '${info.name}' too large for the dense simplex " +
+        s"($nv variables, $nc constraints; limit $MaxDenseDim)")
+    else None
+  }
+
   /** Solve one registered model locally (no Spark job) and return its rows. */
   def solveRows(model: String): Seq[Row] = ModelRegistry.get(model) match {
     case None =>
       Seq(Row("N/A", "ERROR", 0.0, 0.0, s"ERROR: Model '$model' not found"))
     case Some(info) =>
-      try {
-        val lm = info.toLinearModel
-        val sol = BranchAndBound.solve(lm)
-        val st = statusText(sol.status)
-        info.varNames.zipWithIndex.map { case (vn, i) =>
-          Row(vn, s"${vn}_$i", snap(sol.x(i)), snap(sol.reducedCost(i)), st)
-        }.toSeq
-      } catch {
-        case e: Exception =>
-          Seq(Row("N/A", "ERROR", 0.0, 0.0, s"ERROR: ${e.getMessage}"))
+      sizeGuard(info) match {
+        case Some(msg) => Seq(Row("N/A", "ERROR", 0.0, 0.0, msg))
+        case None =>
+          try {
+            val lm = info.toLinearModel
+            val sol = BranchAndBound.solve(lm)
+            val st = statusText(sol.status)
+            info.varNames.zipWithIndex.map { case (vn, i) =>
+              Row(vn, s"${vn}_$i", snap(sol.x(i)), snap(sol.reducedCost(i)), st)
+            }.toSeq
+          } catch {
+            case e: Exception =>
+              Seq(Row("N/A", "ERROR", 0.0, 0.0, s"ERROR: ${e.getMessage}"))
+          }
       }
   }
 
@@ -252,10 +272,14 @@ object HighsFunctions {
             case ModelPart(_, 2, cn, vn, c, _, _, _)      => info.setCoefficient(cn, vn, c)
             case _                                        => ()
           }
-          val sol = BranchAndBound.solve(info.toLinearModel)
-          val st = statusText(sol.status)
-          info.varNames.zipWithIndex.iterator.map { case (vn, i) =>
-            SolvedVar(model, vn, s"${vn}_$i", snap(sol.x(i)), snap(sol.reducedCost(i)), st)
+          sizeGuard(info) match {
+            case Some(msg) => Iterator(SolvedVar(model, "N/A", "ERROR", 0.0, 0.0, msg))
+            case None =>
+              val sol = BranchAndBound.solve(info.toLinearModel)
+              val st = statusText(sol.status)
+              info.varNames.zipWithIndex.iterator.map { case (vn, i) =>
+                SolvedVar(model, vn, s"${vn}_$i", snap(sol.x(i)), snap(sol.reducedCost(i)), st)
+              }
           }
         } catch {
           case e: Exception =>

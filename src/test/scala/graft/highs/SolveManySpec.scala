@@ -49,6 +49,17 @@ class SolveManySpec extends AnyFunSuite {
     one.foreach(v => assert(v.status == "Optimal"))
   }
 
+  test("oversized models fail fast with an ERROR row instead of spinning") {
+    ModelRegistry.remove("huge")
+    val info = ModelRegistry.getOrCreate("huge")
+    (0 to HighsFunctions.MaxDenseDim)
+      .foreach(i => info.addVariable(s"v$i", 0.0, 1.0, 1.0, "continuous"))
+    val rows = HighsFunctions.solveRows("huge")
+    assert(rows.length == 1)
+    assert(rows.head.getString(4).startsWith("ERROR: Model 'huge' too large"))
+    ModelRegistry.remove("huge")
+  }
+
   test("solveMany surfaces a broken model as one error row, others solve") {
     import spark.implicits._
     val vars = Seq(
