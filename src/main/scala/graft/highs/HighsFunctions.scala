@@ -191,8 +191,7 @@ object HighsFunctions {
         case Some(msg) => Seq(Row("N/A", "ERROR", 0.0, 0.0, msg))
         case None =>
           try {
-            val lm = info.toLinearModel
-            val sol = BranchAndBound.solve(lm)
+            val sol = info.solveCached(BranchAndBound.solve)
             val st = statusText(sol.status)
             info.varNames.zipWithIndex.map { case (vn, i) =>
               Row(vn, s"${vn}_$i", snap(sol.x(i)), snap(sol.reducedCost(i)), st)

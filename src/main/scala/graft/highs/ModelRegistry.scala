@@ -2,7 +2,7 @@ package graft.highs
 
 import java.util.concurrent.ConcurrentHashMap
 import scala.collection.mutable
-import graft.solver.{LinearModel, VarKind}
+import graft.solver.{LinearModel, MipSolution, VarKind}
 
 /** Incrementally built LP/MIP, mirroring the reference's `HighsModelInfo`
   * (/root/reference/src/highs_extension.cpp:26-44): name->index maps for
@@ -33,6 +33,23 @@ final class ModelInfo(val name: String) {
   /** (rowIdx, colIdx, coeff) — appended in call order like the reference. */
   val coeffs = new mutable.ArrayBuffer[(Int, Int, Double)]
 
+  /** Last solve result, invalidated by any mutation. The reference
+    * re-runs HiGHS on EVERY scan of highs_solve (per-scan state,
+    * highs_extension.cpp:541, :719-722) — an explicit BASELINE.md
+    * improvement target; we solve once per model revision.
+    */
+  @volatile private var cachedSolution: Option[MipSolution] = None
+
+  def solveCached(solve: LinearModel => MipSolution): MipSolution = synchronized {
+    cachedSolution match {
+      case Some(s) => s
+      case None =>
+        val s = solve(toLinearModel)
+        cachedSolution = Some(s)
+        s
+    }
+  }
+
   def addVariable(vn: String, lb: Double, ub: Double, obj: Double, tpe: String): Int =
     synchronized {
       if (varIndex.contains(vn))
@@ -42,6 +59,7 @@ final class ModelInfo(val name: String) {
       varIndex(vn) = idx
       varNames += vn; varLower += lb; varUpper += ub
       objCoeff += obj; varTypes += tpe
+      cachedSolution = None
       idx
     }
 
@@ -52,6 +70,7 @@ final class ModelInfo(val name: String) {
     val idx = conNames.size
     conIndex(cn) = idx
     conNames += cn; rowLower += lb; rowUpper += ub
+    cachedSolution = None
     idx
   }
 
@@ -61,6 +80,7 @@ final class ModelInfo(val name: String) {
     val ci = conIndex.getOrElse(cn,
       throw new IllegalStateException(s"Constraint '$cn' not found in model '$name'"))
     coeffs += ((ci, vi, coeff))
+    cachedSolution = None
   }
 
   def toLinearModel: LinearModel = synchronized {

@@ -644,6 +644,23 @@ object AnalyticsQueries {
       .orderBy("s_nationkey")
   }
 
+  // ------------------------------------------------------------------
+  // Ordered-set aggregate: exact interpolated median (percentile /
+  // quantile_cont share the linear-interpolation definition)
+  // ------------------------------------------------------------------
+  declare("q32_median",
+    """SELECT o_orderpriority,
+         quantile_cont(CAST(round(o_totalprice*100, 0) AS BIGINT), 0.5) AS median_cents,
+         COUNT(*) AS n
+       FROM orders GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    Engine.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority,
+           percentile(CAST(round(o_totalprice*100, 0) AS BIGINT), 0.5) AS median_cents,
+           COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -49,6 +49,24 @@ class SolveManySpec extends AnyFunSuite {
     one.foreach(v => assert(v.status == "Optimal"))
   }
 
+  test("solve result is cached per model revision and invalidated on mutation") {
+    ModelRegistry.remove("cache_m")
+    val info = ModelRegistry.getOrCreate("cache_m")
+    info.addVariable("x", 0.0, 10.0, 1.0, "continuous")
+    info.addConstraint("c", -1e30, 10.0)
+    info.setCoefficient("c", "x", 1.0)
+    val first = HighsFunctions.solveRows("cache_m")
+    assert(first.map(_.getString(4)) == Seq("Optimal"))
+    // Same revision -> identical rows (served from cache).
+    assert(HighsFunctions.solveRows("cache_m") == first)
+    // Mutation invalidates: new unbounded-below variable flips the status.
+    info.addVariable("z", -1e30, 1e30, -1.0, "continuous")
+    val second = HighsFunctions.solveRows("cache_m")
+    assert(second.length == 2)
+    assert(second.map(_.getString(4)).distinct == Seq("Unbounded"))
+    ModelRegistry.remove("cache_m")
+  }
+
   test("oversized models fail fast with an ERROR row instead of spinning") {
     ModelRegistry.remove("huge")
     val info = ModelRegistry.getOrCreate("huge")
