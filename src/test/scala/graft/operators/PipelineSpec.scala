@@ -59,6 +59,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(dups == (0 until 5).map(i => (i + 10000L, i.toLong)).toSet)
   }
 
+  test("randomized corpora: minhash-LSH equals the exact Jaccard predicate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    def doc(len: Int): String = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def mutate(s: String): String = {
+      val ws = s.split(" ")
+      ws.zipWithIndex.map { case (w, i) =>
+        if (rnd.nextInt(20) == 0) vocab(rnd.nextInt(vocab.size)) else w
+      }.mkString(" ")
+    }
+    val bases = Seq.tabulate(40)(i => (i.toLong, doc(30 + rnd.nextInt(40))))
+    val nearDups = bases.take(12).map { case (id, t) => (id + 1000L, mutate(t)) }
+    val corpus = (bases ++ nearDups).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(corpus, threshold = 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(corpus, threshold = 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
   test("native cosine/norm expressions are bit-identical to the ordered folds") {
     val l = embeddings.select(col("vec_id").as("ia"), col("embedding").as("ea"))
       .filter(col("ia") < 30)
