@@ -661,6 +661,38 @@ object AnalyticsQueries {
          FROM orders GROUP BY 1 ORDER BY 1""")
   }
 
+  // ------------------------------------------------------------------
+  // Native session_window (Spark's gap-session operator, usable in batch
+  // and streaming) — oracle reconstructs the same sessions via the
+  // lag/cumsum formulation.
+  // ------------------------------------------------------------------
+  declare("q33_session_window",
+    """WITH marked AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id,
+           CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                  OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END new_sess
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), sess AS (
+         SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess_id
+         FROM marked
+       )
+       SELECT user_id,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) session_start_epoch,
+         COUNT(*) n_events
+       FROM sess GROUP BY user_id, sess_id
+       ORDER BY user_id, session_start_epoch""") { (spark, sfDir) =>
+    Engine.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_epoch"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_epoch")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -69,6 +69,20 @@ class QueryPlanSpec extends AnyFunSuite {
       s"expected broadcast of the tiny query set:\n$plan")
   }
 
+  test("partitioned parquet layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.Engine.table(spark, sfDir, "lineitem")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"no partition pruning in:\n$plan")
+    val all = spark.read.parquet(dir).count()
+    val r = pruned.count()
+    assert(r > 0 && r < all)
+  }
+
   test("flagship entry returns rows") {
     val rows = graft.SparkEntry.entry(spark).collect()
     assert(rows.length == 2)
