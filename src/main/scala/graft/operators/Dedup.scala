@@ -210,6 +210,40 @@ object Dedup {
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** The deduplicated corpus: documents minus every near-duplicate that is
+    * not its cluster's minimum id. Clusters are the connected components
+    * of the near-dup pair graph, found by iterative min-label propagation
+    * over the (sparse) edge list — each round is one join + aggregate, and
+    * dup clusters are tiny, so a handful of rounds converges; no driver
+    * materialization of the graph.
+    */
+  def deduplicate(docs: DataFrame, threshold: Double = 0.8,
+      maxRounds: Int = 5): DataFrame = {
+    val pairs = minhashLsh(docs, threshold).select("a", "b")
+    // Undirected edges, both directions.
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // label(x) = min doc_id reachable so far; start with the direct mins.
+    var labels = edges.groupBy(col("a").as("doc_id"))
+      .agg(least(min(col("b")), first(col("a"))).as("label"))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // Propagate: my new label = min(my label, labels of my neighbors).
+      val next = edges
+        .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("nl")).as("prop"))
+        .join(labels, Seq("doc_id"))
+        .select(col("doc_id"), least(col("prop"), col("label")).as("label"))
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    val dupIds = labels.filter(col("doc_id") =!= col("label")).select("doc_id")
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
   /** 64-bit SimHash per document over word tokens (weight 1 each):
     * bit j of the signature is the sign of sum_t (+-1 by bit j of the
     * token hash). Computed in one row-local JIT'd pass — the 64-wide

@@ -106,6 +106,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic Lloyd's k-means for IVF codebooks: init = the k lowest
+    * vec_ids, assignment by quantized cosine (id tie-break), centroid
+    * update = double-precision element-wise mean. k is small (codebook
+    * scale), so updated centroids collect to the driver each iteration and
+    * re-broadcast — the corpus is only ever scanned, never shuffled.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("embedding"))
+    for (_ <- 0 until iters) {
+      val means = assignToCentroids(corpus, centroids)
+        .select(col("cid"), col("embedding")).as[(Long, Seq[Float])]
+        .groupByKey(_._1)
+        .mapGroups { (cid, it) =>
+          var n = 0L
+          var acc: Array[Double] = null
+          it.foreach { case (_, v) =>
+            if (acc == null) acc = new Array[Double](v.length)
+            var i = 0
+            while (i < v.length) { acc(i) += v(i); i += 1 }
+            n += 1
+          }
+          (cid, acc.map(x => (x / n).toFloat).toSeq)
+        }
+        .collect()
+        .sortBy(_._1)
+      centroids = means.toSeq.toDF("vec_id", "embedding")
+    }
+    centroids
+  }
+
   /** Sign-LSH bucketing: 16-bit bucket from the signs of dot products with
     * 16 (deterministic) hyperplane vectors. Identical vectors always share
     * a bucket, so exact-duplicate recall is 1; near-dup recall follows the

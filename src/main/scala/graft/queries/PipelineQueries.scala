@@ -92,6 +92,16 @@ object PipelineQueries {
       threshold = 0.5, n = 5, charGrams = true).orderBy("a", "b")
   }
 
+  declare("dedup_corpus",
+    """SELECT doc_id FROM documents ORDER BY doc_id""") { (spark, sfDir) =>
+    // End-to-end dedup: plant 20 exact duplicates, run the full pipeline
+    // (LSH pairs -> min-label components -> anti-join), keep threshold 1.0
+    // so exactly the planted copies (higher ids) are removed and the
+    // original corpus survives.
+    Dedup.deduplicate(plantedCorpus(t(spark, sfDir, "documents")), threshold = 1.0)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   // SimHash: no DuckDB oracle (the xxhash64 family is engine-specific);
   // recall against exact Jaccard pairs is asserted in PipelineSpec.
   declare("dedup_simhash") { (spark, sfDir) =>

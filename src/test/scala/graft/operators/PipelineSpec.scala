@@ -51,6 +51,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("deduplicate removes every non-minimum member of each dup cluster") {
+    import spark.implicits._
+    // Chain cluster: 0-1, 1-2 near-dups (transitive) + isolated docs.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val corpus = Seq(
+      (0L, base), (1L, base + "tail"), (2L, base + "tail2"),
+      (10L, "completely different words here nothing shared at all " * 6),
+      (11L, "another unrelated document with its own vocabulary set " * 6))
+      .toDF("doc_id", "text")
+    val kept = Dedup.deduplicate(corpus, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 10L, 11L))
+  }
+
+  test("kmeans centroids give IVF recall at least as good as naive centroids") {
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(embeddings, queries, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val ivf = Similarity.ivfTopK(embeddings, queries, centroids, k = 10, nProbe = 4)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count(ivf.contains).toDouble / brute.size
+    }
+    val naive = recall(embeddings.filter(col("vec_id") < 16))
+    val kmeans = recall(Similarity.kmeansCentroids(embeddings, k = 16, iters = 3))
+    assert(kmeans >= naive - 0.1, s"kmeans recall $kmeans vs naive $naive")
+    assert(kmeans >= 0.3, s"kmeans recall $kmeans")
+  }
+
   test("exact dedup keeps the minimum id of each duplicate group") {
     val corpus = docs.select("doc_id", "text")
       .union(docs.filter(col("doc_id") < 5)
