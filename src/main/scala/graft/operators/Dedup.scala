@@ -219,12 +219,19 @@ object Dedup {
     */
   def deduplicate(docs: DataFrame, threshold: Double = 0.8,
       maxRounds: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The edge list is tiny relative to the corpus and feeds every
+    // propagation round — materialize it once or each round would
+    // re-run the whole LSH pipeline.
     val pairs = minhashLsh(docs, threshold).select("a", "b")
+      .persist(MEMORY_AND_DISK)
+    pairs.count()
     // Undirected edges, both directions.
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
     // label(x) = min doc_id reachable so far; start with the direct mins.
     var labels = edges.groupBy(col("a").as("doc_id"))
       .agg(least(min(col("b")), first(col("a"))).as("label"))
+      .persist(MEMORY_AND_DISK)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -235,8 +242,10 @@ object Dedup {
         .agg(min(col("nl")).as("prop"))
         .join(labels, Seq("doc_id"))
         .select(col("doc_id"), least(col("prop"), col("label")).as("label"))
+        .persist(MEMORY_AND_DISK)
       converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
         .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
       labels = next
       round += 1
     }

@@ -254,6 +254,38 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- end-to-end data prep
+  declare("pipeline_end_to_end",
+    """WITH corpus AS (SELECT doc_id, text, lang FROM documents
+         UNION ALL SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id < 20),
+       quality AS (
+         SELECT doc_id, lang, len(string_split(text, ' ')) n_tokens
+         FROM corpus
+         WHERE len(string_split(text, ' ')) >= 20
+           AND floor(len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','and','of','to','in','is'], w)))*100.0
+               / len(string_split(text, ' '))) < 50
+       ),
+       deduped AS (SELECT * FROM quality WHERE doc_id < 10000)
+       SELECT lang, COUNT(*) n_docs, CAST(SUM(n_tokens) AS BIGINT) sum_tokens
+       FROM deduped GROUP BY lang ORDER BY lang""") { (spark, sfDir) =>
+    // The full training-data prep chain in one plan: plant duplicates,
+    // quality-filter, near-dup-dedup (exact threshold -> the planted
+    // copies drop, originals survive), aggregate stats per language.
+    val docs = t(spark, sfDir, "documents").select("doc_id", "text", "lang")
+    val corpus = docs.union(docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"), col("lang")))
+    val q = TextAnalysis.quality(corpus)
+      .filter(col("n_tokens") >= 20 && col("stopword_pct") < 50)
+      .select("doc_id")
+    val filtered = corpus.join(q, Seq("doc_id"))
+    Dedup.deduplicate(filtered, threshold = 1.0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("sum_tokens"))
+      .orderBy("lang")
+  }
+
   // -------------------------------------------------------- multimodal
   declare("multimodal_assets",
     """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
