@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Geometric mean as a typed Aggregator (the custom-UDAF surface of
+  * SURVEY §2C): exp(mean(ln x)) accumulated as (sum of logs, count) —
+  * partial-aggregates correctly, so it map-side combines before the
+  * shuffle like any built-in aggregate. Non-positive inputs are skipped
+  * (log undefined), matching the SQL formulation over a filtered column.
+  */
+object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+  override def zero: (Double, Long) = (0.0, 0L)
+
+  override def reduce(b: (Double, Long), x: Double): (Double, Long) =
+    if (x > 0.0) (b._1 + math.log(x), b._2 + 1) else b
+
+  override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+    (a._1 + b._1, a._2 + b._2)
+
+  override def finish(r: (Double, Long)): Double =
+    if (r._2 == 0) Double.NaN else math.exp(r._1 / r._2)
+
+  override def bufferEncoder: Encoder[(Double, Long)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

@@ -693,6 +693,53 @@ object AnalyticsQueries {
       .orderBy("user_id", "session_start_epoch")
   }
 
+  // ------------------------------------------------------------------
+  // PIVOT (wide conditional aggregation)
+  // ------------------------------------------------------------------
+  declare("q34_pivot",
+    """SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+       FROM orders GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+  }
+
+  // ------------------------------------------------------------------
+  // Ordered string aggregation (listagg WITHIN GROUP)
+  // ------------------------------------------------------------------
+  declare("q35_listagg",
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+       FROM region JOIN nation ON r_regionkey = n_regionkey
+       GROUP BY r_name ORDER BY r_name""") { (spark, sfDir) =>
+    Engine.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT r_name,
+           listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+         FROM region JOIN nation ON r_regionkey = n_regionkey
+         GROUP BY r_name ORDER BY r_name""")
+  }
+
+  // ------------------------------------------------------------------
+  // Custom typed Aggregator (UDAF surface): geometric mean of prices
+  // ------------------------------------------------------------------
+  declare("q36_geomean",
+    """SELECT p_type, round(exp(AVG(ln(p_retailprice))), 4) AS geo_mean, COUNT(*) AS n
+       FROM part WHERE p_retailprice > 0 GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    spark.udf.register("geo_mean",
+      org.apache.spark.sql.functions.udaf(graft.functions.GeoMean))
+    t(spark, sfDir, "part").filter(col("p_retailprice") > 0)
+      .createOrReplaceTempView("part_pos")
+    spark.sql(
+      """SELECT p_type, round(geo_mean(p_retailprice), 4) AS geo_mean, COUNT(*) AS n
+         FROM part_pos GROUP BY 1 ORDER BY 1""")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
