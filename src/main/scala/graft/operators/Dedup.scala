@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
   /** Exact duplicates by content hash. Returns (dup_id, kept_id): every
     * row whose text hash already has a lower id. One shuffle on the hash.
     */
@@ -71,9 +73,14 @@ object Dedup {
     // Only candidate documents' shingles matter — semi-join the index down
     // first so the intersection join scans |candidate docs| x shingles
     // rows, not the whole corpus (AQE broadcasts the id set when small).
+    // The reduced index feeds three consumers (sizes + both sides of the
+    // intersection join); cache it so the corpus-wide shingle pass runs
+    // once, not three times (entries are plan-keyed and reclaimed by the
+    // session's cache manager).
     val ids = candidates.select(col("a").as("doc_id"))
       .union(candidates.select(col("b").as("doc_id"))).distinct()
     val shc = shingleDf.join(ids, Seq("doc_id"), "left_semi")
+      .persist(MEMORY_AND_DISK)
     // Every intermediate column gets a unique name — unqualified references
     // across a self-joined shingle index resolve nondeterministically in
     // Spark's hybrid analyzer otherwise.
@@ -202,7 +209,10 @@ object Dedup {
       .as[(Long, String)]
       .flatMap { case (id, t) => wordShingles(t, shingleN).map((id, _)) }
       .toDF("doc_id", "shingle")
+    // Both sides of the bucket self-join consume the signature pass — cache
+    // it (tiny: `bands` longs per document) so it runs once.
     val banded = minhashBands(docs, numHashes, bands, shingleN)
+      .persist(MEMORY_AND_DISK)
     val cands = banded.select(col("doc_id").as("a"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("a") < col("b"))
@@ -219,7 +229,6 @@ object Dedup {
     */
   def deduplicate(docs: DataFrame, threshold: Double = 0.8,
       maxRounds: Int = 5): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // The edge list is tiny relative to the corpus and feeds every
     // propagation round — materialize it once or each round would
     // re-run the whole LSH pipeline.
@@ -236,17 +245,19 @@ object Dedup {
     var converged = false
     while (round < maxRounds && !converged) {
       // Propagate: my new label = min(my label, labels of my neighbors).
+      // The previous label rides along so convergence is one count on the
+      // materialized result instead of a separate join job per round.
       val next = edges
         .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), Seq("b"))
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("nl")).as("prop"))
         .join(labels, Seq("doc_id"))
-        .select(col("doc_id"), least(col("prop"), col("label")).as("label"))
+        .select(col("doc_id"), least(col("prop"), col("label")).as("label"),
+          col("label").as("old"))
         .persist(MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).isEmpty
+      converged = next.filter(col("label") =!= col("old")).isEmpty
       labels.unpersist()
-      labels = next
+      labels = next.select("doc_id", "label")
       round += 1
     }
     val dupIds = labels.filter(col("doc_id") =!= col("label")).select("doc_id")
@@ -291,7 +302,9 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val nChunks = maxDist + 1
     val bitsPerChunk = 64 / nChunks
-    val sig = simhash(docs)
+    // Both sides of the chunk self-join read the signatures — cache the
+    // one-pass JIT'd computation (8 bytes per document).
+    val sig = simhash(docs).persist(MEMORY_AND_DISK)
     val chunks = array((0 until nChunks).map { c =>
       shiftrightunsigned(col("simhash"), c * bitsPerChunk)
         .bitwiseAND((1L << bitsPerChunk) - 1)

@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.Engine
+import graft.operators.Dedup
+
+/** Stage-level timing of the dedup pipeline at a given SF. */
+object ProfileDedup {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = Engine.session()
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
+    val corpus = docs.union(docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    corpus.persist(); println("corpus rows = " + corpus.count())
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stage] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
+    time("bands.count") {
+      Dedup.minhashBands(corpus, 128, 32, 3).count()
+    }
+    time("candidates.count") {
+      val banded = Dedup.minhashBands(corpus, 128, 32, 3)
+      banded.select(col("doc_id").as("a"), col("band"), col("bh"))
+        .join(banded.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct().count()
+    }
+    time("lsh_pairs.count") {
+      Dedup.minhashLsh(corpus, threshold = 1.0).count()
+    }
+    time("deduplicate.count") {
+      Dedup.deduplicate(corpus, threshold = 1.0).count()
+    }
+    spark.stop()
+  }
+}
