@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for embedding math — the hot path of
   * similarity search. A `zip_with`/`aggregate` higher-order formulation is
@@ -28,6 +28,43 @@ object VectorExpressions {
       i += 1
     }
     (dot, na, nb)
+  }
+
+  /** Spark-`round(x, 6)` semantics (HALF_UP on the decimal string value) —
+    * shared by eval and codegen so argmax ties quantize identically to the
+    * SQL formulation.
+    */
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Row-local nearest-centroid kernel: id of the codebook vector with the
+    * greatest `round(cosine, 6)`, smallest id on ties (ids are sorted
+    * ascending and the comparison is strict). Called from both interpreted
+    * eval and generated code. NaN scores (zero-norm vectors) never win;
+    * an all-NaN row falls back to the first id.
+    */
+  def bestCentroid(v: ArrayData, ids: Array[Long], cents: Array[Array[Float]]): Long = {
+    val n = v.numElements()
+    var best = Double.NegativeInfinity
+    var bestId = ids(0)
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      val m = math.min(n, ce.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = v.getFloat(i).toDouble
+        val y = ce(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val cs = round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+      if (cs > best) { best = cs; bestId = ids(c) }
+      c += 1
+    }
+    bestId
   }
 }
 
@@ -122,4 +159,40 @@ case class VectorNorm(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "vector_norm"
+}
+
+/** best_centroid(v): id of the nearest codebook centroid by quantized
+  * cosine — the row-local replacement for the crossJoin + Window argmax
+  * that IVF assignment would otherwise pay a k×N shuffle for. The codebook
+  * (codebook-scale k, collected on the driver) rides into generated code
+  * as reference objects, so assignment is a pure map: zero joins, zero
+  * exchanges, stays inside whole-stage codegen.
+  */
+case class BestCentroid(child: Expression, ids: Array[Long],
+    centroids: Array[Array[Float]]) extends UnaryExpression {
+
+  require(ids.nonEmpty && ids.length == centroids.length)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"best_centroid requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorExpressions.bestCentroid(a.asInstanceOf[ArrayData], ids, centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centroidIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("centroidVecs", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorExpressions.bestCentroid($a, $idsRef, $centsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BestCentroid =
+    copy(child = newChild)
+
+  override def prettyName: String = "best_centroid"
 }

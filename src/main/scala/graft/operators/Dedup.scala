@@ -13,7 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  /** Materialize an intermediate to a fresh temp parquet dir and read it
+    * back: an explicit, disk-backed checkpoint that (a) runs the producing
+    * plan exactly once even when the result feeds several consumers or a
+    * self-join, and (b) owns no cache-manager entry, so repeated operator
+    * invocations in a long-lived session leak nothing (a
+    * `persist(MEMORY_AND_DISK)` entry lives until explicit unpersist or
+    * session end). The bytes written are bounded by what the cache would
+    * have held anyway (signatures / reduced indexes / near-dup pairs, all
+    * small relative to the corpus); on a cluster the dir resolves to
+    * executor-local scratch via java.io.tmpdir.
+    */
+  private def materialize(df: DataFrame, prefix: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_").toString
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
 
   /** Exact duplicates by content hash. Returns (dup_id, kept_id): every
     * row whose text hash already has a lower id. One shuffle on the hash.
@@ -74,13 +89,12 @@ object Dedup {
     // first so the intersection join scans |candidate docs| x shingles
     // rows, not the whole corpus (AQE broadcasts the id set when small).
     // The reduced index feeds three consumers (sizes + both sides of the
-    // intersection join); cache it so the corpus-wide shingle pass runs
-    // once, not three times (entries are plan-keyed and reclaimed by the
-    // session's cache manager).
+    // intersection join); materialize it so the corpus-wide shingle pass
+    // runs once, not three times, without leaving a session-lifetime
+    // cache entry behind.
     val ids = candidates.select(col("a").as("doc_id"))
       .union(candidates.select(col("b").as("doc_id"))).distinct()
-    val shc = shingleDf.join(ids, Seq("doc_id"), "left_semi")
-      .persist(MEMORY_AND_DISK)
+    val shc = materialize(shingleDf.join(ids, Seq("doc_id"), "left_semi"), "shidx")
     // Every intermediate column gets a unique name — unqualified references
     // across a self-joined shingle index resolve nondeterministically in
     // Spark's hybrid analyzer otherwise.
@@ -195,6 +209,12 @@ object Dedup {
     * near-dup pairs minus an ~1e-7 recall loss at the 0.8 boundary.
     * Shuffles: shingles -> signatures (doc_id), band bucket join
     * (band idx+hash), verification joins (doc_id, shingle). Never O(n²).
+    *
+    * Eager: the (small) verified pair set is materialized to scratch
+    * parquet before returning, so downstream consumers — notably the
+    * multi-round label propagation in [[deduplicate]] — re-read pairs from
+    * disk instead of re-running the LSH pipeline, and no cache entry
+    * outlives the call.
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8, numHashes: Int = 128,
       bands: Int = 32, shingleN: Int = 3): DataFrame = {
@@ -209,54 +229,75 @@ object Dedup {
       .as[(Long, String)]
       .flatMap { case (id, t) => wordShingles(t, shingleN).map((id, _)) }
       .toDF("doc_id", "shingle")
-    // Both sides of the bucket self-join consume the signature pass — cache
-    // it (tiny: `bands` longs per document) so it runs once.
-    val banded = minhashBands(docs, numHashes, bands, shingleN)
-      .persist(MEMORY_AND_DISK)
+    // Both sides of the bucket self-join consume the signature pass —
+    // materialize it (tiny: `bands` longs per document) so it runs once.
+    val banded = materialize(minhashBands(docs, numHashes, bands, shingleN), "bands")
     val cands = banded.select(col("doc_id").as("a"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+    materialize(verifyJaccard(cands, sh).filter(col("jaccard") >= threshold), "pairs")
   }
 
   /** The deduplicated corpus: documents minus every near-duplicate that is
-    * not its cluster's minimum id. Clusters are the connected components
-    * of the near-dup pair graph, found by iterative min-label propagation
-    * over the (sparse) edge list — each round is one join + aggregate, and
-    * dup clusters are tiny, so a handful of rounds converges; no driver
-    * materialization of the graph.
+    * not its cluster's minimum id.
+    *
+    * `threshold >= 1.0` means exact duplicates only, where connected
+    * components are simply the content-hash groups — one shuffle via
+    * [[exact]], no LSH, no iteration.
+    *
+    * Below 1.0, clusters are the connected components of the near-dup pair
+    * graph, found by iterative min-label propagation over the (sparse,
+    * pre-materialized) edge list — each round is one join + aggregate. The
+    * loop runs to CONVERGENCE (needed: a duplicate chain a-b-c-... of graph
+    * diameter d takes ~d rounds; exiting early silently leaves real
+    * duplicates in the output). `maxRounds` is a runaway-graph safety cap
+    * that THROWS when tripped rather than returning a wrong answer; 64
+    * covers any plausible near-dup chain in a web corpus. Each round's
+    * label table is materialized to scratch parquet: that cuts the plan
+    * lineage (the propagation join references the previous round twice, so
+    * an un-truncated plan doubles every round), makes the convergence
+    * check a cheap re-read, and leaves no cache-manager entry behind.
     */
   def deduplicate(docs: DataFrame, threshold: Double = 0.8,
-      maxRounds: Int = 5): DataFrame = {
-    // The edge list is tiny relative to the corpus and feeds every
-    // propagation round — materialize it once or each round would
-    // re-run the whole LSH pipeline.
+      maxRounds: Int = 64): DataFrame = {
+    if (threshold >= 1.0) {
+      val dupIds = exact(docs).select(col("dup_id").as("doc_id"))
+      return docs.join(dupIds, Seq("doc_id"), "left_anti")
+    }
+    // minhashLsh returns pairs already materialized to scratch parquet, so
+    // every propagation round re-reads a small file instead of re-running
+    // the LSH pipeline, and no cache is held for it.
     val pairs = minhashLsh(docs, threshold).select("a", "b")
-      .persist(MEMORY_AND_DISK)
-    pairs.count()
     // Undirected edges, both directions.
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
     // label(x) = min doc_id reachable so far; start with the direct mins.
-    var labels = edges.groupBy(col("a").as("doc_id"))
-      .agg(least(min(col("b")), first(col("a"))).as("label"))
-      .persist(MEMORY_AND_DISK)
+    var labels = materialize(
+      edges.groupBy(col("a").as("doc_id"))
+        .agg(least(min(col("b")), first(col("a"))).as("label")),
+      "labels")
     var round = 0
     var converged = false
-    while (round < maxRounds && !converged) {
+    while (!converged) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"Dedup.deduplicate: label propagation did not converge in " +
+            s"$maxRounds rounds — duplicate-chain diameter exceeds the cap; " +
+            s"raise maxRounds (results before convergence would be WRONG: " +
+            s"unmerged duplicates survive the anti-join)")
       // Propagate: my new label = min(my label, labels of my neighbors).
-      // The previous label rides along so convergence is one count on the
-      // materialized result instead of a separate join job per round.
-      val next = edges
-        .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), Seq("b"))
-        .groupBy(col("a").as("doc_id"))
-        .agg(min(col("nl")).as("prop"))
-        .join(labels, Seq("doc_id"))
-        .select(col("doc_id"), least(col("prop"), col("label")).as("label"),
-          col("label").as("old"))
-        .persist(MEMORY_AND_DISK)
+      // The previous label rides along so the convergence check is a
+      // filter on the materialized round, not a separate join job.
+      val next = materialize(
+        edges
+          .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), Seq("b"))
+          .groupBy(col("a").as("doc_id"))
+          .agg(min(col("nl")).as("prop"))
+          .join(labels, Seq("doc_id"))
+          .select(col("doc_id"), least(col("prop"), col("label")).as("label"),
+            col("label").as("old")),
+        "labels")
       converged = next.filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = next.select("doc_id", "label")
       round += 1
     }
@@ -302,9 +343,10 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val nChunks = maxDist + 1
     val bitsPerChunk = 64 / nChunks
-    // Both sides of the chunk self-join read the signatures — cache the
-    // one-pass JIT'd computation (8 bytes per document).
-    val sig = simhash(docs).persist(MEMORY_AND_DISK)
+    // Both sides of the chunk self-join read the signatures — materialize
+    // the one-pass JIT'd computation (8 bytes per document) to scratch
+    // parquet so it runs once and owns no cache entry.
+    val sig = materialize(simhash(docs), "simhash")
     val chunks = array((0 until nChunks).map { c =>
       shiftrightunsigned(col("simhash"), c * bitsPerChunk)
         .bitwiseAND((1L << bitsPerChunk) - 1)

@@ -65,17 +65,23 @@ object Similarity {
 
   /** Assign every vector to its nearest centroid (max quantized cosine,
     * centroid id as tie-break). Output: corpus columns + `cid`.
+    *
+    * The codebook is collected to the driver (k is codebook-scale — the
+    * same bound `kmeansCentroids` already relies on) and baked into a
+    * codegen'd [[graft.functions.BestCentroid]] expression, making the
+    * argmax row-local: the corpus is scanned once with ZERO joins,
+    * exchanges, or window sorts. The previous crossJoin + Window
+    * formulation shuffled k×N rows just to pick each row's max.
     */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = broadcast(centroids.select(col("vec_id").as("cid"), col("embedding").as("ce")))
-    val scored = corpus.crossJoin(c)
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        round(cosine(col("embedding"), col("ce")), 6).as("csim"))
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val cb = centroids.select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val expr = graft.functions.BestCentroid(
+      ColumnBridge.expression(col("embedding")), cb.map(_._1), cb.map(_._2))
+    corpus.select(col("vec_id"), col("embedding"),
+      ColumnBridge.column(expr).as("cid"))
   }
 
   /** IVF top-k: probe the `nProbe` nearest centroid buckets per query and

@@ -581,9 +581,11 @@ object AnalyticsQueries {
   // ------------------------------------------------------------------
   // As-of join: each event matched to the user's latest order at or
   // before the event time (DuckDB expresses this as ASOF JOIN; Spark has
-  // no native operator — compose equi-join + max aggregation, which
-  // shuffles once on the key and never materializes more than the
-  // matching (event, order) pairs).
+  // no native operator). Formulated as union + one per-user window sort
+  // + running max of the order date: LINEAR in |orders|+|events|, one
+  // shuffle on user_id. The equi+range-join alternative materializes
+  // every (event, earlier-order) pair first — a blow-up by avg orders
+  // per user that explodes on heavy users at 100 TB.
   // ------------------------------------------------------------------
   declare("q29_asof_join",
     """SELECT user_id,
@@ -596,14 +598,26 @@ object AnalyticsQueries {
          GROUP BY e.user_id, e.ts, e.event_id
        ) m
        GROUP BY user_id ORDER BY user_id""") { (spark, sfDir) =>
+    import org.apache.spark.sql.expressions.Window
     val e = Engine.events(spark, sfDir)
     val o = t(spark, sfDir, "orders")
-    e.join(o, o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
-      .groupBy(e("user_id"), e("ts"), e("event_id"))
-      .agg(max(o("o_orderdate")).as("last_order"))
+    // Orders sort BEFORE events at the same instant (kind 0 < 1), so an
+    // order placed exactly at the event time matches (<= semantics). The
+    // running max(ord_date) over the per-user timeline IS the as-of value;
+    // max ignores the nulls event rows carry.
+    val ou = o.select(col("o_custkey").as("user_id"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      lit(0).as("kind"), col("o_orderdate").as("ord_date"))
+    val eu = e.select(col("user_id"), col("ts").as("t"),
+      lit(1).as("kind"), lit(null).cast("date").as("ord_date"))
+    val w = Window.partitionBy("user_id").orderBy("t", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ou.union(eu)
+      .withColumn("last_order", max(col("ord_date")).over(w))
+      .filter(col("kind") === 1 && col("last_order").isNotNull)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_matched"),
-        sum(datediff(col("ts"), col("last_order")).cast("long")).as("sum_gap_days"))
+        sum(datediff(col("t"), col("last_order")).cast("long")).as("sum_gap_days"))
       .orderBy("user_id")
   }
 
@@ -738,6 +752,105 @@ object AnalyticsQueries {
     spark.sql(
       """SELECT p_type, round(geo_mean(p_retailprice), 4) AS geo_mean, COUNT(*) AS n
          FROM part_pos GROUP BY 1 ORDER BY 1""")
+  }
+
+  // ------------------------------------------------------------------
+  // MapType surface: constructors (map_from_arrays), lambdas over maps
+  // (transform_values, map_filter), lookup (element_at), cardinality —
+  // all row-local codegen-friendly expressions; the aggregation after
+  // them is an ordinary partial/final hash agg. The DuckDB oracle walks
+  // the same per-row map through map()/map_entries()/list lambdas.
+  // ------------------------------------------------------------------
+  declare("q37_map_ops",
+    """WITH m AS (
+         SELECT event_type,
+           map(['base','dbl'], [b, b*2]) AS mm
+         FROM (SELECT event_type, CAST(round(value*100, 0) AS BIGINT) AS b FROM events)
+       )
+       SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(list_transform(map_entries(mm), e -> e.value + 10)[1]) AS BIGINT) AS sum_base10,
+         CAST(SUM(len(list_filter(map_entries(mm), e -> e.value % 2 = 0))) AS BIGINT) AS sum_even_entries,
+         CAST(SUM(map_extract(mm, 'dbl')[1]) AS BIGINT) AS sum_dbl,
+         CAST(SUM(cardinality(mm)) AS BIGINT) AS sum_card
+       FROM m GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    Engine.events(spark, sfDir)
+      .select(col("event_type"),
+        map_from_arrays(
+          array(lit("base"), lit("dbl")),
+          array(cents(col("value")), cents(col("value")) * 2)).as("mm"))
+      .select(col("event_type"),
+        element_at(transform_values(col("mm"), (_, v) => v + 10), "base").as("base10"),
+        size(map_filter(col("mm"), (_, v) => v % 2 === 0)).as("even_entries"),
+        element_at(col("mm"), "dbl").as("dbl"),
+        size(col("mm")).as("card"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("base10")).as("sum_base10"),
+        sum(col("even_entries")).cast("long").as("sum_even_entries"),
+        sum(col("dbl")).as("sum_dbl"),
+        sum(col("card")).cast("long").as("sum_card"))
+      .orderBy("event_type")
+  }
+
+  // ------------------------------------------------------------------
+  // INSERT INTO against a catalog table: CREATE TABLE, INSERT INTO ...
+  // SELECT (SQL path), DataFrameWriter.insertInto (API path), read back.
+  // Idempotent per session (DROP IF EXISTS) so repeated bench runs work.
+  // ------------------------------------------------------------------
+  declare("q38_insert_into",
+    """SELECT r_regionkey, r_name FROM (
+         SELECT r_regionkey, r_name FROM region
+         UNION ALL SELECT CAST(90 + r_regionkey AS INT), 'COPY_' || r_name FROM region
+         UNION ALL SELECT CAST(99 AS INT), 'NEWREGION'
+       ) ORDER BY r_regionkey, r_name""") { (spark, sfDir) =>
+    Engine.registerViews(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS graft_region_ins")
+    // The in-memory catalog forgets managed tables between JVMs but their
+    // warehouse directory survives, so DROP IF EXISTS alone leaves a
+    // non-empty location behind that makes CREATE TABLE fail — clear it.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir = { val u = new java.net.URI(wh); if (u.getScheme == null) wh else u.getPath }
+    def del(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
+    del(new java.io.File(whDir, "graft_region_ins"))
+    spark.sql("CREATE TABLE graft_region_ins (r_regionkey INT, r_name STRING) USING parquet")
+    spark.sql("INSERT INTO graft_region_ins SELECT r_regionkey, r_name FROM region")
+    spark.sql(
+      """INSERT INTO graft_region_ins
+         SELECT CAST(90 + r_regionkey AS INT), 'COPY_' || r_name FROM region""")
+    t(spark, sfDir, "region")
+      .select(lit(99).as("r_regionkey"), lit("NEWREGION").as("r_name"))
+      .limit(1)
+      .write.insertInto("graft_region_ins")
+    spark.table("graft_region_ins").orderBy("r_regionkey", "r_name")
+  }
+
+  // ------------------------------------------------------------------
+  // DECIMAL lane: exact fixed-point money arithmetic end to end (cast
+  // from the double column, aggregate in DecimalType, cast the widened
+  // sums back) — beyond the BIGINT-cents trick used elsewhere. Spark and
+  // DuckDB both take the shortest-decimal string of the double and round
+  // HALF_UP at scale 2, so the casts agree exactly.
+  // ------------------------------------------------------------------
+  declare("q39_decimal_money",
+    """SELECT o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+         CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.07 AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS tax_price,
+         COUNT(*) AS n
+       FROM orders GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    val p = col("o_totalprice").cast("decimal(18,2)")
+    t(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), p.as("p"),
+        (p * lit(BigDecimal("0.07")).cast("decimal(4,2)")).as("taxed"))
+      .groupBy("o_orderpriority")
+      .agg(sum("p").cast("decimal(18,2)").as("sum_price"),
+        min("p").cast("decimal(18,2)").as("min_price"),
+        max("p").cast("decimal(18,2)").as("max_price"),
+        sum("taxed").cast("decimal(18,4)").as("tax_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
   }
 
   val declared: Seq[Declared] = all.result()

@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Engine
 import graft.highs.{HighsFunctions, ModelRegistry, Workloads}
 
 /** Declared queries for the reference's own six functions (SURVEY.md §2A)
@@ -212,6 +214,40 @@ object HighsQueries {
       ORDER BY variable_name""")
   }
 
+  /** Batch solve at real scale: one LP PER PART ROW read from parquet
+    * (500 models at sf0.01 — not inline literals), encoded relationally,
+    * shuffled once on model_name, solved per-group on executors
+    * (HighsFunctions.solveMany). Each model is
+    *   minimize -x - 2y   s.t.  x + y <= sz + s2,  0 <= x <= sz, 0 <= y <= s2
+    * with sz = p_size, s2 = p_partkey % 10 + 1 — the unique optimum sits at
+    * the upper bounds (x = sz, y = s2), a closed form the DuckDB oracle
+    * computes directly. variable_index is part of the output: it proves the
+    * lexicographic-name index contract holds under real partitioning.
+    * reduced_cost is excluded (the binding constraint leaves a dual
+    * degeneracy where multiple optimal bases disagree on it).
+    */
+  private def qSolveBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Engine.table(spark, sfDir, "part")
+      .filter(col("p_partkey") <= 500)
+      .select(concat(lit("m"), col("p_partkey").cast("string")).as("model_name"),
+        col("p_size").cast("double").as("sz"),
+        ((col("p_partkey") % 10) + 1).cast("double").as("s2"))
+    val variables = p.select(col("model_name"), lit("x").as("variable_name"),
+        lit(0.0).as("lower_bound"), col("sz").as("upper_bound"),
+        lit(-1.0).as("obj_coefficient"), lit("continuous").as("var_type"))
+      .union(p.select(col("model_name"), lit("y"), lit(0.0), col("s2"),
+        lit(-2.0), lit("continuous")))
+    val constraints = p.select(col("model_name"), lit("c").as("constraint_name"),
+      lit(-Workloads.Inf).as("lower_bound"), (col("sz") + col("s2")).as("upper_bound"))
+    val coefficients = p.select(col("model_name"), lit("c").as("constraint_name"),
+        lit("x").as("variable_name"), lit(1.0).as("coefficient"))
+      .union(p.select(col("model_name"), lit("c"), lit("y"), lit(1.0)))
+    HighsFunctions.solveMany(spark, variables, constraints, coefficients)
+      .toDF()
+      .select("model_name", "variable_name", "variable_index", "solution_value", "status")
+      .orderBy("model_name", "variable_name")
+  }
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -226,6 +262,7 @@ object HighsQueries {
     "highs_solve_mip" -> (qSolveMip _),
     "highs_solve_flow" -> (qSolveFlow _),
     "highs_solve_many" -> (qSolveMany _),
+    "highs_solve_batch" -> (qSolveBatch _),
     "network_flow_total" -> (qNetworkFlowTotal _),
     "network_flow_assignments" -> (qNetworkFlowAssignments _),
     "datacenter_assignment" -> (qDatacenterAssignment _)
@@ -302,7 +339,21 @@ object HighsQueries {
       SELECT variable_name, CAST(solution_value $D) AS solution_value FROM (VALUES
         ('x_DC1_D1', 1.0), ('x_DC1_D2', 1.0), ('x_DC3_D3', 1.0),
         ('x_DC3_D4', 1.0), ('z_DC1', 1.0), ('z_DC3', 1.0)
-      ) AS t(variable_name, solution_value) ORDER BY variable_name"""
+      ) AS t(variable_name, solution_value) ORDER BY variable_name""",
+    // The batch models have a closed-form unique optimum (both variables at
+    // their upper bounds), so this oracle is COMPUTED from part, not pinned.
+    "highs_solve_batch" -> s"""
+      WITH p AS (SELECT 'm' || CAST(p_partkey AS VARCHAR) AS model_name,
+                        CAST(p_size $D) AS sz,
+                        CAST(p_partkey % 10 + 1 $D) AS s2
+                 FROM part WHERE p_partkey <= 500)
+      SELECT model_name, variable_name, variable_index,
+             CAST(solution_value $D) AS solution_value, status FROM (
+        SELECT model_name, 'x' AS variable_name, 'x_0' AS variable_index,
+               sz AS solution_value, 'Optimal' AS status FROM p
+        UNION ALL
+        SELECT model_name, 'y', 'y_1', s2, 'Optimal' FROM p
+      ) ORDER BY model_name, variable_name"""
     // highs_solve_flow, highs_solve_many, network_flow_assignments oracles
     // are appended by OracleGolden (values pinned from the deterministic
     // solver output, optimality brute-force-proven in the specs).

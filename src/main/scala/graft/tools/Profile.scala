@@ -12,6 +12,13 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // Validate names BEFORE the (slow) session spin-up + warm-up job.
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}\navailable: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val spark = Engine.session()
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     names.foreach { n =>

@@ -11,8 +11,11 @@ object ProfileDedup {
     val spark = Engine.session()
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
+    // Offset above the real id range so planted duplicates never collide
+    // with existing doc_ids (a fixed +10000 breaks at SFs with more rows).
+    val off = docs.agg(max("doc_id")).head().getLong(0) + 1
     val corpus = docs.union(docs.filter(col("doc_id") < 20)
-      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .select((col("doc_id") + off).as("doc_id"), col("text")))
     corpus.persist(); println("corpus rows = " + corpus.count())
 
     def time[T](name: String)(f: => T): T = {

@@ -65,6 +65,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(0L, 10L, 11L))
   }
 
+  test("deduplicate converges on a duplicate chain of diameter 9") {
+    import spark.implicits._
+    // 10 sliding windows (20 words, stride 2) over distinct words: only
+    // CONSECUTIVE windows share shingle-Jaccard 16/20 = 0.8 >= 0.7
+    // (skip-one pairs sit at 14/22 = 0.64 < 0.7), so the dup graph is a
+    // pure chain of diameter 9 — min-label propagation needs 9 rounds.
+    // The pre-round-4 cap of 5 rounds returned WRONG output here.
+    val vocab = Vector.tabulate(38)(i => f"w$i%03d")
+    val chain = Seq.tabulate(10)(i => (i.toLong, vocab.slice(2 * i, 2 * i + 20).mkString(" ")))
+    val isolated = Seq(
+      (100L, Vector.tabulate(20)(i => s"u$i").mkString(" ")),
+      (101L, Vector.tabulate(20)(i => s"v$i").mkString(" ")))
+    val corpus = (chain ++ isolated).toDF("doc_id", "text")
+    val kept = Dedup.deduplicate(corpus, threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 100L, 101L), s"kept $kept")
+  }
+
+  test("deduplicate at threshold 1.0 takes the exact path and leaks no cache") {
+    val corpus = docs.select("doc_id", "text")
+      .union(docs.filter(col("doc_id") < 7)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val kept = Dedup.deduplicate(corpus, threshold = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all)
+    // Every operator-held persist must be paired with an unpersist; the
+    // exact path holds none and the LSH path frees all of its rounds.
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "deduplicate left entries in the cache manager")
+  }
+
   test("kmeans centroids give IVF recall at least as good as naive centroids") {
     val queries = embeddings.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(embeddings, queries, k = 10)

@@ -69,6 +69,16 @@ class QueryPlanSpec extends AnyFunSuite {
       s"expected broadcast of the tiny query set:\n$plan")
   }
 
+  test("IVF centroid assignment is a pure map: no exchange, join, or window") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Engine.table(spark, sfDir, "embeddings")
+    val plan = planString(graft.operators.Similarity.assignToCentroids(
+      e, e.filter(col("vec_id") < 16)))
+    assert(plan.contains("best_centroid"), s"expected the codegen'd argmax in:\n$plan")
+    Seq("Exchange", "Join", "Window", "Sort").foreach(op =>
+      assert(!plan.contains(op), s"assignment must be row-local, found $op in:\n$plan"))
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
