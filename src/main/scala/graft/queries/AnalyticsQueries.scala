@@ -853,6 +853,62 @@ object AnalyticsQueries {
       .orderBy("o_orderpriority")
   }
 
+  // ------------------------------------------------------------------
+  // INTERVAL arithmetic lane: timestamp + year-month and day-time
+  // intervals (month-end clamping included — Spark's add_months semantics
+  // and DuckDB's INTERVAL MONTH agree), date + day interval.
+  // ------------------------------------------------------------------
+  declare("q40_interval_arith",
+    """SELECT e.event_id,
+         CAST(e.ts AS TIMESTAMP) + INTERVAL 1 MONTH + INTERVAL 90 MINUTE AS ts_shift,
+         CAST(CAST(e.ts AS TIMESTAMP) - INTERVAL 7 DAY AS DATE) AS week_before
+       FROM events e WHERE e.event_id < 100 ORDER BY e.event_id""") { (spark, sfDir) =>
+    Engine.events(spark, sfDir)
+      .filter(col("event_id") < 100)
+      .select(col("event_id"),
+        expr("ts + INTERVAL '1' MONTH + INTERVAL '90' MINUTE").as("ts_shift"),
+        expr("CAST(ts - INTERVAL '7' DAY AS DATE)").as("week_before"))
+      .orderBy("event_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL — multiplicity
+  // preserved, unlike q12's set versions)
+  // ------------------------------------------------------------------
+  declare("q41_set_ops_all",
+    """SELECT 'except_all' AS op, COUNT(*) AS n FROM
+         (SELECT c_nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier) t1
+       UNION ALL
+       SELECT 'intersect_all', COUNT(*) FROM
+         (SELECT c_nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier) t2
+       ORDER BY op""") { (spark, sfDir) =>
+    val c = t(spark, sfDir, "customer").select(col("c_nationkey").as("k"))
+    val s = t(spark, sfDir, "supplier").select(col("s_nationkey").as("k"))
+    val ea = c.exceptAll(s).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("n"))
+    val ia = c.intersectAll(s).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("n"))
+    ea.union(ia).orderBy("op")
+  }
+
+  // ------------------------------------------------------------------
+  // Lateral explode (UNNEST): token-level fan-out of the documents table
+  // then re-aggregate — the row-multiplying generator runs inside
+  // whole-stage codegen, and the top-20 folds to TakeOrderedAndProject.
+  // ------------------------------------------------------------------
+  declare("q42_explode_unnest",
+    """SELECT tok, COUNT(*) AS n FROM (
+         SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+       ) WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20""") { (spark, sfDir) =>
+    t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

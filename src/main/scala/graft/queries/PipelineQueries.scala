@@ -102,6 +102,38 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  // The REAL near-dup path of deduplicate (LSH candidates -> exact verify
+  // -> min-label propagation to convergence -> anti-join), checked against
+  // a DuckDB connected-components oracle built from the exact Jaccard
+  // predicate + a recursive-CTE transitive closure. dedup_corpus above
+  // covers the threshold-1.0 exact fast path; this covers everything else.
+  declare("dedup_corpus_near",
+    """WITH RECURSIVE
+       toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+       sh0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) shingles FROM toks),
+       sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+       sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+       inter AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) i
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT a, b FROM inter
+                 JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+                 WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8),
+       edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+       reach AS (
+         SELECT x, x AS y FROM (SELECT DISTINCT x FROM edges) t
+         UNION
+         SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+       ),
+       lab AS (SELECT x AS doc_id, MIN(y) AS label FROM reach GROUP BY 1)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id != label)
+       ORDER BY doc_id""") { (spark, sfDir) =>
+    Dedup.deduplicate(t(spark, sfDir, "documents"), threshold = 0.8)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   // SimHash: no DuckDB oracle (the xxhash64 family is engine-specific);
   // recall against exact Jaccard pairs is asserted in PipelineSpec.
   declare("dedup_simhash") { (spark, sfDir) =>
