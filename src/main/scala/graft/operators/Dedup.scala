@@ -84,17 +84,21 @@ object Dedup {
     * inverted shingle index (never a cartesian product). `candidates` has
     * columns (a, b); returns (a, b, jaccard).
     */
-  def verifyJaccard(candidates: DataFrame, shingleDf: DataFrame): DataFrame = {
+  def verifyJaccard(candidates: DataFrame, shingleDf: DataFrame): DataFrame =
+    verifyJaccardImpl(candidates, shingleDf, materialize(_, "shidx"))
+
+  private def verifyJaccardImpl(candidates: DataFrame, shingleDf: DataFrame,
+      spill: DataFrame => DataFrame): DataFrame = {
     // Only candidate documents' shingles matter — semi-join the index down
     // first so the intersection join scans |candidate docs| x shingles
     // rows, not the whole corpus (AQE broadcasts the id set when small).
     // The reduced index feeds three consumers (sizes + both sides of the
-    // intersection join); materialize it so the corpus-wide shingle pass
-    // runs once, not three times, without leaving a session-lifetime
-    // cache entry behind.
+    // intersection join); `spill` materializes it so the corpus-wide
+    // shingle pass runs once, not three times, without leaving a
+    // session-lifetime cache entry behind (identity for plan audits).
     val ids = candidates.select(col("a").as("doc_id"))
       .union(candidates.select(col("b").as("doc_id"))).distinct()
-    val shc = materialize(shingleDf.join(ids, Seq("doc_id"), "left_semi"), "shidx")
+    val shc = spill(shingleDf.join(ids, Seq("doc_id"), "left_semi"))
     // Every intermediate column gets a unique name — unqualified references
     // across a self-joined shingle index resolve nondeterministically in
     // Spark's hybrid analyzer otherwise.
@@ -217,7 +221,25 @@ object Dedup {
     * outlives the call.
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8, numHashes: Int = 128,
-      bands: Int = 32, shingleN: Int = 3): DataFrame = {
+      bands: Int = 32, shingleN: Int = 3): DataFrame =
+    materialize(
+      minhashLshImpl(docs, threshold, numHashes, bands, shingleN,
+        materialize(_, "bands"), materialize(_, "shidx")),
+      "pairs")
+
+  /** The whole LSH pipeline as ONE lazy plan, nothing materialized — for
+    * plan audits (QueryPlanSpec asserts it cartesian-free; PLANS.md dumps
+    * it). Execution goes through [[minhashLsh]], whose scratch-parquet
+    * spills deliberately break this plan into single-computation stages.
+    */
+  private[graft] def minhashLshPlan(docs: DataFrame, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3): DataFrame =
+    minhashLshImpl(docs, threshold, numHashes, bands, shingleN, identity, identity)
+
+  private def minhashLshImpl(docs: DataFrame, threshold: Double,
+      numHashes: Int, bands: Int, shingleN: Int,
+      spillBands: DataFrame => DataFrame,
+      spillIndex: DataFrame => DataFrame): DataFrame = {
     require(bands * (numHashes / bands) == numHashes)
     // Band hashes come straight off the text in one JIT'd pass (no shuffle
     // before the bucket join). The exploded shingle index is only built for
@@ -230,13 +252,13 @@ object Dedup {
       .flatMap { case (id, t) => wordShingles(t, shingleN).map((id, _)) }
       .toDF("doc_id", "shingle")
     // Both sides of the bucket self-join consume the signature pass —
-    // materialize it (tiny: `bands` longs per document) so it runs once.
-    val banded = materialize(minhashBands(docs, numHashes, bands, shingleN), "bands")
+    // spill it (tiny: `bands` longs per document) so it runs once.
+    val banded = spillBands(minhashBands(docs, numHashes, bands, shingleN))
     val cands = banded.select(col("doc_id").as("a"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    materialize(verifyJaccard(cands, sh).filter(col("jaccard") >= threshold), "pairs")
+    verifyJaccardImpl(cands, sh, spillIndex).filter(col("jaccard") >= threshold)
   }
 
   /** The deduplicated corpus: documents minus every near-duplicate that is

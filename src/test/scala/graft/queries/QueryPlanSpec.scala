@@ -55,10 +55,14 @@ class QueryPlanSpec extends AnyFunSuite {
   }
 
   test("minhash LSH plan has no cartesian product") {
+    // The un-spilled single-plan variant: minhashLsh itself materializes
+    // stages to scratch parquet, so its returned plan is just a file scan.
     val plan = planString(
-      graft.operators.Dedup.minhashLsh(
+      graft.operators.Dedup.minhashLshPlan(
         graft.Engine.table(spark, sfDir, "documents"), threshold = 0.8))
     assert(!plan.contains("CartesianProduct"), s"LSH must bucket-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected bucket equi-joins in:\n$plan")
   }
 
   test("brute-force topk broadcasts the query side, not the corpus") {
