@@ -119,12 +119,28 @@ object Dedup {
   /** All pairs with exact shingle-Jaccard >= threshold among an (optionally
     * restricted) corpus, candidate-generated through the inverted index:
     * only documents sharing at least one shingle are ever compared.
+    *
+    * `maxShingleDf` (opt-in) drops shingles whose document frequency
+    * exceeds the cap from CANDIDATE GENERATION only (verification still
+    * counts them, so reported Jaccard values stay exact). A stop-shingle
+    * like a boilerplate phrase otherwise contributes df² candidate pairs.
+    * This is standard prefix-filtering: it can only miss a pair whose
+    * every shared shingle is hotter than the cap — vanishingly rare at
+    * thresholds >= 0.5, but not impossible, hence default off (the
+    * declared oracle queries run uncapped).
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
-      charGrams: Boolean = false): DataFrame = {
+      charGrams: Boolean = false, maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val sh = if (charGrams) charShingles(docs, n) else shingles(docs, n)
-    val cands = sh.select(col("doc_id").as("a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+    val candIndex =
+      if (maxShingleDf == Long.MaxValue) sh
+      else {
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      }
+    val cands = candIndex.select(col("doc_id").as("a"), col("shingle"))
+      .join(candIndex.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
@@ -186,7 +202,9 @@ object Dedup {
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val sig = Array.fill(numHashes)(Long.MaxValue)
+        var any = false
         wordShingles(text, shingleN).foreach { s =>
+          any = true
           val base = fnv64(s)
           var i = 0
           while (i < numHashes) {
@@ -195,7 +213,13 @@ object Dedup {
             i += 1
           }
         }
-        (0 until bands).iterator.map { b =>
+        // Shingle-less documents (< shingleN tokens) can never reach a
+        // sub-1.0 Jaccard threshold (0/0 intersection), but their constant
+        // empty signature would put EVERY such doc in the same `bands`
+        // buckets — at web scale that alone is a quadratic candidate
+        // blow-up among billions of short docs. Emit nothing for them.
+        if (!any) Iterator.empty
+        else (0 until bands).iterator.map { b =>
           var h = 0xcbf29ce484222325L
           var r = 0
           while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
@@ -268,6 +292,11 @@ object Dedup {
     * components are simply the content-hash groups — one shuffle via
     * [[exact]], no LSH, no iteration.
     *
+    * Below 1.0, exact-duplicate groups are first collapsed to one
+    * representative each (see the inline note — hot-group protection), so
+    * exact duplicates always merge, even degenerate documents shorter than
+    * the shingle width that the LSH itself cannot see.
+    *
     * Below 1.0, clusters are the connected components of the near-dup pair
     * graph, found by iterative min-label propagation over the (sparse,
     * pre-materialized) edge list — each round is one join + aggregate. The
@@ -287,10 +316,21 @@ object Dedup {
       val dupIds = exact(docs).select(col("dup_id").as("doc_id"))
       return docs.join(dupIds, Seq("doc_id"), "left_anti")
     }
+    // Collapse exact-duplicate groups to one representative (the group's
+    // min id) BEFORE the LSH: an exact group is trivially one cluster, and
+    // at web scale a hot group (millions of copies of the same
+    // boilerplate) would otherwise meet itself in every band bucket — a
+    // quadratic pair blow-up the banding cannot bound. Reps then go
+    // through LSH + propagation, and members inherit their rep's label.
+    val hashed = materialize(
+      docs.select(col("doc_id"), md5(col("text")).as("h")), "xh")
+    val reps = hashed.groupBy("h").agg(min("doc_id").as("rep_id"))
+    val repDocs = docs.join(reps.select(col("rep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
     // minhashLsh returns pairs already materialized to scratch parquet, so
     // every propagation round re-reads a small file instead of re-running
     // the LSH pipeline, and no cache is held for it.
-    val pairs = minhashLsh(docs, threshold).select("a", "b")
+    val pairs = minhashLsh(repDocs, threshold).select("a", "b")
     // Undirected edges, both directions.
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
     // label(x) = min doc_id reachable so far; start with the direct mins.
@@ -323,7 +363,15 @@ object Dedup {
       labels = next.select("doc_id", "label")
       round += 1
     }
-    val dupIds = labels.filter(col("doc_id") =!= col("label")).select("doc_id")
+    // Map every document through its representative's converged label
+    // (reps with no near-dup edge keep themselves). The rep is its exact
+    // group's min id and propagation minimizes over reps, so the final
+    // label is the true min doc_id of the merged cluster.
+    val docLabel = hashed.join(reps, Seq("h"))
+      .join(labels.select(col("doc_id").as("rep_id"), col("label")),
+        Seq("rep_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("rep_id")).as("label"))
+    val dupIds = docLabel.filter(col("doc_id") =!= col("label")).select("doc_id")
     docs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 

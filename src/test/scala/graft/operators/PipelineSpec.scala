@@ -83,6 +83,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(0L, 100L, 101L), s"kept $kept")
   }
 
+  test("deduplicate merges exact-dup groups through their representative") {
+    import spark.implicits._
+    val base = Vector.tabulate(30)(i => s"t$i").mkString(" ")
+    val near = (Vector.tabulate(28)(i => s"t$i") ++ Vector("zz", "qq")).mkString(" ")
+    val corpus = (
+      // hot exact group (ids 0-5, identical) — collapsed to rep 0 pre-LSH
+      (0L to 5L).map(i => (i, base)) ++
+      Seq(
+        (6L, near),                          // near-dup of the group (J ~ 0.87)
+        (50L, "hi there"), (51L, "hi there"), // exact dups below shingle width
+        (100L, Vector.tabulate(25)(i => s"u$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val kept = Dedup.deduplicate(corpus, threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 50L, 100L), s"kept $kept")
+  }
+
   test("deduplicate at threshold 1.0 takes the exact path and leaks no cache") {
     val corpus = docs.select("doc_id", "text")
       .union(docs.filter(col("doc_id") < 7)
