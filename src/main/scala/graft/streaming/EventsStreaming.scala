@@ -85,17 +85,32 @@ object EventsStreaming {
             state.remove()
             Iterator(SessionOut(userId, s.n, (s.lastMs - s.startMs) / 1000L, s.sumValue))
           } else {
-            val evs = rows.toSeq
-            val minMs = evs.map(_.ts.getTime).min
-            val maxMs = evs.map(_.ts.getTime).max
-            val merged = state.getOption match {
-              case Some(s) => SessionAgg(math.min(s.startMs, minMs),
-                math.max(s.lastMs, maxMs), s.n + evs.size, s.sumValue + evs.map(_.value).sum)
-              case None => SessionAgg(minMs, maxMs, evs.size.toLong, evs.map(_.value).sum)
+            // A micro-batch can carry a user's events spanning SEVERAL
+            // sessions (bursty sources, backfill replay) — split on gaps
+            // within the batch, emitting every session that closes, and
+            // keep only the trailing open one in state. Merging the whole
+            // batch into one session would silently under-split.
+            val evs = rows.toArray.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[SessionOut]
+            var open = state.getOption
+            evs.foreach { ev =>
+              val ms = ev.ts.getTime
+              open match {
+                case Some(s) if ms - s.lastMs <= gapMs =>
+                  open = Some(SessionAgg(s.startMs, math.max(s.lastMs, ms),
+                    s.n + 1, s.sumValue + ev.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.n,
+                    (s.lastMs - s.startMs) / 1000L, s.sumValue)
+                  open = Some(SessionAgg(ms, ms, 1L, ev.value))
+                case None =>
+                  open = Some(SessionAgg(ms, ms, 1L, ev.value))
+              }
             }
-            state.update(merged)
-            state.setTimeoutTimestamp(merged.lastMs + gapMs)
-            Iterator.empty
+            val s = open.get
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastMs + gapMs)
+            closed.result().iterator
           }
         })
   }

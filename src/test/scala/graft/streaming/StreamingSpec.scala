@@ -66,6 +66,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization splits multiple sessions arriving in one micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val sessions = EventsStreaming.sessionize(source.toDS(), gapSecs = 600)
+    val q = sessions.writeStream.format("memory").queryName("burst_sessions")
+      .outputMode("append").start()
+    try {
+      // One batch carries user 1's events spanning TWO sessions (gap 10
+      // min; 10-15 and 40-41 are 25 min apart) — the first must close and
+      // be emitted from within the batch, not merged. (Timeline starts at
+      // minute 10: an epoch-0 event ties the initial watermark and is
+      // dropped by the late-row filter.)
+      source.addData(Ev(1, ts(10), 1.0), Ev(1, ts(15), 2.0),
+        Ev(1, ts(40), 4.0), Ev(1, ts(41), 8.0))
+      q.processAllAvailable()
+      val early = spark.table("burst_sessions").as[SessionOut].collect()
+        .map(s => (s.user_id, s.n_events, s.duration_secs, s.sum_value)).toSet
+      assert(early == Set((1L, 2L, 300L, 3.0)), s"got $early")
+      // Watermark push closes the trailing open session too.
+      source.addData(Ev(2, ts(120), 0.0))
+      q.processAllAvailable()
+      val all = spark.table("burst_sessions").as[SessionOut].collect()
+        .map(s => (s.user_id, s.n_events, s.duration_secs, s.sum_value)).toSet
+      assert(all == Set((1L, 2L, 300L, 3.0), (1L, 2L, 60L, 12.0)), s"got $all")
+    } finally q.stop()
+  }
+
   test("file-source hourly stream matches the batch aggregation") {
     val streamed = EventsStreaming.hourlyCounts(spark, SparkTestSession.sfDir)
       .collect().toSeq
