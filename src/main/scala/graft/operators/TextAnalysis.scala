@@ -52,6 +52,34 @@ object TextAnalysis {
       .otherwise("unknown")
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * windows of `window` tokens starting every `stride` tokens — the
+    * standard preparation step packing documents into model context
+    * windows (overlap = window - stride). Entirely row-local (explode of a
+    * per-row sequence): no shuffle, parallelism = corpus partitioning.
+    * Only full windows are emitted, except that a document shorter than
+    * `window` yields one (short) chunk — the usual drop-the-tail
+    * convention, deterministic on both engines.
+    *
+    * Output: (doc_id, chunk_idx, start, n_tok, head_tok, tail_tok).
+    */
+  def chunkWindows(docs: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0)
+    val ws = tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), ws.as("ws"), size(ws).as("n"))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(1), greatest(col("n") - window, lit(0)) + 1,
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        floor((col("start") - 1) / lit(stride.toDouble)).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        least(lit(window), col("n") - col("start") + 1).cast("long").as("n_tok"),
+        element_at(col("ws"), col("start")).as("head_tok"),
+        element_at(col("ws"),
+          least(col("start") + window - 1, col("n"))).as("tail_tok"))
+  }
+
   /** Document fingerprint: lexicographic min of md5(3-word shingle) — a
     * stable 1-in-n minhash usable as a cheap near-dup prefilter key — plus
     * the distinct-shingle count.

@@ -909,6 +909,25 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  // ------------------------------------------------------------------
+  // Deterministic hash sampling: a stable ~6.25% subsample selected by a
+  // content-hash prefix — the reproducible-experiment alternative to
+  // TABLESAMPLE (whose rows differ per engine/run). Row-local predicate,
+  // evaluates inside the scan stage, identical rows on any engine with
+  // md5.
+  // ------------------------------------------------------------------
+  declare("q43_deterministic_sample",
+    """SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+         CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+       FROM orders
+       WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '10'""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "10")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("sum_keys"),
+        sum(cents(col("o_totalprice"))).as("price_cents"))
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

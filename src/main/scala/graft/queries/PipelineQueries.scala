@@ -286,6 +286,24 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  declare("text_chunk_windows",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ws, len(string_split(text, ' ')) n
+                  FROM documents WHERE doc_id < 20),
+       c AS (SELECT doc_id, unnest(generate_series(1, greatest(n - 40, 0) + 1, 30)) AS start, ws, n
+             FROM t)
+       SELECT doc_id,
+         CAST(floor((start - 1) / 30.0) AS BIGINT) AS chunk_idx,
+         CAST(start AS BIGINT) AS start,
+         CAST(least(40, n - start + 1) AS BIGINT) AS n_tok,
+         ws[start] AS head_tok,
+         ws[least(start + 39, n)] AS tail_tok
+       FROM c ORDER BY doc_id, chunk_idx""") { (spark, sfDir) =>
+    TextAnalysis.chunkWindows(
+        t(spark, sfDir, "documents").filter(col("doc_id") < 20),
+        window = 40, stride = 30)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ------------------------------------------- end-to-end data prep
   declare("pipeline_end_to_end",
     """WITH corpus AS (SELECT doc_id, text, lang FROM documents
