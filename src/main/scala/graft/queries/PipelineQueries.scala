@@ -407,6 +407,14 @@ object PipelineQueries {
     EventsStreaming.hourlyCounts(spark, sfDir)
   }
 
+  declare("events_stream_enriched",
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY 1, 2 ORDER BY 1, 2""") { (spark, sfDir) =>
+    EventsStreaming.enrichedBySegment(spark, sfDir)
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -53,6 +53,36 @@ object EventsStreaming {
       .orderBy("hour_epoch", "event_type")
   }
 
+  /** Stream-static join: the streaming events enriched against the static
+    * customer dimension (no state needed — the static side is re-read per
+    * micro-batch and broadcast when small), then aggregated per market
+    * segment. On a cluster this is the standard dimension-enrichment shape
+    * for a kafka stream against a slowly-changing parquet table.
+    */
+  def enrichedBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = stream
+      .join(customers, stream("user_id") === customers("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+    val name = "graft_stream_enriched"
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table(name).orderBy("c_mktsegment", "event_type")
+  }
+
   /** Input row for stateful sessionization. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
