@@ -176,6 +176,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(cmp.count() == 900)
   }
 
+  test("chunkWindows: full windows, stride overlap, and the short-doc case") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens
+      (2L, "a b c"))                                   // shorter than the window
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkWindows(corpus, window = 40, stride = 30)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    // doc 1: starts 1, 31, 61 (start 91 would leave only a partial window).
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 1L, 40L, "w1", "w40"),
+      (1L, 1L, 31L, 40L, "w31", "w70"),
+      (1L, 2L, 61L, 40L, "w61", "w100"),
+      (2L, 0L, 1L, 3L, "a", "c")))
+  }
+
   test("multimodal decode stub preserves payload size and batch shape") {
     val feats = Multimodal.decodeFeatures(spark,
       Multimodal.syntheticAssets(docs.limit(50))).collect()
