@@ -928,6 +928,26 @@ object AnalyticsQueries {
         sum(cents(col("o_totalprice"))).as("price_cents"))
   }
 
+  // ------------------------------------------------------------------
+  // Approximate-percentile envelope (the sketch-aggregate class, like
+  // q11's HLL): sketch implementations differ across engines, so the
+  // oracle-comparable output is the accuracy envelope against the exact
+  // interpolated median, not the estimate itself.
+  // ------------------------------------------------------------------
+  declare("q44_approx_percentile_envelope",
+    """SELECT 'o_totalprice' AS col_name,
+         CASE WHEN abs(quantile_disc(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
+                   <= 0.02 * quantile_cont(o_totalprice, 0.5)
+              THEN 'within_2pct' ELSE 'off' END AS pctl_check
+       FROM orders""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx"),
+        expr("percentile(o_totalprice, 0.5)").as("exact"))
+      .select(lit("o_totalprice").as("col_name"),
+        when(abs(col("approx") - col("exact")) <= col("exact") * 0.02,
+          lit("within_2pct")).otherwise(lit("off")).as("pctl_check"))
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -36,10 +36,14 @@ object ProfileDedup {
         .select("a", "b").distinct().count()
     }
     time("lsh_pairs.count") {
-      Dedup.minhashLsh(corpus, threshold = 1.0).count()
+      Dedup.minhashLsh(corpus, threshold = 0.8).count()
     }
-    time("deduplicate.count") {
+    // threshold 1.0 short-circuits to the exact-hash path; profile BOTH.
+    time("deduplicate_exact.count") {
       Dedup.deduplicate(corpus, threshold = 1.0).count()
+    }
+    time("deduplicate_near.count") {
+      Dedup.deduplicate(corpus, threshold = 0.8).count()
     }
     spark.stop()
   }
