@@ -49,6 +49,20 @@ class SolveManySpec extends AnyFunSuite {
     one.foreach(v => assert(v.status == "Optimal"))
   }
 
+  test("highs_solve_batch rows are identical across shuffle parallelism") {
+    def run(parts: String): Seq[org.apache.spark.sql.Row] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try graft.SparkEntry.queries("highs_solve_batch")(spark, SparkTestSession.sfDir)
+        .collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = run("1")
+    val b = run("16")
+    assert(a == b)
+    assert(a.size >= 400) // 200 models x 2 vars at sf0.001
+  }
+
   test("solve result is cached per model revision and invalidated on mutation") {
     ModelRegistry.remove("cache_m")
     val info = ModelRegistry.getOrCreate("cache_m")

@@ -100,6 +100,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(0L, 50L, 100L), s"kept $kept")
   }
 
+  test("deduplicate THROWS at the round cap instead of under-merging") {
+    import spark.implicits._
+    // Same diameter-9 chain as above; one propagation+jump round cannot
+    // converge it, and a silent exit here would return wrong output.
+    val vocab = Vector.tabulate(38)(i => f"w$i%03d")
+    val chain = Seq.tabulate(10)(i => (i.toLong, vocab.slice(2 * i, 2 * i + 20).mkString(" ")))
+    val corpus = chain.toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.deduplicate(corpus, threshold = 0.7, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("deduplicate at threshold 1.0 takes the exact path and leaks no cache") {
     val corpus = docs.select("doc_id", "text")
       .union(docs.filter(col("doc_id") < 7)
