@@ -13,21 +13,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Materialize an intermediate to a fresh temp parquet dir and read it
-    * back: an explicit, disk-backed checkpoint that (a) runs the producing
-    * plan exactly once even when the result feeds several consumers or a
-    * self-join, and (b) owns no cache-manager entry, so repeated operator
-    * invocations in a long-lived session leak nothing (a
-    * `persist(MEMORY_AND_DISK)` entry lives until explicit unpersist or
-    * session end). The bytes written are bounded by what the cache would
-    * have held anyway (signatures / reduced indexes / near-dup pairs, all
-    * small relative to the corpus); on a cluster the dir resolves to
-    * executor-local scratch via java.io.tmpdir.
+  /** Materialize an intermediate to a fresh scratch parquet dir and read
+    * it back: an explicit, disk-backed checkpoint that (a) runs the
+    * producing plan exactly once even when the result feeds several
+    * consumers or a self-join, and (b) owns no cache-manager entry, so
+    * repeated operator invocations in a long-lived session leak nothing
+    * (a `persist(MEMORY_AND_DISK)` entry lives until explicit unpersist
+    * or session end). The bytes written are bounded by what the cache
+    * would have held anyway (signatures / reduced indexes / near-dup
+    * pairs, all small relative to the corpus).
+    *
+    * Scratch root: `spark.graft.scratchDir` if set, else java.io.tmpdir.
+    * The default only works single-node (executors must all reach the
+    * path); ON A CLUSTER SET `spark.graft.scratchDir` TO SHARED STORAGE
+    * (HDFS/S3/NFS), exactly like Spark's own checkpoint dir contract.
     */
   private def materialize(df: DataFrame, prefix: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_").toString
+    val spark = df.sparkSession
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = s"${root.stripSuffix("/")}/graft_${prefix}_${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
+    spark.read.parquet(dir)
   }
 
   /** Exact duplicates by content hash. Returns (dup_id, kept_id): every
