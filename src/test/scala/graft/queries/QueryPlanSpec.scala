@@ -73,6 +73,16 @@ class QueryPlanSpec extends AnyFunSuite {
       s"expected broadcast of the tiny query set:\n$plan")
   }
 
+  test("as-of join is linear: union + one hash shuffle, no join operator") {
+    val plan = planString(q("q29_asof_join"))
+    assert(!plan.contains("Join"), s"as-of must not pair-inflate via a join:\n$plan")
+    assert(plan.contains("Union") && plan.contains("Window"))
+    // One hash exchange for the per-user window; the groupBy reuses its
+    // partitioning (the trailing range exchange is the final ORDER BY).
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one hash shuffle in:\n$plan")
+  }
+
   test("IVF centroid assignment is a pure map: no exchange, join, or window") {
     import org.apache.spark.sql.functions.col
     val e = graft.Engine.table(spark, sfDir, "embeddings")
