@@ -38,6 +38,28 @@ object VectorExpressions {
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
+  /** Sign-LSH bucket kernel: bit j of the result is sign(dot(v, h_j)) > 0,
+    * all hyperplanes evaluated in ONE pass over the vector (the
+    * per-hyperplane Column formulation re-scans the array once per bit).
+    * dot(v,h) > 0 iff cosine(v,h) > 0 for nonzero norms, so buckets match
+    * the fold-based definition.
+    */
+  def signLshBucket(v: ArrayData, planes: Array[Array[Float]]): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < planes.length) {
+      val h = planes(j)
+      val m = math.min(n, h.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) { dot += v.getFloat(i).toDouble * h(i).toDouble; i += 1 }
+      if (dot > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
   /** Row-local nearest-centroid kernel: id of the codebook vector with the
     * greatest `round(cosine, 6)`, smallest id on ties (ids are sorted
     * ascending and the comparison is strict). Called from both interpreted
@@ -195,4 +217,36 @@ case class BestCentroid(child: Expression, ids: Array[Long],
     copy(child = newChild)
 
   override def prettyName: String = "best_centroid"
+}
+
+/** sign_lsh_bucket(v): 2^k-way LSH bucket from the signs of k hyperplane
+  * dot products, computed in one codegen'd pass over the vector (the
+  * Column-combinator formulation costs one array scan PER hyperplane).
+  */
+case class SignLshBucketExpr(child: Expression, hyperplanes: Array[Array[Float]])
+    extends UnaryExpression {
+
+  require(hyperplanes.nonEmpty && hyperplanes.length <= 63)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sign_lsh_bucket requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorExpressions.signLshBucket(a.asInstanceOf[ArrayData], hyperplanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", hyperplanes, "float[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorExpressions.signLshBucket($a, $planesRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBucketExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_lsh_bucket"
 }
