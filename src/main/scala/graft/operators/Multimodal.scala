@@ -42,6 +42,52 @@ object Multimodal {
       length(col("bytes")).cast("long").as("size_bytes"),
       ceil(length(col("bytes")) / chunkBytes.toDouble).cast("long").as("n_chunks"))
 
+  /** One sampled frame of a framed binary payload. */
+  final case class Frame(asset_id: Long, frame_idx: Long, frame_size: Long, first_byte: Long)
+
+  /** Frame sampling over fixed-size frames: emit every `everyN`-th frame
+    * of `frameBytes` bytes. REAL byte-level work (raw/PCM/uncompressed
+    * formats frame at fixed offsets); for codec formats the same
+    * partition loop would call the demuxer, which this container lacks.
+    * Row-local fan-out — no shuffle; output is frames/everyN per asset.
+    */
+  def sampleFrames(spark: SparkSession, assets: DataFrame,
+      frameBytes: Int, everyN: Int): Dataset[Frame] = {
+    import spark.implicits._
+    require(frameBytes > 0 && everyN > 0)
+    assets.select("asset_id", "kind", "bytes").as[Asset].mapPartitions { it =>
+      it.flatMap { a =>
+        val nFrames = (a.bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by everyN).iterator.map { fi =>
+          val off = fi * frameBytes
+          val len = math.min(frameBytes, a.bytes.length - off)
+          Frame(a.asset_id, fi.toLong, len.toLong, (a.bytes(off) & 0xff).toLong)
+        }
+      }
+    }
+  }
+
+  /** Byte-decimated payload summary for the resize stand-in. */
+  final case class Resized(asset_id: Long, orig_bytes: Long, resized_bytes: Long, byte_sum: Long)
+
+  /** Resize stand-in: keep every `k`-th byte (decimation) — the shape of
+    * a downsample without a codec. A real image resize would decode,
+    * filter, and re-encode inside the same partition loop.
+    */
+  def resizeDecimate(spark: SparkSession, assets: DataFrame, k: Int): Dataset[Resized] = {
+    import spark.implicits._
+    require(k > 0)
+    assets.select("asset_id", "kind", "bytes").as[Asset].mapPartitions { it =>
+      it.map { a =>
+        var i = 0
+        var cnt = 0L
+        var sum = 0L
+        while (i < a.bytes.length) { cnt += 1; sum += (a.bytes(i) & 0xff); i += k }
+        Resized(a.asset_id, a.bytes.length.toLong, cnt, sum)
+      }
+    }
+  }
+
   /** STUB decode: a real implementation would decode the payload (JPEG
     * grid, PCM frames, video keyframes) inside this partition loop; the
     * container ships no codecs, so features are a deterministic fake —

@@ -364,6 +364,37 @@ object PipelineQueries {
       .orderBy("kind")
   }
 
+  declare("multimodal_frames",
+    """WITH d AS (SELECT doc_id, text, length(text) n FROM documents WHERE doc_id < 30),
+       f AS (SELECT doc_id,
+               unnest(generate_series(0, CAST(ceil(n/64.0) AS BIGINT) - 1, 2)) AS fi, text, n
+             FROM d),
+       fr AS (SELECT doc_id, COUNT(*) AS n_frames,
+                CAST(SUM(ascii(substr(text, CAST(fi*64+1 AS BIGINT), 1))) AS BIGINT) AS sum_first
+              FROM f GROUP BY 1),
+       r AS (SELECT doc_id,
+               unnest(generate_series(0, CAST(ceil(n/7.0) AS BIGINT) - 1)) AS ri, text, n
+             FROM d),
+       rz AS (SELECT doc_id, COUNT(*) AS resized_bytes,
+                CAST(SUM(ascii(substr(text, CAST(ri*7+1 AS BIGINT), 1))) AS BIGINT) AS byte_sum
+              FROM r GROUP BY 1)
+       SELECT fr.doc_id AS asset_id, fr.n_frames, fr.sum_first, rz.resized_bytes, rz.byte_sum
+       FROM fr JOIN rz ON fr.doc_id = rz.doc_id
+       ORDER BY asset_id""") { (spark, sfDir) =>
+    // Frame-sample + resize over the synthetic (ASCII) payloads; the
+    // oracle recomputes both from character offsets, which equal byte
+    // offsets for this corpus.
+    val assets = Multimodal.syntheticAssets(
+      t(spark, sfDir, "documents").filter(col("doc_id") < 30))
+    val frames = Multimodal.sampleFrames(spark, assets, frameBytes = 64, everyN = 2)
+      .toDF()
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_frames"), sum("first_byte").as("sum_first"))
+    val resized = Multimodal.resizeDecimate(spark, assets, k = 7)
+      .toDF().select("asset_id", "resized_bytes", "byte_sum")
+    frames.join(resized, "asset_id").orderBy("asset_id")
+  }
+
   declare("sim_cosine_sql",
     """WITH x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i
                   FROM embeddings),
