@@ -354,29 +354,28 @@ object Dedup {
             s"$maxRounds rounds — duplicate-chain diameter exceeds the cap; " +
             s"raise maxRounds (results before convergence would be WRONG: " +
             s"unmerged duplicates survive the anti-join)")
-      // Propagate: my new label = min(my label, labels of my neighbors).
-      // The previous label rides along so the convergence check is a
-      // filter on the materialized round, not a separate join job.
-      val prop = materialize(
+      // Propagate: my new label = min(my label, labels of my neighbors) —
+      // then SHORTCUT through the previous round's label table: also adopt
+      // label(label). Propagation alone needs ~diameter rounds; with
+      // per-round shortcutting (Shiloach-Vishkin style) the loop converges
+      // in O(log diameter) — the difference between ~50 and ~6 shuffle
+      // rounds on an adversarial dup chain. `labels` is materialized
+      // parquet, so the three reads in this one plan re-scan a small file
+      // rather than recompute anything, and each round costs exactly one
+      // scratch write. The previous label rides along (`old`) so the
+      // convergence check is a filter on the materialized round.
+      val next = materialize(
         edges
           .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), Seq("b"))
           .groupBy(col("a").as("doc_id"))
           .agg(min(col("nl")).as("prop"))
           .join(labels, Seq("doc_id"))
-          .select(col("doc_id"), least(col("prop"), col("label")).as("label"),
-            col("label").as("old")),
-        "prop")
-      // Pointer-jumping compression: additionally adopt my label's label
-      // (labels are always edge endpoints, so the parent row exists).
-      // Propagation alone needs ~diameter rounds; with per-round path
-      // halving the loop converges in O(log diameter) — the difference
-      // between ~50 and ~6 shuffle rounds on an adversarial dup chain.
-      val next = materialize(
-        prop
-          .join(prop.select(col("doc_id").as("pl_id"), col("label").as("pl")),
-            col("label") === col("pl_id"), "left")
+          .select(col("doc_id"), least(col("prop"), col("label")).as("pl"),
+            col("label").as("old"))
+          .join(labels.select(col("doc_id").as("pl"), col("label").as("pll")),
+            Seq("pl"), "left")
           .select(col("doc_id"),
-            least(col("label"), coalesce(col("pl"), col("label"))).as("label"),
+            least(col("pl"), coalesce(col("pll"), col("pl"))).as("label"),
             col("old")),
         "labels")
       converged = next.filter(col("label") =!= col("old")).isEmpty
