@@ -13,29 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Materialize an intermediate to a fresh scratch parquet dir and read
-    * it back: an explicit, disk-backed checkpoint that (a) runs the
-    * producing plan exactly once even when the result feeds several
-    * consumers or a self-join, and (b) owns no cache-manager entry, so
-    * repeated operator invocations in a long-lived session leak nothing
-    * (a `persist(MEMORY_AND_DISK)` entry lives until explicit unpersist
-    * or session end). The bytes written are bounded by what the cache
-    * would have held anyway (signatures / reduced indexes / near-dup
-    * pairs, all small relative to the corpus).
-    *
-    * Scratch root: `spark.graft.scratchDir` if set, else java.io.tmpdir.
-    * The default only works single-node (executors must all reach the
-    * path); ON A CLUSTER SET `spark.graft.scratchDir` TO SHARED STORAGE
-    * (HDFS/S3/NFS), exactly like Spark's own checkpoint dir contract.
+  /** Disk-backed checkpoint via [[Scratch]]: runs the producing plan once,
+    * owns no cache-manager entry, and the dir is reclaimed — eagerly where
+    * an operator can prove it superseded, at JVM exit otherwise (shutdown
+    * hook on the session scratch root). The bytes written are bounded by
+    * what a cache would have held anyway (signatures / reduced indexes /
+    * near-dup pairs, all small relative to the corpus).
     */
-  private def materialize(df: DataFrame, prefix: String): DataFrame = {
-    val spark = df.sparkSession
-    val root = spark.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val dir = s"${root.stripSuffix("/")}/graft_${prefix}_${java.util.UUID.randomUUID()}"
-    df.write.mode("overwrite").parquet(dir)
-    spark.read.parquet(dir)
-  }
+  private def materialize(df: DataFrame, prefix: String): DataFrame =
+    Scratch.materialize(df, prefix)._1
 
   /** Exact duplicates by content hash. Returns (dup_id, kept_id): every
     * row whose text hash already has a lower id. One shuffle on the hash.
@@ -245,18 +231,54 @@ object Dedup {
     * Shuffles: shingles -> signatures (doc_id), band bucket join
     * (band idx+hash), verification joins (doc_id, shingle). Never O(n²).
     *
-    * Eager: the (small) verified pair set is materialized to scratch
-    * parquet before returning, so downstream consumers — notably the
-    * multi-round label propagation in [[deduplicate]] — re-read pairs from
-    * disk instead of re-running the LSH pipeline, and no cache entry
-    * outlives the call.
+    * EAGER CONTRACT (when `materialized`, the default): calling this
+    * executes the full LSH pipeline at DataFrame-construction time and
+    * returns a scan over the (small) verified pair set on scratch parquet —
+    * so downstream consumers, notably the multi-round label propagation in
+    * [[deduplicate]], re-read pairs from disk instead of re-running the
+    * pipeline, and no cache entry outlives the call. The two intermediate
+    * spills (band signatures, reduced shingle index) are deleted as soon as
+    * the pair set is on disk. Pass `materialized = false` to get the whole
+    * pipeline as one LAZY plan instead (nothing executed, nothing written —
+    * the form to compose inside larger lazy builders or to `.explain`).
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8, numHashes: Int = 128,
-      bands: Int = 32, shingleN: Int = 3): DataFrame =
-    materialize(
+      bands: Int = 32, shingleN: Int = 3, materialized: Boolean = true): DataFrame =
+    if (!materialized)
+      minhashLshPlan(docs, threshold, numHashes, bands, shingleN)
+    else {
+      val spark = docs.sparkSession
+      val spills = collection.mutable.ArrayBuffer.empty[String]
+      def spill(prefix: String)(df: DataFrame): DataFrame = {
+        val (out, dir) = Scratch.materialize(df, prefix)
+        spills += dir
+        out
+      }
+      minhashLshMaterialized(docs, threshold, numHashes, bands, shingleN)._1
+    }
+
+  /** [[minhashLsh]]'s eager path, also returning the pair set's scratch dir
+    * so callers that fully consume it ([[deduplicate]]'s propagation loop)
+    * can reclaim it eagerly.
+    */
+  private def minhashLshMaterialized(docs: DataFrame, threshold: Double,
+      numHashes: Int, bands: Int, shingleN: Int): (DataFrame, String) = {
+    val spark = docs.sparkSession
+    val spills = collection.mutable.ArrayBuffer.empty[String]
+    def spill(prefix: String)(df: DataFrame): DataFrame = {
+      val (out, dir) = Scratch.materialize(df, prefix)
+      spills += dir
+      out
+    }
+    val (pairs, pairsDir) = Scratch.materialize(
       minhashLshImpl(docs, threshold, numHashes, bands, shingleN,
-        materialize(_, "bands"), materialize(_, "shidx")),
+        spill("bands"), spill("shidx")),
       "pairs")
+    // The pair set is self-contained on disk — the intermediates feeding
+    // it are superseded; reclaim them now rather than at JVM exit.
+    spills.foreach(Scratch.delete(spark, _))
+    (pairs, pairsDir)
+  }
 
   /** The whole LSH pipeline as ONE lazy plan, nothing materialized — for
     * plan audits (QueryPlanSpec asserts it cartesian-free; PLANS.md dumps
@@ -337,11 +359,12 @@ object Dedup {
     // minhashLsh returns pairs already materialized to scratch parquet, so
     // every propagation round re-reads a small file instead of re-running
     // the LSH pipeline, and no cache is held for it.
-    val pairs = minhashLsh(repDocs, threshold).select("a", "b")
+    val (pairsDf, pairsDir) = minhashLshMaterialized(repDocs, threshold, 128, 32, 3)
+    val pairs = pairsDf.select("a", "b")
     // Undirected edges, both directions.
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
     // label(x) = min doc_id reachable so far; start with the direct mins.
-    var labels = materialize(
+    var (labels, labelsDir) = Scratch.materialize(
       edges.groupBy(col("a").as("doc_id"))
         .agg(least(min(col("b")), first(col("a"))).as("label")),
       "labels")
@@ -362,9 +385,11 @@ object Dedup {
       // rounds on an adversarial dup chain. `labels` is materialized
       // parquet, so the three reads in this one plan re-scan a small file
       // rather than recompute anything, and each round costs exactly one
-      // scratch write. The previous label rides along (`old`) so the
-      // convergence check is a filter on the materialized round.
-      val next = materialize(
+      // scratch write; the superseded round's dir is deleted as soon as the
+      // new one is on disk, so live scratch stays at one label table. The
+      // previous label rides along (`old`) so the convergence check is a
+      // filter on the materialized round.
+      val (next, nextDir) = Scratch.materialize(
         edges
           .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), Seq("b"))
           .groupBy(col("a").as("doc_id"))
@@ -378,10 +403,15 @@ object Dedup {
             least(col("pl"), coalesce(col("pll"), col("pl"))).as("label"),
             col("old")),
         "labels")
+      Scratch.delete(docs.sparkSession, labelsDir)
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select("doc_id", "label")
+      labelsDir = nextDir
       round += 1
     }
+    // The returned plan reads only `hashed` + the final labels — the edge
+    // list has been fully consumed by the loop; reclaim it now.
+    Scratch.delete(docs.sparkSession, pairsDir)
     // Map every document through its representative's converged label
     // (reps with no near-dup edge keep themselves). The rep is its exact
     // group's min id and propagation minimizes over reps, so the final

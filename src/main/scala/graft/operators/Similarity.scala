@@ -72,12 +72,24 @@ object Similarity {
     * argmax row-local: the corpus is scanned once with ZERO joins,
     * exchanges, or window sorts. The previous crossJoin + Window
     * formulation shuffled k×N rows just to pick each row's max.
+    *
+    * Zero-norm centroids are REJECTED at codebook collection: their cosine
+    * is NaN against every vector, and NaN assignment semantics differ by
+    * formulation (a window `orderBy(desc)` sorts NaN largest — such a
+    * centroid would win every row; [[graft.functions.BestCentroid]]'s
+    * strict `>` means it can never win). A degenerate codebook is a bug in
+    * the caller's centroid computation — fail loudly instead of silently
+    * picking one of two divergent behaviors.
     */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val cb = centroids.select(col("vec_id").cast("long"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    val zeroNorm = cb.filter { case (_, v) => !v.exists(_ != 0f) }
+    require(zeroNorm.isEmpty,
+      s"assignToCentroids: zero-norm centroid(s) ${zeroNorm.map(_._1).mkString(",")} " +
+        "in codebook — cosine against them is undefined (NaN)")
     val expr = graft.functions.BestCentroid(
       ColumnBridge.expression(col("embedding")), cb.map(_._1), cb.map(_._2))
     corpus.select(col("vec_id"), col("embedding"),

@@ -830,14 +830,20 @@ object AnalyticsQueries {
   // from the double column, aggregate in DecimalType, cast the widened
   // sums back) — beyond the BIGINT-cents trick used elsewhere. Spark and
   // DuckDB both take the shortest-decimal string of the double and round
-  // HALF_UP at scale 2, so the casts agree exactly.
+  // HALF_UP at scale 2, so the casts agree exactly. The FINAL outputs are
+  // cast DECIMAL→DOUBLE on both sides: the decimal values are bit-identical
+  // across engines (verified at sf0.01), but the driver's hash treats a
+  // parquet decimal128 differently from DuckDB's DECIMAL result (r04: green
+  // rows/schema, red hash on this one query — the only DECIMAL-typed
+  // output), and nearest-double of the same exact decimal is
+  // representation-stable.
   // ------------------------------------------------------------------
   declare("q39_decimal_money",
     """SELECT o_orderpriority,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-         CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
-         CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.07 AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS tax_price,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+         CAST(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS min_price,
+         CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS max_price,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.07 AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS DOUBLE) AS tax_price,
          COUNT(*) AS n
        FROM orders GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
     val p = col("o_totalprice").cast("decimal(18,2)")
@@ -845,10 +851,10 @@ object AnalyticsQueries {
       .select(col("o_orderpriority"), p.as("p"),
         (p * lit(BigDecimal("0.07")).cast("decimal(4,2)")).as("taxed"))
       .groupBy("o_orderpriority")
-      .agg(sum("p").cast("decimal(18,2)").as("sum_price"),
-        min("p").cast("decimal(18,2)").as("min_price"),
-        max("p").cast("decimal(18,2)").as("max_price"),
-        sum("taxed").cast("decimal(18,4)").as("tax_price"),
+      .agg(sum("p").cast("decimal(18,2)").cast("double").as("sum_price"),
+        min("p").cast("decimal(18,2)").cast("double").as("min_price"),
+        max("p").cast("decimal(18,2)").cast("double").as("max_price"),
+        sum("taxed").cast("decimal(18,4)").cast("double").as("tax_price"),
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
   }
