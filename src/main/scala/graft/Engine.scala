@@ -37,9 +37,22 @@ object Engine {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** (session, sfDir, table) → analyzed DataFrame. `spark.read.parquet`
+    * reads the file footer for schema every call — ~10-40 ms of driver-side
+    * fixed cost per table reference that repeat queries (and the bench's
+    * per-query double run) would otherwise pay again and again. A
+    * DataFrame is an immutable lazy plan, so handing back the same one is
+    * semantically identical. Keyed by session (plans are session-bound)
+    * and sfDir; bounded at |sessions|×|sfDirs|×10 entries.
+    */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    tableCache.computeIfAbsent((spark, sfDir, name), { _ =>
+      if (name == "events") events(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet")
+    })
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as
@@ -54,7 +67,18 @@ object Engine {
         org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
   }
 
-  /** Register every testdata table as a temp view for spark.sql queries. */
+  /** Register every testdata table as a temp view for spark.sql queries.
+    * Idempotent per (session, sfDir): repeat calls (every SQL-surface query
+    * invokes this defensively) skip the 10-table re-registration. Switching
+    * sfDir on the same session re-registers, replacing the views.
+    */
+  private val viewsRegistered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    viewsRegistered.compute(spark, { (_, prev) =>
+      if (prev != sfDir)
+        tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+      sfDir
+    })
 }

@@ -93,4 +93,84 @@ object TextAnalysis {
       array_min(sh).as("fingerprint"),
       size(array_distinct(sh)).cast("long").as("n_shingles"))
   }
+
+  /** Sequence packing: assign documents to contiguous training shards of
+    * ~`budgetTokens` tokens each. Documents are taken in `doc_id` order;
+    * a document lands in the shard its EXCLUSIVE running token total falls
+    * in (`floor(cumsum_before / budget)`), so shards are contiguous id
+    * ranges that may overshoot the budget by at most one document — the
+    * standard greedy convention, deterministic on any engine.
+    *
+    * Scale shape: one global range-partitioned sort for the running sum
+    * (Spark's window over a global ORDER BY). At 100 TB shard assignment
+    * would run per-partition with a per-partition offset (two passes); the
+    * windowed form here is the semantics reference.
+    *
+    * Output: (shard_id, n_docs, first_doc, last_doc, shard_tokens).
+    */
+  def packShards(docs: DataFrame, budgetTokens: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        (sum(col("n_tok")).over(w) - col("n_tok")).as("before"))
+      .select(col("doc_id"), col("n_tok"),
+        floor(col("before") / budgetTokens.toDouble).cast("long").as("shard_id"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        sum("n_tok").as("shard_tokens"))
+  }
+
+  /** Corpus-frequency document scoring — the exact-integer core of unigram
+    * LM quality signals. Builds the global token frequency table (one
+    * explode + aggregate with map-side partials), joins it back to every
+    * token occurrence, and reduces per document:
+    *
+    *   - `freq_sum`  = sum of each token's global occurrence count
+    *     (mean = freq_sum / n_tokens: boilerplate scores high, rare-token
+    *     documents low — the integer-exact stand-in for mean log-prob,
+    *     which no two engines' `ln` agree on bit-for-bit);
+    *   - `n_rare`    = tokens with global count < `rareBelow` (OOV-ish);
+    *   - `min_freq`  = the document's rarest token's count.
+    *
+    * Scale shape: the frequency table is Zipf-small relative to the corpus
+    * (vocabulary, not tokens) — AQE broadcasts it into the occurrence join,
+    * so the corpus is scanned twice and shuffled only for the per-document
+    * reduce on doc_id.
+    */
+  def unigramFreqScore(docs: DataFrame, rareBelow: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("freq").as("freq_sum"),
+        sum(when(col("freq") < rareBelow, 1L).otherwise(0L)).as("n_rare"),
+        min("freq").as("min_freq"))
+  }
+
+  /** Deterministic stratified sample: `perStratum` documents per stratum,
+    * chosen by md5 of the id — a reproducible, engine-independent draw
+    * (md5 of the decimal id string agrees everywhere; ties broken by id).
+    * The per-stratum top-k is a window rank; at 100 TB with few strata the
+    * window keys are hot, so the scale path is the same md5 order pushed
+    * through a per-stratum threshold (approximate k) or salted top-k —
+    * this exact form is the semantics reference and is right up to
+    * millions of rows per stratum.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, perStratum: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("stratum")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perStratum)
+  }
 }

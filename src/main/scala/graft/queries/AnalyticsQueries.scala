@@ -954,6 +954,57 @@ object AnalyticsQueries {
           lit("within_2pct")).otherwise(lit("off")).as("pctl_check"))
   }
 
+  // ------------------------------------------------------------------
+  // LATERAL correlated subquery: per-outer-row top-N — the dependent-join
+  // surface (DuckDB and Spark 4 both decorrelate it). Top-2 nations per
+  // region by customer count.
+  // ------------------------------------------------------------------
+  declare("q45_lateral",
+    """SELECT r_name, t.n_name, t.n_cust
+       FROM region, LATERAL (
+         SELECT n_name, COUNT(*) AS n_cust
+         FROM nation JOIN customer ON c_nationkey = n_nationkey
+         WHERE n_regionkey = r_regionkey
+         GROUP BY n_name
+         ORDER BY n_cust DESC, n_name
+         LIMIT 2
+       ) t
+       ORDER BY r_name, t.n_cust DESC, t.n_name""") { (spark, sfDir) =>
+    Engine.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT r_name, t.n_name, t.n_cust
+         FROM region, LATERAL (
+           SELECT n_name, COUNT(*) AS n_cust
+           FROM nation JOIN customer ON c_nationkey = n_nationkey
+           WHERE n_regionkey = r_regionkey
+           GROUP BY n_name
+           ORDER BY n_cust DESC, n_name
+           LIMIT 2
+         ) t
+         ORDER BY r_name, t.n_cust DESC, t.n_name""")
+  }
+
+  // ------------------------------------------------------------------
+  // Bloom-filter join pruning (operators/BloomPrune.scala): dim keys →
+  // bloom filter → codegen'd might_contain FILTER inside the fact scan →
+  // exact join on the survivors. Result identical to the plain join (the
+  // oracle); the filter only cuts what the shuffle has to carry — at
+  // 100 TB the dominant cost of a selective fact⋈dim join.
+  // ------------------------------------------------------------------
+  declare("q46_bloom_prune",
+    """SELECT COUNT(*) AS n_items,
+         CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+       FROM lineitem JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000) big
+         ON l_orderkey = o_orderkey""") { (spark, sfDir) =>
+    import graft.operators.BloomPrune
+    val big = t(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 450000).select("o_orderkey")
+    BloomPrune.pruned(t(spark, sfDir, "lineitem"), "l_orderkey", big, "o_orderkey")
+      .join(big, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"))
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -446,6 +446,52 @@ object PipelineQueries {
     EventsStreaming.enrichedBySegment(spark, sfDir)
   }
 
+  // ------------------------------------------- training-batch prep
+  declare("tokens_pack",
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) n_tok FROM documents),
+       c AS (SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS bef
+             FROM d),
+       s AS (SELECT doc_id, n_tok, CAST(floor(bef / 1000.0) AS BIGINT) shard_id FROM c)
+       SELECT shard_id, COUNT(*) n_docs, MIN(doc_id) first_doc, MAX(doc_id) last_doc,
+         CAST(SUM(n_tok) AS BIGINT) shard_tokens
+       FROM s GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    TextAnalysis.packShards(t(spark, sfDir, "documents"), budgetTokens = 1000)
+      .orderBy("shard_id")
+  }
+
+  declare("lm_unigram_freq",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+       vocab AS (SELECT tok, COUNT(*) freq FROM toks GROUP BY 1)
+       SELECT t.doc_id, COUNT(*) n_tokens, CAST(SUM(v.freq) AS BIGINT) freq_sum,
+         CAST(SUM(CASE WHEN v.freq < 2 THEN 1 ELSE 0 END) AS BIGINT) n_rare,
+         MIN(v.freq) min_freq
+       FROM toks t JOIN vocab v USING (tok)
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    TextAnalysis.unigramFreqScore(t(spark, sfDir, "documents"), rareBelow = 2)
+      .orderBy("doc_id")
+  }
+
+  declare("sample_stratified",
+    """WITH r AS (SELECT doc_id, lang AS stratum,
+         ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+       FROM documents)
+       SELECT doc_id, stratum, rn FROM r WHERE rn <= 5
+       ORDER BY stratum, rn""") { (spark, sfDir) =>
+    TextAnalysis.stratifiedSample(t(spark, sfDir, "documents"),
+        stratumCol = "lang", perStratum = 5)
+      .orderBy("stratum", "rn")
+  }
+
+  declare("events_stream_dedup",
+    """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+       FROM events GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    EventsStreaming.dedupCounts(spark, sfDir)
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

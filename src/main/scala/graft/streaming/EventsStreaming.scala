@@ -83,6 +83,46 @@ object EventsStreaming {
     spark.table(name).orderBy("c_mktsegment", "event_type")
   }
 
+  /** Streaming deduplication: the same events feed read as TWO streams and
+    * unioned (every event arrives twice — the at-least-once delivery shape
+    * a kafka replay or backfill produces), then deduplicated by event_id
+    * with `dropDuplicatesWithinWatermark`, so the dedup state is EVICTED
+    * once the event-time watermark passes — bounded state on an unbounded
+    * stream, unlike plain dropDuplicates whose key set grows forever. The
+    * deduplicated append stream lands in a memory sink and is aggregated
+    * in batch (chaining the stateful dedup straight into a stateful
+    * aggregation is deliberately avoided — one stateful operator per
+    * stream keeps the watermark semantics trivially auditable).
+    *
+    * Output matches the batch per-type aggregate over the ORIGINAL events:
+    * (event_type, n, value_cents).
+    */
+  def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def read() = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    val doubled = read().union(read())
+    val deduped = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = "graft_stream_dedup"
+    val q = deduped.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .orderBy("event_type")
+  }
+
   /** Input row for stateful sessionization. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
 

@@ -216,4 +216,60 @@ class PipelineSpec extends AnyFunSuite {
       assert(f.feature(0).toLong == f.size_bytes)
     }
   }
+
+  test("packShards: greedy contiguous shards, nothing lost, budget convention") {
+    import spark.implicits._
+    // Token counts 5,7,4,10,3; exclusive cumsums 0,5,12,16,26; budget 10
+    // → shards floor(before/10) = 0,0,1,1,2.
+    val corpus = Seq(
+      (0L, "a b c d e"), (1L, "a b c d e f g"), (2L, "a b c d"),
+      (3L, "a b c d e f g h i j"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val shards = TextAnalysis.packShards(corpus, budgetTokens = 10)
+      .orderBy("shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(shards.toSeq == Seq(
+      (0L, 2L, 0L, 1L, 12L), (1L, 2L, 2L, 3L, 14L), (2L, 1L, 4L, 4L, 3L)))
+    assert(shards.map(_._5).sum == 29L) // every token in exactly one shard
+  }
+
+  test("unigramFreqScore: exact integer frequency reductions") {
+    import spark.implicits._
+    val corpus = Seq((0L, "a b a"), (1L, "a c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.unigramFreqScore(corpus, rareBelow = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // freqs: a=3, b=1, c=1
+    assert(rows.toSeq == Seq((0L, 3L, 7L, 1L, 1L), (1L, 2L, 4L, 1L, 1L)))
+  }
+
+  test("stratifiedSample: k per stratum, capped by stratum size, deterministic") {
+    val s1 = TextAnalysis.stratifiedSample(docs, "lang", perStratum = 5)
+    val rows = s1.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val strataSizes = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    strataSizes.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0) == math.min(5L, n).toInt, s"stratum $lang")
+    }
+    assert(rows.forall(_._3 <= 5))
+    val again = TextAnalysis.stratifiedSample(docs, "lang", perStratum = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.sortBy(r => (r._2, r._3)).toSeq == again.sortBy(r => (r._2, r._3)).toSeq)
+  }
+
+  test("bloom pruning keeps every matching row and the exact join result") {
+    val orders = Engine.table(spark, SparkTestSession.sfDir, "orders")
+    val lineitem = Engine.table(spark, SparkTestSession.sfDir, "lineitem")
+    val dim = orders.filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val pruned = BloomPrune.pruned(lineitem, "l_orderkey", dim, "o_orderkey")
+    val exact = lineitem.join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    val viaBloom = pruned.join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    assert(viaBloom == exact)
+    // The filter must actually prune: at 1% fpp the survivors are close to
+    // the matching set, far below the full fact table.
+    val full = lineitem.count()
+    val kept = pruned.count()
+    assert(kept < full / 2, s"bloom kept $kept of $full")
+  }
 }

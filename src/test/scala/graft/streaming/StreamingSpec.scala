@@ -107,4 +107,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming dedup of a doubled stream matches the batch per-type aggregate") {
+    val streamed = EventsStreaming.dedupCounts(spark, SparkTestSession.sfDir)
+      .collect().toSeq
+    val batch = graft.Engine.events(spark, SparkTestSession.sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .orderBy("event_type")
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
