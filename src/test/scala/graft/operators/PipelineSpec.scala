@@ -258,6 +258,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.sortBy(r => (r._2, r._3)).toSeq == again.sortBy(r => (r._2, r._3)).toSeq)
   }
 
+  test("near-dup deduplicate eagerly reclaims superseded scratch datasets") {
+    import spark.implicits._
+    val scratchRoot = java.nio.file.Files.createTempDirectory("graft_scrtest").toString
+    spark.conf.set("spark.graft.scratchDir", scratchRoot)
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+      val corpus = Seq(
+        (0L, base), (1L, base + "tail"), (2L, base + "tail2"),
+        (10L, "unrelated words entirely disjoint vocabulary here okay " * 6))
+        .toDF("doc_id", "text")
+      Dedup.deduplicate(corpus, threshold = 0.5).collect()
+      // After the call, only datasets the returned plan still references
+      // may remain: the exact-hash table (xh) and the final labels round.
+      // Band/shingle spills, the pair set, and every superseded labels
+      // round must have been deleted eagerly.
+      val sessionRoots = new java.io.File(scratchRoot).listFiles()
+        .filter(_.getName.startsWith("graft_scratch_"))
+      assert(sessionRoots.length == 1, s"expected one session root in $scratchRoot")
+      val kinds = sessionRoots.head.listFiles().map(_.getName.takeWhile(_ != '_')).sorted
+      assert(kinds.toSeq == Seq("labels", "xh"),
+        s"superseded scratch must be reclaimed eagerly, found: ${kinds.mkString(",")}")
+    } finally {
+      spark.conf.unset("spark.graft.scratchDir")
+    }
+  }
+
   test("bloom pruning keeps every matching row and the exact join result") {
     val orders = Engine.table(spark, SparkTestSession.sfDir, "orders")
     val lineitem = Engine.table(spark, SparkTestSession.sfDir, "lineitem")

@@ -107,6 +107,32 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(r > 0 && r < all)
   }
 
+  test("bloom pruning runs might_contain in the scan stage before any join") {
+    val plan = planString(q("q46_bloom_prune"))
+    assert(plan.contains("might_contain"), s"expected the bloom filter in:\n$plan")
+    // The filter must sit BELOW the join: in the plan string (children
+    // indented under parents) the first Join line appears before — i.e.
+    // above — the might_contain filter line.
+    val joinAt = plan.indexOf("HashJoin")
+    val bloomAt = plan.indexOf("might_contain")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      s"bloom filter must be under the join, not above it:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("unigram frequency scoring broadcasts the vocabulary into the occurrence join") {
+    val plan = planString(q("lm_unigram_freq"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab must broadcast, not shuffle the token stream twice:\n$plan")
+  }
+
+  test("sequence packing sorts once globally and aggregates with partials") {
+    val plan = planString(q("tokens_pack"))
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 2, // window + final ORDER BY
+      s"expected at most the window sort + output order in:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
   test("flagship entry returns rows") {
     val rows = graft.SparkEntry.entry(spark).collect()
     assert(rows.length == 2)
