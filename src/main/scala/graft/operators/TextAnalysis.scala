@@ -155,6 +155,88 @@ object TextAnalysis {
         min("freq").as("min_freq"))
   }
 
+  /** PII redaction patterns — written in the common RE2 ∩ java.util.regex
+    * dialect (no backrefs, no lookaround) so the Spark engine and a
+    * DuckDB/RE2 oracle replace the exact same spans.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}" -> "<PHONE>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>")
+
+  /** PII scrubbing: replace emails / phone numbers / IPv4 literals with
+    * typed placeholder tokens and count what was redacted — the standard
+    * pre-training privacy pass. Entirely row-local codegen'd
+    * `regexp_replace`/`regexp_extract_all` chains: no shuffle, no UDF;
+    * cost is one regex scan per pattern per document.
+    *
+    * Output: (doc_id, clean_text, n_email, n_phone, n_ip).
+    */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cleaned = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    def n(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    docs.select(col(idCol).as("doc_id"), cleaned.as("clean_text"),
+      n(piiPatterns(0)._1).as("n_email"),
+      n(piiPatterns(1)._1).as("n_phone"),
+      n(piiPatterns(2)._1).as("n_ip"))
+  }
+
+  /** Cross-corpus n-gram overlap — the benchmark-decontamination
+    * primitive: for every (corpus doc, probe doc) pair sharing at least
+    * one word n-gram, the count of distinct shared n-grams. Candidates
+    * come through the inverted n-gram index keyed by the PROBE side
+    * (benchmark sets are tiny next to a training corpus, so the join
+    * shuffles |corpus n-grams ∩ probe n-grams| rows, never corpus²; with
+    * a small probe set AQE broadcasts its index). A corpus document with
+    * any overlap ≥ the caller's threshold gets quarantined upstream.
+    *
+    * Output: (corpus_id, probe_id, shared_ngrams).
+    */
+  def crossCorpusOverlap(corpus: DataFrame, probes: DataFrame, n: Int = 5): DataFrame = {
+    val ci = Dedup.shingles(corpus, n).select(col("doc_id").as("corpus_id"), col("shingle"))
+    val pi = Dedup.shingles(probes, n).select(col("doc_id").as("probe_id"), col("shingle"))
+    ci.join(pi, Seq("shingle"))
+      .groupBy("corpus_id", "probe_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  /** Within-document repetition metrics (the Gopher-style repetition
+    * filters, adapted to the corpus' single-line documents):
+    *
+    *   - `dup_trigram_millis`: per-mille of word 3-grams that are repeats
+    *     of an earlier 3-gram in the same document (row-local array ops);
+    *   - `top_tok_count` / `top_tok_millis`: occurrences and per-mille
+    *     share of the document's most frequent token (explode + per-doc
+    *     reduce — two map-side-combined shuffles on (doc_id, token) and
+    *     doc_id, both linear in corpus tokens).
+    *
+    * High values flag degenerate machine-generated or boilerplate text.
+    */
+  def repetitionMetrics(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = tokens(col(textCol))
+    val sh = transform(
+      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(ws).cast("long").as("n_tok"),
+      size(sh).cast("long").as("n_tri"),
+      size(array_distinct(sh)).cast("long").as("n_tri_uniq"))
+    val top = docs.select(col(idCol).as("doc_id"), explode(ws).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_tok_count"))
+    base.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"),
+        when(col("n_tri") > 0,
+          floor((col("n_tri") - col("n_tri_uniq")) * 1000.0 / col("n_tri")))
+          .otherwise(0L).cast("long").as("dup_trigram_millis"),
+        col("top_tok_count"),
+        floor(col("top_tok_count") * 1000.0 / col("n_tok")).cast("long").as("top_tok_millis"))
+  }
+
   /** Deterministic stratified sample: `perStratum` documents per stratum,
     * chosen by md5 of the id — a reproducible, engine-independent draw
     * (md5 of the decimal id string agrees everywhere; ties broken by id).

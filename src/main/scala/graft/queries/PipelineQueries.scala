@@ -485,6 +485,76 @@ object PipelineQueries {
       .orderBy("stratum", "rn")
   }
 
+  declare("text_redact_pii",
+    """WITH aug AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+             THEN text || ' contact bob@example.com or call 555-123-4567 from 10.0.0.1'
+             ELSE text END AS text
+         FROM documents WHERE doc_id < 50)
+       SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean_text,
+         len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phone,
+         len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ip
+       FROM aug ORDER BY doc_id""") { (spark, sfDir) =>
+    // PII is planted (the synthetic corpus has none) so the redaction and
+    // counts are exercised on every 7th document.
+    val aug = t(spark, sfDir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" contact bob@example.com or call 555-123-4567 from 10.0.0.1")))
+          .otherwise(col("text")).as("text"))
+    TextAnalysis.redactPii(aug).orderBy("doc_id")
+  }
+
+  declare("text_decontaminate",
+    """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+       p AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+       cs0 AS (SELECT doc_id, string_split(text, ' ') ws FROM c),
+       cs1 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-4, 0)),
+                 i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]) gs FROM cs0),
+       cs AS (SELECT DISTINCT doc_id, unnest(gs) AS shingle FROM cs1),
+       ps0 AS (SELECT doc_id, string_split(text, ' ') ws FROM p),
+       ps1 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-4, 0)),
+                 i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]) gs FROM ps0),
+       ps AS (SELECT DISTINCT doc_id, unnest(gs) AS shingle FROM ps1)
+       SELECT cs.doc_id AS corpus_id, ps.doc_id AS probe_id, COUNT(*) AS shared_ngrams
+       FROM cs JOIN ps USING (shingle)
+       GROUP BY 1, 2 ORDER BY 1, 2""") { (spark, sfDir) =>
+    // Benchmark decontamination: docs 0-9 stand in for the eval set; any
+    // 5-gram collision marks a training document for quarantine.
+    val docs = t(spark, sfDir, "documents")
+    TextAnalysis.crossCorpusOverlap(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10), n = 5)
+      .orderBy("corpus_id", "probe_id")
+  }
+
+  declare("text_repetition",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 100),
+       tri AS (SELECT doc_id, len(ws) n_tok,
+                 list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) tg FROM d),
+       base AS (SELECT doc_id, n_tok, len(tg) n_tri, len(list_distinct(tg)) n_tri_uniq FROM tri),
+       tok AS (SELECT doc_id, unnest(ws) tok FROM d),
+       cnt AS (SELECT doc_id, tok, COUNT(*) c FROM tok GROUP BY 1, 2),
+       top AS (SELECT doc_id, MAX(c) top_tok_count FROM cnt GROUP BY 1)
+       SELECT b.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(CASE WHEN n_tri > 0 THEN floor((n_tri - n_tri_uniq)*1000.0/n_tri) ELSE 0 END AS BIGINT)
+           AS dup_trigram_millis,
+         CAST(top_tok_count AS BIGINT) AS top_tok_count,
+         CAST(floor(top_tok_count*1000.0/n_tok) AS BIGINT) AS top_tok_millis
+       FROM base b JOIN top t ON b.doc_id = t.doc_id
+       ORDER BY b.doc_id""") { (spark, sfDir) =>
+    TextAnalysis.repetitionMetrics(
+        t(spark, sfDir, "documents").filter(col("doc_id") < 100))
+      .orderBy("doc_id")
+  }
+
   declare("events_stream_dedup",
     """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS value_cents

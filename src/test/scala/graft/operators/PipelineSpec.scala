@@ -284,6 +284,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("redactPii replaces and counts emails, phones, and IPs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "reach me at a.user+x@mail.example.org or 555-123-4567 ok"),
+      (1L, "server 192.168.0.1 and 10.0.0.255 serve plain text"),
+      (2L, "nothing sensitive here at all"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.redactPii(corpus).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows(0) == ((0L, "reach me at <EMAIL> or <PHONE> ok", 1L, 1L, 0L)))
+    assert(rows(1) == ((1L, "server <IP> and <IP> serve plain text", 0L, 0L, 2L)))
+    assert(rows(2) == ((2L, "nothing sensitive here at all", 0L, 0L, 0L)))
+  }
+
+  test("crossCorpusOverlap counts distinct shared n-grams per pair") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "one two three four five six seven"), // shares 5-grams with probe 1
+      (11L, "totally disjoint words nothing common here at"))
+      .toDF("doc_id", "text")
+    val probes = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val rows = TextAnalysis.crossCorpusOverlap(corpus, probes, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // probe has 5-grams {1..5, 2..6}; doc 10 contains both.
+    assert(rows.toSeq == Seq((10L, 1L, 2L)))
+  }
+
+  test("repetitionMetrics: trigram repeats and top-token share") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c a b c a b c"), // 7 trigrams, 3 distinct; 'a' x3 of 9
+      (1L, "all distinct words only once"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionMetrics(corpus).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows(0) == ((0L, 9L, (4 * 1000 / 7).toLong, 3L, 333L)))
+    assert(rows(1) == ((1L, 5L, 0L, 1L, 200L)))
+  }
+
   test("bloom pruning keeps every matching row and the exact join result") {
     val orders = Engine.table(spark, SparkTestSession.sfDir, "orders")
     val lineitem = Engine.table(spark, SparkTestSession.sfDir, "lineitem")
