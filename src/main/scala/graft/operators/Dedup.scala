@@ -54,6 +54,21 @@ object Dedup {
     shingleArray(docs, n, idCol, textCol)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
+  /** [[shingles]] through the JIT'd imperative tokenizer ([[wordShingles]],
+    * identical split semantics) instead of Column HOFs — Spark evaluates
+    * `transform`/`element_at` lambdas interpreted, ~10× slower per token;
+    * prefer this form on any corpus-sized input.
+    */
+  def shinglesJit(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => wordShingles(t, n).map((id, _)) }
+      .toDF("doc_id", "shingle")
+  }
+
   /** Distinct character n-gram shingles per document (JIT'd typed path —
     * semantics identical to `substr(text, i, n)` over 1..len-n+1).
     */
@@ -124,7 +139,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
       charGrams: Boolean = false, maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val sh = if (charGrams) charShingles(docs, n) else shingles(docs, n)
+    val sh = if (charGrams) charShingles(docs, n) else shinglesJit(docs, n)
     val candIndex =
       if (maxShingleDf == Long.MaxValue) sh
       else {
@@ -298,12 +313,7 @@ object Dedup {
     // before the bucket join). The exploded shingle index is only built for
     // verification — same imperative tokenizer, so the two agree — and is
     // scanned from both sides of the intersection join.
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sh = docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) => wordShingles(t, shingleN).map((id, _)) }
-      .toDF("doc_id", "shingle")
+    val sh = shinglesJit(docs, shingleN)
     // Both sides of the bucket self-join consume the signature pass —
     // spill it (tiny: `bands` longs per document) so it runs once.
     val banded = spillBands(minhashBands(docs, numHashes, bands, shingleN))

@@ -88,12 +88,96 @@ object Multimodal {
     }
   }
 
+  /** A PCM WAV asset: `wav` is a complete RIFF/WAVE container. */
+  final case class WavAsset(asset_id: Long, wav: Array[Byte])
+
+  /** Decoded audio features from a parsed WAV container. */
+  final case class WavFeature(asset_id: Long, sample_rate: Long, n_channels: Long,
+      n_samples: Long, peak_abs: Long, sum_abs: Long)
+
+  /** Synthesize a REAL 16-bit mono PCM WAV container per document —
+    * deterministic (sample i = (byte_i − 128) · 128), so decoded features
+    * are oracle-computable from the text while the payload is a genuine
+    * RIFF file any audio tool would accept. Stands in for a parquet of
+    * recorded audio blobs.
+    */
+  def synthesizeWav(spark: SparkSession, docs: DataFrame,
+      sampleRate: Int = 8000): Dataset[WavAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val pcm = t.getBytes("UTF-8")
+        val dataSize = pcm.length * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)                  // PCM, mono
+          .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+          .putShort(2).putShort(16)                 // block align, bits
+          .put("data".getBytes("US-ASCII")).putInt(dataSize)
+        pcm.foreach(b => buf.putShort((((b & 0xff) - 128) * 128).toShort))
+        WavAsset(id, buf.array())
+      }
+  }
+
+  /** REAL decode — no codec library needed for PCM WAV: validate the
+    * RIFF/WAVE magic, WALK THE CHUNK LIST (not fixed offsets — real files
+    * carry LIST/INFO chunks before `data`; odd-sized chunks are padded),
+    * read the format fields out of `fmt `, then reduce the little-endian
+    * int16 samples to (count, peak |s|, Σ|s|). Same typed per-partition
+    * batch loop a JPEG/video decoder would run in.
+    */
+  def decodeWav(spark: SparkSession, wavs: Dataset[WavAsset]): Dataset[WavFeature] = {
+    import spark.implicits._
+    wavs.mapPartitions { it =>
+      it.map { w =>
+        val b = java.nio.ByteBuffer.wrap(w.wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag4(off: Int) = new String(w.wav, off, 4, "US-ASCII")
+        require(tag4(0) == "RIFF" && tag4(8) == "WAVE",
+          s"asset ${w.asset_id}: not a RIFF/WAVE container")
+        var off = 12
+        var sampleRate = -1L
+        var channels = -1L
+        var bits = -1
+        var dataOff = -1
+        var dataLen = -1
+        while (off + 8 <= w.wav.length && (dataOff < 0 || sampleRate < 0)) {
+          val id = tag4(off)
+          val sz = b.getInt(off + 4)
+          if (id == "fmt ") {
+            require(b.getShort(off + 8) == 1, "only uncompressed PCM supported")
+            channels = b.getShort(off + 10).toLong
+            sampleRate = b.getInt(off + 12).toLong
+            bits = b.getShort(off + 22).toInt
+          } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+          off += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+        require(dataOff >= 0 && sampleRate > 0 && bits == 16,
+          s"asset ${w.asset_id}: missing fmt/data chunk or unsupported depth")
+        var i = dataOff
+        val end = dataOff + dataLen
+        var n = 0L
+        var peak = 0L
+        var sum = 0L
+        while (i + 1 < end) {
+          val s = math.abs(b.getShort(i).toLong)
+          n += 1; sum += s; if (s > peak) peak = s
+          i += 2
+        }
+        WavFeature(w.asset_id, sampleRate, channels, n, peak, sum)
+      }
+    }
+  }
+
   /** STUB decode: a real implementation would decode the payload (JPEG
     * grid, PCM frames, video keyframes) inside this partition loop; the
     * container ships no codecs, so features are a deterministic fake —
     * 4 floats derived from payload length and first/middle/last bytes.
     * The Spark-side shape (typed Dataset, per-partition batch loop,
-    * fixed-width output vector) is the real contract.
+    * fixed-width output vector) is the real contract. For a format that
+    * needs no codec at all, see [[decodeWav]] — a genuine binary parse.
     */
   def decodeFeatures(spark: SparkSession, assets: DataFrame): Dataset[AssetFeature] = {
     import spark.implicits._

@@ -196,9 +196,9 @@ object TextAnalysis {
     * Output: (corpus_id, probe_id, shared_ngrams).
     */
   def crossCorpusOverlap(corpus: DataFrame, probes: DataFrame, n: Int = 5): DataFrame = {
-    val ci = Dedup.shingles(corpus, n).select(col("doc_id").as("corpus_id"), col("shingle"))
-    val pi = Dedup.shingles(probes, n).select(col("doc_id").as("probe_id"), col("shingle"))
-    ci.join(pi, Seq("shingle"))
+    val ci = Dedup.shinglesJit(corpus, n).select(col("doc_id").as("corpus_id"), col("shingle"))
+    val pi = Dedup.shinglesJit(probes, n).select(col("doc_id").as("probe_id"), col("shingle"))
+    ci.join(broadcast(pi), Seq("shingle"))
       .groupBy("corpus_id", "probe_id")
       .agg(count(lit(1)).as("shared_ngrams"))
   }

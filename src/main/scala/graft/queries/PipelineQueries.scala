@@ -395,6 +395,24 @@ object PipelineQueries {
     frames.join(resized, "asset_id").orderBy("asset_id")
   }
 
+  declare("multimodal_wav",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+       ch AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(text)),
+                i -> ascii(substr(text, i, 1)))) a FROM d)
+       SELECT doc_id AS asset_id, CAST(8000 AS BIGINT) AS sample_rate,
+         CAST(1 AS BIGINT) AS n_channels, COUNT(*) AS n_samples,
+         CAST(MAX(abs(a - 128) * 128) AS BIGINT) AS peak_abs,
+         CAST(SUM(abs(a - 128) * 128) AS BIGINT) AS sum_abs
+       FROM ch GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    // A REAL binary decode path: synthesize genuine RIFF/WAVE containers,
+    // then parse them back (magic check, chunk walk, fmt fields, LE int16
+    // PCM reduce). The oracle recomputes the features from the text bytes
+    // the synth encoded.
+    val wavs = Multimodal.synthesizeWav(spark,
+      t(spark, sfDir, "documents").filter(col("doc_id") < 40))
+    Multimodal.decodeWav(spark, wavs).toDF().orderBy("asset_id")
+  }
+
   declare("sim_cosine_sql",
     """WITH x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i
                   FROM embeddings),

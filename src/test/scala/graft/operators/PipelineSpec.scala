@@ -323,6 +323,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(1) == ((1L, 5L, 0L, 1L, 200L)))
   }
 
+  test("WAV round-trip: synthesized containers decode to text-derived features") {
+    import spark.implicits._
+    val corpus = Seq((0L, "ab c"), (1L, "zz")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeWav(spark,
+        Multimodal.synthesizeWav(spark, corpus, sampleRate = 44100))
+      .collect().sortBy(_.asset_id)
+    // samples = (byte-128)*128: 'a'=97→-3968, 'b'=98→-3840, ' '=32→-12288,
+    // 'c'=99→-3712, 'z'=122→-768
+    assert(feats(0) == Multimodal.WavFeature(0L, 44100L, 1L, 4L, 12288L,
+      3968L + 3840L + 12288L + 3712L))
+    assert(feats(1) == Multimodal.WavFeature(1L, 44100L, 1L, 2L, 768L, 1536L))
+  }
+
+  test("WAV decoder walks chunk lists (LIST before data) instead of fixed offsets") {
+    import spark.implicits._
+    // Hand-build a container with a LIST chunk of ODD size between fmt
+    // and data: a fixed-44-byte-offset reader mis-parses it; a chunk walk
+    // with word alignment reads it correctly.
+    val pcm = Array[Short](1000, -2000, 300)
+    val listBody = "INFOx".getBytes("US-ASCII") // 5 bytes, odd
+    val dataSize = pcm.length * 2
+    val total = 12 + (8 + 16) + (8 + listBody.length + 1) + (8 + dataSize)
+    val buf = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(16000).putInt(64000).putShort(4).putShort(16)
+    buf.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody).put(0.toByte)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    pcm.foreach(buf.putShort)
+    val out = Multimodal.decodeWav(spark,
+      Seq(Multimodal.WavAsset(7L, buf.array())).toDS()).collect()
+    assert(out.toSeq == Seq(Multimodal.WavFeature(7L, 16000L, 2L, 3L, 2000L, 3300L)))
+  }
+
   test("bloom pruning keeps every matching row and the exact join result") {
     val orders = Engine.table(spark, SparkTestSession.sfDir, "orders")
     val lineitem = Engine.table(spark, SparkTestSession.sfDir, "lineitem")
