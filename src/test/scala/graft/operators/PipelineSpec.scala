@@ -233,6 +233,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(shards.map(_._5).sum == 29L) // every token in exactly one shard
   }
 
+  test("packShards invariants on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val budget = 50L + rnd.nextInt(100)
+      val docs = (0 until 200).map { i =>
+        (i.toLong, (0 to rnd.nextInt(30)).map(_ => "w").mkString(" "))
+      }
+      val total = docs.map(_._2.split(" ").length.toLong).sum
+      val shards = TextAnalysis.packShards(docs.toDF("doc_id", "text"), budget)
+        .orderBy("shard_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // Nothing lost, shards are contiguous id ranges, ids dense from 0.
+      assert(shards.map(_._5).sum == total, s"trial $trial lost tokens")
+      shards.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._1 == a._1 + 1 && b._3 == a._4 + 1, s"trial $trial not contiguous")
+        case _ =>
+      }
+      // Every shard starts because the previous crossed the budget: all but
+      // the last hold > budget - max_doc tokens; with single-doc minimum,
+      // each shard's size exceeds budget only by its final document.
+      shards.dropRight(1).zipWithIndex.foreach { case (s, i) =>
+        assert(s._5 >= budget - 31, s"trial $trial shard $i underfull: $s")
+      }
+    }
+  }
+
   test("unigramFreqScore: exact integer frequency reductions") {
     import spark.implicits._
     val corpus = Seq((0L, "a b a"), (1L, "a c")).toDF("doc_id", "text")
