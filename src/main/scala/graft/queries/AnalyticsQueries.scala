@@ -1005,6 +1005,30 @@ object AnalyticsQueries {
         sum(cents(col("l_extendedprice"))).as("price_cents"))
   }
 
+  // ------------------------------------------------------------------
+  // UNPIVOT (melt): wide per-priority metrics to long (priority, metric,
+  // value) — the inverse surface of q34's PIVOT, via the Dataset unpivot
+  // API (Spark's SQL UNPIVOT clause lowers to the same node). Oracle
+  // spells it as the equivalent UNION ALL.
+  // ------------------------------------------------------------------
+  declare("q47_unpivot",
+    """WITH w AS (
+         SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders GROUP BY 1)
+       SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+       UNION ALL
+       SELECT o_orderpriority, 'total_cents', total_cents FROM w
+       ORDER BY o_orderpriority, metric""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("total_cents")), "metric", "value")
+      .orderBy("o_orderpriority", "metric")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
