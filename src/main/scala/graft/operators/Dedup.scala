@@ -445,6 +445,26 @@ object Dedup {
     docs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Incremental exact dedup — the production shape for a corpus that
+    * grows in batches (daily crawl increments): keep a new document iff
+    * (a) its content hash is unseen in the KNOWN corpus (anti-join against
+    * the known hash set — at 100 TB that set lives as a bucketed/sorted
+    * table so the probe is a co-located join, and only the increment is
+    * scanned in full) and (b) it is its hash's minimum id WITHIN the
+    * increment (one groupBy on the increment only). The known corpus is
+    * never re-deduplicated — cost scales with the increment, not the
+    * archive.
+    */
+  def incrementalExact(newDocs: DataFrame, knownDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val newHashed = newDocs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+    val knownHashes = knownDocs.select(md5(col(textCol)).as("h")).distinct()
+    val unseen = newHashed.join(knownHashes, Seq("h"), "left_anti")
+    val keep = unseen.groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id").as(idCol))
+    newDocs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** 64-bit SimHash per document over word tokens (weight 1 each):
     * bit j of the signature is the sign of sum_t (+-1 by bit j of the
     * token hash). Computed in one row-local JIT'd pass — the 64-wide

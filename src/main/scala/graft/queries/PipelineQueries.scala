@@ -503,6 +503,32 @@ object PipelineQueries {
       .orderBy("stratum", "rn")
   }
 
+  declare("dedup_incremental",
+    """WITH known AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       inc AS (
+         SELECT doc_id, text FROM documents WHERE doc_id >= 400
+         UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 5
+         UNION ALL SELECT doc_id + 30000, text FROM documents WHERE doc_id BETWEEN 400 AND 404),
+       keep AS (
+         SELECT MIN(i.doc_id) AS doc_id
+         FROM inc i
+         WHERE NOT EXISTS (SELECT 1 FROM known k WHERE md5(k.text) = md5(i.text))
+         GROUP BY md5(i.text))
+       SELECT doc_id FROM inc WHERE doc_id IN (SELECT doc_id FROM keep)
+       ORDER BY doc_id""") { (spark, sfDir) =>
+    // Increment = the tail of the corpus + planted copies of KNOWN docs
+    // (must drop: archive collision) + planted copies of increment docs
+    // (must drop: within-batch duplicate, min id wins).
+    val docs = t(spark, sfDir, "documents").select("doc_id", "text")
+    val known = docs.filter(col("doc_id") < 400)
+    val inc = docs.filter(col("doc_id") >= 400)
+      .union(docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      .union(docs.filter(col("doc_id").between(400, 404))
+        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+    Dedup.incrementalExact(inc, known).select("doc_id").orderBy("doc_id")
+  }
+
   declare("text_redact_pii",
     """WITH aug AS (
          SELECT doc_id,

@@ -312,6 +312,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalExact drops archive collisions and within-batch dups only") {
+    import spark.implicits._
+    val known = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "alpha"),  // collides with archive → drop
+      (11L, "gamma"), (12L, "gamma"), // within-batch dup → keep 11 only
+      (13L, "delta")) // fresh → keep
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(inc, known)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+  }
+
   test("redactPii replaces and counts emails, phones, and IPs") {
     import spark.implicits._
     val corpus = Seq(
