@@ -101,24 +101,43 @@ object TextAnalysis {
     * ranges that may overshoot the budget by at most one document — the
     * standard greedy convention, deterministic on any engine.
     *
-    * Scale shape: one global range-partitioned sort for the running sum
-    * (Spark's window over a global ORDER BY). At 100 TB shard assignment
-    * would run per-partition with a per-partition offset (two passes); the
-    * windowed form here is the semantics reference.
+    * Scale shape — the two-pass distributed prefix sum, NOT a global
+    * window (`Window.orderBy` with no partition key moves every row into
+    * ONE partition — the single-task anti-pattern): range-partition +
+    * sort by doc_id, reduce each partition to its token total (the only
+    * driver traffic: one long per partition), exclusive-prefix those
+    * totals into per-partition offsets, then assign shards in a row-local
+    * second pass seeded by the offset. This is the rare genuinely
+    * imperative per-partition computation, so it runs on the RDD layer
+    * with an explicit deterministic `RangePartitioner` (AQE cannot
+    * re-coalesce partitions between the two passes there).
     *
     * Output: (shard_id, n_docs, first_doc, last_doc, shard_tokens).
     */
   def packShards(docs: DataFrame, budgetTokens: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol).as("doc_id"),
-        size(tokens(col(textCol))).cast("long").as("n_tok"))
-      .select(col("doc_id"), col("n_tok"),
-        (sum(col("n_tok")).over(w) - col("n_tok")).as("before"))
-      .select(col("doc_id"), col("n_tok"),
-        floor(col("before") / budgetTokens.toDouble).cast("long").as("shard_id"))
+    require(budgetTokens > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kv = docs.select(col(idCol).cast("long"), size(tokens(col(textCol))).cast("long"))
+      .as[(Long, Long)].rdd
+    val numParts = math.max(1,
+      math.min(kv.getNumPartitions, spark.sessionState.conf.numShufflePartitions))
+    val sorted = kv.repartitionAndSortWithinPartitions(
+      new org.apache.spark.RangePartitioner(numParts, kv, ascending = true))
+    val partTotals = sorted
+      .mapPartitions(it => Iterator.single(it.foldLeft(0L)(_ + _._2)), true)
+      .collect()
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val assigned = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var running = offsets(pid)
+      it.map { case (id, n) =>
+        val before = running
+        running += n
+        (id, n, before / budgetTokens)
+      }
+    }
+    assigned.toDF("doc_id", "n_tok", "shard_id")
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),

@@ -126,11 +126,18 @@ class QueryPlanSpec extends AnyFunSuite {
       s"vocab must broadcast, not shuffle the token stream twice:\n$plan")
   }
 
-  test("sequence packing sorts once globally and aggregates with partials") {
-    val plan = planString(q("tokens_pack"))
-    assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 2, // window + final ORDER BY
-      s"expected at most the window sort + output order in:\n$plan")
-    assert(plan.contains("Window"))
+  test("sequence packing never funnels the corpus through one window partition") {
+    val df = q("tokens_pack")
+    val plan = planString(df)
+    // The two-pass prefix-sum implementation must not plan a global
+    // Window (Window.orderBy with no partitionBy = all rows in ONE task).
+    assert(!plan.contains("Window"), s"found a global window in:\n$plan")
+    // Assignment enters as a distributed RDD; aggregation is partial
+    // before the shuffle.
+    assert(plan.contains("ExternalRDD") || plan.contains("ExistingRDD") ||
+      plan.contains("SerializeFromObject"),
+      s"expected the RDD two-pass assignment in:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2)
   }
 
   test("flagship entry returns rows") {
