@@ -259,19 +259,44 @@ object TextAnalysis {
   /** Deterministic stratified sample: `perStratum` documents per stratum,
     * chosen by md5 of the id — a reproducible, engine-independent draw
     * (md5 of the decimal id string agrees everywhere; ties broken by id).
-    * The per-stratum top-k is a window rank; at 100 TB with few strata the
-    * window keys are hot, so the scale path is the same md5 order pushed
-    * through a per-stratum threshold (approximate k) or salted top-k —
-    * this exact form is the semantics reference and is right up to
-    * millions of rows per stratum.
+    *
+    * Scale shape — two-phase exact top-k, NOT a corpus-wide window (a
+    * window partitioned by a handful of strata drags each stratum's every
+    * row through one task): phase 1 keeps at most `perStratum` candidates
+    * per stratum per PARTITION with bounded in-memory heaps (row-local,
+    * no shuffle, state ≤ strata × k per task); phase 2 ranks only the
+    * surviving ≤ k × partitions rows per stratum — the window there
+    * touches a vanishing fraction of the corpus. Output is identical to
+    * the naive global rank.
     */
   def stratifiedSample(docs: DataFrame, stratumCol: String, perStratum: Int,
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("stratum")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    docs.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col(stratumCol).cast("string").as("stratum"),
+        md5(col(idCol).cast("string")).as("k"), col(idCol).cast("long").as("doc_id"))
+      .as[(String, String, Long)]
+    val candidates = keyed.mapPartitions { it =>
+      // max-heap per stratum on (md5, id): evict the LARGEST once over k,
+      // leaving each partition's k smallest draws.
+      val heaps = collection.mutable.HashMap
+        .empty[String, collection.mutable.PriorityQueue[(String, Long)]]
+      it.foreach { case (s, k, id) =>
+        val h = heaps.getOrElseUpdate(s,
+          collection.mutable.PriorityQueue.empty[(String, Long)](
+            Ordering.Tuple2[String, Long]))
+        if (h.size < perStratum) h.enqueue((k, id))
+        else if (Ordering.Tuple2[String, Long].lt((k, id), h.head)) {
+          h.dequeue(); h.enqueue((k, id))
+        }
+      }
+      heaps.iterator.flatMap { case (s, h) => h.iterator.map(e => (s, e._1, e._2)) }
+    }.toDF("stratum", "k", "doc_id")
+    val w = Window.partitionBy("stratum").orderBy(col("k"), col("doc_id"))
+    candidates
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= perStratum)
+      .select("doc_id", "stratum", "rn")
   }
 }
