@@ -47,20 +47,54 @@ object Similarity {
   def norm(a: Column): Column =
     ColumnBridge.column(graft.functions.VectorNorm(ColumnBridge.expression(a)))
 
+  /** Exact top-k over scored rows (query_id, neighbor_id, sim), ranked by
+    * (sim desc, neighbor_id asc) — TWO-PHASE: bounded per-partition heaps
+    * (≤ queries × k entries per task, row-local) feed a final rank over
+    * ≤ k × partitions survivors per query. A corpus-wide window keyed by
+    * a handful of query ids would instead drag every scored row of a
+    * query through ONE task — the hot-key funnel this avoids. Output is
+    * identical to the naive global rank.
+    */
+  private def topKScored(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val candidates = scored.select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long"), col("sim").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        // Per query: max-heap on (-sim, neighbor_id), so head = worst kept.
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = collection.mutable.HashMap
+          .empty[Long, collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (q, nb, sim) =>
+          val h = heaps.getOrElseUpdate(q,
+            collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+          val e = (-sim, nb)
+          if (h.size < k) h.enqueue(e)
+          else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map(e => (q, e._2, -e._1))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "sim")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    candidates.select(col("query_id"), row_number().over(w).cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force top-k cosine neighbors for each query vector.
     * Output: (query_id, rank, neighbor_id, sim) with sim = round(cos, 3).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qe"), col("ne")), 3).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.select(col("query_id"), row_number().over(w).cast("long").as("rank"),
-        col("neighbor_id"), col("sim"))
-      .filter(col("rank") <= k)
+    topKScored(scored, k)
   }
 
   /** Assign every vector to its nearest centroid (max quantized cosine,
@@ -118,10 +152,7 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("qe"), col("embedding")), 3).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.select(col("query_id"), row_number().over(w).cast("long").as("rank"),
-        col("neighbor_id"), col("sim"))
-      .filter(col("rank") <= k)
+    topKScored(scored, k)
   }
 
   /** Deterministic Lloyd's k-means for IVF codebooks: init = the k lowest
