@@ -1029,6 +1029,30 @@ object AnalyticsQueries {
       .orderBy("o_orderpriority", "metric")
   }
 
+  // ------------------------------------------------------------------
+  // Partitioned-layout scan pruning: write a hive-partitioned copy, read
+  // it back through a partition-key filter — the scan must prune to the
+  // matching directories (PartitionFilters; asserted in QueryPlanSpec),
+  // the 100 TB layout for any date/key-partitioned fact table. Oracle is
+  // the same aggregate over the unpartitioned source.
+  // ------------------------------------------------------------------
+  declare("q48_partitioned_prune",
+    """SELECT l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+       FROM lineitem WHERE l_returnflag = 'R'
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_part48").toString
+    t(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_extendedprice")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    spark.read.parquet(dir)
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"))
+      .orderBy("l_linestatus")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
