@@ -58,6 +58,14 @@ private[graft] object Scratch {
     (spark.read.parquet(dir), dir)
   }
 
+  /** A fresh directory path under the session scratch root, for callers
+    * that write through their own sink (csv/json/orc round-trips,
+    * partitioned layouts). Nothing is created here; the path inherits the
+    * session root's shutdown-hook cleanup.
+    */
+  def freshDir(spark: SparkSession, prefix: String): String =
+    s"${sessionRoot(spark)}/${prefix}_${java.util.UUID.randomUUID()}"
+
   /** Eagerly delete a scratch dataset that no live plan references. */
   def delete(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)

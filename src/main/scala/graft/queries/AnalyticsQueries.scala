@@ -467,7 +467,7 @@ object AnalyticsQueries {
   declare("q22_csv_roundtrip",
     """SELECT r_name, COUNT(*) AS n_nations FROM region JOIN nation ON r_regionkey = n_regionkey
        GROUP BY r_name ORDER BY r_name""") { (spark, sfDir) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val dir = graft.operators.Scratch.freshDir(spark, "csv")
     t(spark, sfDir, "region").coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(dir)
     val back = spark.read.option("header", "true")
@@ -478,7 +478,7 @@ object AnalyticsQueries {
 
   declare("q23_json_roundtrip",
     """SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val dir = graft.operators.Scratch.freshDir(spark, "json")
     t(spark, sfDir, "nation").coalesce(1).write.mode("overwrite").json(dir)
     spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(dir)
       .groupBy("n_regionkey").agg(count(lit(1)).as("n")).orderBy("n_regionkey")
@@ -650,7 +650,7 @@ object AnalyticsQueries {
     """SELECT s_nationkey, COUNT(*) AS n,
          CAST(SUM(CAST(round(s_acctbal*100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
        FROM supplier GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val dir = graft.operators.Scratch.freshDir(spark, "orc")
     t(spark, sfDir, "supplier").coalesce(1).write.mode("overwrite").orc(dir)
     spark.read.orc(dir)
       .groupBy("s_nationkey")
@@ -1041,7 +1041,7 @@ object AnalyticsQueries {
          CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS price_cents
        FROM lineitem WHERE l_returnflag = 'R'
        GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_part48").toString
+    val dir = graft.operators.Scratch.freshDir(spark, "part48")
     t(spark, sfDir, "lineitem")
       .select("l_returnflag", "l_linestatus", "l_extendedprice")
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
