@@ -23,11 +23,20 @@ object Dedup {
   private def materialize(df: DataFrame, prefix: String): DataFrame =
     Scratch.materialize(df, prefix)._1
 
+  /** Null text is an EMPTY document — the crawl convention every operator
+    * here follows: a missing payload hashes/shingles/fingerprints as "",
+    * so two null-text rows are exact duplicates of each other (and of
+    * empty-text rows), and no executor ever NPEs on a dirty corpus.
+    */
+  @inline private[operators] def nn(t: String): String = if (t == null) "" else t
+
   /** Exact duplicates by content hash. Returns (dup_id, kept_id): every
     * row whose text hash already has a lower id. One shuffle on the hash.
+    * Null text = empty text (see [[nn]]).
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hashed = docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+    val hashed = docs.select(col(idCol).as("doc_id"),
+      md5(coalesce(col(textCol), lit(""))).as("h"))
     val groups = hashed.groupBy("h")
       .agg(min("doc_id").as("kept_id"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
@@ -65,7 +74,7 @@ object Dedup {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .flatMap { case (id, t) => wordShingles(t, n).map((id, _)) }
+      .flatMap { case (id, t) => wordShingles(nn(t), n).map((id, _)) }
       .toDF("doc_id", "shingle")
   }
 
@@ -78,7 +87,8 @@ object Dedup {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .flatMap { case (id, t) =>
+      .flatMap { case (id, t0) =>
+        val t = nn(t0)
         val seen = new java.util.HashSet[String]()
         (0 to t.length - n).iterator
           .map(i => t.substring(i, i + n))
@@ -211,7 +221,7 @@ object Dedup {
       .flatMap { case (id, text) =>
         val sig = Array.fill(numHashes)(Long.MaxValue)
         var any = false
-        wordShingles(text, shingleN).foreach { s =>
+        wordShingles(nn(text), shingleN).foreach { s =>
           any = true
           val base = fnv64(s)
           var i = 0
@@ -362,7 +372,7 @@ object Dedup {
     // quadratic pair blow-up the banding cannot bound. Reps then go
     // through LSH + propagation, and members inherit their rep's label.
     val hashed = materialize(
-      docs.select(col("doc_id"), md5(col("text")).as("h")), "xh")
+      docs.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h")), "xh")
     val reps = hashed.groupBy("h").agg(min("doc_id").as("rep_id"))
     val repDocs = docs.join(reps.select(col("rep_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
@@ -457,8 +467,9 @@ object Dedup {
     */
   def incrementalExact(newDocs: DataFrame, knownDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val newHashed = newDocs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
-    val knownHashes = knownDocs.select(md5(col(textCol)).as("h")).distinct()
+    val newHashed = newDocs.select(col(idCol).as("doc_id"),
+      md5(coalesce(col(textCol), lit(""))).as("h"))
+    val knownHashes = knownDocs.select(md5(coalesce(col(textCol), lit(""))).as("h")).distinct()
     val unseen = newHashed.join(knownHashes, Seq("h"), "left_anti")
     val keep = unseen.groupBy("h").agg(min("doc_id").as("doc_id"))
       .select(col("doc_id").as(idCol))
@@ -478,7 +489,7 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, t) =>
         val counts = new Array[Int](64)
-        t.split(" ", -1).foreach { tok =>
+        nn(t).split(" ", -1).foreach { tok =>
           val h = mix64(fnv64(tok))
           var j = 0
           while (j < 64) {

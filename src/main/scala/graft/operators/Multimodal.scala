@@ -106,7 +106,7 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .map { case (id, t) =>
-        val pcm = t.getBytes("UTF-8")
+        val pcm = (if (t == null) "" else t).getBytes("UTF-8")
         val dataSize = pcm.length * 2
         val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)

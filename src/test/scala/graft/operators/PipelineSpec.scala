@@ -312,6 +312,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dirty corpora with null text dedup as empty documents, never crash") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, null.asInstanceOf[String]), (1L, ""), (2L, null.asInstanceOf[String]),
+      (3L, "real content with several words here okay fine"))
+      .toDF("doc_id", "text")
+    // exact: nulls and "" are one duplicate group, min id kept.
+    val dups = Dedup.exact(corpus).select("dup_id").collect().map(_.getLong(0)).toSet
+    assert(dups == Set(1L, 2L))
+    // the LSH path must not NPE and must keep the group's min id.
+    val kept = Dedup.deduplicate(corpus, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L))
+    // signature/simhash passes tolerate nulls too.
+    assert(Dedup.simhash(corpus).count() == 4)
+    assert(Dedup.minhashBands(corpus, 32, 8, 3).filter(col("doc_id") === 0L).count() == 0)
+  }
+
   test("incrementalExact drops archive collisions and within-batch dups only") {
     import spark.implicits._
     val known = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
