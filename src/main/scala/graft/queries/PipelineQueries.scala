@@ -434,6 +434,18 @@ object PipelineQueries {
   }
 
   // -------------------------------------------------------- embeddings
+  declare("sim_quantize_int8",
+    """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) v FROM embeddings),
+       mm AS (SELECT vec_id, MIN(v) mn, MAX(v) mx, COUNT(*) n FROM x GROUP BY 1)
+       SELECT m.vec_id, m.mn AS qmin, m.mx AS qmax, m.n AS n_codes,
+         CAST(SUM(CASE WHEN m.mx > m.mn
+           THEN CAST(round((x.v - m.mn) * 255.0 / (m.mx - m.mn), 0) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS code_sum
+       FROM x JOIN mm m USING (vec_id)
+       GROUP BY 1, 2, 3, 4 ORDER BY m.vec_id""") { (spark, sfDir) =>
+    Similarity.quantizeInt8(t(spark, sfDir, "embeddings")).orderBy("vec_id")
+  }
+
   declare("embed_norms_by_label",
     """WITH x AS (SELECT vec_id, label, unnest(embedding) v FROM embeddings),
        norms AS (SELECT vec_id, label, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn

@@ -382,6 +382,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(1) == ((1L, 5L, 0L, 1L, 200L)))
   }
 
+  test("int8 quantization: codes in range, dequantization error <= scale/2") {
+    import spark.implicits._
+    val rows = embeddings.limit(20)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val q = Similarity.quantizeInt8(embeddings.limit(20))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    rows.foreach { case (id, emb) =>
+      val (mn, mx, n, codeSum) = q(id)
+      assert(n == emb.length)
+      assert(mn == emb.map(_.toDouble).min && mx == emb.map(_.toDouble).max)
+      val scale = (mx - mn) / 255.0
+      var expectedSum = 0L
+      emb.foreach { f =>
+        val c = if (mx > mn) math.round((f.toDouble - mn) * 255.0 / (mx - mn)) else 0L
+        assert(c >= 0L && c <= 255L)
+        // round-trip error bound: |dequant − v| ≤ scale/2
+        assert(math.abs((mn + c * scale) - f.toDouble) <= scale / 2 + 1e-12)
+        expectedSum += c
+      }
+      assert(codeSum == expectedSum)
+    }
+  }
+
   test("WAV round-trip: synthesized containers decode to text-derived features") {
     import spark.implicits._
     val corpus = Seq((0L, "ab c"), (1L, "zz")).toDF("doc_id", "text")
