@@ -459,6 +459,23 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  // -------------------------------------------------------------- skew
+  declare("skew_salted_agg",
+    """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS total
+       FROM events GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    // Hot-key aggregation through the explicit two-phase salt: a handful
+    // of event types carry every row, so the partial aggregates per
+    // (key, salt) spread each hot key over 16 reducers; results equal the
+    // plain groupBy exactly (deterministic salt, integer values).
+    import graft.operators.Skew
+    val ev = Engine.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
+    Skew.saltedCountSum(ev, "event_type", "cents", salt = 16)
+      .select(col("event_type"), col("n"), col("total").cast("long").as("total"))
+      .orderBy("event_type")
+  }
+
   // --------------------------------------------------------- streaming
   declare("events_stream_hourly",
     """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
