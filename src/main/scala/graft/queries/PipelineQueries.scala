@@ -459,6 +459,23 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  declare("text_edit_distance",
+    """WITH r AS (SELECT substr(text, 1, 40) AS ref FROM documents WHERE doc_id = 0)
+       SELECT doc_id, CAST(levenshtein(substr(text, 1, 40), ref) AS BIGINT) AS lev
+       FROM documents, r WHERE doc_id BETWEEN 1 AND 15
+       ORDER BY doc_id""") { (spark, sfDir) =>
+    // Edit-distance scalar (fuzzy title/record matching): both engines
+    // implement classic Levenshtein, so distances agree exactly.
+    val docs = t(spark, sfDir, "documents")
+    val ref = docs.filter(col("doc_id") === 0)
+      .select(substring(col("text"), 1, 40).as("ref"))
+    docs.filter(col("doc_id").between(1, 15))
+      .crossJoin(broadcast(ref))
+      .select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 40), col("ref")).cast("long").as("lev"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- skew
   declare("skew_salted_agg",
     """SELECT event_type, COUNT(*) AS n,
