@@ -382,6 +382,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(1) == ((1L, 5L, 0L, 1L, 200L)))
   }
 
+  test("two-phase operators are partition-invariant") {
+    // The heap/prefix two-phase formulations must give identical results
+    // no matter how the input is split — the property that makes them
+    // safe replacements for single-task windows at scale.
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    Seq(1, 3, 13).foreach { parts =>
+      val d = docs.repartition(parts)
+      val e = embeddings.repartition(parts)
+      assert(canon(TextAnalysis.packShards(d, budgetTokens = 500)) ==
+        canon(TextAnalysis.packShards(docs, budgetTokens = 500)), s"packShards @$parts")
+      assert(canon(TextAnalysis.stratifiedSample(d, "lang", 5)) ==
+        canon(TextAnalysis.stratifiedSample(docs, "lang", 5)), s"stratifiedSample @$parts")
+      assert(canon(Similarity.bruteForceTopK(e,
+          embeddings.filter(col("vec_id") < 3), k = 5)) ==
+        canon(Similarity.bruteForceTopK(embeddings,
+          embeddings.filter(col("vec_id") < 3), k = 5)), s"bruteForceTopK @$parts")
+    }
+  }
+
   test("int8 quantization: codes in range, dequantization error <= scale/2") {
     import spark.implicits._
     val rows = embeddings.limit(20)
