@@ -93,11 +93,16 @@ object PipelineQueries {
   }
 
   declare("dedup_corpus",
-    """SELECT doc_id FROM documents ORDER BY doc_id""") { (spark, sfDir) =>
-    // End-to-end dedup: plant 20 exact duplicates, run the full pipeline
-    // (LSH pairs -> min-label components -> anti-join), keep threshold 1.0
-    // so exactly the planted copies (higher ids) are removed and the
-    // original corpus survives.
+    """WITH corpus AS (SELECT doc_id, text FROM documents
+         UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20),
+       keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text))
+       SELECT doc_id FROM corpus WHERE doc_id IN (SELECT doc_id FROM keep)
+       ORDER BY doc_id""") { (spark, sfDir) =>
+    // End-to-end dedup at threshold 1.0: plant 20 exact duplicates, keep
+    // each hash group's min id. The oracle computes the TRUE min-per-hash
+    // survivors rather than assuming only the planted copies collide — at
+    // sf0.1 the synthetic corpus contains natural exact duplicates too,
+    // which the engine correctly removes.
     Dedup.deduplicate(plantedCorpus(t(spark, sfDir, "documents")), threshold = 1.0)
       .select("doc_id").orderBy("doc_id")
   }
@@ -309,14 +314,15 @@ object PipelineQueries {
     """WITH corpus AS (SELECT doc_id, text, lang FROM documents
          UNION ALL SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id < 20),
        quality AS (
-         SELECT doc_id, lang, len(string_split(text, ' ')) n_tokens
+         SELECT doc_id, lang, text, len(string_split(text, ' ')) n_tokens
          FROM corpus
          WHERE len(string_split(text, ' ')) >= 20
            AND floor(len(list_filter(string_split(text, ' '),
                  w -> list_contains(['the','a','and','of','to','in','is'], w)))*100.0
                / len(string_split(text, ' '))) < 50
        ),
-       deduped AS (SELECT * FROM quality WHERE doc_id < 10000)
+       keep AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+       deduped AS (SELECT * FROM quality WHERE doc_id IN (SELECT doc_id FROM keep))
        SELECT lang, COUNT(*) n_docs, CAST(SUM(n_tokens) AS BIGINT) sum_tokens
        FROM deduped GROUP BY lang ORDER BY lang""") { (spark, sfDir) =>
     // The full training-data prep chain in one plan: plant duplicates,
