@@ -171,13 +171,185 @@ object Multimodal {
     }
   }
 
+  /** A BMP image asset: `bmp` is a complete 24-bpp bitmap file. */
+  final case class BmpAsset(asset_id: Long, bmp: Array[Byte])
+
+  /** Decoded image features from a parsed BMP. */
+  final case class BmpFeature(asset_id: Long, width: Long, height: Long,
+      pixel_sum: Long, n_nonzero: Long)
+
+  /** Synthesize a REAL 24-bpp grayscale BMP per document (pixel i = the
+    * i-th text byte in all three channels, row-major top-down in source
+    * order, rows stored bottom-up per the format; tail padded with 0).
+    * Any image viewer opens these. `width` fixed; height = ⌈bytes/width⌉.
+    */
+  def synthesizeBmp(spark: SparkSession, docs: DataFrame, width: Int = 16): Dataset[BmpAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val px = (if (t == null) "" else t).getBytes("UTF-8")
+        val h = math.max(1, (px.length + width - 1) / width)
+        val stride = (width * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+        val dataSize = stride * h
+        val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+          .putShort(0).putShort(0).putInt(54)       // reserved, pixel offset
+          .putInt(40).putInt(width).putInt(h)       // BITMAPINFOHEADER
+          .putShort(1).putShort(24)                 // planes, bpp
+          .putInt(0).putInt(dataSize)               // no compression
+          .putInt(2835).putInt(2835).putInt(0).putInt(0)
+        // BMP stores rows bottom-up: file row fr holds source row h-1-fr.
+        var fr = 0
+        while (fr < h) {
+          val srcRow = h - 1 - fr
+          var c = 0
+          while (c < width) {
+            val i = srcRow * width + c
+            val v: Byte = if (i < px.length) px(i) else 0
+            buf.put(v).put(v).put(v)
+            c += 1
+          }
+          var pad = width * 3
+          while (pad < stride) { buf.put(0.toByte); pad += 1 }
+          fr += 1
+        }
+        BmpAsset(id, buf.array())
+      }
+  }
+
+  /** REAL BMP decode: validate the `BM` magic, read the pixel-array
+    * offset, width/height/bpp from BITMAPINFOHEADER (little-endian at
+    * fixed offsets — this format IS fixed-layout, unlike RIFF), then walk
+    * the bottom-up padded rows summing the blue channel. Works on any
+    * uncompressed 24-bpp bitmap, not just synthesized ones.
+    */
+  def decodeBmp(spark: SparkSession, bmps: Dataset[BmpAsset]): Dataset[BmpFeature] = {
+    import spark.implicits._
+    bmps.mapPartitions { it =>
+      it.map { a =>
+        val b = java.nio.ByteBuffer.wrap(a.bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(a.bmp(0) == 'B'.toByte && a.bmp(1) == 'M'.toByte,
+          s"asset ${a.asset_id}: not a BMP")
+        val off = b.getInt(10)
+        val width = b.getInt(18)
+        val height = b.getInt(22)
+        require(b.getShort(28) == 24 && b.getInt(30) == 0,
+          s"asset ${a.asset_id}: only uncompressed 24-bpp supported")
+        val stride = (width * 3 + 3) & ~3
+        var sum = 0L
+        var nz = 0L
+        var row = 0
+        while (row < height) {
+          val base = off + row * stride
+          var c = 0
+          while (c < width) {
+            val v = a.bmp(base + c * 3) & 0xff
+            sum += v
+            if (v != 0) nz += 1
+            c += 1
+          }
+          row += 1
+        }
+        BmpFeature(a.asset_id, width.toLong, height.toLong, sum, nz)
+      }
+    }
+  }
+
+  /** A Y4M (YUV4MPEG2) video asset: a complete uncompressed stream. */
+  final case class Y4mAsset(asset_id: Long, y4m: Array[Byte])
+
+  /** Decoded video features from a parsed Y4M stream. */
+  final case class Y4mFeature(asset_id: Long, width: Long, height: Long,
+      n_frames: Long, luma_sum: Long)
+
+  /** Synthesize a REAL YUV4MPEG2 (C420) stream per document: the text
+    * bytes fill successive w×h luma planes (tail-padded with 0), chroma
+    * planes are neutral 128. `mpv`/`ffplay` play these. One frame per
+    * ⌈bytes/(w·h)⌉ chunk.
+    */
+  def synthesizeY4m(spark: SparkSession, docs: DataFrame,
+      width: Int = 8, height: Int = 8): Dataset[Y4mAsset] = {
+    import spark.implicits._
+    require(width % 2 == 0 && height % 2 == 0)
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = (if (t == null) "" else t).getBytes("UTF-8")
+        val lumaSize = width * height
+        val chromaSize = (width / 2) * (height / 2)
+        val nFrames = math.max(1, (bytes.length + lumaSize - 1) / lumaSize)
+        val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+        val frameMark = "FRAME\n".getBytes("US-ASCII")
+        val out = java.nio.ByteBuffer.allocate(
+          header.length + nFrames * (frameMark.length + lumaSize + 2 * chromaSize))
+        out.put(header)
+        var f = 0
+        while (f < nFrames) {
+          out.put(frameMark)
+          var i = 0
+          while (i < lumaSize) {
+            val src = f * lumaSize + i
+            out.put(if (src < bytes.length) bytes(src) else 0.toByte)
+            i += 1
+          }
+          var cc = 0
+          while (cc < 2 * chromaSize) { out.put(128.toByte); cc += 1 }
+          f += 1
+        }
+        Y4mAsset(id, out.array())
+      }
+  }
+
+  /** REAL Y4M decode: parse the text header (tokens `W<w> H<h> …` —
+    * variable order per spec), then walk `FRAME` markers (each may carry
+    * its own parameters up to the newline) accumulating per-frame luma.
+    * Works on any C420 Y4M stream.
+    */
+  def decodeY4m(spark: SparkSession, vids: Dataset[Y4mAsset]): Dataset[Y4mFeature] = {
+    import spark.implicits._
+    vids.mapPartitions { it =>
+      it.map { a =>
+        val d = a.y4m
+        var nl = 0
+        while (d(nl) != '\n'.toByte) nl += 1
+        val header = new String(d, 0, nl, "US-ASCII")
+        val toks = header.split(" ")
+        require(toks(0) == "YUV4MPEG2", s"asset ${a.asset_id}: not a Y4M stream")
+        val width = toks.find(_.startsWith("W")).map(_.tail.toInt)
+          .getOrElse(sys.error("no width"))
+        val height = toks.find(_.startsWith("H")).map(_.tail.toInt)
+          .getOrElse(sys.error("no height"))
+        require(toks.find(_.startsWith("C")).forall(_ == "C420"),
+          s"asset ${a.asset_id}: only C420 supported")
+        val lumaSize = width * height
+        val chromaSize = (width / 2) * (height / 2)
+        var pos = nl + 1
+        var frames = 0L
+        var luma = 0L
+        while (pos < d.length) {
+          require(new String(d, pos, 5, "US-ASCII") == "FRAME",
+            s"asset ${a.asset_id}: bad frame marker at $pos")
+          pos += 5
+          while (d(pos) != '\n'.toByte) pos += 1 // frame params, if any
+          pos += 1
+          var i = 0
+          while (i < lumaSize) { luma += d(pos + i) & 0xff; i += 1 }
+          pos += lumaSize + 2 * chromaSize
+          frames += 1
+        }
+        Y4mFeature(a.asset_id, width.toLong, height.toLong, frames, luma)
+      }
+    }
+  }
+
   /** STUB decode: a real implementation would decode the payload (JPEG
     * grid, PCM frames, video keyframes) inside this partition loop; the
     * container ships no codecs, so features are a deterministic fake —
     * 4 floats derived from payload length and first/middle/last bytes.
     * The Spark-side shape (typed Dataset, per-partition batch loop,
-    * fixed-width output vector) is the real contract. For a format that
-    * needs no codec at all, see [[decodeWav]] — a genuine binary parse.
+    * fixed-width output vector) is the real contract. For formats that
+    * need no codec at all, see [[decodeWav]]/[[decodeBmp]]/[[decodeY4m]]
+    * — genuine binary parses of real containers for all three modalities.
     */
   def decodeFeatures(spark: SparkSession, assets: DataFrame): Dataset[AssetFeature] = {
     import spark.implicits._

@@ -419,6 +419,45 @@ object PipelineQueries {
     Multimodal.decodeWav(spark, wavs).toDF().orderBy("asset_id")
   }
 
+  declare("multimodal_bmp",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+       ch AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(text)),
+                i -> ascii(substr(text, i, 1)))) a FROM d)
+       SELECT doc_id AS asset_id, CAST(16 AS BIGINT) AS width,
+         CAST(CASE WHEN length(min(d2.text)) = 0 THEN 1
+           ELSE CAST(ceil(length(min(d2.text)) / 16.0) AS BIGINT) END AS BIGINT) AS height,
+         CAST(SUM(a) AS BIGINT) AS pixel_sum,
+         CAST(SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero
+       FROM ch JOIN d d2 USING (doc_id)
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    // REAL image container round-trip: genuine 24-bpp BMPs parsed back
+    // (magic, pixel offset, header dims, bottom-up padded rows). Oracle
+    // recomputes pixel stats from the text bytes (zero padding adds 0 to
+    // the sum and nothing to the nonzero count; the corpus has no NUL
+    // characters).
+    Multimodal.decodeBmp(spark, Multimodal.synthesizeBmp(spark,
+        t(spark, sfDir, "documents").filter(col("doc_id") < 40), width = 16))
+      .toDF().orderBy("asset_id")
+  }
+
+  declare("multimodal_y4m",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+       ch AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(text)),
+                i -> ascii(substr(text, i, 1)))) a FROM d)
+       SELECT doc_id AS asset_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+         CAST(CASE WHEN length(min(d2.text)) = 0 THEN 1
+           ELSE CAST(ceil(length(min(d2.text)) / 64.0) AS BIGINT) END AS BIGINT) AS n_frames,
+         CAST(SUM(a) AS BIGINT) AS luma_sum
+       FROM ch JOIN d d2 USING (doc_id)
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    // REAL video container round-trip: YUV4MPEG2 streams (text header +
+    // FRAME-marked C420 planes) synthesized and parsed back; oracle
+    // recomputes frame counts and luma sums from the encoded bytes.
+    Multimodal.decodeY4m(spark, Multimodal.synthesizeY4m(spark,
+        t(spark, sfDir, "documents").filter(col("doc_id") < 40), 8, 8))
+      .toDF().orderBy("asset_id")
+  }
+
   declare("sim_cosine_sql",
     """WITH x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i
                   FROM embeddings),

@@ -460,6 +460,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(Multimodal.WavFeature(7L, 16000L, 2L, 3L, 2000L, 3300L)))
   }
 
+  test("BMP round-trip: header dims, bottom-up rows, padded strides decode exactly") {
+    import spark.implicits._
+    // width 6 → stride 20 with 2 pad bytes per row: exercises padding.
+    val corpus = Seq((0L, "abcdefgh"), (1L, "z")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeBmp(spark,
+        Multimodal.synthesizeBmp(spark, corpus, width = 6))
+      .collect().sortBy(_.asset_id)
+    // doc 0: 8 bytes over 2 rows of 6; sum = Σascii, nonzero = 8.
+    val sum0 = "abcdefgh".map(_.toInt).sum
+    assert(feats(0) == Multimodal.BmpFeature(0L, 6L, 2L, sum0.toLong, 8L))
+    assert(feats(1) == Multimodal.BmpFeature(1L, 6L, 1L, 'z'.toInt.toLong, 1L))
+  }
+
+  test("Y4M round-trip: multi-frame streams with frame markers decode exactly") {
+    import spark.implicits._
+    val text = "x" * 70 // 70 bytes over 8x8=64-byte luma planes → 2 frames
+    val corpus = Seq((0L, text)).toDF("doc_id", "text")
+    val feats = Multimodal.decodeY4m(spark,
+        Multimodal.synthesizeY4m(spark, corpus, 8, 8)).collect()
+    assert(feats.toSeq == Seq(
+      Multimodal.Y4mFeature(0L, 8L, 8L, 2L, 70L * 'x'.toInt)))
+  }
+
   test("bloom pruning keeps every matching row and the exact join result") {
     val orders = Engine.table(spark, SparkTestSession.sfDir, "orders")
     val lineitem = Engine.table(spark, SparkTestSession.sfDir, "lineitem")
