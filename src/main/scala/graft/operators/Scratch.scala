@@ -66,8 +66,22 @@ private[graft] object Scratch {
   def freshDir(spark: SparkSession, prefix: String): String =
     s"${sessionRoot(spark)}/${prefix}_${java.util.UUID.randomUUID()}"
 
-  /** Eagerly delete a scratch dataset that no live plan references. */
+  /** Eagerly delete a scratch dataset that no live plan references.
+    *
+    * Waits (bounded, 2 s) for the scheduler to go quiescent first: when
+    * AQE's empty-relation propagation prunes a subtree mid-query, the
+    * pruned stage's already-submitted tasks keep running as zombies whose
+    * results AQE discards — deleting their input out from under them is
+    * harmless for correctness but surfaces FAILED_READ_FILE task errors
+    * in the logs. Draining active jobs closes that window; if other
+    * concurrent queries keep the scheduler busy past the bound, the
+    * delete proceeds (the zombie-read failure remains benign).
+    */
   def delete(spark: SparkSession, dir: String): Unit = {
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.nanoTime() + 2_000_000_000L
+    while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(10)
     val p = new Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     ()

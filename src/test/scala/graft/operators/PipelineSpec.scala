@@ -312,6 +312,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("operators tolerate an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.deduplicate(empty, threshold = 0.8).count() == 0)
+    assert(Dedup.deduplicate(empty, threshold = 1.0).count() == 0)
+    assert(TextAnalysis.packShards(empty, 100).count() == 0)
+    assert(TextAnalysis.stratifiedSample(empty, "text", 5).count() == 0)
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.quantizeInt8(emptyVecs).count() == 0)
+  }
+
   test("dirty corpora with null text dedup as empty documents, never crash") {
     import spark.implicits._
     val corpus = Seq(
