@@ -256,6 +256,31 @@ object TextAnalysis {
         floor(col("top_tok_count") * 1000.0 / col("n_tok")).cast("long").as("top_tok_millis"))
   }
 
+  /** Per-document top terms by tf/df — the tf-idf ranking with the
+    * monotone idf transform dropped (ln(N/df) is not bit-stable across
+    * engines; tf/df is a single integer division producing the same
+    * double everywhere, and for a FIXED document the ranking by tf·idf
+    * equals the ranking by tf/df whenever N is constant). Document
+    * frequencies are Zipf-small and broadcast; the rank window partitions
+    * by doc_id — millions of keys, no hot funnel.
+    *
+    * Output: (doc_id, rn, tok, tf, df).
+    */
+  def topTermsByTfIdf(docs: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("tok"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("doc_id", "rn", "tok", "tf", "df")
+  }
+
   /** Deterministic stratified sample: `perStratum` documents per stratum,
     * chosen by md5 of the id — a reproducible, engine-independent draw
     * (md5 of the decimal id string agrees everywhere; ties broken by id).

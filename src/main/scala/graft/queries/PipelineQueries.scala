@@ -504,6 +504,23 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  declare("text_tfidf_top",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
+         FROM documents),
+       tf AS (SELECT doc_id, tok, COUNT(*) tf FROM toks GROUP BY 1, 2),
+       dfreq AS (SELECT tok, COUNT(*) df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1),
+       r AS (SELECT t.doc_id, t.tok, t.tf, d.df,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                 ORDER BY CAST(t.tf AS DOUBLE)/d.df DESC, t.tok) rn
+             FROM tf t JOIN dfreq d USING (tok))
+       SELECT doc_id, rn, tok, tf, df FROM r
+       WHERE rn <= 3 AND doc_id < 50
+       ORDER BY doc_id, rn""") { (spark, sfDir) =>
+    TextAnalysis.topTermsByTfIdf(t(spark, sfDir, "documents"), k = 3)
+      .filter(col("doc_id") < 50)
+      .orderBy("doc_id", "rn")
+  }
+
   declare("text_edit_distance",
     """WITH r AS (SELECT substr(text, 1, 40) AS ref FROM documents WHERE doc_id = 0)
        SELECT doc_id, CAST(levenshtein(substr(text, 1, 40), ref) AS BIGINT) AS lev
