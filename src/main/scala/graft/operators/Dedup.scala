@@ -361,9 +361,24 @@ object Dedup {
     */
   def deduplicate(docs: DataFrame, threshold: Double = 0.8,
       maxRounds: Int = 64): DataFrame = {
+    val dupIds = componentLabels(docs, threshold, maxRounds)
+      .filter(col("doc_id") =!= col("label")).select("doc_id")
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** The duplicate-cluster label (= the cluster's minimum doc_id) for
+    * EVERY document — the connected components of the near-dup graph as a
+    * first-class result, usable beyond dedup (cluster-size distributions,
+    * canonical-document election, provenance grouping). [[deduplicate]] is
+    * exactly `docs` minus the rows whose label differs from their id.
+    * Same branching and scale shape as documented on [[deduplicate]].
+    */
+  def componentLabels(docs: DataFrame, threshold: Double = 0.8,
+      maxRounds: Int = 64): DataFrame = {
     if (threshold >= 1.0) {
-      val dupIds = exact(docs).select(col("dup_id").as("doc_id"))
-      return docs.join(dupIds, Seq("doc_id"), "left_anti")
+      val hashed = docs.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
+      val reps = hashed.groupBy("h").agg(min("doc_id").as("label"))
+      return hashed.join(reps, Seq("h")).select("doc_id", "label")
     }
     // Collapse exact-duplicate groups to one representative (the group's
     // min id) BEFORE the LSH: an exact group is trivially one cluster, and
@@ -447,12 +462,10 @@ object Dedup {
     // (reps with no near-dup edge keep themselves). The rep is its exact
     // group's min id and propagation minimizes over reps, so the final
     // label is the true min doc_id of the merged cluster.
-    val docLabel = hashed.join(reps, Seq("h"))
+    hashed.join(reps, Seq("h"))
       .join(labels.select(col("doc_id").as("rep_id"), col("label")),
         Seq("rep_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("rep_id")).as("label"))
-    val dupIds = docLabel.filter(col("doc_id") =!= col("label")).select("doc_id")
-    docs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
   /** Incremental exact dedup — the production shape for a corpus that

@@ -139,6 +139,40 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  declare("dedup_clusters",
+    """WITH RECURSIVE
+       toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+       sh0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) shingles FROM toks),
+       sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+       sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+       inter AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) i
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT a, b FROM inter
+                 JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+                 WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8),
+       edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+       reach AS (
+         SELECT x, x AS y FROM (SELECT DISTINCT x FROM edges) t
+         UNION
+         SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+       ),
+       lab AS (SELECT x AS doc_id, MIN(y) AS label FROM reach GROUP BY 1),
+       alllab AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS label
+                  FROM documents d LEFT JOIN lab l USING (doc_id)),
+       cl AS (SELECT label, COUNT(*) AS sz FROM alllab GROUP BY 1)
+       SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+       FROM cl GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    // Connected components as a first-class result: the cluster-size
+    // distribution of the near-dup graph (how much of the corpus is
+    // singleton vs duplicated), vs the recursive-CTE transitive closure.
+    Dedup.componentLabels(t(spark, sfDir, "documents"), threshold = 0.8)
+      .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
   // SimHash: no DuckDB oracle (the xxhash64 family is engine-specific);
   // recall against exact Jaccard pairs is asserted in PipelineSpec.
   declare("dedup_simhash") { (spark, sfDir) =>

@@ -312,6 +312,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("componentLabels: every doc labeled with its cluster's min id") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val corpus = Seq(
+      (0L, base), (1L, base + "tail"), (2L, base + "tail2"), // one chain cluster
+      (10L, "completely different words here nothing shared at all " * 6),
+      (11L, "completely different words here nothing shared at all " * 6)) // exact pair
+      .toDF("doc_id", "text")
+    val labels = Dedup.componentLabels(corpus, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("operators tolerate an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
