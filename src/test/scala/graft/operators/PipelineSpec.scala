@@ -312,6 +312,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("observed quality counters ride the same pass as the action") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "short doc"), (1L, null.asInstanceOf[String]), (2L, ""),
+      (3L, (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (instrumented, obs) = Observe.corpusQuality(corpus, shortBelow = 20)
+    assert(instrumented.count() == 4) // the only action — metrics ride it
+    val m = obs.get
+    assert(m("rows") == 4L)
+    assert(m("null_or_empty") == 2L)
+    // null → "", 1 token after split; "short doc" 2; "" 1; long doc 30.
+    assert(m("short_docs") == 3L)
+    assert(m("total_tokens") == 34L)
+  }
+
   test("componentLabels: every doc labeled with its cluster's min id") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
