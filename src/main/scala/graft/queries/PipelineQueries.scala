@@ -173,6 +173,47 @@ object PipelineQueries {
       .orderBy("cluster_size")
   }
 
+  declare("dedup_canonical",
+    """WITH RECURSIVE
+       toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+       sh0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) shingles FROM toks),
+       sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+       sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+       inter AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) i
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT a, b FROM inter
+                 JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+                 WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8),
+       edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+       reach AS (
+         SELECT x, x AS y FROM (SELECT DISTINCT x FROM edges) t
+         UNION
+         SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+       ),
+       lab AS (SELECT x AS doc_id, MIN(y) AS label FROM reach GROUP BY 1),
+       alllab AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS label,
+                    length(d.text) AS len
+                  FROM documents d LEFT JOIN lab l USING (doc_id))
+       SELECT label, arg_max(doc_id, len * 100000 - doc_id) AS canonical_id,
+         COUNT(*) AS n_members, MAX(len) AS max_len
+       FROM alllab GROUP BY 1 HAVING COUNT(*) > 1
+       ORDER BY label""") { (spark, sfDir) =>
+    // Canonical-document election: per near-dup cluster keep the LONGEST
+    // member (tie → lowest id) — the realistic keep policy (richest copy
+    // wins), expressed as a row-local max_by over the component labels.
+    val docs = t(spark, sfDir, "documents")
+    Dedup.componentLabels(docs, threshold = 0.8)
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
+        Seq("doc_id"))
+      .groupBy("label")
+      .agg(max_by(col("doc_id"), col("len") * 100000L - col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_members"), max("len").as("max_len"))
+      .filter(col("n_members") > 1)
+      .orderBy("label")
+  }
+
   // SimHash: no DuckDB oracle (the xxhash64 family is engine-specific);
   // recall against exact Jaccard pairs is asserted in PipelineSpec.
   declare("dedup_simhash") { (spark, sfDir) =>
