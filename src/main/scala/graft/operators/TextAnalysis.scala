@@ -256,6 +256,31 @@ object TextAnalysis {
         floor(col("top_tok_count") * 1000.0 / col("n_tok")).cast("long").as("top_tok_millis"))
   }
 
+  /** Bigram analogue of [[unigramFreqScore]] — the transition-level LM
+    * signal: documents whose adjacent-token pairs are globally rare are
+    * novel (or noisy) even when every individual token is common. All
+    * bigram OCCURRENCES count (unlike the dedup shingles, which are
+    * per-document distinct). Same scale shape: Zipf-small bigram table
+    * broadcast onto occurrences, exact-integer per-doc reductions.
+    *
+    * Output: (doc_id, n_bigrams, freq_sum, n_rare, min_freq).
+    */
+  def bigramFreqScore(docs: DataFrame, rareBelow: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = tokens(col(textCol))
+    val bigrams = transform(
+      sequence(lit(1), greatest(size(ws) - 1, lit(0))),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
+    val occ = docs.select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
+    val freq = occ.groupBy("bg").agg(count(lit(1)).as("freq"))
+    occ.join(broadcast(freq), Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("freq").as("freq_sum"),
+        sum(when(col("freq") < rareBelow, 1L).otherwise(0L)).as("n_rare"),
+        min("freq").as("min_freq"))
+  }
+
   /** Per-document top terms by tf/df — the tf-idf ranking with the
     * monotone idf transform dropped (ln(N/df) is not bit-stable across
     * engines; tf/df is a single integer division producing the same

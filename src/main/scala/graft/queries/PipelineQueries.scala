@@ -674,6 +674,21 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  declare("lm_bigram_freq",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 200),
+       occ AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ws)-1, 0)),
+                 i -> ws[i] || ' ' || ws[i+1])) bg FROM d),
+       freq AS (SELECT bg, COUNT(*) freq FROM occ GROUP BY 1)
+       SELECT o.doc_id, COUNT(*) n_bigrams, CAST(SUM(f.freq) AS BIGINT) freq_sum,
+         CAST(SUM(CASE WHEN f.freq < 2 THEN 1 ELSE 0 END) AS BIGINT) n_rare,
+         MIN(f.freq) min_freq
+       FROM occ o JOIN freq f USING (bg)
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    TextAnalysis.bigramFreqScore(
+        t(spark, sfDir, "documents").filter(col("doc_id") < 200), rareBelow = 2)
+      .orderBy("doc_id")
+  }
+
   declare("sample_stratified",
     """WITH r AS (SELECT doc_id, lang AS stratum,
          ROW_NUMBER() OVER (PARTITION BY lang
