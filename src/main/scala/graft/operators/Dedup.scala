@@ -366,15 +366,44 @@ object Dedup {
     docs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Session-scoped memo of near-dup component labels, keyed by the
+    * CANONICALIZED input plan + parameters: deduplicate / clusters /
+    * canonical-election queries over the same corpus share one LSH +
+    * propagation run (the labels live on session scratch parquet until
+    * JVM exit, so the memoized frame is a cheap file scan). Mirrors the
+    * solver's per-revision solve cache. Staleness caveat: the key is the
+    * PLAN — if the underlying files are overwritten in place mid-session,
+    * disable with `spark.graft.dedupCache=false` (same contract as
+    * Spark's own dataset cache). Only the sub-1.0 path memoizes; the
+    * exact-hash branch is one cheap shuffle with no scratch to reuse.
+    */
+  private val labelCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double, Int),
+    DataFrame]()
+
   /** The duplicate-cluster label (= the cluster's minimum doc_id) for
     * EVERY document — the connected components of the near-dup graph as a
     * first-class result, usable beyond dedup (cluster-size distributions,
     * canonical-document election, provenance grouping). [[deduplicate]] is
     * exactly `docs` minus the rows whose label differs from their id.
-    * Same branching and scale shape as documented on [[deduplicate]].
+    * Same branching and scale shape as documented on [[deduplicate]];
+    * repeat calls on the same corpus are served from [[labelCache]].
     */
   def componentLabels(docs: DataFrame, threshold: Double = 0.8,
       maxRounds: Int = 64): DataFrame = {
+    val spark0 = docs.sparkSession
+    if (threshold < 1.0 &&
+        spark0.conf.getOption("spark.graft.dedupCache").forall(_ != "false")) {
+      val key = (spark0, docs.queryExecution.analyzed.canonicalized, threshold, maxRounds)
+      return labelCache.computeIfAbsent(key,
+        _ => componentLabelsUncached(docs, threshold, maxRounds))
+    }
+    componentLabelsUncached(docs, threshold, maxRounds)
+  }
+
+  private def componentLabelsUncached(docs: DataFrame, threshold: Double,
+      maxRounds: Int): DataFrame = {
     if (threshold >= 1.0) {
       val hashed = docs.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
       val reps = hashed.groupBy("h").agg(min("doc_id").as("label"))

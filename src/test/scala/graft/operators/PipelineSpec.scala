@@ -328,6 +328,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(m("total_tokens") == 34L)
   }
 
+  test("componentLabels memoizes per corpus: repeat calls run no new pipeline") {
+    import spark.implicits._
+    val scratchRoot = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    spark.conf.set("spark.graft.scratchDir", scratchRoot)
+    try {
+      val base = "one two three four five six seven eight nine ten " * 4
+      val corpus = Seq((0L, base), (1L, base + "tail"),
+        (5L, "all different over here nothing shared with those " * 4))
+        .toDF("doc_id", "text")
+      def labelDirs() = new java.io.File(scratchRoot).listFiles()
+        .filter(_.getName.startsWith("graft_scratch_"))
+        .flatMap(_.listFiles()).count(_.getName.startsWith("labels"))
+      val first = Dedup.componentLabels(corpus, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val after1 = labelDirs()
+      val second = Dedup.componentLabels(corpus, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(second == first)
+      assert(labelDirs() == after1, "second call must reuse the memoized labels")
+    } finally {
+      spark.conf.unset("spark.graft.scratchDir")
+    }
+  }
+
   test("componentLabels: every doc labeled with its cluster's min id") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
