@@ -247,6 +247,31 @@ object Dedup {
       .toDF("doc_id", "band", "bh")
   }
 
+  /** Banding parameters tuned to a Jaccard threshold: split `numHashes`
+    * into (bands, rowsPerBand) with the LARGEST rowsPerBand whose
+    * detection probability at the threshold, 1−(1−t^r)^b, still exceeds
+    * `minRecall`. Larger r = steeper S-curve = far fewer sub-threshold
+    * candidate pairs to verify; the recall floor keeps the banding from
+    * overshooting into missed true pairs. With 128 hashes: 32×4 for
+    * t=0.8 (the operator default, P(detect)=0.974), 64×2 for t=0.5,
+    * 16×8 for t=0.9.
+    */
+  def lshParamsFor(threshold: Double, numHashes: Int = 128,
+      minRecall: Double = 0.97): (Int, Int) = {
+    require(threshold > 0 && threshold < 1 && numHashes > 0)
+    val choices = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map { r =>
+        val b = numHashes / r
+        (b, r, 1 - math.pow(1 - math.pow(threshold, r), b))
+      }
+    val eligible = choices.filter(_._3 >= minRecall)
+    // fall back to the highest-recall split if nothing clears the floor
+    val (b, r, _) =
+      if (eligible.nonEmpty) eligible.maxBy(_._2) else choices.maxBy(_._3)
+    (b, r)
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Banding: `bands` bands of `rowsPerBand` rows (default 32x4 = 128

@@ -328,6 +328,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(m("total_tokens") == 34L)
   }
 
+  test("lshParamsFor: recall floor holds at the threshold, bands stay steep") {
+    val (b8, r8) = Dedup.lshParamsFor(0.8)
+    assert((b8, r8) == (32, 4)) // the operator default
+    Seq(0.3, 0.5, 0.7, 0.9, 0.95).foreach { t =>
+      val (b, r) = Dedup.lshParamsFor(t)
+      assert(b * r == 128)
+      val pDetect = 1 - math.pow(1 - math.pow(t, r), b)
+      assert(pDetect >= 0.97, s"t=$t got ($b,$r) p=$pDetect")
+      // and no steeper split (larger r) would also clear the floor
+      val steeper = (r + 1 to 128).filter(128 % _ == 0)
+      steeper.foreach { r2 =>
+        val p2 = 1 - math.pow(1 - math.pow(t, r2), 128 / r2)
+        assert(p2 < 0.97, s"t=$t should have picked r=$r2 (p=$p2)")
+      }
+    }
+    // tuned banding still finds exactly the exact pairs at a lower threshold
+    val (b, r) = Dedup.lshParamsFor(0.5)
+    val exact = Dedup.jaccardPairs(docs.filter(col("doc_id") < 150), threshold = 0.5)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs.filter(col("doc_id") < 150), threshold = 0.5,
+        numHashes = 128, bands = b)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(exact.nonEmpty && lsh == exact)
+  }
+
   test("componentLabels memoizes per corpus: repeat calls run no new pipeline") {
     import spark.implicits._
     val scratchRoot = java.nio.file.Files.createTempDirectory("graft_memo").toString

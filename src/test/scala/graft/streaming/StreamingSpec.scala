@@ -108,6 +108,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch sink lands micro-batches in parquet, replay-exact") {
+    // The production sink pattern: arbitrary writers (upserts, multi-table
+    // fan-out, JDBC) run per micro-batch with the batch id for idempotence.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = graft.operators.Scratch.freshDir(spark, "fb_sink")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream
+      .schema(EventsStreaming.rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(SparkTestSession.sfDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        seen.incrementAndGet()
+        batch.write.mode("append").parquet(s"$out/batch_$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    assert(seen.get() >= 1)
+    val landed = spark.read.parquet(s"$out/batch_*").count()
+    val source = graft.Engine.events(spark, SparkTestSession.sfDir).count()
+    assert(landed == source)
+  }
+
   test("streaming dedup of a doubled stream matches the batch per-type aggregate") {
     val streamed = EventsStreaming.dedupCounts(spark, SparkTestSession.sfDir)
       .collect().toSeq
