@@ -1053,6 +1053,21 @@ object AnalyticsQueries {
       .orderBy("l_linestatus")
   }
 
+  // ------------------------------------------------------------------
+  // mode() — the most-frequent-value ordered-set aggregate (well-defined
+  // here: l_returnflag 'N' carries ~half the table, no tie ambiguity).
+  // ------------------------------------------------------------------
+  declare("q49_mode",
+    """SELECT mode(l_returnflag) AS mode_flag,
+         (SELECT COUNT(*) FROM lineitem l2
+          WHERE l2.l_returnflag = mode(l.l_returnflag)) AS mode_n
+       FROM lineitem l""") { (spark, sfDir) =>
+    val li = t(spark, sfDir, "lineitem")
+    val m = li.agg(expr("mode(l_returnflag)").as("mode_flag"))
+    m.join(li, col("l_returnflag") === col("mode_flag"))
+      .agg(first("mode_flag").as("mode_flag"), count(lit(1)).as("mode_n"))
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

