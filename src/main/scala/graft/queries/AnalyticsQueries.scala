@@ -1068,6 +1068,36 @@ object AnalyticsQueries {
       .agg(first("mode_flag").as("mode_flag"), count(lit(1)).as("mode_n"))
   }
 
+  // ------------------------------------------------------------------
+  // Dirty-field cleaning: TRY_CAST (null on garbage, never fail the job)
+  // + regex validity predicates — the crawl-metadata parsing shape.
+  // Dirt is planted deterministically from clean columns.
+  // ------------------------------------------------------------------
+  declare("q50_try_cast",
+    """WITH dirty AS (
+         SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'n/a'
+                WHEN o_orderkey % 7 = 0 THEN CAST(o_orderkey AS VARCHAR) || 'px'
+                ELSE CAST(o_orderkey AS VARCHAR) END AS raw
+         FROM orders WHERE o_orderkey <= 2000)
+       SELECT COUNT(*) AS n,
+         COUNT(TRY_CAST(raw AS BIGINT)) AS n_parsed,
+         CAST(SUM(TRY_CAST(raw AS BIGINT)) AS BIGINT) AS parsed_sum,
+         CAST(SUM(CASE WHEN regexp_matches(raw, '^[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid_regex
+       FROM dirty""") { (spark, sfDir) =>
+    val dirty = t(spark, sfDir, "orders").filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, lit("n/a"))
+          .when(col("o_orderkey") % 7 === 0,
+            concat(col("o_orderkey").cast("string"), lit("px")))
+          .otherwise(col("o_orderkey").cast("string")).as("raw"))
+    dirty.agg(count(lit(1)).as("n"),
+      count(expr("try_cast(raw AS BIGINT)")).as("n_parsed"),
+      sum(expr("try_cast(raw AS BIGINT)")).cast("long").as("parsed_sum"),
+      sum(when(col("raw").rlike("^[0-9]+$"), 1L).otherwise(0L)).as("n_valid_regex"))
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
