@@ -1098,6 +1098,51 @@ object AnalyticsQueries {
       sum(when(col("raw").rlike("^[0-9]+$"), 1L).otherwise(0L)).as("n_valid_regex"))
   }
 
+  // ------------------------------------------------------------------
+  // Schema-drift union: two snapshots with different column sets merged
+  // BY NAME (missing columns null-filled) — the lake-evolution shape the
+  // positional UNION mangles silently.
+  // ------------------------------------------------------------------
+  declare("q51_union_by_name",
+    """SELECT r_regionkey, r_name, src, note FROM (
+         SELECT r_regionkey, r_name, 'v1' AS src, CAST(NULL AS VARCHAR) AS note FROM region
+         UNION ALL
+         SELECT r_regionkey, r_name, 'v2', 'annotated' FROM region WHERE r_regionkey < 2
+       ) ORDER BY r_regionkey, src""") { (spark, sfDir) =>
+    val v1 = t(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"), lit("v1").as("src"))
+    val v2 = t(spark, sfDir, "region").filter(col("r_regionkey") < 2)
+      .select(col("r_name"), lit("annotated").as("note"),
+        col("r_regionkey"), lit("v2").as("src")) // different order + extra col
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select("r_regionkey", "r_name", "src", "note")
+      .orderBy("r_regionkey", "src")
+  }
+
+  // ------------------------------------------------------------------
+  // Null-safe equality (<=> / IS NOT DISTINCT FROM): joins where NULL
+  // keys must match each other — the dirty-dimension reconciliation shape
+  // an equi-join silently drops.
+  // ------------------------------------------------------------------
+  declare("q52_null_safe_eq",
+    """WITH a AS (SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                    ELSE n_regionkey END AS k, n_nationkey FROM nation),
+       b AS (SELECT CASE WHEN r_regionkey = 2 THEN NULL
+                    ELSE r_regionkey END AS k, r_name FROM region)
+       SELECT COUNT(*) AS n_matched,
+         CAST(SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_matches
+       FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""") { (spark, sfDir) =>
+    val a = t(spark, sfDir, "nation")
+      .select(when(col("n_nationkey") % 5 === 0, lit(null))
+        .otherwise(col("n_regionkey")).as("ka"), col("n_nationkey"))
+    val b = t(spark, sfDir, "region")
+      .select(when(col("r_regionkey") === 2, lit(null))
+        .otherwise(col("r_regionkey")).as("kb"), col("r_name"))
+    a.join(b, col("ka") <=> col("kb"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(when(col("ka").isNull, 1L).otherwise(0L)).as("n_null_matches"))
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
