@@ -528,6 +528,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats(1) == Multimodal.WavFeature(1L, 44100L, 1L, 2L, 768L, 1536L))
   }
 
+  test("container decoders reject malformed and unsupported payloads loudly") {
+    import spark.implicits._
+    def fails(f: => Unit): Unit =
+      assertThrows[org.apache.spark.SparkException](f)
+    // not a RIFF container
+    fails(Multimodal.decodeWav(spark,
+      Seq(Multimodal.WavAsset(1L, "JUNKJUNKJUNKJUNK".getBytes)).toDS()).collect())
+    // valid RIFF magic but a compressed (non-PCM) format code
+    val bad = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(85) // MP3 format code
+      .putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes).putInt(0)
+    fails(Multimodal.decodeWav(spark,
+      Seq(Multimodal.WavAsset(2L, bad.array())).toDS()).collect())
+    // BMP magic check
+    fails(Multimodal.decodeBmp(spark,
+      Seq(Multimodal.BmpAsset(3L, Array[Byte](1, 2, 3, 4))).toDS()).collect())
+    // Y4M magic check
+    fails(Multimodal.decodeY4m(spark,
+      Seq(Multimodal.Y4mAsset(4L, "NOTAY4M H8 W8\n".getBytes)).toDS()).collect())
+  }
+
   test("WAV decoder walks chunk lists (LIST before data) instead of fixed offsets") {
     import spark.implicits._
     // Hand-build a container with a LIST chunk of ODD size between fmt

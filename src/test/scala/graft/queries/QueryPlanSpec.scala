@@ -140,6 +140,20 @@ class QueryPlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 2)
   }
 
+  test("join-strategy hints override the planner's size-based choice") {
+    import org.apache.spark.sql.functions.col
+    val nation = graft.Engine.table(spark, sfDir, "nation")
+    val region = graft.Engine.table(spark, sfDir, "region")
+    // Both tiny → the planner would broadcast; the merge hint must force
+    // a sort-merge join (the safe choice when a "small" side is a
+    // misestimate that would OOM the driver at real scale).
+    val hinted = nation.join(region.hint("merge"),
+      col("n_regionkey") === col("r_regionkey"))
+    val plan = planString(hinted)
+    assert(plan.contains("SortMergeJoin"), s"merge hint ignored in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"))
+  }
+
   test("flagship entry returns rows") {
     val rows = graft.SparkEntry.entry(spark).collect()
     assert(rows.length == 2)
