@@ -196,7 +196,7 @@ object PipelineQueries {
        alllab AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS label,
                     length(d.text) AS len
                   FROM documents d LEFT JOIN lab l USING (doc_id))
-       SELECT label, arg_max(doc_id, len * 100000 - doc_id) AS canonical_id,
+       SELECT label, arg_max(doc_id, len * 1000000000000 - doc_id) AS canonical_id,
          COUNT(*) AS n_members, MAX(len) AS max_len
        FROM alllab GROUP BY 1 HAVING COUNT(*) > 1
        ORDER BY label""") { (spark, sfDir) =>
@@ -208,7 +208,7 @@ object PipelineQueries {
       .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
         Seq("doc_id"))
       .groupBy("label")
-      .agg(max_by(col("doc_id"), col("len") * 100000L - col("doc_id")).as("canonical_id"),
+      .agg(max_by(col("doc_id"), col("len") * 1000000000000L - col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_members"), max("len").as("max_len"))
       .filter(col("n_members") > 1)
       .orderBy("label")
