@@ -174,6 +174,17 @@ object TextAnalysis {
         min("freq").as("min_freq"))
   }
 
+  /** Dedup-normalization (the C4-style canonical form): lowercase, strip
+    * punctuation, collapse whitespace runs, trim. Two documents differing
+    * only in case/punctuation/spacing hash identically after this —
+    * compose with [[Dedup.exact]]/[[Dedup.deduplicate]] for
+    * normalization-insensitive dedup. Pure codegen'd builtins, row-local.
+    */
+  def normalizeForDedup(textCol: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(textCol), "[^a-z0-9 ]", " "),
+      " +", " "))
+
   /** PII redaction patterns — written in the common RE2 ∩ java.util.regex
     * dialect (no backrefs, no lookaround) so the Spark engine and a
     * DuckDB/RE2 oracle replace the exact same spans.

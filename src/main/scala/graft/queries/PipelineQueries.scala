@@ -751,6 +751,35 @@ object PipelineQueries {
     Dedup.incrementalExact(inc, known).select("doc_id").orderBy("doc_id")
   }
 
+  declare("dedup_normalized",
+    """WITH aug AS (
+         SELECT doc_id, text FROM documents WHERE doc_id < 100
+         UNION ALL
+         SELECT doc_id + 40000, upper(text) || '!!' FROM documents WHERE doc_id < 10),
+       norm AS (SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g')) AS ntext
+         FROM aug),
+       g AS (SELECT md5(ntext) h, MIN(doc_id) kept_id, COUNT(*) n
+             FROM norm GROUP BY 1 HAVING COUNT(*) > 1)
+       SELECT n2.doc_id AS dup_id, g.kept_id
+       FROM norm n2 JOIN g ON md5(n2.ntext) = g.h
+       WHERE n2.doc_id != g.kept_id
+       ORDER BY dup_id""") { (spark, sfDir) =>
+    // Normalization-insensitive dedup (the C4 canonical form): planted
+    // SHOUTING+punctuated copies hash identically after normalization and
+    // are caught by plain exact dedup over the normalized column.
+    val docs = t(spark, sfDir, "documents").filter(col("doc_id") < 100)
+      .select("doc_id", "text")
+    val aug = docs.union(
+      t(spark, sfDir, "documents").filter(col("doc_id") < 10)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(upper(col("text")), lit("!!")).as("text")))
+    Dedup.exact(aug.select(col("doc_id"),
+        TextAnalysis.normalizeForDedup(col("text")).as("text")))
+      .orderBy("dup_id")
+  }
+
   declare("text_redact_pii",
     """WITH aug AS (
          SELECT doc_id,
