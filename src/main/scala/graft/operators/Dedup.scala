@@ -52,7 +52,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ws = split(col(textCol), " ")
     val sh = transform(
-      sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
+      TextAnalysis.gramStarts(ws, n),
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
     docs.select(col(idCol).as("doc_id"), array_distinct(sh).as("shingles"))
   }
@@ -296,16 +296,8 @@ object Dedup {
       bands: Int = 32, shingleN: Int = 3, materialized: Boolean = true): DataFrame =
     if (!materialized)
       minhashLshPlan(docs, threshold, numHashes, bands, shingleN)
-    else {
-      val spark = docs.sparkSession
-      val spills = collection.mutable.ArrayBuffer.empty[String]
-      def spill(prefix: String)(df: DataFrame): DataFrame = {
-        val (out, dir) = Scratch.materialize(df, prefix)
-        spills += dir
-        out
-      }
+    else
       minhashLshMaterialized(docs, threshold, numHashes, bands, shingleN)._1
-    }
 
   /** [[minhashLsh]]'s eager path, also returning the pair set's scratch dir
     * so callers that fully consume it ([[deduplicate]]'s propagation loop)

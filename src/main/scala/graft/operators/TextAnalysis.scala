@@ -14,6 +14,17 @@ object TextAnalysis {
   /** Whitespace tokens (the corpus is single-space separated). */
   def tokens(textCol: Column): Column = split(textCol, " ")
 
+  /** The n-gram start indices 1..(size(ws)-n+1), EMPTY for documents with
+    * fewer than `n` tokens. The unguarded `sequence(1, size-n+1)` is a trap
+    * on short docs: `sequence(1, 0)` defaults to step -1 and yields [1, 0],
+    * whose 0 then throws INVALID_INDEX_OF_ZERO inside `element_at` — where
+    * the oracle's `generate_series(1, 0)` is empty. Null text (null `ws`)
+    * also lands in the empty branch.
+    */
+  private[operators] def gramStarts(ws: Column, n: Int): Column =
+    when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+
   /** BPE-ish lexical tokens: letter runs, digit runs, single other chars. */
   def regexTokens(textCol: Column): Column =
     regexp_extract_all(textCol, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
@@ -87,7 +98,7 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ws = tokens(col(textCol))
     val sh = transform(
-      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+      gramStarts(ws, 3),
       i => md5(concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
     docs.select(col(idCol).as("doc_id"),
       array_min(sh).as("fingerprint"),
@@ -249,7 +260,7 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ws = tokens(col(textCol))
     val sh = transform(
-      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+      gramStarts(ws, 3),
       i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
     val base = docs.select(col(idCol).as("doc_id"),
       size(ws).cast("long").as("n_tok"),
@@ -280,7 +291,7 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ws = tokens(col(textCol))
     val bigrams = transform(
-      sequence(lit(1), greatest(size(ws) - 1, lit(0))),
+      gramStarts(ws, 2),
       i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
     val occ = docs.select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
     val freq = occ.groupBy("bg").agg(count(lit(1)).as("freq"))

@@ -419,6 +419,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.minhashBands(corpus, 32, 8, 3).filter(col("doc_id") === 0L).count() == 0)
   }
 
+  test("n-gram operators tolerate 0/1/2-token and null documents") {
+    import spark.implicits._
+    // sequence(1, 0) yields [1, 0] (step -1), so an unguarded shingle
+    // transform calls element_at(ws, 0) and throws on any sub-n-gram doc.
+    val corpus = Seq(
+      (0L, null.asInstanceOf[String]), (1L, ""), (2L, "one"),
+      (3L, "one two"), (4L, "one two three"),
+      (5L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // trigram-indexed: short docs produce zero shingles, never a crash.
+    val fp = TextAnalysis.fingerprint(corpus).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fp(1L) == 0L && fp(2L) == 0L && fp(3L) == 0L && fp(4L) == 1L && fp(5L) == 4L)
+    val rep = TextAnalysis.repetitionMetrics(corpus).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rep(2L) == 0L && rep(3L) == 0L && rep(5L) == 0L)
+    // bigram-indexed: 1-token docs emit no bigrams (and so no output row).
+    val bg = TextAnalysis.bigramFreqScore(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!bg.contains(1L) && !bg.contains(2L) && bg(3L) == 1L && bg(4L) == 2L)
+    // the Column-HOF shingle path matches the JIT'd tokenizer on shorts.
+    val sa = Dedup.shingleArray(corpus, 3).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).size).toMap
+    assert(sa(1L) == 0 && sa(2L) == 0 && sa(3L) == 0 && sa(4L) == 1 && sa(5L) == 4)
+  }
+
   test("incrementalExact drops archive collisions and within-batch dups only") {
     import spark.implicits._
     val known = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
