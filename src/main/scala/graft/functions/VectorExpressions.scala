@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for embedding math — the hot path of
@@ -58,6 +58,38 @@ object VectorExpressions {
       j += 1
     }
     bucket
+  }
+
+  /** Banded sign-LSH kernel: `planes.length / bits` band buckets, band b's
+    * bucket built from the signs of planes [b*bits, (b+1)*bits) — ALL
+    * bands evaluated in one pass over the vector. Banding is what makes
+    * sign-LSH corpus-size-aware: deeper buckets (more bits) keep per-bucket
+    * occupancy bounded as the corpus grows, and more bands buy back the
+    * recall the extra bits cost (mirroring minhash's (bands × rows)
+    * trade-off).
+    */
+  def signLshBands(v: ArrayData, planes: Array[Array[Float]], bits: Int): ArrayData = {
+    val bands = planes.length / bits
+    val n = v.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    var j = 0
+    while (b < bands) {
+      var bucket = 0L
+      var k = 0
+      while (k < bits) {
+        val h = planes(j)
+        val m = math.min(n, h.length)
+        var dot = 0.0
+        var i = 0
+        while (i < m) { dot += v.getFloat(i).toDouble * h(i).toDouble; i += 1 }
+        if (dot > 0) bucket |= (1L << k)
+        k += 1; j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Row-local nearest-centroid kernel: id of the codebook vector with the
@@ -217,6 +249,41 @@ case class BestCentroid(child: Expression, ids: Array[Long],
     copy(child = newChild)
 
   override def prettyName: String = "best_centroid"
+}
+
+/** sign_lsh_bands(v): array of per-band sign-LSH buckets (`bits` planes
+  * each), all bands computed in one codegen'd pass over the vector. The
+  * scale-aware replacement for a single fixed-width bucket: band count and
+  * bit depth are tuned to corpus size and threshold by
+  * [[graft.operators.Similarity.signLshParamsFor]].
+  */
+case class SignLshBandsExpr(child: Expression, hyperplanes: Array[Array[Float]],
+    bits: Int) extends UnaryExpression {
+
+  require(bits > 0 && bits <= 63 && hyperplanes.nonEmpty &&
+    hyperplanes.length % bits == 0)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sign_lsh_bands requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorExpressions.signLshBands(a.asInstanceOf[ArrayData], hyperplanes, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshBandPlanes", hyperplanes, "float[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorExpressions.signLshBands($a, $planesRef, $bits);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBandsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_lsh_bands"
 }
 
 /** sign_lsh_bucket(v): 2^k-way LSH bucket from the signs of k hyperplane

@@ -234,6 +234,10 @@ object Similarity {
 
   /** Near-duplicate vector pairs with cosine >= threshold, bucketed by
     * sign-LSH over the given hyperplanes, verified exactly per bucket.
+    * FIXED bucket width — the right call when the caller owns the
+    * hyperplane family; for corpus-size-aware bucketing use
+    * [[cosineDuplicatesAuto]], which scales bit depth with the corpus and
+    * band count with the threshold.
     */
   def cosineDuplicates(corpus: DataFrame, hyperplanes: Seq[Seq[Double]],
       threshold: Double): DataFrame = {
@@ -242,6 +246,109 @@ object Similarity {
     bucketed.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
       .join(bucketed.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket")),
         Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .select("a", "b", "cos_sim").distinct()
+  }
+
+  /** splitmix64 — deterministic pseudo-random stream for hyperplanes. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic Gaussian hyperplanes (Box–Muller over splitmix64
+    * draws) — rotationally symmetric directions, so the standard
+    * sign-LSH collision bound P(bit agrees) = 1 − θ/π holds exactly and
+    * [[signLshParamsFor]]'s recall arithmetic is honest. Same seed + shape
+    * → same planes on every executor and every run.
+    */
+  def gaussianHyperplanes(nPlanes: Int, dim: Int,
+      seed: Long = 0x517CC1B727220A95L): Array[Array[Float]] = {
+    Array.tabulate(nPlanes) { j =>
+      Array.tabulate(dim) { d =>
+        val base = seed ^ (j.toLong * 0x9E3779B97F4A7C15L) ^ (d.toLong << 20)
+        val u1 = math.max(((mix64(base) >>> 11).toDouble / (1L << 53).toDouble), 1e-15)
+        val u2 = (mix64(base + 1) >>> 11).toDouble / (1L << 53).toDouble
+        (math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)).toFloat
+      }
+    }
+  }
+
+  /** Corpus- and threshold-aware sign-LSH banding, mirroring
+    * [[Dedup.lshParamsFor]]: returns (bands, bitsPerBand).
+    *
+    * Bit depth comes from OCCUPANCY — `bits = ⌈log2(n / targetPerBucket)⌉`
+    * keeps expected vectors-per-bucket ≤ `targetPerBucket`, so the
+    * within-bucket verify join stays ~n × targetPerBucket comparisons
+    * instead of going quadratic as the corpus grows (the round-5 weakness
+    * of the fixed 16-bit bucket: 2^16 buckets over 10^9 vectors leaves
+    * ~15k per bucket). Band count then buys RECALL back: with per-bit
+    * agreement p = 1 − arccos(t)/π, a pair at cosine t survives one band
+    * with p^bits, and `bands = ⌈ln(1−minRecall)/ln(1−p^bits)⌉` bands push
+    * detection ≥ minRecall. Cost scales as bands × n rows through the
+    * bucket join — logarithmic-ish in n via bits, never quadratic.
+    */
+  def signLshParamsFor(threshold: Double, nVectors: Long,
+      targetPerBucket: Long = 1024, minRecall: Double = 0.97,
+      maxBits: Int = 32): (Int, Int) = {
+    require(threshold > 0 && threshold < 1 && nVectors >= 0)
+    val bits = math.max(1, math.min(maxBits,
+      math.ceil(math.log(math.max(1.0, nVectors.toDouble / targetPerBucket)) /
+        math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    val pBand = math.pow(p, bits)
+    val bands =
+      if (pBand >= 1.0) 1
+      else math.max(1, math.ceil(
+        math.log(1.0 - minRecall) / math.log(1.0 - pBand)).toInt)
+    (bands, bits)
+  }
+
+  /** Banded sign-LSH buckets as an array<long> column (one per band),
+    * every band computed in a single codegen'd pass over the vector.
+    */
+  def signLshBands(v: Column, hyperplanes: Array[Array[Float]], bits: Int): Column =
+    ColumnBridge.column(graft.functions.SignLshBandsExpr(
+      ColumnBridge.expression(v), hyperplanes, bits))
+
+  /** Near-duplicate vector pairs with cosine >= threshold, banded
+    * corpus-size-aware sign-LSH with exact per-bucket verification — the
+    * 100 TB shape: bit depth grows with the corpus (bounded bucket
+    * occupancy), band count with the recall target. Runs one count() job
+    * up front to size the banding (driver-scale: a single long).
+    * Identical vectors agree with every hyperplane, so exact-duplicate
+    * recall is 1 regardless of banding; near-dup recall ≥ `minRecall` at
+    * the threshold by construction.
+    */
+  def cosineDuplicatesAuto(corpus: DataFrame, threshold: Double,
+      targetPerBucket: Long = 1024, minRecall: Double = 0.97,
+      seed: Long = 0x517CC1B727220A95L): DataFrame = {
+    val n = corpus.count()
+    if (n == 0)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("a"), lit(0L).as("b"), lit(0.0).as("cos_sim"))
+        .limit(0)
+    val (bands, bits) = signLshParamsFor(threshold, n, targetPerBucket, minRecall)
+    cosineDuplicatesBanded(corpus, threshold, bands, bits, seed)
+  }
+
+  /** [[cosineDuplicatesAuto]] with explicit banding — for callers (and
+    * tests) that pick (bands, bits) themselves.
+    */
+  def cosineDuplicatesBanded(corpus: DataFrame, threshold: Double,
+      bands: Int, bits: Int, seed: Long = 0x517CC1B727220A95L): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val planes = gaussianHyperplanes(bands * bits, dim, seed)
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      posexplode(signLshBands(col("embedding"), planes, bits)).as(Seq("band", "bh")))
+    bucketed.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("band"), col("bh"))
+      .join(bucketed.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

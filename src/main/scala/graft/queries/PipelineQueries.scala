@@ -225,16 +225,17 @@ object PipelineQueries {
          SELECT vec_id AS a, vec_id + 10000 AS b FROM embeddings WHERE vec_id < 10
        ) ORDER BY a""") { (spark, sfDir) =>
     // Plant 10 exact duplicate vectors (the corpus has none naturally:
-    // max natural pairwise cosine ~0.44), bucket by coordinate-sign LSH,
-    // verify exact cosine per bucket. Identical vectors share every
-    // bucket, so recall on the planted pairs is 1; no random pair comes
-    // near the 0.9999 threshold.
+    // max natural pairwise cosine ~0.44), bucket by CORPUS-SIZE-AWARE
+    // banded sign-LSH (bit depth from occupancy, band count from the
+    // recall target — signLshParamsFor), verify exact cosine per bucket.
+    // Identical vectors agree with every hyperplane, so recall on the
+    // planted pairs is 1 under ANY banding; no random pair comes near the
+    // 0.9999 threshold.
     val e = t(spark, sfDir, "embeddings")
     val corpus = e.select("vec_id", "embedding")
       .union(e.filter(col("vec_id") < 10)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-    val hyperplanes = (0 until 16).map(j => Seq.tabulate(64)(d => if (d == j) 1.0 else 0.0))
-    Similarity.cosineDuplicates(corpus, hyperplanes, threshold = 0.9999).orderBy("a")
+    Similarity.cosineDuplicatesAuto(corpus, threshold = 0.9999).orderBy("a")
   }
 
   // ------------------------------------------------- similarity search

@@ -59,7 +59,16 @@ object EventsStreaming {
     * segment. On a cluster this is the standard dimension-enrichment shape
     * for a kafka stream against a slowly-changing parquet table.
     */
-  def enrichedBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The streaming aggregation plan behind [[enrichedBySegment]], exposed
+    * so StreamingSpec can start it and assert the micro-batch join
+    * strategy. The dimension side carries an EXPLICIT broadcast hint: the
+    * static side of a stream-static join is re-planned every micro-batch
+    * from size estimates, and a mis-estimate silently shuffles the whole
+    * stream each batch — the hint pins the only sane strategy for a
+    * dimension that fits an executor (Spark never spontaneously broadcasts
+    * the streaming side).
+    */
+  private[graft] def enrichedAgg(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
       .schema(rawSchema)
@@ -67,13 +76,16 @@ object EventsStreaming {
       .parquet(sfDir)
     val customers = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val agg = stream
-      .join(customers, stream("user_id") === customers("c_custkey"))
+    stream
+      .join(broadcast(customers), stream("user_id") === customers("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+  }
+
+  def enrichedBySegment(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_enriched"
-    val q = agg.writeStream
+    val q = enrichedAgg(spark, sfDir).writeStream
       .format("memory").queryName(name)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())

@@ -51,6 +51,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("banded sign-LSH at 24 bits recalls the brute-force cosine pairs") {
+    import spark.implicits._
+    // Deterministic synthetic corpus: 60 random unit-ish vectors in dim 32,
+    // the first 20 duplicated with a small perturbation (cosine ~0.999).
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec()))
+    val dups = base.take(20).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    val all = base ++ dups
+    val corpus = all.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    // Brute-force truth set at the threshold (driver-side, 80 vectors).
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val threshold = 0.99
+    val truth = (for {
+      x <- all; y <- all if x._1 < y._1
+      if BigDecimal(cos(x._2, y._2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= threshold
+    } yield (x._1, y._1)).toSet
+    assert(truth.size >= 20, s"expected the 20 planted pairs, got ${truth.size}")
+    // ≥24-bit buckets (the 100 TB occupancy depth); bands from the recall
+    // formula — signLshParamsFor at a 20-billion-vector corpus (the 100 TB
+    // regime) must go ≥24 bits deep, and the band count must push recall
+    // back over the target even at that depth.
+    val (bands, bits) = Similarity.signLshParamsFor(threshold,
+      nVectors = 20_000_000_000L, targetPerBucket = 1024)
+    assert(bits >= 24, s"expected >=24 bits, got $bits")
+    val found = Similarity.cosineDuplicatesBanded(corpus, threshold, bands, bits)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.95, s"banded sign-LSH recall $recall at $bands×$bits")
+    // verification makes precision exact: nothing below the threshold.
+    assert(found.subsetOf(truth))
+  }
+
   test("deduplicate removes every non-minimum member of each dup cluster") {
     import spark.implicits._
     // Chain cluster: 0-1, 1-2 near-dups (transitive) + isolated docs.

@@ -134,6 +134,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed == source)
   }
 
+  test("stream-static enrichment broadcasts the dimension in every micro-batch") {
+    val q = EventsStreaming.enrichedAgg(spark, SparkTestSession.sfDir)
+      .writeStream.format("memory").queryName("enriched_plan_probe")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val plan = org.apache.spark.sql.graft.StreamingBridge.lastExecutedPlan(q)
+        .map(_.toString).getOrElse(fail("no micro-batch executed"))
+      // The static customer dimension must come in via broadcast — a
+      // shuffled join here re-shuffles the STREAM side every micro-batch.
+      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    } finally q.stop()
+    assert(spark.table("enriched_plan_probe").count() > 0)
+  }
+
   test("streaming dedup of a doubled stream matches the batch per-type aggregate") {
     val streamed = EventsStreaming.dedupCounts(spark, SparkTestSession.sfDir)
       .collect().toSeq
