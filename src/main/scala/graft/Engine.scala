@@ -44,15 +44,25 @@ object Engine {
     * DataFrame is an immutable lazy plan, so handing back the same one is
     * semantically identical. Keyed by session (plans are session-bound)
     * and sfDir; bounded at |sessions|×|sfDirs|×10 entries.
+    *
+    * Two caveats, same contract as [[operators.Dedup]]'s label memo:
+    * the cached plan captures the parquet FILE LISTING at first read — if
+    * an sfDir is regenerated in-session, later reads see the stale list
+    * (FileNotFound or stale rows) — and cache keys pin their
+    * SparkSession for the JVM's lifetime, which a long-lived multi-session
+    * service would notice. Both are disarmed by
+    * `spark.graft.tableCache=false`, which reads fresh and caches nothing.
     */
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    tableCache.computeIfAbsent((spark, sfDir, name), { _ =>
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    def fresh() =
       if (name == "events") events(spark, sfDir)
       else spark.read.parquet(s"$sfDir/$name.parquet")
-    })
+    if (spark.conf.getOption("spark.graft.tableCache").contains("false")) fresh()
+    else tableCache.computeIfAbsent((spark, sfDir, name), _ => fresh())
+  }
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as

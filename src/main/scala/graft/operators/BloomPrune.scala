@@ -43,11 +43,30 @@ object BloomPrune {
   /** `fact` pre-filtered by a bloom filter on `dimKeys`' `dimKeyCol`, ready
     * to be joined exactly. Result rows ⊇ matching rows (fpp false
     * positives); compose with the real join for exact semantics.
+    *
+    * The key set is materialized to scratch parquet ONCE and reclaimed as
+    * soon as the filter bytes are on the driver: sizing (count) and
+    * building (bloomFilter) would otherwise run the dim plan twice — a
+    * computed dim frame (the stated motivation for the manual path) would
+    * pay double, and a dim that changes between the two jobs would yield a
+    * mis-sized filter. Callers that already know the cardinality can skip
+    * both jobs with the `expectedItems` overload.
     */
   def pruned(fact: DataFrame, factKeyCol: String,
       dimKeys: DataFrame, dimKeyCol: String, fpp: Double = 0.01): DataFrame = {
-    val n = math.max(dimKeys.count(), 1L)
-    val bytes = buildFilter(dimKeys, dimKeyCol, n, fpp)
+    val (keys, dir) = Scratch.materialize(dimKeys.select(dimKeyCol), "bloomkeys")
+    val n = math.max(keys.count(), 1L)
+    val bytes = buildFilter(keys, dimKeyCol, n, fpp)
+    Scratch.delete(dimKeys.sparkSession, dir)
     fact.filter(mightContain(bytes, fact(factKeyCol)))
   }
+
+  /** [[pruned]] with a caller-supplied cardinality: one pass over the dim
+    * plan, no scratch write.
+    */
+  def pruned(fact: DataFrame, factKeyCol: String,
+      dimKeys: DataFrame, dimKeyCol: String,
+      expectedItems: Long, fpp: Double): DataFrame =
+    fact.filter(mightContain(
+      buildFilter(dimKeys, dimKeyCol, expectedItems, fpp), fact(factKeyCol)))
 }

@@ -134,34 +134,62 @@ object Dedup {
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
   }
 
+  /** Sentinel for [[jaccardPairs]]' `maxShingleDf`: derive the cap from
+    * corpus stats. Pass `Long.MaxValue` for exact uncapped candidate
+    * generation (what the declared oracle queries do).
+    */
+  val AutoShingleDf: Long = -1L
+
+  /** The AUTO hot-shingle cap: a shingle in more than 0.1% of documents
+    * (floor 64) is boilerplate for candidate purposes. Pure arithmetic on
+    * the corpus size — deterministic, no extra distributed pass — and
+    * deliberately loose: it exists to kill the df² candidate blow-up of
+    * truly corpus-wide shingles, not to thin mid-frequency ones (the
+    * looser the cap, the smaller the pairs-whose-every-shared-shingle-is-
+    * hot miss window).
+    */
+  private[operators] def resolveShingleCap(maxShingleDf: Long, nDocs: => Long): Long =
+    if (maxShingleDf == AutoShingleDf) math.max(64L, nDocs / 1000L)
+    else maxShingleDf
+
+  /** Candidate pairs through the inverted shingle index, with shingles
+    * above the df cap dropped from candidate generation.
+    */
+  private[operators] def jaccardCandidates(sh: DataFrame, cap: Long): DataFrame = {
+    val candIndex =
+      if (cap == Long.MaxValue) sh
+      else {
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      }
+    candIndex.select(col("doc_id").as("a"), col("shingle"))
+      .join(candIndex.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   /** All pairs with exact shingle-Jaccard >= threshold among an (optionally
     * restricted) corpus, candidate-generated through the inverted index:
     * only documents sharing at least one shingle are ever compared.
     *
-    * `maxShingleDf` (opt-in) drops shingles whose document frequency
-    * exceeds the cap from CANDIDATE GENERATION only (verification still
-    * counts them, so reported Jaccard values stay exact). A stop-shingle
-    * like a boilerplate phrase otherwise contributes df² candidate pairs.
-    * This is standard prefix-filtering: it can only miss a pair whose
-    * every shared shingle is hotter than the cap — vanishingly rare at
-    * thresholds >= 0.5, but not impossible, hence default off (the
-    * declared oracle queries run uncapped).
+    * `maxShingleDf` drops shingles whose document frequency exceeds the
+    * cap from CANDIDATE GENERATION only (verification still counts them,
+    * so reported Jaccard values stay exact). A stop-shingle like a
+    * boilerplate phrase otherwise contributes df² candidate pairs — at
+    * web scale one templated sentence shared by a million pages is 10^12
+    * pairs, so the cap DEFAULTS ON ([[AutoShingleDf]], 0.1% of the corpus
+    * with a floor of 64, costing one count() job). This is standard
+    * prefix-filtering: it can only miss a pair whose EVERY shared shingle
+    * is hotter than the cap — vanishingly rare at thresholds >= 0.5 with
+    * the loose default. Pass `Long.MaxValue` for exact uncapped generation
+    * (the declared oracle queries do, keeping the correctness gate exact).
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
-      charGrams: Boolean = false, maxShingleDf: Long = Long.MaxValue): DataFrame = {
+      charGrams: Boolean = false, maxShingleDf: Long = AutoShingleDf): DataFrame = {
     val sh = if (charGrams) charShingles(docs, n) else shinglesJit(docs, n)
-    val candIndex =
-      if (maxShingleDf == Long.MaxValue) sh
-      else {
-        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleDf).select("shingle")
-        sh.join(hot, Seq("shingle"), "left_anti")
-      }
-    val cands = candIndex.select(col("doc_id").as("a"), col("shingle"))
-      .join(candIndex.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+    val cap = resolveShingleCap(maxShingleDf, docs.count())
+    verifyJaccard(jaccardCandidates(sh, cap), sh).filter(col("jaccard") >= threshold)
   }
 
   /** splitmix64 finalizer — the per-permutation mixer for minhash. */
@@ -393,6 +421,10 @@ object Dedup {
     * disable with `spark.graft.dedupCache=false` (same contract as
     * Spark's own dataset cache). Only the sub-1.0 path memoizes; the
     * exact-hash branch is one cheap shuffle with no scratch to reuse.
+    * Entries are never evicted and each pins its label scratch dir until
+    * JVM exit (the shutdown hook reclaims them) — sized for job-per-JVM
+    * deployments, the Spark norm; a long-lived multi-tenant service
+    * should run with the cache disabled or bound it with an LRU.
     */
   private val labelCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession,

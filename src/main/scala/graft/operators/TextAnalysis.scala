@@ -168,16 +168,18 @@ object TextAnalysis {
     *   - `min_freq`  = the document's rarest token's count.
     *
     * Scale shape: the frequency table is Zipf-small relative to the corpus
-    * (vocabulary, not tokens) — AQE broadcasts it into the occurrence join,
-    * so the corpus is scanned twice and shuffled only for the per-document
-    * reduce on doc_id.
+    * (vocabulary, not tokens); its size is left to AQE's runtime estimate —
+    * small vocabularies broadcast into the occurrence join, and a
+    * vocabulary too big for an executor (plausible for web-scale n-gram
+    * tables) correctly falls back to a shuffled join instead of OOMing,
+    * which a forced broadcast hint would remove.
     */
   def unigramFreqScore(docs: DataFrame, rareBelow: Long = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
-    toks.join(broadcast(vocab), Seq("tok"))
+    toks.join(vocab, Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum("freq").as("freq_sum"),
@@ -282,8 +284,10 @@ object TextAnalysis {
     * signal: documents whose adjacent-token pairs are globally rare are
     * novel (or noisy) even when every individual token is common. All
     * bigram OCCURRENCES count (unlike the dedup shingles, which are
-    * per-document distinct). Same scale shape: Zipf-small bigram table
-    * broadcast onto occurrences, exact-integer per-doc reductions.
+    * per-document distinct). Same scale shape as [[unigramFreqScore]]:
+    * join strategy left to AQE (a web-scale bigram table outgrows any
+    * executor — a forced broadcast hint would OOM exactly where this
+    * operator is documented to run), exact-integer per-doc reductions.
     *
     * Output: (doc_id, n_bigrams, freq_sum, n_rare, min_freq).
     */
@@ -295,7 +299,7 @@ object TextAnalysis {
       i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
     val occ = docs.select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
     val freq = occ.groupBy("bg").agg(count(lit(1)).as("freq"))
-    occ.join(broadcast(freq), Seq("bg"))
+    occ.join(freq, Seq("bg"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum("freq").as("freq_sum"),
@@ -307,9 +311,10 @@ object TextAnalysis {
     * monotone idf transform dropped (ln(N/df) is not bit-stable across
     * engines; tf/df is a single integer division producing the same
     * double everywhere, and for a FIXED document the ranking by tf·idf
-    * equals the ranking by tf/df whenever N is constant). Document
-    * frequencies are Zipf-small and broadcast; the rank window partitions
-    * by doc_id — millions of keys, no hot funnel.
+    * equals the ranking by tf/df whenever N is constant). The document-
+    * frequency join strategy is AQE's call (Zipf-small vocabularies
+    * broadcast; web-scale ones shuffle rather than OOM); the rank window
+    * partitions by doc_id — millions of keys, no hot funnel.
     *
     * Output: (doc_id, rn, tok, tf, df).
     */
@@ -322,7 +327,7 @@ object TextAnalysis {
     val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy((col("tf").cast("double") / col("df")).desc, col("tok"))
-    tf.join(broadcast(dfreq), Seq("tok"))
+    tf.join(dfreq, Seq("tok"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("doc_id", "rn", "tok", "tf", "df")

@@ -88,8 +88,11 @@ object PipelineQueries {
        FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
        WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.5
        ORDER BY a, b""") { (spark, sfDir) =>
+    // Uncapped candidate generation: the oracle computes the exact
+    // predicate, so the engine must not prefix-filter hot shingles here.
     Dedup.jaccardPairs(t(spark, sfDir, "documents").filter(col("doc_id") < 120),
-      threshold = 0.5, n = 5, charGrams = true).orderBy("a", "b")
+      threshold = 0.5, n = 5, charGrams = true,
+      maxShingleDf = Long.MaxValue).orderBy("a", "b")
   }
 
   declare("dedup_corpus",
@@ -512,6 +515,27 @@ object PipelineQueries {
     // the sum and nothing to the nonzero count; the corpus has no NUL
     // characters).
     Multimodal.decodeBmp(spark, Multimodal.synthesizeBmp(spark,
+        t(spark, sfDir, "documents").filter(col("doc_id") < 40), width = 16))
+      .toDF().orderBy("asset_id")
+  }
+
+  declare("multimodal_png",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+       ch AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(text)),
+                i -> ascii(substr(text, i, 1)))) a FROM d)
+       SELECT doc_id AS asset_id, CAST(16 AS BIGINT) AS width,
+         CAST(CASE WHEN length(min(d2.text)) = 0 THEN 1
+           ELSE CAST(ceil(length(min(d2.text)) / 16.0) AS BIGINT) END AS BIGINT) AS height,
+         CAST(SUM(a) AS BIGINT) AS pixel_sum,
+         CAST(SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero
+       FROM ch JOIN d d2 USING (doc_id)
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    // REAL COMPRESSED-container round-trip: genuine grayscale PNGs (IHDR/
+    // IDAT/IEND, zlib DEFLATE via java.util.zip, per-chunk CRC32s) parsed
+    // back through chunk-walk + CRC verify + Inflater + scanline
+    // un-filtering. Oracle recomputes pixel stats from the text bytes the
+    // synthesizer encoded (zero padding adds nothing to either stat).
+    Multimodal.decodePng(spark, Multimodal.synthesizePng(spark,
         t(spark, sfDir, "documents").filter(col("doc_id") < 40), width = 16))
       .toDF().orderBy("asset_id")
   }

@@ -15,7 +15,7 @@ class PipelineSpec extends AnyFunSuite {
   private def embeddings = Engine.table(spark, SparkTestSession.sfDir, "embeddings")
 
   test("minhash-LSH finds exactly the exact-Jaccard>=0.8 pairs") {
-    val exact = Dedup.jaccardPairs(docs, threshold = 0.8)
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.8, maxShingleDf = Long.MaxValue)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashLsh(docs, threshold = 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -24,7 +24,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("simhash candidates cover the exact near-dup pairs (recall)") {
-    val exact = Dedup.jaccardPairs(docs, threshold = 0.8)
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.8, maxShingleDf = Long.MaxValue)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val sim = Dedup.simhashPairs(docs, maxDist = 6)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -49,6 +49,35 @@ class PipelineSpec extends AnyFunSuite {
     // ordering works; exact recall rises with nProbe.
     assert(recall >= 0.3, s"IVF recall $recall")
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
+  }
+
+  test("auto hot-shingle cap bounds candidates under planted boilerplate") {
+    import spark.implicits._
+    // 100 docs share one boilerplate trigram but are otherwise disjoint;
+    // docs 0/1 are a true near-dup pair through NON-hot shingles. Uncapped
+    // candidate generation pays 100*99/2 pairs for the boilerplate alone;
+    // the auto cap (floor 64 < df 100) drops it from candidate gen.
+    val boiler = "subscribe to our newsletter"
+    val corpus = (0 until 100).map { i =>
+      val body =
+        if (i <= 1) "identical payload text shared by the pair exactly"
+        else s"unique$i body$i words$i nothing$i common$i here$i"
+      (i.toLong, s"$body $boiler")
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shinglesJit(corpus, 3)
+    val cap = Dedup.resolveShingleCap(Dedup.AutoShingleDf, corpus.count())
+    assert(cap == 64L)
+    val capped = Dedup.jaccardCandidates(sh, cap).count()
+    val uncapped = Dedup.jaccardCandidates(sh, Long.MaxValue).count()
+    assert(uncapped >= 4950L, s"uncapped candidates $uncapped")
+    // Only pairs sharing a sub-cap shingle survive: the planted pair plus
+    // the overlap window around the boilerplate splice point.
+    assert(capped < 300L, s"capped candidates $capped")
+    // The default (auto-capped) operator still finds the true pair, with
+    // the exact Jaccard (verification counts ALL shingles, even hot ones).
+    val pairs = Dedup.jaccardPairs(corpus, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
   }
 
   test("banded sign-LSH at 24 bits recalls the brute-force cosine pairs") {
@@ -205,7 +234,7 @@ class PipelineSpec extends AnyFunSuite {
     val bases = Seq.tabulate(40)(i => (i.toLong, doc(30 + rnd.nextInt(40))))
     val nearDups = bases.take(12).map { case (id, t) => (id + 1000L, mutate(t)) }
     val corpus = (bases ++ nearDups).toDF("doc_id", "text")
-    val exact = Dedup.jaccardPairs(corpus, threshold = 0.7)
+    val exact = Dedup.jaccardPairs(corpus, threshold = 0.7, maxShingleDf = Long.MaxValue)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashLsh(corpus, threshold = 0.7)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -384,7 +413,8 @@ class PipelineSpec extends AnyFunSuite {
     }
     // tuned banding still finds exactly the exact pairs at a lower threshold
     val (b, r) = Dedup.lshParamsFor(0.5)
-    val exact = Dedup.jaccardPairs(docs.filter(col("doc_id") < 150), threshold = 0.5)
+    val exact = Dedup.jaccardPairs(docs.filter(col("doc_id") < 150), threshold = 0.5,
+      maxShingleDf = Long.MaxValue)
       .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     val lsh = Dedup.minhashLsh(docs.filter(col("doc_id") < 150), threshold = 0.5,
         numHashes = 128, bands = b)
@@ -659,6 +689,91 @@ class PipelineSpec extends AnyFunSuite {
         Multimodal.synthesizeY4m(spark, corpus, 8, 8)).collect()
     assert(feats.toSeq == Seq(
       Multimodal.Y4mFeature(0L, 8L, 8L, 2L, 70L * 'x'.toInt)))
+  }
+
+  test("PNG round-trip: deflated IDAT decodes to text-derived features") {
+    import spark.implicits._
+    val corpus = Seq((0L, "abcdefgh"), (1L, "z"), (2L, "")).toDF("doc_id", "text")
+    val feats = Multimodal.decodePng(spark,
+        Multimodal.synthesizePng(spark, corpus, width = 6))
+      .collect().sortBy(_.asset_id)
+    val sum0 = "abcdefgh".map(_.toInt).sum
+    assert(feats(0) == Multimodal.PngFeature(0L, 6L, 2L, sum0.toLong, 8L))
+    assert(feats(1) == Multimodal.PngFeature(1L, 6L, 1L, 'z'.toInt.toLong, 1L))
+    assert(feats(2) == Multimodal.PngFeature(2L, 6L, 1L, 0L, 0L))
+  }
+
+  test("PNG decoder un-filters Sub/Up/Average/Paeth rows from foreign encoders") {
+    import spark.implicits._
+    // Hand-encode a 3x5 grayscale PNG using one row per filter type —
+    // the synthesizer only emits filter 0, so this is what proves the
+    // decoder handles real-world encoder output.
+    val img = Array(
+      Array(10, 20, 30),
+      Array(15, 25, 35),   // Sub:     x - left
+      Array(40, 50, 60),   // Up:      x - up
+      Array(70, 80, 90),   // Average: x - (left+up)/2
+      Array(95, 105, 115)) // Paeth:   x - paeth(left, up, ul)
+    val filters = Array(0, 1, 2, 3, 4)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val w = 3
+    val raw = new Array[Byte]((w + 1) * img.length)
+    for (r <- img.indices) {
+      raw(r * (w + 1)) = filters(r).toByte
+      for (c <- 0 until w) {
+        val left = if (c > 0) img(r)(c - 1) else 0
+        val up = if (r > 0) img(r - 1)(c) else 0
+        val ul = if (r > 0 && c > 0) img(r - 1)(c - 1) else 0
+        val pred = filters(r) match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(r * (w + 1) + 1 + c) = ((img(r)(c) - pred) & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val idat = out.toByteArray
+    def chunk(buf: java.nio.ByteBuffer, tag: String, data: Array[Byte]): Unit = {
+      val t = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      buf.putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(img.length)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val buf = java.nio.ByteBuffer.allocate(8 + 25 + 12 + idat.length + 12)
+    buf.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    chunk(buf, "IHDR", ihdr); chunk(buf, "IDAT", idat); chunk(buf, "IEND", Array.emptyByteArray)
+    val feats = Multimodal.decodePng(spark,
+      Seq(Multimodal.PngAsset(9L, buf.array())).toDS()).collect()
+    assert(feats.toSeq == Seq(Multimodal.PngFeature(9L, 3L, 5L,
+      img.flatten.sum.toLong, 15L)))
+  }
+
+  test("PNG decoder rejects corrupt payloads (bad CRC, bad magic) loudly") {
+    import spark.implicits._
+    def fails(f: => Unit): Unit =
+      assertThrows[org.apache.spark.SparkException](f)
+    fails(Multimodal.decodePng(spark,
+      Seq(Multimodal.PngAsset(1L, "NOTAPNGNOTAPNG".getBytes)).toDS()).collect())
+    // Flip a byte inside the IDAT payload of a valid PNG → CRC check fires.
+    val good = Multimodal.synthesizePng(spark,
+      Seq((0L, "hello world")).toDF("doc_id", "text"), width = 4).collect().head.png
+    val bad = good.clone()
+    bad(8 + 25 + 8 + 2) = (bad(8 + 25 + 8 + 2) ^ 0x7f).toByte // inside IDAT data
+    fails(Multimodal.decodePng(spark, Seq(Multimodal.PngAsset(2L, bad)).toDS()).collect())
   }
 
   test("bloom pruning keeps every matching row and the exact join result") {
