@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The as-of join — for each left row, the single most recent right row
+  * whose order key is <= (or <, with `strict`) the left row's, per join
+  * key: the standard event↔dimension-history alignment (DuckDB ships it
+  * as `ASOF JOIN` SQL syntax; the reference inherits that via its DuckDB
+  * ≥0.10 host — /root/reference/.github/workflows/
+  * MainDistributionPipeline.yml:29).
+  *
+  * Scale shape — the LINEAR union+window formulation, not a join: an
+  * equi-join on the key pair-inflates (every left row × every earlier
+  * right row of its key) before a per-row argmax could prune, which is
+  * quadratic for hot keys. Instead both sides are unioned into one
+  * per-key timeline, sorted once, and the as-of payload is the running
+  * `last` non-null right payload at each left row — exactly ONE hash
+  * shuffle (the per-key window; plan-asserted in QueryPlanSpec), cost
+  * O((|L|+|R|) log) regardless of key skew.
+  */
+object AsOfJoin {
+
+  /** Backward as-of join of `left` to `right` on equal `on`, matching the
+    * most recent right row with `rightOrder` <= `leftOrder` (`strict` =
+    * true for `<`). Output: every left column plus `payload` columns from
+    * the matched right row; `inner` = true (the DuckDB `ASOF JOIN`
+    * default) drops unmatched left rows, false keeps them with null
+    * payloads (`ASOF LEFT JOIN`).
+    *
+    * Both order columns must have the same (comparable) type. If several
+    * right rows tie on the greatest `rightOrder`, the one picked is
+    * arbitrary (the same contract as DuckDB's ASOF JOIN); disambiguate by
+    * pre-aggregating the right side to one row per (key, order).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, on: String,
+      leftOrder: String, rightOrder: String, payload: Seq[String],
+      strict: Boolean = false, inner: Boolean = true): DataFrame = {
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    require(payload.intersect(left.columns).isEmpty,
+      s"payload columns ${payload.intersect(left.columns).mkString(",")} clash with left columns")
+    // Kind orders rows at EQUAL instants: inclusive (<=) sorts right rows
+    // before left ones, so a right row at exactly the left's order key is
+    // visible to it; strict (<) sorts them after, so it is not.
+    val rightKind = if (strict) 2 else 0
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val payStruct = struct(payload.map(col).toIndexedSeq: _*)
+    val leftType = left.select(leftStruct.as("s")).schema("s").dataType
+    val payType = right.select(payStruct.as("s")).schema("s").dataType
+    val l = left.select(col(on).as("__k"), col(leftOrder).as("__t"),
+      lit(1).as("__kind"), leftStruct.as("__left"),
+      lit(null).cast(payType).as("__pay"))
+    val r = right.select(col(on).as("__k"), col(rightOrder).as("__t"),
+      lit(rightKind).as("__kind"), lit(null).cast(leftType).as("__left"),
+      payStruct.as("__pay"))
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.union(r)
+      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+    (if (inner) matched.filter(col("__asof").isNotNull) else matched)
+      .select(col("__left.*"), col("__asof.*"))
+  }
+}

@@ -598,26 +598,23 @@ object AnalyticsQueries {
          GROUP BY e.user_id, e.ts, e.event_id
        ) m
        GROUP BY user_id ORDER BY user_id""") { (spark, sfDir) =>
-    import org.apache.spark.sql.expressions.Window
+    // The reusable linear as-of operator (union + per-user running window,
+    // exactly one hash shuffle — see graft.operators.AsOfJoin): each event
+    // picks the latest order at-or-before its timestamp, inclusive
+    // (an order placed exactly at the event instant matches), inner
+    // (events before any order drop) — DuckDB ASOF JOIN semantics.
     val e = Engine.events(spark, sfDir)
     val o = t(spark, sfDir, "orders")
-    // Orders sort BEFORE events at the same instant (kind 0 < 1), so an
-    // order placed exactly at the event time matches (<= semantics). The
-    // running max(ord_date) over the per-user timeline IS the as-of value;
-    // max ignores the nulls event rows carry.
-    val ou = o.select(col("o_custkey").as("user_id"),
-      col("o_orderdate").cast("timestamp").as("t"),
-      lit(0).as("kind"), col("o_orderdate").as("ord_date"))
-    val eu = e.select(col("user_id"), col("ts").as("t"),
-      lit(1).as("kind"), lit(null).cast("date").as("ord_date"))
-    val w = Window.partitionBy("user_id").orderBy("t", "kind")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ou.union(eu)
-      .withColumn("last_order", max(col("ord_date")).over(w))
-      .filter(col("kind") === 1 && col("last_order").isNotNull)
+    graft.operators.AsOfJoin.asofJoin(
+        left = e.select(col("user_id"), col("ts")),
+        right = o.select(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("ot"),
+          col("o_orderdate").as("last_order")),
+        on = "user_id", leftOrder = "ts", rightOrder = "ot",
+        payload = Seq("last_order"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_matched"),
-        sum(datediff(col("t"), col("last_order")).cast("long")).as("sum_gap_days"))
+        sum(datediff(col("ts"), col("last_order")).cast("long")).as("sum_gap_days"))
       .orderBy("user_id")
   }
 

@@ -217,6 +217,33 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  declare("graph_reachability",
+    """WITH RECURSIVE edges AS (
+         SELECT CAST(n_nationkey AS BIGINT) u, CAST((n_nationkey*2+1)%25 AS BIGINT) v FROM nation
+         UNION ALL
+         SELECT CAST(n_nationkey AS BIGINT), CAST((n_nationkey*3+2)%25 AS BIGINT) FROM nation
+       ),
+       reach(x) AS (
+         SELECT CAST(0 AS BIGINT)
+         UNION
+         SELECT e.v FROM reach r JOIN edges e ON e.u = r.x
+       )
+       SELECT x FROM reach ORDER BY x""") { (spark, sfDir) =>
+    // The WITH RECURSIVE-class host surface (Spark has no general
+    // recursion): Fixpoint.iterate computes the same least fixpoint with
+    // semi-naive rounds, checked against DuckDB's actual recursive CTE on
+    // a deterministic functional graph over the nation table.
+    val n = t(spark, sfDir, "nation")
+    val edges = n.select(col("n_nationkey").cast("long").as("u"),
+        ((col("n_nationkey") * 2 + 1) % 25).cast("long").as("v"))
+      .union(n.select(col("n_nationkey").cast("long"),
+        ((col("n_nationkey") * 3 + 2) % 25).cast("long")))
+    val seed = spark.range(1).select(lit(0L).as("x"))
+    graft.operators.Fixpoint.iterate(seed,
+        d => d.join(edges, d("x") === edges("u")).select(col("v").as("x")))
+      .orderBy("x")
+  }
+
   // SimHash: no DuckDB oracle (the xxhash64 family is engine-specific);
   // recall against exact Jaccard pairs is asserted in PipelineSpec.
   declare("dedup_simhash") { (spark, sfDir) =>

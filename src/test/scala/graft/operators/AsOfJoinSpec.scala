@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Semantics + plan-shape checks for the reusable as-of join. */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def quotes = {
+    import spark.implicits._
+    Seq(
+      (1L, 10L, 100.0, "a"),
+      (1L, 20L, 110.0, "b"),
+      (1L, 30L, 120.0, "c"),
+      (2L, 15L, 50.0, "d"))
+      .toDF("sym", "qt", "px", "tag")
+  }
+
+  private def trades = {
+    import spark.implicits._
+    Seq(
+      (1L, 5L),   // before any quote
+      (1L, 20L),  // exactly at quote b
+      (1L, 25L),  // between b and c
+      (2L, 99L),  // after d
+      (3L, 10L))  // key with no quotes at all
+      .toDF("sym", "tt")
+  }
+
+  test("inclusive as-of picks the latest right row at-or-before each left row") {
+    val out = AsOfJoin.asofJoin(trades, quotes, on = "sym",
+        leftOrder = "tt", rightOrder = "qt", payload = Seq("px", "tag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    assert(out == Set(
+      (1L, 20L, 110.0, "b"), // equal instant matches inclusively
+      (1L, 25L, 110.0, "b"),
+      (2L, 99L, 50.0, "d")))
+    // inner semantics: trade before any quote and keyless trade both drop.
+  }
+
+  test("strict as-of excludes right rows at the exact left instant") {
+    val out = AsOfJoin.asofJoin(trades, quotes, on = "sym",
+        leftOrder = "tt", rightOrder = "qt", payload = Seq("tag"), strict = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1L, 20L, "a"), // quote b at t=20 is no longer visible under '<'
+      (1L, 25L, "b"),
+      (2L, 99L, "d")))
+  }
+
+  test("left as-of keeps unmatched rows with null payloads") {
+    val out = AsOfJoin.asofJoin(trades, quotes, on = "sym",
+        leftOrder = "tt", rightOrder = "qt", payload = Seq("tag"), inner = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out.contains((1L, 5L, None)) && out.contains((3L, 10L, None)))
+    assert(out.size == 5)
+  }
+
+  test("as-of plan is linear: union + window, no join operator") {
+    val plan = AsOfJoin.asofJoin(trades, quotes, on = "sym",
+        leftOrder = "tt", rightOrder = "qt", payload = Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not pair-inflate via a join:\n$plan")
+    assert(plan.contains("Union") && plan.contains("Window"))
+  }
+
+  test("payload names clashing with left columns are rejected") {
+    assertThrows[IllegalArgumentException](
+      AsOfJoin.asofJoin(trades, quotes.withColumnRenamed("px", "tt"),
+        on = "sym", leftOrder = "tt", rightOrder = "qt", payload = Seq("tt")))
+  }
+}
