@@ -59,7 +59,15 @@ object AsOfJoin {
     val matched = l.union(r)
       .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__kind") === 1)
+    // The key column comes back as an ALIAS of the window's partition
+    // attribute (`__k`), not re-extracted from the left struct: alias-aware
+    // output partitioning then lets a downstream groupBy/join on the key
+    // reuse the window's hash exchange instead of shuffling again
+    // (plan-asserted in QueryPlanSpec — the whole q29 pipeline runs on ONE
+    // hash shuffle).
+    val outCols = left.columns.map(c =>
+      if (c == on) col("__k").as(on) else col(s"__left.$c")).toIndexedSeq
     (if (inner) matched.filter(col("__asof").isNotNull) else matched)
-      .select(col("__left.*"), col("__asof.*"))
+      .select(outCols :+ col("__asof.*"): _*)
   }
 }
