@@ -473,6 +473,27 @@ object Dedup {
     // every propagation round re-reads a small file instead of re-running
     // the LSH pipeline, and no cache is held for it.
     val (pairsDf, pairsDir) = minhashLshMaterialized(repDocs, threshold, 128, 32, 3)
+    val labels = propagateMinLabels(pairsDf, maxRounds)
+    // The returned plan reads only `hashed` + the final labels — the edge
+    // list has been fully consumed by the loop; reclaim it now.
+    Scratch.delete(docs.sparkSession, pairsDir)
+    // Map every document through its representative's converged label
+    // (reps with no near-dup edge keep themselves). The rep is its exact
+    // group's min id and propagation minimizes over reps, so the final
+    // label is the true min doc_id of the merged cluster.
+    hashed.join(reps, Seq("h"))
+      .join(labels.select(col("doc_id").as("rep_id"), col("label")),
+        Seq("rep_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("rep_id")).as("label"))
+  }
+
+  /** Min-label propagation over a MATERIALIZED pair set: (doc_id, label =
+    * min reachable id) for every node appearing in `pairsDf` (a, b).
+    * The loop reads the pair file every round, so the input must already
+    * be scratch/storage-backed, not a live plan.
+    */
+  private def propagateMinLabels(pairsDf: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = pairsDf.sparkSession
     val pairs = pairsDf.select("a", "b")
     // The label tables are bounded by the nodes of the pair graph (≤ 2 ×
     // pairs — near-dup graphs are SPARSE relative to the corpus), so the
@@ -496,7 +517,7 @@ object Dedup {
     while (!converged) {
       if (round >= maxRounds)
         throw new IllegalStateException(
-          s"Dedup.deduplicate: label propagation did not converge in " +
+          s"Dedup: label propagation did not converge in " +
             s"$maxRounds rounds — duplicate-chain diameter exceeds the cap; " +
             s"raise maxRounds (results before convergence would be WRONG: " +
             s"unmerged duplicates survive the anti-join)")
@@ -527,23 +548,38 @@ object Dedup {
             col("old"))
           .coalesce(labelParts),
         "labels")
-      Scratch.delete(docs.sparkSession, labelsDir)
+      Scratch.delete(spark, labelsDir)
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select("doc_id", "label")
       labelsDir = nextDir
       round += 1
     }
-    // The returned plan reads only `hashed` + the final labels — the edge
-    // list has been fully consumed by the loop; reclaim it now.
-    Scratch.delete(docs.sparkSession, pairsDir)
-    // Map every document through its representative's converged label
-    // (reps with no near-dup edge keep themselves). The rep is its exact
-    // group's min id and propagation minimizes over reps, so the final
-    // label is the true min doc_id of the merged cluster.
-    hashed.join(reps, Seq("h"))
-      .join(labels.select(col("doc_id").as("rep_id"), col("label")),
-        Seq("rep_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("rep_id")).as("label"))
+    labels
+  }
+
+  /** Connected-component labels of an arbitrary undirected pair graph —
+    * the propagation engine behind [[componentLabels]] as a PUBLIC
+    * building block: (node, label = minimum reachable node id) for every
+    * node appearing in `pairs` (columns a, b). Compose it over any
+    * candidate-pair generator — [[minhashLsh]] pairs (what
+    * [[componentLabels]] does), [[Similarity.cosineDuplicatesAuto]]
+    * embedding pairs, [[simhashPairs]] — to get clusters, canonical
+    * election, or provenance groups on that modality. Same guarantees as
+    * the dedup loop: runs to convergence with Shiloach-Vishkin
+    * shortcutting (O(log diameter) rounds), throws at `maxRounds` rather
+    * than under-merging, one scratch label table live at a time. Isolated
+    * nodes carry no pair and get no row — left-join and coalesce with the
+    * corpus id for total labeling.
+    */
+  def componentsFromPairs(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    // The loop re-reads the edge list every round: pin the (possibly
+    // expensive) pair plan to scratch once; the final labels are
+    // themselves scratch-backed, so the input spill is reclaimed eagerly.
+    val (pairsDf, pairsDir) = Scratch.materialize(pairs.select("a", "b"), "cc_pairs")
+    val labels = propagateMinLabels(pairsDf, maxRounds)
+    Scratch.delete(spark, pairsDir)
+    labels.select(col("doc_id").as("node"), col("label"))
   }
 
   /** Incremental exact dedup — the production shape for a corpus that

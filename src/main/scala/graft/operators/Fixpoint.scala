@@ -11,11 +11,12 @@ import org.apache.spark.sql.DataFrame
   * so round cost tracks the frontier, not the closure.
   *
   * Scale shape (same discipline as [[Dedup]]'s label propagation): every
-  * round's accumulator and frontier are materialized to scratch parquet —
-  * an un-truncated iterative plan doubles per round and overflows the
-  * planner stack by ~round 9 — superseded rounds are reclaimed eagerly,
-  * and `maxRounds` is a runaway-recursion cap that THROWS rather than
-  * returning a truncated (wrong) closure. Transitive closures with the
+  * round's frontier is materialized to scratch parquet — an un-truncated
+  * iterative plan doubles per round and overflows the planner stack by
+  * ~round 9 — the accumulated set is the flat multi-scan of those
+  * disjoint frontier files (nothing is ever rewritten; total scratch =
+  * one copy of the closure), and `maxRounds` is a runaway-recursion cap
+  * that THROWS rather than returning a truncated (wrong) closure. Transitive closures with the
   * diameter-halving trick live in [[Dedup.componentLabels]]; this is the
   * general tool for everything else a recursive CTE would express
   * (reachability, bill-of-materials, org rollups).
@@ -30,12 +31,16 @@ object Fixpoint {
   def iterate(seed: DataFrame, step: DataFrame => DataFrame,
       maxRounds: Int = 64): DataFrame = {
     val spark = seed.sparkSession
-    var (all, allDir) = Scratch.materialize(seed.distinct(), "fix_all")
-    var frontier = all
-    var frontierDir: String = null // round 0's frontier IS the seed set
+    // The accumulated set is the UNION OF FRONTIER FILES, never rewritten:
+    // frontiers are disjoint by construction (each is `except` everything
+    // before it), so "all" is just a flat multi-scan over the round dirs —
+    // no closure-sized union job per round, and the per-round cost is ONE
+    // materialization (step + except) plus a footer-cheap emptiness probe.
+    var frontier = Scratch.materialize(seed.distinct(), "fix_r0")._1
+    var fronts = Vector(frontier)
+    def all = fronts.reduce(_ union _)
     var round = 0
-    var done = false
-    while (!done) {
+    while (!frontier.isEmpty) {
       if (round >= maxRounds)
         throw new IllegalStateException(
           s"Fixpoint.iterate: no fixpoint within $maxRounds rounds — " +
@@ -43,22 +48,13 @@ object Fixpoint {
             s"raise maxRounds (a truncated closure would be WRONG)")
       // New frontier = step(frontier) minus everything already reached
       // (UNION-distinct semantics; `except` is distinct by definition).
-      val (nextFrontier, nextFrontierDir) =
-        Scratch.materialize(step(frontier).except(all), "fix_delta")
-      if (frontierDir != null) Scratch.delete(spark, frontierDir)
-      frontier = nextFrontier; frontierDir = nextFrontierDir
-      if (frontier.isEmpty) {
-        Scratch.delete(spark, frontierDir)
-        done = true
-      } else {
-        // Accumulate only on progress: the closing (empty) round leaves
-        // `all` untouched instead of rewriting a closure-sized file.
-        val (nextAll, nextAllDir) = Scratch.materialize(all.union(frontier), "fix_all")
-        Scratch.delete(spark, allDir)
-        all = nextAll; allDir = nextAllDir
-        round += 1
-      }
+      frontier = Scratch.materialize(step(frontier).except(all), s"fix_r${round + 1}")._1
+      if (!frontier.isEmpty) fronts :+= frontier
+      round += 1
     }
+    // Every file scanned by the returned plan is live — frontier dirs are
+    // session scratch, reclaimed by the shutdown hook like every other
+    // scratch-backed result.
     all
   }
 }

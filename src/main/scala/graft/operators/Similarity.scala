@@ -284,16 +284,18 @@ object Similarity {
     * Bit depth comes from OCCUPANCY — `bits = ⌈log2(n / targetPerBucket)⌉`
     * keeps expected vectors-per-bucket ≤ `targetPerBucket`, so the
     * within-bucket verify join stays ~n × targetPerBucket comparisons
-    * instead of going quadratic as the corpus grows (the round-5 weakness
-    * of the fixed 16-bit bucket: 2^16 buckets over 10^9 vectors leaves
-    * ~15k per bucket). Band count then buys RECALL back: with per-bit
+    * per band instead of going quadratic as the corpus grows (the round-5
+    * weakness of the fixed 16-bit bucket: 2^16 buckets over 10^9 vectors
+    * leaves ~15k per bucket). The default of 64 keeps verify cheap —
+    * deeper buckets cost only extra bands (logarithmic), while occupancy
+    * costs verify comparisons (linear in the target). Band count then buys RECALL back: with per-bit
     * agreement p = 1 − arccos(t)/π, a pair at cosine t survives one band
     * with p^bits, and `bands = ⌈ln(1−minRecall)/ln(1−p^bits)⌉` bands push
     * detection ≥ minRecall. Cost scales as bands × n rows through the
     * bucket join — logarithmic-ish in n via bits, never quadratic.
     */
   def signLshParamsFor(threshold: Double, nVectors: Long,
-      targetPerBucket: Long = 1024, minRecall: Double = 0.97,
+      targetPerBucket: Long = 64, minRecall: Double = 0.97,
       maxBits: Int = 32): (Int, Int) = {
     require(threshold > 0 && threshold < 1 && nVectors >= 0)
     val bits = math.max(1, math.min(maxBits,
@@ -325,7 +327,7 @@ object Similarity {
     * the threshold by construction.
     */
   def cosineDuplicatesAuto(corpus: DataFrame, threshold: Double,
-      targetPerBucket: Long = 1024, minRecall: Double = 0.97,
+      targetPerBucket: Long = 64, minRecall: Double = 0.97,
       seed: Long = 0x517CC1B727220A95L): DataFrame = {
     val n = corpus.count()
     if (n == 0)

@@ -222,6 +222,8 @@ object PipelineQueries {
          SELECT CAST(n_nationkey AS BIGINT) u, CAST((n_nationkey*2+1)%25 AS BIGINT) v FROM nation
          UNION ALL
          SELECT CAST(n_nationkey AS BIGINT), CAST((n_nationkey*3+2)%25 AS BIGINT) FROM nation
+         UNION ALL
+         SELECT CAST(n_nationkey AS BIGINT), CAST((n_nationkey*5+4)%25 AS BIGINT) FROM nation
        ),
        reach(x) AS (
          SELECT CAST(0 AS BIGINT)
@@ -238,6 +240,8 @@ object PipelineQueries {
         ((col("n_nationkey") * 2 + 1) % 25).cast("long").as("v"))
       .union(n.select(col("n_nationkey").cast("long"),
         ((col("n_nationkey") * 3 + 2) % 25).cast("long")))
+      .union(n.select(col("n_nationkey").cast("long"),
+        ((col("n_nationkey") * 5 + 4) % 25).cast("long")))
     val seed = spark.range(1).select(lit(0L).as("x"))
     graft.operators.Fixpoint.iterate(seed,
         d => d.join(edges, d("x") === edges("u")).select(col("v").as("x")))
@@ -266,6 +270,28 @@ object PipelineQueries {
       .union(e.filter(col("vec_id") < 10)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
     Similarity.cosineDuplicatesAuto(corpus, threshold = 0.9999).orderBy("a")
+  }
+
+  declare("embed_clusters",
+    """SELECT node, label FROM (
+         SELECT vec_id AS node, vec_id AS label FROM embeddings WHERE vec_id < 5
+         UNION ALL SELECT vec_id + 10000, vec_id FROM embeddings WHERE vec_id < 5
+         UNION ALL SELECT vec_id + 20000, vec_id FROM embeddings WHERE vec_id < 5
+       ) ORDER BY node""") { (spark, sfDir) =>
+    // Vector-side cluster parity with the text path: sign-LSH cosine pairs
+    // → the SAME min-label propagation engine (componentsFromPairs). Plant
+    // two extra copies of 5 vectors → clusters of size 3; identical
+    // vectors share every LSH band, so each triple's three pairwise edges
+    // all surface and propagation labels the triple with its min id. No
+    // natural pair approaches the 0.9999 threshold (max natural cosine
+    // ~0.44), so the oracle enumerates exactly the planted clusters.
+    val e = t(spark, sfDir, "embeddings")
+    val base = e.filter(col("vec_id") < 5).select("vec_id", "embedding")
+    val corpus = e.select("vec_id", "embedding")
+      .union(base.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      .union(base.select((col("vec_id") + 20000).as("vec_id"), col("embedding")))
+    val pairs = Similarity.cosineDuplicatesAuto(corpus, threshold = 0.9999)
+    Dedup.componentsFromPairs(pairs).orderBy("node")
   }
 
   // ------------------------------------------------- similarity search

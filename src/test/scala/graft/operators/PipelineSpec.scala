@@ -51,6 +51,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("componentsFromPairs labels arbitrary pair graphs with the min id") {
+    import spark.implicits._
+    // Chain 1-2-3-4, triangle 10-11-12, lone edge 20-21.
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val labels = Dedup.componentsFromPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("auto hot-shingle cap bounds candidates under planted boilerplate") {
     import spark.implicits._
     // 100 docs share one boilerplate trigram but are otherwise disjoint;
@@ -109,7 +120,7 @@ class PipelineSpec extends AnyFunSuite {
     // regime) must go ≥24 bits deep, and the band count must push recall
     // back over the target even at that depth.
     val (bands, bits) = Similarity.signLshParamsFor(threshold,
-      nVectors = 20_000_000_000L, targetPerBucket = 1024)
+      nVectors = 20_000_000_000L)
     assert(bits >= 24, s"expected >=24 bits, got $bits")
     val found = Similarity.cosineDuplicatesBanded(corpus, threshold, bands, bits)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
