@@ -531,8 +531,9 @@ object Dedup {
       // rather than recompute anything, and each round costs exactly one
       // scratch write; the superseded round's dir is deleted as soon as the
       // new one is on disk, so live scratch stays at one label table. The
-      // previous label rides along (`old`) so the convergence check is a
-      // filter on the materialized round.
+      // changed-label count rides the materializing write as an
+      // Observation, so the convergence check launches NO extra job.
+      val obs = org.apache.spark.sql.Observation()
       val (next, nextDir) = Scratch.materialize(
         edges
           .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), Seq("b"))
@@ -546,10 +547,11 @@ object Dedup {
           .select(col("doc_id"),
             least(col("pl"), coalesce(col("pll"), col("pl"))).as("label"),
             col("old"))
-          .coalesce(labelParts),
+          .coalesce(labelParts)
+          .observe(obs, sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("changed")),
         "labels")
       Scratch.delete(spark, labelsDir)
-      converged = next.filter(col("label") =!= col("old")).isEmpty
+      converged = obs.get("changed") == null || obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.select("doc_id", "label")
       labelsDir = nextDir
       round += 1

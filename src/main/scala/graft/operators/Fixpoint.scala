@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Bounded fixpoint iteration — the engine's answer to `WITH RECURSIVE`
   * (host surface the reference inherits from DuckDB; Spark has no general
@@ -34,13 +35,15 @@ object Fixpoint {
     // The accumulated set is the UNION OF FRONTIER FILES, never rewritten:
     // frontiers are disjoint by construction (each is `except` everything
     // before it), so "all" is just a flat multi-scan over the round dirs —
-    // no closure-sized union job per round, and the per-round cost is ONE
-    // materialization (step + except) plus a footer-cheap emptiness probe.
+    // no closure-sized union job per round. Per-round cost is exactly ONE
+    // Spark job: the frontier's row count rides the materializing write as
+    // an Observation, so the convergence check launches nothing.
     var frontier = Scratch.materialize(seed.distinct(), "fix_r0")._1
     var fronts = Vector(frontier)
     def all = fronts.reduce(_ union _)
     var round = 0
-    while (!frontier.isEmpty) {
+    var frontierRows = -1L // unknown for the seed round; probe lazily
+    while (if (frontierRows >= 0) frontierRows > 0 else !frontier.isEmpty) {
       if (round >= maxRounds)
         throw new IllegalStateException(
           s"Fixpoint.iterate: no fixpoint within $maxRounds rounds — " +
@@ -48,8 +51,12 @@ object Fixpoint {
             s"raise maxRounds (a truncated closure would be WRONG)")
       // New frontier = step(frontier) minus everything already reached
       // (UNION-distinct semantics; `except` is distinct by definition).
-      frontier = Scratch.materialize(step(frontier).except(all), s"fix_r${round + 1}")._1
-      if (!frontier.isEmpty) fronts :+= frontier
+      val obs = Observation()
+      frontier = Scratch.materialize(
+        step(frontier).except(all).observe(obs, count(lit(1)).as("n")),
+        s"fix_r${round + 1}")._1
+      frontierRows = obs.get("n").asInstanceOf[Long]
+      if (frontierRows > 0) fronts :+= frontier
       round += 1
     }
     // Every file scanned by the returned plan is live — frontier dirs are

@@ -224,6 +224,8 @@ object PipelineQueries {
          SELECT CAST(n_nationkey AS BIGINT), CAST((n_nationkey*3+2)%25 AS BIGINT) FROM nation
          UNION ALL
          SELECT CAST(n_nationkey AS BIGINT), CAST((n_nationkey*5+4)%25 AS BIGINT) FROM nation
+         UNION ALL
+         SELECT CAST(n_nationkey AS BIGINT), CAST((n_nationkey*7+6)%25 AS BIGINT) FROM nation
        ),
        reach(x) AS (
          SELECT CAST(0 AS BIGINT)
@@ -242,6 +244,8 @@ object PipelineQueries {
         ((col("n_nationkey") * 3 + 2) % 25).cast("long")))
       .union(n.select(col("n_nationkey").cast("long"),
         ((col("n_nationkey") * 5 + 4) % 25).cast("long")))
+      .union(n.select(col("n_nationkey").cast("long"),
+        ((col("n_nationkey") * 7 + 6) % 25).cast("long")))
     val seed = spark.range(1).select(lit(0L).as("x"))
     graft.operators.Fixpoint.iterate(seed,
         d => d.join(edges, d("x") === edges("u")).select(col("v").as("x")))
