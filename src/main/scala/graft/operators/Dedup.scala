@@ -605,6 +605,75 @@ object Dedup {
     newDocs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental NEAR-dup dedup — [[incrementalExact]]'s semantics lifted
+    * to Jaccard >= `threshold`: the production shape for keeping a crawl
+    * increment clean against an already-deduplicated archive without ever
+    * re-processing the archive pairwise. A new document survives iff
+    *
+    *   1. its content hash is unseen in the archive and minimal within the
+    *      increment (the [[incrementalExact]] stage — also catches
+    *      shingle-less documents the LSH cannot see);
+    *   2. it has no near-dup (J >= threshold) in the ARCHIVE — candidates
+    *      from the cross bucket join of the increment's band hashes
+    *      against the archive's, verified exactly;
+    *   3. it is the minimum id of its near-dup component WITHIN the
+    *      increment (components over verified increment-internal pairs
+    *      among step-2 survivors — same keep policy as [[deduplicate]]).
+    *
+    * Cost scales with the increment: the archive contributes one
+    * signature pass + its side of the bucket join (at 100 TB the archive
+    * bands would be precomputed and stored bucketed, making the probe a
+    * co-located join), and verification only ever touches candidate
+    * documents' shingles. Ids must be globally unique across the two
+    * frames (the crawl convention) — a shared id would alias in the
+    * verification index.
+    */
+  def incrementalNear(newDocs: DataFrame, knownDocs: DataFrame,
+      threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
+      shingleN: Int = 3): DataFrame = {
+    if (threshold >= 1.0) return incrementalExact(newDocs, knownDocs)
+    val spark = newDocs.sparkSession
+    // Stage 1: exact-hash screen (archive collisions + within-batch),
+    // pinned to scratch once — it feeds the signature pass, the
+    // verification index, and the final anti-join.
+    val kept0 = materialize(incrementalExact(newDocs, knownDocs), "inc_kept")
+    // One signature pass per side, spilled — each feeds two bucket joins.
+    val (nb, nbDir) = Scratch.materialize(
+      minhashBands(kept0, numHashes, bands, shingleN), "inc_nb")
+    val (kb, kbDir) = Scratch.materialize(
+      minhashBands(knownDocs, numHashes, bands, shingleN), "inc_kb")
+    // Stage 2: increment × archive candidates, verified exactly. The
+    // verification index only holds the increment's shingles plus the
+    // candidate archive documents' (semi-join reduction inside
+    // verifyJaccard) — never the whole archive.
+    val crossCands = nb.select(col("doc_id").as("a"), col("band"), col("bh"))
+      .join(kb.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
+      .select("a", "b").distinct()
+    val candKnownIds = crossCands.select(col("b").as("doc_id")).distinct()
+    val sh = shinglesJit(kept0, shingleN)
+      .union(shinglesJit(knownDocs.join(candKnownIds, Seq("doc_id"), "left_semi"), shingleN))
+    val dupOfKnown = verifyJaccard(crossCands, sh)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("doc_id")).distinct()
+    // Stage 3: increment-internal components among archive-clean docs.
+    val selfCands = nb.select(col("doc_id").as("a"), col("band"), col("bh"))
+      .join(nb.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .join(dupOfKnown.select(col("doc_id").as("a")), Seq("a"), "left_anti")
+      .join(dupOfKnown.select(col("doc_id").as("b")), Seq("b"), "left_anti")
+    val selfPairs = verifyJaccard(selfCands, sh).filter(col("jaccard") >= threshold)
+    val dupInBatch = componentsFromPairs(selfPairs.select("a", "b"))
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    // Pin the (small) drop set before reclaiming the signature spills —
+    // dupOfKnown is a lazy plan over them until this write runs.
+    val drops = materialize(dupOfKnown.union(dupInBatch), "inc_drops")
+    Scratch.delete(spark, nbDir)
+    Scratch.delete(spark, kbDir)
+    kept0.join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** 64-bit SimHash per document over word tokens (weight 1 each):
     * bit j of the signature is the sign of sum_t (+-1 by bit j of the
     * token hash). Computed in one row-local JIT'd pass — the 64-wide

@@ -525,6 +525,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(sa(1L) == 0 && sa(2L) == 0 && sa(3L) == 0 && sa(4L) == 1 && sa(5L) == 4)
   }
 
+  test("incrementalNear drops archive near-dups and within-batch components") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val other = "totally different content with no overlap whatsoever here " * 5
+    val third = "yet another unrelated document body nothing shared at all " * 5
+    val known = Seq((0L, base), (1L, other)).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, base),            // exact archive collision → drop (stage 1)
+      (11L, base + "tail"),   // NEAR-dup of archived 0 → drop (stage 2)
+      (12L, third),           // fresh cluster, min id → keep
+      (13L, third + "x"),     // near-dup of 12 within batch → drop (stage 3)
+      (14L, "short"))         // shingle-less, unseen hash → keep
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalNear(inc, known, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 14L))
+  }
+
   test("incrementalExact drops archive collisions and within-batch dups only") {
     import spark.implicits._
     val known = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
