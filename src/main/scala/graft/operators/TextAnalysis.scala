@@ -333,6 +333,45 @@ object TextAnalysis {
       .select("doc_id", "rn", "tok", "tf", "df")
   }
 
+  /** Line-level boilerplate dedup (the RefinedWeb/CCNet pass): a line
+    * (textCol split on `sep`) occurring in at least `minDf` DISTINCT
+    * documents is boilerplate (nav menus, footers, cookie banners) and is
+    * removed from EVERY document; the survivors are reassembled in
+    * original line order. Every document survives — one whose lines were
+    * all boilerplate comes back with empty `clean_text` (dropping it is
+    * the caller's quality-filter decision, not the dedup's).
+    *
+    * Scale shape: one row-local posexplode; line document frequencies via
+    * two map-side-combined shuffles ((doc_id, line) distinct, then per-line
+    * counts); the boilerplate set joins back by line with the strategy left
+    * to AQE (a typical boilerplate set is tiny and broadcasts, a web-scale
+    * one correctly shuffles instead of OOMing); reassembly is one groupBy
+    * doc_id. Linear in corpus lines end to end — no quadratic stage.
+    *
+    * Output: (doc_id, clean_text, n_kept, n_removed).
+    */
+  def dedupLines(docs: DataFrame, minDf: Long, sep: String = "\n",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDf >= 2, s"minDf=$minDf would remove every line")
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val boiler = lines.select("doc_id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("line"), lit(true).as("is_boiler"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        // collect_list skips nulls, so only kept lines enter the array.
+        array_join(transform(
+          array_sort(collect_list(when(col("is_boiler").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), sep).as("clean_text"),
+        sum(when(col("is_boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Deterministic stratified sample: `perStratum` documents per stratum,
     * chosen by md5 of the id — a reproducible, engine-independent draw
     * (md5 of the decimal id string agrees everywhere; ties broken by id).

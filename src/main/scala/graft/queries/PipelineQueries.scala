@@ -988,6 +988,35 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  declare("text_line_dedup",
+    """WITH base AS (SELECT doc_id,
+           'NAV MENU' || chr(10) || text || chr(10) || 'FOOTER-' || CAST(doc_id % 2 AS VARCHAR) AS text
+         FROM documents WHERE doc_id < 60),
+       lines AS (SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS line,
+           unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+         FROM base),
+       boiler AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines) t
+         GROUP BY line HAVING COUNT(*) >= 10),
+       agg AS (SELECT l.doc_id,
+           string_agg(CASE WHEN b.line IS NULL THEN l.line END, chr(10) ORDER BY l.pos) AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE b.line IS NULL) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE b.line IS NOT NULL) AS BIGINT) AS n_removed
+         FROM lines l LEFT JOIN boiler b USING (line) GROUP BY l.doc_id)
+       SELECT doc_id, COALESCE(clean_text, '') AS clean_text, n_kept, n_removed
+       FROM agg ORDER BY doc_id""") { (spark, sfDir) =>
+    // Line-level boilerplate dedup: every document gets a shared nav
+    // header (df = 60) and one of two footers (df = 30) planted around its
+    // body; the pass strips lines in >= 10 distinct docs, so the planted
+    // chrome goes and each body line (df 1-2, incl. natural dup texts)
+    // survives. The oracle COMPUTES the boilerplate set through the same
+    // df rule rather than assuming the plant.
+    val docs = t(spark, sfDir, "documents").filter(col("doc_id") < 60)
+      .select(col("doc_id"), concat(lit("NAV MENU\n"), col("text"),
+        lit("\nFOOTER-"), (col("doc_id") % 2).cast("string")).as("text"))
+    TextAnalysis.dedupLines(docs, minDf = 10).orderBy("doc_id")
+  }
+
   declare("events_stream_dedup",
     """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS value_cents

@@ -135,6 +135,64 @@ object EventsStreaming {
       .orderBy("event_type")
   }
 
+  /** The stream-stream join plan behind [[clickAttribution]], exposed so
+    * StreamingSpec can assert the executed micro-batch strategy
+    * (StreamingSymmetricHashJoin — both sides keep watermark-bounded
+    * state, streamed against each other; no static side exists to
+    * broadcast).
+    */
+  private[graft] def attributionJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def read() = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    val clicks = read().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = read().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    // INNER join with a range predicate on both watermarked event-time
+    // columns: the range is what lets the engine EVICT state (a click
+    // older than watermark - 30 min can never match a future purchase).
+    // Outer variants are deliberately avoided in the declared query: their
+    // null-side results only emit once the watermark passes, so rows near
+    // end-of-stream are withheld and the result would not be
+    // batch-comparable.
+    purchases.join(clicks,
+      expr("""c_user = p_user AND
+              click_ts >= purchase_ts - INTERVAL 30 MINUTES AND
+              click_ts <= purchase_ts"""))
+  }
+
+  /** Stream-stream join: click→purchase attribution. For every purchase,
+    * the clicks by the same user in the preceding 30 minutes, joined
+    * ENTIRELY inside the streaming engine (symmetric hash join with
+    * watermark-bounded buffers on both sides — the kafka↔kafka funnel
+    * shape), then aggregated per user in batch off the append sink.
+    *
+    * Output: (user_id, n_pairs, n_purchases) for users with ≥1 attributed
+    * pair.
+    */
+  def clickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_attrib"
+    val q = attributionJoin(spark, sfDir).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table(name)
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("purchase_id")).as("n_purchases"))
+      .orderBy("user_id")
+  }
+
   /** Input row for stateful sessionization. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
 

@@ -1,0 +1,119 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.functions._
+import graft.Engine
+import graft.operators.{Dedup, Similarity}
+
+/** Empirical scale stress for the dedup/ANN path: the 100 TB claims are
+  * plan-asserted (QueryPlanSpec) but the per-round bench only runs sf0.1.
+  * This main synthesizes a `factor`× corpus from a base SF and runs the two
+  * iterative heavyweights once each, reporting wall-time and PEAK scratch
+  * bytes (label propagation materializes per-round parquet — the probe
+  * verifies the eager-reclaim contract actually bounds live scratch).
+  *
+  * Corpus synthesis is deterministic and preserves near-dup structure
+  * per copy without creating cross-copy duplicates: copy k>0 rewrites
+  * every inter-word gap to a copy-specific salt token, so every shingle
+  * of copy k contains the salt and its Jaccard against any other copy is
+  * 0, while pairs that are near-dups inside the base SF remain near-dups
+  * inside each copy (both sides get the same rewrite). Embedding copies
+  * get a small per-copy additive shift — enough to be distinct vectors,
+  * close enough to keep the cosine-neighborhood structure IVF probes.
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleProbe [sfDir] [factor]"`
+  * (defaults: /root/testdata/sf0.1, 10 — i.e. an sf1-equivalent corpus).
+  */
+object ScaleProbe {
+
+  private def dirBytes(p: Path): Long = {
+    if (!Files.exists(p)) return 0L
+    val s = Files.walk(p)
+    try s.filter(Files.isRegularFile(_)).mapToLong(f =>
+      try Files.size(f) catch { case _: Exception => 0L }).sum()
+    catch { case _: Exception => 0L }
+    finally s.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    // Pin the scratch root somewhere the poller can watch.
+    val scratchBase = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe"
+    val spark = Engine.session()
+    spark.conf.set("spark.graft.scratchDir", scratchBase)
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    val peak = new AtomicLong(0)
+    val poller = new Thread(() => {
+      while (true) {
+        val b = dirBytes(Paths.get(scratchBase))
+        peak.updateAndGet(m => math.max(m, b))
+        Thread.sleep(200)
+      }
+    }, "scratch-poller")
+    poller.setDaemon(true)
+    poller.start()
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // --- synthesize the documents corpus at factor x -----------------
+    val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
+    val off = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val big = (0 until factor).map { k =>
+      if (k == 0) docs
+      else docs.select((col("doc_id") + lit(k * off)).as("doc_id"),
+        regexp_replace(col("text"), "\\s+", s" c${k}z ").as("text"))
+    }.reduce(_ union _)
+    // Materialize so the probe measures dedup over real parquet input,
+    // not synthesis fused into the dedup plan.
+    val corpusDir = s"$scratchBase/corpus_input"
+    big.write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val nDocs = corpus.count()
+    println(s"[probe] corpus rows = $nDocs (base x $factor)")
+
+    val survivors = time(s"dedup near (0.8) over $nDocs docs") {
+      Dedup.deduplicate(corpus, threshold = 0.8).count()
+    }
+    println(s"[probe] survivors = $survivors")
+
+    // --- synthesize embeddings at factor x ---------------------------
+    val emb = Engine.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val eoff = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val bigEmb = (0 until factor).map { k =>
+      if (k == 0) emb
+      else emb.select((col("vec_id") + lit(k * eoff)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + lit((k * 0.003).toFloat)).cast("float")).as("embedding"))
+    }.reduce(_ union _)
+    val embDir = s"$scratchBase/embeddings_input"
+    bigEmb.write.mode("overwrite").parquet(embDir)
+    val vectors = spark.read.parquet(embDir)
+    val nVec = vectors.count()
+    println(s"[probe] embedding rows = $nVec")
+
+    val centroids = time("kmeans codebook (k=64, 3 iters)") {
+      val c = Similarity.kmeansCentroids(vectors, k = 64, iters = 3)
+      c.count(); c
+    }
+    val queries = vectors.orderBy("vec_id").limit(10)
+    val topk = time("ivf top-10 (nProbe=4, 10 queries)") {
+      Similarity.ivfTopK(vectors, queries, centroids, k = 10, nProbe = 4).count()
+    }
+    println(s"[probe] ivf result rows = $topk")
+
+    val inputBytes = dirBytes(Paths.get(corpusDir)) + dirBytes(Paths.get(embDir))
+    println(f"[probe] input bytes      = $inputBytes%,d")
+    println(f"[probe] peak scratch     = ${peak.get()}%,d bytes (incl. input)")
+    println(f"[probe] peak scratch-net = ${math.max(0L, peak.get() - inputBytes)}%,d bytes over input")
+    spark.stop()
+  }
+}

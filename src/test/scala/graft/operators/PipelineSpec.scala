@@ -570,6 +570,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(2) == ((2L, "nothing sensitive here at all", 0L, 0L, 0L)))
   }
 
+  test("dedupLines strips high-df lines, keeps order, keeps emptied docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "MENU\nunique zero body\nMENU\nFOOT"), // in-doc repeat counts df once
+      (1L, "MENU\nfirst one\nsecond one\nFOOT"),
+      (2L, "MENU\nFOOT"), // all boilerplate -> survives with empty text
+      (3L, "MENU\nbody three\nFOOT"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.dedupLines(corpus, minDf = 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // MENU df=4, FOOT df=4 -> removed; body lines df=1 -> kept in order.
+    assert(rows(0) == ((0L, "unique zero body", 1L, 3L)))
+    assert(rows(1) == ((1L, "first one\nsecond one", 2L, 2L)))
+    assert(rows(2) == ((2L, "", 0L, 2L)))
+    assert(rows(3) == ((3L, "body three", 1L, 2L)))
+  }
+
   test("crossCorpusOverlap counts distinct shared n-grams per pair") {
     import spark.implicits._
     val corpus = Seq(
