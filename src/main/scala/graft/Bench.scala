@@ -17,18 +17,40 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count().write.format("noop").mode("overwrite").save()
+    // Contention sentinel: a fixed, data-independent workload timed before
+    // and after the sweep. Its cost depends only on this JVM and the box —
+    // not on sf or the query set — so a loaded machine shows up as an
+    // inflated sentinel (round 6's driver run was ~2x slow across the board
+    // with q24 at 20x; nothing in the JSON could prove it was the box and
+    // not the code). Median-of-3 per probe: min would mask sustained load,
+    // a single shot is a fluke magnet. Readers compare sentinel_before /
+    // sentinel_after across rounds — a round whose sentinel is far above
+    // its predecessors' is a contended measurement, not a regression.
+    def sentinel(): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(50000000L).selectExpr("sum(id * id) as s", "count(if(id % 7 = 0, 1, null)) as c")
+          .write.format("noop").mode("overwrite").save()
+        spark.read.parquet(s"$sfDir/nation.parquet")
+          .groupBy("n_regionkey").count().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    val sentinelBefore = sentinel()
     // Time a full materialization of every column: the noop sink consumes
     // each row end-to-end (unlike count(), under which Catalyst prunes all
     // columns and skips projection/UDF work entirely). Each query runs
-    // twice and reports the MINIMUM — a single-iteration timing is at the
-    // mercy of machine contention (round 3's driver bench file measured a
-    // busy box at ~3x); the min of two runs damps that noise while still
-    // charging any per-call recomputation the query actually does.
+    // three times and reports the MINIMUM — a single-iteration timing is at
+    // the mercy of machine contention (round 3's driver bench file measured
+    // a busy box at ~3x, and round 6's at ~2x surviving min-of-2); min-of-3
+    // damps that noise further while still charging any per-call
+    // recomputation the query actually does.
     // A failed iteration contributes NO timing (a fast crash would
     // otherwise read as a small, legitimate-looking min); a query with no
     // successful iteration is reported in `failed`, not in `queries`.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -40,13 +62,14 @@ object Bench {
       }
       name -> times.minOption
     }
+    val sentinelAfter = sentinel()
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sentinel_before":$sentinelBefore,"sentinel_after":$sentinelAfter,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a bounded tail, which truncates the
     // per-query map once the suite is large; a file sidesteps the tail so

@@ -595,15 +595,46 @@ object Dedup {
     * archive.
     */
   def incrementalExact(newDocs: DataFrame, knownDocs: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    incrementalExactImpl(newDocs, archiveHashes(knownDocs, textCol), idCol, textCol)
+
+  /** [[incrementalExact]] against a PRE-COMPUTED distinct content-hash set
+    * (column `h` = md5 of the text) — the archive text is never touched. */
+  private def incrementalExactImpl(newDocs: DataFrame, knownHashes: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val newHashed = newDocs.select(col(idCol).as("doc_id"),
       md5(coalesce(col(textCol), lit(""))).as("h"))
-    val knownHashes = knownDocs.select(md5(coalesce(col(textCol), lit(""))).as("h")).distinct()
-    val unseen = newHashed.join(knownHashes, Seq("h"), "left_anti")
+    val unseen = newHashed.join(knownHashes.select("h"), Seq("h"), "left_anti")
     val keep = unseen.groupBy("h").agg(min("doc_id").as("doc_id"))
       .select(col("doc_id").as(idCol))
     newDocs.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** The archive's distinct content-hash set for incremental dedup — meant
+    * to be computed ONCE and persisted (at 100 TB: a bucketed table keyed
+    * on `h`), then handed to [[incrementalNear]] via [[ArchiveIndex]] so
+    * repeated increments never rescan archive text for the exact screen. */
+  def archiveHashes(knownDocs: DataFrame, textCol: String = "text"): DataFrame =
+    knownDocs.select(md5(coalesce(col(textCol), lit(""))).as("h")).distinct()
+
+  /** Precomputed archive-side artifacts for [[incrementalNear]]: the LSH
+    * band table (doc_id, band, bh) and the distinct content-hash set, plus
+    * the banding parameters they were built with (carried here so an
+    * increment can never be banded incompatibly with its archive). Build
+    * once with [[buildArchiveIndex]], persist both frames (bands bucketed
+    * by (band, bh), hashes by h), and reconstruct from the stored tables on
+    * every subsequent increment — the daily-crawl shape at 100 TB, where
+    * re-deriving signatures from archive text would dominate the cost. */
+  final case class ArchiveIndex(bands: DataFrame, hashes: DataFrame,
+      numHashes: Int, numBands: Int, shingleN: Int)
+
+  /** Derive an [[ArchiveIndex]] from archive text — one signature pass +
+    * one hash pass, both lazy; persist the two frames and rebuild the index
+    * from the stored tables for subsequent increments. */
+  def buildArchiveIndex(knownDocs: DataFrame, numHashes: Int = 128,
+      bands: Int = 32, shingleN: Int = 3): ArchiveIndex =
+    ArchiveIndex(minhashBands(knownDocs, numHashes, bands, shingleN),
+      archiveHashes(knownDocs), numHashes, bands, shingleN)
 
   /** Incremental NEAR-dup dedup — [[incrementalExact]]'s semantics lifted
     * to Jaccard >= `threshold`: the production shape for keeping a crawl
@@ -620,28 +651,59 @@ object Dedup {
     *      increment (components over verified increment-internal pairs
     *      among step-2 survivors — same keep policy as [[deduplicate]]).
     *
-    * Cost scales with the increment: the archive contributes one
-    * signature pass + its side of the bucket join (at 100 TB the archive
-    * bands would be precomputed and stored bucketed, making the probe a
-    * co-located join), and verification only ever touches candidate
-    * documents' shingles. Ids must be globally unique across the two
-    * frames (the crawl convention) — a shared id would alias in the
-    * verification index.
+    * Cost scales with the increment: in this convenience form the archive
+    * contributes one signature pass + its side of the bucket join; with a
+    * precomputed [[ArchiveIndex]] (the overload below — the repeated-
+    * increment form) even that pass disappears and the archive's bands
+    * arrive from a stored table (persist it bucketed by (band, bh) and the
+    * probe is a co-located join). Verification only ever touches candidate
+    * documents' shingles either way. Ids must be globally unique across
+    * the two frames (the crawl convention) — a shared id would alias in
+    * the verification index.
     */
   def incrementalNear(newDocs: DataFrame, knownDocs: DataFrame,
       threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
-      shingleN: Int = 3): DataFrame = {
-    if (threshold >= 1.0) return incrementalExact(newDocs, knownDocs)
+      shingleN: Int = 3): DataFrame =
+    incrementalNearImpl(newDocs, knownDocs, None, threshold, numHashes, bands, shingleN)
+
+  /** [[incrementalNear]] against a PRE-COMPUTED [[ArchiveIndex]]: archive
+    * text is consulted ONLY to verify the candidate documents the bucket
+    * join surfaces (a semi-join-reduced set that scales with the increment,
+    * not the archive) — signatures and content hashes come from the stored
+    * index. This is the repeated-increment production form; the 2-frame
+    * convenience overload above re-derives the index per call and is right
+    * only for one-shot use. */
+  def incrementalNear(newDocs: DataFrame, knownDocs: DataFrame,
+      index: ArchiveIndex, threshold: Double): DataFrame =
+    incrementalNearImpl(newDocs, knownDocs, Some(index), threshold,
+      index.numHashes, index.numBands, index.shingleN)
+
+  private def incrementalNearImpl(newDocs: DataFrame, knownDocs: DataFrame,
+      index: Option[ArchiveIndex], threshold: Double, numHashes: Int,
+      bands: Int, shingleN: Int): DataFrame = {
+    def exactScreen: DataFrame = index match {
+      case Some(ix) => incrementalExactImpl(newDocs, ix.hashes, "doc_id", "text")
+      case None     => incrementalExact(newDocs, knownDocs)
+    }
+    if (threshold >= 1.0) return exactScreen
     val spark = newDocs.sparkSession
     // Stage 1: exact-hash screen (archive collisions + within-batch),
     // pinned to scratch once — it feeds the signature pass, the
     // verification index, and the final anti-join.
-    val kept0 = materialize(incrementalExact(newDocs, knownDocs), "inc_kept")
-    // One signature pass per side, spilled — each feeds two bucket joins.
+    val kept0 = materialize(exactScreen, "inc_kept")
+    // One signature pass for the increment, spilled — it feeds two bucket
+    // joins. The archive side comes from the stored index when supplied
+    // (no archive text pass, nothing of ours to reclaim); otherwise it is
+    // derived here and spilled alongside.
     val (nb, nbDir) = Scratch.materialize(
       minhashBands(kept0, numHashes, bands, shingleN), "inc_nb")
-    val (kb, kbDir) = Scratch.materialize(
-      minhashBands(knownDocs, numHashes, bands, shingleN), "inc_kb")
+    val (kb, kbDir) = index match {
+      case Some(ix) => (ix.bands, None)
+      case None =>
+        val (df, dir) = Scratch.materialize(
+          minhashBands(knownDocs, numHashes, bands, shingleN), "inc_kb")
+        (df, Some(dir))
+    }
     // Stage 2: increment × archive candidates, verified exactly. The
     // verification index only holds the increment's shingles plus the
     // candidate archive documents' (semi-join reduction inside
@@ -670,7 +732,7 @@ object Dedup {
     // dupOfKnown is a lazy plan over them until this write runs.
     val drops = materialize(dupOfKnown.union(dupInBatch), "inc_drops")
     Scratch.delete(spark, nbDir)
-    Scratch.delete(spark, kbDir)
+    kbDir.foreach(Scratch.delete(spark, _))
     kept0.join(drops, Seq("doc_id"), "left_anti")
   }
 

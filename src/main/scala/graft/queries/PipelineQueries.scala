@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Engine
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Scratch, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
 
 /** Declared queries for the training-data-pipeline operators (the
@@ -271,6 +271,72 @@ object PipelineQueries {
         d.filter(col("doc_id") < 200).select("doc_id", "text"),
         threshold = 0.8)
       .select("doc_id").orderBy("doc_id")
+  }
+
+  declare("dedup_incremental_near_idx",
+    // Same semantics as dedup_incremental_near, driven through the
+    // precomputed-ArchiveIndex path (the repeated-increment production
+    // form): the archive's band table and hash set are materialized once to
+    // scratch — standing in for the persisted bucketed tables of a daily
+    // crawl — and every signature the operator probes comes from them, not
+    // from a per-call rescan of archive text. Oracle identical by design.
+    """WITH RECURSIVE
+       known AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 200),
+       kh AS (SELECT DISTINCT md5(text) h FROM known),
+       nh AS (SELECT doc_id, md5(text) h FROM newd),
+       kept0 AS (SELECT MIN(doc_id) AS doc_id FROM nh
+                 WHERE h NOT IN (SELECT h FROM kh) GROUP BY h),
+       ta AS (SELECT d.doc_id, string_split(d.text, ' ') ws
+              FROM newd d JOIN kept0 USING (doc_id)),
+       sa0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh FROM ta),
+       sha AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sa0),
+       tb AS (SELECT doc_id, string_split(text, ' ') ws FROM known),
+       sb0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh FROM tb),
+       shb AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sb0),
+       sza AS (SELECT doc_id, COUNT(*) sz FROM sha GROUP BY 1),
+       szb AS (SELECT doc_id, COUNT(*) sz FROM shb GROUP BY 1),
+       crossi AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) i
+                  FROM sha x JOIN shb y ON x.shingle = y.shingle GROUP BY 1, 2),
+       dupk AS (SELECT DISTINCT a AS doc_id FROM crossi
+                JOIN sza ON a = sza.doc_id JOIN szb ON b = szb.doc_id
+                WHERE CAST(i AS DOUBLE)/(sza.sz + szb.sz - i) >= 0.8),
+       selfi AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) i
+                 FROM sha x JOIN sha y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 WHERE x.doc_id NOT IN (SELECT doc_id FROM dupk)
+                   AND y.doc_id NOT IN (SELECT doc_id FROM dupk)
+                 GROUP BY 1, 2),
+       pairs AS (SELECT a, b FROM selfi
+                 JOIN sza s1 ON a = s1.doc_id JOIN sza s2 ON b = s2.doc_id
+                 WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.8),
+       edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+       reach AS (
+         SELECT x, x AS y FROM (SELECT DISTINCT x FROM edges) t
+         UNION
+         SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+       ),
+       lab AS (SELECT x AS doc_id, MIN(y) AS label FROM reach GROUP BY 1)
+       SELECT doc_id FROM kept0
+       WHERE doc_id NOT IN (SELECT doc_id FROM dupk)
+         AND doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id != label)
+       ORDER BY doc_id""") { (spark, sfDir) =>
+    val d = t(spark, sfDir, "documents")
+    val inc = d.filter(col("doc_id") >= 200).select("doc_id", "text")
+    val known = d.filter(col("doc_id") < 200).select("doc_id", "text")
+    val built = Dedup.buildArchiveIndex(known)
+    val (bandsStored, bandsDir) = Scratch.materialize(built.bands, "aix_bands")
+    val (hashesStored, hashesDir) = Scratch.materialize(built.hashes, "aix_hashes")
+    val index = Dedup.ArchiveIndex(bandsStored, hashesStored,
+      built.numHashes, built.numBands, built.shingleN)
+    val out = Dedup.incrementalNear(inc, known, index, threshold = 0.8)
+      .select("doc_id").orderBy("doc_id")
+    // incrementalNear pins its drop set to scratch during the call, so the
+    // returned plan no longer references the index tables — reclaim them.
+    Scratch.delete(spark, bandsDir)
+    Scratch.delete(spark, hashesDir)
+    out
   }
 
   declare("graph_reachability",

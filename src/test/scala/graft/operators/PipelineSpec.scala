@@ -543,6 +543,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(12L, 14L))
   }
 
+  test("incrementalNear with a stored ArchiveIndex never re-derives archive signatures") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val other = "totally different content with no overlap whatsoever here " * 5
+    val third = "yet another unrelated document body nothing shared at all " * 5
+    val known = Seq((0L, base), (1L, other)).toDF("doc_id", "text")
+    // Build the index from the TRUE archive and persist it, as a daily-crawl
+    // pipeline would; reconstruct from the stored tables.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ix_").toString
+    val built = Dedup.buildArchiveIndex(known)
+    built.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    built.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
+    val stored = Dedup.ArchiveIndex(
+      spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/hashes"),
+      built.numHashes, built.numBands, built.shingleN)
+    // Poison archive doc 1's text with a near-copy of increment doc 12's —
+    // if the operator re-derived signatures from archive TEXT, doc 12 would
+    // band-collide with doc 1 and be dropped. With the stored index it must
+    // survive, while doc 11 (true near-dup of archived 0) is still caught
+    // via the candidate-reduced verification read of doc 0's text.
+    val poisoned = Seq((0L, base), (1L, third)).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, base),            // exact archive collision → drop (stored hashes)
+      (11L, base + "tail"),   // NEAR-dup of archived 0 → drop (stored bands)
+      (12L, third),           // fresh per the INDEX → keep
+      (13L, third + "x"),     // near-dup of 12 within batch → drop
+      (14L, "short"))         // shingle-less, unseen hash → keep
+      .toDF("doc_id", "text")
+    val keptIdx = Dedup.incrementalNear(inc, poisoned, stored, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIdx == Set(12L, 14L))
+    // Negative control: the convenience form DOES re-derive from archive
+    // text, so the poisoned copy kills doc 12 — proving the index above was
+    // load-bearing, not incidentally equivalent.
+    val keptConv = Dedup.incrementalNear(inc, poisoned, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptConv == Set(14L))
+  }
+
   test("incrementalExact drops archive collisions and within-batch dups only") {
     import spark.implicits._
     val known = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
