@@ -7,24 +7,31 @@ import org.apache.spark.sql.functions._
   * pipeline as opaque `binary` columns with typed metadata, processed in
   * partition-sized batches.
   *
-  * Four container formats decode for REAL with no codec library: PCM WAV
-  * (RIFF chunk walk), 24-bpp BMP, Y4M video streams, and compressed PNG
-  * (zlib DEFLATE via `java.util.zip` + full scanline un-filtering).
-  * Only the generic codec decode ([[decodeFeatures]]) remains a STUB — a
-  * deterministic fake feature extractor (documented below) — while
-  * everything Spark-side is real and tested: the binary schema, the
-  * executor-side batching (`mapPartitions` over a typed Dataset — the
-  * Scala analogue of `mapInPandas` batch processing), chunking for
-  * range-fetch-style IO, and metadata derivation with codegen'd built-ins.
+  * Five container formats decode for REAL with no codec library: PCM WAV
+  * (RIFF chunk walk), 24-bpp BMP, Y4M video streams, compressed PNG
+  * (zlib DEFLATE via `java.util.zip` + full scanline un-filtering), and
+  * GIF (variable-width LZW decompression implemented from the spec).
+  * The generic decode ([[decodeFeatures]]) sniffs each payload's magic
+  * bytes and dispatches to the right parser — no stub remains. Everything
+  * Spark-side is equally real: the binary schema, the executor-side
+  * batching (`mapPartitions` over a typed Dataset — the Scala analogue of
+  * `mapInPandas` batch processing), chunking for range-fetch-style IO, and
+  * metadata derivation with codegen'd built-ins.
   */
 object Multimodal {
 
   /** A binary asset row. `bytes` is the opaque media payload. */
   final case class Asset(asset_id: Long, kind: String, bytes: Array[Byte])
 
-  /** Decoded features for one asset (decode step stubbed). */
-  final case class AssetFeature(
-      asset_id: Long, kind: String, size_bytes: Long, feature: Array[Float])
+  /** One decoded asset from [[decodeFeatures]]: `format` is detected from
+    * the payload's magic bytes; (width, height, units, value_sum) carry
+    * the format's natural stats — WAV: sample_rate / channels / samples /
+    * Σ|sample|; BMP, PNG, GIF: w / h / pixels / Σpixel; Y4M: w / h /
+    * frames / Σluma; unrecognized payloads: zeros with format "unknown"
+    * (a crawl-scale corpus always contains garbage — an error row, not a
+    * job abort). */
+  final case class AssetFeature(asset_id: Long, format: String,
+      size_bytes: Long, width: Long, height: Long, units: Long, value_sum: Long)
 
   /** Build a deterministic synthetic asset table from the documents
     * corpus: payload = utf-8 text bytes, modality round-robins by id.
@@ -134,44 +141,45 @@ object Multimodal {
     */
   def decodeWav(spark: SparkSession, wavs: Dataset[WavAsset]): Dataset[WavFeature] = {
     import spark.implicits._
-    wavs.mapPartitions { it =>
-      it.map { w =>
-        val b = java.nio.ByteBuffer.wrap(w.wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        def tag4(off: Int) = new String(w.wav, off, 4, "US-ASCII")
-        require(tag4(0) == "RIFF" && tag4(8) == "WAVE",
-          s"asset ${w.asset_id}: not a RIFF/WAVE container")
-        var off = 12
-        var sampleRate = -1L
-        var channels = -1L
-        var bits = -1
-        var dataOff = -1
-        var dataLen = -1
-        while (off + 8 <= w.wav.length && (dataOff < 0 || sampleRate < 0)) {
-          val id = tag4(off)
-          val sz = b.getInt(off + 4)
-          if (id == "fmt ") {
-            require(b.getShort(off + 8) == 1, "only uncompressed PCM supported")
-            channels = b.getShort(off + 10).toLong
-            sampleRate = b.getInt(off + 12).toLong
-            bits = b.getShort(off + 22).toInt
-          } else if (id == "data") { dataOff = off + 8; dataLen = sz }
-          off += 8 + sz + (sz & 1) // chunks are word-aligned
-        }
-        require(dataOff >= 0 && sampleRate > 0 && bits == 16,
-          s"asset ${w.asset_id}: missing fmt/data chunk or unsupported depth")
-        var i = dataOff
-        val end = dataOff + dataLen
-        var n = 0L
-        var peak = 0L
-        var sum = 0L
-        while (i + 1 < end) {
-          val s = math.abs(b.getShort(i).toLong)
-          n += 1; sum += s; if (s > peak) peak = s
-          i += 2
-        }
-        WavFeature(w.asset_id, sampleRate, channels, n, peak, sum)
-      }
+    wavs.mapPartitions(it => it.map(w => parseWav(w.asset_id, w.wav)))
+  }
+
+  /** The row-local WAV parse behind [[decodeWav]] and [[decodeFeatures]]. */
+  private[operators] def parseWav(assetId: Long, wav: Array[Byte]): WavFeature = {
+    val b = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(off: Int) = new String(wav, off, 4, "US-ASCII")
+    require(tag4(0) == "RIFF" && tag4(8) == "WAVE",
+      s"asset $assetId: not a RIFF/WAVE container")
+    var off = 12
+    var sampleRate = -1L
+    var channels = -1L
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= wav.length && (dataOff < 0 || sampleRate < 0)) {
+      val id = tag4(off)
+      val sz = b.getInt(off + 4)
+      if (id == "fmt ") {
+        require(b.getShort(off + 8) == 1, "only uncompressed PCM supported")
+        channels = b.getShort(off + 10).toLong
+        sampleRate = b.getInt(off + 12).toLong
+        bits = b.getShort(off + 22).toInt
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
     }
+    require(dataOff >= 0 && sampleRate > 0 && bits == 16,
+      s"asset $assetId: missing fmt/data chunk or unsupported depth")
+    var i = dataOff
+    val end = dataOff + dataLen
+    var n = 0L
+    var peak = 0L
+    var sum = 0L
+    while (i + 1 < end) {
+      val s = math.abs(b.getShort(i).toLong)
+      n += 1; sum += s; if (s > peak) peak = s
+      i += 2
+    }
+    WavFeature(assetId, sampleRate, channels, n, peak, sum)
   }
 
   /** A BMP image asset: `bmp` is a complete 24-bpp bitmap file. */
@@ -229,34 +237,35 @@ object Multimodal {
     */
   def decodeBmp(spark: SparkSession, bmps: Dataset[BmpAsset]): Dataset[BmpFeature] = {
     import spark.implicits._
-    bmps.mapPartitions { it =>
-      it.map { a =>
-        val b = java.nio.ByteBuffer.wrap(a.bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        require(a.bmp(0) == 'B'.toByte && a.bmp(1) == 'M'.toByte,
-          s"asset ${a.asset_id}: not a BMP")
-        val off = b.getInt(10)
-        val width = b.getInt(18)
-        val height = b.getInt(22)
-        require(b.getShort(28) == 24 && b.getInt(30) == 0,
-          s"asset ${a.asset_id}: only uncompressed 24-bpp supported")
-        val stride = (width * 3 + 3) & ~3
-        var sum = 0L
-        var nz = 0L
-        var row = 0
-        while (row < height) {
-          val base = off + row * stride
-          var c = 0
-          while (c < width) {
-            val v = a.bmp(base + c * 3) & 0xff
-            sum += v
-            if (v != 0) nz += 1
-            c += 1
-          }
-          row += 1
-        }
-        BmpFeature(a.asset_id, width.toLong, height.toLong, sum, nz)
+    bmps.mapPartitions(it => it.map(a => parseBmp(a.asset_id, a.bmp)))
+  }
+
+  /** The row-local BMP parse behind [[decodeBmp]] and [[decodeFeatures]]. */
+  private[operators] def parseBmp(assetId: Long, bmp: Array[Byte]): BmpFeature = {
+    val b = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte,
+      s"asset $assetId: not a BMP")
+    val off = b.getInt(10)
+    val width = b.getInt(18)
+    val height = b.getInt(22)
+    require(b.getShort(28) == 24 && b.getInt(30) == 0,
+      s"asset $assetId: only uncompressed 24-bpp supported")
+    val stride = (width * 3 + 3) & ~3
+    var sum = 0L
+    var nz = 0L
+    var row = 0
+    while (row < height) {
+      val base = off + row * stride
+      var c = 0
+      while (c < width) {
+        val v = bmp(base + c * 3) & 0xff
+        sum += v
+        if (v != 0) nz += 1
+        c += 1
       }
+      row += 1
     }
+    BmpFeature(assetId, width.toLong, height.toLong, sum, nz)
   }
 
   /** A Y4M (YUV4MPEG2) video asset: a complete uncompressed stream. */
@@ -310,39 +319,39 @@ object Multimodal {
     */
   def decodeY4m(spark: SparkSession, vids: Dataset[Y4mAsset]): Dataset[Y4mFeature] = {
     import spark.implicits._
-    vids.mapPartitions { it =>
-      it.map { a =>
-        val d = a.y4m
-        var nl = 0
-        while (d(nl) != '\n'.toByte) nl += 1
-        val header = new String(d, 0, nl, "US-ASCII")
-        val toks = header.split(" ")
-        require(toks(0) == "YUV4MPEG2", s"asset ${a.asset_id}: not a Y4M stream")
-        val width = toks.find(_.startsWith("W")).map(_.tail.toInt)
-          .getOrElse(sys.error("no width"))
-        val height = toks.find(_.startsWith("H")).map(_.tail.toInt)
-          .getOrElse(sys.error("no height"))
-        require(toks.find(_.startsWith("C")).forall(_ == "C420"),
-          s"asset ${a.asset_id}: only C420 supported")
-        val lumaSize = width * height
-        val chromaSize = (width / 2) * (height / 2)
-        var pos = nl + 1
-        var frames = 0L
-        var luma = 0L
-        while (pos < d.length) {
-          require(new String(d, pos, 5, "US-ASCII") == "FRAME",
-            s"asset ${a.asset_id}: bad frame marker at $pos")
-          pos += 5
-          while (d(pos) != '\n'.toByte) pos += 1 // frame params, if any
-          pos += 1
-          var i = 0
-          while (i < lumaSize) { luma += d(pos + i) & 0xff; i += 1 }
-          pos += lumaSize + 2 * chromaSize
-          frames += 1
-        }
-        Y4mFeature(a.asset_id, width.toLong, height.toLong, frames, luma)
-      }
+    vids.mapPartitions(it => it.map(a => parseY4m(a.asset_id, a.y4m)))
+  }
+
+  /** The row-local Y4M parse behind [[decodeY4m]] and [[decodeFeatures]]. */
+  private[operators] def parseY4m(assetId: Long, d: Array[Byte]): Y4mFeature = {
+    var nl = 0
+    while (d(nl) != '\n'.toByte) nl += 1
+    val header = new String(d, 0, nl, "US-ASCII")
+    val toks = header.split(" ")
+    require(toks(0) == "YUV4MPEG2", s"asset $assetId: not a Y4M stream")
+    val width = toks.find(_.startsWith("W")).map(_.tail.toInt)
+      .getOrElse(sys.error("no width"))
+    val height = toks.find(_.startsWith("H")).map(_.tail.toInt)
+      .getOrElse(sys.error("no height"))
+    require(toks.find(_.startsWith("C")).forall(_ == "C420"),
+      s"asset $assetId: only C420 supported")
+    val lumaSize = width * height
+    val chromaSize = (width / 2) * (height / 2)
+    var pos = nl + 1
+    var frames = 0L
+    var luma = 0L
+    while (pos < d.length) {
+      require(new String(d, pos, 5, "US-ASCII") == "FRAME",
+        s"asset $assetId: bad frame marker at $pos")
+      pos += 5
+      while (d(pos) != '\n'.toByte) pos += 1 // frame params, if any
+      pos += 1
+      var i = 0
+      while (i < lumaSize) { luma += d(pos + i) & 0xff; i += 1 }
+      pos += lumaSize + 2 * chromaSize
+      frames += 1
     }
+    Y4mFeature(assetId, width.toLong, height.toLong, frames, luma)
   }
 
   /** A PNG image asset: `png` is a complete PNG file. */
@@ -420,101 +429,361 @@ object Multimodal {
     */
   def decodePng(spark: SparkSession, pngs: Dataset[PngAsset]): Dataset[PngFeature] = {
     import spark.implicits._
-    pngs.mapPartitions { it =>
-      it.map { a =>
-        val d = a.png
-        val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
-        require(d.length > 8 && d.take(8).sameElements(sig),
-          s"asset ${a.asset_id}: not a PNG")
-        val b = java.nio.ByteBuffer.wrap(d) // PNG ints are big-endian
-        var off = 8
-        var width = -1; var height = -1
-        val idat = new java.io.ByteArrayOutputStream()
-        var done = false
-        while (!done && off + 8 <= d.length) {
-          val len = b.getInt(off)
-          val tag = new String(d, off + 4, 4, "US-ASCII")
-          val crc = new java.util.zip.CRC32
-          crc.update(d, off + 4, 4 + len)
-          require(crc.getValue.toInt == b.getInt(off + 8 + len),
-            s"asset ${a.asset_id}: CRC mismatch in $tag chunk")
-          tag match {
-            case "IHDR" =>
-              width = b.getInt(off + 8)
-              height = b.getInt(off + 12)
-              require(d(off + 16) == 8 && d(off + 17) == 0 && d(off + 20) == 0,
-                s"asset ${a.asset_id}: only 8-bit non-interlaced grayscale supported")
-            case "IDAT" => idat.write(d, off + 8, len)
-            case "IEND" => done = true
-            case _ => () // ancillary chunk (tEXt, pHYs, ...) — skip
-          }
-          off += 12 + len
-        }
-        require(width > 0 && height > 0, s"asset ${a.asset_id}: no IHDR")
-        val inflater = new java.util.zip.Inflater()
-        inflater.setInput(idat.toByteArray)
-        val raw = new Array[Byte]((width + 1) * height)
-        var got = 0
-        while (got < raw.length && !inflater.finished())
-          got += inflater.inflate(raw, got, raw.length - got)
-        inflater.end()
-        require(got == raw.length, s"asset ${a.asset_id}: truncated IDAT stream")
-        // Un-filter scanlines (bpp = 1 for 8-bit grayscale).
-        val img = new Array[Int](width * height)
-        var r = 0
-        while (r < height) {
-          val ft = raw(r * (width + 1)) & 0xff
-          var c = 0
-          while (c < width) {
-            val x = raw(r * (width + 1) + 1 + c) & 0xff
-            val left = if (c > 0) img(r * width + c - 1) else 0
-            val up = if (r > 0) img((r - 1) * width + c) else 0
-            val ul = if (r > 0 && c > 0) img((r - 1) * width + c - 1) else 0
-            val recon = ft match {
-              case 0 => x
-              case 1 => x + left
-              case 2 => x + up
-              case 3 => x + (left + up) / 2
-              case 4 =>
-                val p = left + up - ul
-                val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
-                x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
-              case other => sys.error(s"asset ${a.asset_id}: unknown filter $other")
-            }
-            img(r * width + c) = recon & 0xff
-            c += 1
-          }
-          r += 1
-        }
-        var sum = 0L; var nz = 0L
-        img.foreach { v => sum += v; if (v != 0) nz += 1 }
-        PngFeature(a.asset_id, width.toLong, height.toLong, sum, nz)
-      }
-    }
+    pngs.mapPartitions(it => it.map(a => parsePng(a.asset_id, a.png)))
   }
 
-  /** STUB decode: a real implementation would decode the payload (JPEG
-    * grid, PCM frames, video keyframes) inside this partition loop; the
-    * container ships no codecs, so features are a deterministic fake —
-    * 4 floats derived from payload length and first/middle/last bytes.
-    * The Spark-side shape (typed Dataset, per-partition batch loop,
-    * fixed-width output vector) is the real contract. For formats that
-    * need no external codec, see [[decodeWav]]/[[decodeBmp]]/[[decodeY4m]]
-    * /[[decodePng]] — genuine binary parses of real containers for all
-    * three modalities, including one compressed format.
+  /** The row-local PNG parse behind [[decodePng]] and [[decodeFeatures]]. */
+  private[operators] def parsePng(assetId: Long, d: Array[Byte]): PngFeature = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    require(d.length > 8 && d.take(8).sameElements(sig),
+      s"asset $assetId: not a PNG")
+    val b = java.nio.ByteBuffer.wrap(d) // PNG ints are big-endian
+    var off = 8
+    var width = -1; var height = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && off + 8 <= d.length) {
+      val len = b.getInt(off)
+      val tag = new String(d, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(d, off + 4, 4 + len)
+      require(crc.getValue.toInt == b.getInt(off + 8 + len),
+        s"asset ${assetId}: CRC mismatch in $tag chunk")
+      tag match {
+        case "IHDR" =>
+          width = b.getInt(off + 8)
+          height = b.getInt(off + 12)
+          require(d(off + 16) == 8 && d(off + 17) == 0 && d(off + 20) == 0,
+            s"asset ${assetId}: only 8-bit non-interlaced grayscale supported")
+        case "IDAT" => idat.write(d, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunk (tEXt, pHYs, ...) — skip
+      }
+      off += 12 + len
+    }
+    require(width > 0 && height > 0, s"asset ${assetId}: no IHDR")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte]((width + 1) * height)
+    var got = 0
+    while (got < raw.length && !inflater.finished())
+      got += inflater.inflate(raw, got, raw.length - got)
+    inflater.end()
+    require(got == raw.length, s"asset ${assetId}: truncated IDAT stream")
+    // Un-filter scanlines (bpp = 1 for 8-bit grayscale).
+    val img = new Array[Int](width * height)
+    var r = 0
+    while (r < height) {
+      val ft = raw(r * (width + 1)) & 0xff
+      var c = 0
+      while (c < width) {
+        val x = raw(r * (width + 1) + 1 + c) & 0xff
+        val left = if (c > 0) img(r * width + c - 1) else 0
+        val up = if (r > 0) img((r - 1) * width + c) else 0
+        val ul = if (r > 0 && c > 0) img((r - 1) * width + c - 1) else 0
+        val recon = ft match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case other => sys.error(s"asset ${assetId}: unknown filter $other")
+        }
+        img(r * width + c) = recon & 0xff
+        c += 1
+      }
+      r += 1
+    }
+    var sum = 0L; var nz = 0L
+    img.foreach { v => sum += v; if (v != 0) nz += 1 }
+    PngFeature(assetId, width.toLong, height.toLong, sum, nz)
+  }
+
+  /** A GIF image asset: `gif` is a complete GIF87a/89a file. */
+  final case class GifAsset(asset_id: Long, gif: Array[Byte])
+
+  /** Decoded image features from a parsed GIF (values = palette red
+    * channel, summed over every image block in the file). */
+  final case class GifFeature(asset_id: Long, width: Long, height: Long,
+      pixel_sum: Long, n_nonzero: Long)
+
+  /** Synthesize a REAL GIF89a per document: 256-entry grayscale global
+    * color table (palette i = (i,i,i)), pixel i = text byte i row-major
+    * (tail padded 0, like [[synthesizeBmp]]), and the index stream
+    * compressed with a genuine variable-width LZW encoder (9→12-bit codes,
+    * CLEAR-code table resets at 4096 — the real algorithm, not the
+    * store-only trick). Any image viewer opens these.
+    */
+  def synthesizeGif(spark: SparkSession, docs: DataFrame, width: Int = 16): Dataset[GifAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val px = (if (t == null) "" else t).getBytes("UTF-8")
+        val h = math.max(1, (px.length + width - 1) / width)
+        val idx = new Array[Byte](width * h)
+        System.arraycopy(px, 0, idx, 0, px.length)
+        val code = lzwEncode(idx, 8)
+        val out = new java.io.ByteArrayOutputStream(13 + 768 + code.length + code.length / 255 + 16)
+        out.write("GIF89a".getBytes("US-ASCII"))
+        // Logical screen descriptor: w, h (LE16), packed 0xF7 = GCT
+        // present, 8-bit color resolution, 256-entry table.
+        out.write(width & 0xff); out.write(width >> 8)
+        out.write(h & 0xff); out.write((h >> 8) & 0xff)
+        out.write(0xf7); out.write(0); out.write(0)
+        var i = 0
+        while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+        // Image descriptor at (0,0), no local table, not interlaced.
+        out.write(0x2c)
+        out.write(0); out.write(0); out.write(0); out.write(0)
+        out.write(width & 0xff); out.write(width >> 8)
+        out.write(h & 0xff); out.write((h >> 8) & 0xff)
+        out.write(0)
+        out.write(8) // LZW minimum code size
+        var off = 0
+        while (off < code.length) { // data sub-blocks, ≤255 bytes each
+          val n = math.min(255, code.length - off)
+          out.write(n); out.write(code, off, n)
+          off += n
+        }
+        out.write(0)    // block terminator
+        out.write(0x3b) // trailer
+        GifAsset(id, out.toByteArray)
+      }
+  }
+
+  /** GIF-flavored LZW compression of an index stream (spec appendix F):
+    * codes start at `minCodeSize`+1 bits and grow to 12; the table is
+    * reset with a CLEAR code when full. Exact mirror of [[lzwDecode]] —
+    * the encoder widens one step later than the decoder adds (the decoder
+    * trails the encoder's table by one entry).
+    */
+  private[operators] def lzwEncode(indices: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var nBits = 0
+    var codeSize = minCodeSize + 1
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << nBits
+      nBits += codeSize
+      while (nBits >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; nBits -= 8 }
+    }
+    var table = new java.util.HashMap[Integer, Integer]()
+    var next = clear + 2
+    put(clear)
+    require(indices.nonEmpty, "empty index stream")
+    var prefix: Int = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i) & 0xff
+      val key = Integer.valueOf((prefix << 8) | k)
+      val hit = table.get(key)
+      if (hit != null) prefix = hit.intValue()
+      else {
+        put(prefix)
+        table.put(key, Integer.valueOf(next))
+        next += 1
+        if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        if (next == 4096) { // table full: reset, mirrored by the decoder
+          put(clear)
+          table = new java.util.HashMap[Integer, Integer]()
+          next = clear + 2
+          codeSize = minCodeSize + 1
+        }
+        prefix = k
+      }
+      i += 1
+    }
+    put(prefix)
+    put(eoi)
+    if (nBits > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-flavored LZW decompression: variable-width codes LSB-first,
+    * CLEAR resets, the KwKwK case (code == next free entry), and the
+    * stop-adding-at-4096 deferred-clear rule. Returns exactly
+    * `expected` indices or fails loudly.
+    */
+  private[operators] def lzwDecode(data: Array[Byte], minCodeSize: Int,
+      expected: Int, assetId: Long): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefixOf = new Array[Int](4096)
+    val suffixOf = new Array[Byte](4096)
+    val outBuf = new Array[Byte](expected)
+    var outPos = 0
+    var bitBuf = 0L
+    var nBits = 0
+    var bytePos = 0
+    var codeSize = minCodeSize + 1
+    var next = clear + 2
+    var prev = -1
+    val stack = new Array[Byte](4097) // longest chain (4096) + the KwKwK extra byte
+    def firstOf(code: Int): Byte = {
+      var c = code
+      while (c >= clear + 2) c = prefixOf(c)
+      c.toByte
+    }
+    def emit(code: Int, extra: Int): Unit = {
+      var depth = 0
+      if (extra >= 0) { stack(depth) = extra.toByte; depth += 1 }
+      var c = code
+      while (c >= clear + 2) { stack(depth) = suffixOf(c); depth += 1; c = prefixOf(c) }
+      stack(depth) = c.toByte; depth += 1
+      require(outPos + depth <= expected, s"asset $assetId: LZW overrun")
+      while (depth > 0) { depth -= 1; outBuf(outPos) = stack(depth); outPos += 1 }
+    }
+    var done = false
+    while (!done && outPos < expected) {
+      while (nBits < codeSize) {
+        require(bytePos < data.length, s"asset $assetId: truncated LZW stream")
+        bitBuf |= (data(bytePos) & 0xffL) << nBits
+        bytePos += 1
+        nBits += 8
+      }
+      val c = (bitBuf & ((1L << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize
+      nBits -= codeSize
+      if (c == clear) {
+        codeSize = minCodeSize + 1
+        next = clear + 2
+        prev = -1
+      } else if (c == eoi) {
+        done = true
+      } else if (prev == -1) {
+        require(c < clear, s"asset $assetId: first code after clear not a literal")
+        emit(c, -1)
+        prev = c
+      } else {
+        require(c <= next && c != eoi, s"asset $assetId: LZW code $c beyond table")
+        if (c == next) emit(prev, firstOf(prev) & 0xff) // KwKwK
+        else emit(c, -1)
+        if (next < 4096) {
+          prefixOf(next) = prev
+          suffixOf(next) = if (c == next) firstOf(prev) else firstOf(c)
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = c
+      }
+    }
+    require(outPos == expected, s"asset $assetId: LZW stream yielded $outPos of $expected pixels")
+    outBuf
+  }
+
+  def decodeGif(spark: SparkSession, gifs: Dataset[GifAsset]): Dataset[GifFeature] = {
+    import spark.implicits._
+    gifs.mapPartitions(it => it.map(a => parseGif(a.asset_id, a.gif)))
+  }
+
+  /** The row-local GIF parse behind [[decodeGif]] and [[decodeFeatures]]:
+    * header + logical screen descriptor, global/local color tables,
+    * extension-block walk, image descriptor(s), and a full LZW decode of
+    * each image's index stream. Pixel value = palette red channel. Works
+    * on any non-interlaced GIF from any encoder (multi-image files sum
+    * over all images).
+    */
+  private[operators] def parseGif(assetId: Long, d: Array[Byte]): GifFeature = {
+    require(d.length > 13, s"asset $assetId: truncated GIF")
+    val magic = new String(d, 0, 6, "US-ASCII")
+    require(magic == "GIF87a" || magic == "GIF89a", s"asset $assetId: not a GIF")
+    def le16(off: Int): Int = (d(off) & 0xff) | ((d(off + 1) & 0xff) << 8)
+    val sw = le16(6)
+    val sh = le16(8)
+    val packed = d(10) & 0xff
+    var pos = 13
+    var gct: Int = -1 // offset of the global color table, -1 if absent
+    if ((packed & 0x80) != 0) {
+      gct = pos
+      pos += 3 * (1 << ((packed & 7) + 1))
+    }
+    var sum = 0L
+    var nz = 0L
+    var done = false
+    while (!done) {
+      require(pos < d.length, s"asset $assetId: missing GIF trailer")
+      (d(pos) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 => // extension: label + sub-blocks until a 0 terminator
+          pos += 2
+          while (d(pos) != 0) pos += 1 + (d(pos) & 0xff)
+          pos += 1
+        case 0x2c =>
+          val iw = le16(pos + 5)
+          val ih = le16(pos + 7)
+          val ipacked = d(pos + 9) & 0xff
+          require((ipacked & 0x40) == 0, s"asset $assetId: interlaced GIF unsupported")
+          pos += 10
+          var pal = gct
+          if ((ipacked & 0x80) != 0) {
+            pal = pos
+            pos += 3 * (1 << ((ipacked & 7) + 1))
+          }
+          require(pal >= 0, s"asset $assetId: no color table")
+          val minCodeSize = d(pos) & 0xff
+          pos += 1
+          val code = new java.io.ByteArrayOutputStream()
+          while (d(pos) != 0) {
+            val n = d(pos) & 0xff
+            code.write(d, pos + 1, n)
+            pos += 1 + n
+          }
+          pos += 1
+          val idx = lzwDecode(code.toByteArray, minCodeSize, iw * ih, assetId)
+          var i = 0
+          while (i < idx.length) {
+            val v = d(pal + 3 * (idx(i) & 0xff)) & 0xff // red channel
+            sum += v
+            if (v != 0) nz += 1
+            i += 1
+          }
+        case other => sys.error(s"asset $assetId: unknown GIF block 0x${other.toHexString}")
+      }
+    }
+    GifFeature(assetId, sw.toLong, sh.toLong, sum, nz)
+  }
+
+  /** Generic decode: sniff each payload's MAGIC BYTES and dispatch to the
+    * real parser — RIFF/WAVE, PNG signature, BMP, YUV4MPEG2, or GIF —
+    * inside one typed per-partition batch loop. No stub: every branch is
+    * a genuine binary parse ([[parseWav]]/[[parseBmp]]/[[parseY4m]]/
+    * [[parsePng]]/[[parseGif]]), two of them through real decompressors
+    * (zlib, LZW). Unrecognized payloads yield a zeroed "unknown" row
+    * rather than failing the job — at crawl scale garbage is data, not an
+    * exception. Input needs (asset_id, bytes); row-local, no shuffle.
     */
   def decodeFeatures(spark: SparkSession, assets: DataFrame): Dataset[AssetFeature] = {
     import spark.implicits._
-    assets.select("asset_id", "kind", "bytes").as[Asset].mapPartitions { it =>
-      it.map { a =>
-        val n = a.bytes.length
-        val f = Array(
-          n.toFloat,
-          if (n > 0) (a.bytes(0) & 0xff).toFloat else 0f,
-          if (n > 0) (a.bytes(n / 2) & 0xff).toFloat else 0f,
-          if (n > 0) (a.bytes(n - 1) & 0xff).toFloat else 0f)
-        AssetFeature(a.asset_id, a.kind, n.toLong, f)
-      }
-    }
+    assets.select(col("asset_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => decodeOne(id, bytes) })
+  }
+
+  private def magic(b: Array[Byte], off: Int, s: String): Boolean =
+    b.length >= off + s.length && s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+  private[operators] def decodeOne(id: Long, bytes: Array[Byte]): AssetFeature = {
+    val n = bytes.length.toLong
+    if (magic(bytes, 0, "RIFF") && magic(bytes, 8, "WAVE")) {
+      val f = parseWav(id, bytes)
+      AssetFeature(id, "wav", n, f.sample_rate, f.n_channels, f.n_samples, f.sum_abs)
+    } else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && magic(bytes, 1, "PNG")) {
+      val f = parsePng(id, bytes)
+      AssetFeature(id, "png", n, f.width, f.height, f.width * f.height, f.pixel_sum)
+    } else if (magic(bytes, 0, "GIF87a") || magic(bytes, 0, "GIF89a")) {
+      val f = parseGif(id, bytes)
+      AssetFeature(id, "gif", n, f.width, f.height, f.width * f.height, f.pixel_sum)
+    } else if (magic(bytes, 0, "YUV4MPEG2")) {
+      val f = parseY4m(id, bytes)
+      AssetFeature(id, "y4m", n, f.width, f.height, f.n_frames, f.luma_sum)
+    } else if (magic(bytes, 0, "BM")) {
+      val f = parseBmp(id, bytes)
+      AssetFeature(id, "bmp", n, f.width, f.height, f.width * f.height, f.pixel_sum)
+    } else AssetFeature(id, "unknown", n, 0L, 0L, 0L, 0L)
   }
 }

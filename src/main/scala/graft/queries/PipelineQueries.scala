@@ -615,17 +615,72 @@ object PipelineQueries {
   }
 
   declare("multimodal_decode",
-    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
-         COUNT(*) n,
-         CAST(SUM(ascii(substr(text, 1, 1))) AS BIGINT) sum_first_byte
-       FROM documents GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
-    Multimodal.decodeFeatures(spark,
-        Multimodal.syntheticAssets(t(spark, sfDir, "documents")))
+    """WITH d AS (SELECT doc_id, text, length(text) len,
+             CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+               WHEN 2 THEN 'y4m' WHEN 3 THEN 'png' ELSE 'gif' END fmt
+           FROM documents WHERE doc_id < 60),
+       ch AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(text)),
+                i -> ascii(substr(text, i, 1)))) a FROM d),
+       per AS (SELECT d.doc_id, d.fmt, d.len,
+                 COALESCE(SUM(c.a), 0) suma,
+                 COALESCE(SUM(abs(c.a - 128) * 128), 0) sumabs
+               FROM d LEFT JOIN ch c USING (doc_id) GROUP BY 1, 2, 3),
+       rows16 AS (SELECT doc_id, CASE WHEN len = 0 THEN 1
+                    ELSE CAST(ceil(len / 16.0) AS BIGINT) END h16 FROM per),
+       feat AS (SELECT fmt, per.doc_id,
+                  CASE fmt WHEN 'wav' THEN 8000 WHEN 'y4m' THEN 8 ELSE 16 END w,
+                  CASE fmt WHEN 'wav' THEN 1 WHEN 'y4m' THEN 8 ELSE h16 END h,
+                  CASE fmt WHEN 'wav' THEN len
+                    WHEN 'y4m' THEN CASE WHEN len = 0 THEN 1
+                      ELSE CAST(ceil(len / 64.0) AS BIGINT) END
+                    ELSE 16 * h16 END units,
+                  CASE fmt WHEN 'wav' THEN sumabs ELSE suma END v
+                FROM per JOIN rows16 USING (doc_id))
+       SELECT fmt AS format, COUNT(*) n,
+         CAST(SUM(w) AS BIGINT) sum_width, CAST(SUM(h) AS BIGINT) sum_height,
+         CAST(SUM(units) AS BIGINT) sum_units, CAST(SUM(v) AS BIGINT) sum_value
+       FROM feat GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    // Generic magic-byte decode over a MIXED corpus of real containers —
+    // one synthesizer per format, one decodeFeatures call dispatching each
+    // payload to the right parser (RIFF walk, BMP header, Y4M header, PNG
+    // zlib+unfilter, GIF LZW). The oracle recomputes every format's stats
+    // from the text bytes each synthesizer encoded.
+    val d = t(spark, sfDir, "documents").filter(col("doc_id") < 60)
+    def m(r: Int) = d.filter(col("doc_id") % 5 === r)
+    val assets =
+      Multimodal.synthesizeWav(spark, m(0)).toDF("asset_id", "bytes")
+        .union(Multimodal.synthesizeBmp(spark, m(1)).toDF("asset_id", "bytes"))
+        .union(Multimodal.synthesizeY4m(spark, m(2)).toDF("asset_id", "bytes"))
+        .union(Multimodal.synthesizePng(spark, m(3)).toDF("asset_id", "bytes"))
+        .union(Multimodal.synthesizeGif(spark, m(4)).toDF("asset_id", "bytes"))
+    Multimodal.decodeFeatures(spark, assets)
       .toDF()
-      .groupBy("kind")
-      .agg(count(lit(1)).as("n"),
-        sum(element_at(col("feature"), 2).cast("long")).as("sum_first_byte"))
-      .orderBy("kind")
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"), sum("width").as("sum_width"),
+        sum("height").as("sum_height"), sum("units").as("sum_units"),
+        sum("value_sum").as("sum_value"))
+      .orderBy("format")
+  }
+
+  declare("multimodal_gif",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+       ch AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(text)),
+                i -> ascii(substr(text, i, 1)))) a FROM d)
+       SELECT doc_id AS asset_id, CAST(16 AS BIGINT) AS width,
+         CAST(CASE WHEN length(min(d2.text)) = 0 THEN 1
+           ELSE CAST(ceil(length(min(d2.text)) / 16.0) AS BIGINT) END AS BIGINT) AS height,
+         CAST(SUM(a) AS BIGINT) AS pixel_sum,
+         CAST(SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero
+       FROM ch JOIN d d2 USING (doc_id)
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    // REAL LZW round-trip: genuine GIF89a files (grayscale palette,
+    // variable-width 9→12-bit LZW with CLEAR resets) synthesized and
+    // parsed back through the full decompressor. Oracle recomputes pixel
+    // stats from the text bytes (palette i = (i,i,i); zero padding adds
+    // nothing to either stat).
+    Multimodal.decodeGif(spark, Multimodal.synthesizeGif(spark,
+        t(spark, sfDir, "documents").filter(col("doc_id") < 40), width = 16))
+      .toDF().orderBy("asset_id")
   }
 
   declare("multimodal_frames",
