@@ -29,7 +29,10 @@ object Bench {
     def sentinel(): Double = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        spark.range(50000000L).selectExpr("sum(id * id) as s", "count(if(id % 7 = 0, 1, null)) as c")
+        // Double arithmetic: sum(id*id) over 5e7 rows is ~4.2e22, far past
+        // Long.MaxValue — under Spark 4's default ANSI mode a Long product
+        // would throw ARITHMETIC_OVERFLOW and kill the whole bench run.
+        spark.range(50000000L).selectExpr("sum(cast(id as double) * id) as s", "count(if(id % 7 = 0, 1, null)) as c")
           .write.format("noop").mode("overwrite").save()
         spark.read.parquet(s"$sfDir/nation.parquet")
           .groupBy("n_regionkey").count().write.format("noop").mode("overwrite").save()
@@ -37,7 +40,12 @@ object Bench {
       }.sorted
       ts(1)
     }
-    val sentinelBefore = sentinel()
+    // A sentinel failure must never take down the bench artifact (round 7's
+    // JSON was lost to an uncaught sentinel error): report -1 and move on.
+    def sentinelSafe(): Double =
+      try sentinel() catch { case e: Throwable =>
+        System.err.println(s"[bench] sentinel failed: ${e.getMessage}"); -1.0 }
+    val sentinelBefore = sentinelSafe()
     // Time a full materialization of every column: the noop sink consumes
     // each row end-to-end (unlike count(), under which Catalyst prunes all
     // columns and skips projection/UDF work entirely). Each query runs
@@ -62,7 +70,7 @@ object Bench {
       }
       name -> times.minOption
     }
-    val sentinelAfter = sentinel()
+    val sentinelAfter = sentinelSafe()
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
