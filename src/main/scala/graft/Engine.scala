@@ -43,7 +43,9 @@ object Engine {
     * per-query double run) would otherwise pay again and again. A
     * DataFrame is an immutable lazy plan, so handing back the same one is
     * semantically identical. Keyed by session (plans are session-bound)
-    * and sfDir; bounded at |sessions|×|sfDirs|×10 entries.
+    * and sfDir; LRU-bounded at 64 entries (≈ one session × several sfDirs
+    * × 10 tables), so stale sessions age out instead of pinning plans for
+    * the JVM's lifetime.
     *
     * Two caveats, same contract as [[operators.Dedup]]'s label memo:
     * the cached plan captures the parquet FILE LISTING at first read — if
@@ -53,15 +55,14 @@ object Engine {
     * service would notice. Both are disarmed by
     * `spark.graft.tableCache=false`, which reads fresh and caches nothing.
     */
-  private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val tableCache = new LruMap[(SparkSession, String, String), DataFrame](64)
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     def fresh() =
       if (name == "events") events(spark, sfDir)
       else spark.read.parquet(s"$sfDir/$name.parquet")
     if (spark.conf.getOption("spark.graft.tableCache").contains("false")) fresh()
-    else tableCache.computeIfAbsent((spark, sfDir, name), _ => fresh())
+    else tableCache.getOrElseUpdate((spark, sfDir, name), fresh())
   }
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's

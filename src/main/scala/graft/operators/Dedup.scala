@@ -421,15 +421,15 @@ object Dedup {
     * disable with `spark.graft.dedupCache=false` (same contract as
     * Spark's own dataset cache). Only the sub-1.0 path memoizes; the
     * exact-hash branch is one cheap shuffle with no scratch to reuse.
-    * Entries are never evicted and each pins its label scratch dir until
-    * JVM exit (the shutdown hook reclaims them) — sized for job-per-JVM
-    * deployments, the Spark norm; a long-lived multi-tenant service
-    * should run with the cache disabled or bound it with an LRU.
+    * LRU-bounded at 16 entries (a session rarely juggles more than a few
+    * corpora); eviction drops only the memo — the evicted entry's label
+    * scratch stays on disk until the session shutdown hook, because a
+    * caller may still hold the evicted DataFrame (see [[graft.LruMap]]).
     */
-  private val labelCache = new java.util.concurrent.ConcurrentHashMap[
+  private val labelCache = new graft.LruMap[
     (org.apache.spark.sql.SparkSession,
      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double, Int),
-    DataFrame]()
+    DataFrame](16)
 
   /** The duplicate-cluster label (= the cluster's minimum doc_id) for
     * EVERY document — the connected components of the near-dup graph as a
@@ -445,8 +445,8 @@ object Dedup {
     if (threshold < 1.0 &&
         spark0.conf.getOption("spark.graft.dedupCache").forall(_ != "false")) {
       val key = (spark0, docs.queryExecution.analyzed.canonicalized, threshold, maxRounds)
-      return labelCache.computeIfAbsent(key,
-        _ => componentLabelsUncached(docs, threshold, maxRounds))
+      return labelCache.getOrElseUpdate(key,
+        componentLabelsUncached(docs, threshold, maxRounds))
     }
     componentLabelsUncached(docs, threshold, maxRounds)
   }

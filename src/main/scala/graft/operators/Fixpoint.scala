@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Observation}
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions.{col, count, lit, struct, xxhash64}
 
 /** Bounded fixpoint iteration — the engine's answer to `WITH RECURSIVE`
   * (host surface the reference inherits from DuckDB; Spark has no general
@@ -9,38 +9,116 @@ import org.apache.spark.sql.functions.{count, lit}
   * with UNION-distinct semantics, exactly like a recursive CTE, by
   * SEMI-NAIVE iteration: `step` is applied only to each round's frontier
   * (the rows discovered last round), never to the whole accumulated set,
-  * so round cost tracks the frontier, not the closure.
+  * so step cost tracks the frontier, not the closure.
   *
   * Scale shape (same discipline as [[Dedup]]'s label propagation): every
-  * round's frontier is materialized to scratch parquet — an un-truncated
-  * iterative plan doubles per round and overflows the planner stack by
-  * ~round 9 — the accumulated set is the flat multi-scan of those
-  * disjoint frontier files (nothing is ever rewritten; total scratch =
-  * one copy of the closure), and `maxRounds` is a runaway-recursion cap
-  * that THROWS rather than returning a truncated (wrong) closure. Transitive closures with the
+  * round's frontier is materialized — an un-truncated iterative plan
+  * doubles per round and overflows the planner stack by ~round 9 — and
+  * `maxRounds` is a runaway-recursion cap that THROWS rather than
+  * returning a truncated (wrong) closure.
+  *
+  * The dedup side ("new frontier = step(frontier) minus everything
+  * reached") is where a naive `except(reached-so-far)` costs
+  * O(rounds × closure) in SHUFFLE: `except` hash-shuffles BOTH sides on
+  * every column, so each round re-shuffles the entire accumulated
+  * closure. Here each frontier is instead persisted as a BUCKETED,
+  * bucket-sorted table keyed by a row hash (`xxhash64` of the whole row),
+  * written with exactly one file per bucket, and the dedup is a chain of
+  * co-located left-anti sort-merge joins over those tables: every reached
+  * table is read already partitioned (bucket metadata) and already sorted
+  * (one file per bucket), so the closure side incurs a columnar SCAN but
+  * ZERO exchange and ZERO sort, every round. Per-round shuffled bytes are
+  * O(|frontier|) — the candidates' distinct + one alignment to the bucket
+  * layout — which is the semi-naive ideal; the per-round closure scan is
+  * the irreducible cost of exact set semantics without an index.
+  * (Plan-asserted in FixpointSpec: reached-table scans are bucketed and no
+  * exchange sits above them.) Transitive closures with the
   * diameter-halving trick live in [[Dedup.componentLabels]]; this is the
   * general tool for everything else a recursive CTE would express
   * (reachability, bill-of-materials, org rollups).
   */
 object Fixpoint {
 
+  private val H = "__gfp_h"
+
+  /** Left-anti join of `cand` (carrying [[H]]) against one reached table,
+    * equi-keyed ONLY on the row hash, with the exact null-safe whole-row
+    * comparison as the residual condition (hash collisions must not drop
+    * genuinely-new rows).
+    *
+    * The key set matters: if the whole-row `<=>` were left as a bare
+    * conjunct, ExtractEquiJoinKeys would pull it into the join keys as
+    * coalesce/isnull pairs — expressions the bucketed scan's sort order
+    * can't satisfy — and the planner would re-SORT the entire reached
+    * table every round. Wrapping it as `rowEq OR h≠h` makes the conjunct
+    * a disjunction (not an extractable equality) without changing its
+    * value — the key already enforces h=h, so the OR's right arm is
+    * always false on joined pairs — so the row check stays a residual
+    * filter, the keys stay `[h]`, and the reached side's bucket layout
+    * satisfies the join's distribution AND ordering untouched: zero
+    * exchange, zero sort, every round.
+    */
+  private[operators] def antiReached(cand: DataFrame, reached: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val c = cand.alias("__gfc")
+    val r = reached.alias("__gfr")
+    val hEq: Column = col(s"__gfc.$H") === col(s"__gfr.$H")
+    val rowEq: Column =
+      struct(cols.map(n => col(s"__gfc.$n")): _*) <=>
+        struct(cols.map(n => col(s"__gfr.$n")): _*)
+    c.join(r, hEq && (rowEq || col(s"__gfc.$H") =!= col(s"__gfr.$H")), "left_anti")
+  }
+
+  /** Persist `df` (original columns + [[H]]) as a bucketed-by-hash,
+    * bucket-sorted table with ONE file per bucket (the explicit
+    * repartition puts each bucket's rows in exactly one task, and the
+    * repartition key is the same murmur3-mod the bucketed writer uses, so
+    * the writer emits one file per bucket — the single-file-per-bucket
+    * layout is what lets later scans report their sort order and skip the
+    * merge-join sort). The table is EXTERNAL with its data under the
+    * session scratch root: the files are reclaimed by [[Scratch]]'s
+    * shutdown hook, and the catalog entry lives only as long as the
+    * session (in-memory catalog) or is harmless metadata (Hive).
+    */
+  private def persistFrontier(df: DataFrame, name: String, buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    df.repartition(buckets, col(H))
+      .write
+      .bucketBy(buckets, H)
+      .sortBy(H)
+      .option("path", Scratch.freshDir(spark, name))
+      .format("parquet")
+      .saveAsTable(name)
+    spark.table(name)
+  }
+
   /** The accumulated distinct row set of `seed ∪ step(frontier₀) ∪ …`,
     * iterated until a round adds nothing new. `step` must return the
     * seed's schema. Deterministic for deterministic `step` (set
     * semantics: row order within rounds does not matter).
+    *
+    * `buckets` sizes the reached tables' bucket layout (all rounds must
+    * share it); the default follows `spark.sql.shuffle.partitions`. On a
+    * cluster, size it like any shuffle: closure size / healthy partition
+    * size.
     */
   def iterate(seed: DataFrame, step: DataFrame => DataFrame,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64, buckets: Int = 0): DataFrame = {
     val spark = seed.sparkSession
-    // The accumulated set is the UNION OF FRONTIER FILES, never rewritten:
-    // frontiers are disjoint by construction (each is `except` everything
-    // before it), so "all" is just a flat multi-scan over the round dirs —
-    // no closure-sized union job per round. Per-round cost is exactly ONE
-    // Spark job: the frontier's row count rides the materializing write as
-    // an Observation, so the convergence check launches nothing.
-    var frontier = Scratch.materialize(seed.distinct(), "fix_r0")._1
-    var fronts = Vector(frontier)
-    def all = fronts.reduce(_ union _)
+    val cols = seed.columns.toIndexedSeq
+    require(cols.nonEmpty, "Fixpoint.iterate: seed must have at least one column")
+    val nb = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    def tableName(round: Int) = s"graft_fix_${runId}_r$round"
+    def withHash(df: DataFrame): DataFrame =
+      df.withColumn(H, xxhash64(struct(cols.map(col): _*)))
+    // Frontier tables are disjoint by construction (each round's rows are
+    // anti-joined against every earlier table), so the accumulated set is
+    // the flat union of the round tables — nothing is ever rewritten;
+    // total storage = one copy of the closure.
+    var frontier = persistFrontier(withHash(seed.distinct()), tableName(0), nb)
+    var reached = Vector(frontier)
     var round = 0
     var frontierRows = -1L // unknown for the seed round; probe lazily
     while (if (frontierRows >= 0) frontierRows > 0 else !frontier.isEmpty) {
@@ -50,18 +128,24 @@ object Fixpoint {
             s"recursion deeper than the cap (or non-monotone step); " +
             s"raise maxRounds (a truncated closure would be WRONG)")
       // New frontier = step(frontier) minus everything already reached
-      // (UNION-distinct semantics; `except` is distinct by definition).
+      // (UNION-distinct semantics). The candidates' distinct and the
+      // anti-join chain below are the round's only shuffles — both
+      // frontier-sized; the reached tables stream through co-located,
+      // pre-sorted merge joins. The frontier row count rides the
+      // materializing write as an Observation, so the convergence check
+      // launches nothing.
+      val cand = withHash(step(frontier.drop(H)).distinct())
+      val fresh = reached.foldLeft(cand)((c, r) => antiReached(c, r, cols))
       val obs = Observation()
-      frontier = Scratch.materialize(
-        step(frontier).except(all).observe(obs, count(lit(1)).as("n")),
-        s"fix_r${round + 1}")._1
+      frontier = persistFrontier(
+        fresh.observe(obs, count(lit(1)).as("n")), tableName(round + 1), nb)
       frontierRows = obs.get("n").asInstanceOf[Long]
-      if (frontierRows > 0) fronts :+= frontier
+      if (frontierRows > 0) reached :+= frontier
       round += 1
     }
-    // Every file scanned by the returned plan is live — frontier dirs are
-    // session scratch, reclaimed by the shutdown hook like every other
-    // scratch-backed result.
-    all
+    // Every table scanned by the returned plan is live for the session;
+    // its files are session scratch, reclaimed by the shutdown hook like
+    // every other scratch-backed result.
+    reached.map(_.drop(H)).reduce(_ union _)
   }
 }

@@ -619,6 +619,39 @@ object AnalyticsQueries {
   }
 
   // ------------------------------------------------------------------
+  // The same as-of semantics driven ENTIRELY through SQL via the
+  // injected asof_join table function (sql/GraftSparkExtensions): what a
+  // DuckDB user writes as `... ASOF JOIN ...` a SQL-only user of this
+  // engine writes as `FROM asof_join('ev','ord',...)`. Same linear
+  // union+window plan as q29 — the TVF splices the distributed logical
+  // plan, it does not collect — and the same oracle.
+  // ------------------------------------------------------------------
+  declare("q29_asof_sql",
+    """SELECT user_id,
+         COUNT(*) AS n_matched,
+         CAST(SUM(CAST(date_diff('day', last_order, CAST(ts AS TIMESTAMP)) AS BIGINT)) AS BIGINT) AS sum_gap_days
+       FROM (
+         SELECT e.user_id, e.ts, MAX(o.o_orderdate) AS last_order
+         FROM events e JOIN orders o
+           ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+         GROUP BY e.user_id, e.ts, e.event_id
+       ) m
+       GROUP BY user_id ORDER BY user_id""") { (spark, sfDir) =>
+    Engine.events(spark, sfDir).select(col("user_id"), col("ts"))
+      .createOrReplaceTempView("graft_asof_ev")
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("ot"),
+        col("o_orderdate").as("last_order"))
+      .createOrReplaceTempView("graft_asof_ord")
+    spark.sql(
+      """SELECT user_id, COUNT(*) AS n_matched,
+           SUM(CAST(datediff(ts, last_order) AS BIGINT)) AS sum_gap_days
+         FROM asof_join('graft_asof_ev', 'graft_asof_ord', 'user_id', 'ts', 'ot', 'last_order')
+         GROUP BY user_id ORDER BY user_id""")
+  }
+
+  // ------------------------------------------------------------------
   // Range (theta) join against a small banding relation -> broadcast
   // nested loop; never a shuffle of the fact table.
   // ------------------------------------------------------------------

@@ -374,6 +374,46 @@ object PipelineQueries {
       .orderBy("x")
   }
 
+  // The same least fixpoint driven ENTIRELY through SQL via the injected
+  // fixpoint table function (sql/GraftSparkExtensions): what DuckDB
+  // users write as WITH RECURSIVE, a SQL-only user of this engine writes
+  // as `FROM fixpoint(seed, step_sql)` where the step references the
+  // magic __frontier view. Same semi-naive engine and the same
+  // recursive-CTE oracle as graph_reachability.
+  declare("graph_reachability_sql",
+    """WITH RECURSIVE edges AS (
+         SELECT CAST(n_nationkey AS BIGINT) u, CAST((n_nationkey*2+1)%25 AS BIGINT) v FROM nation
+         UNION ALL
+         SELECT CAST(n_nationkey AS BIGINT), CAST((n_nationkey*3+2)%25 AS BIGINT) FROM nation
+         UNION ALL
+         SELECT CAST(n_nationkey AS BIGINT), CAST((n_nationkey*5+4)%25 AS BIGINT) FROM nation
+         UNION ALL
+         SELECT CAST(n_nationkey AS BIGINT), CAST((n_nationkey*7+6)%25 AS BIGINT) FROM nation
+       ),
+       reach(x) AS (
+         SELECT CAST(0 AS BIGINT)
+         UNION
+         SELECT e.v FROM reach r JOIN edges e ON e.u = r.x
+       )
+       SELECT x FROM reach ORDER BY x""") { (spark, sfDir) =>
+    val n = t(spark, sfDir, "nation")
+    n.select(col("n_nationkey").cast("long").as("u"),
+        ((col("n_nationkey") * 2 + 1) % 25).cast("long").as("v"))
+      .union(n.select(col("n_nationkey").cast("long"),
+        ((col("n_nationkey") * 3 + 2) % 25).cast("long")))
+      .union(n.select(col("n_nationkey").cast("long"),
+        ((col("n_nationkey") * 5 + 4) % 25).cast("long")))
+      .union(n.select(col("n_nationkey").cast("long"),
+        ((col("n_nationkey") * 7 + 6) % 25).cast("long")))
+      .createOrReplaceTempView("graft_fp_edges")
+    spark.range(1).select(lit(0L).as("x"))
+      .createOrReplaceTempView("graft_fp_seed")
+    spark.sql(
+      """SELECT x FROM fixpoint('graft_fp_seed',
+           'SELECT e.v AS x FROM __frontier f JOIN graft_fp_edges e ON e.u = f.x')
+         ORDER BY x""")
+  }
+
   // SimHash: no DuckDB oracle (the xxhash64 family is engine-specific);
   // recall against exact Jaccard pairs is asserted in PipelineSpec.
   declare("dedup_simhash") { (spark, sfDir) =>

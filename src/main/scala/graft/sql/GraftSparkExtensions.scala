@@ -97,6 +97,92 @@ object GraftSparkExtensions {
       LocalRelation.fromExternalRows(DataTypeUtils.toAttributes(schema), exec(vals))
     })
 
+  private def asBool(v: Any): Boolean = v match {
+    case b: java.lang.Boolean => b.booleanValue()
+    case s: UTF8String => s.toString.toBoolean
+    case other => other.toString.toBoolean
+  }
+
+  private def asInt(v: Any): Int = v match {
+    case n: java.lang.Number => n.intValue()
+    case other => other.toString.toInt
+  }
+
+  /** `ASOF JOIN` SQL entry point. DuckDB ≥0.10 (the reference's host —
+    * MainDistributionPipeline.yml:29) parses `ASOF JOIN` natively; Spark's
+    * parser cannot be extended that far, so the engine exposes the same
+    * semantics as a table function over named (temp-view or catalog)
+    * tables:
+    *
+    * {{{
+    * SELECT * FROM asof_join('events_v', 'orders_v', 'user_id',
+    *                         'ts', 'ot', 'last_order'[, strict[, inner]])
+    * }}}
+    *
+    * Unlike the solver TVFs this does NOT collect anything: the builder
+    * resolves the two table names against the session catalog, constructs
+    * the linear union+window as-of plan ([[graft.operators.AsOfJoin]] —
+    * one hash shuffle, no pair inflation), and splices that DISTRIBUTED
+    * logical plan into the outer query, where Catalyst keeps optimizing
+    * through it (the window's exchange stays reusable downstream).
+    */
+  val asofJoinFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("asof_join"), info("asof_join"), (args: Seq[Expression]) => {
+      if (args.size < 6 || args.size > 8)
+        throw new IllegalArgumentException(
+          "asof_join(left_table, right_table, on, left_order, right_order, " +
+            s"payload_csv[, strict[, inner]]) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "asof_join arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.operators.AsOfJoin.asofJoin(
+        left = spark.table(asString(v(0))),
+        right = spark.table(asString(v(1))),
+        on = asString(v(2)),
+        leftOrder = asString(v(3)),
+        rightOrder = asString(v(4)),
+        payload = asString(v(5)).split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq,
+        strict = if (args.size >= 7) asBool(v(6)) else false,
+        inner = if (args.size >= 8) asBool(v(7)) else true)
+      out.queryExecution.analyzed
+    })
+
+  /** `WITH RECURSIVE` SQL entry point — the other syntax DuckDB parses
+    * that Spark's parser cannot ([[graft.operators.Fixpoint]] carries the
+    * semantics). The step is an arbitrary SQL statement over the magic
+    * view name `__frontier` (each round's newly-discovered rows):
+    *
+    * {{{
+    * SELECT * FROM fixpoint('seed_v',
+    *   'SELECT e.dst FROM __frontier f JOIN edges_v e ON e.src = f.dst'[, max_rounds])
+    * }}}
+    *
+    * Semi-naive evaluation, same engine as the Scala API: the step SQL is
+    * re-analyzed each round against that round's materialized frontier,
+    * rounds run at analysis time of the outer statement (the same
+    * eagerness contract as the solver TVFs), and the returned plan is the
+    * flat multi-scan of the disjoint frontier files — distributed, never
+    * collected.
+    */
+  val fixpointFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("fixpoint"), info("fixpoint"), (args: Seq[Expression]) => {
+      if (args.size < 2 || args.size > 3)
+        throw new IllegalArgumentException(
+          s"fixpoint(seed_table, step_sql[, max_rounds]) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "fixpoint arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      val spark = org.apache.spark.sql.SparkSession.active
+      val stepSql = asString(v(1))
+      require(stepSql.contains("__frontier"),
+        "fixpoint step SQL must reference the frontier via the view name __frontier")
+      val maxRounds = if (args.size >= 3) asInt(v(2)) else 64
+      val out = graft.operators.Fixpoint.iterate(
+        spark.table(asString(v(0))),
+        frontier => { frontier.createOrReplaceTempView("__frontier"); spark.sql(stepSql) },
+        maxRounds)
+      out.queryExecution.analyzed
+    })
+
   import org.apache.spark.sql.Row
 
   private val createVariablesSchema = StructType.fromDDL(
@@ -121,6 +207,8 @@ object GraftSparkExtensions {
     },
     tvf("highs_solve", 1, HighsFunctions.solveSchema) { v =>
       HighsFunctions.solveRows(asString(v(0)))
-    }
+    },
+    asofJoinFn,
+    fixpointFn
   )
 }

@@ -72,4 +72,47 @@ class AsOfJoinSpec extends AnyFunSuite {
       AsOfJoin.asofJoin(trades, quotes.withColumnRenamed("px", "tt"),
         on = "sym", leftOrder = "tt", rightOrder = "qt", payload = Seq("tt")))
   }
+
+  test("property: random timelines match a brute-force argmax oracle in all four modes") {
+    import spark.implicits._
+    // Deterministic fuzzing (seeded, like SolverPropertySpec): random
+    // timelines with hot keys, duplicate left instants, left rows exactly
+    // at right instants (the tie edge), nullable payloads, and sides that
+    // can be empty — checked against a per-left-row brute-force argmax
+    // for every (strict × inner) combination. Right rows are unique per
+    // (key, order): on a (key, order) tie the operator's pick is
+    // contractually arbitrary, so only tie-free inputs have one oracle.
+    val rnd = new scala.util.Random(20260812L)
+    for (scenario <- 0 until 8) {
+      val nLeft = if (scenario == 6) 0 else 1 + rnd.nextInt(40)
+      val nRight = if (scenario == 7) 0 else 1 + rnd.nextInt(40)
+      val keys = 1 + rnd.nextInt(4) // few keys -> hot keys + tie pressure
+      val lefts = Seq.fill(nLeft)(
+        (rnd.nextInt(keys).toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000)))
+      val rights0 = Seq.fill(nRight)(
+        (rnd.nextInt(keys).toLong, rnd.nextInt(20).toLong,
+          if (rnd.nextInt(4) == 0) null else s"p${rnd.nextInt(100)}"))
+      val rights = rights0.groupBy(t => (t._1, t._2)).values.map(_.head).toSeq
+      val leftDf = lefts.toDF("k", "t", "tag")
+      val rightDf = rights.toDF("k", "rt", "pay")
+      for (strict <- Seq(false, true); inner <- Seq(false, true)) {
+        val got = AsOfJoin.asofJoin(leftDf, rightDf, on = "k",
+            leftOrder = "t", rightOrder = "rt", payload = Seq("pay"),
+            strict = strict, inner = inner)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), Option(r.getString(3))))
+          .sortBy(x => (x._1, x._2, x._3, x._4))
+        val expected = lefts.flatMap { case (k, t, tag) =>
+          val cand = rights.filter(r =>
+            r._1 == k && (if (strict) r._2 < t else r._2 <= t))
+          if (cand.isEmpty) {
+            if (inner) None else Some((k, t, tag, None: Option[String]))
+          } else Some((k, t, tag, Option(cand.maxBy(_._2)._3)))
+        }.sortBy(x => (x._1, x._2, x._3, x._4))
+        assert(got.toSeq == expected,
+          s"scenario=$scenario strict=$strict inner=$inner keys=$keys " +
+            s"nLeft=$nLeft nRight=${rights.size}")
+      }
+    }
+  }
 }

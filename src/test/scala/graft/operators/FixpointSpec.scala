@@ -48,4 +48,73 @@ class FixpointSpec extends AnyFunSuite {
     val empty = Seq.empty[Long].toDF("x")
     assert(Fixpoint.iterate(empty, d => d.select((col("x") + 1).as("x"))).count() == 0)
   }
+
+  test("long chain: 40 rounds complete and per-round dedup shuffles only the frontier") {
+    import spark.implicits._
+    // A 41-node path graph forces 40+ rounds with a 1-row frontier each —
+    // the regime where except(all)'s closure re-shuffle would dominate.
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("u", "v")
+    val seed = Seq(0L).toDF("x")
+    val reached = Fixpoint.iterate(seed,
+        d => d.join(edges, d("x") === edges("u")).select(col("v").as("x")),
+        maxRounds = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(reached == (0L to 40L).toSet)
+  }
+
+  test("null rows participate in set semantics (except-parity)") {
+    import spark.implicits._
+    // A null seed row must not be re-added by a step that produces it
+    // again (the residual whole-row comparison is null-safe).
+    val seed = Seq[java.lang.Long](null, 1L).toDF("x")
+    val reached = Fixpoint.iterate(seed,
+        d => d.filter(col("x").isNotNull && col("x") < 3)
+          .select((col("x") + 1).as("x"))
+          .union(d.sparkSession.range(1).select(lit(null).cast("long").as("x"))),
+        maxRounds = 10)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    assert(reached == Set(-1L, 1L, 2L, 3L))
+  }
+
+  test("reached-side anti-join is co-located: bucketed scan, no exchange above it") {
+    import spark.implicits._
+    // Build one frontier table through the real write path, then assert
+    // the dedup join's physical plan reads it bucketed and puts NO
+    // exchange (and no sort) between that scan and the join — the
+    // closure side must stream through co-located pre-sorted merge
+    // joins; only the candidate side may shuffle.
+    val spark0 = spark
+    val seed = Seq(1L, 2L, 3L).toDF("x")
+    val reached = Fixpoint.iterate(seed, d => d.limit(0)) // converges round 1
+    // The run left its round-0 table in the catalog: find the one holding
+    // exactly this run's seed (other suites' fixpoint tables coexist).
+    val tbl = spark0.catalog.listTables().collect()
+      .map(_.name).filter(n => n.startsWith("graft_fix_") && n.endsWith("_r0"))
+      .find { n =>
+        val rows = spark0.table(n).collect()
+        rows.length == 3 && rows.map(_.getLong(0)).toSet == Set(1L, 2L, 3L)
+      }.getOrElse(fail("round-0 table for this run not found"))
+    val reachedTable = spark0.table(tbl)
+    // At real scale the reached side is too big to broadcast; pin the
+    // threshold off so the test sees the at-scale (sort-merge) plan.
+    val prevThresh = spark0.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark0.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cand = Seq(2L, 9L).toDF("x")
+        .withColumn("__gfp_h", xxhash64(struct(col("x"))))
+      val fresh = Fixpoint.antiReached(cand, reachedTable, Seq("x"))
+      assert(fresh.drop("__gfp_h").collect().map(_.getLong(0)).toSet == Set(9L))
+      val plan = fresh.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge anti join:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"reached side should be a bucketed scan:\n$plan")
+      // Exactly ONE exchange and ONE sort in the whole plan — the
+      // candidate side's alignment. A second of either would mean the
+      // reached (closure) side was re-shuffled or re-sorted.
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles == 1, s"expected exactly 1 shuffle (candidates only), got $shuffles:\n$plan")
+      val sorts = "\\+- \\*?\\(?\\d*\\)? ?Sort ".r.findAllIn(plan).size
+      assert(sorts == 1, s"expected exactly 1 sort (candidates only), got $sorts:\n$plan")
+    } finally spark0.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
 }

@@ -1,0 +1,108 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** SQL entry points for the two operators DuckDB exposes as syntax Spark's
+  * parser cannot host (`ASOF JOIN`, `WITH RECURSIVE`): the injected
+  * `asof_join` / `fixpoint` table functions must carry exactly the Scala
+  * operators' semantics when driven entirely through `spark.sql`.
+  */
+class SqlEntryPointsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def registerMarket(): Unit = {
+    import spark.implicits._
+    Seq(
+      (1L, 10L, 100.0, "a"),
+      (1L, 20L, 110.0, "b"),
+      (1L, 30L, 120.0, "c"),
+      (2L, 15L, 50.0, "d"))
+      .toDF("sym", "qt", "px", "tag")
+      .createOrReplaceTempView("sq_quotes")
+    Seq((1L, 5L), (1L, 20L), (1L, 25L), (2L, 99L), (3L, 10L))
+      .toDF("sym", "tt")
+      .createOrReplaceTempView("sq_trades")
+  }
+
+  test("asof_join TVF: inclusive inner via pure SQL") {
+    registerMarket()
+    val rows = spark.sql(
+      """SELECT sym, tt, px, tag
+         FROM asof_join('sq_trades', 'sq_quotes', 'sym', 'tt', 'qt', 'px,tag')
+         ORDER BY sym, tt""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 20L, 110.0, "b"),   // exactly-at matches under inclusive
+      (1L, 25L, 110.0, "b"),
+      (2L, 99L, 50.0, "d")))
+  }
+
+  test("asof_join TVF: strict + left via the optional arguments") {
+    registerMarket()
+    val rows = spark.sql(
+      """SELECT sym, tt, tag
+         FROM asof_join('sq_trades', 'sq_quotes', 'sym', 'tt', 'qt', 'px,tag',
+                        true, false)
+         ORDER BY sym, tt""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+    assert(rows.toSeq == Seq(
+      (1L, 5L, null),          // before any quote — kept, null payload
+      (1L, 20L, "a"),          // strict: the exactly-at quote b is invisible
+      (1L, 25L, "b"),
+      (2L, 99L, "d"),
+      (3L, 10L, null)))        // key with no quotes — kept
+  }
+
+  test("asof_join TVF composes downstream (aggregation over the splice)") {
+    registerMarket()
+    val n = spark.sql(
+      """SELECT sym, COUNT(*) AS n
+         FROM asof_join('sq_trades', 'sq_quotes', 'sym', 'tt', 'qt', 'px')
+         GROUP BY sym ORDER BY sym""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(n.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("asof_join TVF rejects a wrong argument count") {
+    val ex = intercept[Exception](
+      spark.sql("SELECT * FROM asof_join('sq_trades', 'sq_quotes', 'sym')"))
+    assert(ex.getMessage.contains("asof_join"))
+  }
+
+  test("fixpoint TVF: transitive closure via pure SQL matches the Scala API") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 10L))
+      .toDF("u", "v").createOrReplaceTempView("sq_edges")
+    Seq(1L, 10L).toDF("x").createOrReplaceTempView("sq_seed")
+    val reached = spark.sql(
+      """SELECT x FROM fixpoint('sq_seed',
+           'SELECT e.v AS x FROM __frontier f JOIN sq_edges e ON e.u = f.x')
+         ORDER BY x""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(reached == Seq(1L, 2L, 3L, 4L, 10L, 11L))
+  }
+
+  test("fixpoint TVF: cycles terminate under UNION-distinct semantics") {
+    import spark.implicits._
+    Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("u", "v")
+      .createOrReplaceTempView("sq_cyc_edges")
+    Seq(0L).toDF("x").createOrReplaceTempView("sq_cyc_seed")
+    val reached = spark.sql(
+      """SELECT x FROM fixpoint('sq_cyc_seed',
+           'SELECT e.v AS x FROM __frontier f JOIN sq_cyc_edges e ON e.u = f.x', 10)
+         ORDER BY x""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(reached == Seq(0L, 1L, 2L))
+  }
+
+  test("fixpoint TVF requires the step to reference __frontier") {
+    import spark.implicits._
+    Seq(0L).toDF("x").createOrReplaceTempView("sq_bad_seed")
+    val ex = intercept[Exception](
+      spark.sql("SELECT * FROM fixpoint('sq_bad_seed', 'SELECT 1 AS x')"))
+    assert(ex.getMessage.contains("__frontier"))
+  }
+}
