@@ -1178,6 +1178,27 @@ object PipelineQueries {
     TextAnalysis.dedupLines(docs, minDf = 10).orderBy("doc_id")
   }
 
+  // Stream-STREAM join (the kafka↔kafka funnel shape): click→purchase
+  // attribution joined entirely inside the streaming engine — symmetric
+  // hash join with watermark-bounded state on BOTH sides; the range
+  // predicate on the two event-time columns is what lets the engine
+  // evict (a click older than watermark − 30 min can never match a
+  // future purchase). Batch-aggregated off the append sink; oracle is
+  // the equivalent batch self-join in DuckDB.
+  declare("events_stream_attrib",
+    """SELECT user_id, n_pairs, n_purchases FROM (
+         SELECT p.user_id AS user_id, COUNT(*) AS n_pairs,
+                COUNT(DISTINCT p.event_id) AS n_purchases
+         FROM events p JOIN events c
+           ON c.user_id = p.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         GROUP BY 1
+       ) ORDER BY user_id""") { (spark, sfDir) =>
+    EventsStreaming.clickAttribution(spark, sfDir)
+  }
+
   declare("events_stream_dedup",
     """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS value_cents

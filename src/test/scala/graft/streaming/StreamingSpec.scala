@@ -164,4 +164,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stream-stream attribution join matches the batch self-join") {
+    val streamed = EventsStreaming.clickAttribution(spark, SparkTestSession.sfDir)
+      .collect().toSeq
+    val ev = graft.Engine.events(spark, SparkTestSession.sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"))
+    val batch = p.join(c, col("c_user") === col("user_id") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+        col("cts") <= col("pts"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("event_id")).as("n_purchases"))
+      .orderBy("user_id")
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stream-stream join runs as a symmetric hash join with watermark state") {
+    val q = EventsStreaming.attributionJoin(spark, SparkTestSession.sfDir)
+      .writeStream.format("memory").queryName("attrib_plan_probe")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val plan = org.apache.spark.sql.graft.StreamingBridge.lastExecutedPlan(q)
+        .map(_.toString).getOrElse(fail("no micro-batch executed"))
+      // Both sides are streams: the join must be the stateful symmetric
+      // hash join (watermark-bounded buffers), not a batch join operator.
+      assert(plan.contains("StreamingSymmetricHashJoin"),
+        s"expected a streaming symmetric hash join in:\n$plan")
+    } finally q.stop()
+  }
 }
