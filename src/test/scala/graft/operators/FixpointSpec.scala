@@ -76,6 +76,27 @@ class FixpointSpec extends AnyFunSuite {
     assert(reached == Set(-1L, 1L, 2L, 3L))
   }
 
+  test("multi-column rows: bill-of-materials rollup reaches the right quantities") {
+    import spark.implicits._
+    // (assembly, part, qty): a BOM explosion where the row is (part, qty)
+    // — exercises the whole-row hash + residual on >1 column, including
+    // rows that differ only in the second column.
+    val bom = Seq(
+      ("root", "axle", 2L), ("root", "wheel", 4L),
+      ("axle", "bolt", 3L), ("wheel", "bolt", 5L), ("wheel", "rim", 1L))
+      .toDF("parent", "child", "qty")
+    val seed = Seq(("root", 1L)).toDF("part", "mult")
+    val closure = Fixpoint.iterate(seed,
+        d => d.join(bom, d("part") === bom("parent"))
+          .select(col("child").as("part"), (col("mult") * col("qty")).as("mult")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // bolt appears via axle (2*3=6) and via wheel (4*5=20) — two distinct
+    // rows differing in mult only; both must survive the set semantics.
+    assert(closure == Set(
+      ("root", 1L), ("axle", 2L), ("wheel", 4L),
+      ("bolt", 6L), ("bolt", 20L), ("rim", 4L)))
+  }
+
   test("reached-side anti-join is co-located: bucketed scan, no exchange above it") {
     import spark.implicits._
     // Build one frontier table through the real write path, then assert
