@@ -80,7 +80,7 @@ object Fixpoint {
     * shutdown hook, and the catalog entry lives only as long as the
     * session (in-memory catalog) or is harmless metadata (Hive).
     */
-  private def persistFrontier(df: DataFrame, name: String, buckets: Int): DataFrame = {
+  private[operators] def persistFrontier(df: DataFrame, name: String, buckets: Int): DataFrame = {
     val spark = df.sparkSession
     df.repartition(buckets, col(H))
       .write
@@ -113,39 +113,55 @@ object Fixpoint {
     def tableName(round: Int) = s"graft_fix_${runId}_r$round"
     def withHash(df: DataFrame): DataFrame =
       df.withColumn(H, xxhash64(struct(cols.map(col): _*)))
-    // Frontier tables are disjoint by construction (each round's rows are
-    // anti-joined against every earlier table), so the accumulated set is
-    // the flat union of the round tables — nothing is ever rewritten;
-    // total storage = one copy of the closure.
-    var frontier = persistFrontier(withHash(seed.distinct()), tableName(0), nb)
-    var reached = Vector(frontier)
-    var round = 0
-    var frontierRows = -1L // unknown for the seed round; probe lazily
-    while (if (frontierRows >= 0) frontierRows > 0 else !frontier.isEmpty) {
-      if (round >= maxRounds)
-        throw new IllegalStateException(
-          s"Fixpoint.iterate: no fixpoint within $maxRounds rounds — " +
-            s"recursion deeper than the cap (or non-monotone step); " +
-            s"raise maxRounds (a truncated closure would be WRONG)")
-      // New frontier = step(frontier) minus everything already reached
-      // (UNION-distinct semantics). The candidates' distinct and the
-      // anti-join chain below are the round's only shuffles — both
-      // frontier-sized; the reached tables stream through co-located,
-      // pre-sorted merge joins. The frontier row count rides the
-      // materializing write as an Observation, so the convergence check
-      // launches nothing.
-      val cand = withHash(step(frontier.drop(H)).distinct())
-      val fresh = reached.foldLeft(cand)((c, r) => antiReached(c, r, cols))
-      val obs = Observation()
-      frontier = persistFrontier(
-        fresh.observe(obs, count(lit(1)).as("n")), tableName(round + 1), nb)
-      frontierRows = obs.get("n").asInstanceOf[Long]
-      if (frontierRows > 0) reached :+= frontier
-      round += 1
+    var created = Vector.empty[String]
+    def persist(df: DataFrame, round: Int): DataFrame = {
+      val name = tableName(round)
+      val out = persistFrontier(df, name, nb)
+      created :+= name
+      out
     }
-    // Every table scanned by the returned plan is live for the session;
-    // its files are session scratch, reclaimed by the shutdown hook like
-    // every other scratch-backed result.
-    reached.map(_.drop(H)).reduce(_ union _)
+    // Tables are catalog entries only while the iteration needs them for
+    // name resolution; Datasets analyze eagerly, so once every round's
+    // frame exists the entries can be dropped (they are EXTERNAL — the
+    // parquet stays, owned by the session scratch root) and nothing leaks
+    // into the catalog across calls.
+    def dropCreated(): Unit = created.foreach(n =>
+      try { spark.sql(s"DROP TABLE IF EXISTS $n"); () }
+      catch { case _: Exception => () })
+    try {
+      // Frontier tables are disjoint by construction (each round's rows are
+      // anti-joined against every earlier table), so the accumulated set is
+      // the flat union of the round tables — nothing is ever rewritten;
+      // total storage = one copy of the closure.
+      var frontier = persist(withHash(seed.distinct()), 0)
+      var reached = Vector(frontier)
+      var round = 0
+      var frontierRows = -1L // unknown for the seed round; probe lazily
+      while (if (frontierRows >= 0) frontierRows > 0 else !frontier.isEmpty) {
+        if (round >= maxRounds)
+          throw new IllegalStateException(
+            s"Fixpoint.iterate: no fixpoint within $maxRounds rounds — " +
+              s"recursion deeper than the cap (or non-monotone step); " +
+              s"raise maxRounds (a truncated closure would be WRONG)")
+        // New frontier = step(frontier) minus everything already reached
+        // (UNION-distinct semantics). The candidates' distinct and the
+        // anti-join chain below are the round's only shuffles — both
+        // frontier-sized; the reached tables stream through co-located,
+        // pre-sorted merge joins. The frontier row count rides the
+        // materializing write as an Observation, so the convergence check
+        // launches nothing.
+        val cand = withHash(step(frontier.drop(H)).distinct())
+        val fresh = reached.foldLeft(cand)((c, r) => antiReached(c, r, cols))
+        val obs = Observation()
+        frontier = persist(fresh.observe(obs, count(lit(1)).as("n")), round + 1)
+        frontierRows = obs.get("n").asInstanceOf[Long]
+        if (frontierRows > 0) reached :+= frontier
+        round += 1
+      }
+      // Every file scanned by the returned plan is live for the session;
+      // it is session scratch, reclaimed by the shutdown hook like every
+      // other scratch-backed result.
+      reached.map(_.drop(H)).reduce(_ union _)
+    } finally dropCreated()
   }
 }

@@ -176,10 +176,18 @@ object GraftSparkExtensions {
       require(stepSql.contains("__frontier"),
         "fixpoint step SQL must reference the frontier via the view name __frontier")
       val maxRounds = if (args.size >= 3) asInt(v(2)) else 64
-      val out = graft.operators.Fixpoint.iterate(
-        spark.table(asString(v(0))),
-        frontier => { frontier.createOrReplaceTempView("__frontier"); spark.sql(stepSql) },
-        maxRounds)
+      // The magic name is rewritten to a per-call unique view so
+      // concurrent fixpoint() calls in one session cannot clobber each
+      // other's frontier, and the view is dropped when the run ends.
+      val viewName =
+        s"__frontier_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val boundStep = stepSql.replace("__frontier", viewName)
+      val out =
+        try graft.operators.Fixpoint.iterate(
+          spark.table(asString(v(0))),
+          frontier => { frontier.createOrReplaceTempView(viewName); spark.sql(boundStep) },
+          maxRounds)
+        finally { spark.catalog.dropTempView(viewName); () }
       out.queryExecution.analyzed
     })
 

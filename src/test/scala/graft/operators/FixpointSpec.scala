@@ -76,6 +76,19 @@ class FixpointSpec extends AnyFunSuite {
     assert(reached == Set(-1L, 1L, 2L, 3L))
   }
 
+  test("iterate leaves no round tables in the catalog (result stays readable)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val seed = Seq(1L).toDF("x")
+    val result = Fixpoint.iterate(seed,
+      d => d.join(edges, d("x") === edges("u")).select(col("v").as("x")))
+    assert(!spark.catalog.listTables().collect().map(_.name)
+      .exists(_.startsWith("graft_fix_")), "round tables must be dropped")
+    // The returned plan was resolved eagerly — dropping the catalog
+    // entries must not break it (external tables; files stay).
+    assert(result.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
   test("multi-column rows: bill-of-materials rollup reaches the right quantities") {
     import spark.implicits._
     // (assembly, part, qty): a BOM explosion where the row is (part, qty)
@@ -105,17 +118,10 @@ class FixpointSpec extends AnyFunSuite {
     // closure side must stream through co-located pre-sorted merge
     // joins; only the candidate side may shuffle.
     val spark0 = spark
-    val seed = Seq(1L, 2L, 3L).toDF("x")
-    val reached = Fixpoint.iterate(seed, d => d.limit(0)) // converges round 1
-    // The run left its round-0 table in the catalog: find the one holding
-    // exactly this run's seed (other suites' fixpoint tables coexist).
-    val tbl = spark0.catalog.listTables().collect()
-      .map(_.name).filter(n => n.startsWith("graft_fix_") && n.endsWith("_r0"))
-      .find { n =>
-        val rows = spark0.table(n).collect()
-        rows.length == 3 && rows.map(_.getLong(0)).toSet == Set(1L, 2L, 3L)
-      }.getOrElse(fail("round-0 table for this run not found"))
-    val reachedTable = spark0.table(tbl)
+    // Build one reached table through the real write path.
+    val reachedTable = Fixpoint.persistFrontier(
+      Seq(1L, 2L, 3L).toDF("x").withColumn("__gfp_h", xxhash64(struct(col("x")))),
+      s"gfx_test_${System.nanoTime()}", buckets = 4)
     // At real scale the reached side is too big to broadcast; pin the
     // threshold off so the test sees the at-scale (sort-merge) plan.
     val prevThresh = spark0.conf.get("spark.sql.autoBroadcastJoinThreshold")
