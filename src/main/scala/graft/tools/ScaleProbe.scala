@@ -110,7 +110,30 @@ object ScaleProbe {
     }
     println(s"[probe] ivf result rows = $topk")
 
-    val inputBytes = dirBytes(Paths.get(corpusDir)) + dirBytes(Paths.get(embDir))
+    // --- fixpoint closure at factor x --------------------------------
+    // A complete binary tree with 100k x factor nodes: the closure from
+    // the root is ALL nodes, depth log2(N) rounds, and the frontier
+    // DOUBLES each round — the stress case for the per-round dedup chain
+    // (the reached side grows to the full closure while rounds keep
+    // adding frontier-sized work).
+    val nNodes = 100000L * factor
+    val ids = spark.range(nNodes)
+    val treeEdges = ids.select(col("id").as("u"), (col("id") * 2 + 1).as("v"))
+      .union(ids.select(col("id").as("u"), (col("id") * 2 + 2).as("v")))
+      .filter(col("v") < nNodes)
+    val edgesDir = s"$scratchBase/edges_input"
+    treeEdges.write.mode("overwrite").parquet(edgesDir)
+    val edges = spark.read.parquet(edgesDir)
+    val closed = time(s"fixpoint closure over $nNodes-node tree") {
+      graft.operators.Fixpoint.iterate(
+        spark.range(1).select(lit(0L).as("x")),
+        d => d.join(edges, d("x") === edges("u")).select(col("v").as("x")))
+        .count()
+    }
+    println(s"[probe] fixpoint closure rows = $closed (expect $nNodes)")
+
+    val inputBytes = dirBytes(Paths.get(corpusDir)) + dirBytes(Paths.get(embDir)) +
+      dirBytes(Paths.get(edgesDir))
     println(f"[probe] input bytes      = $inputBytes%,d")
     println(f"[probe] peak scratch     = ${peak.get()}%,d bytes (incl. input)")
     println(f"[probe] peak scratch-net = ${math.max(0L, peak.get() - inputBytes)}%,d bytes over input")
