@@ -45,6 +45,10 @@ object Bench {
     def sentinelSafe(): Double =
       try sentinel() catch { case e: Throwable =>
         System.err.println(s"[bench] sentinel failed: ${e.getMessage}"); -1.0 }
+    // One discarded warm probe first: the before/after pair must differ
+    // only by machine load, not by which one paid the sentinel plan's
+    // first-touch codegen.
+    sentinelSafe()
     val sentinelBefore = sentinelSafe()
     // Time a full materialization of every column: the noop sink consumes
     // each row end-to-end (unlike count(), under which Catalyst prunes all

@@ -369,8 +369,14 @@ object PipelineQueries {
       .union(n.select(col("n_nationkey").cast("long"),
         ((col("n_nationkey") * 7 + 6) % 25).cast("long")))
     val seed = spark.range(1).select(lit(0L).as("x"))
+    // buckets sized to the tiny closure (≤25 rows) exactly like sizing a
+    // shuffle — the default (spark.sql.shuffle.partitions) pays one write
+    // task + file per bucket per round for no benefit here; a 100 TB
+    // closure would size it in the hundreds instead (ProfileFixpoint
+    // measures the tradeoff).
     graft.operators.Fixpoint.iterate(seed,
-        d => d.join(edges, d("x") === edges("u")).select(col("v").as("x")))
+        d => d.join(edges, d("x") === edges("u")).select(col("v").as("x")),
+        buckets = 4)
       .orderBy("x")
   }
 
@@ -410,7 +416,8 @@ object PipelineQueries {
       .createOrReplaceTempView("graft_fp_seed")
     spark.sql(
       """SELECT x FROM fixpoint('graft_fp_seed',
-           'SELECT e.v AS x FROM __frontier f JOIN graft_fp_edges e ON e.u = f.x')
+           'SELECT e.v AS x FROM __frontier f JOIN graft_fp_edges e ON e.u = f.x',
+           64, 4)
          ORDER BY x""")
   }
 

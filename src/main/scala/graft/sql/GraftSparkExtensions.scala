@@ -166,9 +166,9 @@ object GraftSparkExtensions {
     */
   val fixpointFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("fixpoint"), info("fixpoint"), (args: Seq[Expression]) => {
-      if (args.size < 2 || args.size > 3)
+      if (args.size < 2 || args.size > 4)
         throw new IllegalArgumentException(
-          s"fixpoint(seed_table, step_sql[, max_rounds]) — got ${args.size} arguments")
+          s"fixpoint(seed_table, step_sql[, max_rounds[, buckets]]) — got ${args.size} arguments")
       require(args.forall(_.foldable), "fixpoint arguments must be constants")
       val v = args.map(_.eval(null)).toIndexedSeq
       val spark = org.apache.spark.sql.SparkSession.active
@@ -176,6 +176,11 @@ object GraftSparkExtensions {
       require(stepSql.contains("__frontier"),
         "fixpoint step SQL must reference the frontier via the view name __frontier")
       val maxRounds = if (args.size >= 3) asInt(v(2)) else 64
+      // buckets sizes the reached tables' layout, exactly like sizing a
+      // shuffle: defaults to spark.sql.shuffle.partitions; pass a small
+      // value for a known-small closure (per-round cost includes one
+      // write task + file per bucket).
+      val buckets = if (args.size >= 4) asInt(v(3)) else 0
       // The magic name is rewritten to a per-call unique view so
       // concurrent fixpoint() calls in one session cannot clobber each
       // other's frontier, and the view is dropped when the run ends.
@@ -186,7 +191,7 @@ object GraftSparkExtensions {
         try graft.operators.Fixpoint.iterate(
           spark.table(asString(v(0))),
           frontier => { frontier.createOrReplaceTempView(viewName); spark.sql(boundStep) },
-          maxRounds)
+          maxRounds, buckets)
         finally { spark.catalog.dropTempView(viewName); () }
       out.queryExecution.analyzed
     })
