@@ -385,6 +385,137 @@ object TextAnalysis {
     * touches a vanishing fraction of the corpus. Output is identical to
     * the naive global rank.
     */
+  /** Token positions covered by a cross-document duplicated n-gram — the
+    * primitive under [[spanDupStats]] and [[scrubDupSpans]] (the span-level
+    * dedup of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", recast relationally: their suffix-array scan becomes
+    * an n-gram inverted index, which is the shuffle-friendly form).
+    *
+    * A position p of doc d is duplicated iff some n-gram starting in
+    * [p-n+1, p] of d also occurs in >= `minDf` DISTINCT documents. Shape:
+    * one distinct + one map-combined count per gram (the inverted index),
+    * a semi-join back (never corpus x corpus), and a bounded x n position
+    * explode on the duplicated grams only. At 100 TB the gram strings
+    * would be 128-bit fingerprints; the grouping/join structure is
+    * unchanged.
+    *
+    * Output: (doc_id LONG, p LONG) distinct, p 1-based.
+    */
+  private def dupPositions(corpus: DataFrame, n: Int, minDf: Long,
+      idCol: String, textCol: String): DataFrame = {
+    val grams = corpus
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("ws"))
+      .select(col("doc_id"), explode(gramStarts(col("ws"), n)).as("s"), col("ws"))
+      .select(col("doc_id"), col("s"),
+        array_join(slice(col("ws"), col("s"), lit(n)), " ").as("gram"))
+    val hot = grams.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("gram")
+    grams.join(hot, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(n - 1))).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("p"))
+      .distinct()
+  }
+
+  /** Per-document duplicated-span metrics: for each doc with at least one
+    * token covered by a cross-document duplicated `n`-gram, the token
+    * count, the number of duplicated token positions, and the number of
+    * MAXIMAL contiguous duplicated runs (spans). The span count is a lag
+    * comparison inside a per-doc window — per-partition state is one doc's
+    * positions, so the window never funnels the corpus through one task.
+    *
+    * Output: (doc_id, n_tokens, dup_tokens, n_spans), duplicated docs only.
+    */
+  def spanDupStats(corpus: DataFrame, n: Int = 10, minDf: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = corpus.select(col(idCol).cast("long").as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val spans = dupPositions(corpus, n, minDf, idCol, textCol)
+      .withColumn("new_span",
+        when(col("p") - lag("p", 1).over(w) === 1, lit(0L)).otherwise(lit(1L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("dup_tokens"),
+        sum("new_span").cast("long").as("n_spans"))
+    base.join(spans, Seq("doc_id"))
+      .select("doc_id", "n_tokens", "dup_tokens", "n_spans")
+  }
+
+  /** Span-level scrub: rebuild each document's text with every token that
+    * sits inside a cross-document duplicated `n`-gram REMOVED (the
+    * train-set hygiene pass that drops boilerplate/licence blocks and
+    * copy-pasted passages while keeping the unique remainder of the doc —
+    * doc-level dedup would either keep the whole doc or lose it).
+    *
+    * Every input doc survives, possibly with empty `clean_text` (a doc that
+    * is entirely quoted elsewhere scrubs to ""). The rebuild is a per-doc
+    * collect_list over KEPT tokens — bounded by one document's size, the
+    * same per-doc envelope every row-local text op here assumes.
+    *
+    * Output: (doc_id, n_tokens, dup_tokens, clean_text).
+    */
+  def scrubDupSpans(corpus: DataFrame, n: Int = 10, minDf: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = corpus
+      .select(col(idCol).cast("long").as("doc_id"), posexplode(tokens(col(textCol))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("tok"))
+    val kept = toks
+      .join(dupPositions(corpus, n, minDf, idCol, textCol), Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          e => e.getField("tok"))).as("clean_text"))
+    corpus.select(col(idCol).cast("long").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("dup_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Deterministic corpus mixing: downsample each source so the kept
+    * corpus approaches the target `weights` mix WITHOUT upsampling — the
+    * source with the scarcest supply relative to its weight keeps every
+    * row (rate 1.0) and every other source keeps weight-proportionally
+    * less. The keep decision is a pure function of the row id (md5 prefix
+    * vs a per-source threshold), so the sample is reproducible across
+    * engines, partitionings, and retries — no RNG state, the property the
+    * q43-style deterministic sampler established.
+    *
+    * Per-source counts are a driver-side collect of |weights| longs (the
+    * IVF-codebook envelope); the thresholds join back as a broadcast of
+    * |weights| rows and the filter is row-local — one map-combined count
+    * shuffle total, nothing else, at any corpus size. Sources absent from
+    * `weights` are dropped.
+    */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty, "mixtureSample needs at least one source weight")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Largest feasible scale: the binding source s* minimizes count/weight
+    // and keeps all its rows; every rate is (weight * c) / count <= 1.
+    // The float expression order below is mirrored verbatim by the DuckDB
+    // oracle so both engines derive bit-identical thresholds.
+    val c = weights.collect { case (s, wt) if counts.contains(s) => counts(s) / wt }.min
+    val thresholds = weights.toSeq.collect { case (s, wt) if counts.contains(s) =>
+      val t = math.min(math.floor(((wt * c) / counts(s)) * 4294967296.0).toLong,
+        4294967295L)
+      (s, f"$t%08x")
+    }.toDF(sourceCol, "__thr")
+    docs.join(broadcast(thresholds), Seq(sourceCol))
+      .filter(substring(md5(col(idCol).cast("string")), 1, 8) < col("__thr"))
+      .drop("__thr")
+  }
+
   def stratifiedSample(docs: DataFrame, stratumCol: String, perStratum: Int,
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1185,6 +1185,122 @@ object PipelineQueries {
     TextAnalysis.dedupLines(docs, minDf = 10).orderBy("doc_id")
   }
 
+  // Span-level dedup metrics (Lee et al. 2022 recast as an n-gram
+  // inverted index): positions covered by a 10-gram occurring in >= 2
+  // distinct docs, rolled up per doc into duplicated-token and
+  // maximal-span counts. The planted full-duplicate pairs guarantee
+  // fully-covered docs; any natural cross-doc 10-gram repeats are
+  // counted identically by both engines (the oracle computes the same
+  // inverted index, never assuming the plant).
+  declare("text_span_stats",
+    s"""WITH corpus AS (SELECT * FROM $plantedCorpusSql c(doc_id, text)),
+       toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       g AS (SELECT doc_id, s, array_to_string(list_slice(ws, s, s + 9), ' ') AS gram
+             FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, greatest(len(ws) - 9, 0))) AS s
+                   FROM toks) u),
+       hot AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) t
+               GROUP BY gram HAVING COUNT(*) >= 2),
+       pos AS (SELECT DISTINCT doc_id, p FROM
+               (SELECT doc_id, unnest(generate_series(s, s + 9)) AS p
+                FROM g WHERE gram IN (SELECT gram FROM hot)) u),
+       sp AS (SELECT doc_id,
+                CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+                     THEN 0 ELSE 1 END AS ns
+              FROM pos),
+       agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens,
+                 CAST(SUM(ns) AS BIGINT) AS n_spans
+               FROM sp GROUP BY 1)
+       SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+              a.dup_tokens, a.n_spans
+       FROM toks t JOIN agg a USING (doc_id) ORDER BY doc_id""") { (spark, sfDir) =>
+    TextAnalysis.spanDupStats(plantedCorpus(t(spark, sfDir, "documents")))
+      .orderBy("doc_id")
+  }
+
+  // Span-level SCRUB over a corpus with PARTIAL overlap: chimera docs
+  // (20000+i) splice the first 25 tokens of doc i onto tokens 26.. of
+  // doc i+1, so the copied regions are duplicated spans while the seam
+  // 10-grams stay unique — the scrub must remove the copied prefix and
+  // suffix but keep the seam, a case doc-level dedup cannot express.
+  declare("text_span_scrub",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 12),
+       ab AS (SELECT a.doc_id AS ia, string_split(a.text, ' ') AS wa,
+                string_split(b.text, ' ') AS wb
+              FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+       chim AS (SELECT ia + 20000 AS doc_id,
+                  array_to_string(list_concat(list_slice(wa, 1, 25),
+                    list_slice(wb, 26, 1048576)), ' ') AS text
+                FROM ab),
+       corpus AS (SELECT * FROM d UNION ALL SELECT * FROM chim),
+       toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       g AS (SELECT doc_id, s, array_to_string(list_slice(ws, s, s + 9), ' ') AS gram
+             FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, greatest(len(ws) - 9, 0))) AS s
+                   FROM toks) u),
+       hot AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) t
+               GROUP BY gram HAVING COUNT(*) >= 2),
+       pos AS (SELECT DISTINCT doc_id, p FROM
+               (SELECT doc_id, unnest(generate_series(s, s + 9)) AS p
+                FROM g WHERE gram IN (SELECT gram FROM hot)) u),
+       tok AS (SELECT doc_id, p, ws[p] AS tok FROM
+               (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+                FROM toks) u),
+       kept AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+                  string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+                FROM tok t LEFT JOIN pos ON t.doc_id = pos.doc_id AND t.p = pos.p
+                WHERE pos.p IS NULL GROUP BY 1)
+       SELECT c.doc_id, CAST(len(c.ws) AS BIGINT) AS n_tokens,
+              CAST(len(c.ws) - COALESCE(kept_tokens, 0) AS BIGINT) AS dup_tokens,
+              COALESCE(clean_text, '') AS clean_text
+       FROM toks c LEFT JOIN kept USING (doc_id) ORDER BY doc_id""") { (spark, sfDir) =>
+    val d = t(spark, sfDir, "documents").filter(col("doc_id") < 12)
+      .select(col("doc_id"), col("text"))
+    val a = d.select(col("doc_id").as("ia"), split(col("text"), " ").as("wa"))
+    val b = d.select(col("doc_id").as("ib"), split(col("text"), " ").as("wb"))
+    val chim = a.join(b, col("ib") === col("ia") + 1)
+      .select((col("ia") + 20000).as("doc_id"),
+        concat_ws(" ", concat(slice(col("wa"), 1, 25),
+          slice(col("wb"), 26, 1048576))).as("text"))
+    TextAnalysis.scrubDupSpans(d.union(chim)).orderBy("doc_id")
+  }
+
+  // Deterministic corpus mixing toward target weights 4:2:1:1 over four
+  // sources — the binding source keeps all rows, the rest downsample by
+  // an md5-prefix threshold derived from the SAME float expression in
+  // both engines (bit-identical IEEE ops), so the kept sets are equal,
+  // not just equally sized.
+  declare("sample_mixture",
+    """WITH w AS (SELECT src, CAST(wt AS DOUBLE) AS wt FROM (VALUES
+           ('src0', 4.0), ('src1', 2.0), ('src2', 1.0), ('src3', 1.0)) v(src, wt)),
+       cnt AS (SELECT source AS src, COUNT(*) AS n
+               FROM documents JOIN w ON source = w.src GROUP BY 1),
+       mc AS (SELECT MIN(n / wt) AS c FROM cnt JOIN w USING (src)),
+       thr AS (SELECT src, n,
+                 lpad(lower(hex(least(
+                   CAST(floor(((wt * c) / n) * 4294967296.0) AS BIGINT),
+                   4294967295))), 8, '0') AS thr_hex
+               FROM cnt JOIN w USING (src) CROSS JOIN mc),
+       kept AS (SELECT d.source AS src, COUNT(*) AS k
+                FROM documents d JOIN thr ON d.source = thr.src
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr_hex
+                GROUP BY 1)
+       SELECT thr.src AS source, CAST(thr.n AS BIGINT) AS n_in,
+              CAST(k.k AS BIGINT) AS n_kept,
+              CAST(floor(k.k * 1000.0 / thr.n) AS BIGINT) AS kept_millis
+       FROM thr JOIN kept k USING (src) ORDER BY source""") { (spark, sfDir) =>
+    val weights = Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)
+    val docs = t(spark, sfDir, "documents")
+    val kept = TextAnalysis.mixtureSample(docs, weights)
+      .groupBy("source").agg(count(lit(1)).cast("long").as("n_kept"))
+    val nIn = docs.filter(col("source").isin(weights.keys.toSeq: _*))
+      .groupBy("source").agg(count(lit(1)).cast("long").as("n_in"))
+    nIn.join(kept, Seq("source"))
+      .select(col("source"), col("n_in"), col("n_kept"),
+        floor(col("n_kept") * 1000.0 / col("n_in")).cast("long").as("kept_millis"))
+      .orderBy("source")
+  }
+
   // Stream-STREAM join (the kafka↔kafka funnel shape): click→purchase
   // attribution joined entirely inside the streaming engine — symmetric
   // hash join with watermark-bounded state on BOTH sides; the range

@@ -925,4 +925,56 @@ class PipelineSpec extends AnyFunSuite {
     val kept = pruned.count()
     assert(kept < full / 2, s"bloom kept $kept of $full")
   }
+
+  test("span dedup: partial overlap keeps the seam, full coverage scrubs to empty") {
+    import spark.implicits._
+    val aToks = (1 to 40).map(i => s"a$i")
+    val bToks = (1 to 40).map(i => s"b$i")
+    // Chimera: A's first 20 tokens + a unique 5-token seam + B's last 20.
+    val cToks = aToks.take(20) ++ (1 to 5).map(i => s"s$i") ++ bToks.drop(20)
+    val corpus = Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, bToks.mkString(" ")),
+      (3L, cToks.mkString(" ")),
+      (4L, "tiny doc under ten tokens")) // < n tokens: no grams at all
+      .toDF("doc_id", "text")
+    val stats = TextAnalysis.spanDupStats(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // A and B each share one 20-token region with C (one maximal span);
+    // C carries both regions split by the seam (two spans); the tiny doc
+    // has no 10-grams and must not appear.
+    assert(stats == Map(
+      1L -> ((40L, 20L, 1L)),
+      2L -> ((40L, 20L, 1L)),
+      3L -> ((45L, 40L, 2L))))
+    val scrub = TextAnalysis.scrubDupSpans(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(scrub(1L) == ((20L, aToks.drop(20).mkString(" "))))
+    assert(scrub(2L) == ((20L, bToks.take(20).mkString(" "))))
+    assert(scrub(3L) == ((40L, "s1 s2 s3 s4 s5"))) // only the seam survives
+    assert(scrub(4L) == ((0L, "tiny doc under ten tokens")))
+  }
+
+  test("mixtureSample keeps the binding source whole and is deterministic") {
+    import spark.implicits._
+    val rows = (0 until 400).map { i =>
+      val src = if (i < 100) "a" else if (i < 200) "b" else if (i < 300) "c" else "z"
+      (i.toLong, s"t$i", src)
+    }
+    val corpus = rows.toDF("doc_id", "text", "source")
+    // a binds (100/3 < 100/1); 'missing' has a weight but no rows; 'z' has
+    // rows but no weight and must be dropped entirely.
+    val weights = Map("a" -> 3.0, "b" -> 1.0, "c" -> 1.0, "missing" -> 9.0)
+    val kept = TextAnalysis.mixtureSample(corpus, weights)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") == 100L, s"binding source must keep all rows: $bySrc")
+    assert(!bySrc.contains("z"))
+    assert(bySrc("b") > 10 && bySrc("b") < 60, s"~1/3 expected: $bySrc")
+    assert(bySrc("c") > 10 && bySrc("c") < 60, s"~1/3 expected: $bySrc")
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextAnalysis.mixtureSample(corpus, weights)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2) // the same ROWS, not just the same counts
+  }
 }
