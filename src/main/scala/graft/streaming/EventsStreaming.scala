@@ -22,6 +22,30 @@ object EventsStreaming {
   val rawSchema: StructType = StructType.fromDDL(
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
 
+  /** Runs `body` (a streaming start/await/stop) with
+    * `spark.sql.shuffle.partitions` set to the state-partition count, then
+    * restores the session value for the batch work that follows.
+    *
+    * A stateful streaming query turns the shuffle-partition setting at
+    * START time into its state-store partition count — checkpointed for
+    * the query's LIFETIME — and every micro-batch pays a per-store commit
+    * (delta file + maintenance) on each one. So the right number tracks
+    * the STATE volume and arrival throughput, not the box's core count: a
+    * symmetric-hash join here keeps 4 stores per partition, and at 32
+    * partitions a bounded local run spends more wall-clock on 128 store
+    * commits than on the data. `spark.graft.streamStateParts` (default 8)
+    * sizes the bounded declared queries; a kafka deployment at cluster
+    * scale sets it to hundreds ONCE, before first start, and keeps it for
+    * the checkpoint's life.
+    */
+  private def withStateParts[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key,
+      spark.conf.getOption("spark.graft.streamStateParts").getOrElse("8"))
+    try body finally spark.conf.set(key, prior)
+  }
+
   /** Hourly tumbling-window counts/sums per event_type, computed by the
     * streaming engine. Output matches the batch q25 shape:
     * (hour_epoch, event_type, n, value_cents).
@@ -40,13 +64,15 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
     val name = "graft_stream_hourly"
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
+    withStateParts(spark) {
+      val q = agg.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+    }
     spark.table(name)
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("value_cents"))
@@ -85,13 +111,15 @@ object EventsStreaming {
 
   def enrichedBySegment(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_enriched"
-    val q = enrichedAgg(spark, sfDir).writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
+    withStateParts(spark) {
+      val q = enrichedAgg(spark, sfDir).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+    }
     spark.table(name).orderBy("c_mktsegment", "event_type")
   }
 
@@ -121,13 +149,15 @@ object EventsStreaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val name = "graft_stream_dedup"
-    val q = deduped.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
+    withStateParts(spark) {
+      val q = deduped.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+    }
     spark.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -179,13 +209,15 @@ object EventsStreaming {
     */
   def clickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_attrib"
-    val q = attributionJoin(spark, sfDir).writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
+    withStateParts(spark) {
+      val q = attributionJoin(spark, sfDir).writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+    }
     spark.table(name)
       .groupBy(col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
