@@ -501,6 +501,8 @@ object TextAnalysis {
     val counts = docs.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(sourceCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty,
+      s"mixtureSample: no rows match any weighted source (${weights.keys.mkString(",")})")
     // Largest feasible scale: the binding source s* minimizes count/weight
     // and keeps all its rows; every rate is (weight * c) / count <= 1.
     // The float expression order below is mirrored verbatim by the DuckDB

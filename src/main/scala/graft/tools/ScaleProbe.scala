@@ -85,6 +85,14 @@ object ScaleProbe {
     }
     println(s"[probe] survivors = $survivors")
 
+    // Span-level dedup over the same corpus: the inverted-index df pass is
+    // linear in corpus tokens and the salt rewrite keeps duplicated spans
+    // within-copy only, so flagged docs should scale ~ factor x.
+    val spanDocs = time(s"span-dup stats (10-gram) over $nDocs docs") {
+      graft.operators.TextAnalysis.spanDupStats(corpus).count()
+    }
+    println(s"[probe] span-dup docs = $spanDocs")
+
     // --- synthesize embeddings at factor x ---------------------------
     val emb = Engine.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val eoff = emb.agg(max("vec_id")).head().getLong(0) + 1

@@ -955,6 +955,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(scrub(4L) == ((0L, "tiny doc under ten tokens")))
   }
 
+  test("randomized corpora: span stats and scrub match a brute-force oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val n = 5
+    for (round <- 1 to 3) {
+      val vocab = (1 to 8).map(i => s"w$i")
+      val docs = (0 until 25).map { id =>
+        val len = rnd.nextInt(25) // includes docs shorter than n (even 0)
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // Brute force: gram -> distinct docs; positions covered by a gram
+      // seen in >= 2 docs; maximal runs; scrub = kept tokens joined.
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val df = docs.flatMap { case (id, _) =>
+        toks(id).sliding(n).filter(_.size == n).map(g => (g.mkString(" "), id))
+      }.distinct.groupBy(_._1).view.mapValues(_.size).toMap
+      val dupPos = docs.map { case (id, _) =>
+        val ws = toks(id)
+        val pos = (1 to math.max(0, ws.size - n + 1)).flatMap { s =>
+          if (df.getOrElse(ws.slice(s - 1, s - 1 + n).mkString(" "), 0) >= 2)
+            s to (s + n - 1)
+          else Nil
+        }.toSet
+        id -> pos
+      }.toMap
+      val expStats = docs.flatMap { case (id, _) =>
+        val pos = dupPos(id)
+        if (pos.isEmpty) None
+        else {
+          val spans = pos.count(p => !pos.contains(p - 1))
+          Some((id, toks(id).size.toLong, pos.size.toLong, spans.toLong))
+        }
+      }.sortBy(_._1)
+      val expScrub = docs.map { case (id, _) =>
+        val ws = toks(id)
+        val kept = ws.zipWithIndex.collect {
+          case (w, i) if !dupPos(id).contains(i + 1) => w
+        }
+        (id, ws.size.toLong, dupPos(id).size.toLong, kept.mkString(" "))
+      }.sortBy(_._1)
+      val corpus = docs.toDF("doc_id", "text")
+      val gotStats = TextAnalysis.spanDupStats(corpus, n = n).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(gotStats == expStats, s"stats mismatch round=$round")
+      val gotScrub = TextAnalysis.scrubDupSpans(corpus, n = n).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(gotScrub == expScrub, s"scrub mismatch round=$round")
+    }
+  }
+
   test("mixtureSample keeps the binding source whole and is deterministic") {
     import spark.implicits._
     val rows = (0 until 400).map { i =>
