@@ -160,6 +160,26 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastHashJoin"))
   }
 
+  test("span dedup never goes corpus-squared and combines the df count map-side") {
+    val plan = planString(q("text_span_stats"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs stage in:\n$plan")
+    // The hot-gram reduction joins back as a semi-join (broadcast at this
+    // SF; a shuffled hash semi-join at scale — either is fine, a nested
+    // loop is not).
+    assert(plan.contains("LeftSemi"), s"no semi-join reduction in:\n$plan")
+    // df count = two HashAggregates around an Exchange (partial + final).
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg in:\n$plan")
+  }
+
+  test("mixture sampling is a broadcast threshold join plus a row-local filter") {
+    val plan = planString(q("sample_mixture"))
+    assert(plan.contains("BroadcastHashJoin"), s"thresholds should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the |sources|-row threshold table must never shuffle the corpus:\n$plan")
+    assert(plan.contains("md5"), s"keep-filter should be row-local md5:\n$plan")
+  }
+
   test("flagship entry returns rows") {
     val rows = graft.SparkEntry.entry(spark).collect()
     assert(rows.length == 2)
