@@ -1265,6 +1265,86 @@ object PipelineQueries {
     TextAnalysis.scrubDupSpans(d.union(chim)).orderBy("doc_id")
   }
 
+  // The dedup TVF: the same near-dup pipeline as dedup_corpus_near,
+  // driven entirely through spark.sql — SQL-only users reach the
+  // iterative LSH + propagation engine as `FROM dedup(table, threshold)`.
+  // Identical oracle; the label memo shares the propagation run with
+  // dedup_corpus_near when both execute in one session.
+  declare("dedup_corpus_sql",
+    """WITH RECURSIVE
+       toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+       sh0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) shingles FROM toks),
+       sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+       sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+       inter AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) i
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT a, b FROM inter
+                 JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+                 WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8),
+       edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+       reach AS (
+         SELECT x, x AS y FROM (SELECT DISTINCT x FROM edges) t
+         UNION
+         SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+       ),
+       lab AS (SELECT x AS doc_id, MIN(y) AS label FROM reach GROUP BY 1)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id != label)
+       ORDER BY doc_id""") { (spark, sfDir) =>
+    t(spark, sfDir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("graft_dedup_sql_v")
+    spark.sql(
+      "SELECT doc_id FROM dedup('graft_dedup_sql_v', 0.8) ORDER BY doc_id")
+  }
+
+  // The span_scrub TVF over the same chimera corpus as text_span_scrub —
+  // a pure lazy plan splice (nothing runs at analysis), so the ORDER BY
+  // composes into the spliced plan like any subquery.
+  declare("text_span_scrub_sql",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 12),
+       ab AS (SELECT a.doc_id AS ia, string_split(a.text, ' ') AS wa,
+                string_split(b.text, ' ') AS wb
+              FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+       chim AS (SELECT ia + 20000 AS doc_id,
+                  array_to_string(list_concat(list_slice(wa, 1, 25),
+                    list_slice(wb, 26, 1048576)), ' ') AS text
+                FROM ab),
+       corpus AS (SELECT * FROM d UNION ALL SELECT * FROM chim),
+       toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       g AS (SELECT doc_id, s, array_to_string(list_slice(ws, s, s + 9), ' ') AS gram
+             FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, greatest(len(ws) - 9, 0))) AS s
+                   FROM toks) u),
+       hot AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) t
+               GROUP BY gram HAVING COUNT(*) >= 2),
+       pos AS (SELECT DISTINCT doc_id, p FROM
+               (SELECT doc_id, unnest(generate_series(s, s + 9)) AS p
+                FROM g WHERE gram IN (SELECT gram FROM hot)) u),
+       tok AS (SELECT doc_id, p, ws[p] AS tok FROM
+               (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+                FROM toks) u),
+       kept AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+                  string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+                FROM tok t LEFT JOIN pos ON t.doc_id = pos.doc_id AND t.p = pos.p
+                WHERE pos.p IS NULL GROUP BY 1)
+       SELECT c.doc_id, CAST(len(c.ws) AS BIGINT) AS n_tokens,
+              CAST(len(c.ws) - COALESCE(kept_tokens, 0) AS BIGINT) AS dup_tokens,
+              COALESCE(clean_text, '') AS clean_text
+       FROM toks c LEFT JOIN kept USING (doc_id) ORDER BY doc_id""") { (spark, sfDir) =>
+    val d = t(spark, sfDir, "documents").filter(col("doc_id") < 12)
+      .select(col("doc_id"), col("text"))
+    val a = d.select(col("doc_id").as("ia"), split(col("text"), " ").as("wa"))
+    val b = d.select(col("doc_id").as("ib"), split(col("text"), " ").as("wb"))
+    val chim = a.join(b, col("ib") === col("ia") + 1)
+      .select((col("ia") + 20000).as("doc_id"),
+        concat_ws(" ", concat(slice(col("wa"), 1, 25),
+          slice(col("wb"), 26, 1048576))).as("text"))
+    d.union(chim).createOrReplaceTempView("graft_span_sql_v")
+    spark.sql("SELECT * FROM span_scrub('graft_span_sql_v') ORDER BY doc_id")
+  }
+
   // Deterministic corpus mixing toward target weights 4:2:1:1 over four
   // sources — the binding source keeps all rows, the rest downsample by
   // an md5-prefix threshold derived from the SAME float expression in

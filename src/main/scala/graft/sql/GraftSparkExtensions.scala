@@ -196,6 +196,64 @@ object GraftSparkExtensions {
       out.queryExecution.analyzed
     })
 
+  /** Corpus near-dedup SQL entry point — the iterative dedup pipeline
+    * (LSH candidates → exact verify → min-label propagation to
+    * convergence → anti-join) is not expressible as one SQL statement, so
+    * SQL-only users reach it as a table function over a named table with
+    * (doc_id, text) columns:
+    *
+    * {{{
+    * SELECT doc_id FROM dedup('docs_v', 0.8[, max_rounds])
+    * }}}
+    *
+    * The propagation runs at analysis time (the solver TVFs' eagerness
+    * contract — an iterative pipeline cannot be a lazy plan); the spliced
+    * result is the corpus anti-joined against the materialized drop set,
+    * distributed, nothing collected. Threshold 1.0 takes the one-shuffle
+    * exact-hash path. Component labels are memoized per (canonicalized
+    * corpus plan, threshold), so SQL and Scala calls over the same corpus
+    * share a single LSH + propagation run.
+    */
+  val dedupFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("dedup"), info("dedup"), (args: Seq[Expression]) => {
+      if (args.size < 2 || args.size > 3)
+        throw new IllegalArgumentException(
+          s"dedup(table, threshold[, max_rounds]) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "dedup arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.operators.Dedup.deduplicate(
+        spark.table(asString(v(0))), asDouble(v(1)),
+        maxRounds = if (args.size >= 3) asInt(v(2)) else 64)
+      out.queryExecution.analyzed
+    })
+
+  /** Span-level scrub SQL entry point
+    * ([[graft.operators.TextAnalysis.scrubDupSpans]]): unlike `dedup` this
+    * is a PURE plan splice — the whole scrub is one lazy distributed plan
+    * (inverted index + semi-join + per-doc rebuild), nothing runs at
+    * analysis and Catalyst optimizes through it:
+    *
+    * {{{
+    * SELECT doc_id, dup_tokens, clean_text
+    * FROM span_scrub('docs_v'[, n[, min_df]])
+    * }}}
+    */
+  val spanScrubFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("span_scrub"), info("span_scrub"), (args: Seq[Expression]) => {
+      if (args.isEmpty || args.size > 3)
+        throw new IllegalArgumentException(
+          s"span_scrub(table[, n[, min_df]]) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "span_scrub arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.operators.TextAnalysis.scrubDupSpans(
+        spark.table(asString(v(0))),
+        n = if (args.size >= 2) asInt(v(1)) else 10,
+        minDf = if (args.size >= 3) asInt(v(2)).toLong else 2L)
+      out.queryExecution.analyzed
+    })
+
   import org.apache.spark.sql.Row
 
   private val createVariablesSchema = StructType.fromDDL(
@@ -222,6 +280,8 @@ object GraftSparkExtensions {
       HighsFunctions.solveRows(asString(v(0)))
     },
     asofJoinFn,
-    fixpointFn
+    fixpointFn,
+    dedupFn,
+    spanScrubFn
   )
 }

@@ -105,4 +105,48 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM fixpoint('sq_bad_seed', 'SELECT 1 AS x')"))
     assert(ex.getMessage.contains("__frontier"))
   }
+
+  test("dedup TVF: the iterative near-dup pipeline via pure SQL matches the Scala API") {
+    import spark.implicits._
+    // A near-dup chain (a~b, b~c by shared shingles) plus an unrelated doc.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta kappa iota"),
+      (9L, "totally different words in this document here now"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sq_dedup_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id FROM dedup('sq_dedup_docs', 0.5) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val viaApi = graft.operators.Dedup.deduplicate(docs, threshold = 0.5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.contains(9L) && viaSql.contains(1L))
+  }
+
+  test("span_scrub TVF: lazy splice composes with downstream filters") {
+    import spark.implicits._
+    val aToks = (1 to 40).map(i => s"a$i")
+    val bToks = (1 to 40).map(i => s"b$i")
+    Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, bToks.mkString(" ")),
+      (3L, (aToks.take(20) ++ bToks.drop(20)).mkString(" ")))
+      .toDF("doc_id", "text")
+      .createOrReplaceTempView("sq_span_docs")
+    val rows = spark.sql(
+      """SELECT doc_id, dup_tokens, clean_text
+         FROM span_scrub('sq_span_docs', 10, 2)
+         WHERE dup_tokens > 0 ORDER BY doc_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0)._3 == aToks.drop(20).mkString(" "))
+    assert(rows(2)._2 == 40L && rows(2)._3 == "") // fully covered chimera
+  }
+
+  test("dedup TVF rejects a wrong argument count") {
+    val ex = intercept[Exception](spark.sql("SELECT * FROM dedup('t')"))
+    assert(ex.getMessage.contains("dedup(table, threshold"))
+  }
 }
