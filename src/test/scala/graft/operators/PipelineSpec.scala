@@ -253,6 +253,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("randomized corpora: incrementalNear equals the brute-force three-stage oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    def doc(len: Int): String = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def mutate(s: String): String =
+      s.split(" ").map(w =>
+        if (rnd.nextInt(20) == 0) vocab(rnd.nextInt(vocab.size)) else w).mkString(" ")
+    val archive = Seq.tabulate(40)(i => (i.toLong, doc(30 + rnd.nextInt(40))))
+    // The increment mixes every drop category: exact archive copies,
+    // near-dup mutations of archive docs, internal base+mutation groups,
+    // shingle-less tiny docs (LSH-blind — the exact screen must carry
+    // them), an exact within-increment duplicate pair, and fresh docs.
+    val increment =
+      archive.take(8).zipWithIndex.map { case ((_, t), i) => (100L + i, t) } ++
+      archive.slice(8, 14).zipWithIndex.map { case ((_, t), i) => (120L + i, mutate(t)) } ++
+      (0 until 6).flatMap { i =>
+        val base = doc(30 + rnd.nextInt(40))
+        Seq((140L + 2 * i, base), (141L + 2 * i, mutate(base)))
+      } ++
+      Seq((160L, "hi"), (161L, "hi"), (162L, "yo there")) ++
+      Seq.tabulate(10)(i => (170L + i, doc(30 + rnd.nextInt(40))))
+    // --- brute-force oracle, mirroring the documented three stages ---
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Set.empty
+      else (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
+    }
+    def jac(x: Set[String], y: Set[String]): Double = {
+      val i = (x & y).size
+      if (i == 0) 0.0 else i.toDouble / (x.size + y.size - i)
+    }
+    val archiveTexts = archive.map(_._2).toSet
+    val kept0 = increment.filterNot(d => archiveTexts.contains(d._2))
+      .groupBy(_._2).map { case (_, ds) => ds.minBy(_._1) }.toSeq
+    val aSh = archive.map { case (_, t) => shingleSet(t) }
+    val kSh = kept0.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val dupOfKnown = kept0.collect {
+      case (id, _) if aSh.exists(s => jac(kSh(id), s) >= 0.8) => id
+    }.toSet
+    val clean = kept0.map(_._1).filterNot(dupOfKnown).sorted
+    val parent = collection.mutable.Map(clean.map(id => id -> id): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      i <- clean.indices; j <- (i + 1) until clean.size
+      if jac(kSh(clean(i)), kSh(clean(j))) >= 0.8
+    } { val (a, b) = (find(clean(i)), find(clean(j))); if (a != b) parent(math.max(a, b)) = math.min(a, b) }
+    val expected = clean.filter(id => find(id) == id).toSet
+    // Sanity: the generator actually produced every drop category.
+    assert(kept0.size < increment.size)                 // exact screen fired
+    assert(dupOfKnown.nonEmpty)                         // archive near-dups found
+    assert(expected.size < clean.size)                  // within-batch components fired
+    assert(expected.contains(160L) && expected.contains(162L)) // tiny docs survive via exact stage
+    // --- the engine, both forms ---
+    val incDf = increment.toDF("doc_id", "text")
+    val knownDf = archive.toDF("doc_id", "text")
+    val got = Dedup.incrementalNear(incDf, knownDf, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"convenience form: got ${got.toSeq.sorted} expected ${expected.toSeq.sorted}")
+    val ix = Dedup.buildArchiveIndex(knownDf)
+    val gotIdx = Dedup.incrementalNear(incDf, knownDf, ix, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIdx == expected, "ArchiveIndex form must match the convenience form")
+  }
+
   test("native cosine/norm expressions are bit-identical to the ordered folds") {
     val l = embeddings.select(col("vec_id").as("ia"), col("embedding").as("ea"))
       .filter(col("ia") < 30)
