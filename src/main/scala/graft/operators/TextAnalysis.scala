@@ -395,19 +395,25 @@ object TextAnalysis {
     * [p-n+1, p] of d also occurs in >= `minDf` DISTINCT documents. Shape:
     * one distinct + one map-combined count per gram (the inverted index),
     * a semi-join back (never corpus x corpus), and a bounded x n position
-    * explode on the duplicated grams only. At 100 TB the gram strings
-    * would be 128-bit fingerprints; the grouping/join structure is
-    * unchanged.
+    * explode on the duplicated grams only.
+    *
+    * `fingerprint` = true keys the index by the 128-bit md5 of each gram
+    * (16 raw bytes, codegen'd) instead of the gram string — the 100 TB
+    * form, shuffling ~16 bytes per gram instead of the text itself; the
+    * grouping/join structure is identical. 64 bits would already see
+    * birthday collisions at trillion-gram scale; 128 does not.
     *
     * Output: (doc_id LONG, p LONG) distinct, p 1-based.
     */
   private def dupPositions(corpus: DataFrame, n: Int, minDf: Long,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String, fingerprint: Boolean): DataFrame = {
+    val gramKey =
+      if (fingerprint) unhex(md5(array_join(slice(col("ws"), col("s"), lit(n)), " ")))
+      else array_join(slice(col("ws"), col("s"), lit(n)), " ")
     val grams = corpus
       .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("ws"))
       .select(col("doc_id"), explode(gramStarts(col("ws"), n)).as("s"), col("ws"))
-      .select(col("doc_id"), col("s"),
-        array_join(slice(col("ws"), col("s"), lit(n)), " ").as("gram"))
+      .select(col("doc_id"), col("s"), gramKey.as("gram"))
     val hot = grams.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
@@ -427,14 +433,16 @@ object TextAnalysis {
     * positions, so the window never funnels the corpus through one task.
     *
     * Output: (doc_id, n_tokens, dup_tokens, n_spans), duplicated docs only.
+    * `fingerprint` = true is the 100 TB form (see [[dupPositions]]).
     */
   def spanDupStats(corpus: DataFrame, n: Int = 10, minDf: Long = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      fingerprint: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = corpus.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("n_tokens"))
     val w = Window.partitionBy("doc_id").orderBy("p")
-    val spans = dupPositions(corpus, n, minDf, idCol, textCol)
+    val spans = dupPositions(corpus, n, minDf, idCol, textCol, fingerprint)
       .withColumn("new_span",
         when(col("p") - lag("p", 1).over(w) === 1, lit(0L)).otherwise(lit(1L)))
       .groupBy("doc_id")
@@ -456,14 +464,17 @@ object TextAnalysis {
     * same per-doc envelope every row-local text op here assumes.
     *
     * Output: (doc_id, n_tokens, dup_tokens, clean_text).
+    * `fingerprint` = true is the 100 TB form (see [[dupPositions]]).
     */
   def scrubDupSpans(corpus: DataFrame, n: Int = 10, minDf: Long = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      fingerprint: Boolean = false): DataFrame = {
     val toks = corpus
       .select(col(idCol).cast("long").as("doc_id"), posexplode(tokens(col(textCol))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("tok"))
     val kept = toks
-      .join(dupPositions(corpus, n, minDf, idCol, textCol), Seq("doc_id", "p"), "left_anti")
+      .join(dupPositions(corpus, n, minDf, idCol, textCol, fingerprint),
+        Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("kept_tokens"),
         concat_ws(" ", transform(

@@ -85,11 +85,12 @@ object ScaleProbe {
     }
     println(s"[probe] survivors = $survivors")
 
-    // Span-level dedup over the same corpus: the inverted-index df pass is
-    // linear in corpus tokens and the salt rewrite keeps duplicated spans
-    // within-copy only, so flagged docs should scale ~ factor x.
+    // Span-level dedup over the same corpus, in the 100 TB form (128-bit
+    // gram fingerprints on the shuffle instead of gram text): the
+    // inverted-index df pass is linear in corpus tokens and the salt
+    // rewrite keeps duplicated spans within-copy only.
     val spanDocs = time(s"span-dup stats (10-gram) over $nDocs docs") {
-      graft.operators.TextAnalysis.spanDupStats(corpus).count()
+      graft.operators.TextAnalysis.spanDupStats(corpus, fingerprint = true).count()
     }
     println(s"[probe] span-dup docs = $spanDocs")
 

@@ -1067,6 +1067,12 @@ class PipelineSpec extends AnyFunSuite {
       val gotScrub = TextAnalysis.scrubDupSpans(corpus, n = n).orderBy("doc_id")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
       assert(gotScrub == expScrub, s"scrub mismatch round=$round")
+      // The 100 TB form (128-bit gram fingerprints on the shuffle) must
+      // be observationally identical to the gram-string form.
+      val gotFp = TextAnalysis.spanDupStats(corpus, n = n, fingerprint = true)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(gotFp == expStats, s"fingerprint-form mismatch round=$round")
     }
   }
 
