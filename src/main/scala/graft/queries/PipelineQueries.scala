@@ -38,9 +38,11 @@ object PipelineQueries {
     * the number the operator's contract is about. Same staleness caveats
     * as Engine.tableCache (the scratch files pin the first read's
     * listing); scratch is reclaimed by the session shutdown hook.
+    * LRU-bounded like the other session memos — a long-lived service
+    * cycling sessions/sfDirs ages old indexes out instead of pinning them.
     */
   private val archiveIndexCache =
-    collection.mutable.Map.empty[(SparkSession, String), Dedup.ArchiveIndex]
+    new graft.LruMap[(SparkSession, String), Dedup.ArchiveIndex](8)
 
   private val all = Seq.newBuilder[Declared]
   private def declare(name: String, oracle: String = null)(
@@ -341,15 +343,13 @@ object PipelineQueries {
     val d = t(spark, sfDir, "documents")
     val inc = d.filter(col("doc_id") < 200).select("doc_id", "text")
     val known = d.filter(col("doc_id") >= 200).select("doc_id", "text")
-    val index = archiveIndexCache.synchronized {
-      archiveIndexCache.getOrElseUpdate((spark, sfDir), {
-        val built = Dedup.buildArchiveIndex(known)
-        Dedup.ArchiveIndex(
-          Scratch.materialize(built.bands, "aix_bands")._1,
-          Scratch.materialize(built.hashes, "aix_hashes")._1,
-          built.numHashes, built.numBands, built.shingleN)
-      })
-    }
+    val index = archiveIndexCache.getOrElseUpdate((spark, sfDir), {
+      val built = Dedup.buildArchiveIndex(known)
+      Dedup.ArchiveIndex(
+        Scratch.materialize(built.bands, "aix_bands")._1,
+        Scratch.materialize(built.hashes, "aix_hashes")._1,
+        built.numHashes, built.numBands, built.shingleN)
+    })
     Dedup.incrementalNear(inc, known, index, threshold = 0.8)
       .select("doc_id").orderBy("doc_id")
   }
