@@ -49,7 +49,6 @@ object Bench {
     // only by machine load, not by which one paid the sentinel plan's
     // first-touch codegen.
     sentinelSafe()
-    val sentinelBefore = sentinelSafe()
     // Time a full materialization of every column: the noop sink consumes
     // each row end-to-end (unlike count(), under which Catalyst prunes all
     // columns and skips projection/UDF work entirely). Each query runs
@@ -61,7 +60,7 @@ object Bench {
     // A failed iteration contributes NO timing (a fast crash would
     // otherwise read as a small, legitimate-looking min); a query with no
     // successful iteration is reported in `failed`, not in `queries`.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def sweep(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -74,14 +73,37 @@ object Bench {
       }
       name -> times.minOption
     }
-    val sentinelAfter = sentinelSafe()
+    // Self-defense against a loaded box (round 8's driver run shipped with
+    // sentinel_before at 2-3x healthy): a sweep whose leading sentinel runs
+    // more than 2x the trailing one OR 2x the pinned healthy nominal
+    // (~0.19-0.3 s on this box) is presumed contended and re-run ONCE; if
+    // the retry's sentinels are still hot the JSON carries
+    // "contended": true so readers discount the absolute numbers instead
+    // of mistaking load for a regression. -1 (sentinel crash) never
+    // triggers a retry — it can't distinguish load from code.
+    val nominalSentinel = 0.30
+    def hot(before: Double, after: Double): Boolean =
+      before > 0 && (before > 2 * nominalSentinel ||
+        (after > 0 && before > 2 * after))
+    var sentinelBefore = sentinelSafe()
+    var results = sweep()
+    var sentinelAfter = sentinelSafe()
+    var retried = false
+    if (hot(sentinelBefore, sentinelAfter)) {
+      System.err.println(f"[bench] contended sweep detected (sentinel_before=$sentinelBefore%.3f s, sentinel_after=$sentinelAfter%.3f s) — retrying once")
+      retried = true
+      sentinelBefore = sentinelSafe()
+      results = sweep()
+      sentinelAfter = sentinelSafe()
+    }
+    val contended = hot(sentinelBefore, sentinelAfter)
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sentinel_before":$sentinelBefore,"sentinel_after":$sentinelAfter,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sentinel_before":$sentinelBefore,"sentinel_after":$sentinelAfter,"retried":$retried,"contended":$contended,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a bounded tail, which truncates the
     // per-query map once the suite is large; a file sidesteps the tail so

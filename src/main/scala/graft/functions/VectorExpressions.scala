@@ -251,6 +251,57 @@ case class BestCentroid(child: Expression, ids: Array[Long],
   override def prettyName: String = "best_centroid"
 }
 
+/** [[BestCentroid]] with the codebook carried as a Spark BROADCAST
+  * variable instead of expression-tree reference objects — the large-k
+  * form. Embedding the arrays in the tree means every serialized stage
+  * that contains the expression ships the whole codebook (and re-ships it
+  * with every task-binary broadcast); at IVF codebook scales beyond a few
+  * thousand centroids (k·dim·4 bytes — k=10⁴ at dim 768 is ~30 MB) that
+  * dominates plan shipping. The broadcast handle serializes to a few
+  * bytes, executors fetch the codebook once via the torrent protocol, and
+  * the generated code caches the dereferenced arrays in mutable state so
+  * the per-row loop is IDENTICAL to [[BestCentroid]]'s — same kernel,
+  * same quantized-cosine tie-breaks, bit-identical assignments (parity
+  * asserted in PipelineSpec at k=4096).
+  */
+case class BestCentroidBroadcast(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]])])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"best_centroid requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+
+  @transient private lazy val codebook = bc.value
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorExpressions.bestCentroid(a.asInstanceOf[ArrayData], codebook._1, codebook._2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("centroidBcast", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val ids = ctx.addMutableState("long[]", "bcCentroidIds")
+    val cents = ctx.addMutableState("float[][]", "bcCentroidVecs")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""if ($ids == null) {
+         |  scala.Tuple2 t = (scala.Tuple2) $bcRef.value();
+         |  $ids = (long[]) t._1();
+         |  $cents = (float[][]) t._2();
+         |}
+         |${ev.value} = graft.functions.VectorExpressions.bestCentroid($a, $ids, $cents);
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BestCentroidBroadcast =
+    copy(child = newChild)
+
+  override def prettyName: String = "best_centroid_bcast"
+}
+
 /** sign_lsh_bands(v): array of per-band sign-LSH buckets (`bits` planes
   * each), all bands computed in one codegen'd pass over the vector. The
   * scale-aware replacement for a single fixed-width bucket: band count and

@@ -738,29 +738,40 @@ object Dedup {
 
   /** 64-bit SimHash per document over word tokens (weight 1 each):
     * bit j of the signature is the sign of sum_t (+-1 by bit j of the
-    * token hash). Computed in one row-local JIT'd pass — the 64-wide
-    * conditional-sum aggregate shuffles every token and benchmarked
-    * ~2x slower.
+    * token hash). The token hash is the FIRST 8 BYTES (big-endian) OF
+    * md5(token) — the same engine-neutral derivation the exact-dedup and
+    * fingerprint paths use — so any engine with an md5() builtin can
+    * reproduce the signatures bit-for-bit (the DuckDB oracle does).
+    * Computed in one row-local JIT'd pass with a per-partition digest —
+    * the 64-wide conditional-sum aggregate shuffles every token and
+    * benchmarked ~2x slower.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, t) =>
-        val counts = new Array[Int](64)
-        nn(t).split(" ", -1).foreach { tok =>
-          val h = mix64(fnv64(tok))
-          var j = 0
-          while (j < 64) {
-            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-            j += 1
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t) =>
+          val counts = new Array[Int](64)
+          nn(t).split(" ", -1).foreach { tok =>
+            md.reset()
+            val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L
+            var k = 0
+            while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+            var j = 0
+            while (j < 64) {
+              if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+              j += 1
+            }
           }
+          var sig = 0L
+          var j = 0
+          while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+          (id, sig)
         }
-        var sig = 0L
-        var j = 0
-        while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
-        (id, sig)
       }
       .toDF("doc_id", "simhash")
   }

@@ -114,8 +114,18 @@ object Similarity {
     * strict `>` means it can never win). A degenerate codebook is a bug in
     * the caller's centroid computation — fail loudly instead of silently
     * picking one of two divergent behaviors.
+    *
+    * Codebook transport switches on k: small codebooks embed in the
+    * expression tree (reference objects — zero indirection); past
+    * `spark.graft.ivfBroadcastCodebookK` centroids (default 1024) the
+    * codebook rides a broadcast variable instead
+    * ([[graft.functions.BestCentroidBroadcast]] — same kernel, identical
+    * assignments), because an embedded codebook re-ships with every
+    * serialized stage while a broadcast is fetched once per executor.
+    * Either way the scan stays a pure map: zero joins, zero exchanges.
     */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
     val cb = centroids.select(col("vec_id").cast("long"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -124,8 +134,16 @@ object Similarity {
     require(zeroNorm.isEmpty,
       s"assignToCentroids: zero-norm centroid(s) ${zeroNorm.map(_._1).mkString(",")} " +
         "in codebook — cosine against them is undefined (NaN)")
-    val expr = graft.functions.BestCentroid(
-      ColumnBridge.expression(col("embedding")), cb.map(_._1), cb.map(_._2))
+    val broadcastK = spark.conf.getOption("spark.graft.ivfBroadcastCodebookK")
+      .map(_.toInt).getOrElse(1024)
+    val expr =
+      if (cb.length > broadcastK)
+        graft.functions.BestCentroidBroadcast(
+          ColumnBridge.expression(col("embedding")),
+          spark.sparkContext.broadcast((cb.map(_._1), cb.map(_._2))))
+      else
+        graft.functions.BestCentroid(
+          ColumnBridge.expression(col("embedding")), cb.map(_._1), cb.map(_._2))
     corpus.select(col("vec_id"), col("embedding"),
       ColumnBridge.column(expr).as("cid"))
   }

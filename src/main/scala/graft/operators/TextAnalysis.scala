@@ -524,8 +524,14 @@ object TextAnalysis {
         4294967295L)
       (s, f"$t%08x")
     }.toDF(sourceCol, "__thr")
+    // A saturated threshold ("ffffffff", i.e. rate 1.0 clamped from 2^32)
+    // means "keep every row" — without the explicit bypass the strict <
+    // would drop rows whose md5 prefix is exactly ffffffff (~2^-32 each:
+    // real rows at trillion-row scale, and a contract violation for the
+    // binding source). The oracle mirrors the bypass.
     docs.join(broadcast(thresholds), Seq(sourceCol))
-      .filter(substring(md5(col(idCol).cast("string")), 1, 8) < col("__thr"))
+      .filter(col("__thr") === lit("ffffffff") ||
+        substring(md5(col(idCol).cast("string")), 1, 8) < col("__thr"))
       .drop("__thr")
   }
 

@@ -855,6 +855,48 @@ object AnalyticsQueries {
     spark.table("graft_region_ins").orderBy("r_regionkey", "r_name")
   }
 
+  // Mutation DML parity: DuckDB hosts UPDATE/DELETE natively; OSS Spark
+  // cannot mutate parquet in place, so the engine's idiom is
+  // read-transform-stage-INSERT OVERWRITE — compute the post-mutation
+  // content (UPDATE = conditional column rewrite, DELETE = negated-
+  // predicate filter), materialize it to a staging location (a table
+  // cannot be overwritten by a plan that reads it), then INSERT OVERWRITE
+  // the catalog table. The oracle runs DuckDB's ACTUAL UPDATE and DELETE
+  // statements over the same slice, so the final table states are
+  // hash-compared across genuinely different mutation machinery. At
+  // 100 TB the same recipe overwrites only the affected partitions
+  // (dynamic partition overwrite) instead of the full table.
+  declare("q53_update_delete",
+    """CREATE OR REPLACE TEMP TABLE graft_q53 AS
+         SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders;
+       UPDATE graft_q53 SET o_orderpriority = '0-REPRIORITIZED'
+         WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 50000;
+       DELETE FROM graft_q53 WHERE o_orderstatus = 'F' AND o_totalprice < 10000;
+       SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+       FROM graft_q53 ORDER BY o_orderkey""") { (spark, sfDir) =>
+    val tbl = "graft_q53_orders"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir = { val u = new java.net.URI(wh); if (u.getScheme == null) wh else u.getPath }
+    def del(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
+    del(new java.io.File(whDir, tbl))
+    t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.format("parquet").saveAsTable(tbl)
+    // UPDATE ... SET o_orderpriority = ... WHERE <point predicate>
+    val updated = spark.table(tbl).withColumn("o_orderpriority",
+      when(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") < 50000,
+        lit("0-REPRIORITIZED")).otherwise(col("o_orderpriority")))
+    // DELETE FROM ... WHERE <predicate>  ==  keep the negation
+    val mutated = updated.filter(
+      !(col("o_orderstatus") === "F" && col("o_totalprice") < 10000))
+    val (staged, stageDir) = graft.operators.Scratch.materialize(mutated, "q53_stage")
+    staged.write.mode("overwrite").insertInto(tbl)
+    graft.operators.Scratch.delete(spark, stageDir)
+    spark.table(tbl).orderBy("o_orderkey")
+  }
+
   // ------------------------------------------------------------------
   // DECIMAL lane: exact fixed-point money arithmetic end to end (cast
   // from the double column, aggregate in DecimalType, cast the widened

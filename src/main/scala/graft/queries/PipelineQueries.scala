@@ -37,12 +37,20 @@ object PipelineQueries {
     * the build, so the bench's min-of-3 reports the per-increment cost —
     * the number the operator's contract is about. Same staleness caveats
     * as Engine.tableCache (the scratch files pin the first read's
-    * listing); scratch is reclaimed by the session shutdown hook.
-    * LRU-bounded like the other session memos — a long-lived service
-    * cycling sessions/sfDirs ages old indexes out instead of pinning them.
+    * listing). LRU-bounded like the other session memos — a long-lived
+    * service cycling sessions/sfDirs ages old indexes out instead of
+    * pinning them — and an aged-out index's two scratch parquet dirs are
+    * deleted on eviction (after Scratch.delete's quiescence wait) instead
+    * of lingering until the JVM shutdown hook; with 8 slots over
+    * (session, sfDir) keys, an evicted index has no live readers. Builds
+    * run OUTSIDE the memo lock (getOrBuild): a second session's index
+    * build never serializes behind the first's multi-job materialization.
     */
   private val archiveIndexCache =
-    new graft.LruMap[(SparkSession, String), Dedup.ArchiveIndex](8)
+    new graft.LruMap[(SparkSession, String), (Dedup.ArchiveIndex, Seq[String])](8,
+      onEvict = { case ((spark, _), (_, dirs)) =>
+        if (!spark.sparkContext.isStopped) dirs.foreach(Scratch.delete(spark, _))
+      })
 
   private val all = Seq.newBuilder[Declared]
   private def declare(name: String, oracle: String = null)(
@@ -343,13 +351,14 @@ object PipelineQueries {
     val d = t(spark, sfDir, "documents")
     val inc = d.filter(col("doc_id") < 200).select("doc_id", "text")
     val known = d.filter(col("doc_id") >= 200).select("doc_id", "text")
-    val index = archiveIndexCache.getOrElseUpdate((spark, sfDir), {
+    val (index, _) = archiveIndexCache.getOrBuild((spark, sfDir)) {
       val built = Dedup.buildArchiveIndex(known)
-      Dedup.ArchiveIndex(
-        Scratch.materialize(built.bands, "aix_bands")._1,
-        Scratch.materialize(built.hashes, "aix_hashes")._1,
-        built.numHashes, built.numBands, built.shingleN)
-    })
+      val (bandsDf, bandsDir) = Scratch.materialize(built.bands, "aix_bands")
+      val (hashesDf, hashesDir) = Scratch.materialize(built.hashes, "aix_hashes")
+      (Dedup.ArchiveIndex(bandsDf, hashesDf,
+        built.numHashes, built.numBands, built.shingleN),
+        Seq(bandsDir, hashesDir))
+    } { case (_, dirs) => dirs.foreach(Scratch.delete(spark, _)) }
     Dedup.incrementalNear(inc, known, index, threshold = 0.8)
       .select("doc_id").orderBy("doc_id")
   }
@@ -395,6 +404,36 @@ object PipelineQueries {
       .orderBy("x")
   }
 
+  // The LITERAL `WITH RECURSIVE` syntax, natively: Spark 4.1's parser and
+  // optimizer host standard UNION ALL recursive CTEs (UnionLoop), so the
+  // exact SQL a DuckDB user writes runs unchanged — the oracle below IS
+  // the Spark query text modulo the nation view name. A linear data-driven
+  // recursion (running sum walking the nation key chain) — Spark 4.1
+  // rejects UNION-distinct recursion (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE),
+  // so cyclic closures stay on the fixpoint() TVF, which is also the scale
+  // path (bucketed semi-naive frontiers with co-located anti-joins) for
+  // closures too big for a loop union.
+  declare("recursive_cte_native_sql",
+    """WITH RECURSIVE walk(k, s) AS (
+         SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         UNION ALL
+         SELECT CAST(n.n_nationkey AS BIGINT), w.s + CAST(n.n_regionkey AS BIGINT)
+         FROM walk w JOIN nation n ON n.n_nationkey = w.k + 1
+         WHERE w.k < 24
+       )
+       SELECT k, s FROM walk ORDER BY k""") { (spark, sfDir) =>
+    t(spark, sfDir, "nation").createOrReplaceTempView("graft_rec_nation")
+    spark.sql(
+      """WITH RECURSIVE walk(k, s) AS (
+           SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           UNION ALL
+           SELECT CAST(n.n_nationkey AS BIGINT), w.s + CAST(n.n_regionkey AS BIGINT)
+           FROM walk w JOIN graft_rec_nation n ON n.n_nationkey = w.k + 1
+           WHERE w.k < 24
+         )
+         SELECT k, s FROM walk ORDER BY k""")
+  }
+
   // The same least fixpoint driven ENTIRELY through SQL via the injected
   // fixpoint table function (sql/GraftSparkExtensions): what DuckDB
   // users write as WITH RECURSIVE, a SQL-only user of this engine writes
@@ -436,9 +475,40 @@ object PipelineQueries {
          ORDER BY x""")
   }
 
-  // SimHash: no DuckDB oracle (the xxhash64 family is engine-specific);
-  // recall against exact Jaccard pairs is asserted in PipelineSpec.
-  declare("dedup_simhash") { (spark, sfDir) =>
+  // SimHash oracle: the engine keys each token's 64 bits off md5(token)
+  // (first 8 bytes, big-endian == first 16 hex chars), so DuckDB can
+  // recompute the signatures exactly: one GROUP BY with 64 per-bit sums
+  // (bit j set iff ones outnumber zeros), then the SAME pigeonhole chunk
+  // join the engine uses (7 chunks x 9 bits for maxDist=6 — exact recall,
+  // so banded output == the exact hamming<=6 predicate). No n^2 stage on
+  // either side. Recall vs exact Jaccard pairs stays asserted in
+  // PipelineSpec.
+  private val simhashOracleSql: String = {
+    val bitSums = (0 until 64)
+      .map(j => s"SUM(CAST((h >> $j) & 1 AS BIGINT)) AS b$j")
+      .mkString(", ")
+    // Literal powers of two: DuckDB's << overflow-checks (1 << 63) even
+    // on UBIGINT operands, so emit the decimal constants instead.
+    val sigBits = (0 until 64)
+      .map(j => s"CASE WHEN 2*b$j > n THEN ${BigInt(1) << j}::UBIGINT ELSE 0::UBIGINT END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+          SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+          FROM documents),
+        th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+        agg AS (SELECT doc_id, COUNT(*) AS n, $bitSums FROM th GROUP BY doc_id),
+        sigs AS (SELECT doc_id, ($sigBits) AS sig FROM agg),
+        chunked AS (SELECT doc_id, sig, c, (sig >> (c*9)) & 511 AS cv
+                    FROM sigs CROSS JOIN generate_series(0, 6) t(c)),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
+                 FROM chunked x JOIN chunked y ON x.c = y.c AND x.cv = y.cv
+                   AND x.doc_id < y.doc_id)
+        SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+        ORDER BY a, b"""
+  }
+
+  declare("dedup_simhash", simhashOracleSql) { (spark, sfDir) =>
     Dedup.simhashPairs(t(spark, sfDir, "documents"), maxDist = 6).orderBy("a", "b")
   }
 
@@ -1378,7 +1448,8 @@ object PipelineQueries {
                FROM cnt JOIN w USING (src) CROSS JOIN mc),
        kept AS (SELECT d.source AS src, COUNT(*) AS k
                 FROM documents d JOIN thr ON d.source = thr.src
-                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr_hex
+                WHERE thr_hex = 'ffffffff'
+                   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr_hex
                 GROUP BY 1)
        SELECT thr.src AS source, CAST(thr.n AS BIGINT) AS n_in,
               CAST(k.k AS BIGINT) AS n_kept,

@@ -33,7 +33,67 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftSparkExtensions.vectorCosineFn)
     ext.injectFunction(GraftSparkExtensions.vectorNormFn)
     GraftSparkExtensions.tableFunctions.foreach(ext.injectTableFunction)
+    ext.injectParser((_, delegate) => new GraftHintParser(delegate))
   }
+}
+
+/** Landing pad for DuckDB-flavored syntax Spark's parser cannot host: a
+  * user pasting a `WITH RECURSIVE` CTE or an `ASOF JOIN` from the
+  * reference's host gets the bare ANTLR error plus a one-line pointer to
+  * the equivalent graft TVF (`fixpoint()` / `asof_join()`), instead of
+  * having to discover the mapping in the README. Pure delegation
+  * otherwise — statements that parse are untouched, and failures that
+  * don't match the two patterns rethrow the original ParseException.
+  */
+class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParseException}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private val recursiveRe = "(?is).*\\bWITH\\s+RECURSIVE\\b.*".r
+  private val asofRe = "(?is).*\\bASOF\\s+(?:LEFT\\s+)?JOIN\\b.*".r
+
+  private def withHint[T](sqlText: String)(body: => T): T =
+    try body catch {
+      case pe: ParseException =>
+        val hint = sqlText match {
+          case recursiveRe() =>
+            Some("Spark's parser cannot host WITH RECURSIVE; graft exposes the " +
+              "same semantics through the fixpoint() table function: " +
+              "SELECT ... FROM fixpoint('seed_view', 'SELECT ... FROM __frontier " +
+              "...'[, max_rounds[, buckets]]) — the step SQL sees each round's " +
+              "new rows as the view __frontier. See README 'Recursive queries'.")
+          case asofRe() =>
+            Some("Spark's parser cannot host ASOF JOIN; graft exposes the same " +
+              "semantics through the asof_join() table function: SELECT ... FROM " +
+              "asof_join('left_view', 'right_view', 'on_col', 'left_order', " +
+              "'right_order', 'payload_csv'[, strict[, inner]]). " +
+              "See README 'As-of joins'.")
+          case _ => None
+        }
+        hint match {
+          case Some(h) => throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION",
+            Map("errorMessage" -> (h + " Original parse error: " + pe.getMessage)),
+            Option(pe))
+          case None => throw pe
+        }
+    }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    withHint(sqlText)(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    withHint(sqlText)(delegate.parseQuery(sqlText))
+  override def parsePlanWithParameters(
+      sqlText: String, parameters: ParameterContext): LogicalPlan =
+    withHint(sqlText)(delegate.parsePlanWithParameters(sqlText, parameters))
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) = delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String) = delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String) = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) = delegate.parseDataType(sqlText)
 }
 
 object GraftSparkExtensions {
@@ -75,7 +135,6 @@ object GraftSparkExtensions {
 
   private def asDouble(v: Any): Double = v match {
     case n: java.lang.Number => n.doubleValue()
-    case d: java.math.BigDecimal => d.doubleValue()
     case s: UTF8String => s.toString.toDouble
     case other => other.toString.toDouble
   }
@@ -94,6 +153,7 @@ object GraftSparkExtensions {
           s"$name expects $arity arguments, got ${args.size}")
       require(args.forall(_.foldable), s"$name arguments must be constants")
       val vals = args.map(_.eval(null)).toIndexedSeq
+      require(vals.forall(_ != null), s"$name arguments must be non-NULL constants")
       LocalRelation.fromExternalRows(DataTypeUtils.toAttributes(schema), exec(vals))
     })
 
@@ -134,6 +194,7 @@ object GraftSparkExtensions {
             s"payload_csv[, strict[, inner]]) — got ${args.size} arguments")
       require(args.forall(_.foldable), "asof_join arguments must be constants")
       val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "asof_join arguments must be non-NULL constants")
       val spark = org.apache.spark.sql.SparkSession.active
       val out = graft.operators.AsOfJoin.asofJoin(
         left = spark.table(asString(v(0))),
@@ -171,6 +232,7 @@ object GraftSparkExtensions {
           s"fixpoint(seed_table, step_sql[, max_rounds[, buckets]]) — got ${args.size} arguments")
       require(args.forall(_.foldable), "fixpoint arguments must be constants")
       val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "fixpoint arguments must be non-NULL constants")
       val spark = org.apache.spark.sql.SparkSession.active
       val stepSql = asString(v(1))
       require(stepSql.contains("__frontier"),
@@ -221,6 +283,7 @@ object GraftSparkExtensions {
           s"dedup(table, threshold[, max_rounds]) — got ${args.size} arguments")
       require(args.forall(_.foldable), "dedup arguments must be constants")
       val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "dedup arguments must be non-NULL constants")
       val spark = org.apache.spark.sql.SparkSession.active
       val out = graft.operators.Dedup.deduplicate(
         spark.table(asString(v(0))), asDouble(v(1)),
@@ -246,6 +309,7 @@ object GraftSparkExtensions {
           s"span_scrub(table[, n[, min_df]]) — got ${args.size} arguments")
       require(args.forall(_.foldable), "span_scrub arguments must be constants")
       val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "span_scrub arguments must be non-NULL constants")
       val spark = org.apache.spark.sql.SparkSession.active
       val out = graft.operators.TextAnalysis.scrubDupSpans(
         spark.table(asString(v(0))),

@@ -36,15 +36,56 @@ object EventsStreaming {
     * commits than on the data. `spark.graft.streamStateParts` (default 8)
     * sizes the bounded declared queries; a kafka deployment at cluster
     * scale sets it to hundreds ONCE, before first start, and keeps it for
-    * the checkpoint's life.
+    * the checkpoint's life. The special value `auto` derives the count
+    * from the query's own state-row estimate (`stateRows` — a cheap batch
+    * count over the same source, the dry-run equivalent) via
+    * [[autoStateParts]].
+    *
+    * NOT thread-safe: the shuffle-partition setting is session-global, so
+    * a concurrent batch query in the same session during the window plans
+    * with the streaming value, and overlapping calls can restore a stale
+    * prior. The bench/verify harness is sequential by construction; a
+    * multi-tenant service should give streaming starts their own cloned
+    * session (`spark.newSession()`), which shares the catalog but scopes
+    * the conf.
     */
-  private def withStateParts[T](spark: SparkSession)(body: => T): T = {
+  private def withStateParts[T](spark: SparkSession, stateRows: () => Long = null)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
-    spark.conf.set(key,
-      spark.conf.getOption("spark.graft.streamStateParts").getOrElse("8"))
+    val conf = spark.conf.getOption("spark.graft.streamStateParts").getOrElse("8")
+    val parts =
+      if (conf == "auto")
+        autoStateParts(if (stateRows == null) -1L else stateRows()).toString
+      else conf
+    spark.conf.set(key, parts)
     try body finally spark.conf.set(key, prior)
   }
+
+  /** State-store partition count for `streamStateParts=auto`: one store
+    * per ~16k state rows (the volume a store's per-micro-batch commit
+    * cost amortizes against — at sf0.1 this lands on the measured-tuned
+    * value: 100k dedup keys → 8 stores, where 32 ran 2.2x slower on
+    * commit overhead), rounded up to a power of two, clamped to [1, 64]
+    * locally. A negative estimate (caller couldn't produce one) falls
+    * back to the tuned default 8. Cluster deployments with real state
+    * volumes size explicitly — this automates the bounded/local regime.
+    */
+  private[graft] def autoStateParts(stateRows: Long): Int = {
+    if (stateRows < 0) return 8
+    val target = 16384L
+    val need = math.min(64L, math.max(1L, (stateRows + target - 1) / target)).toInt
+    val pow = Integer.highestOneBit(need)
+    if (pow == need) pow else math.min(pow * 2, 64)
+  }
+
+  /** Batch read of the same events file the streams consume — the cheap
+    * state-row estimator source for `streamStateParts=auto` (count rows /
+    * keys without starting a streaming query).
+    */
+  private def rawBatch(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
 
   /** Hourly tumbling-window counts/sums per event_type, computed by the
     * streaming engine. Output matches the batch q25 shape:
@@ -64,7 +105,10 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
     val name = "graft_stream_hourly"
-    withStateParts(spark) {
+    // auto estimate: state rows = live (hour window, event_type) groups.
+    withStateParts(spark, () => rawBatch(spark, sfDir)
+        .select((col("ts") / lit(3600000000000L)).cast("long"), col("event_type"))
+        .distinct().count()) {
       val q = agg.writeStream
         .format("memory").queryName(name)
         .outputMode("complete")
@@ -111,7 +155,9 @@ object EventsStreaming {
 
   def enrichedBySegment(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_enriched"
-    withStateParts(spark) {
+    // auto estimate: (segment x event_type) groups — segments bounded at 5.
+    withStateParts(spark, () => rawBatch(spark, sfDir)
+        .select("event_type").distinct().count() * 5) {
       val q = enrichedAgg(spark, sfDir).writeStream
         .format("memory").queryName(name)
         .outputMode("complete")
@@ -149,7 +195,8 @@ object EventsStreaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val name = "graft_stream_dedup"
-    withStateParts(spark) {
+    // auto estimate: dedup state keys = distinct event ids ~= event count.
+    withStateParts(spark, () => rawBatch(spark, sfDir).count()) {
       val q = deduped.writeStream
         .format("memory").queryName(name)
         .outputMode("append")
@@ -209,7 +256,10 @@ object EventsStreaming {
     */
   def clickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_attrib"
-    withStateParts(spark) {
+    // auto estimate: both join buffers hold clicks + purchases (inner,
+    // watermark-bounded) — count those rows.
+    withStateParts(spark, () => rawBatch(spark, sfDir)
+        .filter(col("event_type").isin("click", "purchase")).count()) {
       val q = attributionJoin(spark, sfDir).writeStream
         .format("memory").queryName(name)
         .outputMode("append")

@@ -4,11 +4,16 @@ import graft.Engine
 import graft.streaming.EventsStreaming
 
 /** Streaming-query profiling: times each streaming declared query at a
-  * given shuffle-partition count (streaming queries capture
-  * spark.sql.shuffle.partitions at start, and it becomes the state-store
-  * partition count for the query's lifetime) — `sbt "runMain
-  * graft.tools.ProfileStreaming <sfDir> <parts>"`. Two runs each: the
-  * second isolates steady-state from first-touch codegen.
+  * given state-partition count — `sbt "runMain graft.tools.ProfileStreaming
+  * <sfDir> <parts|auto>"`. Two runs each: the second isolates steady-state
+  * from first-touch codegen.
+  *
+  * The knob is `spark.graft.streamStateParts` (NOT the session
+  * shuffle-partition setting: EventsStreaming.withStateParts overrides
+  * that around every streaming start, so setting only
+  * spark.sql.shuffle.partitions here would silently measure the default 8
+  * at every nominal <parts>). `auto` exercises the estimate-derived
+  * sizing path.
   */
 object ProfileStreaming {
   def main(args: Array[String]): Unit = {
@@ -16,7 +21,7 @@ object ProfileStreaming {
     val parts = if (args.length > 1) args(1) else "32"
     val spark = Engine.session()
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    spark.conf.set("spark.graft.streamStateParts", parts)
     val targets: Seq[(String, () => Unit)] = Seq(
       "attrib" -> (() => EventsStreaming.clickAttribution(spark, sfDir)
         .write.format("noop").mode("overwrite").save()),

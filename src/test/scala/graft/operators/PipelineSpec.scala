@@ -51,6 +51,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("broadcast-codebook assignment matches the embedded-expression form at k=4096") {
+    import spark.implicits._
+    // Deterministic synthetic vectors (dim 8, never zero-norm): large
+    // enough for a k=4096 codebook, the regime where the codebook must
+    // ride a broadcast variable instead of the expression tree.
+    val vecs = spark.range(5000)
+      .map(id => (id, Array.tabulate(8)(i => (((id * 31 + i * 17) % 97) + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 4096)
+    val key = "spark.graft.ivfBroadcastCodebookK"
+    def assign(): Seq[(Long, Long)] =
+      Similarity.assignToCentroids(vecs, cents)
+        .select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    try {
+      spark.conf.set(key, "1000000") // force the embedded-expression form
+      val embedded = assign()
+      spark.conf.set(key, "1") // force the broadcast form
+      val broadcasted = assign()
+      assert(embedded.size == 5000)
+      assert(embedded == broadcasted)
+    } finally spark.conf.unset(key)
+  }
+
   test("componentsFromPairs labels arbitrary pair graphs with the min id") {
     import spark.implicits._
     // Chain 1-2-3-4, triangle 10-11-12, lone edge 20-21.

@@ -93,6 +93,21 @@ class QueryPlanSpec extends AnyFunSuite {
       assert(!plan.contains(op), s"assignment must be row-local, found $op in:\n$plan"))
   }
 
+  test("IVF large-k broadcast-codebook assignment stays a pure map") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Engine.table(spark, sfDir, "embeddings")
+    val key = "spark.graft.ivfBroadcastCodebookK"
+    spark.conf.set(key, "1") // force the broadcast form at any k
+    try {
+      val plan = planString(graft.operators.Similarity.assignToCentroids(
+        e, e.filter(col("vec_id") < 16)))
+      assert(plan.contains("best_centroid_bcast"),
+        s"expected the broadcast-codebook argmax in:\n$plan")
+      Seq("Exchange", "Join", "Window", "Sort").foreach(op =>
+        assert(!plan.contains(op), s"assignment must be row-local, found $op in:\n$plan"))
+    } finally spark.conf.unset(key)
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString

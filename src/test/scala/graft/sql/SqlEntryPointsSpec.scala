@@ -149,4 +149,42 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val ex = intercept[Exception](spark.sql("SELECT * FROM dedup('t')"))
     assert(ex.getMessage.contains("dedup(table, threshold"))
   }
+
+  test("WITH RECURSIVE: standard form runs natively on Spark 4.1") {
+    val xs = spark.sql(
+      """WITH RECURSIVE r(x) AS (
+           SELECT 1 UNION ALL SELECT x + 1 FROM r WHERE x < 5)
+         SELECT * FROM r ORDER BY x""")
+      .collect().map(_.getInt(0)).toSeq
+    assert(xs == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("WITH RECURSIVE parse failure (DuckDB-only form) lands on the fixpoint() hint") {
+    // DuckDB's USING KEY variant is not in Spark's grammar; the failure
+    // must surface the fixpoint() mapping instead of a bare syntax error.
+    val ex = intercept[Exception](spark.sql(
+      """WITH RECURSIVE r USING KEY (x) AS (
+           SELECT 1 AS x UNION ALL SELECT x + 1 FROM r WHERE x < 5)
+         SELECT * FROM r"""))
+    assert(ex.getMessage.contains("fixpoint("),
+      s"expected the fixpoint() hint, got: ${ex.getMessage}")
+    assert(ex.getMessage.contains("__frontier"))
+  }
+
+  test("ASOF JOIN parse failure lands on the asof_join() hint") {
+    // The two-alias form (DuckDB's docs style) cannot parse as a plain
+    // aliased join, so it reaches the hint path deterministically.
+    val ex = intercept[Exception](spark.sql(
+      """SELECT t.sym, q.px FROM sq_trades t ASOF JOIN sq_quotes q
+         ON t.sym = q.sym AND t.tt >= q.qt"""))
+    assert(ex.getMessage.contains("asof_join("),
+      s"expected the asof_join() hint, got: ${ex.getMessage}")
+  }
+
+  test("hint parser delegates cleanly: valid statements and unrelated errors unchanged") {
+    assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
+    val ex = intercept[Exception](spark.sql("SELEKT 1"))
+    assert(!ex.getMessage.contains("fixpoint("))
+    assert(!ex.getMessage.contains("asof_join("))
+  }
 }

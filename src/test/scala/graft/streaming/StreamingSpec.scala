@@ -201,4 +201,31 @@ class StreamingSpec extends AnyFunSuite {
         s"expected a streaming symmetric hash join in:\n$plan")
     } finally q.stop()
   }
+
+  test("autoStateParts sizes state stores to state volume, not core count") {
+    assert(EventsStreaming.autoStateParts(-1L) == 8)   // no estimate: tuned default
+    assert(EventsStreaming.autoStateParts(0L) == 1)
+    assert(EventsStreaming.autoStateParts(16384L) == 1)
+    assert(EventsStreaming.autoStateParts(16385L) == 2)
+    assert(EventsStreaming.autoStateParts(100000L) == 8)  // the sf0.1 dedup regime
+    assert(EventsStreaming.autoStateParts(10000000L) == 64) // local clamp
+  }
+
+  test("streamStateParts=auto produces the same results as the tuned default") {
+    val prior = spark.conf.getOption("spark.graft.streamStateParts")
+    try {
+      spark.conf.set("spark.graft.streamStateParts", "auto")
+      val auto = EventsStreaming.hourlyCounts(spark, SparkTestSession.sfDir)
+        .collect().toSeq
+      spark.conf.set("spark.graft.streamStateParts", "8")
+      val tuned = EventsStreaming.hourlyCounts(spark, SparkTestSession.sfDir)
+        .collect().toSeq
+      assert(auto == tuned && auto.nonEmpty)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.graft.streamStateParts", v)
+        case None => spark.conf.unset("spark.graft.streamStateParts")
+      }
+    }
+  }
 }
