@@ -52,6 +52,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
 
   private val recursiveRe = "(?is).*\\bWITH\\s+RECURSIVE\\b.*".r
   private val asofRe = "(?is).*\\bASOF\\s+(?:LEFT\\s+)?JOIN\\b.*".r
+  private val summarizeRe = "(?is)\\s*SUMMARIZE\\b.*".r
 
   private def withHint[T](sqlText: String)(body: => T): T =
     try body catch {
@@ -69,6 +70,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               "asof_join('left_view', 'right_view', 'on_col', 'left_order', " +
               "'right_order', 'payload_csv'[, strict[, inner]]). " +
               "See README 'As-of joins'.")
+          case summarizeRe() =>
+            Some("SUMMARIZE is DuckDB-only syntax; use Dataset.summary() / " +
+              "describe() for column statistics, or SQL DESCRIBE TABLE <t> " +
+              "for the schema.")
           case _ => None
         }
         hint match {

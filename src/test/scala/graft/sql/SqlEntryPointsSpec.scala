@@ -181,6 +181,18 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       s"expected the asof_join() hint, got: ${ex.getMessage}")
   }
 
+  test("DESCRIBE works natively; SUMMARIZE lands on the summary() hint") {
+    registerMarket()
+    val desc = spark.sql("DESCRIBE sq_quotes").collect().map(_.getString(0)).toSet
+    assert(Set("sym", "qt", "px", "tag").subsetOf(desc))
+    val stats = spark.table("sq_quotes").summary("count", "min", "max")
+      .collect().map(_.getString(0)).toSet
+    assert(stats == Set("count", "min", "max"))
+    val ex = intercept[Exception](spark.sql("SUMMARIZE sq_quotes"))
+    assert(ex.getMessage.contains("summary()"),
+      s"expected the summary() hint, got: ${ex.getMessage}")
+  }
+
   test("hint parser delegates cleanly: valid statements and unrelated errors unchanged") {
     assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
     val ex = intercept[Exception](spark.sql("SELEKT 1"))
