@@ -359,6 +359,64 @@ object Similarity {
   /** [[cosineDuplicatesAuto]] with explicit banding — for callers (and
     * tests) that pick (bands, bits) themselves.
     */
+  /** Cluster-scoped semantic deduplication — the SemDeDup recipe (Abbas
+    * et al. 2023, arXiv:2303.09540) recast relationally: k-means codebook
+    * → zero-shuffle row-local centroid assignment → cosine pairs WITHIN
+    * each cluster only → min-label components → keep each component's
+    * minimum vec_id. Clustering is what makes semantic dedup tractable at
+    * 100 TB: candidate generation is cluster-local (expected pairs ≈
+    * N·avgClusterSize/2, LINEAR in N when k scales with N — pick
+    * k ≈ N / targetClusterSize), and the assignment map ships its
+    * codebook as a broadcast variable past 1024 centroids. The
+    * complementary path to [[cosineDuplicatesAuto]]: sign-LSH buckets by
+    * random hyperplanes with an analytic recall bound at a threshold;
+    * SemDeDup buckets by LEARNED structure, concentrating comparisons
+    * where semantic mass actually is (the published trade-off — no recall
+    * bound across cluster boundaries, but exact duplicates always
+    * co-cluster because identical vectors share an argmax).
+    *
+    * Guardrail: a skewed codebook can leave one giant cluster whose
+    * within-cluster join goes quadratic — cluster sizes are checked (one
+    * k-row aggregate) and a cluster over `maxClusterSize` throws with the
+    * fix (raise k) instead of silently exploding the pair join.
+    *
+    * Returns the surviving rows of `corpus` (all columns).
+    */
+  def semanticDeduplicate(corpus: DataFrame, k: Int, threshold: Double,
+      kmeansIters: Int = 3, maxClusterSize: Long = 10000L): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = kmeansCentroids(corpus, k, kmeansIters)
+    // Assignment feeds both join sides and the size check: materialize it
+    // once (8+ bytes/row of ids + the embedding) instead of re-running
+    // the scan per consumer; reclaimed after the drop set is pinned.
+    val (assigned, aDir) = Scratch.materialize(
+      assignToCentroids(corpus, centroids).select("cid", "vec_id", "embedding"),
+      "semdedup_assign")
+    val oversized = assigned.groupBy("cid").count()
+      .filter(col("count") > maxClusterSize).collect()
+    require(oversized.isEmpty,
+      s"semanticDeduplicate: cluster(s) ${oversized.map(_.getLong(0)).mkString(",")} " +
+        s"exceed maxClusterSize=$maxClusterSize — raise k (target ~N/clusterSize) " +
+        "so the within-cluster pair join stays linear in the corpus")
+    val pairs = assigned.select(col("cid"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(assigned.select(col("cid"), col("vec_id").as("b"), col("embedding").as("eb")),
+        Seq("cid"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    val drops = Dedup.componentsFromPairs(pairs.select("a", "b"))
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("vec_id"))
+    // componentsFromPairs materialized the pair plan to its own scratch;
+    // pin the (small) drop set before reclaiming the assignment spill.
+    val (dropsDf, dDir) = Scratch.materialize(drops, "semdedup_drops")
+    Scratch.delete(spark, aDir)
+    val out = corpus.join(dropsDf, Seq("vec_id"), "left_anti")
+    val _ = dDir // reclaimed by the session shutdown hook (out is lazy over it)
+    out
+  }
+
   def cosineDuplicatesBanded(corpus: DataFrame, threshold: Double,
       bands: Int, bits: Int, seed: Long = 0x517CC1B727220A95L): DataFrame = {
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)

@@ -530,6 +530,24 @@ object PipelineQueries {
     Similarity.cosineDuplicatesAuto(corpus, threshold = 0.9999).orderBy("a")
   }
 
+  declare("dedup_semantic",
+    """SELECT vec_id FROM embeddings ORDER BY vec_id""") { (spark, sfDir) =>
+    // Cluster-scoped semantic dedup (the SemDeDup recipe): k-means
+    // buckets, within-cluster cosine verify, min-id survivor election.
+    // Plant 10 exact duplicate vectors — identical vectors share every
+    // argmax so each copy lands in its original's cluster and the pair
+    // verifies at cosine 1.0; no natural pair approaches the 0.9999
+    // threshold (max natural cosine ~0.44), so the oracle is exactly the
+    // original corpus. k sized to keep clusters at the documented
+    // ~N/clusterSize contract at every SF.
+    val e = t(spark, sfDir, "embeddings")
+    val corpus = e.select("vec_id", "embedding")
+      .union(e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 20000).as("vec_id"), col("embedding")))
+    Similarity.semanticDeduplicate(corpus, k = 16, threshold = 0.9999)
+      .select("vec_id").orderBy("vec_id")
+  }
+
   declare("embed_clusters",
     """SELECT node, label FROM (
          SELECT vec_id AS node, vec_id AS label FROM embeddings WHERE vec_id < 5

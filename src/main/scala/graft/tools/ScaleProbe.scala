@@ -40,8 +40,12 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
-    // Pin the scratch root somewhere the poller can watch.
+    // Pin the scratch root somewhere the poller can watch; clear leftovers
+    // from a previous factor so the peak-scratch poll measures THIS run.
     val scratchBase = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe"
+    def rmTree(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(rmTree); f.delete(); () }
+    rmTree(new java.io.File(scratchBase))
     val spark = Engine.session()
     spark.conf.set("spark.graft.scratchDir", scratchBase)
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
@@ -140,6 +144,20 @@ object ScaleProbe {
         .count()
     }
     println(s"[probe] fixpoint closure rows = $closed (expect $nNodes)")
+
+    // --- cluster-scoped semantic dedup at factor x --------------------
+    // LAST so the stage order (and JVM-contamination profile) of the
+    // earlier probes stays comparable across rounds. k tracks the corpus
+    // (~500 vectors/cluster — the documented linearity contract); the
+    // synthesized copies sit at cosine ~1 against their originals, so the
+    // drop volume scales with factor and the within-cluster verify is
+    // genuinely exercised, not a no-op.
+    val semK = math.max(16, (nVec / 500).toInt)
+    val semSurvivors = time(s"semantic dedup (k=$semK) over $nVec vectors") {
+      Similarity.semanticDeduplicate(vectors, k = semK, threshold = 0.999,
+        maxClusterSize = math.max(10000L, nVec / 10)).count()
+    }
+    println(s"[probe] semantic survivors = $semSurvivors")
 
     val inputBytes = dirBytes(Paths.get(corpusDir)) + dirBytes(Paths.get(embDir)) +
       dirBytes(Paths.get(edgesDir))

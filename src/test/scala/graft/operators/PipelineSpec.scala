@@ -51,6 +51,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("semantic dedup drops exactly the planted duplicates, keeps originals") {
+    import spark.implicits._
+    val corpus = embeddings.select("vec_id", "embedding")
+      .union(embeddings.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 50000).as("vec_id"), col("embedding")))
+    val survivors = Similarity.semanticDeduplicate(corpus, k = 8, threshold = 0.9999)
+      .select("vec_id").as[Long].collect().toSet
+    val originals = embeddings.select("vec_id").as[Long].collect().toSet
+    assert(survivors == originals) // copies dropped, every original kept
+  }
+
+  test("semantic dedup refuses a degenerate codebook instead of going quadratic") {
+    val corpus = embeddings.select("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](
+      Similarity.semanticDeduplicate(corpus, k = 1, threshold = 0.9,
+        maxClusterSize = 10L))
+    assert(ex.getMessage.contains("raise k"))
+  }
+
   test("broadcast-codebook assignment matches the embedded-expression form at k=4096") {
     import spark.implicits._
     // Deterministic synthetic vectors (dim 8, never zero-norm): large
