@@ -535,6 +535,52 @@ object TextAnalysis {
       .drop("__thr")
   }
 
+  /** Deterministic train/validation/test splitting: each row's split is a
+    * pure function of its id (md5 prefix vs cumulative weight thresholds),
+    * so the assignment is reproducible across engines, partitionings,
+    * retries, and CORPUS GROWTH — a document keeps its split when new
+    * data arrives, the property that prevents silent train/test leakage
+    * over pipeline reruns (a seeded randomSplit reshuffles everything when
+    * the input changes). Thresholds quantize to 32-bit like
+    * [[mixtureSample]]'s (floor(cumFraction · 2^32), same IEEE op order as
+    * the oracle), the final split is the catch-all so no row is dropped,
+    * and the whole thing is one row-local CASE — no shuffle, no join,
+    * nothing collected.
+    */
+  def hashSplit(docs: DataFrame, splits: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit needs at least one split")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split names must be unique")
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    // Interior boundaries only — the last split catches everything, so
+    // threshold saturation at 2^32 can never drop a row.
+    val bounds = splits.init.zip(cum.init).map { case ((name, _), c) =>
+      (name, f"${math.min(math.floor(c * 4294967296.0).toLong, 4294967295L)}%08x")
+    }
+    val label = bounds.foldRight(lit(splits.last._1): Column) {
+      case ((name, thr), rest) => when(h < lit(thr), name).otherwise(rest)
+    }
+    docs.withColumn("split", label)
+  }
+
+  /** The DuckDB-side mirror of [[hashSplit]]'s CASE for declared-query
+    * oracles: identical thresholds from the identical float expression.
+    */
+  def hashSplitOracleCase(splits: Seq[(String, Double)], idExpr: String): String = {
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val bounds = splits.init.zip(cum.init).map { case ((name, _), c) =>
+      (name, f"${math.min(math.floor(c * 4294967296.0).toLong, 4294967295L)}%08x")
+    }
+    bounds.map { case (name, thr) =>
+      s"WHEN substr(md5(CAST($idExpr AS VARCHAR)), 1, 8) < '$thr' THEN '$name'"
+    }.mkString("CASE ", " ", s" ELSE '${splits.last._1}' END")
+  }
+
   def stratifiedSample(docs: DataFrame, stratumCol: String, perStratum: Int,
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1134,6 +1134,21 @@ object PipelineQueries {
       .orderBy("stratum", "rn")
   }
 
+  // Deterministic train/valid/test assignment: split = pure function of
+  // md5(doc_id) vs cumulative weight thresholds, so a document keeps its
+  // split across reruns AND corpus growth (leak-free by construction,
+  // unlike seeded randomSplit which reshuffles when the input changes).
+  // Thresholds derived from the identical float expression in both
+  // engines — the whole assignment is hash-compared, not just the sizes.
+  private val splitSpec = Seq("train" -> 8.0, "valid" -> 1.0, "test" -> 1.0)
+  declare("sample_split",
+    s"""SELECT doc_id,
+          ${TextAnalysis.hashSplitOracleCase(splitSpec, "doc_id")} AS split
+        FROM documents ORDER BY doc_id""") { (spark, sfDir) =>
+    TextAnalysis.hashSplit(t(spark, sfDir, "documents"), splitSpec)
+      .select("doc_id", "split").orderBy("doc_id")
+  }
+
   declare("dedup_incremental",
     """WITH known AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
        inc AS (

@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.Engine
+import graft.operators.Similarity
+
+/** Isolated wall-clock for the cluster-scoped semantic dedup at a
+  * synthesis factor (the ScaleProbe embedding corpus, nothing else in the
+  * JVM — the measurement-of-record loop, like ProfileSpan for span dedup):
+  * `sbt "runMain graft.tools.ProfileSemantic <sfDir> <factor>"`, two
+  * timed runs (run2 = steady state).
+  */
+object ProfileSemantic {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val scratchBase = s"${System.getProperty("java.io.tmpdir")}/graft_profsem"
+    val spark = Engine.session()
+    spark.conf.set("spark.graft.scratchDir", scratchBase)
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    val emb = Engine.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val eoff = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val big = (0 until factor).map { k =>
+      if (k == 0) emb
+      else emb.select((col("vec_id") + lit(k * eoff)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + lit((k * 0.003).toFloat)).cast("float")).as("embedding"))
+    }.reduce(_ union _)
+    val dir = s"$scratchBase/embeddings"
+    big.write.mode("overwrite").parquet(dir)
+    val vectors = spark.read.parquet(dir)
+    val n = vectors.count()
+    val k = math.max(16, (n / 500).toInt)
+    println(s"[sem] corpus = $n vectors, k = $k")
+    for (run <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val survivors = Similarity.semanticDeduplicate(vectors, k = k,
+        threshold = 0.999, maxClusterSize = math.max(10000L, n / 10)).count()
+      println(f"[sem] run$run ${(System.nanoTime() - t0) / 1e9}%8.2f s ($survivors survivors)")
+    }
+    spark.stop()
+  }
+}

@@ -51,6 +51,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("hashSplit labels every row, roughly by weight, and is growth-stable") {
+    import spark.implicits._
+    val splits = Seq("train" -> 8.0, "valid" -> 1.0, "test" -> 1.0)
+    val full = TextAnalysis.hashSplit(docs, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(full.size == docs.count()) // total labeling, no drops
+    val frac = full.values.groupBy(identity).view.mapValues(_.size.toDouble / full.size)
+    assert(frac("train") > 0.6 && frac("train") < 0.95)
+    assert(frac.getOrElse("valid", 0.0) + frac.getOrElse("test", 0.0) > 0.02)
+    // Growth stability: the same doc gets the same split on a subset —
+    // the leak-free property a seeded randomSplit does not have.
+    val subset = TextAnalysis.hashSplit(docs.filter(col("doc_id") < 100), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    subset.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
   test("semantic dedup drops exactly the planted duplicates, keeps originals") {
     import spark.implicits._
     val corpus = embeddings.select("vec_id", "embedding")
