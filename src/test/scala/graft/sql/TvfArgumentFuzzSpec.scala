@@ -16,7 +16,9 @@ class TvfArgumentFuzzSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
-  private val seed = 20260813L
+  // Pinned default keeps CI deterministic; GRAFT_FUZZ_SEED reseeds for
+  // deeper local shakes (any failure message carries the seed).
+  private val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260813L)
   private val rnd = new scala.util.Random(seed)
 
   /** Argument-value pool: plausible and hostile literals/expressions. */
