@@ -535,6 +535,45 @@ object TextAnalysis {
       .drop("__thr")
   }
 
+  /** Windowed co-occurrence collocations — the phrase/stopword-discovery
+    * signal (top word pairs by pointwise mutual information). Pairs are
+    * generated ROW-LOCALLY from each document's token array (nested
+    * transform + slice inside codegen — never a positions self-join,
+    * whose hash-join-then-range-filter shape inflates to L² rows per
+    * document and dies on long documents), normalized to unordered
+    * (least, greatest) so both directions aggregate together. Counting is
+    * two map-combined shuffles (pair counts, token counts); the
+    * vocabulary-sized token-count table broadcasts back onto the pair
+    * counts (Zipf-small, the lm_unigram contract); corpus totals are two
+    * single-row aggregates. The score is the PMI RATIO
+    * p(x,y)/(p(x)p(y)) = nab·N²/(na·nb·P) rather than its log —
+    * rank-equivalent, and computed from exact integer counts through the
+    * same IEEE expression in both engines, so the top-k is hash-stable
+    * (ties broken by the pair itself).
+    */
+  def collocations(docs: DataFrame, window: Int = 2, minCount: Long = 5,
+      topK: Int = 50, textCol: String = "text"): DataFrame = {
+    require(window >= 1 && topK >= 1)
+    val toks = docs.select(tokens(coalesce(col(textCol), lit(""))).as("ws"))
+    val pairs = toks.select(explode(expr(
+      s"""flatten(transform(ws, (x, i) -> transform(slice(ws, i + 2, $window),
+          y -> struct(least(x, y) AS x, greatest(x, y) AS y))))""")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val pos = toks.select(explode(col("ws")).as("tok"))
+    val pc = pairs.groupBy("x", "y").agg(count(lit(1)).as("nab"))
+    val tc = pos.groupBy("tok").agg(count(lit(1)).as("n"))
+    val nt = pos.count()
+    val np = pairs.count()
+    pc.join(broadcast(tc.select(col("tok").as("x"), col("n").as("na"))), Seq("x"))
+      .join(broadcast(tc.select(col("tok").as("y"), col("n").as("nb"))), Seq("y"))
+      .filter(col("nab") >= minCount)
+      .select(col("x"), col("y"), col("nab").as("n_pair"),
+        round(col("nab").cast("double") * lit(nt) * lit(nt) /
+          (col("na").cast("double") * col("nb") * lit(np)), 6).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
   /** Deterministic train/validation/test splitting: each row's split is a
     * pure function of its id (md5 prefix vs cumulative weight thresholds),
     * so the assignment is reproducible across engines, partitionings,

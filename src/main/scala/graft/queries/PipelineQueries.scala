@@ -1134,6 +1134,29 @@ object PipelineQueries {
       .orderBy("stratum", "rn")
   }
 
+  // Windowed PMI collocations — phrase/stopword discovery for tokenizer
+  // and filter design. Row-local pair generation (no positions self-join),
+  // PMI as the ratio (no cross-engine log), exact-integer counts through
+  // the identical IEEE expression → the top-50 is hash-stable.
+  declare("text_collocations",
+    """WITH toks AS (SELECT string_split(coalesce(text, ''), ' ') ws FROM documents),
+       pairs0 AS (SELECT flatten(list_transform(generate_series(1, greatest(len(ws)-1, 0)),
+                    i -> list_transform(ws[i+1 : least(i+2, len(ws))],
+                      t -> [least(ws[i], t), greatest(ws[i], t)]))) ps FROM toks),
+       pairs AS (SELECT p[1] AS x, p[2] AS y FROM pairs0, unnest(ps) u(p)),
+       pos AS (SELECT unnest(ws) AS tok FROM toks),
+       pc AS (SELECT x, y, COUNT(*) nab FROM pairs GROUP BY 1, 2),
+       tc AS (SELECT tok, COUNT(*) n FROM pos GROUP BY 1),
+       tot AS (SELECT (SELECT COUNT(*) FROM pos) nt, (SELECT COUNT(*) FROM pairs) np)
+       SELECT x, y, nab AS n_pair,
+         round(CAST(nab AS DOUBLE) * nt * nt / (CAST(ta.n AS DOUBLE) * tb.n * np), 6) AS pmi_ratio
+       FROM pc JOIN tc ta ON x = ta.tok JOIN tc tb ON y = tb.tok CROSS JOIN tot
+       WHERE nab >= 5
+       ORDER BY pmi_ratio DESC, x, y LIMIT 50""") { (spark, sfDir) =>
+    TextAnalysis.collocations(t(spark, sfDir, "documents"),
+      window = 2, minCount = 5, topK = 50)
+  }
+
   // Deterministic train/valid/test assignment: split = pure function of
   // md5(doc_id) vs cumulative weight thresholds, so a document keeps its
   // split across reruns AND corpus growth (leak-free by construction,

@@ -53,6 +53,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val recursiveRe = "(?is).*\\bWITH\\s+RECURSIVE\\b.*".r
   private val asofRe = "(?is).*\\bASOF\\s+(?:LEFT\\s+)?JOIN\\b.*".r
   private val summarizeRe = "(?is)\\s*SUMMARIZE\\b.*".r
+  private val qualifyRe = "(?is).*\\bQUALIFY\\b.*".r
 
   private def withHint[T](sqlText: String)(body: => T): T =
     try body catch {
@@ -74,6 +75,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             Some("SUMMARIZE is DuckDB-only syntax; use Dataset.summary() / " +
               "describe() for column statistics, or SQL DESCRIBE TABLE <t> " +
               "for the schema.")
+          case qualifyRe() =>
+            Some("Spark's parser has no QUALIFY clause; filter the window " +
+              "function in an enclosing query instead: SELECT * FROM (SELECT " +
+              "..., ROW_NUMBER() OVER (...) AS rn FROM t) WHERE rn <= k.")
           case _ => None
         }
         hint match {

@@ -51,6 +51,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("collocations: hand-computed PMI on a two-doc corpus, row-local pair gen") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(tiny, window = 2, minCount = 2, topK = 10)
+    // pairs: (a,b)x2, (a,c), (b,c), (a,d), (b,d) -> only (a,b) reaches
+    // minCount; nt=6 tokens, np=6 pairs, na=nb=2:
+    // ratio = 2*6*6 / (2*2*6) = 3.0
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(("a", "b", 2L, 3.0)))
+    // Pair generation must be row-local: the only joins in the plan are
+    // the two broadcast token-count joins AFTER aggregation — no
+    // positions self-join (which would inflate L^2 rows per doc).
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"positions self-join leaked in:\n$plan")
+  }
+
   test("hashSplit labels every row, roughly by weight, and is growth-stable") {
     import spark.implicits._
     val splits = Seq("train" -> 8.0, "valid" -> 1.0, "test" -> 1.0)

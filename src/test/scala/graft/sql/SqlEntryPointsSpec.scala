@@ -193,6 +193,15 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       s"expected the summary() hint, got: ${ex.getMessage}")
   }
 
+  test("QUALIFY parse failure lands on the subquery hint") {
+    registerMarket()
+    val ex = intercept[Exception](spark.sql(
+      """SELECT sym, qt, px FROM sq_quotes
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY sym ORDER BY qt DESC) = 1"""))
+    assert(ex.getMessage.contains("ROW_NUMBER() OVER"),
+      s"expected the QUALIFY hint, got: ${ex.getMessage}")
+  }
+
   test("hint parser delegates cleanly: valid statements and unrelated errors unchanged") {
     assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
     val ex = intercept[Exception](spark.sql("SELEKT 1"))
