@@ -108,30 +108,29 @@ object Dedup {
   private def verifyJaccardImpl(candidates: DataFrame, shingleDf: DataFrame,
       spill: DataFrame => DataFrame): DataFrame = {
     // Only candidate documents' shingles matter — semi-join the index down
-    // first so the intersection join scans |candidate docs| x shingles
-    // rows, not the whole corpus (AQE broadcasts the id set when small).
-    // The reduced index feeds three consumers (sizes + both sides of the
-    // intersection join); `spill` materializes it so the corpus-wide
-    // shingle pass runs once, not three times, without leaving a
-    // session-lifetime cache entry behind (identity for plan audits).
+    // first (AQE broadcasts the id set when small), then pack each
+    // candidate doc's shingle set into ONE array row. The per-pair
+    // intersection is a row-local `array_intersect` over the two packed
+    // sets, so the verify carries |pairs| rows through the joins instead
+    // of |pairs| × |shingles/doc| exploded rows and needs no wide
+    // (a, b)-keyed count aggregate afterwards — at the 100×-synthetic
+    // probe the exploded form spent ~7 min (97% of the operator's wall)
+    // in that 50M-row aggregate; the packed form retires it. Arrays are
+    // bounded by a single document's distinct shingles — the same rows
+    // the exploded form shuffled, just batched. `spill` materializes the
+    // packed sets so the corpus-wide shingle pass runs once for both join
+    // sides (identity for plan audits).
     val ids = candidates.select(col("a").as("doc_id"))
       .union(candidates.select(col("b").as("doc_id"))).distinct()
-    val shc = spill(shingleDf.join(ids, Seq("doc_id"), "left_semi"))
-    // Every intermediate column gets a unique name — unqualified references
-    // across a self-joined shingle index resolve nondeterministically in
-    // Spark's hybrid analyzer otherwise.
-    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val shA = shc.select(col("doc_id").as("a"), col("shingle").as("sh_a"))
-    val shB = shc.select(col("doc_id").as("bb"), col("shingle").as("sh_b"))
-    val inter = candidates
-      .join(shA, Seq("a"))
-      .join(shB, col("b") === col("bb") && col("sh_a") === col("sh_b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+    val docSets = spill(shingleDf.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("shs")))
+    candidates
+      .join(docSets.select(col("doc_id").as("a"), col("shs").as("sh_a")), Seq("a"))
+      .join(docSets.select(col("doc_id").as("b"), col("shs").as("sh_b")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .select(col("a"), col("b"),
-        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+        (col("inter").cast("double") /
+          (size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))).as("jaccard"))
   }
 
   /** Sentinel for [[jaccardPairs]]' `maxShingleDf`: derive the cap from
