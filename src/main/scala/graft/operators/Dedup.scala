@@ -119,7 +119,12 @@ object Dedup {
     // bounded by a single document's distinct shingles — the same rows
     // the exploded form shuffled, just batched. `spill` materializes the
     // packed sets so the corpus-wide shingle pass runs once for both join
-    // sides (identity for plan audits).
+    // sides (identity for plan audits). Known trade: a DENSE candidate
+    // set (all-pairs-ish over a small doc set, e.g. uncapped char-gram
+    // candidates on ~100 docs) duplicates each doc's array per pair and
+    // runs ~1-2 s slower than the exploded form at toy scale — the
+    // sparse-LSH regime this operator exists for (pairs ≪ docs x degree)
+    // is where the packed form wins 2.6-3.5x (SCALE.md round 9).
     val ids = candidates.select(col("a").as("doc_id"))
       .union(candidates.select(col("b").as("doc_id"))).distinct()
     val docSets = spill(shingleDf.join(ids, Seq("doc_id"), "left_semi")
