@@ -101,41 +101,64 @@ object Dedup {
   /** Exact Jaccard over a shingle set for CANDIDATE pairs only, through the
     * inverted shingle index (never a cartesian product). `candidates` has
     * columns (a, b); returns (a, b, jaccard).
+    *
+    * `packed` picks the verify shape by the CALLER's candidate regime —
+    * both compute identical jaccard values (same integer counts through
+    * the same double expression):
+    *   - `true` (default — the sparse-LSH regime, pairs ≪ docs × degree):
+    *     each candidate doc's distinct shingles pack into one array row
+    *     and intersections run row-locally via `array_intersect`, so the
+    *     joins carry |pairs| rows and no wide (a, b)-keyed aggregate
+    *     follows. At the 100×-synthetic probe the exploded form spent
+    *     97% of the operator's wall (426 of 492 s) in that 50M-row
+    *     aggregate; packing cut the end-to-end operator 2.6-3.5×
+    *     (SCALE.md round 9).
+    *   - `false` (dense all-pairs-ish candidates over a small doc set,
+    *     e.g. uncapped char-gram pairs on ~100 docs): the packed form
+    *     duplicates each doc's array once PER PAIR, so the classic
+    *     exploded intersection join + count aggregate is cheaper
+    *     (measured: dedup_ngram_jaccard 2.28 → ~1.0 s at sf0.1).
     */
-  def verifyJaccard(candidates: DataFrame, shingleDf: DataFrame): DataFrame =
-    verifyJaccardImpl(candidates, shingleDf, materialize(_, "shidx"))
+  def verifyJaccard(candidates: DataFrame, shingleDf: DataFrame,
+      packed: Boolean = true): DataFrame =
+    verifyJaccardImpl(candidates, shingleDf, materialize(_, "shidx"), packed)
 
   private def verifyJaccardImpl(candidates: DataFrame, shingleDf: DataFrame,
-      spill: DataFrame => DataFrame): DataFrame = {
+      spill: DataFrame => DataFrame, packed: Boolean = true): DataFrame = {
     // Only candidate documents' shingles matter — semi-join the index down
-    // first (AQE broadcasts the id set when small), then pack each
-    // candidate doc's shingle set into ONE array row. The per-pair
-    // intersection is a row-local `array_intersect` over the two packed
-    // sets, so the verify carries |pairs| rows through the joins instead
-    // of |pairs| × |shingles/doc| exploded rows and needs no wide
-    // (a, b)-keyed count aggregate afterwards — at the 100×-synthetic
-    // probe the exploded form spent ~7 min (97% of the operator's wall)
-    // in that 50M-row aggregate; the packed form retires it. Arrays are
-    // bounded by a single document's distinct shingles — the same rows
-    // the exploded form shuffled, just batched. `spill` materializes the
-    // packed sets so the corpus-wide shingle pass runs once for both join
-    // sides (identity for plan audits). Known trade: a DENSE candidate
-    // set (all-pairs-ish over a small doc set, e.g. uncapped char-gram
-    // candidates on ~100 docs) duplicates each doc's array per pair and
-    // runs ~1-2 s slower than the exploded form at toy scale — the
-    // sparse-LSH regime this operator exists for (pairs ≪ docs x degree)
-    // is where the packed form wins 2.6-3.5x (SCALE.md round 9).
+    // first (AQE broadcasts the id set when small). `spill` materializes
+    // the reduced index / packed sets so the corpus-wide shingle pass runs
+    // once for every consumer (identity for plan audits).
     val ids = candidates.select(col("a").as("doc_id"))
       .union(candidates.select(col("b").as("doc_id"))).distinct()
-    val docSets = spill(shingleDf.join(ids, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(collect_set(col("shingle")).as("shs")))
-    candidates
-      .join(docSets.select(col("doc_id").as("a"), col("shs").as("sh_a")), Seq("a"))
-      .join(docSets.select(col("doc_id").as("b"), col("shs").as("sh_b")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .select(col("a"), col("b"),
-        (col("inter").cast("double") /
-          (size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))).as("jaccard"))
+    if (packed) {
+      val docSets = spill(shingleDf.join(ids, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(collect_set(col("shingle")).as("shs")))
+      candidates
+        .join(docSets.select(col("doc_id").as("a"), col("shs").as("sh_a")), Seq("a"))
+        .join(docSets.select(col("doc_id").as("b"), col("shs").as("sh_b")), Seq("b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .select(col("a"), col("b"),
+          (col("inter").cast("double") /
+            (size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))).as("jaccard"))
+    } else {
+      // Exploded intersection join — every intermediate column uniquely
+      // named (unqualified references across a self-joined shingle index
+      // resolve nondeterministically in Spark's hybrid analyzer).
+      val shc = spill(shingleDf.join(ids, Seq("doc_id"), "left_semi"))
+      val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val shA = shc.select(col("doc_id").as("a"), col("shingle").as("sh_a"))
+      val shB = shc.select(col("doc_id").as("bb"), col("shingle").as("sh_b"))
+      val inter = candidates
+        .join(shA, Seq("a"))
+        .join(shB, col("b") === col("bb") && col("sh_a") === col("sh_b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+        .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+        .select(col("a"), col("b"),
+          (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+    }
   }
 
   /** Sentinel for [[jaccardPairs]]' `maxShingleDf`: derive the cap from
@@ -193,7 +216,11 @@ object Dedup {
       charGrams: Boolean = false, maxShingleDf: Long = AutoShingleDf): DataFrame = {
     val sh = if (charGrams) charShingles(docs, n) else shinglesJit(docs, n)
     val cap = resolveShingleCap(maxShingleDf, docs.count())
-    verifyJaccard(jaccardCandidates(sh, cap), sh).filter(col("jaccard") >= threshold)
+    // Inverted-index candidates are all-pairs-DENSE by construction (any
+    // shared shingle makes a pair), so the exploded verify wins here —
+    // see verifyJaccard's shape note.
+    verifyJaccard(jaccardCandidates(sh, cap), sh, packed = false)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** splitmix64 finalizer — the per-permutation mixer for minhash. */
