@@ -103,8 +103,10 @@ object Dedup {
     * columns (a, b); returns (a, b, jaccard).
     *
     * `packed` picks the verify shape by the CALLER's candidate regime —
-    * both compute identical jaccard values (same integer counts through
-    * the same double expression):
+    * both return identical ROW SETS with identical jaccard values (same
+    * integer counts through the same double expression; the packed form
+    * filters zero-intersection candidates to match the exploded form's
+    * inner intersection join, which never sees a pair sharing no shingle):
     *   - `true` (default — the sparse-LSH regime, pairs ≪ docs × degree):
     *     each candidate doc's distinct shingles pack into one array row
     *     and intersections run row-locally via `array_intersect`, so the
@@ -138,6 +140,7 @@ object Dedup {
         .join(docSets.select(col("doc_id").as("a"), col("shs").as("sh_a")), Seq("a"))
         .join(docSets.select(col("doc_id").as("b"), col("shs").as("sh_b")), Seq("b"))
         .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .filter(col("inter") > 0)
         .select(col("a"), col("b"),
           (col("inter").cast("double") /
             (size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))).as("jaccard"))

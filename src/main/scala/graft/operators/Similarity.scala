@@ -173,15 +173,38 @@ object Similarity {
     topKScored(scored, k)
   }
 
-  /** Deterministic Lloyd's k-means for IVF codebooks: init = the k lowest
-    * vec_ids, assignment by quantized cosine (id tie-break), centroid
-    * update = double-precision element-wise mean. k is small (codebook
-    * scale), so updated centroids collect to the driver each iteration and
-    * re-broadcast — the corpus is only ever scanned, never shuffled.
+  /** Deterministic Lloyd's k-means for IVF/SemDeDup codebooks: assignment
+    * by quantized cosine (id tie-break), centroid update =
+    * double-precision element-wise mean. Two regimes, switched on the same
+    * `spark.graft.ivfBroadcastCodebookK` bound the assignment map already
+    * uses (default 1024):
+    *
+    *   - k ≤ bound (IVF-codebook scale): init = the k lowest vec_ids;
+    *     updated centroids collect to the driver each iteration and
+    *     re-embed in the assignment expression — the corpus is only ever
+    *     scanned, never shuffled.
+    *   - k > bound (the SemDeDup contract k ≈ N/clusterSize, so k reaches
+    *     10⁵-10⁶ at 100 TB): nothing k-sized is pulled through
+    *     driver-side Rows. Init is the deterministic bucket mean over
+    *     `vec_id % k` (one distributed aggregation — replaces the
+    *     `orderBy.limit(k)` driver pull, which at k=10⁶ would single-task
+    *     half a GB); each iteration's means come from a typed Aggregator
+    *     with map-side combine (k rows shuffle, not N), and centroids
+    *     stay a parquet-backed DataFrame end-to-end
+    *     ([[Scratch.materialize]] per round, previous round reclaimed).
+    *     The one k-sized driver structure is the assignment codebook
+    *     itself — built once per iteration inside [[assignToCentroids]]
+    *     and shipped as a broadcast variable, the map-side-assign
+    *     alternative to shuffling k×N join rows; it is transient and
+    *     constant-sized across iterations (ProfileSemantic measures the
+    *     flat driver heap at k=10⁴).
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val broadcastK = spark.conf.getOption("spark.graft.ivfBroadcastCodebookK")
+      .map(_.toInt).getOrElse(1024)
+    if (k > broadcastK) return kmeansCentroidsDistributed(corpus, k, iters)
     var centroids = corpus.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("embedding"))
     for (_ <- 0 until iters) {
@@ -203,6 +226,77 @@ object Similarity {
         .sortBy(_._1)
       centroids = means.toSeq.toDF("vec_id", "embedding")
     }
+    centroids
+  }
+
+  /** Element-wise mean per key of a (key, array<float>) DataFrame, as a
+    * (vec_id, embedding) DataFrame. A typed [[Aggregator]] rather than
+    * mapGroups: aggregators get PARTIAL aggregation (map-side combine), so
+    * the shuffle carries one double-buffer per key per input partition
+    * instead of every input vector — the difference between a k-row and an
+    * N-row exchange.
+    */
+  private def meanByKey(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Resolve the encoders into locals: an encoder `def` written as
+    // `implicitly` inside the Aggregator would reference spark.implicits
+    // and capture the (non-serializable) SparkSession into the task
+    // closure.
+    val bufEnc = implicitly[org.apache.spark.sql.Encoder[(Array[Double], Long)]]
+    val outEnc = implicitly[org.apache.spark.sql.Encoder[Seq[Float]]]
+    val meanAgg = new org.apache.spark.sql.expressions.Aggregator[
+        (Long, Seq[Float]), (Array[Double], Long), Seq[Float]] {
+      def zero: (Array[Double], Long) = (null, 0L)
+      def reduce(b: (Array[Double], Long), a: (Long, Seq[Float])): (Array[Double], Long) = {
+        val v = a._2
+        val acc = if (b._1 == null) new Array[Double](v.length) else b._1
+        var i = 0
+        while (i < v.length) { acc(i) += v(i); i += 1 }
+        (acc, b._2 + 1)
+      }
+      def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+        if (x._1 == null) y
+        else if (y._1 == null) x
+        else {
+          var i = 0
+          while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+          (x._1, x._2 + y._2)
+        }
+      }
+      def finish(r: (Array[Double], Long)): Seq[Float] =
+        r._1.toSeq.map(d => (d / r._2).toFloat)
+      def bufferEncoder = bufEnc
+      def outputEncoder = outEnc
+    }
+    df.as[(Long, Seq[Float])].groupByKey(_._1)
+      .agg(meanAgg.toColumn)
+      .toDF("vec_id", "embedding")
+  }
+
+  /** The k-past-broadcast-bound k-means loop (see [[kmeansCentroids]]).
+    * Each round's codebook is materialized to scratch parquet so the next
+    * assignment reads k rows instead of replaying the whole lineage, and
+    * the previous round's files are reclaimed immediately — peak scratch
+    * is two codebooks.
+    */
+  private def kmeansCentroidsDistributed(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    var (centroids, dir) = Scratch.materialize(
+      meanByKey(corpus.select(pmod(col("vec_id").cast("long"), lit(k.toLong)).as("cid"),
+        col("embedding"))),
+      "kmeans_cb")
+    for (_ <- 0 until iters) {
+      val (next, nextDir) = Scratch.materialize(
+        meanByKey(assignToCentroids(corpus, centroids)
+          .select(col("cid"), col("embedding"))),
+        "kmeans_cb")
+      Scratch.delete(spark, dir)
+      centroids = next
+      dir = nextDir
+    }
+    // Final codebook stays on scratch; reclaimed by the session shutdown
+    // hook (callers hold a lazy plan over it).
     centroids
   }
 

@@ -542,10 +542,18 @@ object TextAnalysis {
     * whose hash-join-then-range-filter shape inflates to L² rows per
     * document and dies on long documents), normalized to unordered
     * (least, greatest) so both directions aggregate together. Counting is
-    * two map-combined shuffles (pair counts, token counts); the
-    * vocabulary-sized token-count table broadcasts back onto the pair
-    * counts (Zipf-small, the lm_unigram contract); corpus totals are two
-    * single-row aggregates. The score is the PMI RATIO
+    * two map-combined shuffles (pair counts, token counts); the token-
+    * count join strategy is left to AQE like [[unigramFreqScore]]'s — a
+    * Zipf-small vocabulary broadcasts at runtime (plan-asserted at test
+    * scale in PipelineSpec), while a web-scale distinct-token table
+    * (typos, URLs, hashes can reach 10⁸-10⁹ rows on 100 TB of web text)
+    * correctly falls back to a shuffled join instead of OOMing the
+    * driver, which the previous forced `broadcast(tc)` hint removed
+    * (ProfileVocab measures the fallback engaging on a synthetic
+    * unique-token corpus). Corpus totals (token count, pair count) come
+    * from ONE single-row aggregate — the pair total via the closed form
+    * Σ_docs Σ_{j=1..L-1} min(window, j), which equals the number of rows
+    * the pair explode emits. The score is the PMI RATIO
     * p(x,y)/(p(x)p(y)) = nab·N²/(na·nb·P) rather than its log —
     * rank-equivalent, and computed from exact integer counts through the
     * same IEEE expression in both engines, so the top-k is hash-stable
@@ -562,10 +570,23 @@ object TextAnalysis {
     val pos = toks.select(explode(col("ws")).as("tok"))
     val pc = pairs.groupBy("x", "y").agg(count(lit(1)).as("nab"))
     val tc = pos.groupBy("tok").agg(count(lit(1)).as("n"))
-    val nt = pos.count()
-    val np = pairs.count()
-    pc.join(broadcast(tc.select(col("tok").as("x"), col("n").as("na"))), Seq("x"))
-      .join(broadcast(tc.select(col("tok").as("y"), col("n").as("nb"))), Seq("y"))
+    // Both corpus totals in one job: tokens = Σ L; pairs = Σ_{j<L} min(w, j)
+    // per doc — the closed form of what the explode above emits
+    // (Σ_{i=0..L-1} min(w, L-1-i)), so np is exactly pairs.count() without
+    // a second pass.
+    // (Spark's Column `/` is always DOUBLE division — keep the triangular
+    // terms integral: L·(L−1) is even so the halved product is exact, and
+    // the full-window triangle is a Scala-side constant.)
+    val L = size(col("ws")).cast("long")
+    val w = window.toLong
+    val pairCount = when(L - 1 <= w, ((L - 1) * L / 2).cast("long"))
+      .otherwise(lit(w * (w + 1) / 2) + (L - 1 - w) * w)
+    val totals = toks.agg(
+      coalesce(sum(L), lit(0L)).as("nt"),
+      coalesce(sum(pairCount), lit(0L)).as("np")).head()
+    val (nt, np) = (totals.getLong(0), totals.getLong(1))
+    pc.join(tc.select(col("tok").as("x"), col("n").as("na")), Seq("x"))
+      .join(tc.select(col("tok").as("y"), col("n").as("nb")), Seq("y"))
       .filter(col("nab") >= minCount)
       .select(col("x"), col("y"), col("nab").as("n_pair"),
         round(col("nab").cast("double") * lit(nt) * lit(nt) /

@@ -897,6 +897,68 @@ object AnalyticsQueries {
     spark.table(tbl).orderBy("o_orderkey")
   }
 
+  // QUALIFY parity: the literal DuckDB/Teradata QUALIFY statement (window
+  // filter without a subquery) EXECUTING on Spark — the hint parser
+  // catches the ParseException and splices the predicate into the select
+  // list as a boolean, wraps, filters, and drops it (sql/QualifyRewrite;
+  // `SELECT * EXCEPT` is native Spark 4 syntax), so window evaluation
+  // order matches DuckDB: after grouping, before the filter, before
+  // ORDER BY. The oracle is the SAME statement run by DuckDB's native
+  // QUALIFY support (DuckDB 1.3 docs) — two different execution paths,
+  // hash-compared. Top-2 orders per priority class by price: the window
+  // shuffles once on the partition key; at 100 TB this is the standard
+  // top-k-per-group shape (rank + filter pushes the k-cut into the sort).
+  declare("q54_qualify",
+    """SELECT o_orderpriority, o_orderkey, o_totalprice
+       FROM orders
+       QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) <= 2
+       ORDER BY o_orderpriority, o_orderkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("graft_q54_orders")
+    spark.sql(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+         FROM graft_q54_orders
+         QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) <= 2
+         ORDER BY o_orderpriority, o_orderkey""")
+  }
+
+  // SUMMARIZE parity: DuckDB's one-keyword table profile as the
+  // summarize() TVF (operators/Summarize — ONE wide aggregate job, row
+  // per column; `SUMMARIZE t` itself also runs via the hint-parser
+  // rewrite, asserted in GraftSqlSpec). The declared slice keeps the
+  // engine-exact columns: min/max (cast to string — stable for the
+  // BIGINT/VARCHAR columns here) and the null/non-null counts; the
+  // DuckDB oracle REBUILDS the same profile shape from first principles
+  // (per-column aggregate UNION ALL), so the stats machinery is
+  // cross-checked, not just echoed. approx_unique/avg/std stay out of
+  // the hash: approximate-distinct sketches are engine-specific by
+  // design (HLL here, HyperLogLog variant there).
+  declare("q55_summarize",
+    """SELECT column_name, min_val, max_val, n_nonnull, n_null FROM (
+         SELECT 'doc_id' AS column_name, min(doc_id)::VARCHAR AS min_val,
+                max(doc_id)::VARCHAR AS max_val, count(doc_id) AS n_nonnull,
+                count(*) - count(doc_id) AS n_null FROM documents
+         UNION ALL
+         SELECT 'text', min(text)::VARCHAR, max(text)::VARCHAR,
+                count(text), count(*) - count(text) FROM documents
+         UNION ALL
+         SELECT 'lang', min(lang)::VARCHAR, max(lang)::VARCHAR,
+                count(lang), count(*) - count(lang) FROM documents
+         UNION ALL
+         SELECT 'source', min(source)::VARCHAR, max(source)::VARCHAR,
+                count(source), count(*) - count(source) FROM documents
+         UNION ALL
+         SELECT 'n_chars', min(n_chars)::VARCHAR, max(n_chars)::VARCHAR,
+                count(n_chars), count(*) - count(n_chars) FROM documents
+       ) ORDER BY column_name""") { (spark, sfDir) =>
+    t(spark, sfDir, "documents").createOrReplaceTempView("graft_q55_documents")
+    spark.sql(
+      """SELECT column_name, min_val, max_val, n_nonnull, n_null
+         FROM summarize('graft_q55_documents')
+         ORDER BY column_name""")
+  }
+
   // ------------------------------------------------------------------
   // DECIMAL lane: exact fixed-point money arithmetic end to end (cast
   // from the double column, aggregate in DecimalType, cast the widened

@@ -41,15 +41,44 @@ object PipelineQueries {
     * service cycling sessions/sfDirs ages old indexes out instead of
     * pinning them — and an aged-out index's two scratch parquet dirs are
     * deleted on eviction (after Scratch.delete's quiescence wait) instead
-    * of lingering until the JVM shutdown hook; with 8 slots over
-    * (session, sfDir) keys, an evicted index has no live readers. Builds
+    * of lingering until the JVM shutdown hook. Builds
     * run OUTSIDE the memo lock (getOrBuild): a second session's index
     * build never serializes behind the first's multi-job materialization.
+    *
+    * Eviction vs live readers: an index DataFrame is handed to callers
+    * LAZILY (the declared query executes long after this cache returns),
+    * so "capacity exceeds concurrently-active keys" was an asserted — not
+    * enforced — precondition: a 9th concurrent (session, sfDir) key would
+    * evict an index a running query is still scanning, and the eager
+    * delete turned that into FAILED_READ task failures. Deletion is
+    * therefore DEFERRED by a grace period (`spark.graft.
+    * archiveEvictGraceSec`, default 900 s, 0 = eager) on a daemon timer:
+    * disk stays bounded (reclaimed grace seconds after eviction, with the
+    * Scratch session shutdown hook as the JVM-exit backstop) and a reader
+    * racing an eviction would have to run a single query longer than the
+    * grace window to observe a missing file.
     */
+  private lazy val archiveEvictTimer =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val th = new Thread(r, "graft-archive-evict"); th.setDaemon(true); th
+    })
   private val archiveIndexCache =
     new graft.LruMap[(SparkSession, String), (Dedup.ArchiveIndex, Seq[String])](8,
       onEvict = { case ((spark, _), (_, dirs)) =>
-        if (!spark.sparkContext.isStopped) dirs.foreach(Scratch.delete(spark, _))
+        val reclaim: Runnable = () =>
+          if (!spark.sparkContext.isStopped)
+            dirs.foreach(d => try Scratch.delete(spark, d)
+              catch { case _: Throwable => () })
+        val graceSec =
+          try spark.conf.getOption("spark.graft.archiveEvictGraceSec")
+            .map(_.toLong).getOrElse(900L)
+          catch { case _: Throwable => 900L } // stopped session: default
+        if (graceSec <= 0) reclaim.run()
+        else {
+          archiveEvictTimer.schedule(reclaim, graceSec,
+            java.util.concurrent.TimeUnit.SECONDS)
+          ()
+        }
       })
 
   private val all = Seq.newBuilder[Declared]
@@ -538,13 +567,20 @@ object PipelineQueries {
     // argmax so each copy lands in its original's cluster and the pair
     // verifies at cosine 1.0; no natural pair approaches the 0.9999
     // threshold (max natural cosine ~0.44), so the oracle is exactly the
-    // original corpus. k sized to keep clusters at the documented
-    // ~N/clusterSize contract at every SF.
+    // original corpus. The planted offset is DERIVED from max(vec_id)+1
+    // (a fixed +20000 silently collides with natural ids at larger SFs —
+    // the trap ProfileDedup fixed the same way) and k tracks the corpus
+    // (~N/500, floor 16), keeping clusters at the documented
+    // ~N/clusterSize contract at every SF; one tiny agg job up front.
     val e = t(spark, sfDir, "embeddings")
-    val corpus = e.select("vec_id", "embedding")
+    val base = e.select("vec_id", "embedding")
+    val st = base.agg(max("vec_id").cast("long"), count(lit(1))).head()
+    val (offset, n) = (st.getLong(0) + 1, st.getLong(1))
+    val corpus = base
       .union(e.filter(col("vec_id") < 10)
-        .select((col("vec_id") + 20000).as("vec_id"), col("embedding")))
-    Similarity.semanticDeduplicate(corpus, k = 16, threshold = 0.9999)
+        .select((col("vec_id") + lit(offset)).as("vec_id"), col("embedding")))
+    Similarity.semanticDeduplicate(corpus, k = math.max(16, (n / 500).toInt),
+        threshold = 0.9999)
       .select("vec_id").orderBy("vec_id")
   }
 

@@ -37,13 +37,24 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Landing pad for DuckDB-flavored syntax Spark's parser cannot host: a
-  * user pasting a `WITH RECURSIVE` CTE or an `ASOF JOIN` from the
-  * reference's host gets the bare ANTLR error plus a one-line pointer to
-  * the equivalent graft TVF (`fixpoint()` / `asof_join()`), instead of
-  * having to discover the mapping in the README. Pure delegation
-  * otherwise — statements that parse are untouched, and failures that
-  * don't match the two patterns rethrow the original ParseException.
+/** Landing pad for DuckDB-flavored syntax Spark's parser cannot host.
+  * Two tiers:
+  *
+  *   - REWRITE AND RUN where the mapping is mechanical: a `QUALIFY` clause
+  *     is rewritten into the ANSI subquery form ([[QualifyRewrite]]) and
+  *     re-parsed, and `SUMMARIZE t` becomes `SELECT * FROM summarize('t')`
+  *     — the pasted DuckDB statement executes instead of erroring.
+  *   - HINT where it isn't: a DuckDB-only `WITH RECURSIVE` variant or an
+  *     `ASOF JOIN` (or a QUALIFY shape the rewrite declines) gets the
+  *     original ANTLR error plus a one-line pointer to the equivalent
+  *     graft TVF (`fixpoint()` / `asof_join()`).
+  *
+  * The ORIGINAL parse error stays primary in hint messages — the keyword
+  * regexes match anywhere in the statement, so an unrelated typo in SQL
+  * that merely mentions one of the keywords must still read as its own
+  * error, with the pointer as an appended "if you meant…". Pure delegation
+  * otherwise: statements that parse are untouched, and failures matching
+  * no pattern rethrow the original ParseException.
   */
 class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
@@ -53,50 +64,77 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val recursiveRe = "(?is).*\\bWITH\\s+RECURSIVE\\b.*".r
   private val asofRe = "(?is).*\\bASOF\\s+(?:LEFT\\s+)?JOIN\\b.*".r
   private val summarizeRe = "(?is)\\s*SUMMARIZE\\b.*".r
+  private val summarizeTableRe =
+    "(?is)\\s*SUMMARIZE\\s+([a-zA-Z_][a-zA-Z0-9_.]*)\\s*;?\\s*".r
   private val qualifyRe = "(?is).*\\bQUALIFY\\b.*".r
 
-  private def withHint[T](sqlText: String)(body: => T): T =
+  private def withHint[T](sqlText: String, reparse: String => T)(body: => T): T =
     try body catch {
       case pe: ParseException =>
-        val hint = sqlText match {
-          case recursiveRe() =>
-            Some("Spark's parser cannot host WITH RECURSIVE; graft exposes the " +
-              "same semantics through the fixpoint() table function: " +
-              "SELECT ... FROM fixpoint('seed_view', 'SELECT ... FROM __frontier " +
-              "...'[, max_rounds[, buckets]]) — the step SQL sees each round's " +
-              "new rows as the view __frontier. See README 'Recursive queries'.")
-          case asofRe() =>
-            Some("Spark's parser cannot host ASOF JOIN; graft exposes the same " +
-              "semantics through the asof_join() table function: SELECT ... FROM " +
-              "asof_join('left_view', 'right_view', 'on_col', 'left_order', " +
-              "'right_order', 'payload_csv'[, strict[, inner]]). " +
-              "See README 'As-of joins'.")
-          case summarizeRe() =>
-            Some("SUMMARIZE is DuckDB-only syntax; use Dataset.summary() / " +
-              "describe() for column statistics, or SQL DESCRIBE TABLE <t> " +
-              "for the schema.")
-          case qualifyRe() =>
-            Some("Spark's parser has no QUALIFY clause; filter the window " +
-              "function in an enclosing query instead: SELECT * FROM (SELECT " +
-              "..., ROW_NUMBER() OVER (...) AS rn FROM t) WHERE rn <= k.")
+        // Tier 1: mechanical rewrites that make the statement RUN.
+        def tryReparse(rw: Option[String]): Option[T] =
+          rw.flatMap(r => try Some(reparse(r)) catch { case _: Throwable => None })
+        val rewritten = sqlText match {
+          case summarizeTableRe(tbl) =>
+            tryReparse(Some(s"SELECT * FROM summarize('$tbl')"))
+          case qualifyRe() => tryReparse(QualifyRewrite.rewrite(sqlText))
           case _ => None
         }
-        hint match {
-          case Some(h) => throw new org.apache.spark.sql.AnalysisException(
-            "USER_RAISED_EXCEPTION",
-            Map("errorMessage" -> (h + " Original parse error: " + pe.getMessage)),
-            Option(pe))
-          case None => throw pe
+        rewritten match {
+          case Some(plan) => plan
+          case None =>
+            // Tier 2: the landing-pad hint, original error first.
+            val hint = sqlText match {
+              case recursiveRe() =>
+                Some("Spark 4.1 hosts standard UNION ALL recursive CTEs " +
+                  "natively, so if this WITH RECURSIVE failed to parse you " +
+                  "may be using a DuckDB-specific variant (USING KEY; " +
+                  "UNION-distinct cycles fail later, at analysis). graft " +
+                  "exposes general fixpoint semantics through the fixpoint() " +
+                  "table function: SELECT ... FROM fixpoint('seed_view', " +
+                  "'SELECT ... FROM __frontier ...'[, max_rounds[, buckets]]) " +
+                  "— the step SQL sees each round's new rows as the view " +
+                  "__frontier. See README 'Recursive queries'.")
+              case asofRe() =>
+                Some("If you meant DuckDB's ASOF JOIN (Spark's parser cannot " +
+                  "host it), graft exposes the same " +
+                  "semantics through the asof_join() table function: SELECT ... FROM " +
+                  "asof_join('left_view', 'right_view', 'on_col', 'left_order', " +
+                  "'right_order', 'payload_csv'[, strict[, inner]]). " +
+                  "See README 'As-of joins'.")
+              case summarizeRe() =>
+                Some("If you meant DuckDB's SUMMARIZE: the table form " +
+                  "`SUMMARIZE t` runs directly (rewritten to the " +
+                  "summarize('t') table function); other forms don't — use " +
+                  "summarize('view_name') over a registered view, " +
+                  "Dataset.summary() / describe(), or DESCRIBE TABLE <t>.")
+              case qualifyRe() =>
+                Some("If you meant DuckDB's QUALIFY: simple single-block " +
+                  "forms are rewritten to run automatically, but this one " +
+                  "wasn't (set operation, DISTINCT, or an unsupported " +
+                  "shape); filter the window " +
+                  "function in an enclosing query instead: SELECT * FROM (SELECT " +
+                  "..., ROW_NUMBER() OVER (...) AS rn FROM t) WHERE rn <= k.")
+              case _ => None
+            }
+            hint match {
+              case Some(h) => throw new org.apache.spark.sql.AnalysisException(
+                "USER_RAISED_EXCEPTION",
+                Map("errorMessage" -> (pe.getMessage + " — hint: " + h)),
+                Option(pe))
+              case None => throw pe
+            }
         }
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    withHint(sqlText)(delegate.parsePlan(sqlText))
+    withHint(sqlText, delegate.parsePlan)(delegate.parsePlan(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan =
-    withHint(sqlText)(delegate.parseQuery(sqlText))
+    withHint(sqlText, delegate.parseQuery)(delegate.parseQuery(sqlText))
   override def parsePlanWithParameters(
       sqlText: String, parameters: ParameterContext): LogicalPlan =
-    withHint(sqlText)(delegate.parsePlanWithParameters(sqlText, parameters))
+    withHint(sqlText, delegate.parsePlanWithParameters(_, parameters))(
+      delegate.parsePlanWithParameters(sqlText, parameters))
   override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)
   override def parseFunctionIdentifier(sqlText: String) = delegate.parseFunctionIdentifier(sqlText)
@@ -328,6 +366,28 @@ object GraftSparkExtensions {
       out.queryExecution.analyzed
     })
 
+  /** DuckDB-style `SUMMARIZE` as a table function
+    * ([[graft.operators.Summarize]]): row per column, exact counts/min/max,
+    * one aggregate job over the named (temp-view or catalog) table. The
+    * literal statement `SUMMARIZE t` also lands here via the hint parser's
+    * rewrite to `SELECT * FROM summarize('t')`. The stats job runs at
+    * analysis (the result is a bounded LocalRelation — one row per COLUMN,
+    * never per data row), matching the solver TVFs' eagerness contract.
+    */
+  val summarizeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("summarize"), info("summarize"), (args: Seq[Expression]) => {
+      if (args.size != 1)
+        throw new IllegalArgumentException(
+          s"summarize(table) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "summarize arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "summarize arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(graft.operators.Summarize.schema),
+        graft.operators.Summarize.rows(spark.table(asString(v(0)))))
+    })
+
   import org.apache.spark.sql.Row
 
   private val createVariablesSchema = StructType.fromDDL(
@@ -356,6 +416,7 @@ object GraftSparkExtensions {
     asofJoinFn,
     fixpointFn,
     dedupFn,
-    spanScrubFn
+    spanScrubFn,
+    summarizeFn
   )
 }

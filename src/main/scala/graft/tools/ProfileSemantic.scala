@@ -7,13 +7,29 @@ import graft.operators.Similarity
 /** Isolated wall-clock for the cluster-scoped semantic dedup at a
   * synthesis factor (the ScaleProbe embedding corpus, nothing else in the
   * JVM — the measurement-of-record loop, like ProfileSpan for span dedup):
-  * `sbt "runMain graft.tools.ProfileSemantic <sfDir> <factor>"`, two
+  * `sbt "runMain graft.tools.ProfileSemantic <sfDir> <factor> [k]"`, two
   * timed runs (run2 = steady state).
+  *
+  * The optional explicit `k` exercises the codebook regimes: k past
+  * `spark.graft.ivfBroadcastCodebookK` (1024) takes the DISTRIBUTED
+  * k-means path (bucket-mean init, Aggregator means, parquet-backed
+  * codebook) — the SemDeDup 100 TB contract where k ≈ N/clusterSize.
+  * Post-GC driver heap prints per run: at k=10⁴ it must stay flat vs the
+  * k=N/500 default, since nothing k-sized persists on the driver beyond
+  * the transient per-iteration assignment broadcast.
   */
 object ProfileSemantic {
+  private def usedHeapMb(): Long = {
+    System.gc()
+    Thread.sleep(200)
+    val rt = Runtime.getRuntime
+    (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
+    val kOverride = if (args.length > 2) Some(args(2).toInt) else None
     val scratchBase = s"${System.getProperty("java.io.tmpdir")}/graft_profsem"
     val spark = Engine.session()
     spark.conf.set("spark.graft.scratchDir", scratchBase)
@@ -30,13 +46,14 @@ object ProfileSemantic {
     big.write.mode("overwrite").parquet(dir)
     val vectors = spark.read.parquet(dir)
     val n = vectors.count()
-    val k = math.max(16, (n / 500).toInt)
-    println(s"[sem] corpus = $n vectors, k = $k")
+    val k = kOverride.getOrElse(math.max(16, (n / 500).toInt))
+    println(s"[sem] corpus = $n vectors, k = $k (${if (k > 1024) "distributed" else "collected"} codebook)")
     for (run <- 1 to 2) {
       val t0 = System.nanoTime()
       val survivors = Similarity.semanticDeduplicate(vectors, k = k,
         threshold = 0.999, maxClusterSize = math.max(10000L, n / 10)).count()
-      println(f"[sem] run$run ${(System.nanoTime() - t0) / 1e9}%8.2f s ($survivors survivors)")
+      println(f"[sem] run$run ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
+        f"($survivors survivors, driver heap ${usedHeapMb()} MB post-GC)")
     }
     spark.stop()
   }

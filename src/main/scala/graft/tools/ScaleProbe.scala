@@ -98,6 +98,27 @@ object ScaleProbe {
     }
     println(s"[probe] span-dup docs = $spanDocs")
 
+    // Windowed-PMI collocations: pair generation is row-local (never a
+    // positions self-join), counting is two map-combined shuffles, and the
+    // vocab join strategy is AQE's call (ProfileVocab A/Bs the fallback).
+    // The salt rewrite roughly doubles tokens per doc at k>0, so the
+    // probe's curve tracks token volume, not just doc count.
+    val collocRows = time(s"collocations (w=3) over $nDocs docs") {
+      graft.operators.TextAnalysis.collocations(corpus, window = 3,
+        minCount = 5, topK = 50).count()
+    }
+    println(s"[probe] collocation rows = $collocRows")
+
+    // Growth-stable train/valid/test split: pure row-local CASE over an
+    // md5 prefix — the probe point just pins the expected ~linear scan
+    // cost (and that the reduction to 3 counters stays flat).
+    val splitGroups = time(s"hash split (80/10/10) over $nDocs docs") {
+      graft.operators.TextAnalysis.hashSplit(corpus,
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+        .groupBy("split").count().count()
+    }
+    println(s"[probe] split groups = $splitGroups")
+
     // --- synthesize embeddings at factor x ---------------------------
     val emb = Engine.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val eoff = emb.agg(max("vec_id")).head().getLong(0) + 1

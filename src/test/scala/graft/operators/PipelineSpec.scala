@@ -127,6 +127,31 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("distributed-codebook kmeans (k past the broadcast bound) sustains semantic dedup") {
+    import spark.implicits._
+    val corpus = embeddings.select("vec_id", "embedding")
+      .union(embeddings.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 50000).as("vec_id"), col("embedding")))
+    val key = "spark.graft.ivfBroadcastCodebookK"
+    try {
+      // Force k=8 past the bound: kmeansCentroids takes the distributed
+      // path (bucket-mean init, Aggregator means, parquet-backed
+      // codebook) while assignment rides the broadcast variable. The
+      // planted-duplicate contract must hold identically.
+      spark.conf.set(key, "4")
+      val cents = Similarity.kmeansCentroids(corpus, k = 8, iters = 2)
+      assert(cents.columns.toSeq == Seq("vec_id", "embedding"))
+      val ids = cents.select("vec_id").as[Long].collect().sorted
+      assert(ids.nonEmpty && ids.length <= 8 && ids.forall(c => c >= 0 && c < 8))
+      assert(cents.select(size(col("embedding"))).as[Int].head() ==
+        embeddings.select(size(col("embedding"))).as[Int].head())
+      val survivors = Similarity.semanticDeduplicate(corpus, k = 8, threshold = 0.9999)
+        .select("vec_id").as[Long].collect().toSet
+      val originals = embeddings.select("vec_id").as[Long].collect().toSet
+      assert(survivors == originals)
+    } finally spark.conf.unset(key)
+  }
+
   test("componentsFromPairs labels arbitrary pair graphs with the min id") {
     import spark.implicits._
     // Chain 1-2-3-4, triangle 10-11-12, lone edge 20-21.

@@ -181,22 +181,55 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       s"expected the asof_join() hint, got: ${ex.getMessage}")
   }
 
-  test("DESCRIBE works natively; SUMMARIZE lands on the summary() hint") {
+  test("DESCRIBE works natively; the literal SUMMARIZE statement RUNS (rewrite to the TVF)") {
     registerMarket()
     val desc = spark.sql("DESCRIBE sq_quotes").collect().map(_.getString(0)).toSet
     assert(Set("sym", "qt", "px", "tag").subsetOf(desc))
-    val stats = spark.table("sq_quotes").summary("count", "min", "max")
-      .collect().map(_.getString(0)).toSet
-    assert(stats == Set("count", "min", "max"))
-    val ex = intercept[Exception](spark.sql("SUMMARIZE sq_quotes"))
-    assert(ex.getMessage.contains("summary()"),
-      s"expected the summary() hint, got: ${ex.getMessage}")
+    // `SUMMARIZE t` is DuckDB syntax; the hint parser rewrites it to
+    // SELECT * FROM summarize('t') and the statement executes: one row
+    // per COLUMN in table order, stats as columns.
+    val rows = spark.sql("SUMMARIZE sq_quotes").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("sym", "qt", "px", "tag"))
+    val bySym = rows.find(_.getString(0) == "sym").get
+    assert(bySym.getString(2) == "1" && bySym.getString(3) == "2") // min/max
+    assert(bySym.getLong(7) == 4L && bySym.getLong(8) == 0L)       // counts
   }
 
-  test("QUALIFY parse failure lands on the subquery hint") {
+  test("summarize() TVF composes downstream (filter over the splice)") {
+    registerMarket()
+    val n = spark.sql(
+      """SELECT column_name, n_nonnull FROM summarize('sq_quotes')
+         WHERE column_type = 'DOUBLE' ORDER BY column_name""").collect()
+    assert(n.map(_.getString(0)).toSeq == Seq("px"))
+    assert(n.head.getLong(1) == 4L)
+  }
+
+  test("QUALIFY executes via the subquery rewrite, matching the manual window form") {
+    registerMarket()
+    val viaQualify = spark.sql(
+      """SELECT sym, qt, px FROM sq_quotes
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY sym ORDER BY qt DESC) = 1
+         ORDER BY sym""").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(viaQualify.toSeq == Seq((1L, 30L, 120.0), (2L, 15L, 50.0)))
+    // Rewrite must not leak the helper column into the output schema.
+    val schema = spark.sql(
+      """SELECT sym FROM sq_quotes
+         QUALIFY px = MAX(px) OVER (PARTITION BY sym)""").schema.fieldNames.toSeq
+    assert(schema == Seq("sym"))
+  }
+
+  test("QUALIFY over aggregates (GROUP BY block) matches HAVING-on-window semantics") {
+    registerMarket()
+    val rows = spark.sql(
+      """SELECT sym, SUM(px) AS total FROM sq_quotes GROUP BY sym
+         QUALIFY RANK() OVER (ORDER BY SUM(px) DESC) = 1""").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 330.0)))
+  }
+
+  test("QUALIFY shapes the rewrite declines (DISTINCT) land on the hint") {
     registerMarket()
     val ex = intercept[Exception](spark.sql(
-      """SELECT sym, qt, px FROM sq_quotes
+      """SELECT DISTINCT sym, qt, px FROM sq_quotes
          QUALIFY ROW_NUMBER() OVER (PARTITION BY sym ORDER BY qt DESC) = 1"""))
     assert(ex.getMessage.contains("ROW_NUMBER() OVER"),
       s"expected the QUALIFY hint, got: ${ex.getMessage}")
