@@ -44,7 +44,7 @@ object ProfileStreaming {
     spark.conf.set("spark.graft.streamStateParts", parts)
     val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")
     val rows = dirs.map(d => d ->
-      spark.read.parquet(s"$d/events.parquet").count()).toMap
+      Engine.table(spark, d, "events").count()).toMap
     val steady = dirs.flatMap { d =>
       targets(spark, d).map { case (name, fn) =>
         val times = (1 to 2).map { _ =>

@@ -23,8 +23,11 @@ import graft.operators.{Dedup, Similarity}
   * get a small per-copy additive shift — enough to be distinct vectors,
   * close enough to keep the cosine-neighborhood structure IVF probes.
   *
-  * Usage: `sbt "runMain graft.tools.ScaleProbe [sfDir] [factor]"`
-  * (defaults: /root/testdata/sf0.1, 10 — i.e. an sf1-equivalent corpus).
+  * Usage: `sbt "runMain graft.tools.ScaleProbe [sfDir] [factor] [stages]"`
+  * (defaults: /root/testdata/sf0.1, 10 — i.e. an sf1-equivalent corpus —
+  * and all stages; `stages` is a comma list of
+  * colloc,split,dedup,span,ivf,fixpoint,semantic for single-operator
+  * curves).
   */
 object ScaleProbe {
 
@@ -40,6 +43,12 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
+    // Optional stage filter (comma list of
+    // colloc,split,dedup,span,ivf,fixpoint,semantic; default all) — a
+    // single-operator curve shouldn't pay for the full battery.
+    val stages = if (args.length > 2) args(2).split(",").map(_.trim).toSet
+                 else Set("all")
+    def on(s: String): Boolean = stages.contains("all") || stages.contains(s)
     // Pin the scratch root somewhere the poller can watch; clear leftovers
     // from a previous factor so the peak-scratch poll measures THIS run.
     val scratchBase = s"${System.getProperty("java.io.tmpdir")}/graft_scaleprobe"
@@ -84,65 +93,82 @@ object ScaleProbe {
     val nDocs = corpus.count()
     println(s"[probe] corpus rows = $nDocs (base x $factor)")
 
-    val survivors = time(s"dedup near (0.8) over $nDocs docs") {
-      Dedup.deduplicate(corpus, threshold = 0.8).count()
+    // Windowed-PMI collocations and the hash split run FIRST (before the
+    // heavyweight dedup churns the heap — the round-8/9 measurement note:
+    // stages after the big dedup in one JVM read high, and these two are
+    // new in round 10 with no prior stage-order to preserve).
+    //
+    // Collocations: pair generation is row-local (never a positions
+    // self-join), counting is two map-combined shuffles, and the vocab
+    // join strategy is AQE's call (ProfileVocab A/Bs the fallback). The
+    // salt rewrite roughly doubles tokens per doc at k>0, so the curve
+    // tracks token volume, not just doc count.
+    if (on("colloc")) {
+      val collocRows = time(s"collocations (w=3) over $nDocs docs") {
+        graft.operators.TextAnalysis.collocations(corpus, window = 3,
+          minCount = 5, topK = 50).count()
+      }
+      println(s"[probe] collocation rows = $collocRows")
     }
-    println(s"[probe] survivors = $survivors")
+
+    // Growth-stable train/valid/test split: pure row-local CASE over an
+    // md5 prefix — the probe point just pins the expected ~linear scan
+    // cost (and that the reduction to 3 counters stays flat).
+    if (on("split")) {
+      val splitGroups = time(s"hash split (80/10/10) over $nDocs docs") {
+        graft.operators.TextAnalysis.hashSplit(corpus,
+          Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+          .groupBy("split").count().count()
+      }
+      println(s"[probe] split groups = $splitGroups")
+    }
+
+    if (on("dedup")) {
+      val survivors = time(s"dedup near (0.8) over $nDocs docs") {
+        Dedup.deduplicate(corpus, threshold = 0.8).count()
+      }
+      println(s"[probe] survivors = $survivors")
+    }
 
     // Span-level dedup over the same corpus, in the 100 TB form (128-bit
     // gram fingerprints on the shuffle instead of gram text): the
     // inverted-index df pass is linear in corpus tokens and the salt
     // rewrite keeps duplicated spans within-copy only.
-    val spanDocs = time(s"span-dup stats (10-gram) over $nDocs docs") {
-      graft.operators.TextAnalysis.spanDupStats(corpus, fingerprint = true).count()
+    if (on("span")) {
+      val spanDocs = time(s"span-dup stats (10-gram) over $nDocs docs") {
+        graft.operators.TextAnalysis.spanDupStats(corpus, fingerprint = true).count()
+      }
+      println(s"[probe] span-dup docs = $spanDocs")
     }
-    println(s"[probe] span-dup docs = $spanDocs")
-
-    // Windowed-PMI collocations: pair generation is row-local (never a
-    // positions self-join), counting is two map-combined shuffles, and the
-    // vocab join strategy is AQE's call (ProfileVocab A/Bs the fallback).
-    // The salt rewrite roughly doubles tokens per doc at k>0, so the
-    // probe's curve tracks token volume, not just doc count.
-    val collocRows = time(s"collocations (w=3) over $nDocs docs") {
-      graft.operators.TextAnalysis.collocations(corpus, window = 3,
-        minCount = 5, topK = 50).count()
-    }
-    println(s"[probe] collocation rows = $collocRows")
-
-    // Growth-stable train/valid/test split: pure row-local CASE over an
-    // md5 prefix — the probe point just pins the expected ~linear scan
-    // cost (and that the reduction to 3 counters stays flat).
-    val splitGroups = time(s"hash split (80/10/10) over $nDocs docs") {
-      graft.operators.TextAnalysis.hashSplit(corpus,
-        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
-        .groupBy("split").count().count()
-    }
-    println(s"[probe] split groups = $splitGroups")
 
     // --- synthesize embeddings at factor x ---------------------------
-    val emb = Engine.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
-    val eoff = emb.agg(max("vec_id")).head().getLong(0) + 1
-    val bigEmb = (0 until factor).map { k =>
-      if (k == 0) emb
-      else emb.select((col("vec_id") + lit(k * eoff)).as("vec_id"),
-        transform(col("embedding"),
-          x => (x + lit((k * 0.003).toFloat)).cast("float")).as("embedding"))
-    }.reduce(_ union _)
     val embDir = s"$scratchBase/embeddings_input"
-    bigEmb.write.mode("overwrite").parquet(embDir)
-    val vectors = spark.read.parquet(embDir)
-    val nVec = vectors.count()
-    println(s"[probe] embedding rows = $nVec")
+    lazy val vectors = {
+      val emb = Engine.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+      val eoff = emb.agg(max("vec_id")).head().getLong(0) + 1
+      val bigEmb = (0 until factor).map { k =>
+        if (k == 0) emb
+        else emb.select((col("vec_id") + lit(k * eoff)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x + lit((k * 0.003).toFloat)).cast("float")).as("embedding"))
+      }.reduce(_ union _)
+      bigEmb.write.mode("overwrite").parquet(embDir)
+      val v = spark.read.parquet(embDir)
+      println(s"[probe] embedding rows = ${v.count()}")
+      v
+    }
 
-    val centroids = time("kmeans codebook (k=64, 3 iters)") {
-      val c = Similarity.kmeansCentroids(vectors, k = 64, iters = 3)
-      c.count(); c
+    if (on("ivf")) {
+      val centroids = time("kmeans codebook (k=64, 3 iters)") {
+        val c = Similarity.kmeansCentroids(vectors, k = 64, iters = 3)
+        c.count(); c
+      }
+      val queries = vectors.orderBy("vec_id").limit(10)
+      val topk = time("ivf top-10 (nProbe=4, 10 queries)") {
+        Similarity.ivfTopK(vectors, queries, centroids, k = 10, nProbe = 4).count()
+      }
+      println(s"[probe] ivf result rows = $topk")
     }
-    val queries = vectors.orderBy("vec_id").limit(10)
-    val topk = time("ivf top-10 (nProbe=4, 10 queries)") {
-      Similarity.ivfTopK(vectors, queries, centroids, k = 10, nProbe = 4).count()
-    }
-    println(s"[probe] ivf result rows = $topk")
 
     // --- fixpoint closure at factor x --------------------------------
     // A complete binary tree with 100k x factor nodes: the closure from
@@ -151,20 +177,22 @@ object ScaleProbe {
     // (the reached side grows to the full closure while rounds keep
     // adding frontier-sized work).
     val nNodes = 100000L * factor
-    val ids = spark.range(nNodes)
-    val treeEdges = ids.select(col("id").as("u"), (col("id") * 2 + 1).as("v"))
-      .union(ids.select(col("id").as("u"), (col("id") * 2 + 2).as("v")))
-      .filter(col("v") < nNodes)
     val edgesDir = s"$scratchBase/edges_input"
-    treeEdges.write.mode("overwrite").parquet(edgesDir)
-    val edges = spark.read.parquet(edgesDir)
-    val closed = time(s"fixpoint closure over $nNodes-node tree") {
-      graft.operators.Fixpoint.iterate(
-        spark.range(1).select(lit(0L).as("x")),
-        d => d.join(edges, d("x") === edges("u")).select(col("v").as("x")))
-        .count()
+    if (on("fixpoint")) {
+      val ids = spark.range(nNodes)
+      val treeEdges = ids.select(col("id").as("u"), (col("id") * 2 + 1).as("v"))
+        .union(ids.select(col("id").as("u"), (col("id") * 2 + 2).as("v")))
+        .filter(col("v") < nNodes)
+      treeEdges.write.mode("overwrite").parquet(edgesDir)
+      val edges = spark.read.parquet(edgesDir)
+      val closed = time(s"fixpoint closure over $nNodes-node tree") {
+        graft.operators.Fixpoint.iterate(
+          spark.range(1).select(lit(0L).as("x")),
+          d => d.join(edges, d("x") === edges("u")).select(col("v").as("x")))
+          .count()
+      }
+      println(s"[probe] fixpoint closure rows = $closed (expect $nNodes)")
     }
-    println(s"[probe] fixpoint closure rows = $closed (expect $nNodes)")
 
     // --- cluster-scoped semantic dedup at factor x --------------------
     // LAST so the stage order (and JVM-contamination profile) of the
@@ -173,12 +201,15 @@ object ScaleProbe {
     // synthesized copies sit at cosine ~1 against their originals, so the
     // drop volume scales with factor and the within-cluster verify is
     // genuinely exercised, not a no-op.
-    val semK = math.max(16, (nVec / 500).toInt)
-    val semSurvivors = time(s"semantic dedup (k=$semK) over $nVec vectors") {
-      Similarity.semanticDeduplicate(vectors, k = semK, threshold = 0.999,
-        maxClusterSize = math.max(10000L, nVec / 10)).count()
+    if (on("semantic")) {
+      val nVec = vectors.count()
+      val semK = math.max(16, (nVec / 500).toInt)
+      val semSurvivors = time(s"semantic dedup (k=$semK) over $nVec vectors") {
+        Similarity.semanticDeduplicate(vectors, k = semK, threshold = 0.999,
+          maxClusterSize = math.max(10000L, nVec / 10)).count()
+      }
+      println(s"[probe] semantic survivors = $semSurvivors")
     }
-    println(s"[probe] semantic survivors = $semSurvivors")
 
     val inputBytes = dirBytes(Paths.get(corpusDir)) + dirBytes(Paths.get(embDir)) +
       dirBytes(Paths.get(edgesDir))
