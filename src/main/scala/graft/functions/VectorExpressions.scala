@@ -120,6 +120,92 @@ object VectorExpressions {
     }
     bestId
   }
+
+  /** Two-level (coarse→fine) nearest-centroid kernel — the large-k form of
+    * [[bestCentroid]]. The codebook is pre-partitioned into coarse cells
+    * (CSR layout: cell c's fine centroids are `fineIds`/`fineVecs` indices
+    * `cellStart(c) until cellStart(c+1)`, ids ascending within a cell);
+    * per row, the `nProbe` highest-cosine coarse cells are selected and
+    * only their fine centroids scored — per-vector work drops from O(k) to
+    * O(√k + nProbe·k/√k) dot products. Approximate: the true argmax can sit
+    * in an unprobed cell. Deterministic: fine comparison is
+    * (round6-cosine, then smaller id), which with nProbe ≥ cell count
+    * reproduces [[bestCentroid]] EXACTLY (its ascending strict-> scan also
+    * resolves ties to the smallest id) — the parity lever the spec uses.
+    * NaN scores never win anywhere; an all-NaN row falls back to
+    * `fineIds(0)` (the global minimum id), matching [[bestCentroid]].
+    */
+  def bestCentroidTwoLevel(v: ArrayData, coarse: Array[Array[Float]],
+      cellStart: Array[Int], fineIds: Array[Long], fineVecs: Array[Array[Float]],
+      nProbe: Int): Long = {
+    val n = v.numElements()
+    // Query norm once; coarse + fine scoring both reuse it.
+    var nv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; nv += x * x; i += 1 }
+    val vNorm = math.sqrt(nv)
+    // Top-nProbe coarse cells by (cosine, then smaller cell index):
+    // insertion into two small parallel arrays (nProbe is ~8).
+    val p = math.min(nProbe, coarse.length)
+    val cellOf = new Array[Int](p)
+    val scoreOf = new Array[Double](p)
+    var filled = 0
+    var c = 0
+    while (c < coarse.length) {
+      val ce = coarse(c)
+      val m = math.min(n, ce.length)
+      var dot = 0.0; var nb = 0.0
+      i = 0
+      while (i < m) {
+        val y = ce(i).toDouble
+        dot += v.getFloat(i).toDouble * y; nb += y * y
+        i += 1
+      }
+      val raw = dot / (vNorm * math.sqrt(nb))
+      // A NaN coarse score (zero-norm cell mean) ranks below every real
+      // score but is still probed when slots remain — so nProbe ≥ cell
+      // count probes EVERY cell, the exact-parity guarantee.
+      val cs = if (raw == raw) raw else Double.NegativeInfinity
+      var pos = filled
+      while (pos > 0 && scoreOf(pos - 1) < cs) pos -= 1
+      if (pos < p) {
+        val last = math.min(filled, p - 1)
+        var j = last
+        while (j > pos) { scoreOf(j) = scoreOf(j - 1); cellOf(j) = cellOf(j - 1); j -= 1 }
+        scoreOf(pos) = cs; cellOf(pos) = c
+        if (filled < p) filled += 1
+      }
+      c += 1
+    }
+    // Exhaustive scoring within the probed cells.
+    var best = Double.NegativeInfinity
+    var bestId = fineIds(0)
+    var haveBest = false
+    var s = 0
+    while (s < filled) {
+      val cell = cellOf(s)
+      var f = cellStart(cell)
+      val end = cellStart(cell + 1)
+      while (f < end) {
+        val ce = fineVecs(f)
+        val m = math.min(n, ce.length)
+        var dot = 0.0; var nb = 0.0
+        i = 0
+        while (i < m) {
+          val y = ce(i).toDouble
+          dot += v.getFloat(i).toDouble * y; nb += y * y
+          i += 1
+        }
+        val cs = round6(dot / (vNorm * math.sqrt(nb)))
+        if (cs > best || (cs == best && haveBest && fineIds(f) < bestId)) {
+          best = cs; bestId = fineIds(f); haveBest = true
+        }
+        f += 1
+      }
+      s += 1
+    }
+    bestId
+  }
 }
 
 /** cosine(a, b) over two array<float> columns, fully codegen'd. */
@@ -300,6 +386,67 @@ case class BestCentroidBroadcast(child: Expression,
     copy(child = newChild)
 
   override def prettyName: String = "best_centroid_bcast"
+}
+
+/** IVF-style two-level assignment — the k-beyond-broadcast-scale form.
+  * Scoring every centroid is O(k·dim) per row; at the SemDeDup contract's
+  * k ≈ N/clusterSize (10⁵-10⁶ on 100 TB) that linear scan IS the k-means
+  * bill. The codebook ships (broadcast) pre-partitioned into ~√k coarse
+  * cells; each row scores the √k cell means, probes the top `nProbe`
+  * cells, and scores only their fine centroids —
+  * O(√k + nProbe·√k) per row, a ~k/(√k·(nProbe+1)) work cut (11× at
+  * k=10⁴, ~30× at 10⁵). Approximate by design (the argmax can hide in an
+  * unprobed cell) but deterministic, duplicate-consistent (identical
+  * vectors always agree — the property SemDeDup's recall rests on), and
+  * EXACTLY [[BestCentroid]] when nProbe ≥ cell count (parity asserted in
+  * PipelineSpec).
+  */
+case class BestCentroidTwoLevel(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[
+      (Array[Array[Float]], Array[Int], Array[Long], Array[Array[Float]])],
+    nProbe: Int)
+  extends UnaryExpression {
+
+  require(nProbe >= 1, s"best_centroid_2level: nProbe must be >= 1, got $nProbe")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"best_centroid_2level requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+
+  @transient private lazy val cb = bc.value
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorExpressions.bestCentroidTwoLevel(a.asInstanceOf[ArrayData],
+      cb._1, cb._2, cb._3, cb._4, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("twoLevelBcast", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val coarse = ctx.addMutableState("float[][]", "tlCoarse")
+    val starts = ctx.addMutableState("int[]", "tlCellStart")
+    val ids = ctx.addMutableState("long[]", "tlFineIds")
+    val vecs = ctx.addMutableState("float[][]", "tlFineVecs")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""if ($ids == null) {
+         |  scala.Tuple4 t = (scala.Tuple4) $bcRef.value();
+         |  $coarse = (float[][]) t._1();
+         |  $starts = (int[]) t._2();
+         |  $ids = (long[]) t._3();
+         |  $vecs = (float[][]) t._4();
+         |}
+         |${ev.value} = graft.functions.VectorExpressions.bestCentroidTwoLevel(
+         |  $a, $coarse, $starts, $ids, $vecs, $nProbe);
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BestCentroidTwoLevel =
+    copy(child = newChild)
+
+  override def prettyName: String = "best_centroid_2level"
 }
 
 /** sign_lsh_bands(v): array of per-band sign-LSH buckets (`bits` planes

@@ -115,14 +115,23 @@ object Similarity {
     * the caller's centroid computation — fail loudly instead of silently
     * picking one of two divergent behaviors.
     *
-    * Codebook transport switches on k: small codebooks embed in the
-    * expression tree (reference objects — zero indirection); past
+    * Codebook transport AND kernel switch on k: small codebooks embed in
+    * the expression tree (reference objects — zero indirection); past
     * `spark.graft.ivfBroadcastCodebookK` centroids (default 1024) the
     * codebook rides a broadcast variable instead
     * ([[graft.functions.BestCentroidBroadcast]] — same kernel, identical
     * assignments), because an embedded codebook re-ships with every
     * serialized stage while a broadcast is fetched once per executor.
-    * Either way the scan stays a pure map: zero joins, zero exchanges.
+    * Past `spark.graft.twoLevelAssignK` centroids (default 8192) the
+    * exhaustive scan itself is the bill (O(k·dim) per ROW — at the
+    * SemDeDup contract's k ≈ N/500 that's most of the k-means wall), so
+    * assignment goes two-level ([[graft.functions.BestCentroidTwoLevel]]):
+    * the top `spark.graft.twoLevelAssignNProbe` (default 8) of ~√k coarse
+    * cells are probed per row. Approximate across cell boundaries but
+    * deterministic and duplicate-consistent (identical vectors always
+    * agree — the property SemDeDup recall rests on); set
+    * twoLevelAssignNProbe ≥ √k to recover the exact argmax. In every
+    * regime the scan stays a pure map: zero joins, zero exchanges.
     */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
@@ -136,8 +145,18 @@ object Similarity {
         "in codebook — cosine against them is undefined (NaN)")
     val broadcastK = spark.conf.getOption("spark.graft.ivfBroadcastCodebookK")
       .map(_.toInt).getOrElse(1024)
+    val twoLevelK = spark.conf.getOption("spark.graft.twoLevelAssignK")
+      .map(_.toInt).getOrElse(8192)
     val expr =
-      if (cb.length > broadcastK)
+      if (cb.length > twoLevelK) {
+        val nProbe = spark.conf.getOption("spark.graft.twoLevelAssignNProbe")
+          .map(_.toInt).getOrElse(8)
+        graft.functions.BestCentroidTwoLevel(
+          ColumnBridge.expression(col("embedding")),
+          spark.sparkContext.broadcast(
+            buildTwoLevelCodebook(cb.map(_._1), cb.map(_._2))),
+          nProbe)
+      } else if (cb.length > broadcastK)
         graft.functions.BestCentroidBroadcast(
           ColumnBridge.expression(col("embedding")),
           spark.sparkContext.broadcast((cb.map(_._1), cb.map(_._2))))
@@ -146,6 +165,80 @@ object Similarity {
           ColumnBridge.expression(col("embedding")), cb.map(_._1), cb.map(_._2))
     corpus.select(col("vec_id"), col("embedding"),
       ColumnBridge.column(expr).as("cid"))
+  }
+
+  /** Partition a collected codebook into ~√k coarse cells for
+    * [[graft.functions.BestCentroidTwoLevel]]: deterministic driver-local
+    * k-means over the CENTROIDS (seeds = every (k/C)-th id-sorted centroid,
+    * 2 Lloyd rounds, cosine assignment) and a CSR layout of the fine
+    * centroids grouped by cell, ids ascending within each. Empty cells are
+    * compacted away. Cost is O(k·√k·dim) on the driver per call —
+    * per-centroid assignment fans out on a parallel stream; at k=10⁴/dim 64
+    * it's ~100 ms, and it buys the executors a ~(nProbe+1)·√k-vs-k work cut
+    * on every row of the corpus scan.
+    */
+  private[graft] def buildTwoLevelCodebook(ids: Array[Long],
+      vecs: Array[Array[Float]])
+      : (Array[Array[Float]], Array[Int], Array[Long], Array[Array[Float]]) = {
+    val k = ids.length
+    val c = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val dim = vecs(0).length
+    val norms = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    var coarse = Array.tabulate(c)(j => vecs((j.toLong * k / c).toInt).map(_.toDouble))
+    val assign = new Array[Int](k)
+    for (_ <- 0 until 2) {
+      val cNorms = coarse.map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      val frozen = coarse
+      java.util.stream.IntStream.range(0, k).parallel().forEach { f =>
+        val v = vecs(f)
+        var best = Double.NegativeInfinity
+        var bestC = 0
+        var j = 0
+        while (j < frozen.length) {
+          val ce = frozen(j)
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i).toDouble * ce(i); i += 1 }
+          val cs = dot / (norms(f) * cNorms(j))
+          if (cs > best) { best = cs; bestC = j }
+          j += 1
+        }
+        assign(f) = bestC
+      }
+      val sums = Array.fill(c)(new Array[Double](dim))
+      val counts = new Array[Long](c)
+      var f = 0
+      while (f < k) {
+        val s = sums(assign(f)); val v = vecs(f)
+        var i = 0
+        while (i < dim) { s(i) += v(i).toDouble; i += 1 }
+        counts(assign(f)) += 1
+        f += 1
+      }
+      coarse = Array.tabulate(c)(j =>
+        if (counts(j) == 0) coarse(j) else sums(j).map(_ / counts(j)))
+    }
+    // CSR by (cell, id): ids are already ascending in the input, and the
+    // grouping sort is stable, so within-cell order stays ascending.
+    val byCell = (0 until k).groupBy(assign).toSeq.sortBy(_._1)
+      .filter(_._2.nonEmpty)
+    val cellStart = new Array[Int](byCell.length + 1)
+    val outIds = new Array[Long](k)
+    val outVecs = new Array[Array[Float]](k)
+    var pos = 0
+    byCell.zipWithIndex.foreach { case ((_, members), ci) =>
+      cellStart(ci) = pos
+      members.foreach { f => outIds(pos) = ids(f); outVecs(pos) = vecs(f); pos += 1 }
+      cellStart(ci + 1) = pos
+    }
+    (byCell.map(b => coarse(b._1).map(_.toFloat)).toArray, cellStart, outIds, outVecs)
   }
 
   /** IVF top-k: probe the `nProbe` nearest centroid buckets per query and

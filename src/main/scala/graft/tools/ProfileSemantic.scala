@@ -17,6 +17,11 @@ import graft.operators.Similarity
   * Post-GC driver heap prints per run: at k=10⁴ it must stay flat vs the
   * k=N/500 default, since nothing k-sized persists on the driver beyond
   * the transient per-iteration assignment broadcast.
+  *
+  * A 4th arg `exhaustive` pins `spark.graft.twoLevelAssignK` past any k,
+  * forcing the O(k)-per-row exhaustive assignment kernel — the A/B arm
+  * against the default two-level (coarse→fine) assignment that engages
+  * above k=8192.
   */
 object ProfileSemantic {
   private def usedHeapMb(): Long = {
@@ -30,9 +35,11 @@ object ProfileSemantic {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
     val kOverride = if (args.length > 2) Some(args(2).toInt) else None
+    val exhaustive = args.length > 3 && args(3) == "exhaustive"
     val scratchBase = s"${System.getProperty("java.io.tmpdir")}/graft_profsem"
     val spark = Engine.session()
     spark.conf.set("spark.graft.scratchDir", scratchBase)
+    if (exhaustive) spark.conf.set("spark.graft.twoLevelAssignK", Int.MaxValue.toString)
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     val emb = Engine.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val eoff = emb.agg(max("vec_id")).head().getLong(0) + 1
@@ -47,7 +54,11 @@ object ProfileSemantic {
     val vectors = spark.read.parquet(dir)
     val n = vectors.count()
     val k = kOverride.getOrElse(math.max(16, (n / 500).toInt))
-    println(s"[sem] corpus = $n vectors, k = $k (${if (k > 1024) "distributed" else "collected"} codebook)")
+    val twoLevelK = spark.conf.getOption("spark.graft.twoLevelAssignK")
+      .map(_.toInt).getOrElse(8192)
+    println(s"[sem] corpus = $n vectors, k = $k " +
+      s"(${if (k > 1024) "distributed" else "collected"} codebook, " +
+      s"${if (k > twoLevelK) "two-level" else "exhaustive"} assignment)")
     for (run <- 1 to 2) {
       val t0 = System.nanoTime()
       val survivors = Similarity.semanticDeduplicate(vectors, k = k,

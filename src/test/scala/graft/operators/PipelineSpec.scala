@@ -127,6 +127,70 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("two-level assignment with nProbe >= cell count IS the exhaustive argmax") {
+    import spark.implicits._
+    val vecs = spark.range(3000)
+      .map(id => (id, Array.tabulate(8)(i => (((id * 31 + i * 17) % 97) + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 2000)
+    val kKey = "spark.graft.twoLevelAssignK"
+    val pKey = "spark.graft.twoLevelAssignNProbe"
+    def assign(): Seq[(Long, Long)] =
+      Similarity.assignToCentroids(vecs, cents)
+        .select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    try {
+      val exhaustive = assign() // k=2000 < default 8192: exhaustive kernel
+      spark.conf.set(kKey, "64")     // force the two-level kernel...
+      spark.conf.set(pKey, "1000000") // ...probing EVERY coarse cell
+      assert(assign() == exhaustive) // same round6-cosine + min-id ties
+    } finally { spark.conf.unset(kKey); spark.conf.unset(pKey) }
+  }
+
+  test("two-level assignment at default nProbe: duplicate-consistent, mostly exact") {
+    import spark.implicits._
+    val vecs = spark.range(3000)
+      .map(id => (id, Array.tabulate(8)(i => (((id * 31 + i * 17) % 97) + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    // Planted exact duplicates of vectors 0..49 at ids 10000+.
+    val corpus = vecs.union(vecs.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val cents = vecs.filter(col("vec_id") < 2000)
+    val kKey = "spark.graft.twoLevelAssignK"
+    def assign(): Map[Long, Long] =
+      Similarity.assignToCentroids(corpus, cents)
+        .select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    try {
+      val exhaustive = assign()
+      spark.conf.set(kKey, "64")
+      val twoLevel = assign()
+      // Identical vectors agree under ANY deterministic kernel — the
+      // property SemDeDup's exact-duplicate recall rests on.
+      (0L until 50L).foreach(id => assert(twoLevel(id) == twoLevel(id + 10000)))
+      // And the approximation is mild: the probed top-8 of ~45 cells
+      // recovers the true argmax for the large majority of rows.
+      val agree = exhaustive.count { case (id, cid) => twoLevel(id) == cid }
+      assert(agree.toDouble / exhaustive.size >= 0.8,
+        s"two-level agreement ${agree.toDouble / exhaustive.size}")
+    } finally spark.conf.unset(kKey)
+  }
+
+  test("semantic dedup contract holds under forced two-level assignment") {
+    import spark.implicits._
+    val corpus = embeddings.select("vec_id", "embedding")
+      .union(embeddings.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 50000).as("vec_id"), col("embedding")))
+    val kKey = "spark.graft.twoLevelAssignK"
+    try {
+      spark.conf.set(kKey, "4") // k=8 codebook goes through the 2-level path
+      val survivors = Similarity.semanticDeduplicate(corpus, k = 8, threshold = 0.9999)
+        .select("vec_id").as[Long].collect().toSet
+      val originals = embeddings.select("vec_id").as[Long].collect().toSet
+      assert(survivors == originals)
+    } finally spark.conf.unset(kKey)
+  }
+
   test("distributed-codebook kmeans (k past the broadcast bound) sustains semantic dedup") {
     import spark.implicits._
     val corpus = embeddings.select("vec_id", "embedding")
