@@ -32,11 +32,16 @@ object VectorExpressions {
 
   /** Spark-`round(x, 6)` semantics (HALF_UP on the decimal string value) —
     * shared by eval and codegen so argmax ties quantize identically to the
-    * SQL formulation.
+    * SQL formulation. Non-finite values pass through like Spark's `round`
+    * (BigDecimal.valueOf(NaN) THROWS — before this guard a zero-norm
+    * corpus row, whose cosine is NaN against every centroid, crashed the
+    * assignment task instead of taking the documented never-wins path).
     */
   def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
-      .doubleValue()
+    if (java.lang.Double.isFinite(x))
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    else x
 
   /** Sign-LSH bucket kernel: bit j of the result is sign(dot(v, h_j)) > 0,
     * all hyperplanes evaluated in ONE pass over the vector (the
@@ -132,8 +137,10 @@ object VectorExpressions {
     * (round6-cosine, then smaller id), which with nProbe ≥ cell count
     * reproduces [[bestCentroid]] EXACTLY (its ascending strict-> scan also
     * resolves ties to the smallest id) — the parity lever the spec uses.
-    * NaN scores never win anywhere; an all-NaN row falls back to
-    * `fineIds(0)` (the global minimum id), matching [[bestCentroid]].
+    * NaN scores never win anywhere; an all-NaN row (zero-norm vector)
+    * falls back to the GLOBAL minimum id — `fineIds` is cell-grouped, so
+    * the rare path scans for it — matching [[bestCentroid]]'s `ids(0)` on
+    * its ascending layout.
     */
   def bestCentroidTwoLevel(v: ArrayData, coarse: Array[Array[Float]],
       cellStart: Array[Int], fineIds: Array[Long], fineVecs: Array[Array[Float]],
@@ -204,7 +211,15 @@ object VectorExpressions {
       }
       s += 1
     }
-    bestId
+    if (!haveBest) {
+      // All probed scores NaN (zero-norm row): match bestCentroid's
+      // ids(0) fallback — the global min id, found by scan since fineIds
+      // is cell-grouped rather than globally sorted.
+      var mn = fineIds(0)
+      var f = 1
+      while (f < fineIds.length) { if (fineIds(f) < mn) mn = fineIds(f); f += 1 }
+      mn
+    } else bestId
   }
 }
 

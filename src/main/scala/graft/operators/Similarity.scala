@@ -133,7 +133,20 @@ object Similarity {
     * twoLevelAssignNProbe ≥ √k to recover the exact argmax. In every
     * regime the scan stays a pure map: zero joins, zero exchanges.
     */
-  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroidsKeepHandle(corpus, centroids)._1
+
+  /** [[assignToCentroids]] exposing the codebook Broadcast handle (None in
+    * the embedded-expression regime). The distributed k-means loop creates
+    * a fresh k-sized broadcast per ITERATION; without an explicit
+    * `destroy()` after each round's means are materialized, reclaiming
+    * those blocks waits on driver GC + ContextCleaner — at the contract's
+    * k (10⁵-10⁶, tens-to-hundreds of MB each) several rounds' codebooks
+    * can sit live in block-manager memory meanwhile.
+    */
+  private[operators] def assignToCentroidsKeepHandle(corpus: DataFrame,
+      centroids: DataFrame)
+      : (DataFrame, Option[org.apache.spark.broadcast.Broadcast[_]]) = {
     val spark = corpus.sparkSession
     val cb = centroids.select(col("vec_id").cast("long"), col("embedding"))
       .collect()
@@ -147,24 +160,24 @@ object Similarity {
       .map(_.toInt).getOrElse(1024)
     val twoLevelK = spark.conf.getOption("spark.graft.twoLevelAssignK")
       .map(_.toInt).getOrElse(8192)
-    val expr =
+    val (expr, handle) =
       if (cb.length > twoLevelK) {
         val nProbe = spark.conf.getOption("spark.graft.twoLevelAssignNProbe")
           .map(_.toInt).getOrElse(8)
-        graft.functions.BestCentroidTwoLevel(
-          ColumnBridge.expression(col("embedding")),
-          spark.sparkContext.broadcast(
-            buildTwoLevelCodebook(cb.map(_._1), cb.map(_._2))),
-          nProbe)
-      } else if (cb.length > broadcastK)
-        graft.functions.BestCentroidBroadcast(
-          ColumnBridge.expression(col("embedding")),
-          spark.sparkContext.broadcast((cb.map(_._1), cb.map(_._2))))
-      else
-        graft.functions.BestCentroid(
-          ColumnBridge.expression(col("embedding")), cb.map(_._1), cb.map(_._2))
-    corpus.select(col("vec_id"), col("embedding"),
-      ColumnBridge.column(expr).as("cid"))
+        val bc = spark.sparkContext.broadcast(
+          buildTwoLevelCodebook(cb.map(_._1), cb.map(_._2)))
+        (graft.functions.BestCentroidTwoLevel(
+          ColumnBridge.expression(col("embedding")), bc, nProbe), Some(bc))
+      } else if (cb.length > broadcastK) {
+        val bc = spark.sparkContext.broadcast((cb.map(_._1), cb.map(_._2)))
+        (graft.functions.BestCentroidBroadcast(
+          ColumnBridge.expression(col("embedding")), bc), Some(bc))
+      } else
+        (graft.functions.BestCentroid(
+          ColumnBridge.expression(col("embedding")), cb.map(_._1), cb.map(_._2)),
+          None)
+    (corpus.select(col("vec_id"), col("embedding"),
+      ColumnBridge.column(expr).as("cid")), handle)
   }
 
   /** Partition a collected codebook into ~√k coarse cells for
@@ -380,10 +393,14 @@ object Similarity {
         col("embedding"))),
       "kmeans_cb")
     for (_ <- 0 until iters) {
+      val (assigned, handle) = assignToCentroidsKeepHandle(corpus, centroids)
       val (next, nextDir) = Scratch.materialize(
-        meanByKey(assignToCentroids(corpus, centroids)
-          .select(col("cid"), col("embedding"))),
+        meanByKey(assigned.select(col("cid"), col("embedding"))),
         "kmeans_cb")
+      // The means are on parquet — this round's codebook broadcast has no
+      // remaining reader; free the block-manager memory now instead of
+      // waiting for driver GC to notice the dropped handle.
+      handle.foreach(_.destroy())
       Scratch.delete(spark, dir)
       centroids = next
       dir = nextDir
@@ -575,10 +592,14 @@ object Similarity {
     val centroids = kmeansCentroids(corpus, k, kmeansIters)
     // Assignment feeds both join sides and the size check: materialize it
     // once (8+ bytes/row of ids + the embedding) instead of re-running
-    // the scan per consumer; reclaimed after the drop set is pinned.
+    // the scan per consumer; reclaimed after the drop set is pinned. The
+    // codebook broadcast has no reader once the rows are on parquet —
+    // free it now rather than when GC notices the dropped handle.
+    val (assignPlan, bcHandle) = assignToCentroidsKeepHandle(corpus, centroids)
     val (assigned, aDir) = Scratch.materialize(
-      assignToCentroids(corpus, centroids).select("cid", "vec_id", "embedding"),
+      assignPlan.select("cid", "vec_id", "embedding"),
       "semdedup_assign")
+    bcHandle.foreach(_.destroy())
     val oversized = assigned.groupBy("cid").count()
       .filter(col("count") > maxClusterSize).collect()
     require(oversized.isEmpty,

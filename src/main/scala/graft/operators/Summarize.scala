@@ -45,11 +45,16 @@ object Summarize {
   def rows(df: DataFrame): Seq[Row] = {
     val fields = df.schema.fields.toSeq
     if (fields.isEmpty) return Seq.empty
+    // Resolve columns POSITIONALLY (toDF renames by position): a join
+    // result or view can carry duplicate column names, where a by-name
+    // col("`x`") throws AMBIGUOUS_REFERENCE — DuckDB's SUMMARIZE profiles
+    // such tables fine, so we must too. Reported names stay the originals.
+    val positional = df.toDF(fields.indices.map(i => s"__graft_sum_c$i"): _*)
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
-    val aggs = fields.flatMap { f =>
-      val c = col(s"`${f.name}`")
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"__graft_sum_c$i")
       val isNum = f.dataType.isInstanceOf[NumericType]
       val ord = orderable(f.dataType)
       Seq(
@@ -61,7 +66,7 @@ object Summarize {
         count(c).cast("long"),
         count(when(c.isNull, lit(1))).cast("long"))
     }
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val r = positional.agg(aggs.head, aggs.tail: _*).head()
     fields.zipWithIndex.map { case (f, i) =>
       val b = i * 7
       def opt[A](j: Int, get: Int => A): Any =

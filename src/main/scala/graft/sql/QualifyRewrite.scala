@@ -34,7 +34,12 @@ object QualifyRewrite {
   /** Top-level (depth-0) bare words with their char offsets — skips
     * string literals ('…' with '' escapes), quoted identifiers ("…", `…`),
     * line comments (`-- …`), bracketed comments, and any parenthesized
-    * region.
+    * region. A positional parameter marker `?` at ANY depth (outside
+    * strings/comments) is surfaced as the pseudo-word `?`: positional
+    * binding is by marker ORDER, and the rewrite moves the predicate text
+    * ahead of the FROM/WHERE section — values would silently bind to the
+    * wrong markers — so the caller declines such statements (named `:p`
+    * parameters bind by name and survive reordering fine).
     */
   private[sql] def topLevelWords(sql: String): Vector[(String, Int)] = {
     val out = Vector.newBuilder[(String, Int)]
@@ -45,6 +50,7 @@ object QualifyRewrite {
       sql.charAt(i) match {
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
+        case '?' => out += (("?", i)); i += 1
         case '\'' =>
           i += 1
           var done = false
@@ -81,6 +87,9 @@ object QualifyRewrite {
     val words = topLevelWords(sql)
     val qIdx = words.indexWhere(_._1 == "QUALIFY")
     if (qIdx < 0) return None
+    // Positional parameters bind by marker order — reordering text around
+    // them rebinds values silently. Decline; the hint shows the manual form.
+    if (words.exists(_._1 == "?")) return None
     // Bail on shapes the splice would change: set operations (EXCEPT only
     // when used as one — `* EXCEPT (…)` has '(' as its next char) and
     // SELECT DISTINCT.

@@ -35,6 +35,11 @@ object ProfileVocab {
   private def joinOps(df: DataFrame): Seq[String] = {
     def strip(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
+      // Realized AQE trees wrap materialized stages in QueryStageExec
+      // LEAVES — the join operators live inside stage.plan, which
+      // `children` does not expose.
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        strip(q.plan) :+ q
       case other => other.children.flatMap(strip) :+ other
     }
     strip(df.queryExecution.executedPlan)
@@ -49,7 +54,11 @@ object ProfileVocab {
     def run(name: String, docs: DataFrame, minCount: Int): Unit = {
       val t0 = System.nanoTime()
       val out = TextAnalysis.collocations(docs, window = 3, minCount = minCount, topK = 50)
-      val n = out.count()
+      // collect(), not count(): count() spawns a SEPARATE QueryExecution,
+      // which would leave `out`'s own plan un-executed — joinOps would
+      // then read the STATIC initial plan, not the AQE-realized one this
+      // tool exists to prove. The output is topK rows; collect is free.
+      val n = out.collect().length
       println(f"[vocab] $name%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
         f"($n rows) joins = ${joinOps(out).mkString(", ")}")
     }

@@ -46,8 +46,15 @@ object ScaleProbe {
     // Optional stage filter (comma list of
     // colloc,split,dedup,span,ivf,fixpoint,semantic; default all) — a
     // single-operator curve shouldn't pay for the full battery.
+    val known = Set("all", "colloc", "split", "dedup", "span", "ivf",
+      "fixpoint", "semantic")
     val stages = if (args.length > 2) args(2).split(",").map(_.trim).toSet
                  else Set("all")
+    val unknown = stages -- known
+    require(unknown.isEmpty,
+      s"ScaleProbe: unknown stage(s) ${unknown.mkString(",")} — valid: " +
+        known.toSeq.sorted.mkString(",") +
+        " (a typo would silently measure nothing)")
     def on(s: String): Boolean = stages.contains("all") || stages.contains(s)
     // Pin the scratch root somewhere the poller can watch; clear leftovers
     // from a previous factor so the peak-scratch poll measures THIS run.

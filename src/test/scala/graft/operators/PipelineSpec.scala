@@ -129,8 +129,11 @@ class PipelineSpec extends AnyFunSuite {
 
   test("two-level assignment with nProbe >= cell count IS the exhaustive argmax") {
     import spark.implicits._
-    val vecs = spark.range(3000)
-      .map(id => (id, Array.tabulate(8)(i => (((id * 31 + i * 17) % 97) + 1).toFloat)))
+    // Row 3000 is zero-norm: NaN against every centroid — both kernels
+    // must take the same global-min-id fallback for exact parity.
+    val vecs = spark.range(3001)
+      .map(id => (id, if (id == 3000L) Array.fill(8)(0f)
+        else Array.tabulate(8)(i => (((id * 31 + i * 17) % 97) + 1).toFloat)))
       .toDF("vec_id", "embedding")
     val cents = vecs.filter(col("vec_id") < 2000)
     val kKey = "spark.graft.twoLevelAssignK"
@@ -174,6 +177,24 @@ class PipelineSpec extends AnyFunSuite {
       assert(agree.toDouble / exhaustive.size >= 0.8,
         s"two-level agreement ${agree.toDouble / exhaustive.size}")
     } finally spark.conf.unset(kKey)
+  }
+
+  test("two-level kernel: all-NaN row falls back to the GLOBAL min id") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // Hand-built CSR layout where the min id (3) is NOT in cell 0 —
+    // fineIds(0) would be the wrong fallback; bestCentroid's ascending
+    // layout returns ids(0) = 3, and the two-level kernel must agree.
+    val coarse = Array(Array(1f, 0f), Array(0f, 1f))
+    val cellStart = Array(0, 1, 3)
+    val fineIds = Array(7L, 3L, 5L)
+    val fineVecs = Array(Array(1f, 0f), Array(0f, 1f), Array(0.5f, 0.5f))
+    val zero = new GenericArrayData(Array(0f, 0f))
+    val got = graft.functions.VectorExpressions.bestCentroidTwoLevel(
+      zero, coarse, cellStart, fineIds, fineVecs, nProbe = 2)
+    assert(got == 3L)
+    val exhaustive = graft.functions.VectorExpressions.bestCentroid(
+      zero, Array(3L, 5L, 7L), Array(fineVecs(1), fineVecs(2), fineVecs(0)))
+    assert(exhaustive == 3L)
   }
 
   test("semantic dedup contract holds under forced two-level assignment") {

@@ -59,6 +59,20 @@ class SummarizeSpec extends AnyFunSuite {
     assert(rows.forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
 
+  test("duplicate column names (join results) profile fine — positional resolve") {
+    import spark.implicits._
+    // A self-join carries two columns named 'id'; by-name col("`id`")
+    // would throw AMBIGUOUS_REFERENCE. DuckDB's SUMMARIZE handles such
+    // tables, so the profile must resolve positionally.
+    val l = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val r = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
+    val joined = l.join(r, l("id") === r("id")) // columns: id, s, id, x
+    val rows = Summarize.rows(joined)
+    assert(rows.map(_.getString(0)) == Seq("id", "s", "id", "x"))
+    assert(rows.count(_.getString(0) == "id") == 2)
+    assert(rows.forall(_.getLong(7) == 2L))
+  }
+
   test("one scan however many columns: every input row is read exactly once") {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("summarize_rows_scanned")

@@ -54,4 +54,17 @@ class QualifyRewriteSpec extends AnyFunSuite {
   test("QUALIFY before FROM (malformed) declines instead of splicing garbage") {
     assert(QualifyRewrite.rewrite("QUALIFY SELECT a FROM t").isEmpty)
   }
+
+  test("positional parameters decline the rewrite (binding is by marker order)") {
+    // Moving the predicate text ahead of WHERE would swap which value
+    // binds to which '?' — silently wrong rows. Markers at ANY depth
+    // (e.g. inside the OVER clause) must decline; '?' inside a string
+    // literal is not a marker and must not.
+    assert(QualifyRewrite.rewrite(
+      "SELECT a FROM t WHERE b > ? QUALIFY row_number() OVER (ORDER BY a) <= ?").isEmpty)
+    assert(QualifyRewrite.rewrite(
+      "SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) <= ?").isEmpty)
+    assert(QualifyRewrite.rewrite(
+      "SELECT a, '?' AS q FROM t QUALIFY rank() OVER (ORDER BY a) = 1").nonEmpty)
+  }
 }
