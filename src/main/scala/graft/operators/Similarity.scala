@@ -188,7 +188,14 @@ object Similarity {
     * compacted away. Cost is O(k·√k·dim) on the driver per call —
     * per-centroid assignment fans out on a parallel stream; at k=10⁴/dim 64
     * it's ~100 ms, and it buys the executors a ~(nProbe+1)·√k-vs-k work cut
-    * on every row of the corpus scan.
+    * on every row of the corpus scan. Honest ceiling: the cost is
+    * superlinear in k, so at the contract's far end (k=10⁶, dim 768) a
+    * build is minutes of driver compute, paid once per k-means iteration
+    * while the cluster idles — still usually the right trade against
+    * O(k·dim) per corpus ROW, but the known amortization (reusing the
+    * previous round's coarse fit as the next round's seed, fitting on a
+    * centroid sample) is NOT implemented; revisit before pointing this at
+    * k much beyond 10⁵.
     */
   private[graft] def buildTwoLevelCodebook(ids: Array[Long],
       vecs: Array[Array[Float]])
@@ -240,8 +247,9 @@ object Similarity {
     }
     // CSR by (cell, id): ids are already ascending in the input, and the
     // grouping sort is stable, so within-cell order stays ascending.
+    // Empty coarse cells are compacted implicitly — absent keys simply
+    // never appear in groupBy output.
     val byCell = (0 until k).groupBy(assign).toSeq.sortBy(_._1)
-      .filter(_._2.nonEmpty)
     val cellStart = new Array[Int](byCell.length + 1)
     val outIds = new Array[Long](k)
     val outVecs = new Array[Array[Float]](k)
@@ -281,20 +289,34 @@ object Similarity {
 
   /** Deterministic Lloyd's k-means for IVF/SemDeDup codebooks: assignment
     * by quantized cosine (id tie-break), centroid update =
-    * double-precision element-wise mean. Two regimes, switched on the same
-    * `spark.graft.ivfBroadcastCodebookK` bound the assignment map already
-    * uses (default 1024):
+    * double-precision element-wise mean. Two regimes, switched on
+    * `spark.graft.kmeansDistributedK` (default 1024) — its OWN conf, not
+    * the `ivfBroadcastCodebookK` transport knob: transport is documented
+    * as producing identical assignments, so tuning it must never change
+    * WHICH centroids an algorithm computes (a tool forcing broadcast
+    * transport with codebookK=1 would otherwise silently flip k-means to
+    * the different-init distributed algorithm):
     *
     *   - k ≤ bound (IVF-codebook scale): init = the k lowest vec_ids;
     *     updated centroids collect to the driver each iteration and
     *     re-embed in the assignment expression — the corpus is only ever
-    *     scanned, never shuffled.
+    *     scanned, never shuffled. (The per-group fold here deliberately
+    *     stays a mapGroups over whole groups rather than reusing
+    *     [[meanByKey]]: at codebook scale the exchange is k-row-trivial
+    *     either way, and keeping the accumulation a single in-order fold
+    *     avoids perturbing the FP sum order declared-query oracles have
+    *     hash-matched against.)
     *   - k > bound (the SemDeDup contract k ≈ N/clusterSize, so k reaches
     *     10⁵-10⁶ at 100 TB): nothing k-sized is pulled through
     *     driver-side Rows. Init is the deterministic bucket mean over
-    *     `vec_id % k` (one distributed aggregation — replaces the
-    *     `orderBy.limit(k)` driver pull, which at k=10⁶ would single-task
-    *     half a GB); each iteration's means come from a typed Aggregator
+    *     `pmod(xxhash64(vec_id), k)` (one distributed aggregation —
+    *     replaces the `orderBy.limit(k)` driver pull, which at k=10⁶
+    *     would single-task half a GB; the HASH matters: raw `vec_id % k`
+    *     collapses under structured ids — e.g.
+    *     monotonically_increasing_id's partitionId·2³³ stride with a
+    *     power-of-two k yields only rows-per-partition distinct residues,
+    *     far fewer than k seeds, and empty clusters are never re-seeded);
+    *     each iteration's means come from a typed Aggregator
     *     with map-side combine (k rows shuffle, not N), and centroids
     *     stay a parquet-backed DataFrame end-to-end
     *     ([[Scratch.materialize]] per round, previous round reclaimed).
@@ -308,9 +330,9 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val broadcastK = spark.conf.getOption("spark.graft.ivfBroadcastCodebookK")
+    val distributedK = spark.conf.getOption("spark.graft.kmeansDistributedK")
       .map(_.toInt).getOrElse(1024)
-    if (k > broadcastK) return kmeansCentroidsDistributed(corpus, k, iters)
+    if (k > distributedK) return kmeansCentroidsDistributed(corpus, k, iters)
     var centroids = corpus.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("embedding"))
     for (_ <- 0 until iters) {
@@ -389,7 +411,8 @@ object Similarity {
   private def kmeansCentroidsDistributed(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     var (centroids, dir) = Scratch.materialize(
-      meanByKey(corpus.select(pmod(col("vec_id").cast("long"), lit(k.toLong)).as("cid"),
+      meanByKey(corpus.select(
+        pmod(xxhash64(col("vec_id").cast("long")), lit(k.toLong)).as("cid"),
         col("embedding"))),
       "kmeans_cb")
     for (_ <- 0 until iters) {

@@ -29,6 +29,11 @@ object ProfileIvfK {
     val corpus = spark.read.parquet(scratch)
     val centroids = corpus.filter(col("vec_id") < k)
     println(s"[ivfk] n=$n k=$k dim=$dim codebook=${k.toLong * dim * 4} bytes")
+    // Pin the EXHAUSTIVE kernel: this tool A/Bs codebook TRANSPORT, and
+    // at k past spark.graft.twoLevelAssignK (8192) both arms would
+    // otherwise silently route to the two-level kernel, measuring
+    // something else entirely.
+    spark.conf.set("spark.graft.twoLevelAssignK", Int.MaxValue.toString)
     for (form <- Seq("embedded", "broadcast"); run <- 1 to 2) {
       spark.conf.set("spark.graft.ivfBroadcastCodebookK",
         if (form == "embedded") Int.MaxValue.toString else "1")

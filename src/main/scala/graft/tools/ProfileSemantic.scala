@@ -56,10 +56,10 @@ object ProfileSemantic {
     val k = kOverride.getOrElse(math.max(16, (n / 500).toInt))
     val twoLevelK = spark.conf.getOption("spark.graft.twoLevelAssignK")
       .map(_.toInt).getOrElse(8192)
-    val codebookK = spark.conf.getOption("spark.graft.ivfBroadcastCodebookK")
+    val distributedK = spark.conf.getOption("spark.graft.kmeansDistributedK")
       .map(_.toInt).getOrElse(1024)
     println(s"[sem] corpus = $n vectors, k = $k " +
-      s"(${if (k > codebookK) "distributed" else "collected"} codebook, " +
+      s"(${if (k > distributedK) "distributed" else "collected"} codebook, " +
       s"${if (k > twoLevelK) "two-level" else "exhaustive"} assignment)")
     for (run <- 1 to 2) {
       val t0 = System.nanoTime()

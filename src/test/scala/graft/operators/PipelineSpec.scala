@@ -217,12 +217,14 @@ class PipelineSpec extends AnyFunSuite {
     val corpus = embeddings.select("vec_id", "embedding")
       .union(embeddings.filter(col("vec_id") < 8)
         .select((col("vec_id") + 50000).as("vec_id"), col("embedding")))
+    val algoKey = "spark.graft.kmeansDistributedK"
     val key = "spark.graft.ivfBroadcastCodebookK"
     try {
-      // Force k=8 past the bound: kmeansCentroids takes the distributed
-      // path (bucket-mean init, Aggregator means, parquet-backed
+      // Force k=8 past BOTH bounds: kmeansCentroids takes the distributed
+      // path (hash-bucket-mean init, Aggregator means, parquet-backed
       // codebook) while assignment rides the broadcast variable. The
       // planted-duplicate contract must hold identically.
+      spark.conf.set(algoKey, "4")
       spark.conf.set(key, "4")
       val cents = Similarity.kmeansCentroids(corpus, k = 8, iters = 2)
       assert(cents.columns.toSeq == Seq("vec_id", "embedding"))
@@ -234,7 +236,24 @@ class PipelineSpec extends AnyFunSuite {
         .select("vec_id").as[Long].collect().toSet
       val originals = embeddings.select("vec_id").as[Long].collect().toSet
       assert(survivors == originals)
-    } finally spark.conf.unset(key)
+    } finally { spark.conf.unset(algoKey); spark.conf.unset(key) }
+  }
+
+  test("distributed init survives structured vec_ids (stride sharing a factor with k)") {
+    import spark.implicits._
+    // monotonically_increasing_id-style ids: a large power-of-two stride.
+    // Raw `vec_id % k` with k=4 maps EVERY id to residue 0 — one init
+    // seed, empty clusters never re-seeded; the hash-bucket init must
+    // still spread seeds over ~k cells.
+    val vecs = spark.range(64)
+      .map(i => (i * 4096L, Array.tabulate(8)(j => (((i * 31 + j * 17) % 97) + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val algoKey = "spark.graft.kmeansDistributedK"
+    try {
+      spark.conf.set(algoKey, "2")
+      val cents = Similarity.kmeansCentroids(vecs, k = 4, iters = 1)
+      assert(cents.count() >= 3, "hash-bucket init collapsed under strided ids")
+    } finally spark.conf.unset(algoKey)
   }
 
   test("componentsFromPairs labels arbitrary pair graphs with the min id") {
