@@ -16,9 +16,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   */
 object VectorExpressions {
 
+  /** Dimension guard shared by every kernel: mismatched vectors mean a
+    * corrupt/truncated embedding column, and silently scoring the common
+    * prefix returns confidently WRONG similarities (a 1-element vector
+    * "matches" anything at cosine 1.0). DuckDB's array_cosine_similarity
+    * errors on mismatch; so do we — fail the task loudly.
+    */
+  def requireSameDim(fn: String, an: Int, bn: Int): Unit =
+    if (an != bn) throw new IllegalArgumentException(
+      s"$fn: vector dimension mismatch ($an vs $bn) — corrupt or truncated embedding")
+
   /** dot/norm kernel shared by interpreted eval. */
   private[functions] def dotNorms(a: ArrayData, b: ArrayData): (Double, Double, Double) = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    requireSameDim("vector_cosine", n, b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -55,10 +66,10 @@ object VectorExpressions {
     var j = 0
     while (j < planes.length) {
       val h = planes(j)
-      val m = math.min(n, h.length)
+      requireSameDim("sign_lsh_bucket", n, h.length)
       var dot = 0.0
       var i = 0
-      while (i < m) { dot += v.getFloat(i).toDouble * h(i).toDouble; i += 1 }
+      while (i < n) { dot += v.getFloat(i).toDouble * h(i).toDouble; i += 1 }
       if (dot > 0) bucket |= (1L << j)
       j += 1
     }
@@ -84,10 +95,10 @@ object VectorExpressions {
       var k = 0
       while (k < bits) {
         val h = planes(j)
-        val m = math.min(n, h.length)
+        requireSameDim("sign_lsh_bands", n, h.length)
         var dot = 0.0
         var i = 0
-        while (i < m) { dot += v.getFloat(i).toDouble * h(i).toDouble; i += 1 }
+        while (i < n) { dot += v.getFloat(i).toDouble * h(i).toDouble; i += 1 }
         if (dot > 0) bucket |= (1L << k)
         k += 1; j += 1
       }
@@ -110,10 +121,10 @@ object VectorExpressions {
     var c = 0
     while (c < cents.length) {
       val ce = cents(c)
-      val m = math.min(n, ce.length)
+      requireSameDim("best_centroid", n, ce.length)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
-      while (i < m) {
+      while (i < n) {
         val x = v.getFloat(i).toDouble
         val y = ce(i).toDouble
         dot += x * y; na += x * x; nb += y * y
@@ -160,10 +171,10 @@ object VectorExpressions {
     var c = 0
     while (c < coarse.length) {
       val ce = coarse(c)
-      val m = math.min(n, ce.length)
+      requireSameDim("best_centroid_2level", n, ce.length)
       var dot = 0.0; var nb = 0.0
       i = 0
-      while (i < m) {
+      while (i < n) {
         val y = ce(i).toDouble
         dot += v.getFloat(i).toDouble * y; nb += y * y
         i += 1
@@ -195,10 +206,10 @@ object VectorExpressions {
       val end = cellStart(cell + 1)
       while (f < end) {
         val ce = fineVecs(f)
-        val m = math.min(n, ce.length)
+        requireSameDim("best_centroid_2level", n, ce.length)
         var dot = 0.0; var nb = 0.0
         i = 0
-        while (i < m) {
+        while (i < n) {
           val y = ce(i).toDouble
           dot += v.getFloat(i).toDouble * y; nb += y * y
           i += 1
@@ -253,7 +264,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        graft.functions.VectorExpressions.requireSameDim(
+          "vector_cosine", $a.numElements(), $b.numElements());
+        int $n = $a.numElements();
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           double $x = (double) $a.getFloat($i);

@@ -72,8 +72,11 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     try body catch {
       case pe: ParseException =>
         // Tier 1: mechanical rewrites that make the statement RUN.
+        // NonFatal only: an OOM or interrupt during the re-parse must
+        // propagate, not masquerade as "the rewrite didn't apply".
         def tryReparse(rw: Option[String]): Option[T] =
-          rw.flatMap(r => try Some(reparse(r)) catch { case _: Throwable => None })
+          rw.flatMap(r => try Some(reparse(r))
+            catch { case scala.util.control.NonFatal(_) => None })
         val rewritten = sqlText match {
           case summarizeTableRe(tbl) =>
             tryReparse(Some(s"SELECT * FROM summarize('$tbl')"))
@@ -167,13 +170,26 @@ object GraftSparkExtensions {
   val versionFn = scalarFn("highs_version", "versionStringUtf8")
   val opensslVersionFn = scalarFn("highs_openssl_version", "opensslVersionStringUtf8")
 
-  /** Embedding math as native codegen'd expressions (graft.functions). */
+  /** Embedding math as native codegen'd expressions (graft.functions).
+    * Arity is validated here (builders index into args): a wrong-arity
+    * call must read as a signature error, not IndexOutOfBoundsException.
+    */
+  private def checkArity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.size != n) throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION",
+      Map("errorMessage" -> s"$fn expects exactly $n argument(s), got ${args.size}"))
   val vectorCosineFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("vector_cosine"), info("vector_cosine"),
-      (args: Seq[Expression]) => graft.functions.CosineSimilarity(args(0), args(1)))
+      (args: Seq[Expression]) => {
+        checkArity("vector_cosine(array<float>, array<float>)", args, 2)
+        graft.functions.CosineSimilarity(args(0), args(1))
+      })
   val vectorNormFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("vector_norm"), info("vector_norm"),
-      (args: Seq[Expression]) => graft.functions.VectorNorm(args(0)))
+      (args: Seq[Expression]) => {
+        checkArity("vector_norm(array<float>)", args, 1)
+        graft.functions.VectorNorm(args(0))
+      })
 
   private def asString(v: Any): String = v match {
     case s: UTF8String => s.toString

@@ -91,11 +91,16 @@ object QualifyRewrite {
     // them rebinds values silently. Decline; the hint shows the manual form.
     if (words.exists(_._1 == "?")) return None
     // Bail on shapes the splice would change: set operations (EXCEPT only
-    // when used as one — `* EXCEPT (…)` has '(' as its next char) and
+    // when used as one — the star-EXCEPT projection `* EXCEPT (col, …)`
+    // has '(' next but never '(SELECT'; a parenthesized set-op branch
+    // `EXCEPT (SELECT …)` must still count as a set operation) and
     // SELECT DISTINCT.
     val setOp = words.exists { case (w, p) =>
-      w == "UNION" || w == "INTERSECT" ||
-        (w == "EXCEPT" && !sql.drop(p + "EXCEPT".length).trim.startsWith("("))
+      w == "UNION" || w == "INTERSECT" || (w == "EXCEPT" && {
+        val rest = sql.drop(p + "EXCEPT".length).trim
+        !rest.startsWith("(") ||
+          rest.drop(1).trim.toUpperCase.startsWith("SELECT")
+      })
     }
     val selIdx = words.indexWhere(_._1 == "SELECT")
     if (setOp || selIdx < 0) return None

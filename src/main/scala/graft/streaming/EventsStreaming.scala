@@ -87,20 +87,34 @@ object EventsStreaming {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
 
+  /** The streaming twin of [[rawBatch]], shared by every streaming query:
+    * FileStreamSource wants a directory, so the events file is selected
+    * out of the shared testdata dir with a glob filter, and the
+    * nanosecond parquet timestamps (read as long via nanosAsLong) become
+    * a real event-time column. One definition — a schema or conversion
+    * change must not need four synchronized edits.
+    */
+  private def rawStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+  }
+
   /** Hourly tumbling-window counts/sums per event_type, computed by the
     * streaming engine. Output matches the batch q25 shape:
     * (hour_epoch, event_type, n, value_cents).
     */
   def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FileStreamSource wants a directory; select just the events file out
-    // of the shared testdata dir with a glob filter.
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
-    val agg = stream
+    // window(ts, '1 hour') buckets are EPOCH-aligned while the batch
+    // q25's date_trunc('hour') truncates in the session timezone; the two
+    // agree because Engine.session pins spark.sql.session.timeZone=UTC.
+    // Under a non-whole-hour-offset zone (e.g. +05:30) they would
+    // diverge — if the UTC pin is ever relaxed, window() needs a
+    // startTime offset matching the zone.
+    val agg = rawStream(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
@@ -139,11 +153,7 @@ object EventsStreaming {
     * the streaming side).
     */
   private[graft] def enrichedAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = rawStream(spark, sfDir) // ts unused here; pruned by Catalyst
     val customers = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     stream
@@ -184,13 +194,7 @@ object EventsStreaming {
     * (event_type, n, value_cents).
     */
   def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def read() = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
-    val doubled = read().union(read())
+    val doubled = rawStream(spark, sfDir).union(rawStream(spark, sfDir))
     val deduped = doubled
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
@@ -219,12 +223,7 @@ object EventsStreaming {
     * broadcast).
     */
   private[graft] def attributionJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def read() = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    def read() = rawStream(spark, sfDir)
     val clicks = read().filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -319,7 +318,13 @@ object EventsStreaming {
               val ms = ev.ts.getTime
               open match {
                 case Some(s) if ms - s.lastMs <= gapMs =>
-                  open = Some(SessionAgg(s.startMs, math.max(s.lastMs, ms),
+                  // min() on start matters for CROSS-batch late events:
+                  // this batch is sorted, but a within-watermark event can
+                  // arrive in a later batch BEFORE the open session's
+                  // start — flatMapGroupsWithState does not drop late rows,
+                  // so the session must extend backwards, not just forwards.
+                  open = Some(SessionAgg(math.min(s.startMs, ms),
+                    math.max(s.lastMs, ms),
                     s.n + 1, s.sumValue + ev.value))
                 case Some(s) =>
                   closed += SessionOut(userId, s.n,

@@ -51,6 +51,11 @@ class QualifyRewriteSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("parenthesized set-op branch EXCEPT (SELECT ...) still declines") {
+    assert(QualifyRewrite.rewrite(
+      "SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) = 1 EXCEPT (SELECT a FROM u)").isEmpty)
+  }
+
   test("QUALIFY before FROM (malformed) declines instead of splicing garbage") {
     assert(QualifyRewrite.rewrite("QUALIFY SELECT a FROM t").isEmpty)
   }

@@ -241,4 +241,24 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(!ex.getMessage.contains("fixpoint("))
     assert(!ex.getMessage.contains("asof_join("))
   }
+
+  test("vector_cosine errors loudly on dimension mismatch instead of scoring a prefix") {
+    // A 1-element vector would otherwise 'match' anything at cosine 1.0 —
+    // silent truncation masks corrupt embeddings (DuckDB errors too).
+    val ok = spark.sql(
+      "SELECT vector_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c").head().getDouble(0)
+    assert(math.abs(ok - 1.0) < 1e-12)
+    val ex = intercept[Exception](spark.sql(
+      "SELECT vector_cosine(array(1.0f, 2.0f, 3.0f), array(1.0f)) AS c").collect())
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dimension mismatch")),
+      s"got: ${ex.getMessage}")
+  }
+
+  test("vector fns reject wrong arity with a signature message, not an index error") {
+    val ex = intercept[Exception](spark.sql("SELECT vector_cosine(array(1.0f))"))
+    assert(ex.getMessage.contains("expects exactly 2"), s"got: ${ex.getMessage}")
+    val ex2 = intercept[Exception](spark.sql("SELECT vector_norm()"))
+    assert(ex2.getMessage.contains("expects exactly 1"), s"got: ${ex2.getMessage}")
+  }
 }

@@ -94,6 +94,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization extends BACKWARDS for a cross-batch within-watermark late event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val sessions = EventsStreaming.sessionize(source.toDS(), gapSecs = 600)
+    val q = sessions.writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      // Batch 1: user 1 at minutes 20 and 21 (watermark -> minute 11).
+      source.addData(Ev(1, ts(20), 1.0), Ev(1, ts(21), 2.0))
+      q.processAllAvailable()
+      // Batch 2: a LATE event at minute 16 — inside the 10-min watermark
+      // (flatMapGroupsWithState does not drop late rows) and within the
+      // gap of the open session. The session must extend backwards:
+      // start=16, not 20.
+      source.addData(Ev(1, ts(16), 4.0))
+      q.processAllAvailable()
+      source.addData(Ev(2, ts(120), 0.0)) // close user 1 via watermark
+      q.processAllAvailable()              // (user 2's own session stays open)
+      val out = spark.table("late_sessions").as[SessionOut].collect()
+        .map(s => (s.user_id, s.n_events, s.duration_secs, s.sum_value)).toSet
+      assert(out == Set((1L, 3L, 300L, 7.0)), s"got $out")
+    } finally q.stop()
+  }
+
   test("file-source hourly stream matches the batch aggregation") {
     val streamed = EventsStreaming.hourlyCounts(spark, SparkTestSession.sfDir)
       .collect().toSeq
