@@ -336,10 +336,13 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
-    * Banding: `bands` bands of `rowsPerBand` rows (default 32x4 = 128
-    * hashes). Candidate P(detect) at Jaccard j is 1-(1-j^4)^32: ~1 for
-    * j>=0.9, 0.974 at j=0.8, so with verification the output is exact
-    * near-dup pairs minus an ~1e-7 recall loss at the 0.8 boundary.
+    * Banding: `bands` bands of `numHashes/bands` rows; the default
+    * `bands = 0` DERIVES the split from the threshold via
+    * [[lshParamsFor]] (0.8 → 32×4, P(detect at 0.8) = 0.974; 0.5 → 64×2
+    * — a hardcoded 32×4 at threshold 0.5 would silently miss ~13% of
+    * true pairs, since verification only removes false POSITIVES and
+    * cannot recover a pair banding never surfaced). Explicit `bands`
+    * overrides for callers/tests that own the trade-off.
     * Shuffles: shingles -> signatures (doc_id), band bucket join
     * (band idx+hash), verification joins (doc_id, shingle). Never O(n²).
     *
@@ -355,11 +358,19 @@ object Dedup {
     * the form to compose inside larger lazy builders or to `.explain`).
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8, numHashes: Int = 128,
-      bands: Int = 32, shingleN: Int = 3, materialized: Boolean = true): DataFrame =
+      bands: Int = 0, shingleN: Int = 3, materialized: Boolean = true): DataFrame = {
+    val b = effectiveBands(threshold, numHashes, bands)
     if (!materialized)
-      minhashLshPlan(docs, threshold, numHashes, bands, shingleN)
+      minhashLshPlan(docs, threshold, numHashes, b, shingleN)
     else
-      minhashLshMaterialized(docs, threshold, numHashes, bands, shingleN)._1
+      minhashLshMaterialized(docs, threshold, numHashes, b, shingleN)._1
+  }
+
+  /** `bands = 0` → threshold-derived banding ([[lshParamsFor]]); explicit
+    * values pass through.
+    */
+  private def effectiveBands(threshold: Double, numHashes: Int, bands: Int): Int =
+    if (bands == 0) lshParamsFor(threshold, numHashes)._1 else bands
 
   /** [[minhashLsh]]'s eager path, also returning the pair set's scratch dir
     * so callers that fully consume it ([[deduplicate]]'s propagation loop)
@@ -390,8 +401,9 @@ object Dedup {
     * spills deliberately break this plan into single-computation stages.
     */
   private[graft] def minhashLshPlan(docs: DataFrame, threshold: Double = 0.8,
-      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3): DataFrame =
-    minhashLshImpl(docs, threshold, numHashes, bands, shingleN, identity, identity)
+      numHashes: Int = 128, bands: Int = 0, shingleN: Int = 3): DataFrame =
+    minhashLshImpl(docs, threshold, numHashes,
+      effectiveBands(threshold, numHashes, bands), shingleN, identity, identity)
 
   private def minhashLshImpl(docs: DataFrame, threshold: Double,
       numHashes: Int, bands: Int, shingleN: Int,
@@ -506,7 +518,10 @@ object Dedup {
     // minhashLsh returns pairs already materialized to scratch parquet, so
     // every propagation round re-reads a small file instead of re-running
     // the LSH pipeline, and no cache is held for it.
-    val (pairsDf, pairsDir) = minhashLshMaterialized(repDocs, threshold, 128, 32, 3)
+    // Threshold-derived banding (NOT a hardcoded 32x4, which holds its
+    // 0.97 recall only at t~0.8 and drops to 0.87 at t=0.5).
+    val (pairsDf, pairsDir) = minhashLshMaterialized(repDocs, threshold, 128,
+      lshParamsFor(threshold)._1, 3)
     val labels = propagateMinLabels(pairsDf, maxRounds)
     // The returned plan reads only `hashed` + the final labels — the edge
     // list has been fully consumed by the loop; reclaim it now.
@@ -664,7 +679,11 @@ object Dedup {
 
   /** Derive an [[ArchiveIndex]] from archive text — one signature pass +
     * one hash pass, both lazy; persist the two frames and rebuild the index
-    * from the stored tables for subsequent increments. */
+    * from the stored tables for subsequent increments. Banding is the
+    * CALLER's choice here (an index has no threshold; both probe sides
+    * inherit it) — size it with [[lshParamsFor]] at the lowest threshold
+    * the index will be probed at (default 32×4 holds 0.97 recall at 0.8).
+    */
   def buildArchiveIndex(knownDocs: DataFrame, numHashes: Int = 128,
       bands: Int = 32, shingleN: Int = 3): ArchiveIndex =
     ArchiveIndex(minhashBands(knownDocs, numHashes, bands, shingleN),
@@ -696,9 +715,10 @@ object Dedup {
     * the verification index.
     */
   def incrementalNear(newDocs: DataFrame, knownDocs: DataFrame,
-      threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 0,
       shingleN: Int = 3): DataFrame =
-    incrementalNearImpl(newDocs, knownDocs, None, threshold, numHashes, bands, shingleN)
+    incrementalNearImpl(newDocs, knownDocs, None, threshold, numHashes,
+      effectiveBands(threshold, numHashes, bands), shingleN)
 
   /** [[incrementalNear]] against a PRE-COMPUTED [[ArchiveIndex]]: archive
     * text is consulted ONLY to verify the candidate documents the bucket
@@ -748,9 +768,16 @@ object Dedup {
     val candKnownIds = crossCands.select(col("b").as("doc_id")).distinct()
     val sh = shinglesJit(kept0, shingleN)
       .union(shinglesJit(knownDocs.join(candKnownIds, Seq("doc_id"), "left_semi"), shingleN))
-    val dupOfKnown = verifyJaccard(crossCands, sh)
-      .filter(col("jaccard") >= threshold)
-      .select(col("a").as("doc_id")).distinct()
+    // Materialized, not lazy: as a plan this feeds stage 3's two
+    // anti-joins, the self-candidate verify, AND the final drops union —
+    // the cross-bucket join + packed verify (the operator's most
+    // expensive stage) would re-run once per consumer. The result is a
+    // doc-id list that scales with the increment; spill it once.
+    val (dupOfKnown, dokDir) = Scratch.materialize(
+      verifyJaccard(crossCands, sh)
+        .filter(col("jaccard") >= threshold)
+        .select(col("a").as("doc_id")).distinct(),
+      "inc_dok")
     // Stage 3: increment-internal components among archive-clean docs.
     val selfCands = nb.select(col("doc_id").as("a"), col("band"), col("bh"))
       .join(nb.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
@@ -762,9 +789,9 @@ object Dedup {
     val dupInBatch = componentsFromPairs(selfPairs.select("a", "b"))
       .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
-    // Pin the (small) drop set before reclaiming the signature spills —
-    // dupOfKnown is a lazy plan over them until this write runs.
+    // Pin the (small) drop set before reclaiming the signature spills.
     val drops = materialize(dupOfKnown.union(dupInBatch), "inc_drops")
+    Scratch.delete(spark, dokDir)
     Scratch.delete(spark, nbDir)
     kbDir.foreach(Scratch.delete(spark, _))
     kept0.join(drops, Seq("doc_id"), "left_anti")
@@ -814,30 +841,49 @@ object Dedup {
     * Pigeonhole banding: signatures split into (maxDist+1) chunks; any pair
     * within distance maxDist agrees on >= 1 chunk, so the bucket join on
     * (chunk idx, chunk value) has full recall. Hamming verified via
-    * bit_count(xor). No O(n²) stage.
+    * bit_count(xor).
+    *
+    * Hot-group safety: IDENTICAL signatures (m copies of one boilerplate
+    * page; empty/null docs, which all hash to one constant signature)
+    * would meet in EVERY chunk bucket — m²×(maxDist+1) candidate join
+    * rows plus a distinct over them, from a single hot group. Instead,
+    * same-signature pairs are emitted by ONE equi-join on the signature
+    * itself (output-bound — the m(m−1)/2 pairs ARE the contract), and
+    * the chunk join runs over DISTINCT signatures only, then expands
+    * back to documents through two output-bound member joins. Same pair
+    * set, no join amplification beyond the rows the answer contains.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val nChunks = maxDist + 1
     val bitsPerChunk = 64 / nChunks
-    // Both sides of the chunk self-join read the signatures — materialize
-    // the one-pass JIT'd computation (8 bytes per document) to scratch
+    // Every stage below re-reads the signatures — materialize the
+    // one-pass JIT'd computation (8 bytes per document) to scratch
     // parquet so it runs once and owns no cache entry.
     val sig = materialize(simhash(docs), "simhash")
+    val same = sig.select(col("doc_id").as("a"), col("simhash"))
+      .join(sig.select(col("doc_id").as("b"), col("simhash")), Seq("simhash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(0L).as("hamming"))
+    val distinctSig = sig.select("simhash").distinct()
     val chunks = array((0 until nChunks).map { c =>
       shiftrightunsigned(col("simhash"), c * bitsPerChunk)
         .bitwiseAND((1L << bitsPerChunk) - 1)
     }: _*)
-    val chunked = sig.select(col("doc_id"), col("simhash"),
+    val chunked = distinctSig.select(col("simhash"),
       posexplode(chunks).as(Seq("chunk", "cv")))
-    val cands = chunked
-      .select(col("doc_id").as("a"), col("simhash").as("sa"), col("chunk"), col("cv"))
-      .join(chunked.select(col("doc_id").as("b"), col("simhash").as("sb"),
-        col("chunk"), col("cv")), Seq("chunk", "cv"))
-      .filter(col("a") < col("b"))
-      .select("a", "b", "sa", "sb").distinct()
-    cands
-      .select(col("a"), col("b"),
+    val sigPairs = chunked.select(col("simhash").as("sa"), col("chunk"), col("cv"))
+      .join(chunked.select(col("simhash").as("sb"), col("chunk"), col("cv")),
+        Seq("chunk", "cv"))
+      .filter(col("sa") < col("sb"))
+      .select("sa", "sb").distinct()
+      .select(col("sa"), col("sb"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
+    val cross = sigPairs
+      .join(sig.select(col("doc_id").as("da"), col("simhash").as("sa")), Seq("sa"))
+      .join(sig.select(col("doc_id").as("db"), col("simhash").as("sb")), Seq("sb"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("hamming"))
+    same.union(cross)
   }
 }

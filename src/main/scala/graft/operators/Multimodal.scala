@@ -159,6 +159,9 @@ object Multimodal {
     while (off + 8 <= wav.length && (dataOff < 0 || sampleRate < 0)) {
       val id = tag4(off)
       val sz = b.getInt(off + 4)
+      // A negative chunk size (corrupt header) would walk `off` BACKWARDS
+      // and loop forever — fail loudly instead.
+      require(sz >= 0, s"asset $assetId: negative RIFF chunk size $sz in $id")
       if (id == "fmt ") {
         require(b.getShort(off + 8) == 1, "only uncompressed PCM supported")
         channels = b.getShort(off + 10).toLong
@@ -247,7 +250,11 @@ object Multimodal {
       s"asset $assetId: not a BMP")
     val off = b.getInt(10)
     val width = b.getInt(18)
-    val height = b.getInt(22)
+    // BITMAPINFOHEADER stores top-down bitmaps as a NEGATIVE height
+    // (standard for Windows-generated DIBs). Row order doesn't affect
+    // sum/nonzero features, so decode |height| rows; reported height is
+    // the magnitude (a silent 0-pixel "success" was the old behavior).
+    val height = math.abs(b.getInt(22))
     require(b.getShort(28) == 24 && b.getInt(30) == 0,
       s"asset $assetId: only uncompressed 24-bpp supported")
     val stride = (width * 3 + 3) & ~3
@@ -325,7 +332,8 @@ object Multimodal {
   /** The row-local Y4M parse behind [[decodeY4m]] and [[decodeFeatures]]. */
   private[operators] def parseY4m(assetId: Long, d: Array[Byte]): Y4mFeature = {
     var nl = 0
-    while (d(nl) != '\n'.toByte) nl += 1
+    while (nl < d.length && d(nl) != '\n'.toByte) nl += 1
+    require(nl < d.length, s"asset $assetId: no Y4M header newline")
     val header = new String(d, 0, nl, "US-ASCII")
     val toks = header.split(" ")
     require(toks(0) == "YUV4MPEG2", s"asset $assetId: not a Y4M stream")
@@ -466,8 +474,14 @@ object Multimodal {
     inflater.setInput(idat.toByteArray)
     val raw = new Array[Byte]((width + 1) * height)
     var got = 0
-    while (got < raw.length && !inflater.finished())
-      got += inflater.inflate(raw, got, raw.length - got)
+    // inflate() returns 0 with finished()==false once a TRUNCATED stream's
+    // input is exhausted — without the progress check this loop spins
+    // forever instead of reaching the require below.
+    var step = 1
+    while (got < raw.length && !inflater.finished() && step != 0) {
+      step = inflater.inflate(raw, got, raw.length - got)
+      got += step
+    }
     inflater.end()
     require(got == raw.length, s"asset ${assetId}: truncated IDAT stream")
     // Un-filter scanlines (bpp = 1 for 8-bit grayscale).
@@ -753,8 +767,10 @@ object Multimodal {
     * inside one typed per-partition batch loop. No stub: every branch is
     * a genuine binary parse ([[parseWav]]/[[parseBmp]]/[[parseY4m]]/
     * [[parsePng]]/[[parseGif]]), two of them through real decompressors
-    * (zlib, LZW). Unrecognized payloads yield a zeroed "unknown" row
-    * rather than failing the job — at crawl scale garbage is data, not an
+    * (zlib, LZW). Unrecognized payloads yield a zeroed "unknown" row, and
+    * payloads that sniff as a known container but fail to parse (corrupt
+    * body, truncated stream, text that happens to start with "BM") yield
+    * a zeroed "error" row — at crawl scale garbage is data, not an
     * exception. Input needs (asset_id, bytes); row-local, no shuffle.
     */
   def decodeFeatures(spark: SparkSession, assets: DataFrame): Dataset[AssetFeature] = {
@@ -769,21 +785,33 @@ object Multimodal {
 
   private[operators] def decodeOne(id: Long, bytes: Array[Byte]): AssetFeature = {
     val n = bytes.length.toLong
-    if (magic(bytes, 0, "RIFF") && magic(bytes, 8, "WAVE")) {
-      val f = parseWav(id, bytes)
-      AssetFeature(id, "wav", n, f.sample_rate, f.n_channels, f.n_samples, f.sum_abs)
-    } else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && magic(bytes, 1, "PNG")) {
-      val f = parsePng(id, bytes)
-      AssetFeature(id, "png", n, f.width, f.height, f.width * f.height, f.pixel_sum)
-    } else if (magic(bytes, 0, "GIF87a") || magic(bytes, 0, "GIF89a")) {
-      val f = parseGif(id, bytes)
-      AssetFeature(id, "gif", n, f.width, f.height, f.width * f.height, f.pixel_sum)
-    } else if (magic(bytes, 0, "YUV4MPEG2")) {
-      val f = parseY4m(id, bytes)
-      AssetFeature(id, "y4m", n, f.width, f.height, f.n_frames, f.luma_sum)
-    } else if (magic(bytes, 0, "BM")) {
-      val f = parseBmp(id, bytes)
-      AssetFeature(id, "bmp", n, f.width, f.height, f.width * f.height, f.pixel_sum)
-    } else AssetFeature(id, "unknown", n, 0L, 0L, 0L, 0L)
+    // Per-asset error containment: at crawl scale a payload that SNIFFS
+    // as a known container but carries a corrupt body (or plain text that
+    // happens to start with "BM") is data, not an exception — one bad
+    // asset among billions must not abort the job. The sniffing
+    // dispatcher degrades to an "error" row; the TYPED decoders
+    // (decodeWav/decodeBmp/...) keep strict throw semantics, since a
+    // caller choosing one asserts the format.
+    try {
+      if (magic(bytes, 0, "RIFF") && magic(bytes, 8, "WAVE")) {
+        val f = parseWav(id, bytes)
+        AssetFeature(id, "wav", n, f.sample_rate, f.n_channels, f.n_samples, f.sum_abs)
+      } else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && magic(bytes, 1, "PNG")) {
+        val f = parsePng(id, bytes)
+        AssetFeature(id, "png", n, f.width, f.height, f.width * f.height, f.pixel_sum)
+      } else if (magic(bytes, 0, "GIF87a") || magic(bytes, 0, "GIF89a")) {
+        val f = parseGif(id, bytes)
+        AssetFeature(id, "gif", n, f.width, f.height, f.width * f.height, f.pixel_sum)
+      } else if (magic(bytes, 0, "YUV4MPEG2")) {
+        val f = parseY4m(id, bytes)
+        AssetFeature(id, "y4m", n, f.width, f.height, f.n_frames, f.luma_sum)
+      } else if (magic(bytes, 0, "BM")) {
+        val f = parseBmp(id, bytes)
+        AssetFeature(id, "bmp", n, f.width, f.height, f.width * f.height, f.pixel_sum)
+      } else AssetFeature(id, "unknown", n, 0L, 0L, 0L, 0L)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        AssetFeature(id, "error", n, 0L, 0L, 0L, 0L)
+    }
   }
 }

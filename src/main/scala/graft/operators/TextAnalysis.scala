@@ -213,18 +213,23 @@ object TextAnalysis {
     * `regexp_replace`/`regexp_extract_all` chains: no shuffle, no UDF;
     * cost is one regex scan per pattern per document.
     *
+    * Each count runs against the text AS IT STOOD when that pattern was
+    * applied (replacement is a sequential fold): counting every pattern
+    * in the ORIGINAL text would claim a `<PHONE>` redaction for digits
+    * the email pass had already swallowed — counts must equal what the
+    * clean text actually lost.
+    *
     * Output: (doc_id, clean_text, n_email, n_phone, n_ip).
     */
   def redactPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cleaned = piiPatterns.foldLeft(col(textCol)) {
-      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
-    }
-    def n(pat: String) =
-      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    val (cleaned, counts) =
+      piiPatterns.foldLeft((col(textCol), Vector.empty[Column])) {
+        case ((c, acc), (pat, tag)) =>
+          (regexp_replace(c, pat, tag),
+            acc :+ size(regexp_extract_all(c, lit(pat), lit(0))).cast("long"))
+      }
     docs.select(col(idCol).as("doc_id"), cleaned.as("clean_text"),
-      n(piiPatterns(0)._1).as("n_email"),
-      n(piiPatterns(1)._1).as("n_phone"),
-      n(piiPatterns(2)._1).as("n_ip"))
+      counts(0).as("n_email"), counts(1).as("n_phone"), counts(2).as("n_ip"))
   }
 
   /** Cross-corpus n-gram overlap — the benchmark-decontamination
@@ -233,15 +238,19 @@ object TextAnalysis {
     * come through the inverted n-gram index keyed by the PROBE side
     * (benchmark sets are tiny next to a training corpus, so the join
     * shuffles |corpus n-grams ∩ probe n-grams| rows, never corpus²; with
-    * a small probe set AQE broadcasts its index). A corpus document with
-    * any overlap ≥ the caller's threshold gets quarantined upstream.
+    * a small probe set AQE broadcasts its index — the strategy is AQE's
+    * from runtime sizes, NOT a forced hint, so decontaminating against a
+    * probe set that is itself corpus-sized falls back to a shuffled join
+    * instead of OOMing, the same policy as the token-frequency joins).
+    * A corpus document with any overlap ≥ the caller's threshold gets
+    * quarantined upstream.
     *
     * Output: (corpus_id, probe_id, shared_ngrams).
     */
   def crossCorpusOverlap(corpus: DataFrame, probes: DataFrame, n: Int = 5): DataFrame = {
     val ci = Dedup.shinglesJit(corpus, n).select(col("doc_id").as("corpus_id"), col("shingle"))
     val pi = Dedup.shinglesJit(probes, n).select(col("doc_id").as("probe_id"), col("shingle"))
-    ci.join(broadcast(pi), Seq("shingle"))
+    ci.join(pi, Seq("shingle"))
       .groupBy("corpus_id", "probe_id")
       .agg(count(lit(1)).as("shared_ngrams"))
   }
@@ -372,19 +381,6 @@ object TextAnalysis {
         sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L)).as("n_removed"))
   }
 
-  /** Deterministic stratified sample: `perStratum` documents per stratum,
-    * chosen by md5 of the id — a reproducible, engine-independent draw
-    * (md5 of the decimal id string agrees everywhere; ties broken by id).
-    *
-    * Scale shape — two-phase exact top-k, NOT a corpus-wide window (a
-    * window partitioned by a handful of strata drags each stratum's every
-    * row through one task): phase 1 keeps at most `perStratum` candidates
-    * per stratum per PARTITION with bounded in-memory heaps (row-local,
-    * no shuffle, state ≤ strata × k per task); phase 2 ranks only the
-    * surviving ≤ k × partitions rows per stratum — the window there
-    * touches a vanishing fraction of the corpus. Output is identical to
-    * the naive global rank.
-    */
   /** Token positions covered by a cross-document duplicated n-gram — the
     * primitive under [[spanDupStats]] and [[scrubDupSpans]] (the span-level
     * dedup of Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -641,6 +637,19 @@ object TextAnalysis {
     }.mkString("CASE ", " ", s" ELSE '${splits.last._1}' END")
   }
 
+  /** Deterministic stratified sample: `perStratum` documents per stratum,
+    * chosen by md5 of the id — a reproducible, engine-independent draw
+    * (md5 of the decimal id string agrees everywhere; ties broken by id).
+    *
+    * Scale shape — two-phase exact top-k, NOT a corpus-wide window (a
+    * window partitioned by a handful of strata drags each stratum's every
+    * row through one task): phase 1 keeps at most `perStratum` candidates
+    * per stratum per PARTITION with bounded in-memory heaps (row-local,
+    * no shuffle, state ≤ strata × k per task); phase 2 ranks only the
+    * surviving ≤ k × partitions rows per stratum — the window there
+    * touches a vanishing fraction of the corpus. Output is identical to
+    * the naive global rank.
+    */
   def stratifiedSample(docs: DataFrame, stratumCol: String, perStratum: Int,
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
