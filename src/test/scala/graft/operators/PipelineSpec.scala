@@ -589,6 +589,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeOne contains corrupt recognized payloads as 'error' rows") {
+    // Plain text that sniffs as BMP ("BM..." prefix): must degrade to an
+    // error row, not crash the partition (the crawl-garbage contract).
+    val bmText = Multimodal.decodeOne(1L, "BMW sells cars".getBytes("UTF-8"))
+    assert(bmText.format == "error" && bmText.size_bytes == 14)
+    // A truncated PNG: signature + IHDR but no IDAT — used to spin the
+    // inflate loop forever; must now land on the error row too.
+    val png = Multimodal.synthesizePng(spark,
+      docs.filter(col("doc_id") === 0)).collect()(0).png
+    val truncated = png.take(8 + 8 + 13 + 4 + 4) // signature + IHDR, no IDAT
+    val f = Multimodal.decodeOne(2L, truncated)
+    assert(f.format == "error")
+    // A WAV with a negative chunk size (corrupt header walk).
+    val wav = Multimodal.synthesizeWav(spark,
+      docs.filter(col("doc_id") === 0)).collect()(0).wav
+    val bad = wav.clone()
+    bad(16) = -1; bad(17) = -1; bad(18) = -1; bad(19) = -1 // fmt size -> -1
+    assert(Multimodal.decodeOne(3L, bad).format == "error")
+  }
+
+  test("parseBmp decodes top-down bitmaps (negative BITMAPINFOHEADER height)") {
+    val up = Multimodal.synthesizeBmp(spark,
+      docs.filter(col("doc_id") === 1)).collect()(0).bmp
+    // Flip to top-down: negate the height AND reverse the row order so
+    // the pixels stay the same image.
+    val b = java.nio.ByteBuffer.wrap(up.clone()).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val h = b.getInt(22)
+    val stride = (16 * 3 + 3) & ~3
+    val down = up.clone()
+    b.putInt(22, -h)
+    System.arraycopy(b.array(), 0, down, 0, 54)
+    (0 until h).foreach { r =>
+      System.arraycopy(up, 54 + r * stride, down, 54 + (h - 1 - r) * stride, stride)
+    }
+    val expect = Multimodal.parseBmp(1L, up)
+    val got = Multimodal.parseBmp(1L, down)
+    assert(got.height == expect.height && got.width == expect.width)
+    assert(got.pixel_sum == expect.pixel_sum && got.n_nonzero == expect.n_nonzero)
+  }
+
   test("parseGif decodes a foreign-encoder GIF (the canonical 1x1)") {
     // A well-known 1x1 GIF produced by a real encoder — exercises the
     // extension-block walk and a minCodeSize=2 LZW stream our synthesizer
