@@ -111,9 +111,12 @@ object QualifyRewrite {
       .getOrElse(return None)
     val qPos = words(qIdx)._2
     if (fromPos > qPos) return None
-    // Predicate runs to the next top-level ORDER/LIMIT or end of statement.
+    // Predicate runs to the next top-level trailing clause or end of
+    // statement. DuckDB also allows a bare OFFSET, and FETCH FIRST … ROWS
+    // ONLY, after QUALIFY — fold those out of the predicate text too.
     val trailPos = words.drop(qIdx + 1)
-      .find(t => t._1 == "ORDER" || t._1 == "LIMIT")
+      .find(t => t._1 == "ORDER" || t._1 == "LIMIT" ||
+        t._1 == "OFFSET" || t._1 == "FETCH")
       .map(_._2).getOrElse(sql.length)
     val pred = sql.substring(qPos + "QUALIFY".length, trailPos).trim
       .stripSuffix(";").trim

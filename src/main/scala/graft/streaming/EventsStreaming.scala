@@ -317,12 +317,20 @@ object EventsStreaming {
             evs.foreach { ev =>
               val ms = ev.ts.getTime
               open match {
+                case Some(s) if ms < s.startMs - gapMs =>
+                  // Within-watermark late event more than a full gap BEFORE
+                  // the open session's start: gap semantics place it in an
+                  // EARLIER session, never this one. Emit it as its own
+                  // closed session rather than stretching the open session
+                  // backwards across a gap.
+                  closed += SessionOut(userId, 1L, 0L, ev.value)
                 case Some(s) if ms - s.lastMs <= gapMs =>
                   // min() on start matters for CROSS-batch late events:
                   // this batch is sorted, but a within-watermark event can
                   // arrive in a later batch BEFORE the open session's
                   // start — flatMapGroupsWithState does not drop late rows,
-                  // so the session must extend backwards, not just forwards.
+                  // so the session must extend backwards (bounded by the
+                  // gap guard above), not just forwards.
                   open = Some(SessionAgg(math.min(s.startMs, ms),
                     math.max(s.lastMs, ms),
                     s.n + 1, s.sumValue + ev.value))
@@ -336,7 +344,13 @@ object EventsStreaming {
             }
             val s = open.get
             state.update(s)
-            state.setTimeoutTimestamp(s.lastMs + gapMs)
+            // A late event merged into an old session can leave
+            // lastMs+gap at-or-below the watermark other keys have already
+            // advanced; setTimeoutTimestamp throws on a past timestamp, so
+            // clamp just above the watermark — the timeout then fires in
+            // the next batch and closes the session normally.
+            state.setTimeoutTimestamp(
+              math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1L))
             closed.result().iterator
           }
         })

@@ -35,6 +35,19 @@ class QualifyRewriteSpec extends AnyFunSuite {
     assert(out.contains("WHERE __graft_qualify LIMIT 5;"))
   }
 
+  test("trailing OFFSET and FETCH stay out of the predicate text") {
+    // DuckDB allows a bare OFFSET (and FETCH FIRST … ROWS ONLY) after
+    // QUALIFY; folding them into the predicate fails re-parse and drops a
+    // mechanically rewritable statement to the hint.
+    val off = QualifyRewrite.rewrite(
+      "SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) <= 5 OFFSET 2").get
+    assert(off.contains("(rank() OVER (ORDER BY a) <= 5) AS __graft_qualify"))
+    assert(off.contains("WHERE __graft_qualify OFFSET 2"))
+    val fetch = QualifyRewrite.rewrite(
+      "SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) <= 5 FETCH FIRST 3 ROWS ONLY").get
+    assert(fetch.contains("WHERE __graft_qualify FETCH FIRST 3 ROWS ONLY"))
+  }
+
   test("declines set operations, DISTINCT, and QUALIFY-only-in-subquery") {
     assert(QualifyRewrite.rewrite(
       "SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) = 1 UNION SELECT a FROM u").isEmpty)

@@ -119,6 +119,77 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a late event more than a gap BEFORE the open session's start becomes its own session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val sessions = EventsStreaming.sessionize(source.toDS(), gapSecs = 120)
+    val q = sessions.writeStream.format("memory").queryName("backsplit_sessions")
+      .outputMode("append").start()
+    try {
+      // Batch 1: user 1 session [30,31] (watermark -> 21). Batch 2: a
+      // within-watermark late event at minute 25 — more than the 2-min gap
+      // BEFORE the session's start. Gap semantics place it in a separate
+      // session; merging would stretch [30,31] back across a gap.
+      source.addData(Ev(1, ts(30), 1.0), Ev(1, ts(31), 2.0))
+      q.processAllAvailable()
+      source.addData(Ev(1, ts(25), 4.0))
+      q.processAllAvailable()
+      // Advance the watermark so the open [30,31] session times out.
+      source.addData(Ev(2, ts(60), 0.0))
+      q.processAllAvailable()
+      source.addData(Ev(2, ts(70), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("backsplit_sessions").as[SessionOut].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.n_events, s.duration_secs, s.sum_value)).toSet
+      assert(out == Set((1L, 0L, 4.0), (2L, 60L, 3.0)), s"got $out")
+    } finally q.stop()
+  }
+
+  test("late merge into a watermark-passed session clamps the timeout instead of crashing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The race this pins: in continuous operation a late event can land in
+    // the batch right AFTER another key jumped the watermark past the open
+    // session's lastMs+gap (the late-event filter uses the PREVIOUS
+    // batch's watermark, eviction uses the current one). With no-data
+    // micro-batches enabled, processAllAvailable interposes an eviction
+    // batch that fires the timeout first and hides the race — disable
+    // them for this query to make the adjacency deterministic.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prior = spark.conf.get(noDataKey)
+    spark.conf.set(noDataKey, "false")
+    val source = MemoryStream[Ev]
+    val sessions = EventsStreaming.sessionize(source.toDS(), gapSecs = 600)
+    val q = sessions.writeStream.format("memory").queryName("clamp_sessions")
+      .outputMode("append").start()
+    try {
+      // Batch 1: user 1 session [20,21] (timeout armed for minute 31).
+      source.addData(Ev(1, ts(20), 1.0), Ev(1, ts(21), 2.0))
+      q.processAllAvailable()
+      // Batch 2: user 2 at minute 60 — the NEXT batch's eviction watermark
+      // becomes 50, past user 1's timeout, but no eviction batch runs.
+      source.addData(Ev(2, ts(60), 0.0))
+      q.processAllAvailable()
+      // Batch 3: user 1's late event at 16 passes the late filter (batch
+      // 2's 11-minute watermark) and merges backwards — lastMs+gap (31) is
+      // below the current watermark (50); an unclamped setTimeoutTimestamp
+      // throws IllegalArgumentException and kills the whole query.
+      source.addData(Ev(1, ts(16), 4.0))
+      q.processAllAvailable() // would throw here without the clamp
+      // The clamped timeout (watermark+1ms) fires on later advances.
+      source.addData(Ev(2, ts(70), 0.0))
+      q.processAllAvailable()
+      source.addData(Ev(2, ts(80), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("clamp_sessions").as[SessionOut].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.n_events, s.duration_secs, s.sum_value)).toSet
+      assert(out == Set((3L, 300L, 7.0)), s"got $out")
+    } finally { q.stop(); spark.conf.set(noDataKey, prior) }
+  }
+
   test("file-source hourly stream matches the batch aggregation") {
     val streamed = EventsStreaming.hourlyCounts(spark, SparkTestSession.sfDir)
       .collect().toSeq
