@@ -232,6 +232,99 @@ object VectorExpressions {
       mn
     } else bestId
   }
+
+  /** Top-`nOut` centroids (by round6-cosine desc, id asc) through the
+    * two-level codebook — the probe-SELECTION sibling of
+    * [[bestCentroidTwoLevel]]: score the √k coarse cell means, probe the
+    * top `nProbeCells`, rank only their fine members. Replaces the
+    * query×k crossJoin + per-query window the IVF probe step would
+    * otherwise shuffle at large k. With nProbeCells ≥ cell count the
+    * ranking is exhaustive and EQUALS the crossJoin+window selection
+    * (same (round6 desc, id asc) key — parity pinned in PipelineSpec).
+    * NaN fine scores (zero-norm query or centroid) never rank; an
+    * all-NaN row returns an empty array (the caller's explode then emits
+    * no probes — no candidates is the honest answer for a zero-norm
+    * query, where every cosine is undefined).
+    */
+  def topCentroidsTwoLevel(v: ArrayData, coarse: Array[Array[Float]],
+      cellStart: Array[Int], fineIds: Array[Long], fineVecs: Array[Array[Float]],
+      nProbeCells: Int, nOut: Int): ArrayData = {
+    val n = v.numElements()
+    var nv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; nv += x * x; i += 1 }
+    val vNorm = math.sqrt(nv)
+    // Top-nProbeCells coarse cells — same insertion scheme as
+    // bestCentroidTwoLevel (NaN cells rank last but still fill slots).
+    val p = math.min(nProbeCells, coarse.length)
+    val cellOf = new Array[Int](p)
+    val scoreOf = new Array[Double](p)
+    var filled = 0
+    var c = 0
+    while (c < coarse.length) {
+      val ce = coarse(c)
+      requireSameDim("top_centroids_2level", n, ce.length)
+      var dot = 0.0; var nb = 0.0
+      i = 0
+      while (i < n) {
+        val y = ce(i).toDouble
+        dot += v.getFloat(i).toDouble * y; nb += y * y
+        i += 1
+      }
+      val raw = dot / (vNorm * math.sqrt(nb))
+      val cs = if (raw == raw) raw else Double.NegativeInfinity
+      var pos = filled
+      while (pos > 0 && scoreOf(pos - 1) < cs) pos -= 1
+      if (pos < p) {
+        val last = math.min(filled, p - 1)
+        var j = last
+        while (j > pos) { scoreOf(j) = scoreOf(j - 1); cellOf(j) = cellOf(j - 1); j -= 1 }
+        scoreOf(pos) = cs; cellOf(pos) = c
+        if (filled < p) filled += 1
+      }
+      c += 1
+    }
+    // Top-nOut fine centroids across the probed cells by
+    // (round6-cosine desc, id asc): insertion into two parallel arrays
+    // (nOut is probe-count-scale, ~4-16).
+    val outId = new Array[Long](nOut)
+    val outCs = new Array[Double](nOut)
+    var kept = 0
+    var s = 0
+    while (s < filled) {
+      val cell = cellOf(s)
+      var f = cellStart(cell)
+      val end = cellStart(cell + 1)
+      while (f < end) {
+        val ce = fineVecs(f)
+        requireSameDim("top_centroids_2level", n, ce.length)
+        var dot = 0.0; var nb = 0.0
+        i = 0
+        while (i < n) {
+          val y = ce(i).toDouble
+          dot += v.getFloat(i).toDouble * y; nb += y * y
+          i += 1
+        }
+        val cs = round6(dot / (vNorm * math.sqrt(nb)))
+        if (cs == cs) { // NaN never ranks
+          val id = fineIds(f)
+          var pos = kept
+          while (pos > 0 && (outCs(pos - 1) < cs ||
+            (outCs(pos - 1) == cs && outId(pos - 1) > id))) pos -= 1
+          if (pos < nOut) {
+            val last = math.min(kept, nOut - 1)
+            var j = last
+            while (j > pos) { outCs(j) = outCs(j - 1); outId(j) = outId(j - 1); j -= 1 }
+            outCs(pos) = cs; outId(pos) = id
+            if (kept < nOut) kept += 1
+          }
+        }
+        f += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(outId, kept))
+  }
 }
 
 /** cosine(a, b) over two array<float> columns, fully codegen'd. */
@@ -475,6 +568,65 @@ case class BestCentroidTwoLevel(child: Expression,
     copy(child = newChild)
 
   override def prettyName: String = "best_centroid_2level"
+}
+
+/** top_centroids_2level(v): the `nOut` nearest codebook ids through the
+  * two-level coarse→fine codebook — IVF probe selection as a row-local
+  * expression. The large-k replacement for the queries×codebook
+  * crossJoin + per-query window (q×k rows shuffled and sorted just to
+  * keep nProbe of them); here each query row scores √k cell means, probes
+  * the top `nProbeCells` cells, and emits an array<long> of centroid ids
+  * ranked (round6-cosine desc, id asc). Shares [[BestCentroidTwoLevel]]'s
+  * broadcast codebook — one build per job serves corpus assignment AND
+  * probe selection.
+  */
+case class TopCentroidsTwoLevel(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[
+      (Array[Array[Float]], Array[Int], Array[Long], Array[Array[Float]])],
+    nProbeCells: Int, nOut: Int)
+  extends UnaryExpression {
+
+  require(nProbeCells >= 1 && nOut >= 1,
+    s"top_centroids_2level: nProbeCells/nOut must be >= 1, got $nProbeCells/$nOut")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"top_centroids_2level requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val cb = bc.value
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorExpressions.topCentroidsTwoLevel(a.asInstanceOf[ArrayData],
+      cb._1, cb._2, cb._3, cb._4, nProbeCells, nOut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("topCentroidsBcast", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val coarse = ctx.addMutableState("float[][]", "tcCoarse")
+    val starts = ctx.addMutableState("int[]", "tcCellStart")
+    val ids = ctx.addMutableState("long[]", "tcFineIds")
+    val vecs = ctx.addMutableState("float[][]", "tcFineVecs")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""if ($ids == null) {
+         |  scala.Tuple4 t = (scala.Tuple4) $bcRef.value();
+         |  $coarse = (float[][]) t._1();
+         |  $starts = (int[]) t._2();
+         |  $ids = (long[]) t._3();
+         |  $vecs = (float[][]) t._4();
+         |}
+         |${ev.value} = graft.functions.VectorExpressions.topCentroidsTwoLevel(
+         |  $a, $coarse, $starts, $ids, $vecs, $nProbeCells, $nOut);
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroidsTwoLevel =
+    copy(child = newChild)
+
+  override def prettyName: String = "top_centroids_2level"
 }
 
 /** sign_lsh_bands(v): array of per-band sign-LSH buckets (`bits` planes

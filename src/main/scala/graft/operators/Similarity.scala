@@ -134,19 +134,37 @@ object Similarity {
     * regime the scan stays a pure map: zero joins, zero exchanges.
     */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    assignToCentroidsKeepHandle(corpus, centroids)._1
+    assignToCentroidsKeepHandle(corpus, centroids).assigned
 
-  /** [[assignToCentroids]] exposing the codebook Broadcast handle (None in
-    * the embedded-expression regime). The distributed k-means loop creates
-    * a fresh k-sized broadcast per ITERATION; without an explicit
-    * `destroy()` after each round's means are materialized, reclaiming
-    * those blocks waits on driver GC + ContextCleaner — at the contract's
-    * k (10⁵-10⁶, tens-to-hundreds of MB each) several rounds' codebooks
-    * can sit live in block-manager memory meanwhile.
+  /** The two-level codebook broadcast's payload type (coarse cell means,
+    * CSR cell starts, fine ids, fine vectors) — see
+    * [[buildTwoLevelCodebook]].
+    */
+  private[operators] type TwoLevelCodebook =
+    (Array[Array[Float]], Array[Int], Array[Long], Array[Array[Float]])
+
+  /** An assignment plan plus its codebook transport. `bc` is the
+    * broadcast to `destroy()` once no reader remains (None in the
+    * embedded-expression regime). The distributed k-means loop creates a
+    * fresh k-sized broadcast per ITERATION; without an explicit destroy
+    * after each round's means are materialized, reclaiming those blocks
+    * waits on driver GC + ContextCleaner — at the contract's k (10⁵-10⁶,
+    * tens-to-hundreds of MB each) several rounds' codebooks can sit live
+    * in block-manager memory meanwhile. `twoLevel` additionally exposes
+    * the coarse/fine CSR codebook when the two-level kernel was chosen,
+    * so sibling operators (IVF probe selection) reuse the SAME broadcast
+    * instead of collecting and building a second copy.
+    */
+  private[operators] final case class AssignedWithCodebook(
+      assigned: DataFrame,
+      bc: Option[org.apache.spark.broadcast.Broadcast[_]],
+      twoLevel: Option[org.apache.spark.broadcast.Broadcast[TwoLevelCodebook]])
+
+  /** [[assignToCentroids]] exposing the codebook transport (see
+    * [[AssignedWithCodebook]]).
     */
   private[operators] def assignToCentroidsKeepHandle(corpus: DataFrame,
-      centroids: DataFrame)
-      : (DataFrame, Option[org.apache.spark.broadcast.Broadcast[_]]) = {
+      centroids: DataFrame): AssignedWithCodebook = {
     val spark = corpus.sparkSession
     val cb = centroids.select(col("vec_id").cast("long"), col("embedding"))
       .collect()
@@ -160,24 +178,25 @@ object Similarity {
       .map(_.toInt).getOrElse(1024)
     val twoLevelK = spark.conf.getOption("spark.graft.twoLevelAssignK")
       .map(_.toInt).getOrElse(8192)
-    val (expr, handle) =
+    val (expr, handle, twoLevel) =
       if (cb.length > twoLevelK) {
         val nProbe = spark.conf.getOption("spark.graft.twoLevelAssignNProbe")
           .map(_.toInt).getOrElse(8)
         val bc = spark.sparkContext.broadcast(
           buildTwoLevelCodebook(cb.map(_._1), cb.map(_._2)))
         (graft.functions.BestCentroidTwoLevel(
-          ColumnBridge.expression(col("embedding")), bc, nProbe), Some(bc))
+          ColumnBridge.expression(col("embedding")), bc, nProbe),
+          Some(bc), Some(bc))
       } else if (cb.length > broadcastK) {
         val bc = spark.sparkContext.broadcast((cb.map(_._1), cb.map(_._2)))
         (graft.functions.BestCentroidBroadcast(
-          ColumnBridge.expression(col("embedding")), bc), Some(bc))
+          ColumnBridge.expression(col("embedding")), bc), Some(bc), None)
       } else
         (graft.functions.BestCentroid(
           ColumnBridge.expression(col("embedding")), cb.map(_._1), cb.map(_._2)),
-          None)
-    (corpus.select(col("vec_id"), col("embedding"),
-      ColumnBridge.column(expr).as("cid")), handle)
+          None, None)
+    AssignedWithCodebook(corpus.select(col("vec_id"), col("embedding"),
+      ColumnBridge.column(expr).as("cid")), handle, twoLevel)
   }
 
   /** Partition a collected codebook into ~√k coarse cells for
@@ -266,20 +285,46 @@ object Similarity {
     * search only those. Same output shape as bruteForceTopK; approximate —
     * a neighbor assigned to an unprobed bucket is missed (recall tested in
     * PipelineSpec against the brute-force oracle).
+    *
+    * Probe selection switches regime with corpus assignment: at codebook
+    * scale (k ≤ `spark.graft.twoLevelAssignK`) the query set — small by
+    * contract — cross-joins the broadcast codebook and keeps the nProbe
+    * best per query through a window. Past the bound that shape is q×k
+    * rows shuffled and sorted just to keep nProbe of them, so selection
+    * becomes the row-local [[graft.functions.TopCentroidsTwoLevel]]
+    * expression over the SAME coarse/fine broadcast corpus assignment
+    * already built (top `spark.graft.twoLevelAssignNProbe` coarse cells
+    * probed per query): zero joins, zero exchanges, one codebook build
+    * per job. Exhaustive-parity when nProbe cells ≥ cell count; otherwise
+    * a probe can miss a centroid hiding in an unprobed coarse cell — the
+    * same approximation corpus assignment itself makes.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int = 10, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = assignToCentroids(corpus, centroids)
-    val c = broadcast(centroids.select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val spark = corpus.sparkSession
+    val res = assignToCentroidsKeepHandle(corpus, centroids)
+    val assigned = res.assigned
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val wq = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
-    val probes = q.crossJoin(c)
-      .select(col("query_id"), col("qe"), col("cid"),
-        round(cosine(col("qe"), col("ce")), 6).as("csim"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select("query_id", "qe", "cid")
+    val probes = res.twoLevel match {
+      case Some(bc) =>
+        val nCells = spark.conf.getOption("spark.graft.twoLevelAssignNProbe")
+          .map(_.toInt).getOrElse(8)
+        q.select(col("query_id"), col("qe"),
+            explode(ColumnBridge.column(graft.functions.TopCentroidsTwoLevel(
+              ColumnBridge.expression(col("qe")), bc, nCells, nProbe))).as("cid"))
+          .select("query_id", "qe", "cid")
+      case None =>
+        val c = broadcast(centroids.select(col("vec_id").as("cid"),
+          col("embedding").as("ce")))
+        val wq = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
+        q.crossJoin(c)
+          .select(col("query_id"), col("qe"), col("cid"),
+            round(cosine(col("qe"), col("ce")), 6).as("csim"))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= nProbe)
+          .select("query_id", "qe", "cid")
+    }
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -416,14 +461,14 @@ object Similarity {
         col("embedding"))),
       "kmeans_cb")
     for (_ <- 0 until iters) {
-      val (assigned, handle) = assignToCentroidsKeepHandle(corpus, centroids)
+      val res = assignToCentroidsKeepHandle(corpus, centroids)
       val (next, nextDir) = Scratch.materialize(
-        meanByKey(assigned.select(col("cid"), col("embedding"))),
+        meanByKey(res.assigned.select(col("cid"), col("embedding"))),
         "kmeans_cb")
       // The means are on parquet — this round's codebook broadcast has no
       // remaining reader; free the block-manager memory now instead of
       // waiting for driver GC to notice the dropped handle.
-      handle.foreach(_.destroy())
+      res.bc.foreach(_.destroy())
       Scratch.delete(spark, dir)
       centroids = next
       dir = nextDir
@@ -618,11 +663,11 @@ object Similarity {
     // the scan per consumer; reclaimed after the drop set is pinned. The
     // codebook broadcast has no reader once the rows are on parquet —
     // free it now rather than when GC notices the dropped handle.
-    val (assignPlan, bcHandle) = assignToCentroidsKeepHandle(corpus, centroids)
+    val assignRes = assignToCentroidsKeepHandle(corpus, centroids)
     val (assigned, aDir) = Scratch.materialize(
-      assignPlan.select("cid", "vec_id", "embedding"),
+      assignRes.assigned.select("cid", "vec_id", "embedding"),
       "semdedup_assign")
-    bcHandle.foreach(_.destroy())
+    assignRes.bc.foreach(_.destroy())
     val oversized = assigned.groupBy("cid").count()
       .filter(col("count") > maxClusterSize).collect()
     require(oversized.isEmpty,

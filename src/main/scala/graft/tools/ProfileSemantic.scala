@@ -31,6 +31,26 @@ object ProfileSemantic {
     (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
   }
 
+  /** Samples used heap every 50 ms on a daemon thread — the post-GC
+    * number proves no k-sized structure PERSISTS, the peak bounds the
+    * per-iteration TRANSIENT (the collected codebook Row array + the
+    * two-level broadcast build) the flat floor can't see.
+    */
+  private final class PeakSampler extends Thread {
+    setDaemon(true)
+    @volatile var peakMb: Long = 0L
+    @volatile private var running = true
+    override def run(): Unit = {
+      val rt = Runtime.getRuntime
+      while (running) {
+        val used = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+        if (used > peakMb) peakMb = used
+        Thread.sleep(50)
+      }
+    }
+    def stopSampling(): Long = { running = false; peakMb }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -62,11 +82,16 @@ object ProfileSemantic {
       s"(${if (k > distributedK) "distributed" else "collected"} codebook, " +
       s"${if (k > twoLevelK) "two-level" else "exhaustive"} assignment)")
     for (run <- 1 to 2) {
+      val sampler = new PeakSampler
+      sampler.start()
       val t0 = System.nanoTime()
       val survivors = Similarity.semanticDeduplicate(vectors, k = k,
         threshold = 0.999, maxClusterSize = math.max(10000L, n / 10)).count()
-      println(f"[sem] run$run ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
-        f"($survivors survivors, driver heap ${usedHeapMb()} MB post-GC)")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val peak = sampler.stopSampling()
+      println(f"[sem] run$run $wall%8.2f s " +
+        f"($survivors survivors, driver heap ${usedHeapMb()} MB post-GC, " +
+        f"$peak MB peak)")
     }
     spark.stop()
   }
