@@ -652,6 +652,40 @@ object AnalyticsQueries {
   }
 
   // ------------------------------------------------------------------
+  // The LITERAL DuckDB syntax, pasted as-is: `FROM l ASOF JOIN r ON
+  // l.k = r.k AND l.ts >= r.ts`. Spark's parser cannot host it, so the
+  // hint parser's tier-1 rewrite (sql/AsofJoinRewrite) turns the common
+  // backward form into the asof_join() TVF splice and re-parses — the
+  // DuckDB statement RUNS. The oracle is DuckDB's own native ASOF JOIN
+  // (reference host capability, MainDistributionPipeline.yml:29), so
+  // this pins literal-syntax parity end to end. Same linear union+window
+  // plan and the same views as q29_asof_sql.
+  // ------------------------------------------------------------------
+  declare("q29_asof_literal",
+    """SELECT e.user_id AS user_id, COUNT(*) AS n_matched,
+         CAST(SUM(CAST(date_diff('day', last_order, e.ts) AS BIGINT)) AS BIGINT) AS sum_gap_days
+       FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+       ASOF JOIN (SELECT o_custkey AS user_id,
+                    CAST(o_orderdate AS TIMESTAMP) AS ot,
+                    o_orderdate AS last_order FROM orders) o
+         ON e.user_id = o.user_id AND e.ts >= o.ot
+       GROUP BY e.user_id ORDER BY user_id""") { (spark, sfDir) =>
+    Engine.events(spark, sfDir).select(col("user_id"), col("ts"))
+      .createOrReplaceTempView("graft_asof_ev")
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("ot"),
+        col("o_orderdate").as("last_order"))
+      .createOrReplaceTempView("graft_asof_ord")
+    spark.sql(
+      """SELECT e.user_id AS user_id, COUNT(*) AS n_matched,
+           SUM(CAST(datediff(ts, last_order) AS BIGINT)) AS sum_gap_days
+         FROM graft_asof_ev e ASOF JOIN graft_asof_ord o
+           ON e.user_id = o.user_id AND e.ts >= o.ot
+         GROUP BY e.user_id ORDER BY user_id""")
+  }
+
+  // ------------------------------------------------------------------
   // Range (theta) join against a small banding relation -> broadcast
   // nested loop; never a shuffle of the fact table.
   // ------------------------------------------------------------------

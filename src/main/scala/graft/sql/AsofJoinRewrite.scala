@@ -1,0 +1,199 @@
+package graft.sql
+
+import scala.util.control.NonFatal
+
+/** Mechanical rewrite of DuckDB's literal `ASOF JOIN` syntax (the
+  * reference host's capability — DuckDB ≥0.10, pinned by
+  * MainDistributionPipeline.yml:29) into the `asof_join()` table-function
+  * splice Spark can host:
+  *
+  * {{{
+  * SELECT e.user_id, ts, last_order
+  * FROM ev e ASOF JOIN ord o ON e.user_id = o.user_id AND e.ts >= o.ot
+  * -- becomes --
+  * SELECT e.user_id, ts, last_order
+  * FROM asof_join('ev', 'ord', 'user_id', 'ts', 'ot', '<payload_csv>',
+  *                false, true) AS e
+  * }}}
+  *
+  * The TVF output is aliased as the LEFT side's alias, so left-qualified
+  * references keep resolving; payload is every right column except the
+  * key and the right order column (the columns the TVF can expose).
+  *
+  * Purely textual and deliberately conservative, like [[QualifyRewrite]]:
+  * the scan reuses its quote/paren/comment-aware scanner, and any shape
+  * outside the common backward-as-of form returns None — the caller then
+  * surfaces the landing-pad hint. Declined shapes include: set
+  * operations; `*` anywhere in the select list (the TVF projects
+  * left + payload, NOT DuckDB's `l.* , r.*` — a star would silently
+  * change the output schema); multipart or quoted table names; an ON
+  * condition that is not exactly one same-named key equality AND one
+  * backward inequality (`l.ts >= r.ts` / `r.ts <= l.ts`, or strict);
+  * right-alias-qualified references outside the ON clause (the right
+  * relation does not survive the splice as a nameable side); tables the
+  * session catalog cannot resolve at rewrite time (payload needs the
+  * right side's column list); and payload columns clashing with left
+  * columns (the TVF would reject them).
+  */
+object AsofJoinRewrite {
+
+  private val clauseEnders = Set(
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "FETCH",
+    "QUALIFY", "WINDOW", "UNION", "INTERSECT", "EXCEPT")
+  private val nonNameWords = clauseEnders ++ Set(
+    "ASOF", "JOIN", "LEFT", "AS", "ON", "SELECT", "FROM", "AND")
+
+  /** One ON conjunct: `qual.col <op> qual.col`. */
+  private val conjunctRe =
+    """(?s)\A\s*(\w+)\s*\.\s*(\w+)\s*(>=|<=|=|>|<)\s*(\w+)\s*\.\s*(\w+)\s*\z""".r
+
+  /** A `*` at paren-depth 0, outside strings/quoted identifiers/comments. */
+  private def hasTopLevelStar(s: String): Boolean = {
+    var i = 0
+    var depth = 0
+    val n = s.length
+    while (i < n) {
+      s.charAt(i) match {
+        case '*' if depth == 0 => return true
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '\'' =>
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            if (s.charAt(i) == '\'') {
+              if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2
+              else { done = true; i += 1 }
+            } else i += 1
+          }
+        case '"' => i += 1; while (i < n && s.charAt(i) != '"') i += 1; i += 1
+        case '`' => i += 1; while (i < n && s.charAt(i) != '`') i += 1; i += 1
+        case '-' if i + 1 < n && s.charAt(i + 1) == '-' =>
+          while (i < n && s.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < n && s.charAt(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < n && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+          i = math.min(n, i + 2)
+        case _ => i += 1
+      }
+    }
+    false
+  }
+
+  def rewrite(sql: String): Option[String] = {
+    val words = QualifyRewrite.topLevelWords(sql)
+    if (words.count(_._1 == "ASOF") != 1) return None
+    // Set operations: the splice targets ONE query block.
+    if (words.exists(w => w._1 == "UNION" || w._1 == "INTERSECT" ||
+      w._1 == "EXCEPT")) return None
+    val selIdx = words.indexWhere(_._1 == "SELECT")
+    val fromIdx = words.indexWhere(_._1 == "FROM")
+    val asofIdx = words.indexWhere(_._1 == "ASOF")
+    if (selIdx < 0 || fromIdx < selIdx || asofIdx < fromIdx) return None
+    // `SELECT *` / `l.*` would resolve against the TVF's left+payload
+    // schema, not DuckDB's full two-sided star — silently different
+    // columns. Decline a DEPTH-0 star in the select list (stars inside
+    // parens — COUNT(*), nested subqueries — are fine; a top-level `a*b`
+    // product over-declines to the hint, which is the safe direction).
+    if (hasTopLevelStar(sql.substring(words(selIdx)._2, words(fromIdx)._2)))
+      return None
+
+    // Original-text slice of a scanned word.
+    def text(w: (String, Int)): String = sql.substring(w._2, w._2 + w._1.length)
+    // Multipart names (`db.t`) and anything the scanner didn't see as a
+    // plain word (quoted identifiers) fall outside the supported shape.
+    def isMultipart(w: (String, Int)): Boolean = {
+      val e = w._2 + w._1.length
+      (w._2 > 0 && sql.charAt(w._2 - 1) == '.') ||
+        (e < sql.length && sql.charAt(e) == '.')
+    }
+    def isName(w: (String, Int)): Boolean =
+      !nonNameWords(w._1) && !isMultipart(w)
+
+    var idx = fromIdx + 1
+    def cur: Option[(String, Int)] = words.lift(idx)
+    // FROM <lname> [[AS] <lalias>] ASOF [LEFT] JOIN <rname> [[AS] <ralias>] ON
+    val lname = cur.filter(isName).map(text).getOrElse(return None)
+    idx += 1
+    if (cur.exists(_._1 == "AS")) idx += 1
+    val lalias = cur.filter(isName).map(text)
+    if (lalias.isDefined) idx += 1
+    if (!cur.exists(_._1 == "ASOF")) return None
+    idx += 1
+    val leftJoin = cur.exists(_._1 == "LEFT")
+    if (leftJoin) idx += 1
+    if (!cur.exists(_._1 == "JOIN")) return None
+    idx += 1
+    val rname = cur.filter(isName).map(text).getOrElse(return None)
+    idx += 1
+    if (cur.exists(_._1 == "AS")) idx += 1
+    val ralias = cur.filter(isName).map(text)
+    if (ralias.isDefined) idx += 1
+    val onWord = cur.filter(_._1 == "ON").getOrElse(return None)
+    idx += 1
+
+    // ON condition runs to the next top-level clause or end of statement.
+    val onEnd = onWord._2 + 2
+    val endPos = words.drop(idx).find(w => clauseEnders(w._1)).map(_._2)
+      .getOrElse(sql.length)
+    val condText = sql.substring(onEnd, endPos).trim.stripSuffix(";").trim
+    val parts = condText.split("(?i)\\bAND\\b")
+    if (parts.length != 2) return None
+    val parsed = parts.toSeq.map {
+      case conjunctRe(q1, c1, op, q2, c2) => (q1, c1, op, q2, c2)
+      case _ => return None
+    }
+    val (eqs, ineqs) = parsed.partition(_._3 == "=")
+    if (eqs.length != 1 || ineqs.length != 1) return None
+
+    val lkey = lalias.getOrElse(lname)
+    val rkey = ralias.getOrElse(rname)
+    def isL(q: String) = q.equalsIgnoreCase(lkey)
+    def isR(q: String) = q.equalsIgnoreCase(rkey)
+
+    // Key equality: same column name on both sides (the TVF takes ONE
+    // `on` name), one qualifier per side in either order.
+    val (eq1, eqc1, _, eq2, eqc2) = eqs.head
+    val onCol =
+      if (isL(eq1) && isR(eq2) && eqc1.equalsIgnoreCase(eqc2)) eqc1
+      else if (isR(eq1) && isL(eq2) && eqc1.equalsIgnoreCase(eqc2)) eqc2
+      else return None
+
+    // Backward inequality: left's order on the >= side (or right's on
+    // the <= side). Forward as-of (left <= right) is not this operator.
+    val (iq1, ic1, iop, iq2, ic2) = ineqs.head
+    val (leftOrder, rightOrder, strict) =
+      if (isL(iq1) && isR(iq2) && (iop == ">=" || iop == ">"))
+        (ic1, ic2, iop == ">")
+      else if (isR(iq1) && isL(iq2) && (iop == "<=" || iop == "<"))
+        (ic2, ic1, iop == "<")
+      else return None
+
+    // The right relation does not survive the splice as a nameable
+    // side: a right-qualified reference anywhere OUTSIDE the consumed
+    // FROM..ON span would parse but fail resolution with a confusing
+    // error — decline to the hint instead.
+    val outside = sql.substring(0, words(fromIdx)._2) + sql.substring(endPos)
+    if (("(?is)\\b" + java.util.regex.Pattern.quote(rkey) + "\\s*\\.").r
+      .findFirstIn(outside).isDefined) return None
+
+    // Payload needs the right side's column list — resolvable views only.
+    val spark = try org.apache.spark.sql.SparkSession.active
+      catch { case NonFatal(_) => return None }
+    def columnsOf(t: String): Option[Array[String]] =
+      try Some(spark.table(t).columns) catch { case NonFatal(_) => None }
+    val lcols = columnsOf(lname).getOrElse(return None)
+    val rcols = columnsOf(rname).getOrElse(return None)
+    def has(cs: Array[String], c: String) = cs.exists(_.equalsIgnoreCase(c))
+    if (!has(lcols, onCol) || !has(rcols, onCol) ||
+      !has(lcols, leftOrder) || !has(rcols, rightOrder)) return None
+    val payload = rcols.filterNot(c =>
+      c.equalsIgnoreCase(onCol) || c.equalsIgnoreCase(rightOrder))
+    if (payload.isEmpty || payload.exists(p => has(lcols, p))) return None
+
+    val tvf = s"asof_join('$lname', '$rname', '$onCol', '$leftOrder', " +
+      s"'$rightOrder', '${payload.mkString(",")}', $strict, ${!leftJoin})"
+    Some(sql.substring(0, words(fromIdx)._2) +
+      s"FROM $tvf AS ${lalias.getOrElse(lname)} " + sql.substring(endPos))
+  }
+}

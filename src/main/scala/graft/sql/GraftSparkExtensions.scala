@@ -42,12 +42,14 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   *
   *   - REWRITE AND RUN where the mapping is mechanical: a `QUALIFY` clause
   *     is rewritten into the ANSI subquery form ([[QualifyRewrite]]) and
-  *     re-parsed, and `SUMMARIZE t` becomes `SELECT * FROM summarize('t')`
-  *     — the pasted DuckDB statement executes instead of erroring.
-  *   - HINT where it isn't: a DuckDB-only `WITH RECURSIVE` variant or an
-  *     `ASOF JOIN` (or a QUALIFY shape the rewrite declines) gets the
-  *     original ANTLR error plus a one-line pointer to the equivalent
-  *     graft TVF (`fixpoint()` / `asof_join()`).
+  *     re-parsed, the common backward `ASOF [LEFT] JOIN` form becomes an
+  *     `asof_join()` TVF splice ([[AsofJoinRewrite]]), and `SUMMARIZE t`
+  *     becomes `SELECT * FROM summarize('t')` — the pasted DuckDB
+  *     statement executes instead of erroring.
+  *   - HINT where it isn't: a DuckDB-only `WITH RECURSIVE` variant, or an
+  *     ASOF/QUALIFY shape the rewrites decline, gets the original ANTLR
+  *     error plus a one-line pointer to the equivalent graft TVF
+  *     (`fixpoint()` / `asof_join()`).
   *
   * The ORIGINAL parse error stays primary in hint messages — the keyword
   * regexes match anywhere in the statement, so an unrelated typo in SQL
@@ -80,6 +82,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
         val rewritten = sqlText match {
           case summarizeTableRe(tbl) =>
             tryReparse(Some(s"SELECT * FROM summarize('$tbl')"))
+          case asofRe() => tryReparse(AsofJoinRewrite.rewrite(sqlText))
           case qualifyRe() => tryReparse(QualifyRewrite.rewrite(sqlText))
           case _ => None
         }
@@ -99,9 +102,12 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "— the step SQL sees each round's new rows as the view " +
                   "__frontier. See README 'Recursive queries'.")
               case asofRe() =>
-                Some("If you meant DuckDB's ASOF JOIN (Spark's parser cannot " +
-                  "host it), graft exposes the same " +
-                  "semantics through the asof_join() table function: SELECT ... FROM " +
+                Some("If you meant DuckDB's ASOF JOIN: the common backward " +
+                  "form (FROM l ASOF [LEFT] JOIN r ON l.k = r.k AND " +
+                  "l.ts >= r.ts, explicit select list, single-part view " +
+                  "names) is rewritten to run automatically, but this one " +
+                  "wasn't — use the asof_join() table function directly: " +
+                  "SELECT ... FROM " +
                   "asof_join('left_view', 'right_view', 'on_col', 'left_order', " +
                   "'right_order', 'payload_csv'[, strict[, inner]]). " +
                   "See README 'As-of joins'.")

@@ -171,14 +171,72 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("__frontier"))
   }
 
-  test("ASOF JOIN parse failure lands on the asof_join() hint") {
-    // The two-alias form (DuckDB's docs style) cannot parse as a plain
-    // aliased join, so it reaches the hint path deterministically.
+  test("literal ASOF JOIN executes via the TVF rewrite (inclusive inner)") {
+    registerMarket()
+    // The pasted DuckDB statement runs: tier-1 rewrite to
+    // asof_join('sq_trades','sq_quotes','sym','tt','qt','px,tag',false,true)
+    // aliased as the left side. Same rows as the explicit-TVF test above.
+    val rows = spark.sql(
+      """SELECT sym, tt, px, tag
+         FROM sq_trades t ASOF JOIN sq_quotes q
+           ON t.sym = q.sym AND t.tt >= q.qt
+         ORDER BY sym, tt""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 20L, 110.0, "b"),
+      (1L, 25L, 110.0, "b"),
+      (2L, 99L, 50.0, "d")))
+  }
+
+  test("literal ASOF LEFT JOIN with strict inequality maps to (strict, outer)") {
+    registerMarket()
+    val rows = spark.sql(
+      """SELECT sym, tt, tag
+         FROM sq_trades t ASOF LEFT JOIN sq_quotes q
+           ON t.sym = q.sym AND t.tt > q.qt
+         ORDER BY sym, tt""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+    assert(rows.toSeq == Seq(
+      (1L, 5L, null),
+      (1L, 20L, "a"),
+      (1L, 25L, "b"),
+      (2L, 99L, "d"),
+      (3L, 10L, null)))
+  }
+
+  test("literal ASOF JOIN: flipped conjunct order and <= direction normalize") {
+    registerMarket()
+    // `q.qt <= t.tt AND q.sym = t.sym` is the same backward inclusive
+    // join written right-side-first — the rewrite must normalize both.
+    val rows = spark.sql(
+      """SELECT sym, tt, px
+         FROM sq_trades t ASOF JOIN sq_quotes q
+           ON q.qt <= t.tt AND q.sym = t.sym
+         ORDER BY sym, tt""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 20L, 110.0), (1L, 25L, 110.0), (2L, 99L, 50.0)))
+  }
+
+  test("ASOF JOIN shapes the rewrite declines land on the asof_join() hint") {
+    registerMarket()
+    // Right-alias-qualified select column: the right relation does not
+    // survive the splice as a nameable side — decline to the hint.
     val ex = intercept[Exception](spark.sql(
       """SELECT t.sym, q.px FROM sq_trades t ASOF JOIN sq_quotes q
          ON t.sym = q.sym AND t.tt >= q.qt"""))
     assert(ex.getMessage.contains("asof_join("),
       s"expected the asof_join() hint, got: ${ex.getMessage}")
+    // SELECT * would resolve against left+payload, not DuckDB's full
+    // two-sided star — declined.
+    val star = intercept[Exception](spark.sql(
+      """SELECT * FROM sq_trades t ASOF JOIN sq_quotes q
+         ON t.sym = q.sym AND t.tt >= q.qt"""))
+    assert(star.getMessage.contains("asof_join("))
+    // Forward as-of (left <= right) is not this operator's semantics.
+    val fwd = intercept[Exception](spark.sql(
+      """SELECT sym, tt, px FROM sq_trades t ASOF JOIN sq_quotes q
+         ON t.sym = q.sym AND t.tt <= q.qt"""))
+    assert(fwd.getMessage.contains("asof_join("))
   }
 
   test("DESCRIBE works natively; the literal SUMMARIZE statement RUNS (rewrite to the TVF)") {
