@@ -993,6 +993,38 @@ object AnalyticsQueries {
          ORDER BY column_name""")
   }
 
+  // DuckDB friendly-SQL parity, part 1: GROUP BY ALL (group by every
+  // non-aggregated select column). Spark 4.1 parses it NATIVELY, so both
+  // engines run the literal statement — no rewrite involved; the
+  // declared query pins that the dialects agree on which columns "all"
+  // means. Plan-wise this is an ordinary partial/final hash aggregate.
+  declare("q56_group_by_all",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+       FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("graft_q56_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+         FROM graft_q56_lineitem GROUP BY ALL
+         ORDER BY l_returnflag, l_linestatus""")
+  }
+
+  // DuckDB friendly-SQL parity, part 2: the star-projection EXCLUDE.
+  // DuckDB spells it `* EXCLUDE (...)`, Spark `* EXCEPT (...)` — same
+  // feature, different keyword, so the hint parser swaps the word
+  // (sql/ExcludeRewrite, quote/comment-aware, any depth) and the literal
+  // DuckDB statement RUNS on Spark. Both engines here execute the
+  // IDENTICAL statement text. Column pruning survives: the projection
+  // resolves to explicit columns at analysis, so the scan reads only
+  // what's kept.
+  declare("q57_select_exclude",
+    """SELECT * EXCLUDE (n_name) FROM nation ORDER BY n_nationkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "nation").createOrReplaceTempView("graft_q57_nation")
+    spark.sql(
+      "SELECT * EXCLUDE (n_name) FROM graft_q57_nation ORDER BY n_nationkey")
+  }
+
   // ------------------------------------------------------------------
   // DECIMAL lane: exact fixed-point money arithmetic end to end (cast
   // from the double column, aggregate in DecimalType, cast the widened

@@ -65,6 +65,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
 
   private val recursiveRe = "(?is).*\\bWITH\\s+RECURSIVE\\b.*".r
   private val asofRe = "(?is).*\\bASOF\\s+(?:LEFT\\s+)?JOIN\\b.*".r
+  private val excludeRe = "(?is).*\\*\\s*EXCLUDE\\b.*".r
   private val summarizeRe = "(?is)\\s*SUMMARIZE\\b.*".r
   private val summarizeTableRe =
     "(?is)\\s*SUMMARIZE\\s+([a-zA-Z_][a-zA-Z0-9_.]*)\\s*;?\\s*".r
@@ -83,6 +84,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
           case summarizeTableRe(tbl) =>
             tryReparse(Some(s"SELECT * FROM summarize('$tbl')"))
           case asofRe() => tryReparse(AsofJoinRewrite.rewrite(sqlText))
+          case excludeRe() => tryReparse(ExcludeRewrite.rewrite(sqlText))
           case qualifyRe() => tryReparse(QualifyRewrite.rewrite(sqlText))
           case _ => None
         }

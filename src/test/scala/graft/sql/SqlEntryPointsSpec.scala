@@ -293,6 +293,37 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       s"expected the QUALIFY hint, got: ${ex.getMessage}")
   }
 
+  test("SELECT * EXCLUDE executes via the EXCEPT word swap, any depth, strings intact") {
+    registerMarket()
+    // The literal DuckDB statement runs on Spark.
+    assert(spark.sql("SELECT * EXCLUDE (tag, px) FROM sq_quotes").columns.toSeq ==
+      Seq("sym", "qt"))
+    // Inside a subquery (depth > 0) too.
+    assert(spark.sql(
+      """SELECT sym FROM (SELECT * EXCLUDE (tag) FROM sq_quotes) q
+         WHERE q.px > 100 ORDER BY sym""").count() == 2)
+    // EXCLUDE inside a string literal is NOT the construct: the statement
+    // has no real EXCLUDE, the rewrite finds nothing, and the query runs
+    // natively with the literal intact.
+    val s = spark.sql("SELECT '* EXCLUDE (x)' AS s").head().getString(0)
+    assert(s == "* EXCLUDE (x)")
+    // ExcludeRewrite unit shape: only *-adjacent EXCLUDE( swaps.
+    assert(ExcludeRewrite.rewrite(
+      "SELECT * EXCLUDE (a) FROM t WHERE c = '* EXCLUDE (b)'").get ==
+      "SELECT * EXCEPT (a) FROM t WHERE c = '* EXCLUDE (b)'")
+    assert(ExcludeRewrite.rewrite("SELECT exclude FROM t").isEmpty)
+    assert(ExcludeRewrite.rewrite("SELECT a AS exclude_x FROM t").isEmpty)
+  }
+
+  test("GROUP BY ALL parses natively and groups by the non-aggregated columns") {
+    registerMarket()
+    val rows = spark.sql(
+      """SELECT sym, COUNT(*) AS n, SUM(px) AS total FROM sq_quotes
+         GROUP BY ALL ORDER BY sym""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 3L, 330.0), (2L, 1L, 50.0)))
+  }
+
   test("hint parser delegates cleanly: valid statements and unrelated errors unchanged") {
     assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
     val ex = intercept[Exception](spark.sql("SELEKT 1"))
