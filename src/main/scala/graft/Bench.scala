@@ -113,17 +113,41 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sentinel_before":$sentinelBefore,"sentinel_after":$sentinelAfter,"retried":$retried,"contended":$contended,"sf":"$sfDir"}"""
+    // Round-over-round comparability: the query set GROWS every round, so
+    // the headline total is not comparable across rounds and individual
+    // small-query lines are at the mercy of the 132-query JVM's JIT/GC
+    // state at their slot (the round-10 "embed_clusters regression" was
+    // exactly that — SCALE.md round 11). Read the PREVIOUS round's
+    // committed full map (the same file this run overwrites below) and
+    // emit sum(now)/sum(prev) over the query-name intersection:
+    // overlap_ratio < 1 is a genuine round-over-round improvement on
+    // comparable work, independent of how many queries joined the sweep.
+    // -1 = no prior map readable (first round on a machine).
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")
+    val prior: Map[String, Double] =
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(benchOut)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val body = "\"queries\":\\{(.*?)\\}".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+        "\"([^\"]+)\":([-0-9.Ee+]+)".r.findAllMatchIn(body)
+          .map(g => g.group(1) -> g.group(2).toDouble).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val common = ok.keySet.intersect(prior.keySet)
+    val overlapRatio =
+      if (common.isEmpty) -1.0
+      else common.toSeq.map(ok).sum / common.toSeq.map(prior).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sentinel_before":$sentinelBefore,"sentinel_after":$sentinelAfter,"retried":$retried,"contended":$contended,"overlap_ratio":$overlapRatio,"overlap_n":${common.size},"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a bounded tail, which truncates the
     // per-query map once the suite is large; a file sidesteps the tail so
     // every timing survives for round-over-round diffing. Defaults to a
     // repo-local path (committed per round) so the full map is always
     // available even when the caller sets no override.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    catch { case e: Exception => System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}") }
     spark.stop()
   }
 }
