@@ -164,4 +164,127 @@ object Fixpoint {
       reached.map(_.drop(H)).reduce(_ union _)
     } finally dropCreated()
   }
+
+  /** KEYED fixpoint — DuckDB's `WITH RECURSIVE ... USING KEY` semantics
+    * (DuckDB ≥1.3 docs; the reference host's dialect): the state table
+    * holds ONE row per key; each round's step output UPSERTS it (new key
+    * → insert, existing key with a different payload → replace,
+    * identical row → no-op), the step sees exactly the rows that CHANGED
+    * state last round (DuckDB's intermediate table), and iteration stops
+    * when a round changes nothing. `maxRounds` throws on non-convergence
+    * (an oscillating step — key flipping between payloads — is a bug in
+    * the step, and a truncated state would be WRONG).
+    *
+    * Where DuckDB's row-order-dependent "last row wins" resolves
+    * duplicate keys WITHIN one round arbitrarily, a distributed engine
+    * must be deterministic: the MINIMUM full-row struct wins
+    * (engine-defined tie-break, like the as-of join's tie contract).
+    *
+    * Scale shape mirrors [[iterate]]: each round's changed set persists
+    * as a bucketed, bucket-sorted table keyed by the KEY hash, the
+    * current-payload lookup is a chain of co-located left joins against
+    * those tables (zero exchange, zero sort on the state side — the
+    * `keyEq || h≠h` disjunction keeps the null-safe key check a residual
+    * instead of a sort-breaking extracted join key, as in
+    * [[antiReached]]), and per-round shuffled bytes are O(|changed|).
+    * A replaced key's old row stays in its old round table; LATER ROUNDS
+    * TAKE PRECEDENCE — resolved per lookup via reverse-round coalesce
+    * and once at the end via max_by(round) per key.
+    */
+  def iterateKeyed(seed: DataFrame, step: DataFrame => DataFrame,
+      keys: Seq[String], maxRounds: Int = 64, buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, max_by, min, struct => fstruct}
+    val spark = seed.sparkSession
+    val cols = seed.columns.toIndexedSeq
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      s"Fixpoint.iterateKeyed: keys ${keys.mkString(",")} must be seed columns ${cols.mkString(",")}")
+    val nb = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    def tableName(round: Int) = s"graft_kfix_${runId}_r$round"
+    def withKeyHash(df: DataFrame): DataFrame =
+      df.withColumn(H, xxhash64(fstruct(keys.map(col): _*)))
+    // Deterministic one-row-per-key: minimum full-row struct wins.
+    def dedupByKey(df: DataFrame): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(min(fstruct(cols.map(col): _*)).as("__gkf_row"))
+        .select(cols.map(c => col(s"__gkf_row.$c")): _*)
+    var created = Vector.empty[String]
+    def persist(df: DataFrame, round: Int): DataFrame = {
+      val name = tableName(round)
+      val out = persistFrontier(df, name, nb)
+      created :+= name
+      out
+    }
+    def dropCreated(): Unit = created.foreach(n =>
+      try { spark.sql(s"DROP TABLE IF EXISTS $n"); () }
+      catch { case _: Exception => () })
+    try {
+      var frontier = persist(withKeyHash(dedupByKey(seed)), 0)
+      var reached = Vector(frontier) // round order; later rounds supersede
+      var round = 0
+      var frontierRows = -1L
+      while (if (frontierRows >= 0) frontierRows > 0 else !frontier.isEmpty) {
+        if (round >= maxRounds)
+          throw new IllegalStateException(
+            s"Fixpoint.iterateKeyed: no fixpoint within $maxRounds rounds — " +
+              "non-convergent step (oscillating payloads?) or recursion " +
+              "deeper than the cap; raise maxRounds (truncated state would be WRONG)")
+        // Recursive-CTE column semantics are POSITIONAL: the step's
+        // expression labels (`v + 1`) do not need to match the seed's
+        // names — rename by position, as DuckDB does.
+        val stepped = step(frontier.drop(H))
+        require(stepped.columns.length == cols.length,
+          s"Fixpoint.iterateKeyed: step returned ${stepped.columns.length} " +
+            s"columns, seed has ${cols.length}")
+        val cand = withKeyHash(dedupByKey(stepped.toDF(cols: _*)))
+        // Current payload per candidate key: left-join every round table
+        // (each holds ≤1 row per key) on the key hash with the null-safe
+        // key struct as a residual, collecting one payload struct per
+        // round; the LATEST round's match wins via reverse coalesce.
+        val keyStructC = fstruct(keys.map(col): _*)
+        var joined = cand
+        reached.zipWithIndex.foreach { case (r, i) =>
+          val ri = r.select(col(H).as(s"__gkf_h$i"),
+            fstruct(keys.map(col): _*).as(s"__gkf_k$i"),
+            fstruct(cols.map(col): _*).as(s"__gkf_cur$i"))
+          val hEq = col(H) === col(s"__gkf_h$i")
+          val kEq = keyStructC <=> col(s"__gkf_k$i")
+          joined = joined
+            .join(ri, hEq && (kEq || col(H) =!= col(s"__gkf_h$i")), "left")
+            .drop(s"__gkf_h$i", s"__gkf_k$i")
+        }
+        val latest = coalesce(reached.indices.reverse.map(i => col(s"__gkf_cur$i")): _*)
+        val rowStruct = fstruct(cols.map(col): _*)
+        val changed = joined
+          .filter(latest.isNull || !(rowStruct <=> latest))
+          .select((cols :+ H).map(col): _*)
+        val obs = Observation()
+        frontier = persist(changed.observe(obs, count(lit(1)).as("n")), round + 1)
+        // When a round's cand turns out empty at RUNTIME, AQE's
+        // empty-relation propagation can collapse the outer-join tree
+        // and the CollectMetrics observation is lost with it (the
+        // metrics map comes back without "n" — seen deterministically on
+        // the convergence round). The persisted table is the ground
+        // truth either way: probe it on metric loss — one tiny job, and
+        // only on the (usually final) metric-less round.
+        frontierRows = {
+          val m = obs.getAsJava
+          if (m.containsKey("n")) m.get("n").asInstanceOf[Long]
+          else spark.table(tableName(round + 1)).count()
+        }
+        if (frontierRows > 0) reached :+= frontier
+        round += 1
+      }
+      // Final state: per key, the row from the latest round that touched
+      // it — one key-hash shuffle over the (bounded) union of round
+      // tables, deterministic because (key, round) is unique.
+      val tagged = reached.zipWithIndex.map { case (r, i) =>
+        r.drop(H).withColumn("__gkf_round", lit(i)) }
+      tagged.reduce(_ union _)
+        .groupBy(keys.map(col): _*)
+        .agg(max_by(fstruct(cols.map(col): _*), col("__gkf_round")).as("__gkf_row"))
+        .select(cols.map(c => col(s"__gkf_row.$c")): _*)
+    } finally dropCreated()
+  }
 }

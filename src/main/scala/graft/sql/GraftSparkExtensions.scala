@@ -64,6 +64,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
   private val recursiveRe = "(?is).*\\bWITH\\s+RECURSIVE\\b.*".r
+  private val usingKeyRe = "(?is).*\\bWITH\\s+RECURSIVE\\b.*\\bUSING\\s+KEY\\b.*".r
   private val asofRe = "(?is).*\\bASOF\\s+(?:LEFT\\s+)?JOIN\\b.*".r
   private val excludeRe = "(?is).*\\*\\s*EXCLUDE\\b.*".r
   private val summarizeRe = "(?is)\\s*SUMMARIZE\\b.*".r
@@ -83,6 +84,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
         val rewritten = sqlText match {
           case summarizeTableRe(tbl) =>
             tryReparse(Some(s"SELECT * FROM summarize('$tbl')"))
+          case usingKeyRe() => tryReparse(UsingKeyRewrite.rewrite(sqlText))
           case asofRe() => tryReparse(AsofJoinRewrite.rewrite(sqlText))
           case excludeRe() => tryReparse(ExcludeRewrite.rewrite(sqlText))
           case qualifyRe() => tryReparse(QualifyRewrite.rewrite(sqlText))
@@ -95,14 +97,17 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             val hint = sqlText match {
               case recursiveRe() =>
                 Some("Spark 4.1 hosts standard UNION ALL recursive CTEs " +
-                  "natively, so if this WITH RECURSIVE failed to parse you " +
-                  "may be using a DuckDB-specific variant (USING KEY; " +
-                  "UNION-distinct cycles fail later, at analysis). graft " +
-                  "exposes general fixpoint semantics through the fixpoint() " +
-                  "table function: SELECT ... FROM fixpoint('seed_view', " +
+                  "natively, and the common linear `WITH RECURSIVE r USING " +
+                  "KEY (...)` form is rewritten to run automatically " +
+                  "(fixpoint_keyed) — this statement matched neither. For " +
+                  "general fixpoints use the table functions directly: " +
+                  "SELECT ... FROM fixpoint('seed_view', " +
                   "'SELECT ... FROM __frontier ...'[, max_rounds[, buckets]]) " +
-                  "— the step SQL sees each round's new rows as the view " +
-                  "__frontier. See README 'Recursive queries'.")
+                  "for UNION-distinct recursion, or fixpoint_keyed(seed, " +
+                  "step_sql, 'key_csv') for one-row-per-key upsert " +
+                  "semantics (recurring.<name> references need the manual " +
+                  "form) — the step SQL sees each round's new/changed rows " +
+                  "as the view __frontier. See README 'Recursive queries'.")
               case asofRe() =>
                 Some("If you meant DuckDB's ASOF JOIN: the common backward " +
                   "form (FROM l ASOF [LEFT] JOIN r ON l.k = r.k AND " +
@@ -330,6 +335,66 @@ object GraftSparkExtensions {
       out.queryExecution.analyzed
     })
 
+  /** Resolve a TVF's relation argument: a bare name goes through the
+    * session catalog, a leading SELECT or '(' is executed as SQL — the
+    * form the USING KEY rewrite needs, since a textual rewrite cannot
+    * register views.
+    */
+  private def tableOrSql(spark: org.apache.spark.sql.SparkSession,
+      s: String): org.apache.spark.sql.DataFrame = {
+    val t = s.trim
+    if (t.toUpperCase.startsWith("SELECT") || t.startsWith("(")) spark.sql(t)
+    else spark.table(t)
+  }
+
+  /** `WITH RECURSIVE ... USING KEY` SQL entry point
+    * ([[graft.operators.Fixpoint.iterateKeyed]] carries the semantics:
+    * one row per key, step output upserts, frontier = changed rows,
+    * stop on no change):
+    *
+    * {{{
+    * SELECT * FROM fixpoint_keyed(
+    *   'SELECT 1 AS x, 0 AS v',                      -- seed (name or SQL)
+    *   'SELECT x, v+1 FROM __frontier WHERE v < 3',  -- step over the
+    *   'x'[, max_rounds[, buckets]])                 --   changed rows
+    * }}}
+    *
+    * The literal DuckDB `WITH RECURSIVE r USING KEY (...)` statement also
+    * lands here via the hint parser's tier-1 rewrite
+    * ([[UsingKeyRewrite]]). Same eagerness and distribution contract as
+    * `fixpoint`: rounds run at analysis, the returned plan unions the
+    * round tables with per-key latest-round resolution, nothing is
+    * collected.
+    */
+  val fixpointKeyedFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("fixpoint_keyed"), info("fixpoint_keyed"), (args: Seq[Expression]) => {
+      if (args.size < 3 || args.size > 5)
+        throw new IllegalArgumentException(
+          "fixpoint_keyed(seed_table_or_sql, step_sql, key_csv" +
+            s"[, max_rounds[, buckets]]) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "fixpoint_keyed arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "fixpoint_keyed arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val stepSql = asString(v(1))
+      require(stepSql.contains("__frontier"),
+        "fixpoint_keyed step SQL must reference the changed rows via the view name __frontier")
+      val keys = asString(v(2)).split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+      require(keys.nonEmpty, "fixpoint_keyed needs at least one key column")
+      val maxRounds = if (args.size >= 4) asInt(v(3)) else 64
+      val buckets = if (args.size >= 5) asInt(v(4)) else 0
+      val viewName =
+        s"__frontier_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val boundStep = stepSql.replace("__frontier", viewName)
+      val out =
+        try graft.operators.Fixpoint.iterateKeyed(
+          tableOrSql(spark, asString(v(0))),
+          frontier => { frontier.createOrReplaceTempView(viewName); spark.sql(boundStep) },
+          keys, maxRounds, buckets)
+        finally { spark.catalog.dropTempView(viewName); () }
+      out.queryExecution.analyzed
+    })
+
   /** Corpus near-dedup SQL entry point — the iterative dedup pipeline
     * (LSH candidates → exact verify → min-label propagation to
     * convergence → anti-join) is not expressible as one SQL statement, so
@@ -439,6 +504,7 @@ object GraftSparkExtensions {
     },
     asofJoinFn,
     fixpointFn,
+    fixpointKeyedFn,
     dedupFn,
     spanScrubFn,
     summarizeFn

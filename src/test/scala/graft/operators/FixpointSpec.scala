@@ -43,6 +43,57 @@ class FixpointSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no fixpoint within 5 rounds"))
   }
 
+  test("iterateKeyed upserts: a key's payload is replaced, not accumulated") {
+    import spark.implicits._
+    // Key 1 climbs v = 0 -> 3 (three replacements); plain iterate would
+    // return four rows, keyed state keeps ONE row per key, final payload.
+    val seed = Seq((1L, 0L), (2L, 10L)).toDF("k", "v")
+    val out = Fixpoint.iterateKeyed(seed,
+        d => d.filter(col("v") < 3).select(col("k"), (col("v") + 1).as("v")),
+        keys = Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(out == Seq((1L, 3L), (2L, 10L)))
+  }
+
+  test("iterateKeyed with whole-row keys equals iterate's UNION-distinct closure") {
+    import spark.implicits._
+    // When the key IS the whole row, upsert degenerates to set insertion:
+    // the keyed engine must reproduce the plain fixpoint on the same
+    // cyclic graph (including termination).
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("u", "v")
+    val seed = Seq(0L).toDF("x")
+    def step(d: org.apache.spark.sql.DataFrame) =
+      d.join(edges, d("x") === edges("u")).select(col("v").as("x"))
+    val keyed = Fixpoint.iterateKeyed(seed, step, keys = Seq("x"), maxRounds = 10)
+      .collect().map(_.getLong(0)).toSet
+    val plain = Fixpoint.iterate(seed, step, maxRounds = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(keyed == plain && keyed == Set(0L, 1L, 2L))
+  }
+
+  test("iterateKeyed resolves duplicate keys within a round deterministically (min row)") {
+    import spark.implicits._
+    // Seed emits key 7 twice with different payloads; the engine-defined
+    // tie-break is the minimum full-row struct — every run, every
+    // partitioning.
+    val seed = Seq((7L, 5L), (7L, 2L)).toDF("k", "v")
+    val out = Fixpoint.iterateKeyed(seed, d => d.limit(0), keys = Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((7L, 2L)))
+  }
+
+  test("iterateKeyed throws at the round cap on an oscillating step") {
+    import spark.implicits._
+    // v flips 0<->1 forever: every round changes the key's payload, no
+    // fixpoint exists — the cap must THROW, a truncated state is wrong.
+    val seed = Seq((1L, 0L)).toDF("k", "v")
+    val ex = intercept[IllegalStateException](
+      Fixpoint.iterateKeyed(seed,
+        d => d.select(col("k"), (lit(1L) - col("v")).as("v")),
+        keys = Seq("k"), maxRounds = 5).collect())
+    assert(ex.getMessage.contains("no fixpoint within 5 rounds"))
+  }
+
   test("iterate on an empty seed returns the empty set") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("x")

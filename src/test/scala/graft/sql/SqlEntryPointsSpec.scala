@@ -159,16 +159,53 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(xs == Seq(1, 2, 3, 4, 5))
   }
 
-  test("WITH RECURSIVE parse failure (DuckDB-only form) lands on the fixpoint() hint") {
-    // DuckDB's USING KEY variant is not in Spark's grammar; the failure
-    // must surface the fixpoint() mapping instead of a bare syntax error.
-    val ex = intercept[Exception](spark.sql(
+  test("literal WITH RECURSIVE ... USING KEY executes via the fixpoint_keyed rewrite") {
+    // The linear discovery form: each key appears once, same rows a
+    // UNION-distinct recursion would produce.
+    val counter = spark.sql(
       """WITH RECURSIVE r USING KEY (x) AS (
            SELECT 1 AS x UNION ALL SELECT x + 1 FROM r WHERE x < 5)
+         SELECT * FROM r ORDER BY x""")
+      .collect().map(_.getInt(0)).toSeq
+    assert(counter == Seq(1, 2, 3, 4, 5))
+    // The UPSERT form — what distinguishes USING KEY from plain
+    // recursion: key 1's payload is REPLACED each round (a UNION ALL
+    // recursion would return v = 0,1,2,3 as four rows; USING KEY keeps
+    // one row per key, final payload only).
+    val upsert = spark.sql(
+      """WITH RECURSIVE r USING KEY (x) AS (
+           SELECT 1 AS x, 0 AS v
+           UNION ALL
+           SELECT x, v + 1 FROM r WHERE v < 3)
+         SELECT x, v FROM r""")
+      .collect().map(c => (c.getInt(0), c.getInt(1))).toSeq
+    assert(upsert == Seq((1, 3)))
+  }
+
+  test("USING KEY shapes the rewrite declines (recurring.<name>) land on the hint") {
+    val ex = intercept[Exception](spark.sql(
+      """WITH RECURSIVE r USING KEY (x) AS (
+           SELECT 1 AS x, 0 AS v
+           UNION ALL
+           SELECT x, v + 1 FROM r JOIN recurring.r u ON u.x = r.x WHERE r.v < 3)
          SELECT * FROM r"""))
-    assert(ex.getMessage.contains("fixpoint("),
-      s"expected the fixpoint() hint, got: ${ex.getMessage}")
+    assert(ex.getMessage.contains("fixpoint"),
+      s"expected the fixpoint hint, got: ${ex.getMessage}")
     assert(ex.getMessage.contains("__frontier"))
+  }
+
+  test("fixpoint_keyed TVF: SQL-literal seed, upsert state, composes downstream") {
+    val rows = spark.sql(
+      """SELECT x, v FROM fixpoint_keyed(
+           'SELECT 1 AS x, 0 AS v UNION ALL SELECT 2, 10',
+           'SELECT x, v + 1 FROM __frontier WHERE v < 3',
+           'x') ORDER BY x""")
+      .collect().map(c => (c.getInt(0), c.getInt(1))).toSeq
+    // Key 1 climbs 0->3; key 2 starts at 10 (>= 3) and never changes.
+    assert(rows == Seq((1, 3), (2, 10)))
+    val ex = intercept[Exception](
+      spark.sql("SELECT * FROM fixpoint_keyed('SELECT 1 AS x', 'SELECT x FROM t')"))
+    assert(ex.getMessage.contains("fixpoint_keyed"))
   }
 
   test("literal ASOF JOIN executes via the TVF rewrite (inclusive inner)") {
