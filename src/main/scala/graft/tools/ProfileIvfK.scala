@@ -42,6 +42,21 @@ object ProfileIvfK {
         .agg(sum("cid")).head().getLong(0)
       println(f"[ivfk] $form%-9s run$run ${(System.nanoTime() - t0) / 1e9}%8.2f s (checksum $chk)")
     }
+    // PROBE-selection A/B (round 11): ivfTopK's query→cell step at the
+    // same k — the q×k crossJoin+window (forced by pinning
+    // twoLevelAssignK high) vs the row-local top_centroids_2level
+    // expression (twoLevelAssignK below k). A large query batch is the
+    // regime where the crossJoin shape hurts: q×k rows shuffled and
+    // window-sorted to keep nProbe each.
+    val queries = corpus.filter(col("vec_id") >= n - 2000)
+    for (form <- Seq("crossjoin", "twolevel"); run <- 1 to 2) {
+      spark.conf.set("spark.graft.twoLevelAssignK",
+        if (form == "crossjoin") Int.MaxValue.toString else "64")
+      val t0 = System.nanoTime()
+      val cnt = Similarity.ivfTopK(corpus, queries, centroids, k = 10, nProbe = 4)
+        .count()
+      println(f"[ivfk] probe-$form%-10s run$run ${(System.nanoTime() - t0) / 1e9}%8.2f s ($cnt rows)")
+    }
     spark.stop()
   }
 }
