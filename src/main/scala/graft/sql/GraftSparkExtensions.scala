@@ -68,6 +68,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val asofRe = "(?is).*\\bASOF\\s+(?:LEFT\\s+)?JOIN\\b.*".r
   private val excludeRe = "(?is).*\\*\\s*EXCLUDE\\b.*".r
   private val summarizeRe = "(?is)\\s*SUMMARIZE\\b.*".r
+  private val macroRe = "(?is).*\\bCREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?MACRO\\b.*".r
   private val summarizeTableRe =
     "(?is)\\s*SUMMARIZE\\s+([a-zA-Z_][a-zA-Z0-9_.]*)\\s*;?\\s*".r
   private val qualifyRe = "(?is).*\\bQUALIFY\\b.*".r
@@ -124,6 +125,15 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "summarize('t') table function); other forms don't — use " +
                   "summarize('view_name') over a registered view, " +
                   "Dataset.summary() / describe(), or DESCRIBE TABLE <t>.")
+              case macroRe() =>
+                Some("If you meant DuckDB's CREATE MACRO: Spark 4 hosts " +
+                  "the same feature as SQL UDFs, but parameter and return " +
+                  "TYPES are mandatory, so the translation cannot be " +
+                  "automatic — write CREATE [OR REPLACE] TEMPORARY " +
+                  "FUNCTION name(x DOUBLE, ...) RETURNS DOUBLE RETURN " +
+                  "<expression>; and call it like any built-in. Table " +
+                  "macros map to CREATE TEMPORARY VIEW (no parameters) or " +
+                  "a SQL UDF returning a struct.")
               case qualifyRe() =>
                 Some("If you meant DuckDB's QUALIFY: simple single-block " +
                   "forms are rewritten to run automatically, but this one " +

@@ -361,6 +361,18 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 3L, 330.0), (2L, 1L, 50.0)))
   }
 
+  test("CREATE MACRO lands on the SQL-UDF hint; the Spark SQL UDF itself works") {
+    val ex = intercept[Exception](spark.sql(
+      "CREATE MACRO add_default(a, b := 5) AS a + b"))
+    assert(ex.getMessage.contains("TEMPORARY FUNCTION"),
+      s"expected the SQL-UDF hint, got: ${ex.getMessage}")
+    // The hinted mapping is real: a typed Spark SQL UDF carries the
+    // macro's semantics.
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_add5(a INT, b INT) " +
+      "RETURNS INT RETURN a + b")
+    assert(spark.sql("SELECT graft_add5(2, 5) AS s").head().getInt(0) == 7)
+  }
+
   test("hint parser delegates cleanly: valid statements and unrelated errors unchanged") {
     assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
     val ex = intercept[Exception](spark.sql("SELEKT 1"))
