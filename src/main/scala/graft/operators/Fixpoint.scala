@@ -154,7 +154,17 @@ object Fixpoint {
         val fresh = reached.foldLeft(cand)((c, r) => antiReached(c, r, cols))
         val obs = Observation()
         frontier = persist(fresh.observe(obs, count(lit(1)).as("n")), round + 1)
-        frontierRows = obs.get("n").asInstanceOf[Long]
+        // Same defense as iterateKeyed: AQE runtime empty-propagation can
+        // collapse a runtime-empty round's plan and lose the
+        // CollectMetrics observation (observed there on the convergence
+        // round's outer joins; never yet on this anti-join chain, but the
+        // rule set is Spark's to change). The persisted table is ground
+        // truth — probe it if "n" went missing.
+        frontierRows = {
+          val m = obs.getAsJava
+          if (m.containsKey("n")) m.get("n").asInstanceOf[Long]
+          else spark.table(tableName(round + 1)).count()
+        }
         if (frontierRows > 0) reached :+= frontier
         round += 1
       }

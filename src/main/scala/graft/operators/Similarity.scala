@@ -182,8 +182,10 @@ object Similarity {
       if (cb.length > twoLevelK) {
         val nProbe = spark.conf.getOption("spark.graft.twoLevelAssignNProbe")
           .map(_.toInt).getOrElse(8)
+        val fitSample = spark.conf.getOption("spark.graft.twoLevelCoarseFitSample")
+          .map(_.toInt).getOrElse(131072)
         val bc = spark.sparkContext.broadcast(
-          buildTwoLevelCodebook(cb.map(_._1), cb.map(_._2)))
+          buildTwoLevelCodebook(cb.map(_._1), cb.map(_._2), fitSample))
         (graft.functions.BestCentroidTwoLevel(
           ColumnBridge.expression(col("embedding")), bc, nProbe),
           Some(bc), Some(bc))
@@ -207,17 +209,21 @@ object Similarity {
     * compacted away. Cost is O(k·√k·dim) on the driver per call —
     * per-centroid assignment fans out on a parallel stream; at k=10⁴/dim 64
     * it's ~100 ms, and it buys the executors a ~(nProbe+1)·√k-vs-k work cut
-    * on every row of the corpus scan. Honest ceiling: the cost is
-    * superlinear in k, so at the contract's far end (k=10⁶, dim 768) a
-    * build is minutes of driver compute, paid once per k-means iteration
-    * while the cluster idles — still usually the right trade against
-    * O(k·dim) per corpus ROW, but the known amortization (reusing the
-    * previous round's coarse fit as the next round's seed, fitting on a
-    * centroid sample) is NOT implemented; revisit before pointing this at
-    * k much beyond 10⁵.
+    * on every row of the corpus scan.
+    *
+    * Past `fitSample` centroids (default 2¹⁷ — ABOVE every measured
+    * scale, so nothing below k≈131k changes by a bit) the Lloyd rounds
+    * fit on a deterministic every-⌈k/s⌉-th SAMPLE of the id-sorted
+    * centroids and only the final CSR assignment scans all k: build cost
+    * drops from (rounds+1)·k·√k·dim to rounds·s·√k·dim + k·√k·dim — at
+    * the k=10⁶ contract edge that is the difference between the driver
+    * fitting 2·10⁶ and 2·1.3·10⁵ rows per round while the cluster idles
+    * (ProfileTwoLevelBuild measures it). Sampling moves cell BOUNDARIES
+    * only — probe/parity semantics (exactness at nProbe ≥ cell count,
+    * duplicate co-assignment) are properties of the kernel, not the fit.
     */
   private[graft] def buildTwoLevelCodebook(ids: Array[Long],
-      vecs: Array[Array[Float]])
+      vecs: Array[Array[Float]], fitSample: Int = 131072)
       : (Array[Array[Float]], Array[Int], Array[Long], Array[Array[Float]]) = {
     val k = ids.length
     val c = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
@@ -229,14 +235,19 @@ object Similarity {
     }
     var coarse = Array.tabulate(c)(j => vecs((j.toLong * k / c).toInt).map(_.toDouble))
     val assign = new Array[Int](k)
-    for (_ <- 0 until 2) {
-      val cNorms = coarse.map { v =>
+    // Lloyd-round membership: all of k, or the deterministic sample.
+    val fitIdx: Array[Int] =
+      if (k <= fitSample) Array.tabulate(k)(identity)
+      else Array.tabulate(fitSample)(j => ((j.toLong * k) / fitSample).toInt)
+    def assignAll(indices: Array[Int]): Unit = {
+      val frozen = coarse
+      val cNorms = frozen.map { v =>
         var s = 0.0; var i = 0
         while (i < v.length) { s += v(i) * v(i); i += 1 }
         math.sqrt(s)
       }
-      val frozen = coarse
-      java.util.stream.IntStream.range(0, k).parallel().forEach { f =>
+      java.util.stream.IntStream.range(0, indices.length).parallel().forEach { x =>
+        val f = indices(x)
         val v = vecs(f)
         var best = Double.NegativeInfinity
         var bestC = 0
@@ -251,19 +262,29 @@ object Similarity {
         }
         assign(f) = bestC
       }
+    }
+    for (_ <- 0 until 2) {
+      assignAll(fitIdx)
       val sums = Array.fill(c)(new Array[Double](dim))
       val counts = new Array[Long](c)
-      var f = 0
-      while (f < k) {
+      var x = 0
+      while (x < fitIdx.length) {
+        val f = fitIdx(x)
         val s = sums(assign(f)); val v = vecs(f)
         var i = 0
         while (i < dim) { s(i) += v(i).toDouble; i += 1 }
         counts(assign(f)) += 1
-        f += 1
+        x += 1
       }
       coarse = Array.tabulate(c)(j =>
         if (counts(j) == 0) coarse(j) else sums(j).map(_ / counts(j)))
     }
+    // Sampled fit leaves non-sample rows unassigned: one full pass
+    // against the final coarse means builds the CSR membership. (The
+    // full-fit regime skips this — there `assign` already holds round
+    // 2's full assignment, the exact grouping the pre-sampling code
+    // used, so k ≤ fitSample output is bit-identical to before.)
+    if (k > fitSample) assignAll(Array.tabulate(k)(identity))
     // CSR by (cell, id): ids are already ascending in the input, and the
     // grouping sort is stable, so within-cell order stays ascending.
     // Empty coarse cells are compacted implicitly — absent keys simply
