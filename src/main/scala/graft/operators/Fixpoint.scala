@@ -240,14 +240,21 @@ object Fixpoint {
             s"Fixpoint.iterateKeyed: no fixpoint within $maxRounds rounds — " +
               "non-convergent step (oscillating payloads?) or recursion " +
               "deeper than the cap; raise maxRounds (truncated state would be WRONG)")
-        // Recursive-CTE column semantics are POSITIONAL: the step's
-        // expression labels (`v + 1`) do not need to match the seed's
-        // names — rename by position, as DuckDB does.
+        // Recursive-CTE column semantics are POSITIONAL, and the SEED
+        // anchors both names and types (DuckDB's contract): rename by
+        // position and cast to the seed's types — a step that widens a
+        // column (int seed, bigint step) would otherwise fail the final
+        // round-table union, and the per-round key-hash equality relies
+        // on consistent types across rounds. ANSI mode makes a genuinely
+        // incompatible step type a loud error, not a silent null.
         val stepped = step(frontier.drop(H))
         require(stepped.columns.length == cols.length,
           s"Fixpoint.iterateKeyed: step returned ${stepped.columns.length} " +
             s"columns, seed has ${cols.length}")
-        val cand = withKeyHash(dedupByKey(stepped.toDF(cols: _*)))
+        val seedTypes = seed.schema.fields.map(_.dataType)
+        val cand = withKeyHash(dedupByKey(
+          stepped.toDF(cols: _*).select(cols.zip(seedTypes).map {
+            case (c, t) => col(c).cast(t).as(c) }.toIndexedSeq: _*)))
         // Current payload per candidate key: left-join every round table
         // (each holds ≤1 row per key) on the key hash with the null-safe
         // key struct as a residual, collecting one payload struct per

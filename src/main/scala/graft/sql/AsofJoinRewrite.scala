@@ -112,8 +112,17 @@ object AsofJoinRewrite {
 
     var idx = fromIdx + 1
     def cur: Option[(String, Int)] = words.lift(idx)
+    // A table-name word must follow its keyword across WHITESPACE ONLY:
+    // after `FROM (SELECT …) t`, the scanner's paren-skip makes `t` the
+    // next word, and capturing the subquery's ALIAS as a table name
+    // would silently join a real table of the same name instead of the
+    // subquery. Same guard between JOIN and the right name.
+    def directlyAfter(kwEnd: Int, w: (String, Int)): Boolean =
+      sql.substring(kwEnd, w._2).forall(_.isWhitespace)
     // FROM <lname> [[AS] <lalias>] ASOF [LEFT] JOIN <rname> [[AS] <ralias>] ON
-    val lname = cur.filter(isName).map(text).getOrElse(return None)
+    val fromEnd = words(fromIdx)._2 + "FROM".length
+    val lname = cur.filter(isName).filter(directlyAfter(fromEnd, _))
+      .map(text).getOrElse(return None)
     idx += 1
     if (cur.exists(_._1 == "AS")) idx += 1
     val lalias = cur.filter(isName).map(text)
@@ -123,8 +132,10 @@ object AsofJoinRewrite {
     val leftJoin = cur.exists(_._1 == "LEFT")
     if (leftJoin) idx += 1
     if (!cur.exists(_._1 == "JOIN")) return None
+    val joinEnd = cur.get._2 + "JOIN".length
     idx += 1
-    val rname = cur.filter(isName).map(text).getOrElse(return None)
+    val rname = cur.filter(isName).filter(directlyAfter(joinEnd, _))
+      .map(text).getOrElse(return None)
     idx += 1
     if (cur.exists(_._1 == "AS")) idx += 1
     val ralias = cur.filter(isName).map(text)

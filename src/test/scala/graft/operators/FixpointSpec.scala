@@ -82,6 +82,20 @@ class FixpointSpec extends AnyFunSuite {
     assert(out == Seq((7L, 2L)))
   }
 
+  test("iterateKeyed anchors step types to the seed (positional cast)") {
+    import spark.implicits._
+    // Seed is (int, int); the step widens v to BIGINT — recursive-CTE
+    // semantics keep the SEED's types, and without the cast the final
+    // round-table union would fail on mismatched schemas.
+    val seed = Seq((1, 0)).toDF("k", "v")
+    val out = Fixpoint.iterateKeyed(seed,
+        d => d.filter(col("v") < 3)
+          .select(col("k"), (col("v").cast("bigint") + 1L).as("v")),
+        keys = Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(out == Seq((1, 3)))
+  }
+
   test("iterateKeyed throws at the round cap on an oscillating step") {
     import spark.implicits._
     // v flips 0<->1 forever: every round changes the key's payload, no

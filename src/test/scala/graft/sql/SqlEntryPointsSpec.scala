@@ -274,6 +274,17 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       """SELECT sym, tt, px FROM sq_trades t ASOF JOIN sq_quotes q
          ON t.sym = q.sym AND t.tt <= q.qt"""))
     assert(fwd.getMessage.contains("asof_join("))
+    // A parenthesized subquery as the left side: the scanner's
+    // paren-skip sees the ALIAS next — it must NOT be captured as a
+    // table name (here a real view named sq_trades also exists, so a
+    // mis-capture would silently join the WRONG relation).
+    val sub = intercept[Exception](spark.sql(
+      """SELECT sym, tt, px
+         FROM (SELECT * FROM sq_trades WHERE tt > 6) sq_trades
+         ASOF JOIN sq_quotes q
+           ON sq_trades.sym = q.sym AND sq_trades.tt >= q.qt"""))
+    assert(sub.getMessage.contains("asof_join("),
+      s"expected decline-to-hint for the subquery left side, got: ${sub.getMessage}")
   }
 
   test("DESCRIBE works natively; the literal SUMMARIZE statement RUNS (rewrite to the TVF)") {
