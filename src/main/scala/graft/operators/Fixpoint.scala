@@ -200,6 +200,19 @@ object Fixpoint {
     * A replaced key's old row stays in its old round table; LATER ROUNDS
     * TAKE PRECEDENCE — resolved per lookup via reverse-round coalesce
     * and once at the end via max_by(round) per key.
+    *
+    * Where keyed state DIFFERS from [[iterate]]'s closure: update-heavy
+    * workloads re-touch keys, so round tables are NOT disjoint —
+    * unboundedly many superseded rows would accumulate and every
+    * lookup's join chain would grow one table per round (O(rounds²·K)
+    * scanned over a long run). Past
+    * `spark.graft.keyedFixpointCompactRounds` live tables (default 8)
+    * the state COMPACTS: latest-per-key resolves into one bucketed
+    * table and iteration continues from it — lookups join ≤ compact+1
+    * tables, superseded rows are dropped rather than re-scanned forever,
+    * and one K-row shuffle per compaction pays for it. ([[iterate]]
+    * needs no such step: its round tables are disjoint by construction,
+    * so its chain scans each closure row exactly once per round.)
     */
   def iterateKeyed(seed: DataFrame, step: DataFrame => DataFrame,
       keys: Seq[String], maxRounds: Int = 64, buckets: Int = 0): DataFrame = {
@@ -219,9 +232,23 @@ object Fixpoint {
       df.groupBy(keys.map(col): _*)
         .agg(min(fstruct(cols.map(col): _*)).as("__gkf_row"))
         .select(cols.map(c => col(s"__gkf_row.$c")): _*)
+    // Latest-per-key resolution over ordered state tables (later index
+    // supersedes) — the shape both the final result and compaction use;
+    // deterministic because (key, table index) is unique.
+    def resolveLatest(tables: Vector[DataFrame]): DataFrame = {
+      val tagged = tables.zipWithIndex.map { case (r, i) =>
+        r.drop(H).withColumn("__gkf_round", lit(i)) }
+      tagged.reduce(_ union _)
+        .groupBy(keys.map(col): _*)
+        .agg(max_by(fstruct(cols.map(col): _*), col("__gkf_round")).as("__gkf_row"))
+        .select(cols.map(c => col(s"__gkf_row.$c")): _*)
+    }
+    val compactEvery = spark.conf
+      .getOption("spark.graft.keyedFixpointCompactRounds").map(_.toInt).getOrElse(8)
+    require(compactEvery >= 1,
+      "spark.graft.keyedFixpointCompactRounds must be >= 1")
     var created = Vector.empty[String]
-    def persist(df: DataFrame, round: Int): DataFrame = {
-      val name = tableName(round)
+    def persist(df: DataFrame, name: String): DataFrame = {
       val out = persistFrontier(df, name, nb)
       created :+= name
       out
@@ -230,7 +257,7 @@ object Fixpoint {
       try { spark.sql(s"DROP TABLE IF EXISTS $n"); () }
       catch { case _: Exception => () })
     try {
-      var frontier = persist(withKeyHash(dedupByKey(seed)), 0)
+      var frontier = persist(withKeyHash(dedupByKey(seed)), tableName(0))
       var reached = Vector(frontier) // round order; later rounds supersede
       var round = 0
       var frontierRows = -1L
@@ -277,7 +304,8 @@ object Fixpoint {
           .filter(latest.isNull || !(rowStruct <=> latest))
           .select((cols :+ H).map(col): _*)
         val obs = Observation()
-        frontier = persist(changed.observe(obs, count(lit(1)).as("n")), round + 1)
+        frontier = persist(changed.observe(obs, count(lit(1)).as("n")),
+          tableName(round + 1))
         // When a round's cand turns out empty at RUNTIME, AQE's
         // empty-relation propagation can collapse the outer-join tree
         // and the CollectMetrics observation is lost with it (the
@@ -291,17 +319,17 @@ object Fixpoint {
           else spark.table(tableName(round + 1)).count()
         }
         if (frontierRows > 0) reached :+= frontier
+        // Compaction: bound the lookup chain and drop superseded rows
+        // (see the scaladoc). The frontier table itself is untouched —
+        // only the STATE view of it merges into the compacted table.
+        if (reached.length > compactEvery)
+          reached = Vector(persist(withKeyHash(resolveLatest(reached)),
+            s"graft_kfix_${runId}_c$round"))
         round += 1
       }
-      // Final state: per key, the row from the latest round that touched
-      // it — one key-hash shuffle over the (bounded) union of round
-      // tables, deterministic because (key, round) is unique.
-      val tagged = reached.zipWithIndex.map { case (r, i) =>
-        r.drop(H).withColumn("__gkf_round", lit(i)) }
-      tagged.reduce(_ union _)
-        .groupBy(keys.map(col): _*)
-        .agg(max_by(fstruct(cols.map(col): _*), col("__gkf_round")).as("__gkf_row"))
-        .select(cols.map(c => col(s"__gkf_row.$c")): _*)
+      // Final state: per key, the row from the latest table that touched
+      // it — one key-hash shuffle over the (compaction-bounded) union.
+      resolveLatest(reached)
     } finally dropCreated()
   }
 }

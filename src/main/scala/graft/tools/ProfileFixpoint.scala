@@ -51,6 +51,23 @@ object ProfileFixpoint {
         d => d.join(treeStored, d("x") === treeStored("u")).select(col("v").as("x")),
         buckets = buckets).count()
     for (b <- Seq(32, 8)) time(s"100k tree, buckets=$b")(runTree(b))
+
+    // Keyed fixpoint (iterateKeyed), the update-heavy regime: 100k keys
+    // all upserted every round for 16 rounds — round tables are NOT
+    // disjoint, so without compaction each round's lookup joins every
+    // earlier 100k-row table (O(R²·K) scanned). A/B the compaction bound
+    // (spark.graft.keyedFixpointCompactRounds: effectively-off vs the
+    // default 8 vs aggressive 4).
+    val kSeed = spark.range(100000).select(col("id").as("k"), lit(0L).as("v"))
+    def runKeyed(compact: Int): Long = {
+      spark.conf.set("spark.graft.keyedFixpointCompactRounds", compact.toString)
+      try Fixpoint.iterateKeyed(kSeed,
+        d => d.filter(col("v") < 16).select(col("k"), (col("v") + 1).as("v")),
+        keys = Seq("k"), maxRounds = 24).count()
+      finally spark.conf.unset("spark.graft.keyedFixpointCompactRounds")
+    }
+    for (c <- Seq(1000, 8, 4); rep <- 1 to 2)
+      time(s"keyed upsert 100k x 16 rounds, compact=$c (rep $rep)")(runKeyed(c))
     spark.stop()
   }
 }

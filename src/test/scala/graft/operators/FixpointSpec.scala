@@ -96,6 +96,24 @@ class FixpointSpec extends AnyFunSuite {
     assert(out == Seq((1, 3)))
   }
 
+  test("iterateKeyed compaction preserves untouched keys across boundaries") {
+    import spark.implicits._
+    // Key 1 climbs for 10 rounds; key 2 never steps after the seed — its
+    // payload lives ONLY in table 0, so every compaction (forced every 2
+    // tables here) must carry it forward or it vanishes from the state.
+    val seed = Seq((1L, 0L), (2L, 100L)).toDF("k", "v")
+    def run(): Seq[(Long, Long)] =
+      Fixpoint.iterateKeyed(seed,
+          d => d.filter(col("v") < 9).select(col("k"), (col("v") + 1).as("v")),
+          keys = Seq("k"), maxRounds = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val default = run()
+    val key = "spark.graft.keyedFixpointCompactRounds"
+    spark.conf.set(key, "2")
+    try assert(run() == default && default == Seq((1L, 9L), (2L, 100L)))
+    finally spark.conf.unset(key)
+  }
+
   test("iterateKeyed throws at the round cap on an oscillating step") {
     import spark.implicits._
     // v flips 0<->1 forever: every round changes the key's payload, no
