@@ -41,11 +41,15 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   * Two tiers:
   *
   *   - REWRITE AND RUN where the mapping is mechanical: a `QUALIFY` clause
-  *     is rewritten into the ANSI subquery form ([[QualifyRewrite]]) and
-  *     re-parsed, the common backward `ASOF [LEFT] JOIN` form becomes an
-  *     `asof_join()` TVF splice ([[AsofJoinRewrite]]), and `SUMMARIZE t`
+  *     is rewritten into the ANSI subquery form ([[QualifyRewrite]]), the
+  *     common backward `ASOF [LEFT] JOIN` form becomes an `asof_join()`
+  *     TVF splice ([[AsofJoinRewrite]]), the linear `USING KEY` recursion
+  *     becomes `fixpoint_keyed()` ([[UsingKeyRewrite]]), `* EXCLUDE`
+  *     swaps to `* EXCEPT` ([[ExcludeRewrite]]), and `SUMMARIZE t`
   *     becomes `SELECT * FROM summarize('t')` — the pasted DuckDB
-  *     statement executes instead of erroring.
+  *     statement executes instead of erroring, and rewrites CHAIN
+  *     (depth-capped) so statements combining constructs (`* EXCLUDE`
+  *     with `QUALIFY`) run too.
   *   - HINT where it isn't: a DuckDB-only `WITH RECURSIVE` variant, or an
   *     ASOF/QUALIFY shape the rewrites decline, gets the original ANTLR
   *     error plus a one-line pointer to the equivalent graft TVF
@@ -77,20 +81,40 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     try body catch {
       case pe: ParseException =>
         // Tier 1: mechanical rewrites that make the statement RUN.
-        // NonFatal only: an OOM or interrupt during the re-parse must
-        // propagate, not masquerade as "the rewrite didn't apply".
-        def tryReparse(rw: Option[String]): Option[T] =
-          rw.flatMap(r => try Some(reparse(r))
-            catch { case scala.util.control.NonFatal(_) => None })
-        val rewritten = sqlText match {
-          case summarizeTableRe(tbl) =>
-            tryReparse(Some(s"SELECT * FROM summarize('$tbl')"))
-          case usingKeyRe() => tryReparse(UsingKeyRewrite.rewrite(sqlText))
-          case asofRe() => tryReparse(AsofJoinRewrite.rewrite(sqlText))
-          case excludeRe() => tryReparse(ExcludeRewrite.rewrite(sqlText))
-          case qualifyRe() => tryReparse(QualifyRewrite.rewrite(sqlText))
-          case _ => None
+        // DuckDB features COMPOSE (`SELECT * EXCLUDE (...) FROM t
+        // QUALIFY ...` is an idiom), so a single rewrite's output can
+        // still carry another foreign construct: apply the first
+        // applicable rewrite, and if the result STILL fails to parse,
+        // recurse on the rewritten text (depth-capped — each rewrite
+        // consumes its construct, so progress is structural, the cap is
+        // a belt). NonFatal only: an OOM or interrupt during the
+        // re-parse must propagate, not masquerade as "the rewrite
+        // didn't apply".
+        def reparseOrChain(text: String, depth: Int): Option[T] =
+          try Some(reparse(text)) catch {
+            case scala.util.control.NonFatal(_) =>
+              if (depth >= 4) None else chain(text, depth)
+          }
+        def chain(text: String, depth: Int): Option[T] = {
+          // Every applicable rewrite is a candidate (one may decline a
+          // shape another unblocks); first candidate whose output
+          // eventually parses wins. Guarded regex matches keep the
+          // scanners off statements that can't contain their construct.
+          val candidates: Seq[String] = Seq(
+            text match { case summarizeTableRe(tbl) =>
+              Some(s"SELECT * FROM summarize('$tbl')"); case _ => None },
+            text match { case usingKeyRe() =>
+              UsingKeyRewrite.rewrite(text); case _ => None },
+            text match { case asofRe() =>
+              AsofJoinRewrite.rewrite(text); case _ => None },
+            text match { case excludeRe() =>
+              ExcludeRewrite.rewrite(text); case _ => None },
+            text match { case qualifyRe() =>
+              QualifyRewrite.rewrite(text); case _ => None }
+          ).flatten
+          candidates.view.flatMap(reparseOrChain(_, depth + 1)).headOption
         }
+        val rewritten = chain(sqlText, 0)
         rewritten match {
           case Some(plan) => plan
           case None =>

@@ -363,6 +363,20 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(ExcludeRewrite.rewrite("SELECT a AS exclude_x FROM t").isEmpty)
   }
 
+  test("rewrites CHAIN: EXCLUDE + QUALIFY in one statement runs end to end") {
+    registerMarket()
+    // The DuckDB/Snowflake idiom combining two foreign constructs: one
+    // rewrite alone leaves the other's syntax in place, so the hint
+    // parser must chain (EXCLUDE→EXCEPT, then the QUALIFY splice).
+    val rows = spark.sql(
+      """SELECT * EXCLUDE (px) FROM sq_quotes
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY sym ORDER BY qt DESC) = 1
+         ORDER BY sym""")
+    assert(rows.columns.toSeq == Seq("sym", "qt", "tag"))
+    assert(rows.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 30L, "c"), (2L, 15L, "d")))
+  }
+
   test("GROUP BY ALL parses natively and groups by the non-aggregated columns") {
     registerMarket()
     val rows = spark.sql(
