@@ -199,6 +199,21 @@ object ScaleProbe {
           .count()
       }
       println(s"[probe] fixpoint closure rows = $closed (expect $nNodes)")
+      // Keyed fixpoint (USING KEY engine) at the same node scale: BFS
+      // depth labeling over the tree — every node's (node, depth) state
+      // is discovered once, rounds = tree depth, per-round work tracks
+      // the level width. The curve claim: linear in nNodes at fixed
+      // depth shape (compaction keeps update-heavy runs linear too —
+      // that regime is A/B'd in ProfileFixpoint, not here).
+      val labeled = time(s"keyed fixpoint BFS depth over $nNodes-node tree") {
+        graft.operators.Fixpoint.iterateKeyed(
+          spark.range(1).select(lit(0L).as("node"), lit(0L).as("depth")),
+          d => d.join(edges, d("node") === edges("u"))
+            .select(col("v").as("node"), (col("depth") + 1).as("depth")),
+          keys = Seq("node"))
+          .count()
+      }
+      println(s"[probe] keyed fixpoint labeled rows = $labeled (expect $nNodes)")
     }
 
     // --- cluster-scoped semantic dedup at factor x --------------------
