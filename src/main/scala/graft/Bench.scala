@@ -60,6 +60,16 @@ object Bench {
     // A failed iteration contributes NO timing (a fast crash would
     // otherwise read as a small, legitimate-looking min); a query with no
     // successful iteration is reported in `failed`, not in `queries`.
+    // Per-query statistic: min-of-3 for the sub-second majority (min damps
+    // contention spikes and the lines are short enough that the 3 runs share
+    // one JVM state), but MEDIAN-of-3 for the >1 s iterative heavyweights
+    // (fixpoints, incremental dedup, stream-start floors). Their min is a
+    // lucky-GC-window magnet — round 11's tri-run saw the same HEAD bounce
+    // ±45% on graph_reachability_sql, and a min across sweeps compares two
+    // different luck draws. The median charges the typical run. This is a
+    // one-time metric change for ~6 lines (median >= min), so r12's
+    // overlap_ratio carries a small upward bias on exactly those lines;
+    // overlap_median (below) is the robust cross-round read.
     def sweep(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -71,7 +81,12 @@ object Bench {
           None
         }
       }
-      name -> times.minOption
+      val sorted = times.sorted
+      name -> (sorted.length match {
+        case 0 => None
+        case n if sorted(n / 2) > 1.0 => Some(sorted(n / 2)) // heavyweight: median
+        case _ => Some(sorted.head)                          // min
+      })
     }
     // Self-defense against a loaded box (round 8's driver run shipped with
     // sentinel_before at 2-3x healthy; round 9's slipped a ~26%-hot run
@@ -87,9 +102,17 @@ object Bench {
     // readers discount the absolute numbers instead of mistaking load for
     // a regression. -1 (sentinel crash) never triggers a retry — it can't
     // distinguish load from code.
+    // Round 11 postmortem: the committed sweep carried sentinel_before =
+    // 0.368 — outside the trusted band (0.14-0.30, SCALE.md reading rule)
+    // but under the old 2x arm (0.40), so a 1.30x overlap went on record
+    // that two clean re-runs contradicted. The retry arm now IS the band
+    // top: any sentinel above 0.30 is presumed contended. The skew arm
+    // keeps its >1.5x-nominal precondition so in-band jitter never burns
+    // the retry.
     val nominalSentinel = 0.20
+    val sentinelBandTop = 0.30
     def hot(before: Double, after: Double): Boolean = {
-      def inflated(s: Double) = s > 2 * nominalSentinel
+      def inflated(s: Double) = s > sentinelBandTop
       def skewed(a: Double, b: Double) =
         a > 1.5 * nominalSentinel && b > 0 && a > 1.5 * b
       (before > 0 && (inflated(before) || skewed(before, after))) ||
@@ -138,7 +161,20 @@ object Bench {
     val overlapRatio =
       if (common.isEmpty) -1.0
       else common.toSeq.map(ok).sum / common.toSeq.map(prior).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sentinel_before":$sentinelBefore,"sentinel_after":$sentinelAfter,"retried":$retried,"contended":$contended,"overlap_ratio":$overlapRatio,"overlap_n":${common.size},"sf":"$sfDir"}"""
+    // Sum-weighted overlap is dominated by the ~6 iterative heavyweights —
+    // exactly the highest-variance lines on this box (±45% same-HEAD,
+    // SCALE.md). The median per-query ratio weights every query equally and
+    // is what a reader should trust for "did the code get faster": round
+    // 11's three same-HEAD sweeps read 0.95/1.19/1.30 sum-weighted but
+    // ~1.07 median. Emit both; judge on the median, debug with the sum.
+    val overlapMedian =
+      if (common.isEmpty) -1.0
+      else {
+        val ratios = common.toSeq.map(k => ok(k) / prior(k)).sorted
+        val n = ratios.length
+        if (n % 2 == 1) ratios(n / 2) else (ratios(n / 2 - 1) + ratios(n / 2)) / 2
+      }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sentinel_before":$sentinelBefore,"sentinel_after":$sentinelAfter,"retried":$retried,"contended":$contended,"overlap_ratio":$overlapRatio,"overlap_median":$overlapMedian,"overlap_n":${common.size},"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a bounded tail, which truncates the
     // per-query map once the suite is large; a file sidesteps the tail so

@@ -1025,6 +1025,50 @@ object AnalyticsQueries {
       "SELECT * EXCLUDE (n_name) FROM graft_q57_nation ORDER BY n_nationkey")
   }
 
+  // DuckDB friendly-SQL parity, part 3: CREATE MACRO — the first thing a
+  // pasted DuckDB setup script hits. The literal statements run on BOTH
+  // engines: DuckDB's native macro machinery vs the hint parser's
+  // MacroRewrite, which registers the body as a lazy-bound session
+  // function (untyped expression template, bound at each call site —
+  // the same semantics, since Spark's typed SQL-UDF syntax cannot host
+  // an untyped macro faithfully). One numeric and one string macro, so
+  // the lazy binding is exercised across types; integer-cents + CAST
+  // keep the aggregate hash-exact.
+  declare("q58_create_macro",
+    """CREATE OR REPLACE MACRO cents(x) AS CAST(round(x * 100, 0) AS BIGINT);
+       CREATE OR REPLACE MACRO flagkey(f, s) AS f || '/' || s;
+       SELECT flagkey(l_returnflag, l_linestatus) AS grp,
+         CAST(SUM(cents(l_extendedprice)) AS BIGINT) AS price_cents,
+         COUNT(*) AS n
+       FROM lineitem GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("graft_q58_lineitem")
+    spark.sql("CREATE OR REPLACE MACRO cents(x) AS CAST(round(x * 100, 0) AS BIGINT)")
+    spark.sql("CREATE OR REPLACE MACRO flagkey(f, s) AS f || '/' || s")
+    spark.sql(
+      """SELECT flagkey(l_returnflag, l_linestatus) AS grp,
+           CAST(SUM(cents(l_extendedprice)) AS BIGINT) AS price_cents,
+           COUNT(*) AS n
+         FROM graft_q58_lineitem GROUP BY 1 ORDER BY 1""")
+  }
+
+  // DuckDB friendly-SQL parity, part 4: the star-projection REPLACE.
+  // Spark has no native `* REPLACE`, so the hint parser expands the star
+  // into the table's explicit catalog column list with the replaced
+  // columns swapped (sql/ReplaceRewrite) — order and names preserved, so
+  // the full-width row set hash-compares against DuckDB running its
+  // native REPLACE. Replacement expressions are chosen representation-
+  // stable (×2 is exact double arithmetic; lower() is deterministic).
+  declare("q59_select_replace",
+    """SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+                         lower(o_orderpriority) AS o_orderpriority)
+       FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("graft_q59_orders")
+    spark.sql(
+      """SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+                           lower(o_orderpriority) AS o_orderpriority)
+         FROM graft_q59_orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
+  }
+
   // ------------------------------------------------------------------
   // DECIMAL lane: exact fixed-point money arithmetic end to end (cast
   // from the double column, aggregate in DecimalType, cast the widened

@@ -24,9 +24,11 @@ import scala.util.control.NonFatal
   * the scan reuses its quote/paren/comment-aware scanner, and any shape
   * outside the common backward-as-of form returns None — the caller then
   * surfaces the landing-pad hint. Declined shapes include: set
-  * operations; `*` anywhere in the select list (the TVF projects
-  * left + payload, NOT DuckDB's `l.* , r.*` — a star would silently
-  * change the output schema); multipart or quoted table names; an ON
+  * operations; a bare `*` or right-qualified star in the select list
+  * (the TVF projects left + payload, NOT DuckDB's `l.* , r.*` — those
+  * stars would silently change the output schema; a LEFT-qualified
+  * `e.*` is fine and expands to the explicit catalog column list
+  * before the splice); multipart or quoted table names; an ON
   * condition that is not exactly one same-named key equality AND one
   * backward inequality (`l.ts >= r.ts` / `r.ts <= l.ts`, or strict);
   * right-alias-qualified references outside the ON clause (the right
@@ -47,14 +49,37 @@ object AsofJoinRewrite {
   private val conjunctRe =
     """(?s)\A\s*(\w+)\s*\.\s*(\w+)\s*(>=|<=|=|>|<)\s*(\w+)\s*\.\s*(\w+)\s*\z""".r
 
-  /** A `*` at paren-depth 0, outside strings/quoted identifiers/comments. */
-  private def hasTopLevelStar(s: String): Boolean = {
+  /** Every `*` at paren-depth 0, outside strings/quoted identifiers/
+    * comments, with its qualifier when written `qual.*`: (spanStart,
+    * spanEnd, qualifier) — the span covers `qual . *` so a replacement
+    * can splice over the whole reference.
+    */
+  private def topLevelStars(s: String): Vector[(Int, Int, Option[String])] = {
+    val out = Vector.newBuilder[(Int, Int, Option[String])]
     var i = 0
     var depth = 0
     val n = s.length
     while (i < n) {
       s.charAt(i) match {
-        case '*' if depth == 0 => return true
+        case '*' if depth == 0 =>
+          // Walk back: whitespace, '.', whitespace, identifier.
+          var j = i - 1
+          while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+          val qual =
+            if (j >= 0 && s.charAt(j) == '.') {
+              var k = j - 1
+              while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
+              val e = k + 1
+              while (k >= 0 && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_')) k -= 1
+              if (e > k + 1 && !s.charAt(k + 1).isDigit)
+                Some((k + 1, s.substring(k + 1, e)))
+              else None
+            } else None
+          qual match {
+            case Some((qs, q)) => out += ((qs, i + 1, Some(q)))
+            case None => out += ((i, i + 1, None))
+          }
+          i += 1
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case '\'' =>
@@ -77,7 +102,7 @@ object AsofJoinRewrite {
         case _ => i += 1
       }
     }
-    false
+    out.result()
   }
 
   def rewrite(sql: String): Option[String] = {
@@ -90,13 +115,18 @@ object AsofJoinRewrite {
     val fromIdx = words.indexWhere(_._1 == "FROM")
     val asofIdx = words.indexWhere(_._1 == "ASOF")
     if (selIdx < 0 || fromIdx < selIdx || asofIdx < fromIdx) return None
-    // `SELECT *` / `l.*` would resolve against the TVF's left+payload
-    // schema, not DuckDB's full two-sided star — silently different
-    // columns. Decline a DEPTH-0 star in the select list (stars inside
-    // parens — COUNT(*), nested subqueries — are fine; a top-level `a*b`
-    // product over-declines to the hint, which is the safe direction).
-    if (hasTopLevelStar(sql.substring(words(selIdx)._2, words(fromIdx)._2)))
-      return None
+    // Stars in the select list: a bare `SELECT *` would resolve against
+    // the TVF's left+payload schema, not DuckDB's full two-sided star —
+    // silently different columns — so it still declines, as does a
+    // right-qualified star. A LEFT-qualified star (`SELECT e.*, payload
+    // FROM ev e ASOF JOIN …` — the most common real shape) is expanded
+    // below into the left table's explicit catalog columns before the
+    // splice, which preserves DuckDB's column set exactly. (Stars inside
+    // parens — COUNT(*), nested subqueries — are untouched; a top-level
+    // `a*b` product over-declines to the hint, the safe direction.)
+    val selStart = words(selIdx)._2
+    val selText = sql.substring(selStart, words(fromIdx)._2)
+    val selStars = topLevelStars(selText)
 
     // Original-text slice of a scanned word.
     def text(w: (String, Int)): String = sql.substring(w._2, w._2 + w._1.length)
@@ -202,9 +232,28 @@ object AsofJoinRewrite {
       c.equalsIgnoreCase(onCol) || c.equalsIgnoreCase(rightOrder))
     if (payload.isEmpty || payload.exists(p => has(lcols, p))) return None
 
+    // Star resolution, now that the left side's catalog columns are in
+    // hand: every top-level star must be the LEFT alias's (`e.*`) and is
+    // expanded to the explicit qualified column list; a bare `*` or a
+    // right-qualified star declines (schema would silently differ).
+    if (selStars.exists(s => !s._3.exists(_.equalsIgnoreCase(lkey)))) return None
+    val newSel =
+      if (selStars.isEmpty) selText
+      else {
+        val sb = new StringBuilder
+        var pos = 0
+        selStars.foreach { case (s, e, _) =>
+          sb.append(selText.substring(pos, s))
+          sb.append(lcols.map(c => s"$lkey.`$c`").mkString(", "))
+          pos = e
+        }
+        sb.append(selText.substring(pos))
+        sb.toString
+      }
+
     val tvf = s"asof_join('$lname', '$rname', '$onCol', '$leftOrder', " +
       s"'$rightOrder', '${payload.mkString(",")}', $strict, ${!leftJoin})"
-    Some(sql.substring(0, words(fromIdx)._2) +
+    Some(sql.substring(0, selStart) + newSel +
       s"FROM $tvf AS ${lalias.getOrElse(lname)} " + sql.substring(endPos))
   }
 }

@@ -45,7 +45,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   *     common backward `ASOF [LEFT] JOIN` form becomes an `asof_join()`
   *     TVF splice ([[AsofJoinRewrite]]), the linear `USING KEY` recursion
   *     becomes `fixpoint_keyed()` ([[UsingKeyRewrite]]), `* EXCLUDE`
-  *     swaps to `* EXCEPT` ([[ExcludeRewrite]]), and `SUMMARIZE t`
+  *     swaps to `* EXCEPT` ([[ExcludeRewrite]]), `* REPLACE (...)`
+  *     expands the star against the catalog schema ([[ReplaceRewrite]]),
+  *     scalar `CREATE MACRO` registers a lazy-bound session function
+  *     ([[MacroRewrite]]), and `SUMMARIZE t`
   *     becomes `SELECT * FROM summarize('t')` — the pasted DuckDB
   *     statement executes instead of erroring, and rewrites CHAIN
   *     (depth-capped) so statements combining constructs (`* EXCLUDE`
@@ -76,6 +79,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val summarizeTableRe =
     "(?is)\\s*SUMMARIZE\\s+([a-zA-Z_][a-zA-Z0-9_.]*)\\s*;?\\s*".r
   private val qualifyRe = "(?is).*\\bQUALIFY\\b.*".r
+  private val replaceStarRe = "(?is).*\\*\\s*REPLACE\\s*\\(.*".r
+  private val columnsRe = "(?is).*\\bCOLUMNS\\s*\\(.*".r
 
   private def withHint[T](sqlText: String, reparse: String => T)(body: => T): T =
     try body catch {
@@ -109,6 +114,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               AsofJoinRewrite.rewrite(text); case _ => None },
             text match { case excludeRe() =>
               ExcludeRewrite.rewrite(text); case _ => None },
+            text match { case replaceStarRe() =>
+              ReplaceRewrite.rewrite(text); case _ => None },
+            text match { case macroRe() =>
+              MacroRewrite.rewrite(text, delegate); case _ => None },
             text match { case qualifyRe() =>
               QualifyRewrite.rewrite(text); case _ => None }
           ).flatten
@@ -150,14 +159,31 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "summarize('view_name') over a registered view, " +
                   "Dataset.summary() / describe(), or DESCRIBE TABLE <t>.")
               case macroRe() =>
-                Some("If you meant DuckDB's CREATE MACRO: Spark 4 hosts " +
-                  "the same feature as SQL UDFs, but parameter and return " +
-                  "TYPES are mandatory, so the translation cannot be " +
-                  "automatic — write CREATE [OR REPLACE] TEMPORARY " +
+                Some("If you meant DuckDB's CREATE MACRO: the common " +
+                  "scalar form (CREATE [OR REPLACE] [TEMP] MACRO " +
+                  "name(a, b) AS <expression>) runs automatically (the " +
+                  "body is registered as a lazy-bound session function), " +
+                  "but this one wasn't — table macros, overload lists, " +
+                  "and default parameters have no Spark equivalent. " +
+                  "Table macros map to CREATE TEMPORARY VIEW (no " +
+                  "parameters) or a typed SQL UDF: CREATE TEMPORARY " +
                   "FUNCTION name(x DOUBLE, ...) RETURNS DOUBLE RETURN " +
-                  "<expression>; and call it like any built-in. Table " +
-                  "macros map to CREATE TEMPORARY VIEW (no parameters) or " +
-                  "a SQL UDF returning a struct.")
+                  "<expression>.")
+              case replaceStarRe() =>
+                Some("If you meant DuckDB's SELECT * REPLACE (...): the " +
+                  "common single-table form (SELECT * REPLACE (expr AS " +
+                  "col, ...) FROM t ...) is rewritten to run " +
+                  "automatically, but this one wasn't (join, subquery " +
+                  "source, or an unresolvable table) — expand the star " +
+                  "by hand, swapping the replaced columns: SELECT c1, " +
+                  "expr AS c2, ... FROM t.")
+              case columnsRe() =>
+                Some("If you meant DuckDB's COLUMNS(...) expression: " +
+                  "Spark has no column-set macro in SQL — enumerate the " +
+                  "columns explicitly (one line in the DataFrame API: " +
+                  "df.select(df.columns.map(c => expr(...)): _*)), or " +
+                  "use the star modifiers that DO run here: * EXCLUDE " +
+                  "(...) and * REPLACE (...).")
               case qualifyRe() =>
                 Some("If you meant DuckDB's QUALIFY: simple single-block " +
                   "forms are rewritten to run automatically, but this one " +
