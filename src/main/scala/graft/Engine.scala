@@ -65,17 +65,45 @@ object Engine {
     else tableCache.getOrElseUpdate((spark, sfDir, name), fresh())
   }
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as
-    * a long (legacy conf) and truncate to a microsecond TimestampType — the
-    * same truncation DuckDB applies when casting its TIMESTAMP_NS to
-    * TIMESTAMP, so both engines see identical values.
+  /** The events table has shipped with different physical types for `ts`
+    * across testdata generations: parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]) unless surfaced as a
+    * raw LONG of nanos (legacy conf), and TIMESTAMP(MICROS) without UTC
+    * adjustment, which arrives as TIMESTAMP_NTZ. Hard-coding either
+    * assumption breaks silently-or-loudly when the data is regenerated, so
+    * the read is schema-adaptive: [[eventsStoredSchema]] probes the file's
+    * actual footer schema and [[normalizeEventsTs]] maps whatever `ts`
+    * arrives as to one session-zone TimestampType. The nanos→micros
+    * truncation matches DuckDB's TIMESTAMP_NS→TIMESTAMP cast; the
+    * NTZ→TIMESTAMP cast is value-identical under the UTC session pin
+    * (Engine.session), matching DuckDB's zone-less TIMESTAMP.
     */
+  def eventsStoredSchema(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").schema
+  }
+
+  /** Normalize a probed events `ts` column (LONG nanos, TIMESTAMP_NTZ, or
+    * already TIMESTAMP) to TimestampType. ONE definition shared by the
+    * batch read and both streaming reads — a storage-type change must be
+    * handled here and nowhere else.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions
+          .expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   /** Register every testdata table as a temp view for spark.sql queries.
@@ -86,10 +114,32 @@ object Engine {
   private val viewsRegistered =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
+  /** Per-view failures are non-fatal: registration is defensive (all 10
+    * views before any SQL-surface query), so one unreadable table must not
+    * take down queries that never reference it — a ROLLUP over
+    * customer/nation should not die on an events schema drift. The broken
+    * view is dropped and a warning names the table; only a query that
+    * actually references it then fails, with TABLE_OR_VIEW_NOT_FOUND
+    * pointing at the right name. Failed tables are NOT memoized as
+    * registered: the next registerViews call for the same sfDir retries
+    * just the failures (covers a table regenerated mid-session).
+    */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     viewsRegistered.compute(spark, { (_, prev) =>
-      if (prev != sfDir)
-        tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
-      sfDir
+      val failed = tableNames.filter { n =>
+        if (prev == sfDir && spark.catalog.tableExists(n)) false
+        else {
+          try { table(spark, sfDir, n).createOrReplaceTempView(n); false }
+          catch {
+            case e: Exception =>
+              spark.catalog.dropTempView(n)
+              System.err.println(
+                s"graft: cannot register view '$n' from $sfDir/$n.parquet — " +
+                  s"queries referencing it will fail: ${e.getMessage}")
+              true
+          }
+        }
+      }
+      if (failed.isEmpty) sfDir else null
     })
 }

@@ -16,11 +16,19 @@ import org.apache.spark.sql.types.StructType
   */
 object EventsStreaming {
 
-  /** Raw events schema as stored (ts = TIMESTAMP(NANOS), surfaced as long
-    * nanos under the legacy conf — see graft.Engine.events).
+  /** Raw events schema AS STORED in this sfDir's parquet — probed from the
+    * file footer, not declared, because the testdata generator has shipped
+    * `ts` as both TIMESTAMP(NANOS) (→ long nanos under the legacy conf)
+    * and TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ). FileStreamSource requires an
+    * explicit schema, and declaring the wrong one doesn't crash — a LONG
+    * schema over a micros file yields micros-as-long, which a nanos
+    * conversion then silently shrinks 1000×. Probing makes that failure
+    * mode structurally impossible; the matching value conversion lives in
+    * graft.Engine.normalizeEventsTs (one definition for batch + both
+    * stream reads).
     */
-  val rawSchema: StructType = StructType.fromDDL(
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+  def rawSchema(spark: SparkSession, sfDir: String): StructType =
+    graft.Engine.eventsStoredSchema(spark, sfDir)
 
   /** Runs `body` (a streaming start/await/stop) with
     * `spark.sql.shuffle.partitions` set to the state-partition count, then
@@ -83,24 +91,25 @@ object EventsStreaming {
     * keys without starting a streaming query).
     */
   private def rawBatch(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    graft.Engine.normalizeEventsTs(
+      spark.read.schema(rawSchema(spark, sfDir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
 
   /** The streaming twin of [[rawBatch]], shared by every streaming query:
     * FileStreamSource wants a directory, so the events file is selected
-    * out of the shared testdata dir with a glob filter, and the
-    * nanosecond parquet timestamps (read as long via nanosAsLong) become
-    * a real event-time column. One definition — a schema or conversion
-    * change must not need four synchronized edits.
+    * out of the shared testdata dir with a glob filter, and the stored
+    * timestamps (probed schema) become a real event-time column via the
+    * shared normalization. One definition — a schema or conversion change
+    * must not need four synchronized edits.
     */
   private def rawStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    graft.Engine.normalizeEventsTs(
+      spark.readStream
+        .schema(rawSchema(spark, sfDir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Hourly tumbling-window counts/sums per event_type, computed by the
@@ -121,7 +130,7 @@ object EventsStreaming {
     val name = "graft_stream_hourly"
     // auto estimate: state rows = live (hour window, event_type) groups.
     withStateParts(spark, () => rawBatch(spark, sfDir)
-        .select((col("ts") / lit(3600000000000L)).cast("long"), col("event_type"))
+        .select(date_trunc("hour", col("ts")), col("event_type"))
         .distinct().count()) {
       val q = agg.writeStream
         .format("memory").queryName(name)

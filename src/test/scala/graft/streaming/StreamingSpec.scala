@@ -211,7 +211,7 @@ class StreamingSpec extends AnyFunSuite {
     val out = graft.operators.Scratch.freshDir(spark, "fb_sink")
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
     val q = spark.readStream
-      .schema(EventsStreaming.rawSchema)
+      .schema(EventsStreaming.rawSchema(spark, SparkTestSession.sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(SparkTestSession.sfDir)
       .writeStream
