@@ -62,14 +62,26 @@ object Bench {
     // successful iteration is reported in `failed`, not in `queries`.
     // Per-query statistic: min-of-3 for the sub-second majority (min damps
     // contention spikes and the lines are short enough that the 3 runs share
-    // one JVM state), but MEDIAN-of-3 for the >1 s iterative heavyweights
+    // one JVM state), but MEDIAN-of-3 for the iterative heavyweights
     // (fixpoints, incremental dedup, stream-start floors). Their min is a
     // lucky-GC-window magnet — round 11's tri-run saw the same HEAD bounce
     // ±45% on graph_reachability_sql, and a min across sweeps compares two
-    // different luck draws. The median charges the typical run. This is a
-    // one-time metric change for ~6 lines (median >= min), so r12's
-    // overlap_ratio carries a small upward bias on exactly those lines;
-    // overlap_median (below) is the robust cross-round read.
+    // different luck draws. The median charges the typical run.
+    // The heavyweight set is STATIC (by name, the queries that are
+    // multi-job by construction): the earlier value-dependent ">1 s"
+    // classification flipped lines between min and median as box speed
+    // drifted round to round, which itself added cross-round noise. With
+    // iterations lost to failures the LOWER median is used — for n=2 the
+    // upper element is a max, not a median, and charging a max to a line
+    // that just lost an iteration compounds the penalty.
+    val heavyweights = Set(
+      "dedup_incremental_near", "dedup_incremental_near_idx",
+      "dedup_corpus_near", "dedup_corpus_sql",
+      "graph_reachability", "graph_reachability_sql",
+      "recursive_cte_native_sql", "pipeline_end_to_end",
+      "dedup_semantic", "embed_clusters",
+      "events_stream_hourly", "events_stream_enriched",
+      "events_stream_dedup", "events_stream_attrib")
     def sweep(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -84,8 +96,8 @@ object Bench {
       val sorted = times.sorted
       name -> (sorted.length match {
         case 0 => None
-        case n if sorted(n / 2) > 1.0 => Some(sorted(n / 2)) // heavyweight: median
-        case _ => Some(sorted.head)                          // min
+        case n if heavyweights(name) => Some(sorted((n - 1) / 2)) // lower median
+        case _ => Some(sorted.head)                               // min
       })
     }
     // Self-defense against a loaded box (round 8's driver run shipped with

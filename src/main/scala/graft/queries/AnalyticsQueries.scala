@@ -1069,6 +1069,23 @@ object AnalyticsQueries {
          FROM graft_q59_orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
   }
 
+  // DuckDB friendly-SQL parity, part 5: the COLUMNS(...) column-set
+  // expression. The common regex form is star-expanded against the
+  // catalog schema before the parse (sql/ColumnsRewrite), so the
+  // statement runs verbatim on Spark while DuckDB executes its native
+  // COLUMNS. The pattern deliberately exercises PARTIAL-match semantics
+  // ('key|price' hits l_orderkey/l_partkey/l_suppkey/l_extendedprice
+  // mid-name) — the exact point where a full-match implementation would
+  // silently return zero columns.
+  declare("q60_columns",
+    """SELECT COLUMNS('key|price') FROM lineitem
+       WHERE l_orderkey <= 200 ORDER BY 1, 2, 3, 4""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("graft_q60_lineitem")
+    spark.sql(
+      """SELECT COLUMNS('key|price') FROM graft_q60_lineitem
+         WHERE l_orderkey <= 200 ORDER BY 1, 2, 3, 4""")
+  }
+
   // ------------------------------------------------------------------
   // DECIMAL lane: exact fixed-point money arithmetic end to end (cast
   // from the double column, aggregate in DecimalType, cast the widened

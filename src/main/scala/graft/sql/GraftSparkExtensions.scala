@@ -105,23 +105,32 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
           // shape another unblocks); first candidate whose output
           // eventually parses wins. Guarded regex matches keep the
           // scanners off statements that can't contain their construct.
-          val candidates: Seq[String] = Seq(
-            text match { case summarizeTableRe(tbl) =>
+          // Candidates are LAZY thunks, forced one at a time by the view:
+          // a strict Seq would run every rewrite during enumeration even
+          // after an earlier one already won — and MacroRewrite's
+          // registration SIDE EFFECT must not fire unless the macro
+          // rewrite is actually the one taken.
+          val candidates: Seq[() => Option[String]] = Seq(
+            () => text match { case summarizeTableRe(tbl) =>
               Some(s"SELECT * FROM summarize('$tbl')"); case _ => None },
-            text match { case usingKeyRe() =>
+            () => text match { case usingKeyRe() =>
               UsingKeyRewrite.rewrite(text); case _ => None },
-            text match { case asofRe() =>
+            () => text match { case asofRe() =>
               AsofJoinRewrite.rewrite(text); case _ => None },
-            text match { case excludeRe() =>
+            () => text match { case excludeRe() =>
               ExcludeRewrite.rewrite(text); case _ => None },
-            text match { case replaceStarRe() =>
+            () => text match { case replaceStarRe() =>
               ReplaceRewrite.rewrite(text); case _ => None },
-            text match { case macroRe() =>
+            () => text match { case columnsRe() =>
+              ColumnsRewrite.rewrite(text); case _ => None },
+            () => text match { case macroRe() =>
               MacroRewrite.rewrite(text, delegate); case _ => None },
-            text match { case qualifyRe() =>
+            () => text match { case qualifyRe() =>
               QualifyRewrite.rewrite(text); case _ => None }
-          ).flatten
-          candidates.view.flatMap(reparseOrChain(_, depth + 1)).headOption
+          )
+          candidates.view
+            .flatMap(c => c().flatMap(reparseOrChain(_, depth + 1)))
+            .headOption
         }
         val rewritten = chain(sqlText, 0)
         rewritten match {
@@ -178,8 +187,12 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "by hand, swapping the replaced columns: SELECT c1, " +
                   "expr AS c2, ... FROM t.")
               case columnsRe() =>
-                Some("If you meant DuckDB's COLUMNS(...) expression: " +
-                  "Spark has no column-set macro in SQL — enumerate the " +
+                Some("If you meant DuckDB's COLUMNS(...) expression: the " +
+                  "common form (SELECT COLUMNS('regex') FROM t, or " +
+                  "COLUMNS(*), single resolvable table, ≥1 match) is " +
+                  "star-expanded to run automatically, but this one " +
+                  "wasn't — lambdas, EXCLUDE arguments, and aggregate " +
+                  "wrapping have no Spark equivalent. Enumerate the " +
                   "columns explicitly (one line in the DataFrame API: " +
                   "df.select(df.columns.map(c => expr(...)): _*)), or " +
                   "use the star modifiers that DO run here: * EXCLUDE " +
@@ -203,14 +216,35 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
         }
     }
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    withHint(sqlText, delegate.parsePlan)(delegate.parsePlan(sqlText))
-  override def parseQuery(sqlText: String): LogicalPlan =
-    withHint(sqlText, delegate.parseQuery)(delegate.parseQuery(sqlText))
+  /** COLUMNS('regex') is the one DuckDB construct that PARSES as plain
+    * Spark SQL (an ordinary function call), so no ParseException ever
+    * reaches the hint machinery — left alone it dies later in analysis
+    * with UNRESOLVED_ROUTINE. The rewrite therefore runs BEFORE
+    * delegation, gated on the strict anchored head shape (`SELECT
+    * COLUMNS(` first in the statement) so a user's real `columns` UDF in
+    * any other position is untouched; shapes the rewrite declines fall
+    * through to the delegate unchanged.
+    */
+  private val columnsHeadRe = "(?is)\\A\\s*SELECT\\s+COLUMNS\\s*\\(.*".r
+  private def preRewrite(sqlText: String): String = sqlText match {
+    case columnsHeadRe() => ColumnsRewrite.rewrite(sqlText).getOrElse(sqlText)
+    case _ => sqlText
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val pre = preRewrite(sqlText)
+    withHint(pre, delegate.parsePlan)(delegate.parsePlan(pre))
+  }
+  override def parseQuery(sqlText: String): LogicalPlan = {
+    val pre = preRewrite(sqlText)
+    withHint(pre, delegate.parseQuery)(delegate.parseQuery(pre))
+  }
   override def parsePlanWithParameters(
-      sqlText: String, parameters: ParameterContext): LogicalPlan =
-    withHint(sqlText, delegate.parsePlanWithParameters(_, parameters))(
-      delegate.parsePlanWithParameters(sqlText, parameters))
+      sqlText: String, parameters: ParameterContext): LogicalPlan = {
+    val pre = preRewrite(sqlText)
+    withHint(pre, delegate.parsePlanWithParameters(_, parameters))(
+      delegate.parsePlanWithParameters(pre, parameters))
+  }
   override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)
   override def parseFunctionIdentifier(sqlText: String) = delegate.parseFunctionIdentifier(sqlText)

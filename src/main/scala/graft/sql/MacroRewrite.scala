@@ -3,8 +3,8 @@ package graft.sql
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, PlanExpression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 
 /** Tier-1 landing for DuckDB's `CREATE MACRO` (the reference host's
@@ -100,6 +100,28 @@ object MacroRewrite {
 
     val template = try delegate.parseExpression(body0)
       catch { case NonFatal(_) => return None }
+
+    // A body carrying a subquery (scalar/IN/EXISTS — any PlanExpression)
+    // declines to the hint: parameter substitution via transformUp walks
+    // the EXPRESSION tree only, not the nested plan, so a parameter named
+    // inside the subquery would silently bind to a same-named call-site
+    // column instead — wrong results, no error. Declining is the only
+    // faithful option until substitution descends into plans.
+    if (template.exists(_.isInstanceOf[PlanExpression[_]])) return None
+
+    // A self-referential body (direct recursion) would register fine and
+    // then die at every call site with the analyzer's opaque
+    // max-iterations failure as the macro expands into itself forever.
+    // DuckDB's binder rejects it at creation ("recursive macros are not
+    // supported"); raise the same clean error at the same point.
+    if (template.exists {
+      case f: UnresolvedFunction =>
+        f.nameParts.size == 1 && f.nameParts.head.equalsIgnoreCase(name)
+      case _ => false
+    }) throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION",
+      Map("errorMessage" ->
+        s"macro '$name' references itself — recursive macros are not supported"))
 
     val spark = try org.apache.spark.sql.SparkSession.active
       catch { case NonFatal(_) => return None }

@@ -34,7 +34,7 @@ object ReplaceRewrite {
 
   /** Index just past the paren that closes the one opening at `open`,
     * quote/comment-aware; -1 if unbalanced. */
-  private def closeOf(s: String, open: Int): Int = {
+  private[sql] def closeOf(s: String, open: Int): Int = {
     var i = open + 1
     var depth = 1
     val n = s.length

@@ -398,6 +398,48 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_add5(2, 5) AS s").head().getInt(0) == 7)
   }
 
+  test("COLUMNS('regex') star-expands with partial-match semantics and runs") {
+    registerMarket()
+    // Partial match: 'y' hits both sym and qty-like names? Here: 'q' must
+    // hit qt (mid-name matching, DuckDB RE2 semantics), not require a
+    // full-string match.
+    val df = spark.sql("SELECT COLUMNS('^s|q') FROM sq_quotes ORDER BY 1, 2")
+    assert(df.columns.toSeq == Seq("sym", "qt"))
+    assert(df.count() == 4)
+    // COLUMNS(*) = every column, order preserved.
+    val all = spark.sql("SELECT COLUMNS(*) FROM sq_quotes")
+    assert(all.columns.toSeq == spark.table("sq_quotes").columns.toSeq)
+    // Unsupported shapes decline to the hint: lambda argument.
+    val ex = intercept[Exception](spark.sql(
+      "SELECT COLUMNS(c -> c LIKE 's%') FROM sq_quotes"))
+    assert(ex.getMessage.contains("COLUMNS"), s"got: ${ex.getMessage}")
+    // Zero matches declines (DuckDB errors there too).
+    val ex2 = intercept[Exception](spark.sql(
+      "SELECT COLUMNS('zzz_nomatch') FROM sq_quotes"))
+    assert(ex2.getMessage.contains("COLUMNS"), s"got: ${ex2.getMessage}")
+  }
+
+  test("macro body with a subquery declines to the hint (no silent param capture)") {
+    // transformUp substitution does not descend into PlanExpression plans,
+    // so a parameter named inside the subquery would bind to a same-named
+    // call-site column instead — wrong results. Such bodies must decline.
+    val ex = intercept[Exception](spark.sql(
+      "CREATE MACRO sub_macro(a) AS a + (SELECT max(n_nationkey) FROM nation)"))
+    assert(ex.getMessage.contains("TEMPORARY FUNCTION"),
+      s"expected the SQL-UDF hint, got: ${ex.getMessage}")
+    // Nothing was registered despite the rewrite having parsed the body.
+    val ex2 = intercept[Exception](spark.sql("SELECT sub_macro(1)").collect())
+    assert(ex2.getMessage.toLowerCase.contains("unresolved_routine") ||
+      ex2.getMessage.contains("sub_macro"), s"got: ${ex2.getMessage}")
+  }
+
+  test("self-referential macro raises a clean recursive-macro error at creation") {
+    val ex = intercept[Exception](spark.sql(
+      "CREATE MACRO rec_macro(a) AS CASE WHEN a <= 0 THEN 0 ELSE rec_macro(a - 1) END"))
+    assert(ex.getMessage.contains("recursive macros are not supported"),
+      s"expected the recursive-macro error, got: ${ex.getMessage}")
+  }
+
   test("hint parser delegates cleanly: valid statements and unrelated errors unchanged") {
     assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
     val ex = intercept[Exception](spark.sql("SELEKT 1"))
