@@ -1086,6 +1086,46 @@ object AnalyticsQueries {
          WHERE l_orderkey <= 200 ORDER BY 1, 2, 3, 4""")
   }
 
+  // DuckDB friendly-SQL parity, part 6: macro DEFAULT parameters. Both
+  // engines execute the identical DDL + query; the call site omits the
+  // default, exercising the padding path (DuckDB 1.0 binds omitted
+  // defaults; its positional override arrived in 1.1, so the oracle
+  // query sticks to the omitted form). Exact-integer cents keeps the
+  // comparison representation-stable (same trick as q58).
+  declare("q61_macro_defaults",
+    """CREATE OR REPLACE MACRO cents_of(x, f := 100) AS CAST(round(x * f, 0) AS BIGINT);
+       SELECT l_returnflag, SUM(cents_of(l_extendedprice)) AS price_cents, COUNT(*) AS n
+       FROM lineitem GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("graft_q61_lineitem")
+    spark.sql(
+      "CREATE OR REPLACE MACRO cents_of(x, f := 100) AS CAST(round(x * f, 0) AS BIGINT)")
+    spark.sql(
+      """SELECT l_returnflag, SUM(cents_of(l_extendedprice)) AS price_cents, COUNT(*) AS n
+         FROM graft_q61_lineitem GROUP BY 1 ORDER BY 1""")
+  }
+
+  // DuckDB friendly-SQL parity, part 7: the zero-parameter TABLE macro —
+  // DuckDB's `FROM name()` call shape (parentheses mandatory there), so
+  // a plain temp view can't host it; sql/MacroRewrite registers the body
+  // as a lazy-bound session TABLE function and the identical statement
+  // text runs on both engines, composing under a join like any source.
+  declare("q62_table_macro",
+    """CREATE OR REPLACE MACRO big_orders() AS TABLE
+         SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000;
+       SELECT c.c_mktsegment, COUNT(*) AS n, CAST(SUM(round(b.o_totalprice * 100, 0)) AS BIGINT) AS cents
+       FROM big_orders() b JOIN customer c ON b.o_custkey = c.c_custkey
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """CREATE OR REPLACE MACRO big_orders() AS TABLE
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000""")
+    spark.sql(
+      """SELECT c.c_mktsegment, COUNT(*) AS n, CAST(SUM(round(b.o_totalprice * 100, 0)) AS BIGINT) AS cents
+         FROM big_orders() b JOIN customer c ON b.o_custkey = c.c_custkey
+         GROUP BY 1 ORDER BY 1""")
+  }
+
   // ------------------------------------------------------------------
   // DECIMAL lane: exact fixed-point money arithmetic end to end (cast
   // from the double column, aggregate in DecimalType, cast the widened

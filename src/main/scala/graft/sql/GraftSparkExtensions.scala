@@ -168,16 +168,17 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "summarize('view_name') over a registered view, " +
                   "Dataset.summary() / describe(), or DESCRIBE TABLE <t>.")
               case macroRe() =>
-                Some("If you meant DuckDB's CREATE MACRO: the common " +
-                  "scalar form (CREATE [OR REPLACE] [TEMP] MACRO " +
-                  "name(a, b) AS <expression>) runs automatically (the " +
-                  "body is registered as a lazy-bound session function), " +
-                  "but this one wasn't — table macros, overload lists, " +
-                  "and default parameters have no Spark equivalent. " +
-                  "Table macros map to CREATE TEMPORARY VIEW (no " +
-                  "parameters) or a typed SQL UDF: CREATE TEMPORARY " +
-                  "FUNCTION name(x DOUBLE, ...) RETURNS DOUBLE RETURN " +
-                  "<expression>.")
+                Some("If you meant DuckDB's CREATE MACRO: the scalar " +
+                  "form (CREATE [OR REPLACE] [TEMP] MACRO name(a, " +
+                  "b := 1) AS <expression>, trailing defaults padded " +
+                  "positionally) and the zero-parameter table form " +
+                  "(name() AS TABLE <query>, callable as FROM name()) " +
+                  "run automatically, but this one wasn't — " +
+                  "parameterized table macros and overload lists have " +
+                  "no Spark equivalent. Parameterized table macros map " +
+                  "to a typed SQL UDF: CREATE TEMPORARY FUNCTION " +
+                  "name(x DOUBLE, ...) RETURNS DOUBLE RETURN " +
+                  "<expression>, or enumerate the variants as views.")
               case replaceStarRe() =>
                 Some("If you meant DuckDB's SELECT * REPLACE (...): the " +
                   "common single-table form (SELECT * REPLACE (expr AS " +

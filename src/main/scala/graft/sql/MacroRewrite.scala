@@ -34,12 +34,18 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
   * registry at analysis — both DuckDB behaviors, for free.
   *
   * Scope mirrors the TEMP form (session-local registry, gone with the
-  * session). Declined to the tier-2 hint: table macros (`AS TABLE …` —
-  * that is a view, not a scalar), overload lists (`(a) AS …, (a,b) AS …`),
-  * default parameters (`b := 1` — their call syntax doesn't parse on
-  * Spark anyway), multipart names, and bodies Spark's expression parser
-  * rejects. A plain CREATE over an existing name errors like DuckDB's
-  * catalog would instead of silently replacing.
+  * session). Also executed: DEFAULT parameters (`b := 1` — trailing
+  * defaults become expression templates padded in positionally when the
+  * call site omits them; the `b := x` named CALL syntax is not Spark SQL
+  * and lands on the call site's own parse error) and ZERO-parameter
+  * table macros (`name() AS TABLE <query>` — registered in the session
+  * TABLE function registry so DuckDB's `FROM name()` call shape
+  * resolves; see [[tableMacro]]). Declined to the tier-2 hint:
+  * parameterized table macros, overload lists (`(a) AS …, (a,b) AS …`),
+  * defaults referencing other parameters, multipart names, and bodies
+  * Spark's expression parser rejects. A plain CREATE over an existing
+  * name errors like DuckDB's catalog would instead of silently
+  * replacing.
   *
   * The returned replacement text is a 1-row marker statement (the
   * registration side effect already happened — same eagerness contract as
@@ -57,68 +63,92 @@ object MacroRewrite {
     // Multipart names (schema.macro) fall outside the supported shape.
     if (sql.take(m.start(2)).trim.endsWith(".")) return None
 
-    // Parameter list: identifiers and commas only. Anything else —
-    // `:=` defaults, types, nested parens — declines to the hint.
-    var i = m.end // position just past '('
-    val n = sql.length
-    val params = Vector.newBuilder[String]
-    val cur = new StringBuilder
-    var wordDone = false // saw whitespace after an identifier in this slot
-    var closed = -1
-    while (i < n && closed < 0) {
-      val c = sql.charAt(i)
-      if (c == ')') {
-        if (cur.nonEmpty) { params += cur.toString; cur.clear() }
-        closed = i
-      } else if (c == ',') {
-        if (cur.isEmpty) return None
-        params += cur.toString; cur.clear(); wordDone = false
-      } else if (c.isWhitespace) {
-        if (cur.nonEmpty) wordDone = true
-      } else if (c.isLetterOrDigit || c == '_') {
-        // A second word in one slot is a type or a default — decline.
-        if (wordDone || (cur.isEmpty && c.isDigit)) return None
-        cur.append(c)
-      } else return None
-      i += 1
-    }
-    if (closed < 0) return None
-    val paramList = params.result()
-    if (paramList.map(_.toLowerCase).distinct.size != paramList.size) return None
+    // Parameter list: identifiers, optionally with a trailing run of
+    // `name := <default-expr>` slots (DuckDB's default parameters). Types
+    // and nested `(a) AS …` overload shapes decline to the hint.
+    val open = m.end - 1 // the '(' headRe ended on
+    val closeIdx = ReplaceRewrite.closeOf(sql, open)
+    if (closeIdx < 0) return None
+    val paramText = sql.substring(open + 1, closeIdx - 1).trim
+    val identRe = """\A[A-Za-z_][A-Za-z0-9_]*\z""".r
+    final case class Param(name: String, default: Option[String])
+    val params: Vector[Param] =
+      if (paramText.isEmpty) Vector.empty
+      else ReplaceRewrite.splitTop(paramText).map(_.trim).map { item =>
+        val i = item.indexOf(":=")
+        if (i < 0) {
+          if (identRe.findFirstIn(item).isEmpty) return None
+          Param(item, None)
+        } else {
+          val pn = item.take(i).trim
+          val d = item.drop(i + 2).trim
+          if (identRe.findFirstIn(pn).isEmpty || d.isEmpty) return None
+          Param(pn, Some(d))
+        }
+      }
+    if (params.map(_.name.toLowerCase).distinct.size != params.size) return None
+    // Defaults must trail the required parameters (positional padding
+    // below relies on it; DuckDB's binder orders them the same way).
+    val firstDefault = params.indexWhere(_.default.isDefined)
+    if (firstDefault >= 0 && params.drop(firstDefault).exists(_.default.isEmpty))
+      return None
 
-    // After the list: AS, then the body. A comma here is an overload
-    // list; TABLE after AS is a table macro — both decline.
-    val tail = sql.substring(closed + 1)
+    // After the list: AS, then the body. A comma + parenthesized list is
+    // an overload list (DuckDB ≥1.3) — decline. `AS TABLE <query>` is a
+    // table macro: the ZERO-parameter form registers as a session table
+    // function below; parameterized table macros decline.
+    val tail = sql.substring(closeIdx)
     val asRe = """(?is)\A\s*AS\b""".r
     val asM = asRe.findFirstMatchIn(tail).getOrElse(return None)
     val body0 = tail.substring(asM.end).trim.stripSuffix(";").trim
     if (body0.isEmpty) return None
-    if ("""(?is)\ATABLE\b""".r.findFirstIn(body0).isDefined) return None
+    val tableM = """(?is)\ATABLE\b""".r.findFirstMatchIn(body0)
+    if (tableM.isDefined) {
+      if (params.nonEmpty) return None // parameterized table macro: hint
+      return tableMacro(name, orReplace, body0.substring(tableM.get.end).trim, delegate)
+    }
     if (",\\s*\\(".r.findFirstIn(body0).isDefined &&
       """(?is),\s*\([A-Za-z_,\s\w]*\)\s*AS\b""".r.findFirstIn(body0).isDefined)
       return None // overload list: `, (a, b) AS …`
 
     val template = try delegate.parseExpression(body0)
       catch { case NonFatal(_) => return None }
+    // Default expressions parse standalone; one referencing another
+    // parameter would need its own substitution pass ordered before the
+    // body's — decline that nesting rather than bind it wrong.
+    val defaultTemplates: Map[String, Expression] = params.collect {
+      case Param(pn, Some(d)) =>
+        val e = try delegate.parseExpression(d) catch { case NonFatal(_) => return None }
+        pn.toLowerCase -> e
+    }.toMap
+    val paramNamesLower = params.map(_.name.toLowerCase).toSet
+    if (defaultTemplates.values.exists(_.exists {
+      case a: UnresolvedAttribute =>
+        a.nameParts.size == 1 && paramNamesLower(a.nameParts.head.toLowerCase)
+      case _ => false
+    })) return None
 
-    // A body carrying a subquery (scalar/IN/EXISTS — any PlanExpression)
-    // declines to the hint: parameter substitution via transformUp walks
-    // the EXPRESSION tree only, not the nested plan, so a parameter named
-    // inside the subquery would silently bind to a same-named call-site
-    // column instead — wrong results, no error. Declining is the only
-    // faithful option until substitution descends into plans.
-    if (template.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    // A body (or default) carrying a subquery (scalar/IN/EXISTS — any
+    // PlanExpression) declines to the hint: parameter substitution via
+    // transformUp walks the EXPRESSION tree only, not the nested plan, so
+    // a parameter named inside the subquery would silently bind to a
+    // same-named call-site column instead — wrong results, no error.
+    // Declining is the only faithful option until substitution descends
+    // into plans.
+    val allTemplates = template +: defaultTemplates.values.toSeq
+    if (allTemplates.exists(_.exists(_.isInstanceOf[PlanExpression[_]])))
+      return None
 
-    // A self-referential body (direct recursion) would register fine and
-    // then die at every call site with the analyzer's opaque
-    // max-iterations failure as the macro expands into itself forever.
-    // DuckDB's binder rejects it at creation ("recursive macros are not
-    // supported"); raise the same clean error at the same point.
-    if (template.exists {
+    // A self-referential body or default (direct recursion) would
+    // register fine and then die at every call site with the analyzer's
+    // opaque max-iterations failure as the macro expands into itself
+    // forever. DuckDB's binder rejects it at creation ("recursive macros
+    // are not supported"); raise the same clean error at the same point.
+    if (allTemplates.exists(_.exists {
       case f: UnresolvedFunction =>
         f.nameParts.size == 1 && f.nameParts.head.equalsIgnoreCase(name)
       case _ => false
-    }) throw new org.apache.spark.sql.AnalysisException(
+    })) throw new org.apache.spark.sql.AnalysisException(
       "USER_RAISED_EXCEPTION",
       Map("errorMessage" ->
         s"macro '$name' references itself — recursive macros are not supported"))
@@ -133,21 +163,74 @@ object MacroRewrite {
         Map("errorMessage" ->
           s"macro '$name' already exists — use CREATE OR REPLACE MACRO"))
 
-    val lowered = paramList.map(_.toLowerCase)
+    val lowered = params.map(_.name.toLowerCase)
+    val nRequired = if (firstDefault < 0) params.size else firstDefault
     val builder: Seq[Expression] => Expression = { args =>
-      if (args.size != lowered.size)
+      if (args.size < nRequired || args.size > lowered.size) {
+        val arity = if (nRequired == lowered.size) s"$nRequired"
+          else s"$nRequired to ${lowered.size}"
         throw new org.apache.spark.sql.AnalysisException(
           "USER_RAISED_EXCEPTION",
           Map("errorMessage" ->
-            s"macro '$name' expects ${lowered.size} argument(s), got ${args.size}"))
+            s"macro '$name' expects $arity argument(s), got ${args.size}"))
+      }
+      // Positional padding: unsupplied trailing parameters take their
+      // default expression templates (DuckDB ≥1.1 positional semantics;
+      // the `b := x` named CALL syntax is not Spark SQL and declines at
+      // the call site's own parse).
+      val full = args ++ lowered.drop(args.size).map(defaultTemplates)
       template.transformUp {
         case a: UnresolvedAttribute if a.nameParts.size == 1 &&
             lowered.contains(a.nameParts.head.toLowerCase) =>
-          args(lowered.indexOf(a.nameParts.head.toLowerCase))
+          full(lowered.indexOf(a.nameParts.head.toLowerCase))
       }
     }
     registry.registerFunction(fid,
       new ExpressionInfo(classOf[GraftSparkExtensions].getName, name), builder)
+    Some(s"SELECT '$name' AS `macro`")
+  }
+
+  /** Zero-parameter `CREATE MACRO name() AS TABLE <query>`: DuckDB call
+    * sites write `FROM name()` — WITH parentheses — so a temp view can't
+    * host it; instead the body parses once into a logical-plan template
+    * and registers in the session's TABLE function registry, where the
+    * analyzer resolves `name()` exactly like the injected TVFs. Binding
+    * stays lazy (the plan is unresolved until each call site's analysis),
+    * DuckDB's macro semantics. Parameterized table macros declined above:
+    * substituting expressions into a plan template is a different, riskier
+    * transform than the scalar path's expression-tree walk.
+    */
+  private def tableMacro(name: String, orReplace: Boolean, query: String,
+      delegate: ParserInterface): Option[String] = {
+    if (query.isEmpty) return None
+    // Direct self-reference would expand forever at every call site's
+    // analysis; reject at creation like the scalar path (text scan — the
+    // body is an arbitrary query, not a single expression tree).
+    if (("(?is).*\\b" + java.util.regex.Pattern.quote(name) + "\\s*\\(.*").r
+        .findFirstIn(query).isDefined)
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          s"macro '$name' references itself — recursive macros are not supported"))
+    val plan = try delegate.parsePlan(query) catch { case NonFatal(_) => return None }
+    val spark = try org.apache.spark.sql.SparkSession.active
+      catch { case NonFatal(_) => return None }
+    val registry = spark.sessionState.tableFunctionRegistry
+    val fid = FunctionIdentifier(name.toLowerCase)
+    if (!orReplace && registry.functionExists(fid))
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          s"macro '$name' already exists — use CREATE OR REPLACE MACRO"))
+    registry.registerFunction(fid,
+      new ExpressionInfo(classOf[GraftSparkExtensions].getName, name),
+      (args: Seq[Expression]) => {
+        if (args.nonEmpty) throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            s"table macro '$name' takes no arguments, got ${args.size}"))
+        plan
+      })
     Some(s"SELECT '$name' AS `macro`")
   }
 }

@@ -66,7 +66,7 @@ object ReplaceRewrite {
   }
 
   /** Split at top-level commas (parens/quotes/comments respected). */
-  private def splitTop(s: String): Vector[String] = {
+  private[sql] def splitTop(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var start = 0
     var i = 0

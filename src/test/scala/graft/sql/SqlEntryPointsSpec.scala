@@ -386,13 +386,47 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 3L, 330.0), (2L, 1L, 50.0)))
   }
 
-  test("CREATE MACRO lands on the SQL-UDF hint; the Spark SQL UDF itself works") {
+  test("CREATE MACRO with a trailing default executes; padding is positional") {
+    spark.sql("CREATE OR REPLACE MACRO add_default(a, b := 5) AS a + b")
+    // Omitted default → the template pads in `5`.
+    assert(spark.sql("SELECT add_default(1) AS s").head().getInt(0) == 6)
+    // Positional override (DuckDB ≥1.1 semantics).
+    assert(spark.sql("SELECT add_default(1, 2) AS s").head().getInt(0) == 3)
+    // Arity outside [required, total] names the range.
+    val ex = intercept[Exception](spark.sql("SELECT add_default()").collect())
+    assert(ex.getMessage.contains("1 to 2"), s"got: ${ex.getMessage}")
+    // Required params cannot FOLLOW defaults — declines to the hint.
+    val ex2 = intercept[Exception](spark.sql(
+      "CREATE MACRO bad_order(a := 1, b) AS a + b"))
+    assert(ex2.getMessage.contains("TEMPORARY FUNCTION"), s"got: ${ex2.getMessage}")
+    // A default referencing another parameter declines (would need an
+    // ordered substitution pass).
+    val ex3 = intercept[Exception](spark.sql(
+      "CREATE MACRO dep_default(a, b := a + 1) AS a + b"))
+    assert(ex3.getMessage.contains("TEMPORARY FUNCTION"), s"got: ${ex3.getMessage}")
+  }
+
+  test("zero-parameter table macro executes via FROM name(); parameterized declines") {
+    registerMarket()
+    spark.sql("CREATE OR REPLACE MACRO quote_syms() AS TABLE " +
+      "SELECT DISTINCT sym FROM sq_quotes")
+    val rows = spark.sql("SELECT * FROM quote_syms() ORDER BY sym").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // Composes like any table source: joins/filters over the call.
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM quote_syms() q JOIN sq_quotes s ON q.sym = s.sym")
+      .head().getLong(0)
+    assert(n == 4L)
+    // Parameterized table macro: no Spark equivalent — hint.
     val ex = intercept[Exception](spark.sql(
-      "CREATE MACRO add_default(a, b := 5) AS a + b"))
-    assert(ex.getMessage.contains("TEMPORARY FUNCTION"),
-      s"expected the SQL-UDF hint, got: ${ex.getMessage}")
-    // The hinted mapping is real: a typed Spark SQL UDF carries the
-    // macro's semantics.
+      "CREATE MACRO top_quotes(k) AS TABLE SELECT * FROM sq_quotes LIMIT k"))
+    assert(ex.getMessage.contains("TEMPORARY FUNCTION"), s"got: ${ex.getMessage}")
+    // Self-referential table macro rejected at creation.
+    val ex2 = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE MACRO quote_syms() AS TABLE SELECT * FROM quote_syms()"))
+    assert(ex2.getMessage.contains("recursive macros are not supported"),
+      s"got: ${ex2.getMessage}")
+    // The typed SQL UDF remains the hinted manual form and works.
     spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_add5(a INT, b INT) " +
       "RETURNS INT RETURN a + b")
     assert(spark.sql("SELECT graft_add5(2, 5) AS s").head().getInt(0) == 7)
