@@ -171,14 +171,15 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                 Some("If you meant DuckDB's CREATE MACRO: the scalar " +
                   "form (CREATE [OR REPLACE] [TEMP] MACRO name(a, " +
                   "b := 1) AS <expression>, trailing defaults padded " +
-                  "positionally) and the zero-parameter table form " +
-                  "(name() AS TABLE <query>, callable as FROM name()) " +
-                  "run automatically, but this one wasn't — " +
-                  "parameterized table macros and overload lists have " +
-                  "no Spark equivalent. Parameterized table macros map " +
-                  "to a typed SQL UDF: CREATE TEMPORARY FUNCTION " +
-                  "name(x DOUBLE, ...) RETURNS DOUBLE RETURN " +
-                  "<expression>, or enumerate the variants as views.")
+                  "positionally), overload lists ((a) AS ..., (a, b) " +
+                  "AS ... — arity-dispatched), and the zero-parameter " +
+                  "table form (name() AS TABLE <query>, callable as " +
+                  "FROM name()) run automatically, but this one " +
+                  "wasn't — parameterized table macros have no Spark " +
+                  "equivalent. They map to a typed SQL UDF: CREATE " +
+                  "TEMPORARY FUNCTION name(x DOUBLE, ...) RETURNS " +
+                  "DOUBLE RETURN <expression>, or enumerate the " +
+                  "variants as views.")
               case replaceStarRe() =>
                 Some("If you meant DuckDB's SELECT * REPLACE (...): the " +
                   "common single-table form (SELECT * REPLACE (expr AS " +

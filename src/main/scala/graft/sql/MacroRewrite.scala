@@ -40,9 +40,11 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
   * and lands on the call site's own parse error) and ZERO-parameter
   * table macros (`name() AS TABLE <query>` — registered in the session
   * TABLE function registry so DuckDB's `FROM name()` call shape
-  * resolves; see [[tableMacro]]). Declined to the tier-2 hint:
-  * parameterized table macros, overload lists (`(a) AS …, (a,b) AS …`),
-  * defaults referencing other parameters, multipart names, and bodies
+  * resolves; see [[tableMacro]]) and OVERLOAD lists (`(a) AS …, (a,b)
+  * AS …` — one builder dispatching on the call's arity; see
+  * [[overloads]]). Declined to the tier-2 hint: parameterized table
+  * macros, defaults referencing other parameters, defaults inside
+  * overload lists (ambiguous arity ranges), multipart names, and bodies
   * Spark's expression parser rejects. A plain CREATE over an existing
   * name errors like DuckDB's catalog would instead of silently
   * replacing.
@@ -63,9 +65,22 @@ object MacroRewrite {
     // Multipart names (schema.macro) fall outside the supported shape.
     if (sql.take(m.start(2)).trim.endsWith(".")) return None
 
+    // Overload list (DuckDB ≥1.3): `name(a) AS b1, (a, b) AS b2, …`.
+    // Split the definition text at top-level commas (param lists and any
+    // parens inside bodies are protected); it is an overload list only
+    // if every continuation segment itself starts `(params) AS` — a
+    // table-macro body's select list also has top-level commas, but its
+    // continuations start with column expressions, not a paren list.
+    val defsText = sql.substring(m.end - 1).trim.stripSuffix(";").trim
+    val segs = ReplaceRewrite.splitTop(defsText).map(_.trim)
+    if (segs.size > 1 &&
+      segs.tail.forall(s =>
+        """(?is)\A\([A-Za-z0-9_,\s]*\)\s*AS\b""".r.findFirstIn(s).isDefined))
+      return overloads(name, orReplace, segs, delegate)
+
     // Parameter list: identifiers, optionally with a trailing run of
     // `name := <default-expr>` slots (DuckDB's default parameters). Types
-    // and nested `(a) AS …` overload shapes decline to the hint.
+    // decline to the hint.
     val open = m.end - 1 // the '(' headRe ended on
     val closeIdx = ReplaceRewrite.closeOf(sql, open)
     if (closeIdx < 0) return None
@@ -183,6 +198,80 @@ object MacroRewrite {
         case a: UnresolvedAttribute if a.nameParts.size == 1 &&
             lowered.contains(a.nameParts.head.toLowerCase) =>
           full(lowered.indexOf(a.nameParts.head.toLowerCase))
+      }
+    }
+    registry.registerFunction(fid,
+      new ExpressionInfo(classOf[GraftSparkExtensions].getName, name), builder)
+    Some(s"SELECT '$name' AS `macro`")
+  }
+
+  /** Overload list `name(a) AS body1, (a, b) AS body2, …` (DuckDB ≥1.3):
+    * each overload's body parses into its own template and ONE registered
+    * builder dispatches on the call site's argument count — DuckDB's
+    * arity-based overload resolution, which is well-defined here because
+    * overloads with defaults are declined (their arity RANGES could
+    * overlap; DuckDB's binder wrestles the same ambiguity). Plain
+    * identifier parameters only; same subquery/self-reference guards as
+    * the single form, applied per overload.
+    */
+  private def overloads(name: String, orReplace: Boolean, segs: Vector[String],
+      delegate: ParserInterface): Option[String] = {
+    val identRe = """\A[A-Za-z_][A-Za-z0-9_]*\z""".r
+    val parsed: Vector[(Vector[String], Expression)] = segs.map { seg =>
+      if (!seg.startsWith("(")) return None
+      val close = ReplaceRewrite.closeOf(seg, 0)
+      if (close < 0) return None
+      val paramText = seg.substring(1, close - 1).trim
+      if (paramText.contains(":=")) return None // defaults in overloads: hint
+      val ps =
+        if (paramText.isEmpty) Vector.empty[String]
+        else ReplaceRewrite.splitTop(paramText).map(_.trim)
+      if (ps.exists(p => identRe.findFirstIn(p).isEmpty)) return None
+      if (ps.map(_.toLowerCase).distinct.size != ps.size) return None
+      val asM = """(?is)\A\s*AS\b""".r.findFirstMatchIn(seg.substring(close))
+        .getOrElse(return None)
+      val body = seg.substring(close + asM.end).trim
+      if (body.isEmpty) return None
+      if ("""(?is)\ATABLE\b""".r.findFirstIn(body).isDefined) return None
+      val template = try delegate.parseExpression(body)
+        catch { case NonFatal(_) => return None }
+      if (template.exists(_.isInstanceOf[PlanExpression[_]])) return None
+      if (template.exists {
+        case f: UnresolvedFunction =>
+          f.nameParts.size == 1 && f.nameParts.head.equalsIgnoreCase(name)
+        case _ => false
+      }) throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          s"macro '$name' references itself — recursive macros are not supported"))
+      (ps, template)
+    }
+    val byArity: Map[Int, (Vector[String], Expression)] =
+      parsed.map(p => p._1.size -> p).toMap
+    if (byArity.size != parsed.size) return None // duplicate arity: ambiguous
+
+    val spark = try org.apache.spark.sql.SparkSession.active
+      catch { case NonFatal(_) => return None }
+    val registry = spark.sessionState.functionRegistry
+    val fid = FunctionIdentifier(name.toLowerCase)
+    if (!orReplace && registry.functionExists(fid))
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          s"macro '$name' already exists — use CREATE OR REPLACE MACRO"))
+
+    val arities = byArity.keys.toSeq.sorted.mkString(", ")
+    val builder: Seq[Expression] => Expression = { args =>
+      val (ps, template) = byArity.getOrElse(args.size,
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            s"macro '$name' has overloads for $arities argument(s), got ${args.size}")))
+      val lowered = ps.map(_.toLowerCase)
+      template.transformUp {
+        case a: UnresolvedAttribute if a.nameParts.size == 1 &&
+            lowered.contains(a.nameParts.head.toLowerCase) =>
+          args(lowered.indexOf(a.nameParts.head.toLowerCase))
       }
     }
     registry.registerFunction(fid,

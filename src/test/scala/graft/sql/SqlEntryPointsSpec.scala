@@ -406,6 +406,23 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("TEMPORARY FUNCTION"), s"got: ${ex3.getMessage}")
   }
 
+  test("macro overload list executes with arity dispatch") {
+    spark.sql("CREATE OR REPLACE MACRO ov(a) AS a + 1, (a, b) AS a * b")
+    assert(spark.sql("SELECT ov(4) AS u").head().getInt(0) == 5)
+    assert(spark.sql("SELECT ov(4, 3) AS v").head().getInt(0) == 12)
+    // Unmatched arity names the available ones.
+    val ex = intercept[Exception](spark.sql("SELECT ov(1, 2, 3)").collect())
+    assert(ex.getMessage.contains("overloads for 1, 2"), s"got: ${ex.getMessage}")
+    // Duplicate arity is ambiguous — declines to the hint.
+    val ex2 = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE MACRO dup_ov(a) AS a + 1, (b) AS b - 1"))
+    assert(ex2.getMessage.contains("TEMPORARY FUNCTION"), s"got: ${ex2.getMessage}")
+    // Defaults inside an overload list decline (ambiguous arity ranges).
+    val ex3 = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE MACRO def_ov(a) AS a + 1, (a, b := 2) AS a * b"))
+    assert(ex3.getMessage.contains("TEMPORARY FUNCTION"), s"got: ${ex3.getMessage}")
+  }
+
   test("zero-parameter table macro executes via FROM name(); parameterized declines") {
     registerMarket()
     spark.sql("CREATE OR REPLACE MACRO quote_syms() AS TABLE " +
