@@ -215,6 +215,19 @@ object Fixpoint {
     * so its chain scans each closure row exactly once per round.)
     */
   def iterateKeyed(seed: DataFrame, step: DataFrame => DataFrame,
+      keys: Seq[String], maxRounds: Int = 64, buckets: Int = 0): DataFrame =
+    iterateKeyedWithState(seed, (frontier, _) => step(frontier),
+      keys, maxRounds, buckets)
+
+  /** [[iterateKeyed]] plus DuckDB's `recurring.<name>` relation: the step
+    * also receives a THUNK of the accumulated one-row-per-key state as of
+    * the round's start (seed + every upsert through the previous round —
+    * exactly DuckDB's recurring table). A thunk because resolving it
+    * costs a K-row per-key shuffle over the (compaction-bounded) round
+    * tables; steps that ignore it — most — never pay.
+    */
+  def iterateKeyedWithState(seed: DataFrame,
+      step: (DataFrame, () => DataFrame) => DataFrame,
       keys: Seq[String], maxRounds: Int = 64, buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, max_by, min, struct => fstruct}
     val spark = seed.sparkSession
@@ -274,7 +287,7 @@ object Fixpoint {
         // round-table union, and the per-round key-hash equality relies
         // on consistent types across rounds. ANSI mode makes a genuinely
         // incompatible step type a loud error, not a silent null.
-        val stepped = step(frontier.drop(H))
+        val stepped = step(frontier.drop(H), () => resolveLatest(reached))
         require(stepped.columns.length == cols.length,
           s"Fixpoint.iterateKeyed: step returned ${stepped.columns.length} " +
             s"columns, seed has ${cols.length}")

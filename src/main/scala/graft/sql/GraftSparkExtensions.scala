@@ -148,9 +148,11 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "'SELECT ... FROM __frontier ...'[, max_rounds[, buckets]]) " +
                   "for UNION-distinct recursion, or fixpoint_keyed(seed, " +
                   "step_sql, 'key_csv') for one-row-per-key upsert " +
-                  "semantics (recurring.<name> references need the manual " +
-                  "form) — the step SQL sees each round's new/changed rows " +
-                  "as the view __frontier. See README 'Recursive queries'.")
+                  "semantics — the step SQL sees each round's new/changed " +
+                  "rows as the view __frontier and the accumulated state " +
+                  "as __recurring (USING KEY statements with " +
+                  "recurring.<name> rewrite onto it automatically). See " +
+                  "README 'Recursive queries'.")
               case asofRe() =>
                 Some("If you meant DuckDB's ASOF JOIN: the common backward " +
                   "form (FROM l ASOF [LEFT] JOIN r ON l.k = r.k AND " +
@@ -473,21 +475,36 @@ object GraftSparkExtensions {
       require(v.forall(_ != null), "fixpoint_keyed arguments must be non-NULL constants")
       val spark = org.apache.spark.sql.SparkSession.active
       val stepSql = asString(v(1))
-      require(stepSql.contains("__frontier"),
-        "fixpoint_keyed step SQL must reference the changed rows via the view name __frontier")
+      // __recurring = DuckDB's `recurring.<name>` relation: the
+      // accumulated one-row-per-key state as of the round's start. A step
+      // may reference the frontier, the recurring state, or both.
+      val usesRecurring = stepSql.contains("__recurring")
+      require(stepSql.contains("__frontier") || usesRecurring,
+        "fixpoint_keyed step SQL must reference the changed rows via the view " +
+          "name __frontier (and/or the accumulated state via __recurring)")
       val keys = asString(v(2)).split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
       require(keys.nonEmpty, "fixpoint_keyed needs at least one key column")
       val maxRounds = if (args.size >= 4) asInt(v(3)) else 64
       val buckets = if (args.size >= 5) asInt(v(4)) else 0
-      val viewName =
-        s"__frontier_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val boundStep = stepSql.replace("__frontier", viewName)
+      val runTag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val viewName = s"__frontier_$runTag"
+      val recViewName = s"__recurring_$runTag"
+      val boundStep =
+        stepSql.replace("__recurring", recViewName).replace("__frontier", viewName)
       val out =
-        try graft.operators.Fixpoint.iterateKeyed(
+        try graft.operators.Fixpoint.iterateKeyedWithState(
           tableOrSql(spark, asString(v(0))),
-          frontier => { frontier.createOrReplaceTempView(viewName); spark.sql(boundStep) },
+          (frontier, state) => {
+            frontier.createOrReplaceTempView(viewName)
+            if (usesRecurring) state().createOrReplaceTempView(recViewName)
+            spark.sql(boundStep)
+          },
           keys, maxRounds, buckets)
-        finally { spark.catalog.dropTempView(viewName); () }
+        finally {
+          spark.catalog.dropTempView(viewName)
+          if (usesRecurring) spark.catalog.dropTempView(recViewName)
+          ()
+        }
       out.queryExecution.analyzed
     })
 

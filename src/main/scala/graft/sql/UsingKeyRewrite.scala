@@ -21,10 +21,11 @@ import java.util.regex.Pattern
   * surfaces the fixpoint() hint): exactly one recursive CTE, body =
   * seed UNION [ALL] step at the body's top level, step referencing the
   * CTE name (which becomes `__frontier` — last round's changed rows,
-  * DuckDB's intermediate table), no `recurring.<name>` references (the
-  * union-table view is a different relation this rewrite cannot offer),
-  * single-part identifiers, and a final statement whose only use of the
-  * CTE name is one `FROM <name>` target (re-aliased onto the splice).
+  * DuckDB's intermediate table) and/or `recurring.<name>` (DuckDB ≥1.3's
+  * accumulated one-row-per-key state, which becomes the `__recurring`
+  * view bound per round by the TVF), single-part identifiers, and a
+  * final statement whose only use of the CTE name is one `FROM <name>`
+  * target (re-aliased onto the splice).
   */
 object UsingKeyRewrite {
 
@@ -81,10 +82,6 @@ object UsingKeyRewrite {
       words(4)._1 != "KEY") return None
     val nameW = words(2)
     val name = sql.substring(nameW._2, nameW._2 + nameW._1.length)
-    // `recurring.<name>` is the union-table view — a different relation
-    // than the frontier; this rewrite cannot offer it.
-    if (words.exists(_._1 == "RECURRING") ||
-      "(?i)\\brecurring\\b".r.findFirstIn(sql).isDefined) return None
     // Key list: the paren group right after KEY.
     val keyOpen = nextNonSpace(sql, words(4)._2 + "KEY".length)
     if (keyOpen >= sql.length || sql.charAt(keyOpen) != '(') return None
@@ -113,13 +110,20 @@ object UsingKeyRewrite {
       stepStart = afterUnion.head._2 + "ALL".length
     val stepRaw = body.substring(stepStart).trim
     if (seedSql.isEmpty || stepRaw.isEmpty) return None
-    // The step's recursive reference becomes the frontier view. (A CTE
-    // name inside one of the step's own string literals would also be
-    // swapped — vanishingly unlikely; the reparse safety net degrades
-    // any mis-splice to the hint, never to a wrong result.)
+    // The step's references: `recurring.<name>` (DuckDB ≥1.3 — the
+    // accumulated one-row-per-key state) becomes the __recurring view,
+    // then the plain recursive reference becomes the frontier view. The
+    // recurring swap runs FIRST so its <name> token is consumed before
+    // the bare-name pass. (A CTE name inside one of the step's own
+    // string literals would also be swapped — vanishingly unlikely; the
+    // reparse safety net degrades any mis-splice to the hint, never to a
+    // wrong result.)
+    val recRe = ("(?i)\\brecurring\\s*\\.\\s*" + Pattern.quote(name) + "\\b").r
+    val stepNoRec = recRe.replaceAllIn(stepRaw, "__recurring")
     val nameRe = ("(?i)\\b" + Pattern.quote(name) + "\\b").r
-    if (nameRe.findFirstIn(stepRaw).isEmpty) return None
-    val stepSql = nameRe.replaceAllIn(stepRaw, "__frontier")
+    if (nameRe.findFirstIn(stepNoRec).isEmpty &&
+      !stepNoRec.contains("__recurring")) return None
+    val stepSql = nameRe.replaceAllIn(stepNoRec, "__frontier")
     // Final statement: a single SELECT whose only bare use of the CTE
     // name is one FROM target; qualifier uses (name.col) ride the alias.
     val finalSql = sql.substring(nextNonSpace(sql, bodyClose + 1))

@@ -182,16 +182,29 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(upsert == Seq((1, 3)))
   }
 
-  test("USING KEY shapes the rewrite declines (recurring.<name>) land on the hint") {
-    val ex = intercept[Exception](spark.sql(
+  test("USING KEY with recurring.<name> executes: step sees the accumulated state") {
+    // recurring.r = the one-row-per-key state as of the round's start
+    // (DuckDB ≥1.3). Hand-trace: each round adds count(recurring) to the
+    // previous payload — 1 state row in round 1, 2 in round 2, 3 in
+    // round 3 — so v walks 1 → 2 → 4 → 7 across keys 0..3.
+    val rows = spark.sql(
+      """WITH RECURSIVE r USING KEY (x) AS (
+           SELECT 0 AS x, 1 AS v
+           UNION ALL
+           SELECT f.x + 1, f.v + (SELECT COUNT(*) FROM recurring.r)
+           FROM r f WHERE f.x < 3)
+         SELECT x, v FROM r ORDER BY x""")
+      .collect().map(c => (c.getInt(0), c.getInt(1))).toSeq
+    assert(rows == Seq((0, 1), (1, 2), (2, 4), (3, 7)), s"got $rows")
+    // The JOIN form: frontier joined against the accumulated state.
+    val joined = spark.sql(
       """WITH RECURSIVE r USING KEY (x) AS (
            SELECT 1 AS x, 0 AS v
            UNION ALL
-           SELECT x, v + 1 FROM r JOIN recurring.r u ON u.x = r.x WHERE r.v < 3)
-         SELECT * FROM r"""))
-    assert(ex.getMessage.contains("fixpoint"),
-      s"expected the fixpoint hint, got: ${ex.getMessage}")
-    assert(ex.getMessage.contains("__frontier"))
+           SELECT r.x, r.v + 1 FROM r JOIN recurring.r u ON u.x = r.x WHERE r.v < 3)
+         SELECT x, v FROM r""")
+      .collect().map(c => (c.getInt(0), c.getInt(1))).toSeq
+    assert(joined == Seq((1, 3)), s"got $joined")
   }
 
   test("fixpoint_keyed TVF: SQL-literal seed, upsert state, composes downstream") {
