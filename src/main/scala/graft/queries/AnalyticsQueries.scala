@@ -1126,6 +1126,25 @@ object AnalyticsQueries {
          GROUP BY 1 ORDER BY 1""")
   }
 
+  // DuckDB friendly-SQL parity, part 8: the PARAMETERIZED table macro —
+  // the call's argument expressions substitute through the whole body
+  // plan (here: the WHERE predicate), lazily at each call site, with
+  // parameters shadowing same-named columns exactly as DuckDB binds
+  // them (sql/MacroRewrite.tableMacro; shadowing pinned in
+  // SqlEntryPointsSpec). Identical DDL + call text on both engines.
+  declare("q63_table_macro_param",
+    """CREATE OR REPLACE MACRO orders_above(lo) AS TABLE
+         SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+         FROM orders WHERE o_totalprice > lo;
+       SELECT * FROM orders_above(450000) ORDER BY o_orderkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """CREATE OR REPLACE MACRO orders_above(lo) AS TABLE
+           SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders WHERE o_totalprice > lo""")
+    spark.sql("SELECT * FROM orders_above(450000) ORDER BY o_orderkey")
+  }
+
   // ------------------------------------------------------------------
   // DECIMAL lane: exact fixed-point money arithmetic end to end (cast
   // from the double column, aggregate in DecimalType, cast the widened

@@ -174,14 +174,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "form (CREATE [OR REPLACE] [TEMP] MACRO name(a, " +
                   "b := 1) AS <expression>, trailing defaults padded " +
                   "positionally), overload lists ((a) AS ..., (a, b) " +
-                  "AS ... — arity-dispatched), and the zero-parameter " +
-                  "table form (name() AS TABLE <query>, callable as " +
-                  "FROM name()) run automatically, but this one " +
-                  "wasn't — parameterized table macros have no Spark " +
-                  "equivalent. They map to a typed SQL UDF: CREATE " +
-                  "TEMPORARY FUNCTION name(x DOUBLE, ...) RETURNS " +
-                  "DOUBLE RETURN <expression>, or enumerate the " +
-                  "variants as views.")
+                  "AS ... — arity-dispatched), and table macros " +
+                  "(name(a) AS TABLE <query>, callable as FROM " +
+                  "name(args)) run automatically, but this one " +
+                  "wasn't — check for defaults that reference other " +
+                  "parameters, overloads with defaults, or a body " +
+                  "Spark's parser rejects. The typed manual form is a " +
+                  "SQL UDF: CREATE TEMPORARY FUNCTION name(x DOUBLE, " +
+                  "...) RETURNS DOUBLE RETURN <expression>.")
               case replaceStarRe() =>
                 Some("If you meant DuckDB's SELECT * REPLACE (...): the " +
                   "common single-table form (SELECT * REPLACE (expr AS " +

@@ -38,16 +38,16 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
   * defaults become expression templates padded in positionally when the
   * call site omits them; the `b := x` named CALL syntax is not Spark SQL
   * and lands on the call site's own parse error) and ZERO-parameter
-  * table macros (`name() AS TABLE <query>` — registered in the session
-  * TABLE function registry so DuckDB's `FROM name()` call shape
-  * resolves; see [[tableMacro]]) and OVERLOAD lists (`(a) AS …, (a,b)
-  * AS …` — one builder dispatching on the call's arity; see
-  * [[overloads]]). Declined to the tier-2 hint: parameterized table
-  * macros, defaults referencing other parameters, defaults inside
-  * overload lists (ambiguous arity ranges), multipart names, and bodies
-  * Spark's expression parser rejects. A plain CREATE over an existing
-  * name errors like DuckDB's catalog would instead of silently
-  * replacing.
+  * table macros — parameterized included (`name(a) AS TABLE <query>` —
+  * registered in the session TABLE function registry so DuckDB's
+  * `FROM name(args)` call shape resolves, parameters substituted
+  * through the whole plan; see [[tableMacro]]) and OVERLOAD lists
+  * (`(a) AS …, (a,b) AS …` — one builder dispatching on the call's
+  * arity; see [[overloads]]). Declined to the tier-2 hint: defaults
+  * referencing other parameters, defaults inside overload lists
+  * (ambiguous arity ranges), multipart names, and bodies Spark's
+  * parser rejects. A plain CREATE over an existing name errors like
+  * DuckDB's catalog would instead of silently replacing.
   *
   * The returned replacement text is a 1-row marker statement (the
   * registration side effect already happened — same eagerness contract as
@@ -118,10 +118,9 @@ object MacroRewrite {
     val body0 = tail.substring(asM.end).trim.stripSuffix(";").trim
     if (body0.isEmpty) return None
     val tableM = """(?is)\ATABLE\b""".r.findFirstMatchIn(body0)
-    if (tableM.isDefined) {
-      if (params.nonEmpty) return None // parameterized table macro: hint
-      return tableMacro(name, orReplace, body0.substring(tableM.get.end).trim, delegate)
-    }
+    if (tableM.isDefined)
+      return tableMacro(name, orReplace, body0.substring(tableM.get.end).trim,
+        params.map(p => (p.name, p.default)), delegate)
     if (",\\s*\\(".r.findFirstIn(body0).isDefined &&
       """(?is),\s*\([A-Za-z_,\s\w]*\)\s*AS\b""".r.findFirstIn(body0).isDefined)
       return None // overload list: `, (a, b) AS …`
@@ -279,17 +278,25 @@ object MacroRewrite {
     Some(s"SELECT '$name' AS `macro`")
   }
 
-  /** Zero-parameter `CREATE MACRO name() AS TABLE <query>`: DuckDB call
-    * sites write `FROM name()` — WITH parentheses — so a temp view can't
-    * host it; instead the body parses once into a logical-plan template
-    * and registers in the session's TABLE function registry, where the
-    * analyzer resolves `name()` exactly like the injected TVFs. Binding
-    * stays lazy (the plan is unresolved until each call site's analysis),
-    * DuckDB's macro semantics. Parameterized table macros declined above:
-    * substituting expressions into a plan template is a different, riskier
-    * transform than the scalar path's expression-tree walk.
+  /** `CREATE MACRO name(a[, b := d]) AS TABLE <query>`: DuckDB call
+    * sites write `FROM name(args)` — WITH parentheses — so a temp view
+    * can't host even the zero-parameter form; instead the body parses
+    * once into a logical-plan template and registers in the session's
+    * TABLE function registry, where the analyzer resolves `name(...)`
+    * exactly like the injected TVFs. Binding stays lazy (the plan is
+    * unresolved until each call site's analysis), DuckDB's macro
+    * semantics. Parameter substitution walks the WHOLE plan including
+    * subquery plans (transformAllExpressionsWithSubqueries — unlike the
+    * scalar path, where the single-expression walk cannot reach nested
+    * plans and subquery bodies decline), swapping every single-part
+    * attribute matching a parameter name for the call's expression. A
+    * parameter deliberately SHADOWS a same-named column of the body's
+    * tables — pinned against DuckDB: `shadow(x) AS TABLE SELECT x FROM
+    * t` called as shadow(99) yields 99 per row there too. Trailing
+    * defaults pad positionally, as in the scalar form.
     */
   private def tableMacro(name: String, orReplace: Boolean, query: String,
+      params: Vector[(String, Option[String])],
       delegate: ParserInterface): Option[String] = {
     if (query.isEmpty) return None
     // Direct self-reference would expand forever at every call site's
@@ -302,6 +309,24 @@ object MacroRewrite {
         Map("errorMessage" ->
           s"macro '$name' references itself — recursive macros are not supported"))
     val plan = try delegate.parsePlan(query) catch { case NonFatal(_) => return None }
+    val lowered = params.map(_._1.toLowerCase)
+    val defaultTemplates: Map[String, Expression] = params.collect {
+      case (pn, Some(d)) =>
+        val e = try delegate.parseExpression(d) catch { case NonFatal(_) => return None }
+        pn.toLowerCase -> e
+    }.toMap
+    val paramSet = lowered.toSet
+    // Defaults referencing other parameters decline, as in the scalar
+    // path (they would need an ordered substitution pass of their own).
+    if (defaultTemplates.values.exists(_.exists {
+      case a: UnresolvedAttribute =>
+        a.nameParts.size == 1 && paramSet(a.nameParts.head.toLowerCase)
+      case _ => false
+    })) return None
+    val nRequired = {
+      val i = params.indexWhere(_._2.isDefined)
+      if (i < 0) params.size else i
+    }
     val spark = try org.apache.spark.sql.SparkSession.active
       catch { case NonFatal(_) => return None }
     val registry = spark.sessionState.tableFunctionRegistry
@@ -314,11 +339,23 @@ object MacroRewrite {
     registry.registerFunction(fid,
       new ExpressionInfo(classOf[GraftSparkExtensions].getName, name),
       (args: Seq[Expression]) => {
-        if (args.nonEmpty) throw new org.apache.spark.sql.AnalysisException(
-          "USER_RAISED_EXCEPTION",
-          Map("errorMessage" ->
-            s"table macro '$name' takes no arguments, got ${args.size}"))
-        plan
+        if (args.size < nRequired || args.size > params.size) {
+          val arity = if (nRequired == params.size) s"${params.size}"
+            else s"$nRequired to ${params.size}"
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION",
+            Map("errorMessage" ->
+              s"table macro '$name' expects $arity argument(s), got ${args.size}"))
+        }
+        if (params.isEmpty) plan
+        else {
+          val full = args ++ lowered.drop(args.size).map(defaultTemplates)
+          plan.transformAllExpressionsWithSubqueries {
+            case a: UnresolvedAttribute if a.nameParts.size == 1 &&
+                paramSet(a.nameParts.head.toLowerCase) =>
+              full(lowered.indexOf(a.nameParts.head.toLowerCase))
+          }
+        }
       })
     Some(s"SELECT '$name' AS `macro`")
   }

@@ -447,10 +447,22 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       "SELECT count(*) AS n FROM quote_syms() q JOIN sq_quotes s ON q.sym = s.sym")
       .head().getLong(0)
     assert(n == 4L)
-    // Parameterized table macro: no Spark equivalent — hint.
-    val ex = intercept[Exception](spark.sql(
-      "CREATE MACRO top_quotes(k) AS TABLE SELECT * FROM sq_quotes LIMIT k"))
-    assert(ex.getMessage.contains("TEMPORARY FUNCTION"), s"got: ${ex.getMessage}")
+    // Parameterized table macro: params substitute through the plan.
+    spark.sql("CREATE OR REPLACE MACRO top_quotes(k) AS TABLE " +
+      "SELECT sym, qt FROM sq_quotes ORDER BY qt DESC, sym LIMIT k")
+    val top = spark.sql("SELECT * FROM top_quotes(2)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top == Seq((1L, 30L), (1L, 20L)), s"got $top")
+    // Param SHADOWS a same-named body column (DuckDB-pinned semantics),
+    // and trailing defaults pad positionally (lo := 12 → qt 15, 20, 30).
+    spark.sql("CREATE OR REPLACE MACRO shadowed(sym, lo := 12) AS TABLE " +
+      "SELECT sym AS tag, qt FROM sq_quotes WHERE qt >= lo ORDER BY qt")
+    val sh = spark.sql("SELECT * FROM shadowed('Z')").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sh == Seq(("Z", 15L), ("Z", 20L), ("Z", 30L)), s"got $sh")
+    // Wrong arity names the range.
+    val exA = intercept[Exception](spark.sql("SELECT * FROM shadowed()").collect())
+    assert(exA.getMessage.contains("1 to 2"), s"got: ${exA.getMessage}")
     // Self-referential table macro rejected at creation.
     val ex2 = intercept[Exception](spark.sql(
       "CREATE OR REPLACE MACRO quote_syms() AS TABLE SELECT * FROM quote_syms()"))
