@@ -112,34 +112,37 @@ object Engine {
     * sfDir on the same session re-registers, replacing the views.
     */
   private val viewsRegistered =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, Set[String])]()
 
   /** Per-view failures are non-fatal: registration is defensive (all 10
     * views before any SQL-surface query), so one unreadable table must not
     * take down queries that never reference it — a ROLLUP over
     * customer/nation should not die on an events schema drift. The broken
-    * view is dropped and a warning names the table; only a query that
-    * actually references it then fails, with TABLE_OR_VIEW_NOT_FOUND
-    * pointing at the right name. Failed tables are NOT memoized as
-    * registered: the next registerViews call for the same sfDir retries
-    * just the failures (covers a table regenerated mid-session).
+    * view is dropped and a warning names the table (once — later retries
+    * of a still-broken table stay quiet); only a query that actually
+    * references it then fails, with TABLE_OR_VIEW_NOT_FOUND pointing at
+    * the right name. The memo stores (sfDir, failed set): repeat calls
+    * for the same sfDir retry ONLY the failures (covers a table
+    * regenerated mid-session) instead of re-registering all 10.
     */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     viewsRegistered.compute(spark, { (_, prev) =>
-      val failed = tableNames.filter { n =>
-        if (prev == sfDir && spark.catalog.tableExists(n)) false
-        else {
-          try { table(spark, sfDir, n).createOrReplaceTempView(n); false }
-          catch {
-            case e: Exception =>
-              spark.catalog.dropTempView(n)
-              System.err.println(
-                s"graft: cannot register view '$n' from $sfDir/$n.parquet — " +
-                  s"queries referencing it will fail: ${e.getMessage}")
-              true
-          }
+      val (prevDir, prevFailed) =
+        if (prev == null) (null, Set.empty[String]) else prev
+      val sameDir = prevDir == sfDir
+      val toRegister = if (sameDir) prevFailed else tableNames.toSet
+      val warned = if (sameDir) prevFailed else Set.empty[String]
+      val failed = toRegister.filter { n =>
+        try { table(spark, sfDir, n).createOrReplaceTempView(n); false }
+        catch {
+          case e: Exception =>
+            spark.catalog.dropTempView(n)
+            if (!warned.contains(n)) System.err.println(
+              s"graft: cannot register view '$n' from $sfDir/$n.parquet — " +
+                s"queries referencing it will fail: ${e.getMessage}")
+            true
         }
       }
-      if (failed.isEmpty) sfDir else null
+      (sfDir, failed)
     })
 }

@@ -226,12 +226,35 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     * with UNRESOLVED_ROUTINE. The rewrite therefore runs BEFORE
     * delegation, gated on the strict anchored head shape (`SELECT
     * COLUMNS(` first in the statement) so a user's real `columns` UDF in
-    * any other position is untouched; shapes the rewrite declines fall
-    * through to the delegate unchanged.
+    * any other position is untouched. A head-shape statement the rewrite
+    * DECLINES (lambda argument, zero matches, unresolvable table) would
+    * otherwise parse fine and die in analysis with a raw
+    * UNRESOLVED_ROUTINE — no hint machinery ever sees it — so the hint
+    * is raised here, unless the session actually has a `columns`
+    * function registered (then the statement is the user's own call and
+    * passes through untouched).
     */
   private val columnsHeadRe = "(?is)\\A\\s*SELECT\\s+COLUMNS\\s*\\(.*".r
   private def preRewrite(sqlText: String): String = sqlText match {
-    case columnsHeadRe() => ColumnsRewrite.rewrite(sqlText).getOrElse(sqlText)
+    case columnsHeadRe() =>
+      ColumnsRewrite.rewrite(sqlText).getOrElse {
+        val userHasColumnsFn =
+          try org.apache.spark.sql.SparkSession.active.sessionState
+            .functionRegistry.functionExists(FunctionIdentifier("columns"))
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (userHasColumnsFn) sqlText
+        else throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            ("COLUMNS(...) could not be expanded: the common form " +
+              "(SELECT COLUMNS('regex') FROM t, or COLUMNS(*), single " +
+              "resolvable table, ≥1 matching column) runs automatically, " +
+              "but this one doesn't — lambdas, EXCLUDE arguments, and " +
+              "aggregate wrapping have no Spark equivalent. Enumerate " +
+              "the columns explicitly (df.select(df.columns.map(c => " +
+              "expr(...)): _*)), or use * EXCLUDE (...) / * REPLACE " +
+              "(...), which do run here.")))
+      }
     case _ => sqlText
   }
 

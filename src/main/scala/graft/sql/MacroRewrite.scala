@@ -68,14 +68,19 @@ object MacroRewrite {
     // Overload list (DuckDB ≥1.3): `name(a) AS b1, (a, b) AS b2, …`.
     // Split the definition text at top-level commas (param lists and any
     // parens inside bodies are protected); it is an overload list only
-    // if every continuation segment itself starts `(params) AS` — a
-    // table-macro body's select list also has top-level commas, but its
-    // continuations start with column expressions, not a paren list.
+    // if every continuation segment starts with a STRICT identifier-list
+    // paren group followed by AS — `(a, b) AS` yes, but a table-macro
+    // body's parenthesized select items (`SELECT a, (SELECT 1) AS one` /
+    // `(qty) AS q`) must not match, so the class is an ident-comma list,
+    // not "any word characters", and a first segment containing
+    // `AS TABLE` routes to the table path regardless.
     val defsText = sql.substring(m.end - 1).trim.stripSuffix(";").trim
     val segs = ReplaceRewrite.splitTop(defsText).map(_.trim)
+    val identListAs =
+      """(?is)\A\(\s*(?:[A-Za-z_]\w*\s*(?:,\s*[A-Za-z_]\w*\s*)*)?\)\s*AS\b""".r
     if (segs.size > 1 &&
-      segs.tail.forall(s =>
-        """(?is)\A\([A-Za-z0-9_,\s]*\)\s*AS\b""".r.findFirstIn(s).isDefined))
+      """(?is)\bAS\s+TABLE\b""".r.findFirstIn(segs.head).isEmpty &&
+      segs.tail.forall(s => identListAs.findFirstIn(s).isDefined))
       return overloads(name, orReplace, segs, delegate)
 
     // Parameter list: identifiers, optionally with a trailing run of
@@ -299,16 +304,20 @@ object MacroRewrite {
       params: Vector[(String, Option[String])],
       delegate: ParserInterface): Option[String] = {
     if (query.isEmpty) return None
+    val plan = try delegate.parsePlan(query) catch { case NonFatal(_) => return None }
     // Direct self-reference would expand forever at every call site's
-    // analysis; reject at creation like the scalar path (text scan — the
-    // body is an arbitrary query, not a single expression tree).
-    if (("(?is).*\\b" + java.util.regex.Pattern.quote(name) + "\\s*\\(.*").r
-        .findFirstIn(query).isDefined)
+    // analysis; reject at creation like the scalar path. The check walks
+    // the PARSED plan (a raw text scan would also fire on the name
+    // appearing inside a string literal).
+    val selfRef = plan.collectWithSubqueries {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if u.name.size == 1 && u.name.head.equalsIgnoreCase(name) => u
+    }.nonEmpty
+    if (selfRef)
       throw new org.apache.spark.sql.AnalysisException(
         "USER_RAISED_EXCEPTION",
         Map("errorMessage" ->
           s"macro '$name' references itself — recursive macros are not supported"))
-    val plan = try delegate.parsePlan(query) catch { case NonFatal(_) => return None }
     val lowered = params.map(_._1.toLowerCase)
     val defaultTemplates: Map[String, Expression] = params.collect {
       case (pn, Some(d)) =>
@@ -350,10 +359,18 @@ object MacroRewrite {
         if (params.isEmpty) plan
         else {
           val full = args ++ lowered.drop(args.size).map(defaultTemplates)
-          plan.transformAllExpressionsWithSubqueries {
-            case a: UnresolvedAttribute if a.nameParts.size == 1 &&
-                paramSet(a.nameParts.head.toLowerCase) =>
-              full(lowered.indexOf(a.nameParts.head.toLowerCase))
+          // transformExpressionsUp per node (bottom-up, replacements
+          // never revisited) — a transformDown-based walk would re-enter
+          // the substituted expression and re-match a call-site attribute
+          // that happens to share a parameter name (`f(k + 1)` with
+          // parameter k loops forever; `g(b + 1, 10)` silently rewrites
+          // the caller's b), exactly why the scalar path uses transformUp.
+          plan.transformUpWithSubqueries {
+            case p => p.transformExpressionsUp {
+              case a: UnresolvedAttribute if a.nameParts.size == 1 &&
+                  paramSet(a.nameParts.head.toLowerCase) =>
+                full(lowered.indexOf(a.nameParts.head.toLowerCase))
+            }
           }
         }
       })

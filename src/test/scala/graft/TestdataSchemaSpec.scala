@@ -70,6 +70,26 @@ class TestdataSchemaSpec extends AnyFunSuite {
     assert(Engine.events(spark, sfDir).schema("ts").dataType == TimestampType)
   }
 
+  test("events.ts VALUES land in a sane epoch range after normalization") {
+    // The type fingerprint alone cannot catch a UNIT drift: a generator
+    // storing ts as plain INT64 micros (not TIMESTAMP(NANOS)) would probe
+    // as LongType — indistinguishable from nanos-as-long — and the
+    // DIV-1000 nanos path would silently shrink every value 1000×,
+    // collapsing the data into 1970. Pin the VALUE range: testdata events
+    // are generated in 2024+; anything pre-2000 means the unit assumption
+    // broke, not the data.
+    import org.apache.spark.sql.functions.{max, min, year}
+    val r = Engine.events(spark, sfDir)
+      .agg(min(year(org.apache.spark.sql.functions.col("ts"))).as("lo"),
+        max(year(org.apache.spark.sql.functions.col("ts"))).as("hi"))
+      .head()
+    val (lo, hi) = (r.getInt(0), r.getInt(1))
+    assert(lo >= 2000 && hi <= 2100,
+      s"TESTDATA DRIFT: normalized events.ts spans years $lo..$hi — the " +
+        "stored unit no longer matches Engine.normalizeEventsTs's assumption " +
+        "(LongType = nanos). Probe the file and fix the conversion.")
+  }
+
   test("a corrupted events file does not dark unrelated views or queries") {
     val dir = graft.operators.Scratch.freshDir(spark, "drift_sfdir")
     val fs = new java.io.File(dir)

@@ -463,6 +463,26 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // Wrong arity names the range.
     val exA = intercept[Exception](spark.sql("SELECT * FROM shadowed()").collect())
     assert(exA.getMessage.contains("1 to 2"), s"got: ${exA.getMessage}")
+    // A call argument that itself mentions the parameter name must not
+    // send substitution into a loop (bottom-up walk, replacements never
+    // revisited) — it terminates and fails cleanly as an unresolved
+    // column instead.
+    spark.sql("CREATE OR REPLACE MACRO qt_above(k) AS TABLE " +
+      "SELECT qt FROM sq_quotes WHERE qt > k")
+    val exK = intercept[Exception](
+      spark.sql("SELECT * FROM qt_above(k + 1)").collect())
+    assert(exK.getMessage.toLowerCase.contains("k") ||
+      exK.getMessage.contains("UNRESOLVED"), s"got: ${exK.getMessage}")
+    // A body whose select list carries a parenthesized subquery item is
+    // a table macro, not an overload list.
+    spark.sql("CREATE OR REPLACE MACRO with_const(a) AS TABLE " +
+      "SELECT qt * a AS s, (SELECT 1) AS one FROM sq_quotes")
+    val wc = spark.sql("SELECT s, one FROM with_const(2) ORDER BY s").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(wc == Seq((20L, 1), (30L, 1), (40L, 1), (60L, 1)), s"got $wc")
+    // The macro's own name inside a string literal is not recursion.
+    spark.sql("CREATE OR REPLACE MACRO lbl() AS TABLE SELECT 'lbl(x)' AS tag")
+    assert(spark.sql("SELECT * FROM lbl()").head().getString(0) == "lbl(x)")
     // Self-referential table macro rejected at creation.
     val ex2 = intercept[Exception](spark.sql(
       "CREATE OR REPLACE MACRO quote_syms() AS TABLE SELECT * FROM quote_syms()"))
