@@ -4,12 +4,13 @@ import scala.util.control.NonFatal
 
 /** Mechanical rewrite of DuckDB's `COLUMNS(...)` column-set expression
   * (friendly SQL, DuckDB ≥0.9 — the reference's host pins 1.3 via
-  * .github/workflows/MainDistributionPipeline.yml:29) for the form a
+  * .github/workflows/MainDistributionPipeline.yml:29) for the forms a
   * pasted script most often carries:
   *
   * {{{
   * SELECT COLUMNS('regex') FROM t [WHERE ...]
   * SELECT COLUMNS(*)       FROM t [WHERE ...]
+  * SELECT a, COLUMNS('regex'), b FROM t ...   -- mixed select list
   * }}}
   *
   * Spark has no column-set macro in SQL, but the select list is static
@@ -23,45 +24,90 @@ import scala.util.control.NonFatal
   * names are the table's, so both engines' outputs hash-compare.
   *
   * Deliberately conservative — supported shape: ONE `COLUMNS(` in the
-  * statement, the select list is EXACTLY the one COLUMNS expression
-  * (`SELECT COLUMNS(arg) FROM ...` — no other items, no wrapping
-  * aggregate whose per-column output names DuckDB decorates), argument
-  * is `*` or a single-quoted regex literal that compiles, table is a
-  * single-part catalog-resolvable name, no join/set-op, and ≥1 column
-  * matches (DuckDB errors on zero matches; here the statement declines
-  * to the hint). Everything else — lambdas `COLUMNS(c -> ...)`,
-  * `COLUMNS(* EXCLUDE ...)`, aggregate wrapping `min(COLUMNS(*))`,
-  * unpacking inside expressions — declines to the tier-2 hint.
+  * statement, appearing as a WHOLE top-level select-list item (not
+  * nested inside an expression or aggregate — DuckDB decorates those
+  * output names, so a plain expansion would diverge), argument `*` or a
+  * single-quoted regex literal that compiles, table a single-part
+  * catalog-resolvable name, no join/set-op, and ≥1 column matches
+  * (DuckDB errors on zero matches; here the statement declines).
+  * Everything else — lambdas `COLUMNS(c -> ...)`, `COLUMNS(* EXCLUDE
+  * ...)`, aggregate wrapping `min(COLUMNS(*))` — declines; the caller
+  * ([[GraftHintParser]]) surfaces the guidance hint for declined
+  * statements that [[isColumnsShaped]] confirms really are the DuckDB
+  * construct (vs. e.g. the text appearing inside a string literal).
   */
 object ColumnsRewrite {
 
-  private val headRe = """(?is)\A(\s*SELECT\s+)COLUMNS\s*\(""".r
-
-  def rewrite(sql: String): Option[String] = {
+  /** The single-table select-list context: (selStart, items, fromPos).
+    * None when the statement is not a plain one-table SELECT.
+    */
+  private def selectItems(sql: String): Option[(Int, Vector[String], Int)] = {
     if ("""(?i)\bCOLUMNS\s*\(""".r.findAllMatchIn(sql).size != 1) return None
-    val m = headRe.findFirstMatchIn(sql).getOrElse(return None)
-    val open = m.end - 1
-    val close = ReplaceRewrite.closeOf(sql, open)
-    if (close < 0) return None
-    val arg = sql.substring(open + 1, close - 1).trim
-
-    // No join/set-op: the expansion resolves ONE table's schema.
     val words = QualifyRewrite.topLevelWords(sql)
+    if (words.isEmpty || words.head._1 != "SELECT") return None
+    if (sql.take(words.head._2).exists(!_.isWhitespace)) return None
+    // No join/set-op: the expansion resolves ONE table's schema.
     if (words.exists(w => Set("JOIN", "CROSS", "NATURAL", "UNION",
       "INTERSECT", "EXCEPT")(w._1))) return None
+    val fromW = words.find(_._1 == "FROM").getOrElse(return None)
+    val selStart = words.head._2 + "SELECT".length
+    val selectList = sql.substring(selStart, fromW._2)
+    // DISTINCT over an expanded list changes semantics per column set —
+    // decline rather than guess.
+    if ("""(?is)\A\s*(DISTINCT|ALL)\b""".r.findFirstIn(selectList).isDefined)
+      return None
+    val items = ReplaceRewrite.splitTop(selectList).map(_.trim)
+    if (items.isEmpty || items.exists(_.isEmpty)) return None
+    Some((selStart, items, fromW._2))
+  }
 
-    // FROM must follow the COLUMNS(...) directly (select list is exactly
-    // this expression), table is a plain single-part name, and the
-    // FROM..clause span carries no top-level comma (comma join).
-    val fromM = """(?is)\A\s*FROM\s+""".r
-      .findFirstMatchIn(sql.substring(close)).getOrElse(return None)
-    val namePos = close + fromM.end
-    val nameM = """\A[A-Za-z_]\w*""".r.findFirstMatchIn(sql.substring(namePos))
-      .getOrElse(return None)
-    val tname = nameM.group(0)
-    if (namePos + nameM.end < sql.length && sql.charAt(namePos + nameM.end) == '.')
+  /** The context plus which item IS a whole-item COLUMNS call:
+    * (selStart, items, idx, fromPos); None when no item qualifies.
+    */
+  private def columnsItem(sql: String)
+      : Option[(Int, Vector[String], Int, Int)] = {
+    val (selStart, items, fromPos) = selectItems(sql).getOrElse(return None)
+    val colRe = """(?is)\ACOLUMNS\s*\(""".r
+    val idx = items.indexWhere(it => colRe.findFirstIn(it).isDefined)
+    if (idx < 0) return None
+    // The COLUMNS call must BE the item: trailing text (an alias, an
+    // operator) means it is embedded in an expression — decline.
+    val m = colRe.findFirstMatchIn(items(idx)).get
+    val close = ReplaceRewrite.closeOf(items(idx), m.end - 1)
+    if (close < 0 || items(idx).substring(close).trim.nonEmpty) return None
+    Some((selStart, items, idx, fromPos))
+  }
+
+  /** True when the statement IS the DuckDB COLUMNS construct — a whole
+    * top-level select-list item, or one embedded in a select-list
+    * expression (`min(COLUMNS(*))`) — whether or not [[rewrite]] can
+    * expand it. The caller uses this to decide if a decline deserves the
+    * guidance hint instead of a raw downstream analysis error.
+    * Occurrences inside string literals are stripped before the test, so
+    * `SELECT 'COLUMNS(' FROM t` is NOT shaped.
+    */
+  def isColumnsShaped(sql: String): Boolean =
+    columnsItem(sql).isDefined || selectItems(sql).exists(_._2.exists(it =>
+      """(?i)\bCOLUMNS\s*\(""".r
+        .findFirstIn(it.replaceAll("'(?:[^']|'')*'", "''")).isDefined))
+
+  def rewrite(sql: String): Option[String] = {
+    val (selStart, items, idx, fromPos) = columnsItem(sql).getOrElse(return None)
+    val item = items(idx)
+    val m = """(?is)\ACOLUMNS\s*\(""".r.findFirstMatchIn(item).get
+    val close = ReplaceRewrite.closeOf(item, m.end - 1)
+    val arg = item.substring(m.end, close - 1).trim
+
+    // FROM's target: a plain single-part name, and the FROM..clause span
+    // carries no top-level comma (comma join).
+    val afterFrom = fromPos + "FROM".length
+    val nameM = """\A\s*([A-Za-z_]\w*)""".r
+      .findFirstMatchIn(sql.substring(afterFrom)).getOrElse(return None)
+    val tname = nameM.group(1)
+    val nameEnd = afterFrom + nameM.end
+    if (nameEnd < sql.length && sql.charAt(nameEnd) == '.')
       return None // multipart name
-    val tail = sql.substring(namePos + nameM.end)
+    val tail = sql.substring(nameEnd)
     val clauseM = """(?is)\b(WHERE|GROUP|HAVING|ORDER|LIMIT|QUALIFY|WINDOW)\b""".r
       .findFirstMatchIn(tail)
     val fromSpan = clauseM.map(cm => tail.substring(0, cm.start)).getOrElse(tail)
@@ -90,6 +136,7 @@ object ColumnsRewrite {
     if (kept.isEmpty) return None // DuckDB errors on zero matches; hint here
 
     val projected = kept.map(c => s"`$c`").mkString(", ")
-    Some(m.group(1) + projected + sql.substring(close))
+    val newList = items.updated(idx, projected).mkString(", ")
+    Some(sql.substring(0, selStart) + " " + newList + " " + sql.substring(fromPos))
   }
 }

@@ -224,31 +224,38 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     * Spark SQL (an ordinary function call), so no ParseException ever
     * reaches the hint machinery — left alone it dies later in analysis
     * with UNRESOLVED_ROUTINE. The rewrite therefore runs BEFORE
-    * delegation, gated on the strict anchored head shape (`SELECT
-    * COLUMNS(` first in the statement) so a user's real `columns` UDF in
-    * any other position is untouched. A head-shape statement the rewrite
-    * DECLINES (lambda argument, zero matches, unresolvable table) would
-    * otherwise parse fine and die in analysis with a raw
+    * delegation, gated on a SELECT statement containing `COLUMNS(`;
+    * whether it is really the DuckDB construct is decided by
+    * ColumnsRewrite's own shape analysis (a whole top-level select-list
+    * item over one resolvable table). A genuine COLUMNS statement the
+    * rewrite DECLINES (lambda argument, zero matches, aggregate
+    * wrapping) would otherwise parse fine and die in analysis with a raw
     * UNRESOLVED_ROUTINE — no hint machinery ever sees it — so the hint
     * is raised here, unless the session actually has a `columns`
     * function registered (then the statement is the user's own call and
     * passes through untouched).
     */
-  private val columnsHeadRe = "(?is)\\A\\s*SELECT\\s+COLUMNS\\s*\\(.*".r
+  private val columnsSelectRe = "(?is)\\A\\s*SELECT\\b.*\\bCOLUMNS\\s*\\(.*".r
   private def preRewrite(sqlText: String): String = sqlText match {
-    case columnsHeadRe() =>
+    case columnsSelectRe() =>
       ColumnsRewrite.rewrite(sqlText).getOrElse {
+        // Hint only when the statement genuinely IS the DuckDB construct
+        // (a select-list COLUMNS the rewrite declined) AND the session
+        // doesn't actually have a `columns` function of its own — a raw
+        // string literal containing the text, or a user UDF call, passes
+        // through untouched.
         val userHasColumnsFn =
           try org.apache.spark.sql.SparkSession.active.sessionState
             .functionRegistry.functionExists(FunctionIdentifier("columns"))
           catch { case scala.util.control.NonFatal(_) => false }
-        if (userHasColumnsFn) sqlText
+        if (userHasColumnsFn || !ColumnsRewrite.isColumnsShaped(sqlText)) sqlText
         else throw new org.apache.spark.sql.AnalysisException(
           "USER_RAISED_EXCEPTION",
           Map("errorMessage" ->
-            ("COLUMNS(...) could not be expanded: the common form " +
-              "(SELECT COLUMNS('regex') FROM t, or COLUMNS(*), single " +
-              "resolvable table, ≥1 matching column) runs automatically, " +
+            ("COLUMNS(...) could not be expanded: the common forms " +
+              "(SELECT COLUMNS('regex') FROM t, COLUMNS(*), or a mixed " +
+              "select list SELECT a, COLUMNS('re') FROM t — single " +
+              "resolvable table, ≥1 matching column) run automatically, " +
               "but this one doesn't — lambdas, EXCLUDE arguments, and " +
               "aggregate wrapping have no Spark equivalent. Enumerate " +
               "the columns explicitly (df.select(df.columns.map(c => " +

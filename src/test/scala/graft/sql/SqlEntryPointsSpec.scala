@@ -513,6 +513,20 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val ex2 = intercept[Exception](spark.sql(
       "SELECT COLUMNS('zzz_nomatch') FROM sq_quotes"))
     assert(ex2.getMessage.contains("COLUMNS"), s"got: ${ex2.getMessage}")
+    // Mixed select list: ordinary items around the expansion.
+    val mixed = spark.sql(
+      "SELECT tag, COLUMNS('^q'), sym * 10 AS s10 FROM sq_quotes ORDER BY qt")
+    assert(mixed.columns.toSeq == Seq("tag", "qt", "s10"))
+    assert(mixed.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 10L, 10L), ("d", 15L, 20L), ("b", 20L, 10L), ("c", 30L, 10L)))
+    // Aggregate wrapping is genuinely the DuckDB construct — hinted.
+    val ex3 = intercept[Exception](spark.sql(
+      "SELECT min(COLUMNS(*)) FROM sq_quotes"))
+    assert(ex3.getMessage.contains("aggregate wrapping"), s"got: ${ex3.getMessage}")
+    // The literal text inside a string is NOT the construct: statement
+    // must run untouched, no hint, no hijack.
+    val lit = spark.sql("SELECT 'COLUMNS(' AS t FROM sq_quotes LIMIT 1").head().getString(0)
+    assert(lit == "COLUMNS(")
   }
 
   test("macro body with a subquery declines to the hint (no silent param capture)") {
