@@ -1145,6 +1145,17 @@ object AnalyticsQueries {
     spark.sql("SELECT * FROM orders_above(450000) ORDER BY o_orderkey")
   }
 
+  // DuckDB friendly-SQL parity, part 9: the FROM-first statement — the
+  // first line of every DuckDB tutorial (`FROM tbl;`). Rewritten to
+  // `SELECT * FROM ...` before the parse (sql/FromFirstRewrite), with
+  // every trailing clause riding along verbatim; identical statement
+  // text runs on both engines.
+  declare("q64_from_first",
+    """FROM nation WHERE n_regionkey < 2 ORDER BY n_nationkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql("FROM nation WHERE n_regionkey < 2 ORDER BY n_nationkey")
+  }
+
   // ------------------------------------------------------------------
   // DECIMAL lane: exact fixed-point money arithmetic end to end (cast
   // from the double column, aggregate in DecimalType, cast the widened

@@ -1,0 +1,32 @@
+package graft.sql
+
+/** Mechanical rewrite of DuckDB's FROM-first syntax (friendly SQL,
+  * DuckDB ≥0.8 — every DuckDB tutorial's first line):
+  *
+  * {{{
+  * FROM tbl;
+  * FROM tbl WHERE x > 7 ORDER BY x LIMIT 10;
+  * -- becomes --
+  * SELECT * FROM tbl ...;
+  * }}}
+  *
+  * The statement must START with a top-level FROM (a WITH-prefixed or
+  * ordinary SELECT never matches) and contain NO top-level SELECT — the
+  * `FROM t SELECT cols` variant is Hive-legacy syntax Spark parses
+  * NATIVELY, so the rewrite declines it and the delegate runs it as-is.
+  * Everything after FROM (joins, WHERE, GROUP BY, ORDER BY, LIMIT)
+  * rides along verbatim: `SELECT *` in front is exactly DuckDB's own
+  * desugaring, and a rewritten statement that still fails re-enters the
+  * chain (e.g. `FROM t QUALIFY ...` → SELECT * → QUALIFY splice).
+  */
+object FromFirstRewrite {
+
+  def rewrite(sql: String): Option[String] = {
+    val words = QualifyRewrite.topLevelWords(sql)
+    if (words.isEmpty || words.head._1 != "FROM") return None
+    if (sql.take(words.head._2).exists(!_.isWhitespace)) return None
+    if (words.exists(_._1 == "SELECT")) return None // FROM..SELECT: hint
+    Some(sql.substring(0, words.head._2) + "SELECT * " +
+      sql.substring(words.head._2))
+  }
+}

@@ -81,6 +81,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val qualifyRe = "(?is).*\\bQUALIFY\\b.*".r
   private val replaceStarRe = "(?is).*\\*\\s*REPLACE\\s*\\(.*".r
   private val columnsRe = "(?is).*\\bCOLUMNS\\s*\\(.*".r
+  private val fromFirstRe = "(?is)\\A\\s*FROM\\b.*".r
 
   private def withHint[T](sqlText: String, reparse: String => T)(body: => T): T =
     try body catch {
@@ -123,6 +124,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               ReplaceRewrite.rewrite(text); case _ => None },
             () => text match { case columnsRe() =>
               ColumnsRewrite.rewrite(text); case _ => None },
+            () => text match { case fromFirstRe() =>
+              FromFirstRewrite.rewrite(text); case _ => None },
             () => text match { case macroRe() =>
               MacroRewrite.rewrite(text, delegate); case _ => None },
             () => text match { case qualifyRe() =>
@@ -201,6 +204,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "df.select(df.columns.map(c => expr(...)): _*)), or " +
                   "use the star modifiers that DO run here: * EXCLUDE " +
                   "(...) and * REPLACE (...).")
+              case fromFirstRe() =>
+                Some("If you meant DuckDB's FROM-first syntax: the plain " +
+                  "form (FROM t [WHERE ...] [ORDER BY ...] ...) runs " +
+                  "automatically (rewritten to SELECT * FROM t ...) and " +
+                  "`FROM t SELECT cols ...` parses natively, but this " +
+                  "statement still failed — rewrite it SELECT-first " +
+                  "(SELECT cols FROM t ...), which also unlocks the " +
+                  "other dialect rewrites (QUALIFY, EXCLUDE, ...).")
               case qualifyRe() =>
                 Some("If you meant DuckDB's QUALIFY: simple single-block " +
                   "forms are rewritten to run automatically, but this one " +

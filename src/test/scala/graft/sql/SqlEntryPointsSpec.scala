@@ -419,6 +419,26 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("TEMPORARY FUNCTION"), s"got: ${ex3.getMessage}")
   }
 
+  test("FROM-first statements execute; FROM..SELECT declines to the hint") {
+    registerMarket()
+    val rows = spark.sql("FROM sq_quotes WHERE qt > 12 ORDER BY qt LIMIT 2")
+      .collect().map(_.getLong(1)).toSeq
+    assert(rows == Seq(15L, 20L))
+    // Bare `FROM t` = SELECT * FROM t.
+    assert(spark.sql("FROM sq_quotes").count() == 4)
+    // Chains with other rewrites: FROM-first + QUALIFY in one statement.
+    val q = spark.sql(
+      """FROM sq_quotes
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY sym ORDER BY qt DESC) = 1
+         ORDER BY sym""").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(q == Seq((1L, 30L), (2L, 15L)), s"got $q")
+    // The FROM..SELECT variant parses NATIVELY (Hive-legacy syntax Spark
+    // inherits) — the rewrite correctly declines and the delegate runs it.
+    val sel = spark.sql("FROM sq_quotes SELECT sym, qt WHERE qt > 12")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sel == Set((1L, 20L), (1L, 30L), (2L, 15L)), s"got $sel")
+  }
+
   test("macro overload list executes with arity dispatch") {
     spark.sql("CREATE OR REPLACE MACRO ov(a) AS a + 1, (a, b) AS a * b")
     assert(spark.sql("SELECT ov(4) AS u").head().getInt(0) == 5)
