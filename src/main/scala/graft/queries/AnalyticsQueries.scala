@@ -1156,6 +1156,20 @@ object AnalyticsQueries {
     spark.sql("FROM nation WHERE n_regionkey < 2 ORDER BY n_nationkey")
   }
 
+  // DuckDB friendly-SQL parity, part 10: the simplified PIVOT STATEMENT
+  // with dynamic pivot-column discovery — Spark SQL's PIVOT demands a
+  // static IN list, so the statement rewrites onto the pivot_auto TVF
+  // (Dataset groupBy().pivot(col), which collects the distinct values
+  // itself; sql/PivotRewrite). COUNT keeps both engines in exact
+  // integers, and pivot_auto fills absent combinations with 0 exactly
+  // as DuckDB's COUNT pivot does. Identical statement text on both
+  // engines; orders is dense in (priority × status) at every SF.
+  declare("q65_pivot_stmt",
+    """PIVOT orders ON o_orderstatus USING COUNT(*) GROUP BY o_orderpriority""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql("PIVOT orders ON o_orderstatus USING COUNT(*) GROUP BY o_orderpriority")
+  }
+
   // ------------------------------------------------------------------
   // DECIMAL lane: exact fixed-point money arithmetic end to end (cast
   // from the double column, aggregate in DecimalType, cast the widened

@@ -82,6 +82,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val replaceStarRe = "(?is).*\\*\\s*REPLACE\\s*\\(.*".r
   private val columnsRe = "(?is).*\\bCOLUMNS\\s*\\(.*".r
   private val fromFirstRe = "(?is)\\A\\s*FROM\\b.*".r
+  private val pivotStmtRe = "(?is)\\A\\s*PIVOT\\b.*".r
 
   private def withHint[T](sqlText: String, reparse: String => T)(body: => T): T =
     try body catch {
@@ -126,6 +127,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               ColumnsRewrite.rewrite(text); case _ => None },
             () => text match { case fromFirstRe() =>
               FromFirstRewrite.rewrite(text); case _ => None },
+            () => text match { case pivotStmtRe() =>
+              PivotRewrite.rewrite(text); case _ => None },
             () => text match { case macroRe() =>
               MacroRewrite.rewrite(text, delegate); case _ => None },
             () => text match { case qualifyRe() =>
@@ -204,6 +207,16 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "df.select(df.columns.map(c => expr(...)): _*)), or " +
                   "use the star modifiers that DO run here: * EXCLUDE " +
                   "(...) and * REPLACE (...).")
+              case pivotStmtRe() =>
+                Some("If you meant DuckDB's PIVOT statement: the common " +
+                  "form (PIVOT t ON col USING agg(expr) [GROUP BY cols]) " +
+                  "runs automatically (dynamic pivot-column discovery via " +
+                  "the pivot_auto table function), but this one wasn't — " +
+                  "IN lists, aliased aggregates, and multi-ON pivots " +
+                  "decline. Use Spark's native PIVOT with an explicit IN " +
+                  "list (SELECT ... FROM t PIVOT (agg(v) FOR c IN " +
+                  "('a', 'b'))), or pivot_auto('t', 'c', 'agg_sql'[, " +
+                  "'group_csv']) directly.")
               case fromFirstRe() =>
                 Some("If you meant DuckDB's FROM-first syntax: the plain " +
                   "form (FROM t [WHERE ...] [ORDER BY ...] ...) runs " +
@@ -631,6 +644,54 @@ object GraftSparkExtensions {
         graft.operators.Summarize.rows(spark.table(asString(v(0)))))
     })
 
+  /** DuckDB's `PIVOT` STATEMENT (`PIVOT t ON c USING agg [GROUP BY g]`)
+    * as a table function — dynamic pivot-column discovery, which Spark's
+    * SQL PIVOT cannot do (it demands an IN list) but the Dataset API can
+    * (`groupBy().pivot(col)` collects the distinct values itself: one
+    * bounded distinct job at analysis, the solver TVFs' eagerness
+    * contract — the COLUMN set must exist before the plan does).
+    * Omitting `group_csv` reproduces DuckDB's default: group by every
+    * column that is neither pivoted nor consumed by the aggregate
+    * (detected textually against the source schema). The literal PIVOT
+    * statement lands here via [[PivotRewrite]].
+    */
+  val pivotAutoFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("pivot_auto"), info("pivot_auto"), (args: Seq[Expression]) => {
+      if (args.size < 2 || args.size > 4)
+        throw new IllegalArgumentException(
+          s"pivot_auto(table_or_sql, on_col[, agg_sql[, group_csv]]) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "pivot_auto arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "pivot_auto arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val src = tableOrSql(spark, asString(v(0)))
+      val onCol = asString(v(1)).trim
+      val aggSql = if (args.size >= 3) asString(v(2)) else "count(*)"
+      val groupCsv = if (args.size >= 4) asString(v(3)) else ""
+      val cols = src.columns
+      require(cols.exists(_.equalsIgnoreCase(onCol)),
+        s"pivot_auto: column '$onCol' not in (${cols.mkString(", ")})")
+      val groups: Seq[String] =
+        if (groupCsv.trim.nonEmpty) groupCsv.split(",").map(_.trim).toSeq
+        else {
+          val aggLower = aggSql.toLowerCase
+          cols.toSeq.filterNot(c => c.equalsIgnoreCase(onCol) ||
+            ("\\b" + java.util.regex.Pattern.quote(c.toLowerCase) + "\\b").r
+              .findFirstIn(aggLower).isDefined)
+        }
+      import org.apache.spark.sql.functions.{col, expr}
+      val pivoted = src.groupBy(groups.map(col): _*).pivot(onCol)
+        .agg(expr(aggSql))
+      // DuckDB fills a COUNT pivot's absent combinations with 0 (other
+      // aggregates stay NULL); Spark's pivot yields NULL for every
+      // absent cell — match DuckDB for count-shaped aggregates.
+      val out =
+        if ("""(?i)\Acount\s*\(""".r.findFirstIn(aggSql.trim).isDefined)
+          pivoted.na.fill(0, pivoted.columns.filterNot(groups.contains))
+        else pivoted
+      out.queryExecution.analyzed
+    })
+
   import org.apache.spark.sql.Row
 
   private val createVariablesSchema = StructType.fromDDL(
@@ -661,6 +722,7 @@ object GraftSparkExtensions {
     fixpointKeyedFn,
     dedupFn,
     spanScrubFn,
-    summarizeFn
+    summarizeFn,
+    pivotAutoFn
   )
 }

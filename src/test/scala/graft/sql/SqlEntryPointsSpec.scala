@@ -419,6 +419,25 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("TEMPORARY FUNCTION"), s"got: ${ex3.getMessage}")
   }
 
+  test("literal PIVOT statement executes with dynamic column discovery") {
+    registerMarket()
+    // Explicit GROUP BY; COUNT fills absent combinations with 0
+    // (DuckDB-pinned: sym 2 has only tag d).
+    val p = spark.sql("PIVOT sq_quotes ON tag USING count(*) GROUP BY sym")
+    assert(p.columns.sorted.toSeq == Seq("a", "b", "c", "d", "sym"))
+    val rows = p.orderBy("sym").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows == Seq((1L, 1L, 1L, 1L, 0L), (2L, 0L, 0L, 0L, 1L)), s"got $rows")
+    // DuckDB's default grouping: every column neither pivoted nor
+    // consumed by the aggregate (here: sym, px remain; qt is aggregated).
+    val p2 = spark.sql("PIVOT sq_quotes ON tag USING sum(qt)")
+    assert(p2.columns.sorted.toSeq == Seq("a", "b", "c", "d", "px", "sym"))
+    // IN lists decline with guidance toward the native PIVOT.
+    val ex = intercept[Exception](spark.sql(
+      "PIVOT sq_quotes ON tag IN ('a', 'b') USING count(*)"))
+    assert(ex.getMessage.contains("pivot_auto"), s"got: ${ex.getMessage}")
+  }
+
   test("FROM-first statements execute; FROM..SELECT declines to the hint") {
     registerMarket()
     val rows = spark.sql("FROM sq_quotes WHERE qt > 12 ORDER BY qt LIMIT 2")
