@@ -78,18 +78,23 @@ object ColumnsRewrite {
     Some((selStart, items, idx, fromPos))
   }
 
-  /** True when the statement IS the DuckDB COLUMNS construct — a whole
-    * top-level select-list item, or one embedded in a select-list
-    * expression (`min(COLUMNS(*))`) — whether or not [[rewrite]] can
-    * expand it. The caller uses this to decide if a decline deserves the
-    * guidance hint instead of a raw downstream analysis error.
-    * Occurrences inside string literals are stripped before the test, so
-    * `SELECT 'COLUMNS(' FROM t` is NOT shaped.
+  /** True when the statement plausibly IS the DuckDB COLUMNS construct —
+    * a SELECT whose text (string literals stripped) mentions COLUMNS( —
+    * whether or not [[rewrite]] can expand it. Deliberately BROADER than
+    * the rewrite's shape (joins, multiple occurrences, aggregate
+    * wrapping all count): the caller uses this only to decide if a
+    * decline deserves the guidance hint instead of a raw downstream
+    * UNRESOLVED_ROUTINE, and the caller has already established no user
+    * `columns` function exists — so every statement reaching this test
+    * would fail analysis anyway; the only question is the error's
+    * quality. `SELECT 'COLUMNS(' AS t FROM x` is NOT shaped (the literal
+    * is stripped) and passes through untouched.
     */
-  def isColumnsShaped(sql: String): Boolean =
-    columnsItem(sql).isDefined || selectItems(sql).exists(_._2.exists(it =>
-      """(?i)\bCOLUMNS\s*\(""".r
-        .findFirstIn(it.replaceAll("'(?:[^']|'')*'", "''")).isDefined))
+  def isColumnsShaped(sql: String): Boolean = {
+    val stripped = sql.replaceAll("'(?:[^']|'')*'", "''")
+    """(?is)\A\s*SELECT\b""".r.findFirstIn(stripped).isDefined &&
+      """(?i)\bCOLUMNS\s*\(""".r.findFirstIn(stripped).isDefined
+  }
 
   def rewrite(sql: String): Option[String] = {
     val (selStart, items, idx, fromPos) = columnsItem(sql).getOrElse(return None)
@@ -136,7 +141,10 @@ object ColumnsRewrite {
     if (kept.isEmpty) return None // DuckDB errors on zero matches; hint here
 
     val projected = kept.map(c => s"`$c`").mkString(", ")
-    val newList = items.updated(idx, projected).mkString(", ")
-    Some(sql.substring(0, selStart) + " " + newList + " " + sql.substring(fromPos))
+    // Rejoin on NEWLINES, not spaces: items were trimmed, and an item
+    // ending in a `-- line comment` would otherwise swallow the next
+    // item (or the FROM clause) when flattened onto one line.
+    val newList = items.updated(idx, projected).mkString(",\n")
+    Some(sql.substring(0, selStart) + " " + newList + "\n" + sql.substring(fromPos))
   }
 }

@@ -24,8 +24,14 @@ object FromFirstRewrite {
   def rewrite(sql: String): Option[String] = {
     val words = QualifyRewrite.topLevelWords(sql)
     if (words.isEmpty || words.head._1 != "FROM") return None
-    if (sql.take(words.head._2).exists(!_.isWhitespace)) return None
-    if (words.exists(_._1 == "SELECT")) return None // FROM..SELECT: hint
+    // The prefix before FROM may only be whitespace and comments —
+    // pasted DuckDB snippets routinely start with a `-- comment` line,
+    // and topLevelWords already skipped them to find the head word.
+    val prefix = sql.take(words.head._2)
+      .replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("--[^\n]*", " ")
+    if (prefix.exists(!_.isWhitespace)) return None
+    if (words.exists(_._1 == "SELECT")) return None // FROM..SELECT: native
     Some(sql.substring(0, words.head._2) + "SELECT * " +
       sql.substring(words.head._2))
   }

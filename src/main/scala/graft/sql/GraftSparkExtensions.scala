@@ -81,7 +81,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val qualifyRe = "(?is).*\\bQUALIFY\\b.*".r
   private val replaceStarRe = "(?is).*\\*\\s*REPLACE\\s*\\(.*".r
   private val columnsRe = "(?is).*\\bCOLUMNS\\s*\\(.*".r
-  private val fromFirstRe = "(?is)\\A\\s*FROM\\b.*".r
+  private val fromFirstRe =
+    "(?is)\\A(?:\\s|--[^\\n]*\\n|/\\*.*?\\*/)*FROM\\b.*".r
   private val pivotStmtRe = "(?is)\\A\\s*PIVOT\\b.*".r
 
   private def withHint[T](sqlText: String, reparse: String => T)(body: => T): T =
@@ -262,17 +263,19 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val columnsSelectRe = "(?is)\\A\\s*SELECT\\b.*\\bCOLUMNS\\s*\\(.*".r
   private def preRewrite(sqlText: String): String = sqlText match {
     case columnsSelectRe() =>
-      ColumnsRewrite.rewrite(sqlText).getOrElse {
+      // A session that really has a `columns` function of its own keeps
+      // it: the guard runs BEFORE the rewrite, so a user UDF call
+      // matching the rewritable shape is never silently expanded.
+      val userHasColumnsFn =
+        try org.apache.spark.sql.SparkSession.active.sessionState
+          .functionRegistry.functionExists(FunctionIdentifier("columns"))
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (userHasColumnsFn) sqlText
+      else ColumnsRewrite.rewrite(sqlText).getOrElse {
         // Hint only when the statement genuinely IS the DuckDB construct
-        // (a select-list COLUMNS the rewrite declined) AND the session
-        // doesn't actually have a `columns` function of its own — a raw
-        // string literal containing the text, or a user UDF call, passes
-        // through untouched.
-        val userHasColumnsFn =
-          try org.apache.spark.sql.SparkSession.active.sessionState
-            .functionRegistry.functionExists(FunctionIdentifier("columns"))
-          catch { case scala.util.control.NonFatal(_) => false }
-        if (userHasColumnsFn || !ColumnsRewrite.isColumnsShaped(sqlText)) sqlText
+        // (a select-list COLUMNS the rewrite declined) — a raw string
+        // literal containing the text passes through untouched.
+        if (!ColumnsRewrite.isColumnsShaped(sqlText)) sqlText
         else throw new org.apache.spark.sql.AnalysisException(
           "USER_RAISED_EXCEPTION",
           Map("errorMessage" ->
@@ -674,9 +677,13 @@ object GraftSparkExtensions {
       val groups: Seq[String] =
         if (groupCsv.trim.nonEmpty) groupCsv.split(",").map(_.trim).toSeq
         else {
+          // A column is "consumed by the aggregate" when its name appears
+          // as a data reference — an identifier NOT followed by '(' (a
+          // column named `count` must not be dropped just because the
+          // aggregate text says count(*)).
           val aggLower = aggSql.toLowerCase
           cols.toSeq.filterNot(c => c.equalsIgnoreCase(onCol) ||
-            ("\\b" + java.util.regex.Pattern.quote(c.toLowerCase) + "\\b").r
+            ("\\b" + java.util.regex.Pattern.quote(c.toLowerCase) + "\\b(?!\\s*\\()").r
               .findFirstIn(aggLower).isDefined)
         }
       import org.apache.spark.sql.functions.{col, expr}
@@ -687,7 +694,8 @@ object GraftSparkExtensions {
       // absent cell — match DuckDB for count-shaped aggregates.
       val out =
         if ("""(?i)\Acount\s*\(""".r.findFirstIn(aggSql.trim).isDefined)
-          pivoted.na.fill(0, pivoted.columns.filterNot(groups.contains))
+          pivoted.na.fill(0, pivoted.columns
+            .filterNot(c => groups.exists(_.equalsIgnoreCase(c))))
         else pivoted
       out.queryExecution.analyzed
     })

@@ -32,10 +32,17 @@ object PivotRewrite {
     val agg = m.group(3).trim
     val groups = Option(m.group(4)).map(_.trim).getOrElse("")
     if (agg.isEmpty) return None
-    // An IN list, a second ON column, an aliased aggregate, or nested
-    // quotes fall outside the supported shape.
+    // An IN list, multiple USING aggregates, an aliased aggregate, or
+    // nested quotes fall outside the supported shape. The alias test
+    // looks at the aggregate's text with paren groups removed, so
+    // CAST(x AS t) INSIDE the aggregate does not false-decline — only a
+    // top-level `agg(...) AS name` alias does.
     if ("""(?i)\bIN\s*\(""".r.findFirstIn(sql).isDefined) return None
-    if ("""(?i)\bAS\b""".r.findFirstIn(agg).isDefined) return None
+    if (ReplaceRewrite.splitTop(agg).size != 1) return None
+    var aggOuter = agg
+    while (aggOuter.contains("("))
+      aggOuter = aggOuter.replaceAll("\\([^()]*\\)", "")
+    if ("""(?i)\bAS\b""".r.findFirstIn(aggOuter).isDefined) return None
     if (agg.contains("'")) return None
     if (groups.nonEmpty &&
       !groups.split(",").forall(_.trim.matches("[A-Za-z_]\\w*"))) return None

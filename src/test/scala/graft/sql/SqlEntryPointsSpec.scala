@@ -436,6 +436,19 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val ex = intercept[Exception](spark.sql(
       "PIVOT sq_quotes ON tag IN ('a', 'b') USING count(*)"))
     assert(ex.getMessage.contains("pivot_auto"), s"got: ${ex.getMessage}")
+    // CAST's AS inside the aggregate is not an alias — must run.
+    val pc = spark.sql("PIVOT sq_quotes ON tag USING sum(cast(qt AS bigint)) GROUP BY sym")
+    assert(pc.columns.sorted.toSeq == Seq("a", "b", "c", "d", "sym"))
+    // Multiple USING aggregates decline to the hint, not an internal error.
+    val exM = intercept[Exception](spark.sql(
+      "PIVOT sq_quotes ON tag USING count(*), sum(qt) GROUP BY sym"))
+    assert(exM.getMessage.contains("pivot_auto"), s"got: ${exM.getMessage}")
+    // A column whose name matches the aggregate FUNCTION is still a
+    // default group key (count(*) must not swallow a `count` column).
+    spark.sql("SELECT sym AS count, tag FROM sq_quotes")
+      .createOrReplaceTempView("sq_named")
+    val pn = spark.sql("PIVOT sq_named ON tag USING count(*)")
+    assert(pn.columns.contains("count"), s"got ${pn.columns.toSeq}")
   }
 
   test("FROM-first statements execute; FROM..SELECT declines to the hint") {
@@ -456,6 +469,8 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val sel = spark.sql("FROM sq_quotes SELECT sym, qt WHERE qt > 12")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sel == Set((1L, 20L), (1L, 30L), (2L, 15L)), s"got $sel")
+    // Pasted snippets routinely start with a comment line.
+    assert(spark.sql("-- top rows\nFROM sq_quotes WHERE qt > 25").count() == 1)
   }
 
   test("macro overload list executes with arity dispatch") {
@@ -566,6 +581,22 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // must run untouched, no hint, no hijack.
     val lit = spark.sql("SELECT 'COLUMNS(' AS t FROM sq_quotes LIMIT 1").head().getString(0)
     assert(lit == "COLUMNS(")
+    // A trailing line comment in the select list must not swallow FROM.
+    val cmt = spark.sql("SELECT COLUMNS('^q'), tag -- keep\nFROM sq_quotes WHERE qt > 25")
+    assert(cmt.columns.toSeq == Seq("qt", "tag"))
+    assert(cmt.count() == 1)
+    // A join source declines but still gets the guidance hint.
+    val exJ = intercept[Exception](spark.sql(
+      "SELECT COLUMNS('^q') FROM sq_quotes a JOIN sq_quotes b ON a.sym = b.sym"))
+    assert(exJ.getMessage.contains("could not be expanded"), s"got: ${exJ.getMessage}")
+    // A session with its OWN columns function keeps it — even for a
+    // statement the rewrite could have expanded.
+    spark.udf.register("columns", (s: String) => s.length)
+    try {
+      assert(spark.sql("SELECT columns('abc') AS n FROM sq_quotes LIMIT 1")
+        .head().getInt(0) == 3)
+    } finally spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("columns"))
   }
 
   test("macro body with a subquery declines to the hint (no silent param capture)") {
