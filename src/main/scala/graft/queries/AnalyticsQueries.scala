@@ -1170,6 +1170,19 @@ object AnalyticsQueries {
     spark.sql("PIVOT orders ON o_orderstatus USING COUNT(*) GROUP BY o_orderpriority")
   }
 
+  // DuckDB friendly-SQL parity, part 11: the simplified UNPIVOT
+  // STATEMENT — a pure clause reorder onto Spark's native ANSI UNPIVOT
+  // (sql/UnpivotRewrite); both engines exclude NULL cells by default
+  // and fill NAME with the column-name strings, so identical statement
+  // text hash-compares. Doubles pass through unchanged (no arithmetic),
+  // representation-stable.
+  declare("q66_unpivot_stmt",
+    """UNPIVOT lineitem ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      "UNPIVOT lineitem ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val")
+  }
+
   // ------------------------------------------------------------------
   // DECIMAL lane: exact fixed-point money arithmetic end to end (cast
   // from the double column, aggregate in DecimalType, cast the widened

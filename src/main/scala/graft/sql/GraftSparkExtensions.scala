@@ -84,6 +84,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val fromFirstRe =
     "(?is)\\A(?:\\s|--[^\\n]*\\n|/\\*.*?\\*/)*FROM\\b.*".r
   private val pivotStmtRe = "(?is)\\A\\s*PIVOT\\b.*".r
+  private val unpivotStmtRe = "(?is)\\A\\s*UNPIVOT\\b.*".r
 
   private def withHint[T](sqlText: String, reparse: String => T)(body: => T): T =
     try body catch {
@@ -130,6 +131,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               FromFirstRewrite.rewrite(text); case _ => None },
             () => text match { case pivotStmtRe() =>
               PivotRewrite.rewrite(text); case _ => None },
+            () => text match { case unpivotStmtRe() =>
+              UnpivotRewrite.rewrite(text); case _ => None },
             () => text match { case macroRe() =>
               MacroRewrite.rewrite(text, delegate); case _ => None },
             () => text match { case qualifyRe() =>
@@ -143,8 +146,30 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
         rewritten match {
           case Some(plan) => plan
           case None =>
-            // Tier 2: the landing-pad hint, original error first.
+            // Tier 2: the landing-pad hint, original error first. The
+            // START-ANCHORED statement forms (UNPIVOT/PIVOT) come first:
+            // their keyword IS the statement, while the later patterns
+            // (COLUMNS, QUALIFY, ...) match anywhere and would otherwise
+            // claim a PIVOT statement that merely CONTAINS their keyword.
             val hint = sqlText match {
+              case unpivotStmtRe() =>
+                Some("If you meant DuckDB's UNPIVOT statement: the common " +
+                  "form (UNPIVOT t ON c1, c2 [INTO NAME k VALUE v]) runs " +
+                  "automatically (rewritten onto Spark's native UNPIVOT " +
+                  "clause), but this one wasn't — COLUMNS(*)/EXCLUDE ON " +
+                  "lists and multi-value forms decline. Use the native " +
+                  "clause directly: SELECT * FROM t UNPIVOT (v FOR k IN " +
+                  "(c1, c2)).")
+              case pivotStmtRe() =>
+                Some("If you meant DuckDB's PIVOT statement: the common " +
+                  "form (PIVOT t ON col USING agg(expr) [GROUP BY cols]) " +
+                  "runs automatically (dynamic pivot-column discovery via " +
+                  "the pivot_auto table function), but this one wasn't — " +
+                  "IN lists, aliased aggregates, and multi-ON pivots " +
+                  "decline. Use Spark's native PIVOT with an explicit IN " +
+                  "list (SELECT ... FROM t PIVOT (agg(v) FOR c IN " +
+                  "('a', 'b'))), or pivot_auto('t', 'c', 'agg_sql'[, " +
+                  "'group_csv']) directly.")
               case recursiveRe() =>
                 Some("Spark 4.1 hosts standard UNION ALL recursive CTEs " +
                   "natively, and the common linear `WITH RECURSIVE r USING " +
@@ -208,16 +233,6 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "df.select(df.columns.map(c => expr(...)): _*)), or " +
                   "use the star modifiers that DO run here: * EXCLUDE " +
                   "(...) and * REPLACE (...).")
-              case pivotStmtRe() =>
-                Some("If you meant DuckDB's PIVOT statement: the common " +
-                  "form (PIVOT t ON col USING agg(expr) [GROUP BY cols]) " +
-                  "runs automatically (dynamic pivot-column discovery via " +
-                  "the pivot_auto table function), but this one wasn't — " +
-                  "IN lists, aliased aggregates, and multi-ON pivots " +
-                  "decline. Use Spark's native PIVOT with an explicit IN " +
-                  "list (SELECT ... FROM t PIVOT (agg(v) FOR c IN " +
-                  "('a', 'b'))), or pivot_auto('t', 'c', 'agg_sql'[, " +
-                  "'group_csv']) directly.")
               case fromFirstRe() =>
                 Some("If you meant DuckDB's FROM-first syntax: the plain " +
                   "form (FROM t [WHERE ...] [ORDER BY ...] ...) runs " +

@@ -1,0 +1,37 @@
+package graft.sql
+
+/** Mechanical rewrite of DuckDB's simplified `UNPIVOT` STATEMENT
+  * (friendly SQL, DuckDB ≥0.8):
+  *
+  * {{{
+  * UNPIVOT tbl ON a, b [INTO NAME k VALUE v]
+  * -- becomes --
+  * SELECT * FROM tbl UNPIVOT (v FOR k IN (a, b))
+  * }}}
+  *
+  * Spark hosts the ANSI-style UNPIVOT clause natively (3.4+), so unlike
+  * PIVOT no TVF is needed — this is a pure clause reorder. Omitting
+  * INTO reproduces DuckDB's defaults (`name` / `value`), and both
+  * engines exclude NULL cells by default, so identical statement text
+  * hash-compares. Scope: plain single-part table name, ON list of plain
+  * column identifiers (a `COLUMNS(*)` or EXCLUDE argument there
+  * declines), one NAME and one VALUE identifier. Everything else lands
+  * on the tier-2 hint.
+  */
+object UnpivotRewrite {
+
+  private val headRe =
+    """(?is)\A\s*UNPIVOT\s+([A-Za-z_]\w*)\s+ON\s+(.+?)(?:\s+INTO\s+NAME\s+([A-Za-z_]\w*)\s+VALUE\s+([A-Za-z_]\w*))?\s*;?\s*\z""".r
+
+  def rewrite(sql: String): Option[String] = {
+    val m = headRe.findFirstMatchIn(sql).getOrElse(return None)
+    val table = m.group(1)
+    val onList = m.group(2).trim
+    val nameCol = Option(m.group(3)).getOrElse("name")
+    val valueCol = Option(m.group(4)).getOrElse("value")
+    val cols = onList.split(",").map(_.trim)
+    if (cols.isEmpty || !cols.forall(_.matches("[A-Za-z_]\\w*"))) return None
+    Some(s"SELECT * FROM $table UNPIVOT ($valueCol FOR $nameCol IN " +
+      s"(${cols.mkString(", ")}))")
+  }
+}

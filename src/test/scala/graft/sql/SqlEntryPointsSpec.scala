@@ -451,6 +451,22 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(pn.columns.contains("count"), s"got ${pn.columns.toSeq}")
   }
 
+  test("literal UNPIVOT statement executes via the native UNPIVOT clause") {
+    registerMarket()
+    val u = spark.sql("UNPIVOT sq_quotes ON qt, px INTO NAME metric VALUE val")
+    assert(u.columns.toSeq == Seq("sym", "tag", "metric", "val"))
+    assert(u.count() == 8) // 4 rows × 2 unpivoted columns, no NULLs
+    val row = u.filter("sym = 2 AND metric = 'px'").head()
+    assert(row.getDouble(3) == 50.0)
+    // Defaults mirror DuckDB: NAME name VALUE value.
+    val d = spark.sql("UNPIVOT sq_quotes ON qt, px")
+    assert(d.columns.toSeq == Seq("sym", "tag", "name", "value"))
+    // COLUMNS(*) ON lists decline with guidance.
+    val ex = intercept[Exception](spark.sql(
+      "UNPIVOT sq_quotes ON COLUMNS('q|p') INTO NAME m VALUE v"))
+    assert(ex.getMessage.contains("UNPIVOT (v FOR k IN"), s"got: ${ex.getMessage}")
+  }
+
   test("FROM-first statements execute; FROM..SELECT declines to the hint") {
     registerMarket()
     val rows = spark.sql("FROM sq_quotes WHERE qt > 12 ORDER BY qt LIMIT 2")
