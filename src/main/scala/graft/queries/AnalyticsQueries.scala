@@ -1183,6 +1183,31 @@ object AnalyticsQueries {
       "UNPIVOT lineitem ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val")
   }
 
+  // DuckDB friendly-SQL parity, part 12: the flagship COLUMNS idiom —
+  // one aggregate distributed over every column (`min(COLUMNS(*))`).
+  // The wrapping function distributes over the expanded set and each
+  // output keeps the PLAIN source column name (DuckDB 1.0 verified), so
+  // identical statement text hash-compares; min/max move stored values
+  // unchanged (no arithmetic), representation-stable across engines.
+  declare("q67_columns_agg",
+    """SELECT min(COLUMNS(*)) FROM lineitem""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql("SELECT min(COLUMNS(*)) FROM lineitem")
+  }
+
+  // DuckDB friendly-SQL parity, part 13: the COLUMNS exclusion set —
+  // `COLUMNS(* EXCLUDE (a, b))` star-expands to the remaining columns
+  // in table order (every excluded name must exist; unknown names
+  // decline exactly where DuckDB raises its binder error).
+  declare("q68_columns_exclude",
+    """SELECT COLUMNS(* EXCLUDE (o_orderstatus, o_orderdate)) FROM orders
+       WHERE o_orderkey < 40 ORDER BY o_orderkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT COLUMNS(* EXCLUDE (o_orderstatus, o_orderdate)) FROM orders
+         WHERE o_orderkey < 40 ORDER BY o_orderkey""")
+  }
+
   // ------------------------------------------------------------------
   // DECIMAL lane: exact fixed-point money arithmetic end to end (cast
   // from the double column, aggregate in DecimalType, cast the widened

@@ -11,6 +11,9 @@ import scala.util.control.NonFatal
   * SELECT COLUMNS('regex') FROM t [WHERE ...]
   * SELECT COLUMNS(*)       FROM t [WHERE ...]
   * SELECT a, COLUMNS('regex'), b FROM t ...   -- mixed select list
+  * SELECT COLUMNS(* EXCLUDE (a, b)) FROM t    -- exclusion set
+  * SELECT min(COLUMNS(*)) FROM t              -- function-wrapped
+  * SELECT round(COLUMNS('^x'), 1) FROM t      -- ... with extra args
   * }}}
   *
   * Spark has no column-set macro in SQL, but the select list is static
@@ -21,20 +24,30 @@ import scala.util.control.NonFatal
   * ``SELECT `l_orderkey`, `l_partkey`, ... FROM lineitem``. DuckDB's
   * regex semantics are RE2 PARTIAL match (`COLUMNS('date')` matches
   * `o_orderdate`), mirrored here with `Matcher.find`; column order and
-  * names are the table's, so both engines' outputs hash-compare.
+  * names are the table's, so both engines' outputs hash-compare. A
+  * function wrapping the whole call distributes over the set, and DuckDB
+  * names each output by the PLAIN source column (verified on 1.0:
+  * `min(COLUMNS(*))` over (x, y) yields columns `x`, `y`) — mirrored as
+  * ``min(`x`) AS `x`, min(`y`) AS `y``; extra call arguments after the
+  * COLUMNS set ride along verbatim (`round(COLUMNS('^x'), 1)` →
+  * ``round(`x1`, 1) AS `x1``, ...).
   *
   * Deliberately conservative — supported shape: ONE `COLUMNS(` in the
-  * statement, appearing as a WHOLE top-level select-list item (not
-  * nested inside an expression or aggregate — DuckDB decorates those
-  * output names, so a plain expansion would diverge), argument `*` or a
-  * single-quoted regex literal that compiles, table a single-part
+  * statement, appearing in a top-level select-list item that is either
+  * the bare call or exactly one identifier-named function wrapping it
+  * (first argument; trailing arguments allowed), argument `*`, a
+  * single-quoted regex literal that compiles, or `* EXCLUDE (a, b)`
+  * with every excluded name present in the table (DuckDB errors on an
+  * unknown exclusion; here the statement declines), table a single-part
   * catalog-resolvable name, no join/set-op, and ≥1 column matches
   * (DuckDB errors on zero matches; here the statement declines).
-  * Everything else — lambdas `COLUMNS(c -> ...)`, `COLUMNS(* EXCLUDE
-  * ...)`, aggregate wrapping `min(COLUMNS(*))` — declines; the caller
-  * ([[GraftHintParser]]) surfaces the guidance hint for declined
-  * statements that [[isColumnsShaped]] confirms really are the DuckDB
-  * construct (vs. e.g. the text appearing inside a string literal).
+  * Everything else — lambdas `COLUMNS(c -> ...)`, deeper expression
+  * nesting like `min(COLUMNS(*)) + 1` (DuckDB rebinds the whole
+  * expression per column; a textual expansion of the general form would
+  * need a real parser) — declines; the caller ([[GraftHintParser]])
+  * surfaces the guidance hint for declined statements that
+  * [[isColumnsShaped]] confirms really are the DuckDB construct (vs.
+  * e.g. the text appearing inside a string literal).
   */
 object ColumnsRewrite {
 
@@ -61,21 +74,91 @@ object ColumnsRewrite {
     Some((selStart, items, fromW._2))
   }
 
-  /** The context plus which item IS a whole-item COLUMNS call:
-    * (selStart, items, idx, fromPos); None when no item qualifies.
+  /** A recognized select-item shape: the COLUMNS set argument text plus
+    * the optional wrapping function `(name, extraArgsText)` — extraArgs
+    * is the verbatim text after the COLUMNS call inside the wrapper's
+    * parens, starting at its comma ("" when absent).
+    */
+  private final case class Call(arg: String, wrap: Option[(String, String)])
+
+  /** Parse one trimmed select-list item as a COLUMNS shape, or None. */
+  private def parseItem(item: String): Option[Call] = {
+    val direct = """(?is)\ACOLUMNS\s*\(""".r
+    direct.findFirstMatchIn(item) match {
+      case Some(m) =>
+        // The COLUMNS call must BE the item: trailing text (an alias, an
+        // operator) means it is embedded in an expression — decline.
+        val close = ReplaceRewrite.closeOf(item, m.end - 1)
+        if (close < 0 || item.substring(close).trim.nonEmpty) None
+        else Some(Call(item.substring(m.end, close - 1).trim, None))
+      case None =>
+        val wrapped = """(?is)\A([A-Za-z_]\w*)\s*\(\s*COLUMNS\s*\(""".r
+        wrapped.findFirstMatchIn(item) match {
+          case Some(w) if !w.group(1).equalsIgnoreCase("columns") =>
+            val colClose = ReplaceRewrite.closeOf(item, w.end - 1)
+            if (colClose < 0) return None
+            val outerOpen = item.indexOf('(', w.end(1))
+            val outerClose = ReplaceRewrite.closeOf(item, outerOpen)
+            // The wrapper must close the item, and anything between the
+            // COLUMNS close and the wrapper close must be further
+            // arguments (`, 1`) — an operator there (`min(COLUMNS(*)
+            // + 1)`) is expression nesting, which DuckDB rebinds per
+            // column; decline rather than mis-expand.
+            if (outerClose < 0 || item.substring(outerClose).trim.nonEmpty)
+              return None
+            val between = item.substring(colClose, outerClose - 1).trim
+            if (between.nonEmpty && !between.startsWith(",")) return None
+            Some(Call(item.substring(w.end, colClose - 1).trim,
+              Some((w.group(1), if (between.isEmpty) "" else between))))
+          case _ => None
+        }
+    }
+  }
+
+  /** The context plus which item is a recognized COLUMNS shape:
+    * (selStart, items, idx, call, fromPos); None when no item qualifies.
     */
   private def columnsItem(sql: String)
-      : Option[(Int, Vector[String], Int, Int)] = {
+      : Option[(Int, Vector[String], Int, Call, Int)] = {
     val (selStart, items, fromPos) = selectItems(sql).getOrElse(return None)
-    val colRe = """(?is)\ACOLUMNS\s*\(""".r
-    val idx = items.indexWhere(it => colRe.findFirstIn(it).isDefined)
+    val idx = items.indexWhere(it =>
+      """(?i)\bCOLUMNS\s*\(""".r.findFirstIn(it).isDefined)
     if (idx < 0) return None
-    // The COLUMNS call must BE the item: trailing text (an alias, an
-    // operator) means it is embedded in an expression — decline.
-    val m = colRe.findFirstMatchIn(items(idx)).get
-    val close = ReplaceRewrite.closeOf(items(idx), m.end - 1)
-    if (close < 0 || items(idx).substring(close).trim.nonEmpty) return None
-    Some((selStart, items, idx, fromPos))
+    val call = parseItem(items(idx)).getOrElse(return None)
+    Some((selStart, items, idx, call, fromPos))
+  }
+
+  /** Resolve a COLUMNS argument against the table's column list: `*`,
+    * `* EXCLUDE (a, b)` / `* EXCLUDE a` (case-insensitive names, every
+    * exclusion must exist), or a single-quoted regex literal (RE2
+    * partial-match semantics). None = unsupported shape or a shape
+    * DuckDB itself would reject (unknown exclusion, bad regex).
+    */
+  private def resolveCols(arg: String, cols: Seq[String]): Option[Seq[String]] = {
+    if (arg == "*") return Some(cols)
+    val exclRe =
+      """(?is)\A\*\s+EXCLUDE\s*(?:\(\s*([^()]*?)\s*\)|([A-Za-z_]\w*))\z""".r
+    exclRe.findFirstMatchIn(arg) match {
+      case Some(m) =>
+        val names = Option(m.group(1))
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq(m.group(2)))
+        if (names.isEmpty || names.exists(!_.matches("[A-Za-z_]\\w*")))
+          return None
+        val lower = names.map(_.toLowerCase).toSet
+        if (!lower.forall(n => cols.exists(_.toLowerCase == n))) return None
+        val kept = cols.filterNot(c => lower.contains(c.toLowerCase))
+        Some(kept)
+      case None =>
+        val litRe = """\A'((?:[^']|'')*)'\z""".r
+        arg match {
+          case litRe(b) =>
+            try {
+              val p = java.util.regex.Pattern.compile(b.replace("''", "'"))
+              Some(cols.filter(c => p.matcher(c).find()))
+            } catch { case NonFatal(_) => None }
+          case _ => None
+        }
+    }
   }
 
   /** True when the statement plausibly IS the DuckDB COLUMNS construct —
@@ -97,11 +180,8 @@ object ColumnsRewrite {
   }
 
   def rewrite(sql: String): Option[String] = {
-    val (selStart, items, idx, fromPos) = columnsItem(sql).getOrElse(return None)
-    val item = items(idx)
-    val m = """(?is)\ACOLUMNS\s*\(""".r.findFirstMatchIn(item).get
-    val close = ReplaceRewrite.closeOf(item, m.end - 1)
-    val arg = item.substring(m.end, close - 1).trim
+    val (selStart, items, idx, call, fromPos) =
+      columnsItem(sql).getOrElse(return None)
 
     // FROM's target: a plain single-part name, and the FROM..clause span
     // carries no top-level comma (comma join).
@@ -118,29 +198,18 @@ object ColumnsRewrite {
     val fromSpan = clauseM.map(cm => tail.substring(0, cm.start)).getOrElse(tail)
     if (fromSpan.contains(",")) return None
 
-    // Argument: `*` (all columns) or a single-quoted regex literal.
-    val pattern: Option[java.util.regex.Pattern] =
-      if (arg == "*") None
-      else {
-        val litRe = """\A'((?:[^']|'')*)'\z""".r
-        val body = arg match {
-          case litRe(b) => b.replace("''", "'")
-          case _ => return None
-        }
-        try Some(java.util.regex.Pattern.compile(body))
-        catch { case NonFatal(_) => return None }
-      }
-
     val spark = try org.apache.spark.sql.SparkSession.active
       catch { case NonFatal(_) => return None }
     val cols = try spark.table(tname).columns catch { case NonFatal(_) => return None }
-    val kept = pattern match {
-      case None => cols.toSeq
-      case Some(p) => cols.toSeq.filter(c => p.matcher(c).find())
-    }
+    val kept = resolveCols(call.arg, cols.toSeq).getOrElse(return None)
     if (kept.isEmpty) return None // DuckDB errors on zero matches; hint here
 
-    val projected = kept.map(c => s"`$c`").mkString(", ")
+    val projected = call.wrap match {
+      case None => kept.map(c => s"`$c`").mkString(", ")
+      case Some((fn, extras)) =>
+        // DuckDB names each wrapped output by the plain source column.
+        kept.map(c => s"$fn(`$c`$extras) AS `$c`").mkString(", ")
+    }
     // Rejoin on NEWLINES, not spaces: items were trimmed, and an item
     // ending in a `-- line comment` would otherwise swallow the next
     // item (or the FROM clause) when flattened onto one line.

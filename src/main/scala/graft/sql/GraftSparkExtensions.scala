@@ -224,15 +224,16 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "expr AS c2, ... FROM t.")
               case columnsRe() =>
                 Some("If you meant DuckDB's COLUMNS(...) expression: the " +
-                  "common form (SELECT COLUMNS('regex') FROM t, or " +
-                  "COLUMNS(*), single resolvable table, ≥1 match) is " +
-                  "star-expanded to run automatically, but this one " +
-                  "wasn't — lambdas, EXCLUDE arguments, and aggregate " +
-                  "wrapping have no Spark equivalent. Enumerate the " +
-                  "columns explicitly (one line in the DataFrame API: " +
-                  "df.select(df.columns.map(c => expr(...)): _*)), or " +
-                  "use the star modifiers that DO run here: * EXCLUDE " +
-                  "(...) and * REPLACE (...).")
+                  "common forms (SELECT COLUMNS('regex') FROM t, " +
+                  "COLUMNS(*), COLUMNS(* EXCLUDE (a, b)), and one " +
+                  "function wrapping the whole set — min(COLUMNS(*)), " +
+                  "round(COLUMNS('^x'), 1) — over a single resolvable " +
+                  "table with ≥1 match) are star-expanded to run " +
+                  "automatically, but this one wasn't — lambdas and " +
+                  "deeper expression nesting (min(COLUMNS(*)) + 1) have " +
+                  "no mechanical expansion here. Enumerate the columns " +
+                  "explicitly (one line in the DataFrame API: " +
+                  "df.select(df.columns.map(c => expr(...)): _*)).")
               case fromFirstRe() =>
                 Some("If you meant DuckDB's FROM-first syntax: the plain " +
                   "form (FROM t [WHERE ...] [ORDER BY ...] ...) runs " +
@@ -295,14 +296,17 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
           "USER_RAISED_EXCEPTION",
           Map("errorMessage" ->
             ("COLUMNS(...) could not be expanded: the common forms " +
-              "(SELECT COLUMNS('regex') FROM t, COLUMNS(*), or a mixed " +
-              "select list SELECT a, COLUMNS('re') FROM t — single " +
-              "resolvable table, ≥1 matching column) run automatically, " +
-              "but this one doesn't — lambdas, EXCLUDE arguments, and " +
-              "aggregate wrapping have no Spark equivalent. Enumerate " +
-              "the columns explicitly (df.select(df.columns.map(c => " +
-              "expr(...)): _*)), or use * EXCLUDE (...) / * REPLACE " +
-              "(...), which do run here.")))
+              "(SELECT COLUMNS('regex') FROM t, COLUMNS(*), COLUMNS(* " +
+              "EXCLUDE (a, b)), a mixed select list SELECT a, " +
+              "COLUMNS('re') FROM t, and one function wrapping the " +
+              "whole set — min(COLUMNS(*)), round(COLUMNS('^x'), 1) — " +
+              "single resolvable table, ≥1 matching column, every " +
+              "excluded name present) run automatically, but this one " +
+              "doesn't — lambdas and deeper expression nesting " +
+              "(min(COLUMNS(*)) + 1) have no mechanical expansion " +
+              "here. Enumerate the columns explicitly " +
+              "(df.select(df.columns.map(c => expr(...)): _*)), or use " +
+              "* EXCLUDE (...) / * REPLACE (...), which do run here.")))
       }
     case _ => sqlText
   }

@@ -589,10 +589,38 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(mixed.columns.toSeq == Seq("tag", "qt", "s10"))
     assert(mixed.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq(("a", 10L, 10L), ("d", 15L, 20L), ("b", 20L, 10L), ("c", 30L, 10L)))
-    // Aggregate wrapping is genuinely the DuckDB construct — hinted.
-    val ex3 = intercept[Exception](spark.sql(
-      "SELECT min(COLUMNS(*)) FROM sq_quotes"))
-    assert(ex3.getMessage.contains("aggregate wrapping"), s"got: ${ex3.getMessage}")
+    // Function wrapping distributes over the set; outputs keep the
+    // plain source column names (DuckDB 1.0 naming).
+    val agg = spark.sql("SELECT min(COLUMNS(*)) FROM sq_quotes")
+    assert(agg.columns.toSeq == Seq("sym", "qt", "px", "tag"))
+    val aggRow = agg.head()
+    assert((aggRow.getLong(0), aggRow.getLong(1), aggRow.getDouble(2),
+      aggRow.getString(3)) == ((1L, 10L, 50.0, "a")))
+    // Extra call arguments after the set ride along verbatim: 110 and
+    // 120 collapse to 100 only if the `-2` scale reached the call
+    // (both engines round half away from zero: 50 → 100 too).
+    val rounded = spark.sql(
+      "SELECT round(COLUMNS('^p'), -2) FROM sq_quotes ORDER BY px")
+    assert(rounded.columns.toSeq == Seq("px"))
+    assert(rounded.collect().map(_.getDouble(0)).toSeq ==
+      Seq(100.0, 100.0, 100.0, 100.0))
+    // Wrapped set composes with a mixed list and GROUP BY.
+    val grouped = spark.sql(
+      "SELECT tag, max(COLUMNS('^q|^p')) FROM sq_quotes GROUP BY tag ORDER BY tag")
+    assert(grouped.columns.toSeq == Seq("tag", "qt", "px"))
+    // EXCLUDE sets: parenthesized list and bare single name.
+    val excl = spark.sql("SELECT COLUMNS(* EXCLUDE (px, tag)) FROM sq_quotes")
+    assert(excl.columns.toSeq == Seq("sym", "qt"))
+    val excl1 = spark.sql("SELECT COLUMNS(* EXCLUDE tag) FROM sq_quotes")
+    assert(excl1.columns.toSeq == Seq("sym", "qt", "px"))
+    // Unknown excluded name declines (DuckDB raises a binder error).
+    val exU = intercept[Exception](spark.sql(
+      "SELECT COLUMNS(* EXCLUDE (nope)) FROM sq_quotes"))
+    assert(exU.getMessage.contains("could not be expanded"), s"got: ${exU.getMessage}")
+    // Deeper expression nesting still declines to the hint.
+    val exN = intercept[Exception](spark.sql(
+      "SELECT min(COLUMNS(*)) + 1 FROM sq_quotes"))
+    assert(exN.getMessage.contains("could not be expanded"), s"got: ${exN.getMessage}")
     // The literal text inside a string is NOT the construct: statement
     // must run untouched, no hint, no hijack.
     val lit = spark.sql("SELECT 'COLUMNS(' AS t FROM sq_quotes LIMIT 1").head().getString(0)
