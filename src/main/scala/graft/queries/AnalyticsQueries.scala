@@ -1208,6 +1208,26 @@ object AnalyticsQueries {
          WHERE o_orderkey < 40 ORDER BY o_orderkey""")
   }
 
+  // DuckDB statement parity: `COPY (query) TO 'path' (FORMAT PARQUET)`
+  // executing — the export idiom of every DuckDB script. The statement
+  // rewrites onto the eager copy_to() TVF (sql/CopyToRewrite): the
+  // write happens (Spark: a distributed directory of part files; the
+  // oracle's DuckDB: its single file — each engine exports to its own
+  // path, the ONE divergence literal-identical text can't carry), and
+  // both return DuckDB's one-row `Count` result, which hash-compares.
+  // The count rides the write's own pass via an Observation — no
+  // second scan.
+  declare("q69_copy_to",
+    """COPY (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice > 150000)
+       TO '/tmp/graft_q69_duck.parquet' (FORMAT PARQUET)""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """COPY (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              WHERE o_totalprice > 150000)
+         TO '/tmp/graft_q69_spark.parquet' (FORMAT PARQUET)""")
+  }
+
   // ------------------------------------------------------------------
   // DECIMAL lane: exact fixed-point money arithmetic end to end (cast
   // from the double column, aggregate in DecimalType, cast the widened

@@ -1,0 +1,76 @@
+package graft.sql
+
+/** Mechanical rewrite of DuckDB's `COPY ... TO` statement (the standard
+  * export idiom of every DuckDB script; host capability pin
+  * /root/reference/.github/workflows/MainDistributionPipeline.yml:29)
+  * onto the eager `copy_to()` table function:
+  *
+  * {{{
+  * COPY (SELECT ...) TO 'out.parquet' (FORMAT PARQUET)
+  * COPY tablename    TO 'out.csv'     (FORMAT CSV, HEADER)
+  * COPY tablename    TO 'out.parquet'          -- format from extension
+  * }}}
+  *
+  * becomes `SELECT * FROM copy_to('<source>', '<path>', '<format>',
+  * <header>)`, which writes at analysis and returns DuckDB's one-row
+  * `Count` result. Format defaults from the path extension
+  * (`.parquet`/`.csv`) exactly as DuckDB infers it; `HEADER` defaults
+  * true for CSV (DuckDB ≥0.8 default). Anything else — other formats,
+  * other options (DELIMITER, PARTITION_BY, COMPRESSION...), a
+  * non-literal path — declines to the caller's guidance hint.
+  */
+object CopyToRewrite {
+
+  def rewrite(sql: String): Option[String] = {
+    val head = """(?is)\A\s*COPY\s+""".r.findFirstMatchIn(sql).getOrElse(return None)
+    val i0 = head.end
+    if (i0 >= sql.length) return None
+    // Source: a parenthesized query (balanced — the select may itself
+    // contain parens/strings) or a bare table identifier.
+    val (source, afterSrc) =
+      if (sql.charAt(i0) == '(') {
+        val close = ReplaceRewrite.closeOf(sql, i0)
+        if (close < 0) return None
+        (sql.substring(i0 + 1, close - 1).trim, close)
+      } else {
+        val idM = """\A([A-Za-z_][\w.]*)""".r
+          .findFirstMatchIn(sql.substring(i0)).getOrElse(return None)
+        (idM.group(1), i0 + idM.end)
+      }
+    if (source.isEmpty) return None
+    val toM = """(?is)\A\s*TO\s+'((?:[^']|'')*)'""".r
+      .findFirstMatchIn(sql.substring(afterSrc)).getOrElse(return None)
+    val path = toM.group(1).replace("''", "'")
+    if (path.isEmpty) return None
+    val tail = sql.substring(afterSrc + toM.end).trim
+      .stripSuffix(";").trim
+
+    var format: Option[String] = None
+    var header: Option[Boolean] = None
+    if (tail.nonEmpty) {
+      if (!(tail.startsWith("(") && tail.endsWith(")"))) return None
+      val fm = """(?i)\AFORMAT\s+(\w+)\z""".r
+      val hm = """(?i)\AHEADER(?:\s+(TRUE|FALSE|1|0))?\z""".r
+      for (o <- tail.substring(1, tail.length - 1).split(",").map(_.trim)
+           if o.nonEmpty) {
+        o match {
+          case fm(f) => format = Some(f.toLowerCase)
+          case hm(v) => header = Some(v == null ||
+            v.equalsIgnoreCase("true") || v == "1")
+          case _ => return None
+        }
+      }
+    }
+    val fmt = format.orElse {
+      val lower = path.toLowerCase
+      if (lower.endsWith(".parquet")) Some("parquet")
+      else if (lower.endsWith(".csv")) Some("csv")
+      else None
+    }.getOrElse(return None)
+    if (fmt != "parquet" && fmt != "csv") return None
+
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    Some(s"SELECT * FROM copy_to(${lit(source)}, ${lit(path)}, " +
+      s"${lit(fmt)}, ${header.getOrElse(true)})")
+  }
+}

@@ -85,6 +85,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     "(?is)\\A(?:\\s|--[^\\n]*\\n|/\\*.*?\\*/)*FROM\\b.*".r
   private val pivotStmtRe = "(?is)\\A\\s*PIVOT\\b.*".r
   private val unpivotStmtRe = "(?is)\\A\\s*UNPIVOT\\b.*".r
+  private val copyStmtRe = "(?is)\\A\\s*COPY\\b.*".r
 
   private def withHint[T](sqlText: String, reparse: String => T)(body: => T): T =
     try body catch {
@@ -133,6 +134,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               PivotRewrite.rewrite(text); case _ => None },
             () => text match { case unpivotStmtRe() =>
               UnpivotRewrite.rewrite(text); case _ => None },
+            () => text match { case copyStmtRe() =>
+              CopyToRewrite.rewrite(text); case _ => None },
             () => text match { case macroRe() =>
               MacroRewrite.rewrite(text, delegate); case _ => None },
             () => text match { case qualifyRe() =>
@@ -152,6 +155,20 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             // (COLUMNS, QUALIFY, ...) match anywhere and would otherwise
             // claim a PIVOT statement that merely CONTAINS their keyword.
             val hint = sqlText match {
+              case copyStmtRe() =>
+                Some("If you meant DuckDB's COPY: the export form " +
+                  "(COPY (SELECT ...) TO 'path' [(FORMAT PARQUET|CSV" +
+                  "[, HEADER [true|false]])], or COPY tablename TO " +
+                  "'path' with the format inferred from a .parquet/.csv " +
+                  "extension) runs automatically — it writes a " +
+                  "distributed datasource directory of part files at " +
+                  "the path and returns DuckDB's one-row Count — but " +
+                  "this statement wasn't that shape. Other formats and " +
+                  "options (DELIMITER, PARTITION_BY, COMPRESSION, " +
+                  "COPY FROM import) decline: use the DataFrame " +
+                  "writer/reader directly (df.write.parquet(path), " +
+                  "spark.read.csv(path)), or the copy_to('src', " +
+                  "'path', 'format'[, header]) table function.")
               case unpivotStmtRe() =>
                 Some("If you meant DuckDB's UNPIVOT statement: the common " +
                   "form (UNPIVOT t ON c1, c2 [INTO NAME k VALUE v]) runs " +
@@ -719,6 +736,54 @@ object GraftSparkExtensions {
       out.queryExecution.analyzed
     })
 
+  /** DuckDB's `COPY ... TO` as an eager table function: run the source
+    * (view/catalog name or SQL text), write it to `path` as `format`,
+    * and return DuckDB's one-row result — `Count BIGINT`, the rows
+    * written. The count rides the write's OWN pass via the Observation
+    * API (no second scan — at 100 TB a separate count() is another full
+    * read). The target is a Spark datasource DIRECTORY of part files,
+    * not DuckDB's single file: the distributed-writer contract (1000
+    * executors write in parallel; a single-file export is the
+    * `coalesce(1)` anti-pattern at scale), re-readable by both engines
+    * via glob. `mode=overwrite` matches COPY's replace behavior. Runs at
+    * analysis (the solver TVFs' eagerness contract — COPY is a
+    * statement; its effect must not depend on whether the result row is
+    * consumed). The literal COPY statement lands here via
+    * [[CopyToRewrite]].
+    */
+  val copyToFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("copy_to"), info("copy_to"), (args: Seq[Expression]) => {
+      if (args.size < 3 || args.size > 4)
+        throw new IllegalArgumentException(
+          s"copy_to(table_or_sql, path, format[, header]) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "copy_to arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "copy_to arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val src = tableOrSql(spark, asString(v(0)))
+      val path = asString(v(1))
+      val fmt = asString(v(2)).toLowerCase
+      val header = if (args.size >= 4) asBool(v(3)) else true
+      val obs = org.apache.spark.sql.Observation()
+      val instrumented = src.observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val writer = instrumented.write.mode("overwrite")
+      fmt match {
+        case "parquet" => writer.parquet(path)
+        case "csv" => writer.option("header", header.toString).csv(path)
+        case other => throw new IllegalArgumentException(
+          s"copy_to: unsupported format '$other' (parquet, csv)")
+      }
+      val n = obs.get("n") match {
+        case l: java.lang.Number => l.longValue()
+        case x => x.toString.toLong
+      }
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq(org.apache.spark.sql.Row(n)))
+    })
+
   import org.apache.spark.sql.Row
 
   private val createVariablesSchema = StructType.fromDDL(
@@ -750,6 +815,7 @@ object GraftSparkExtensions {
     dedupFn,
     spanScrubFn,
     summarizeFn,
-    pivotAutoFn
+    pivotAutoFn,
+    copyToFn
   )
 }

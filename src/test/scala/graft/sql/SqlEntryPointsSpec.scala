@@ -690,4 +690,50 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val ex2 = intercept[Exception](spark.sql("SELECT vector_norm()"))
     assert(ex2.getMessage.contains("expects exactly 1"), s"got: ${ex2.getMessage}")
   }
+
+  test("COPY ... TO statement exports and returns DuckDB's Count row") {
+    registerMarket()
+    val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
+    // Parenthesized-query form, explicit FORMAT: one row per quote with
+    // px > 60 → 3 rows written, Count = 3.
+    val r = spark.sql(
+      s"COPY (SELECT sym, qt, px FROM sq_quotes WHERE px > 60.0) " +
+        s"TO '$dir/high.parquet' (FORMAT PARQUET)")
+    assert(r.columns.toSeq == Seq("Count"))
+    assert(r.head().getLong(0) == 3L)
+    val back = spark.read.parquet(s"$dir/high.parquet")
+    assert(back.columns.toSeq == Seq("sym", "qt", "px"))
+    assert(back.count() == 3)
+    // Table-name form, format inferred from the .parquet extension,
+    // no options clause.
+    val r2 = spark.sql(s"COPY sq_quotes TO '$dir/all.parquet'")
+    assert(r2.head().getLong(0) == 4L)
+    assert(spark.read.parquet(s"$dir/all.parquet").count() == 4)
+    // CSV with the HEADER default (true): header row must come back.
+    spark.sql(s"COPY sq_quotes TO '$dir/all.csv' (FORMAT CSV, HEADER)")
+    val csv = spark.read.option("header", "true").csv(s"$dir/all.csv")
+    assert(csv.columns.toSeq == Seq("sym", "qt", "px", "tag"))
+    assert(csv.count() == 4)
+    // HEADER false: first line is data, not names.
+    spark.sql(s"COPY sq_quotes TO '$dir/raw.csv' (FORMAT CSV, HEADER false)")
+    val raw = spark.read.csv(s"$dir/raw.csv")
+    assert(raw.columns.head == "_c0" && raw.count() == 4)
+    // The write is EAGER (COPY is a statement): analysis alone, no
+    // collect, must have produced the files — proven above by reading
+    // paths whose result rows were never consumed... except r/r2; prove
+    // it explicitly with a never-collected statement.
+    spark.sql(s"COPY (SELECT sym FROM sq_quotes) TO '$dir/eager.parquet'")
+    assert(spark.read.parquet(s"$dir/eager.parquet").count() == 4)
+    // Unsupported shapes decline to the guidance hint.
+    val ex = intercept[Exception](spark.sql(
+      s"COPY sq_quotes TO '$dir/x.json' (FORMAT JSON)"))
+    assert(ex.getMessage.contains("COPY"), s"got: ${ex.getMessage}")
+    val ex2 = intercept[Exception](spark.sql(
+      s"COPY sq_quotes TO '$dir/y.csv' (DELIMITER '|')"))
+    assert(ex2.getMessage.contains("DELIMITER"), s"got: ${ex2.getMessage}")
+    // COPY FROM (import) is not the export form — hinted, not mangled.
+    val ex3 = intercept[Exception](spark.sql(
+      s"COPY sq_quotes FROM '$dir/all.csv'"))
+    assert(ex3.getMessage.contains("COPY"), s"got: ${ex3.getMessage}")
+  }
 }
