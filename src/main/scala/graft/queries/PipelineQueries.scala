@@ -1116,6 +1116,30 @@ object PipelineQueries {
     EventsStreaming.enrichedBySegment(spark, sfDir)
   }
 
+  // Native session windows INSIDE the streaming engine (merging session
+  // state per user as micro-batches arrive) — the streaming twin of the
+  // batch q33_session_window; same DuckDB islands oracle.
+  declare("events_stream_sessions",
+    """WITH marked AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id,
+           CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                  OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END new_sess
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), sess AS (
+         SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess_id
+         FROM marked
+       )
+       SELECT user_id,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) session_start_epoch,
+         COUNT(*) n_events
+       FROM sess GROUP BY user_id, sess_id
+       ORDER BY user_id, session_start_epoch""") { (spark, sfDir) =>
+    EventsStreaming.sessionWindows(spark, sfDir)
+  }
+
   // ------------------------------------------- training-batch prep
   declare("tokens_pack",
     """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) n_tok FROM documents),

@@ -188,6 +188,43 @@ object EventsStreaming {
     spark.table(name).orderBy("c_mktsegment", "event_type")
   }
 
+  /** Native streaming session windows: the engine's own gap-based
+    * `session_window` run INSIDE the streaming engine — windows merge as
+    * events arrive (state per (user, open session), merged on overlap).
+    * Complete output mode, matching [[hourlyCounts]]' bounded-run
+    * contract (append mode withholds every session the final watermark
+    * hasn't passed, so a bounded run would under-report the tail; a
+    * production kafka deployment uses withWatermark + append and accepts
+    * emission-on-close latency). Output matches the batch q33 shape:
+    * (user_id, session_start_epoch, n_events).
+    */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = rawStream(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = "graft_stream_sessions"
+    // auto estimate: state rows = open+closed sessions ~= distinct
+    // (user, 30-min floor bucket) — an overcount of true gap-sessions
+    // (adjacent buckets merge), the right side to err on for sizing.
+    withStateParts(spark, () => rawBatch(spark, sfDir)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) / (1800L * 1000000L)).cast("long"))
+        .distinct().count()) {
+      val q = agg.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+    }
+    spark.table(name)
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_epoch"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_epoch")
+  }
+
   /** Streaming deduplication: the same events feed read as TWO streams and
     * unioned (every event arrives twice — the at-least-once delivery shape
     * a kafka replay or backfill produces), then deduplicated by event_id

@@ -204,6 +204,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming session_window matches the batch session aggregation") {
+    val streamed = EventsStreaming.sessionWindows(spark, SparkTestSession.sfDir)
+      .collect().toSeq
+    val batch = graft.Engine.events(spark, SparkTestSession.sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_epoch"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_epoch")
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("foreachBatch sink lands micro-batches in parquet, replay-exact") {
     // The production sink pattern: arbitrary writers (upserts, multi-table
     // fan-out, JDBC) run per micro-batch with the batch id for idempotence.
