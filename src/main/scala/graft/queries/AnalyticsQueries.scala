@@ -1208,6 +1208,23 @@ object AnalyticsQueries {
          WHERE o_orderkey < 40 ORDER BY o_orderkey""")
   }
 
+  // DuckDB TVF parity: `read_parquet('path')` — the first line of most
+  // pasted DuckDB scripts — as a lazy plan splice (a normal distributed
+  // parquet scan; Catalyst pushdown/pruning intact). Identical statement
+  // text on both engines, against DuckDB's own native read_parquet. The
+  // path is the FIXED sf0.01 file on both sides (the statement's
+  // semantics are "read this literal file"; a per-SF path cannot appear
+  // in static oracle text), so the result is SF-independent by design.
+  declare("q70_read_parquet",
+    """SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS max_name
+       FROM read_parquet('/root/testdata/sf0.01/nation.parquet')
+       GROUP BY n_regionkey ORDER BY n_regionkey""") { (spark, _) =>
+    spark.sql(
+      """SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS max_name
+         FROM read_parquet('/root/testdata/sf0.01/nation.parquet')
+         GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+
   // DuckDB statement parity: `COPY (query) TO 'path' (FORMAT PARQUET)`
   // executing — the export idiom of every DuckDB script. The statement
   // rewrites onto the eager copy_to() TVF (sql/CopyToRewrite): the

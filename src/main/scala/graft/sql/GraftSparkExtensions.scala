@@ -736,6 +736,54 @@ object GraftSparkExtensions {
       out.queryExecution.analyzed
     })
 
+  /** DuckDB's file-reading table functions (`read_parquet`, `read_csv`,
+    * `read_csv_auto`, `read_json`, `read_json_auto` — the first line of
+    * most pasted DuckDB scripts) as PURE lazy plan splices: the path
+    * (globs included — Spark's reader expands them) becomes a normal
+    * distributed datasource scan that Catalyst keeps optimizing through,
+    * pushdown and pruning intact. CSV/JSON get schema inference
+    * (DuckDB's auto-detection equivalent; one extra sampling pass at
+    * plan time — at 100 TB declare the schema instead:
+    * spark.read.schema(...)). DuckDB's named parameters
+    * (`header=true`, `hive_partitioning=...`) don't parse in Spark SQL;
+    * the positional forms here are read_csv(path[, header[, delim]]) —
+    * unsupported extras raise a clear signature error naming the
+    * DataFrameReader options.
+    */
+  private def readerFn(name: String, maxArity: Int)(
+      build: (org.apache.spark.sql.SparkSession, IndexedSeq[Any]) => org.apache.spark.sql.DataFrame)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name), info(name), (args: Seq[Expression]) => {
+      if (args.isEmpty || args.size > maxArity)
+        throw new IllegalArgumentException(
+          s"$name(path[, ...]) expects 1-$maxArity constant arguments, got " +
+            s"${args.size}; for reader options beyond that use " +
+            "spark.read.option(...) directly")
+      require(args.forall(_.foldable), s"$name arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), s"$name arguments must be non-NULL constants")
+      build(org.apache.spark.sql.SparkSession.active, v)
+        .queryExecution.analyzed
+    })
+
+  val readParquetFn = readerFn("read_parquet", 1) { (spark, v) =>
+    spark.read.parquet(asString(v(0)))
+  }
+  private def csvReader(spark: org.apache.spark.sql.SparkSession,
+      v: IndexedSeq[Any]): org.apache.spark.sql.DataFrame =
+    spark.read
+      .option("header", (if (v.size >= 2) asBool(v(1)) else true).toString)
+      .option("sep", if (v.size >= 3) asString(v(2)) else ",")
+      .option("inferSchema", "true")
+      .csv(asString(v(0)))
+  val readCsvFn = readerFn("read_csv", 3)(csvReader)
+  val readCsvAutoFn = readerFn("read_csv_auto", 3)(csvReader)
+  private def jsonReader(spark: org.apache.spark.sql.SparkSession,
+      v: IndexedSeq[Any]): org.apache.spark.sql.DataFrame =
+    spark.read.json(asString(v(0)))
+  val readJsonFn = readerFn("read_json", 1)(jsonReader)
+  val readJsonAutoFn = readerFn("read_json_auto", 1)(jsonReader)
+
   /** DuckDB's `COPY ... TO` as an eager table function: run the source
     * (view/catalog name or SQL text), write it to `path` as `format`,
     * and return DuckDB's one-row result — `Count BIGINT`, the rows
@@ -816,6 +864,11 @@ object GraftSparkExtensions {
     spanScrubFn,
     summarizeFn,
     pivotAutoFn,
-    copyToFn
+    copyToFn,
+    readParquetFn,
+    readCsvFn,
+    readCsvAutoFn,
+    readJsonFn,
+    readJsonAutoFn
   )
 }

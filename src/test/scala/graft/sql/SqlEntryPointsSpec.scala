@@ -736,4 +736,42 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       s"COPY sq_quotes FROM '$dir/all.csv'"))
     assert(ex3.getMessage.contains("COPY"), s"got: ${ex3.getMessage}")
   }
+
+  test("read_parquet/read_csv/read_json TVFs splice lazy datasource scans") {
+    registerMarket()
+    val dir = java.nio.file.Files.createTempDirectory("graft_read").toString
+    spark.sql(s"COPY sq_quotes TO '$dir/a.parquet'")
+    spark.sql(s"COPY (SELECT * FROM sq_quotes WHERE px > 60.0) TO '$dir/b.parquet'")
+    // Single path.
+    val one = spark.sql(s"SELECT COUNT(*) AS n FROM read_parquet('$dir/a.parquet')")
+    assert(one.head().getLong(0) == 4L)
+    // Glob over datasource directories — Spark's reader expands it.
+    val glob = spark.sql(
+      s"SELECT COUNT(*) AS n FROM read_parquet('$dir/*.parquet')")
+    assert(glob.head().getLong(0) == 7L)
+    // Composes under ordinary SQL (filter/group over the splice).
+    val agg = spark.sql(s"SELECT sym, COUNT(*) AS n FROM " +
+      s"read_parquet('$dir/a.parquet') WHERE px > 60.0 GROUP BY sym ORDER BY sym")
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L)))
+    // CSV with header; the _auto alias; inferred numeric types.
+    spark.sql(s"COPY sq_quotes TO '$dir/q.csv' (FORMAT CSV, HEADER)")
+    val csv = spark.sql(s"SELECT COUNT(*) AS n FROM read_csv('$dir/q.csv')")
+    assert(csv.head().getLong(0) == 4L)
+    val auto = spark.sql(
+      s"SELECT SUM(qt) AS s FROM read_csv_auto('$dir/q.csv') WHERE px > 60.0")
+    assert(auto.head().getLong(0) == 60L)
+    // JSON (NDJSON, the Spark/DuckDB common ground).
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/d.json"),
+      "{\"k\": 1, \"v\": \"x\"}\n{\"k\": 2, \"v\": \"y\"}\n")
+    val js = spark.sql(
+      s"SELECT SUM(k) AS s, MAX(v) AS m FROM read_json('$dir/d.json')")
+    val jr = js.head()
+    assert(jr.getLong(0) == 3L && jr.getString(1) == "y")
+    // Arity errors read as signatures, not index errors.
+    val ex = intercept[Exception](spark.sql(
+      s"SELECT * FROM read_parquet('$dir/a.parquet', true)"))
+    assert(ex.getMessage.contains("spark.read.option"), s"got: ${ex.getMessage}")
+  }
 }
