@@ -1225,6 +1225,23 @@ object AnalyticsQueries {
          GROUP BY n_regionkey ORDER BY n_regionkey""")
   }
 
+  // DuckDB TVF parity: `generate_series` — INCLUSIVE bounds, unlike the
+  // exclusive range() both engines already share. Splices Spark's
+  // distributed Range plan (codegen'd, parallel — not a local list)
+  // under DuckDB's output column name. Identical statement text against
+  // DuckDB's own native generate_series.
+  declare("q71_generate_series",
+    """SELECT CAST(SUM(generate_series) AS BIGINT) AS s, COUNT(*) AS n,
+         CAST(MIN(generate_series) AS BIGINT) AS lo,
+         CAST(MAX(generate_series) AS BIGINT) AS hi
+       FROM generate_series(1, 100000)""") { (spark, _) =>
+    spark.sql(
+      """SELECT CAST(SUM(generate_series) AS BIGINT) AS s, COUNT(*) AS n,
+           CAST(MIN(generate_series) AS BIGINT) AS lo,
+           CAST(MAX(generate_series) AS BIGINT) AS hi
+         FROM generate_series(1, 100000)""")
+  }
+
   // DuckDB statement parity: `COPY (query) TO 'path' (FORMAT PARQUET)`
   // executing — the export idiom of every DuckDB script. The statement
   // rewrites onto the eager copy_to() TVF (sql/CopyToRewrite): the

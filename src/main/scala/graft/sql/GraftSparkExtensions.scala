@@ -784,6 +784,45 @@ object GraftSparkExtensions {
   val readJsonFn = readerFn("read_json", 1)(jsonReader)
   val readJsonAutoFn = readerFn("read_json_auto", 1)(jsonReader)
 
+  /** DuckDB's `generate_series` table function — INCLUSIVE stop bound
+    * (DuckDB's own `range` TVF is exclusive, same as Spark's native
+    * `range`, which already parses — only the inclusive variant needs
+    * injecting). Forms: (stop) = 0..stop, (start, stop), (start, stop,
+    * step) with negative steps counting down. Splices Spark's
+    * distributed Range plan (parallel, codegen'd — not a LocalRelation)
+    * with DuckDB's output column name `generate_series`. An empty
+    * series (start past stop) yields zero rows, as DuckDB does.
+    */
+  val generateSeriesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("generate_series"), info("generate_series"),
+      (args: Seq[Expression]) => {
+        if (args.isEmpty || args.size > 3)
+          throw new IllegalArgumentException(
+            s"generate_series([start,] stop[, step]) — got ${args.size} arguments")
+        require(args.forall(_.foldable), "generate_series arguments must be constants")
+        val v = args.map(_.eval(null)).toIndexedSeq
+        require(v.forall(_ != null), "generate_series arguments must be non-NULL constants")
+        def asLong(x: Any): Long = x match {
+          case n: java.lang.Number => n.longValue()
+          case other => other.toString.toLong
+        }
+        val (start, stop) =
+          if (args.size == 1) (0L, asLong(v(0))) else (asLong(v(0)), asLong(v(1)))
+        val step = if (args.size >= 3) asLong(v(2)) else 1L
+        require(step != 0, "generate_series step must be non-zero")
+        val spark = org.apache.spark.sql.SparkSession.active
+        // Inclusive bound: nudge the exclusive end by ±1 (NOT a full
+        // step — generate_series(0, 10, 3) stops at 9; end 10+3 would
+        // wrongly emit 12) unless the series is empty in the step's
+        // direction.
+        val empty = if (step > 0) start > stop else start < stop
+        val out =
+          if (empty) spark.range(start, start)
+          else spark.range(start, stop + (if (step > 0) 1L else -1L), step)
+        out.select(org.apache.spark.sql.functions.col("id").as("generate_series"))
+          .queryExecution.analyzed
+      })
+
   /** DuckDB's `COPY ... TO` as an eager table function: run the source
     * (view/catalog name or SQL text), write it to `path` as `format`,
     * and return DuckDB's one-row result — `Count BIGINT`, the rows
@@ -869,6 +908,7 @@ object GraftSparkExtensions {
     readCsvFn,
     readCsvAutoFn,
     readJsonFn,
-    readJsonAutoFn
+    readJsonAutoFn,
+    generateSeriesFn
   )
 }

@@ -774,4 +774,27 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       s"SELECT * FROM read_parquet('$dir/a.parquet', true)"))
     assert(ex.getMessage.contains("spark.read.option"), s"got: ${ex.getMessage}")
   }
+
+  test("generate_series TVF: inclusive bounds, steps, down-counting, empty") {
+    def vals(sql: String): Seq[Long] =
+      spark.sql(sql).collect().map(_.getLong(0)).toSeq
+    assert(vals("SELECT * FROM generate_series(5)") == (0L to 5L))
+    assert(vals("SELECT * FROM generate_series(2, 5)") == (2L to 5L))
+    assert(vals("SELECT * FROM generate_series(0, 10, 3)") ==
+      Seq(0L, 3L, 6L, 9L))
+    assert(vals("SELECT * FROM generate_series(10, 2, -2)") ==
+      Seq(10L, 8L, 6L, 4L, 2L))
+    assert(vals("SELECT * FROM generate_series(5, 1)").isEmpty)
+    assert(spark.sql("SELECT * FROM generate_series(1, 3)")
+      .columns.toSeq == Seq("generate_series"))
+    // Composes as a relation (join against it).
+    val n = spark.sql(
+      "SELECT COUNT(*) AS n FROM generate_series(1, 100) g " +
+        "JOIN generate_series(1, 200) h ON g.generate_series = h.generate_series")
+      .head().getLong(0)
+    assert(n == 100L)
+    val ex = intercept[Exception](spark.sql(
+      "SELECT * FROM generate_series(1, 10, 0)"))
+    assert(ex.getMessage.contains("non-zero"), s"got: ${ex.getMessage}")
+  }
 }
