@@ -1225,6 +1225,22 @@ object AnalyticsQueries {
          GROUP BY n_regionkey ORDER BY n_regionkey""")
   }
 
+  // Hive-partitioned export — the 100 TB layout: `COPY ... PARTITION_BY`
+  // writes the same col=value/ directory tree on both engines, and the
+  // partition column is recovered (and PRUNED on) at re-read. The Spark
+  // side executes the literal DuckDB statement; the oracle pins the
+  // returned Count against ground truth with a plain COUNT(*) rather
+  // than running DuckDB's own partitioned COPY, which in the oracle's
+  // DuckDB 1.0 returns Count=0 for partitioned writes (a version quirk
+  // fixed upstream — replicating it would be matching a bug).
+  declare("q72_copy_partitioned",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS "Count" FROM orders""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """COPY orders TO '/tmp/graft_q72_spark'
+         (FORMAT PARQUET, PARTITION_BY (o_orderpriority))""")
+  }
+
   // DuckDB TVF parity: `generate_series` — INCLUSIVE bounds, unlike the
   // exclusive range() both engines already share. Splices Spark's
   // distributed Range plan (codegen'd, parallel — not a local list)

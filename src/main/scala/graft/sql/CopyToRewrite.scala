@@ -9,14 +9,18 @@ package graft.sql
   * COPY (SELECT ...) TO 'out.parquet' (FORMAT PARQUET)
   * COPY tablename    TO 'out.csv'     (FORMAT CSV, HEADER)
   * COPY tablename    TO 'out.parquet'          -- format from extension
+  * COPY tablename    TO 'dir' (FORMAT PARQUET, PARTITION_BY (a, b))
   * }}}
   *
   * becomes `SELECT * FROM copy_to('<source>', '<path>', '<format>',
-  * <header>)`, which writes at analysis and returns DuckDB's one-row
-  * `Count` result. Format defaults from the path extension
-  * (`.parquet`/`.csv`) exactly as DuckDB infers it; `HEADER` defaults
-  * true for CSV (DuckDB ≥0.8 default). Anything else — other formats,
-  * other options (DELIMITER, PARTITION_BY, COMPRESSION...), a
+  * <header>[, '<partition_csv>'])`, which writes at analysis and
+  * returns DuckDB's one-row `Count` result. Format defaults from the
+  * path extension (`.parquet`/`.csv`) exactly as DuckDB infers it;
+  * `HEADER` defaults true for CSV (DuckDB ≥0.8 default);
+  * `PARTITION_BY` produces the SAME hive-style `col=value/` directory
+  * layout on both engines (Spark: `DataFrameWriter.partitionBy` — the
+  * 100 TB export layout, partition-prunable on re-read). Anything
+  * else — other formats, other options (DELIMITER, COMPRESSION...), a
   * non-literal path — declines to the caller's guidance hint.
   */
 object CopyToRewrite {
@@ -47,16 +51,26 @@ object CopyToRewrite {
 
     var format: Option[String] = None
     var header: Option[Boolean] = None
+    var partition: Seq[String] = Seq.empty
     if (tail.nonEmpty) {
       if (!(tail.startsWith("(") && tail.endsWith(")"))) return None
       val fm = """(?i)\AFORMAT\s+(\w+)\z""".r
       val hm = """(?i)\AHEADER(?:\s+(TRUE|FALSE|1|0))?\z""".r
-      for (o <- tail.substring(1, tail.length - 1).split(",").map(_.trim)
-           if o.nonEmpty) {
+      val pm = """(?is)\APARTITION_BY\s*(?:\(\s*([^()]*?)\s*\)|([A-Za-z_]\w*))\z""".r
+      // splitTop, not split(","): PARTITION_BY (a, b) carries commas
+      // inside its own parens.
+      for (o <- ReplaceRewrite.splitTop(tail.substring(1, tail.length - 1))
+             .map(_.trim) if o.nonEmpty) {
         o match {
           case fm(f) => format = Some(f.toLowerCase)
           case hm(v) => header = Some(v == null ||
             v.equalsIgnoreCase("true") || v == "1")
+          case pm(list, single) =>
+            val names = Option(list)
+              .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq(single))
+            if (names.isEmpty || names.exists(!_.matches("[A-Za-z_]\\w*")))
+              return None
+            partition = names
           case _ => return None
         }
       }
@@ -70,7 +84,9 @@ object CopyToRewrite {
     if (fmt != "parquet" && fmt != "csv") return None
 
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val partArg =
+      if (partition.isEmpty) "" else s", ${lit(partition.mkString(","))}"
     Some(s"SELECT * FROM copy_to(${lit(source)}, ${lit(path)}, " +
-      s"${lit(fmt)}, ${header.getOrElse(true)})")
+      s"${lit(fmt)}, ${header.getOrElse(true)}$partArg)")
   }
 }

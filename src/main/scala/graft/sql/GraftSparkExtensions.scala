@@ -158,17 +158,19 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               case copyStmtRe() =>
                 Some("If you meant DuckDB's COPY: the export form " +
                   "(COPY (SELECT ...) TO 'path' [(FORMAT PARQUET|CSV" +
-                  "[, HEADER [true|false]])], or COPY tablename TO " +
-                  "'path' with the format inferred from a .parquet/.csv " +
-                  "extension) runs automatically — it writes a " +
-                  "distributed datasource directory of part files at " +
-                  "the path and returns DuckDB's one-row Count — but " +
-                  "this statement wasn't that shape. Other formats and " +
-                  "options (DELIMITER, PARTITION_BY, COMPRESSION, " +
-                  "COPY FROM import) decline: use the DataFrame " +
-                  "writer/reader directly (df.write.parquet(path), " +
-                  "spark.read.csv(path)), or the copy_to('src', " +
-                  "'path', 'format'[, header]) table function.")
+                  "[, HEADER [true|false]][, PARTITION_BY (cols)])], " +
+                  "or COPY tablename TO 'path' with the format " +
+                  "inferred from a .parquet/.csv extension) runs " +
+                  "automatically — it writes a distributed datasource " +
+                  "directory of part files (hive-style col=value/ " +
+                  "subdirectories under PARTITION_BY) and returns " +
+                  "DuckDB's one-row Count — but this statement wasn't " +
+                  "that shape. Other formats and options (DELIMITER, " +
+                  "COMPRESSION, COPY FROM import) decline: use the " +
+                  "DataFrame writer/reader directly " +
+                  "(df.write.parquet(path), spark.read.csv(path)), or " +
+                  "the copy_to('src', 'path', 'format'[, header[, " +
+                  "'partition_csv']]) table function.")
               case unpivotStmtRe() =>
                 Some("If you meant DuckDB's UNPIVOT statement: the common " +
                   "form (UNPIVOT t ON c1, c2 [INTO NAME k VALUE v]) runs " +
@@ -840,9 +842,10 @@ object GraftSparkExtensions {
     */
   val copyToFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("copy_to"), info("copy_to"), (args: Seq[Expression]) => {
-      if (args.size < 3 || args.size > 4)
+      if (args.size < 3 || args.size > 5)
         throw new IllegalArgumentException(
-          s"copy_to(table_or_sql, path, format[, header]) — got ${args.size} arguments")
+          "copy_to(table_or_sql, path, format[, header[, partition_csv]])" +
+            s" — got ${args.size} arguments")
       require(args.forall(_.foldable), "copy_to arguments must be constants")
       val v = args.map(_.eval(null)).toIndexedSeq
       require(v.forall(_ != null), "copy_to arguments must be non-NULL constants")
@@ -851,11 +854,17 @@ object GraftSparkExtensions {
       val path = asString(v(1))
       val fmt = asString(v(2)).toLowerCase
       val header = if (args.size >= 4) asBool(v(3)) else true
+      val partition =
+        if (args.size >= 5)
+          asString(v(4)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        else Seq.empty
       val obs = org.apache.spark.sql.Observation()
       val instrumented = src.observe(obs,
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
-      val writer = instrumented.write.mode("overwrite")
+      val writer0 = instrumented.write.mode("overwrite")
+      val writer =
+        if (partition.isEmpty) writer0 else writer0.partitionBy(partition: _*)
       fmt match {
         case "parquet" => writer.parquet(path)
         case "csv" => writer.option("header", header.toString).csv(path)

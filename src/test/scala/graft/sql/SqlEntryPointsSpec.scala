@@ -724,6 +724,17 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // it explicitly with a never-collected statement.
     spark.sql(s"COPY (SELECT sym FROM sq_quotes) TO '$dir/eager.parquet'")
     assert(spark.read.parquet(s"$dir/eager.parquet").count() == 4)
+    // PARTITION_BY: hive-style col=value/ layout, partition column
+    // recovered on re-read, Count still the full row count.
+    val rp = spark.sql(
+      s"COPY sq_quotes TO '$dir/part' (FORMAT PARQUET, PARTITION_BY (sym))")
+    assert(rp.head().getLong(0) == 4L)
+    val partDirs = new java.io.File(s"$dir/part").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(partDirs == Seq("sym=1", "sym=2"), s"got $partDirs")
+    val backP = spark.read.parquet(s"$dir/part")
+    assert(backP.columns.sorted.toSeq == Seq("px", "qt", "sym", "tag"))
+    assert(backP.filter(col("sym") === 1).count() == 3)
     // Unsupported shapes decline to the guidance hint.
     val ex = intercept[Exception](spark.sql(
       s"COPY sq_quotes TO '$dir/x.json' (FORMAT JSON)"))
