@@ -108,6 +108,90 @@ object VectorExpressions {
     new GenericArrayData(out)
   }
 
+  /** Product-quantization code kernel: for each of the `codebook.length`
+    * subspaces, the id of the codeword whose squared L2 distance to the
+    * vector's subvector is smallest — distance quantized via [[round6]]
+    * and resolved to the smallest-INDEX codeword on ties, so with ids
+    * sorted ascending the winner is the smallest id, the same
+    * deterministic contract [[bestCentroid]] carries (and the one a SQL
+    * `row_number() OVER (ORDER BY dist, id)` oracle reproduces).
+    * `codebook(s)(j)` is codeword j of subspace s (all k×subdim);
+    * subspace s covers vector positions [s·subdim, (s+1)·subdim). One
+    * pass, O(k·dim) multiplies per row — identical to a flat centroid
+    * assignment; the payoff is STORAGE (m small ids ≈ m bytes at k≤256
+    * per vector vs dim·4 bytes) and ADC scan cost downstream.
+    */
+  def pqCodes(v: ArrayData, ids: Array[Long],
+      codebook: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebook.length
+    val n = v.numElements()
+    val sub = if (m == 0) 0 else codebook(0)(0).length
+    requireSameDim("pq_codes", n, m * sub)
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val words = codebook(s)
+      var best = Double.PositiveInfinity
+      var bestJ = 0
+      var j = 0
+      while (j < words.length) {
+        val w = words(j)
+        requireSameDim("pq_codes", sub, w.length)
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = v.getFloat(s * sub + i).toDouble - w(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        val q = round6(d)
+        if (q < best) { best = q; bestJ = j }
+        j += 1
+      }
+      out(s) = ids(bestJ)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance kernel (ADC): squared L2 between a FULL query
+    * vector and the RECONSTRUCTION the codes describe — the scoring side
+    * of PQ search, summed per subspace against the coded codeword, in
+    * index order (deterministic).
+    */
+  def pqAdcDist(v: ArrayData, codes: ArrayData, ids: Array[Long],
+      codebook: Array[Array[Array[Float]]]): Double = {
+    val m = codebook.length
+    val n = v.numElements()
+    val sub = if (m == 0) 0 else codebook(0)(0).length
+    requireSameDim("pq_adc_dist", n, m * sub)
+    requireSameDim("pq_adc_dist", codes.numElements(), m)
+    var total = 0.0
+    var s = 0
+    while (s < m) {
+      val code = codes.getLong(s)
+      // ids are ascending: binary search for the codeword index.
+      var lo = 0; var hi = ids.length - 1; var idx = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (ids(mid) == code) { idx = mid; lo = hi + 1 }
+        else if (ids(mid) < code) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (idx < 0) throw new IllegalArgumentException(
+        s"pq_adc_dist: code $code not in the codebook id set")
+      val w = codebook(s)(idx)
+      var i = 0
+      while (i < sub) {
+        val diff = v.getFloat(s * sub + i).toDouble - w(i).toDouble
+        total += diff * diff
+        i += 1
+      }
+      s += 1
+    }
+    total
+  }
+
   /** Row-local nearest-centroid kernel: id of the codebook vector with the
     * greatest `round(cosine, 6)`, smallest id on ties (ids are sorted
     * ascending and the comparison is strict). Called from both interpreted
@@ -456,6 +540,78 @@ case class BestCentroid(child: Expression, ids: Array[Long],
     copy(child = newChild)
 
   override def prettyName: String = "best_centroid"
+}
+
+/** pq_codes(v): per-subspace nearest-codeword ids (product quantization)
+  * as a row-local codegen'd map — no joins, no exchanges, the same
+  * zero-shuffle assignment contract as [[BestCentroid]]. The codebook
+  * (m subspaces × k codewords × subdim floats — k·dim floats total, the
+  * IVF-codebook transport envelope) rides into generated code as
+  * reference objects.
+  */
+case class PqCodes(child: Expression, ids: Array[Long],
+    codebook: Array[Array[Array[Float]]]) extends UnaryExpression {
+
+  require(codebook.nonEmpty && codebook.forall(_.length == ids.length),
+    "pq_codes: every subspace needs one codeword per id")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_codes requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorExpressions.pqCodes(a.asInstanceOf[ArrayData], ids, codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("pqIds", ids, "long[]")
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "float[][][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorExpressions.pqCodes($a, $idsRef, $cbRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_codes"
+}
+
+/** pq_adc_dist(v, codes): asymmetric squared-L2 distance between a full
+  * query vector and a PQ-coded corpus vector — the scoring expression of
+  * a PQ search scan, codegen'd like [[PqCodes]].
+  */
+case class PqAdcDist(left: Expression, right: Expression, ids: Array[Long],
+    codebook: Array[Array[Array[Float]]]) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_dist requires (array<float>, array<bigint>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, c: Any): Any =
+    VectorExpressions.pqAdcDist(
+      a.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], ids, codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("pqIds", ids, "long[]")
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (a, c) =>
+      s"${ev.value} = graft.functions.VectorExpressions.pqAdcDist($a, $c, $idsRef, $cbRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDist =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pq_adc_dist"
 }
 
 /** [[BestCentroid]] with the codebook carried as a Spark BROADCAST

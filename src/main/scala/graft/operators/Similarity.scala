@@ -531,6 +531,72 @@ object Similarity {
       .toDF("vec_id", "qmin", "qmax", "n_codes", "code_sum")
   }
 
+  /** Collect a codebook relation to driver arrays, ids ascending — the
+    * transport every PQ entry point shares. Bounded by construction: the
+    * codebook is k vectors (the IVF-codebook envelope), never the corpus.
+    */
+  private def collectPqCodebook(codebookVecs: DataFrame, m: Int)
+      : (Array[Long], Array[Array[Array[Float]]]) = {
+    val rows = codebookVecs.select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "pq: empty codebook")
+    val dim = rows(0)._2.length
+    require(m > 0 && dim % m == 0,
+      s"pq: embedding dim $dim must divide evenly into m=$m subspaces")
+    val sub = dim / m
+    val ids = rows.map(_._1)
+    val codebook = Array.tabulate(m) { s =>
+      rows.map(_._2.slice(s * sub, (s + 1) * sub))
+    }
+    (ids, codebook)
+  }
+
+  /** Product quantization: each vector compresses to `m` codeword ids —
+    * per subspace, the codebook vector whose subvector is nearest in
+    * (round6-quantized) squared L2, smallest id on ties. Storage drops
+    * from dim·4 bytes to m ids (m bytes at k ≤ 256) — with int8
+    * ([[quantizeInt8]]) the two standard embedding-compression ladders.
+    * The codebook here is k DESIGNATED CORPUS VECTORS (k-medoids-style
+    * sampling — deterministic and replicable by a SQL oracle); a
+    * Lloyd-refined codebook plugs in by passing [[kmeansCentroids]]
+    * output instead, same assignment path. Assignment is a row-local
+    * codegen'd map over a driver-collected codebook (bounded by k, the
+    * IVF transport envelope) — zero joins, zero exchanges, linear in
+    * corpus size at any scale.
+    */
+  def quantizePQ(corpus: DataFrame, codebookVecs: DataFrame, m: Int): DataFrame = {
+    val (ids, codebook) = collectPqCodebook(codebookVecs, m)
+    corpus.select(col("vec_id"),
+      ColumnBridge.column(graft.functions.PqCodes(
+        ColumnBridge.expression(col("embedding")), ids, codebook)).as("codes"))
+  }
+
+  /** PQ search: top-k nearest corpus vectors per query by ASYMMETRIC
+    * distance (full query vector vs each corpus vector's coded
+    * reconstruction) — the scan reads ONLY the m-id `codes` column (plus
+    * vec_id), never the raw embeddings: the point of PQ at 100 TB is
+    * that the search-time scan is dim·4/m× smaller. Approximate (scores
+    * are against reconstructions); ranking feeds the same bounded
+    * per-partition heap reducer as the exact paths. `sim` in the output
+    * is the NEGATED squared ADC distance, so rank 1 = nearest and the
+    * column composes with [[topKScored]]'s descending contract.
+    */
+  def pqTopK(codes: DataFrame, queries: DataFrame, codebookVecs: DataFrame,
+      m: Int, k: Int = 10): DataFrame = {
+    val (ids, codebook) = collectPqCodebook(codebookVecs, m)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    val scored = codes.crossJoin(q)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-ColumnBridge.column(graft.functions.PqAdcDist(
+          ColumnBridge.expression(col("qe")),
+          ColumnBridge.expression(col("codes")), ids, codebook))).as("sim"))
+    topKScored(scored, k)
+  }
+
   /** Sign-LSH bucketing: 16-bit bucket from the signs of dot products with
     * 16 (deterministic) hyperplane vectors. Identical vectors always share
     * a bucket, so exact-duplicate recall is 1; near-dup recall follows the

@@ -1011,6 +1011,35 @@ object PipelineQueries {
     Similarity.quantizeInt8(t(spark, sfDir, "embeddings")).orderBy("vec_id")
   }
 
+  // Product quantization — the other standard embedding-compression
+  // ladder (m codeword ids per vector instead of dim floats; the
+  // search-time scan shrinks dim*4/m-fold). Codebook = the 64 lowest
+  // vec_ids' vectors (k-medoids-style sampling, so the oracle can
+  // recompute it relationally); dim 64 / m=4 -> 16-dim subspaces.
+  // Distances are round6-quantized before the argmin on BOTH engines
+  // (the bestCentroid contract), ties to the smaller codeword id;
+  // output flattened to (vec_id, s, code) rows of exact integers.
+  declare("sim_quantize_pq",
+    """WITH x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i
+                  FROM embeddings),
+       sub AS (SELECT vec_id, CAST(floor((i-1)/16) AS BIGINT) s, (i-1)%16 j, v FROM x),
+       cb AS (SELECT vec_id cw, s, j, v FROM sub WHERE vec_id < 64),
+       dist AS (SELECT a.vec_id, a.s, c.cw,
+                  round(SUM((CAST(a.v AS DOUBLE)-CAST(c.v AS DOUBLE))*(CAST(a.v AS DOUBLE)-CAST(c.v AS DOUBLE))), 6) d
+                FROM sub a JOIN cb c ON a.s = c.s AND a.j = c.j
+                GROUP BY 1, 2, 3),
+       best AS (SELECT vec_id, s, cw FROM (
+                  SELECT vec_id, s, cw,
+                    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw) rn
+                  FROM dist) t WHERE rn = 1)
+       SELECT vec_id, s, cw AS code FROM best ORDER BY vec_id, s""") { (spark, sfDir) =>
+    val e = t(spark, sfDir, "embeddings")
+    Similarity.quantizePQ(e, e.filter(col("vec_id") < 64), m = 4)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+      .select(col("vec_id"), col("s").cast("long").as("s"), col("code"))
+      .orderBy("vec_id", "s")
+  }
+
   declare("embed_norms_by_label",
     """WITH x AS (SELECT vec_id, label, unnest(embedding) v FROM embeddings),
        norms AS (SELECT vec_id, label, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn

@@ -1404,4 +1404,77 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2) // the same ROWS, not just the same counts
   }
+
+  test("PQ codes: hand-traced small case, ties to the smaller codeword id") {
+    import spark.implicits._
+    // dim 4, m = 2 -> 2-dim subspaces. Codebook: two words.
+    //   word 10: (0,0 | 0,0)   word 20: (3,4 | 1,0)
+    // v1 (0,0,0.5,0): sub0 -> 10 (d 0 vs 25);
+    //   sub1 d: 10 -> 0.25, 20 -> 0.25 TIE -> smaller id 10.
+    // v2 (3,4,1,0): identical to word 20 -> (20, 20).
+    val vecs = Seq(
+      (10L, Seq(0f, 0f, 0f, 0f)), (20L, Seq(3f, 4f, 1f, 0f)),
+      (1L, Seq(0f, 0f, 0.5f, 0f)), (2L, Seq(3f, 4f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cb = vecs.filter(col("vec_id") >= 10)
+    val codes = Similarity.quantizePQ(vecs.filter(col("vec_id") < 10), cb, m = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(codes(1L) == Seq(10L, 10L), s"got ${codes(1L)}")
+    assert(codes(2L) == Seq(20L, 20L), s"got ${codes(2L)}")
+    // Identical vectors always share codes — the dedup-recall property.
+    assert(codes(2L) == Similarity.quantizePQ(cb, cb, m = 2)
+      .filter(col("vec_id") === 20L)
+      .head().getSeq[Long](1).toSeq)
+  }
+
+  test("PQ search: ADC top-k matches a local recompute over reconstructions") {
+    val corpus = embeddings
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val cb = embeddings.filter(col("vec_id") < 64)
+    val m = 4
+    val codes = Similarity.quantizePQ(corpus, cb, m)
+    // The codes scan carries only (vec_id, codes) — m longs per row:
+    // the search never reads raw embeddings, the PQ point at scale.
+    assert(codes.columns.toSeq == Seq("vec_id", "codes"))
+    val top = Similarity.pqTopK(codes, queries, cb, m, k = 10)
+    // Ground truth: the SAME ADC distances computed locally from the
+    // collected codes and codebook (the crossJoin path prunes nothing,
+    // so the distributed top-k must be exactly the local one).
+    val cbRows = cb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val cbIdx = cbRows.map(_._1).zipWithIndex.toMap
+    val dim = cbRows(0)._2.length; val sub = dim / m
+    val codeRows = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+    val qRows = queries.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val expected = (for ((q, qe) <- qRows) yield {
+      val scored = codeRows.filter(_._1 != q).map { case (nb, cs) =>
+        var d = 0.0
+        for (s <- 0 until m) {
+          val w = cbRows(cbIdx(cs(s)))._2
+          for (i <- 0 until sub) {
+            val diff = qe(s * sub + i).toDouble - w(s * sub + i).toDouble
+            d += diff * diff
+          }
+        }
+        (nb, -d)
+      }
+      q -> scored.sortBy { case (nb, sim) => (-sim, nb) }.take(10)
+        .map(_._1).toSeq
+    }).toMap
+    val got = top.orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    for ((q, exp) <- expected)
+      assert(got(q) == exp, s"query $q: got ${got(q)} expected $exp")
+  }
+
+  test("PQ guards: dimension must divide into m; unknown ADC code throws") {
+    import spark.implicits._
+    val vecs = Seq((0L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](
+      Similarity.quantizePQ(vecs, vecs, m = 2))
+    assert(ex.getMessage.contains("divide evenly"), ex.getMessage)
+  }
 }
