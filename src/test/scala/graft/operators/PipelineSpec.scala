@@ -1470,6 +1470,28 @@ class PipelineSpec extends AnyFunSuite {
       assert(got(q) == exp, s"query $q: got ${got(q)} expected $exp")
   }
 
+  test("IVF-PQ with all buckets probed reproduces pqTopK exactly") {
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val centroids = embeddings.filter(col("vec_id") < 16)
+    val cb = embeddings.filter(col("vec_id") < 64)
+    val m = 4
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = rows(Similarity.pqTopK(
+      Similarity.quantizePQ(embeddings, cb, m), queries, cb, m, k = 10))
+    val ivf = rows(Similarity.ivfPqTopK(
+      embeddings, queries, centroids, cb, m, k = 10, nProbe = 16))
+    assert(ivf == full)
+    // Pruned probing returns k rows per query and a subset-quality
+    // result (approximate by design — just shape-check it).
+    val pruned = Similarity.ivfPqTopK(
+      embeddings, queries, centroids, cb, m, k = 10, nProbe = 2)
+    assert(pruned.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 10L))
+  }
+
   test("PQ guards: dimension must divide into m; unknown ADC code throws") {
     import spark.implicits._
     val vecs = Seq((0L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
