@@ -1241,6 +1241,29 @@ object AnalyticsQueries {
          (FORMAT PARQUET, PARTITION_BY (o_orderpriority))""")
   }
 
+  // DuckDB function-NAME parity: list_*/string_split/len/regexp_matches
+  // registered as aliases of Spark's native codegen'd expressions
+  // (lambdas parse identically) — the single biggest cause of pasted
+  // DuckDB scripts dying in analysis. Identical statement text on both
+  // engines, including a lambda with a nested alias call (len inside
+  // list_filter).
+  declare("q73_list_functions",
+    """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+         CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 4)) AS BIGINT) AS n_long,
+         list_contains(string_split(text, ' '), 'the') AS has_the
+       FROM documents WHERE doc_id < 200 ORDER BY doc_id""") { (spark, sfDir) =>
+    t(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+           CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 4)) AS BIGINT) AS n_long,
+           list_contains(string_split(text, ' '), 'the') AS has_the
+         FROM documents WHERE doc_id < 200 ORDER BY doc_id""")
+  }
+
   // DuckDB TVF parity: `generate_series` — INCLUSIVE bounds, unlike the
   // exclusive range() both engines already share. Splices Spark's
   // distributed Range plan (codegen'd, parallel — not a local list)

@@ -32,6 +32,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftSparkExtensions.opensslVersionFn)
     ext.injectFunction(GraftSparkExtensions.vectorCosineFn)
     ext.injectFunction(GraftSparkExtensions.vectorNormFn)
+    GraftSparkExtensions.duckdbAliasFns.foreach(ext.injectFunction)
     GraftSparkExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectParser((_, delegate) => new GraftHintParser(delegate))
   }
@@ -375,6 +376,65 @@ object GraftSparkExtensions {
 
   val versionFn = scalarFn("highs_version", "versionStringUtf8")
   val opensslVersionFn = scalarFn("highs_openssl_version", "opensslVersionStringUtf8")
+
+  /** DuckDB's list/string function NAMES mapped onto Spark's native
+    * expressions — pasted scripts use `list_transform`, `string_split`,
+    * `len`, `regexp_matches`; the semantics are Spark's built-ins (all
+    * codegen'd; lambdas parse identically `x -> ...`), only the catalog
+    * name differs. Argument-order traps handled per DuckDB's signatures:
+    * `list_prepend(elem, list)` is element-first (Spark's array_prepend
+    * is array-first), and `string_split`'s separator is a LITERAL string
+    * (Spark's split takes a regex — the separator is regex-quoted via
+    * Pattern.quote before it reaches Split). `list_sort`'s DuckDB
+    * default (ASC NULLS FIRST) matches Spark's sort_array(asc), not
+    * array_sort. Known small divergence, documented not hidden:
+    * `list_distinct` here keeps one NULL (Spark array_distinct) where
+    * DuckDB drops NULLs.
+    */
+  private def aliasFn(name: String, arity: (Int, Int))(
+      build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name), (args: Seq[Expression]) => {
+      if (args.size < arity._1 || args.size > arity._2)
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            s"$name expects ${if (arity._1 == arity._2) arity._1.toString
+              else s"${arity._1}-${arity._2}"} argument(s), got ${args.size}"))
+      build(args)
+    })
+
+  private def quotedRegex(sep: Expression): Expression =
+    StaticInvoke(Class.forName("graft.functions.StringCompat"), StringType,
+      "regexQuoteUtf8", Seq(sep), inputTypes = Seq(StringType))
+
+  val duckdbAliasFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayAppend, ArrayContains,
+      ArrayDistinct, ArrayFilter, ArrayPrepend, ArrayTransform, Concat,
+      CreateArray, Literal, RLike, SortArray, StringSplit}
+    Seq(
+      aliasFn("list_transform", (2, 2))(a => ArrayTransform(a(0), a(1))),
+      aliasFn("list_filter", (2, 2))(a => ArrayFilter(a(0), a(1))),
+      aliasFn("list_contains", (2, 2))(a => ArrayContains(a(0), a(1))),
+      aliasFn("list_distinct", (1, 1))(a => ArrayDistinct(a(0))),
+      aliasFn("list_sort", (1, 1))(a => SortArray(a(0), Literal(true))),
+      aliasFn("list_append", (2, 2))(a => ArrayAppend(a(0), a(1))),
+      // DuckDB: list_prepend(element, list) — element FIRST.
+      aliasFn("list_prepend", (2, 2))(a => ArrayPrepend(a(1), a(0))),
+      aliasFn("list_concat", (1, Int.MaxValue))(a => Concat(a)),
+      aliasFn("list_value", (0, Int.MaxValue))(a => CreateArray(a)),
+      aliasFn("string_split", (2, 2))(a =>
+        StringSplit(a(0), quotedRegex(a(1)), Literal(-1))),
+      aliasFn("str_split", (2, 2))(a =>
+        StringSplit(a(0), quotedRegex(a(1)), Literal(-1))),
+      aliasFn("string_to_array", (2, 2))(a =>
+        StringSplit(a(0), quotedRegex(a(1)), Literal(-1))),
+      aliasFn("string_split_regex", (2, 2))(a =>
+        StringSplit(a(0), a(1), Literal(-1))),
+      aliasFn("len", (1, 1))(a => graft.functions.Len(a(0))),
+      aliasFn("regexp_matches", (2, 2))(a => RLike(a(0), a(1)))
+    )
+  }
 
   /** Embedding math as native codegen'd expressions (graft.functions).
     * Arity is validated here (builders index into args): a wrong-arity

@@ -786,6 +786,38 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("spark.read.option"), s"got: ${ex.getMessage}")
   }
 
+  test("DuckDB list/string function aliases map onto native expressions") {
+    def one(sql: String) = spark.sql(s"SELECT $sql AS r").head()
+    // string_split quotes the separator: '.' is a LITERAL dot, not
+    // regex-any (the trap the alias exists to avoid).
+    assert(one("string_split('a.b.c', '.')").getSeq[String](0) ==
+      Seq("a", "b", "c"))
+    assert(one("string_split_regex('a1b22c', '\\\\d+')").getSeq[String](0) ==
+      Seq("a", "b", "c"))
+    assert(one("len('hello')").getLong(0) == 5L)
+    assert(one("len(list_value(1, 2, 3))").getLong(0) == 3L)
+    assert(one("len(CAST('ab' AS BINARY))").getLong(0) == 2L)
+    assert(one("list_sort(list_concat(list_value(3, 1), list_value(2)))")
+      .getSeq[Int](0) == Seq(1, 2, 3))
+    // DuckDB's element-FIRST list_prepend order.
+    assert(one("list_prepend(0, list_value(1, 2))").getSeq[Int](0) ==
+      Seq(0, 1, 2))
+    assert(one("list_append(list_value(1, 2), 3)").getSeq[Int](0) ==
+      Seq(1, 2, 3))
+    assert(one("list_contains(list_value(1, 2), 2)").getBoolean(0))
+    assert(one("list_transform(list_value(1, 2), x -> x * 10)")
+      .getSeq[Int](0) == Seq(10, 20))
+    assert(one("list_filter(list_value(1, 2, 3), x -> x > 1)")
+      .getSeq[Int](0) == Seq(2, 3))
+    assert(one("list_distinct(list_value(1, 1, 2))").getSeq[Int](0).sorted ==
+      Seq(1, 2))
+    assert(one("regexp_matches('abc123', '\\\\d+')").getBoolean(0))
+    assert(!one("regexp_matches('abcdef', '\\\\d+')").getBoolean(0))
+    // Arity errors are signatures, not index errors.
+    val ex = intercept[Exception](spark.sql("SELECT len()"))
+    assert(ex.getMessage.contains("argument"), s"got: ${ex.getMessage}")
+  }
+
   test("generate_series TVF: inclusive bounds, steps, down-counting, empty") {
     def vals(sql: String): Seq[Long] =
       spark.sql(sql).collect().map(_.getLong(0)).toSeq
