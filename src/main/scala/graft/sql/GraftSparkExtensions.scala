@@ -87,6 +87,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val pivotStmtRe = "(?is)\\A\\s*PIVOT\\b.*".r
   private val unpivotStmtRe = "(?is)\\A\\s*UNPIVOT\\b.*".r
   private val copyStmtRe = "(?is)\\A\\s*COPY\\b.*".r
+  private val pragmaStmtRe = "(?is)\\A\\s*PRAGMA\\b.*".r
 
   private def withHint[T](sqlText: String, reparse: String => T)(body: => T): T =
     try body catch {
@@ -156,6 +157,16 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             // (COLUMNS, QUALIFY, ...) match anywhere and would otherwise
             // claim a PIVOT statement that merely CONTAINS their keyword.
             val hint = sqlText match {
+              case pragmaStmtRe() =>
+                Some("PRAGMA statements are DuckDB-engine-specific and " +
+                  "have no effect here. The Spark equivalents are session " +
+                  "confs set through the natively-parsing SET statement: " +
+                  "PRAGMA threads → SET spark.sql.shuffle.partitions=N " +
+                  "(parallelism is executor-sized, not thread-pragma'd); " +
+                  "PRAGMA memory_limit → executor/driver memory config; " +
+                  "PRAGMA enable_profiling → EXPLAIN (FORMATTED) or the " +
+                  "Spark UI. For table/database listings use SHOW TABLES " +
+                  "/ DESCRIBE <table>.")
               case copyStmtRe() =>
                 Some("If you meant DuckDB's COPY: the export form " +
                   "(COPY (SELECT ...) TO 'path' [(FORMAT PARQUET|CSV" +
@@ -410,8 +421,9 @@ object GraftSparkExtensions {
 
   val duckdbAliasFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.{ArrayAppend, ArrayContains,
-      ArrayDistinct, ArrayFilter, ArrayPrepend, ArrayTransform, Concat,
-      CreateArray, Literal, RLike, SortArray, StringSplit}
+      ArrayDistinct, ArrayFilter, ArrayPrepend, ArrayTransform, Cast, Concat,
+      CreateArray, Literal, RLike, SortArray, StringSplit, UnixMicros, UnixMillis}
+    import org.apache.spark.sql.types.TimestampType
     Seq(
       aliasFn("list_transform", (2, 2))(a => ArrayTransform(a(0), a(1))),
       aliasFn("list_filter", (2, 2))(a => ArrayFilter(a(0), a(1))),
@@ -432,9 +444,41 @@ object GraftSparkExtensions {
       aliasFn("string_split_regex", (2, 2))(a =>
         StringSplit(a(0), a(1), Literal(-1))),
       aliasFn("len", (1, 1))(a => graft.functions.Len(a(0))),
-      aliasFn("regexp_matches", (2, 2))(a => RLike(a(0), a(1)))
+      aliasFn("regexp_matches", (2, 2))(a => RLike(a(0), a(1))),
+      // DuckDB epoch family: epoch() is DOUBLE seconds WITH fraction —
+      // exactly Spark's timestamp→double cast; the _ms/_us forms are
+      // unix_millis/unix_micros. Inputs route through a timestamp cast
+      // so dates and TIMESTAMP_NTZ (value-identical under the UTC
+      // session pin) work as in DuckDB.
+      aliasFn("epoch", (1, 1))(a =>
+        Cast(Cast(a(0), TimestampType), org.apache.spark.sql.types.DoubleType)),
+      aliasFn("epoch_ms", (1, 1))(a => UnixMillis(Cast(a(0), TimestampType))),
+      aliasFn("epoch_us", (1, 1))(a => UnixMicros(Cast(a(0), TimestampType)))
     )
   }
+
+  /** DuckDB's `glob('pattern')` TVF — one `file` column of matching
+    * paths. Driver-side listing through the Hadoop filesystem of the
+    * pattern (so dbfs/s3a/hdfs URIs glob too, not just local files),
+    * sorted ascending like DuckDB's output; bounded by the match count
+    * (file LISTING, not file contents).
+    */
+  val globFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("glob"), info("glob"), (args: Seq[Expression]) => {
+      if (args.size != 1)
+        throw new IllegalArgumentException(s"glob(pattern) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "glob arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "glob arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val p = new org.apache.hadoop.fs.Path(asString(v(0)))
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+        .map(_.getPath.toUri.getPath).sorted
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("file STRING")),
+        matches.map(org.apache.spark.sql.Row(_)))
+    })
 
   /** Embedding math as native codegen'd expressions (graft.functions).
     * Arity is validated here (builders index into args): a wrong-arity
@@ -978,6 +1022,7 @@ object GraftSparkExtensions {
     readCsvAutoFn,
     readJsonFn,
     readJsonAutoFn,
-    generateSeriesFn
+    generateSeriesFn,
+    globFn
   )
 }

@@ -816,6 +816,27 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // Arity errors are signatures, not index errors.
     val ex = intercept[Exception](spark.sql("SELECT len()"))
     assert(ex.getMessage.contains("argument"), s"got: ${ex.getMessage}")
+    // epoch family: DOUBLE seconds with fraction / BIGINT ms / BIGINT µs.
+    val ep = spark.sql("SELECT epoch(TIMESTAMP '2020-01-01 00:00:01.5') e, " +
+      "epoch_ms(TIMESTAMP '2020-01-01 00:00:01.5') ms, " +
+      "epoch_us(TIMESTAMP '2020-01-01 00:00:01.5') us").head()
+    assert(ep.getDouble(0) == 1577836801.5)
+    assert(ep.getLong(1) == 1577836801500L)
+    assert(ep.getLong(2) == 1577836801500000L)
+  }
+
+  test("glob TVF lists matching files; PRAGMA lands on the conf hint") {
+    val files = spark.sql(
+      "SELECT * FROM glob('/root/testdata/sf0.001/*.parquet')")
+    assert(files.columns.toSeq == Seq("file"))
+    val names = files.collect().map(_.getString(0)).toSeq
+    assert(names.exists(_.endsWith("nation.parquet")), s"got $names")
+    assert(names == names.sorted)
+    assert(spark.sql("SELECT COUNT(*) n FROM glob('/no/such/dir/*.x')")
+      .head().getLong(0) == 0L)
+    val ex = intercept[Exception](spark.sql("PRAGMA threads=8"))
+    assert(ex.getMessage.contains("SET spark.sql.shuffle.partitions"),
+      s"got: ${ex.getMessage}")
   }
 
   test("generate_series TVF: inclusive bounds, steps, down-counting, empty") {
