@@ -53,4 +53,55 @@ case class Len(child: Expression) extends UnaryExpression {
 object StringCompat {
   def regexQuoteUtf8(s: UTF8String): UTF8String =
     UTF8String.fromString(java.util.regex.Pattern.quote(s.toString))
+
+  /** Translate a C/Python strftime format (DuckDB's strftime/strptime
+    * dialect) to the JVM DateTimeFormatter pattern Spark's
+    * date_format/to_timestamp consume. Literal ALPHABETIC runs are
+    * single-quoted (a bare `T` in `%Y-%m-%dT%H` is a pattern letter to
+    * the JVM — the classic silent-corruption trap), `%%` is a literal
+    * percent, `%-x` maps to the unpadded JVM form. Left = the offending
+    * directive when a code has no JVM equivalent (caller raises a clear
+    * error instead of formatting garbage).
+    */
+  def cFormatToJvm(fmt: String, forParse: Boolean = false): Either[String, String] = {
+    val unpadded = Map('m' -> "M", 'd' -> "d", 'H' -> "H", 'I' -> "h",
+      'M' -> "m", 'S' -> "s", 'j' -> "D")
+    val padded = Map('Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'f' -> "SSSSSS",
+      'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM",
+      'B' -> "MMMM", 'p' -> "a")
+    // PARSING uses the single-letter JVM forms: they accept 1-2 digits,
+    // matching strptime's lenient C semantics ('5:06' under %H:%M),
+    // while the padded forms demand exactly two. Formatting keeps the
+    // zero-padded output C produces.
+    val map = if (forParse) padded ++ unpadded.map { case (k, v) => k -> v }
+      else padded
+    val sb = new StringBuilder
+    var i = 0
+    val n = fmt.length
+    while (i < n) {
+      val c = fmt.charAt(i)
+      if (c == '%') {
+        if (i + 1 >= n) return Left("%<end>")
+        val d = fmt.charAt(i + 1)
+        if (d == '%') { sb.append('%'); i += 2 }
+        else if (d == '-') {
+          if (i + 2 >= n) return Left("%-<end>")
+          unpadded.get(fmt.charAt(i + 2)) match {
+            case Some(p) => sb.append(p); i += 3
+            case None => return Left(s"%-${fmt.charAt(i + 2)}")
+          }
+        } else map.get(d) match {
+          case Some(p) => sb.append(p); i += 2
+          case None => return Left(s"%$d")
+        }
+      } else if (c.isLetter) {
+        val start = i
+        while (i < n && fmt.charAt(i).isLetter) i += 1
+        sb.append('\'').append(fmt.substring(start, i)).append('\'')
+      } else if (c == '\'') { sb.append("''"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    Right(sb.toString)
+  }
 }

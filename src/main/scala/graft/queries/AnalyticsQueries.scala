@@ -1264,6 +1264,23 @@ object AnalyticsQueries {
          FROM documents WHERE doc_id < 200 ORDER BY doc_id""")
   }
 
+  // DuckDB strftime parity: the C format dialect translated to the JVM
+  // pattern at analysis (%Y→yyyy; literal letters like the ISO 'T'
+  // quoted — the silent-corruption trap), English month/day names on
+  // both engines. Identical statement text.
+  declare("q74_strftime",
+    """SELECT event_id,
+         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M') AS label,
+         strftime(CAST(ts AS TIMESTAMP), '%a %d %b %Y') AS pretty
+       FROM events WHERE event_id < 200 ORDER BY event_id""") { (spark, sfDir) =>
+    Engine.table(spark, sfDir, "events").createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT event_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M') AS label,
+           strftime(CAST(ts AS TIMESTAMP), '%a %d %b %Y') AS pretty
+         FROM events WHERE event_id < 200 ORDER BY event_id""")
+  }
+
   // DuckDB TVF parity: `generate_series` — INCLUSIVE bounds, unlike the
   // exclusive range() both engines already share. Splices Spark's
   // distributed Range plan (codegen'd, parallel — not a local list)

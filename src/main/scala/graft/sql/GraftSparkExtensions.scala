@@ -422,7 +422,8 @@ object GraftSparkExtensions {
   val duckdbAliasFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.{ArrayAppend, ArrayContains,
       ArrayDistinct, ArrayFilter, ArrayPrepend, ArrayTransform, Cast, Concat,
-      CreateArray, Literal, RLike, SortArray, StringSplit, UnixMicros, UnixMillis}
+      CreateArray, DateFormatClass, GetTimestamp, Literal, RLike, SortArray,
+      StringSplit, UnixMicros, UnixMillis}
     import org.apache.spark.sql.types.TimestampType
     Seq(
       aliasFn("list_transform", (2, 2))(a => ArrayTransform(a(0), a(1))),
@@ -453,8 +454,42 @@ object GraftSparkExtensions {
       aliasFn("epoch", (1, 1))(a =>
         Cast(Cast(a(0), TimestampType), org.apache.spark.sql.types.DoubleType)),
       aliasFn("epoch_ms", (1, 1))(a => UnixMillis(Cast(a(0), TimestampType))),
-      aliasFn("epoch_us", (1, 1))(a => UnixMicros(Cast(a(0), TimestampType)))
+      aliasFn("epoch_us", (1, 1))(a => UnixMicros(Cast(a(0), TimestampType))),
+      // strftime/strptime: the FORMAT is a constant translated from the
+      // C dialect to the JVM pattern at analysis (%Y→yyyy, literal
+      // letter runs quoted); an untranslatable directive raises a named
+      // error instead of formatting garbage. DuckDB's argument order
+      // (value, format) / (string, format).
+      aliasFn("strftime", (2, 2))(a =>
+        DateFormatClass(Cast(a(0), TimestampType),
+          cFormatLiteral("strftime", a(1), forParse = false))),
+      aliasFn("strptime", (2, 2))(a =>
+        GetTimestamp(a(0),
+          cFormatLiteral("strptime", a(1), forParse = true), TimestampType))
     )
+  }
+
+  /** Evaluate a constant C-dialect format argument and translate it to a
+    * JVM pattern literal ([[graft.functions.StringCompat.cFormatToJvm]]).
+    */
+  private def cFormatLiteral(fn: String, fmtExpr: Expression,
+      forParse: Boolean): Expression = {
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+    if (!fmtExpr.foldable)
+      fail(s"$fn requires a constant format string")
+    val raw = fmtExpr.eval(null)
+    if (raw == null) fail(s"$fn format must not be NULL")
+    graft.functions.StringCompat.cFormatToJvm(raw.toString, forParse) match {
+      case Right(jvm) =>
+        org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(jvm), StringType)
+      case Left(code) =>
+        fail(s"$fn: format directive '$code' has no Spark/JVM equivalent " +
+          "(supported: %Y %y %m %d %H %I %M %S %f %j %a %A %b %B %p, " +
+          "%-x unpadded forms, %%) — use date_format/to_timestamp with a " +
+          "JVM DateTimeFormatter pattern for anything else")
+    }
   }
 
   /** DuckDB's `glob('pattern')` TVF — one `file` column of matching

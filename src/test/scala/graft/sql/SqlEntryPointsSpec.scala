@@ -825,6 +825,27 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(ep.getLong(2) == 1577836801500000L)
   }
 
+  test("strftime/strptime translate the C format dialect at analysis") {
+    def one(sql: String) = spark.sql(s"SELECT $sql AS r").head()
+    assert(one("strftime(TIMESTAMP '2020-03-04 05:06:07', '%Y-%m-%d %H:%M:%S')")
+      .getString(0) == "2020-03-04 05:06:07")
+    assert(one("strftime(TIMESTAMP '2020-03-04 05:06:07', '%a %b %d, %Y')")
+      .getString(0) == "Wed Mar 04, 2020")
+    assert(one("strftime(DATE '2020-03-04', '%d/%m/%Y')")
+      .getString(0) == "04/03/2020")
+    // The literal-letter trap: T between codes must not be a pattern.
+    assert(one("strftime(TIMESTAMP '2020-03-04 05:06:07', '%Y-%m-%dT%H')")
+      .getString(0) == "2020-03-04T05")
+    assert(one("strftime(TIMESTAMP '2020-03-04 05:06:07', '%-d.%-m.%Y')")
+      .getString(0) == "4.3.2020")
+    assert(one("CAST(strptime('04.03.2020 5:06', '%d.%m.%Y %H:%M') AS STRING)")
+      .getString(0) == "2020-03-04 05:06:00")
+    // Untranslatable directive: a named error, not garbage output.
+    val ex = intercept[Exception](spark.sql(
+      "SELECT strftime(TIMESTAMP '2020-01-01', '%V')"))
+    assert(ex.getMessage.contains("'%V'"), s"got: ${ex.getMessage}")
+  }
+
   test("glob TVF lists matching files; PRAGMA lands on the conf hint") {
     val files = spark.sql(
       "SELECT * FROM glob('/root/testdata/sf0.001/*.parquet')")
