@@ -95,9 +95,14 @@ object StringCompat {
           case Some(p) => sb.append(p); i += 2
           case None => return Left(s"%$d")
         }
-      } else if (c.isLetter) {
+      } else if (c.isLetter || "[]#{}".indexOf(c) >= 0) {
+        // Letters AND the formatter's reserved punctuation ([ ] open an
+        // optional section — '[%H]' would silently eat the brackets —
+        // and # { } throw 'reserved character' from deep inside the
+        // formatter) are emitted as quoted literals.
         val start = i
-        while (i < n && fmt.charAt(i).isLetter) i += 1
+        while (i < n && { val ch = fmt.charAt(i)
+          ch.isLetter || "[]#{}".indexOf(ch) >= 0 }) i += 1
         sb.append('\'').append(fmt.substring(start, i)).append('\'')
       } else if (c == '\'') { sb.append("''"); i += 1 }
       else { sb.append(c); i += 1 }

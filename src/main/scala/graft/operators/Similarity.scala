@@ -320,14 +320,19 @@ object Similarity {
     * a probe can miss a centroid hiding in an unprobed coarse cell — the
     * same approximation corpus assignment itself makes.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      k: Int = 10, nProbe: Int = 4): DataFrame = {
+  /** Per-query probe-cell selection shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]: the top-nProbe centroid ids for each query —
+    * row-local `top_centroids_2level` over the shared broadcast when the
+    * assignment ran two-level, else the broadcast crossJoin + window
+    * with the (round6-cosine desc, cid) tie-break. ONE definition: probe
+    * semantics (conf key, default, ordering) must not be able to
+    * desynchronize between the exact and the PQ search paths.
+    */
+  private def probeSelection(q: DataFrame, centroids: DataFrame,
+      res: AssignedWithCodebook, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
-    val res = assignToCentroidsKeepHandle(corpus, centroids)
-    val assigned = res.assigned
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val probes = res.twoLevel match {
+    val spark = q.sparkSession
+    res.twoLevel match {
       case Some(bc) =>
         val nCells = spark.conf.getOption("spark.graft.twoLevelAssignNProbe")
           .map(_.toInt).getOrElse(8)
@@ -346,6 +351,14 @@ object Similarity {
           .filter(col("rn") <= nProbe)
           .select("query_id", "qe", "cid")
     }
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val res = assignToCentroidsKeepHandle(corpus, centroids)
+    val assigned = res.assigned
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probes = probeSelection(q, centroids, res, nProbe)
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -609,8 +622,6 @@ object Similarity {
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       codebookVecs: DataFrame, m: Int, k: Int = 10, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
     val (ids, codebook) = collectPqCodebook(codebookVecs, m)
     val res = assignToCentroidsKeepHandle(corpus, centroids)
     // MATERIALIZE the (cid, codes) index to scratch parquet before the
@@ -626,25 +637,7 @@ object Similarity {
           ColumnBridge.expression(col("embedding")), ids, codebook)).as("codes")),
       "pq_index")
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val probes = res.twoLevel match {
-      case Some(bc) =>
-        val nCells = spark.conf.getOption("spark.graft.twoLevelAssignNProbe")
-          .map(_.toInt).getOrElse(8)
-        q.select(col("query_id"), col("qe"),
-            explode(ColumnBridge.column(graft.functions.TopCentroidsTwoLevel(
-              ColumnBridge.expression(col("qe")), bc, nCells, nProbe))).as("cid"))
-          .select("query_id", "qe", "cid")
-      case None =>
-        val c = broadcast(centroids.select(col("vec_id").as("cid"),
-          col("embedding").as("ce")))
-        val wq = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
-        q.crossJoin(c)
-          .select(col("query_id"), col("qe"), col("cid"),
-            round(cosine(col("qe"), col("ce")), 6).as("csim"))
-          .withColumn("rn", row_number().over(wq))
-          .filter(col("rn") <= nProbe)
-          .select("query_id", "qe", "cid")
-    }
+    val probes = probeSelection(q, centroids, res, nProbe)
     val scored = coded.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -30,12 +30,17 @@ object CopyToRewrite {
     val i0 = head.end
     if (i0 >= sql.length) return None
     // Source: a parenthesized query (balanced — the select may itself
-    // contain parens/strings) or a bare table identifier.
+    // contain parens/strings) or a bare table identifier. The parens
+    // are KEPT on the query form: copy_to's source dispatch routes
+    // '('-prefixed text through spark.sql, and a parenthesized query
+    // parses there whatever it starts with — stripping them broke
+    // `COPY (WITH q AS ... SELECT ...)`, which begins with neither
+    // SELECT nor '(' once unwrapped.
     val (source, afterSrc) =
       if (sql.charAt(i0) == '(') {
         val close = ReplaceRewrite.closeOf(sql, i0)
         if (close < 0) return None
-        (sql.substring(i0 + 1, close - 1).trim, close)
+        (sql.substring(i0, close).trim, close)
       } else {
         val idM = """\A([A-Za-z_][\w.]*)""".r
           .findFirstMatchIn(sql.substring(i0)).getOrElse(return None)

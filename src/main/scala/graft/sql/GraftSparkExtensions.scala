@@ -506,10 +506,17 @@ object GraftSparkExtensions {
       val v = args.map(_.eval(null)).toIndexedSeq
       require(v.forall(_ != null), "glob arguments must be non-NULL constants")
       val spark = org.apache.spark.sql.SparkSession.active
-      val p = new org.apache.hadoop.fs.Path(asString(v(0)))
+      val pattern = asString(v(0))
+      val p = new org.apache.hadoop.fs.Path(pattern)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      // Scheme-less local patterns list as bare paths (DuckDB's local
+      // output); a schemed URI pattern (s3a://, hdfs://) must keep its
+      // scheme+authority or the returned paths resolve against the
+      // wrong filesystem downstream.
+      val schemed = pattern.contains("://")
       val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-        .map(_.getPath.toUri.getPath).sorted
+        .map(st => if (schemed) st.getPath.toString else st.getPath.toUri.getPath)
+        .sorted
       LocalRelation.fromExternalRows(
         DataTypeUtils.toAttributes(StructType.fromDDL("file STRING")),
         matches.map(org.apache.spark.sql.Row(_)))
@@ -955,7 +962,13 @@ object GraftSparkExtensions {
         // Inclusive bound: nudge the exclusive end by ±1 (NOT a full
         // step — generate_series(0, 10, 3) stops at 9; end 10+3 would
         // wrongly emit 12) unless the series is empty in the step's
-        // direction.
+        // direction. The nudge overflows at Long's extremes — raise a
+        // named error there instead of silently returning the empty
+        // series the wrapped end would produce.
+        require(!(step > 0 && stop == Long.MaxValue) &&
+          !(step < 0 && stop == Long.MinValue),
+          "generate_series: a stop bound at Long.MaxValue/MinValue is not " +
+            "representable (the inclusive end cannot be extended)")
         val empty = if (step > 0) start > stop else start < stop
         val out =
           if (empty) spark.range(start, start)

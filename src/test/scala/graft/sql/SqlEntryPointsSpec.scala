@@ -746,6 +746,11 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val ex3 = intercept[Exception](spark.sql(
       s"COPY sq_quotes FROM '$dir/all.csv'"))
     assert(ex3.getMessage.contains("COPY"), s"got: ${ex3.getMessage}")
+    // A parenthesized CTE source (valid DuckDB) runs: the rewrite keeps
+    // the parens so the source routes through spark.sql.
+    val rw = spark.sql(s"COPY (WITH hi AS (SELECT sym FROM sq_quotes " +
+      s"WHERE px > 60.0) SELECT * FROM hi) TO '$dir/cte.parquet'")
+    assert(rw.head().getLong(0) == 3L)
   }
 
   test("read_parquet/read_csv/read_json TVFs splice lazy datasource scans") {
@@ -844,6 +849,10 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val ex = intercept[Exception](spark.sql(
       "SELECT strftime(TIMESTAMP '2020-01-01', '%V')"))
     assert(ex.getMessage.contains("'%V'"), s"got: ${ex.getMessage}")
+    // Formatter-reserved punctuation is quoted, not silently eaten:
+    // [ ] would open a DateTimeFormatter optional section.
+    assert(one("strftime(TIMESTAMP '2020-03-04 05:06:07', '[%H:%M]')")
+      .getString(0) == "[05:06]")
   }
 
   test("glob TVF lists matching files; PRAGMA lands on the conf hint") {
@@ -881,5 +890,10 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val ex = intercept[Exception](spark.sql(
       "SELECT * FROM generate_series(1, 10, 0)"))
     assert(ex.getMessage.contains("non-zero"), s"got: ${ex.getMessage}")
+    // The inclusive-end nudge cannot be represented at Long.MaxValue —
+    // named error, not a silently empty series from the wrapped end.
+    val exO = intercept[Exception](spark.sql(
+      s"SELECT * FROM generate_series(${Long.MaxValue - 1}, ${Long.MaxValue})"))
+    assert(exO.getMessage.contains("not representable"), s"got: ${exO.getMessage}")
   }
 }
