@@ -88,6 +88,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val unpivotStmtRe = "(?is)\\A\\s*UNPIVOT\\b.*".r
   private val copyStmtRe = "(?is)\\A\\s*COPY\\b.*".r
   private val pragmaStmtRe = "(?is)\\A\\s*PRAGMA\\b.*".r
+  private val unionByNameRe = "(?is).*\\bUNION\\s+(?:ALL\\s+)?BY\\s+NAME\\b.*".r
 
   private def withHint[T](sqlText: String, reparse: String => T)(body: => T): T =
     try body catch {
@@ -201,6 +202,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "list (SELECT ... FROM t PIVOT (agg(v) FOR c IN " +
                   "('a', 'b'))), or pivot_auto('t', 'c', 'agg_sql'[, " +
                   "'group_csv']) directly.")
+              case unionByNameRe() =>
+                Some("If you meant DuckDB's UNION [ALL] BY NAME: Spark's " +
+                  "SQL grammar has no BY NAME modifier. Use the Dataset " +
+                  "API — df1.unionByName(df2, allowMissingColumns = true) " +
+                  "— or align the branches by listing columns explicitly " +
+                  "(SELECT a, b FROM t1 UNION ALL SELECT a, b FROM t2); " +
+                  "q51's schema-drift pattern fills missing columns with " +
+                  "NULL the same way BY NAME does.")
               case recursiveRe() =>
                 Some("Spark 4.1 hosts standard UNION ALL recursive CTEs " +
                   "natively, and the common linear `WITH RECURSIVE r USING " +
@@ -420,9 +429,10 @@ object GraftSparkExtensions {
       "regexQuoteUtf8", Seq(sep), inputTypes = Seq(StringType))
 
   val duckdbAliasFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
-    import org.apache.spark.sql.catalyst.expressions.{ArrayAppend, ArrayContains,
-      ArrayDistinct, ArrayFilter, ArrayPrepend, ArrayTransform, Cast, Concat,
-      CreateArray, DateFormatClass, GetTimestamp, Literal, RLike, SortArray,
+    import org.apache.spark.sql.catalyst.expressions.{ArrayAppend, ArrayCompact,
+      ArrayContains, ArrayDistinct, ArrayFilter, ArrayMax, ArrayMin,
+      ArrayPrepend, ArrayTransform, Cast, Concat, CreateArray, DateFormatClass,
+      Divide, GetTimestamp, Literal, Reverse, RLike, Size, SortArray,
       StringSplit, UnixMicros, UnixMillis}
     import org.apache.spark.sql.types.TimestampType
     Seq(
@@ -465,8 +475,54 @@ object GraftSparkExtensions {
           cFormatLiteral("strftime", a(1), forParse = false))),
       aliasFn("strptime", (2, 2))(a =>
         GetTimestamp(a(0),
-          cFormatLiteral("strptime", a(1), forParse = true), TimestampType))
+          cFormatLiteral("strptime", a(1), forParse = true), TimestampType)),
+      // List aggregates. min/max/reverse are direct Spark expressions
+      // (same NULL-ignoring semantics); sum/avg fold in DOUBLE via
+      // aggregate() with NULL elements skipped and DuckDB's empty/
+      // all-NULL → NULL contract; list_unique counts distinct non-NULL
+      // elements (DuckDB drops NULLs there).
+      aliasFn("list_min", (1, 1))(a => ArrayMin(a(0))),
+      aliasFn("list_max", (1, 1))(a => ArrayMax(a(0))),
+      aliasFn("list_reverse", (1, 1))(a => Reverse(a(0))),
+      aliasFn("list_reverse_sort", (1, 1))(a => SortArray(a(0), Literal(false))),
+      aliasFn("list_unique", (1, 1))(a =>
+        Cast(Size(ArrayDistinct(ArrayCompact(a(0)))),
+          org.apache.spark.sql.types.LongType)),
+      aliasFn("list_sum", (1, 1))(a => listNullIfEmpty(a(0), listDoubleSum(a(0)))),
+      aliasFn("list_avg", (1, 1))(a => listNullIfEmpty(a(0),
+        Divide(listDoubleSum(a(0)),
+          Cast(Size(ArrayCompact(a(0))), org.apache.spark.sql.types.DoubleType))))
     )
+  }
+
+  /** NULL-skipping double-precision fold behind list_sum/list_avg: DuckDB
+    * sums a list's non-NULL elements; Spark has no array_sum, so this is
+    * `aggregate(l, 0.0, (acc, x) -> acc + coalesce(cast x, 0.0))`. The
+    * result type is DOUBLE regardless of element type (DuckDB keeps
+    * integer sums integral — the one documented divergence; cast the
+    * result when exactness matters).
+    */
+  private def listDoubleSum(arr: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Cast,
+      Coalesce, LambdaFunction, Literal, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.types.DoubleType
+    val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+    ArrayAggregate(arr, Literal(0.0),
+      LambdaFunction(Add(acc,
+        Coalesce(Seq(Cast(x, DoubleType), Literal(0.0)))), Seq(acc, x)),
+      LambdaFunction(fin, Seq(fin)))
+  }
+
+  /** DuckDB's empty-or-all-NULL list contract for list_sum/list_avg:
+    * NULL, not 0.
+    */
+  private def listNullIfEmpty(arr: Expression, value: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayCompact, EqualTo,
+      If, Literal, Size}
+    If(EqualTo(Size(ArrayCompact(arr)), Literal(0)),
+      Literal(null, org.apache.spark.sql.types.DoubleType), value)
   }
 
   /** Evaluate a constant C-dialect format argument and translate it to a

@@ -821,6 +821,18 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // Arity errors are signatures, not index errors.
     val ex = intercept[Exception](spark.sql("SELECT len()"))
     assert(ex.getMessage.contains("argument"), s"got: ${ex.getMessage}")
+    // List aggregates: NULL-skipping, DuckDB's empty→NULL contract.
+    assert(one("list_min(list_value(3, 1, 2))").getInt(0) == 1)
+    assert(one("list_max(list_value(3, 1, 2))").getInt(0) == 3)
+    assert(one("list_sum(list_value(1, NULL, 2))").getDouble(0) == 3.0)
+    assert(one("list_avg(list_value(1, NULL, 3))").getDouble(0) == 2.0)
+    assert(one("list_sum(CAST(array() AS ARRAY<INT>))").isNullAt(0))
+    assert(one("list_avg(list_value(CAST(NULL AS INT)))").isNullAt(0))
+    assert(one("list_unique(list_value(1, 1, 2, NULL))").getLong(0) == 2L)
+    assert(one("list_reverse(list_value(1, 2, 3))").getSeq[Int](0) ==
+      Seq(3, 2, 1))
+    assert(one("list_reverse_sort(list_value(1, 3, 2))").getSeq[Int](0) ==
+      Seq(3, 2, 1))
     // epoch family: DOUBLE seconds with fraction / BIGINT ms / BIGINT µs.
     val ep = spark.sql("SELECT epoch(TIMESTAMP '2020-01-01 00:00:01.5') e, " +
       "epoch_ms(TIMESTAMP '2020-01-01 00:00:01.5') ms, " +
@@ -867,6 +879,10 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val ex = intercept[Exception](spark.sql("PRAGMA threads=8"))
     assert(ex.getMessage.contains("SET spark.sql.shuffle.partitions"),
       s"got: ${ex.getMessage}")
+    // UNION BY NAME has no Spark grammar — hint names unionByName.
+    val exU = intercept[Exception](spark.sql(
+      "SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a"))
+    assert(exU.getMessage.contains("unionByName"), s"got: ${exU.getMessage}")
   }
 
   test("generate_series TVF: inclusive bounds, steps, down-counting, empty") {
