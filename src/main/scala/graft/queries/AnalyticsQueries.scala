@@ -1264,6 +1264,19 @@ object AnalyticsQueries {
          FROM documents WHERE doc_id < 200 ORDER BY doc_id""")
   }
 
+  // DuckDB DESCRIBE parity (opt-in): under spark.graft.duckdbDescribe
+  // the literal statement returns DuckDB's exact six-column shape with
+  // DuckDB type spellings (BIGINT/VARCHAR/TIMESTAMP...) — identical
+  // statement text vs DuckDB's own DESCRIBE over the same parquet.
+  // Off by default: stock Spark DESCRIBE behavior is never hijacked.
+  declare("q75_describe",
+    """DESCRIBE orders""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.conf.set("spark.graft.duckdbDescribe", "true")
+    try spark.sql("DESCRIBE orders")
+    finally spark.conf.set("spark.graft.duckdbDescribe", "false")
+  }
+
   // DuckDB strftime parity: the C format dialect translated to the JVM
   // pattern at analysis (%Y→yyyy; literal letters like the ISO 'T'
   // quoted — the silent-corruption trap), English month/day names on

@@ -317,7 +317,24 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     * passes through untouched).
     */
   private val columnsSelectRe = "(?is)\\A\\s*SELECT\\b.*\\bCOLUMNS\\s*\\(.*".r
+
+  /** `DESCRIBE t` parses natively in Spark with Spark's own 3-column
+    * output, so DuckDB-shaped DESCRIBE (6 columns, DuckDB type
+    * spellings) is OPT-IN via `spark.graft.duckdbDescribe=true` — a
+    * default hijack would change stock Spark behavior. Single-part
+    * plain table names only; everything else (DESCRIBE EXTENDED,
+    * multipart names, DESCRIBE QUERY) stays native.
+    */
+  private val describeRe =
+    "(?is)\\A\\s*(?:DESCRIBE|DESC)\\s+([A-Za-z_]\\w*)\\s*;?\\s*\\z".r
+  private def duckDescribeEnabled: Boolean =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.duckdbDescribe").contains("true")
+    catch { case scala.util.control.NonFatal(_) => false }
+
   private def preRewrite(sqlText: String): String = sqlText match {
+    case describeRe(tbl) if duckDescribeEnabled =>
+      s"SELECT * FROM duck_describe('$tbl')"
     case columnsSelectRe() =>
       // A session that really has a `columns` function of its own keeps
       // it: the guard runs BEFORE the rewrite, so a user UDF call
@@ -1033,6 +1050,67 @@ object GraftSparkExtensions {
           .queryExecution.analyzed
       })
 
+  /** Spark type → DuckDB type spelling, for [[duckDescribeFn]].
+    * Covers the full testdata footprint plus the recursive composites;
+    * TIMESTAMP_NTZ spells as DuckDB's zone-less TIMESTAMP (the same
+    * value mapping the events lane uses under the UTC session pin).
+    */
+  private def duckTypeName(dt: DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => "TINYINT"
+      case ShortType => "SMALLINT"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case FloatType => "FLOAT"
+      case DoubleType => "DOUBLE"
+      case StringType => "VARCHAR"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case BinaryType => "BLOB"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case ArrayType(e, _) => duckTypeName(e) + "[]"
+      case MapType(k, v, _) => s"MAP(${duckTypeName(k)}, ${duckTypeName(v)})"
+      case StructType(fields) =>
+        fields.map(f => s"${f.name} ${duckTypeName(f.dataType)}")
+          .mkString("STRUCT(", ", ", ")")
+      case other => other.sql
+    }
+  }
+
+  private val describeSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("column_name", StringType),
+    org.apache.spark.sql.types.StructField("column_type", StringType),
+    org.apache.spark.sql.types.StructField("null", StringType),
+    org.apache.spark.sql.types.StructField("key", StringType),
+    org.apache.spark.sql.types.StructField("default", StringType),
+    org.apache.spark.sql.types.StructField("extra", StringType)))
+
+  /** DuckDB-shaped DESCRIBE as a table function: one row per column
+    * with DuckDB's exact six-column header and type spellings. The
+    * literal `DESCRIBE t` / `DESC t` statement routes here ONLY under
+    * `spark.graft.duckdbDescribe=true` — Spark has its own native
+    * DESCRIBE output, and hijacking it by default would change stock
+    * behavior; the TVF itself is always callable.
+    */
+  val duckDescribeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("duck_describe"), info("duck_describe"), (args: Seq[Expression]) => {
+      if (args.size != 1)
+        throw new IllegalArgumentException(
+          s"duck_describe(table) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "duck_describe arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "duck_describe arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val rows = spark.table(asString(v(0))).schema.map { f =>
+        org.apache.spark.sql.Row(f.name, duckTypeName(f.dataType),
+          if (f.nullable) "YES" else "NO", null, null, null)
+      }
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(describeSchema), rows)
+    })
+
   /** DuckDB's `COPY ... TO` as an eager table function: run the source
     * (view/catalog name or SQL text), write it to `path` as `format`,
     * and return DuckDB's one-row result — `Count BIGINT`, the rows
@@ -1127,6 +1205,7 @@ object GraftSparkExtensions {
     readJsonFn,
     readJsonAutoFn,
     generateSeriesFn,
-    globFn
+    globFn,
+    duckDescribeFn
   )
 }

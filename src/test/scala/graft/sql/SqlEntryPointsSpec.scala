@@ -885,6 +885,25 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(exU.getMessage.contains("unionByName"), s"got: ${exU.getMessage}")
   }
 
+  test("DESCRIBE: DuckDB shape under the opt-in conf, native otherwise") {
+    registerMarket()
+    // Default: Spark's own DESCRIBE (3 columns, lowercase types).
+    val native = spark.sql("DESCRIBE sq_quotes")
+    assert(native.columns.toSeq == Seq("col_name", "data_type", "comment"))
+    spark.conf.set("spark.graft.duckdbDescribe", "true")
+    try {
+      val d = spark.sql("DESCRIBE sq_quotes")
+      assert(d.columns.toSeq ==
+        Seq("column_name", "column_type", "null", "key", "default", "extra"))
+      val types = d.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(types("sym") == "BIGINT" && types("px") == "DOUBLE" &&
+        types("tag") == "VARCHAR", s"got $types")
+      // DESC alias works; EXTENDED and multipart stay native.
+      assert(spark.sql("DESC sq_quotes").columns.head == "column_name")
+      assert(spark.sql("DESCRIBE EXTENDED sq_quotes").columns.head == "col_name")
+    } finally spark.conf.set("spark.graft.duckdbDescribe", "false")
+  }
+
   test("generate_series TVF: inclusive bounds, steps, down-counting, empty") {
     def vals(sql: String): Seq[Long] =
       spark.sql(sql).collect().map(_.getLong(0)).toSeq
