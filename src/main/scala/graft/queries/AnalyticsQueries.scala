@@ -1294,6 +1294,54 @@ object AnalyticsQueries {
          FROM events WHERE event_id < 200 ORDER BY event_id""")
   }
 
+  // DuckDB set-op parity: `UNION ALL BY NAME` executing — by-name
+  // alignment with NULL-fill for one-sided columns
+  // (sql/UnionByNameRewrite → union_by_name TVF →
+  // Dataset.unionByName(allowMissingColumns = true)). Identical
+  // statement text on both engines (DuckDB parses BY NAME natively);
+  // nation and region names are disjoint so ORDER BY name is total.
+  declare("q76_union_by_name",
+    """SELECT n_nationkey AS id, n_name AS name FROM nation
+       UNION ALL BY NAME
+       SELECT r_name AS name, r_regionkey AS rid FROM region
+       ORDER BY name""") { (spark, sfDir) =>
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    t(spark, sfDir, "region").createOrReplaceTempView("region")
+    spark.sql(
+      """SELECT n_nationkey AS id, n_name AS name FROM nation
+         UNION ALL BY NAME
+         SELECT r_name AS name, r_regionkey AS rid FROM region
+         ORDER BY name""")
+  }
+
+  // DuckDB friendly-SQL parity: `USING SAMPLE` executing
+  // (sql/SampleRewrite → Spark native TABLESAMPLE). The ROWS form is
+  // count-deterministic on both engines (DuckDB: reservoir of exactly N;
+  // Spark: N-row prefix), so the COUNT oracle-compares under identical
+  // statement text even though the drawn rows differ.
+  declare("q78_using_sample",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n
+       FROM (SELECT * FROM lineitem USING SAMPLE 50 ROWS) s""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT * FROM lineitem USING SAMPLE 50 ROWS) s""")
+  }
+
+  // DuckDB friendly-SQL parity: `SELECT DISTINCT ON` executing
+  // (sql/DistinctOnRewrite → row_number window). The query's ORDER BY is
+  // the per-group tiebreak on both engines; (o_custkey, o_orderkey) is a
+  // total order so the kept rows are fully deterministic. Identical
+  // statement text (DuckDB hosts the Postgres-ism natively).
+  declare("q79_distinct_on",
+    """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+       FROM orders ORDER BY o_custkey, o_orderkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+         FROM orders ORDER BY o_custkey, o_orderkey""")
+  }
+
   // DuckDB TVF parity: `generate_series` — INCLUSIVE bounds, unlike the
   // exclusive range() both engines already share. Splices Spark's
   // distributed Range plan (codegen'd, parallel — not a local list)
@@ -1329,6 +1377,29 @@ object AnalyticsQueries {
       """COPY (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
               WHERE o_totalprice > 150000)
          TO '/tmp/graft_q69_spark.parquet' (FORMAT PARQUET)""")
+  }
+
+  // DuckDB statement parity: `COPY tbl FROM 'path'` import direction
+  // executing (sql/CopyToRewrite FROM branch → copy_from TVF →
+  // insertInto append). The Spark side runs the real pipeline — export
+  // region, create a catalog table, import the file back — and returns
+  // DuckDB's one-row Count; the oracle models the same count (the
+  // import's row count IS region's row count) as a single SELECT, since
+  // the driver's oracle runner executes one statement.
+  declare("q77_copy_from",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS Count FROM region""") { (spark, sfDir) =>
+    t(spark, sfDir, "region").createOrReplaceTempView("region")
+    spark.sql("DROP TABLE IF EXISTS graft_q77_region")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir = { val u = new java.net.URI(wh); if (u.getScheme == null) wh else u.getPath }
+    def del(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
+    del(new java.io.File(whDir, "graft_q77_region"))
+    spark.sql("COPY region TO '/tmp/graft_q77_src.parquet' (FORMAT PARQUET)")
+    spark.sql(
+      "CREATE TABLE graft_q77_region (r_regionkey INT, r_name STRING) " +
+        "USING parquet")
+    spark.sql("COPY graft_q77_region FROM '/tmp/graft_q77_src.parquet'")
   }
 
   // ------------------------------------------------------------------

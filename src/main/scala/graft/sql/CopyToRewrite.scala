@@ -19,7 +19,12 @@ package graft.sql
   * `HEADER` defaults true for CSV (DuckDB ≥0.8 default);
   * `PARTITION_BY` produces the SAME hive-style `col=value/` directory
   * layout on both engines (Spark: `DataFrameWriter.partitionBy` — the
-  * 100 TB export layout, partition-prunable on re-read). Anything
+  * 100 TB export layout, partition-prunable on re-read).
+  *
+  * The IMPORT direction (`COPY tbl FROM 'path' [(FORMAT ..., HEADER)]`)
+  * rewrites onto `copy_from()`, which appends the file's rows into the
+  * existing catalog table (Spark: `insertInto` — by-position, DuckDB's
+  * own mapping) and returns the same one-row Count. Anything
   * else — other formats, other options (DELIMITER, COMPRESSION...), a
   * non-literal path — declines to the caller's guidance hint.
   */
@@ -47,9 +52,15 @@ object CopyToRewrite {
         (idM.group(1), i0 + idM.end)
       }
     if (source.isEmpty) return None
-    val toM = """(?is)\A\s*TO\s+'((?:[^']|'')*)'""".r
+    val toM0 = """(?is)\A\s*(TO|FROM)\s+'((?:[^']|'')*)'""".r
       .findFirstMatchIn(sql.substring(afterSrc)).getOrElse(return None)
-    val path = toM.group(1).replace("''", "'")
+    val isImport = toM0.group(1).equalsIgnoreCase("FROM")
+    // The import direction (`COPY tbl FROM 'path'`) appends the file's
+    // rows into an EXISTING catalog table — only a bare table name can
+    // be a target, never a query.
+    if (isImport && source.startsWith("(")) return None
+    val toM = toM0
+    val path = toM.group(2).replace("''", "'")
     if (path.isEmpty) return None
     val tail = sql.substring(afterSrc + toM.end).trim
       .stripSuffix(";").trim
@@ -70,7 +81,7 @@ object CopyToRewrite {
           case fm(f) => format = Some(f.toLowerCase)
           case hm(v) => header = Some(v == null ||
             v.equalsIgnoreCase("true") || v == "1")
-          case pm(list, single) =>
+          case pm(list, single) if !isImport =>
             val names = Option(list)
               .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq(single))
             if (names.isEmpty || names.exists(!_.matches("[A-Za-z_]\\w*")))
@@ -89,6 +100,9 @@ object CopyToRewrite {
     if (fmt != "parquet" && fmt != "csv") return None
 
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    if (isImport)
+      return Some(s"SELECT * FROM copy_from(${lit(source)}, ${lit(path)}, " +
+        s"${lit(fmt)}, ${header.getOrElse(true)})")
     val partArg =
       if (partition.isEmpty) "" else s", ${lit(partition.mkString(","))}"
     Some(s"SELECT * FROM copy_to(${lit(source)}, ${lit(path)}, " +

@@ -1,0 +1,108 @@
+package graft.sql
+
+/** Mechanical rewrite of `SELECT DISTINCT ON (exprs) ...` (the
+  * PostgreSQL-ism DuckDB hosts — DuckDB docs "SELECT"; host pin v1.3.2)
+  * onto the window idiom Spark executes:
+  *
+  * {{{
+  * SELECT DISTINCT ON (a) b, c FROM t WHERE p ORDER BY a, d DESC
+  * -- becomes --
+  * SELECT b, c FROM (
+  *   SELECT *, row_number() OVER (PARTITION BY a ORDER BY a, d DESC)
+  *     AS __graft_rn
+  *   FROM t WHERE p
+  * ) __graft_d WHERE __graft_rn = 1 ORDER BY a, d DESC
+  * }}}
+  *
+  * One kept row per distinct ON-tuple. Which row: the first under the
+  * query's ORDER BY (DuckDB/Postgres semantics — the ORDER BY doubles
+  * as the per-group tiebreak); with no ORDER BY the choice is arbitrary
+  * on both engines, and the window orders by the ON exprs purely so the
+  * plan is deterministic per-engine. The inner block keeps `SELECT *`,
+  * so the outer trailing ORDER BY may reference ANY source column (not
+  * just projected ones) — Spark resolves sort keys against the
+  * subquery's full output, mirroring how DuckDB scopes it.
+  *
+  * A leading WITH rides along untouched (CTE bodies are parenthesized,
+  * so the top-level SELECT is the query's own; CTE names stay visible
+  * inside the new subquery). Declines to the hint: top-level GROUP
+  * BY/HAVING (aggregate DISTINCT ON needs the grouped relation, a
+  * different splice), set operations, QUALIFY (order the rewrites would
+  * apply in is ambiguous), `*` select lists that this would have to
+  * rename around (`SELECT DISTINCT ON (a) *` is supported — the star
+  * becomes `* EXCEPT (__graft_rn)`), and positional `?` parameters.
+  */
+object DistinctOnRewrite {
+
+  private val trailing = Set("ORDER", "LIMIT", "OFFSET", "FETCH")
+
+  /** True when the statement's own top-level word stream reads
+    * SELECT DISTINCT ON — i.e. it genuinely IS the construct, not a
+    * string literal or a parenthesized subquery mentioning it. Used by
+    * the caller to decide between pass-through and the decline hint
+    * (DISTINCT ON parses as a call to a function named `ON`, so an
+    * unrewritten statement would die in analysis with a raw
+    * UNRESOLVED_ROUTINE).
+    */
+  def isShaped(sql: String): Boolean = {
+    val words = QualifyRewrite.topLevelWords(sql)
+    val selIdx = words.indexWhere(_._1 == "SELECT")
+    selIdx >= 0 &&
+      words.lift(selIdx + 1).exists(_._1 == "DISTINCT") &&
+      words.lift(selIdx + 2).exists(_._1 == "ON")
+  }
+
+  def rewrite(sql: String): Option[String] = {
+    val words = QualifyRewrite.topLevelWords(sql)
+    if (words.exists(_._1 == "?")) return None
+    val selIdx = words.indexWhere(_._1 == "SELECT")
+    if (selIdx < 0) return None
+    // Only the head statement (or a WITH's final SELECT) — anything
+    // before SELECT other than a WITH prefix declines.
+    if (selIdx > 0 && words.head._1 != "WITH") return None
+    if (!(words.lift(selIdx + 1).exists(_._1 == "DISTINCT") &&
+      words.lift(selIdx + 2).exists(_._1 == "ON"))) return None
+    if (words.exists(w => Set("GROUP", "HAVING", "QUALIFY", "UNION",
+      "INTERSECT", "EXCEPT").contains(w._1))) return None
+    val onPos = words(selIdx + 2)._2
+    val parenStart = sql.indexOf('(', onPos + 2)
+    if (parenStart < 0) return None
+    if (sql.substring(onPos + 2, parenStart).exists(!_.isWhitespace))
+      return None
+    val parenClose = ReplaceRewrite.closeOf(sql, parenStart)
+    if (parenClose < 0) return None
+    val ons = sql.substring(parenStart + 1, parenClose - 1).trim
+    if (ons.isEmpty) return None
+    // Select list: from after the ON (...) group to the top-level FROM.
+    val fromPos = words.drop(selIdx + 1).find(_._1 == "FROM").map(_._2)
+      .getOrElse(return None)
+    if (fromPos < parenClose) return None
+    val rawList = sql.substring(parenClose, fromPos).trim
+    if (rawList.isEmpty) return None
+    val outList = if (rawList == "*") "* EXCEPT (__graft_rn)" else rawList
+    // FROM section runs to the first top-level trailing clause.
+    val trailPos = words.find(t => trailing(t._1) && t._2 > fromPos)
+      .map(_._2).getOrElse(sql.length)
+    val fromSection = sql.substring(fromPos, trailPos).trim
+      .stripSuffix(";").trim
+    val trail = sql.substring(trailPos).trim.stripSuffix(";").trim
+    // The window's ORDER BY: the query's own sort keys when present
+    // (DuckDB keeps the first row under that order), else the ON exprs.
+    val winOrder = if (trail.toUpperCase.startsWith("ORDER")) {
+      val t2 = trail
+      val stopIdx = QualifyRewrite.topLevelWords(t2)
+        .find(w => w._1 == "LIMIT" || w._1 == "OFFSET" || w._1 == "FETCH")
+        .map(_._2).getOrElse(t2.length)
+      t2.substring("ORDER".length, stopIdx).trim
+        .replaceFirst("(?i)\\Aby\\b", "").trim match {
+        case "" => ons
+        case keys => keys
+      }
+    } else ons
+    val prefix = sql.substring(0, words(selIdx)._2)
+    Some(prefix + s"SELECT $outList FROM ( SELECT *, row_number() OVER " +
+      s"(PARTITION BY $ons ORDER BY $winOrder) AS __graft_rn $fromSection " +
+      s") __graft_d WHERE __graft_rn = 1" +
+      (if (trail.isEmpty) "" else " " + trail))
+  }
+}

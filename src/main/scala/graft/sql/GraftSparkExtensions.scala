@@ -88,7 +88,11 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val unpivotStmtRe = "(?is)\\A\\s*UNPIVOT\\b.*".r
   private val copyStmtRe = "(?is)\\A\\s*COPY\\b.*".r
   private val pragmaStmtRe = "(?is)\\A\\s*PRAGMA\\b.*".r
-  private val unionByNameRe = "(?is).*\\bUNION\\s+(?:ALL\\s+)?BY\\s+NAME\\b.*".r
+  private val unionByNameRe =
+    "(?is).*\\bUNION\\s+(?:ALL\\s+|DISTINCT\\s+)?BY\\s+NAME\\b.*".r
+  private val usingSampleRe = "(?is).*\\bUSING\\s+SAMPLE\\b.*".r
+  private val distinctOnRe =
+    "(?is).*\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(.*".r
 
   private def withHint[T](sqlText: String, reparse: String => T)(body: => T): T =
     try body catch {
@@ -137,6 +141,12 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               PivotRewrite.rewrite(text); case _ => None },
             () => text match { case unpivotStmtRe() =>
               UnpivotRewrite.rewrite(text); case _ => None },
+            () => text match { case unionByNameRe() =>
+              UnionByNameRewrite.rewrite(text); case _ => None },
+            () => text match { case usingSampleRe() =>
+              SampleRewrite.rewrite(text); case _ => None },
+            () => text match { case distinctOnRe() =>
+              DistinctOnRewrite.rewrite(text); case _ => None },
             () => text match { case copyStmtRe() =>
               CopyToRewrite.rewrite(text); case _ => None },
             () => text match { case macroRe() =>
@@ -178,38 +188,65 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "directory of part files (hive-style col=value/ " +
                   "subdirectories under PARTITION_BY) and returns " +
                   "DuckDB's one-row Count — but this statement wasn't " +
-                  "that shape. Other formats and options (DELIMITER, " +
-                  "COMPRESSION, COPY FROM import) decline: use the " +
-                  "DataFrame writer/reader directly " +
+                  "that shape. The import form (COPY tbl FROM 'path' " +
+                  "[(FORMAT CSV|PARQUET[, HEADER])]) also runs, " +
+                  "appending into an existing catalog table. Other " +
+                  "formats and options (DELIMITER, COMPRESSION) " +
+                  "decline: use the DataFrame writer/reader directly " +
                   "(df.write.parquet(path), spark.read.csv(path)), or " +
                   "the copy_to('src', 'path', 'format'[, header[, " +
-                  "'partition_csv']]) table function.")
+                  "'partition_csv']]) / copy_from('tbl', 'path'[, " +
+                  "'format'[, header]]) table functions.")
               case unpivotStmtRe() =>
                 Some("If you meant DuckDB's UNPIVOT statement: the common " +
-                  "form (UNPIVOT t ON c1, c2 [INTO NAME k VALUE v]) runs " +
+                  "forms (UNPIVOT t ON c1, c2 [INTO NAME k VALUE v] and " +
+                  "UNPIVOT t ON COLUMNS(* [EXCLUDE (cols)])) run " +
                   "automatically (rewritten onto Spark's native UNPIVOT " +
-                  "clause), but this one wasn't — COLUMNS(*)/EXCLUDE ON " +
-                  "lists and multi-value forms decline. Use the native " +
-                  "clause directly: SELECT * FROM t UNPIVOT (v FOR k IN " +
-                  "(c1, c2)).")
+                  "clause), but this one wasn't — multi-value INTO forms " +
+                  "decline. Use the native clause directly: SELECT * " +
+                  "FROM t UNPIVOT (v FOR k IN (c1, c2)).")
               case pivotStmtRe() =>
                 Some("If you meant DuckDB's PIVOT statement: the common " +
-                  "form (PIVOT t ON col USING agg(expr) [GROUP BY cols]) " +
-                  "runs automatically (dynamic pivot-column discovery via " +
-                  "the pivot_auto table function), but this one wasn't — " +
-                  "IN lists, aliased aggregates, and multi-ON pivots " +
-                  "decline. Use Spark's native PIVOT with an explicit IN " +
+                  "forms (PIVOT t ON col [IN (v1, v2)] USING agg(expr) " +
+                  "[AS alias][, agg2(e) AS a2] [GROUP BY cols]) run " +
+                  "automatically (dynamic pivot-column discovery via the " +
+                  "pivot_auto table function; an IN list skips the " +
+                  "discovery job), but this one wasn't — multi-ON pivots " +
+                  "and un-aliased multi-aggregate lists decline. Use " +
+                  "Spark's native PIVOT with an explicit IN " +
                   "list (SELECT ... FROM t PIVOT (agg(v) FOR c IN " +
                   "('a', 'b'))), or pivot_auto('t', 'c', 'agg_sql'[, " +
-                  "'group_csv']) directly.")
+                  "'group_csv'[, 'in_values_csv']]) directly.")
+              case usingSampleRe() =>
+                Some("If you meant DuckDB's USING SAMPLE: the common " +
+                  "forms (USING SAMPLE N% | N PERCENT | N ROWS | N, an " +
+                  "optional (method[, seed]) group, and " +
+                  "method(N%)) run automatically, rewritten onto Spark's " +
+                  "native TABLESAMPLE — but this one wasn't that shape. " +
+                  "Use TABLESAMPLE directly: SELECT * FROM t TABLESAMPLE " +
+                  "(10 PERCENT) [REPEATABLE (42)] or (50 ROWS), or the " +
+                  "Dataset API df.sample(fraction, seed).")
+              case distinctOnRe() =>
+                Some("If you meant DuckDB/Postgres SELECT DISTINCT ON " +
+                  "(exprs): the common form (single query block, " +
+                  "optional WITH prefix, trailing ORDER BY as the " +
+                  "per-group tiebreak) runs automatically via a " +
+                  "row_number() window rewrite — but this one wasn't " +
+                  "that shape (GROUP BY/HAVING, set operations, and " +
+                  "QUALIFY decline). Write the window form directly: " +
+                  "SELECT ... FROM (SELECT *, row_number() OVER " +
+                  "(PARTITION BY exprs ORDER BY tiebreak) rn FROM t) " +
+                  "WHERE rn = 1.")
               case unionByNameRe() =>
-                Some("If you meant DuckDB's UNION [ALL] BY NAME: Spark's " +
-                  "SQL grammar has no BY NAME modifier. Use the Dataset " +
-                  "API — df1.unionByName(df2, allowMissingColumns = true) " +
-                  "— or align the branches by listing columns explicitly " +
-                  "(SELECT a, b FROM t1 UNION ALL SELECT a, b FROM t2); " +
-                  "q51's schema-drift pattern fills missing columns with " +
-                  "NULL the same way BY NAME does.")
+                Some("If you meant DuckDB's UNION [ALL|DISTINCT] BY NAME: " +
+                  "the common form (bare query branches, trailing ORDER " +
+                  "BY/LIMIT allowed) runs automatically via the " +
+                  "union_by_name table function, but this statement " +
+                  "wasn't that shape — WITH-prefixed statements, " +
+                  "INTERSECT/EXCEPT BY NAME, and positional ? parameters " +
+                  "decline. Use union_by_name('left_sql_or_table', " +
+                  "'right_sql_or_table'[, all]) directly, or the Dataset " +
+                  "API: df1.unionByName(df2, allowMissingColumns = true).")
               case recursiveRe() =>
                 Some("Spark 4.1 hosts standard UNION ALL recursive CTEs " +
                   "natively, and the common linear `WITH RECURSIVE r USING " +
@@ -364,6 +401,27 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               "here. Enumerate the columns explicitly " +
               "(df.select(df.columns.map(c => expr(...)): _*)), or use " +
               "* EXCLUDE (...) / * REPLACE (...), which do run here.")))
+      }
+    case distinctOnRe() if DistinctOnRewrite.isShaped(sqlText) =>
+      // SELECT DISTINCT ON (...) PARSES as plain Spark (ON(...) is an
+      // ordinary function call), so like COLUMNS it must be caught
+      // BEFORE delegation — left alone it dies in analysis with a raw
+      // UNRESOLVED_ROUTINE for `ON`. isShaped keys on the top-level
+      // word sequence (quote-/comment-/paren-aware), so a string
+      // literal containing the text passes through untouched.
+      DistinctOnRewrite.rewrite(sqlText).getOrElse {
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            ("SELECT DISTINCT ON (exprs) could not be rewritten: the " +
+              "common form (single query block, optional WITH prefix, " +
+              "trailing ORDER BY as the per-group tiebreak) runs " +
+              "automatically via a row_number() window rewrite, but " +
+              "this one doesn't (GROUP BY/HAVING, set operations, " +
+              "QUALIFY, and ? parameters decline). Write the window " +
+              "form directly: SELECT ... FROM (SELECT *, row_number() " +
+              "OVER (PARTITION BY exprs ORDER BY tiebreak) rn FROM t) " +
+              "WHERE rn = 1.")))
       }
     case _ => sqlText
   }
@@ -755,7 +813,9 @@ object GraftSparkExtensions {
   private def tableOrSql(spark: org.apache.spark.sql.SparkSession,
       s: String): org.apache.spark.sql.DataFrame = {
     val t = s.trim
-    if (t.toUpperCase.startsWith("SELECT") || t.startsWith("(")) spark.sql(t)
+    val up = t.toUpperCase
+    if (Seq("SELECT", "FROM ", "VALUES", "WITH ", "TABLE ").exists(up.startsWith)
+      || t.startsWith("(")) spark.sql(t)
     else spark.table(t)
   }
 
@@ -917,9 +977,10 @@ object GraftSparkExtensions {
     */
   val pivotAutoFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("pivot_auto"), info("pivot_auto"), (args: Seq[Expression]) => {
-      if (args.size < 2 || args.size > 4)
+      if (args.size < 2 || args.size > 5)
         throw new IllegalArgumentException(
-          s"pivot_auto(table_or_sql, on_col[, agg_sql[, group_csv]]) — got ${args.size} arguments")
+          "pivot_auto(table_or_sql, on_col[, agg_sql[, group_csv[, " +
+            s"in_values_csv]]]) — got ${args.size} arguments")
       require(args.forall(_.foldable), "pivot_auto arguments must be constants")
       val v = args.map(_.eval(null)).toIndexedSeq
       require(v.forall(_ != null), "pivot_auto arguments must be non-NULL constants")
@@ -928,32 +989,112 @@ object GraftSparkExtensions {
       val onCol = asString(v(1)).trim
       val aggSql = if (args.size >= 3) asString(v(2)) else "count(*)"
       val groupCsv = if (args.size >= 4) asString(v(3)) else ""
+      val valuesCsv = if (args.size >= 5) asString(v(4)) else ""
       val cols = src.columns
       require(cols.exists(_.equalsIgnoreCase(onCol)),
         s"pivot_auto: column '$onCol' not in (${cols.mkString(", ")})")
+      // DuckDB's USING list: one or more aggregates, each optionally
+      // `AS alias` (top-level AS only — `CAST(x AS t)` inside parens is
+      // not an alias). Multiple aggregates need aliases: DuckDB names
+      // those columns `<value>_<alias>`, and without an alias the two
+      // engines' auto-generated names cannot match.
+      def splitAlias(a: String): (String, Option[String]) =
+        QualifyRewrite.topLevelWords(a).reverse.find(_._1 == "AS") match {
+          case Some((_, pos)) =>
+            (a.take(pos).trim, Some(a.drop(pos + 2).trim))
+          case None => (a.trim, None)
+        }
+      val aggParts = ReplaceRewrite.splitTop(aggSql).map(splitAlias)
+      require(aggParts.size == 1 || aggParts.forall(_._2.isDefined),
+        "pivot_auto: multiple USING aggregates each need an AS alias")
       val groups: Seq[String] =
         if (groupCsv.trim.nonEmpty) groupCsv.split(",").map(_.trim).toSeq
         else {
           // A column is "consumed by the aggregate" when its name appears
           // as a data reference — an identifier NOT followed by '(' (a
           // column named `count` must not be dropped just because the
-          // aggregate text says count(*)).
-          val aggLower = aggSql.toLowerCase
+          // aggregate text says count(*)). Aliases are excluded from the
+          // scan: `sum(v) AS v2` must not capture a column named v2.
+          val aggLower = aggParts.map(_._1).mkString(" ").toLowerCase
           cols.toSeq.filterNot(c => c.equalsIgnoreCase(onCol) ||
             ("\\b" + java.util.regex.Pattern.quote(c.toLowerCase) + "\\b(?!\\s*\\()").r
               .findFirstIn(aggLower).isDefined)
         }
+      // An explicit IN value list (DuckDB `PIVOT t ON c IN (...)`) skips
+      // the distinct-discovery job — the 100 TB form. Values are SQL
+      // literals: quoted strings, numbers, booleans.
+      def parseVal(s0: String): Any = {
+        val s = s0.trim
+        if (s.length >= 2 && s.startsWith("'") && s.endsWith("'"))
+          s.substring(1, s.length - 1).replace("''", "'")
+        else if (s.equalsIgnoreCase("true")) java.lang.Boolean.TRUE
+        else if (s.equalsIgnoreCase("false")) java.lang.Boolean.FALSE
+        else scala.util.Try[Any](s.toLong)
+          .orElse(scala.util.Try[Any](s.toDouble)).getOrElse(s)
+      }
+      val inValues = ReplaceRewrite.splitTop(valuesCsv)
+        .map(_.trim).filter(_.nonEmpty).map(parseVal)
       import org.apache.spark.sql.functions.{col, expr}
-      val pivoted = src.groupBy(groups.map(col): _*).pivot(onCol)
-        .agg(expr(aggSql))
+      val grouped = src.groupBy(groups.map(col): _*)
+      val pivotSpec =
+        if (inValues.nonEmpty) grouped.pivot(onCol, inValues)
+        else grouped.pivot(onCol)
+      val aggCols = aggParts.map { case (e, al) =>
+        al.map(expr(e).as(_)).getOrElse(expr(e)) }
+      val pivoted = pivotSpec.agg(aggCols.head, aggCols.tail: _*)
+      // Spark drops a SINGLE aggregate's alias from the pivot column
+      // names (`<value>` not `<value>_<alias>`); DuckDB keeps it. Put it
+      // back so aliased single-aggregate pivots hash-compare.
+      val aliased = (aggParts, aggParts.head._2) match {
+        case (Seq(_), Some(al)) =>
+          pivoted.toDF(pivoted.columns.map(c =>
+            if (groups.exists(_.equalsIgnoreCase(c))) c else s"${c}_$al"): _*)
+        case _ => pivoted
+      }
       // DuckDB fills a COUNT pivot's absent combinations with 0 (other
       // aggregates stay NULL); Spark's pivot yields NULL for every
-      // absent cell — match DuckDB for count-shaped aggregates.
+      // absent cell — match DuckDB for count-shaped aggregates. With
+      // multiple aggregates only the count-shaped aliases' columns fill.
+      def countShaped(e: String) =
+        """(?i)\Acount\s*\(""".r.findFirstIn(e.trim).isDefined
+      val countAliases = aggParts.collect {
+        case (e, Some(al)) if countShaped(e) => al.toLowerCase }
       val out =
-        if ("""(?i)\Acount\s*\(""".r.findFirstIn(aggSql.trim).isDefined)
-          pivoted.na.fill(0, pivoted.columns
+        if (aggParts.size == 1 && countShaped(aggParts.head._1))
+          aliased.na.fill(0, aliased.columns
             .filterNot(c => groups.exists(_.equalsIgnoreCase(c))))
-        else pivoted
+        else if (countAliases.nonEmpty)
+          aliased.na.fill(0, aliased.columns.filter(c =>
+            countAliases.exists(al => c.toLowerCase.endsWith("_" + al))))
+        else aliased
+      out.queryExecution.analyzed
+    })
+
+  /** DuckDB's `UNION [ALL|DISTINCT] BY NAME` set operation as a table
+    * function — the landing pad for [[UnionByNameRewrite]], also callable
+    * directly. Each branch is a table name or a query (parsed with the
+    * session's extended parser, so a branch may itself contain BY NAME,
+    * FROM-first, QUALIFY, …); the combination is Spark's native
+    * `unionByName(allowMissingColumns = true)` — by-name alignment,
+    * NULL-fill for one-sided columns, left-then-right-only column order,
+    * exactly DuckDB's semantics. `all = false` (plain UNION BY NAME)
+    * deduplicates. A pure lazy plan splice: both branches stay
+    * distributed scans Catalyst keeps optimizing through (the union
+    * itself is a zero-shuffle operator; the distinct form shuffles once
+    * on all columns, same as any UNION DISTINCT).
+    */
+  val unionByNameFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("union_by_name"), info("union_by_name"), (args: Seq[Expression]) => {
+      if (args.size < 2 || args.size > 3)
+        throw new IllegalArgumentException(
+          s"union_by_name(left_table_or_sql, right_table_or_sql[, all]) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "union_by_name arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "union_by_name arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val merged = tableOrSql(spark, asString(v(0)))
+        .unionByName(tableOrSql(spark, asString(v(1))), allowMissingColumns = true)
+      val out = if (args.size >= 3 && !asBool(v(2))) merged.distinct() else merged
       out.queryExecution.analyzed
     })
 
@@ -1166,6 +1307,55 @@ object GraftSparkExtensions {
         Seq(org.apache.spark.sql.Row(n)))
     })
 
+  /** DuckDB's `COPY tbl FROM 'path'` import direction — the landing pad
+    * for [[CopyToRewrite]]'s FROM branch. Appends the file's rows into an
+    * EXISTING catalog table via `insertInto` (by-position mapping, same
+    * as DuckDB's default import), eagerly at analysis like every writing
+    * TVF here, and returns DuckDB's one-row Count. CSV parses under the
+    * TARGET table's schema (DuckDB reads the file against the table's
+    * declared types the same way); parquet arrives self-described. The
+    * count rides the write's own pass via an Observation — no second
+    * scan of the file.
+    */
+  val copyFromFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("copy_from"), info("copy_from"), (args: Seq[Expression]) => {
+      if (args.size < 2 || args.size > 4)
+        throw new IllegalArgumentException(
+          "copy_from(table, path[, format[, header]])" +
+            s" — got ${args.size} arguments")
+      require(args.forall(_.foldable), "copy_from arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "copy_from arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val table = asString(v(0))
+      val path = asString(v(1))
+      val fmt = if (args.size >= 3) asString(v(2)).toLowerCase else {
+        val lower = path.toLowerCase
+        if (lower.endsWith(".csv")) "csv" else "parquet"
+      }
+      val header = if (args.size >= 4) asBool(v(3)) else true
+      val target = spark.table(table)
+      val src = fmt match {
+        case "parquet" => spark.read.parquet(path)
+        case "csv" => spark.read.option("header", header.toString)
+          .schema(target.schema).csv(path)
+        case other => throw new IllegalArgumentException(
+          s"copy_from: unsupported format '$other' (parquet, csv)")
+      }
+      val obs = org.apache.spark.sql.Observation()
+      val instrumented = src.observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      instrumented.write.mode("append").insertInto(table)
+      val n = obs.get("n") match {
+        case l: java.lang.Number => l.longValue()
+        case x => x.toString.toLong
+      }
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq(org.apache.spark.sql.Row(n)))
+    })
+
   import org.apache.spark.sql.Row
 
   private val createVariablesSchema = StructType.fromDDL(
@@ -1198,7 +1388,9 @@ object GraftSparkExtensions {
     spanScrubFn,
     summarizeFn,
     pivotAutoFn,
+    unionByNameFn,
     copyToFn,
+    copyFromFn,
     readParquetFn,
     readCsvFn,
     readCsvAutoFn,

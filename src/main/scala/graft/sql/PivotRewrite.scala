@@ -12,41 +12,51 @@ package graft.sql
   * Spark's SQL PIVOT demands an explicit IN value list; DuckDB's
   * statement discovers the pivot columns from the data, which the
   * `pivot_auto` TVF reproduces through the Dataset API's dynamic
-  * `groupBy().pivot(col)`. Scope is the common single-table form,
-  * declined otherwise: a plain single-part table name, one ON column
-  * (single-part identifier), one USING aggregate expression (no alias —
-  * aliased pivots name their columns `value_alias` in DuckDB, a naming
-  * scheme the plain expansion would not match), and an optional GROUP
-  * BY of plain column names. `PIVOT ... IN (...)` (static value list)
-  * maps directly onto Spark's native PIVOT and is left to the hint.
+  * `groupBy().pivot(col)`. An explicit `IN (v1, v2, …)` value list and
+  * `AS alias`'d aggregates (DuckDB names those columns
+  * `<value>_<alias>`) ride through to the TVF, which maps them onto
+  * `pivot(col, values)` — no discovery job — and post-pivot renames.
+  * Scope is the common single-table form, declined otherwise: a plain
+  * single-part table name, one ON column (single-part identifier; a
+  * multi-ON pivot's combined-value naming has no Spark counterpart),
+  * one-or-more USING aggregates (each aliased when there are several),
+  * and an optional GROUP BY of plain column names.
   */
 object PivotRewrite {
 
   private val headRe =
-    """(?is)\A\s*PIVOT\s+([A-Za-z_]\w*)\s+ON\s+([A-Za-z_]\w*)\s+USING\s+(.*?)(?:\s+GROUP\s+BY\s+(.*?))?\s*;?\s*\z""".r
+    """(?is)\A\s*PIVOT\s+([A-Za-z_]\w*)\s+ON\s+([A-Za-z_]\w*)(?:\s+IN\s*\((.*?)\))?\s+USING\s+(.*?)(?:\s+GROUP\s+BY\s+(.*?))?\s*;?\s*\z""".r
+
+  private def esc(s: String) = s.replace("'", "''")
 
   def rewrite(sql: String): Option[String] = {
     val m = headRe.findFirstMatchIn(sql).getOrElse(return None)
     val table = m.group(1)
     val onCol = m.group(2)
-    val agg = m.group(3).trim
-    val groups = Option(m.group(4)).map(_.trim).getOrElse("")
+    val inList = Option(m.group(3)).map(_.trim).getOrElse("")
+    val agg = m.group(4).trim
+    val groups = Option(m.group(5)).map(_.trim).getOrElse("")
     if (agg.isEmpty) return None
-    // An IN list, multiple USING aggregates, an aliased aggregate, or
-    // nested quotes fall outside the supported shape. The alias test
-    // looks at the aggregate's text with paren groups removed, so
-    // CAST(x AS t) INSIDE the aggregate does not false-decline — only a
-    // top-level `agg(...) AS name` alias does.
-    if ("""(?i)\bIN\s*\(""".r.findFirstIn(sql).isDefined) return None
-    if (ReplaceRewrite.splitTop(agg).size != 1) return None
-    var aggOuter = agg
-    while (aggOuter.contains("("))
-      aggOuter = aggOuter.replaceAll("\\([^()]*\\)", "")
-    if ("""(?i)\bAS\b""".r.findFirstIn(aggOuter).isDefined) return None
-    if (agg.contains("'")) return None
+    // Each top-level USING part may carry one trailing alias; with
+    // several parts every one must (pivot_auto enforces it too, but
+    // declining here keeps the error on the friendlier hint path).
+    val parts = ReplaceRewrite.splitTop(agg)
+    if (parts.size > 1) {
+      val outers = parts.map { p =>
+        var o = p
+        while (o.contains("(")) o = o.replaceAll("\\([^()]*\\)", "")
+        o
+      }
+      if (!outers.forall(o =>
+        """(?i)\bAS\b""".r.findFirstIn(o).isDefined)) return None
+    }
     if (groups.nonEmpty &&
       !groups.split(",").forall(_.trim.matches("[A-Za-z_]\\w*"))) return None
-    val groupArg = if (groups.isEmpty) "" else s", '$groups'"
-    Some(s"SELECT * FROM pivot_auto('$table', '$onCol', '$agg'$groupArg)")
+    val groupArg =
+      if (groups.isEmpty && inList.isEmpty) ""
+      else s", '${esc(groups)}'"
+    val inArg = if (inList.isEmpty) "" else s", '${esc(inList)}'"
+    Some(s"SELECT * FROM pivot_auto('${esc(table)}', '${esc(onCol)}', " +
+      s"'${esc(agg)}'$groupArg$inArg)")
   }
 }

@@ -14,14 +14,20 @@ package graft.sql
   * INTO reproduces DuckDB's defaults (`name` / `value`), and both
   * engines exclude NULL cells by default, so identical statement text
   * hash-compares. Scope: plain single-part table name, ON list of plain
-  * column identifiers (a `COLUMNS(*)` or EXCLUDE argument there
-  * declines), one NAME and one VALUE identifier. Everything else lands
-  * on the tier-2 hint.
+  * column identifiers OR the dynamic `COLUMNS(* [EXCLUDE (…)])` form —
+  * the latter resolves the table's schema from the session catalog at
+  * rewrite time (the same name lookup the analyzer is about to do; a
+  * name that doesn't resolve declines to the hint rather than erroring
+  * here), one NAME and one VALUE identifier. Everything else lands on
+  * the tier-2 hint.
   */
 object UnpivotRewrite {
 
   private val headRe =
     """(?is)\A\s*UNPIVOT\s+([A-Za-z_]\w*)\s+ON\s+(.+?)(?:\s+INTO\s+NAME\s+([A-Za-z_]\w*)\s+VALUE\s+([A-Za-z_]\w*))?\s*;?\s*\z""".r
+
+  private val columnsStarRe =
+    """(?is)\A\s*COLUMNS\s*\(\s*\*\s*(?:EXCLUDE\s*(?:\(([^)]*)\)|([A-Za-z_]\w*)))?\s*\)\s*\z""".r
 
   def rewrite(sql: String): Option[String] = {
     val m = headRe.findFirstMatchIn(sql).getOrElse(return None)
@@ -29,7 +35,21 @@ object UnpivotRewrite {
     val onList = m.group(2).trim
     val nameCol = Option(m.group(3)).getOrElse("name")
     val valueCol = Option(m.group(4)).getOrElse("value")
-    val cols = onList.split(",").map(_.trim)
+    val cols: Seq[String] = columnsStarRe.findFirstMatchIn(onList) match {
+      case Some(cm) =>
+        // Dynamic ON list: every table column except the EXCLUDEd ones,
+        // in schema order (DuckDB's expansion order).
+        val excluded = (Option(cm.group(1)).toSeq.flatMap(_.split(","))
+          ++ Option(cm.group(2)).toSeq).map(_.trim.toLowerCase)
+          .filter(_.nonEmpty).toSet
+        val schema = try {
+          org.apache.spark.sql.SparkSession.active.table(table).columns.toSeq
+        } catch { case scala.util.control.NonFatal(_) => return None }
+        val keep = schema.filterNot(c => excluded(c.toLowerCase))
+        if (keep.isEmpty) return None
+        keep
+      case None => onList.split(",").map(_.trim).toSeq
+    }
     if (cols.isEmpty || !cols.forall(_.matches("[A-Za-z_]\\w*"))) return None
     Some(s"SELECT * FROM $table UNPIVOT ($valueCol FOR $nameCol IN " +
       s"(${cols.mkString(", ")}))")

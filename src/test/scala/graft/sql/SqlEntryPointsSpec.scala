@@ -432,14 +432,32 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // consumed by the aggregate (here: sym, px remain; qt is aggregated).
     val p2 = spark.sql("PIVOT sq_quotes ON tag USING sum(qt)")
     assert(p2.columns.sorted.toSeq == Seq("a", "b", "c", "d", "px", "sym"))
-    // IN lists decline with guidance toward the native PIVOT.
-    val ex = intercept[Exception](spark.sql(
-      "PIVOT sq_quotes ON tag IN ('a', 'b') USING count(*)"))
-    assert(ex.getMessage.contains("pivot_auto"), s"got: ${ex.getMessage}")
+    // IN lists execute without a discovery job, only listed values kept.
+    val pin = spark.sql(
+      "PIVOT sq_quotes ON tag IN ('a', 'b') USING count(*) GROUP BY sym")
+    assert(pin.columns.sorted.toSeq == Seq("a", "b", "sym"))
+    val pinRows = pin.orderBy("sym").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pinRows == Seq((1L, 1L, 1L), (2L, 0L, 0L)), s"got $pinRows")
     // CAST's AS inside the aggregate is not an alias — must run.
     val pc = spark.sql("PIVOT sq_quotes ON tag USING sum(cast(qt AS bigint)) GROUP BY sym")
     assert(pc.columns.sorted.toSeq == Seq("a", "b", "c", "d", "sym"))
-    // Multiple USING aggregates decline to the hint, not an internal error.
+    // Aliased single aggregate: DuckDB names columns <value>_<alias>.
+    val pa = spark.sql(
+      "PIVOT sq_quotes ON tag USING sum(qt) AS total GROUP BY sym")
+    assert(pa.columns.sorted.toSeq ==
+      Seq("a_total", "b_total", "c_total", "d_total", "sym"),
+      s"got ${pa.columns.toSeq}")
+    // Multiple aliased aggregates execute; count-shaped columns 0-fill.
+    val pm = spark.sql(
+      "PIVOT sq_quotes ON tag USING count(*) AS n, sum(qt) AS s GROUP BY sym")
+    assert(pm.columns.sorted.toSeq ==
+      Seq("a_n", "a_s", "b_n", "b_s", "c_n", "c_s", "d_n", "d_s", "sym"),
+      s"got ${pm.columns.toSeq}")
+    val pmRow = pm.filter("sym = 2").head()
+    assert(pmRow.getLong(pm.columns.indexOf("a_n")) == 0L)
+    assert(pmRow.isNullAt(pm.columns.indexOf("a_s")))
+    // Un-aliased multi-aggregate lists decline to the hint.
     val exM = intercept[Exception](spark.sql(
       "PIVOT sq_quotes ON tag USING count(*), sum(qt) GROUP BY sym"))
     assert(exM.getMessage.contains("pivot_auto"), s"got: ${exM.getMessage}")
@@ -461,7 +479,20 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // Defaults mirror DuckDB: NAME name VALUE value.
     val d = spark.sql("UNPIVOT sq_quotes ON qt, px")
     assert(d.columns.toSeq == Seq("sym", "tag", "name", "value"))
-    // COLUMNS(*) ON lists decline with guidance.
+    // COLUMNS(* EXCLUDE ...) resolves the schema dynamically: every
+    // column except the excluded ones unpivots (sym, tag excluded here;
+    // qt and px share no common type with tag so tag must be excluded).
+    val c = spark.sql(
+      "UNPIVOT sq_quotes ON COLUMNS(* EXCLUDE (sym, tag)) INTO NAME m VALUE v")
+    assert(c.columns.toSeq == Seq("sym", "tag", "m", "v"))
+    assert(c.count() == 8)
+    // Single-identifier EXCLUDE without parens also parses.
+    spark.sql("SELECT sym, qt, px FROM sq_quotes")
+      .createOrReplaceTempView("sq_nums")
+    val c1 = spark.sql("UNPIVOT sq_nums ON COLUMNS(* EXCLUDE sym)")
+    assert(c1.columns.toSeq == Seq("sym", "name", "value"))
+    assert(c1.count() == 8)
+    // Regex-pattern COLUMNS ON lists still decline with guidance.
     val ex = intercept[Exception](spark.sql(
       "UNPIVOT sq_quotes ON COLUMNS('q|p') INTO NAME m VALUE v"))
     assert(ex.getMessage.contains("UNPIVOT (v FOR k IN"), s"got: ${ex.getMessage}")
@@ -742,10 +773,34 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val ex2 = intercept[Exception](spark.sql(
       s"COPY sq_quotes TO '$dir/y.csv' (DELIMITER '|')"))
     assert(ex2.getMessage.contains("DELIMITER"), s"got: ${ex2.getMessage}")
-    // COPY FROM (import) is not the export form — hinted, not mangled.
+    // COPY FROM (import): appends into an existing catalog table and
+    // returns the Count row. Clear any leftover warehouse dir first —
+    // the in-memory catalog forgets tables between JVMs but their
+    // directories survive.
+    spark.sql("DROP TABLE IF EXISTS graft_copy_in")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir = { val u = new java.net.URI(wh)
+      if (u.getScheme == null) wh else u.getPath }
+    def del(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
+    del(new java.io.File(whDir, "graft_copy_in"))
+    spark.sql("CREATE TABLE graft_copy_in (sym BIGINT, qt BIGINT, " +
+      "px DOUBLE, tag STRING) USING parquet")
+    val ri = spark.sql(s"COPY graft_copy_in FROM '$dir/all.parquet'")
+    assert(ri.columns.toSeq == Seq("Count"))
+    assert(ri.head().getLong(0) == 4L)
+    assert(spark.table("graft_copy_in").count() == 4)
+    // CSV import parses under the TARGET table's schema and APPENDS.
+    val ri2 = spark.sql(
+      s"COPY graft_copy_in FROM '$dir/all.csv' (FORMAT CSV, HEADER)")
+    assert(ri2.head().getLong(0) == 4L)
+    assert(spark.table("graft_copy_in").count() == 8)
+    assert(spark.table("graft_copy_in").filter("sym = 1").count() == 6)
+    spark.sql("DROP TABLE graft_copy_in")
+    // Import into a temp view is a clear error (needs a real table).
     val ex3 = intercept[Exception](spark.sql(
       s"COPY sq_quotes FROM '$dir/all.csv'"))
-    assert(ex3.getMessage.contains("COPY"), s"got: ${ex3.getMessage}")
+    assert(ex3.getMessage.nonEmpty)
     // A parenthesized CTE source (valid DuckDB) runs: the rewrite keeps
     // the parens so the source routes through spark.sql.
     val rw = spark.sql(s"COPY (WITH hi AS (SELECT sym FROM sq_quotes " +
@@ -879,10 +934,97 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val ex = intercept[Exception](spark.sql("PRAGMA threads=8"))
     assert(ex.getMessage.contains("SET spark.sql.shuffle.partitions"),
       s"got: ${ex.getMessage}")
-    // UNION BY NAME has no Spark grammar — hint names unionByName.
+    // UNION BY NAME now executes for bare-query shapes; the WITH-prefixed
+    // form still declines (CTE scope can't span the split) with a hint
+    // that names the executing surface.
     val exU = intercept[Exception](spark.sql(
-      "SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a"))
-    assert(exU.getMessage.contains("unionByName"), s"got: ${exU.getMessage}")
+      "WITH c AS (SELECT 1 AS a) SELECT a FROM c UNION ALL BY NAME SELECT 2 AS a"))
+    assert(exU.getMessage.contains("union_by_name"), s"got: ${exU.getMessage}")
+  }
+
+  test("USING SAMPLE executes via TABLESAMPLE; DISTINCT ON via row_number") {
+    registerMarket()
+    // ROWS form: deterministic count, like DuckDB's reservoir count.
+    assert(spark.sql("SELECT * FROM sq_quotes USING SAMPLE 3 ROWS").count() == 3)
+    assert(spark.sql("SELECT * FROM sq_quotes USING SAMPLE 2").count() == 2)
+    // Percent form with seed: runs, row count bounded by the table.
+    val pct = spark.sql(
+      "SELECT * FROM sq_quotes USING SAMPLE 50% (bernoulli, 42)").count()
+    assert(pct >= 0 && pct <= 4)
+    // method(N%) prefix form.
+    assert(spark.sql(
+      "SELECT * FROM sq_quotes USING SAMPLE reservoir(100%)").count() == 4)
+    // In a subquery: the enclosing paren must survive the splice.
+    assert(spark.sql(
+      "SELECT COUNT(*) n FROM (SELECT * FROM sq_quotes USING SAMPLE 4 ROWS) s")
+      .head().getLong(0) == 4)
+    // DISTINCT ON: one row per sym, first under ORDER BY — and the
+    // outer ORDER BY may reference a non-projected column (qt).
+    val d = spark.sql(
+      "SELECT DISTINCT ON (sym) tag, px FROM sq_quotes ORDER BY sym, qt DESC")
+    assert(d.columns.toSeq == Seq("tag", "px"))
+    val dr = d.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(dr == Seq(("c", 120.0), ("d", 50.0)), s"got $dr")
+    // Star select list: rn helper column must not leak.
+    val ds = spark.sql(
+      "SELECT DISTINCT ON (sym) * FROM sq_quotes ORDER BY sym, qt")
+    assert(ds.columns.toSeq == Seq("sym", "qt", "px", "tag"))
+    assert(ds.count() == 2)
+    // No ORDER BY: arbitrary-but-one row per group.
+    assert(spark.sql("SELECT DISTINCT ON (sym) tag FROM sq_quotes").count() == 2)
+    // WITH prefix rides along; LIMIT binds after the filter.
+    val dw = spark.sql(
+      """WITH q AS (SELECT * FROM sq_quotes)
+         SELECT DISTINCT ON (sym) tag FROM q ORDER BY sym, px LIMIT 1""")
+    assert(dw.collect().map(_.getString(0)).toSeq == Seq("a"))
+    // GROUP BY forms decline to the window-form hint.
+    val ex = intercept[Exception](spark.sql(
+      "SELECT DISTINCT ON (sym) COUNT(*) FROM sq_quotes GROUP BY sym"))
+    assert(ex.getMessage.contains("row_number"), s"got: ${ex.getMessage}")
+  }
+
+  test("UNION BY NAME: executes with NULL-fill, dedup, trailing clauses") {
+    registerMarket()
+    // ALL form: by-name alignment, left-then-right-only column order,
+    // NULL fill, trailing ORDER BY scoped to the whole union.
+    val u = spark.sql(
+      """SELECT 1 AS a, 'x' AS b
+         UNION ALL BY NAME
+         SELECT 'y' AS b, 2 AS c
+         ORDER BY b""")
+    assert(u.columns.toSeq == Seq("a", "b", "c"))
+    val rows = u.collect().map(r => (r.get(0), r.getString(1), r.get(2))).toSeq
+    assert(rows == Seq((1, "x", null), (null, "y", 2)), s"got $rows")
+    // Plain (no ALL) form deduplicates.
+    val d = spark.sql(
+      """SELECT 1 AS a UNION BY NAME SELECT 1 AS a UNION BY NAME SELECT 2 AS a
+         ORDER BY a""")
+    assert(d.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // Chained mixed operators keep left-associative grouping: the
+    // DISTINCT union applies over the accumulated left branch.
+    val m = spark.sql(
+      """SELECT 1 AS a UNION ALL BY NAME SELECT 1 AS a
+         UNION BY NAME SELECT 1 AS a""")
+    assert(m.collect().map(_.getInt(0)).toSeq == Seq(1))
+    // Trailing LIMIT binds to the union, not the right branch.
+    val l = spark.sql(
+      """SELECT sym, px FROM sq_quotes
+         UNION ALL BY NAME
+         SELECT sym, px FROM sq_quotes
+         ORDER BY sym, px LIMIT 3""")
+    assert(l.count() == 3)
+    // Direct TVF call with table names.
+    val t = spark.sql(
+      "SELECT COUNT(*) AS n FROM union_by_name('sq_quotes', 'sq_quotes')")
+      .head().getLong(0)
+    assert(t == 2 * spark.table("sq_quotes").count())
+    // DISTINCT keyword spelled out behaves like the plain form.
+    val dd = spark.sql(
+      "SELECT 7 AS a UNION DISTINCT BY NAME SELECT 7 AS a")
+    assert(dd.count() == 1)
+    // BY NAME inside a string literal must not trigger the rewrite.
+    val s = spark.sql("SELECT 'UNION ALL BY NAME' AS t").head().getString(0)
+    assert(s == "UNION ALL BY NAME")
   }
 
   test("DESCRIBE: DuckDB shape under the opt-in conf, native otherwise") {
