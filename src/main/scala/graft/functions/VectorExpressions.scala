@@ -41,6 +41,33 @@ object VectorExpressions {
     (dot, na, nb)
   }
 
+  /** One-pass binary kernel behind DuckDB's `array_*` similarity
+    * functions (host capability — DuckDB ≥1.1 ships
+    * array_inner_product/array_distance/array_cosine_similarity et al.).
+    * kind: 0 = inner product, 1 = negative inner product, 2 = Euclidean
+    * distance, 3 = cosine distance. A single static call keeps the
+    * generated code a one-liner while the loop JITs hot.
+    */
+  def binaryKernel(a: ArrayData, b: ArrayData, kind: Int): Double = {
+    val n = a.numElements()
+    requireSameDim("array_kernel", n, b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var d2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      val d = x - y; d2 += d * d
+      i += 1
+    }
+    kind match {
+      case 0 => dot
+      case 1 => -dot
+      case 2 => math.sqrt(d2)
+      case _ => 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
   /** Spark-`round(x, 6)` semantics (HALF_UP on the decimal string value) —
     * shared by eval and codegen so argmax ties quantize identically to the
     * SQL formulation. Non-finite values pass through like Spark's `round`
@@ -504,6 +531,41 @@ case class VectorNorm(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "vector_norm"
+}
+
+/** DuckDB's binary `array_*` similarity functions over array<float>
+  * vectors — inner product, negative inner product, Euclidean distance,
+  * cosine distance — as one parametric codegen'd kernel (see
+  * [[VectorExpressions.binaryKernel]]). Registered under DuckDB's names
+  * by the SQL extension with a float-array cast on both inputs, so
+  * double-array literals work as they do there.
+  */
+case class VectorBinaryKernel(left: Expression, right: Expression,
+    kind: Int, fnName: String) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$fnName requires (array<float>, array<float>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorExpressions.binaryKernel(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], kind)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorExpressions.binaryKernel($a, $b, $kind);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorBinaryKernel =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = fnName
 }
 
 /** best_centroid(v): id of the nearest codebook centroid by quantized

@@ -1342,6 +1342,74 @@ object AnalyticsQueries {
          FROM orders ORDER BY o_custkey, o_orderkey""")
   }
 
+  // DuckDB function parity: the list/array similarity family
+  // (list_cosine_similarity / list_inner_product / list_distance —
+  // host DuckDB ≥1.0/1.1) executing as the engine's codegen'd vector
+  // kernels under DuckDB's names. Near-identical statement text: the
+  // oracle's cosine casts to DOUBLE[] first because DuckDB's
+  // float-lane accumulation straddles the 1e-6 rounding boundary on
+  // ~1% of rows, while this engine (and DuckDB's double lane)
+  // accumulates float inputs in double — sim_cosine_sql's convention.
+  declare("q80_list_similarity",
+    """SELECT vec_id,
+         CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) * 1000000, 0) AS BIGINT) AS cos_q,
+         CAST(round(list_inner_product(embedding, q.qe) * 1000, 0) AS BIGINT) AS ip_q,
+         CAST(round(list_distance(embedding, q.qe) * 1000, 0) AS BIGINT) AS dist_q
+       FROM embeddings, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+       WHERE vec_id < 200 ORDER BY vec_id""") { (spark, sfDir) =>
+    t(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(
+      """SELECT vec_id,
+           CAST(round(list_cosine_similarity(embedding, q.qe) * 1000000, 0) AS BIGINT) AS cos_q,
+           CAST(round(list_inner_product(embedding, q.qe) * 1000, 0) AS BIGINT) AS ip_q,
+           CAST(round(list_distance(embedding, q.qe) * 1000, 0) AS BIGINT) AS dist_q
+         FROM embeddings, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+         WHERE vec_id < 200 ORDER BY vec_id""")
+  }
+
+  // DuckDB set-op parity: INTERSECT/EXCEPT BY NAME executing
+  // (sql/UnionByNameRewrite → setop_by_name TVF: name-superset
+  // alignment with NULL-fill, then native intersect/except). The
+  // reference's host (DuckDB 1.3) parses these; the DuckDB 1.0 oracle
+  // predates the syntax, so the oracle is the hand-aligned equivalent
+  // (same convention as the macro-overload lane).
+  declare("q81_intersect_by_name",
+    """SELECT n_nationkey AS k, n_regionkey AS r FROM nation WHERE n_regionkey < 3
+       INTERSECT
+       SELECT n_nationkey AS k, n_regionkey AS r FROM nation WHERE n_regionkey > 1
+       ORDER BY k""") { (spark, sfDir) =>
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT n_nationkey AS k, n_regionkey AS r FROM nation WHERE n_regionkey < 3
+         INTERSECT BY NAME
+         SELECT n_regionkey AS r, n_nationkey AS k FROM nation WHERE n_regionkey > 1
+         ORDER BY k""")
+  }
+
+  // DuckDB statement parity: INSERT INTO ... BY NAME executing
+  // (sql/InsertByNameRewrite → Spark's column-list INSERT from the
+  // query's resolved output names; unmentioned columns NULL). Oracle
+  // models the post-state as a single SELECT (the driver's oracle
+  // runner executes one statement), q38's convention.
+  declare("q82_insert_by_name",
+    """SELECT r_regionkey AS rk, r_name AS nm, CAST(NULL AS VARCHAR) AS extra
+       FROM region ORDER BY rk""") { (spark, sfDir) =>
+    t(spark, sfDir, "region").createOrReplaceTempView("region")
+    spark.sql("DROP TABLE IF EXISTS graft_q82_byname")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir = { val u = new java.net.URI(wh); if (u.getScheme == null) wh else u.getPath }
+    def del(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
+    del(new java.io.File(whDir, "graft_q82_byname"))
+    spark.sql(
+      "CREATE TABLE graft_q82_byname (rk INT, nm STRING, extra STRING) USING parquet")
+    // The select lists nm FIRST — BY NAME must land it in nm, not rk.
+    spark.sql(
+      """INSERT INTO graft_q82_byname BY NAME
+         SELECT r_name AS nm, r_regionkey AS rk FROM region""")
+    spark.table("graft_q82_byname").orderBy("rk")
+  }
+
   // DuckDB TVF parity: `generate_series` — INCLUSIVE bounds, unlike the
   // exclusive range() both engines already share. Splices Spark's
   // distributed Range plan (codegen'd, parallel — not a local list)

@@ -89,7 +89,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val copyStmtRe = "(?is)\\A\\s*COPY\\b.*".r
   private val pragmaStmtRe = "(?is)\\A\\s*PRAGMA\\b.*".r
   private val unionByNameRe =
-    "(?is).*\\bUNION\\s+(?:ALL\\s+|DISTINCT\\s+)?BY\\s+NAME\\b.*".r
+    "(?is).*\\b(?:UNION|INTERSECT|EXCEPT)\\s+(?:ALL\\s+|DISTINCT\\s+)?BY\\s+NAME\\b.*".r
+  private val insertByNameRe =
+    "(?is)\\A\\s*INSERT\\s+INTO\\b.*\\bBY\\s+NAME\\b.*".r
   private val usingSampleRe = "(?is).*\\bUSING\\s+SAMPLE\\b.*".r
   private val distinctOnRe =
     "(?is).*\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(.*".r
@@ -141,6 +143,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               PivotRewrite.rewrite(text); case _ => None },
             () => text match { case unpivotStmtRe() =>
               UnpivotRewrite.rewrite(text); case _ => None },
+            () => text match { case insertByNameRe() =>
+              InsertByNameRewrite.rewrite(text); case _ => None },
             () => text match { case unionByNameRe() =>
               UnionByNameRewrite.rewrite(text); case _ => None },
             () => text match { case usingSampleRe() =>
@@ -237,16 +241,26 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "SELECT ... FROM (SELECT *, row_number() OVER " +
                   "(PARTITION BY exprs ORDER BY tiebreak) rn FROM t) " +
                   "WHERE rn = 1.")
+              case insertByNameRe() =>
+                Some("If you meant DuckDB's INSERT INTO tbl BY NAME " +
+                  "<query>: the common form runs automatically " +
+                  "(rewritten onto Spark's column-list INSERT from the " +
+                  "query's resolved output names), but this one wasn't " +
+                  "that shape — unresolvable queries and duplicate " +
+                  "output names decline. Write the column list " +
+                  "explicitly: INSERT INTO tbl (c1, c2) SELECT ... .")
               case unionByNameRe() =>
-                Some("If you meant DuckDB's UNION [ALL|DISTINCT] BY NAME: " +
-                  "the common form (bare query branches, trailing ORDER " +
-                  "BY/LIMIT allowed) runs automatically via the " +
-                  "union_by_name table function, but this statement " +
-                  "wasn't that shape — WITH-prefixed statements, " +
-                  "INTERSECT/EXCEPT BY NAME, and positional ? parameters " +
-                  "decline. Use union_by_name('left_sql_or_table', " +
-                  "'right_sql_or_table'[, all]) directly, or the Dataset " +
-                  "API: df1.unionByName(df2, allowMissingColumns = true).")
+                Some("If you meant DuckDB's UNION/INTERSECT/EXCEPT " +
+                  "[ALL|DISTINCT] BY NAME: the common form (bare query " +
+                  "branches, trailing ORDER BY/LIMIT allowed) runs " +
+                  "automatically via the union_by_name / setop_by_name " +
+                  "table functions, but this statement wasn't that " +
+                  "shape — WITH-prefixed statements and positional ? " +
+                  "parameters decline. Use union_by_name('left_sql', " +
+                  "'right_sql'[, all]) / setop_by_name(l, r, " +
+                  "'intersect[_all]|except[_all]') directly, or the " +
+                  "Dataset API: df1.unionByName(df2, " +
+                  "allowMissingColumns = true).")
               case recursiveRe() =>
                 Some("Spark 4.1 hosts standard UNION ALL recursive CTEs " +
                   "natively, and the common linear `WITH RECURSIVE r USING " +
@@ -567,7 +581,31 @@ object GraftSparkExtensions {
       aliasFn("list_avg", (1, 1))(a => listNullIfEmpty(a(0),
         Divide(listDoubleSum(a(0)),
           Cast(Size(ArrayCompact(a(0))), org.apache.spark.sql.types.DoubleType))))
-    )
+    ) ++ {
+      // DuckDB's array/list similarity family (host DuckDB ≥1.1 ships
+      // these for embedding math) onto the engine's codegen'd vector
+      // kernels. Both inputs cast to array<float> — a double-array
+      // literal works as it does in DuckDB, an existing float embedding
+      // column passes through (the identity cast folds away).
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      def f(e: Expression): Expression = Cast(e, ArrayType(FloatType))
+      def kernel(duckName: String, kind: Int) = Seq(
+        aliasFn("array_" + duckName, (2, 2))(a =>
+          graft.functions.VectorBinaryKernel(f(a(0)), f(a(1)), kind,
+            "array_" + duckName)),
+        aliasFn("list_" + duckName, (2, 2))(a =>
+          graft.functions.VectorBinaryKernel(f(a(0)), f(a(1)), kind,
+            "list_" + duckName)))
+      Seq(
+        aliasFn("array_cosine_similarity", (2, 2))(a =>
+          graft.functions.CosineSimilarity(f(a(0)), f(a(1)))),
+        aliasFn("list_cosine_similarity", (2, 2))(a =>
+          graft.functions.CosineSimilarity(f(a(0)), f(a(1))))) ++
+        kernel("inner_product", 0) ++
+        kernel("negative_inner_product", 1) ++
+        kernel("distance", 2) ++
+        kernel("cosine_distance", 3)
+    }
   }
 
   /** NULL-skipping double-precision fold behind list_sum/list_avg: DuckDB
@@ -986,13 +1024,17 @@ object GraftSparkExtensions {
       require(v.forall(_ != null), "pivot_auto arguments must be non-NULL constants")
       val spark = org.apache.spark.sql.SparkSession.active
       val src = tableOrSql(spark, asString(v(0)))
-      val onCol = asString(v(1)).trim
+      // ON may be a CSV of columns (DuckDB's multi-ON pivot): the pivot
+      // key becomes the '_'-joined combination, which is exactly DuckDB's
+      // combined-value column naming (`v1_v2`).
+      val onCols = asString(v(1)).split(",").map(_.trim).filter(_.nonEmpty)
+      require(onCols.nonEmpty, "pivot_auto: empty ON column list")
       val aggSql = if (args.size >= 3) asString(v(2)) else "count(*)"
       val groupCsv = if (args.size >= 4) asString(v(3)) else ""
       val valuesCsv = if (args.size >= 5) asString(v(4)) else ""
       val cols = src.columns
-      require(cols.exists(_.equalsIgnoreCase(onCol)),
-        s"pivot_auto: column '$onCol' not in (${cols.mkString(", ")})")
+      for (c <- onCols) require(cols.exists(_.equalsIgnoreCase(c)),
+        s"pivot_auto: column '$c' not in (${cols.mkString(", ")})")
       // DuckDB's USING list: one or more aggregates, each optionally
       // `AS alias` (top-level AS only — `CAST(x AS t)` inside parens is
       // not an alias). Multiple aggregates need aliases: DuckDB names
@@ -1016,7 +1058,7 @@ object GraftSparkExtensions {
           // aggregate text says count(*)). Aliases are excluded from the
           // scan: `sum(v) AS v2` must not capture a column named v2.
           val aggLower = aggParts.map(_._1).mkString(" ").toLowerCase
-          cols.toSeq.filterNot(c => c.equalsIgnoreCase(onCol) ||
+          cols.toSeq.filterNot(c => onCols.exists(_.equalsIgnoreCase(c)) ||
             ("\\b" + java.util.regex.Pattern.quote(c.toLowerCase) + "\\b(?!\\s*\\()").r
               .findFirstIn(aggLower).isDefined)
         }
@@ -1034,11 +1076,16 @@ object GraftSparkExtensions {
       }
       val inValues = ReplaceRewrite.splitTop(valuesCsv)
         .map(_.trim).filter(_.nonEmpty).map(parseVal)
-      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.functions.{col, concat_ws, expr}
+      require(onCols.length == 1 || inValues.isEmpty,
+        "pivot_auto: an IN value list needs a single ON column")
+      val pivotKey =
+        if (onCols.length == 1) col(onCols.head)
+        else concat_ws("_", onCols.map(col): _*)
       val grouped = src.groupBy(groups.map(col): _*)
       val pivotSpec =
-        if (inValues.nonEmpty) grouped.pivot(onCol, inValues)
-        else grouped.pivot(onCol)
+        if (inValues.nonEmpty) grouped.pivot(pivotKey, inValues)
+        else grouped.pivot(pivotKey)
       val aggCols = aggParts.map { case (e, al) =>
         al.map(expr(e).as(_)).getOrElse(expr(e)) }
       val pivoted = pivotSpec.agg(aggCols.head, aggCols.tail: _*)
@@ -1095,6 +1142,43 @@ object GraftSparkExtensions {
       val merged = tableOrSql(spark, asString(v(0)))
         .unionByName(tableOrSql(spark, asString(v(1))), allowMissingColumns = true)
       val out = if (args.size >= 3 && !asBool(v(2))) merged.distinct() else merged
+      out.queryExecution.analyzed
+    })
+
+  /** `INTERSECT`/`EXCEPT [ALL] BY NAME` — the rest of DuckDB's BY NAME
+    * set-operation family ([[UnionByNameRewrite]] routes the non-UNION
+    * operators here). Both branches align to the name-superset first
+    * (left columns then right-only columns, NULL-fill, Spark's own
+    * unionByName type coercion — a zero-row union against the other
+    * side's empty frame, so no data moves), then Spark's native
+    * intersect/intersectAll/except/exceptAll runs distributed (one
+    * shuffle on all columns, the same cost DuckDB's hashed set ops
+    * pay).
+    */
+  val setopByNameFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("setop_by_name"), info("setop_by_name"), (args: Seq[Expression]) => {
+      if (args.size != 3)
+        throw new IllegalArgumentException(
+          "setop_by_name(left_table_or_sql, right_table_or_sql, " +
+            s"'intersect|intersect_all|except|except_all') — got ${args.size} arguments")
+      require(args.forall(_.foldable), "setop_by_name arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "setop_by_name arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val l = tableOrSql(spark, asString(v(0)))
+      val r = tableOrSql(spark, asString(v(1)))
+      val lAligned = l.unionByName(r.limit(0), allowMissingColumns = true)
+      val rAligned = r.unionByName(l.limit(0), allowMissingColumns = true)
+        .select(lAligned.columns.map(org.apache.spark.sql.functions.col): _*)
+      val out = asString(v(2)).toLowerCase match {
+        case "intersect" => lAligned.intersect(rAligned)
+        case "intersect_all" => lAligned.intersectAll(rAligned)
+        case "except" => lAligned.except(rAligned)
+        case "except_all" => lAligned.exceptAll(rAligned)
+        case other => throw new IllegalArgumentException(
+          s"setop_by_name: unknown op '$other' " +
+            "(intersect, intersect_all, except, except_all)")
+      }
       out.queryExecution.analyzed
     })
 
@@ -1389,6 +1473,7 @@ object GraftSparkExtensions {
     summarizeFn,
     pivotAutoFn,
     unionByNameFn,
+    setopByNameFn,
     copyToFn,
     copyFromFn,
     readParquetFn,

@@ -17,15 +17,16 @@ package graft.sql
   * `<value>_<alias>`) ride through to the TVF, which maps them onto
   * `pivot(col, values)` — no discovery job — and post-pivot renames.
   * Scope is the common single-table form, declined otherwise: a plain
-  * single-part table name, one ON column (single-part identifier; a
-  * multi-ON pivot's combined-value naming has no Spark counterpart),
+  * single-part table name, one-or-more ON columns (a multi-ON pivot
+  * pivots on the '_'-joined combination, reproducing DuckDB's
+  * combined-value column naming; an IN list needs a single ON column),
   * one-or-more USING aggregates (each aliased when there are several),
   * and an optional GROUP BY of plain column names.
   */
 object PivotRewrite {
 
   private val headRe =
-    """(?is)\A\s*PIVOT\s+([A-Za-z_]\w*)\s+ON\s+([A-Za-z_]\w*)(?:\s+IN\s*\((.*?)\))?\s+USING\s+(.*?)(?:\s+GROUP\s+BY\s+(.*?))?\s*;?\s*\z""".r
+    """(?is)\A\s*PIVOT\s+([A-Za-z_]\w*)\s+ON\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)(?:\s+IN\s*\((.*?)\))?\s+USING\s+(.*?)(?:\s+GROUP\s+BY\s+(.*?))?\s*;?\s*\z""".r
 
   private def esc(s: String) = s.replace("'", "''")
 

@@ -28,10 +28,15 @@ package graft.sql
   * Chains of mixed `UNION ALL` / `UNION BY NAME` therefore keep their
   * ANSI grouping.
   *
+  * `INTERSECT [ALL] BY NAME` and `EXCEPT [ALL] BY NAME` (the rest of
+  * DuckDB's BY NAME family) route the same way onto the
+  * `setop_by_name` table function, which aligns both branches to the
+  * name-superset (NULL-fill) and runs Spark's native
+  * intersect/intersectAll/except/exceptAll.
+  *
   * Declines (caller falls back to the landing-pad hint): statements with
   * top-level WITH (the CTE scope would not span the two separately parsed
-  * branches), INTERSECT/EXCEPT BY NAME (DuckDB parses but this engine
-  * doesn't execute them), positional `?` parameters (binding is by marker
+  * branches), positional `?` parameters (binding is by marker
   * order; splitting the text would rebind), and non-query statements
   * (CREATE/INSERT wrapping — the inner query re-enters on its own).
   */
@@ -47,12 +52,13 @@ object UnionByNameRewrite {
     // cover both branches, and DDL/DML wrappers own the statement.
     val head = words.head._1
     if (!Set("SELECT", "FROM", "VALUES", "TABLE").contains(head)) return None
-    // Locate every top-level UNION [ALL|DISTINCT] BY NAME; split at the
-    // LAST one (left-associativity — see scaladoc).
+    // Locate every top-level UNION/INTERSECT/EXCEPT [ALL|DISTINCT] BY
+    // NAME; split at the LAST one (left-associativity — see scaladoc).
+    val ops = Set("UNION", "INTERSECT", "EXCEPT")
     def byNameAt(i: Int): Option[Int] = {
       // Returns the index of the NAME word when words(i) starts the
       // operator, else None.
-      if (words(i)._1 != "UNION") return None
+      if (!ops(words(i)._1)) return None
       val j = if (i + 1 < words.length &&
         (words(i + 1)._1 == "ALL" || words(i + 1)._1 == "DISTINCT")) i + 1 else i
       if (j + 2 < words.length && words(j + 1)._1 == "BY" &&
@@ -61,19 +67,26 @@ object UnionByNameRewrite {
     }
     val hits = words.indices.flatMap(i => byNameAt(i).map(i -> _))
     if (hits.isEmpty) return None
-    val (unionIdx, nameIdx) = hits.last
-    val isAll = words(unionIdx + 1)._1 == "ALL"
-    val unionPos = words(unionIdx)._2
+    val (opIdx, nameIdx) = hits.last
+    val op = words(opIdx)._1
+    val isAll = words(opIdx + 1)._1 == "ALL"
+    val opPos = words(opIdx)._2
     val rhsStart = words(nameIdx)._2 + "NAME".length
-    // Trailing clauses after the right branch scope to the whole union.
+    // Trailing clauses after the right branch scope to the whole set op.
     val trailPos = words.drop(nameIdx + 1)
       .find(t => trailing(t._1)).map(_._2).getOrElse(sql.length)
-    val lhs = sql.substring(0, unionPos).trim.stripSuffix(";").trim
+    val lhs = sql.substring(0, opPos).trim.stripSuffix(";").trim
     val rhs = sql.substring(rhsStart, trailPos).trim.stripSuffix(";").trim
     val trail = sql.substring(trailPos).trim.stripSuffix(";").trim
     if (lhs.isEmpty || rhs.isEmpty) return None
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
-    Some(s"SELECT * FROM union_by_name(${lit(lhs)}, ${lit(rhs)}, $isAll)" +
+    val call = op match {
+      case "UNION" => s"union_by_name(${lit(lhs)}, ${lit(rhs)}, $isAll)"
+      case _ =>
+        val opName = op.toLowerCase + (if (isAll) "_all" else "")
+        s"setop_by_name(${lit(lhs)}, ${lit(rhs)}, ${lit(opName)})"
+    }
+    Some(s"SELECT * FROM $call" +
       (if (trail.isEmpty) "" else " " + trail))
   }
 }

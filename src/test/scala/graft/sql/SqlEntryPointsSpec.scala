@@ -942,6 +942,61 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(exU.getMessage.contains("union_by_name"), s"got: ${exU.getMessage}")
   }
 
+  test("multi-ON PIVOT, INSERT BY NAME, INTERSECT/EXCEPT BY NAME, array_* fns") {
+    registerMarket()
+    // Multi-ON pivot: combined '_'-joined value columns (DuckDB naming).
+    val pm = spark.sql("PIVOT sq_quotes ON sym, tag USING sum(qt) GROUP BY px")
+    assert(pm.columns.contains("1_a") && pm.columns.contains("2_d"),
+      s"got ${pm.columns.toSeq}")
+    assert(pm.filter("px = 50.0").head()
+      .getLong(pm.columns.indexOf("2_d")) == 15L)
+    // INSERT INTO ... BY NAME: values land by NAME, not position.
+    spark.sql("DROP TABLE IF EXISTS graft_byname")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir = { val u = new java.net.URI(wh)
+      if (u.getScheme == null) wh else u.getPath }
+    def del(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
+    del(new java.io.File(whDir, "graft_byname"))
+    spark.sql("CREATE TABLE graft_byname (a INT, b STRING, c DOUBLE) USING parquet")
+    spark.sql("INSERT INTO graft_byname BY NAME SELECT 'x' AS b, 7 AS a")
+    val row = spark.table("graft_byname").head()
+    assert(row.getInt(0) == 7 && row.getString(1) == "x" && row.isNullAt(2),
+      s"got $row")
+    spark.sql("DROP TABLE graft_byname")
+    // INTERSECT BY NAME: aligned by column name across different orders.
+    val i = spark.sql(
+      """SELECT 1 AS a, 'x' AS b
+         INTERSECT BY NAME
+         SELECT 'x' AS b, 1 AS a""")
+    assert(i.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "x")))
+    // EXCEPT BY NAME with NULL-fill: one-sided columns NULL on the other
+    // side, so differing rows survive the subtraction.
+    val e = spark.sql(
+      """SELECT sym, qt FROM sq_quotes
+         EXCEPT BY NAME
+         SELECT qt, sym FROM sq_quotes WHERE sym = 2""")
+    assert(e.count() == 3)
+    // EXCEPT ALL BY NAME keeps multiplicity.
+    val ea = spark.sql(
+      """SELECT sym FROM sq_quotes
+         EXCEPT ALL BY NAME
+         SELECT sym FROM sq_quotes WHERE qt = 10""")
+    assert(ea.count() == 3)
+    // DuckDB's array_* similarity functions over float-cast arrays.
+    def d(sql: String): Double = spark.sql(sql).head().getDouble(0)
+    assert(d("SELECT array_inner_product(array(1.0, 2.0), array(3.0, 4.0))") == 11.0)
+    assert(d("SELECT array_negative_inner_product(array(1.0, 2.0), array(3.0, 4.0))") == -11.0)
+    assert(d("SELECT array_distance(array(0.0, 0.0), array(3.0, 4.0))") == 5.0)
+    assert(math.abs(d("SELECT array_cosine_similarity(array(1.0, 0.0), array(1.0, 0.0))") - 1.0) < 1e-9)
+    assert(math.abs(d("SELECT list_cosine_distance(array(1.0, 0.0), array(0.0, 1.0))") - 1.0) < 1e-9)
+    // Dimension mismatch fails loudly, not a prefix score.
+    val exD = intercept[Exception](spark.sql(
+      "SELECT array_inner_product(array(1.0), array(1.0, 2.0))").collect())
+    assert(exD.getMessage.contains("dimension mismatch"), s"got: ${exD.getMessage}")
+  }
+
   test("USING SAMPLE executes via TABLESAMPLE; DISTINCT ON via row_number") {
     registerMarket()
     // ROWS form: deterministic count, like DuckDB's reservoir count.
