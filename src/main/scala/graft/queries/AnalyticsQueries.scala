@@ -1410,6 +1410,47 @@ object AnalyticsQueries {
     spark.table("graft_q82_byname").orderBy("rk")
   }
 
+  // DuckDB function parity: the session-14c name batch — quoted-unit
+  // date_diff (BOUNDARY-crossing semantics, re-routed at parse since
+  // Spark's parser demands bare identifier units), strpos,
+  // list_aggregate / list_slice (1-based inclusive) / list_position
+  // (NULL when missing) / list_value. Identical statement text on both
+  // engines.
+  declare("q83_duck_functions",
+    """SELECT o_orderkey,
+         CAST(date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS months_since,
+         CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_at,
+         CAST(list_aggregate(list_value(CAST(o_custkey AS DOUBLE), 2.0, 3.0), 'sum') AS BIGINT) AS lsum,
+         list_slice(list_value(10, 20, 30, 40), 2, 3) AS sl,
+         CAST(list_position(list_value(1, 2, 3), 2) AS BIGINT) AS pos
+       FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey,
+           CAST(date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS months_since,
+           CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_at,
+           CAST(list_aggregate(list_value(CAST(o_custkey AS DOUBLE), 2.0, 3.0), 'sum') AS BIGINT) AS lsum,
+           list_slice(list_value(10, 20, 30, 40), 2, 3) AS sl,
+           CAST(list_position(list_value(1, 2, 3), 2) AS BIGINT) AS pos
+         FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""")
+  }
+
+  // DuckDB join parity: `POSITIONAL JOIN` executing (pre-delegation
+  // rewrite → positional_join TVF: per-side zipWithIndex + full outer
+  // join on the index, shorter side NULL-padded). Caught BEFORE Spark's
+  // parser, which would otherwise misparse POSITIONAL as a table alias
+  // and produce a silent cartesian. Identical statement text (DuckDB
+  // parses it natively); both engines pair file-order row N to row N.
+  declare("q84_positional_join",
+    """SELECT r_regionkey, r_name, n_nationkey, n_name
+       FROM region POSITIONAL JOIN nation ORDER BY n_nationkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "region").createOrReplaceTempView("region")
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+         FROM region POSITIONAL JOIN nation ORDER BY n_nationkey""")
+  }
+
   // DuckDB TVF parity: `generate_series` — INCLUSIVE bounds, unlike the
   // exclusive range() both engines already share. Splices Spark's
   // distributed Range plan (codegen'd, parallel — not a local list)

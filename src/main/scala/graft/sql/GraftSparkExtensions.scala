@@ -93,6 +93,52 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val insertByNameRe =
     "(?is)\\A\\s*INSERT\\s+INTO\\b.*\\bBY\\s+NAME\\b.*".r
   private val usingSampleRe = "(?is).*\\bUSING\\s+SAMPLE\\b.*".r
+  // DuckDB's quoted-datepart date_diff('day', ...) is rejected by
+  // Spark's PARSER (it special-cases this name and demands a bare
+  // identifier unit), so the quoted form is re-routed on parse failure
+  // to the registry's duck_date_diff boundary-semantics builder.
+  // datediff/date_sub are NOT parser-special-cased — their quoted 3-arg
+  // forms parse and are served by registry overrides instead.
+  private val duckDateRe =
+    "(?is).*\\b(?:date_diff|datediff)\\s*\\(\\s*'.*".r
+  // POSITIONAL JOIN must be caught BEFORE delegation: Spark PARSES
+  // `FROM a POSITIONAL JOIN b` as table a ALIASED "positional" joined
+  // to b with no condition — a silent CARTESIAN product, the worst
+  // failure mode. Table-name sides collapse into the TVF in place;
+  // any leftover POSITIONAL JOIN (subquery sides, chains whose left
+  // side is no longer a bare name) raises the guidance hint rather
+  // than ever reaching the alias misparse.
+  private val positionalRe = "(?is).*\\bPOSITIONAL\\s+JOIN\\b.*".r
+  /** True only when adjacent bare words POSITIONAL JOIN appear OUTSIDE
+    * strings/comments (any depth) — a string literal containing the
+    * text must pass through untouched. */
+  private def positionalShaped(sql: String): Boolean =
+    QualifyRewrite.allWords(sql).sliding(2).exists {
+      case Vector((a, _), (b, _)) => a == "POSITIONAL" && b == "JOIN"
+      case _ => false
+    }
+  private def positionalPreRewrite(sql: String): String = {
+    val out = sql.replaceAll(
+      "(?i)\\b([A-Za-z_]\\w*)\\s+POSITIONAL\\s+JOIN\\s+([A-Za-z_]\\w*)",
+      "positional_join('$1', '$2')")
+    if (positionalRe.findFirstIn(out).isDefined)
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          ("POSITIONAL JOIN could not be rewritten: the common form " +
+            "(two plain table names) runs automatically via the " +
+            "positional_join table function, but this shape doesn't — " +
+            "and left unrewritten Spark would misparse POSITIONAL as a " +
+            "table alias and produce a cartesian product. Use " +
+            "positional_join('left_table_or_sql', 'right_table_or_sql') " +
+            "directly.")))
+    out
+  }
+  private def duckDateRewrite(sql: String): Option[String] = {
+    val out = sql.replaceAll(
+      "(?i)\\b(date_diff|datediff)(\\s*\\(\\s*')", "duck_$1$2")
+    if (out == sql) None else Some(out)
+  }
   private val distinctOnRe =
     "(?is).*\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(.*".r
 
@@ -149,6 +195,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               UnionByNameRewrite.rewrite(text); case _ => None },
             () => text match { case usingSampleRe() =>
               SampleRewrite.rewrite(text); case _ => None },
+            () => text match { case duckDateRe() =>
+              duckDateRewrite(text); case _ => None },
             () => text match { case distinctOnRe() =>
               DistinctOnRewrite.rewrite(text); case _ => None },
             () => text match { case copyStmtRe() =>
@@ -416,6 +464,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               "(df.select(df.columns.map(c => expr(...)): _*)), or use " +
               "* EXCLUDE (...) / * REPLACE (...), which do run here.")))
       }
+    case positionalRe() if positionalShaped(sqlText) =>
+      preRewrite(positionalPreRewrite(sqlText))
     case distinctOnRe() if DistinctOnRewrite.isShaped(sqlText) =>
       // SELECT DISTINCT ON (...) PARSES as plain Spark (ON(...) is an
       // ordinary function call), so like COLUMNS it must be caught
@@ -582,6 +632,130 @@ object GraftSparkExtensions {
         Divide(listDoubleSum(a(0)),
           Cast(Size(ArrayCompact(a(0))), org.apache.spark.sql.types.DoubleType))))
     ) ++ {
+      // More DuckDB names onto native expressions (all codegen'd).
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{Add, ArrayCompact,
+        ArrayMax, ArrayMin, ArrayPosition, Cast, DateDiff, DateSub, ElementAt,
+        EqualTo, Explode, If, Literal, Multiply, Size, Slice, StringInstr,
+        Subtract, TimestampDiff, UnaryMinus, UnixMillis, UnixMicros,
+        UnixSeconds, Year, Month, Quarter, TruncDate, Floor, Divide}
+      import org.apache.spark.sql.types.{DateType, DoubleType, LongType,
+        NullType, StringType, TimestampType}
+      def long(e: Expression) = Cast(e, LongType)
+      // DuckDB's date_diff/datediff counts datepart BOUNDARY crossings
+      // (date_diff('month', Jan 31, Feb 1) = 1); Spark's own 3-arg form
+      // (unquoted unit identifier) counts COMPLETE intervals (= 0). The
+      // two forms are syntactically disjoint — quoted string vs bare
+      // identifier — so one builder serves both: identifiers keep
+      // Spark's native TimestampDiff, string literals get DuckDB's
+      // boundary arithmetic built from native date expressions.
+      def boundaryDiff(unitE: Expression, s: Expression, e: Expression): Expression = {
+        val unit = unitE.eval(null) match {
+          case u: UTF8String => u.toString.toLowerCase
+          case u => String.valueOf(u).toLowerCase
+        }
+        def d(x: Expression) = Cast(x, DateType)
+        def ts(x: Expression) = Cast(x, TimestampType)
+        def monthsOf(x: Expression) =
+          Add(Multiply(long(Year(d(x))), Literal(12L)), long(Month(d(x))))
+        def floorDiv(x: Expression, n: Long) =
+          long(Floor(Divide(Cast(x, DoubleType), Literal(n.toDouble))))
+        unit match {
+          case "day" | "days" | "d" => long(DateDiff(d(e), d(s)))
+          case "week" | "weeks" | "w" => long(Divide(
+            long(DateDiff(TruncDate(d(e), Literal("week")),
+              TruncDate(d(s), Literal("week")))), Literal(7L)))
+          case "month" | "months" | "mon" =>
+            Subtract(monthsOf(e), monthsOf(s))
+          case "quarter" | "quarters" => Subtract(
+            Add(Multiply(long(Year(d(e))), Literal(4L)), long(Quarter(d(e)))),
+            Add(Multiply(long(Year(d(s))), Literal(4L)), long(Quarter(d(s)))))
+          case "year" | "years" | "y" => Subtract(long(Year(d(e))), long(Year(d(s))))
+          case "hour" | "hours" | "h" =>
+            Subtract(floorDiv(UnixSeconds(ts(e)), 3600L), floorDiv(UnixSeconds(ts(s)), 3600L))
+          case "minute" | "minutes" | "m" =>
+            Subtract(floorDiv(UnixSeconds(ts(e)), 60L), floorDiv(UnixSeconds(ts(s)), 60L))
+          case "second" | "seconds" | "s" =>
+            Subtract(UnixSeconds(ts(e)), UnixSeconds(ts(s)))
+          case "millisecond" | "milliseconds" | "ms" =>
+            Subtract(UnixMillis(ts(e)), UnixMillis(ts(s)))
+          case "microsecond" | "microseconds" | "us" =>
+            Subtract(UnixMicros(ts(e)), UnixMicros(ts(s)))
+          case other => throw new IllegalArgumentException(
+            s"date_diff: unsupported datepart '$other' (day, week, month, " +
+              "quarter, year, hour, minute, second, millisecond, microsecond)")
+        }
+      }
+      // Spark's parser special-cases date_diff/datediff/date_sub, so the
+      // DuckDB quoted-unit forms never reach the registry — they FAIL AT
+      // PARSE, where the rewrite chain prefixes the call with `duck_`
+      // (see duckDateRe). The identifier-unit and 2-arg native forms
+      // parse fine and stay completely untouched.
+      def diffBuilder(name: String) = aliasFn(name, (3, 3)) { a =>
+        require(a(0).foldable && a(0).dataType == StringType,
+          s"$name: the unit must be a constant string")
+        boundaryDiff(a(0), a(1), a(2)) // DuckDB: boundary crossings
+      }
+      def listAgg(fn: Expression, l: Expression): Expression = {
+        val name = fn.eval(null) match {
+          case u: UTF8String => u.toString.toLowerCase
+          case u => String.valueOf(u).toLowerCase
+        }
+        name match {
+          case "min" => ArrayMin(l)
+          case "max" => ArrayMax(l)
+          case "sum" => listNullIfEmpty(l, listDoubleSum(l))
+          case "avg" | "mean" => listNullIfEmpty(l,
+            Divide(listDoubleSum(l), Cast(Size(ArrayCompact(l)), DoubleType)))
+          case "count" => long(Size(ArrayCompact(l)))
+          case "first" => ElementAt(l, Literal(1))
+          case "last" => ElementAt(l, Literal(-1))
+          case other => throw new IllegalArgumentException(
+            s"list_aggregate: unsupported function '$other' " +
+              "(min, max, sum, avg, count, first, last)")
+        }
+      }
+      Seq(
+        // DuckDB's bread-and-butter generator name.
+        aliasFn("unnest", (1, 1))(a => Explode(a(0))),
+        aliasFn("strpos", (2, 2))(a => StringInstr(a(0), a(1))),
+        aliasFn("array_length", (1, 1))(a => graft.functions.Len(a(0))),
+        aliasFn("list_length", (1, 1))(a => graft.functions.Len(a(0))),
+        // DuckDB slicing is 1-based INCLUSIVE: list_slice(l, b, e) keeps
+        // elements b..e → Spark Slice(l, b, e-b+1). Positive bounds only
+        // (DuckDB's negative-from-end form has no native counterpart).
+        aliasFn("list_slice", (3, 3))(a =>
+          Slice(a(0), a(1), Add(Subtract(a(2), a(1)), Literal(1)))),
+        aliasFn("array_slice", (3, 3))(a =>
+          Slice(a(0), a(1), Add(Subtract(a(2), a(1)), Literal(1)))),
+        // DuckDB returns NULL for a missing element where Spark's
+        // array_position returns 0 — map 0 back to NULL.
+        aliasFn("list_position", (2, 2))(a =>
+          If(EqualTo(ArrayPosition(a(0), a(1)), Literal(0L)),
+            Literal(null, LongType), ArrayPosition(a(0), a(1)))),
+        aliasFn("list_indexof", (2, 2))(a =>
+          If(EqualTo(ArrayPosition(a(0), a(1)), Literal(0L)),
+            Literal(null, LongType), ArrayPosition(a(0), a(1)))),
+        aliasFn("list_aggregate", (2, 2))(a => listAgg(a(1), a(0))),
+        aliasFn("list_aggr", (2, 2))(a => listAgg(a(1), a(0))),
+        diffBuilder("duck_date_diff"),
+        diffBuilder("duck_datediff"),
+        // DuckDB's 3-arg date_sub(part, s, e) counts COMPLETE intervals —
+        // exactly Spark's own identifier-unit date_diff semantics; the
+        // 2-arg form stays Spark's native date minus N days.
+        aliasFn("date_sub", (2, 3)) { a =>
+          if (a.size == 2) DateSub(a(0), a(1))
+          else {
+            require(a(0).foldable && a(0).dataType == StringType,
+              "date_sub: the unit must be a constant string")
+            val unit = a(0).eval(null) match {
+              case u: UTF8String => u.toString
+              case u => String.valueOf(u)
+            }
+            TimestampDiff(unit.toUpperCase, a(1), a(2))
+          }
+        })
+    } ++ {
       // DuckDB's array/list similarity family (host DuckDB ≥1.1 ships
       // these for embedding math) onto the engine's codegen'd vector
       // kernels. Both inputs cast to array<float> — a double-array
@@ -1182,6 +1356,50 @@ object GraftSparkExtensions {
       out.queryExecution.analyzed
     })
 
+  /** DuckDB's `POSITIONAL JOIN` — row-N-to-row-N alignment, the shorter
+    * side NULL-padded (DuckDB docs "Positional Joins"; the friendly-SQL
+    * way to stitch two equally-ordered frames). Spark has no row-order
+    * join, so each side gets an explicit index via `zipWithIndex` (one
+    * pass, order = the side's own row order) and the result is a full
+    * outer join on that index. Scale note: this operator is INHERENTLY
+    * order-defined — at cluster scale row order is the file listing
+    * order, the same contract DuckDB gives for parquet scans; the
+    * zipWithIndex pass breaks codegen fusion for the two inputs, which
+    * is the unavoidable price of materializing a row number without an
+    * order-defining column (use asof_join or a real key when one
+    * exists — the Scaladoc of both says so).
+    */
+  val positionalJoinFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("positional_join"), info("positional_join"), (args: Seq[Expression]) => {
+      if (args.size != 2)
+        throw new IllegalArgumentException(
+          s"positional_join(left_table_or_sql, right_table_or_sql) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "positional_join arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "positional_join arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.{DataFrame, Row}
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      def indexed(df: DataFrame, idxName: String): DataFrame = {
+        val schema = StructType(df.schema.fields :+
+          StructField(idxName, LongType, nullable = false))
+        spark.createDataFrame(
+          df.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
+          schema)
+      }
+      val l = indexed(tableOrSql(spark, asString(v(0))), "__graft_lpos")
+      val r = indexed(tableOrSql(spark, asString(v(1))), "__graft_rpos")
+      // Side-qualified references keep duplicate column NAMES intact in
+      // the output (DuckDB keeps both sides' columns verbatim).
+      val joined = l.join(r, l("__graft_lpos") === r("__graft_rpos"), "full_outer")
+      val sel = l.columns.filterNot(_ == "__graft_lpos").map(l(_)) ++
+        r.columns.filterNot(_ == "__graft_rpos").map(r(_))
+      joined.orderBy(org.apache.spark.sql.functions
+          .coalesce(l("__graft_lpos"), r("__graft_rpos")))
+        .select(sel.toIndexedSeq: _*)
+        .queryExecution.analyzed
+    })
+
   /** DuckDB's file-reading table functions (`read_parquet`, `read_csv`,
     * `read_csv_auto`, `read_json`, `read_json_auto` — the first line of
     * most pasted DuckDB scripts) as PURE lazy plan splices: the path
@@ -1474,6 +1692,7 @@ object GraftSparkExtensions {
     pivotAutoFn,
     unionByNameFn,
     setopByNameFn,
+    positionalJoinFn,
     copyToFn,
     copyFromFn,
     readParquetFn,

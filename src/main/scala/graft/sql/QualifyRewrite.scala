@@ -41,7 +41,18 @@ object QualifyRewrite {
     * wrong markers — so the caller declines such statements (named `:p`
     * parameters bind by name and survive reordering fine).
     */
-  private[sql] def topLevelWords(sql: String): Vector[(String, Int)] = {
+  /** Like [[topLevelWords]] but at ANY paren depth — still skipping
+    * strings, quoted identifiers, and comments. For constructs that can
+    * appear inside subqueries (POSITIONAL JOIN) where the caller needs
+    * "is this really in the SQL, not in a string literal".
+    */
+  private[sql] def allWords(sql: String): Vector[(String, Int)] =
+    scanWords(sql, anyDepth = true)
+
+  private[sql] def topLevelWords(sql: String): Vector[(String, Int)] =
+    scanWords(sql, anyDepth = false)
+
+  private def scanWords(sql: String, anyDepth: Boolean): Vector[(String, Int)] = {
     val out = Vector.newBuilder[(String, Int)]
     var i = 0
     var depth = 0
@@ -73,7 +84,8 @@ object QualifyRewrite {
         case c if c.isLetter || c == '_' =>
           val s = i
           while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
-          if (depth == 0) out += ((sql.substring(s, i).toUpperCase, s))
+          if (anyDepth || depth == 0)
+            out += ((sql.substring(s, i).toUpperCase, s))
         case _ => i += 1
       }
     }

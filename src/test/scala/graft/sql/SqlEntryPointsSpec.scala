@@ -942,6 +942,75 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(exU.getMessage.contains("union_by_name"), s"got: ${exU.getMessage}")
   }
 
+  test("unnest, strpos, slicing, list_aggregate, date_diff dual semantics") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    // unnest as the generator name (DuckDB's spelling of explode).
+    assert(spark.sql("SELECT unnest(array(1, 2, 3)) AS v").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(one[Int]("SELECT strpos('hello', 'll')") == 3)
+    assert(one[Long]("SELECT array_length(array(1, 2, 3))") == 3L)
+    // 1-based INCLUSIVE slicing, DuckDB's contract.
+    assert(spark.sql("SELECT list_slice(array(10, 20, 30, 40), 2, 3)")
+      .head().getSeq[Int](0) == Seq(20, 30))
+    // Missing element → NULL (Spark's native array_position says 0).
+    assert(one[Long]("SELECT list_position(array(10, 20), 20)") == 2L)
+    assert(spark.sql("SELECT list_position(array(10, 20), 99)").head().isNullAt(0))
+    // list_aggregate dispatch.
+    assert(one[Double]("SELECT list_aggregate(array(1.0, 2.0, 3.0), 'sum')") == 6.0)
+    assert(one[Int]("SELECT list_aggregate(array(3, 1, 2), 'min')") == 1)
+    assert(one[Long]("SELECT list_aggregate(array(1, NULL, 2), 'count')") == 2L)
+    assert(one[Int]("SELECT list_aggregate(array(7, 8), 'first')") == 7)
+    // date_diff: DuckDB string unit counts BOUNDARY crossings...
+    assert(one[Long](
+      "SELECT date_diff('month', DATE '2020-01-31', DATE '2020-02-01')") == 1L)
+    assert(one[Long](
+      "SELECT date_diff('year', DATE '2020-12-31', DATE '2021-01-01')") == 1L)
+    assert(one[Long](
+      "SELECT date_diff('day', DATE '2020-01-01', DATE '2020-02-01')") == 31L)
+    assert(one[Long](
+      "SELECT date_diff('hour', TIMESTAMP '2020-01-01 10:59:00', TIMESTAMP '2020-01-01 11:01:00')") == 1L)
+    // ...while Spark's own unquoted identifier form keeps native
+    // complete-interval semantics, and the 2-arg form stays days.
+    assert(one[Long](
+      "SELECT date_diff(MONTH, DATE '2020-01-31', DATE '2020-02-01')") == 0L)
+    assert(one[Int](
+      "SELECT datediff(DATE '2020-02-01', DATE '2020-01-01')") == 31)
+    assert(one[Long](
+      "SELECT datediff('month', DATE '2020-01-31', DATE '2020-02-01')") == 1L)
+    // DuckDB 3-arg date_sub = complete intervals; 2-arg native minus-days.
+    assert(one[Long](
+      "SELECT date_sub('month', DATE '2020-01-31', DATE '2020-02-01')") == 0L)
+    assert(one[java.sql.Date](
+      "SELECT date_sub(DATE '2020-01-10', 3)").toString == "2020-01-07")
+  }
+
+  test("POSITIONAL JOIN aligns row N to row N, NULL-padding the short side") {
+    import spark.implicits._
+    Seq("a", "b", "c").toDF("x").createOrReplaceTempView("pj_l")
+    Seq(10, 20).toDF("y").createOrReplaceTempView("pj_r")
+    val j = spark.sql("SELECT * FROM pj_l POSITIONAL JOIN pj_r")
+    assert(j.columns.toSeq == Seq("x", "y"))
+    val rows = j.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) null else r.getInt(1))).toSeq
+    assert(rows == Seq(("a", 10), ("b", 20), ("c", null)), s"got $rows")
+    // Composes downstream: filter over the splice.
+    assert(spark.sql(
+      "SELECT x FROM pj_l POSITIONAL JOIN pj_r WHERE y IS NOT NULL")
+      .count() == 2)
+    // Direct TVF with a SQL branch.
+    assert(spark.sql(
+      "SELECT COUNT(*) n FROM positional_join('pj_l', 'SELECT y FROM pj_r')")
+      .head().getLong(0) == 3)
+    // A string literal mentioning the construct passes through untouched.
+    assert(spark.sql("SELECT 'a POSITIONAL JOIN b' AS s").head().getString(0)
+      == "a POSITIONAL JOIN b")
+    // Shapes the rewrite can't collapse raise the hint — NEVER the
+    // silent alias-misparse cartesian.
+    val ex = intercept[Exception](spark.sql(
+      "SELECT * FROM (SELECT x FROM pj_l) POSITIONAL JOIN pj_r"))
+    assert(ex.getMessage.contains("positional_join"), s"got: ${ex.getMessage}")
+  }
+
   test("multi-ON PIVOT, INSERT BY NAME, INTERSECT/EXCEPT BY NAME, array_* fns") {
     registerMarket()
     // Multi-ON pivot: combined '_'-joined value columns (DuckDB naming).
