@@ -1451,6 +1451,72 @@ object AnalyticsQueries {
          FROM region POSITIONAL JOIN nation ORDER BY n_nationkey""")
   }
 
+  // DuckDB function parity, round-14 batch two: aggregate NAMES
+  // (arg_min/arg_max → min_by/max_by, quantile_cont/quantile_disc →
+  // exact Percentile/PercentileDisc, list → collect_list) plus
+  // time_bucket (DuckDB's 2000-01-03/2000-01-01 grid origins rebuilt
+  // from native integer expressions — codegen'd, no UDF), full-name
+  // monthname/dayname, starts_with, array_to_string, list_reduce,
+  // list_has_all. IDENTICAL statement text on both engines; every
+  // aggregate is deterministic (arg ties broken by the unique orderkey;
+  // quantiles over integral-valued l_quantity so interpolation is
+  // exact in both engines' float formulas).
+  declare("q85_duck_aggregates",
+    """WITH q AS (
+         SELECT quantile_cont(l_quantity, 0.5) AS med_cont,
+                quantile_disc(l_quantity, 0.25) AS q1_disc,
+                quantile_disc(l_quantity, 0.5) AS med_disc
+         FROM lineitem),
+       a AS (
+         SELECT arg_min(o_orderpriority, o_orderkey) AS first_priority,
+                arg_max(o_orderpriority, o_orderkey) AS last_priority
+         FROM orders),
+       m AS (
+         SELECT monthname(MIN(o_orderdate)) AS first_month,
+                dayname(MIN(o_orderdate)) AS first_day
+         FROM orders),
+       t AS (
+         SELECT CAST(COUNT(DISTINCT time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS n_buckets,
+                CAST(MIN(epoch_us(time_bucket(INTERVAL '1 week', ts))) AS BIGINT) AS first_week_us
+         FROM events),
+       l AS (
+         SELECT array_to_string(list_sort(list(n_name)), ',') AS nations
+         FROM nation WHERE n_regionkey = 0)
+       SELECT q.*, a.*, m.*, t.*, l.*,
+         starts_with('graft', 'gr') AS sw,
+         CAST(list_reduce(list_value(1, 2, 3, 4), (x, y) -> x + y) AS BIGINT) AS lred,
+         list_has_all(list_value(1, 2, 3), list_value(2)) AS lha
+       FROM q, a, m, t, l""") { (spark, sfDir) =>
+    Seq("lineitem", "orders", "nation", "events").foreach(n =>
+      t(spark, sfDir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """WITH q AS (
+           SELECT quantile_cont(l_quantity, 0.5) AS med_cont,
+                  quantile_disc(l_quantity, 0.25) AS q1_disc,
+                  quantile_disc(l_quantity, 0.5) AS med_disc
+           FROM lineitem),
+         a AS (
+           SELECT arg_min(o_orderpriority, o_orderkey) AS first_priority,
+                  arg_max(o_orderpriority, o_orderkey) AS last_priority
+           FROM orders),
+         m AS (
+           SELECT monthname(MIN(o_orderdate)) AS first_month,
+                  dayname(MIN(o_orderdate)) AS first_day
+           FROM orders),
+         t AS (
+           SELECT CAST(COUNT(DISTINCT time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS n_buckets,
+                  CAST(MIN(epoch_us(time_bucket(INTERVAL '1 week', ts))) AS BIGINT) AS first_week_us
+           FROM events),
+         l AS (
+           SELECT array_to_string(list_sort(list(n_name)), ',') AS nations
+           FROM nation WHERE n_regionkey = 0)
+         SELECT q.*, a.*, m.*, t.*, l.*,
+           starts_with('graft', 'gr') AS sw,
+           CAST(list_reduce(list_value(1, 2, 3, 4), (x, y) -> x + y) AS BIGINT) AS lred,
+           list_has_all(list_value(1, 2, 3), list_value(2)) AS lha
+         FROM q, a, m, t, l""")
+  }
+
   // DuckDB TVF parity: `generate_series` — INCLUSIVE bounds, unlike the
   // exclusive range() both engines already share. Splices Spark's
   // distributed Range plan (codegen'd, parallel — not a local list)

@@ -779,6 +779,138 @@ object GraftSparkExtensions {
         kernel("negative_inner_product", 1) ++
         kernel("distance", 2) ++
         kernel("cosine_distance", 3)
+    } ++ {
+      // DuckDB aggregate NAMES onto Spark's native aggregate expressions
+      // (the analyzer wraps an AggregateFunction from the registry in the
+      // AggregateExpression itself, so these register exactly like the
+      // scalar aliases) + the remaining high-traffic scalar names.
+      import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate,
+        ArrayContains, ArrayForAll, ArrayIntersect, ArrayJoin, ArraysOverlap,
+        Cast, DateFormatClass, ElementAt, EndsWith, LambdaFunction, Literal,
+        Size, Slice, StartsWith, Subtract, UnresolvedNamedLambdaVariable}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList,
+        MaxBy, MinBy, Percentile, PercentileDisc}
+      import org.apache.spark.sql.types.{DoubleType, TimestampType}
+      // DuckDB arg_min(arg, val) = value of arg at minimum val — exactly
+      // Spark's min_by(x, y) argument order.
+      def argAgg(name: String, mk: (Expression, Expression) => Expression) =
+        aliasFn(name, (2, 2))(a => mk(a(0), a(1)))
+      // Out-of-bounds list_extract is NULL in DuckDB, an ANSI error in
+      // Spark 4's default element_at — build the non-throwing form.
+      def extractAt(l: Expression, i: Expression): Expression =
+        new ElementAt(l, i, None, false)
+      Seq(
+        argAgg("arg_min", MinBy(_, _)), argAgg("argmin", MinBy(_, _)),
+        argAgg("arg_max", MaxBy(_, _)), argAgg("argmax", MaxBy(_, _)),
+        // quantile_cont interpolates (Spark's exact Percentile);
+        // quantile[_disc] picks the greatest-index row at or below the
+        // quantile (Spark's PercentileDisc). 1-arg quantile = median.
+        aliasFn("quantile_cont", (2, 2))(a =>
+          new Percentile(Cast(a(0), DoubleType), a(1))),
+        aliasFn("quantile_disc", (1, 2))(a =>
+          PercentileDisc(a(0), if (a.size == 2) a(1) else Literal(0.5),
+            false, 0, 0, false)),
+        aliasFn("quantile", (1, 2))(a =>
+          PercentileDisc(a(0), if (a.size == 2) a(1) else Literal(0.5),
+            false, 0, 0, false)),
+        // DuckDB's list() aggregate (insertion-ordered; order is
+        // partition-dependent on both engines — sort before comparing).
+        aliasFn("list", (1, 1))(a => CollectList(a(0))),
+        // Spark 4.1 ships monthname/dayname natively but ABBREVIATED
+        // ("Dec"/"Tue"); DuckDB returns the full name ("December"/
+        // "Tuesday"). This engine's contract is the DuckDB dialect, so
+        // both names re-register with full-name output — the one place
+        // the alias family intentionally overrides a native spelling
+        // (date_format with 'MMM'/'E' gives the abbreviated forms back).
+        aliasFn("monthname", (1, 1))(a =>
+          DateFormatClass(Cast(a(0), TimestampType), Literal("MMMM"))),
+        aliasFn("dayname", (1, 1))(a =>
+          DateFormatClass(Cast(a(0), TimestampType), Literal("EEEE"))),
+        aliasFn("starts_with", (2, 2))(a => StartsWith(a(0), a(1))),
+        aliasFn("ends_with", (2, 2))(a => EndsWith(a(0), a(1))),
+        aliasFn("prefix", (2, 2))(a => StartsWith(a(0), a(1))),
+        aliasFn("suffix", (2, 2))(a => EndsWith(a(0), a(1))),
+        aliasFn("list_extract", (2, 2))(a => extractAt(a(0), a(1))),
+        aliasFn("list_element", (2, 2))(a => extractAt(a(0), a(1))),
+        aliasFn("array_extract", (2, 2))(a => extractAt(a(0), a(1))),
+        aliasFn("list_has_any", (2, 2))(a => ArraysOverlap(a(0), a(1))),
+        // list_has_all(l, sub): every element of sub is in l. A NULL
+        // element in sub yields NULL (DuckDB skips NULLs — documented
+        // divergence, not hidden).
+        aliasFn("list_has_all", (2, 2)) { a =>
+          val x = UnresolvedNamedLambdaVariable(Seq("x"))
+          ArrayForAll(a(1), LambdaFunction(ArrayContains(a(0), x), Seq(x)))
+        },
+        aliasFn("list_intersect", (2, 2))(a => ArrayIntersect(a(0), a(1))),
+        aliasFn("array_to_string", (2, 2))(a => ArrayJoin(a(0), a(1), None)),
+        // list_reduce(l, (acc, x) -> ...): no initial value — the first
+        // element seeds the fold over the rest. Empty list → NULL (DuckDB
+        // raises; softer here, documented).
+        aliasFn("list_reduce", (2, 2)) { a =>
+          val merge = a(1) match {
+            case lf: LambdaFunction => lf
+            case _ => throw new org.apache.spark.sql.AnalysisException(
+              "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+                "list_reduce expects a lambda: list_reduce(l, (acc, x) -> ...)"))
+          }
+          val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+          ArrayAggregate(
+            Slice(a(0), Literal(2), Subtract(Size(a(0)), Literal(1))),
+            extractAt(a(0), Literal(1)),
+            merge,
+            LambdaFunction(fin, Seq(fin)))
+        },
+        aliasFn("time_bucket", (2, 2))(a => timeBucket(a(0), a(1))))
+    }
+  }
+
+  /** DuckDB's `time_bucket(width, ts)`: floor-align `ts` to a grid of
+    * constant-width buckets. DuckDB's origins reproduced exactly —
+    * 2000-01-03 00:00:00 (a Monday, so week buckets start Monday) for
+    * day-and-below widths, 2000-01-01 for month/year widths. Built from
+    * native integer expressions (`t - pmod(t - origin, w)` on epoch
+    * micros; month grid via add_months), all inside whole-stage codegen —
+    * no UDF. Always returns TIMESTAMP (DuckDB returns DATE for DATE
+    * input — cast if needed); the optional origin/offset third argument
+    * is not supported.
+    */
+  private def timeBucket(width: Expression, ts: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, AddMonths, Cast,
+      Literal, Month, Multiply, Pmod, Subtract, UnixMicros, Year}
+    import org.apache.spark.sql.types.{DateType, DayTimeIntervalType,
+      IntegerType, LongType, TimestampType, YearMonthIntervalType}
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+    if (!width.foldable)
+      fail("time_bucket: the bucket width must be a constant INTERVAL")
+    val t = Cast(ts, TimestampType)
+    width.dataType match {
+      case _: DayTimeIntervalType =>
+        val w = width.eval(null).asInstanceOf[Long] // micros
+        if (w <= 0) fail("time_bucket: width must be positive")
+        // Monday 2000-01-03 00:00:00 UTC in epoch micros.
+        val origin = 946857600000000L
+        val tm = UnixMicros(t)
+        val floored = Subtract(tm,
+          Pmod(Subtract(tm, Literal(origin)), Literal(w)))
+        org.apache.spark.sql.catalyst.expressions.MicrosToTimestamp(floored)
+      case _: YearMonthIntervalType =>
+        val m = width.eval(null).asInstanceOf[Int] // months
+        if (m <= 0) fail("time_bucket: width must be positive")
+        // Months since 2000-01: floor to the m-grid, back via add_months.
+        val monthsSince = Add(
+          Multiply(Subtract(Year(t), Literal(2000)), Literal(12)),
+          Subtract(Month(t), Literal(1)))
+        val k = Subtract(monthsSince, Pmod(monthsSince, Literal(m)))
+        Cast(AddMonths(Cast(Literal.create(
+          java.time.LocalDate.of(2000, 1, 1), DateType), DateType), k),
+          TimestampType)
+      case other => fail(
+        s"time_bucket: unsupported width type ${other.simpleString} — use " +
+          "a constant INTERVAL of one unit family (e.g. INTERVAL '15 " +
+          "minutes' or INTERVAL '2 months'); the 3-argument origin/offset " +
+          "form is not supported")
     }
   }
 

@@ -984,6 +984,66 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       "SELECT date_sub(DATE '2020-01-10', 3)").toString == "2020-01-07")
   }
 
+  test("DuckDB aggregate names, time_bucket, and the round-14 scalar batch") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    // arg_min/arg_max map to min_by/max_by (same argument order).
+    spark.sql("SELECT * FROM VALUES ('a', 2), ('b', 1), ('c', 3) AS t(x, y)")
+      .createOrReplaceTempView("am_t")
+    assert(one[String]("SELECT arg_min(x, y) FROM am_t") == "b")
+    assert(one[String]("SELECT arg_max(x, y) FROM am_t") == "c")
+    assert(one[String]("SELECT argmax(x, y) FROM am_t") == "c")
+    // quantile_cont interpolates; quantile_disc picks a data value
+    // (DuckDB 1.0 values pinned: disc 0.5 → 2, disc 0.25 → 1, cont → 2.5).
+    spark.sql("SELECT CAST(v AS DOUBLE) AS v FROM VALUES (1.0), (2.0), (3.0), (4.0) AS t(v)")
+      .createOrReplaceTempView("qt_t")
+    assert(one[Double]("SELECT quantile_cont(v, 0.5) FROM qt_t") == 2.5)
+    assert(one[Double]("SELECT quantile_disc(v, 0.5) FROM qt_t") == 2.0)
+    assert(one[Double]("SELECT quantile_disc(v, 0.25) FROM qt_t") == 1.0)
+    assert(one[Double]("SELECT quantile(v, 0.5) FROM qt_t") == 2.0)
+    // list() is DuckDB's collect_list.
+    assert(spark.sql("SELECT list_sort(list(v)) FROM qt_t").head()
+      .getSeq[Double](0).toList == List(1.0, 2.0, 3.0, 4.0))
+    // monthname/dayname: DuckDB's FULL names (the native Spark 4.1
+    // spellings abbreviate — deliberately overridden, see the alias doc).
+    assert(one[String]("SELECT monthname(DATE '2024-12-05')") == "December")
+    assert(one[String]("SELECT dayname(DATE '2024-03-05')") == "Tuesday")
+    // time_bucket: DuckDB origins — Monday 2000-01-03 for day-and-below
+    // widths (weeks start Monday, incl. pre-origin timestamps), 2000-01-01
+    // for month grids.
+    def ts(sql: String) = one[java.sql.Timestamp](sql).toString
+    assert(ts("SELECT time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-05 10:37:22')")
+      == "2024-03-05 10:30:00.0")
+    assert(ts("SELECT time_bucket(INTERVAL '90 minutes', TIMESTAMP '2024-03-05 10:37:22')")
+      == "2024-03-05 10:30:00.0")
+    assert(ts("SELECT time_bucket(INTERVAL '1 week', TIMESTAMP '2024-03-05 10:37:22')")
+      == "2024-03-04 00:00:00.0")
+    assert(ts("SELECT time_bucket(INTERVAL '1 week', TIMESTAMP '1999-12-28 12:00:00')")
+      == "1999-12-27 00:00:00.0")
+    assert(ts("SELECT time_bucket(INTERVAL '1 year', TIMESTAMP '2024-03-05 10:37:22')")
+      == "2024-01-01 00:00:00.0")
+    assert(ts("SELECT time_bucket(INTERVAL '3 months', TIMESTAMP '1999-02-15 00:00:00')")
+      == "1999-01-01 00:00:00.0")
+    val exW = intercept[Exception](spark.sql(
+      "SELECT time_bucket(x, TIMESTAMP '2024-01-01') FROM VALUES (INTERVAL '1' HOUR) t(x)"))
+    assert(exW.getMessage.contains("constant INTERVAL"), s"got: ${exW.getMessage}")
+    // String predicates under DuckDB's names.
+    assert(one[Boolean]("SELECT starts_with('abcdef', 'abc')"))
+    assert(one[Boolean]("SELECT suffix('abcdef', 'def')"))
+    // Element extraction: 1-based, NULL (not an ANSI error) out of bounds.
+    assert(one[Int]("SELECT list_extract(array(10, 20), 2)") == 20)
+    assert(spark.sql("SELECT array_extract(array(10, 20), 5)").head().isNullAt(0))
+    // Set-ish list predicates.
+    assert(one[Boolean]("SELECT list_has_any(array(1, 2), array(2, 3))"))
+    assert(one[Boolean]("SELECT list_has_all(array(1, 2, 3), array(2, 3))"))
+    assert(one[Boolean]("SELECT list_has_all(array(1), CAST(array() AS ARRAY<INT>))"))
+    assert(spark.sql("SELECT list_sort(list_intersect(array(1,2,3), array(2,3,4)))")
+      .head().getSeq[Int](0).toList == List(2, 3))
+    assert(one[String]("SELECT array_to_string(array(1, 2, 3), '-')") == "1-2-3")
+    // list_reduce: first element seeds the fold.
+    assert(one[Int]("SELECT list_reduce(array(1, 2, 3), (a, b) -> a + b)") == 6)
+    assert(one[Int]("SELECT list_reduce(array(5), (a, b) -> a + b)") == 5)
+  }
+
   test("POSITIONAL JOIN aligns row N to row N, NULL-padding the short side") {
     import spark.implicits._
     Seq("a", "b", "c").toDF("x").createOrReplaceTempView("pj_l")
