@@ -931,6 +931,68 @@ object AnalyticsQueries {
     spark.table(tbl).orderBy("o_orderkey")
   }
 
+  // Literal mutation-DML parity (round 14): the ACTUAL `UPDATE ... SET
+  // ... WHERE ...` and `DELETE FROM ... WHERE ...` statements pasted
+  // unchanged. Spark parses both but every v1 table fails analysis
+  // ("does not support row-level operations"), so sql/UpdateDeleteRewrite
+  // intercepts PRE-delegation and lands on the eager update_table /
+  // delete_from TVFs — q53's read→transform→stage→INSERT OVERWRITE
+  // recipe run mechanically, returning DuckDB's one-row Count (asserted
+  // in SqlEntryPointsSpec). Both engines execute their own genuine
+  // mutation machinery on a scratch copy of orders and the FINAL TABLE
+  // STATES hash-compare; SET expressions read the OLD row on both.
+  declare("q87_update_stmt",
+    """CREATE OR REPLACE TEMP TABLE graft_q87 AS
+         SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders;
+       UPDATE graft_q87 SET o_orderpriority = '0-REPRIORITIZED', o_totalprice = o_totalprice + 1
+         WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 50000;
+       SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS cents
+       FROM graft_q87 GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (spark, sfDir) =>
+    val tbl = "graft_q87"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir = { val u = new java.net.URI(wh); if (u.getScheme == null) wh else u.getPath }
+    def del(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
+    del(new java.io.File(whDir, tbl))
+    t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.format("parquet").saveAsTable(tbl)
+    spark.sql(
+      """UPDATE graft_q87 SET o_orderpriority = '0-REPRIORITIZED', o_totalprice = o_totalprice + 1
+         WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 50000""")
+    spark.sql(
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS cents
+         FROM graft_q87 GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
+  declare("q88_delete_stmt",
+    """CREATE OR REPLACE TEMP TABLE graft_q88 AS
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders;
+       DELETE FROM graft_q88 WHERE o_orderstatus = 'F' AND o_totalprice < 100000;
+       SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+       FROM graft_q88 GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (spark, sfDir) =>
+    val tbl = "graft_q88"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir = { val u = new java.net.URI(wh); if (u.getScheme == null) wh else u.getPath }
+    def del(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
+    del(new java.io.File(whDir, tbl))
+    t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.format("parquet").saveAsTable(tbl)
+    spark.sql(
+      "DELETE FROM graft_q88 WHERE o_orderstatus = 'F' AND o_totalprice < 100000")
+    spark.sql(
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+         FROM graft_q88 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
   // QUALIFY parity: the literal DuckDB/Teradata QUALIFY statement (window
   // filter without a subquery) EXECUTING on Spark — the hint parser
   // catches the ParseException and splices the predicate into the select
@@ -1515,6 +1577,40 @@ object AnalyticsQueries {
            CAST(list_reduce(list_value(1, 2, 3, 4), (x, y) -> x + y) AS BIGINT) AS lred,
            list_has_all(list_value(1, 2, 3), list_value(2)) AS lha
          FROM q, a, m, t, l""")
+  }
+
+  // DuckDB literal-syntax parity: bracket list literals (incl. the
+  // ARRAY keyword form), struct literals, 1-based bracket indexing
+  // (dynamic index expressions too), inclusive slicing over lists AND
+  // strings, and list comprehensions — all rewritten by
+  // sql/DuckLiteralRewrite inside the hint parser's failure chain
+  // (none of these parse in stock Spark, so the rewrite can never
+  // claim a native statement) onto array()/named_struct()/transform()
+  // and the typed duck_index/duck_slice expressions
+  // (functions/DuckCollections.scala, DuckDB's NULL-out-of-bounds and
+  // clamped-inclusive-slice contracts pinned against DuckDB 1.0).
+  // IDENTICAL statement text on both engines.
+  declare("q86_duck_literals",
+    """SELECT n_nationkey,
+         ([10, 20, 30])[CAST(n_nationkey % 3 + 1 AS INTEGER)] AS pick,
+         ([100, 200, 300, 400])[2:3] AS sl,
+         ([9, 8, 7])[-1] AS last_elem,
+         (n_name)[1:3] AS pre,
+         ({'k': n_name, 'r': n_regionkey})['r'] AS rkey,
+         [upper(t) FOR t IN string_split(n_name, '_')] AS toks,
+         ARRAY[n_regionkey, 99] AS arr2
+       FROM nation ORDER BY n_nationkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT n_nationkey,
+           ([10, 20, 30])[CAST(n_nationkey % 3 + 1 AS INTEGER)] AS pick,
+           ([100, 200, 300, 400])[2:3] AS sl,
+           ([9, 8, 7])[-1] AS last_elem,
+           (n_name)[1:3] AS pre,
+           ({'k': n_name, 'r': n_regionkey})['r'] AS rkey,
+           [upper(t) FOR t IN string_split(n_name, '_')] AS toks,
+           ARRAY[n_regionkey, 99] AS arr2
+         FROM nation ORDER BY n_nationkey""")
   }
 
   // DuckDB TVF parity: `generate_series` — INCLUSIVE bounds, unlike the

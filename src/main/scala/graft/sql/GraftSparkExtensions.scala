@@ -204,7 +204,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             () => text match { case macroRe() =>
               MacroRewrite.rewrite(text, delegate); case _ => None },
             () => text match { case qualifyRe() =>
-              QualifyRewrite.rewrite(text); case _ => None }
+              QualifyRewrite.rewrite(text); case _ => None },
+            // LAST deliberately: bracket/brace literal syntax only ever
+            // appears in statements stock Spark cannot parse at all, and
+            // running it after the structural rewrites lets e.g. a
+            // QUALIFY+bracket statement fix QUALIFY first and recurse
+            // here for the brackets.
+            () => if (DuckLiteralRewrite.isShaped(text))
+              DuckLiteralRewrite.rewrite(text) else None
           )
           candidates.view
             .flatMap(c => c().flatMap(reparseOrChain(_, depth + 1)))
@@ -388,6 +395,17 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "shape); filter the window " +
                   "function in an enclosing query instead: SELECT * FROM (SELECT " +
                   "..., ROW_NUMBER() OVER (...) AS rn FROM t) WHERE rn <= k.")
+              case _ if DuckLiteralRewrite.isShaped(sqlText) =>
+                Some("If you meant DuckDB's bracket/brace literal " +
+                  "syntax: list literals [1, 2] / ARRAY[1, 2], struct " +
+                  "literals {'a': 1}, MAP {'k': v}, comprehensions " +
+                  "[expr FOR x IN l IF p], 1-based indexing l[i], and " +
+                  "inclusive slicing l[b:e] all rewrite to run " +
+                  "automatically, but this statement declined — write " +
+                  "the Spark spellings directly: array(...), " +
+                  "named_struct('a', 1), map('k', v), " +
+                  "transform/filter lambdas, element_at(l, i) " +
+                  "(1-based), slice(l, start, length).")
               case _ => None
             }
             hint match {
@@ -466,6 +484,13 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       }
     case positionalRe() if positionalShaped(sqlText) =>
       preRewrite(positionalPreRewrite(sqlText))
+    case _ if UpdateDeleteRewrite.isShaped(sqlText) =>
+      // UPDATE/DELETE parse natively but fail analysis on every v1
+      // table ("does not support row-level operations") — rewrite the
+      // plain-catalog-table forms onto the staged-overwrite TVFs;
+      // anything else (temp views, DSv2 tables, multipart names) keeps
+      // Spark's native path and semantics.
+      UpdateDeleteRewrite.rewrite(sqlText).getOrElse(sqlText)
     case distinctOnRe() if DistinctOnRewrite.isShaped(sqlText) =>
       // SELECT DISTINCT ON (...) PARSES as plain Spark (ON(...) is an
       // ordinary function call), so like COLUMNS it must be caught
@@ -860,7 +885,15 @@ object GraftSparkExtensions {
             merge,
             LambdaFunction(fin, Seq(fin)))
         },
-        aliasFn("time_bucket", (2, 2))(a => timeBucket(a(0), a(1))))
+        aliasFn("time_bucket", (2, 2))(a => timeBucket(a(0), a(1))),
+        // Targets of DuckLiteralRewrite's postfix-bracket output —
+        // DuckDB's 1-based / NULL-out-of-bounds bracket operators as
+        // typed expressions (functions/DuckCollections.scala). Also
+        // callable directly.
+        aliasFn("duck_index", (2, 2))(a =>
+          graft.functions.DuckIndex(a(0), a(1))),
+        aliasFn("duck_slice", (3, 3))(a =>
+          graft.functions.DuckSlice(a(0), a(1), a(2))))
     }
   }
 
@@ -1790,6 +1823,138 @@ object GraftSparkExtensions {
         Seq(org.apache.spark.sql.Row(n)))
     })
 
+  /** Landing pads for [[UpdateDeleteRewrite]] — DuckDB's UPDATE/DELETE
+    * against v1 catalog tables as the staged overwrite q53 demonstrates
+    * by hand: transform → scratch materialization (a table cannot be
+    * overwritten by a plan reading it) → INSERT OVERWRITE, returning
+    * DuckDB's one-row Count (rows updated / deleted). The affected-row
+    * count rides the mutation pass via an Observation placed BEFORE the
+    * transform (its predicate reads the pre-update columns) — no second
+    * scan. Every SET assignment evaluates against the OLD row (one
+    * projection, standard SQL UPDATE semantics).
+    */
+  val updateTableFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("update_table"), info("update_table"), (args: Seq[Expression]) => {
+      if (args.size != 3)
+        throw new IllegalArgumentException(
+          s"update_table(table, set_assignments, where_or_empty) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "update_table arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "update_table arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, sum, when}
+      val table = asString(v(0))
+      val setText = asString(v(1))
+      val whereText = asString(v(2)).trim
+      val assignments = ReplaceRewrite.splitTop(setText).map { a =>
+        val eq = topLevelEq(a)
+        require(eq > 0, s"update_table: assignment without '=': $a")
+        val name = a.substring(0, eq).trim
+        val rhs = a.substring(eq + 1).trim
+        require(name.matches("[A-Za-z_]\\w*"),
+          s"update_table: assignment target must be a plain column name, got '$name'")
+        require(rhs.nonEmpty, s"update_table: empty expression for '$name'")
+        name -> rhs
+      }.toMap
+      val base = spark.table(table)
+      val missing = assignments.keySet.filterNot(n =>
+        base.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(missing.isEmpty,
+        s"update_table: no such column(s): ${missing.mkString(", ")}")
+      val obs = org.apache.spark.sql.Observation()
+      val matched =
+        if (whereText.isEmpty) count(lit(1)).as("n")
+        else sum(when(expr(whereText), 1L).otherwise(0L)).as("n")
+      val projected = base.observe(obs, matched).select(
+        base.schema.fieldNames.toIndexedSeq.map { f =>
+          assignments.collectFirst {
+            case (n, rhs) if n.equalsIgnoreCase(f) =>
+              val newV = expr(rhs)
+              (if (whereText.isEmpty) newV
+               else when(expr(whereText), newV).otherwise(col(f))).as(f)
+          }.getOrElse(col(f))
+        }: _*)
+      val (staged, stageDir) = graft.operators.Scratch.materialize(projected, "update_stage")
+      staged.write.mode("overwrite").insertInto(table)
+      graft.operators.Scratch.delete(spark, stageDir)
+      val n = obs.get("n") match {
+        case null => 0L
+        case l: java.lang.Number => l.longValue()
+        case x => x.toString.toLong
+      }
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq(org.apache.spark.sql.Row(n)))
+    })
+
+  val deleteFromFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("delete_from"), info("delete_from"), (args: Seq[Expression]) => {
+      if (args.size != 2)
+        throw new IllegalArgumentException(
+          s"delete_from(table, where_or_empty) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "delete_from arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "delete_from arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{coalesce, count, expr, lit, sum, when}
+      val table = asString(v(0))
+      val whereText = asString(v(1)).trim
+      val base = spark.table(table)
+      val obs = org.apache.spark.sql.Observation()
+      val matched =
+        if (whereText.isEmpty) count(lit(1)).as("n")
+        else sum(when(expr(whereText), 1L).otherwise(0L)).as("n")
+      // DELETE removes rows where the predicate is TRUE; NULL keeps.
+      val kept = base.observe(obs, matched).filter(
+        if (whereText.isEmpty) lit(false)
+        else !coalesce(expr(whereText), lit(false)))
+      val (staged, stageDir) = graft.operators.Scratch.materialize(kept, "delete_stage")
+      staged.write.mode("overwrite").insertInto(table)
+      graft.operators.Scratch.delete(spark, stageDir)
+      val n = obs.get("n") match {
+        case null => 0L
+        case l: java.lang.Number => l.longValue()
+        case x => x.toString.toLong
+      }
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq(org.apache.spark.sql.Row(n)))
+    })
+
+  /** First top-level `=` that is an assignment operator (not ==, <=,
+    * >=, !=, <>), outside strings/quotes/parens; -1 when absent.
+    */
+  private def topLevelEq(s: String): Int = {
+    var i = 0
+    var depth = 0
+    val n = s.length
+    while (i < n) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            if (s.charAt(i) == '\'') {
+              if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2
+              else { done = true; i += 1 }
+            } else i += 1
+          }
+        case '"' => i += 1; while (i < n && s.charAt(i) != '"') i += 1; i += 1
+        case '`' => i += 1; while (i < n && s.charAt(i) != '`') i += 1; i += 1
+        case '(' | '[' => depth += 1; i += 1
+        case ')' | ']' => depth -= 1; i += 1
+        case '=' if depth == 0 =>
+          val prev = if (i > 0) s.charAt(i - 1) else ' '
+          val next = if (i + 1 < n) s.charAt(i + 1) else ' '
+          if (prev != '<' && prev != '>' && prev != '!' && prev != '=' &&
+            next != '=') return i
+          i += 1
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
   import org.apache.spark.sql.Row
 
   private val createVariablesSchema = StructType.fromDDL(
@@ -1827,6 +1992,8 @@ object GraftSparkExtensions {
     positionalJoinFn,
     copyToFn,
     copyFromFn,
+    updateTableFn,
+    deleteFromFn,
     readParquetFn,
     readCsvFn,
     readCsvAutoFn,

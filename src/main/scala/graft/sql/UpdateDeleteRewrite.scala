@@ -1,0 +1,90 @@
+package graft.sql
+
+import scala.util.control.NonFatal
+
+/** Literal `UPDATE t SET ... [WHERE ...]` and `DELETE FROM t [WHERE ...]`
+  * statements EXECUTING against v1 catalog tables — DuckDB's mutation
+  * DML, pasted unchanged.
+  *
+  * Spark PARSES both statements (DataSource-v2 row-level plans) but
+  * every v1/parquet catalog table fails analysis with "does not support
+  * row-level operations", so OSS Spark users rewrite by hand what
+  * [[graft.queries.AnalyticsQueries]] q53 demonstrates: read → transform
+  * (UPDATE = conditional column rewrite, DELETE = negated filter) →
+  * stage (a table cannot be overwritten by a plan that reads it) →
+  * INSERT OVERWRITE. This rewrite does that mechanically: the statement
+  * is intercepted PRE-delegation (parse succeeds, so the
+  * ParseException-driven hint chain never sees it) and rewritten onto
+  * the eager `update_table()` / `delete_from()` TVFs, which run the
+  * staged overwrite at analysis and return DuckDB's one-row `Count`
+  * (rows updated / deleted).
+  *
+  * Scope guard: ONLY single-part names that resolve to an existing
+  * non-temporary v1 session-catalog table are claimed. Temp views,
+  * missing tables, and multipart names fall through to Spark's native
+  * path untouched — a DSv2 table that genuinely supports row-level
+  * operations keeps its native semantics. At 100 TB the same recipe
+  * overwrites only affected partitions (dynamic partition overwrite);
+  * this lane is the full-table form.
+  */
+object UpdateDeleteRewrite {
+
+  private val updateRe = "(?is)\\A\\s*UPDATE\\b.*".r
+  private val deleteRe = "(?is)\\A\\s*DELETE\\b.*".r
+
+  def isShaped(sql: String): Boolean =
+    updateRe.findFirstIn(sql).isDefined || deleteRe.findFirstIn(sql).isDefined
+
+  private def isPlainV1Table(name: String): Boolean =
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cat = spark.sessionState.catalog
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+      cat.getTempView(name).isEmpty && cat.tableExists(ident)
+    } catch { case NonFatal(_) => false }
+
+  private def esc(s: String): String = s.replace("'", "''")
+
+  private def stripSemi(s: String): String = {
+    val t = s.trim
+    if (t.endsWith(";")) t.dropRight(1).trim else t
+  }
+
+  /** The TVF call text, or None → delegate to Spark's native path. */
+  def rewrite(sql: String): Option[String] =
+    try {
+      val words = QualifyRewrite.topLevelWords(sql)
+      if (words.isEmpty) return None
+      if (words.exists(_._1 == "?")) return None // positional params move
+      words.head._1 match {
+        case "UPDATE" =>
+          // UPDATE <ident> SET <assignments> [WHERE <pred>]
+          if (words.length < 3 || words(2)._1 != "SET") return None
+          val tbl = sql.substring(
+            words.head._2 + "UPDATE".length, words(2)._2).trim
+          if (!tbl.matches("[A-Za-z_]\\w*") || !isPlainV1Table(tbl)) return None
+          val setStart = words(2)._2 + "SET".length
+          val whereW = words.find(w => w._1 == "WHERE" && w._2 > setStart)
+          val setText = stripSemi(sql.substring(setStart,
+            whereW.map(_._2).getOrElse(sql.length)))
+          val whereText = whereW
+            .map(w => stripSemi(sql.substring(w._2 + "WHERE".length)))
+            .getOrElse("")
+          if (setText.isEmpty) return None
+          Some(s"SELECT * FROM update_table('${esc(tbl)}', " +
+            s"'${esc(setText)}', '${esc(whereText)}')")
+        case "DELETE" =>
+          if (words.length < 2 || words(1)._1 != "FROM") return None
+          val fromEnd = words(1)._2 + "FROM".length
+          val whereW = words.find(w => w._1 == "WHERE" && w._2 > fromEnd)
+          val tbl = stripSemi(sql.substring(fromEnd,
+            whereW.map(_._2).getOrElse(sql.length))).trim
+          if (!tbl.matches("[A-Za-z_]\\w*") || !isPlainV1Table(tbl)) return None
+          val whereText = whereW
+            .map(w => stripSemi(sql.substring(w._2 + "WHERE".length)))
+            .getOrElse("")
+          Some(s"SELECT * FROM delete_from('${esc(tbl)}', '${esc(whereText)}')")
+        case _ => None
+      }
+    } catch { case NonFatal(_) => None }
+}

@@ -1044,6 +1044,106 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(one[Int]("SELECT list_reduce(array(5), (a, b) -> a + b)") == 5)
   }
 
+  test("DuckDB bracket/brace literal syntax rewrites and runs") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    def arr[T](sql: String): List[T] =
+      spark.sql(sql).head().getSeq[T](0).toList
+    // List literals, incl. the ARRAY keyword form and empties.
+    assert(arr[Int]("SELECT [1, 2, 3]") == List(1, 2, 3))
+    assert(arr[Int]("SELECT ARRAY[4, 5]") == List(4, 5))
+    assert(one[Long]("SELECT len([])") == 0L)
+    // Nested literal + postfix chain on the literal.
+    assert(one[Int]("SELECT ([10, 20, 30])[2]") == 20)
+    assert(one[Int]("SELECT [[1], [2, 3]][2][1]") == 2)
+    // 1-based indexing with DuckDB's NULL contract (0, out-of-bounds,
+    // negative-from-end) — pinned against DuckDB.
+    assert(one[Int]("SELECT ([10, 20, 30])[-1]") == 30)
+    assert(spark.sql("SELECT ([10, 20, 30])[0]").head().isNullAt(0))
+    assert(spark.sql("SELECT ([10, 20, 30])[7]").head().isNullAt(0))
+    // A bare `expr[i]` parses NATIVELY in Spark (0-based) and never
+    // reaches the rewrite — by design. Statements carrying DuckDB-only
+    // syntax (here the [0] literal) get DuckDB indexing throughout.
+    assert(spark.sql("SELECT ('abcdef')[2] AS c, [0] AS m").head()
+      .getString(0) == "b")
+    assert(spark.sql("SELECT ('abcdef')[-2] AS c, [0] AS m").head()
+      .getString(0) == "e")
+    // Slicing: 1-based inclusive, clamped, negative-from-end, open ends.
+    assert(arr[Int]("SELECT ([10, 20, 30, 40])[2:3]") == List(20, 30))
+    assert(arr[Int]("SELECT ([10, 20, 30, 40])[0:2]") == List(10, 20))
+    assert(arr[Int]("SELECT ([10, 20, 30, 40])[3:10]") == List(30, 40))
+    assert(arr[Int]("SELECT ([10, 20, 30, 40])[3:2]") == Nil)
+    assert(arr[Int]("SELECT ([10, 20, 30, 40])[-3:-2]") == List(20, 30))
+    assert(arr[Int]("SELECT ([10, 20, 30, 40])[-2:]") == List(30, 40))
+    assert(arr[Int]("SELECT ([10, 20, 30, 40])[:2]") == List(10, 20))
+    assert(arr[Int]("SELECT ([10, 20, 30, 40])[:]") == List(10, 20, 30, 40))
+    assert(one[String]("SELECT ('abcdef')[2:3]") == "bc")
+    assert(one[String]("SELECT ('abcdef')[-3:-2]") == "de")
+    assert(one[String]("SELECT ('abcdef')[3:]") == "cdef")
+    // Struct and map literals; struct/map bracket access.
+    assert(one[Int]("SELECT ({'a': 1, 'b': 2})['b']") == 2)
+    assert(one[Int]("SELECT (MAP {'x': 10, 'y': 20})['y']") == 20)
+    val st = spark.sql("SELECT {'a': [1, 2], 'b': {'c': 3}} AS s").head()
+      .getStruct(0)
+    assert(st.getSeq[Int](0).toList == List(1, 2))
+    assert(st.getStruct(1).getInt(0) == 3)
+    // Comprehensions, with and without IF, over columns too.
+    assert(arr[Int]("SELECT [x * 2 FOR x IN [1, 2, 3]]") == List(2, 4, 6))
+    assert(arr[Int]("SELECT [x + 1 FOR x IN [1, 2, 3] IF x > 1]") == List(3, 4))
+    spark.sql("SELECT split('a bb ccc', ' ') AS toks")
+      .createOrReplaceTempView("dl_toks")
+    assert(arr[Long](
+      "SELECT [len(t) FOR t IN toks IF len(t) >= 2] FROM dl_toks") ==
+      List(2L, 3L))
+    // Postfix on a column receiver; composes with WHERE. The [1:1]
+    // slice marks the statement as DuckDB dialect, so toks[-1] is
+    // 1-based-from-end here.
+    assert(one[String](
+      "SELECT toks[-1] FROM dl_toks WHERE toks[1:1] = ['a']") == "ccc")
+    // Mixed with another dialect rewrite (EXCLUDE) — chained rewrites.
+    spark.sql("SELECT 1 AS a, 2 AS b").createOrReplaceTempView("dl_two")
+    assert(spark.sql("SELECT * EXCLUDE (b), [a, 9] AS l FROM dl_two")
+      .head().getSeq[Int](1).toList == List(1, 9))
+    // Strings containing brackets pass through untouched.
+    assert(one[String]("SELECT '[not a list]' || ('ab')[1:1]") == "[not a list]a")
+    // A declining shape lands on the guidance hint.
+    val ex = intercept[Exception](spark.sql("SELECT {1: 2}"))
+    assert(ex.getMessage.contains("named_struct"), s"got: ${ex.getMessage}")
+  }
+
+  test("literal UPDATE and DELETE statements run against catalog tables") {
+    val tbl = "graft_ud_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir = { val u = new java.net.URI(wh); if (u.getScheme == null) wh else u.getPath }
+    def del(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
+    del(new java.io.File(whDir, tbl))
+    spark.sql(s"CREATE TABLE $tbl (id INT, grp STRING, v DOUBLE) USING parquet")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 'a', 10.0), (2, 'a', 20.0), " +
+      "(3, 'b', 30.0), (4, 'b', 40.0)")
+    // UPDATE returns DuckDB's one-row Count of affected rows; SET
+    // expressions read the OLD row (v doubles before grp flips).
+    val up = spark.sql(
+      s"UPDATE $tbl SET v = v * 2, grp = 'A' WHERE grp = 'a'").collect()
+    assert(up.map(_.getLong(0)).toSeq == Seq(2L))
+    val after = spark.table(tbl).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(after == Seq((1, "A", 20.0), (2, "A", 40.0),
+      (3, "b", 30.0), (4, "b", 40.0)), s"got $after")
+    // DELETE: NULL predicate keeps the row (only TRUE deletes).
+    val d = spark.sql(s"DELETE FROM $tbl WHERE v >= 40.0").collect()
+    assert(d.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.table(tbl).orderBy("id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 3))
+    // An UPDATE against a TEMP VIEW keeps Spark's native path (and its
+    // native error), never the staged overwrite.
+    spark.sql("SELECT 1 AS x").createOrReplaceTempView("graft_ud_v")
+    val ex = intercept[Exception](
+      spark.sql("UPDATE graft_ud_v SET x = 2"))
+    assert(!ex.getMessage.contains("update_table"), s"got: ${ex.getMessage}")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("POSITIONAL JOIN aligns row N to row N, NULL-padding the short side") {
     import spark.implicits._
     Seq("a", "b", "c").toDF("x").createOrReplaceTempView("pj_l")
