@@ -68,11 +68,15 @@ object CopyToRewrite {
     var format: Option[String] = None
     var header: Option[Boolean] = None
     var partition: Seq[String] = Seq.empty
+    var delimiter: Option[String] = None
+    var compression: Option[String] = None
     if (tail.nonEmpty) {
       if (!(tail.startsWith("(") && tail.endsWith(")"))) return None
       val fm = """(?i)\AFORMAT\s+(\w+)\z""".r
       val hm = """(?i)\AHEADER(?:\s+(TRUE|FALSE|1|0))?\z""".r
       val pm = """(?is)\APARTITION_BY\s*(?:\(\s*([^()]*?)\s*\)|([A-Za-z_]\w*))\z""".r
+      val dm = """(?i)\A(?:DELIMITER|DELIM|SEP)\s+'((?:[^']|'')+)'\z""".r
+      val cm = """(?i)\ACOMPRESSION\s+'?(\w+)'?\z""".r
       // splitTop, not split(","): PARTITION_BY (a, b) carries commas
       // inside its own parens.
       for (o <- ReplaceRewrite.splitTop(tail.substring(1, tail.length - 1))
@@ -87,6 +91,12 @@ object CopyToRewrite {
             if (names.isEmpty || names.exists(!_.matches("[A-Za-z_]\\w*")))
               return None
             partition = names
+          case dm(d) => delimiter = Some(d.replace("''", "'"))
+          // COMPRESSION on the export side maps straight to the writer
+          // codec (zstd/gzip/snappy/none — same names both engines);
+          // readers sniff compression themselves, so accept-and-ignore
+          // on import would hide a typo — decline there instead.
+          case cm(c) if !isImport => compression = Some(c.toLowerCase)
           case _ => return None
         }
       }
@@ -99,13 +109,25 @@ object CopyToRewrite {
     }.getOrElse(return None)
     if (fmt != "parquet" && fmt != "csv") return None
 
+    // DELIMITER is a CSV notion on both engines.
+    if (delimiter.isDefined && fmt != "csv") return None
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    // Extra writer/reader options ride as one 'k=v;k=v' argument so the
+    // TVF arities stay stable ('=' / ';' cannot appear in the values:
+    // codec names are words and a delimiter containing them declines).
+    val opts = (delimiter.map(d => s"delimiter=$d") ++
+      compression.map(c => s"compression=$c")).mkString(";")
+    if (opts.contains("=;") || delimiter.exists(d =>
+      d.contains("=") || d.contains(";"))) return None
+    val optsArg = if (opts.isEmpty) "" else s", ${lit(opts)}"
     if (isImport)
       return Some(s"SELECT * FROM copy_from(${lit(source)}, ${lit(path)}, " +
-        s"${lit(fmt)}, ${header.getOrElse(true)})")
+        s"${lit(fmt)}, ${header.getOrElse(true)}$optsArg)")
     val partArg =
-      if (partition.isEmpty) "" else s", ${lit(partition.mkString(","))}"
+      if (partition.isEmpty && opts.nonEmpty) s", ''"
+      else if (partition.isEmpty) ""
+      else s", ${lit(partition.mkString(","))}"
     Some(s"SELECT * FROM copy_to(${lit(source)}, ${lit(path)}, " +
-      s"${lit(fmt)}, ${header.getOrElse(true)}$partArg)")
+      s"${lit(fmt)}, ${header.getOrElse(true)}$partArg$optsArg)")
   }
 }

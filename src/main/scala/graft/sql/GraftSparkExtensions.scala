@@ -249,8 +249,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "DuckDB's one-row Count — but this statement wasn't " +
                   "that shape. The import form (COPY tbl FROM 'path' " +
                   "[(FORMAT CSV|PARQUET[, HEADER])]) also runs, " +
-                  "appending into an existing catalog table. Other " +
-                  "formats and options (DELIMITER, COMPRESSION) " +
+                  "appending into an existing catalog table. " +
+                  "DELIMITER and COMPRESSION execute too; other " +
+                  "formats and options (QUOTE, ESCAPE, NULL ...) " +
                   "decline: use the DataFrame writer/reader directly " +
                   "(df.write.parquet(path), spark.read.csv(path)), or " +
                   "the copy_to('src', 'path', 'format'[, header[, " +
@@ -1736,10 +1737,10 @@ object GraftSparkExtensions {
     */
   val copyToFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("copy_to"), info("copy_to"), (args: Seq[Expression]) => {
-      if (args.size < 3 || args.size > 5)
+      if (args.size < 3 || args.size > 6)
         throw new IllegalArgumentException(
-          "copy_to(table_or_sql, path, format[, header[, partition_csv]])" +
-            s" — got ${args.size} arguments")
+          "copy_to(table_or_sql, path, format[, header[, partition_csv" +
+            s"[, opts]]]) — got ${args.size} arguments")
       require(args.forall(_.foldable), "copy_to arguments must be constants")
       val v = args.map(_.eval(null)).toIndexedSeq
       require(v.forall(_ != null), "copy_to arguments must be non-NULL constants")
@@ -1752,16 +1753,22 @@ object GraftSparkExtensions {
         if (args.size >= 5)
           asString(v(4)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         else Seq.empty
+      val opts = if (args.size >= 6) parseCopyOpts(asString(v(5))) else Map.empty[String, String]
       val obs = org.apache.spark.sql.Observation()
       val instrumented = src.observe(obs,
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
       val writer0 = instrumented.write.mode("overwrite")
-      val writer =
+      val writer1 =
         if (partition.isEmpty) writer0 else writer0.partitionBy(partition: _*)
+      val writer = opts.get("compression")
+        .map(c => writer1.option("compression", c)).getOrElse(writer1)
       fmt match {
         case "parquet" => writer.parquet(path)
-        case "csv" => writer.option("header", header.toString).csv(path)
+        case "csv" =>
+          val w = opts.get("delimiter").map(d => writer.option("sep", d))
+            .getOrElse(writer)
+          w.option("header", header.toString).csv(path)
         case other => throw new IllegalArgumentException(
           s"copy_to: unsupported format '$other' (parquet, csv)")
       }
@@ -1786,9 +1793,9 @@ object GraftSparkExtensions {
     */
   val copyFromFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("copy_from"), info("copy_from"), (args: Seq[Expression]) => {
-      if (args.size < 2 || args.size > 4)
+      if (args.size < 2 || args.size > 5)
         throw new IllegalArgumentException(
-          "copy_from(table, path[, format[, header]])" +
+          "copy_from(table, path[, format[, header[, opts]]])" +
             s" — got ${args.size} arguments")
       require(args.forall(_.foldable), "copy_from arguments must be constants")
       val v = args.map(_.eval(null)).toIndexedSeq
@@ -1801,11 +1808,14 @@ object GraftSparkExtensions {
         if (lower.endsWith(".csv")) "csv" else "parquet"
       }
       val header = if (args.size >= 4) asBool(v(3)) else true
+      val opts = if (args.size >= 5) parseCopyOpts(asString(v(4))) else Map.empty[String, String]
       val target = spark.table(table)
       val src = fmt match {
         case "parquet" => spark.read.parquet(path)
-        case "csv" => spark.read.option("header", header.toString)
-          .schema(target.schema).csv(path)
+        case "csv" =>
+          val r0 = spark.read.option("header", header.toString)
+          val r = opts.get("delimiter").map(d => r0.option("sep", d)).getOrElse(r0)
+          r.schema(target.schema).csv(path)
         case other => throw new IllegalArgumentException(
           s"copy_from: unsupported format '$other' (parquet, csv)")
       }
@@ -1920,6 +1930,17 @@ object GraftSparkExtensions {
         DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
         Seq(org.apache.spark.sql.Row(n)))
     })
+
+  /** The 'k=v;k=v' extra-options argument of copy_to/copy_from
+    * ([[CopyToRewrite]] encodes DELIMITER/COMPRESSION this way so the
+    * TVF arities stay stable).
+    */
+  private def parseCopyOpts(s: String): Map[String, String] =
+    s.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"copy options: expected k=v, got '$kv'")
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
 
   /** First top-level `=` that is an assignment operator (not ==, <=,
     * >=, !=, <>), outside strings/quotes/parens; -1 when absent.

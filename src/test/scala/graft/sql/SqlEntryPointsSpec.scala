@@ -766,13 +766,29 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val backP = spark.read.parquet(s"$dir/part")
     assert(backP.columns.sorted.toSeq == Seq("px", "qt", "sym", "tag"))
     assert(backP.filter(col("sym") === 1).count() == 3)
+    // DELIMITER and COMPRESSION execute (round 14): a '|'-separated CSV
+    // reads back under the same sep; zstd parquet round-trips and the
+    // codec shows in the part-file names.
+    spark.sql(s"COPY sq_quotes TO '$dir/pipe.csv' (FORMAT CSV, HEADER, DELIMITER '|')")
+    val pipeBack = spark.read.option("header", "true").option("sep", "|")
+      .csv(s"$dir/pipe.csv")
+    assert(pipeBack.count() == 4 &&
+      pipeBack.columns.toSeq == Seq("sym", "qt", "px", "tag"))
+    val pipeRaw = spark.read.text(s"$dir/pipe.csv").limit(1)
+      .collect()(0).getString(0)
+    assert(pipeRaw.contains("|"), s"got: $pipeRaw")
+    spark.sql(s"COPY sq_quotes TO '$dir/z.parquet' (FORMAT PARQUET, COMPRESSION zstd)")
+    assert(spark.read.parquet(s"$dir/z.parquet").count() == 4)
+    val zFiles = new java.io.File(s"$dir/z.parquet").listFiles
+      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    assert(zFiles.nonEmpty && zFiles.forall(_.contains("zstd")), s"got $zFiles")
     // Unsupported shapes decline to the guidance hint.
     val ex = intercept[Exception](spark.sql(
       s"COPY sq_quotes TO '$dir/x.json' (FORMAT JSON)"))
     assert(ex.getMessage.contains("COPY"), s"got: ${ex.getMessage}")
     val ex2 = intercept[Exception](spark.sql(
-      s"COPY sq_quotes TO '$dir/y.csv' (DELIMITER '|')"))
-    assert(ex2.getMessage.contains("DELIMITER"), s"got: ${ex2.getMessage}")
+      s"COPY sq_quotes TO '$dir/y.parquet' (FORMAT PARQUET, DELIMITER '|')"))
+    assert(ex2.getMessage.contains("COPY"), s"got: ${ex2.getMessage}")
     // COPY FROM (import): appends into an existing catalog table and
     // returns the Count row. Clear any leftover warehouse dir first —
     // the in-memory catalog forgets tables between JVMs but their
