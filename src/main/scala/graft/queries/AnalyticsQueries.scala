@@ -993,6 +993,30 @@ object AnalyticsQueries {
          FROM graft_q88 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }
 
+  // Value-frequency aggregates under DuckDB's names (round 14):
+  // histogram (MAP value→count via a TypedImperativeAggregate with
+  // map-side partials — per-group state O(distinct values), keys
+  // ascending, NULLs dropped, empty→NULL) and entropy (log2 Shannon,
+  // empty→0.0), functions/HistogramAgg.scala. IDENTICAL statement text
+  // on both engines; the map surfaces through map_keys/map_values
+  // (deterministic sorted arrays) and entropy rounds to 9 decimals —
+  // the float-sum order over a hash map is engine-specific, the
+  // per-term doubles are not.
+  declare("q89_histogram",
+    """SELECT o_orderstatus,
+         map_keys(histogram(o_orderpriority)) AS prio_keys,
+         map_values(histogram(o_orderpriority)) AS prio_counts,
+         round(entropy(o_orderpriority), 9) AS prio_entropy
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderstatus,
+           map_keys(histogram(o_orderpriority)) AS prio_keys,
+           map_values(histogram(o_orderpriority)) AS prio_counts,
+           round(entropy(o_orderpriority), 9) AS prio_entropy
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
   // QUALIFY parity: the literal DuckDB/Teradata QUALIFY statement (window
   // filter without a subquery) EXECUTING on Spark — the hint parser
   // catches the ParseException and splices the predicate into the select

@@ -894,7 +894,12 @@ object GraftSparkExtensions {
         aliasFn("duck_index", (2, 2))(a =>
           graft.functions.DuckIndex(a(0), a(1))),
         aliasFn("duck_slice", (3, 3))(a =>
-          graft.functions.DuckSlice(a(0), a(1), a(2))))
+          graft.functions.DuckSlice(a(0), a(1), a(2))),
+        // Value-frequency aggregates (functions/HistogramAgg.scala):
+        // DuckDB's histogram (MAP value→count, keys ascending, NULLs
+        // dropped, empty→NULL) and entropy (log2 Shannon, empty→0.0).
+        aliasFn("histogram", (1, 1))(a => graft.functions.HistogramAgg(a(0))),
+        aliasFn("entropy", (1, 1))(a => graft.functions.EntropyAgg(a(0))))
     }
   }
 

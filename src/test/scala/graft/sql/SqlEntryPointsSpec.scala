@@ -1126,6 +1126,37 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("named_struct"), s"got: ${ex.getMessage}")
   }
 
+  test("histogram and entropy aggregates match DuckDB's pinned values") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    spark.sql("SELECT * FROM VALUES (3), (1), (1), (2), (NULL) AS t(x)")
+      .createOrReplaceTempView("fh_t")
+    // histogram: MAP value→count, keys ascending, NULLs dropped.
+    assert(spark.sql("SELECT map_keys(histogram(x)) FROM fh_t").head()
+      .getSeq[Int](0).toList == List(1, 2, 3))
+    assert(spark.sql("SELECT map_values(histogram(x)) FROM fh_t").head()
+      .getSeq[Long](0).toList == List(2L, 1L, 1L))
+    // Empty / all-NULL group → NULL map (DuckDB 1.0 pinned).
+    assert(spark.sql("SELECT histogram(x) FROM fh_t WHERE x > 99").head()
+      .isNullAt(0))
+    // entropy: log2 Shannon; empty → 0.0; single value → 0.0.
+    assert(math.abs(one[Double](
+      "SELECT entropy(x) FROM VALUES (1), (1), (2) AS t(x)")
+      - 0.9182958340544893) < 1e-12)
+    assert(one[Double](
+      "SELECT entropy(x) FROM VALUES ('a'), ('a'), ('b'), ('c') AS t(x)") == 1.5)
+    assert(one[Double]("SELECT entropy(x) FROM fh_t WHERE x > 99") == 0.0)
+    assert(one[Double]("SELECT entropy(x) FROM VALUES (7) AS t(x)") == 0.0)
+    // Strings as keys; per-group map-side partials merge correctly
+    // across a shuffle (GROUP BY path).
+    val g = spark.sql(
+      """SELECT g, map_keys(histogram(v)) ks, map_values(histogram(v)) vs
+         FROM VALUES (1, 'b'), (1, 'a'), (1, 'a'), (2, 'z') AS t(g, v)
+         GROUP BY g ORDER BY g""").collect()
+    assert(g(0).getSeq[String](1).toList == List("a", "b"))
+    assert(g(0).getSeq[Long](2).toList == List(2L, 1L))
+    assert(g(1).getSeq[String](1).toList == List("z"))
+  }
+
   test("literal UPDATE and DELETE statements run against catalog tables") {
     val tbl = "graft_ud_t"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
