@@ -139,6 +139,49 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       "(?i)\\b(date_diff|datediff)(\\s*\\(\\s*')", "duck_$1$2")
     if (out == sql) None else Some(out)
   }
+  // DuckDB maintenance statements, none of which Spark parses. CREATE/
+  // DROP INDEX and VACUUM have no Spark counterpart and no semantic
+  // effect beyond performance — they become warn-once no-ops returning
+  // DuckDB's empty result, so a pasted setup script keeps running
+  // instead of dying on its index DDL. `ANALYZE [tbl]` is REAL work:
+  // with a table name it maps to Spark's ANALYZE TABLE ... COMPUTE
+  // STATISTICS (feeding the cost-based optimizer — the closest
+  // equivalent of DuckDB's stats refresh); the bare form no-ops (Spark
+  // has no analyze-everything statement).
+  private val createIndexRe =
+    "(?is)\\A\\s*CREATE\\s+(?:UNIQUE\\s+)?INDEX\\b.*".r
+  private val dropIndexRe = "(?is)\\A\\s*DROP\\s+INDEX\\b.*".r
+  private val vacuumRe =
+    "(?is)\\A\\s*VACUUM(?:\\s+ANALYZE)?(?:\\s+[A-Za-z_][\\w.]*)?\\s*;?\\s*\\z".r
+  private val analyzeBareRe = "(?is)\\A\\s*ANALYZE\\s*;?\\s*\\z".r
+  private val analyzeTblRe =
+    "(?is)\\A\\s*ANALYZE\\s+([A-Za-z_]\\w*)\\s*;?\\s*\\z".r
+  // CREATE/DROP INDEX PARSE in Spark 4 (the DSv2 index SQL added in
+  // 3.4) and then fail analysis on every v1 table/view — so they are
+  // intercepted PRE-delegation (indexRewrite, from preRewrite); the
+  // rest genuinely fail to parse and ride the hint chain
+  // (maintenanceRewrite).
+  private def indexRewrite(sql: String): Option[String] = sql match {
+    case createIndexRe() =>
+      Some("SELECT * FROM maintenance_noop('CREATE INDEX', " +
+        "'Spark has no secondary indexes; scans prune via partitioning, " +
+        "bucketing, and parquet zone maps')")
+    case dropIndexRe() =>
+      Some("SELECT * FROM maintenance_noop('DROP INDEX', " +
+        "'Spark has no secondary indexes')")
+    case _ => None
+  }
+  private def maintenanceRewrite(sql: String): Option[String] = sql match {
+    case analyzeTblRe(tbl) =>
+      Some(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+    case analyzeBareRe() =>
+      Some("SELECT * FROM maintenance_noop('ANALYZE', " +
+        "'statistics refresh runs per table here: ANALYZE TABLE <t> COMPUTE STATISTICS')")
+    case vacuumRe() =>
+      Some("SELECT * FROM maintenance_noop('VACUUM', " +
+        "'storage is immutable parquet here; nothing to vacuum')")
+    case _ => None
+  }
   private val distinctOnRe =
     "(?is).*\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(.*".r
 
@@ -197,6 +240,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               SampleRewrite.rewrite(text); case _ => None },
             () => text match { case duckDateRe() =>
               duckDateRewrite(text); case _ => None },
+            () => maintenanceRewrite(text),
             () => text match { case distinctOnRe() =>
               DistinctOnRewrite.rewrite(text); case _ => None },
             () => text match { case copyStmtRe() =>
@@ -492,6 +536,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       // anything else (temp views, DSv2 tables, multipart names) keeps
       // Spark's native path and semantics.
       UpdateDeleteRewrite.rewrite(sqlText).getOrElse(sqlText)
+    case _ if indexRewrite(sqlText).isDefined =>
+      indexRewrite(sqlText).get
     case distinctOnRe() if DistinctOnRewrite.isShaped(sqlText) =>
       // SELECT DISTINCT ON (...) PARSES as plain Spark (ON(...) is an
       // ordinary function call), so like COLUMNS it must be caught
@@ -1936,6 +1982,27 @@ object GraftSparkExtensions {
         Seq(org.apache.spark.sql.Row(n)))
     })
 
+  /** Warn-once no-op landing pad for DuckDB maintenance statements
+    * (CREATE/DROP INDEX, VACUUM, bare ANALYZE): prints one stderr line
+    * per statement kind per JVM naming the Spark equivalent, returns
+    * DuckDB's empty result (zero rows).
+    */
+  private val warnedMaintenance =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  val maintenanceNoopFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("maintenance_noop"), info("maintenance_noop"), (args: Seq[Expression]) => {
+      require(args.size == 2 && args.forall(_.foldable),
+        "maintenance_noop(kind, message) — constant strings")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "maintenance_noop arguments must be non-NULL")
+      val kind = asString(v(0))
+      if (warnedMaintenance.add(kind))
+        System.err.println(s"graft: $kind is a no-op on this engine — ${asString(v(1))}")
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq.empty)
+    })
+
   /** The 'k=v;k=v' extra-options argument of copy_to/copy_from
     * ([[CopyToRewrite]] encodes DELIMITER/COMPRESSION this way so the
     * TVF arities stay stable).
@@ -2020,6 +2087,7 @@ object GraftSparkExtensions {
     copyFromFn,
     updateTableFn,
     deleteFromFn,
+    maintenanceNoopFn,
     readParquetFn,
     readCsvFn,
     readCsvAutoFn,

@@ -1126,6 +1126,33 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("named_struct"), s"got: ${ex.getMessage}")
   }
 
+  test("maintenance statements: INDEX/VACUUM no-op, ANALYZE maps to table stats") {
+    // CREATE/DROP INDEX and VACUUM: DuckDB's empty result, script keeps
+    // running.
+    spark.sql("SELECT 1 AS a").createOrReplaceTempView("mx_t")
+    assert(spark.sql("CREATE INDEX mx_idx ON mx_t (a)").count() == 0)
+    assert(spark.sql("CREATE UNIQUE INDEX mx_u ON mx_t (a)").count() == 0)
+    assert(spark.sql("DROP INDEX mx_idx").count() == 0)
+    assert(spark.sql("VACUUM").count() == 0)
+    assert(spark.sql("ANALYZE").count() == 0)
+    // ANALYZE <tbl> runs Spark's real COMPUTE STATISTICS against a
+    // catalog table (stats visible in DESCRIBE EXTENDED afterwards).
+    val tbl = "graft_mx_stats"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir = { val u = new java.net.URI(wh); if (u.getScheme == null) wh else u.getPath }
+    def del(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
+    del(new java.io.File(whDir, tbl))
+    spark.sql(s"CREATE TABLE $tbl USING parquet AS SELECT 1 AS a UNION ALL SELECT 2")
+    spark.sql(s"ANALYZE $tbl")
+    val stats = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .find(_._1 == "Statistics").map(_._2).getOrElse("")
+    assert(stats.contains("2 rows"), s"got: $stats")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("histogram and entropy aggregates match DuckDB's pinned values") {
     def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
     spark.sql("SELECT * FROM VALUES (3), (1), (1), (2), (NULL) AS t(x)")
