@@ -1017,6 +1017,28 @@ object AnalyticsQueries {
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }
 
+  // Prepared-statement parity (round 14): the scripted PREPARE name AS
+  // <stmt with $N/? markers> / EXECUTE name(args) / DEALLOCATE workflow
+  // (sql/PrepareRewrite — session-keyed template registry, quote-aware
+  // marker substitution, substituted text re-entering the full rewrite
+  // chain). Both engines run the SAME two statements; DuckDB binds
+  // values where this splices constant expression text — equivalent for
+  // EXECUTE's constant arguments.
+  declare("q90_prepare",
+    """PREPARE graft_q90 AS
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders WHERE o_totalprice > $1
+         GROUP BY o_orderpriority ORDER BY o_orderpriority;
+       EXECUTE graft_q90(150000)""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """PREPARE graft_q90 AS
+           SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders WHERE o_totalprice > $1
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    spark.sql("EXECUTE graft_q90(150000)")
+  }
+
   // QUALIFY parity: the literal DuckDB/Teradata QUALIFY statement (window
   // filter without a subquery) EXECUTING on Spark — the hint parser
   // catches the ParseException and splices the predicate into the select

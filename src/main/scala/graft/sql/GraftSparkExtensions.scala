@@ -154,6 +154,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val vacuumRe =
     "(?is)\\A\\s*VACUUM(?:\\s+ANALYZE)?(?:\\s+[A-Za-z_][\\w.]*)?\\s*;?\\s*\\z".r
   private val analyzeBareRe = "(?is)\\A\\s*ANALYZE\\s*;?\\s*\\z".r
+  private val prepareStmtRe =
+    "(?is)\\A\\s*(?:PREPARE|EXECUTE|DEALLOCATE)\\b.*".r
   private val analyzeTblRe =
     "(?is)\\A\\s*ANALYZE\\s+([A-Za-z_]\\w*)\\s*;?\\s*\\z".r
   // CREATE/DROP INDEX PARSE in Spark 4 (the DSv2 index SQL added in
@@ -241,6 +243,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             () => text match { case duckDateRe() =>
               duckDateRewrite(text); case _ => None },
             () => maintenanceRewrite(text),
+            // PREPARE/EXECUTE/DEALLOCATE (none parse in Spark; EXECUTE
+            // IMMEDIATE is native and never reaches this chain). The
+            // substituted EXECUTE output runs back through preRewrite so
+            // a prepared UPDATE/DELETE/COLUMNS statement — shapes that
+            // PARSE natively but need the pre-delegation rewrites —
+            // executes too.
+            () => text match { case prepareStmtRe() =>
+              PrepareRewrite.rewrite(text).map(preRewrite); case _ => None },
             () => text match { case distinctOnRe() =>
               DistinctOnRewrite.rewrite(text); case _ => None },
             () => text match { case copyStmtRe() =>

@@ -1153,6 +1153,41 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("PREPARE/EXECUTE/DEALLOCATE run with $N and ? parameters") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    // $N markers, reusable; arguments splice parenthesized.
+    spark.sql("PREPARE pe_q AS SELECT $1 + $1 AS v, $2 AS w")
+    val r = spark.sql("EXECUTE pe_q(4, 'a')").head()
+    assert(r.getInt(0) == 8 && r.getString(1) == "a")
+    // Expression arguments evaluate at the splice site.
+    assert(one[Int]("EXECUTE pe_q(1 + 2, 'b')") == 6)
+    // Positional ? markers.
+    spark.sql("PREPARE pe_r AS SELECT * FROM range(10) WHERE id < ? ORDER BY id")
+    assert(spark.sql("EXECUTE pe_r(3)").count() == 3)
+    // Re-PREPARE replaces silently (DuckDB 1.0 pinned).
+    spark.sql("PREPARE pe_q AS SELECT $1 * 10 AS v")
+    assert(one[Int]("EXECUTE pe_q(7)") == 70)
+    // A prepared statement carrying ANOTHER dialect construct re-enters
+    // the rewrite chain: QUALIFY inside a template runs.
+    spark.sql("SELECT * FROM VALUES (1, 5), (1, 9), (2, 3) AS t(g, v)")
+      .createOrReplaceTempView("pe_t")
+    spark.sql("""PREPARE pe_top AS SELECT g, v FROM pe_t
+      QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) <= $1
+      ORDER BY g, v""")
+    assert(spark.sql("EXECUTE pe_top(1)").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 9), (2, 3)))
+    // String literals in the template are never substituted.
+    spark.sql("PREPARE pe_s AS SELECT 'has $1 and ?' AS s, $1 AS v")
+    val rs = spark.sql("EXECUTE pe_s(5)").head()
+    assert(rs.getString(0) == "has $1 and ?" && rs.getInt(1) == 5)
+    // Errors match DuckDB's binder: wrong count, unknown name.
+    val exCount = intercept[Exception](spark.sql("EXECUTE pe_s(1, 2)"))
+    assert(exCount.getMessage.contains("argument"), s"got: ${exCount.getMessage}")
+    spark.sql("DEALLOCATE pe_s")
+    val exGone = intercept[Exception](spark.sql("EXECUTE pe_s(1)"))
+    assert(exGone.getMessage.contains("does not exist"), s"got: ${exGone.getMessage}")
+  }
+
   test("histogram and entropy aggregates match DuckDB's pinned values") {
     def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
     spark.sql("SELECT * FROM VALUES (3), (1), (1), (2), (NULL) AS t(x)")
