@@ -1039,6 +1039,27 @@ object AnalyticsQueries {
     spark.sql("EXECUTE graft_q90(150000)")
   }
 
+  // Session-variable parity (round 14): DuckDB's `SET VARIABLE` /
+  // `getvariable` / `RESET VARIABLE` (host ≥1.1) mapped onto Spark 4's
+  // native SQL variables — SET VARIABLE pre-rewrites to DECLARE OR
+  // REPLACE VARIABLE (create-or-replace, the pasted-script shape),
+  // getvariable() resolves to the system.session-qualified reference at
+  // analysis with missing→NULL. The DuckDB 1.0 oracle predates the
+  // syntax (macro-overload convention), so the oracle is the
+  // hand-aligned equivalent with the value inlined; the literal
+  // statements are spec-pinned in SqlEntryPointsSpec.
+  declare("q91_variables",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+       FROM orders WHERE o_totalprice > 150000
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql("SET VARIABLE graft_q91_cut = 150000")
+    spark.sql(
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders WHERE o_totalprice > getvariable('graft_q91_cut')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
   // QUALIFY parity: the literal DuckDB/Teradata QUALIFY statement (window
   // filter without a subquery) EXECUTING on Spark — the hint parser
   // catches the ParseException and splices the predicate into the select

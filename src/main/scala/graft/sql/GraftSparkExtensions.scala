@@ -156,6 +156,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val analyzeBareRe = "(?is)\\A\\s*ANALYZE\\s*;?\\s*\\z".r
   private val prepareStmtRe =
     "(?is)\\A\\s*(?:PREPARE|EXECUTE|DEALLOCATE)\\b.*".r
+  private val setVariableRe =
+    """(?is)\A\s*SET\s+VARIABLE\s+([A-Za-z_]\w*)\s*=\s*(.+?)\s*;?\s*\z""".r
+  private val resetVariableRe =
+    """(?is)\A\s*RESET\s+VARIABLE\s+([A-Za-z_]\w*)\s*;?\s*\z""".r
   private val analyzeTblRe =
     "(?is)\\A\\s*ANALYZE\\s+([A-Za-z_]\\w*)\\s*;?\\s*\\z".r
   // CREATE/DROP INDEX PARSE in Spark 4 (the DSv2 index SQL added in
@@ -548,6 +552,16 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       UpdateDeleteRewrite.rewrite(sqlText).getOrElse(sqlText)
     case _ if indexRewrite(sqlText).isDefined =>
       indexRewrite(sqlText).get
+    // DuckDB's session variables (host ≥1.1): SET VARIABLE both creates
+    // and replaces, so it maps to Spark 4's DECLARE OR REPLACE VARIABLE
+    // (native SET VAR/VARIABLE would error on the first use — a pasted
+    // script never DECLAREs; the type re-infers from the new value,
+    // documented divergence from a pre-DECLAREd typed variable). RESET
+    // VARIABLE removes. The read side is the getvariable() alias.
+    case setVariableRe(name, value) =>
+      s"DECLARE OR REPLACE VARIABLE $name DEFAULT $value"
+    case resetVariableRe(name) =>
+      s"DROP TEMPORARY VARIABLE IF EXISTS $name"
     case distinctOnRe() if DistinctOnRewrite.isShaped(sqlText) =>
       // SELECT DISTINCT ON (...) PARSES as plain Spark (ON(...) is an
       // ordinary function call), so like COLUMNS it must be caught
@@ -951,6 +965,26 @@ object GraftSparkExtensions {
           graft.functions.DuckIndex(a(0), a(1))),
         aliasFn("duck_slice", (3, 3))(a =>
           graft.functions.DuckSlice(a(0), a(1), a(2))),
+        // DuckDB's getvariable('name') — reads the session variable the
+        // SET VARIABLE pre-rewrite declared. The name must be constant;
+        // existence is probed at analysis and a missing variable yields
+        // NULL (DuckDB's contract) instead of Spark's unresolved error.
+        // The reference is emitted as the unambiguous system.session
+        // qualified form so a same-named column never shadows it.
+        aliasFn("getvariable", (1, 1)) { a =>
+          require(a(0).foldable && a(0).dataType == StringType,
+            "getvariable(name): the name must be a constant string")
+          val raw = a(0).eval(null)
+          require(raw != null, "getvariable: name must not be NULL")
+          val name = raw.toString
+          val mgr = org.apache.spark.sql.SparkSession.active
+            .sessionState.catalogManager.tempVariableManager
+          if (mgr.get(Seq(name)).isDefined)
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+              Seq("system", "session", name))
+          else org.apache.spark.sql.catalyst.expressions.Literal(
+            null, org.apache.spark.sql.types.NullType)
+        },
         // Value-frequency aggregates (functions/HistogramAgg.scala):
         // DuckDB's histogram (MAP value→count, keys ascending, NULLs
         // dropped, empty→NULL) and entropy (log2 Shannon, empty→0.0).

@@ -1188,6 +1188,29 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(exGone.getMessage.contains("does not exist"), s"got: ${exGone.getMessage}")
   }
 
+  test("SET VARIABLE / getvariable / RESET VARIABLE session variables") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    // SET VARIABLE creates-or-replaces (no DECLARE needed — the pasted
+    // DuckDB script shape).
+    spark.sql("SET VARIABLE gv_n = 40 + 2")
+    assert(one[Int]("SELECT getvariable('gv_n')") == 42)
+    spark.sql("SET VARIABLE gv_n = 7")
+    assert(one[Int]("SELECT getvariable('gv_n')") == 7)
+    spark.sql("SET VARIABLE gv_s = 'ab' || 'c'")
+    assert(one[String]("SELECT getvariable('gv_s') || '!'") == "abc!")
+    // Reads compose into real queries (filter over a view).
+    spark.sql("SELECT * FROM VALUES (1), (5), (9) AS t(x)")
+      .createOrReplaceTempView("gv_t")
+    spark.sql("SET VARIABLE gv_lim = 5")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM gv_t WHERE x <= getvariable('gv_lim')")
+      .head().getLong(0) == 2L)
+    // Missing variable → NULL (DuckDB's contract), and RESET removes.
+    assert(spark.sql("SELECT getvariable('gv_missing')").head().isNullAt(0))
+    spark.sql("RESET VARIABLE gv_n")
+    assert(spark.sql("SELECT getvariable('gv_n')").head().isNullAt(0))
+  }
+
   test("histogram and entropy aggregates match DuckDB's pinned values") {
     def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
     spark.sql("SELECT * FROM VALUES (3), (1), (1), (2), (NULL) AS t(x)")
