@@ -22,28 +22,38 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Backward as-of join of `left` to `right` on equal `on`, matching the
-    * most recent right row with `rightOrder` <= `leftOrder` (`strict` =
-    * true for `<`). Output: every left column plus `payload` columns from
-    * the matched right row; `inner` = true (the DuckDB `ASOF JOIN`
-    * default) drops unmatched left rows, false keeps them with null
-    * payloads (`ASOF LEFT JOIN`).
+  /** As-of join of `left` to `right` on equal `on`. Backward (the
+    * default): match the most recent right row with `rightOrder` <=
+    * `leftOrder` (`strict` = true for `<`). Forward (`forward` = true,
+    * DuckDB's `l.ts <= r.ts` inequality direction): match the EARLIEST
+    * right row with `rightOrder` >= `leftOrder` (`strict` for `>`) — the
+    * mirror image, same single-shuffle union+window plan with the
+    * window frame looking ahead instead of behind. Output: every left
+    * column plus `payload` columns from the matched right row; `inner`
+    * = true (the DuckDB `ASOF JOIN` default) drops unmatched left rows,
+    * false keeps them with null payloads (`ASOF LEFT JOIN`).
     *
     * Both order columns must have the same (comparable) type. If several
-    * right rows tie on the greatest `rightOrder`, the one picked is
+    * right rows tie on the matched `rightOrder`, the one picked is
     * arbitrary (the same contract as DuckDB's ASOF JOIN); disambiguate by
     * pre-aggregating the right side to one row per (key, order).
     */
   def asofJoin(left: DataFrame, right: DataFrame, on: String,
       leftOrder: String, rightOrder: String, payload: Seq[String],
-      strict: Boolean = false, inner: Boolean = true): DataFrame = {
+      strict: Boolean = false, inner: Boolean = true,
+      forward: Boolean = false): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     require(payload.intersect(left.columns).isEmpty,
       s"payload columns ${payload.intersect(left.columns).mkString(",")} clash with left columns")
-    // Kind orders rows at EQUAL instants: inclusive (<=) sorts right rows
-    // before left ones, so a right row at exactly the left's order key is
-    // visible to it; strict (<) sorts them after, so it is not.
-    val rightKind = if (strict) 2 else 0
+    // Kind orders rows at EQUAL instants. Backward: inclusive (<=) sorts
+    // right rows before left ones, so a right row at exactly the left's
+    // order key is visible to it; strict (<) sorts them after, so it is
+    // not. Forward mirrors: the window looks ahead from the current row,
+    // so inclusive (>=) needs the equal-instant right row AFTER the left
+    // row, strict (>) before it (outside the frame).
+    val rightKind =
+      if (forward) { if (strict) 0 else 2 }
+      else { if (strict) 2 else 0 }
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val payStruct = struct(payload.map(col).toIndexedSeq: _*)
     val leftType = left.select(leftStruct.as("s")).schema("s").dataType
@@ -54,10 +64,16 @@ object AsOfJoin {
     val r = right.select(col(on).as("__k"), col(rightOrder).as("__t"),
       lit(rightKind).as("__kind"), lit(null).cast(leftType).as("__left"),
       payStruct.as("__pay"))
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__kind"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w0 = Window.partitionBy("__k").orderBy(col("__t"), col("__kind"))
+    val (w, pick) =
+      if (forward)
+        (w0.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__pay"), ignoreNulls = true))
+      else
+        (w0.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__pay"), ignoreNulls = true))
     val matched = l.union(r)
-      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .withColumn("__asof", pick.over(w))
       .filter(col("__kind") === 1)
     // The key column comes back as an ALIAS of the window's partition
     // attribute (`__k`), not re-extracted from the left struct: alias-aware

@@ -686,6 +686,40 @@ object AnalyticsQueries {
   }
 
   // ------------------------------------------------------------------
+  // FORWARD as-of (round 14): the `l.ts <= r.ts` inequality direction —
+  // for each click, the user's NEXT purchase (the attribution funnel
+  // shape). Same linear union+window plan with the frame looking ahead
+  // (AsOfJoin forward=true, first() over [current, following]);
+  // AsofJoinRewrite maps all four inequality operators in both conjunct
+  // orders onto the TVF's forward flag. Oracle = DuckDB's own native
+  // forward ASOF JOIN; payload is the matched timestamp itself, so
+  // (key, order) ties cannot produce divergent picks.
+  // ------------------------------------------------------------------
+  declare("q92_asof_forward",
+    """SELECT c.user_id AS user_id, COUNT(*) AS n_attributed,
+         CAST(SUM(CAST(floor(epoch(p_ts) - epoch(c.ts)) AS BIGINT)) AS BIGINT) AS sum_wait_secs
+       FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click') c
+       ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts,
+                    CAST(ts AS TIMESTAMP) AS p_ts
+                  FROM events WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id AND c.ts <= p.pts
+       GROUP BY c.user_id ORDER BY user_id""") { (spark, sfDir) =>
+    val ev = Engine.events(spark, sfDir)
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+      .createOrReplaceTempView("graft_q92_clicks")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("ts").as("p_ts"))
+      .createOrReplaceTempView("graft_q92_purch")
+    spark.sql(
+      """SELECT c.user_id AS user_id, COUNT(*) AS n_attributed,
+           CAST(SUM(CAST(floor(epoch(p_ts) - epoch(c.ts)) AS BIGINT)) AS BIGINT) AS sum_wait_secs
+         FROM graft_q92_clicks c ASOF JOIN graft_q92_purch p
+           ON c.user_id = p.user_id AND c.ts <= p.pts
+         GROUP BY c.user_id ORDER BY user_id""")
+  }
+
+  // ------------------------------------------------------------------
   // Range (theta) join against a small banding relation -> broadcast
   // nested loop; never a shuffle of the fact table.
   // ------------------------------------------------------------------

@@ -30,7 +30,8 @@ import scala.util.control.NonFatal
   * `e.*` is fine and expands to the explicit catalog column list
   * before the splice); multipart or quoted table names; an ON
   * condition that is not exactly one same-named key equality AND one
-  * backward inequality (`l.ts >= r.ts` / `r.ts <= l.ts`, or strict);
+  * order inequality (backward `l.ts >= r.ts` / `r.ts <= l.ts`, forward
+  * `l.ts <= r.ts` / `r.ts >= l.ts`, strict variants of each);
   * right-alias-qualified references outside the ON clause (the right
   * relation does not survive the splice as a nameable side); tables the
   * session catalog cannot resolve at rewrite time (payload needs the
@@ -200,14 +201,20 @@ object AsofJoinRewrite {
       else if (isR(eq1) && isL(eq2) && eqc1.equalsIgnoreCase(eqc2)) eqc2
       else return None
 
-    // Backward inequality: left's order on the >= side (or right's on
-    // the <= side). Forward as-of (left <= right) is not this operator.
+    // Inequality direction: left's order on the >= side (or right's on
+    // the <= side) is the BACKWARD as-of (most recent earlier right
+    // row); the mirrored operators are the FORWARD as-of (earliest
+    // later right row) — DuckDB accepts all four, both conjunct orders.
     val (iq1, ic1, iop, iq2, ic2) = ineqs.head
-    val (leftOrder, rightOrder, strict) =
+    val (leftOrder, rightOrder, strict, forward) =
       if (isL(iq1) && isR(iq2) && (iop == ">=" || iop == ">"))
-        (ic1, ic2, iop == ">")
+        (ic1, ic2, iop == ">", false)
       else if (isR(iq1) && isL(iq2) && (iop == "<=" || iop == "<"))
-        (ic2, ic1, iop == "<")
+        (ic2, ic1, iop == "<", false)
+      else if (isL(iq1) && isR(iq2) && (iop == "<=" || iop == "<"))
+        (ic1, ic2, iop == "<", true)
+      else if (isR(iq1) && isL(iq2) && (iop == ">=" || iop == ">"))
+        (ic2, ic1, iop == ">", true)
       else return None
 
     // The right relation does not survive the splice as a nameable
@@ -252,7 +259,7 @@ object AsofJoinRewrite {
       }
 
     val tvf = s"asof_join('$lname', '$rname', '$onCol', '$leftOrder', " +
-      s"'$rightOrder', '${payload.mkString(",")}', $strict, ${!leftJoin})"
+      s"'$rightOrder', '${payload.mkString(",")}', $strict, ${!leftJoin}, $forward)"
     Some(sql.substring(0, selStart) + newSel +
       s"FROM $tvf AS ${lalias.getOrElse(lname)} " + sql.substring(endPos))
   }

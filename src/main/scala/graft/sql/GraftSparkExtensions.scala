@@ -1208,10 +1208,10 @@ object GraftSparkExtensions {
     */
   val asofJoinFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("asof_join"), info("asof_join"), (args: Seq[Expression]) => {
-      if (args.size < 6 || args.size > 8)
+      if (args.size < 6 || args.size > 9)
         throw new IllegalArgumentException(
           "asof_join(left_table, right_table, on, left_order, right_order, " +
-            s"payload_csv[, strict[, inner]]) — got ${args.size} arguments")
+            s"payload_csv[, strict[, inner[, forward]]]) — got ${args.size} arguments")
       require(args.forall(_.foldable), "asof_join arguments must be constants")
       val v = args.map(_.eval(null)).toIndexedSeq
       require(v.forall(_ != null), "asof_join arguments must be non-NULL constants")
@@ -1224,7 +1224,8 @@ object GraftSparkExtensions {
         rightOrder = asString(v(4)),
         payload = asString(v(5)).split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq,
         strict = if (args.size >= 7) asBool(v(6)) else false,
-        inner = if (args.size >= 8) asBool(v(7)) else true)
+        inner = if (args.size >= 8) asBool(v(7)) else true,
+        forward = if (args.size >= 9) asBool(v(8)) else false)
       out.queryExecution.analyzed
     })
 

@@ -73,6 +73,23 @@ class AsOfJoinSpec extends AnyFunSuite {
         on = "sym", leftOrder = "tt", rightOrder = "qt", payload = Seq("tt")))
   }
 
+  test("forward as-of picks the earliest right row at-or-after each left row") {
+    val out = AsOfJoin.asofJoin(trades, quotes, on = "sym",
+        leftOrder = "tt", rightOrder = "qt", payload = Seq("px", "tag"),
+        forward = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    assert(out == Set(
+      (1L, 5L, 100.0, "a"),
+      (1L, 20L, 110.0, "b"), // equal instant matches inclusively
+      (1L, 25L, 120.0, "c")))
+    // Strict forward: the equal-instant quote is no longer visible.
+    val strictOut = AsOfJoin.asofJoin(trades, quotes, on = "sym",
+        leftOrder = "tt", rightOrder = "qt", payload = Seq("px", "tag"),
+        strict = true, forward = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(strictOut == Set((1L, 5L, "a"), (1L, 20L, "c"), (1L, 25L, "c")))
+  }
+
   test("property: random timelines match a brute-force argmax oracle in all four modes") {
     import spark.implicits._
     // Deterministic fuzzing (seeded, like SolverPropertySpec): random
@@ -95,23 +112,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       val rights = rights0.groupBy(t => (t._1, t._2)).values.map(_.head).toSeq
       val leftDf = lefts.toDF("k", "t", "tag")
       val rightDf = rights.toDF("k", "rt", "pay")
-      for (strict <- Seq(false, true); inner <- Seq(false, true)) {
+      for (strict <- Seq(false, true); inner <- Seq(false, true);
+           forward <- Seq(false, true)) {
         val got = AsOfJoin.asofJoin(leftDf, rightDf, on = "k",
             leftOrder = "t", rightOrder = "rt", payload = Seq("pay"),
-            strict = strict, inner = inner)
+            strict = strict, inner = inner, forward = forward)
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), Option(r.getString(3))))
           .sortBy(x => (x._1, x._2, x._3, x._4))
         val expected = lefts.flatMap { case (k, t, tag) =>
-          val cand = rights.filter(r =>
-            r._1 == k && (if (strict) r._2 < t else r._2 <= t))
+          val cand = rights.filter(r => r._1 == k && {
+            if (forward) { if (strict) r._2 > t else r._2 >= t }
+            else { if (strict) r._2 < t else r._2 <= t }
+          })
           if (cand.isEmpty) {
             if (inner) None else Some((k, t, tag, None: Option[String]))
-          } else Some((k, t, tag, Option(cand.maxBy(_._2)._3)))
+          } else Some((k, t, tag, Option(
+            (if (forward) cand.minBy(_._2) else cand.maxBy(_._2))._3)))
         }.sortBy(x => (x._1, x._2, x._3, x._4))
         assert(got.toSeq == expected,
-          s"scenario=$scenario strict=$strict inner=$inner keys=$keys " +
-            s"nLeft=$nLeft nRight=${rights.size}")
+          s"scenario=$scenario strict=$strict inner=$inner forward=$forward " +
+            s"keys=$keys nLeft=$nLeft nRight=${rights.size}")
       }
     }
   }
