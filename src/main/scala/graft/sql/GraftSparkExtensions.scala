@@ -79,6 +79,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val macroRe = "(?is).*\\bCREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?MACRO\\b.*".r
   private val summarizeTableRe =
     "(?is)\\s*SUMMARIZE\\s+([a-zA-Z_][a-zA-Z0-9_.]*)\\s*;?\\s*".r
+  // `SUMMARIZE SELECT ...` / `SUMMARIZE FROM t ...` — DuckDB profiles a
+  // whole query; the TVF takes the query text (tableOrSql dispatch).
+  private val summarizeQueryRe =
+    "(?is)\\A\\s*SUMMARIZE\\s+((?:SELECT|FROM|WITH|VALUES)\\b.*?)\\s*;?\\s*\\z".r
   private val qualifyRe = "(?is).*\\bQUALIFY\\b.*".r
   private val replaceStarRe = "(?is).*\\*\\s*REPLACE\\s*\\(.*".r
   private val columnsRe = "(?is).*\\bCOLUMNS\\s*\\(.*".r
@@ -177,7 +181,16 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
         "'Spark has no secondary indexes')")
     case _ => None
   }
+  private val truncateRe =
+    "(?is)\\A\\s*TRUNCATE\\s+(?!TABLE\\b)([A-Za-z_]\\w*)\\s*;?\\s*\\z".r
+  private val describeQueryRe =
+    "(?is)\\A\\s*(?:DESCRIBE|DESC)\\s+((?:SELECT|WITH|VALUES)\\b.*)\\z".r
+  private val showAllTablesRe =
+    "(?is)\\A\\s*SHOW\\s+ALL\\s+TABLES\\s*;?\\s*\\z".r
   private def maintenanceRewrite(sql: String): Option[String] = sql match {
+    case truncateRe(tbl) => Some(s"TRUNCATE TABLE $tbl")
+    case describeQueryRe(q) => Some(s"DESCRIBE QUERY $q")
+    case showAllTablesRe() => Some("SHOW TABLES")
     case analyzeTblRe(tbl) =>
       Some(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
     case analyzeBareRe() =>
@@ -222,6 +235,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
           val candidates: Seq[() => Option[String]] = Seq(
             () => text match { case summarizeTableRe(tbl) =>
               Some(s"SELECT * FROM summarize('$tbl')"); case _ => None },
+            () => text match { case summarizeQueryRe(q) =>
+              Some(s"SELECT * FROM summarize('${q.replace("'", "''")}')")
+              case _ => None },
             () => text match { case usingKeyRe() =>
               UsingKeyRewrite.rewrite(text); case _ => None },
             () => text match { case asofRe() =>
@@ -1435,7 +1451,7 @@ object GraftSparkExtensions {
       val spark = org.apache.spark.sql.SparkSession.active
       LocalRelation.fromExternalRows(
         DataTypeUtils.toAttributes(graft.operators.Summarize.schema),
-        graft.operators.Summarize.rows(spark.table(asString(v(0)))))
+        graft.operators.Summarize.rows(tableOrSql(spark, asString(v(0)))))
     })
 
   /** DuckDB's `PIVOT` STATEMENT (`PIVOT t ON c USING agg [GROUP BY g]`)

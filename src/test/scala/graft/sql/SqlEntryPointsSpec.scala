@@ -1211,6 +1211,31 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT getvariable('gv_n')").head().isNullAt(0))
   }
 
+  test("SUMMARIZE query form, DESCRIBE query, TRUNCATE t, SHOW ALL TABLES") {
+    // SUMMARIZE over a QUERY (not just a table name).
+    val sm = spark.sql(
+      "SUMMARIZE SELECT * FROM VALUES (1), (2), (30) AS t(x)")
+    val row = sm.collect().head
+    assert(sm.columns.contains("column_name") && row.getString(0) == "x")
+    // DESCRIBE SELECT — DuckDB's shape of Spark's DESCRIBE QUERY.
+    val d = spark.sql("DESCRIBE SELECT 1 AS a, 'x' AS b").collect()
+    assert(d.map(_.getString(0)).toSeq == Seq("a", "b"))
+    // TRUNCATE without the TABLE keyword.
+    val tbl = "graft_trunc_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir = { val u = new java.net.URI(wh); if (u.getScheme == null) wh else u.getPath }
+    def del(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
+    del(new java.io.File(whDir, tbl))
+    spark.sql(s"CREATE TABLE $tbl USING parquet AS SELECT 1 AS a")
+    spark.sql(s"TRUNCATE $tbl")
+    assert(spark.table(tbl).count() == 0)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // SHOW ALL TABLES (DuckDB spelling).
+    assert(spark.sql("SHOW ALL TABLES").columns.contains("tableName"))
+  }
+
   test("histogram and entropy aggregates match DuckDB's pinned values") {
     def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
     spark.sql("SELECT * FROM VALUES (3), (1), (1), (2), (NULL) AS t(x)")
