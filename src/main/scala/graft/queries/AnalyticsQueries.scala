@@ -1094,6 +1094,39 @@ object AnalyticsQueries {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
 
+  // Temp-table script parity (round 14): a COMPLETE DuckDB ETL script —
+  // CREATE TEMP TABLE AS, UPDATE, DELETE, INSERT, final SELECT — where
+  // BOTH engines execute the IDENTICAL statements, each through its own
+  // genuine machinery (DuckDB: native temp tables; here:
+  // sql/TempTables materialized scratch-parquet snapshots fronted by
+  // temp views, mutations re-materializing to a fresh dir so snapshot
+  // reads never see partial state). This is the lane that makes pasted
+  // DuckDB ETL scripts run end to end.
+  declare("q93_temp_table_script",
+    """CREATE OR REPLACE TEMP TABLE graft_q93 AS
+         SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders;
+       UPDATE graft_q93 SET o_orderpriority = '0-REPRIORITIZED'
+         WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 50000;
+       DELETE FROM graft_q93 WHERE o_orderstatus = 'F' AND o_totalprice < 10000;
+       INSERT INTO graft_q93 VALUES (99999999, 'X', 1.0, 'Z-INSERTED');
+       SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS cents
+       FROM graft_q93 GROUP BY 1, 2 ORDER BY 1, 2""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    Seq(
+      """CREATE OR REPLACE TEMP TABLE graft_q93 AS
+         SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders""",
+      """UPDATE graft_q93 SET o_orderpriority = '0-REPRIORITIZED'
+         WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 50000""",
+      "DELETE FROM graft_q93 WHERE o_orderstatus = 'F' AND o_totalprice < 10000",
+      "INSERT INTO graft_q93 VALUES (99999999, 'X', 1.0, 'Z-INSERTED')"
+    ).foreach(s => spark.sql(s).collect())
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS cents
+         FROM graft_q93 GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
   // QUALIFY parity: the literal DuckDB/Teradata QUALIFY statement (window
   // filter without a subquery) EXECUTING on Spark — the hint parser
   // catches the ParseException and splices the predicate into the select

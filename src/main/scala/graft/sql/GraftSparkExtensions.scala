@@ -559,12 +559,20 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       }
     case positionalRe() if positionalShaped(sqlText) =>
       preRewrite(positionalPreRewrite(sqlText))
+    // DuckDB temp-table DML (CREATE TEMP TABLE [AS], INSERT INTO a
+    // registered temp table or INSERT ... RETURNING, DROP TABLE of a
+    // temp table) — materialized-snapshot semantics via TempTables.
+    // Evaluated ONCE via the extractor: DROP performs its registry
+    // side effect inside rewrite, so a guard-then-get double call
+    // would drop on the first evaluation and None.get on the second.
+    case TempTableRewritten(r) => r
     case _ if UpdateDeleteRewrite.isShaped(sqlText) =>
       // UPDATE/DELETE parse natively but fail analysis on every v1
       // table ("does not support row-level operations") — rewrite the
-      // plain-catalog-table forms onto the staged-overwrite TVFs;
-      // anything else (temp views, DSv2 tables, multipart names) keeps
-      // Spark's native path and semantics.
+      // plain-catalog-table forms (and graft temp tables) onto the
+      // staged-overwrite TVFs; anything else (plain temp views, DSv2
+      // tables, multipart names) keeps Spark's native path and
+      // semantics.
       UpdateDeleteRewrite.rewrite(sqlText).getOrElse(sqlText)
     case _ if indexRewrite(sqlText).isDefined =>
       indexRewrite(sqlText).get
@@ -1996,9 +2004,12 @@ object GraftSparkExtensions {
                else when(expr(whereText), newV).otherwise(col(f))).as(f)
           }.getOrElse(col(f))
         }: _*)
-      val (staged, stageDir) = graft.operators.Scratch.materialize(projected, "update_stage")
-      staged.write.mode("overwrite").insertInto(table)
-      graft.operators.Scratch.delete(spark, stageDir)
+      if (TempTables.exists(table)) TempTables.put(table, projected)
+      else {
+        val (staged, stageDir) = graft.operators.Scratch.materialize(projected, "update_stage")
+        staged.write.mode("overwrite").insertInto(table)
+        graft.operators.Scratch.delete(spark, stageDir)
+      }
       val n = obs.get("n") match {
         case null => 0L
         case l: java.lang.Number => l.longValue()
@@ -2030,9 +2041,12 @@ object GraftSparkExtensions {
       val kept = base.observe(obs, matched).filter(
         if (whereText.isEmpty) lit(false)
         else !coalesce(expr(whereText), lit(false)))
-      val (staged, stageDir) = graft.operators.Scratch.materialize(kept, "delete_stage")
-      staged.write.mode("overwrite").insertInto(table)
-      graft.operators.Scratch.delete(spark, stageDir)
+      if (TempTables.exists(table)) TempTables.put(table, kept)
+      else {
+        val (staged, stageDir) = graft.operators.Scratch.materialize(kept, "delete_stage")
+        staged.write.mode("overwrite").insertInto(table)
+        graft.operators.Scratch.delete(spark, stageDir)
+      }
       val n = obs.get("n") match {
         case null => 0L
         case l: java.lang.Number => l.longValue()
@@ -2042,6 +2056,117 @@ object GraftSparkExtensions {
         DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
         Seq(org.apache.spark.sql.Row(n)))
     })
+
+  /** Landing pads for [[TempTableRewrite]] — DuckDB's temp-table DML
+    * over [[TempTables]] (materialized scratch-parquet snapshots fronted
+    * by same-named temp views). All eager at analysis like every
+    * mutating TVF here.
+    */
+  private def tempCountRow(n: Long): LogicalPlan =
+    LocalRelation.fromExternalRows(
+      DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+      Seq(org.apache.spark.sql.Row(n)))
+
+  val tempTableAsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("temp_table_as"), info("temp_table_as"), (args: Seq[Expression]) => {
+      require(args.size == 3 && args.forall(_.foldable),
+        "temp_table_as(name, query, or_replace) — constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "temp_table_as arguments must be non-NULL")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val name = asString(v(0))
+      if (!asBool(v(2)) && (TempTables.exists(name) ||
+        spark.catalog.tableExists(name)))
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            s"""Table with name "$name" already exists!"""))
+      TempTables.put(name, spark.sql(asString(v(1))))
+      tempCountRow(spark.table(name).count()) // parquet metadata count
+    })
+
+  val tempTableEmptyFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("temp_table_empty"), info("temp_table_empty"), (args: Seq[Expression]) => {
+      require(args.size == 3 && args.forall(_.foldable),
+        "temp_table_empty(name, col_defs, or_replace) — constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "temp_table_empty arguments must be non-NULL")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val name = asString(v(0))
+      if (!asBool(v(2)) && (TempTables.exists(name) ||
+        spark.catalog.tableExists(name)))
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            s"""Table with name "$name" already exists!"""))
+      val schema = spark.sessionState.sqlParser.parseTableSchema(asString(v(1)))
+      TempTables.put(name, spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq.empty)
+    })
+
+  /** Align an INSERT source to the target schema: positional when
+    * `cols` is empty (arity must match), else the listed columns take
+    * the source's outputs positionally and unlisted target columns are
+    * NULL — both with insert-style casts to the target types.
+    */
+  private def alignInsert(target: org.apache.spark.sql.DataFrame,
+      src: org.apache.spark.sql.DataFrame, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tf = target.schema.fields
+    if (cols.isEmpty) {
+      require(src.columns.length == tf.length,
+        s"INSERT: ${src.columns.length} column(s) provided, table has ${tf.length}")
+      src.select(src.columns.toIndexedSeq.zip(tf.toIndexedSeq).map { case (c, f) =>
+        col(c).cast(f.dataType).as(f.name) }: _*)
+    } else {
+      require(src.columns.length == cols.length,
+        s"INSERT: column list has ${cols.length} name(s), query produces ${src.columns.length}")
+      val byPos = cols.map(_.toLowerCase).zip(src.columns).toMap
+      val unknown = cols.filterNot(c => tf.exists(_.name.equalsIgnoreCase(c)))
+      require(unknown.isEmpty, s"INSERT: no such column(s): ${unknown.mkString(", ")}")
+      src.select(tf.toIndexedSeq.map { f =>
+        byPos.get(f.name.toLowerCase) match {
+          case Some(sc) => col(sc).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
+    }
+  }
+
+  private def insertReturningImpl(intoTemp: Boolean)(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 4 && args.forall(_.foldable),
+      "(name, source_query, cols_csv, returning_csv) — constants")
+    val v = args.map(_.eval(null)).toIndexedSeq
+    require(v.forall(_ != null), "insert arguments must be non-NULL")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val name = asString(v(0))
+    val cols = asString(v(2)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val ret = asString(v(3)).trim
+    val target = spark.table(name)
+    val aligned = alignInsert(target, spark.sql(asString(v(1))), cols)
+    // One materialization of the inserted rows: it feeds the append AND
+    // (lazily) the RETURNING projection; the dir lives until the
+    // scratch root's shutdown cleanup, so the returned plan stays
+    // readable.
+    val (staged, _) = graft.operators.Scratch.materialize(aligned, s"ins_$name")
+    if (intoTemp) TempTables.put(name, target.union(staged))
+    else staged.write.mode("append").insertInto(name)
+    if (ret.isEmpty) tempCountRow(staged.count())
+    else {
+      val view = s"graft_ins_ret_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      staged.createOrReplaceTempView(view)
+      spark.sql(s"SELECT $ret FROM $view").queryExecution.analyzed
+    }
+  }
+
+  val tempInsertFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("temp_insert"), info("temp_insert"),
+      insertReturningImpl(intoTemp = true) _)
+
+  val insertReturningFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("insert_returning"), info("insert_returning"),
+      insertReturningImpl(intoTemp = false) _)
 
   /** Warn-once no-op landing pad for DuckDB maintenance statements
     * (CREATE/DROP INDEX, VACUUM, bare ANALYZE): prints one stderr line
@@ -2149,6 +2274,10 @@ object GraftSparkExtensions {
     updateTableFn,
     deleteFromFn,
     maintenanceNoopFn,
+    tempTableAsFn,
+    tempTableEmptyFn,
+    tempInsertFn,
+    insertReturningFn,
     readParquetFn,
     readCsvFn,
     readCsvAutoFn,

@@ -1,0 +1,121 @@
+package graft.sql
+
+import scala.util.control.NonFatal
+
+/** DuckDB's temp-table DML surface executing — the backbone of pasted
+  * ETL scripts:
+  *
+  * {{{
+  * CREATE [OR REPLACE] TEMP TABLE t AS <query>;   -- Count row, like DuckDB
+  * CREATE TEMP TABLE t (a INTEGER, b VARCHAR);    -- empty result
+  * INSERT INTO t <query|VALUES ...> [RETURNING exprs];
+  * INSERT INTO t (a, b) <query>;                  -- column-list form
+  * UPDATE t SET ... WHERE ...;  DELETE FROM t WHERE ...;  -- via UpdateDeleteRewrite
+  * DROP TABLE [IF EXISTS] t;
+  * }}}
+  *
+  * Spark has no temp TABLES (CREATE TEMPORARY TABLE is rejected;
+  * TEMPORARY VIEWs are lazy plans, not snapshots), so these intercept
+  * PRE-delegation and land on eager TVFs backed by [[TempTables]] —
+  * materialized scratch-parquet snapshots fronted by a same-named temp
+  * view. INSERT ... RETURNING also works against CATALOG tables (the
+  * insert_returning TVF appends and returns the projected inserted
+  * rows, DuckDB's contract).
+  *
+  * Scope guards: single-part plain names; INSERT/DROP claim only names
+  * in the temp-table registry (catalog tables keep Spark's native
+  * INSERT path — except when RETURNING forces the TVF); `BY NAME`
+  * inserts into temp tables decline to the hint. DROP TABLE on a temp
+  * table performs the registry drop directly in the rewrite (a
+  * pre-delegation side effect, like POSITIONAL JOIN's collapse) and
+  * returns DuckDB's empty result via a zero-row marker.
+  */
+/** Single-evaluation extractor for the pre-delegation match (DROP's
+  * registry removal is a side effect — the rewrite must run exactly
+  * once per statement).
+  */
+object TempTableRewritten {
+  def unapply(sql: String): Option[String] =
+    if (TempTableRewrite.isShaped(sql)) TempTableRewrite.rewrite(sql)
+    else None
+}
+
+object TempTableRewrite {
+
+  private val createRe =
+    """(?is)\A\s*CREATE\s+(OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+([A-Za-z_]\w*)\s+AS\s+(.+?)\s*;?\s*\z""".r
+  private val createColsRe =
+    """(?is)\A\s*CREATE\s+(OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+([A-Za-z_]\w*)\s*\((.+)\)\s*;?\s*\z""".r
+  private val insertRe =
+    """(?is)\A\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(.+?)\s*;?\s*\z""".r
+  private val dropRe =
+    """(?is)\A\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*\z""".r
+
+  def isShaped(sql: String): Boolean =
+    """(?is)\A\s*(CREATE\s+(OR\s+REPLACE\s+)?TEMP|INSERT\s+INTO|DROP\s+TABLE)\b""".r
+      .findFirstIn(sql).isDefined
+
+  private def esc(s: String) = s.replace("'", "''")
+
+  def rewrite(sql: String): Option[String] =
+    try {
+      sql match {
+        case createRe(orReplace, name, query) =>
+          Some(s"SELECT * FROM temp_table_as('${esc(name)}', " +
+            s"'${esc(query.trim)}', ${orReplace != null})")
+        case createColsRe(orReplace, name, colDefs) =>
+          Some(s"SELECT * FROM temp_table_empty('${esc(name)}', " +
+            s"'${esc(colDefs.trim)}', ${orReplace != null})")
+        case dropRe(ifExists, name) if TempTables.exists(name) =>
+          // Side effect here (pre-delegation is deterministic); the
+          // marker select returns DuckDB's empty result.
+          TempTables.drop(name)
+          Some("SELECT CAST(NULL AS BIGINT) AS Count WHERE 1 = 0")
+        case insertRe(name, rest) =>
+          // RETURNING split: last top-level RETURNING word.
+          val words = QualifyRewrite.topLevelWords(rest)
+          if (words.exists(_._1 == "?")) return None
+          val retW = words.reverse.find(_._1 == "RETURNING")
+          val (body0, returning) = retW match {
+            case Some((_, pos)) =>
+              (rest.substring(0, pos).trim,
+                Some(rest.substring(pos + "RETURNING".length).trim))
+            case None => (rest.trim, None)
+          }
+          val isTemp = TempTables.exists(name)
+          // BY NAME into a temp table has no lane here; native/hint path.
+          if (body0.toUpperCase.startsWith("BY NAME")) return None
+          if (!isTemp && returning.isEmpty) return None // native INSERT
+          if (!isTemp) {
+            // Catalog table + RETURNING.
+            val cat = try {
+              val spark = org.apache.spark.sql.SparkSession.active
+              spark.sessionState.catalog.tableExists(
+                org.apache.spark.sql.catalyst.TableIdentifier(name))
+            } catch { case NonFatal(_) => false }
+            if (!cat) return None
+          }
+          // Optional column list: a leading parenthesized ident CSV
+          // followed by MORE text (a bare `(SELECT ...)` body has no
+          // trailing text after its close paren).
+          val (cols, body) =
+            if (body0.startsWith("(")) {
+              // closeOf returns the index AFTER the matching ')'.
+              val close = ReplaceRewrite.closeOf(body0, 0)
+              if (close < 0) return None
+              val inner = body0.substring(1, close - 1)
+              val after = body0.substring(close).trim
+              val idents = inner.split(",").map(_.trim)
+              if (after.nonEmpty && idents.nonEmpty &&
+                idents.forall(_.matches("[A-Za-z_]\\w*")))
+                (idents.toSeq, after)
+              else (Seq.empty[String], body0)
+            } else (Seq.empty[String], body0)
+          val fn = if (isTemp) "temp_insert" else "insert_returning"
+          Some(s"SELECT * FROM $fn('${esc(name)}', '${esc(body)}', " +
+            s"'${esc(cols.mkString(","))}', " +
+            s"'${esc(returning.getOrElse(""))}')")
+        case _ => None
+      }
+    } catch { case NonFatal(_) => None }
+}

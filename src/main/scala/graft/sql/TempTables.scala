@@ -1,0 +1,58 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped MATERIALIZED temp tables — the semantics DuckDB's
+  * `CREATE TEMP TABLE` carries and Spark lacks (a TEMPORARY VIEW is a
+  * lazy plan that re-evaluates per query; a temp TABLE is a snapshot
+  * that mutates in place).
+  *
+  * Each temp table is a scratch-parquet dataset
+  * ([[graft.operators.Scratch]] — per-JVM session root, shutdown-hook
+  * cleanup, shared-storage root on a cluster via
+  * `spark.graft.scratchDir`) fronted by a temp view of the same name,
+  * so every read path — SQL, the other rewrites, the DataFrame API via
+  * `spark.table` — resolves it like any relation. MUTATION never
+  * appends into the live directory (a registered view pins its file
+  * LISTING at creation — in-place appends would be invisible or,
+  * worse, partially visible): every INSERT/UPDATE/DELETE materializes
+  * the new content to a FRESH scratch dir and re-registers the view
+  * atomically, which also gives mutations snapshot semantics against
+  * concurrent readers of the old plan.
+  */
+object TempTables {
+
+  private val registry = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def key(name: String): (SparkSession, String) =
+    (SparkSession.active, name.toLowerCase)
+
+  def exists(name: String): Boolean =
+    try registry.containsKey(key(name))
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Materialize `df` as the content of temp table `name` (create or
+    * full replace) and (re-)register the fronting view.
+    */
+  def put(name: String, df: DataFrame): Unit = {
+    val (staged, dir) = graft.operators.Scratch.materialize(df, s"ttab_$name")
+    staged.createOrReplaceTempView(name)
+    val old = registry.put(key(name), dir)
+    if (old != null)
+      graft.operators.Scratch.delete(SparkSession.active, old)
+  }
+
+  /** Current content (the fronting view). */
+  def table(name: String): DataFrame = SparkSession.active.table(name)
+
+  def drop(name: String): Boolean = {
+    val dir = registry.remove(key(name))
+    if (dir == null) false
+    else {
+      SparkSession.active.catalog.dropTempView(name.toLowerCase)
+      graft.operators.Scratch.delete(SparkSession.active, dir)
+      true
+    }
+  }
+}

@@ -37,6 +37,10 @@ object UpdateDeleteRewrite {
 
   private def isPlainV1Table(name: String): Boolean =
     try {
+      // Graft temp tables (materialized snapshots fronted by a temp
+      // view — TempTables) are mutable targets too; plain user temp
+      // views are not.
+      if (TempTables.exists(name)) return true
       val spark = org.apache.spark.sql.SparkSession.active
       val cat = spark.sessionState.catalog
       val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)

@@ -282,11 +282,14 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       """SELECT * FROM sq_trades t ASOF JOIN sq_quotes q
          ON t.sym = q.sym AND t.tt >= q.qt"""))
     assert(star.getMessage.contains("asof_join("))
-    // Forward as-of (left <= right) is not this operator's semantics.
-    val fwd = intercept[Exception](spark.sql(
+    // Forward as-of (left <= right) EXECUTES since round 14: each trade
+    // picks the earliest quote at-or-after it.
+    val fwd = spark.sql(
       """SELECT sym, tt, px FROM sq_trades t ASOF JOIN sq_quotes q
-         ON t.sym = q.sym AND t.tt <= q.qt"""))
-    assert(fwd.getMessage.contains("asof_join("))
+         ON t.sym = q.sym AND t.tt <= q.qt""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fwd == Set((1L, 5L, 100.0), (1L, 20L, 110.0), (1L, 25L, 120.0)),
+      s"got $fwd")
     // A parenthesized subquery as the left side: the scanner's
     // paren-skip sees the ALIAS next — it must NOT be captured as a
     // table name (here a real view named sq_trades also exists, so a
@@ -1265,6 +1268,47 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(g(0).getSeq[String](1).toList == List("a", "b"))
     assert(g(0).getSeq[Long](2).toList == List(2L, 1L))
     assert(g(1).getSeq[String](1).toList == List("z"))
+  }
+
+  test("temp tables: CREATE TEMP TABLE, INSERT RETURNING, UPDATE/DELETE, DROP") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    spark.sql("DROP TABLE IF EXISTS tt_a")
+    // CTAS form returns DuckDB's Count row.
+    assert(one[Long](
+      "CREATE TEMP TABLE tt_a AS SELECT * FROM VALUES (1, 'x'), (2, 'y') AS t(id, s)") == 2L)
+    assert(spark.table("tt_a").count() == 2)
+    // Duplicate without OR REPLACE errors like DuckDB's catalog.
+    val dup = intercept[Exception](spark.sql("CREATE TEMP TABLE tt_a AS SELECT 1"))
+    assert(dup.getMessage.contains("already exists"), s"got: ${dup.getMessage}")
+    assert(one[Long](
+      "CREATE OR REPLACE TEMP TABLE tt_a AS SELECT * FROM VALUES (1, 'x') AS t(id, s)") == 1L)
+    // Column-def form + INSERT INTO a temp table (mutation visible).
+    spark.sql("DROP TABLE IF EXISTS tt_b")
+    spark.sql("CREATE TEMP TABLE tt_b (id INT, s STRING)")
+    assert(spark.table("tt_b").count() == 0)
+    assert(one[Long]("INSERT INTO tt_b VALUES (1, 'a'), (2, 'b')") == 2L)
+    assert(one[Long]("INSERT INTO tt_b SELECT id + 10, s FROM tt_b") == 2L)
+    assert(spark.table("tt_b").count() == 4)
+    // Column-list INSERT: unlisted columns NULL-fill.
+    spark.sql("INSERT INTO tt_b (id) VALUES (99)")
+    assert(spark.sql("SELECT s FROM tt_b WHERE id = 99").head().isNullAt(0))
+    // INSERT ... RETURNING projects the inserted rows (DuckDB pinned:
+    // expressions over the new rows).
+    val ret = spark.sql(
+      "INSERT INTO tt_b VALUES (7, 'q'), (8, 'r') RETURNING s, id * 10")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(ret == Set(("q", 70), ("r", 80)), s"got $ret")
+    // UPDATE and DELETE hit the temp table through the same literal
+    // statements as catalog tables.
+    assert(one[Long]("UPDATE tt_b SET s = 'Z' WHERE id >= 11") == 3L)
+    assert(spark.sql("SELECT COUNT(*) FROM tt_b WHERE s = 'Z'")
+      .head().getLong(0) == 3L)
+    assert(one[Long]("DELETE FROM tt_b WHERE id >= 90") == 1L)
+    // DROP TABLE removes the temp table; DuckDB's empty result.
+    assert(spark.sql("DROP TABLE tt_b").count() == 0)
+    val gone = intercept[Exception](spark.table("tt_b"))
+    assert(gone.getMessage.contains("tt_b"))
+    spark.sql("DROP TABLE IF EXISTS tt_a")
   }
 
   test("literal UPDATE and DELETE statements run against catalog tables") {
