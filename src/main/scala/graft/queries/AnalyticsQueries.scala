@@ -1127,6 +1127,25 @@ object AnalyticsQueries {
          FROM graft_q93 GROUP BY 1, 2 ORDER BY 1, 2""")
   }
 
+  // DuckDB JSON-name parity (round 14): json_extract_string (DuckDB's
+  // ->> — unquoted text) under DuckDB's '$.path' dialect over the
+  // events props JSON column, via Spark's codegen'd get_json_object.
+  // IDENTICAL statement text on both engines.
+  declare("q94_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+         CAST(COUNT(*) AS BIGINT) AS n
+       FROM events
+       WHERE json_extract_string(props, '$.k') IS NOT NULL
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    Engine.events(spark, sfDir).createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM events
+         WHERE json_extract_string(props, '$.k') IS NOT NULL
+         GROUP BY 1 ORDER BY 1""")
+  }
+
   // QUALIFY parity: the literal DuckDB/Teradata QUALIFY statement (window
   // filter without a subquery) EXECUTING on Spark — the hint parser
   // catches the ParseException and splices the predicate into the select

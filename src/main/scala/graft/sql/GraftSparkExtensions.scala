@@ -1009,6 +1009,18 @@ object GraftSparkExtensions {
           else org.apache.spark.sql.catalyst.expressions.Literal(
             null, org.apache.spark.sql.types.NullType)
         },
+        // DuckDB's JSON extraction names onto Spark's codegen'd
+        // get_json_object ('$.a.b' paths are the shared dialect).
+        // json_extract_string is exact (unquoted text, DuckDB's ->>);
+        // json_extract returns JSON text there, so STRING values come
+        // back quoted in DuckDB and unquoted here — a documented
+        // divergence; numbers/objects/arrays agree.
+        aliasFn("json_extract_string", (2, 2))(a =>
+          org.apache.spark.sql.catalyst.expressions.GetJsonObject(a(0), a(1))),
+        aliasFn("json_extract_path_text", (2, 2))(a =>
+          org.apache.spark.sql.catalyst.expressions.GetJsonObject(a(0), a(1))),
+        aliasFn("json_extract", (2, 2))(a =>
+          org.apache.spark.sql.catalyst.expressions.GetJsonObject(a(0), a(1))),
         // Value-frequency aggregates (functions/HistogramAgg.scala):
         // DuckDB's histogram (MAP value→count, keys ascending, NULLs
         // dropped, empty→NULL) and entropy (log2 Shannon, empty→0.0).
