@@ -1146,6 +1146,40 @@ object AnalyticsQueries {
          GROUP BY 1 ORDER BY 1""")
   }
 
+  // Whole-catalog snapshot parity (round 14): EXPORT DATABASE / IMPORT
+  // DATABASE. The Spark side runs the REAL round trip — CTAS a temp
+  // table, EXPORT the session (parquet per table + DuckDB-compatible
+  // schema.sql/load.sql whose COPY lines glob the part files), DROP,
+  // IMPORT, aggregate the restored table. The oracle models the final
+  // state as a single SELECT (the q77_copy_from convention: DuckDB's
+  // own IMPORT cannot run inside the oracle session — it collides with
+  // the pre-registered testdata views, verified).
+  declare("q95_export_database",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS cents
+       FROM orders WHERE o_totalprice > 150000""") { (spark, sfDir) =>
+    // A FRESH child session isolates the round trip: IMPORT restores
+    // every exported table as a session temp table, and in the shared
+    // verify/bench session those restored names would SHADOW the
+    // catalog tables other declared queries create (a later q53/q87 run
+    // would silently read the stale snapshot). newSession shares the
+    // SparkContext and catalog but scopes temp views and TempTables.
+    val s2 = spark.newSession()
+    graft.Engine.tune(s2)
+    s2.read.parquet(s"$sfDir/orders.parquet").createOrReplaceTempView("orders")
+    val dir = s"/tmp/graft_q95_spark_${java.util.UUID.randomUUID().toString.take(8)}"
+    s2.sql(
+      """CREATE OR REPLACE TEMP TABLE graft_q95 AS
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000""")
+    s2.sql(s"EXPORT DATABASE '$dir' (FORMAT PARQUET)")
+    s2.sql("DROP TABLE graft_q95")
+    s2.sql(s"IMPORT DATABASE '$dir'")
+    s2.sql(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS cents
+         FROM graft_q95""")
+  }
+
   // QUALIFY parity: the literal DuckDB/Teradata QUALIFY statement (window
   // filter without a subquery) EXECUTING on Spark — the hint parser
   // catches the ParseException and splices the predicate into the select

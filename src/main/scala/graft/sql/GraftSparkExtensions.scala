@@ -160,6 +160,23 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val analyzeBareRe = "(?is)\\A\\s*ANALYZE\\s*;?\\s*\\z".r
   private val prepareStmtRe =
     "(?is)\\A\\s*(?:PREPARE|EXECUTE|DEALLOCATE)\\b.*".r
+  private val exportDbRe =
+    """(?is)\A\s*EXPORT\s+DATABASE\s+'((?:[^']|'')+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*;?\s*\z""".r
+  private val importDbRe =
+    """(?is)\A\s*IMPORT\s+DATABASE\s+'((?:[^']|'')+)'\s*;?\s*\z""".r
+  private def exportImportRewrite(sql: String): Option[String] = sql match {
+    case exportDbRe(dir, fmt) =>
+      if (fmt != null && !fmt.equalsIgnoreCase("parquet"))
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            ("EXPORT DATABASE runs with FORMAT PARQUET here (the " +
+              "self-describing format IMPORT can restore without " +
+              "schema.sql parsing); re-run with (FORMAT PARQUET).")))
+      Some(s"SELECT * FROM export_database('$dir')")
+    case importDbRe(dir) =>
+      Some(s"SELECT * FROM import_database('$dir')")
+    case _ => None
+  }
   private val setVariableRe =
     """(?is)\A\s*SET\s+VARIABLE\s+([A-Za-z_]\w*)\s*=\s*(.+?)\s*;?\s*\z""".r
   private val resetVariableRe =
@@ -263,6 +280,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             () => text match { case duckDateRe() =>
               duckDateRewrite(text); case _ => None },
             () => maintenanceRewrite(text),
+            () => exportImportRewrite(text),
             // PREPARE/EXECUTE/DEALLOCATE (none parse in Spark; EXECUTE
             // IMMEDIATE is native and never reaches this chain). The
             // substituted EXECUTE output runs back through preRewrite so
@@ -2180,6 +2198,80 @@ object GraftSparkExtensions {
     (FunctionIdentifier("insert_returning"), info("insert_returning"),
       insertReturningImpl(intoTemp = false) _)
 
+  /** DuckDB's `EXPORT DATABASE 'dir' (FORMAT PARQUET)` / `IMPORT
+    * DATABASE 'dir'` — the whole-catalog snapshot statements. EXPORT
+    * writes every v1 catalog table and every graft temp table
+    * ([[TempTables]]) as `dir/<name>.parquet` plus DuckDB-runnable
+    * `schema.sql`/`load.sql` manifests — the COPY lines glob the part
+    * files, and executing the two scripts in DuckDB restores the data
+    * (verified; DuckDB's own IMPORT DATABASE wrapper additionally
+    * globs `dir/*.parquet` itself and skips directory entries, so use
+    * the scripts for cross-engine restore). IMPORT
+    * restores every `<name>.parquet` entry as a graft temp table —
+    * session-scoped where DuckDB restores to the main schema
+    * (documented divergence; queries resolve the names identically).
+    * Both parse-fail in Spark and ride the hint chain.
+    */
+  val exportDatabaseFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("export_database"), info("export_database"), (args: Seq[Expression]) => {
+      require(args.size == 1 && args.forall(_.foldable),
+        "export_database(dir) — a constant path")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "export_database path must be non-NULL")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val dir = asString(v(0)).stripSuffix("/")
+      val catalogTables = spark.sessionState.catalog
+        .listTables(spark.sessionState.catalog.getCurrentDatabase)
+        .filter(_.database.isDefined).map(_.table)
+      val tempTables = TempTables.names()
+      val all = (catalogTables ++ tempTables).distinct.sorted
+      val schemaSql = new StringBuilder
+      val loadSql = new StringBuilder
+      all.foreach { name =>
+        val df = spark.table(name)
+        df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+        val cols = df.schema.fields.map(f =>
+          s"${f.name} ${f.dataType.sql}").mkString(", ")
+        schemaSql.append(s"CREATE TABLE $name ($cols);\n")
+        loadSql.append(
+          s"COPY $name FROM '$dir/$name.parquet/*.parquet' (FORMAT 'parquet');\n")
+      }
+      val conf = spark.sparkContext.hadoopConfiguration
+      def writeText(path: String, text: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val out = p.getFileSystem(conf).create(p, true)
+        try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      writeText(s"$dir/schema.sql", schemaSql.toString)
+      writeText(s"$dir/load.sql", loadSql.toString)
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq.empty)
+    })
+
+  val importDatabaseFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("import_database"), info("import_database"), (args: Seq[Expression]) => {
+      require(args.size == 1 && args.forall(_.foldable),
+        "import_database(dir) — a constant path")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "import_database path must be non-NULL")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val dir = asString(v(0)).stripSuffix("/")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entries = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).sorted
+      require(entries.nonEmpty, s"import_database: no *.parquet entries under $dir")
+      var lastCount = 0L
+      entries.foreach { e =>
+        val name = e.stripSuffix(".parquet")
+        TempTables.put(name, spark.read.parquet(s"$dir/$e"))
+        lastCount = spark.table(name).count()
+      }
+      tempCountRow(lastCount)
+    })
+
   /** Warn-once no-op landing pad for DuckDB maintenance statements
     * (CREATE/DROP INDEX, VACUUM, bare ANALYZE): prints one stderr line
     * per statement kind per JVM naming the Spark equivalent, returns
@@ -2290,6 +2382,8 @@ object GraftSparkExtensions {
     tempTableEmptyFn,
     tempInsertFn,
     insertReturningFn,
+    exportDatabaseFn,
+    importDatabaseFn,
     readParquetFn,
     readCsvFn,
     readCsvAutoFn,

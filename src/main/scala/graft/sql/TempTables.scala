@@ -46,6 +46,14 @@ object TempTables {
   /** Current content (the fronting view). */
   def table(name: String): DataFrame = SparkSession.active.table(name)
 
+  /** Names of this session's temp tables (for EXPORT DATABASE). */
+  def names(): Seq[String] = {
+    val spark = SparkSession.active
+    import scala.jdk.CollectionConverters._
+    registry.keySet.asScala.toSeq.collect {
+      case (s, n) if s eq spark => n }.sorted
+  }
+
   def drop(name: String): Boolean = {
     val dir = registry.remove(key(name))
     if (dir == null) false

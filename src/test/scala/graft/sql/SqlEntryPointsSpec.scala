@@ -1311,6 +1311,30 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS tt_a")
   }
 
+  test("EXPORT DATABASE / IMPORT DATABASE round-trip the session's tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_expdb").toString
+    spark.sql("DROP TABLE IF EXISTS exp_q")
+    spark.sql(
+      "CREATE OR REPLACE TEMP TABLE exp_q AS SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, s)")
+    assert(spark.sql(s"EXPORT DATABASE '$dir/snap' (FORMAT PARQUET)").count() == 0)
+    // Manifests exist and the COPY lines glob part files (DuckDB-importable).
+    val load = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/snap/load.sql")))
+    assert(load.contains("COPY exp_q FROM") && load.contains("*.parquet"),
+      s"got: $load")
+    assert(new java.io.File(s"$dir/snap/schema.sql").exists)
+    // Drop, restore, verify content.
+    spark.sql("DROP TABLE exp_q")
+    spark.sql(s"IMPORT DATABASE '$dir/snap'")
+    val back = spark.table("exp_q").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(back == Seq((1, "a"), (2, "b")), s"got $back")
+    // CSV export declines with the parquet guidance.
+    val ex = intercept[Exception](spark.sql(s"EXPORT DATABASE '$dir/c' (FORMAT CSV)"))
+    assert(ex.getMessage.contains("FORMAT PARQUET"), s"got: ${ex.getMessage}")
+    spark.sql("DROP TABLE IF EXISTS exp_q")
+  }
+
   test("literal UPDATE and DELETE statements run against catalog tables") {
     val tbl = "graft_ud_t"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
