@@ -2205,8 +2205,8 @@ object GraftSparkExtensions {
     * `schema.sql`/`load.sql` manifests — the COPY lines glob the part
     * files, and executing the two scripts in DuckDB restores the data
     * (verified; DuckDB's own IMPORT DATABASE wrapper additionally
-    * globs `dir/*.parquet` itself and skips directory entries, so use
-    * the scripts for cross-engine restore). IMPORT
+    * globs `*.parquet` directly under the dir and skips directory
+    * entries, so use the scripts for cross-engine restore). IMPORT
     * restores every `<name>.parquet` entry as a graft temp table —
     * session-scoped where DuckDB restores to the main schema
     * (documented divergence; queries resolve the names identically).
