@@ -1180,6 +1180,24 @@ object AnalyticsQueries {
          FROM graft_q95""")
   }
 
+  // DuckDB operator parity (round 14): the `//` integer-division
+  // operator → Spark's `div` (same truncation toward zero on integral
+  // inputs, pinned both engines; rewritten quote/comment-aware in the
+  // parse-failure chain, so native statements are never touched).
+  // IDENTICAL statement text. (`* RENAME (old AS new)` executes too —
+  // sql/ReplaceRewrite.rewriteRename — but the 1.0 oracle predates
+  // that syntax, so it is spec-pinned in SqlEntryPointsSpec.)
+  declare("q96_int_div",
+    """SELECT CAST(l_quantity AS BIGINT) // 7 AS qbucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT CAST(l_quantity AS BIGINT) // 7 AS qbucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""")
+  }
+
   // QUALIFY parity: the literal DuckDB/Teradata QUALIFY statement (window
   // filter without a subquery) EXECUTING on Spark — the hint parser
   // catches the ParseException and splices the predicate into the select

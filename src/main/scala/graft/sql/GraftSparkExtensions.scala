@@ -177,6 +177,46 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       Some(s"SELECT * FROM import_database('$dir')")
     case _ => None
   }
+  /** Replace depth-any `//` with ` div ` outside strings/quotes/
+    * comments. None when the text has no such operator.
+    */
+  private def intDivRewrite(text: String): Option[String] = {
+    if (!text.contains("//")) return None
+    val out = new StringBuilder
+    var i = 0
+    var changed = false
+    val n = text.length
+    while (i < n) {
+      text.charAt(i) match {
+        case '\'' =>
+          out.append('\''); i += 1
+          var done = false
+          while (i < n && !done) {
+            if (text.charAt(i) == '\'') {
+              if (i + 1 < n && text.charAt(i + 1) == '\'') { out.append("''"); i += 2 }
+              else { out.append('\''); i += 1; done = true }
+            } else { out.append(text.charAt(i)); i += 1 }
+          }
+        case q @ ('"' | '`') =>
+          out.append(q); i += 1
+          while (i < n && text.charAt(i) != q) { out.append(text.charAt(i)); i += 1 }
+          if (i < n) { out.append(q); i += 1 }
+        case '-' if i + 1 < n && text.charAt(i + 1) == '-' =>
+          while (i < n && text.charAt(i) != '\n') { out.append(text.charAt(i)); i += 1 }
+        case '/' if i + 1 < n && text.charAt(i + 1) == '*' =>
+          out.append("/*"); i += 2
+          while (i + 1 < n && !(text.charAt(i) == '*' && text.charAt(i + 1) == '/')) {
+            out.append(text.charAt(i)); i += 1
+          }
+          if (i + 1 < n) { out.append("*/"); i += 2 }
+        case '/' if i + 1 < n && text.charAt(i + 1) == '/' =>
+          out.append(" div "); i += 2; changed = true
+        case c => out.append(c); i += 1
+      }
+    }
+    if (changed) Some(out.toString) else None
+  }
+
   private val setVariableRe =
     """(?is)\A\s*SET\s+VARIABLE\s+([A-Za-z_]\w*)\s*=\s*(.+?)\s*;?\s*\z""".r
   private val resetVariableRe =
@@ -263,6 +303,13 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               ExcludeRewrite.rewrite(text); case _ => None },
             () => text match { case replaceStarRe() =>
               ReplaceRewrite.rewrite(text); case _ => None },
+            () => text match { case ReplaceRewrite.starRenameRe() =>
+              ReplaceRewrite.rewriteRename(text); case _ => None },
+            // DuckDB's `//` integer-division operator → Spark's `div`
+            // (same truncation-toward-zero on integers — 7//2=3,
+            // -7//2=-3, pinned). Only ever seen on parse failure, so a
+            // native statement can't be claimed; quote/comment-aware.
+            () => intDivRewrite(text),
             () => text match { case columnsRe() =>
               ColumnsRewrite.rewrite(text); case _ => None },
             () => text match { case fromFirstRe() =>

@@ -95,8 +95,22 @@ object ReplaceRewrite {
     out.result()
   }
 
-  def rewrite(sql: String): Option[String] = {
-    if (starReplaceRe.findAllMatchIn(sql).size != 1) return None
+  def rewrite(sql: String): Option[String] =
+    starListRewrite(sql, "REPLACE", starReplaceRe)
+
+  /** DuckDB's `SELECT * RENAME (old AS new, ...)` (host ≥1.1 — the 1.0
+    * oracle predates it, so the lane is spec-pinned): same single-table
+    * star expansion, but the listed columns keep their EXPRESSION (the
+    * source column) and change their NAME, in place.
+    */
+  def rewriteRename(sql: String): Option[String] =
+    starListRewrite(sql, "RENAME", starRenameRe)
+
+  private[sql] val starRenameRe = "(?is).*\\*\\s*RENAME\\s*\\(.*".r
+
+  private def starListRewrite(sql: String, keyword: String,
+      guard: scala.util.matching.Regex): Option[String] = {
+    if (guard.findAllMatchIn(sql).size != 1) return None
     val words = QualifyRewrite.topLevelWords(sql)
     val selIdx = words.indexWhere(_._1 == "SELECT")
     if (selIdx != 0 || words.isEmpty) return None
@@ -110,7 +124,7 @@ object ReplaceRewrite {
     val starM = """(?s)\A\s*\*""".r.findFirstMatchIn(sql.substring(afterSel))
       .getOrElse(return None)
     val starPos = afterSel + starM.end - 1
-    val replM = """(?is)\A\s*REPLACE\s*\(""".r
+    val replM = ("(?is)\\A\\s*" + keyword + "\\s*\\(").r
       .findFirstMatchIn(sql.substring(starPos + 1)).getOrElse(return None)
     val openParen = starPos + 1 + replM.end - 1
     val afterList = closeOf(sql, openParen)
@@ -156,14 +170,32 @@ object ReplaceRewrite {
     val spark = try org.apache.spark.sql.SparkSession.active
       catch { case NonFatal(_) => return None }
     val cols = try spark.table(tname).columns catch { case NonFatal(_) => return None }
-    if (!repl.keySet.forall(t => cols.exists(_.toLowerCase == t))) return None
-
-    val projected = cols.map { c =>
-      repl.get(c.toLowerCase) match {
-        case Some(expr) => s"($expr) AS `$c`"
-        case None => s"`$c`"
+    val projected =
+      if (keyword == "REPLACE") {
+        if (!repl.keySet.forall(t => cols.exists(_.toLowerCase == t))) return None
+        cols.map { c =>
+          repl.get(c.toLowerCase) match {
+            case Some(expr) => s"($expr) AS `$c`"
+            case None => s"`$c`"
+          }
+        }.mkString(", ")
+      } else {
+        // RENAME: items are `old AS new` — old must be a plain existing
+        // column (listed as the map's VALUE side), new the fresh name.
+        val renames = scala.collection.mutable.LinkedHashMap[String, String]()
+        repl.foreach { case (newName, oldExpr) =>
+          val old = oldExpr.trim
+          if (!old.matches("[A-Za-z_]\\w*")) return None
+          if (!cols.exists(_.equalsIgnoreCase(old))) return None
+          if (renames.put(old.toLowerCase, newName).isDefined) return None
+        }
+        cols.map { c =>
+          renames.get(c.toLowerCase) match {
+            case Some(nn) => s"`$c` AS `$nn`"
+            case None => s"`$c`"
+          }
+        }.mkString(", ")
       }
-    }.mkString(", ")
     Some(sql.substring(0, starPos) + projected + sql.substring(afterList))
   }
 }

@@ -1239,6 +1239,24 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(spark.sql("SHOW ALL TABLES").columns.contains("tableName"))
   }
 
+  test("SELECT * RENAME and the // integer-division operator") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    spark.sql("SELECT * FROM VALUES (1, 'x'), (2, 'y') AS t(a, b)")
+      .createOrReplaceTempView("rn_t")
+    // * RENAME: in-place renames, order preserved, untouched columns kept.
+    val r = spark.sql("SELECT * RENAME (a AS id) FROM rn_t ORDER BY id")
+    assert(r.columns.toSeq == Seq("id", "b"))
+    assert(r.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // Unknown source column declines to the hint path (parse error).
+    intercept[Exception](spark.sql("SELECT * RENAME (zz AS q) FROM rn_t"))
+    // `//` → div: truncation toward zero on integers (DuckDB 1.0 pinned:
+    // 7//2=3, -7//2=-3); strings/comments pass through untouched.
+    assert(one[Long]("SELECT 7 // 2") == 3L)
+    assert(one[Long]("SELECT -7 // 2") == -3L)
+    assert(one[Long]("SELECT a // 2 FROM rn_t WHERE a = 2 -- halve // here\n") == 1L)
+    assert(one[String]("SELECT 'a//b' || CAST(4 // 2 AS STRING)") == "a//b2")
+  }
+
   test("histogram and entropy aggregates match DuckDB's pinned values") {
     def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
     spark.sql("SELECT * FROM VALUES (3), (1), (1), (2), (NULL) AS t(x)")
