@@ -38,7 +38,9 @@ case class DuckIndex(left: Expression, right: Expression)
   private lazy val structOrdinal: Int = left.dataType match {
     case s: StructType if right.foldable =>
       val k = right.eval(null)
-      if (k == null) -1 else s.fieldNames.indexOf(k.toString)
+      // Case-insensitive, like DuckDB's struct bracket access.
+      if (k == null) -1
+      else s.fieldNames.indexWhere(_.equalsIgnoreCase(k.toString))
     case _ => -1
   }
 
@@ -72,10 +74,13 @@ case class DuckIndex(left: Expression, right: Expression)
     case other => other
   }
 
-  /** 1-based position resolved against length n; 0 when invalid. */
+  /** 1-based position resolved against length n; 0 when invalid.
+    * Long.MinValue is rejected explicitly — negating it overflows back
+    * to itself, which would alias a wrapped in-bounds index.
+    */
   private def pos(i: Long, n: Int): Int =
     if (i > 0 && i <= n) i.toInt
-    else if (i < 0 && -i <= n) (n + i + 1).toInt
+    else if (i < 0 && i != Long.MinValue && -i <= n) (n + i + 1).toInt
     else 0
 
   override def eval(input: InternalRow): Any = {

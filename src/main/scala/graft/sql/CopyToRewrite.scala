@@ -111,7 +111,8 @@ object CopyToRewrite {
 
     // DELIMITER is a CSV notion on both engines.
     if (delimiter.isDefined && fmt != "csv") return None
-    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    def lit(s: String) =
+      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     // Extra writer/reader options ride as one 'k=v;k=v' argument so the
     // TVF arities stay stable ('=' / ';' cannot appear in the values:
     // codec names are words and a delimiter containing them declines).

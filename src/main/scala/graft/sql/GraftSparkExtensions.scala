@@ -293,7 +293,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             () => text match { case summarizeTableRe(tbl) =>
               Some(s"SELECT * FROM summarize('$tbl')"); case _ => None },
             () => text match { case summarizeQueryRe(q) =>
-              Some(s"SELECT * FROM summarize('${q.replace("'", "''")}')")
+              Some(s"SELECT * FROM summarize('${q.replace("\\", "\\\\").replace("'", "''")}')")
               case _ => None },
             () => text match { case usingKeyRe() =>
               UsingKeyRewrite.rewrite(text); case _ => None },
@@ -1039,8 +1039,13 @@ object GraftSparkExtensions {
                 "list_reduce expects a lambda: list_reduce(l, (acc, x) -> ...)"))
           }
           val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+          // greatest(size-1, 0): Slice throws on a negative length, so
+          // an empty list must fold over an empty tail (NULL seed →
+          // NULL result, the documented contract).
           ArrayAggregate(
-            Slice(a(0), Literal(2), Subtract(Size(a(0)), Literal(1))),
+            Slice(a(0), Literal(2),
+              org.apache.spark.sql.catalyst.expressions.Greatest(
+                Seq(Subtract(Size(a(0)), Literal(1)), Literal(0)))),
             extractAt(a(0), Literal(1)),
             merge,
             LambdaFunction(fin, Seq(fin)))
@@ -1065,7 +1070,10 @@ object GraftSparkExtensions {
             "getvariable(name): the name must be a constant string")
           val raw = a(0).eval(null)
           require(raw != null, "getvariable: name must not be NULL")
-          val name = raw.toString
+          // Spark lowercases variable names at DECLARE and the
+          // manager's lookup is exact-case — probe lowercased or any
+          // mixed-case getvariable('Cut') silently reads NULL.
+          val name = raw.toString.toLowerCase
           val mgr = org.apache.spark.sql.SparkSession.active
             .sessionState.catalogManager.tempVariableManager
           if (mgr.get(Seq(name)).isDefined)
@@ -2062,9 +2070,15 @@ object GraftSparkExtensions {
           s"update_table: assignment target must be a plain column name, got '$name'")
         require(rhs.nonEmpty, s"update_table: empty expression for '$name'")
         name -> rhs
-      }.toMap
+      }
+      // Duplicate targets (any case) are an error, as in DuckDB — a
+      // map would silently keep one arbitrary assignment.
+      val dupTargets = assignments.groupBy(_._1.toLowerCase)
+        .collect { case (n, as) if as.size > 1 => n }
+      require(dupTargets.isEmpty,
+        s"update_table: column(s) assigned more than once: ${dupTargets.mkString(", ")}")
       val base = spark.table(table)
-      val missing = assignments.keySet.filterNot(n =>
+      val missing = assignments.map(_._1).filterNot(n =>
         base.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(missing.isEmpty,
         s"update_table: no such column(s): ${missing.mkString(", ")}")
@@ -2230,11 +2244,11 @@ object GraftSparkExtensions {
     if (intoTemp) TempTables.put(name, target.union(staged))
     else staged.write.mode("append").insertInto(name)
     if (ret.isEmpty) tempCountRow(staged.count())
-    else {
-      val view = s"graft_ins_ret_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      staged.createOrReplaceTempView(view)
-      spark.sql(s"SELECT $ret FROM $view").queryExecution.analyzed
-    }
+    else
+      // Project directly on the staged frame (no throwaway temp view —
+      // a RETURNING-per-row ingest loop would grow the catalog forever).
+      staged.selectExpr(ReplaceRewrite.splitTop(ret).map(_.trim): _*)
+        .queryExecution.analyzed
   }
 
   val tempInsertFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
@@ -2310,13 +2324,14 @@ object GraftSparkExtensions {
       val entries = fs.listStatus(p).map(_.getPath.getName)
         .filter(_.endsWith(".parquet")).sorted
       require(entries.nonEmpty, s"import_database: no *.parquet entries under $dir")
-      var lastCount = 0L
       entries.foreach { e =>
         val name = e.stripSuffix(".parquet")
         TempTables.put(name, spark.read.parquet(s"$dir/$e"))
-        lastCount = spark.table(name).count()
       }
-      tempCountRow(lastCount)
+      // DuckDB's IMPORT reports the last restored table's row count —
+      // one metadata-only parquet count, not one per table.
+      tempCountRow(
+        spark.table(entries.last.stripSuffix(".parquet")).count())
     })
 
   /** Warn-once no-op landing pad for DuckDB maintenance statements

@@ -28,7 +28,8 @@ object PivotRewrite {
   private val headRe =
     """(?is)\A\s*PIVOT\s+([A-Za-z_]\w*)\s+ON\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)(?:\s+IN\s*\((.*?)\))?\s+USING\s+(.*?)(?:\s+GROUP\s+BY\s+(.*?))?\s*;?\s*\z""".r
 
-  private def esc(s: String) = s.replace("'", "''")
+  private def esc(s: String) =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   def rewrite(sql: String): Option[String] = {
     val m = headRe.findFirstMatchIn(sql).getOrElse(return None)

@@ -19,10 +19,13 @@ import scala.util.control.NonFatal
   * the constant arguments EXECUTE takes, the two are equivalent; a
   * non-constant argument simply evaluates per row at its splice sites.
   *
-  * Registry is session-keyed (a weak-ish ConcurrentHashMap on the
-  * SparkSession — bounded by live sessions × prepared names; DuckDB's
-  * own registry is connection-scoped the same way). Wrong argument
-  * count and unknown names raise clean errors, matching DuckDB's binder.
+  * Registry is session-keyed (a plain ConcurrentHashMap on the
+  * SparkSession — entries are small template STRINGS, but the session
+  * key itself is strongly retained, so a service that churns through
+  * thousands of short-lived sessions with prepared statements should
+  * DEALLOCATE or accept the retained keys; DuckDB's registry is
+  * connection-scoped the same way). Wrong argument count and unknown
+  * names raise clean errors, matching DuckDB's binder.
   */
 object PrepareRewrite {
 

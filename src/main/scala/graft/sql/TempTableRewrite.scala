@@ -55,7 +55,11 @@ object TempTableRewrite {
     """(?is)\A\s*(CREATE\s+(OR\s+REPLACE\s+)?TEMP|INSERT\s+INTO|DROP\s+TABLE)\b""".r
       .findFirstIn(sql).isDefined
 
-  private def esc(s: String) = s.replace("'", "''")
+  // Backslashes double too: the TVF call is parsed as a '...'
+  // literal whose unescape would otherwise strip them from regexes
+  // in the spliced body.
+  private def esc(s: String) =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   def rewrite(sql: String): Option[String] =
     try {

@@ -38,9 +38,13 @@ object TempTables {
   def put(name: String, df: DataFrame): Unit = {
     val (staged, dir) = graft.operators.Scratch.materialize(df, s"ttab_$name")
     staged.createOrReplaceTempView(name)
-    val old = registry.put(key(name), dir)
-    if (old != null)
-      graft.operators.Scratch.delete(SparkSession.active, old)
+    // The superseded dir is NOT deleted eagerly: a DataFrame captured
+    // before the mutation (or a query mid-flight) still reads it — the
+    // snapshot contract. Superseded snapshots live until the scratch
+    // root's JVM-exit cleanup; a mutation-heavy loop trades that disk
+    // for never breaking a reader.
+    registry.put(key(name), dir)
+    ()
   }
 
   /** Current content (the fronting view). */

@@ -79,7 +79,8 @@ object UnionByNameRewrite {
     val rhs = sql.substring(rhsStart, trailPos).trim.stripSuffix(";").trim
     val trail = sql.substring(trailPos).trim.stripSuffix(";").trim
     if (lhs.isEmpty || rhs.isEmpty) return None
-    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    def lit(s: String) =
+      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     val call = op match {
       case "UNION" => s"union_by_name(${lit(lhs)}, ${lit(rhs)}, $isAll)"
       case _ =>

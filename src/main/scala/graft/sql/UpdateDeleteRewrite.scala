@@ -47,7 +47,11 @@ object UpdateDeleteRewrite {
       cat.getTempView(name).isEmpty && cat.tableExists(ident)
     } catch { case NonFatal(_) => false }
 
-  private def esc(s: String): String = s.replace("'", "''")
+  // Backslashes double too: the spliced text becomes a '...' SQL
+  // literal whose unescape would otherwise strip them (a regex
+  // '\\d+' in a SET expression would silently become 'd+').
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   private def stripSemi(s: String): String = {
     val t = s.trim

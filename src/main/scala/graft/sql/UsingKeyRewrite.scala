@@ -135,7 +135,8 @@ object UsingKeyRewrite {
       after >= finalSql.length || finalSql.charAt(after) != '.'
     }
     if (bare != 1) return None // a JOIN <name> etc. would not resolve
-    def esc(s: String) = s.replace("'", "''")
+    def esc(s: String) =
+      s.replace("\\", "\\\\").replace("'", "''")
     val tvf = s"fixpoint_keyed('${esc(seedSql)}', '${esc(stepSql)}', " +
       s"'${keys.mkString(",")}')"
     Some(fromRe.replaceFirstIn(finalSql,

@@ -1257,6 +1257,47 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(one[String]("SELECT 'a//b' || CAST(4 // 2 AS STRING)") == "a//b2")
   }
 
+  test("round-14 review regressions stay fixed") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    // Backslashes survive the literal splice into the mutation TVFs
+    // (a regex in a SET expression must not lose its escapes).
+    val tbl = "graft_rr_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir = { val u = new java.net.URI(wh); if (u.getScheme == null) wh else u.getPath }
+    def del(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
+    del(new java.io.File(whDir, tbl))
+    spark.sql(s"CREATE TABLE $tbl USING parquet AS SELECT 'a12b34' AS s")
+    spark.sql(s"""UPDATE $tbl SET s = regexp_replace(s, '\\\\d+', '#')""")
+    assert(spark.table(tbl).head().getString(0) == "a#b#")
+    // Duplicate SET targets error instead of silently keeping one.
+    val dup = intercept[Exception](
+      spark.sql(s"UPDATE $tbl SET s = 'x', s = 'y'"))
+    assert(dup.getMessage.contains("more than once"), s"got: ${dup.getMessage}")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // list_reduce over an empty list → NULL, not a slice error.
+    assert(spark.sql(
+      "SELECT list_reduce(CAST(array() AS ARRAY<INT>), (a, b) -> a + b)")
+      .head().isNullAt(0))
+    // Struct bracket keys are case-insensitive (DuckDB semantics).
+    assert(one[Int]("SELECT ({'a': 1})['A'], [0]" ) == 1)
+    // Long.MinValue index → NULL, never a wrapped in-bounds read.
+    assert(spark.sql(
+      "SELECT ([1, 2])[-9223372036854775808]").head().isNullAt(0))
+    // Mixed-case variable names resolve (Spark lowercases on DECLARE).
+    spark.sql("SET VARIABLE rrCut = 5")
+    assert(one[Int]("SELECT getvariable('rrCut')") == 5)
+    // INSERT ... RETURNING leaves no throwaway temp view behind.
+    spark.sql("DROP TABLE IF EXISTS rr_ins")
+    spark.sql("CREATE OR REPLACE TEMP TABLE rr_ins AS SELECT 1 AS a")
+    spark.sql("INSERT INTO rr_ins VALUES (2) RETURNING a").collect()
+    val leaked = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_ins_ret_"))
+    assert(leaked.isEmpty, s"leaked views: ${leaked.mkString(",")}")
+    spark.sql("DROP TABLE rr_ins")
+  }
+
   test("histogram and entropy aggregates match DuckDB's pinned values") {
     def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
     spark.sql("SELECT * FROM VALUES (3), (1), (1), (2), (NULL) AS t(x)")
