@@ -217,6 +217,11 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     if (changed) Some(out.toString) else None
   }
 
+  private val similarToRe = "(?is).*\\bSIMILAR\\s+TO\\b.*".r
+  private val powOpRe = "(?s).*\\*\\*.*".r
+  private val attachRe = "(?is)\\A\\s*(?:ATTACH|DETACH)\\b.*".r
+  private val createSeqRe =
+    "(?is)\\A\\s*(?:CREATE|DROP)\\s+SEQUENCE\\b.*".r
   private val setVariableRe =
     """(?is)\A\s*SET\s+VARIABLE\s+([A-Za-z_]\w*)\s*=\s*(.+?)\s*;?\s*\z""".r
   private val resetVariableRe =
@@ -535,6 +540,28 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "shape); filter the window " +
                   "function in an enclosing query instead: SELECT * FROM (SELECT " +
                   "..., ROW_NUMBER() OVER (...) AS rn FROM t) WHERE rn <= k.")
+              case similarToRe() =>
+                Some("SIMILAR TO has no Spark counterpart. DuckDB's " +
+                  "form is a fully-anchored regex match: write " +
+                  "expr RLIKE '^(?:pattern)$' (or regexp_full_match " +
+                  "semantics via rlike with anchors); NOT SIMILAR TO " +
+                  "negates it.")
+              case powOpRe() =>
+                Some("The ** power operator has no Spark spelling (and " +
+                  "beware ^ is XOR here, not power). Use power(a, b) / " +
+                  "pow(a, b), which both engines share.")
+              case attachRe() =>
+                Some("ATTACH/DETACH are DuckDB-engine-specific. The " +
+                  "Spark equivalents are catalogs and external tables: " +
+                  "register a catalog in spark.sql.catalog.<name> conf, " +
+                  "or read the foreign data directly " +
+                  "(read_parquet('path'), spark.read.jdbc).")
+              case createSeqRe() =>
+                Some("CREATE SEQUENCE / nextval have no distributed " +
+                  "counterpart here (a global counter serializes every " +
+                  "writer). Use monotonically_increasing_id() for unique " +
+                  "ids, or row_number() OVER (ORDER BY ...) when the ids " +
+                  "must be dense and ordered.")
               case _ if DuckLiteralRewrite.isShaped(sqlText) =>
                 Some("If you meant DuckDB's bracket/brace literal " +
                   "syntax: list literals [1, 2] / ARRAY[1, 2], struct " +

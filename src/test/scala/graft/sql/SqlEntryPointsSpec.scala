@@ -1257,6 +1257,18 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(one[String]("SELECT 'a//b' || CAST(4 // 2 AS STRING)") == "a//b2")
   }
 
+  test("unexecutable constructs land on targeted hints") {
+    def hint(sql: String, needle: String): Unit = {
+      val ex = intercept[Exception](spark.sql(sql))
+      assert(ex.getMessage.contains(needle),
+        s"for [$sql] expected '$needle', got: ${ex.getMessage}")
+    }
+    hint("SELECT 'abc' SIMILAR TO 'ab.'", "RLIKE")
+    hint("SELECT 2 ** 3", "power(a, b)")
+    hint("ATTACH 'other.db' AS other", "catalog")
+    hint("CREATE SEQUENCE seq_x", "monotonically_increasing_id")
+  }
+
   test("round-14 review regressions stay fixed") {
     def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
     // Backslashes survive the literal splice into the mutation TVFs
