@@ -306,9 +306,13 @@ object DuckLiteralRewrite {
         val kv = splitTop(p, ":", word = false)
         if (kv.length != 2) throw Decline("struct pair without ':'")
         val k = kv(0).trim
+        // Struct keys are NAMES (string-quoted or bare identifiers);
+        // map keys are arbitrary expressions (MAP {1: 'a'} is valid
+        // DuckDB), recursively transformed like the values.
         val key =
           if (k.startsWith("'") && k.endsWith("'") && k.length >= 2) k
           else if (k.matches("[A-Za-z_][A-Za-z0-9_]*")) s"'$k'"
+          else if (isMap) transform(k)
           else throw Decline(s"struct key '$k'")
         s"$key, ${transform(kv(1).trim)}"
       }

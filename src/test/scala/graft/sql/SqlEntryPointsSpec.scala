@@ -1101,6 +1101,8 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // Struct and map literals; struct/map bracket access.
     assert(one[Int]("SELECT ({'a': 1, 'b': 2})['b']") == 2)
     assert(one[Int]("SELECT (MAP {'x': 10, 'y': 20})['y']") == 20)
+    // Map keys are expressions (ints, even nested literals), not names.
+    assert(one[String]("SELECT (MAP {1: 'a', 2 + 1: 'b'})[3]") == "b")
     val st = spark.sql("SELECT {'a': [1, 2], 'b': {'c': 3}} AS s").head()
       .getStruct(0)
     assert(st.getSeq[Int](0).toList == List(1, 2))
