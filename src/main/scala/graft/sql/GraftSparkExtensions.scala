@@ -217,6 +217,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     if (changed) Some(out.toString) else None
   }
 
+  private val insertOrRe =
+    "(?is)\\A\\s*INSERT\\s+(?:OR\\s+(?:REPLACE|IGNORE)\\b|INTO\\b.*\\bON\\s+CONFLICT\\b).*".r
   private val similarToRe = "(?is).*\\bSIMILAR\\s+TO\\b.*".r
   private val powOpRe = "(?s).*\\*\\*.*".r
   private val attachRe = "(?is)\\A\\s*(?:ATTACH|DETACH)\\b.*".r
@@ -540,6 +542,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "shape); filter the window " +
                   "function in an enclosing query instead: SELECT * FROM (SELECT " +
                   "..., ROW_NUMBER() OVER (...) AS rn FROM t) WHERE rn <= k.")
+              case insertOrRe() =>
+                Some("INSERT OR REPLACE / OR IGNORE / ON CONFLICT need " +
+                  "a primary key, which parquet tables don't declare. " +
+                  "The idempotent-ingest idiom here: de-duplicate the " +
+                  "increment against the target first — INSERT INTO t " +
+                  "SELECT * FROM inc LEFT ANTI JOIN t USING (key_cols) " +
+                  "(OR IGNORE), or stage the merged state and INSERT " +
+                  "OVERWRITE (OR REPLACE).")
               case similarToRe() =>
                 Some("SIMILAR TO has no Spark counterpart. DuckDB's " +
                   "form is a fully-anchored regex match: write " +
@@ -791,7 +801,41 @@ object GraftSparkExtensions {
       aliasFn("list_filter", (2, 2))(a => ArrayFilter(a(0), a(1))),
       aliasFn("list_contains", (2, 2))(a => ArrayContains(a(0), a(1))),
       aliasFn("list_distinct", (1, 1))(a => ArrayDistinct(a(0))),
-      aliasFn("list_sort", (1, 1))(a => SortArray(a(0), Literal(true))),
+      // list_sort: DuckDB's default is ASC NULLS LAST (pinned on the
+      // oracle: [3,1,NULL,2] → [1,2,3,NULL]); the optional order and
+      // null-placement arguments map onto the four SortArray/Reverse
+      // combinations (desc-nulls-last = reverse of asc-nulls-first,
+      // which keeps everything inside codegen'd native expressions).
+      aliasFn("list_sort", (1, 3)) { a =>
+        def cst(e: Expression, what: String): String = {
+          require(e.foldable, s"list_sort: $what must be a constant string")
+          String.valueOf(e.eval(null)).trim.toUpperCase
+        }
+        val desc = a.size >= 2 && (cst(a(1), "order") match {
+          case "DESC" | "DESCENDING" => true
+          case "ASC" | "ASCENDING" => false
+          case other => throw new IllegalArgumentException(
+            s"list_sort: unknown order '$other' (ASC, DESC)")
+        })
+        val nullsFirst = if (a.size >= 3) cst(a(2), "null order") match {
+          case "NULLS FIRST" | "NULLS_FIRST" => true
+          case "NULLS LAST" | "NULLS_LAST" => false
+          case other => throw new IllegalArgumentException(
+            s"list_sort: unknown null order '$other' (NULLS FIRST, NULLS LAST)")
+        } else false // DuckDB default: NULLS LAST
+        // sort_array natively covers asc-nulls-first / desc-nulls-last;
+        // array_sort's default comparator is asc-nulls-LAST, and its
+        // reverse is desc-nulls-first — all four corners stay native.
+        (desc, nullsFirst) match {
+          case (false, true) => SortArray(a(0), Literal(true))
+          case (true, false) => SortArray(a(0), Literal(false))
+          case (false, false) =>
+            new org.apache.spark.sql.catalyst.expressions.ArraySort(a(0))
+          case (true, true) =>
+            org.apache.spark.sql.catalyst.expressions.Reverse(
+              new org.apache.spark.sql.catalyst.expressions.ArraySort(a(0)))
+        }
+      },
       aliasFn("list_append", (2, 2))(a => ArrayAppend(a(0), a(1))),
       // DuckDB: list_prepend(element, list) — element FIRST.
       aliasFn("list_prepend", (2, 2))(a => ArrayPrepend(a(1), a(0))),

@@ -1046,6 +1046,17 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       "SELECT time_bucket(x, TIMESTAMP '2024-01-01') FROM VALUES (INTERVAL '1' HOUR) t(x)"))
     assert(exW.getMessage.contains("constant INTERVAL"), s"got: ${exW.getMessage}")
     // String predicates under DuckDB's names.
+    // list_sort order/null-placement arguments (DuckDB 1.0 pinned:
+    // default ASC NULLS LAST; explicit forms cover all four corners).
+    def ints(sql: String) = spark.sql(sql).head().getSeq[Any](0).toList
+    assert(ints("SELECT list_sort(array(3, 1, NULL, 2))") ==
+      List(1, 2, 3, null))
+    assert(ints("SELECT list_sort(array(3, 1, NULL, 2), 'DESC')") ==
+      List(3, 2, 1, null))
+    assert(ints("SELECT list_sort(array(3, 1, NULL, 2), 'DESC', 'NULLS FIRST')") ==
+      List(null, 3, 2, 1))
+    assert(ints("SELECT list_sort(array(3, 1, NULL, 2), 'ASC', 'NULLS FIRST')") ==
+      List(null, 1, 2, 3))
     assert(one[Boolean]("SELECT starts_with('abcdef', 'abc')"))
     assert(one[Boolean]("SELECT suffix('abcdef', 'def')"))
     // Element extraction: 1-based, NULL (not an ANSI error) out of bounds.
@@ -1269,6 +1280,7 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     hint("SELECT 2 ** 3", "power(a, b)")
     hint("ATTACH 'other.db' AS other", "catalog")
     hint("CREATE SEQUENCE seq_x", "monotonically_increasing_id")
+    hint("INSERT OR IGNORE INTO t VALUES (1)", "ANTI JOIN")
   }
 
   test("round-14 review regressions stay fixed") {
