@@ -686,6 +686,40 @@ object AnalyticsQueries {
   }
 
   // ------------------------------------------------------------------
+  // ASOF JOIN USING shorthand (round 14): `USING (k, ord)` — key
+  // equality on all-but-last, backward inclusive order on the last,
+  // output = using columns once (left side) + the right payload, which
+  // is EXACTLY the asof_join TVF's schema, so even a bare SELECT *
+  // is faithful here. Intercepted PRE-delegation (without it Spark
+  // parses ASOF as a table alias and the USING form silently becomes a
+  // plain equi-join on both columns — the worst failure mode; see
+  // GraftHintParser.asofShaped). Oracle = DuckDB's own native form.
+  // ------------------------------------------------------------------
+  declare("q97_asof_using",
+    """SELECT user_id, COUNT(*) AS n_matched,
+         CAST(SUM(CAST(date_diff('day', last_order, CAST(ts AS TIMESTAMP)) AS BIGINT)) AS BIGINT) AS sum_gap_days
+       FROM (
+         SELECT e.user_id, e.ts, MAX(o.o_orderdate) AS last_order
+         FROM events e JOIN orders o
+           ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+         GROUP BY e.user_id, e.ts, e.event_id
+       ) m
+       GROUP BY user_id ORDER BY user_id""") { (spark, sfDir) =>
+    Engine.events(spark, sfDir).select(col("user_id"), col("ts"))
+      .createOrReplaceTempView("graft_asofu_ev")
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        col("o_orderdate").as("last_order"))
+      .createOrReplaceTempView("graft_asofu_ord")
+    spark.sql(
+      """SELECT user_id, COUNT(*) AS n_matched,
+           CAST(SUM(CAST(datediff(ts, last_order) AS BIGINT)) AS BIGINT) AS sum_gap_days
+         FROM graft_asofu_ev ASOF JOIN graft_asofu_ord USING (user_id, ts)
+         GROUP BY user_id ORDER BY user_id""")
+  }
+
+  // ------------------------------------------------------------------
   // FORWARD as-of (round 14): the `l.ts <= r.ts` inequality direction —
   // for each click, the user's NEXT purchase (the attribution funnel
   // shape). Same linear union+window plan with the frame looking ahead

@@ -44,7 +44,7 @@ object AsofJoinRewrite {
     "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "FETCH",
     "QUALIFY", "WINDOW", "UNION", "INTERSECT", "EXCEPT")
   private val nonNameWords = clauseEnders ++ Set(
-    "ASOF", "JOIN", "LEFT", "AS", "ON", "SELECT", "FROM", "AND")
+    "ASOF", "JOIN", "LEFT", "AS", "ON", "USING", "SELECT", "FROM", "AND")
 
   /** One ON conjunct: `qual.col <op> qual.col`. */
   private val conjunctRe =
@@ -171,27 +171,50 @@ object AsofJoinRewrite {
     if (cur.exists(_._1 == "AS")) idx += 1
     val ralias = cur.filter(isName).map(text)
     if (ralias.isDefined) idx += 1
-    val onWord = cur.filter(_._1 == "ON").getOrElse(return None)
-    idx += 1
-
-    // ON condition runs to the next top-level clause or end of statement.
-    val onEnd = onWord._2 + 2
-    val endPos = words.drop(idx).find(w => clauseEnders(w._1)).map(_._2)
-      .getOrElse(sql.length)
-    val condText = sql.substring(onEnd, endPos).trim.stripSuffix(";").trim
-    val parts = condText.split("(?i)\\bAND\\b")
-    if (parts.length != 2) return None
-    val parsed = parts.toSeq.map {
-      case conjunctRe(q1, c1, op, q2, c2) => (q1, c1, op, q2, c2)
-      case _ => return None
-    }
-    val (eqs, ineqs) = parsed.partition(_._3 == "=")
-    if (eqs.length != 1 || ineqs.length != 1) return None
-
     val lkey = lalias.getOrElse(lname)
     val rkey = ralias.getOrElse(rname)
     def isL(q: String) = q.equalsIgnoreCase(lkey)
     def isR(q: String) = q.equalsIgnoreCase(rkey)
+
+    // Either `ON <equality> AND <inequality>` or DuckDB's `USING (k,
+    // ord)` shorthand — all columns but the LAST are equality keys (one
+    // supported: the TVF takes a single `on`), the last is the backward
+    // inclusive order column. The USING output (using columns once,
+    // from the left side, then the right's payload) is EXACTLY the
+    // TVF's left+payload schema, so even a bare `SELECT *` is faithful
+    // in this branch (verified against DuckDB 1.0).
+    val usingWord = cur.filter(_._1 == "USING")
+    val onWord = cur.filter(_._1 == "ON")
+    if (usingWord.isEmpty && onWord.isEmpty) return None
+    idx += 1
+    var bareStarOk = false
+    val (condEqs, condIneqs, endPos) = usingWord match {
+      case Some(uw) =>
+        val after = sql.substring(uw._2 + "USING".length)
+        val m = """(?s)\A\s*\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)""".r
+          .findFirstMatchIn(after).getOrElse(return None)
+        bareStarOk = true
+        (Seq((lkey, m.group(1), "=", rkey, m.group(1))),
+          Seq((lkey, m.group(2), ">=", rkey, m.group(2))),
+          uw._2 + "USING".length + m.end)
+      case None =>
+        // ON condition runs to the next top-level clause or end.
+        val onEnd = onWord.get._2 + 2
+        val end = words.drop(idx).find(w => clauseEnders(w._1)).map(_._2)
+          .getOrElse(sql.length)
+        val condText = sql.substring(onEnd, end).trim.stripSuffix(";").trim
+        val parts = condText.split("(?i)\\bAND\\b")
+        if (parts.length != 2) return None
+        val parsed = parts.toSeq.map {
+          case conjunctRe(q1, c1, op, q2, c2) => (q1, c1, op, q2, c2)
+          case _ => return None
+        }
+        val (e, i) = parsed.partition(_._3 == "=")
+        (e, i, end)
+    }
+    val eqs = condEqs
+    val ineqs = condIneqs
+    if (eqs.length != 1 || ineqs.length != 1) return None
 
     // Key equality: same column name on both sides (the TVF takes ONE
     // `on` name), one qualifier per side in either order.
@@ -242,14 +265,19 @@ object AsofJoinRewrite {
     // Star resolution, now that the left side's catalog columns are in
     // hand: every top-level star must be the LEFT alias's (`e.*`) and is
     // expanded to the explicit qualified column list; a bare `*` or a
-    // right-qualified star declines (schema would silently differ).
-    if (selStars.exists(s => !s._3.exists(_.equalsIgnoreCase(lkey)))) return None
+    // right-qualified star declines (schema would silently differ) —
+    // EXCEPT in the USING branch, where DuckDB's merged star output
+    // equals the TVF's own schema and a bare `*` passes through as-is.
+    if (selStars.exists(s => s._3.isEmpty && !bareStarOk)) return None
+    if (selStars.exists(s => s._3.exists(q => !q.equalsIgnoreCase(lkey))))
+      return None
+    val expandable = selStars.filter(_._3.isDefined)
     val newSel =
-      if (selStars.isEmpty) selText
+      if (expandable.isEmpty) selText
       else {
         val sb = new StringBuilder
         var pos = 0
-        selStars.foreach { case (s, e, _) =>
+        expandable.foreach { case (s, e, _) =>
           sb.append(selText.substring(pos, s))
           sb.append(lcols.map(c => s"$lkey.`$c`").mkString(", "))
           pos = e

@@ -121,6 +121,13 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       case Vector((a, _), (b, _)) => a == "POSITIONAL" && b == "JOIN"
       case _ => false
     }
+  /** Adjacent bare words ASOF [LEFT] JOIN outside strings/comments. */
+  private def asofShaped(sql: String): Boolean =
+    QualifyRewrite.allWords(sql).sliding(3).exists {
+      case Vector((a, _), (b, _), (c, _)) =>
+        a == "ASOF" && (b == "JOIN" || (b == "LEFT" && c == "JOIN"))
+      case _ => false
+    }
   private def positionalPreRewrite(sql: String): String = {
     val out = sql.replaceAll(
       "(?i)\\b([A-Za-z_]\\w*)\\s+POSITIONAL\\s+JOIN\\s+([A-Za-z_]\\w*)",
@@ -661,6 +668,28 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       }
     case positionalRe() if positionalShaped(sqlText) =>
       preRewrite(positionalPreRewrite(sqlText))
+    // ASOF JOIN must ALSO be caught before delegation, not only in the
+    // parse-failure chain: without an explicit left alias Spark PARSES
+    // `FROM l ASOF JOIN r ...` with `l` aliased "ASOF" — the ON form
+    // then dies confusingly on unresolved qualifiers, and the USING
+    // form resolves into a SILENT plain equi-join on all the USING
+    // columns (the worst failure mode — equal-instant rows only).
+    // Rewritable shapes splice the TVF; the rest raise the asof hint.
+    case _ if asofShaped(sqlText) =>
+      AsofJoinRewrite.rewrite(sqlText).getOrElse(
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            ("ASOF JOIN could not be rewritten: the common forms " +
+              "(FROM l ASOF [LEFT] JOIN r ON l.k = r.k AND l.ts >= " +
+              "r.ts — any of >=, >, <=, < in either conjunct order — " +
+              "or USING (k, ts), explicit select list or left-side " +
+              "star, single-part view names) run automatically, but " +
+              "this shape doesn't — and left unrewritten Spark would " +
+              "misparse ASOF as a table alias. Use the asof_join() " +
+              "table function directly: asof_join('left_view', " +
+              "'right_view', 'on_col', 'left_order', 'right_order', " +
+              "'payload_csv'[, strict[, inner[, forward]]])."))))
     // DuckDB temp-table DML (CREATE TEMP TABLE [AS], INSERT INTO a
     // registered temp table or INSERT ... RETURNING, DROP TABLE of a
     // temp table) — materialized-snapshot semantics via TempTables.

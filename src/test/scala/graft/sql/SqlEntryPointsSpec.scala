@@ -1454,6 +1454,25 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("ASOF JOIN USING (k, ord) runs, incl. the bare star") {
+    registerMarket()
+    // USING shorthand: all-but-last = equality keys, last = backward
+    // inclusive order. Merged output = left.* + payload, so SELECT *
+    // is faithful here (DuckDB 1.0 verified) — unlike the ON form.
+    spark.sql("SELECT sym, tt FROM sq_trades").createOrReplaceTempView("au_l")
+    spark.sql("SELECT sym, qt AS tt, px FROM sq_quotes")
+      .createOrReplaceTempView("au_r")
+    val out = spark.sql("SELECT * FROM au_l ASOF JOIN au_r USING (sym, tt)")
+    assert(out.columns.toSeq == Seq("sym", "tt", "px"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 20L, 110.0), (1L, 25L, 110.0), (2L, 99L, 50.0)),
+      s"got $rows")
+    // Explicit select list and ASOF LEFT both compose with USING.
+    val left = spark.sql(
+      "SELECT tt, px FROM au_l ASOF LEFT JOIN au_r USING (sym, tt)")
+    assert(left.count() == 5)
+  }
+
   test("POSITIONAL JOIN aligns row N to row N, NULL-padding the short side") {
     import spark.implicits._
     Seq("a", "b", "c").toDF("x").createOrReplaceTempView("pj_l")
