@@ -41,7 +41,20 @@ object AsOfJoin {
   def asofJoin(left: DataFrame, right: DataFrame, on: String,
       leftOrder: String, rightOrder: String, payload: Seq[String],
       strict: Boolean = false, inner: Boolean = true,
+      forward: Boolean = false): DataFrame =
+    asofJoinMulti(left, right, Seq(on), leftOrder, rightOrder, payload,
+      strict, inner, forward)
+
+  /** Composite-key as-of: equality on EVERY `on` column (the
+    * symbol+venue shape), same single-shuffle union+window plan — the
+    * window partitions by a struct of the key columns, so the shuffle
+    * count does not grow with the key arity.
+    */
+  def asofJoinMulti(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftOrder: String, rightOrder: String, payload: Seq[String],
+      strict: Boolean = false, inner: Boolean = true,
       forward: Boolean = false): DataFrame = {
+    require(on.nonEmpty, "asofJoin needs at least one key column")
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     require(payload.intersect(left.columns).isEmpty,
       s"payload columns ${payload.intersect(left.columns).mkString(",")} clash with left columns")
@@ -58,10 +71,15 @@ object AsOfJoin {
     val payStruct = struct(payload.map(col).toIndexedSeq: _*)
     val leftType = left.select(leftStruct.as("s")).schema("s").dataType
     val payType = right.select(payStruct.as("s")).schema("s").dataType
-    val l = left.select(col(on).as("__k"), col(leftOrder).as("__t"),
+    // Single key: the bare column (alias-aware partitioning reuse, see
+    // the output note below). Multi key: one struct of the key columns.
+    def keyOf(df: DataFrame): org.apache.spark.sql.Column =
+      if (on.size == 1) df(on.head)
+      else struct(on.map(df(_)).toIndexedSeq: _*)
+    val l = left.select(keyOf(left).as("__k"), col(leftOrder).as("__t"),
       lit(1).as("__kind"), leftStruct.as("__left"),
       lit(null).cast(payType).as("__pay"))
-    val r = right.select(col(on).as("__k"), col(rightOrder).as("__t"),
+    val r = right.select(keyOf(right).as("__k"), col(rightOrder).as("__t"),
       lit(rightKind).as("__kind"), lit(null).cast(leftType).as("__left"),
       payStruct.as("__pay"))
     val w0 = Window.partitionBy("__k").orderBy(col("__t"), col("__kind"))
@@ -81,8 +99,11 @@ object AsOfJoin {
     // reuse the window's hash exchange instead of shuffling again
     // (plan-asserted in QueryPlanSpec — the whole q29 pipeline runs on ONE
     // hash shuffle).
-    val outCols = left.columns.map(c =>
-      if (c == on) col("__k").as(on) else col(s"__left.$c")).toIndexedSeq
+    val outCols = left.columns.map { c =>
+      if (on.size == 1 && c == on.head) col("__k").as(c)
+      else if (on.size > 1 && on.contains(c)) col(s"__k.$c").as(c)
+      else col(s"__left.$c")
+    }.toIndexedSeq
     (if (inner) matched.filter(col("__asof").isNotNull) else matched)
       .select(outCols :+ col("__asof.*"): _*)
   }

@@ -191,11 +191,12 @@ object AsofJoinRewrite {
     val (condEqs, condIneqs, endPos) = usingWord match {
       case Some(uw) =>
         val after = sql.substring(uw._2 + "USING".length)
-        val m = """(?s)\A\s*\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)""".r
+        val m = """(?s)\A\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*\)""".r
           .findFirstMatchIn(after).getOrElse(return None)
+        val names = m.group(1).split(",").map(_.trim).toSeq
         bareStarOk = true
-        (Seq((lkey, m.group(1), "=", rkey, m.group(1))),
-          Seq((lkey, m.group(2), ">=", rkey, m.group(2))),
+        (names.init.map(k => (lkey, k, "=", rkey, k)),
+          Seq((lkey, names.last, ">=", rkey, names.last)),
           uw._2 + "USING".length + m.end)
       case None =>
         // ON condition runs to the next top-level clause or end.
@@ -204,7 +205,7 @@ object AsofJoinRewrite {
           .getOrElse(sql.length)
         val condText = sql.substring(onEnd, end).trim.stripSuffix(";").trim
         val parts = condText.split("(?i)\\bAND\\b")
-        if (parts.length != 2) return None
+        if (parts.length < 2) return None
         val parsed = parts.toSeq.map {
           case conjunctRe(q1, c1, op, q2, c2) => (q1, c1, op, q2, c2)
           case _ => return None
@@ -214,15 +215,20 @@ object AsofJoinRewrite {
     }
     val eqs = condEqs
     val ineqs = condIneqs
-    if (eqs.length != 1 || ineqs.length != 1) return None
+    // One order inequality; one OR MORE same-named key equalities (the
+    // composite symbol+venue shape — the TVF takes a key CSV).
+    if (eqs.isEmpty || ineqs.length != 1) return None
 
-    // Key equality: same column name on both sides (the TVF takes ONE
-    // `on` name), one qualifier per side in either order.
-    val (eq1, eqc1, _, eq2, eqc2) = eqs.head
-    val onCol =
+    // Key equalities: same column name on both sides per conjunct, one
+    // qualifier per side in either order; multiple keys join the TVF's
+    // key CSV.
+    val onCols = eqs.map { case (eq1, eqc1, _, eq2, eqc2) =>
       if (isL(eq1) && isR(eq2) && eqc1.equalsIgnoreCase(eqc2)) eqc1
       else if (isR(eq1) && isL(eq2) && eqc1.equalsIgnoreCase(eqc2)) eqc2
       else return None
+    }
+    if (onCols.map(_.toLowerCase).distinct.size != onCols.size) return None
+    val onCol = onCols.mkString(",")
 
     // Inequality direction: left's order on the >= side (or right's on
     // the <= side) is the BACKWARD as-of (most recent earlier right
@@ -256,10 +262,10 @@ object AsofJoinRewrite {
     val lcols = columnsOf(lname).getOrElse(return None)
     val rcols = columnsOf(rname).getOrElse(return None)
     def has(cs: Array[String], c: String) = cs.exists(_.equalsIgnoreCase(c))
-    if (!has(lcols, onCol) || !has(rcols, onCol) ||
+    if (onCols.exists(k => !has(lcols, k) || !has(rcols, k)) ||
       !has(lcols, leftOrder) || !has(rcols, rightOrder)) return None
     val payload = rcols.filterNot(c =>
-      c.equalsIgnoreCase(onCol) || c.equalsIgnoreCase(rightOrder))
+      onCols.exists(_.equalsIgnoreCase(c)) || c.equalsIgnoreCase(rightOrder))
     if (payload.isEmpty || payload.exists(p => has(lcols, p))) return None
 
     // Star resolution, now that the left side's catalog columns are in

@@ -1425,10 +1425,11 @@ object GraftSparkExtensions {
       val v = args.map(_.eval(null)).toIndexedSeq
       require(v.forall(_ != null), "asof_join arguments must be non-NULL constants")
       val spark = org.apache.spark.sql.SparkSession.active
-      val out = graft.operators.AsOfJoin.asofJoin(
+      val out = graft.operators.AsOfJoin.asofJoinMulti(
         left = spark.table(asString(v(0))),
         right = spark.table(asString(v(1))),
-        on = asString(v(2)),
+        // CSV for composite keys ('sym,venue'); single names unchanged.
+        on = asString(v(2)).split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq,
         leftOrder = asString(v(3)),
         rightOrder = asString(v(4)),
         payload = asString(v(5)).split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq,

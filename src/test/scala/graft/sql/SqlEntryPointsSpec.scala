@@ -1473,6 +1473,24 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(left.count() == 5)
   }
 
+  test("multi-key ASOF: USING (a, b, ts) and multi-equality ON") {
+    spark.sql("SELECT * FROM VALUES (1, 'x', 10), (1, 'y', 10), (2, 'x', 10) " +
+      "AS t(k, venue, ts)").createOrReplaceTempView("mk_l")
+    spark.sql("SELECT * FROM VALUES (1, 'x', 5, 'A'), (1, 'x', 9, 'B'), " +
+      "(1, 'y', 8, 'C'), (2, 'z', 1, 'D') AS t(k, venue, ts, tag)")
+      .createOrReplaceTempView("mk_r")
+    // USING with a composite key: equality on k AND venue, order on ts.
+    val u = spark.sql("SELECT * FROM mk_l ASOF JOIN mk_r USING (k, venue, ts)")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(3))).toSet
+    assert(u == Set((1, "x", "B"), (1, "y", "C")), s"got $u")
+    // The explicit multi-equality ON form maps the same way.
+    val o = spark.sql(
+      """SELECT l.k, l.venue, tag FROM mk_l l ASOF JOIN mk_r r
+         ON l.k = r.k AND l.venue = r.venue AND l.ts >= r.ts""")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(o == Set((1, "x", "B"), (1, "y", "C")), s"got $o")
+  }
+
   test("POSITIONAL JOIN aligns row N to row N, NULL-padding the short side") {
     import spark.implicits._
     Seq("a", "b", "c").toDF("x").createOrReplaceTempView("pj_l")
