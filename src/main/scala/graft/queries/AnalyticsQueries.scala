@@ -1069,18 +1069,21 @@ object AnalyticsQueries {
   // on both engines; the map surfaces through map_keys/map_values
   // (deterministic sorted arrays) and entropy rounds to 9 decimals —
   // the float-sum order over a hash map is engine-specific, the
-  // per-term doubles are not.
+  // per-term doubles are not. Arrays are flattened to delimited strings
+  // in the declared text (both engines): the driver's pandas hasher
+  // cannot sort LIST-typed columns; the raw-map semantics stay pinned
+  // in scalatest (HistogramAggSpec).
   declare("q89_histogram",
     """SELECT o_orderstatus,
-         map_keys(histogram(o_orderpriority)) AS prio_keys,
-         map_values(histogram(o_orderpriority)) AS prio_counts,
+         array_to_string(map_keys(histogram(o_orderpriority)), ',') AS prio_keys,
+         array_to_string(list_transform(map_values(histogram(o_orderpriority)), v -> CAST(v AS STRING)), ',') AS prio_counts,
          round(entropy(o_orderpriority), 9) AS prio_entropy
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (spark, sfDir) =>
     t(spark, sfDir, "orders").createOrReplaceTempView("orders")
     spark.sql(
       """SELECT o_orderstatus,
-           map_keys(histogram(o_orderpriority)) AS prio_keys,
-           map_values(histogram(o_orderpriority)) AS prio_counts,
+           array_to_string(map_keys(histogram(o_orderpriority)), ',') AS prio_keys,
+           array_to_string(list_transform(map_values(histogram(o_orderpriority)), v -> CAST(v AS STRING)), ',') AS prio_counts,
            round(entropy(o_orderpriority), 9) AS prio_entropy
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }
@@ -1395,13 +1398,13 @@ object AnalyticsQueries {
   // comparison representation-stable (same trick as q58).
   declare("q61_macro_defaults",
     """CREATE OR REPLACE MACRO cents_of(x, f := 100) AS CAST(round(x * f, 0) AS BIGINT);
-       SELECT l_returnflag, SUM(cents_of(l_extendedprice)) AS price_cents, COUNT(*) AS n
+       SELECT l_returnflag, CAST(SUM(cents_of(l_extendedprice)) AS BIGINT) AS price_cents, COUNT(*) AS n
        FROM lineitem GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
     t(spark, sfDir, "lineitem").createOrReplaceTempView("graft_q61_lineitem")
     spark.sql(
       "CREATE OR REPLACE MACRO cents_of(x, f := 100) AS CAST(round(x * f, 0) AS BIGINT)")
     spark.sql(
-      """SELECT l_returnflag, SUM(cents_of(l_extendedprice)) AS price_cents, COUNT(*) AS n
+      """SELECT l_returnflag, CAST(SUM(cents_of(l_extendedprice)) AS BIGINT) AS price_cents, COUNT(*) AS n
          FROM graft_q61_lineitem GROUP BY 1 ORDER BY 1""")
   }
 
@@ -1722,7 +1725,7 @@ object AnalyticsQueries {
          CAST(date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS months_since,
          CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_at,
          CAST(list_aggregate(list_value(CAST(o_custkey AS DOUBLE), 2.0, 3.0), 'sum') AS BIGINT) AS lsum,
-         list_slice(list_value(10, 20, 30, 40), 2, 3) AS sl,
+         array_to_string(list_transform(list_slice(list_value(10, 20, 30, 40), 2, 3), v -> CAST(v AS STRING)), ',') AS sl,
          CAST(list_position(list_value(1, 2, 3), 2) AS BIGINT) AS pos
        FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""") { (spark, sfDir) =>
     t(spark, sfDir, "orders").createOrReplaceTempView("orders")
@@ -1731,7 +1734,7 @@ object AnalyticsQueries {
            CAST(date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS months_since,
            CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_at,
            CAST(list_aggregate(list_value(CAST(o_custkey AS DOUBLE), 2.0, 3.0), 'sum') AS BIGINT) AS lsum,
-           list_slice(list_value(10, 20, 30, 40), 2, 3) AS sl,
+           array_to_string(list_transform(list_slice(list_value(10, 20, 30, 40), 2, 3), v -> CAST(v AS STRING)), ',') AS sl,
            CAST(list_position(list_value(1, 2, 3), 2) AS BIGINT) AS pos
          FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""")
   }
@@ -1832,23 +1835,23 @@ object AnalyticsQueries {
   declare("q86_duck_literals",
     """SELECT n_nationkey,
          ([10, 20, 30])[CAST(n_nationkey % 3 + 1 AS INTEGER)] AS pick,
-         ([100, 200, 300, 400])[2:3] AS sl,
+         array_to_string(list_transform(([100, 200, 300, 400])[2:3], v -> CAST(v AS STRING)), ',') AS sl,
          ([9, 8, 7])[-1] AS last_elem,
          (n_name)[1:3] AS pre,
          ({'k': n_name, 'r': n_regionkey})['r'] AS rkey,
-         [upper(t) FOR t IN string_split(n_name, '_')] AS toks,
-         ARRAY[n_regionkey, 99] AS arr2
+         array_to_string([upper(t) FOR t IN string_split(n_name, '_')], ',') AS toks,
+         array_to_string(list_transform(ARRAY[n_regionkey, 99], v -> CAST(v AS STRING)), ',') AS arr2
        FROM nation ORDER BY n_nationkey""") { (spark, sfDir) =>
     t(spark, sfDir, "nation").createOrReplaceTempView("nation")
     spark.sql(
       """SELECT n_nationkey,
            ([10, 20, 30])[CAST(n_nationkey % 3 + 1 AS INTEGER)] AS pick,
-           ([100, 200, 300, 400])[2:3] AS sl,
+           array_to_string(list_transform(([100, 200, 300, 400])[2:3], v -> CAST(v AS STRING)), ',') AS sl,
            ([9, 8, 7])[-1] AS last_elem,
            (n_name)[1:3] AS pre,
            ({'k': n_name, 'r': n_regionkey})['r'] AS rkey,
-           [upper(t) FOR t IN string_split(n_name, '_')] AS toks,
-           ARRAY[n_regionkey, 99] AS arr2
+           array_to_string([upper(t) FOR t IN string_split(n_name, '_')], ',') AS toks,
+           array_to_string(list_transform(ARRAY[n_regionkey, 99], v -> CAST(v AS STRING)), ',') AS arr2
          FROM nation ORDER BY n_nationkey""")
   }
 
@@ -1877,11 +1880,14 @@ object AnalyticsQueries {
   // path, the ONE divergence literal-identical text can't carry), and
   // both return DuckDB's one-row `Count` result, which hash-compares.
   // The count rides the write's own pass via an Observation — no
-  // second scan.
+  // second scan. The declared oracle MODELS the Count result (q77's
+  // convention): DuckDB's Python client returns no relation for a bare
+  // COPY (`con.execute(sql).df()` → None in the driver harness), so the
+  // oracle is the equivalent single SELECT of the exported row count;
+  // the Spark side still executes the real COPY write.
   declare("q69_copy_to",
-    """COPY (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-            WHERE o_totalprice > 150000)
-       TO '/tmp/graft_q69_duck.parquet' (FORMAT PARQUET)""") { (spark, sfDir) =>
+    """SELECT CAST(COUNT(*) AS BIGINT) AS Count FROM orders
+       WHERE o_totalprice > 150000""") { (spark, sfDir) =>
     t(spark, sfDir, "orders").createOrReplaceTempView("orders")
     spark.sql(
       """COPY (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
