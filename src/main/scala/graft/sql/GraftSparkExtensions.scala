@@ -668,6 +668,18 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       }
     case positionalRe() if positionalShaped(sqlText) =>
       preRewrite(positionalPreRewrite(sqlText))
+    // DuckDB temp-table DML (CREATE TEMP TABLE [AS], INSERT INTO a
+    // registered temp table or INSERT ... RETURNING, DROP TABLE of a
+    // temp table) — materialized-snapshot semantics via TempTables.
+    // Evaluated ONCE via the extractor: DROP performs its registry
+    // side effect inside rewrite, so a guard-then-get double call
+    // would drop on the first evaluation and None.get on the second.
+    // MUST run before the ASOF arm: `CREATE TEMP TABLE t AS SELECT ...
+    // ASOF JOIN ...` is temp-table shaped first — the body re-enters
+    // preRewrite when the TVF executes it, so the ASOF inside is still
+    // rewritten; matched the other way round the asof splice would
+    // produce text TempTableRewrite can no longer claim.
+    case TempTableRewritten(r) => r
     // ASOF JOIN must ALSO be caught before delegation, not only in the
     // parse-failure chain: without an explicit left alias Spark PARSES
     // `FROM l ASOF JOIN r ...` with `l` aliased "ASOF" — the ON form
@@ -675,8 +687,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     // form resolves into a SILENT plain equi-join on all the USING
     // columns (the worst failure mode — equal-instant rows only).
     // Rewritable shapes splice the TVF; the rest raise the asof hint.
+    // The result re-enters preRewrite (like POSITIONAL) so a prefix
+    // another arm claims is still honored.
     case _ if asofShaped(sqlText) =>
-      AsofJoinRewrite.rewrite(sqlText).getOrElse(
+      AsofJoinRewrite.rewrite(sqlText).map(preRewrite).getOrElse(
         throw new org.apache.spark.sql.AnalysisException(
           "USER_RAISED_EXCEPTION",
           Map("errorMessage" ->
@@ -690,13 +704,6 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               "table function directly: asof_join('left_view', " +
               "'right_view', 'on_col', 'left_order', 'right_order', " +
               "'payload_csv'[, strict[, inner[, forward]]])."))))
-    // DuckDB temp-table DML (CREATE TEMP TABLE [AS], INSERT INTO a
-    // registered temp table or INSERT ... RETURNING, DROP TABLE of a
-    // temp table) — materialized-snapshot semantics via TempTables.
-    // Evaluated ONCE via the extractor: DROP performs its registry
-    // side effect inside rewrite, so a guard-then-get double call
-    // would drop on the first evaluation and None.get on the second.
-    case TempTableRewritten(r) => r
     case _ if UpdateDeleteRewrite.isShaped(sqlText) =>
       // UPDATE/DELETE parse natively but fail analysis on every v1
       // table ("does not support row-level operations") — rewrite the
@@ -2225,25 +2232,42 @@ object GraftSparkExtensions {
       val table = asString(v(0))
       val whereText = asString(v(1)).trim
       val base = spark.table(table)
+      // A WHERE with an IN/EXISTS subquery is legal in DELETE's Filter,
+      // but NOT inside the Observation's counting CASE (CollectMetrics
+      // rejects predicate subqueries) — for that shape, count as
+      // before-minus-after instead of riding the mutation pass.
+      val hasSubquery = whereText.nonEmpty &&
+        "(?is)\\b(?:IN|EXISTS)\\s*\\(\\s*SELECT\\b".r
+          .findFirstIn(whereText).isDefined
       val obs = org.apache.spark.sql.Observation()
       val matched =
         if (whereText.isEmpty) count(lit(1)).as("n")
         else sum(when(expr(whereText), 1L).otherwise(0L)).as("n")
       // DELETE removes rows where the predicate is TRUE; NULL keeps.
-      val kept = base.observe(obs, matched).filter(
+      val keepPred =
         if (whereText.isEmpty) lit(false)
-        else !coalesce(expr(whereText), lit(false)))
-      if (TempTables.exists(table)) TempTables.put(table, kept)
-      else {
+        else !coalesce(expr(whereText), lit(false))
+      val kept =
+        if (hasSubquery) base.filter(keepPred)
+        else base.observe(obs, matched).filter(keepPred)
+      val nBefore = if (hasSubquery) base.count() else 0L
+      var nKept = 0L
+      if (TempTables.exists(table)) {
+        TempTables.put(table, kept)
+        if (hasSubquery) nKept = spark.table(table).count()
+      } else {
         val (staged, stageDir) = graft.operators.Scratch.materialize(kept, "delete_stage")
+        if (hasSubquery) nKept = staged.count() // parquet metadata count
         staged.write.mode("overwrite").insertInto(table)
         graft.operators.Scratch.delete(spark, stageDir)
       }
-      val n = obs.get("n") match {
-        case null => 0L
-        case l: java.lang.Number => l.longValue()
-        case x => x.toString.toLong
-      }
+      val n =
+        if (hasSubquery) nBefore - nKept
+        else obs.get("n") match {
+          case null => 0L
+          case l: java.lang.Number => l.longValue()
+          case x => x.toString.toLong
+        }
       LocalRelation.fromExternalRows(
         DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
         Seq(org.apache.spark.sql.Row(n)))
@@ -2374,6 +2398,41 @@ object GraftSparkExtensions {
     * (documented divergence; queries resolve the names identically).
     * Both parse-fail in Spark and ride the hint chain.
     */
+  /** Spark → DuckDB type spelling for the exported schema.sql manifest.
+    * Spark's own `DataType.sql` emits ARRAY<INT> / STRUCT<a: INT> /
+    * STRING, none of which DuckDB's parser accepts — the manifest's
+    * "DuckDB-runnable" contract needs DuckDB's INT[] / STRUCT("a" INT) /
+    * MAP(K, V) / VARCHAR spellings. Spark TIMESTAMP (session-TZ,
+    * UTC-adjusted in parquet) maps to TIMESTAMPTZ; TIMESTAMP_NTZ to
+    * DuckDB's plain TIMESTAMP.
+    */
+  private def duckTypeOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "VARCHAR"
+      case _: VarcharType | _: CharType => "VARCHAR"
+      case BooleanType => "BOOLEAN"
+      case ByteType => "TINYINT"
+      case ShortType => "SMALLINT"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case FloatType => "FLOAT"
+      case DoubleType => "DOUBLE"
+      case d: DecimalType => s"DECIMAL(${d.precision}, ${d.scale})"
+      case DateType => "DATE"
+      case TimestampType => "TIMESTAMPTZ"
+      case TimestampNTZType => "TIMESTAMP"
+      case BinaryType => "BLOB"
+      case ArrayType(et, _) => s"${duckTypeOf(et)}[]"
+      case MapType(k, v, _) => s"MAP(${duckTypeOf(k)}, ${duckTypeOf(v)})"
+      case s: StructType =>
+        s.fields.map(f => s""""${f.name}" ${duckTypeOf(f.dataType)}""")
+          .mkString("STRUCT(", ", ", ")")
+      case _: DayTimeIntervalType | _: YearMonthIntervalType => "INTERVAL"
+      case other => other.sql // NullType etc. — no DuckDB spelling; leave loud
+    }
+  }
+
   val exportDatabaseFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("export_database"), info("export_database"), (args: Seq[Expression]) => {
       require(args.size == 1 && args.forall(_.foldable),
@@ -2393,7 +2452,7 @@ object GraftSparkExtensions {
         val df = spark.table(name)
         df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
         val cols = df.schema.fields.map(f =>
-          s"${f.name} ${f.dataType.sql}").mkString(", ")
+          s""""${f.name}" ${duckTypeOf(f.dataType)}""").mkString(", ")
         schemaSql.append(s"CREATE TABLE $name ($cols);\n")
         loadSql.append(
           s"COPY $name FROM '$dir/$name.parquet/*.parquet' (FORMAT 'parquet');\n")

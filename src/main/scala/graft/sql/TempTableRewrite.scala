@@ -46,8 +46,12 @@ object TempTableRewrite {
     """(?is)\A\s*CREATE\s+(OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+([A-Za-z_]\w*)\s+AS\s+(.+?)\s*;?\s*\z""".r
   private val createColsRe =
     """(?is)\A\s*CREATE\s+(OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+([A-Za-z_]\w*)\s*\((.+)\)\s*;?\s*\z""".r
+  // `\s*` between name and body: the common column-list spelling
+  // `INSERT INTO t(a, b) VALUES ...` has no whitespace before `(` —
+  // the greedy `\w*` still captures the full table name, so the body
+  // can only ever begin at a non-word char.
   private val insertRe =
-    """(?is)\A\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(.+?)\s*;?\s*\z""".r
+    """(?is)\A\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*(.+?)\s*;?\s*\z""".r
   private val dropRe =
     """(?is)\A\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*\z""".r
 

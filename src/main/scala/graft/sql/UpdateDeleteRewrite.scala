@@ -35,6 +35,17 @@ object UpdateDeleteRewrite {
   def isShaped(sql: String): Boolean =
     updateRe.findFirstIn(sql).isDefined || deleteRe.findFirstIn(sql).isDefined
 
+  /** File-source providers whose tables FAIL Spark's native row-level
+    * path — the ones this rewrite may claim. A DSv2 format that
+    * genuinely supports row-level operations (delta, iceberg, ...) is
+    * registered in the same session catalog, so a bare tableExists
+    * check would hijack its UPDATE/DELETE into the full-table staged
+    * overwrite and lose native transactional semantics — the provider
+    * must be inspected, not just existence.
+    */
+  private val v1FileProviders =
+    Set("parquet", "csv", "json", "orc", "text", "avro", "hive")
+
   private def isPlainV1Table(name: String): Boolean =
     try {
       // Graft temp tables (materialized snapshots fronted by a temp
@@ -44,7 +55,12 @@ object UpdateDeleteRewrite {
       val spark = org.apache.spark.sql.SparkSession.active
       val cat = spark.sessionState.catalog
       val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
-      cat.getTempView(name).isEmpty && cat.tableExists(ident)
+      cat.getTempView(name).isEmpty && cat.tableExists(ident) && {
+        val meta = cat.getTableMetadata(ident)
+        // provider None = legacy hive serde table — also no native
+        // row-level support; claim it alongside the v1 file sources.
+        meta.provider.map(_.toLowerCase).forall(v1FileProviders.contains)
+      }
     } catch { case NonFatal(_) => false }
 
   // Backslashes double too: the spliced text becomes a '...' SQL
@@ -79,6 +95,27 @@ object UpdateDeleteRewrite {
             .map(w => stripSemi(sql.substring(w._2 + "WHERE".length)))
             .getOrElse("")
           if (setText.isEmpty) return None
+          // update_table compiles the predicate inside a Project
+          // (when(expr(where), ...)), where Spark forbids IN/EXISTS
+          // subqueries ("only allowed in Filter") — the raw error
+          // surfaces from deep inside the TVF. Decline loudly with the
+          // workable rewrite instead. (DELETE is unaffected: its
+          // predicate compiles to a real Filter, where subqueries ARE
+          // legal.)
+          if ("(?is)\\b(?:IN|EXISTS)\\s*\\(\\s*SELECT\\b".r
+            .findFirstIn(whereText).isDefined)
+            throw new org.apache.spark.sql.AnalysisException(
+              "USER_RAISED_EXCEPTION",
+              Map("errorMessage" ->
+                ("UPDATE ... WHERE with an IN/EXISTS subquery cannot run " +
+                  "through the staged-overwrite rewrite (Spark only allows " +
+                  "such subqueries in a Filter, and the conditional SET " +
+                  "compiles to a projection). Materialize the key set " +
+                  "first (CREATE TEMP TABLE keys AS SELECT ...) and " +
+                  "UPDATE ... WHERE k IN (SELECT k FROM keys) becomes a " +
+                  "join-free predicate, or express the mutation as " +
+                  "CREATE OR REPLACE TEMP TABLE t AS SELECT with a " +
+                  "CASE over a LEFT SEMI-joined flag.")))
           Some(s"SELECT * FROM update_table('${esc(tbl)}', " +
             s"'${esc(setText)}', '${esc(whereText)}')")
         case "DELETE" =>
@@ -94,5 +131,10 @@ object UpdateDeleteRewrite {
           Some(s"SELECT * FROM delete_from('${esc(tbl)}', '${esc(whereText)}')")
         case _ => None
       }
-    } catch { case NonFatal(_) => None }
+    } catch {
+      // Deliberate hints (the IN/EXISTS decline above) must surface;
+      // anything else falls back to Spark's native path.
+      case e: org.apache.spark.sql.AnalysisException => throw e
+      case NonFatal(_) => None
+    }
 }

@@ -1704,4 +1704,63 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       s"SELECT * FROM generate_series(${Long.MaxValue - 1}, ${Long.MaxValue})"))
     assert(exO.getMessage.contains("not representable"), s"got: ${exO.getMessage}")
   }
+
+  test("round-15 advice fixes: temp+ASOF composition, no-space INSERT, " +
+    "UPDATE subquery decline, DuckDB-spelled export manifest") {
+    registerMarket()
+    spark.sql("SELECT sym, tt FROM sq_trades").createOrReplaceTempView("a15_l")
+    spark.sql("SELECT sym, qt AS tt, px FROM sq_quotes")
+      .createOrReplaceTempView("a15_r")
+    // 1) CREATE TEMP TABLE ... AS SELECT ... ASOF JOIN: the temp-table
+    //    arm claims the statement first and the ASOF in the body is
+    //    rewritten when the TVF executes it (r14 ordering broke this).
+    spark.sql("DROP TABLE IF EXISTS a15_t")
+    spark.sql(
+      """CREATE TEMP TABLE a15_t AS
+        |SELECT sym, tt, px FROM a15_l ASOF JOIN a15_r USING (sym, tt)""".stripMargin)
+    val direct = spark.sql(
+      "SELECT sym, tt, px FROM a15_l ASOF JOIN a15_r USING (sym, tt)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mat = spark.table("a15_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mat == direct && mat.nonEmpty, s"materialized $mat vs direct $direct")
+    // ... and INSERT INTO <temp> SELECT ... ASOF JOIN composes too.
+    val before = mat.size
+    spark.sql(
+      "INSERT INTO a15_t SELECT sym, tt, px FROM a15_l ASOF JOIN a15_r USING (sym, tt)")
+    assert(spark.table("a15_t").count() == before * 2L)
+    // 2) Column-list INSERT with no space before '(' is claimed, not
+    //    dropped to Spark's 'inserting into a view' error.
+    spark.sql("DROP TABLE IF EXISTS a15_c")
+    spark.sql("CREATE TEMP TABLE a15_c (id INT, s STRING)")
+    spark.sql("INSERT INTO a15_c(id) VALUES (99)")
+    assert(spark.sql("SELECT s FROM a15_c WHERE id = 99").head().isNullAt(0))
+    // 3) UPDATE ... WHERE IN (SELECT ...) declines with the staged
+    //    guidance (the projection cannot host the subquery) — DELETE's
+    //    real Filter still executes it.
+    val ex = intercept[Exception](spark.sql(
+      "UPDATE a15_c SET s = 'x' WHERE id IN (SELECT 99)"))
+    assert(ex.getMessage.contains("IN/EXISTS subquery"), s"got: ${ex.getMessage}")
+    val d = spark.sql("DELETE FROM a15_c WHERE id IN (SELECT 99)").head().getLong(0)
+    assert(d == 1L)
+    // 4) EXPORT DATABASE schema.sql uses DuckDB type spellings for
+    //    nested types (INT[]/STRUCT(...)), not Spark's ARRAY<...>.
+    spark.sql("DROP TABLE IF EXISTS a15_n")
+    spark.sql(
+      """CREATE TEMP TABLE a15_n AS SELECT array(1, 2) AS xs,
+        |named_struct('a', 1, 'b', 'z') AS st, map('k', 1) AS m,
+        |'s' AS v, TIMESTAMP '2024-01-01 00:00:00' AS ts""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("graft_a15").toString
+    spark.sql(s"EXPORT DATABASE '$dir/snap' (FORMAT PARQUET)")
+    val schema = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/snap/schema.sql")))
+    val line = schema.linesIterator.find(_.contains("a15_n")).getOrElse(
+      fail(s"no a15_n line in: $schema"))
+    assert(line.contains("INTEGER[]") && line.contains("STRUCT(") &&
+      line.contains("MAP(VARCHAR, INTEGER)") && line.contains("VARCHAR") &&
+      line.contains("TIMESTAMPTZ") && !line.toUpperCase.contains("ARRAY<"),
+      s"got: $line")
+    Seq("a15_t", "a15_c", "a15_n").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
