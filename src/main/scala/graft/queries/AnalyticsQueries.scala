@@ -1235,6 +1235,31 @@ object AnalyticsQueries {
          FROM lineitem GROUP BY 1 ORDER BY 1""")
   }
 
+  // SIMILAR TO parity (round 15): DuckDB's [NOT] SIMILAR TO is
+  // regexp_full_match — the engine rewrites the literal-pattern form
+  // onto a fully-anchored RLIKE in the hint parser's failure chain
+  // (similarToRewrite; the statement can never parse natively, so no
+  // native statement is claimed). IDENTICAL text on both engines,
+  // including a backslash class (\d) to pin the literal-splice
+  // doubling: DuckDB does no escape processing in '...' while Spark
+  // strips one level on the re-parse.
+  declare("q98_similar_to",
+    """SELECT n_nationkey, n_name,
+         n_name SIMILAR TO '[A-Z_0-9]{8}' AS m_cls,
+         n_name NOT SIMILAR TO '.*[02468]' AS m_not,
+         n_name SIMILAR TO '(NATION|STATE)_1?\d' AS m_alt,
+         CAST(n_nationkey AS STRING) SIMILAR TO '\d' AS m_digit
+       FROM nation ORDER BY n_nationkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT n_nationkey, n_name,
+           n_name SIMILAR TO '[A-Z_0-9]{8}' AS m_cls,
+           n_name NOT SIMILAR TO '.*[02468]' AS m_not,
+           n_name SIMILAR TO '(NATION|STATE)_1?\d' AS m_alt,
+           CAST(n_nationkey AS STRING) SIMILAR TO '\d' AS m_digit
+         FROM nation ORDER BY n_nationkey""")
+  }
+
   // QUALIFY parity: the literal DuckDB/Teradata QUALIFY statement (window
   // filter without a subquery) EXECUTING on Spark — the hint parser
   // catches the ParseException and splices the predicate into the select

@@ -227,6 +227,102 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val insertOrRe =
     "(?is)\\A\\s*INSERT\\s+(?:OR\\s+(?:REPLACE|IGNORE)\\b|INTO\\b.*\\bON\\s+CONFLICT\\b).*".r
   private val similarToRe = "(?is).*\\bSIMILAR\\s+TO\\b.*".r
+
+  /** Copy of the text with string/identifier literals and comments
+    * blanked to spaces (same length) — regex scans over the mask see
+    * only real operator positions.
+    */
+  private def maskLiterals(text: String): String = {
+    val m = text.toCharArray
+    var i = 0
+    val n = text.length
+    def blank(): Unit = { m(i) = ' '; i += 1 }
+    while (i < n) {
+      text.charAt(i) match {
+        case '\'' =>
+          blank()
+          var done = false
+          while (i < n && !done) {
+            if (text.charAt(i) == '\'') {
+              if (i + 1 < n && text.charAt(i + 1) == '\'') { blank(); blank() }
+              else { blank(); done = true }
+            } else blank()
+          }
+        case q @ ('"' | '`') =>
+          blank()
+          while (i < n && text.charAt(i) != q) blank()
+          if (i < n) blank()
+        case '-' if i + 1 < n && text.charAt(i + 1) == '-' =>
+          while (i < n && text.charAt(i) != '\n') blank()
+        case '/' if i + 1 < n && text.charAt(i + 1) == '*' =>
+          blank(); blank()
+          while (i + 1 < n && !(text.charAt(i) == '*' && text.charAt(i + 1) == '/')) blank()
+          if (i + 1 < n) { blank(); blank() }
+        case _ => i += 1
+      }
+    }
+    new String(m)
+  }
+
+  /** `expr [NOT] SIMILAR TO '<regex>'` → `expr [NOT] RLIKE
+    * '\A(?:<regex>)\z'` — DuckDB's SIMILAR TO is regexp_full_match
+    * (its own docs), and the full-match anchors carry that onto
+    * Spark's find-semantics RLIKE. The pattern literal is spliced
+    * verbatim (same literal context, same escape processing), so the
+    * rewrite is sound exactly on the RE2∩java.util.regex dialect the
+    * engine already assumes elsewhere (text_redact_pii); the two
+    * RE2-only spellings java.regex lacks decline LOUDLY. Non-literal
+    * patterns (columns, concat) decline to the hint.
+    */
+  private def similarToRewrite(text: String): Option[String] = {
+    val masked = maskLiterals(text)
+    val op = "(?i)\\b(NOT\\s+)?SIMILAR\\s+TO\\b".r
+    val ms = op.findAllMatchIn(masked).toList
+    if (ms.isEmpty) return None
+    val out = new StringBuilder
+    var pos = 0
+    ms.foreach { m =>
+      out.append(text.substring(pos, m.start))
+      // The pattern literal must follow across whitespace only.
+      var j = m.end
+      while (j < text.length && text.charAt(j).isWhitespace) j += 1
+      if (j >= text.length || text.charAt(j) != '\'') return None
+      val lit = new StringBuilder
+      var k = j + 1
+      var closed = false
+      while (k < text.length && !closed) {
+        if (text.charAt(k) == '\'') {
+          if (k + 1 < text.length && text.charAt(k + 1) == '\'') {
+            lit.append("''"); k += 2
+          } else { closed = true; k += 1 }
+        } else { lit.append(text.charAt(k)); k += 1 }
+      }
+      if (!closed) return None
+      val pat = lit.toString
+      Seq("[[:" -> "POSIX class [[:...:]]", "(?P<" -> "named group (?P<...>)")
+        .foreach { case (needle, what) =>
+          if (pat.contains(needle))
+            throw new org.apache.spark.sql.AnalysisException(
+              "USER_RAISED_EXCEPTION",
+              Map("errorMessage" ->
+                (s"SIMILAR TO pattern uses $what, an RE2-only spelling " +
+                  "this engine's regex dialect (java.util.regex) lacks — " +
+                  "rewrite it with the shared spelling " +
+                  "(\\p{Alpha} classes / (?<name>...) groups).")))
+        }
+      val not = m.group(1) != null
+      // Backslashes double throughout — the rewritten text re-parses as
+      // a Spark '...' literal whose unescape strips one level, while
+      // DuckDB (the semantics being matched) does no escape processing
+      // in standard string literals. Applies to the user's pattern AND
+      // the added \A/\z anchors.
+      out.append(if (not) "NOT RLIKE" else "RLIKE")
+        .append(" '\\\\A(?:").append(pat.replace("\\", "\\\\")).append(")\\\\z'")
+      pos = k
+    }
+    out.append(text.substring(pos))
+    Some(out.toString)
+  }
   private val powOpRe = "(?s).*\\*\\*.*".r
   private val attachRe = "(?is)\\A\\s*(?:ATTACH|DETACH)\\b.*".r
   private val createSeqRe =
@@ -324,6 +420,11 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             // -7//2=-3, pinned). Only ever seen on parse failure, so a
             // native statement can't be claimed; quote/comment-aware.
             () => intDivRewrite(text),
+            // [NOT] SIMILAR TO '<re>' → [NOT] RLIKE with full-match
+            // anchors (DuckDB's SIMILAR TO = regexp_full_match). Only
+            // ever seen on parse failure; literal-pattern forms only.
+            () => text match { case similarToRe() =>
+              similarToRewrite(text); case _ => None },
             () => text match { case columnsRe() =>
               ColumnsRewrite.rewrite(text); case _ => None },
             () => text match { case fromFirstRe() =>
@@ -558,11 +659,13 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "(OR IGNORE), or stage the merged state and INSERT " +
                   "OVERWRITE (OR REPLACE).")
               case similarToRe() =>
-                Some("SIMILAR TO has no Spark counterpart. DuckDB's " +
-                  "form is a fully-anchored regex match: write " +
-                  "expr RLIKE '^(?:pattern)$' (or regexp_full_match " +
-                  "semantics via rlike with anchors); NOT SIMILAR TO " +
-                  "negates it.")
+                Some("If you meant DuckDB's [NOT] SIMILAR TO: the " +
+                  "literal-pattern form (expr SIMILAR TO '<regex>') " +
+                  "runs automatically as a fully-anchored RLIKE, but " +
+                  "this statement wasn't that shape — non-literal " +
+                  "patterns (columns, concat) and ESCAPE clauses " +
+                  "decline. Write expr RLIKE '^(?:pattern)$' directly, " +
+                  "or regexp_full_match(expr, 'pattern').")
               case powOpRe() =>
                 Some("The ** power operator has no Spark spelling (and " +
                   "beware ^ is XOR here, not power). Use power(a, b) / " +
@@ -887,6 +990,12 @@ object GraftSparkExtensions {
         StringSplit(a(0), a(1), Literal(-1))),
       aliasFn("len", (1, 1))(a => graft.functions.Len(a(0))),
       aliasFn("regexp_matches", (2, 2))(a => RLike(a(0), a(1))),
+      // Full-string match (what DuckDB's SIMILAR TO desugars to):
+      // anchor the pattern and reuse find-semantics RLike. The Literal
+      // values hold runtime \A/\z — no SQL-literal escaping at the
+      // expression layer.
+      aliasFn("regexp_full_match", (2, 2))(a =>
+        RLike(a(0), Concat(Seq(Literal("\\A(?:"), a(1), Literal(")\\z"))))),
       // DuckDB epoch family: epoch() is DOUBLE seconds WITH fraction —
       // exactly Spark's timestamp→double cast; the _ms/_us forms are
       // unix_millis/unix_micros. Inputs route through a timestamp cast

@@ -1705,6 +1705,40 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(exO.getMessage.contains("not representable"), s"got: ${exO.getMessage}")
   }
 
+  test("SIMILAR TO executes as anchored full-match; edge shapes decline") {
+    import spark.implicits._
+    Seq("abc", "abcd", "ABC", "a1c", "x\nabc").toDF("s")
+      .createOrReplaceTempView("st_t")
+    // Full match, not find: 'b' alone matches nothing; multiline input
+    // doesn't sneak past the anchors (\A/\z, not ^/$).
+    def names(q: String) = spark.sql(q).collect().map(_.getString(0)).toSet
+    assert(names("SELECT s FROM st_t WHERE s SIMILAR TO 'b'") == Set.empty[String])
+    assert(names("SELECT s FROM st_t WHERE s SIMILAR TO 'a.c'") == Set("abc", "a1c"))
+    assert(names("SELECT s FROM st_t WHERE s SIMILAR TO '.*abc'") == Set("abc"),
+      "trailing-newline row must NOT full-match without DOTALL")
+    assert(names("SELECT s FROM st_t WHERE s NOT SIMILAR TO 'a\\w*'") ==
+      Set("ABC", "a1c", "x\nabc") -- Set("a1c"),
+      "backslash class survives the literal splice") // a1c: \w matches digits
+    // In the select list, CASE, and after other rewrites compose.
+    val m = spark.sql(
+      "SELECT s SIMILAR TO 'ab.*' AS m FROM st_t ORDER BY s").collect().map(_.getBoolean(0))
+    assert(m.count(identity) == 2)
+    // Non-literal pattern → hint, not a silent misparse.
+    val ex1 = intercept[Exception](spark.sql(
+      "SELECT s FROM st_t WHERE s SIMILAR TO upper(s)"))
+    assert(ex1.getMessage.contains("SIMILAR TO"), s"got: ${ex1.getMessage}")
+    // RE2-only spellings decline LOUDLY, naming the feature.
+    val ex2 = intercept[Exception](spark.sql(
+      "SELECT s FROM st_t WHERE s SIMILAR TO '[[:alpha:]]+'"))
+    assert(ex2.getMessage.contains("RE2-only"), s"got: ${ex2.getMessage}")
+    // regexp_full_match is the function spelling of the same semantics.
+    assert(names("SELECT s FROM st_t WHERE regexp_full_match(s, 'a.c')") ==
+      Set("abc", "a1c"))
+    // A string LITERAL containing the words is untouched.
+    assert(spark.sql("SELECT 'x SIMILAR TO y' AS v").head().getString(0) ==
+      "x SIMILAR TO y")
+  }
+
   test("round-15 advice fixes: temp+ASOF composition, no-space INSERT, " +
     "UPDATE subquery decline, DuckDB-spelled export manifest") {
     registerMarket()
