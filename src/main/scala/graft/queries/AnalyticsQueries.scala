@@ -1164,6 +1164,32 @@ object AnalyticsQueries {
          FROM graft_q93 GROUP BY 1, 2 ORDER BY 1, 2""")
   }
 
+  // Keyed-ingest parity (round 15): INSERT OR REPLACE / OR IGNORE /
+  // ON CONFLICT (cols) DO NOTHING against a temp table with a declared
+  // PRIMARY KEY — the idempotent-upsert backbone of ingestion scripts.
+  // IDENTICAL statement script on both engines: DuckDB enforces the PK
+  // through its ART index; the engine resolves the same conflicts via
+  // a keyed anti-join + union over the snapshot (temp_upsert), with
+  // DuckDB-pinned Counts (REPLACE = input rows, IGNORE = actually
+  // inserted) and the duplicate-key-within-increment constraint error.
+  declare("q99_insert_or_replace",
+    """CREATE OR REPLACE TEMP TABLE graft_q99 (k INTEGER PRIMARY KEY, v VARCHAR, n BIGINT);
+       INSERT INTO graft_q99 VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30);
+       INSERT OR REPLACE INTO graft_q99 VALUES (2, 'B', 200), (4, 'd', 40);
+       INSERT OR IGNORE INTO graft_q99 VALUES (4, 'X', 999), (5, 'e', 50);
+       INSERT INTO graft_q99 VALUES (5, 'Y', 999), (6, 'f', 60) ON CONFLICT (k) DO NOTHING;
+       SELECT k, v, n FROM graft_q99 ORDER BY k""") { (spark, sfDir) =>
+    spark.sql("DROP TABLE IF EXISTS graft_q99")
+    Seq(
+      "CREATE OR REPLACE TEMP TABLE graft_q99 (k INTEGER PRIMARY KEY, v VARCHAR, n BIGINT)",
+      "INSERT INTO graft_q99 VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)",
+      "INSERT OR REPLACE INTO graft_q99 VALUES (2, 'B', 200), (4, 'd', 40)",
+      "INSERT OR IGNORE INTO graft_q99 VALUES (4, 'X', 999), (5, 'e', 50)",
+      "INSERT INTO graft_q99 VALUES (5, 'Y', 999), (6, 'f', 60) ON CONFLICT (k) DO NOTHING"
+    ).foreach(s => spark.sql(s).collect())
+    spark.sql("SELECT k, v, n FROM graft_q99 ORDER BY k")
+  }
+
   // DuckDB JSON-name parity (round 14): json_extract_string (DuckDB's
   // ->> — unquoted text) under DuckDB's '$.path' dialect over the
   // events props JSON column, via Spark's codegen'd get_json_object.

@@ -651,13 +651,17 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "function in an enclosing query instead: SELECT * FROM (SELECT " +
                   "..., ROW_NUMBER() OVER (...) AS rn FROM t) WHERE rn <= k.")
               case insertOrRe() =>
-                Some("INSERT OR REPLACE / OR IGNORE / ON CONFLICT need " +
-                  "a primary key, which parquet tables don't declare. " +
-                  "The idempotent-ingest idiom here: de-duplicate the " +
-                  "increment against the target first — INSERT INTO t " +
-                  "SELECT * FROM inc LEFT ANTI JOIN t USING (key_cols) " +
-                  "(OR IGNORE), or stage the merged state and INSERT " +
-                  "OVERWRITE (OR REPLACE).")
+                Some("INSERT OR REPLACE / OR IGNORE / ON CONFLICT [(cols)] " +
+                  "DO NOTHING run automatically against graft TEMP tables " +
+                  "(declare the key: CREATE TEMP TABLE t (id INTEGER " +
+                  "PRIMARY KEY, ...), or name it in ON CONFLICT (cols)) — " +
+                  "but this target is a catalog parquet table, which " +
+                  "declares no primary key. The idempotent-ingest idiom " +
+                  "here: de-duplicate the increment against the target " +
+                  "first — INSERT INTO t SELECT * FROM inc LEFT ANTI JOIN " +
+                  "t USING (key_cols) (OR IGNORE), or stage the merged " +
+                  "state and INSERT OVERWRITE (OR REPLACE). ON CONFLICT " +
+                  "DO UPDATE has no lane — stage a MERGE-style join.")
               case similarToRe() =>
                 Some("If you meant DuckDB's [NOT] SIMILAR TO: the " +
                   "literal-pattern form (expr SIMILAR TO '<regex>') " +
@@ -2422,9 +2426,42 @@ object GraftSparkExtensions {
         throw new org.apache.spark.sql.AnalysisException(
           "USER_RAISED_EXCEPTION", Map("errorMessage" ->
             s"""Table with name "$name" already exists!"""))
-      val schema = spark.sessionState.sqlParser.parseTableSchema(asString(v(1)))
+      // PRIMARY KEY declarations (inline `col TYPE PRIMARY KEY` or the
+      // table-constraint `PRIMARY KEY (a, b)`) are stripped before the
+      // Spark schema parse and recorded as the table's conflict target
+      // for INSERT OR REPLACE / OR IGNORE. NOT NULL drops too (Spark's
+      // DDL parser accepts neither; both are advisory here).
+      val inlinePkRe = "(?is)\\bPRIMARY\\s+KEY\\s*\\z".r
+      val constraintPkRe =
+        "(?is)\\A\\s*PRIMARY\\s+KEY\\s*\\(([^)]*)\\)\\s*\\z".r
+      var pkCols = Seq.empty[String]
+      val defs = ReplaceRewrite.splitTop(asString(v(1))).flatMap { part =>
+        constraintPkRe.findFirstMatchIn(part) match {
+          case Some(m) =>
+            pkCols ++= m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+            None
+          case None =>
+            val noNull = "(?is)\\s+NOT\\s+NULL\\b".r.replaceAllIn(part, "")
+            inlinePkRe.findFirstIn(noNull) match {
+              case Some(_) =>
+                val stripped = inlinePkRe.replaceAllIn(noNull, "").trim
+                pkCols ++= stripped.split("\\s+").headOption
+                Some(stripped)
+              case None => Some(noNull)
+            }
+        }
+      }
+      // DuckDB's length-less string spellings → Spark's STRING (Spark
+      // demands a length on bare VARCHAR); parenthesized forms pass
+      // through to Spark's own VARCHAR(n).
+      val normalized = defs.map(d =>
+        "(?i)\\b(?:VARCHAR|TEXT|BPCHAR)\\b(?!\\s*\\()".r
+          .replaceAllIn(d, "STRING"))
+      val schema = spark.sessionState.sqlParser.parseTableSchema(
+        normalized.mkString(", "))
       TempTables.put(name, spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      if (pkCols.nonEmpty) TempTables.setKeys(name, pkCols)
       LocalRelation.fromExternalRows(
         DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
         Seq.empty)
@@ -2488,6 +2525,86 @@ object GraftSparkExtensions {
   val tempInsertFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("temp_insert"), info("temp_insert"),
       insertReturningImpl(intoTemp = true) _)
+
+  /** DuckDB's keyed-ingest INSERTs over graft temp tables:
+    * `INSERT OR REPLACE INTO t ...`, `INSERT OR IGNORE INTO t ...`, and
+    * `INSERT INTO t ... ON CONFLICT [(cols)] DO NOTHING` (via
+    * [[TempTableRewrite]]). The conflict target is the statement's
+    * column list when given, else the table's declared PRIMARY KEY.
+    * Semantics pinned against DuckDB 1.0: REPLACE Count = all input
+    * rows; IGNORE/DO NOTHING Count = rows actually inserted; duplicate
+    * keys WITHIN one REPLACE increment raise the constraint error (no
+    * silent arbitrary winner). The new state is one keyed anti-join +
+    * union over the snapshot — at scale the cost tracks the increment
+    * and one pass of the target, never target²; the anti-join shuffles
+    * on the key like any upsert merge.
+    */
+  val tempUpsertFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("temp_upsert"), info("temp_upsert"), (args: Seq[Expression]) => {
+      require(args.size == 5 && args.forall(_.foldable),
+        "temp_upsert(name, source_query, cols_csv, keys_csv, mode) — constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "temp_upsert arguments must be non-NULL")
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{col, count => fCount, lit}
+      val name = asString(v(0))
+      val cols = asString(v(2)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val mode = asString(v(4))
+      def fail(msg: String): Nothing =
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+      if (!TempTables.exists(name))
+        fail(s"INSERT OR ${mode.toUpperCase} / ON CONFLICT executes against " +
+          s"graft temp tables only, and '$name' is not one. For a catalog " +
+          "parquet table use the idempotent-ingest idiom: INSERT INTO t " +
+          "SELECT * FROM inc LEFT ANTI JOIN t USING (keys) (ignore), or " +
+          "stage the merged state and INSERT OVERWRITE (replace).")
+      val target = spark.table(name)
+      val keys = {
+        val stated = asString(v(3)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (stated.nonEmpty) stated
+        else TempTables.keysOf(name).getOrElse(fail(
+          s"'$name' has no PRIMARY KEY declared and the statement names no " +
+            "conflict target — declare one (CREATE TEMP TABLE t (id INTEGER " +
+            "PRIMARY KEY, ...)) or use ON CONFLICT (cols) DO NOTHING."))
+      }
+      val missing = keys.filterNot(k =>
+        target.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+      if (missing.nonEmpty)
+        fail(s"conflict target column(s) not in '$name': ${missing.mkString(", ")}")
+      val aligned = alignInsert(target, spark.sql(asString(v(1))), cols)
+      val (staged, _) = graft.operators.Scratch.materialize(aligned, s"ups_$name")
+      val keyCols = keys.map(col)
+      val dupKeys = staged.groupBy(keyCols: _*)
+        .agg(fCount(lit(1)).as("__graft_n")).filter(col("__graft_n") > 1)
+        .limit(1).collect()
+      val nInput = staged.count()
+      val n = mode match {
+        case "replace" =>
+          if (dupKeys.nonEmpty)
+            fail("PRIMARY KEY or UNIQUE constraint violated: duplicate key " +
+              s"in the inserted rows (${keys.mkString(", ")} = " +
+              s"${dupKeys.head.toSeq.init.mkString(", ")})")
+          TempTables.put(name,
+            target.join(staged.select(keyCols: _*), keys, "left_anti")
+              .unionByName(staged))
+          nInput
+        case "ignore" =>
+          // Conflicts lose silently — against the target AND within the
+          // increment itself (DuckDB inserts sequentially; an arbitrary
+          // per-key representative matches its any-order file scan).
+          val fresh = staged
+            .dropDuplicates(keys)
+            .join(target.select(keyCols: _*), keys, "left_anti")
+          val (freshStaged, _) =
+            graft.operators.Scratch.materialize(fresh, s"upsf_$name")
+          val nFresh = freshStaged.count()
+          TempTables.put(name, target.unionByName(freshStaged))
+          nFresh
+        case other => fail(s"temp_upsert: unknown mode '$other'")
+      }
+      tempCountRow(n)
+    })
 
   val insertReturningFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("insert_returning"), info("insert_returning"),
@@ -2712,6 +2829,7 @@ object GraftSparkExtensions {
     tempTableAsFn,
     tempTableEmptyFn,
     tempInsertFn,
+    tempUpsertFn,
     insertReturningFn,
     exportDatabaseFn,
     importDatabaseFn,

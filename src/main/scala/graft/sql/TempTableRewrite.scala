@@ -10,6 +10,9 @@ import scala.util.control.NonFatal
   * CREATE TEMP TABLE t (a INTEGER, b VARCHAR);    -- empty result
   * INSERT INTO t <query|VALUES ...> [RETURNING exprs];
   * INSERT INTO t (a, b) <query>;                  -- column-list form
+  * INSERT OR REPLACE INTO t <query>;              -- keyed upsert (declared PK)
+  * INSERT OR IGNORE INTO t <query>;               -- keyed skip (declared PK)
+  * INSERT INTO t <query> ON CONFLICT [(cols)] DO NOTHING;
   * UPDATE t SET ... WHERE ...;  DELETE FROM t WHERE ...;  -- via UpdateDeleteRewrite
   * DROP TABLE [IF EXISTS] t;
   * }}}
@@ -52,11 +55,15 @@ object TempTableRewrite {
   // can only ever begin at a non-word char.
   private val insertRe =
     """(?is)\A\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*(.+?)\s*;?\s*\z""".r
+  // DuckDB's keyed-ingest shorthands (parse-fail in Spark, so claiming
+  // the prefix can never shadow a native statement).
+  private val insertOrRe =
+    """(?is)\A\s*INSERT\s+OR\s+(REPLACE|IGNORE)\s+INTO\s+([A-Za-z_]\w*)\s*(.+?)\s*;?\s*\z""".r
   private val dropRe =
     """(?is)\A\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*\z""".r
 
   def isShaped(sql: String): Boolean =
-    """(?is)\A\s*(CREATE\s+(OR\s+REPLACE\s+)?TEMP|INSERT\s+INTO|DROP\s+TABLE)\b""".r
+    """(?is)\A\s*(CREATE\s+(OR\s+REPLACE\s+)?TEMP|INSERT\s+(OR\s+(REPLACE|IGNORE)\s+)?INTO|DROP\s+TABLE)\b""".r
       .findFirstIn(sql).isDefined
 
   // Backslashes double too: the TVF call is parsed as a '...'
@@ -64,6 +71,24 @@ object TempTableRewrite {
   // in the spliced body.
   private def esc(s: String) =
     s.replace("\\", "\\\\").replace("'", "''")
+
+  /** Optional leading column list: a parenthesized ident CSV followed
+    * by MORE text (a bare `(SELECT ...)` body has no trailing text
+    * after its close paren). None = unparseable (unbalanced paren).
+    */
+  private def splitColsBody(body0: String): Option[(Seq[String], String)] =
+    if (body0.startsWith("(")) {
+      // closeOf returns the index AFTER the matching ')'.
+      val close = ReplaceRewrite.closeOf(body0, 0)
+      if (close < 0) return None
+      val inner = body0.substring(1, close - 1)
+      val after = body0.substring(close).trim
+      val idents = inner.split(",").map(_.trim)
+      if (after.nonEmpty && idents.nonEmpty &&
+        idents.forall(_.matches("[A-Za-z_]\\w*")))
+        Some((idents.toSeq, after))
+      else Some((Seq.empty[String], body0))
+    } else Some((Seq.empty[String], body0))
 
   def rewrite(sql: String): Option[String] =
     try {
@@ -79,6 +104,20 @@ object TempTableRewrite {
           // marker select returns DuckDB's empty result.
           TempTables.drop(name)
           Some("SELECT CAST(NULL AS BIGINT) AS Count WHERE 1 = 0")
+        case insertOrRe(modeWord, name, rest) =>
+          // INSERT OR REPLACE / OR IGNORE — keyed upsert against a graft
+          // temp table's declared PRIMARY KEY. Catalog tables fall to
+          // the insertOrRe hint (the anti-join/OVERWRITE idiom).
+          if (!TempTables.exists(name)) return None
+          val words = QualifyRewrite.topLevelWords(rest)
+          if (words.exists(_._1 == "?")) return None
+          // RETURNING / an explicit ON CONFLICT on top of the shorthand
+          // have no lane here.
+          if (words.exists(w => w._1 == "RETURNING" || w._1 == "CONFLICT"))
+            return None
+          val (cols, body) = splitColsBody(rest.trim).getOrElse(return None)
+          Some(s"SELECT * FROM temp_upsert('${esc(name)}', '${esc(body)}', " +
+            s"'${esc(cols.mkString(","))}', '', '${modeWord.toLowerCase}')")
         case insertRe(name, rest) =>
           // RETURNING split: last top-level RETURNING word.
           val words = QualifyRewrite.topLevelWords(rest)
@@ -93,36 +132,46 @@ object TempTableRewrite {
           val isTemp = TempTables.exists(name)
           // BY NAME into a temp table has no lane here; native/hint path.
           if (body0.toUpperCase.startsWith("BY NAME")) return None
-          if (!isTemp && returning.isEmpty) return None // native INSERT
-          if (!isTemp) {
-            // Catalog table + RETURNING.
-            val cat = try {
-              val spark = org.apache.spark.sql.SparkSession.active
-              spark.sessionState.catalog.tableExists(
-                org.apache.spark.sql.catalyst.TableIdentifier(name))
-            } catch { case NonFatal(_) => false }
-            if (!cat) return None
+          // ON CONFLICT [(cols)] DO NOTHING — the explicit conflict
+          // clause (paren-aware scan, so a join's ON inside the source
+          // query is never mistaken for it). DO UPDATE declines to the
+          // hint; combining with RETURNING declines too.
+          val bodyWords = QualifyRewrite.topLevelWords(body0)
+          val conflictAt = bodyWords.sliding(2).collectFirst {
+            case Seq((on, pos), (conf, _))
+              if on == "ON" && conf == "CONFLICT" => pos
           }
-          // Optional column list: a leading parenthesized ident CSV
-          // followed by MORE text (a bare `(SELECT ...)` body has no
-          // trailing text after its close paren).
-          val (cols, body) =
-            if (body0.startsWith("(")) {
-              // closeOf returns the index AFTER the matching ')'.
-              val close = ReplaceRewrite.closeOf(body0, 0)
-              if (close < 0) return None
-              val inner = body0.substring(1, close - 1)
-              val after = body0.substring(close).trim
-              val idents = inner.split(",").map(_.trim)
-              if (after.nonEmpty && idents.nonEmpty &&
-                idents.forall(_.matches("[A-Za-z_]\\w*")))
-                (idents.toSeq, after)
-              else (Seq.empty[String], body0)
-            } else (Seq.empty[String], body0)
-          val fn = if (isTemp) "temp_insert" else "insert_returning"
-          Some(s"SELECT * FROM $fn('${esc(name)}', '${esc(body)}', " +
-            s"'${esc(cols.mkString(","))}', " +
-            s"'${esc(returning.getOrElse(""))}')")
+          conflictAt match {
+            case Some(pos) =>
+              if (!isTemp || returning.isDefined) return None
+              val clause = body0.substring(pos).trim
+              val m = ("(?is)\\AON\\s+CONFLICT\\s*" +
+                "(?:\\(([^)]*)\\)\\s*)?DO\\s+NOTHING\\s*\\z").r
+                .findFirstMatchIn(clause).getOrElse(return None)
+              val keys = Option(m.group(1)).toSeq
+                .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+              val (cols, body) =
+                splitColsBody(body0.substring(0, pos).trim).getOrElse(return None)
+              Some(s"SELECT * FROM temp_upsert('${esc(name)}', " +
+                s"'${esc(body)}', '${esc(cols.mkString(","))}', " +
+                s"'${esc(keys.mkString(","))}', 'ignore')")
+            case None =>
+              if (!isTemp && returning.isEmpty) return None // native INSERT
+              if (!isTemp) {
+                // Catalog table + RETURNING.
+                val cat = try {
+                  val spark = org.apache.spark.sql.SparkSession.active
+                  spark.sessionState.catalog.tableExists(
+                    org.apache.spark.sql.catalyst.TableIdentifier(name))
+                } catch { case NonFatal(_) => false }
+                if (!cat) return None
+              }
+              val (cols, body) = splitColsBody(body0).getOrElse(return None)
+              val fn = if (isTemp) "temp_insert" else "insert_returning"
+              Some(s"SELECT * FROM $fn('${esc(name)}', '${esc(body)}', " +
+                s"'${esc(cols.mkString(","))}', " +
+                s"'${esc(returning.getOrElse(""))}')")
+          }
         case _ => None
       }
     } catch { case NonFatal(_) => None }

@@ -25,8 +25,24 @@ object TempTables {
   private val registry = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
+  /** Declared PRIMARY KEY columns (CREATE TEMP TABLE ... PRIMARY KEY) —
+    * the conflict target INSERT OR REPLACE / OR IGNORE resolve against
+    * when the statement names none. Advisory: reads don't enforce it;
+    * the upsert TVF rejects duplicate keys like DuckDB's constraint.
+    */
+  private val pkRegistry = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[String]]()
+
   private def key(name: String): (SparkSession, String) =
     (SparkSession.active, name.toLowerCase)
+
+  def setKeys(name: String, cols: Seq[String]): Unit = {
+    pkRegistry.put(key(name), cols)
+    ()
+  }
+
+  def keysOf(name: String): Option[Seq[String]] =
+    Option(pkRegistry.get(key(name)))
 
   def exists(name: String): Boolean =
     try registry.containsKey(key(name))
@@ -60,6 +76,7 @@ object TempTables {
 
   def drop(name: String): Boolean = {
     val dir = registry.remove(key(name))
+    pkRegistry.remove(key(name))
     if (dir == null) false
     else {
       SparkSession.active.catalog.dropTempView(name.toLowerCase)

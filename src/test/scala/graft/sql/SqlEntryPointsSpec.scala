@@ -1705,6 +1705,50 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(exO.getMessage.contains("not representable"), s"got: ${exO.getMessage}")
   }
 
+  test("INSERT OR REPLACE / OR IGNORE / ON CONFLICT upsert temp tables " +
+    "with DuckDB-pinned Counts") {
+    def one(sql: String): Long = spark.sql(sql).head().getLong(0)
+    spark.sql("DROP TABLE IF EXISTS up_t")
+    spark.sql("CREATE TEMP TABLE up_t (id INTEGER PRIMARY KEY, s VARCHAR)")
+    assert(one("INSERT INTO up_t VALUES (1,'a'), (2,'b')") == 2L)
+    // REPLACE: Count = ALL input rows (DuckDB 1.0 pinned), conflicting
+    // row replaced, fresh row appended.
+    assert(one("INSERT OR REPLACE INTO up_t VALUES (2,'B'), (3,'c')") == 2L)
+    // IGNORE: Count = actually-inserted only.
+    assert(one("INSERT OR IGNORE INTO up_t VALUES (3,'X'), (4,'d')") == 1L)
+    // ON CONFLICT (cols) DO NOTHING — explicit conflict target.
+    assert(one("INSERT INTO up_t VALUES (4,'Y'), (5,'e') ON CONFLICT (id) DO NOTHING") == 1L)
+    // ... and the bare form resolves against the declared PK.
+    assert(one("INSERT INTO up_t VALUES (5,'Z'), (6,'f') ON CONFLICT DO NOTHING") == 1L)
+    val state = spark.table("up_t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(state == Seq(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "d", 5 -> "e", 6 -> "f"),
+      s"got $state")
+    // Duplicate key WITHIN one REPLACE increment = DuckDB's constraint
+    // error, not a silent arbitrary winner.
+    val dup = intercept[Exception](
+      spark.sql("INSERT OR REPLACE INTO up_t VALUES (7,'x'), (7,'y')"))
+    assert(dup.getMessage.contains("duplicate key"), s"got: ${dup.getMessage}")
+    // No PK and no conflict target → named error.
+    spark.sql("DROP TABLE IF EXISTS up_n")
+    spark.sql("CREATE TEMP TABLE up_n (id INTEGER, s VARCHAR)")
+    val nopk = intercept[Exception](
+      spark.sql("INSERT OR REPLACE INTO up_n VALUES (1,'a')"))
+    assert(nopk.getMessage.contains("PRIMARY KEY"), s"got: ${nopk.getMessage}")
+    // ... but ON CONFLICT (cols) supplies the target without a PK.
+    spark.sql("INSERT INTO up_n VALUES (1,'a')")
+    assert(one("INSERT INTO up_n VALUES (1,'b'), (2,'c') ON CONFLICT (id) DO NOTHING") == 1L)
+    // Catalog tables keep the hint (idempotent-ingest idiom).
+    val cat = intercept[Exception](
+      spark.sql("INSERT OR REPLACE INTO graft_not_a_temp VALUES (1)"))
+    assert(cat.getMessage.contains("ANTI JOIN"), s"got: ${cat.getMessage}")
+    // DO UPDATE has no lane — the hint says so.
+    val du = intercept[Exception](spark.sql(
+      "INSERT INTO up_t VALUES (1,'q') ON CONFLICT (id) DO UPDATE SET s = 'q'"))
+    assert(du.getMessage.contains("DO UPDATE"), s"got: ${du.getMessage}")
+    Seq("up_t", "up_n").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("SIMILAR TO executes as anchored full-match; edge shapes decline") {
     import spark.implicits._
     Seq("abc", "abcd", "ABC", "a1c", "x\nabc").toDF("s")
