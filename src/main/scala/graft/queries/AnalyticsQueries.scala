@@ -1459,6 +1459,27 @@ object AnalyticsQueries {
          FROM graft_q61_lineitem GROUP BY 1 ORDER BY 1""")
   }
 
+  // Named-argument macro CALL sites (round 15): `f(x, hi := 3e5)` —
+  // `:=` is not Spark syntax, so the call statement rides the
+  // parse-failure chain where MacroRewrite.namedCallRewrite lowers it
+  // to positional against the registered signature, splicing recorded
+  // default TEXT into gaps (here lo stays default while hi binds —
+  // DuckDB's gap-filling semantics, verified on 1.0). IDENTICAL
+  // statement text on both engines.
+  declare("q100_macro_named",
+    """CREATE OR REPLACE MACRO grade_of(x, lo := 1000, hi := 400000) AS
+         CASE WHEN x < lo THEN 'low' WHEN x > hi THEN 'high' ELSE 'mid' END;
+       SELECT grade_of(o_totalprice, hi := 300000) AS g, CAST(COUNT(*) AS BIGINT) AS n
+       FROM orders GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("graft_q100_orders")
+    spark.sql(
+      """CREATE OR REPLACE MACRO grade_of(x, lo := 1000, hi := 400000) AS
+           CASE WHEN x < lo THEN 'low' WHEN x > hi THEN 'high' ELSE 'mid' END""")
+    spark.sql(
+      """SELECT grade_of(o_totalprice, hi := 300000) AS g, CAST(COUNT(*) AS BIGINT) AS n
+         FROM graft_q100_orders GROUP BY 1 ORDER BY 1""")
+  }
+
   // DuckDB friendly-SQL parity, part 7: the zero-parameter TABLE macro —
   // DuckDB's `FROM name()` call shape (parentheses mandatory there), so
   // a plain temp view can't host it; sql/MacroRewrite registers the body

@@ -24,9 +24,11 @@ package graft.sql
   * The IMPORT direction (`COPY tbl FROM 'path' [(FORMAT ..., HEADER)]`)
   * rewrites onto `copy_from()`, which appends the file's rows into the
   * existing catalog table (Spark: `insertInto` — by-position, DuckDB's
-  * own mapping) and returns the same one-row Count. Anything
-  * else — other formats, other options (DELIMITER, COMPRESSION...), a
-  * non-literal path — declines to the caller's guidance hint.
+  * own mapping) and returns the same one-row Count. CSV options
+  * DELIMITER/QUOTE/ESCAPE/NULL map 1:1 onto the DataFrame reader/writer
+  * (sep/quote/escape/nullValue); COMPRESSION onto the writer codec.
+  * Anything else — other formats, unknown options, a non-literal
+  * path — declines to the caller's guidance hint.
   */
 object CopyToRewrite {
 
@@ -70,6 +72,9 @@ object CopyToRewrite {
     var partition: Seq[String] = Seq.empty
     var delimiter: Option[String] = None
     var compression: Option[String] = None
+    var quote: Option[String] = None
+    var escape: Option[String] = None
+    var nullStr: Option[String] = None
     if (tail.nonEmpty) {
       if (!(tail.startsWith("(") && tail.endsWith(")"))) return None
       val fm = """(?i)\AFORMAT\s+(\w+)\z""".r
@@ -77,6 +82,12 @@ object CopyToRewrite {
       val pm = """(?is)\APARTITION_BY\s*(?:\(\s*([^()]*?)\s*\)|([A-Za-z_]\w*))\z""".r
       val dm = """(?i)\A(?:DELIMITER|DELIM|SEP)\s+'((?:[^']|'')+)'\z""".r
       val cm = """(?i)\ACOMPRESSION\s+'?(\w+)'?\z""".r
+      // QUOTE/ESCAPE accept '' (disable quoting / default doubling);
+      // NULL[STR] is the written/read null marker (DataFrame option
+      // nullValue). All three are CSV-only, both directions.
+      val qm = """(?i)\AQUOTE\s+'((?:[^']|'')*)'\z""".r
+      val em = """(?i)\AESCAPE\s+'((?:[^']|'')*)'\z""".r
+      val nm = """(?i)\ANULL(?:STR)?\s+'((?:[^']|'')*)'\z""".r
       // splitTop, not split(","): PARTITION_BY (a, b) carries commas
       // inside its own parens.
       for (o <- ReplaceRewrite.splitTop(tail.substring(1, tail.length - 1))
@@ -97,6 +108,9 @@ object CopyToRewrite {
           // readers sniff compression themselves, so accept-and-ignore
           // on import would hide a typo — decline there instead.
           case cm(c) if !isImport => compression = Some(c.toLowerCase)
+          case qm(q) => quote = Some(q.replace("''", "'"))
+          case em(e) => escape = Some(e.replace("''", "'"))
+          case nm(x) => nullStr = Some(x.replace("''", "'"))
           case _ => return None
         }
       }
@@ -109,17 +123,23 @@ object CopyToRewrite {
     }.getOrElse(return None)
     if (fmt != "parquet" && fmt != "csv") return None
 
-    // DELIMITER is a CSV notion on both engines.
-    if (delimiter.isDefined && fmt != "csv") return None
+    // DELIMITER/QUOTE/ESCAPE/NULL are CSV notions on both engines.
+    if ((delimiter.isDefined || quote.isDefined || escape.isDefined ||
+      nullStr.isDefined) && fmt != "csv") return None
     def lit(s: String) =
       "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     // Extra writer/reader options ride as one 'k=v;k=v' argument so the
     // TVF arities stay stable ('=' / ';' cannot appear in the values:
-    // codec names are words and a delimiter containing them declines).
-    val opts = (delimiter.map(d => s"delimiter=$d") ++
-      compression.map(c => s"compression=$c")).mkString(";")
-    if (opts.contains("=;") || delimiter.exists(d =>
-      d.contains("=") || d.contains(";"))) return None
+    // codec names are words and any option value containing them
+    // declines; empty values — QUOTE '' — are legal).
+    val kvs = delimiter.map(d => "delimiter" -> d).toSeq ++
+      compression.map(c => "compression" -> c) ++
+      quote.map(q => "quote" -> q) ++
+      escape.map(e => "escape" -> e) ++
+      nullStr.map(x => "nullstr" -> x)
+    if (kvs.exists { case (_, x) => x.contains("=") || x.contains(";") })
+      return None
+    val opts = kvs.map { case (k, x) => s"$k=$x" }.mkString(";")
     val optsArg = if (opts.isEmpty) "" else s", ${lit(opts)}"
     if (isImport)
       return Some(s"SELECT * FROM copy_from(${lit(source)}, ${lit(path)}, " +

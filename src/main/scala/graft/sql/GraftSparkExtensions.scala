@@ -228,42 +228,6 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     "(?is)\\A\\s*INSERT\\s+(?:OR\\s+(?:REPLACE|IGNORE)\\b|INTO\\b.*\\bON\\s+CONFLICT\\b).*".r
   private val similarToRe = "(?is).*\\bSIMILAR\\s+TO\\b.*".r
 
-  /** Copy of the text with string/identifier literals and comments
-    * blanked to spaces (same length) — regex scans over the mask see
-    * only real operator positions.
-    */
-  private def maskLiterals(text: String): String = {
-    val m = text.toCharArray
-    var i = 0
-    val n = text.length
-    def blank(): Unit = { m(i) = ' '; i += 1 }
-    while (i < n) {
-      text.charAt(i) match {
-        case '\'' =>
-          blank()
-          var done = false
-          while (i < n && !done) {
-            if (text.charAt(i) == '\'') {
-              if (i + 1 < n && text.charAt(i + 1) == '\'') { blank(); blank() }
-              else { blank(); done = true }
-            } else blank()
-          }
-        case q @ ('"' | '`') =>
-          blank()
-          while (i < n && text.charAt(i) != q) blank()
-          if (i < n) blank()
-        case '-' if i + 1 < n && text.charAt(i + 1) == '-' =>
-          while (i < n && text.charAt(i) != '\n') blank()
-        case '/' if i + 1 < n && text.charAt(i + 1) == '*' =>
-          blank(); blank()
-          while (i + 1 < n && !(text.charAt(i) == '*' && text.charAt(i + 1) == '/')) blank()
-          if (i + 1 < n) { blank(); blank() }
-        case _ => i += 1
-      }
-    }
-    new String(m)
-  }
-
   /** `expr [NOT] SIMILAR TO '<regex>'` → `expr [NOT] RLIKE
     * '\A(?:<regex>)\z'` — DuckDB's SIMILAR TO is regexp_full_match
     * (its own docs), and the full-match anchors carry that onto
@@ -275,7 +239,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     * patterns (columns, concat) decline to the hint.
     */
   private def similarToRewrite(text: String): Option[String] = {
-    val masked = maskLiterals(text)
+    val masked = ReplaceRewrite.maskLiterals(text)
     val op = "(?i)\\b(NOT\\s+)?SIMILAR\\s+TO\\b".r
     val ms = op.findAllMatchIn(masked).toList
     if (ms.isEmpty) return None
@@ -298,6 +262,16 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
         } else { lit.append(text.charAt(k)); k += 1 }
       }
       if (!closed) return None
+      // The literal must BE the whole pattern: a trailing `|| ...`
+      // concat (which binds tighter than SIMILAR TO in DuckDB, so the
+      // real pattern is the concat result) or an ESCAPE clause would
+      // make the spliced anchors land mid-pattern — decline to the
+      // hint rather than full-match the wrong regex.
+      var t = k
+      while (t < text.length && text.charAt(t).isWhitespace) t += 1
+      if (t + 1 < text.length && text.charAt(t) == '|' &&
+        text.charAt(t + 1) == '|') return None
+      if (text.regionMatches(true, t, "ESCAPE", 0, 6)) return None
       val pat = lit.toString
       Seq("[[:" -> "POSIX class [[:...:]]", "(?P<" -> "named group (?P<...>)")
         .foreach { case (needle, what) =>
@@ -457,6 +431,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               CopyToRewrite.rewrite(text); case _ => None },
             () => text match { case macroRe() =>
               MacroRewrite.rewrite(text, delegate); case _ => None },
+            // Named-argument macro CALL sites (`f(x, b := 1)`): `:=` is
+            // not Spark syntax, so the statement only ever arrives here;
+            // lowered to positional against the registered signature.
+            () => MacroRewrite.namedCallRewrite(text),
             () => text match { case qualifyRe() =>
               QualifyRewrite.rewrite(text); case _ => None },
             // LAST deliberately: bracket/brace literal syntax only ever
@@ -504,9 +482,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "that shape. The import form (COPY tbl FROM 'path' " +
                   "[(FORMAT CSV|PARQUET[, HEADER])]) also runs, " +
                   "appending into an existing catalog table. " +
-                  "DELIMITER and COMPRESSION execute too; other " +
-                  "formats and options (QUOTE, ESCAPE, NULL ...) " +
-                  "decline: use the DataFrame writer/reader directly " +
+                  "DELIMITER, COMPRESSION, QUOTE, ESCAPE, and NULL " +
+                  "execute too (1:1 DataFrame reader/writer options); " +
+                  "other formats and options decline: " +
+                  "use the DataFrame writer/reader directly " +
                   "(df.write.parquet(path), spark.read.csv(path)), or " +
                   "the copy_to('src', 'path', 'format'[, header[, " +
                   "'partition_csv']]) / copy_from('tbl', 'path'[, " +
@@ -606,15 +585,17 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                 Some("If you meant DuckDB's CREATE MACRO: the scalar " +
                   "form (CREATE [OR REPLACE] [TEMP] MACRO name(a, " +
                   "b := 1) AS <expression>, trailing defaults padded " +
-                  "positionally), overload lists ((a) AS ..., (a, b) " +
+                  "positionally, named call sites f(x, b := 2) lowered " +
+                  "to positional), overload lists ((a) AS ..., (a, b) " +
                   "AS ... — arity-dispatched), and table macros " +
                   "(name(a) AS TABLE <query>, callable as FROM " +
                   "name(args)) run automatically, but this one " +
                   "wasn't — check for defaults that reference other " +
-                  "parameters, overloads with defaults, or a body " +
-                  "Spark's parser rejects. The typed manual form is a " +
-                  "SQL UDF: CREATE TEMPORARY FUNCTION name(x DOUBLE, " +
-                  "...) RETURNS DOUBLE RETURN <expression>.")
+                  "parameters, overloads with defaults, named calls of " +
+                  "an unregistered macro, or a body Spark's parser " +
+                  "rejects. The typed manual form is a SQL UDF: CREATE " +
+                  "TEMPORARY FUNCTION name(x DOUBLE, ...) RETURNS " +
+                  "DOUBLE RETURN <expression>.")
               case replaceStarRe() =>
                 Some("If you meant DuckDB's SELECT * REPLACE (...): the " +
                   "common single-table form (SELECT * REPLACE (expr AS " +
@@ -2192,8 +2173,8 @@ object GraftSparkExtensions {
       fmt match {
         case "parquet" => writer.parquet(path)
         case "csv" =>
-          val w = opts.get("delimiter").map(d => writer.option("sep", d))
-            .getOrElse(writer)
+          val w = csvOptionKeys.foldLeft(writer) { case (wr, (k, opt)) =>
+            opts.get(k).map(x => wr.option(opt, x)).getOrElse(wr) }
           w.option("header", header.toString).csv(path)
         case other => throw new IllegalArgumentException(
           s"copy_to: unsupported format '$other' (parquet, csv)")
@@ -2240,7 +2221,8 @@ object GraftSparkExtensions {
         case "parquet" => spark.read.parquet(path)
         case "csv" =>
           val r0 = spark.read.option("header", header.toString)
-          val r = opts.get("delimiter").map(d => r0.option("sep", d)).getOrElse(r0)
+          val r = csvOptionKeys.foldLeft(r0) { case (rd, (k, opt)) =>
+            opts.get(k).map(x => rd.option(opt, x)).getOrElse(rd) }
           r.schema(target.schema).csv(path)
         case other => throw new IllegalArgumentException(
           s"copy_from: unsupported format '$other' (parquet, csv)")
@@ -2741,9 +2723,16 @@ object GraftSparkExtensions {
         Seq.empty)
     })
 
+  /** DuckDB COPY CSV option → DataFrameReader/Writer option name
+    * (1:1 passthrough; applied on both directions).
+    */
+  private val csvOptionKeys = Seq(
+    "delimiter" -> "sep", "quote" -> "quote",
+    "escape" -> "escape", "nullstr" -> "nullValue")
+
   /** The 'k=v;k=v' extra-options argument of copy_to/copy_from
-    * ([[CopyToRewrite]] encodes DELIMITER/COMPRESSION this way so the
-    * TVF arities stay stable).
+    * ([[CopyToRewrite]] encodes DELIMITER/COMPRESSION/QUOTE/ESCAPE/NULL
+    * this way so the TVF arities stay stable).
     */
   private def parseCopyOpts(s: String): Map[String, String] =
     s.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>

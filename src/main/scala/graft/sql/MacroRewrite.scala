@@ -58,6 +58,118 @@ object MacroRewrite {
   private val headRe =
     """(?is)\A\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+([A-Za-z_]\w*)\s*\(""".r
 
+  /** Session-scoped (name → ordered (param, defaultText)) signatures of
+    * registered macros — what [[namedCallRewrite]] needs to lower
+    * DuckDB's named CALL syntax (`f(x, b := 1)`) to positional before
+    * delegation. Overload lists are not recorded (no defaults, and
+    * arity dispatch makes name→slot mapping ambiguous).
+    */
+  private val signatures = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Vector[(String, Option[String])]]()
+
+  private def recordSignature(
+      name: String, params: Vector[(String, Option[String])]): Unit =
+    try {
+      signatures.put(
+        (org.apache.spark.sql.SparkSession.active, name.toLowerCase), params)
+      ()
+    } catch { case NonFatal(_) => () }
+
+  private def signatureOf(name: String): Option[Vector[(String, Option[String])]] =
+    try Option(signatures.get(
+      (org.apache.spark.sql.SparkSession.active, name.toLowerCase)))
+    catch { case NonFatal(_) => None }
+
+  /** Lower DuckDB named-argument CALL sites of registered macros —
+    * `cents_of(x, f := 10)` — to positional calls: positionals bind the
+    * leading parameters in order, named arguments bind their slot, and
+    * unfilled slots take the recorded default TEXT (spliced positionally
+    * when a later slot is filled, omitted when trailing). `:=` is not
+    * Spark syntax, so this only ever runs on parse failure and can never
+    * claim a native statement; calls to names without a recorded
+    * signature decline (nothing safe to reorder against).
+    */
+  /** `:=` present at paren-depth 0 of an ALREADY-MASKED text — a named
+    * argument of THIS call, not of a call nested inside an argument.
+    */
+  private def topLevelNamedOp(masked: String): Boolean = {
+    var depth = 0
+    var i = 0
+    while (i < masked.length - 1) {
+      masked.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ':' if depth == 0 && masked.charAt(i + 1) == '=' => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
+
+  def namedCallRewrite(text: String): Option[String] = {
+    if (!text.contains(":=")) return None
+    var cur = text
+    var changed = false
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val masked = ReplaceRewrite.maskLiterals(cur)
+      // First call whose OWN top-level argument list carries := (a
+      // named argument of a NESTED call must not claim the outer one —
+      // the scan skips it here and reaches the inner call's own match).
+      val callRe = """([A-Za-z_]\w*)\s*\(""".r
+      val hit = callRe.findAllMatchIn(masked).flatMap { m =>
+        val open = m.end - 1
+        val close = ReplaceRewrite.closeOf(cur, open)
+        if (close < 0) None
+        else {
+          val innerMasked = masked.substring(open + 1, close - 1)
+          if (topLevelNamedOp(innerMasked))
+            Some((m.group(1), m.start(1), open, close))
+          else None
+        }
+      }.toSeq.headOption
+      hit match {
+        case None => return if (changed) Some(cur) else None
+        case Some((fname, nameStart, open, close)) =>
+          val params = signatureOf(fname).getOrElse(return None)
+          val inner = cur.substring(open + 1, close - 1)
+          val args = ReplaceRewrite.splitTop(inner).map(_.trim)
+          val lowered = params.map(_._1.toLowerCase)
+          val slots = Array.fill[Option[String]](params.size)(None)
+          var seenNamed = false
+          var posIdx = 0
+          val namedRe = """(?s)\A([A-Za-z_]\w*)\s*:=\s*(.+)\z""".r
+          for (a <- args) {
+            // := detection on the MASKED arg at depth 0: a literal ':='
+            // inside a string is data, and one inside a nested call
+            // belongs to that call, not this argument.
+            val aMasked = ReplaceRewrite.maskLiterals(a)
+            if (topLevelNamedOp(aMasked)) {
+              seenNamed = true
+              val m = namedRe.findFirstMatchIn(a).getOrElse(return None)
+              val slot = lowered.indexOf(m.group(1).toLowerCase)
+              if (slot < 0 || slots(slot).isDefined) return None
+              slots(slot) = Some(m.group(2).trim)
+            } else {
+              if (seenNamed || posIdx >= params.size || a.isEmpty) return None
+              slots(posIdx) = Some(a)
+              posIdx += 1
+            }
+          }
+          val lastFilled = slots.lastIndexWhere(_.isDefined)
+          val positional = (0 to lastFilled).map { i =>
+            slots(i).orElse(params(i)._2).getOrElse(return None)
+          }
+          cur = cur.substring(0, nameStart) +
+            s"$fname(${positional.mkString(", ")})" + cur.substring(close)
+          changed = true
+      }
+    }
+    if (changed) Some(cur) else None
+  }
+
   def rewrite(sql: String, delegate: ParserInterface): Option[String] = {
     val m = headRe.findFirstMatchIn(sql).getOrElse(return None)
     val orReplace = m.group(1) != null
@@ -206,6 +318,7 @@ object MacroRewrite {
     }
     registry.registerFunction(fid,
       new ExpressionInfo(classOf[GraftSparkExtensions].getName, name), builder)
+    recordSignature(name, params.map(p => (p.name, p.default)))
     Some(s"SELECT '$name' AS `macro`")
   }
 
@@ -374,6 +487,7 @@ object MacroRewrite {
           }
         }
       })
+    recordSignature(name, params)
     Some(s"SELECT '$name' AS `macro`")
   }
 }

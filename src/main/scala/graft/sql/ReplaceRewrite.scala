@@ -65,6 +65,42 @@ object ReplaceRewrite {
     -1
   }
 
+  /** Copy of the text with string/identifier literals and comments
+    * blanked to spaces (same length) — regex scans over the mask see
+    * only real operator positions.
+    */
+  private[sql] def maskLiterals(text: String): String = {
+    val m = text.toCharArray
+    var i = 0
+    val n = text.length
+    def blank(): Unit = { m(i) = ' '; i += 1 }
+    while (i < n) {
+      text.charAt(i) match {
+        case '\'' =>
+          blank()
+          var done = false
+          while (i < n && !done) {
+            if (text.charAt(i) == '\'') {
+              if (i + 1 < n && text.charAt(i + 1) == '\'') { blank(); blank() }
+              else { blank(); done = true }
+            } else blank()
+          }
+        case q @ ('"' | '`') =>
+          blank()
+          while (i < n && text.charAt(i) != q) blank()
+          if (i < n) blank()
+        case '-' if i + 1 < n && text.charAt(i + 1) == '-' =>
+          while (i < n && text.charAt(i) != '\n') blank()
+        case '/' if i + 1 < n && text.charAt(i + 1) == '*' =>
+          blank(); blank()
+          while (i + 1 < n && !(text.charAt(i) == '*' && text.charAt(i + 1) == '/')) blank()
+          if (i + 1 < n) { blank(); blank() }
+        case _ => i += 1
+      }
+    }
+    new String(m)
+  }
+
   /** Split at top-level commas (parens/quotes/comments respected). */
   private[sql] def splitTop(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]

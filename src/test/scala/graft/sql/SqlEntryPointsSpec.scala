@@ -1276,7 +1276,9 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       assert(ex.getMessage.contains(needle),
         s"for [$sql] expected '$needle', got: ${ex.getMessage}")
     }
-    hint("SELECT 'abc' SIMILAR TO 'ab.'", "RLIKE")
+    // Literal-pattern SIMILAR TO executes now; the non-literal
+    // (concat) pattern shape still declines to the hint.
+    hint("SELECT 'abc' SIMILAR TO 'ab' || '.'", "RLIKE")
     hint("SELECT 2 ** 3", "power(a, b)")
     hint("ATTACH 'other.db' AS other", "catalog")
     hint("CREATE SEQUENCE seq_x", "monotonically_increasing_id")
@@ -1703,6 +1705,74 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val exO = intercept[Exception](spark.sql(
       s"SELECT * FROM generate_series(${Long.MaxValue - 1}, ${Long.MaxValue})"))
     assert(exO.getMessage.contains("not representable"), s"got: ${exO.getMessage}")
+  }
+
+  test("named-argument macro calls lower to positional with gap defaults") {
+    spark.sql("CREATE OR REPLACE MACRO nm_add(a, b := 2, c := 3) AS a + b + c")
+    def one(sql: String): Long =
+      spark.sql(sql).head().get(0).asInstanceOf[Number].longValue()
+    // Gap-filling: c named, b stays default (DuckDB 1.0 pinned: 33).
+    assert(one("SELECT nm_add(1, c := 30)") == 33L)
+    // All-named, order-free.
+    assert(one("SELECT nm_add(c := 1, a := 10, b := 100)") == 111L)
+    // Mixed positional + named; nested call in the named value.
+    assert(one("SELECT nm_add(1, b := nm_add(1))") == 10L)
+    // Two named calls in one statement.
+    assert(one("SELECT nm_add(1, c := 1) + nm_add(2, b := 1)") == 10L)
+    // A ':=' INSIDE a string literal is data, not a named argument.
+    assert(spark.sql("SELECT concat('x := 1', CAST(nm_add(1, c := 0) AS STRING)) AS s")
+      .head().getString(0) == "x := 13")
+    // Positional after named declines (raw parse error — no silent
+    // misbinding).
+    val ex = intercept[Exception](spark.sql("SELECT nm_add(b := 1, 2)"))
+    assert(ex.getMessage.toLowerCase.contains("syntax"), s"got: ${ex.getMessage}")
+    // Unknown parameter name declines.
+    val ex2 = intercept[Exception](spark.sql("SELECT nm_add(1, zz := 5)"))
+    assert(ex2.getMessage.toLowerCase.contains("syntax"), s"got: ${ex2.getMessage}")
+    // Table macros record signatures too: FROM f(k := v).
+    spark.sql("CREATE OR REPLACE MACRO nm_ser(n := 3) AS TABLE " +
+      "SELECT * FROM range(n)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM nm_ser(n := 5)")
+      .head().getLong(0) == 5L)
+  }
+
+  test("COPY CSV QUOTE/ESCAPE/NULL options round-trip through write and read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_copyopt").toString
+    // Values exercising every option: the delimiter inside a value, a
+    // quote char inside a value, and a real NULL written as the marker.
+    // (Known divergence vs DuckDB: Spark's CSV reader collapses ANY
+    // field equal to nullValue — even a quoted one — so a data string
+    // colliding with the chosen marker does not survive; DuckDB keeps
+    // the quoted form. Pick a marker outside the data's alphabet.)
+    Seq((1, "a|b"), (2, null), (3, "say \"hi\""), (4, "n/a"), (5, "plain"))
+      .toDF("id", "s").createOrReplaceTempView("co_src")
+    val wrote = spark.sql(
+      s"""COPY (SELECT id, s FROM co_src) TO '$dir/opt.csv'
+         |(FORMAT CSV, HEADER, DELIMITER '|', QUOTE '"', ESCAPE '\\', NULL 'NULLX')""".stripMargin)
+      .head().getLong(0)
+    assert(wrote == 5L)
+    spark.sql("DROP TABLE IF EXISTS co_tgt")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir = { val u = new java.net.URI(wh); if (u.getScheme == null) wh else u.getPath }
+    def del(f: java.io.File): Unit =
+      if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
+    del(new java.io.File(whDir, "co_tgt"))
+    spark.sql("CREATE TABLE co_tgt (id INT, s STRING) USING parquet")
+    val read = spark.sql(
+      s"""COPY co_tgt FROM '$dir/opt.csv'
+         |(FORMAT CSV, HEADER, DELIMITER '|', QUOTE '"', ESCAPE '\\', NULL 'NULLX')""".stripMargin)
+      .head().getLong(0)
+    assert(read == 5L)
+    val back = spark.table("co_tgt").orderBy("id").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(back == Seq((1, "a|b"), (2, null), (3, "say \"hi\""),
+      (4, "n/a"), (5, "plain")), s"got $back")
+    // The options are CSV notions — on parquet they decline to the hint.
+    val ex = intercept[Exception](spark.sql(
+      s"COPY co_tgt TO '$dir/x.parquet' (FORMAT PARQUET, QUOTE '!')"))
+    assert(ex.getMessage.contains("COPY"), s"got: ${ex.getMessage}")
+    spark.sql("DROP TABLE IF EXISTS co_tgt")
   }
 
   test("INSERT OR REPLACE / OR IGNORE / ON CONFLICT upsert temp tables " +
