@@ -1584,6 +1584,19 @@ object AnalyticsQueries {
          WHERE o_orderkey < 40 ORDER BY o_orderkey""")
   }
 
+  // COLUMNS name-filter lambda (round 15): `COLUMNS(c -> <predicate>)`
+  // selects the columns whose NAME passes the predicate (DuckDB 1.0
+  // pinned; the wrapped aggregate names outputs by the plain source
+  // column). Spark shares the `->` lambda spelling, so the predicate
+  // evaluates verbatim via filter() over the name array before the
+  // star-expansion. IDENTICAL statement text on both engines.
+  declare("q101_columns_lambda",
+    """SELECT min(COLUMNS(c -> c LIKE '%date')) FROM lineitem""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql("SELECT min(COLUMNS(c -> c LIKE '%date')) FROM lineitem")
+  }
+
   // DuckDB TVF parity: `read_parquet('path')` — the first line of most
   // pasted DuckDB scripts — as a lazy plan splice (a normal distributed
   // parquet scan; Catalyst pushdown/pruning intact). Identical statement

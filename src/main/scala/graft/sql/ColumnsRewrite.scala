@@ -38,10 +38,11 @@ import scala.util.control.NonFatal
   * (first argument; trailing arguments allowed), argument `*`, a
   * single-quoted regex literal that compiles, or `* EXCLUDE (a, b)`
   * with every excluded name present in the table (DuckDB errors on an
-  * unknown exclusion; here the statement declines), table a single-part
-  * catalog-resolvable name, no join/set-op, and ≥1 column matches
-  * (DuckDB errors on zero matches; here the statement declines).
-  * Everything else — lambdas `COLUMNS(c -> ...)`, deeper expression
+  * unknown exclusion; here the statement declines), a name-filter
+  * lambda `c -> <predicate>`, table a single-part catalog-resolvable
+  * name, no join/set-op, and ≥1 column matches (DuckDB errors on zero
+  * matches; here the statement declines).
+  * Everything else — deeper expression
   * nesting like `min(COLUMNS(*)) + 1` (DuckDB rebinds the whole
   * expression per column; a textual expansion of the general form would
   * need a real parser) — declines; the caller ([[GraftHintParser]])
@@ -130,9 +131,12 @@ object ColumnsRewrite {
 
   /** Resolve a COLUMNS argument against the table's column list: `*`,
     * `* EXCLUDE (a, b)` / `* EXCLUDE a` (case-insensitive names, every
-    * exclusion must exist), or a single-quoted regex literal (RE2
-    * partial-match semantics). None = unsupported shape or a shape
-    * DuckDB itself would reject (unknown exclusion, bad regex).
+    * exclusion must exist), a single-quoted regex literal (RE2
+    * partial-match semantics), or a lambda `c -> <predicate>` selecting
+    * the column NAMES the predicate accepts (DuckDB 1.0 pinned: the
+    * lambda sees the name as a string). None = unsupported shape or a
+    * shape DuckDB itself would reject (unknown exclusion, bad regex,
+    * a predicate that doesn't evaluate).
     */
   private def resolveCols(arg: String, cols: Seq[String]): Option[Seq[String]] = {
     if (arg == "*") return Some(cols)
@@ -150,11 +154,27 @@ object ColumnsRewrite {
         Some(kept)
       case None =>
         val litRe = """\A'((?:[^']|'')*)'\z""".r
+        val lamRe = """(?s)\A([A-Za-z_]\w*)\s*->\s*(\S.*)\z""".r
         arg match {
           case litRe(b) =>
             try {
               val p = java.util.regex.Pattern.compile(b.replace("''", "'"))
               Some(cols.filter(c => p.matcher(c).find()))
+            } catch { case NonFatal(_) => None }
+          case lamRe(v, body) =>
+            // Spark shares DuckDB's `->` lambda spelling in its
+            // higher-order functions, so the predicate evaluates
+            // verbatim via filter() over the name array — a constant
+            // local expression, no table scan. A predicate Spark
+            // cannot evaluate declines to the hint.
+            try {
+              val spark = org.apache.spark.sql.SparkSession.active
+              val arr = cols.map(c => "'" + c.replace("'", "''") + "'")
+                .mkString(", ")
+              val kept = spark.sql(
+                s"SELECT filter(array($arr), $v -> ($body))")
+                .head().getSeq[String](0).toList
+              Some(kept)
             } catch { case NonFatal(_) => None }
           case _ => None
         }

@@ -607,12 +607,13 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               case columnsRe() =>
                 Some("If you meant DuckDB's COLUMNS(...) expression: the " +
                   "common forms (SELECT COLUMNS('regex') FROM t, " +
-                  "COLUMNS(*), COLUMNS(* EXCLUDE (a, b)), and one " +
-                  "function wrapping the whole set — min(COLUMNS(*)), " +
+                  "COLUMNS(*), COLUMNS(* EXCLUDE (a, b)), the " +
+                  "name-filter lambda COLUMNS(c -> c LIKE '...'), and " +
+                  "one function wrapping the whole set — min(COLUMNS(*)), " +
                   "round(COLUMNS('^x'), 1) — over a single resolvable " +
                   "table with ≥1 match) are star-expanded to run " +
-                  "automatically, but this one wasn't — lambdas and " +
-                  "deeper expression nesting (min(COLUMNS(*)) + 1) have " +
+                  "automatically, but this one wasn't — " +
+                  "deeper expression nesting (min(COLUMNS(*)) + 1) has " +
                   "no mechanical expansion here. Enumerate the columns " +
                   "explicitly (one line in the DataFrame API: " +
                   "df.select(df.columns.map(c => expr(...)): _*)).")
@@ -743,13 +744,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
           Map("errorMessage" ->
             ("COLUMNS(...) could not be expanded: the common forms " +
               "(SELECT COLUMNS('regex') FROM t, COLUMNS(*), COLUMNS(* " +
-              "EXCLUDE (a, b)), a mixed select list SELECT a, " +
+              "EXCLUDE (a, b)), the name-filter lambda COLUMNS(c -> " +
+              "c LIKE '...'), a mixed select list SELECT a, " +
               "COLUMNS('re') FROM t, and one function wrapping the " +
               "whole set — min(COLUMNS(*)), round(COLUMNS('^x'), 1) — " +
               "single resolvable table, ≥1 matching column, every " +
               "excluded name present) run automatically, but this one " +
-              "doesn't — lambdas and deeper expression nesting " +
-              "(min(COLUMNS(*)) + 1) have no mechanical expansion " +
+              "doesn't — deeper expression nesting " +
+              "(min(COLUMNS(*)) + 1) has no mechanical expansion " +
               "here. Enumerate the columns explicitly " +
               "(df.select(df.columns.map(c => expr(...)): _*)), or use " +
               "* EXCLUDE (...) / * REPLACE (...), which do run here.")))

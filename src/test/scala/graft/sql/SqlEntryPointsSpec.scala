@@ -609,10 +609,23 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // COLUMNS(*) = every column, order preserved.
     val all = spark.sql("SELECT COLUMNS(*) FROM sq_quotes")
     assert(all.columns.toSeq == spark.table("sq_quotes").columns.toSeq)
-    // Unsupported shapes decline to the hint: lambda argument.
+    // Name-filter lambda: the predicate sees the column NAME (DuckDB
+    // 1.0 pinned); table order preserved; wrapped form keeps the plain
+    // source names.
+    val lam = spark.sql("SELECT COLUMNS(c -> c LIKE 's%' OR c = 'qt') " +
+      "FROM sq_quotes")
+    assert(lam.columns.toSeq == Seq("sym", "qt"))
+    val lamAgg = spark.sql("SELECT max(COLUMNS(c -> length(c) = 2)) FROM sq_quotes")
+    assert(lamAgg.columns.toSeq == Seq("qt", "px"))
+    // A predicate that cannot evaluate (unknown function) declines to
+    // the hint rather than a raw failure.
     val ex = intercept[Exception](spark.sql(
-      "SELECT COLUMNS(c -> c LIKE 's%') FROM sq_quotes"))
+      "SELECT COLUMNS(c -> no_such_fn(c)) FROM sq_quotes"))
     assert(ex.getMessage.contains("COLUMNS"), s"got: ${ex.getMessage}")
+    // A lambda matching zero names declines (DuckDB errors there too).
+    val exL0 = intercept[Exception](spark.sql(
+      "SELECT COLUMNS(c -> c = 'zz') FROM sq_quotes"))
+    assert(exL0.getMessage.contains("COLUMNS"), s"got: ${exL0.getMessage}")
     // Zero matches declines (DuckDB errors there too).
     val ex2 = intercept[Exception](spark.sql(
       "SELECT COLUMNS('zzz_nomatch') FROM sq_quotes"))
