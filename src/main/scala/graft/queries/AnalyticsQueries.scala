@@ -1597,6 +1597,49 @@ object AnalyticsQueries {
     spark.sql("SELECT min(COLUMNS(c -> c LIKE '%date')) FROM lineitem")
   }
 
+  // ORDER BY ALL (round 15): DuckDB friendly SQL that Spark 4 shares
+  // NATIVELY (all select-list items, left to right) — pinned here so
+  // the parity stays observed. Composes with GROUP BY ALL (q56).
+  declare("q102_order_by_all",
+    """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+       FROM orders GROUP BY ALL ORDER BY ALL""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY ALL ORDER BY ALL""")
+  }
+
+  // Dollar-quoted string literals (round 15): `$$raw$$` and the tagged
+  // `$tag$raw$tag$` — content is RAW (embedded quotes and dollars are
+  // data). The graft parser converts them to ordinary literals on the
+  // parse-failure chain. IDENTICAL statement text on both engines.
+  declare("q103_dollar_quote",
+    """SELECT CASE WHEN o_totalprice > 200000 THEN $$big 'un$$
+              ELSE $t$sm$all$t$ END AS s,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM orders GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT CASE WHEN o_totalprice > 200000 THEN $$big 'un$$
+                ELSE $t$sm$all$t$ END AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""")
+  }
+
+  // Bare-name EXCLUDE (round 15): DuckDB's single-column form without
+  // parens — `* EXCLUDE col` — parenthesized into Spark's native
+  // `* EXCEPT (col)` by the same word-swap rewrite as the list form
+  // (q57). IDENTICAL statement text on both engines.
+  declare("q104_exclude_bare",
+    """SELECT * EXCLUDE l_shipdate FROM lineitem
+       WHERE l_orderkey <= 20 ORDER BY l_orderkey, l_linenumber""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT * EXCLUDE l_shipdate FROM lineitem
+         WHERE l_orderkey <= 20 ORDER BY l_orderkey, l_linenumber""")
+  }
+
   // DuckDB TVF parity: `read_parquet('path')` — the first line of most
   // pasted DuckDB scripts — as a lazy plan splice (a normal distributed
   // parquet scan; Catalyst pushdown/pruning intact). Identical statement

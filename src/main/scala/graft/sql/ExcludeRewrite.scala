@@ -5,7 +5,9 @@ package graft.sql
   * `* EXCEPT (c1, c2)`. The two forms are the same feature under
   * different keywords, so the rewrite is a word swap — but only where
   * the word is REALLY that construct: an `EXCLUDE` that (ignoring
-  * whitespace and comments) follows `*` and precedes `(`, at ANY paren
+  * whitespace and comments) follows `*` and precedes `(` — or, DuckDB's
+  * bare single-name form, one non-keyword identifier (`* EXCLUDE id`,
+  * parenthesized into `* EXCEPT (id)`) — at ANY paren
   * depth (subqueries included), outside string literals, quoted
   * identifiers, and comments. Anything else — `EXCLUDE` as an
   * identifier, inside a string — is left byte-for-byte intact. Returns
@@ -14,9 +16,20 @@ package graft.sql
   */
 object ExcludeRewrite {
 
+  /** Clause keywords that must not be claimed as the bare excluded
+    * name (`SELECT * EXCLUDE FROM t` is not the single-name form).
+    */
+  private val keywords = Set(
+    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "QUALIFY",
+    "WINDOW", "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT",
+    "RIGHT", "FULL", "CROSS", "NATURAL", "ON", "USING", "AS", "OFFSET")
+
   def rewrite(sql: String): Option[String] = {
     val n = sql.length
-    val spans = Vector.newBuilder[(Int, Int)] // [start, end) of EXCLUDE words
+    // (excludeStart, replaceEnd, bareName): parenthesized hits carry
+    // bareName = None and replace just the keyword; bare-name hits
+    // consume through the identifier and re-emit it parenthesized.
+    val spans = Vector.newBuilder[(Int, Int, Option[String])]
     var i = 0
     var lastSig = ' ' // last significant char seen (outside skips)
     while (i < n) {
@@ -61,7 +74,17 @@ object ExcludeRewrite {
                 j = math.min(n, j + 2)
               } else { next = cj; scanning = false }
             }
-            if (next == '(') spans += ((s, i))
+            if (next == '(') spans += ((s, i, None))
+            else if (next.isLetter || next == '_') {
+              var k = j
+              while (k < n && (sql.charAt(k).isLetterOrDigit ||
+                sql.charAt(k) == '_')) k += 1
+              val name = sql.substring(j, k)
+              if (!keywords.contains(name.toUpperCase)) {
+                spans += ((s, k, Some(name)))
+                i = k
+              }
+            }
           }
           lastSig = sql.charAt(i - 1)
         case c =>
@@ -74,8 +97,9 @@ object ExcludeRewrite {
     else {
       val sb = new StringBuilder
       var pos = 0
-      hits.foreach { case (s, e) =>
-        sb.append(sql.substring(pos, s)).append("EXCEPT")
+      hits.foreach { case (s, e, bare) =>
+        sb.append(sql.substring(pos, s))
+          .append(bare.fold("EXCEPT")(nm => s"EXCEPT ($nm)"))
         pos = e
       }
       sb.append(sql.substring(pos))

@@ -228,6 +228,69 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     "(?is)\\A\\s*INSERT\\s+(?:OR\\s+(?:REPLACE|IGNORE)\\b|INTO\\b.*\\bON\\s+CONFLICT\\b).*".r
   private val similarToRe = "(?is).*\\bSIMILAR\\s+TO\\b.*".r
 
+  /** DuckDB dollar-quoted string literals — `$$raw$$` and the tagged
+    * `$tag$raw$tag$` — converted to standard single-quoted literals
+    * (content is RAW in DuckDB: no escape processing; mirrored by
+    * doubling backslashes and quotes for Spark's escaping literal
+    * parser). `$` never opens a literal inside an ordinary
+    * string/identifier/comment (skipped by the scan), and an unclosed
+    * marker declines. Only ever runs on parse failure — `$` is not
+    * Spark syntax outside parameter markers, so a native statement
+    * can't be claimed.
+    */
+  private def dollarQuoteRewrite(text: String): Option[String] = {
+    if (!text.contains("$")) return None
+    val n = text.length
+    val tagRe = """\A\$([A-Za-z_]\w*)?\$""".r
+    val sb = new StringBuilder
+    var i = 0
+    var changed = false
+    def copyThrough(pred: Int => Boolean): Unit = {
+      while (i < n && !pred(i)) { sb.append(text.charAt(i)); i += 1 }
+      if (i < n) { sb.append(text.charAt(i)); i += 1 }
+    }
+    while (i < n) {
+      text.charAt(i) match {
+        case '\'' =>
+          sb.append('\''); i += 1
+          var done = false
+          while (i < n && !done) {
+            if (text.charAt(i) == '\'') {
+              if (i + 1 < n && text.charAt(i + 1) == '\'') {
+                sb.append("''"); i += 2
+              } else { sb.append('\''); i += 1; done = true }
+            } else { sb.append(text.charAt(i)); i += 1 }
+          }
+        case q @ ('"' | '`') =>
+          sb.append(q); i += 1
+          copyThrough(j => text.charAt(j) == q)
+        case '-' if i + 1 < n && text.charAt(i + 1) == '-' =>
+          copyThrough(j => text.charAt(j) == '\n')
+        case '/' if i + 1 < n && text.charAt(i + 1) == '*' =>
+          sb.append("/*"); i += 2
+          copyThrough(j => j > 0 && text.charAt(j - 1) == '*' &&
+            text.charAt(j) == '/')
+        case '$' =>
+          tagRe.findFirstMatchIn(text.substring(i)) match {
+            case Some(m) =>
+              val marker = m.matched
+              val start = i + marker.length
+              val close = text.indexOf(marker, start)
+              if (close < 0) return None // unclosed — not the construct
+              val raw = text.substring(start, close)
+              sb.append('\'')
+                .append(raw.replace("\\", "\\\\").replace("'", "''"))
+                .append('\'')
+              i = close + marker.length
+              changed = true
+            case None => sb.append('$'); i += 1
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    if (changed) Some(sb.toString) else None
+  }
+
   /** `expr [NOT] SIMILAR TO '<regex>'` → `expr [NOT] RLIKE
     * '\A(?:<regex>)\z'` — DuckDB's SIMILAR TO is regexp_full_match
     * (its own docs), and the full-match anchors carry that onto
@@ -374,6 +437,12 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
           // registration SIDE EFFECT must not fire unless the macro
           // rewrite is actually the one taken.
           val candidates: Seq[() => Option[String]] = Seq(
+            // FIRST: dollar-quoted literals — converting them often
+            // makes the statement parse outright, and if another
+            // construct remains the rewritten text recurses through
+            // this chain with ordinary literals the other scanners'
+            // masking understands.
+            () => dollarQuoteRewrite(text),
             () => text match { case summarizeTableRe(tbl) =>
               Some(s"SELECT * FROM summarize('$tbl')"); case _ => None },
             () => text match { case summarizeQueryRe(q) =>

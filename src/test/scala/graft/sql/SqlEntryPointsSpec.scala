@@ -377,6 +377,33 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       "SELECT * EXCEPT (a) FROM t WHERE c = '* EXCLUDE (b)'")
     assert(ExcludeRewrite.rewrite("SELECT exclude FROM t").isEmpty)
     assert(ExcludeRewrite.rewrite("SELECT a AS exclude_x FROM t").isEmpty)
+    // Bare single-name form (DuckDB: parens optional for one column);
+    // further select-list items after it stay separate items.
+    assert(spark.sql("SELECT * EXCLUDE tag FROM sq_quotes").columns.toSeq ==
+      Seq("sym", "qt", "px"))
+    assert(spark.sql("SELECT * EXCLUDE tag, px * 2 AS p2 FROM sq_quotes")
+      .columns.toSeq == Seq("sym", "qt", "px", "p2"))
+    // A clause keyword after EXCLUDE is NOT the bare form — no claim.
+    assert(ExcludeRewrite.rewrite("SELECT * EXCLUDE FROM t").isEmpty)
+  }
+
+  test("dollar-quoted string literals convert to ordinary literals") {
+    registerMarket()
+    def one(sql: String): String = spark.sql(sql).head().getString(0)
+    // Content is RAW: embedded single quote, backslash, and dollar.
+    assert(one("SELECT $$ab's$$ AS s") == "ab's")
+    assert(one("SELECT $tag$x$y\\z$tag$ AS s") == "x$y\\z")
+    // Two dollar literals in one statement; distinct tags.
+    assert(spark.sql("SELECT $$a$$ AS x, $q$b$q$ AS y").head()
+      .toSeq == Seq("a", "b"))
+    // `$$` inside an ordinary string literal is data, not a marker.
+    assert(one("SELECT '$$not a quote$$' AS s") == "$$not a quote$$")
+    // Composes with other chain rewrites (QUALIFY + dollar literal).
+    val q = spark.sql(
+      """SELECT sym, tag || $$!$$ AS t2,
+                row_number() OVER (PARTITION BY sym ORDER BY qt) AS rn
+         FROM sq_quotes QUALIFY rn = 1 ORDER BY sym""")
+    assert(q.collect().map(_.getString(1)).toSeq == Seq("a!", "d!"))
   }
 
   test("rewrites CHAIN: EXCLUDE + QUALIFY in one statement runs end to end") {
