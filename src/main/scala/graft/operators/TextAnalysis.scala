@@ -52,6 +52,61 @@ object TextAnalysis {
       (col("n_tokens") < 20).as("is_short"))
   }
 
+  /** The eight Gopher stop words (Rae et al. 2021, table A1 — the
+    * "contains ≥2 of" rule's list).
+    */
+  private val gopherStop =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    * Language Models", appendix A1.1 — public paper), as per-document
+    * boolean flags plus the combined keep verdict. Every flag derives
+    * from exact integer counts with multiplied-out thresholds (no float
+    * ratios), so both engines agree bit-for-bit; everything is
+    * row-local codegen'd expressions — the whole filter is one
+    * narrow-dependency pass, no shuffle, linear at any corpus size.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10] chars; symbol-to-word ratio (`#` or `...`) ≤ 1/10; ≤ 90%
+    * of lines may start with a bullet; ≤ 30% of lines end with an
+    * ellipsis; ≥ 80% of words contain an alphabetic character; ≥ 2 of
+    * the eight Gopher stop words present.
+    */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val ws = tokens(col(textCol))
+    val lines = split(col(textCol), "\n")
+    val stopArr = array(gopherStop.map(lit): _*)
+    def occ(sub: String) =
+      ((length(col(textCol)) -
+        length(regexp_replace(col(textCol), java.util.regex.Pattern.quote(sub), ""))) /
+        sub.length).cast("long")
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      aggregate(transform(ws, w => length(w)), lit(0L), (a, x) => a + x)
+        .as("n_word_chars"),
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
+      size(filter(ws, w => array_contains(stopArr, w))).cast("long").as("n_stop"),
+      (occ("#") + occ("...")).as("n_sym"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long").as("n_bullet"),
+      size(filter(lines, l => l.endsWith("..."))).cast("long").as("n_ellipsis"))
+    .select(col("doc_id"), col("n_words"), col("n_stop"),
+      col("n_words").between(minWords, maxWords).as("f_word_count"),
+      (col("n_word_chars") >= col("n_words") * 3 &&
+        col("n_word_chars") <= col("n_words") * 10).as("f_mean_len"),
+      (col("n_sym") * 10 <= col("n_words")).as("f_symbol"),
+      (col("n_bullet") * 10 <= col("n_lines") * 9).as("f_bullet"),
+      (col("n_ellipsis") * 10 <= col("n_lines") * 3).as("f_ellipsis"),
+      (col("n_alpha_words") * 5 >= col("n_words") * 4).as("f_alpha"),
+      (col("n_stop") >= 2).as("f_stop"))
+    .withColumn("keep",
+      col("f_word_count") && col("f_mean_len") && col("f_symbol") &&
+        col("f_bullet") && col("f_ellipsis") && col("f_alpha") && col("f_stop"))
+  }
+
   /** Marker-stopword language heuristic. The synthetic corpus draws every
     * language from one shared English-ish vocabulary, so this exercises the
     * operator shape (the honest signal on real corpora comes from per-lang

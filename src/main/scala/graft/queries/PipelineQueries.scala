@@ -689,6 +689,47 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // Gopher quality-filter rule set (Rae et al. 2021, appendix A1.1):
+  // per-document boolean flags + combined keep verdict, every ratio
+  // multiplied out to exact integer comparisons so the engines agree
+  // bit-for-bit. Row-local codegen'd expressions — one narrow pass,
+  // no shuffle, the 100 TB filter shape.
+  declare("text_gopher_rules",
+    """WITH q AS (SELECT doc_id, string_split(text, ' ') ws,
+                         string_split(text, chr(10)) ls, text
+                  FROM documents WHERE doc_id < 200),
+       c AS (SELECT doc_id,
+         CAST(len(ws) AS BIGINT) n_words,
+         CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) n_word_chars,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) n_alpha_words,
+         CAST(len(list_filter(ws, w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS BIGINT) n_stop,
+         CAST((length(text) - length(replace(text, '#', ''))) / 1
+            + (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) n_sym,
+         CAST(len(ls) AS BIGINT) n_lines,
+         CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) n_bullet,
+         CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS BIGINT) n_ellipsis
+         FROM q)
+       SELECT doc_id, n_words, n_stop,
+         n_words BETWEEN 50 AND 100000 AS f_word_count,
+         n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10 AS f_mean_len,
+         n_sym * 10 <= n_words AS f_symbol,
+         n_bullet * 10 <= n_lines * 9 AS f_bullet,
+         n_ellipsis * 10 <= n_lines * 3 AS f_ellipsis,
+         n_alpha_words * 5 >= n_words * 4 AS f_alpha,
+         n_stop >= 2 AS f_stop,
+         (n_words BETWEEN 50 AND 100000)
+           AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10
+           AND n_sym * 10 <= n_words
+           AND n_bullet * 10 <= n_lines * 9
+           AND n_ellipsis * 10 <= n_lines * 3
+           AND n_alpha_words * 5 >= n_words * 4
+           AND n_stop >= 2 AS keep
+       FROM c ORDER BY doc_id""") { (spark, sfDir) =>
+    TextAnalysis.gopherRules(
+      t(spark, sfDir, "documents").filter(col("doc_id") < 200))
+      .orderBy("doc_id")
+  }
+
   declare("text_stats_by_lang",
     """SELECT lang, source, COUNT(*) n_docs,
          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) sum_tokens,

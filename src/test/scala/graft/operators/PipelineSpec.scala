@@ -51,6 +51,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("gopher rules: hand-built docs trip each flag independently") {
+    import spark.implicits._
+    // The synthetic corpus has no lines/bullets/symbols, so the
+    // line-level and symbol rules are pinned here on planted text.
+    val good = (Seq.fill(20)("the of and that") :+ "have with").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                    // passes everything
+      (2L, "the of and"),                            // too short
+      (3L, good + " ##########"),                    // symbol ratio > 1/10
+      (4L, (1 to 10).map(i => s"- bullet $i the of and that have with " +
+        "w w w w w w w w w w w w w w w w w w w w w w w w w w w w w w w w " +
+        "w w w w w w").mkString("\n")),              // every line bulleted
+      (5L, good + "\n" + "end..." + "\n" + "end2..." + "\n" + "x")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("f_word_count"),
+        r.getAs[Boolean]("f_symbol"), r.getAs[Boolean]("f_bullet"),
+        r.getAs[Boolean]("f_ellipsis"), r.getAs[Boolean]("keep"))).toSeq
+    assert(out(0) == ((1L, true, true, true, true, true)))
+    assert(out(1)._2 == false && out(1)._6 == false)       // word count
+    assert(out(2)._3 == false && out(2)._6 == false)       // symbols
+    assert(out(3)._4 == false && out(3)._6 == false)       // bullets
+    // doc 5: 4 lines, 2 ellipsis-ended = 50% > 30% -> f_ellipsis false.
+    assert(out(4)._5 == false && out(4)._6 == false)
+  }
+
   test("collocations: hand-computed PMI on a two-doc corpus, row-local pair gen") {
     import spark.implicits._
     val tiny = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
