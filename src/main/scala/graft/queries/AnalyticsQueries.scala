@@ -1190,6 +1190,31 @@ object AnalyticsQueries {
     spark.sql("SELECT k, v, n FROM graft_q99 ORDER BY k")
   }
 
+  // ON CONFLICT DO UPDATE (round 15): the full upsert — conflicting
+  // keys update via SET with EXCLUDED.c (incoming row) and bare/target
+  // refs (existing row), optional WHERE keeps failing conflicts
+  // untouched, fresh keys insert. Both engines run the IDENTICAL
+  // script through their own genuine upsert machinery.
+  declare("q105_on_conflict_update",
+    """CREATE OR REPLACE TEMP TABLE graft_q105 (k INTEGER PRIMARY KEY, v VARCHAR, n BIGINT);
+       INSERT INTO graft_q105 VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30);
+       INSERT INTO graft_q105 VALUES (2, 'B', 200), (4, 'd', 40)
+         ON CONFLICT DO UPDATE SET v = EXCLUDED.v, n = n + EXCLUDED.n;
+       INSERT INTO graft_q105 VALUES (1, 'X', 999), (3, 'Y', 5)
+         ON CONFLICT (k) DO UPDATE SET n = EXCLUDED.n WHERE graft_q105.n < 20;
+       SELECT k, v, n FROM graft_q105 ORDER BY k""") { (spark, sfDir) =>
+    spark.sql("DROP TABLE IF EXISTS graft_q105")
+    Seq(
+      "CREATE OR REPLACE TEMP TABLE graft_q105 (k INTEGER PRIMARY KEY, v VARCHAR, n BIGINT)",
+      "INSERT INTO graft_q105 VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)",
+      """INSERT INTO graft_q105 VALUES (2, 'B', 200), (4, 'd', 40)
+         ON CONFLICT DO UPDATE SET v = EXCLUDED.v, n = n + EXCLUDED.n""",
+      """INSERT INTO graft_q105 VALUES (1, 'X', 999), (3, 'Y', 5)
+         ON CONFLICT (k) DO UPDATE SET n = EXCLUDED.n WHERE graft_q105.n < 20"""
+    ).foreach(s => spark.sql(s).collect())
+    spark.sql("SELECT k, v, n FROM graft_q105 ORDER BY k")
+  }
+
   // DuckDB JSON-name parity (round 14): json_extract_string (DuckDB's
   // ->> — unquoted text) under DuckDB's '$.path' dialect over the
   // events props JSON column, via Spark's codegen'd get_json_object.

@@ -712,7 +712,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "first — INSERT INTO t SELECT * FROM inc LEFT ANTI JOIN " +
                   "t USING (key_cols) (OR IGNORE), or stage the merged " +
                   "state and INSERT OVERWRITE (OR REPLACE). ON CONFLICT " +
-                  "DO UPDATE has no lane — stage a MERGE-style join.")
+                  "DO UPDATE SET ... [WHERE ...] (EXCLUDED.c = incoming " +
+                  "row) runs against graft temp tables too; for catalog " +
+                  "tables stage a MERGE-style join.")
               case similarToRe() =>
                 Some("If you meant DuckDB's [NOT] SIMILAR TO: the " +
                   "literal-pattern form (expr SIMILAR TO '<regex>') " +
@@ -2594,8 +2596,9 @@ object GraftSparkExtensions {
     */
   val tempUpsertFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("temp_upsert"), info("temp_upsert"), (args: Seq[Expression]) => {
-      require(args.size == 5 && args.forall(_.foldable),
-        "temp_upsert(name, source_query, cols_csv, keys_csv, mode) — constants")
+      require((args.size == 5 || args.size == 7) && args.forall(_.foldable),
+        "temp_upsert(name, source_query, cols_csv, keys_csv, mode" +
+          "[, set_csv, where]) — constants")
       val v = args.map(_.eval(null)).toIndexedSeq
       require(v.forall(_ != null), "temp_upsert arguments must be non-NULL")
       val spark = org.apache.spark.sql.SparkSession.active
@@ -2654,6 +2657,83 @@ object GraftSparkExtensions {
           val nFresh = freshStaged.count()
           TempTables.put(name, target.unionByName(freshStaged))
           nFresh
+        case "update" =>
+          // ON CONFLICT DO UPDATE SET ... [WHERE ...] — DuckDB 1.0
+          // pinned: bare refs in SET/WHERE are the TARGET row,
+          // EXCLUDED.c is the incoming row, assigning a conflict-target
+          // column is a binder error, a duplicate key WITHIN the
+          // increment is a constraint error, and the Count is
+          // inserted + actually-updated (WHERE-failing conflicts keep
+          // the old row and do not count).
+          import org.apache.spark.sql.functions.{expr, when}
+          if (dupKeys.nonEmpty)
+            fail("PRIMARY KEY or UNIQUE constraint violated: duplicate key " +
+              s"in the inserted rows (${keys.mkString(", ")} = " +
+              s"${dupKeys.head.toSeq.init.mkString(", ")})")
+          val setText = asString(v(5))
+          val whereText = asString(v(6)).trim
+          // EXCLUDED.c / <name>.c → the renamed staged column / the
+          // bare target column (quote-aware via the literal mask).
+          def rewriteRefs(s: String): String = {
+            val refRe = ("(?i)\\b(excluded|" +
+              java.util.regex.Pattern.quote(name) +
+              ")\\s*\\.\\s*([A-Za-z_]\\w*)").r
+            val masked = graft.sql.ReplaceRewrite.maskLiterals(s)
+            val sb = new StringBuilder
+            var pos = 0
+            refRe.findAllMatchIn(masked).foreach { m =>
+              sb.append(s.substring(pos, m.start))
+              val c = s.substring(m.start(2), m.end(2))
+              if (m.group(1).equalsIgnoreCase("excluded"))
+                sb.append("__exc_").append(c)
+              else sb.append('`').append(c).append('`')
+              pos = m.end
+            }
+            sb.append(s.substring(pos))
+            sb.toString
+          }
+          val assigns = graft.sql.ReplaceRewrite.splitTop(setText).map { a =>
+            val eq = {
+              val masked = graft.sql.ReplaceRewrite.maskLiterals(a)
+              masked.indexOf('=')
+            }
+            if (eq <= 0) fail(s"DO UPDATE SET: cannot parse assignment '$a'")
+            val c = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+            if (!target.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+              fail(s"DO UPDATE SET: column '$c' not in '$name'")
+            if (keys.exists(_.equalsIgnoreCase(c)))
+              fail(s"Can not assign to column '$c' because it is the " +
+                "conflict target (UNIQUE/PRIMARY KEY)")
+            c -> rewriteRefs(a.substring(eq + 1).trim)
+          }.toMap
+          val excluded = staged.select(staged.columns.map(c =>
+            col(c).as(s"__exc_$c")).toIndexedSeq: _*)
+          val joinCond = keys.map(k => col(k) === col(s"__exc_$k"))
+            .reduce(_ && _)
+          val conflicted = target.join(excluded, joinCond, "inner")
+          val cond = if (whereText.isEmpty) lit(true)
+            else expr(rewriteRefs(whereText))
+          val updated = conflicted.select(target.columns.map { c =>
+            assigns.find(_._1.equalsIgnoreCase(c)) match {
+              case Some((_, e)) =>
+                // Assignments cast to the COLUMN's type (DuckDB's
+                // contract) — without it the union would silently
+                // widen the whole column.
+                val dt = target.schema(target.schema.fieldIndex(c)).dataType
+                when(cond, expr(e).cast(dt)).otherwise(col(c)).as(c)
+              case None => col(c).as(c)
+            }
+          }.toIndexedSeq: _*)
+          val nUpdated = conflicted.filter(cond).count()
+          val untouched = target.join(
+            staged.select(keyCols: _*), keys, "left_anti")
+          val fresh = staged.join(target.select(keyCols: _*), keys, "left_anti")
+          val (freshStaged, _) =
+            graft.operators.Scratch.materialize(fresh, s"upsu_$name")
+          val nFresh = freshStaged.count()
+          TempTables.put(name,
+            untouched.unionByName(updated).unionByName(freshStaged))
+          nFresh + nUpdated
         case other => fail(s"temp_upsert: unknown mode '$other'")
       }
       tempCountRow(n)

@@ -145,16 +145,40 @@ object TempTableRewrite {
             case Some(pos) =>
               if (!isTemp || returning.isDefined) return None
               val clause = body0.substring(pos).trim
-              val m = ("(?is)\\AON\\s+CONFLICT\\s*" +
-                "(?:\\(([^)]*)\\)\\s*)?DO\\s+NOTHING\\s*\\z").r
-                .findFirstMatchIn(clause).getOrElse(return None)
+              val headRe = ("(?is)\\AON\\s+CONFLICT\\s*" +
+                "(?:\\(([^)]*)\\)\\s*)?DO\\s+(NOTHING|UPDATE)\\b").r
+              val m = headRe.findFirstMatchIn(clause).getOrElse(return None)
               val keys = Option(m.group(1)).toSeq
                 .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
               val (cols, body) =
                 splitColsBody(body0.substring(0, pos).trim).getOrElse(return None)
-              Some(s"SELECT * FROM temp_upsert('${esc(name)}', " +
-                s"'${esc(body)}', '${esc(cols.mkString(","))}', " +
-                s"'${esc(keys.mkString(","))}', 'ignore')")
+              val tail = clause.substring(m.end).trim
+              if (m.group(2).equalsIgnoreCase("NOTHING")) {
+                if (tail.nonEmpty) return None
+                Some(s"SELECT * FROM temp_upsert('${esc(name)}', " +
+                  s"'${esc(body)}', '${esc(cols.mkString(","))}', " +
+                  s"'${esc(keys.mkString(","))}', 'ignore')")
+              } else {
+                // DO UPDATE SET a = expr, ... [WHERE cond] — the WHERE
+                // split uses the quote/comment-aware word scan (a
+                // ' WHERE ' inside a string literal is data).
+                val setM = "(?is)\\ASET\\s+(.+)\\z".r
+                  .findFirstMatchIn(tail).getOrElse(return None)
+                val setAll = setM.group(1)
+                val whereW = QualifyRewrite.topLevelWords(setAll)
+                  .find(_._1 == "WHERE")
+                val (setText, whereText) = whereW match {
+                  case Some((_, p)) =>
+                    (setAll.substring(0, p).trim,
+                      setAll.substring(p + "WHERE".length).trim)
+                  case None => (setAll.trim, "")
+                }
+                if (setText.isEmpty) return None
+                Some(s"SELECT * FROM temp_upsert('${esc(name)}', " +
+                  s"'${esc(body)}', '${esc(cols.mkString(","))}', " +
+                  s"'${esc(keys.mkString(","))}', 'update', " +
+                  s"'${esc(setText)}', '${esc(whereText)}')")
+              }
             case None =>
               if (!isTemp && returning.isEmpty) return None // native INSERT
               if (!isTemp) {

@@ -1815,6 +1815,41 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS co_tgt")
   }
 
+  test("ON CONFLICT DO UPDATE executes with DuckDB-pinned semantics") {
+    def one(sql: String): Long = spark.sql(sql).head().getLong(0)
+    spark.sql("DROP TABLE IF EXISTS du_t")
+    spark.sql("CREATE TEMP TABLE du_t (id INTEGER PRIMARY KEY, v INTEGER, s STRING)")
+    spark.sql("INSERT INTO du_t VALUES (1, 10, 'a'), (2, 20, 'b')")
+    // EXCLUDED.c = incoming, qualified target ref; Count = inserted +
+    // updated (DuckDB 1.0 pinned: 2).
+    assert(one("INSERT INTO du_t VALUES (2, 99, 'x'), (3, 30, 'c') " +
+      "ON CONFLICT DO UPDATE SET v = EXCLUDED.v + du_t.v, s = EXCLUDED.s") == 2L)
+    assert(spark.sql("SELECT * FROM du_t ORDER BY id").collect()
+      .map(_.mkString(",")).toSeq == Seq("1,10,a", "2,119,x", "3,30,c"))
+    // WHERE: the failing conflict keeps the old row and does NOT count.
+    assert(one("INSERT INTO du_t VALUES (1, 5, 'q'), (4, 40, 'd') " +
+      "ON CONFLICT DO UPDATE SET v = EXCLUDED.v WHERE du_t.v > 100") == 1L)
+    assert(spark.sql("SELECT v FROM du_t WHERE id = 1").head().getInt(0) == 10)
+    // Bare refs in SET are the TARGET row (pinned: 10 + 1 = 11).
+    assert(one("INSERT INTO du_t VALUES (1, 7, 'z') " +
+      "ON CONFLICT DO UPDATE SET v = v + 1") == 1L)
+    assert(spark.sql("SELECT v FROM du_t WHERE id = 1").head().getInt(0) == 11)
+    // Duplicate key WITHIN the increment is a constraint error.
+    val exD = intercept[Exception](spark.sql(
+      "INSERT INTO du_t VALUES (9,1,'m'), (9,2,'n') " +
+        "ON CONFLICT DO UPDATE SET v = EXCLUDED.v"))
+    assert(exD.getMessage.contains("PRIMARY KEY"), s"got: ${exD.getMessage}")
+    // Assigning the conflict-target column is a binder error.
+    val exK = intercept[Exception](spark.sql(
+      "INSERT INTO du_t VALUES (2,1,'w') ON CONFLICT DO UPDATE SET id = 99"))
+    assert(exK.getMessage.contains("conflict target"), s"got: ${exK.getMessage}")
+    // ' WHERE ' inside a string literal is data, not the clause split.
+    assert(one("INSERT INTO du_t VALUES (1, 5, 'L') " +
+      "ON CONFLICT DO UPDATE SET v = length(' WHERE x ')") == 1L)
+    assert(spark.sql("SELECT v FROM du_t WHERE id = 1").head().getInt(0) == 9)
+    spark.sql("DROP TABLE du_t")
+  }
+
   test("INSERT OR REPLACE / OR IGNORE / ON CONFLICT upsert temp tables " +
     "with DuckDB-pinned Counts") {
     def one(sql: String): Long = spark.sql(sql).head().getLong(0)
@@ -1852,10 +1887,10 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val cat = intercept[Exception](
       spark.sql("INSERT OR REPLACE INTO graft_not_a_temp VALUES (1)"))
     assert(cat.getMessage.contains("ANTI JOIN"), s"got: ${cat.getMessage}")
-    // DO UPDATE has no lane — the hint says so.
-    val du = intercept[Exception](spark.sql(
-      "INSERT INTO up_t VALUES (1,'q') ON CONFLICT (id) DO UPDATE SET s = 'q'"))
-    assert(du.getMessage.contains("DO UPDATE"), s"got: ${du.getMessage}")
+    // DO UPDATE executes too (full semantics pinned in its own test).
+    assert(one(
+      "INSERT INTO up_t VALUES (1,'q') ON CONFLICT (id) DO UPDATE SET s = 'q'") == 1L)
+    assert(spark.sql("SELECT s FROM up_t WHERE id = 1").head().getString(0) == "q")
     Seq("up_t", "up_n").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
