@@ -52,6 +52,53 @@ object TextAnalysis {
       (col("n_tokens") < 20).as("is_short"))
   }
 
+  /** Per-group unigram KL divergence against the pooled corpus — the
+    * mixture-drift diagnostic (which sources' token distributions sit
+    * far from the blend they feed). KL is computed over the global
+    * top-`topK` vocabulary plus one explicit OOV bucket: principled
+    * (bounded-coverage estimate with the tail mass accounted once) AND
+    * numerically reproducible — ~topK float terms per group, so the
+    * summation-order error stays orders of magnitude below the
+    * micro-nat flooring both engines agree on.
+    *
+    * Shape at scale: ONE corpus-sized pass — the (group, token) count
+    * is scratch-materialized (|groups| × |vocab| rows, Zipf-small next
+    * to the corpus) so its several consumers (vocabulary, group
+    * totals, the term join) re-read the aggregate instead of
+    * re-running the corpus scan per branch; after that everything is
+    * vocabulary-sized, with the K-row vocabulary broadcast.
+    */
+  def corpusDivergence(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", topK: Int = 50): DataFrame = {
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(tokens(col(textCol))).as("tok"))
+    val (gt, _) = Scratch.materialize(
+      toks.groupBy("grp", "tok").agg(count(lit(1)).as("c")), "cdiv_gt")
+    val tot = gt.groupBy("tok").agg(sum("c").as("ct"))
+    val vocab = tot.orderBy(desc("ct"), asc("tok")).limit(topK)
+    val ng = gt.groupBy("grp").agg(sum("c").as("ng"))
+    val bigN = tot.agg(sum("ct").as("N"))
+    val vocabN = vocab.agg(sum("ct").as("vN"))
+    val inV = gt.join(broadcast(vocab), Seq("tok"))
+    // p·ln(p/q) with p = c/ng, q = ct/N; zero-count groups contribute 0.
+    val terms = inV.join(ng, Seq("grp")).crossJoin(broadcast(bigN))
+      .select(col("grp"), col("ng"),
+        (col("c") / col("ng") *
+          log(col("c") * col("N") / (col("ng") * col("ct")))).as("term"),
+        col("c"))
+    val inKl = terms.groupBy("grp", "ng")
+      .agg(sum("term").as("kl_v"), sum("c").as("cv"))
+    // The OOV bucket: group mass outside the vocabulary vs pooled OOV.
+    inKl.crossJoin(broadcast(bigN)).crossJoin(broadcast(vocabN))
+      .select(col("grp"), col("ng").cast("long").as("n_tokens"),
+        floor((col("kl_v") +
+          when(col("ng") > col("cv"),
+            (col("ng") - col("cv")) / col("ng") *
+              log((col("ng") - col("cv")) * col("N") /
+                (col("ng") * (col("N") - col("vN")))))
+            .otherwise(lit(0.0))) * 1e6).cast("long").as("kl_micro"))
+  }
+
   /** The eight Gopher stop words (Rae et al. 2021, table A1 — the
     * "contains ≥2 of" rule's list).
     */

@@ -689,6 +689,37 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // Per-source unigram KL divergence vs the pooled corpus (round 15):
+  // the mixture-drift diagnostic, over the global top-50 vocabulary
+  // plus one explicit OOV bucket (bounded coverage, and ~51 float
+  // terms per group keeps the summation-order error far below the
+  // micro-nat flooring both engines agree on).
+  declare("text_corpus_divergence",
+    """WITH toks AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+       gt AS (SELECT grp, tok, CAST(COUNT(*) AS DOUBLE) c FROM toks GROUP BY 1, 2),
+       tot AS (SELECT tok, SUM(c) ct FROM gt GROUP BY 1),
+       vocab AS (SELECT tok, ct FROM tot ORDER BY ct DESC, tok LIMIT 50),
+       ngt AS (SELECT grp, SUM(c) ng FROM gt GROUP BY 1),
+       bign AS (SELECT SUM(ct) AS N FROM tot),
+       vn AS (SELECT SUM(ct) AS vN FROM vocab),
+       terms AS (
+         SELECT g.grp, SUM(g.c / n.ng * ln(g.c * b.N / (n.ng * v.ct))) kl_v,
+                SUM(g.c) cv
+         FROM gt g JOIN vocab v USING (tok) JOIN ngt n USING (grp)
+              CROSS JOIN bign b
+         GROUP BY 1)
+       SELECT t.grp AS grp, CAST(n.ng AS BIGINT) n_tokens,
+         CAST(floor((t.kl_v + CASE WHEN n.ng > t.cv
+             THEN (n.ng - t.cv) / n.ng *
+                  ln((n.ng - t.cv) * b.N / (n.ng * (b.N - v.vN)))
+             ELSE 0.0 END) * 1e6) AS BIGINT) kl_micro
+       FROM terms t JOIN ngt n USING (grp) CROSS JOIN bign b CROSS JOIN vn v
+       ORDER BY grp""") { (spark, sfDir) =>
+    TextAnalysis.corpusDivergence(t(spark, sfDir, "documents"))
+      .orderBy("grp")
+  }
+
   // Gopher quality-filter rule set (Rae et al. 2021, appendix A1.1):
   // per-document boolean flags + combined keep verdict, every ratio
   // multiplied out to exact integer comparisons so the engines agree

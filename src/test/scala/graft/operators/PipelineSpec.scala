@@ -51,6 +51,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("corpus divergence: hand-computed KL on a two-group corpus") {
+    import spark.implicits._
+    // A: {x:3, y:1}, B: {x:1, y:3}; pooled q = (0.5, 0.5).
+    // KL = 0.75 ln 1.5 + 0.25 ln 0.5 = 0.1308122... for both groups.
+    val docs = Seq(("A", "x x x y"), ("B", "x y y y")).toDF("source", "text")
+    val out = TextAnalysis.corpusDivergence(docs, topK = 2)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("A", 4L, 130812L), ("B", 4L, 130812L)))
+    // topK = 1: vocab = {x} (count tie broken by token asc), y becomes
+    // the OOV bucket — same mass split here, so the same KL.
+    val oov = TextAnalysis.corpusDivergence(docs, topK = 1)
+      .orderBy("grp").collect().map(_.getLong(2)).toSeq
+    assert(oov == Seq(130812L, 130812L))
+    // A group missing a vocab token contributes a zero term, not NaN.
+    val docs2 = Seq(("A", "x x"), ("B", "x y")).toDF("source", "text")
+    val out2 = TextAnalysis.corpusDivergence(docs2, topK = 5)
+      .orderBy("grp").collect().map(_.getLong(2)).toSeq
+    // A: p_x=1, q_x=0.75 -> ln(4/3)=0.287682; B: .5 ln(2/3)+.5 ln 2
+    //   = 0.143841.
+    assert(out2 == Seq(287682L, 143841L))
+  }
+
   test("gopher rules: hand-built docs trip each flag independently") {
     import spark.implicits._
     // The synthetic corpus has no lines/bullets/symbols, so the
