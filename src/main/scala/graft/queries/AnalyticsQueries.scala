@@ -1215,6 +1215,36 @@ object AnalyticsQueries {
     spark.sql("SELECT k, v, n FROM graft_q105 ORDER BY k")
   }
 
+  // ALTER TABLE on temp tables (round 15): the schema-evolution script
+  // shape — ADD with DEFAULT backfill, RENAME COLUMN, type change,
+  // DROP COLUMN, RENAME TO — each engine through its own machinery
+  // (graft: snapshot re-materialization; DuckDB: real ALTER).
+  // (price is pre-rounded to an integer-valued DOUBLE: DuckDB's
+  // DOUBLE→BIGINT cast rounds while Spark's truncates — exact values
+  // keep the engines identical.)
+  declare("q106_alter_table",
+    """CREATE OR REPLACE TEMP TABLE graft_q106 AS
+         SELECT o_orderkey AS k, round(o_totalprice, 0) AS price FROM orders WHERE o_orderkey <= 40;
+       ALTER TABLE graft_q106 ADD COLUMN tier VARCHAR DEFAULT 'std';
+       ALTER TABLE graft_q106 RENAME COLUMN price TO total;
+       ALTER TABLE graft_q106 ALTER total TYPE BIGINT;
+       ALTER TABLE graft_q106 RENAME TO graft_q106b;
+       SELECT k, total, tier FROM graft_q106b ORDER BY k""") { (spark, sfDir) =>
+    Seq("graft_q106", "graft_q106b").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n"))
+    t(spark, sfDir, "orders").createOrReplaceTempView("graft_q106_orders")
+    Seq(
+      """CREATE OR REPLACE TEMP TABLE graft_q106 AS
+         SELECT o_orderkey AS k, round(o_totalprice, 0) AS price
+         FROM graft_q106_orders WHERE o_orderkey <= 40""",
+      "ALTER TABLE graft_q106 ADD COLUMN tier VARCHAR DEFAULT 'std'",
+      "ALTER TABLE graft_q106 RENAME COLUMN price TO total",
+      "ALTER TABLE graft_q106 ALTER total TYPE BIGINT",
+      "ALTER TABLE graft_q106 RENAME TO graft_q106b"
+    ).foreach(s => spark.sql(s).collect())
+    spark.sql("SELECT k, total, tier FROM graft_q106b ORDER BY k")
+  }
+
   // DuckDB JSON-name parity (round 14): json_extract_string (DuckDB's
   // ->> — unquoted text) under DuckDB's '$.path' dialect over the
   // events props JSON column, via Spark's codegen'd get_json_object.

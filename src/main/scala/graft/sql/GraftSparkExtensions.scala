@@ -865,6 +865,11 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               "table function directly: asof_join('left_view', " +
               "'right_view', 'on_col', 'left_order', 'right_order', " +
               "'payload_csv'[, strict[, inner[, forward]]])."))))
+    // ALTER TABLE parses natively (v2 syntax) but dies in analysis on
+    // a temp view — the graft temp-table forms re-materialize the
+    // snapshot pre-delegation; catalog tables keep Spark's own ALTER.
+    // Evaluated once via the extractor (the rewrite mutates).
+    case AlterTableRewrite.Rewritten(r) => r
     case _ if UpdateDeleteRewrite.isShaped(sqlText) =>
       // UPDATE/DELETE parse natively but fail analysis on every v1
       // table ("does not support row-level operations") — rewrite the

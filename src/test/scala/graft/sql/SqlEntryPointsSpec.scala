@@ -1815,6 +1815,42 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS co_tgt")
   }
 
+  test("ALTER TABLE re-materializes temp-table snapshots") {
+    spark.sql("DROP TABLE IF EXISTS at_t")
+    spark.sql("CREATE TEMP TABLE at_t (id INTEGER, v INTEGER)")
+    spark.sql("INSERT INTO at_t VALUES (1, 10)")
+    // ADD backfills DEFAULT into existing rows (DuckDB pinned).
+    spark.sql("ALTER TABLE at_t ADD COLUMN s VARCHAR DEFAULT 'x'")
+    assert(spark.table("at_t").collect().head.mkString(",") == "1,10,x")
+    // IF NOT EXISTS on a present column is a no-op; without it, error.
+    spark.sql("ALTER TABLE at_t ADD COLUMN IF NOT EXISTS s VARCHAR")
+    val exA = intercept[Exception](spark.sql("ALTER TABLE at_t ADD COLUMN s INT"))
+    assert(exA.getMessage.contains("already exists"), s"got: ${exA.getMessage}")
+    spark.sql("ALTER TABLE at_t RENAME COLUMN v TO val")
+    spark.sql("ALTER TABLE at_t ALTER val TYPE VARCHAR")
+    assert(spark.table("at_t").schema("val").dataType.simpleString == "string")
+    spark.sql("ALTER TABLE at_t ALTER COLUMN val SET DATA TYPE INTEGER")
+    assert(spark.table("at_t").schema("val").dataType.simpleString == "int")
+    spark.sql("ALTER TABLE at_t DROP COLUMN s")
+    assert(spark.table("at_t").columns.toSeq == Seq("id", "val"))
+    // DROP of a missing column errors; IF EXISTS tolerates.
+    val exD = intercept[Exception](spark.sql("ALTER TABLE at_t DROP COLUMN zz"))
+    assert(exD.getMessage.contains("does not exist"), s"got: ${exD.getMessage}")
+    spark.sql("ALTER TABLE at_t DROP COLUMN IF EXISTS zz")
+    // RENAME TO moves the snapshot; the old name unregisters.
+    spark.sql("DROP TABLE IF EXISTS at_r")
+    spark.sql("ALTER TABLE at_t RENAME TO at_r")
+    assert(spark.table("at_r").count() == 1L)
+    assert(intercept[Exception](spark.sql("SELECT * FROM at_t"))
+      .getMessage.contains("at_t"))
+    // Unsupported temp-table ALTER lands on the named error, not
+    // Spark's confusing view message.
+    val exU = intercept[Exception](spark.sql(
+      "ALTER TABLE at_r ALTER val TYPE INT USING (val + 1)"))
+    assert(exU.getMessage.contains("supported forms"), s"got: ${exU.getMessage}")
+    spark.sql("DROP TABLE at_r")
+  }
+
   test("ON CONFLICT DO UPDATE executes with DuckDB-pinned semantics") {
     def one(sql: String): Long = spark.sql(sql).head().getLong(0)
     spark.sql("DROP TABLE IF EXISTS du_t")
