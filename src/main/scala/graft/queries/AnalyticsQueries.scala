@@ -1215,6 +1215,28 @@ object AnalyticsQueries {
     spark.sql("SELECT k, v, n FROM graft_q105 ORDER BY k")
   }
 
+  // CREATE OR REPLACE TABLE (round 15): the catalog-table form Spark
+  // reserves for v2 — run as drop-then-create on v1 targets. The
+  // second CREATE proves the replace (new schema AND content win).
+  declare("q107_create_or_replace",
+    """CREATE OR REPLACE TABLE graft_q107 AS
+         SELECT o_orderstatus AS s, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1;
+       CREATE OR REPLACE TABLE graft_q107 AS
+         SELECT o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1;
+       SELECT p, n FROM graft_q107 ORDER BY p""") { (spark, sfDir) =>
+    spark.sql("DROP TABLE IF EXISTS graft_q107")
+    t(spark, sfDir, "orders").createOrReplaceTempView("graft_q107_orders")
+    Seq(
+      """CREATE OR REPLACE TABLE graft_q107 AS
+         SELECT o_orderstatus AS s, CAST(COUNT(*) AS BIGINT) AS n
+         FROM graft_q107_orders GROUP BY 1""",
+      """CREATE OR REPLACE TABLE graft_q107 AS
+         SELECT o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS n
+         FROM graft_q107_orders GROUP BY 1"""
+    ).foreach(s => spark.sql(s).collect())
+    spark.sql("SELECT p, n FROM graft_q107 ORDER BY p")
+  }
+
   // ALTER TABLE on temp tables (round 15): the schema-evolution script
   // shape — ADD with DEFAULT backfill, RENAME COLUMN, type change,
   // DROP COLUMN, RENAME TO — each engine through its own machinery

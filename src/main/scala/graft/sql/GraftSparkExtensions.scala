@@ -793,6 +793,12 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       .getOption("spark.graft.duckdbDescribe").contains("true")
     catch { case scala.util.control.NonFatal(_) => false }
 
+  /** Non-TEMP CREATE OR REPLACE TABLE, single-part name (the TEMP form
+    * never matches — TEMP sits between REPLACE and TABLE there).
+    */
+  private val createOrReplaceTableRe =
+    """(?is)\A\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([A-Za-z_]\w*)\b(.*)\z""".r
+
   private def preRewrite(sqlText: String): String = sqlText match {
     case describeRe(tbl) if duckDescribeEnabled =>
       s"SELECT * FROM duck_describe('$tbl')"
@@ -870,6 +876,54 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     // snapshot pre-delegation; catalog tables keep Spark's own ALTER.
     // Evaluated once via the extractor (the rewrite mutates).
     case AlterTableRewrite.Rewritten(r) => r
+    // CREATE OR REPLACE TABLE (non-TEMP — the TEMP form is claimed
+    // above) is v2-only in Spark; for an absent or plain-v1 target the
+    // DuckDB idiom runs as drop-then-create (atomicity of the native
+    // v2 REPLACE is not provided — the drop commits first; documented).
+    // DSv2 targets keep Spark's native REPLACE path.
+    case createOrReplaceTableRe(name, rest) =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cat = spark.sessionState.catalog
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+      val claim =
+        try {
+          !cat.tableExists(ident) || {
+            val meta = cat.getTableMetadata(ident)
+            meta.provider.map(_.toLowerCase)
+              .forall(UpdateDeleteRewrite.v1FileProviders.contains)
+          }
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (!claim) sqlText
+      else {
+        try {
+          // MANAGED data location to clear (an in-memory catalog's
+          // default warehouse dir survives session crashes, and the
+          // catalog-API drop does not clear it — a leftover dir would
+          // fail the CREATE with LOCATION_ALREADY_EXISTS). EXTERNAL
+          // tables and LOCATION-bearing statements keep their data.
+          val managedLoc: Option[java.net.URI] =
+            if (cat.tableExists(ident)) {
+              val meta = cat.getTableMetadata(ident)
+              if (meta.tableType ==
+                org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+                Some(meta.location)
+              else None
+            } else Some(cat.defaultTablePath(ident))
+          cat.dropTable(ident, ignoreIfNotExists = true, purge = false)
+          // The catalog-API drop also bypasses DropTableCommand's cache
+          // invalidation — refresh, or the relation cache would serve
+          // the replaced table's OLD schema after a column-def CREATE.
+          cat.refreshTable(ident)
+          if (!"(?i)\\bLOCATION\\b".r.findFirstIn(rest).isDefined)
+            managedLoc.foreach { uri =>
+              val p = new org.apache.hadoop.fs.Path(uri)
+              val fs = p.getFileSystem(
+                spark.sessionState.newHadoopConf())
+              if (fs.exists(p)) { fs.delete(p, true); () }
+            }
+        } catch { case scala.util.control.NonFatal(_) => () }
+        s"CREATE TABLE $name$rest"
+      }
     case _ if UpdateDeleteRewrite.isShaped(sqlText) =>
       // UPDATE/DELETE parse natively but fail analysis on every v1
       // table ("does not support row-level operations") — rewrite the

@@ -43,7 +43,7 @@ object UpdateDeleteRewrite {
     * overwrite and lose native transactional semantics — the provider
     * must be inspected, not just existence.
     */
-  private val v1FileProviders =
+  private[sql] val v1FileProviders =
     Set("parquet", "csv", "json", "orc", "text", "avro", "hive")
 
   private def isPlainV1Table(name: String): Boolean =

@@ -1815,6 +1815,22 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS co_tgt")
   }
 
+  test("CREATE OR REPLACE TABLE runs as drop-then-create on v1 targets") {
+    def clean(): Unit = spark.sql("DROP TABLE IF EXISTS cor_t")
+    clean()
+    spark.sql("CREATE OR REPLACE TABLE cor_t AS SELECT 1 AS a")
+    assert(spark.table("cor_t").head().getInt(0) == 1)
+    // Replace changes schema AND content.
+    spark.sql("CREATE OR REPLACE TABLE cor_t AS SELECT 'x' AS s, 2 AS b")
+    assert(spark.table("cor_t").columns.toSeq == Seq("s", "b"))
+    assert(spark.table("cor_t").head().getString(0) == "x")
+    // Column-def form with USING.
+    spark.sql("CREATE OR REPLACE TABLE cor_t (z BIGINT) USING parquet")
+    assert(spark.table("cor_t").columns.toSeq == Seq("z"))
+    assert(spark.table("cor_t").count() == 0L)
+    clean()
+  }
+
   test("ALTER TABLE re-materializes temp-table snapshots") {
     spark.sql("DROP TABLE IF EXISTS at_t")
     spark.sql("CREATE TEMP TABLE at_t (id INTEGER, v INTEGER)")
