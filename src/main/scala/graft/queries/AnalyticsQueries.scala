@@ -1215,6 +1215,20 @@ object AnalyticsQueries {
     spark.sql("SELECT k, v, n FROM graft_q105 ORDER BY k")
   }
 
+  // Bare quoted-path FROM (round 15): DuckDB's `FROM 'file.parquet'` —
+  // the first line of most pasted scripts — spliced onto read_parquet
+  // by extension. Fixed sf0.01 path on both sides (q70 convention:
+  // the statement's semantics are "read this literal file").
+  declare("q108_from_path",
+    """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+       FROM '/root/testdata/sf0.01/nation.parquet'
+       GROUP BY n_regionkey ORDER BY n_regionkey""") { (spark, _) =>
+    spark.sql(
+      """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+         FROM '/root/testdata/sf0.01/nation.parquet'
+         GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+
   // CREATE OR REPLACE TABLE (round 15): the catalog-table form Spark
   // reserves for v2 — run as drop-then-create on v1 targets. The
   // second CREATE proves the replace (new schema AND content win).

@@ -291,6 +291,64 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     if (changed) Some(sb.toString) else None
   }
 
+  /** DuckDB's bare quoted-path table reference — `FROM 'data.parquet'`,
+    * `JOIN 'x.csv' c ON ...` — spliced onto the engine's reader TVFs by
+    * extension (read_parquet / read_csv_auto / read_json_auto; globs
+    * ride through to the distributed reader). A quoted path only ever
+    * sits directly after FROM/JOIN in statements Spark cannot parse, so
+    * a native statement is never claimed; COPY/EXPORT statements keep
+    * their own lanes (their FROM 'path' is a sink/source argument, not
+    * a table ref). Unknown extensions decline — DuckDB sniffs content,
+    * this engine names the reader loudly instead.
+    */
+  private def bareFilePathRewrite(text: String): Option[String] = {
+    text match {
+      case copyStmtRe() => return None
+      case _ if "(?is)\\A\\s*(?:EXPORT|IMPORT)\\s+DATABASE\\b".r
+        .findFirstIn(text).isDefined => return None
+      case _ =>
+    }
+    val masked = ReplaceRewrite.maskLiterals(text)
+    val kw = "(?i)\\b(FROM|JOIN)\\b".r
+    val hits = kw.findAllMatchIn(masked).flatMap { m =>
+      var j = m.end
+      while (j < text.length && text.charAt(j).isWhitespace) j += 1
+      if (j < text.length && text.charAt(j) == '\'') Some((m.end, j))
+      else None
+    }.toList
+    if (hits.isEmpty) return None
+    val sb = new StringBuilder
+    var pos = 0
+    for ((kwEnd, q) <- hits) {
+      // Extract the literal (with '' doubling) from the raw text.
+      val lit = new StringBuilder
+      var k = q + 1
+      var closed = false
+      while (k < text.length && !closed) {
+        if (text.charAt(k) == '\'') {
+          if (k + 1 < text.length && text.charAt(k + 1) == '\'') {
+            lit.append('\''); k += 2
+          } else { closed = true; k += 1 }
+        } else { lit.append(text.charAt(k)); k += 1 }
+      }
+      if (!closed) return None
+      val path = lit.toString
+      val base = path.toLowerCase.stripSuffix(".gz").stripSuffix(".zst")
+      val reader =
+        if (base.endsWith(".parquet") || base.endsWith(".parq")) "read_parquet"
+        else if (base.endsWith(".csv") || base.endsWith(".tsv")) "read_csv_auto"
+        else if (base.endsWith(".json") || base.endsWith(".jsonl") ||
+          base.endsWith(".ndjson")) "read_json_auto"
+        else return None
+      val relit = path.replace("\\", "\\\\").replace("'", "''")
+      sb.append(text.substring(pos, kwEnd))
+        .append(s" $reader('$relit')")
+      pos = k
+    }
+    sb.append(text.substring(pos))
+    Some(sb.toString)
+  }
+
   /** `expr [NOT] SIMILAR TO '<regex>'` → `expr [NOT] RLIKE
     * '\A(?:<regex>)\z'` — DuckDB's SIMILAR TO is regexp_full_match
     * (its own docs), and the full-match anchors carry that onto
@@ -443,6 +501,11 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             // this chain with ordinary literals the other scanners'
             // masking understands.
             () => dollarQuoteRewrite(text),
+            // Bare quoted-path table refs (FROM 'x.parquet') — early,
+            // like dollar quotes: the spliced readers usually make the
+            // statement parse outright, and any remaining construct
+            // recurses through the chain.
+            () => bareFilePathRewrite(text),
             () => text match { case summarizeTableRe(tbl) =>
               Some(s"SELECT * FROM summarize('$tbl')"); case _ => None },
             () => text match { case summarizeQueryRe(q) =>

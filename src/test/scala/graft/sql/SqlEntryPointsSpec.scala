@@ -1815,6 +1815,27 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS co_tgt")
   }
 
+  test("bare quoted-path FROM splices the reader TVFs by extension") {
+    val nation = "/root/testdata/sf0.001/nation.parquet"
+    assert(spark.sql(s"SELECT COUNT(*) FROM '$nation'").head().getLong(0) == 25L)
+    // With alias, qualified columns, and as a JOIN side.
+    val j = spark.sql(
+      s"""SELECT r.n_name FROM '$nation' n JOIN '$nation' r
+          ON n.n_nationkey = r.n_nationkey WHERE n.n_nationkey = 3""")
+    assert(j.count() == 1L)
+    // CSV by extension (schema inference = the _auto reader).
+    val dir = java.nio.file.Files.createTempDirectory("graft_barepath")
+    val csv = dir.resolve("t.csv")
+    java.nio.file.Files.write(csv, "a,b\n1,x\n2,y\n".getBytes)
+    assert(spark.sql(s"SELECT COUNT(*) FROM '$csv'").head().getLong(0) == 2L)
+    // Unknown extension declines (no silent format guess).
+    val ex = intercept[Exception](spark.sql("SELECT * FROM '/tmp/x.bin'"))
+    assert(!ex.getMessage.contains("read_parquet"), s"got: ${ex.getMessage}")
+    // A quoted string that is NOT a table ref (WHERE position) stays
+    // data in a natively-parsing statement.
+    assert(spark.sql("SELECT 'a.parquet' AS s").head().getString(0) == "a.parquet")
+  }
+
   test("CREATE OR REPLACE TABLE runs as drop-then-create on v1 targets") {
     def clean(): Unit = spark.sql("DROP TABLE IF EXISTS cor_t")
     clean()
