@@ -2114,6 +2114,38 @@ object AnalyticsQueries {
          TO '/tmp/graft_q69_spark.parquet' (FORMAT PARQUET)""")
   }
 
+  // EXTRACT(epoch FROM ts) (round 15): the one EXTRACT field Spark
+  // rejects — rewritten onto the engine's epoch() alias (DuckDB's
+  // DOUBLE-seconds contract). MIN/MAX keep the comparison order-free.
+  declare("q110_extract_epoch",
+    """SELECT CAST(floor(MIN(EXTRACT(epoch FROM ts))) AS BIGINT) AS lo,
+              CAST(floor(MAX(EXTRACT(epoch FROM ts))) AS BIGINT) AS hi
+       FROM events""") { (spark, sfDir) =>
+    graft.Engine.events(spark, sfDir).createOrReplaceTempView("graft_q110_events")
+    spark.sql(
+      """SELECT CAST(floor(MIN(EXTRACT(epoch FROM ts))) AS BIGINT) AS lo,
+                CAST(floor(MAX(EXTRACT(epoch FROM ts))) AS BIGINT) AS hi
+         FROM graft_q110_events""")
+  }
+
+  // read_csv NAMED options (round 15): `read_csv('f', header = true,
+  // delim = '|')` — the option spelling every pasted DuckDB ingest
+  // script uses. The Spark side runs the real COPY-then-read round
+  // trip with the named-option read; the oracle models the preserved
+  // content (q69 convention — one statement per oracle run).
+  declare("q109_read_csv_named",
+    """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "region").createOrReplaceTempView("region")
+    spark.sql(
+      """COPY (SELECT r_regionkey, r_name FROM region)
+         TO '/tmp/graft_q109.csv' (FORMAT CSV, HEADER, DELIMITER '|')""").collect()
+    spark.sql(
+      """SELECT r_regionkey, r_name
+         FROM read_csv('/tmp/graft_q109.csv', header = true, delim = '|')
+         ORDER BY r_regionkey""")
+  }
+
   // DuckDB statement parity: `COPY tbl FROM 'path'` import direction
   // executing (sql/CopyToRewrite FROM branch → copy_from TVF →
   // insertInto append). The Spark side runs the real pipeline — export

@@ -419,6 +419,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     Some(out.toString)
   }
   private val powOpRe = "(?s).*\\*\\*.*".r
+  private val atTimeZoneRe = "(?is).*\\bAT\\s+TIME\\s+ZONE\\b.*".r
   private val attachRe = "(?is)\\A\\s*(?:ATTACH|DETACH)\\b.*".r
   private val createSeqRe =
     "(?is)\\A\\s*(?:CREATE|DROP)\\s+SEQUENCE\\b.*".r
@@ -790,6 +791,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                 Some("The ** power operator has no Spark spelling (and " +
                   "beware ^ is XOR here, not power). Use power(a, b) / " +
                   "pow(a, b), which both engines share.")
+              case atTimeZoneRe() =>
+                Some("AT TIME ZONE has no Spark SQL spelling, and its " +
+                  "meaning flips with the input's type — so no automatic " +
+                  "rewrite. For a naive timestamp interpreted as wall " +
+                  "time in a zone use to_utc_timestamp(ts, 'zone'); for " +
+                  "rendering an instant in a zone use " +
+                  "from_utc_timestamp(ts, 'zone'); the session displays " +
+                  "instants in spark.sql.session.timeZone.")
               case attachRe() =>
                 Some("ATTACH/DETACH are DuckDB-engine-specific. The " +
                   "Spark equivalents are catalogs and external tables: " +
@@ -862,7 +871,106 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val createOrReplaceTableRe =
     """(?is)\A\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([A-Za-z_]\w*)\b(.*)\z""".r
 
+  /** DuckDB named options in the reader TVF calls —
+    * `read_csv('f', header = true, delim = '|')` — fold into ONE
+    * marker-string argument the builders decode. The statement parses
+    * natively (each option is an EqualTo over a column the analyzer
+    * would kill before any TVF builder runs), so this must claim
+    * pre-delegation; it only touches the exact call shape (our reader
+    * names, `ident = literal` args at the call's top level), leaving
+    * every other statement byte-identical. Values: quoted literals
+    * unescape; bare words/numbers/booleans ride as text; anything
+    * else (an expression) declines to the native error.
+    */
+  private val namedReaderNameRe =
+    "(?i)\\b(read_(?:csv(?:_auto)?|json(?:_auto)?|parquet))\\s*\\(".r
+  private def namedReaderCallRewrite(text: String): Option[String] = {
+    if (!text.contains("=")) return None
+    val masked = ReplaceRewrite.maskLiterals(text)
+    if (namedReaderNameRe.findFirstIn(masked).isEmpty) return None
+    val sb = new StringBuilder
+    var pos = 0
+    var changed = false
+    val litRe = """\A'((?:[^']|'')*)'\z""".r
+    val bareRe = """\A[\w.+-]+\z""".r
+    val namedRe = """(?s)\A([A-Za-z_]\w*)\s*=(?!=)\s*(.+)\z""".r
+    for (m <- namedReaderNameRe.findAllMatchIn(masked)) {
+      val open = m.end - 1
+      val close = ReplaceRewrite.closeOf(text, open)
+      if (close < 0 || open < pos) ()
+      else {
+        val args = ReplaceRewrite.splitTop(text.substring(open + 1, close - 1))
+          .map(_.trim)
+        val keep = Vector.newBuilder[String]
+        val named = Vector.newBuilder[(String, String)]
+        var ok = true
+        for (a <- args if ok) {
+          val aMasked = ReplaceRewrite.maskLiterals(a)
+          namedRe.findFirstMatchIn(aMasked) match {
+            case Some(nm) if !aMasked.substring(0, nm.end(1)).contains("'") =>
+              val key = a.substring(nm.start(1), nm.end(1))
+              val rawV = a.substring(a.indexOf('=', nm.end(1)) + 1).trim
+              rawV match {
+                case litRe(b) => named += key -> b.replace("''", "'")
+                case bareRe() => named += key -> rawV
+                case _ => ok = false // expression value — native error
+              }
+            case _ => keep += a
+          }
+        }
+        val ns = named.result()
+        if (ok && ns.nonEmpty) {
+          val payload = GraftSparkExtensions.NamedOptsMarker +
+            ns.map { case (k, x) => k + "\u001F" + x }.mkString("\u001E")
+          val lit = "'" + payload.replace("\\", "\\\\")
+            .replace("'", "''") + "'"
+          sb.append(text.substring(pos, open + 1))
+            .append((keep.result() :+ lit).mkString(", "))
+          pos = close - 1
+          changed = true
+        }
+      }
+    }
+    if (!changed) return None
+    sb.append(text.substring(pos))
+    Some(sb.toString)
+  }
+
+  /** `EXTRACT(EPOCH FROM x)` → `epoch(x)` — the one EXTRACT field
+    * DuckDB has and Spark rejects (INVALID_EXTRACT_FIELD at analysis,
+    * so the statement parses natively and must be claimed here). The
+    * engine's epoch() alias already carries DuckDB's DOUBLE-seconds
+    * contract, EXTRACT(epoch) included (pinned on 1.0: both spell the
+    * same fractional value).
+    */
+  private val extractEpochRe =
+    "(?i)\\bEXTRACT\\s*\\(\\s*EPOCH\\s+FROM\\b".r
+  private def extractEpochRewrite(text: String): Option[String] = {
+    val masked = ReplaceRewrite.maskLiterals(text)
+    val ms = extractEpochRe.findAllMatchIn(masked).toList
+    if (ms.isEmpty) return None
+    val sb = new StringBuilder
+    var pos = 0
+    for (m <- ms if m.start >= pos) {
+      val open = masked.indexOf('(', m.start)
+      val close = ReplaceRewrite.closeOf(text, open)
+      if (close < 0) return None
+      val inner = text.substring(m.end, close - 1).trim
+      sb.append(text.substring(pos, m.start)).append(s"epoch($inner)")
+      pos = close
+    }
+    sb.append(text.substring(pos))
+    Some(sb.toString)
+  }
+
   private def preRewrite(sqlText: String): String = sqlText match {
+    case _ if sqlText.contains("=") &&
+        namedReaderNameRe.findFirstIn(sqlText).isDefined &&
+        namedReaderCallRewrite(sqlText).isDefined =>
+      preRewrite(namedReaderCallRewrite(sqlText).get)
+    case _ if extractEpochRe.findFirstIn(sqlText).isDefined &&
+        extractEpochRewrite(sqlText).isDefined =>
+      preRewrite(extractEpochRewrite(sqlText).get)
     case describeRe(tbl) if duckDescribeEnabled =>
       s"SELECT * FROM duck_describe('$tbl')"
     case columnsSelectRe() =>
@@ -2198,23 +2306,116 @@ object GraftSparkExtensions {
         .queryExecution.analyzed
     })
 
-  val readParquetFn = readerFn("read_parquet", 1) { (spark, v) =>
-    spark.read.parquet(asString(v(0)))
+  /** The marker + separators [[namedReaderCallRewrite]] uses to ship
+    * DuckDB named reader options (`read_csv('f', header = true)`)
+    * through one ordinary string argument: the named pairs cannot stay
+    * as parsed (`key = value` is an EqualTo over a column the analyzer
+    * kills BEFORE any TVF builder runs), so the pre-delegation rewrite
+    * folds them into `'<marker>key<US>value<RS>...'` and the builder
+    * decodes. ASCII RS/US separators — never part of a real option.
+    */
+  private[sql] val NamedOptsMarker = "__graft_named__"
+
+  private def namedReaderArgs(name: String, args: Seq[Expression],
+      maxPositional: Int): (IndexedSeq[Any], Map[String, Any]) = {
+    require(args.forall(_.foldable), s"$name arguments must be constants " +
+      "or key = constant options")
+    val vs = args.map(_.eval(null)).toIndexedSeq
+    require(vs.forall(_ != null), s"$name arguments must be non-NULL")
+    val (pos, named) = vs.lastOption.collect {
+      case s if asString(s).startsWith(NamedOptsMarker) =>
+        val body = asString(s).stripPrefix(NamedOptsMarker)
+        val m = body.split('\u001E').iterator.filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('\u001F')
+          kv.substring(0, i).toLowerCase -> (kv.substring(i + 1): Any)
+        }.toMap
+        (vs.init, m)
+    }.getOrElse((vs, Map.empty[String, Any]))
+    if (pos.size > maxPositional) throw new IllegalArgumentException(
+      s"$name(path[, ...]) takes at most $maxPositional positional " +
+        "arguments; pass further options as key = value, or use " +
+        "spark.read.option(...) directly")
+    (pos, named)
   }
+
+  /** Apply DuckDB reader options onto a DataFrameReader: `mapped` keys
+    * pass through 1:1, `ignored` keys are detection knobs Spark's own
+    * inference replaces, anything else declines loudly (an option like
+    * ignore_errors CHANGES RESULTS — swallowing it would silently
+    * diverge).
+    */
+  private def applyReaderOpts(name: String,
+      reader: org.apache.spark.sql.DataFrameReader, opts: Map[String, Any],
+      mapped: Map[String, String], ignored: Set[String])
+      : org.apache.spark.sql.DataFrameReader = {
+    opts.foldLeft(reader) { case (r, (k, x)) =>
+      mapped.get(k) match {
+        case Some(sparkKey) =>
+          val s = x match {
+            case b: java.lang.Boolean => b.toString
+            case other => asString(other)
+          }
+          r.option(sparkKey, s)
+        case None if ignored.contains(k) => r
+        case None => throw new IllegalArgumentException(
+          s"$name: unsupported option '$k' (supported: " +
+            s"${mapped.keys.toSeq.sorted.mkString(", ")}; " +
+            "use spark.read.option(...) for the rest)")
+      }
+    }
+  }
+
+  private def namedReaderFn(name: String, maxPositional: Int)(
+      build: (org.apache.spark.sql.SparkSession, IndexedSeq[Any],
+        Map[String, Any]) => org.apache.spark.sql.DataFrame)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name), info(name), (args: Seq[Expression]) => {
+      if (args.isEmpty) throw new IllegalArgumentException(
+        s"$name(path[, ...]) expects at least the path argument")
+      val (pos, named) = namedReaderArgs(name, args, maxPositional)
+      require(pos.nonEmpty, s"$name: the path must be positional")
+      build(org.apache.spark.sql.SparkSession.active, pos, named)
+        .queryExecution.analyzed
+    })
+
+  val readParquetFn = namedReaderFn("read_parquet", 1) { (spark, v, o) =>
+    applyReaderOpts("read_parquet", spark.read, o,
+      Map("union_by_name" -> "mergeSchema"),
+      Set("hive_partitioning", "filename", "binary_as_string"))
+      .parquet(asString(v(0)))
+  }
+  private val csvOptMap = Map(
+    "header" -> "header", "delim" -> "sep", "sep" -> "sep",
+    "delimiter" -> "sep", "quote" -> "quote", "escape" -> "escape",
+    "nullstr" -> "nullValue", "dateformat" -> "dateFormat",
+    "timestampformat" -> "timestampFormat", "comment" -> "comment")
   private def csvReader(spark: org.apache.spark.sql.SparkSession,
-      v: IndexedSeq[Any]): org.apache.spark.sql.DataFrame =
-    spark.read
-      .option("header", (if (v.size >= 2) asBool(v(1)) else true).toString)
+      v: IndexedSeq[Any], o: Map[String, Any]): org.apache.spark.sql.DataFrame = {
+    val base = spark.read
+      .option("header", (if (v.size >= 2) asBool(v(1))
+        else o.get("header").map(asBool).getOrElse(true)).toString)
       .option("sep", if (v.size >= 3) asString(v(2)) else ",")
       .option("inferSchema", "true")
-      .csv(asString(v(0)))
-  val readCsvFn = readerFn("read_csv", 3)(csvReader)
-  val readCsvAutoFn = readerFn("read_csv_auto", 3)(csvReader)
+    applyReaderOpts("read_csv", base, o - "header", csvOptMap - "header",
+      Set("auto_detect", "sample_size", "compression", "parallel",
+        "all_varchar")).csv(asString(v(0)))
+  }
+  val readCsvFn = namedReaderFn("read_csv", 3)(csvReader)
+  val readCsvAutoFn = namedReaderFn("read_csv_auto", 3)(csvReader)
   private def jsonReader(spark: org.apache.spark.sql.SparkSession,
-      v: IndexedSeq[Any]): org.apache.spark.sql.DataFrame =
-    spark.read.json(asString(v(0)))
-  val readJsonFn = readerFn("read_json", 1)(jsonReader)
-  val readJsonAutoFn = readerFn("read_json_auto", 1)(jsonReader)
+      v: IndexedSeq[Any], o: Map[String, Any]): org.apache.spark.sql.DataFrame = {
+    // DuckDB format='array' = one JSON array per file → Spark multiLine.
+    val base = o.get("format").map(asString(_).toLowerCase) match {
+      case Some("array") => spark.read.option("multiLine", "true")
+      case _ => spark.read
+    }
+    applyReaderOpts("read_json", base, o - "format",
+      Map("dateformat" -> "dateFormat", "timestampformat" -> "timestampFormat"),
+      Set("auto_detect", "sample_size", "compression", "records",
+        "maximum_object_size")).json(asString(v(0)))
+  }
+  val readJsonFn = namedReaderFn("read_json", 1)(jsonReader)
+  val readJsonAutoFn = namedReaderFn("read_json_auto", 1)(jsonReader)
 
   /** DuckDB's `generate_series` table function — INCLUSIVE stop bound
     * (DuckDB's own `range` TVF is exclusive, same as Spark's native

@@ -1815,6 +1815,50 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS co_tgt")
   }
 
+  test("EXTRACT(epoch FROM x) rewrites onto epoch(); AT TIME ZONE hints") {
+    val v = spark.sql(
+      "SELECT EXTRACT(epoch FROM TIMESTAMP '2020-01-01 00:00:01.5')")
+      .head().getDouble(0)
+    assert(v == 1.5778368015e9, s"got $v")
+    // Composes with native EXTRACT fields in the same statement.
+    assert(spark.sql("SELECT EXTRACT(EPOCH FROM TIMESTAMP '1970-01-01 " +
+      "00:00:02') + EXTRACT(year FROM DATE '2020-03-01')")
+      .head().getDouble(0) == 2022.0)
+    // Inside a string literal: data, not the construct.
+    assert(spark.sql("SELECT 'EXTRACT(epoch FROM x)' AS s")
+      .head().getString(0) == "EXTRACT(epoch FROM x)")
+    val ex = intercept[Exception](spark.sql(
+      "SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC'"))
+    assert(ex.getMessage.contains("to_utc_timestamp"), s"got: ${ex.getMessage}")
+  }
+
+  test("reader TVFs take DuckDB named options") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ropt")
+    java.nio.file.Files.write(dir.resolve("t.csv"), "a|b\n1|x\nNULLX|y\n".getBytes)
+    java.nio.file.Files.write(dir.resolve("arr.json"),
+      "[{\"a\":1},{\"a\":2}]".getBytes)
+    val r = spark.sql(s"SELECT * FROM read_csv('$dir/t.csv', " +
+      "header = true, delim = '|', nullstr = 'NULLX') ORDER BY b").collect()
+    assert(r.length == 2)
+    assert(r(0).getInt(0) == 1 && r(0).getString(1) == "x")
+    assert(r(1).isNullAt(0) && r(1).getString(1) == "y")
+    // Detection knobs Spark's inference replaces are accepted-ignored.
+    assert(spark.sql(s"SELECT COUNT(*) FROM read_csv('$dir/t.csv', " +
+      "auto_detect = true, delim = '|')").head().getLong(0) == 2L)
+    // A semantics-changing option declines loudly, never swallowed.
+    val ex = intercept[Exception](spark.sql(
+      s"SELECT * FROM read_csv('$dir/t.csv', ignore_errors = true)"))
+    assert(ex.getMessage.contains("unsupported option"), s"got: ${ex.getMessage}")
+    // JSON format='array' → multiLine; parquet union_by_name → mergeSchema.
+    assert(spark.sql(s"SELECT COUNT(*) FROM read_json('$dir/arr.json', " +
+      "format = 'array')").head().getLong(0) == 2L)
+    assert(spark.sql("SELECT COUNT(*) FROM read_parquet(" +
+      "'/root/testdata/sf0.001/nation.parquet', union_by_name = true)")
+      .head().getLong(0) == 25L)
+    // A natively-parsing statement with '=' is untouched (no hijack).
+    assert(spark.sql("SELECT 1 WHERE 1 = 1").count() == 1L)
+  }
+
   test("bare quoted-path FROM splices the reader TVFs by extension") {
     val nation = "/root/testdata/sf0.001/nation.parquet"
     assert(spark.sql(s"SELECT COUNT(*) FROM '$nation'").head().getLong(0) == 25L)
