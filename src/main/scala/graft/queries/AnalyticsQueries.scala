@@ -2128,6 +2128,59 @@ object AnalyticsQueries {
          FROM graft_q110_events""")
   }
 
+  // Temporal generate_series (round 15): DATE/TIMESTAMP bounds with an
+  // INTERVAL step — DuckDB returns TIMESTAMPs even for DATE bounds
+  // (1.0-pinned); the splice is Spark's codegen'd sequence()+explode.
+  // (Documented divergence: an empty-direction temporal series errors
+  // here where DuckDB returns zero rows.)
+  declare("q111_generate_series_ts",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(MIN(generate_series) AS DATE) AS lo,
+              CAST(MAX(generate_series) AS DATE) AS hi
+       FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY)""") {
+    (spark, _) =>
+    spark.sql(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(MIN(generate_series) AS DATE) AS lo,
+                CAST(MAX(generate_series) AS DATE) AS hi
+         FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY)""")
+  }
+
+  // struct_pack named-argument constructor (round 15): DuckDB's
+  // `struct_pack(a := x)` → named_struct; field access projects back
+  // to plain columns (the driver's hasher takes no struct columns).
+  declare("q112_struct_pack",
+    """SELECT s.a AS k, CAST(COUNT(*) AS BIGINT) AS n
+       FROM (SELECT struct_pack(a := o_orderstatus, b := o_totalprice) AS s
+             FROM orders) t
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT s.a AS k, CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT struct_pack(a := o_orderstatus, b := o_totalprice) AS s
+               FROM orders) t
+         GROUP BY 1 ORDER BY 1""")
+  }
+
+  // COPY FORMAT JSON (round 15): DuckDB's JSON export is
+  // newline-delimited objects — exactly Spark's json writer; each
+  // engine round-trips its own artifact under the identical script.
+  // (q69 convention: each engine round-trips its OWN path — Spark
+  // writes a part-file directory where DuckDB writes one file, so a
+  // shared literal path cannot serve both.)
+  declare("q113_copy_json",
+    """COPY (SELECT n_nationkey, n_name FROM nation) TO '/tmp/graft_q113_oracle.json' (FORMAT JSON);
+       SELECT CAST(n_nationkey AS BIGINT) AS k, n_name
+       FROM read_json_auto('/tmp/graft_q113_oracle.json') ORDER BY k""") { (spark, sfDir) =>
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """COPY (SELECT n_nationkey, n_name FROM nation)
+         TO '/tmp/graft_q113_spark.json' (FORMAT JSON)""").collect()
+    spark.sql(
+      """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name
+         FROM read_json_auto('/tmp/graft_q113_spark.json') ORDER BY k""")
+  }
+
   // read_csv NAMED options (round 15): `read_csv('f', header = true,
   // delim = '|')` — the option spelling every pasted DuckDB ingest
   // script uses. The Spark side runs the real COPY-then-read round

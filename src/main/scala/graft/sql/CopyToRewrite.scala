@@ -119,9 +119,11 @@ object CopyToRewrite {
       val lower = path.toLowerCase
       if (lower.endsWith(".parquet")) Some("parquet")
       else if (lower.endsWith(".csv")) Some("csv")
+      else if (lower.endsWith(".json") || lower.endsWith(".jsonl") ||
+        lower.endsWith(".ndjson")) Some("json")
       else None
     }.getOrElse(return None)
-    if (fmt != "parquet" && fmt != "csv") return None
+    if (fmt != "parquet" && fmt != "csv" && fmt != "json") return None
 
     // DELIMITER/QUOTE/ESCAPE/NULL are CSV notions on both engines.
     if ((delimiter.isDefined || quote.isDefined || escape.isDefined ||

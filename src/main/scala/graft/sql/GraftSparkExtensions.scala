@@ -349,6 +349,50 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     Some(sb.toString)
   }
 
+  /** DuckDB's `struct_pack(a := 1, b := x)` → Spark's
+    * `named_struct('a', 1, 'b', x)` — same construct, different
+    * spelling; `:=` never parses in Spark so only genuine statements
+    * arrive. Innermost-first so nested packs resolve; any argument not
+    * of the `name := expr` shape declines the whole call.
+    */
+  private val structPackRe = "(?i)\\bstruct_pack\\s*\\(".r
+  private def structPackRewrite(text: String): Option[String] = {
+    if (structPackRe.findFirstIn(
+      ReplaceRewrite.maskLiterals(text)).isEmpty) return None
+    var cur = text
+    var changed = false
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val masked = ReplaceRewrite.maskLiterals(cur)
+      val hit = structPackRe.findAllMatchIn(masked).flatMap { m =>
+        val open = masked.indexOf('(', m.start)
+        val close = ReplaceRewrite.closeOf(cur, open)
+        if (close < 0) None
+        else {
+          val inner = cur.substring(open + 1, close - 1)
+          if (structPackRe.findFirstIn(
+            ReplaceRewrite.maskLiterals(inner)).isDefined) None
+          else Some((m.start, close, inner))
+        }
+      }.toSeq.headOption
+      hit match {
+        case None =>
+          return if (changed) Some(cur) else None
+        case Some((s, close, inner)) =>
+          val namedRe = """(?s)\A([A-Za-z_]\w*)\s*:=\s*(.+)\z""".r
+          val body = ReplaceRewrite.splitTop(inner).map(_.trim).map { p =>
+            val m = namedRe.findFirstMatchIn(p).getOrElse(return None)
+            s"'${m.group(1)}', ${m.group(2).trim}"
+          }.mkString(", ")
+          cur = cur.substring(0, s) + s"named_struct($body)" +
+            cur.substring(close)
+          changed = true
+      }
+    }
+    if (changed) Some(cur) else None
+  }
+
   /** `expr [NOT] SIMILAR TO '<regex>'` → `expr [NOT] RLIKE
     * '\A(?:<regex>)\z'` — DuckDB's SIMILAR TO is regexp_full_match
     * (its own docs), and the full-match anchors carry that onto
@@ -564,6 +608,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               CopyToRewrite.rewrite(text); case _ => None },
             () => text match { case macroRe() =>
               MacroRewrite.rewrite(text, delegate); case _ => None },
+            // struct_pack(a := 1) → named_struct — before the macro
+            // named-call lowering (struct_pack has no macro signature
+            // and would decline there).
+            () => structPackRewrite(text),
             // Named-argument macro CALL sites (`f(x, b := 1)`): `:=` is
             // not Spark syntax, so the statement only ever arrives here;
             // lowered to positional against the registered signature.
@@ -2432,6 +2480,31 @@ object GraftSparkExtensions {
         if (args.isEmpty || args.size > 3)
           throw new IllegalArgumentException(
             s"generate_series([start,] stop[, step]) — got ${args.size} arguments")
+        // Temporal form: DATE/TIMESTAMP bounds with an INTERVAL step —
+        // DuckDB returns TIMESTAMPs even for DATE bounds (pinned on
+        // 1.0), so both bounds cast to TIMESTAMP and the series
+        // splices Spark's codegen'd sequence() + explode (inclusive
+        // end, same as the integer form).
+        val temporal = args.exists { e =>
+          try e.dataType match {
+            case org.apache.spark.sql.types.DateType |
+              org.apache.spark.sql.types.TimestampType |
+              org.apache.spark.sql.types.TimestampNTZType => true
+            case _: org.apache.spark.sql.types.YearMonthIntervalType |
+              _: org.apache.spark.sql.types.DayTimeIntervalType => true
+            case org.apache.spark.sql.types.CalendarIntervalType => true
+            case _ => false
+          } catch { case scala.util.control.NonFatal(_) => false }
+        }
+        if (temporal) {
+          if (args.size != 3) throw new IllegalArgumentException(
+            "generate_series(start, stop, step) — the temporal form " +
+              "needs all three arguments (an INTERVAL step)")
+          org.apache.spark.sql.SparkSession.active.sql(
+            s"SELECT explode(sequence(CAST(${args(0).sql} AS TIMESTAMP), " +
+              s"CAST(${args(1).sql} AS TIMESTAMP), ${args(2).sql})) " +
+              "AS generate_series").queryExecution.analyzed
+        } else {
         require(args.forall(_.foldable), "generate_series arguments must be constants")
         val v = args.map(_.eval(null)).toIndexedSeq
         require(v.forall(_ != null), "generate_series arguments must be non-NULL constants")
@@ -2460,6 +2533,7 @@ object GraftSparkExtensions {
           else spark.range(start, stop + (if (step > 0) 1L else -1L), step)
         out.select(org.apache.spark.sql.functions.col("id").as("generate_series"))
           .queryExecution.analyzed
+        }
       })
 
   /** Spark type → DuckDB type spelling, for [[duckDescribeFn]].
@@ -2572,8 +2646,12 @@ object GraftSparkExtensions {
           val w = csvOptionKeys.foldLeft(writer) { case (wr, (k, opt)) =>
             opts.get(k).map(x => wr.option(opt, x)).getOrElse(wr) }
           w.option("header", header.toString).csv(path)
+        case "json" =>
+          // DuckDB's FORMAT JSON export is newline-delimited objects --
+          // exactly Spark's json writer (compression already applied).
+          writer.json(path)
         case other => throw new IllegalArgumentException(
-          s"copy_to: unsupported format '$other' (parquet, csv)")
+          s"copy_to: unsupported format '$other' (parquet, csv, json)")
       }
       val n = obs.get("n") match {
         case l: java.lang.Number => l.longValue()
@@ -2620,8 +2698,9 @@ object GraftSparkExtensions {
           val r = csvOptionKeys.foldLeft(r0) { case (rd, (k, opt)) =>
             opts.get(k).map(x => rd.option(opt, x)).getOrElse(rd) }
           r.schema(target.schema).csv(path)
+        case "json" => spark.read.schema(target.schema).json(path)
         case other => throw new IllegalArgumentException(
-          s"copy_from: unsupported format '$other' (parquet, csv)")
+          s"copy_from: unsupported format '$other' (parquet, csv, json)")
       }
       val obs = org.apache.spark.sql.Observation()
       val instrumented = src.observe(obs,

@@ -825,9 +825,12 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val zFiles = new java.io.File(s"$dir/z.parquet").listFiles
       .map(_.getName).filter(_.endsWith(".parquet")).toSeq
     assert(zFiles.nonEmpty && zFiles.forall(_.contains("zstd")), s"got $zFiles")
-    // Unsupported shapes decline to the guidance hint.
+    // FORMAT JSON executes now (its own test); unsupported shapes
+    // still decline to the guidance hint.
+    assert(spark.sql(s"COPY sq_quotes TO '$dir/x.json' (FORMAT JSON)")
+      .head().getLong(0) == 4L)
     val ex = intercept[Exception](spark.sql(
-      s"COPY sq_quotes TO '$dir/x.json' (FORMAT JSON)"))
+      s"COPY sq_quotes TO '$dir/x.avro' (FORMAT AVRO)"))
     assert(ex.getMessage.contains("COPY"), s"got: ${ex.getMessage}")
     val ex2 = intercept[Exception](spark.sql(
       s"COPY sq_quotes TO '$dir/y.parquet' (FORMAT PARQUET, DELIMITER '|')"))
@@ -1813,6 +1816,35 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       s"COPY co_tgt TO '$dir/x.parquet' (FORMAT PARQUET, QUOTE '!')"))
     assert(ex.getMessage.contains("COPY"), s"got: ${ex.getMessage}")
     spark.sql("DROP TABLE IF EXISTS co_tgt")
+  }
+
+  test("temporal generate_series, struct_pack, COPY FORMAT JSON") {
+    // Inclusive bound with DATE bounds → TIMESTAMP values (DuckDB 1.0).
+    val gs = spark.sql("SELECT * FROM generate_series(DATE '2020-01-01', " +
+      "DATE '2020-04-01', INTERVAL 1 MONTH)").collect()
+    assert(gs.length == 4)
+    assert(gs.head.getTimestamp(0).toString.startsWith("2020-01-01"))
+    // Down-counting temporal series.
+    assert(spark.sql("SELECT COUNT(*) FROM generate_series(" +
+      "TIMESTAMP '2020-01-03 00:00:00', TIMESTAMP '2020-01-01 00:00:00', " +
+      "INTERVAL -1 DAY)").head().getLong(0) == 3L)
+    // struct_pack: named fields, nesting, field access.
+    val sp = spark.sql("SELECT struct_pack(a := 1, b := 'x') AS s").head()
+      .getStruct(0)
+    assert(sp.getInt(0) == 1 && sp.getString(1) == "x")
+    assert(spark.sql("SELECT struct_pack(a := struct_pack(c := 2)).a.c")
+      .head().getInt(0) == 2)
+    // ':=' inside a string stays data; malformed args decline.
+    assert(spark.sql("SELECT struct_pack(a := 'x := 1').a AS v")
+      .head().getString(0) == "x := 1")
+    intercept[Exception](spark.sql("SELECT struct_pack(1, 2)"))
+    // COPY FORMAT JSON round-trips through the json writer/reader.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cj")
+    spark.sql("SELECT 1 AS a, 'x' AS s").createOrReplaceTempView("cj_t")
+    assert(spark.sql(s"COPY cj_t TO '$dir/t.json' (FORMAT JSON)")
+      .head().getLong(0) == 1L)
+    val back = spark.sql(s"SELECT * FROM read_json('$dir/t.json')").head()
+    assert(back.getLong(0) == 1L && back.getString(1) == "x")
   }
 
   test("EXTRACT(epoch FROM x) rewrites onto epoch(); AT TIME ZONE hints") {
