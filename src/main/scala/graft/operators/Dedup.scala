@@ -63,6 +63,42 @@ object Dedup {
     shingleArray(docs, n, idCol, textCol)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
+  /** Cross-source n-gram overlap matrix — the dataset-contamination
+    * diagnostic: for every source pair, the count of DISTINCT word
+    * n-grams both contain plus the Jaccard of the two shingle sets
+    * (per-mille, from exact integer counts). Scale shape: one
+    * map-side-combined (source, shingle) distinct (the only
+    * corpus-sized shuffle, scratch-materialized for its three
+    * consumers), then a self-equi-join on the shingle whose per-key
+    * fan-out is bounded by the SOURCE count (the distinct caps
+    * multiplicity — no corpus² blowup), and source-count joins small
+    * enough for AQE to broadcast. Pairs sharing nothing are absent.
+    */
+  def crossSourceOverlap(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", n: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col(groupCol).cast("string"), col(textCol))
+      .as[(String, String)]
+      .flatMap { case (s, t) => wordShingles(nn(t), n).map((s, _)) }
+      .toDF("src", "shingle").distinct()
+    val shM = materialize(sh, "xsrc_sh")
+    val sizes = shM.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    val inter = shM
+      .join(shM.select(col("src").as("src_b"), col("shingle")), Seq("shingle"))
+      .filter(col("src") < col("src_b"))
+      .groupBy(col("src").as("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("src").as("src_a"), col("n_sh").as("na")), Seq("src_a"))
+      .join(sizes.select(col("src").as("src_b"), col("n_sh").as("nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        col("n_shared").cast("long").as("n_shared"),
+        floor(lit(1000.0) * col("n_shared") /
+          (col("na") + col("nb") - col("n_shared")))
+          .cast("long").as("jaccard_millis"))
+  }
+
   /** [[shingles]] through the JIT'd imperative tokenizer ([[wordShingles]],
     * identical split semantics) instead of Column HOFs — Spark evaluates
     * `transform`/`element_at` lambdas interpreted, ~10× slower per token;

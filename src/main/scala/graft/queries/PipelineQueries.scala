@@ -689,6 +689,29 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // Cross-source 5-gram overlap matrix (round 15): the dataset-
+  // contamination diagnostic — distinct shared word n-grams and
+  // shingle-set Jaccard (per-mille, exact integer counts) for every
+  // source pair that shares anything.
+  declare("dedup_cross_source",
+    """WITH toks AS (SELECT source, string_split(text, ' ') ws FROM documents),
+       sh0 AS (SELECT source, list_transform(generate_series(1, greatest(len(ws)-4, 0)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) shingles
+               FROM toks),
+       sh AS (SELECT DISTINCT source, unnest(shingles) AS shingle FROM sh0),
+       sizes AS (SELECT source, COUNT(*) n_sh FROM sh GROUP BY 1),
+       inter AS (SELECT a.source src_a, b.source src_b, COUNT(*) n_shared
+                 FROM sh a JOIN sh b USING (shingle)
+                 WHERE a.source < b.source GROUP BY 1, 2)
+       SELECT src_a, src_b, CAST(n_shared AS BIGINT) n_shared,
+         CAST(floor(1000.0 * n_shared / (sa.n_sh + sb.n_sh - n_shared)) AS BIGINT) jaccard_millis
+       FROM inter JOIN sizes sa ON sa.source = src_a
+                  JOIN sizes sb ON sb.source = src_b
+       ORDER BY src_a, src_b""") { (spark, sfDir) =>
+    Dedup.crossSourceOverlap(t(spark, sfDir, "documents"))
+      .orderBy("src_a", "src_b")
+  }
+
   // Per-source unigram KL divergence vs the pooled corpus (round 15):
   // the mixture-drift diagnostic, over the global top-50 vocabulary
   // plus one explicit OOV bucket (bounded coverage, and ~51 float

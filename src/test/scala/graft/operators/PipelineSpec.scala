@@ -51,6 +51,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("cross-source overlap: hand-computed shingle matrix") {
+    import spark.implicits._
+    // 2-gram sets: A {a b, b c, c d}, B {b c, c d, d e}, C {x y}.
+    val docs = Seq(("A", "a b c d"), ("B", "b c d e"), ("C", "x y"))
+      .toDF("source", "text")
+    val out = graft.operators.Dedup.crossSourceOverlap(docs, n = 2)
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // A∩B = {b c, c d} = 2; union = 4 -> 500 per-mille. C shares nothing
+    // with either — absent, not zero rows.
+    assert(out == Seq(("A", "B", 2L, 500L)))
+    // Duplicate docs inside one source do not inflate the distinct sets.
+    val dup = Seq(("A", "a b"), ("A", "a b"), ("B", "a b"))
+      .toDF("source", "text")
+    val o2 = graft.operators.Dedup.crossSourceOverlap(dup, n = 2).collect()
+    assert(o2.length == 1 && o2.head.getLong(2) == 1L &&
+      o2.head.getLong(3) == 1000L)
+  }
+
   test("corpus divergence: hand-computed KL on a two-group corpus") {
     import spark.implicits._
     // A: {x:3, y:1}, B: {x:1, y:3}; pooled q = (0.5, 0.5).
