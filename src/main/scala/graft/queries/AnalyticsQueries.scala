@@ -2199,6 +2199,98 @@ object AnalyticsQueries {
          ORDER BY r_regionkey""")
   }
 
+  // Ordered aggregates (round 15): DuckDB's in-argument `agg(args
+  // ORDER BY keys)` — string_agg onto Spark's WITHIN GROUP, array_agg
+  // onto the sort-struct lowering (sql/OrderedAggRewrite). IDENTICAL
+  // statement text on both engines; order keys are unique so the
+  // aggregated strings are fully deterministic.
+  declare("q114_ordered_agg",
+    """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+                  ORDER BY o_orderkey LIMIT 20)
+       SELECT o_orderpriority,
+         string_agg(CAST(o_orderkey AS STRING), ',' ORDER BY o_orderkey DESC) AS ks,
+         array_to_string(array_agg(CAST(o_custkey AS STRING) ORDER BY o_orderkey), '|') AS cs
+       FROM s GROUP BY o_orderpriority ORDER BY o_orderpriority""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+                    ORDER BY o_orderkey LIMIT 20)
+         SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS STRING), ',' ORDER BY o_orderkey DESC) AS ks,
+           array_to_string(array_agg(CAST(o_custkey AS STRING) ORDER BY o_orderkey), '|') AS cs
+         FROM s GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
+  // Named WINDOW clause parity (round 15): `WINDOW w AS (...)` with
+  // multiple consumers — native in BOTH engines (Spark windowClause
+  // grammar), pinned here as a parity gate entry. floor-then-BIGINT
+  // keeps the running sum exact-integer (segment-tree vs sequential
+  // accumulation would diverge on floats); o_orderkey is unique so
+  // rank and frame contents are deterministic.
+  declare("q115_window_clause",
+    """SELECT o_orderkey,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) OVER w AS BIGINT) AS running,
+         CAST(rank() OVER w AS BIGINT) AS rk
+       FROM orders WHERE o_orderkey <= 100
+       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+       ORDER BY o_orderkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) OVER w AS BIGINT) AS running,
+           CAST(rank() OVER w AS BIGINT) AS rk
+         FROM orders WHERE o_orderkey <= 100
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+         ORDER BY o_orderkey""")
+  }
+
+  // LATERAL correlated subquery parity (round 15): per-customer
+  // aggregate over a correlated LATERAL — native in BOTH engines
+  // (Spark decorrelates to a join; at scale that is the shuffled
+  // equi-join on o_custkey, not a per-row re-scan). COUNT(*)=0 rows
+  // keep the NULL SUM both sides.
+  declare("q116_lateral",
+    """SELECT c.c_custkey, a.n, a.tot
+       FROM customer c, LATERAL (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS tot
+         FROM orders WHERE o_custkey = c.c_custkey) a
+       WHERE c.c_custkey <= 50 ORDER BY c.c_custkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT c.c_custkey, a.n, a.tot
+         FROM customer c, LATERAL (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS tot
+           FROM orders WHERE o_custkey = c.c_custkey) a
+         WHERE c.c_custkey <= 50 ORDER BY c.c_custkey""")
+  }
+
+  // ROLLUP + grouping() parity (round 15): multi-level aggregation
+  // with grouping indicators — native in BOTH engines; one shuffled
+  // partial-agg pass covers every rollup level (Spark Expand), the
+  // 100 TB shape for subtotal reports. l_quantity is integral-valued
+  // (schema-pinned) so the BIGINT cast is exact on both engines.
+  declare("q117_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+         CAST(grouping(l_returnflag) AS BIGINT) AS g1,
+         CAST(grouping(l_linestatus) AS BIGINT) AS g2,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g1,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g2,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""")
+  }
+
   // DuckDB statement parity: `COPY tbl FROM 'path'` import direction
   // executing (sql/CopyToRewrite FROM branch → copy_from TVF →
   // insertInto append). The Spark side runs the real pipeline — export

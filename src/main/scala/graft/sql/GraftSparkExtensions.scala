@@ -616,6 +616,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             // not Spark syntax, so the statement only ever arrives here;
             // lowered to positional against the registered signature.
             () => MacroRewrite.namedCallRewrite(text),
+            // DuckDB's in-argument ordered aggregates — string_agg(x,
+            // ',' ORDER BY y), list(x ORDER BY y DESC) — onto WITHIN
+            // GROUP / the sort-struct lowering. Parse-failure only.
+            () => OrderedAggRewrite.rewrite(text),
             () => text match { case qualifyRe() =>
               QualifyRewrite.rewrite(text); case _ => None },
             // LAST deliberately: bracket/brace literal syntax only ever
