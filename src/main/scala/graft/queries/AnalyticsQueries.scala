@@ -2291,6 +2291,21 @@ object AnalyticsQueries {
          ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""")
   }
 
+  // COLUMNS deeper expression nesting (round 15): the whole select
+  // item re-binds per matched column, multiple occurrences of the SAME
+  // set expand in lockstep, outputs keep the plain source-column names
+  // (sql/ColumnsRewrite general template path, DuckDB 1.0 pinned).
+  // IDENTICAL statement text on both engines — DuckDB runs its native
+  // COLUMNS.
+  declare("q118_columns_nested",
+    """SELECT max(COLUMNS('^l_[ops].*key$')) - min(COLUMNS('^l_[ops].*key$'))
+       FROM lineitem""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT max(COLUMNS('^l_[ops].*key$')) - min(COLUMNS('^l_[ops].*key$'))
+         FROM lineitem""")
+  }
+
   // DuckDB statement parity: `COPY tbl FROM 'path'` import direction
   // executing (sql/CopyToRewrite FROM branch → copy_from TVF →
   // insertInto append). The Spark side runs the real pipeline — export

@@ -32,20 +32,22 @@ import scala.util.control.NonFatal
   * COLUMNS set ride along verbatim (`round(COLUMNS('^x'), 1)` →
   * ``round(`x1`, 1) AS `x1``, ...).
   *
-  * Deliberately conservative — supported shape: ONE `COLUMNS(` in the
-  * statement, appearing in a top-level select-list item that is either
-  * the bare call or exactly one identifier-named function wrapping it
-  * (first argument; trailing arguments allowed), argument `*`, a
-  * single-quoted regex literal that compiles, or `* EXCLUDE (a, b)`
-  * with every excluded name present in the table (DuckDB errors on an
-  * unknown exclusion; here the statement declines), a name-filter
-  * lambda `c -> <predicate>`, table a single-part catalog-resolvable
-  * name, no join/set-op, and ≥1 column matches (DuckDB errors on zero
-  * matches; here the statement declines).
-  * Everything else — deeper expression
-  * nesting like `min(COLUMNS(*)) + 1` (DuckDB rebinds the whole
-  * expression per column; a textual expansion of the general form would
-  * need a real parser) — declines; the caller ([[GraftHintParser]])
+  * Deliberately conservative — supported shape: a top-level
+  * select-list item holding the COLUMNS set in ANY expression position
+  * (bare, function-wrapped, or deeper nesting like `min(COLUMNS(*)) +
+  * 1` — the whole item re-binds per column, DuckDB 1.0 pinned, see
+  * [[parseItem]]); multiple occurrences within one item expand in
+  * lockstep when their argument text is identical (different sets are
+  * a DuckDB binder error and decline here); several COLUMNS-bearing
+  * select items resolve one per pass through the parse-failure chain's
+  * recursion. The set argument is `*`, a single-quoted regex literal
+  * that compiles, `* EXCLUDE (a, b)` with every excluded name present
+  * in the table (DuckDB errors on an unknown exclusion; here the
+  * statement declines), or a name-filter lambda `c -> <predicate>`;
+  * the table a single-part catalog-resolvable name, no join/set-op,
+  * and ≥1 column matches (DuckDB errors on zero matches; here the
+  * statement declines). COLUMNS outside the select list (WHERE's
+  * conjunction form) declines; the caller ([[GraftHintParser]])
   * surfaces the guidance hint for declined statements that
   * [[isColumnsShaped]] confirms really are the DuckDB construct (vs.
   * e.g. the text appearing inside a string literal).
@@ -56,7 +58,7 @@ object ColumnsRewrite {
     * None when the statement is not a plain one-table SELECT.
     */
   private def selectItems(sql: String): Option[(Int, Vector[String], Int)] = {
-    if ("""(?i)\bCOLUMNS\s*\(""".r.findAllMatchIn(sql).size != 1) return None
+    if ("""(?i)\bCOLUMNS\s*\(""".r.findAllMatchIn(sql).isEmpty) return None
     val words = QualifyRewrite.topLevelWords(sql)
     if (words.isEmpty || words.head._1 != "SELECT") return None
     if (sql.take(words.head._2).exists(!_.isWhitespace)) return None
@@ -76,44 +78,57 @@ object ColumnsRewrite {
   }
 
   /** A recognized select-item shape: the COLUMNS set argument text plus
-    * the optional wrapping function `(name, extraArgsText)` — extraArgs
-    * is the verbatim text after the COLUMNS call inside the wrapper's
-    * parens, starting at its comma ("" when absent).
+    * the per-column renderer producing the projected item text.
     */
-  private final case class Call(arg: String, wrap: Option[(String, String)])
+  private final case class Call(arg: String, render: String => String)
 
-  /** Parse one trimmed select-list item as a COLUMNS shape, or None. */
+  /** Parse one trimmed select-list item as a COLUMNS shape, or None.
+    *
+    * GENERAL expression nesting (DuckDB 1.0 pinned): the whole item
+    * re-binds per matched column — `min(COLUMNS(*)) + 1` yields one
+    * `min(`c`) + 1` per column — and every output is NAMED by the
+    * plain source column (same rule as the simple wrapped form; an
+    * explicit trailing alias distributes to every output, duplicate
+    * names and all, exactly as DuckDB produces ['m','m']). Multiple
+    * COLUMNS occurrences in one item must carry IDENTICAL argument
+    * text and expand in lockstep (`max(COLUMNS(s)) - min(COLUMNS(s))`);
+    * different sets are a DuckDB binder error ("Multiple different
+    * STAR/COLUMNS ... not supported") and decline here too.
+    */
   private def parseItem(item: String): Option[Call] = {
-    val direct = """(?is)\ACOLUMNS\s*\(""".r
-    direct.findFirstMatchIn(item) match {
-      case Some(m) =>
-        // The COLUMNS call must BE the item: trailing text (an alias, an
-        // operator) means it is embedded in an expression — decline.
-        val close = ReplaceRewrite.closeOf(item, m.end - 1)
-        if (close < 0 || item.substring(close).trim.nonEmpty) None
-        else Some(Call(item.substring(m.end, close - 1).trim, None))
-      case None =>
-        val wrapped = """(?is)\A([A-Za-z_]\w*)\s*\(\s*COLUMNS\s*\(""".r
-        wrapped.findFirstMatchIn(item) match {
-          case Some(w) if !w.group(1).equalsIgnoreCase("columns") =>
-            val colClose = ReplaceRewrite.closeOf(item, w.end - 1)
-            if (colClose < 0) return None
-            val outerOpen = item.indexOf('(', w.end(1))
-            val outerClose = ReplaceRewrite.closeOf(item, outerOpen)
-            // The wrapper must close the item, and anything between the
-            // COLUMNS close and the wrapper close must be further
-            // arguments (`, 1`) — an operator there (`min(COLUMNS(*)
-            // + 1)`) is expression nesting, which DuckDB rebinds per
-            // column; decline rather than mis-expand.
-            if (outerClose < 0 || item.substring(outerClose).trim.nonEmpty)
-              return None
-            val between = item.substring(colClose, outerClose - 1).trim
-            if (between.nonEmpty && !between.startsWith(",")) return None
-            Some(Call(item.substring(w.end, colClose - 1).trim,
-              Some((w.group(1), if (between.isEmpty) "" else between))))
-          case _ => None
-        }
+    val occRe = """(?i)\bCOLUMNS\s*\(""".r
+    val masked = ReplaceRewrite.maskLiterals(item)
+    val ms = occRe.findAllMatchIn(masked).toList
+    if (ms.isEmpty) return None
+    // Span of each full COLUMNS(...) call (masked offsets are raw
+    // offsets: the mask is length-preserving).
+    val spans = ms.map { m =>
+      val open = masked.indexOf('(', m.start)
+      val close = ReplaceRewrite.closeOf(item, open)
+      if (close < 0) return None
+      (m.start, open, close)
     }
+    val args = spans.map { case (_, o, c) => item.substring(o + 1, c - 1).trim }
+    if (args.distinct.length != 1) return None
+    val arg = args.head
+    // A COLUMNS nested inside its own argument would break the span
+    // arithmetic — no such DuckDB form exists; decline.
+    if (occRe.findFirstIn(ReplaceRewrite.maskLiterals(arg)).isDefined)
+      return None
+    val sb = new StringBuilder
+    var pos = 0
+    spans.foreach { case (s, _, c) =>
+      if (s < pos) return None
+      sb.append(item.substring(pos, s)).append('\u0000')
+      pos = c
+    }
+    sb.append(item.substring(pos))
+    val template = sb.toString
+    if (template == "\u0000")
+      Some(Call(arg, col => s"`$col`")) // bare set: names are the columns
+    else
+      Some(Call(arg,
+        col => template.replace("\u0000", s"`$col`") + s" AS `$col`"))
   }
 
   /** The context plus which item is a recognized COLUMNS shape:
@@ -224,12 +239,7 @@ object ColumnsRewrite {
     val kept = resolveCols(call.arg, cols.toSeq).getOrElse(return None)
     if (kept.isEmpty) return None // DuckDB errors on zero matches; hint here
 
-    val projected = call.wrap match {
-      case None => kept.map(c => s"`$c`").mkString(", ")
-      case Some((fn, extras)) =>
-        // DuckDB names each wrapped output by the plain source column.
-        kept.map(c => s"$fn(`$c`$extras) AS `$c`").mkString(", ")
-    }
+    val projected = kept.map(call.render).mkString(", ")
     // Rejoin on NEWLINES, not spaces: items were trimmed, and an item
     // ending in a `-- line comment` would otherwise swallow the next
     // item (or the FROM clause) when flattened onto one line.

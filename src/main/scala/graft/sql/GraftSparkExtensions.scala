@@ -1046,13 +1046,15 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               "(SELECT COLUMNS('regex') FROM t, COLUMNS(*), COLUMNS(* " +
               "EXCLUDE (a, b)), the name-filter lambda COLUMNS(c -> " +
               "c LIKE '...'), a mixed select list SELECT a, " +
-              "COLUMNS('re') FROM t, and one function wrapping the " +
-              "whole set — min(COLUMNS(*)), round(COLUMNS('^x'), 1) — " +
+              "COLUMNS('re') FROM t, and the set in any expression " +
+              "position of one select item — min(COLUMNS(*)), " +
+              "round(COLUMNS('^x'), 1), min(COLUMNS(*)) + 1, lockstep " +
+              "repeats like max(COLUMNS(s)) - min(COLUMNS(s)) — " +
               "single resolvable table, ≥1 matching column, every " +
               "excluded name present) run automatically, but this one " +
-              "doesn't — deeper expression nesting " +
-              "(min(COLUMNS(*)) + 1) has no mechanical expansion " +
-              "here. Enumerate the columns explicitly " +
+              "doesn't — e.g. two DIFFERENT sets in one expression " +
+              "(a DuckDB binder error too), a join source, or COLUMNS " +
+              "in WHERE. Enumerate the columns explicitly " +
               "(df.select(df.columns.map(c => expr(...)): _*)), or use " +
               "* EXCLUDE (...) / * REPLACE (...), which do run here.")))
       }

@@ -691,9 +691,22 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val exU = intercept[Exception](spark.sql(
       "SELECT COLUMNS(* EXCLUDE (nope)) FROM sq_quotes"))
     assert(exU.getMessage.contains("could not be expanded"), s"got: ${exU.getMessage}")
-    // Deeper expression nesting still declines to the hint.
+    // Deeper expression nesting re-binds the WHOLE item per column
+    // (DuckDB 1.0 pinned): outputs named by the plain source column.
+    val nested = spark.sql("SELECT min(COLUMNS('^q|^p')) + 1 FROM sq_quotes")
+    assert(nested.columns.toSeq == Seq("qt", "px"))
+    val nr = nested.head()
+    assert((nr.getLong(0), nr.getDouble(1)) == ((11L, 51.0)))
+    // Multiple occurrences of the SAME set expand in lockstep.
+    val spread = spark.sql(
+      "SELECT max(COLUMNS('^q|^p')) - min(COLUMNS('^q|^p')) FROM sq_quotes")
+    assert(spread.columns.toSeq == Seq("qt", "px"))
+    val sr = spread.head()
+    assert((sr.getLong(0), sr.getDouble(1)) == ((20L, 70.0)))
+    // DIFFERENT sets in one expression are a DuckDB binder error —
+    // decline to the hint here too.
     val exN = intercept[Exception](spark.sql(
-      "SELECT min(COLUMNS(*)) + 1 FROM sq_quotes"))
+      "SELECT max(COLUMNS('^q')) - min(COLUMNS('^p')) FROM sq_quotes"))
     assert(exN.getMessage.contains("could not be expanded"), s"got: ${exN.getMessage}")
     // The literal text inside a string is NOT the construct: statement
     // must run untouched, no hint, no hijack.
