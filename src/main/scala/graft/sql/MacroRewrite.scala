@@ -43,10 +43,11 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
   * `FROM name(args)` call shape resolves, parameters substituted
   * through the whole plan; see [[tableMacro]]) and OVERLOAD lists
   * (`(a) AS …, (a,b) AS …` — one builder dispatching on the call's
-  * arity; see [[overloads]]). Declined to the tier-2 hint: defaults
-  * referencing other parameters, defaults inside overload lists
-  * (ambiguous arity ranges), multipart names, and bodies Spark's
-  * parser rejects. A plain CREATE over an existing name errors like
+  * arity; see [[overloads]] — trailing defaults per overload execute
+  * too, dispatching on disjoint arity RANGES). Declined to the tier-2
+  * hint: defaults referencing other parameters, overload lists whose
+  * arity ranges overlap (the ambiguity DuckDB's binder rejects),
+  * multipart names, and bodies Spark's parser rejects. A plain CREATE over an existing name errors like
   * DuckDB's catalog would instead of silently replacing.
   *
   * The returned replacement text is a 1-row marker statement (the
@@ -188,11 +189,25 @@ object MacroRewrite {
     // `AS TABLE` routes to the table path regardless.
     val defsText = sql.substring(m.end - 1).trim.stripSuffix(";").trim
     val segs = ReplaceRewrite.splitTop(defsText).map(_.trim)
-    val identListAs =
-      """(?is)\A\(\s*(?:[A-Za-z_]\w*\s*(?:,\s*[A-Za-z_]\w*\s*)*)?\)\s*AS\b""".r
+    // A continuation segment is overload-shaped when its leading paren
+    // group (closed structurally, so `c := greatest(1, 2)` defaults
+    // survive) holds only `ident` / `ident := expr` items and `AS`
+    // follows — the same item grammar [[overloads]] re-parses strictly.
+    def overloadSeg(s: String): Boolean = s.startsWith("(") && {
+      val c = ReplaceRewrite.closeOf(s, 0)
+      c > 0 && """(?is)\A\s*AS\b""".r.findFirstIn(s.substring(c)).isDefined && {
+        val inner = s.substring(1, c - 1).trim
+        inner.isEmpty || ReplaceRewrite.splitTop(inner).map(_.trim).forall {
+          it =>
+            val i = it.indexOf(":=")
+            val nm = if (i < 0) it else it.take(i).trim
+            nm.matches("[A-Za-z_]\\w*") && (i < 0 || it.drop(i + 2).trim.nonEmpty)
+        }
+      }
+    }
     if (segs.size > 1 &&
       """(?is)\bAS\s+TABLE\b""".r.findFirstIn(segs.head).isEmpty &&
-      segs.tail.forall(s => identListAs.findFirstIn(s).isDefined))
+      segs.tail.forall(overloadSeg))
       return overloads(name, orReplace, segs, delegate)
 
     // Parameter list: identifiers, optionally with a trailing run of
@@ -322,29 +337,49 @@ object MacroRewrite {
     Some(s"SELECT '$name' AS `macro`")
   }
 
-  /** Overload list `name(a) AS body1, (a, b) AS body2, …` (DuckDB ≥1.3):
-    * each overload's body parses into its own template and ONE registered
-    * builder dispatches on the call site's argument count — DuckDB's
-    * arity-based overload resolution, which is well-defined here because
-    * overloads with defaults are declined (their arity RANGES could
-    * overlap; DuckDB's binder wrestles the same ambiguity). Plain
-    * identifier parameters only; same subquery/self-reference guards as
+  /** Overload list `name(a) AS body1, (a, b := 1) AS body2, …` (DuckDB
+    * ≥1.3): each overload's body parses into its own template and ONE
+    * registered builder dispatches on the call site's argument count —
+    * DuckDB's arity-based overload resolution. Trailing `p := default`
+    * runs give an overload an arity RANGE (padded positionally like the
+    * single form); dispatch stays well-defined because overloads whose
+    * ranges overlap decline to the hint (the same ambiguity DuckDB's
+    * binder rejects). Plain identifier parameters only; same
+    * subquery/self-reference/default-referencing-parameter guards as
     * the single form, applied per overload.
     */
   private def overloads(name: String, orReplace: Boolean, segs: Vector[String],
       delegate: ParserInterface): Option[String] = {
     val identRe = """\A[A-Za-z_][A-Za-z0-9_]*\z""".r
-    val parsed: Vector[(Vector[String], Expression)] = segs.map { seg =>
+    // One overload: ordered parameter names, default templates for the
+    // trailing optional run, required-arity floor, body template — the
+    // single form's parameter rules applied per overload.
+    final case class Ovl(params: Vector[String],
+      defaults: Map[String, Expression], nRequired: Int, template: Expression)
+    val parsed: Vector[Ovl] = segs.map { seg =>
       if (!seg.startsWith("(")) return None
       val close = ReplaceRewrite.closeOf(seg, 0)
       if (close < 0) return None
       val paramText = seg.substring(1, close - 1).trim
-      if (paramText.contains(":=")) return None // defaults in overloads: hint
-      val ps =
-        if (paramText.isEmpty) Vector.empty[String]
-        else ReplaceRewrite.splitTop(paramText).map(_.trim)
-      if (ps.exists(p => identRe.findFirstIn(p).isEmpty)) return None
-      if (ps.map(_.toLowerCase).distinct.size != ps.size) return None
+      final case class P(name: String, default: Option[String])
+      val ps: Vector[P] =
+        if (paramText.isEmpty) Vector.empty
+        else ReplaceRewrite.splitTop(paramText).map(_.trim).map { item =>
+          val i = item.indexOf(":=")
+          if (i < 0) {
+            if (identRe.findFirstIn(item).isEmpty) return None
+            P(item, None)
+          } else {
+            val pn = item.take(i).trim
+            val d = item.drop(i + 2).trim
+            if (identRe.findFirstIn(pn).isEmpty || d.isEmpty) return None
+            P(pn, Some(d))
+          }
+        }
+      if (ps.map(_.name.toLowerCase).distinct.size != ps.size) return None
+      val firstDefault = ps.indexWhere(_.default.isDefined)
+      if (firstDefault >= 0 && ps.drop(firstDefault).exists(_.default.isEmpty))
+        return None
       val asM = """(?is)\A\s*AS\b""".r.findFirstMatchIn(seg.substring(close))
         .getOrElse(return None)
       val body = seg.substring(close + asM.end).trim
@@ -352,20 +387,41 @@ object MacroRewrite {
       if ("""(?is)\ATABLE\b""".r.findFirstIn(body).isDefined) return None
       val template = try delegate.parseExpression(body)
         catch { case NonFatal(_) => return None }
-      if (template.exists(_.isInstanceOf[PlanExpression[_]])) return None
-      if (template.exists {
+      val defaults: Map[String, Expression] = ps.collect {
+        case P(pn, Some(d)) =>
+          val e = try delegate.parseExpression(d)
+            catch { case NonFatal(_) => return None }
+          pn.toLowerCase -> e
+      }.toMap
+      // A default referencing a parameter would need its own ordered
+      // substitution pass — same decline as the single form.
+      val pset = ps.map(_.name.toLowerCase).toSet
+      if (defaults.values.exists(_.exists {
+        case a: UnresolvedAttribute =>
+          a.nameParts.size == 1 && pset(a.nameParts.head.toLowerCase)
+        case _ => false
+      })) return None
+      val allT = template +: defaults.values.toSeq
+      if (allT.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))) return None
+      if (allT.exists(_.exists {
         case f: UnresolvedFunction =>
           f.nameParts.size == 1 && f.nameParts.head.equalsIgnoreCase(name)
         case _ => false
-      }) throw new org.apache.spark.sql.AnalysisException(
+      })) throw new org.apache.spark.sql.AnalysisException(
         "USER_RAISED_EXCEPTION",
         Map("errorMessage" ->
           s"macro '$name' references itself — recursive macros are not supported"))
-      (ps, template)
+      Ovl(ps.map(_.name), defaults,
+        if (firstDefault < 0) ps.size else firstDefault, template)
     }
-    val byArity: Map[Int, (Vector[String], Expression)] =
-      parsed.map(p => p._1.size -> p).toMap
-    if (byArity.size != parsed.size) return None // duplicate arity: ambiguous
+    // Defaults give each overload an arity RANGE [nRequired, params];
+    // dispatch stays deterministic only when the ranges are pairwise
+    // disjoint — overlapping ranges are the ambiguity DuckDB's binder
+    // rejects, declined to the hint here.
+    val ranges = parsed.map(o => (o.nRequired, o.params.size))
+    for (i <- ranges.indices; j <- i + 1 until ranges.size)
+      if (ranges(i)._1 <= ranges(j)._2 && ranges(j)._1 <= ranges(i)._2)
+        return None
 
     val spark = try org.apache.spark.sql.SparkSession.active
       catch { case NonFatal(_) => return None }
@@ -377,18 +433,23 @@ object MacroRewrite {
         Map("errorMessage" ->
           s"macro '$name' already exists — use CREATE OR REPLACE MACRO"))
 
-    val arities = byArity.keys.toSeq.sorted.mkString(", ")
+    val arities = ranges.sorted.map { case (a, b) =>
+      if (a == b) s"$a" else s"$a-$b" }.mkString(", ")
     val builder: Seq[Expression] => Expression = { args =>
-      val (ps, template) = byArity.getOrElse(args.size,
+      val o = parsed.find(o =>
+        args.size >= o.nRequired && args.size <= o.params.size).getOrElse(
         throw new org.apache.spark.sql.AnalysisException(
           "USER_RAISED_EXCEPTION",
           Map("errorMessage" ->
             s"macro '$name' has overloads for $arities argument(s), got ${args.size}")))
-      val lowered = ps.map(_.toLowerCase)
-      template.transformUp {
+      val lowered = o.params.map(_.toLowerCase)
+      // Positional padding with the overload's own defaults, exactly
+      // like the single form.
+      val full = args ++ lowered.drop(args.size).map(o.defaults)
+      o.template.transformUp {
         case a: UnresolvedAttribute if a.nameParts.size == 1 &&
             lowered.contains(a.nameParts.head.toLowerCase) =>
-          args(lowered.indexOf(a.nameParts.head.toLowerCase))
+          full(lowered.indexOf(a.nameParts.head.toLowerCase))
       }
     }
     registry.registerFunction(fid,

@@ -561,9 +561,17 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val ex2 = intercept[Exception](spark.sql(
       "CREATE OR REPLACE MACRO dup_ov(a) AS a + 1, (b) AS b - 1"))
     assert(ex2.getMessage.contains("TEMPORARY FUNCTION"), s"got: ${ex2.getMessage}")
-    // Defaults inside an overload list decline (ambiguous arity ranges).
+    // Defaults inside an overload list execute when the arity ranges
+    // stay disjoint: [1,1] and [2,3] here — the 2-arg call pads c.
+    spark.sql(
+      "CREATE OR REPLACE MACRO def_ov(a) AS a + 1, (a, b, c := 10) AS a * b + c")
+    assert(spark.sql("SELECT def_ov(4) AS u").head().getInt(0) == 5)
+    assert(spark.sql("SELECT def_ov(4, 3) AS v").head().getInt(0) == 22)
+    assert(spark.sql("SELECT def_ov(4, 3, 100) AS w").head().getInt(0) == 112)
+    // OVERLAPPING arity ranges ([1,1] vs [1,2]) are ambiguous — the
+    // same ambiguity DuckDB's binder rejects; decline to the hint.
     val ex3 = intercept[Exception](spark.sql(
-      "CREATE OR REPLACE MACRO def_ov(a) AS a + 1, (a, b := 2) AS a * b"))
+      "CREATE OR REPLACE MACRO amb_ov(a) AS a + 1, (a, b := 2) AS a * b"))
     assert(ex3.getMessage.contains("TEMPORARY FUNCTION"), s"got: ${ex3.getMessage}")
   }
 
