@@ -99,6 +99,34 @@ object Dedup {
           .cast("long").as("jaccard_millis"))
   }
 
+  /** Per-document duplication ratio — the corpus-health diagnostic the
+    * big crawl pipelines report before dedup: for each document, how
+    * many of its DISTINCT word n-grams also appear in at least one
+    * OTHER document (n_dup of n_sh, plus the per-mille ratio from
+    * exact integer counts). Documents shorter than n words have no
+    * shingles and are absent. Scale shape: the distinct (doc, shingle)
+    * pairs are the one corpus-sized shuffle, scratch-materialized for
+    * their two consumers; the shared-shingle set is a map-side-combined
+    * count over it; the doc-level ratio is one equi-join back on the
+    * shingle plus a doc_id aggregation — never corpus².
+    */
+  def shingleDupRatio(docs: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = materialize(shingles(docs, n, idCol, textCol), "dupratio_sh")
+    // Distinct pairs per doc → a shingle's row count IS its doc count.
+    val shared = sh.groupBy("shingle").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("shingle"), lit(1).as("dup"))
+    sh.join(shared, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("dup"), lit(0))).as("n_dup"))
+      .select(col("doc_id"),
+        col("n_sh").cast("long").as("n_sh"),
+        col("n_dup").cast("long").as("n_dup"),
+        floor(lit(1000.0) * col("n_dup") / col("n_sh"))
+          .cast("long").as("dup_millis"))
+  }
+
   /** [[shingles]] through the JIT'd imperative tokenizer ([[wordShingles]],
     * identical split semantics) instead of Column HOFs — Spark evaluates
     * `transform`/`element_at` lambdas interpreted, ~10× slower per token;

@@ -725,6 +725,26 @@ object TextAnalysis {
     docs.withColumn("split", label)
   }
 
+  /** Deterministic weighted (importance) sampling — the quality-aware
+    * downsampling step of a training-data mixture: each document keeps
+    * with probability `weight` (clamped to [0, 1]), decided by a pure
+    * function of its id — u = first-8-hex-chars of md5(id) as an
+    * integer, kept when u < weight × 2³², so reruns and corpus growth
+    * never re-roll survivors (same leak-free construction as
+    * [[hashSplit]]). Row-local and zero-shuffle; the weight column can
+    * be any deterministic quality proxy. The long→double promotion and
+    * the weight product round identically across engines (both operands
+    * exact below 2⁵³), so the kept set is hash-comparable against an
+    * oracle computing the same expression.
+    */
+  def sampleByWeight(docs: DataFrame, weight: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    docs.filter(
+      u < least(lit(1.0), greatest(lit(0.0), weight)) * lit(4294967296.0))
+  }
+
   /** The DuckDB-side mirror of [[hashSplit]]'s CASE for declared-query
     * oracles: identical thresholds from the identical float expression.
     */

@@ -712,6 +712,42 @@ object PipelineQueries {
       .orderBy("src_a", "src_b")
   }
 
+  // Per-document duplication ratio (round 15): for each document, its
+  // distinct 5-gram count, how many of those appear in ≥1 other
+  // document, and the per-mille ratio — the corpus-health number the
+  // crawl pipelines report before dedup.
+  declare("dedup_shingle_ratio",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+       sh0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-4, 0)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) shingles
+               FROM toks),
+       sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+       shared AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= 2),
+       j AS (SELECT sh.doc_id, CASE WHEN s.shingle IS NULL THEN 0 ELSE 1 END d
+             FROM sh LEFT JOIN shared s ON sh.shingle = s.shingle)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_sh, CAST(SUM(d) AS BIGINT) n_dup,
+         CAST(floor(1000.0 * SUM(d) / COUNT(*)) AS BIGINT) dup_millis
+       FROM j GROUP BY doc_id ORDER BY doc_id""") { (spark, sfDir) =>
+    Dedup.shingleDupRatio(t(spark, sfDir, "documents")).orderBy("doc_id")
+  }
+
+  // Deterministic weighted sampling (round 15): keep-with-probability-w
+  // as a pure function of md5(doc_id), weight = a length-based quality
+  // proxy — survivors stable under reruns and corpus growth, zero
+  // shuffle. The oracle computes the identical u < w·2³² predicate.
+  declare("sample_weighted",
+    """SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+       FROM documents
+       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             < least(1.0, greatest(0.0, length(coalesce(text, '')) / 2000.0)) * 4294967296.0
+       ORDER BY doc_id""") { (spark, sfDir) =>
+    TextAnalysis.sampleByWeight(t(spark, sfDir, "documents"),
+        length(coalesce(col("text"), lit(""))) / lit(2000.0))
+      .select(col("doc_id"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // Per-source unigram KL divergence vs the pooled corpus (round 15):
   // the mixture-drift diagnostic, over the global top-50 vocabulary
   // plus one explicit OOV bucket (bounded coverage, and ~51 float

@@ -71,6 +71,42 @@ class PipelineSpec extends AnyFunSuite {
       o2.head.getLong(3) == 1000L)
   }
 
+  test("shingle dup ratio: hand-computed on a three-doc corpus") {
+    import spark.implicits._
+    // 2-gram sets: A {a b, b c}, B {b c, c d}, C {x y}; only "b c" is
+    // shared (2 docs).
+    val docs = Seq((1L, "a b c"), (2L, "b c d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.shingleDupRatio(docs, n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 500L), (2L, 2L, 1L, 500L),
+      (3L, 1L, 0L, 0L)))
+    // Repeating a shingle INSIDE one document must not count as shared.
+    val self = Seq((1L, "a b a b"), (2L, "z z"))
+      .toDF("doc_id", "text")
+    val o2 = graft.operators.Dedup.shingleDupRatio(self, n = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(o2.toSeq == Seq((1L, 0L), (2L, 0L)))
+  }
+
+  test("weighted sampling: clamped bounds, determinism, monotone in weight") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, "d")).toDF("doc_id", "text")
+    val all = graft.operators.TextAnalysis.sampleByWeight(docs, lit(2.0))
+    assert(all.count() == 200) // w >= 1 keeps everything (clamped)
+    val none = graft.operators.TextAnalysis.sampleByWeight(docs, lit(-0.5))
+    assert(none.count() == 0)  // w <= 0 keeps nothing (clamped)
+    def ids(w: Double): Set[Long] =
+      graft.operators.TextAnalysis.sampleByWeight(docs, lit(w))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(0.3)
+    assert(a == ids(0.3))            // pure function of the id: rerun-stable
+    assert(a.subsetOf(ids(0.6)))     // monotone: raising w never drops a doc
+    val n = a.size
+    assert(n > 30 && n < 90, s"w=0.3 kept $n of 200") // roughly proportional
+  }
+
   test("corpus divergence: hand-computed KL on a two-group corpus") {
     import spark.implicits._
     // A: {x:3, y:1}, B: {x:1, y:3}; pooled q = (0.5, 0.5).
