@@ -104,15 +104,17 @@ object Dedup {
     * many of its DISTINCT word n-grams also appear in at least one
     * OTHER document (n_dup of n_sh, plus the per-mille ratio from
     * exact integer counts). Documents shorter than n words have no
-    * shingles and are absent. Scale shape: the distinct (doc, shingle)
-    * pairs are the one corpus-sized shuffle, scratch-materialized for
-    * their two consumers; the shared-shingle set is a map-side-combined
-    * count over it; the doc-level ratio is one equi-join back on the
-    * shingle plus a doc_id aggregation — never corpus².
+    * shingles and are absent. Scale shape: shingling is the JIT'd
+    * row-local pass ([[shinglesJit]] — the Column-HOF form measured 6×
+    * slower end-to-end in ProfileDupOps), its distinct (doc, shingle)
+    * pairs are scratch-materialized for their two consumers; the
+    * shared-shingle set is a map-side-combined count over it; the
+    * doc-level ratio is one equi-join back on the shingle plus a
+    * doc_id aggregation — never corpus².
     */
   def shingleDupRatio(docs: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = materialize(shingles(docs, n, idCol, textCol), "dupratio_sh")
+    val sh = materialize(shinglesJit(docs, n, idCol, textCol), "dupratio_sh")
     // Distinct pairs per doc → a shingle's row count IS its doc count.
     val shared = sh.groupBy("shingle").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("shingle"), lit(1).as("dup"))

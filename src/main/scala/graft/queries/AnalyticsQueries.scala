@@ -2306,6 +2306,28 @@ object AnalyticsQueries {
          FROM lineitem""")
   }
 
+  // Misc scalar parity (round 15): TRY_CAST (NULL on failure, both
+  // engines), string-literal INTERVAL arithmetic with month-end
+  // clamping, and IS DISTINCT FROM null-safe comparison — all native
+  // in BOTH engines, pinned as one gate entry with IDENTICAL text.
+  declare("q119_scalar_parity",
+    """SELECT o_orderkey,
+         try_cast(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_num,
+         try_cast(o_orderstatus AS INTEGER) AS st_num,
+         CAST(o_orderdate + INTERVAL '1 month' AS DATE) AS next_m,
+         (o_orderstatus IS DISTINCT FROM 'O') AS not_open
+       FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey,
+           try_cast(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_num,
+           try_cast(o_orderstatus AS INTEGER) AS st_num,
+           CAST(o_orderdate + INTERVAL '1 month' AS DATE) AS next_m,
+           (o_orderstatus IS DISTINCT FROM 'O') AS not_open
+         FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""")
+  }
+
   // DuckDB statement parity: `COPY tbl FROM 'path'` import direction
   // executing (sql/CopyToRewrite FROM branch → copy_from TVF →
   // insertInto append). The Spark side runs the real pipeline — export

@@ -195,6 +195,29 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(plan.contains("md5"), s"keep-filter should be row-local md5:\n$plan")
   }
 
+  test("weighted sampling is a pure row-local filter: no exchange or join") {
+    val plan = planString(graft.operators.TextAnalysis.sampleByWeight(
+      graft.Engine.table(spark, sfDir, "documents"),
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) / 2000.0))
+    assert(!plan.contains("Exchange"), s"sampleByWeight must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"sampleByWeight must not join:\n$plan")
+    // `*(1)` is the executedPlan string's whole-stage-codegen marker.
+    assert(plan.contains("*(1) Filter"), s"expected one codegen'd stage:\n$plan")
+  }
+
+  test("cross-source overlap and dup-ratio bucket-join on the shingle, never cartesian") {
+    val docs = graft.Engine.table(spark, sfDir, "documents")
+    for (df <- Seq(graft.operators.Dedup.crossSourceOverlap(docs),
+      graft.operators.Dedup.shingleDupRatio(docs))) {
+      val plan = planString(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"shingle joins must stay equi-joins:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"shingle joins must stay equi-joins:\n$plan")
+    }
+  }
+
   test("flagship entry returns rows") {
     val rows = graft.SparkEntry.entry(spark).collect()
     assert(rows.length == 2)
