@@ -2328,6 +2328,31 @@ object AnalyticsQueries {
          FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""")
   }
 
+  // DuckDB operator parity: the `**` power operator executing via the
+  // hint parser's textual fold onto power() (left-assoc, DOUBLE, unary
+  // minus binding tighter on the base — all pinned on DuckDB 1.0 in
+  // SqlEntryPointsSpec). IDENTICAL statement text on both engines;
+  // integer bases/exponents keep every value exactly representable, so
+  // the DOUBLE results hash-compare bit-for-bit.
+  declare("q120_power_op",
+    """SELECT l_orderkey, l_linenumber,
+         l_linenumber ** 2 AS sq,
+         2 ** l_linenumber ** 2 AS chain,
+         -2 ** l_linenumber AS signed_base,
+         (l_linenumber + 1) ** 2 AS grouped
+       FROM lineitem WHERE l_orderkey <= 20
+       ORDER BY l_orderkey, l_linenumber""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_orderkey, l_linenumber,
+           l_linenumber ** 2 AS sq,
+           2 ** l_linenumber ** 2 AS chain,
+           -2 ** l_linenumber AS signed_base,
+           (l_linenumber + 1) ** 2 AS grouped
+         FROM lineitem WHERE l_orderkey <= 20
+         ORDER BY l_orderkey, l_linenumber""")
+  }
+
   // DuckDB statement parity: `COPY tbl FROM 'path'` import direction
   // executing (sql/CopyToRewrite FROM branch → copy_from TVF →
   // insertInto append). The Spark side runs the real pipeline — export

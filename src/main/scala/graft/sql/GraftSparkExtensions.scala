@@ -224,6 +224,123 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     if (changed) Some(out.toString) else None
   }
 
+  /** DuckDB's `**` power operator → `power(l, r)`. Semantics pinned on
+    * DuckDB 1.0: LEFT-associative (`2**3**2` = 64), binds above `*`/`/`
+    * (`2*3**2` = 18), unary minus binds tighter on the BASE (`-2 ** 2`
+    * = 4 after a clause keyword, while `3 - 2 ** 2` = -1 — the sign is
+    * binary after an identifier), and the result is DOUBLE — exactly
+    * Spark's `power`. Only ever runs on parse failure (`**` is never
+    * Spark syntax), so no native statement can be claimed. Operands are
+    * recognized textually over the literal-masked text: numbers,
+    * dotted identifier chains, function calls (incl. CAST), and
+    * parenthesized groups, each with a unary sign where SQL's grammar
+    * makes it unary (after `(`/`,`/an operator/a clause keyword). Any
+    * other operand shape — quoted identifiers, exponent-notation bases
+    * — declines the whole statement to the hint rather than guessing;
+    * the leftmost-first fold reproduces the left associativity.
+    */
+  private def powerOpRewrite(text: String): Option[String] = {
+    if (!text.contains("**")) return None
+    val unaryKeywords = Set("select", "where", "when", "then", "else",
+      "and", "or", "not", "by", "having", "on", "return", "returns",
+      "case", "set", "limit", "offset", "in", "as", "distinct", "all",
+      "union", "except", "intersect", "from", "join", "between",
+      "like", "ilike", "is", "values")
+    def wordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_' || c == '.' || c == '$'
+    var cur = text
+    var changed = false
+    var rounds = 0
+    while (rounds < 64) {
+      rounds += 1
+      val m = ReplaceRewrite.maskLiterals(cur)
+      val n = m.length
+      val idx = m.indexOf("**")
+      if (idx < 0) return if (changed) Some(cur) else None
+      // ---- right operand: [rs, re) ----
+      var r = idx + 2
+      while (r < n && cur.charAt(r).isWhitespace) r += 1
+      val rs = r
+      while (r < n && (m.charAt(r) == '-' || m.charAt(r) == '+')) {
+        r += 1
+        while (r < n && cur.charAt(r).isWhitespace) r += 1
+      }
+      if (r >= n) return None
+      if (m.charAt(r) == '(') {
+        val c = ReplaceRewrite.closeOf(cur, r)
+        if (c < 0) return None
+        r = c
+      } else if (wordChar(m.charAt(r))) {
+        while (r < n && wordChar(m.charAt(r))) r += 1
+        var k = r
+        while (k < n && cur.charAt(k).isWhitespace) k += 1
+        if (k < n && m.charAt(k) == '(') {
+          val c = ReplaceRewrite.closeOf(cur, k)
+          if (c < 0) return None
+          r = c
+        }
+      } else return None
+      val re = r
+      // ---- left operand: [ls, le) ----
+      var l = idx - 1
+      while (l >= 0 && cur.charAt(l).isWhitespace) l -= 1
+      if (l < 0) return None
+      val le = l + 1
+      if (m.charAt(l) == ')') {
+        // balanced backward scan over the mask (literal parens blanked)
+        var depth = 1
+        l -= 1
+        while (l >= 0 && depth > 0) {
+          m.charAt(l) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1
+            case _ =>
+          }
+          l -= 1
+        }
+        if (depth != 0) return None
+        // an optional function name directly before the open paren —
+        // but never a keyword (`THEN (a) ** 2` is a plain group)
+        val beforeParen = l
+        while (l >= 0 && cur.charAt(l).isWhitespace) l -= 1
+        val nameEnd = l
+        while (l >= 0 && wordChar(m.charAt(l))) l -= 1
+        if (nameEnd > l &&
+            unaryKeywords(cur.substring(l + 1, nameEnd + 1).toLowerCase))
+          l = beforeParen
+      } else if (wordChar(m.charAt(l))) {
+        while (l >= 0 && wordChar(m.charAt(l))) l -= 1
+      } else return None
+      var ls = l + 1
+      // boundary sanity: a blanked literal abutting the operand means a
+      // quoted identifier/string base — decline rather than misparse
+      if (ls > 0 && m.charAt(ls - 1) == ' ' &&
+          !cur.charAt(ls - 1).isWhitespace) return None
+      // ---- unary sign on the left operand ----
+      var s = ls - 1
+      while (s >= 0 && cur.charAt(s).isWhitespace) s -= 1
+      if (s >= 0 && (m.charAt(s) == '-' || m.charAt(s) == '+')) {
+        var p = s - 1
+        while (p >= 0 && cur.charAt(p).isWhitespace) p -= 1
+        val unary =
+          if (p < 0) true
+          else if ("(,=<>+-*/%|&~".indexOf(m.charAt(p)) >= 0) true
+          else if (wordChar(m.charAt(p))) {
+            var w = p
+            while (w >= 0 && wordChar(m.charAt(w))) w -= 1
+            unaryKeywords(cur.substring(w + 1, p + 1).toLowerCase)
+          } else false
+        if (unary) ls = s
+      }
+      val lText = cur.substring(ls, le).trim
+      val rText = cur.substring(rs, re).trim
+      if (lText.isEmpty || rText.isEmpty) return None
+      cur = cur.substring(0, ls) + "power(" + lText + ", " + rText + ")" +
+        cur.substring(re)
+      changed = true
+    }
+    None
+  }
+
   private val insertOrRe =
     "(?is)\\A\\s*INSERT\\s+(?:OR\\s+(?:REPLACE|IGNORE)\\b|INTO\\b.*\\bON\\s+CONFLICT\\b).*".r
   private val similarToRe = "(?is).*\\bSIMILAR\\s+TO\\b.*".r
@@ -571,6 +688,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             // -7//2=-3, pinned). Only ever seen on parse failure, so a
             // native statement can't be claimed; quote/comment-aware.
             () => intDivRewrite(text),
+            // DuckDB's `**` power operator → power(l, r) (left-assoc,
+            // DOUBLE, unary-minus-on-base precedence pinned on 1.0).
+            // Parse-failure only — `**` is never Spark syntax.
+            () => powerOpRewrite(text),
             // [NOT] SIMILAR TO '<re>' → [NOT] RLIKE with full-match
             // anchors (DuckDB's SIMILAR TO = regexp_full_match). Only
             // ever seen on parse failure; literal-pattern forms only.
@@ -772,11 +893,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "b := 1) AS <expression>, trailing defaults padded " +
                   "positionally, named call sites f(x, b := 2) lowered " +
                   "to positional), overload lists ((a) AS ..., (a, b) " +
-                  "AS ... — arity-dispatched), and table macros " +
-                  "(name(a) AS TABLE <query>, callable as FROM " +
-                  "name(args)) run automatically, but this one " +
+                  "AS ... — arity-dispatched, trailing defaults " +
+                  "allowed while the arity ranges stay disjoint), and " +
+                  "table macros (name(a) AS TABLE <query>, callable as " +
+                  "FROM name(args)) run automatically, but this one " +
                   "wasn't — check for defaults that reference other " +
-                  "parameters, overloads with defaults, named calls of " +
+                  "parameters, overloads whose arity ranges overlap " +
+                  "(ambiguous dispatch, as DuckDB's binder rejects), " +
+                  "named calls of " +
                   "an unregistered macro, or a body Spark's parser " +
                   "rejects. The typed manual form is a SQL UDF: CREATE " +
                   "TEMPORARY FUNCTION name(x DOUBLE, ...) RETURNS " +
@@ -794,12 +918,15 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "common forms (SELECT COLUMNS('regex') FROM t, " +
                   "COLUMNS(*), COLUMNS(* EXCLUDE (a, b)), the " +
                   "name-filter lambda COLUMNS(c -> c LIKE '...'), and " +
-                  "one function wrapping the whole set — min(COLUMNS(*)), " +
-                  "round(COLUMNS('^x'), 1) — over a single resolvable " +
-                  "table with ≥1 match) are star-expanded to run " +
-                  "automatically, but this one wasn't — " +
-                  "deeper expression nesting (min(COLUMNS(*)) + 1) has " +
-                  "no mechanical expansion here. Enumerate the columns " +
+                  "the set in ANY expression position of a select item " +
+                  "— min(COLUMNS(*)) + 1, max(COLUMNS(s)) - " +
+                  "min(COLUMNS(s)) in lockstep — over a single " +
+                  "resolvable table with ≥1 match) are star-expanded " +
+                  "to run automatically, but this one wasn't — check " +
+                  "for two DIFFERENT sets in one item (a DuckDB binder " +
+                  "error too), COLUMNS outside the select list, a " +
+                  "join/set-op source, an unknown EXCLUDE name, or " +
+                  "zero matches. Enumerate the columns " +
                   "explicitly (one line in the DataFrame API: " +
                   "df.select(df.columns.map(c => expr(...)): _*)).")
               case fromFirstRe() =>
@@ -840,9 +967,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "decline. Write expr RLIKE '^(?:pattern)$' directly, " +
                   "or regexp_full_match(expr, 'pattern').")
               case powOpRe() =>
-                Some("The ** power operator has no Spark spelling (and " +
-                  "beware ^ is XOR here, not power). Use power(a, b) / " +
-                  "pow(a, b), which both engines share.")
+                Some("DuckDB's ** power operator runs automatically as " +
+                  "power(l, r) (left-associative, DOUBLE result, unary " +
+                  "minus binding tighter on the base: -2 ** 2 = 4), but " +
+                  "this statement's operand shape declined — quoted " +
+                  "identifiers and exponent-notation bases have no " +
+                  "mechanical extraction here. Use power(a, b) / " +
+                  "pow(a, b) directly — and beware ^ is XOR in Spark, " +
+                  "not power.")
               case atTimeZoneRe() =>
                 Some("AT TIME ZONE has no Spark SQL spelling, and its " +
                   "meaning flips with the input's type — so no automatic " +
@@ -1023,6 +1155,28 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     case _ if extractEpochRe.findFirstIn(sqlText).isDefined &&
         extractEpochRewrite(sqlText).isDefined =>
       preRewrite(extractEpochRewrite(sqlText).get)
+    // DuckDB's `**` power operator. Spark PARSES `a ** b` — as
+    // multiply(a, star) — and only dies later in analysis with a
+    // confusing INVALID_USAGE_OF_STAR_OR_REGEX, so the parse-failure
+    // chain never sees it: the fold must claim pre-delegation. Adjacent
+    // `**` outside string literals is never valid Spark SQL, so no
+    // native statement can be claimed; a shape the fold can't extract
+    // throws the targeted hint instead of the star-usage error.
+    case _ if sqlText.contains("**") &&
+        ReplaceRewrite.maskLiterals(sqlText).contains("**") =>
+      powerOpRewrite(sqlText) match {
+        case Some(r) => preRewrite(r)
+        case None => throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            ("DuckDB's ** power operator runs automatically as " +
+              "power(l, r) (left-associative, DOUBLE result, unary " +
+              "minus binding tighter on the base: -2 ** 2 = 4), but " +
+              "this statement's operand shape declined — quoted " +
+              "identifiers and exponent-notation bases have no " +
+              "mechanical extraction here. Use power(a, b) / pow(a, b) " +
+              "directly — and beware ^ is XOR in Spark, not power.")))
+      }
     case describeRe(tbl) if duckDescribeEnabled =>
       s"SELECT * FROM duck_describe('$tbl')"
     case columnsSelectRe() =>

@@ -1334,6 +1334,31 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(one[String]("SELECT 'a//b' || CAST(4 // 2 AS STRING)") == "a//b2")
   }
 
+  test("** power operator executes with DuckDB 1.0 semantics") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    // Left-associative, DOUBLE result, binds above * (all pinned on
+    // DuckDB 1.0: 2**3**2=64, 2*3**2=18, 2**3*2=16).
+    assert(one[Double]("SELECT 2 ** 3 ** 2") == 64.0)
+    assert(one[Double]("SELECT 2 * 3 ** 2") == 18.0)
+    assert(one[Double]("SELECT 2 ** 3 * 2") == 16.0)
+    assert(one[Double]("SELECT 2 ** 2 + 1") == 5.0)
+    // Unary minus binds tighter on the base after a keyword/operator
+    // (-2**2=4), stays binary after an identifier/number (3-2**2=-1).
+    assert(one[Double]("SELECT -2 ** 2") == 4.0)
+    assert(one[Double]("SELECT 3 - 2 ** 2") == -1.0)
+    assert(one[Double]("SELECT 2 ** -1") == 0.5)
+    assert(one[Double]("SELECT 10 ** -2 * 100") == 1.0)
+    // Function-call and parenthesized operands; columns; CASE groups.
+    assert(one[Double]("SELECT abs(-2) ** 3") == 8.0)
+    assert(one[Double]("SELECT (1+1) ** 3") == 8.0)
+    assert(one[Double]("SELECT CAST(2 AS BIGINT) ** 2") == 4.0)
+    spark.sql("SELECT * FROM VALUES (3) AS t(a)").createOrReplaceTempView("pw_t")
+    assert(one[Double]("SELECT a ** 2 FROM pw_t") == 9.0)
+    assert(one[Double]("SELECT CASE WHEN a > 0 THEN (a) ** 2 ELSE 0 END FROM pw_t") == 9.0)
+    // Inside strings/comments `**` is untouched.
+    assert(one[String]("SELECT 'a**b' || CAST(2 ** 2 AS STRING) -- x ** y\n") == "a**b4.0")
+  }
+
   test("unexecutable constructs land on targeted hints") {
     def hint(sql: String, needle: String): Unit = {
       val ex = intercept[Exception](spark.sql(sql))
@@ -1343,7 +1368,8 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // Literal-pattern SIMILAR TO executes now; the non-literal
     // (concat) pattern shape still declines to the hint.
     hint("SELECT 'abc' SIMILAR TO 'ab' || '.'", "RLIKE")
-    hint("SELECT 2 ** 3", "power(a, b)")
+    // `2 ** 3` executes now; a quoted-identifier base still declines.
+    hint("SELECT \"my col\" ** 3 FROM rn_t", "power(a, b)")
     hint("ATTACH 'other.db' AS other", "catalog")
     hint("CREATE SEQUENCE seq_x", "monotonically_increasing_id")
     hint("INSERT OR IGNORE INTO t VALUES (1)", "ANTI JOIN")
