@@ -97,6 +97,34 @@ object Similarity {
     topKScored(scored, k)
   }
 
+  /** Benchmark decontamination in embedding space: flag every corpus
+    * vector whose max cosine similarity against ANY eval-set vector
+    * reaches `tau` — the semantic leak (a paraphrased copy of an eval
+    * item) that lexical n-gram decontamination cannot see. Comparison
+    * happens on the round-3 quantized score (this module's engine-parity
+    * contract). Output: `(vec_id, max_sim3, flagged)`.
+    *
+    * Scale shape: the eval side (an eval suite — thousands of rows, not
+    * corpus-scale) broadcasts; the corpus scans ONCE with a row-local
+    * codegen'd dot-product loop per (vector, eval) pair, and the
+    * per-vector max folds map-side before the per-id aggregate — no
+    * corpus shuffle, linear in corpus size. For eval sets too large to
+    * broadcast, compose the same flag with the bucketed [[ivfTopK]] path
+    * instead.
+    */
+  def decontaminateByEmbedding(corpus: DataFrame, eval: DataFrame,
+      tau: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val ev = broadcast(eval.select(col(vecCol).as("eval_vec")))
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(ev)
+      .select(col("vec_id"), round(cosine(col("v"), col("eval_vec")), 3).as("sim3"))
+      .groupBy("vec_id")
+      .agg(max("sim3").as("max_sim3"))
+      .select(col("vec_id"), col("max_sim3"),
+        (col("max_sim3") >= tau).as("flagged"))
+  }
+
   /** Assign every vector to its nearest centroid (max quantized cosine,
     * centroid id as tie-break). Output: corpus columns + `cid`.
     *

@@ -759,6 +759,101 @@ object TextAnalysis {
     }.mkString("CASE ", " ", s" ELSE '${splits.last._1}' END")
   }
 
+  /** Per-group retention cap — "keep at most `maxN` documents per group,
+    * best first" — the anti-domination policy every large crawl corpus
+    * applies before mixing (a handful of boilerplate-heavy domains
+    * otherwise contribute an outsized share of tokens). Ranking is
+    * (`qualityCol` DESC, id ASC), so the retained set and its ranks are
+    * deterministic under any partitioning.
+    *
+    * Scale shape — two-phase exact top-N, NOT a corpus-wide window (a
+    * window partitioned by domain drags a hot domain's every row through
+    * one task — exactly the skew this operator exists to police): phase 1
+    * keeps at most `maxN` candidates per group per PARTITION with bounded
+    * in-memory heaps (row-local, no shuffle, state ≤ groups × N per
+    * task); phase 2 ranks only the surviving ≤ N × partitions rows per
+    * group. Output is identical to the naive global rank.
+    */
+  def capPerGroup(docs: DataFrame, groupCol: String, maxN: Int,
+      qualityCol: String, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col(groupCol).cast("string").as("grp"),
+        (-col(qualityCol).cast("long")).as("negq"),
+        col(idCol).cast("long").as("doc_id"))
+      .as[(String, Long, Long)]
+    val ord = Ordering.Tuple2[Long, Long]
+    val candidates = keyed.mapPartitions { it =>
+      // max-heap per group on (negQuality, id): evict the LARGEST once
+      // over N, leaving each partition's N best-quality rows.
+      val heaps = collection.mutable.HashMap
+        .empty[String, collection.mutable.PriorityQueue[(Long, Long)]]
+      it.foreach { case (g, nq, id) =>
+        val h = heaps.getOrElseUpdate(g,
+          collection.mutable.PriorityQueue.empty[(Long, Long)](ord))
+        if (h.size < maxN) h.enqueue((nq, id))
+        else if (ord.lt((nq, id), h.head)) { h.dequeue(); h.enqueue((nq, id)) }
+      }
+      heaps.iterator.flatMap { case (g, h) => h.iterator.map(e => (g, e._1, e._2)) }
+    }.toDF("grp", "negq", "doc_id")
+    val w = Window.partitionBy("grp").orderBy(col("negq"), col("doc_id"))
+    candidates.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= maxN)
+      .select("doc_id", "grp", "rn")
+  }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public paper): each
+    * document scored by its average per-token log-likelihood ratio
+    * between a TARGET distribution (the domain to upsample, given as a
+    * per-document predicate) and the RAW corpus distribution, under
+    * add-one-smoothed unigram models over the global top-`topK`
+    * vocabulary plus one OOV bucket. The top-`topN` documents return as
+    * `(doc_id, n_tokens, llr_micro)` — the selection step whose weights
+    * then feed [[sampleByWeight]] for the actual resample.
+    *
+    * Determinism: vocabulary counts are exact integers (double partial
+    * sums of integers stay exact below 2⁵³, so R/T/rv/tv are
+    * order-independent); the only order-sensitive float sum is the
+    * per-document term sum (≤ tokens-per-doc small terms), floored at
+    * micro-nats — the same engine-parity budget [[corpusDivergence]]
+    * ships under.
+    *
+    * Scale shape: ONE corpus pass builds the (token → raw/target count)
+    * table (scratch-materialized — Zipf-small next to the corpus, and
+    * read by four consumers); the K-row smoothed log-ratio table
+    * broadcasts; scoring is a second linear pass joined against that
+    * broadcast with a map-side per-doc combine. Nothing is corpus² and
+    * nothing unbounded is collected.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column, topK: Int = 50,
+      topN: Int = 20, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+      explode(tokens(col(textCol))).as("tok"))
+    val (cnt, _) = Scratch.materialize(
+      toks.groupBy("tok").agg(
+        count(lit(1)).cast("double").as("rc"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).cast("double").as("tc")),
+      "iw_cnt")
+    val vocab = cnt.orderBy(desc("rc"), asc("tok")).limit(topK)
+    val tot = cnt.agg(sum("rc").as("R"), sum("tc").as("T"))
+    val vs = vocab.agg(sum("rc").as("rv"), sum("tc").as("tv"))
+    val smooth = lit((topK + 1).toDouble)
+    val terms = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(vs))
+      .select(col("doc_id"),
+        (when(col("rc").isNotNull, log((col("tc") + 1) / (col("rc") + 1)))
+          .otherwise(log((col("T") - col("tv") + 1) / (col("R") - col("rv") + 1)))
+          + log((col("R") + smooth) / (col("T") + smooth))).as("lr"))
+    terms.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lr").as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("s") / col("n_tokens") * lit(1e6)).cast("long").as("llr_micro"))
+      .orderBy(desc("llr_micro"), asc("doc_id"))
+      .limit(topN)
+  }
+
   /** Deterministic stratified sample: `perStratum` documents per stratum,
     * chosen by md5 of the id — a reproducible, engine-independent draw
     * (md5 of the decimal id string agrees everywhere; ties broken by id).

@@ -748,6 +748,87 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // Per-source retention cap (round 15): "keep the best 5 documents per
+  // domain" — the anti-domination policy big crawl corpora apply before
+  // mixing. Best = (n_chars DESC, doc_id ASC). The engine side is the
+  // two-phase bounded-heap top-N (no corpus-wide window partitioned by a
+  // possibly-hot domain); the oracle is the naive global window the
+  // two-phase plan must equal exactly.
+  declare("sample_domain_cap",
+    """WITH ranked AS (SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) rn
+         FROM documents)
+       SELECT doc_id, source, CAST(rn AS BIGINT) rn FROM ranked
+       WHERE rn <= 5 ORDER BY source, rn""") { (spark, sfDir) =>
+    TextAnalysis.capPerGroup(t(spark, sfDir, "documents"), "source", 5, "n_chars")
+      .select(col("doc_id"), col("grp").as("source"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
+  // Embedding-space decontamination (round 15): corpus vectors whose max
+  // round-3 cosine against the label-0 eval set reaches 0.35 are flagged
+  // — the semantic train/test leak lexical n-gram decontamination cannot
+  // see (paraphrased eval copies). Output: per-label totals. The engine
+  // broadcasts the eval set and scans the corpus once (row-local
+  // codegen'd dot products, map-side max — no corpus shuffle); the
+  // oracle recomputes every pair relationally.
+  declare("decon_embedding",
+    """WITH x AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) v,
+                    generate_subscripts(embedding, 1) i FROM embeddings),
+       n AS (SELECT vec_id, sqrt(SUM(v*v)) nn FROM x GROUP BY 1),
+       ev AS (SELECT * FROM x WHERE label = 0),
+       co AS (SELECT * FROM x WHERE label <> 0),
+       dots AS (SELECT co.vec_id a, ev.vec_id b, SUM(co.v * ev.v) dp
+                FROM co JOIN ev ON co.i = ev.i GROUP BY 1, 2),
+       mx AS (SELECT a AS vec_id, MAX(round(dp/(na.nn*nb.nn), 3)) ms
+              FROM dots JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b
+              GROUP BY 1),
+       lab AS (SELECT e.vec_id, e.label, m.ms
+               FROM (SELECT vec_id, label FROM embeddings WHERE label <> 0) e
+               JOIN mx m USING (vec_id))
+       SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) n_total,
+         CAST(SUM(CASE WHEN ms >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) n_flagged
+       FROM lab GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    val e = t(spark, sfDir, "embeddings")
+    val corpus = e.filter(col("label") =!= 0)
+    Similarity.decontaminateByEmbedding(corpus, e.filter(col("label") === 0), 0.35)
+      .join(corpus.select("vec_id", "label"), Seq("vec_id"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("label")
+  }
+
+  // DSIR-style importance scoring (round 15; Xie et al. 2023, public
+  // paper): per-document average log-likelihood ratio between the
+  // target distribution (lang = 'en') and the raw corpus, add-one
+  // smoothed over the top-50 vocabulary + one OOV bucket; top-20 docs
+  // by micro-nat score. Counts stay exact integers, so the only
+  // order-sensitive float sum is the per-doc term sum under the same
+  // micro-nat flooring text_corpus_divergence ships with.
+  declare("text_importance_llr",
+    """WITH toks AS (SELECT doc_id, lang = 'en' AS is_t,
+                       unnest(string_split(text, ' ')) tok FROM documents),
+       cnt AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) rc,
+                 CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) tc
+               FROM toks GROUP BY 1),
+       vocab AS (SELECT tok, rc, tc FROM cnt ORDER BY rc DESC, tok LIMIT 50),
+       tot AS (SELECT SUM(rc) r, SUM(tc) t FROM cnt),
+       vs AS (SELECT SUM(rc) rv, SUM(tc) tv FROM vocab),
+       terms AS (SELECT k.doc_id,
+           CASE WHEN v.tok IS NOT NULL THEN ln((v.tc + 1) / (v.rc + 1))
+                ELSE ln((tot.t - vs.tv + 1) / (tot.r - vs.rv + 1)) END
+           + ln((tot.r + 51) / (tot.t + 51)) AS lr
+         FROM toks k LEFT JOIN vocab v USING (tok) CROSS JOIN tot CROSS JOIN vs),
+       perdoc AS (SELECT doc_id, COUNT(*) n_tokens, SUM(lr) s
+                  FROM terms GROUP BY 1)
+       SELECT doc_id, CAST(n_tokens AS BIGINT) n_tokens,
+         CAST(floor(s / n_tokens * 1e6) AS BIGINT) llr_micro
+       FROM perdoc ORDER BY llr_micro DESC, doc_id LIMIT 20""") { (spark, sfDir) =>
+    TextAnalysis.importanceWeights(t(spark, sfDir, "documents"),
+      col("lang") === "en")
+  }
+
   // Per-source unigram KL divergence vs the pooled corpus (round 15):
   // the mixture-drift diagnostic, over the global top-50 vocabulary
   // plus one explicit OOV bucket (bounded coverage, and ~51 float

@@ -891,6 +891,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.sortBy(r => (r._2, r._3)).toSeq == again.sortBy(r => (r._2, r._3)).toSeq)
   }
 
+  test("capPerGroup: two-phase heap top-N equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val got = TextAnalysis.capPerGroup(docs, "source", 5, "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val naive = docs
+      .select(col("doc_id"), col("source"), row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == naive)
+    assert(got.groupBy(_._2).forall(_._2.size <= 5))
+    // repartitioning must not change the retained set or the ranks
+    val shuffled = TextAnalysis.capPerGroup(docs.repartition(7), "source", 5, "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(shuffled == naive)
+  }
+
+  test("decontaminateByEmbedding flags exact and near copies, spares the rest") {
+    import spark.implicits._
+    val ev = Seq((100L, Seq(1f, 0f, 0f, 0f)), (101L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Seq(2f, 0f, 0f, 0f)),     // scaled copy of eval 100 -> cos 1.0
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)), // near copy -> cos ~0.994
+      (2L, Seq(0f, 0f, 1f, 0f)),     // orthogonal to both
+      (3L, Seq(1f, 1f, 0f, 0f)))     // cos ~0.707 vs both
+      .toDF("vec_id", "embedding")
+    val out = Similarity.decontaminateByEmbedding(corpus, ev, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("importanceWeights ranks target-vocabulary docs above raw-typical docs") {
+    import spark.implicits._
+    // target docs speak {tea, scone}; raw background speaks {ore, slag}.
+    val corpus = Seq(
+      (0L, "tea scone tea scone", true), (1L, "tea scone scone tea", true),
+      (2L, "ore slag ore slag", false), (3L, "slag ore slag ore", false),
+      (4L, "tea scone tea tea", false),   // target-like but NOT in target set
+      (5L, "ore slag ore ore", false))
+      .toDF("doc_id", "text", "is_t")
+    val out = TextAnalysis.importanceWeights(
+        corpus, col("is_t"), topK = 4, topN = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val score = out.toMap
+    // every target-vocab doc must outrank every raw-typical doc, and the
+    // out-of-target doc with target vocabulary scores like the target docs
+    assert(score(4L) > score(2L) && score(4L) > score(3L) && score(4L) > score(5L))
+    assert(Seq(0L, 1L).forall(d => score(d) > score(2L)))
+    // ranking is (llr_micro desc, doc_id asc) over all requested docs
+    assert(out.sortBy(t => (-t._2, t._1)).toSeq == out.toSeq)
+  }
+
   test("near-dup deduplicate eagerly reclaims superseded scratch datasets") {
     import spark.implicits._
     val scratchRoot = java.nio.file.Files.createTempDirectory("graft_scrtest").toString
