@@ -113,16 +113,21 @@ object Similarity {
     * instead.
     */
   def decontaminateByEmbedding(corpus: DataFrame, eval: DataFrame,
-      tau: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      tau: Double, idCol: String = "vec_id", vecCol: String = "embedding",
+      keepCols: Seq[String] = Nil): DataFrame = {
     val ev = broadcast(eval.select(col(vecCol).as("eval_vec")))
-    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    // keepCols ride the group-by key (same cardinality — the id is already
+    // unique), so callers get their metadata back without re-joining the
+    // corpus — a second corpus-sized shuffle this operator exists to avoid.
+    corpus.select(col(idCol).as("vec_id") +: col(vecCol).as("v") +:
+        keepCols.map(col): _*)
       .crossJoin(ev)
-      .select(col("vec_id"), round(cosine(col("v"), col("eval_vec")), 3).as("sim3"))
-      .groupBy("vec_id")
+      .select(col("vec_id") +: round(cosine(col("v"), col("eval_vec")), 3).as("sim3") +:
+        keepCols.map(col): _*)
+      .groupBy(col("vec_id") +: keepCols.map(col): _*)
       .agg(max("sim3").as("max_sim3"))
-      .select(col("vec_id"), col("max_sim3"),
-        (col("max_sim3") >= tau).as("flagged"))
+      .select(col("vec_id") +: col("max_sim3") +:
+        (col("max_sim3") >= tau).as("flagged") +: keepCols.map(col): _*)
   }
 
   /** Assign every vector to its nearest centroid (max quantized cosine,

@@ -791,8 +791,8 @@ object PipelineQueries {
        FROM lab GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
     val e = t(spark, sfDir, "embeddings")
     val corpus = e.filter(col("label") =!= 0)
-    Similarity.decontaminateByEmbedding(corpus, e.filter(col("label") === 0), 0.35)
-      .join(corpus.select("vec_id", "label"), Seq("vec_id"))
+    Similarity.decontaminateByEmbedding(corpus, e.filter(col("label") === 0),
+        0.35, keepCols = Seq("label"))
       .groupBy(col("label").cast("long").as("label"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))

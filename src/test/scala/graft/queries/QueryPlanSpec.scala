@@ -218,6 +218,37 @@ class QueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("domain cap pre-prunes per partition: the window sees candidates, not the corpus") {
+    val plan = planString(q("sample_domain_cap"))
+    // Phase 1 is the bounded-heap mapPartitions; only its ≤ N×partitions
+    // survivors reach the grouped exchange + window of phase 2.
+    assert(plan.contains("MapPartitions"), s"expected the heap pre-prune:\n$plan")
+    assert("Exchange hashpartitioning\\(grp".r.findAllIn(plan).length == 1,
+      s"exactly one group exchange, fed by candidates only:\n$plan")
+    assert(plan.contains("Window"), s"phase 2 ranks the survivors:\n$plan")
+  }
+
+  test("embedding decontamination broadcasts the eval set and combines map-side") {
+    val plan = planString(q("decon_embedding"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the eval set must broadcast against the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing may shuffle the corpus against the eval set:\n$plan")
+    // Partial max before the exchange: two HashAggregates per aggregate.
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"per-vector max must partial-aggregate map-side:\n$plan")
+  }
+
+  test("importance scoring joins the corpus to a broadcast vocabulary only") {
+    val plan = planString(q("text_importance_llr"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the K-row log-ratio table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the token stream must never shuffle against the vocabulary:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must fold into TakeOrderedAndProject:\n$plan")
+  }
+
   test("flagship entry returns rows") {
     val rows = graft.SparkEntry.entry(spark).collect()
     assert(rows.length == 2)
