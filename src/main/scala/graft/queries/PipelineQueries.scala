@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Engine
-import graft.operators.{Dedup, Multimodal, Scratch, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, Scratch, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
 
 /** Declared queries for the training-data-pipeline operators (the
@@ -1394,6 +1394,23 @@ object PipelineQueries {
        FROM s GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
     TextAnalysis.packShards(t(spark, sfDir, "documents"), budgetTokens = 1000)
       .orderBy("shard_id")
+  }
+
+  // BPE trainer's first-round pair table (round 15): frequency-weighted
+  // adjacent character pairs over the distinct-word table — "which
+  // merges would training learn first". The engine's corpus pass is the
+  // word-frequency build; everything after runs on the Zipf-small vocab
+  // (the two-level shape the full Bpe.train iterates — its merge loop is
+  // spec-pinned against a hand-computed corpus in PipelineSpec).
+  declare("tokens_bpe_pairs",
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) word FROM documents),
+       wf AS (SELECT word, COUNT(*) f FROM w WHERE word <> '' GROUP BY 1),
+       px AS (SELECT word, f, unnest(generate_series(1, length(word)-1)) i FROM wf),
+       pc AS (SELECT substr(word, i, 1) a, substr(word, i+1, 1) b,
+                CAST(SUM(f) AS BIGINT) cnt
+              FROM px GROUP BY 1, 2)
+       SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a, b LIMIT 20""") { (spark, sfDir) =>
+    Bpe.pairStats(t(spark, sfDir, "documents"), k = 20)
   }
 
   declare("lm_unigram_freq",

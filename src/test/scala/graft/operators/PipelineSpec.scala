@@ -945,6 +945,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.sortBy(t => (-t._2, t._1)).toSeq == out.toSeq)
   }
 
+  test("Bpe.train learns the hand-computed merge sequence") {
+    import spark.implicits._
+    // words: ab ×2, abc ×1 → pairs (a,b)=3, (b,c)=1 → merge 1 = (a,b);
+    // state ab:[ab], abc:[ab,c] → merge 2 = (ab,c); then no pairs remain.
+    val corpus = Seq((0L, "ab ab"), (1L, "abc")).toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, nMerges = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(merges.toSeq == Seq((1L, "a", "b"), (2L, "ab", "c")))
+  }
+
+  test("Bpe merge is greedy left-to-right non-overlapping; ties break lexicographically") {
+    import spark.implicits._
+    // "aaa" under (a,a): greedy LTR → [aa, a], so round 2 sees (aa,a).
+    val runs = Seq((0L, "aaa")).toDF("doc_id", "text")
+    val m = Bpe.train(runs, nMerges = 2).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(m.toSeq == Seq(("a", "a"), ("aa", "a")))
+    // tie on count (each pair appears once): (x,y) < (y,z) lexicographically
+    val tie = Seq((0L, "xy"), (1L, "yz")).toDF("doc_id", "text")
+    val first = Bpe.train(tie, nMerges = 1).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(first.toSeq == Seq(("x", "y")))
+  }
+
+  test("Bpe.pairStats matches a hand-computed weighted pair table") {
+    import spark.implicits._
+    val corpus = Seq((0L, "ab ab  abc"), (1L, "b")).toDF("doc_id", "text")
+    // wf: ab=2, abc=1, b=1 (empty word from the double space dropped);
+    // pairs: (a,b) 2+1=3, (b,c) 1; single-char 'b' contributes none.
+    val got = Bpe.pairStats(corpus, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "b", 3L), ("b", "c", 1L)))
+  }
+
   test("near-dup deduplicate eagerly reclaims superseded scratch datasets") {
     import spark.implicits._
     val scratchRoot = java.nio.file.Files.createTempDirectory("graft_scrtest").toString
