@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Engine
-import graft.operators.{Bpe, Dedup, Multimodal, Scratch, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, RangeJoin, Scratch, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
 
 /** Declared queries for the training-data-pipeline operators (the
@@ -1379,6 +1379,35 @@ object PipelineQueries {
        FROM sess GROUP BY user_id, sess_id
        ORDER BY user_id, session_start_epoch""") { (spark, sfDir) =>
     EventsStreaming.sessionWindows(spark, sfDir)
+  }
+
+  // Distributed point-in-interval join (round 15): events against 60
+  // OVERLAPPING 18-hour windows at 12-hour stride. Spark plans a bare
+  // range predicate as a nested-loop scan; RangeJoin bucketizes (6-hour
+  // buckets — each interval replicates to ≤4, each point lands in ONE)
+  // so the plan is a shuffled equi-join with a residual predicate —
+  // AQE-sizeable at any scale. The oracle runs DuckDB's own
+  // inequality join over the identical windows.
+  declare("events_interval_join",
+    """WITH win AS (SELECT printf('w%02d', i) win,
+           1704067200 + i*43200 lo, 1704067200 + i*43200 + 64800 hi
+         FROM (SELECT unnest(generate_series(0, 59)) i)),
+       ev AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) t, value FROM events)
+       SELECT win, CAST(COUNT(*) AS BIGINT) n_events,
+         CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) value_cents
+       FROM win JOIN ev ON t >= lo AND t < hi
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    val ev = t(spark, sfDir, "events")
+      .select(col("event_id"), col("ts").cast("long").as("t"), col("value"))
+    val win = spark.range(60).select(
+      concat(lit("w"), lpad(col("id").cast("string"), 2, "0")).as("win"),
+      (lit(1704067200L) + col("id") * 43200L).as("lo"),
+      (lit(1704067200L) + col("id") * 43200L + 64800L).as("hi"))
+    RangeJoin.intervalJoin(ev, "t", win, "lo", "hi", bucketWidth = 21600L)
+      .groupBy("win")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .orderBy("win")
   }
 
   // ------------------------------------------- training-batch prep

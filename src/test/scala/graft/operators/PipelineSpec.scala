@@ -980,6 +980,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", "b", 3L), ("b", "c", 1L)))
   }
 
+  test("intervalJoin equals the naive range-predicate join, half-open bounds") {
+    import spark.implicits._
+    val pts = Seq((0L, 0L), (1L, 5L), (2L, 10L), (3L, 17L), (4L, 29L), (5L, 30L))
+      .toDF("pid", "t")
+    val ivs = Seq(("a", 0L, 10L), ("b", 5L, 30L), ("c", 10L, 10L), ("d", 20L, 5L))
+      .toDF("iv", "lo", "hi") // c empty, d inverted
+    for (width <- Seq(1L, 3L, 7L, 100L)) {
+      val got = RangeJoin.intervalJoin(pts, "t", ivs, "lo", "hi", width)
+        .select("pid", "iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val naive = pts.join(ivs, col("t") >= col("lo") && col("t") < col("hi"))
+        .select("pid", "iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == naive, s"width $width")
+      // hand-checked: t=10 is OUT of [0,10) but IN [5,30); t=30 matches nothing
+      assert(naive == Set((0L, "a"), (1L, "a"), (1L, "b"), (2L, "b"), (3L, "b"), (4L, "b")))
+    }
+  }
+
+  test("intervalJoin throws on degenerate intervals instead of fanning out") {
+    import spark.implicits._
+    val pts = Seq((0L, 50L)).toDF("pid", "t")
+    val ivs = Seq(("huge", 0L, 1000000L)).toDF("iv", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.intervalJoin(pts, "t", ivs, "lo", "hi",
+        bucketWidth = 1L, maxSpanBuckets = 100).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("near-dup deduplicate eagerly reclaims superseded scratch datasets") {
     import spark.implicits._
     val scratchRoot = java.nio.file.Files.createTempDirectory("graft_scrtest").toString

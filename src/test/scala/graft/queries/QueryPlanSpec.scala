@@ -249,6 +249,14 @@ class QueryPlanSpec extends AnyFunSuite {
       s"top-N must fold into TakeOrderedAndProject:\n$plan")
   }
 
+  test("interval join bucketizes into an equi-join: no nested-loop, no cartesian") {
+    val plan = planString(q("events_interval_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range predicate must ride a bucket equi-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected the bucket equi-join:\n$plan")
+  }
+
   test("flagship entry returns rows") {
     val rows = graft.SparkEntry.entry(spark).collect()
     assert(rows.length == 2)
