@@ -82,7 +82,7 @@ object Bench {
       "dedup_semantic", "embed_clusters",
       "events_stream_hourly", "events_stream_enriched",
       "events_stream_dedup", "events_stream_attrib",
-      "events_stream_sessions")
+      "events_stream_sessions", "quality_classifier")
     def sweep(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()

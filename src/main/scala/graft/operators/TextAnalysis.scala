@@ -759,6 +759,30 @@ object TextAnalysis {
     }.mkString("CASE ", " ", s" ELSE '${splits.last._1}' END")
   }
 
+  /** Per-group vocabulary coverage: what fraction of each group's token
+    * occurrences falls OUTSIDE the global top-`topK` vocabulary — the
+    * tokenizer/vocab OOV-rate diagnostic run before committing to a vocab
+    * size (and the per-source drill-down of the corpus-divergence OOV
+    * bucket). Exact integer counts only.
+    *
+    * Scale shape: one corpus aggregation to the Zipf-small token counts,
+    * the K-row vocabulary broadcast back onto the token stream, per-group
+    * counts map-side combined — two linear passes, nothing corpus².
+    */
+  def vocabCoverage(docs: DataFrame, groupCol: String = "source",
+      topK: Int = 100, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(topK).select("tok", "c")
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("grp"), col("n_tokens"), col("n_oov"),
+        floor(col("n_oov") * 1000.0 / col("n_tokens")).cast("long").as("oov_permille"))
+  }
+
   /** Per-group retention cap — "keep at most `maxN` documents per group,
     * best first" — the anti-domination policy every large crawl corpus
     * applies before mixing (a handful of boilerplate-heavy domains

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Engine
-import graft.operators.{Bpe, Dedup, Multimodal, RangeJoin, Scratch, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, QualityClassifier, RangeJoin, Scratch, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
 
 /** Declared queries for the training-data-pipeline operators (the
@@ -827,6 +827,53 @@ object PipelineQueries {
        FROM perdoc ORDER BY llr_micro DESC, doc_id LIMIT 20""") { (spark, sfDir) =>
     TextAnalysis.importanceWeights(t(spark, sfDir, "documents"),
       col("lang") === "en")
+  }
+
+  // Model-based quality filtering (round 15): hashed-bag-of-words
+  // logistic regression (the fastText-style quality classifier) trained
+  // with distributed full-batch GD (treeAggregate gradients — MLlib's
+  // own shape), then a row-local scoring pass. Deliberately ORACLE-LESS:
+  // float gradient sums reorder across partitionings, so weights are
+  // ulp-stable only per-layout; separation quality is spec-pinned in
+  // PipelineSpec. The training target here is a lexical property the
+  // model can actually learn from bag-of-words ("document contains
+  // 'the'" — the synthetic corpus's lang column is a metadata label
+  // drawn over one shared token pool, textually unlearnable); output
+  // compares the model's keep decision against the target per source.
+  declare("quality_classifier") { (spark, sfDir) =>
+    val docs = t(spark, sfDir, "documents").withColumn("label",
+      array_contains(split(col("text"), " "), "the").cast("double"))
+    // dim 512: collision-free over this corpus's vocabulary (at 256 the
+    // target token 'the' shares a bucket with the common token 'value',
+    // which erases the signal — the classic feature-hashing failure mode;
+    // production dims are 1e5+ for the same reason).
+    val w = QualityClassifier.train(docs, "label", dim = 512, iters = 30, lr = 10.0)
+    QualityClassifier.score(docs, w)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label")).cast("long").as("n_target"),
+        sum(when(col("p") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
+        sum(when((col("p") >= 0.5) === (col("label") > 0.5), 1L).otherwise(0L))
+          .as("n_agree"))
+      .orderBy("source")
+  }
+
+  // Per-source vocabulary OOV rate under the global top-100 vocab
+  // (round 15): the "is this vocab size enough for every source"
+  // diagnostic a tokenizer build runs — per-source drill-down of the
+  // divergence query's OOV bucket. Exact integer counts; one corpus
+  // aggregation + K-row broadcast back onto the token stream.
+  declare("tokens_vocab_coverage",
+    """WITH toks AS (SELECT source AS grp, unnest(string_split(text, ' ')) tok
+                     FROM documents),
+       cnt AS (SELECT tok, COUNT(*) c FROM toks GROUP BY 1),
+       vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 100),
+       j AS (SELECT grp, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END oov
+             FROM toks t LEFT JOIN vocab v USING (tok))
+       SELECT grp, CAST(COUNT(*) AS BIGINT) n_tokens, CAST(SUM(oov) AS BIGINT) n_oov,
+         CAST(floor(1000.0 * SUM(oov) / COUNT(*)) AS BIGINT) oov_permille
+       FROM j GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    TextAnalysis.vocabCoverage(t(spark, sfDir, "documents")).orderBy("grp")
   }
 
   // Per-source unigram KL divergence vs the pooled corpus (round 15):

@@ -980,6 +980,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", "b", 3L), ("b", "c", 1L)))
   }
 
+  test("quality classifier separates planted classes and GD descends") {
+    import spark.implicits._
+    val good = Seq("clear prose with varied informative vocabulary",
+      "well structured argument citing careful evidence",
+      "thoughtful analysis of the measured results")
+    val spam = Seq("click here buy now free offer",
+      "winner winner claim your free prize now",
+      "buy cheap click buy click buy")
+    val corpus = (0 until 120).map { i =>
+      val pool = if (i % 2 == 0) good else spam
+      (i.toLong, pool(i % 3), if (i % 2 == 0) 1.0 else 0.0)
+    }.toDF("doc_id", "text", "label")
+    val zero = new Array[Double](33)
+    val w = QualityClassifier.train(corpus, "label", dim = 32, iters = 50, lr = 10.0)
+    assert(QualityClassifier.loss(corpus, "label", w) <
+      QualityClassifier.loss(corpus, "label", zero) - 0.1,
+      "gradient descent must reduce the logistic loss")
+    val acc = QualityClassifier.score(corpus, w)
+      .select(((col("p") >= 0.5).cast("int") === col("label").cast("int")).cast("int"))
+      .as[Int].collect()
+    assert(acc.sum >= 114, s"classifier should separate planted classes: ${acc.sum}/120")
+  }
+
+  test("vocabCoverage: hand-computed OOV rates under a tiny vocabulary") {
+    import spark.implicits._
+    // vocab top-2 by count (tie → token asc): a(4), b(3). OOV = {c, d}.
+    val corpus = Seq(("s1", "a a b c"), ("s2", "a b d d"), ("s3", "a b"))
+      .toDF("source", "text")
+    val got = TextAnalysis.vocabCoverage(corpus, topK = 2)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("s1", 4L, 1L, 250L), ("s2", 4L, 2L, 500L),
+      ("s3", 2L, 0L, 0L)))
+  }
+
   test("intervalJoin equals the naive range-predicate join, half-open bounds") {
     import spark.implicits._
     val pts = Seq((0L, 0L), (1L, 5L), (2L, 10L), (3L, 17L), (4L, 29L), (5L, 30L))
