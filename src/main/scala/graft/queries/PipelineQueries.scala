@@ -748,6 +748,32 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // Dedup-threshold calibration curve (round 15): the pair-count
+  // histogram across Jaccard deciles ≥ 0.5 — the diagnostic a pipeline
+  // reads BEFORE committing to a dedup threshold (where does the pair
+  // mass sit; how much more would 0.7 remove than 0.8). Same
+  // inverted-index candidate pass the dedup itself runs — the curve
+  // costs one verify, not one run per candidate threshold.
+  declare("dedup_threshold_curve",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+       sh0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) shingles FROM toks),
+       sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+       sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+       inter AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) i
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       jac AS (SELECT a, b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) j FROM inter
+               JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id)
+       SELECT CAST(floor(j * 10) AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) n_pairs
+       FROM jac WHERE j >= 0.5 GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    Dedup.jaccardPairs(t(spark, sfDir, "documents"), threshold = 0.5,
+        maxShingleDf = Long.MaxValue)
+      .select(floor(col("jaccard") * 10).cast("long").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("decile")
+  }
+
   // Per-source retention cap (round 15): "keep the best 5 documents per
   // domain" — the anti-domination policy big crawl corpora apply before
   // mixing. Best = (n_chars DESC, doc_id ASC). The engine side is the
