@@ -991,4 +991,40 @@ object TextAnalysis {
       .orderBy(desc("nll_micro"), asc("doc_id"))
       .limit(topN)
   }
+
+  /** Wordlist-based filtering (the NSFW/badword-list pass every crawl
+    * pipeline runs): per-document count of blocklisted token OCCURRENCES
+    * and the block verdict `n_hits·100 > n_tokens·tauPct`. Returns the
+    * input columns plus `n_tokens`, `n_hits`, `blocked` — a composable
+    * stage, not a report.
+    *
+    * Scale shape: the blocklist is a broadcast table (production lists
+    * run 10⁴-10⁵ entries — a row-local literal-array membership scan
+    * would pay O(|list|) per token, and a literal IN-list that size blows
+    * up codegen; the broadcast hash join pays O(1) per token). Tokens
+    * that hit are a vanishing fraction of the corpus, so the per-doc hit
+    * count aggregates a small exploded subset (map-side combined) and
+    * joins back on `doc_id`; the verdict is an exact integer comparison,
+    * engine-independent. Docs with zero hits never leave the scan — the
+    * inner join drops them and the left join restores `n_hits = 0`.
+    */
+  def blocklistFilter(docs: DataFrame, blocklist: Seq[String],
+      tauPct: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(blocklist.nonEmpty, "blocklistFilter: empty blocklist")
+    val bl = broadcast(blocklist.toDF("tok"))
+    val hits = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .join(bl, Seq("tok"))
+      .groupBy("doc_id").agg(count(lit(1)).as("h"))
+    docs.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .join(hits.withColumnRenamed("doc_id", "__bl_id"),
+        col(idCol) === col("__bl_id"), "left")
+      .drop("__bl_id")
+      .withColumn("n_hits", coalesce(col("h"), lit(0L)))
+      .drop("h")
+      .withColumn("blocked", col("n_hits") * 100 > col("n_tokens") * tauPct)
+  }
 }

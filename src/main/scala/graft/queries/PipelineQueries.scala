@@ -896,6 +896,33 @@ object PipelineQueries {
     TextAnalysis.perplexityScores(t(spark, sfDir, "documents"))
   }
 
+  // Wordlist filtering (round 15): the badword-list pass, per-source
+  // rollup of occurrence counts and the >10%-of-tokens block verdict.
+  // The blocklist is a BROADCAST table, not a literal IN-list —
+  // production lists run 10⁴+ entries where per-token array scans and
+  // giant codegen IN-lists both fall over; hit tokens are a vanishing
+  // fraction of the corpus so the per-doc combine aggregates a small
+  // exploded subset. Verdict is exact integer arithmetic.
+  declare("text_blocklist",
+    """WITH bl(tok) AS (VALUES ('slow'), ('dup'), ('big')),
+       toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+       hits AS (SELECT doc_id, COUNT(*) h FROM toks JOIN bl USING (tok) GROUP BY 1),
+       perdoc AS (SELECT d.source, len(string_split(d.text, ' ')) n_tokens,
+                         COALESCE(h.h, 0) n_hits
+                  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
+       SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+         CAST(SUM(CASE WHEN n_hits * 100 > n_tokens * 10 THEN 1 ELSE 0 END) AS BIGINT) n_blocked,
+         CAST(SUM(n_hits) AS BIGINT) n_hits
+       FROM perdoc GROUP BY source ORDER BY source""") { (spark, sfDir) =>
+    TextAnalysis.blocklistFilter(t(spark, sfDir, "documents"),
+        Seq("slow", "dup", "big"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+        sum("n_hits").as("n_hits"))
+      .orderBy("source")
+  }
+
   // Model-based quality filtering (round 15): hashed-bag-of-words
   // logistic regression (the fastText-style quality classifier) trained
   // with distributed full-batch GD (treeAggregate gradients — MLlib's

@@ -1781,6 +1781,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.sortBy(t => (-t._3, t._1)).toSeq == out.toSeq)
   }
 
+  test("blocklistFilter counts occurrences and blocks on the integer threshold") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "bad bad bad ok ok"),      // 3/5 hits -> blocked at 10%
+      (1L, "ok ok ok ok ok ok ok ok ok bad"), // 1/10 = exactly 10% -> NOT blocked (strict >)
+      (2L, "ok ok ok"),               // 0 hits -> kept, n_hits 0
+      (3L, "bad ok ok ok ok ok ok ok ok")) // 1/9 > 10% -> blocked
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(corpus, Seq("bad"))
+      .select("doc_id", "n_tokens", "n_hits", "blocked")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out == Map(
+      0L -> ((5L, 3L, true)), 1L -> ((10L, 1L, false)),
+      2L -> ((3L, 0L, false)), 3L -> ((9L, 1L, true))))
+    // original columns ride through
+    val cols = TextAnalysis.blocklistFilter(corpus, Seq("bad")).columns.toSeq
+    assert(cols == Seq("doc_id", "text", "n_tokens", "n_hits", "blocked"))
+  }
+
   test("perplexityScores folds out-of-vocab tokens into one OOV bucket") {
     import spark.implicits._
     // topK = 2 keeps only {x, y}; the rare tokens q/r/s all fold to the
