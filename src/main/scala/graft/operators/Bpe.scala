@@ -110,4 +110,49 @@ object Bpe {
     Scratch.delete(spark, stateDir)
     merges.result().toDF("rank", "left", "right")
   }
+
+  /** Apply a learned merge list to the corpus's DISTINCT word table:
+    * `(word, syms, n_sub)` — the tokenizer-application half of BPE
+    * (encode), dual to [[train]]. Merges apply in rank order, each as one
+    * greedy left-to-right non-overlapping pass — the identical
+    * [[mergeOnce]] semantics the trainer rewrites state with, so
+    * encode∘train round-trips exactly (spec-pinned).
+    *
+    * Scale shape: encoding runs on the distinct-word table (Zipf-small,
+    * see the object scaladoc), NOT per corpus token — the classic
+    * encode-cache trick, here as dataflow. The merge list is a broadcast
+    * model artifact (vocabularies are 10⁴-10⁵ merges — driver-bounded by
+    * construction, like the codebooks in [[graft.operators.Similarity]]);
+    * the per-word merge loop is imperative row-local logic over that
+    * broadcast, where an expression chain would nest one HOF per merge
+    * (plan/codegen depth O(merges) — not viable at real vocab sizes).
+    * Consumers join the encoded table back to the corpus on `word`
+    * (plain equi-join, AQE-sizeable).
+    */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bm = spark.sparkContext.broadcast(merges)
+    wordFreqs(docs, textCol).select(col("word")).as[String]
+      .mapPartitions { it =>
+        val ms = bm.value
+        it.map { w =>
+          var syms: Array[String] = w.toCharArray.map(_.toString)
+          ms.foreach { case (a, b) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.toArray
+          }
+          (w, syms)
+        }
+      }
+      .toDF("word", "syms")
+      .withColumn("n_sub", size(col("syms")).cast("long"))
+  }
 }

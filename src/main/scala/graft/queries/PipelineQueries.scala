@@ -1583,6 +1583,41 @@ object PipelineQueries {
     Bpe.pairStats(t(spark, sfDir, "documents"), k = 20)
   }
 
+  // BPE tokenizer APPLICATION (round 15): encode the corpus under a
+  // fixed 3-merge model — (s,c), (a,n), then the SYMBOL-level (sc,an) —
+  // and roll up per-source word/char/subtoken counts. Encoding runs on
+  // the Zipf-small distinct-word table with the merge list broadcast
+  // (Bpe.encode), then joins back to the corpus by word. The merge set
+  // is chosen interaction-free so the oracle can recompute subtoken
+  // counts EXACTLY in SQL: each merge removes one symbol per occurrence,
+  // 'sc'/'an' share no characters (every occurrence merges — L2R
+  // non-overlap never skips), and an (sc)(an) symbol adjacency is
+  // precisely a 'scan' substring, so n_sub = len − occ(sc) − occ(an) −
+  // occ(scan) with replace()-based L2R occurrence counting. The general
+  // trained-merge path is spec-pinned (encode∘train round-trip).
+  declare("tokens_bpe_encode",
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) word FROM documents),
+       ww AS (SELECT source, len(word) nc,
+                (len(word) - len(replace(word, 'sc', ''))) // 2 o1,
+                (len(word) - len(replace(word, 'an', ''))) // 2 o2,
+                (len(word) - len(replace(word, 'scan', ''))) // 4 o3
+              FROM w WHERE word <> '')
+       SELECT source, CAST(COUNT(*) AS BIGINT) n_words,
+         CAST(SUM(nc) AS BIGINT) n_chars,
+         CAST(SUM(nc - o1 - o2 - o3) AS BIGINT) n_subtokens
+       FROM ww GROUP BY source ORDER BY source""") { (spark, sfDir) =>
+    val docs = t(spark, sfDir, "documents")
+    val enc = Bpe.encode(docs, Seq(("s", "c"), ("a", "n"), ("sc", "an")))
+    docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(enc.select(col("word"), length(col("word")).cast("long").as("nc"),
+        col("n_sub")), Seq("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum("nc").as("n_chars"),
+        sum("n_sub").as("n_subtokens"))
+      .orderBy("source")
+  }
+
   declare("lm_unigram_freq",
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
        vocab AS (SELECT tok, COUNT(*) freq FROM toks GROUP BY 1)

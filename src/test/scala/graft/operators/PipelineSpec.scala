@@ -1781,6 +1781,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.sortBy(t => (-t._3, t._1)).toSeq == out.toSeq)
   }
 
+  test("Bpe.encode applies merges in rank order with greedy L2R passes") {
+    import spark.implicits._
+    val corpus = Seq((0L, "scan sscan scscan ssccan anan aan xyz a")).toDF("doc_id", "text")
+    val out = Bpe.encode(corpus, Seq(("s", "c"), ("a", "n"), ("sc", "an")))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(out == Map(
+      "scan" -> List("scan"),
+      "sscan" -> List("s", "scan"),
+      "scscan" -> List("sc", "scan"),
+      "ssccan" -> List("s", "sc", "c", "an"),
+      "anan" -> List("an", "an"),
+      "aan" -> List("a", "an"),
+      "xyz" -> List("x", "y", "z"),
+      "a" -> List("a")))
+  }
+
+  test("Bpe.encode under trained merges round-trips the trainer's state") {
+    import spark.implicits._
+    // train learns (a,b) then (ab,c) on this corpus (pinned above);
+    // encode under those merges must reproduce the trainer's final
+    // per-word symbol state: ab -> [ab], abc -> [abc].
+    val corpus = Seq((0L, "ab ab"), (1L, "abc")).toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, nMerges = 5).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = Bpe.encode(corpus, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(out == Map("ab" -> List("ab"), "abc" -> List("abc")))
+  }
+
   test("blocklistFilter counts occurrences and blocks on the integer threshold") {
     import spark.implicits._
     val corpus = Seq(
