@@ -2353,6 +2353,44 @@ object AnalyticsQueries {
          ORDER BY l_orderkey, l_linenumber""")
   }
 
+  // Transactions over the temp-table layer (round 15): BEGIN/COMMIT/
+  // ROLLBACK execute as saved registry states — the multi-version
+  // mutation protocol (every write is a fresh snapshot dir) makes
+  // BEGIN an O(tables) metadata capture and ROLLBACK a re-point, no
+  // data copied (sql/TempTables.txn*). IDENTICAL script on both
+  // engines; DuckDB runs its real ACID transactions. Nested-BEGIN and
+  // bare-COMMIT/ROLLBACK error texts pinned in TempTableTxnSpec,
+  // along with rollback of CREATE and DROP.
+  declare("q121_transaction",
+    """CREATE OR REPLACE TEMP TABLE graft_q121 (k INTEGER, v VARCHAR);
+       INSERT INTO graft_q121 VALUES (1, 'keep'), (2, 'keep2');
+       BEGIN TRANSACTION;
+       UPDATE graft_q121 SET v = 'dirty' WHERE k = 1;
+       DELETE FROM graft_q121 WHERE k = 2;
+       INSERT INTO graft_q121 VALUES (3, 'dirty3');
+       ROLLBACK;
+       BEGIN TRANSACTION;
+       INSERT INTO graft_q121 VALUES (4, 'committed');
+       UPDATE graft_q121 SET v = 'kept-update' WHERE k = 2;
+       COMMIT;
+       SELECT k, v FROM graft_q121 ORDER BY k""") { (spark, sfDir) =>
+    spark.sql("DROP TABLE IF EXISTS graft_q121")
+    Seq(
+      "CREATE OR REPLACE TEMP TABLE graft_q121 (k INTEGER, v VARCHAR)",
+      "INSERT INTO graft_q121 VALUES (1, 'keep'), (2, 'keep2')",
+      "BEGIN TRANSACTION",
+      "UPDATE graft_q121 SET v = 'dirty' WHERE k = 1",
+      "DELETE FROM graft_q121 WHERE k = 2",
+      "INSERT INTO graft_q121 VALUES (3, 'dirty3')",
+      "ROLLBACK",
+      "BEGIN TRANSACTION",
+      "INSERT INTO graft_q121 VALUES (4, 'committed')",
+      "UPDATE graft_q121 SET v = 'kept-update' WHERE k = 2",
+      "COMMIT"
+    ).foreach(s => spark.sql(s).collect())
+    spark.sql("SELECT k, v FROM graft_q121 ORDER BY k")
+  }
+
   // DuckDB statement parity: `COPY tbl FROM 'path'` import direction
   // executing (sql/CopyToRewrite FROM branch → copy_from TVF →
   // insertInto append). The Spark side runs the real pipeline — export

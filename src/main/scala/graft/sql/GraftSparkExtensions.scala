@@ -611,7 +611,20 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     "(?is)\\A\\s*(?:DESCRIBE|DESC)\\s+((?:SELECT|WITH|VALUES)\\b.*)\\z".r
   private val showAllTablesRe =
     "(?is)\\A\\s*SHOW\\s+ALL\\s+TABLES\\s*;?\\s*\\z".r
+  // Transaction control. None of these parse in Spark (no transaction
+  // grammar; SQL-scripting BEGIN needs a body), so they only ever
+  // arrive on parse failure. ABORT is DuckDB's ROLLBACK synonym; the
+  // optional TRANSACTION keyword matches DuckDB's grammar.
+  private val beginTxnRe =
+    "(?is)\\A\\s*BEGIN(?:\\s+TRANSACTION)?\\s*;?\\s*\\z".r
+  private val commitTxnRe =
+    "(?is)\\A\\s*COMMIT(?:\\s+TRANSACTION)?\\s*;?\\s*\\z".r
+  private val rollbackTxnRe =
+    "(?is)\\A\\s*(?:ROLLBACK|ABORT)(?:\\s+TRANSACTION)?\\s*;?\\s*\\z".r
   private def maintenanceRewrite(sql: String): Option[String] = sql match {
+    case beginTxnRe() => Some("SELECT * FROM txn_ctl('begin')")
+    case commitTxnRe() => Some("SELECT * FROM txn_ctl('commit')")
+    case rollbackTxnRe() => Some("SELECT * FROM txn_ctl('rollback')")
     case truncateRe(tbl) => Some(s"TRUNCATE TABLE $tbl")
     case describeQueryRe(q) => Some(s"DESCRIBE QUERY $q")
     case showAllTablesRe() => Some("SHOW TABLES")
@@ -3436,6 +3449,29 @@ object GraftSparkExtensions {
         Seq.empty)
     })
 
+  /** BEGIN/COMMIT/ROLLBACK over the graft temp-table layer
+    * ([[TempTables]] — the multi-version mutation protocol makes a
+    * transaction a saved registry state; see the txn* scaladoc there).
+    * Returns DuckDB's empty result; error texts mirror DuckDB's
+    * TransactionContext errors (nested BEGIN, bare COMMIT/ROLLBACK —
+    * pinned on 1.0).
+    */
+  val txnCtlFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("txn_ctl"), info("txn_ctl"), (args: Seq[Expression]) => {
+      require(args.size == 1 && args.head.foldable,
+        "txn_ctl(op) — one constant string: begin|commit|rollback")
+      asString(args.head.eval(null)) match {
+        case "begin" => TempTables.txnBegin()
+        case "commit" => TempTables.txnCommit()
+        case "rollback" => TempTables.txnRollback()
+        case other => throw new IllegalArgumentException(
+          s"txn_ctl: unknown operation '$other' (begin|commit|rollback)")
+      }
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq.empty)
+    })
+
   /** DuckDB COPY CSV option → DataFrameReader/Writer option name
     * (1:1 passthrough; applied on both directions).
     */
@@ -3528,6 +3564,7 @@ object GraftSparkExtensions {
     updateTableFn,
     deleteFromFn,
     maintenanceNoopFn,
+    txnCtlFn,
     tempTableAsFn,
     tempTableEmptyFn,
     tempInsertFn,

@@ -80,8 +80,62 @@ object TempTables {
     if (dir == null) false
     else {
       SparkSession.active.catalog.dropTempView(name.toLowerCase)
-      graft.operators.Scratch.delete(SparkSession.active, dir)
+      // Inside a transaction the dropped snapshot is the ROLLBACK
+      // target — deletion defers to the scratch root's JVM-exit
+      // cleanup, the same lifecycle superseded mutation snapshots get.
+      if (!txnActive) graft.operators.Scratch.delete(SparkSession.active, dir)
       true
+    }
+  }
+
+  // --- Transactions (BEGIN/COMMIT/ROLLBACK) over the temp-table layer ---
+  //
+  // The mutation protocol above IS multi-version: every write lands in a
+  // fresh scratch dir and re-points the fronting view, never touching
+  // the superseded snapshot. A transaction is therefore just a saved
+  // registry state: BEGIN captures each table's current (dir, pk) —
+  // O(tables) driver metadata, no data copied — COMMIT discards the
+  // capture, ROLLBACK re-registers every captured snapshot, drops
+  // tables created since, and restores tables dropped since. Scope:
+  // the graft temp-table layer (catalog tables keep Spark's own
+  // semantics — Spark has no transactions to coordinate with).
+  // Error texts mirror DuckDB's TransactionContext errors (pinned on
+  // 1.0: nested BEGIN, bare COMMIT/ROLLBACK).
+
+  private val txnRegistry = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, Map[String, (String, Option[Seq[String]])]]()
+
+  def txnActive: Boolean = txnRegistry.containsKey(SparkSession.active)
+
+  def txnBegin(): Unit = {
+    val spark = SparkSession.active
+    val snap = names().map(n =>
+      n -> ((registry.get(key(n)), keysOf(n)))).toMap
+    if (txnRegistry.putIfAbsent(spark, snap) != null)
+      throw new IllegalStateException(
+        "TransactionContext Error: cannot start a transaction within a transaction")
+  }
+
+  def txnCommit(): Unit = {
+    if (txnRegistry.remove(SparkSession.active) == null)
+      throw new IllegalStateException(
+        "TransactionContext Error: cannot commit - no transaction is active")
+  }
+
+  def txnRollback(): Unit = {
+    val spark = SparkSession.active
+    val snap = txnRegistry.remove(spark)
+    if (snap == null)
+      throw new IllegalStateException(
+        "TransactionContext Error: cannot rollback - no transaction is active")
+    names().filterNot(snap.contains).foreach(drop)
+    snap.foreach { case (n, (dir, pk)) =>
+      spark.read.parquet(dir).createOrReplaceTempView(n)
+      registry.put(key(n), dir)
+      pk match {
+        case Some(cols) => pkRegistry.put(key(n), cols)
+        case None => pkRegistry.remove(key(n)); ()
+      }
     }
   }
 }
