@@ -2391,6 +2391,23 @@ object AnalyticsQueries {
     spark.sql("SELECT k, v FROM graft_q121 ORDER BY k")
   }
 
+  // PRAGMA introspection (round 15): `PRAGMA table_info('t')` executes
+  // with DuckDB's exact six-column shape (cid INT, name, type in DuckDB
+  // spellings, notnull with PK-implies-NOT-NULL, dflt_value, pk from
+  // the temp-table layer's declared PRIMARY KEY). show_tables /
+  // assignment pragmas / CHECKPOINT run too (spec-pinned); identical
+  // script both engines.
+  declare("q122_pragma",
+    """CREATE OR REPLACE TEMP TABLE graft_q122
+         (k INTEGER PRIMARY KEY, v VARCHAR, n BIGINT, d DOUBLE);
+       PRAGMA table_info('graft_q122')""") { (spark, sfDir) =>
+    spark.sql("DROP TABLE IF EXISTS graft_q122")
+    spark.sql(
+      """CREATE OR REPLACE TEMP TABLE graft_q122
+           (k INTEGER PRIMARY KEY, v VARCHAR, n BIGINT, d DOUBLE)""").collect()
+    spark.sql("PRAGMA table_info('graft_q122')")
+  }
+
   // DuckDB statement parity: `COPY tbl FROM 'path'` import direction
   // executing (sql/CopyToRewrite FROM branch → copy_from TVF →
   // insertInto append). The Spark side runs the real pipeline — export

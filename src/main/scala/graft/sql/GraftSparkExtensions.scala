@@ -621,10 +621,38 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     "(?is)\\A\\s*COMMIT(?:\\s+TRANSACTION)?\\s*;?\\s*\\z".r
   private val rollbackTxnRe =
     "(?is)\\A\\s*(?:ROLLBACK|ABORT)(?:\\s+TRANSACTION)?\\s*;?\\s*\\z".r
+  // PRAGMA statements (none parse in Spark). The informational ones
+  // execute with DuckDB's exact output shape; assignment/tuning pragmas
+  // (PRAGMA threads=4, memory_limit='1GB', ...) are engine-tuning
+  // directives with no Spark counterpart — warn-once no-op pointing at
+  // SET spark.* configuration. CHECKPOINT flushes a WAL this engine
+  // doesn't have (immutable parquet snapshots) — no-op likewise.
+  private val pragmaTableInfoRe =
+    "(?is)\\A\\s*PRAGMA\\s+table_info\\s*\\(\\s*'?([A-Za-z_][\\w.]*)'?\\s*\\)\\s*;?\\s*\\z".r
+  private val pragmaShowTablesRe =
+    "(?is)\\A\\s*PRAGMA\\s+show_tables\\s*;?\\s*\\z".r
+  private val pragmaDatabaseListRe =
+    "(?is)\\A\\s*PRAGMA\\s+(?:database_list|database_size|version|show_databases)\\s*;?\\s*\\z".r
+  private val pragmaOtherRe =
+    "(?is)\\A\\s*PRAGMA\\s+([A-Za-z_]\\w*)\\s*(?:=\\s*[^;]+|\\([^)]*\\))?\\s*;?\\s*\\z".r
+  private val checkpointRe =
+    "(?is)\\A\\s*(?:FORCE\\s+)?CHECKPOINT(?:\\s+[A-Za-z_]\\w*)?\\s*;?\\s*\\z".r
   private def maintenanceRewrite(sql: String): Option[String] = sql match {
     case beginTxnRe() => Some("SELECT * FROM txn_ctl('begin')")
     case commitTxnRe() => Some("SELECT * FROM txn_ctl('commit')")
     case rollbackTxnRe() => Some("SELECT * FROM txn_ctl('rollback')")
+    case pragmaTableInfoRe(tbl) => Some(s"SELECT * FROM pragma_table_info('$tbl')")
+    case pragmaShowTablesRe() => Some("SELECT * FROM duck_show_tables()")
+    case checkpointRe() =>
+      Some("SELECT * FROM maintenance_noop('CHECKPOINT', " +
+        "'storage is immutable parquet snapshots here; there is no WAL to flush')")
+    case pragmaDatabaseListRe() =>
+      Some("SELECT * FROM maintenance_noop('PRAGMA (informational)', " +
+        "'database introspection beyond show_tables/table_info has no " +
+        "Spark counterpart; see SHOW TABLES / spark.catalog')")
+    case pragmaOtherRe(name) =>
+      Some(s"SELECT * FROM maintenance_noop('PRAGMA $name', " +
+        "'engine tuning runs through Spark configuration: SET spark.sql.*')")
     case truncateRe(tbl) => Some(s"TRUNCATE TABLE $tbl")
     case describeQueryRe(q) => Some(s"DESCRIBE QUERY $q")
     case showAllTablesRe() => Some("SHOW TABLES")
@@ -3449,6 +3477,53 @@ object GraftSparkExtensions {
         Seq.empty)
     })
 
+  private val tableInfoSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("name", StringType),
+    org.apache.spark.sql.types.StructField("type", StringType),
+    org.apache.spark.sql.types.StructField("notnull",
+      org.apache.spark.sql.types.BooleanType, nullable = false),
+    org.apache.spark.sql.types.StructField("dflt_value", StringType),
+    org.apache.spark.sql.types.StructField("pk",
+      org.apache.spark.sql.types.BooleanType, nullable = false)))
+
+  /** DuckDB's `pragma_table_info` table function (also the target of the
+    * `PRAGMA table_info('t')` statement rewrite): one row per column with
+    * DuckDB's exact header and type spellings. `pk`/`notnull` reflect the
+    * temp-table layer's declared PRIMARY KEY ([[TempTables.keysOf]]) —
+    * PK columns are NOT NULL in DuckDB — plus the relation's own
+    * nullability; declared DEFAULTs aren't tracked (dflt_value NULL).
+    */
+  val tableInfoFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("pragma_table_info"), info("pragma_table_info"), (args: Seq[Expression]) => {
+      require(args.size == 1 && args.head.foldable,
+        "pragma_table_info(table) — one constant string")
+      val tbl = asString(args.head.eval(null))
+      val spark = org.apache.spark.sql.SparkSession.active
+      val pkCols = TempTables.keysOf(tbl).getOrElse(Nil).map(_.toLowerCase).toSet
+      val rows = spark.table(tbl).schema.zipWithIndex.map { case (f, i) =>
+        val isPk = pkCols.contains(f.name.toLowerCase)
+        org.apache.spark.sql.Row(i, f.name, duckTypeName(f.dataType),
+          isPk || !f.nullable, null, isPk)
+      }
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(tableInfoSchema), rows)
+    })
+
+  /** `PRAGMA show_tables` — DuckDB's one-column (name) listing of the
+    * session's tables, sorted.
+    */
+  val showTablesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("duck_show_tables"), info("duck_show_tables"), (args: Seq[Expression]) => {
+      require(args.isEmpty, "duck_show_tables() takes no arguments")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val names = spark.catalog.listTables().collect().map(_.name).sorted
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("name STRING")),
+        names.toIndexedSeq.map(n => org.apache.spark.sql.Row(n)))
+    })
+
   /** BEGIN/COMMIT/ROLLBACK over the graft temp-table layer
     * ([[TempTables]] — the multi-version mutation protocol makes a
     * transaction a saved registry state; see the txn* scaladoc there).
@@ -3565,6 +3640,8 @@ object GraftSparkExtensions {
     deleteFromFn,
     maintenanceNoopFn,
     txnCtlFn,
+    tableInfoFn,
+    showTablesFn,
     tempTableAsFn,
     tempTableEmptyFn,
     tempInsertFn,
