@@ -923,6 +923,73 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  // Filtering-funnel report (round 15): the per-stage survivor/drop
+  // accounting every curation pipeline publishes — min-length →
+  // stopword-density → blocklist → exact-dedup, CUMULATIVE (each stage
+  // sees only the previous stage's survivors; dedup elects min-doc_id
+  // per content hash among stage-3 survivors). Composes the quality,
+  // blocklist, and hash-dedup operators over ONE corpus scan per
+  // operator family with doc_id-keyed joins; every verdict is exact
+  // integer arithmetic so both engines agree bit-for-bit.
+  declare("pipeline_funnel",
+    """WITH bl(tok) AS (VALUES ('slow'), ('dup'), ('big')),
+       base AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents),
+       q AS (SELECT doc_id, text, len(ws) n_tokens,
+               len(list_filter(ws, w -> list_contains(['the','a','and','of','to','in','is'], w))) n_stop
+             FROM base),
+       hits AS (SELECT doc_id, COUNT(*) nh
+                FROM (SELECT doc_id, unnest(ws) tok FROM base) JOIN bl USING (tok) GROUP BY 1),
+       f AS (SELECT q.doc_id, q.text, q.n_tokens,
+               q.n_tokens >= 20 AS k1,
+               q.n_tokens >= 20 AND floor(q.n_stop*100.0/q.n_tokens) >= 5 AS k2,
+               q.n_tokens >= 20 AND floor(q.n_stop*100.0/q.n_tokens) >= 5
+                 AND NOT (COALESCE(h.nh, 0)*100 > q.n_tokens*10) AS k3
+             FROM q LEFT JOIN hits h ON q.doc_id = h.doc_id),
+       dmin AS (SELECT md5(text) h2, MIN(doc_id) keeper FROM f WHERE k3 GROUP BY 1),
+       surv AS (SELECT f.*, (k3 AND f.doc_id = d.keeper) AS k4
+                FROM f LEFT JOIN dmin d ON md5(f.text) = d.h2),
+       counts AS (SELECT COUNT(*) s0,
+         SUM(CASE WHEN k1 THEN 1 ELSE 0 END) s1, SUM(CASE WHEN k2 THEN 1 ELSE 0 END) s2,
+         SUM(CASE WHEN k3 THEN 1 ELSE 0 END) s3, SUM(CASE WHEN k4 THEN 1 ELSE 0 END) s4 FROM surv)
+       SELECT CAST(0 AS BIGINT) AS stage, 'all' AS label, CAST(s0 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_dropped FROM counts
+       UNION ALL SELECT 1, 'min_length', CAST(s1 AS BIGINT), CAST(s0 - s1 AS BIGINT) FROM counts
+       UNION ALL SELECT 2, 'stopwords', CAST(s2 AS BIGINT), CAST(s1 - s2 AS BIGINT) FROM counts
+       UNION ALL SELECT 3, 'blocklist', CAST(s3 AS BIGINT), CAST(s2 - s3 AS BIGINT) FROM counts
+       UNION ALL SELECT 4, 'exact_dedup', CAST(s4 AS BIGINT), CAST(s3 - s4 AS BIGINT) FROM counts
+       ORDER BY stage""") { (spark, sfDir) =>
+    import spark.implicits._
+    val docs0 = t(spark, sfDir, "documents")
+    val q = TextAnalysis.quality(docs0)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_pct"))
+    val b = TextAnalysis.blocklistFilter(docs0, Seq("slow", "dup", "big"))
+      .select(col("doc_id"), col("blocked"))
+    val f = docs0.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(q, "doc_id").join(b, "doc_id")
+      .withColumn("k1", col("n_tokens") >= 20)
+      .withColumn("k2", col("k1") && col("stopword_pct") >= 5)
+      .withColumn("k3", col("k2") && !col("blocked"))
+    val keeper = f.filter(col("k3")).groupBy("h").agg(min("doc_id").as("keeper"))
+    val surv = f.join(keeper, Seq("h"), "left")
+      .withColumn("k4", col("k3") && col("doc_id") === col("keeper"))
+    val c = surv.agg(count(lit(1)).as("s0"),
+      sum(when(col("k1"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("k2"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("k3"), 1L).otherwise(0L)).as("s3"),
+      sum(when(col("k4"), 1L).otherwise(0L)).as("s4"))
+    val stages = Seq((0L, "all"), (1L, "min_length"), (2L, "stopwords"),
+      (3L, "blocklist"), (4L, "exact_dedup")).toDF("stage", "label")
+    stages.crossJoin(broadcast(c))
+      .select(col("stage"), col("label"),
+        when(col("stage") === 0, col("s0")).when(col("stage") === 1, col("s1"))
+          .when(col("stage") === 2, col("s2")).when(col("stage") === 3, col("s3"))
+          .otherwise(col("s4")).as("n_docs"),
+        when(col("stage") === 0, lit(0L)).when(col("stage") === 1, col("s0") - col("s1"))
+          .when(col("stage") === 2, col("s1") - col("s2"))
+          .when(col("stage") === 3, col("s2") - col("s3"))
+          .otherwise(col("s3") - col("s4")).as("n_dropped"))
+      .orderBy("stage")
+  }
+
   // Model-based quality filtering (round 15): hashed-bag-of-words
   // logistic regression (the fastText-style quality classifier) trained
   // with distributed full-batch GD (treeAggregate gradients — MLlib's
