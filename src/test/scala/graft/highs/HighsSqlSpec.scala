@@ -27,6 +27,12 @@ class HighsSqlSpec extends AnyFunSuite {
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
+      // Restore the JVM-global default the other suites (and direct
+      // TempTables/registry API calls outside a spark.sql execution
+      // scope) rely on — leaving it cleared broke whichever suite next
+      // touched SparkSession.active from the test thread.
+      SparkSession.setDefaultSession(SparkTestSession.spark)
+      SparkSession.setActiveSession(SparkTestSession.spark)
     }
   }
 

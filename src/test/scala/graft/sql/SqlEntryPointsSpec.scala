@@ -1005,7 +1005,7 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       .getString(0) == "[05:06]")
   }
 
-  test("glob TVF lists matching files; PRAGMA lands on the conf hint") {
+  test("glob TVF lists matching files; tuning PRAGMA no-ops") {
     val files = spark.sql(
       "SELECT * FROM glob('/root/testdata/sf0.001/*.parquet')")
     assert(files.columns.toSeq == Seq("file"))
@@ -1014,9 +1014,11 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(names == names.sorted)
     assert(spark.sql("SELECT COUNT(*) n FROM glob('/no/such/dir/*.x')")
       .head().getLong(0) == 0L)
-    val ex = intercept[Exception](spark.sql("PRAGMA threads=8"))
-    assert(ex.getMessage.contains("SET spark.sql.shuffle.partitions"),
-      s"got: ${ex.getMessage}")
+    // Tuning pragmas execute as warn-once empty no-ops (round 15 —
+    // DuckDB runs them without error; the guidance moved into the
+    // stderr warning). Introspection pragmas execute for real
+    // (PragmaSpec).
+    assert(spark.sql("PRAGMA threads=8").collect().isEmpty)
     // UNION BY NAME now executes for bare-query shapes; the WITH-prefixed
     // form still declines (CTE scope can't span the split) with a hint
     // that names the executing surface.

@@ -13,7 +13,15 @@ import graft.SparkTestSession
   */
 class TempTableTxnSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkTestSession.spark
+  // This spec calls TempTables' API directly (keysOf/exists), which
+  // resolves SparkSession.active on the TEST thread — pin it, since a
+  // prior suite may have run on a different thread (spark.sql calls
+  // set-and-restore active, so they never need this).
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    s
+  }
 
   private def sql(s: String) = spark.sql(s).collect()
 
