@@ -257,6 +257,44 @@ class QueryPlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), s"expected the bucket equi-join:\n$plan")
   }
 
+  test("perplexity scoring joins the corpus against broadcasts only") {
+    val plan = planString(q("text_perplexity"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab/count tables must broadcast against the token stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus must never shuffle against the model tables:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must fold into TakeOrderedAndProject:\n$plan")
+  }
+
+  test("blocklist filtering broadcasts the wordlist and combines hits map-side") {
+    val plan = planString(q("text_blocklist"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the blocklist must broadcast against the exploded tokens:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"hit counts must partial-aggregate map-side:\n$plan")
+  }
+
+  test("BPE encode joins the corpus to the word table without nested loops") {
+    val plan = planString(q("tokens_bpe_encode"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus-to-word-table must be an equi-join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"per-source sums must partial-aggregate map-side:\n$plan")
+  }
+
+  test("funnel report is integer flags + one final 1-row broadcast expand") {
+    val plan = planString(q("pipeline_funnel"))
+    assert(!plan.contains("CartesianProduct"),
+      s"the only cross join is the broadcast 1-row counts:\n$plan")
+    // The stage expansion joins a 5-row local relation against the 1-row
+    // aggregate — both broadcast-sized, never a corpus shuffle.
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected broadcast expand:\n$plan")
+  }
+
   test("flagship entry returns rows") {
     val rows = graft.SparkEntry.entry(spark).collect()
     assert(rows.length == 2)
