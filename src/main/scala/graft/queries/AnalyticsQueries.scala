@@ -2408,6 +2408,23 @@ object AnalyticsQueries {
     spark.sql("PRAGMA table_info('graft_q122')")
   }
 
+  // Sequences (round 15): CREATE SEQUENCE with START/INCREMENT,
+  // nextval advancing per EVALUATION (the NextVal expression is
+  // declared Nondeterministic precisely so CSE cannot collapse the
+  // three calls into one advance — DuckDB yields 5, 8, 11), currval
+  // reading the session's last value. Identical script both engines;
+  // error surfaces (missing sequence, duplicate create, currval before
+  // nextval, unsupported MINVALUE/CYCLE options) pinned in SequenceSpec.
+  declare("q123_sequence",
+    """CREATE OR REPLACE SEQUENCE graft_q123 START 5 INCREMENT 3;
+       SELECT nextval('graft_q123') AS a, nextval('graft_q123') AS b,
+              nextval('graft_q123') AS c, currval('graft_q123') AS d""") { (spark, sfDir) =>
+    spark.sql("CREATE OR REPLACE SEQUENCE graft_q123 START 5 INCREMENT 3").collect()
+    spark.sql(
+      """SELECT nextval('graft_q123') AS a, nextval('graft_q123') AS b,
+                nextval('graft_q123') AS c, currval('graft_q123') AS d""")
+  }
+
   // DuckDB statement parity: `COPY tbl FROM 'path'` import direction
   // executing (sql/CopyToRewrite FROM branch → copy_from TVF →
   // insertInto append). The Spark side runs the real pipeline — export

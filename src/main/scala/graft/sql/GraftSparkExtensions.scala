@@ -582,7 +582,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val powOpRe = "(?s).*\\*\\*.*".r
   private val atTimeZoneRe = "(?is).*\\bAT\\s+TIME\\s+ZONE\\b.*".r
   private val attachRe = "(?is)\\A\\s*(?:ATTACH|DETACH)\\b.*".r
-  private val createSeqRe =
+  private val seqHintRe =
     "(?is)\\A\\s*(?:CREATE|DROP)\\s+SEQUENCE\\b.*".r
   private val setVariableRe =
     """(?is)\A\s*SET\s+VARIABLE\s+([A-Za-z_]\w*)\s*=\s*(.+?)\s*;?\s*\z""".r
@@ -637,6 +637,38 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     "(?is)\\A\\s*PRAGMA\\s+([A-Za-z_]\\w*)\\s*(?:=\\s*[^;]+|\\([^)]*\\))?\\s*;?\\s*\\z".r
   private val checkpointRe =
     "(?is)\\A\\s*(?:FORCE\\s+)?CHECKPOINT(?:\\s+[A-Za-z_]\\w*)?\\s*;?\\s*\\z".r
+  // CREATE/DROP SEQUENCE (no sequence grammar in Spark — parse-failure
+  // only). START/INCREMENT parse here; the exotic options (MINVALUE/
+  // MAXVALUE/CYCLE) decline loudly inside the rewrite rather than
+  // half-running a bounded sequence as an unbounded one.
+  private val createSeqRe =
+    ("(?is)\\A\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?SEQUENCE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s*(.*?)\\s*;?\\s*\\z").r
+  private val dropSeqRe =
+    "(?is)\\A\\s*DROP\\s+SEQUENCE\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s*;?\\s*\\z".r
+  private val seqStartRe = "(?i)START(?:\\s+WITH)?\\s+(-?\\d+)".r
+  private val seqIncRe = "(?i)INCREMENT(?:\\s+BY)?\\s+(-?\\d+)".r
+  private def sequenceRewrite(sql: String): Option[String] = sql match {
+    case createSeqRe(replace, ifNot, name, opts) =>
+      val start = seqStartRe.findFirstMatchIn(opts).map(_.group(1).toLong)
+      val inc = seqIncRe.findFirstMatchIn(opts).map(_.group(1).toLong)
+      val leftover = seqIncRe.replaceAllIn(
+        seqStartRe.replaceAllIn(opts, ""), "").trim
+      if (leftover.nonEmpty)
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            (s"CREATE SEQUENCE: unsupported option(s) '$leftover' — " +
+              "START [WITH] n and INCREMENT [BY] n run here; MINVALUE/" +
+              "MAXVALUE/CYCLE bounds are not implemented (a bounded " +
+              "cycle silently running unbounded would be wrong).")))
+      Some(s"SELECT * FROM seq_ctl('create', '$name', " +
+        s"${start.getOrElse(1L)}, ${inc.getOrElse(1L)}, " +
+        s"${replace != null}, ${ifNot != null})")
+    case dropSeqRe(ifExists, name) =>
+      Some(s"SELECT * FROM seq_ctl('drop', '$name', 0, 0, false, ${ifExists != null})")
+    case _ => None
+  }
   private def maintenanceRewrite(sql: String): Option[String] = sql match {
     case beginTxnRe() => Some("SELECT * FROM txn_ctl('begin')")
     case commitTxnRe() => Some("SELECT * FROM txn_ctl('commit')")
@@ -755,6 +787,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             () => text match { case duckDateRe() =>
               duckDateRewrite(text); case _ => None },
             () => maintenanceRewrite(text),
+            () => sequenceRewrite(text),
             () => exportImportRewrite(text),
             // PREPARE/EXECUTE/DEALLOCATE (none parse in Spark; EXECUTE
             // IMMEDIATE is native and never reaches this chain). The
@@ -1030,12 +1063,13 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "register a catalog in spark.sql.catalog.<name> conf, " +
                   "or read the foreign data directly " +
                   "(read_parquet('path'), spark.read.jdbc).")
-              case createSeqRe() =>
-                Some("CREATE SEQUENCE / nextval have no distributed " +
-                  "counterpart here (a global counter serializes every " +
-                  "writer). Use monotonically_increasing_id() for unique " +
-                  "ids, or row_number() OVER (ORDER BY ...) when the ids " +
-                  "must be dense and ordered.")
+              case seqHintRe() =>
+                Some("CREATE/DROP SEQUENCE with a plain identifier name " +
+                  "and START/INCREMENT options runs automatically " +
+                  "(session-scoped counter; nextval/currval execute), " +
+                  "but this statement's shape declined. For distributed " +
+                  "unique ids prefer monotonically_increasing_id(), or " +
+                  "row_number() OVER (ORDER BY ...) for dense ordered ids.")
               case _ if DuckLiteralRewrite.isShaped(sqlText) =>
                 Some("If you meant DuckDB's bracket/brace literal " +
                   "syntax: list literals [1, 2] / ARRAY[1, 2], struct " +
@@ -1851,7 +1885,11 @@ object GraftSparkExtensions {
         // DuckDB's histogram (MAP value→count, keys ascending, NULLs
         // dropped, empty→NULL) and entropy (log2 Shannon, empty→0.0).
         aliasFn("histogram", (1, 1))(a => graft.functions.HistogramAgg(a(0))),
-        aliasFn("entropy", (1, 1))(a => graft.functions.EntropyAgg(a(0))))
+        aliasFn("entropy", (1, 1))(a => graft.functions.EntropyAgg(a(0))),
+        // Sequences (sql/Sequences) — nondeterministic by declaration so
+        // CSE/constant folding can't collapse or pre-advance them.
+        aliasFn("nextval", (1, 1))(a => graft.functions.NextVal(a(0))),
+        aliasFn("currval", (1, 1))(a => graft.functions.CurrVal(a(0))))
     }
   }
 
@@ -3547,6 +3585,29 @@ object GraftSparkExtensions {
         Seq.empty)
     })
 
+  /** CREATE/DROP SEQUENCE side effects ([[Sequences]]); empty result
+    * like DuckDB's DDL.
+    */
+  val seqCtlFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("seq_ctl"), info("seq_ctl"), (args: Seq[Expression]) => {
+      require(args.size == 6 && args.forall(_.foldable),
+        "seq_ctl(op, name, start, increment, replace, ifClause) — constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      asString(v(0)) match {
+        case "create" => Sequences.create(asString(v(1)),
+          v(2).toString.toLong, v(3).toString.toLong,
+          orReplace = v(4).toString.toBoolean,
+          ifNotExists = v(5).toString.toBoolean)
+        case "drop" => Sequences.drop(asString(v(1)),
+          ifExists = v(5).toString.toBoolean)
+        case other => throw new IllegalArgumentException(
+          s"seq_ctl: unknown operation '$other'")
+      }
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq.empty)
+    })
+
   /** DuckDB COPY CSV option → DataFrameReader/Writer option name
     * (1:1 passthrough; applied on both directions).
     */
@@ -3640,6 +3701,7 @@ object GraftSparkExtensions {
     deleteFromFn,
     maintenanceNoopFn,
     txnCtlFn,
+    seqCtlFn,
     tableInfoFn,
     showTablesFn,
     tempTableAsFn,
