@@ -2425,6 +2425,34 @@ object AnalyticsQueries {
                 nextval('graft_q123') AS c, currval('graft_q123') AS d""")
   }
 
+  // COMMENT ON + system-table introspection (round 15): table and
+  // column comments execute against the temp-table layer (Comments
+  // registry; the TABLE form parses natively in Spark and is claimed
+  // pre-delegation, the COLUMN form rides the parse-failure chain) and
+  // surface through DuckDB's duckdb_tables()/duckdb_columns() system
+  // TVFs — identical script both engines; the uncommented column's
+  // NULL rides along.
+  declare("q124_comment",
+    """CREATE OR REPLACE TEMP TABLE graft_q124 (k INTEGER, v VARCHAR);
+       COMMENT ON TABLE graft_q124 IS 'training shard manifest';
+       COMMENT ON COLUMN graft_q124.k IS 'shard key';
+       SELECT t.table_name, t.comment AS table_comment,
+              c.column_name, c.comment AS column_comment
+       FROM duckdb_tables() t JOIN duckdb_columns() c USING (table_name)
+       WHERE t.table_name = 'graft_q124' ORDER BY c.column_name""") { (spark, sfDir) =>
+    spark.sql("DROP TABLE IF EXISTS graft_q124")
+    Seq(
+      "CREATE OR REPLACE TEMP TABLE graft_q124 (k INTEGER, v VARCHAR)",
+      "COMMENT ON TABLE graft_q124 IS 'training shard manifest'",
+      "COMMENT ON COLUMN graft_q124.k IS 'shard key'"
+    ).foreach(s => spark.sql(s).collect())
+    spark.sql(
+      """SELECT t.table_name, t.comment AS table_comment,
+                c.column_name, c.comment AS column_comment
+         FROM duckdb_tables() t JOIN duckdb_columns() c USING (table_name)
+         WHERE t.table_name = 'graft_q124' ORDER BY c.column_name""")
+  }
+
   // DuckDB statement parity: `COPY tbl FROM 'path'` import direction
   // executing (sql/CopyToRewrite FROM branch → copy_from TVF →
   // insertInto append). The Spark side runs the real pipeline — export

@@ -669,6 +669,20 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       Some(s"SELECT * FROM seq_ctl('drop', '$name', 0, 0, false, ${ifExists != null})")
     case _ => None
   }
+  // COMMENT ON (temp tables route through the Comments registry; the
+  // TABLE form parses natively and is claimed in preRewrite, the COLUMN
+  // form never parses and rides the chain).
+  private val commentTableRe =
+    ("(?is)\\A\\s*COMMENT\\s+ON\\s+TABLE\\s+([A-Za-z_]\\w*)\\s+IS\\s+" +
+      "(NULL|'(?:[^']|'')*')\\s*;?\\s*\\z").r
+  private val commentColumnRe =
+    ("(?is)\\A\\s*COMMENT\\s+ON\\s+COLUMN\\s+([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)" +
+      "\\s+IS\\s+(NULL|'(?:[^']|'')*')\\s*;?\\s*\\z").r
+  private def commentColumnRewrite(sql: String): Option[String] = sql match {
+    case commentColumnRe(tbl, colName, lit) =>
+      Some(s"SELECT * FROM comment_ctl('column', '$tbl', '$colName', $lit)")
+    case _ => None
+  }
   private def maintenanceRewrite(sql: String): Option[String] = sql match {
     case beginTxnRe() => Some("SELECT * FROM txn_ctl('begin')")
     case commitTxnRe() => Some("SELECT * FROM txn_ctl('commit')")
@@ -788,6 +802,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               duckDateRewrite(text); case _ => None },
             () => maintenanceRewrite(text),
             () => sequenceRewrite(text),
+            () => commentColumnRewrite(text),
             () => exportImportRewrite(text),
             // PREPARE/EXECUTE/DEALLOCATE (none parse in Spark; EXECUTE
             // IMMEDIATE is native and never reaches this chain). The
@@ -1300,6 +1315,12 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     // preRewrite when the TVF executes it, so the ASOF inside is still
     // rewritten; matched the other way round the asof splice would
     // produce text TempTableRewrite can no longer claim.
+    // COMMENT ON TABLE parses natively (a v2 command) and then rejects
+    // temp views in analysis — claim it pre-delegation for graft temp
+    // tables; catalog tables keep Spark's native comment machinery
+    // (duckdb_tables() reads their description as fallback).
+    case commentTableRe(tbl, lit) if TempTables.exists(tbl) =>
+      s"SELECT * FROM comment_ctl('table', '$tbl', '', $lit)"
     case TempTableRewritten(r) => r
     // ASOF JOIN must ALSO be caught before delegation, not only in the
     // parse-failure chain: without an explicit left alias Spark PARSES
@@ -3585,6 +3606,90 @@ object GraftSparkExtensions {
         Seq.empty)
     })
 
+  /** COMMENT ON TABLE/COLUMN side effects for temp tables
+    * ([[Comments]]); empty result like DuckDB's DDL. Missing
+    * table/column errors mirror DuckDB's Catalog Error.
+    */
+  val commentCtlFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("comment_ctl"), info("comment_ctl"), (args: Seq[Expression]) => {
+      require(args.size == 4 && args.forall(_.foldable),
+        "comment_ctl(kind, table, column, comment) — constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      val (kind, tbl, colName) = (asString(v(0)), asString(v(1)), asString(v(2)))
+      val comment = Option(v(3)).map(asString)
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (!spark.catalog.tableExists(tbl))
+        throw new IllegalStateException(
+          s"Catalog Error: Table with name $tbl does not exist!")
+      kind match {
+        case "table" => Comments.setTable(tbl, comment)
+        case "column" =>
+          if (!spark.table(tbl).schema.fieldNames
+              .exists(_.equalsIgnoreCase(colName)))
+            throw new IllegalStateException(
+              s"""Catalog Error: Column with name $colName does not exist!""")
+          Comments.setColumn(tbl, colName, comment)
+        case other => throw new IllegalArgumentException(
+          s"comment_ctl: unknown kind '$other'")
+      }
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq.empty)
+    })
+
+  private val duckdbTablesSchema = StructType.fromDDL(
+    "database_name STRING, schema_name STRING, table_name STRING, " +
+      "temporary BOOLEAN, comment STRING")
+
+  /** DuckDB's `duckdb_tables()` system TVF (the columns scripts read:
+    * database/schema/table names, temporary flag, COMMENT ON text).
+    * Temp views report DuckDB's (temp, main) address; catalog tables
+    * their own database, with Spark's table-level comment as fallback.
+    */
+  val duckdbTablesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("duckdb_tables"), info("duckdb_tables"), (args: Seq[Expression]) => {
+      require(args.isEmpty, "duckdb_tables() takes no arguments")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val rows = spark.catalog.listTables().collect().sortBy(_.name).map { t =>
+        val comment = Comments.tableComment(t.name)
+          .orElse(Option(t.description).filter(_.nonEmpty))
+        org.apache.spark.sql.Row(
+          if (t.isTemporary) "temp" else Option(t.database).getOrElse("memory"),
+          if (t.isTemporary) "main" else "main",
+          t.name, t.isTemporary, comment.orNull)
+      }
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(duckdbTablesSchema), rows.toIndexedSeq)
+    })
+
+  private val duckdbColumnsSchema = StructType.fromDDL(
+    "database_name STRING, schema_name STRING, table_name STRING, " +
+      "column_name STRING, column_index INT, data_type STRING, comment STRING")
+
+  /** DuckDB's `duckdb_columns()` system TVF: one row per column of every
+    * visible table, 1-based column_index, DuckDB type spellings, COMMENT
+    * ON text.
+    */
+  val duckdbColumnsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("duckdb_columns"), info("duckdb_columns"), (args: Seq[Expression]) => {
+      require(args.isEmpty, "duckdb_columns() takes no arguments")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val rows = spark.catalog.listTables().collect().sortBy(_.name).flatMap { t =>
+        val schema =
+          try spark.table(t.name).schema
+          catch { case scala.util.control.NonFatal(_) =>
+            org.apache.spark.sql.types.StructType(Nil) }
+        schema.zipWithIndex.map { case (f, i) =>
+          org.apache.spark.sql.Row(
+            if (t.isTemporary) "temp" else Option(t.database).getOrElse("memory"),
+            "main", t.name, f.name, i + 1, duckTypeName(f.dataType),
+            Comments.columnComment(t.name, f.name).orNull)
+        }
+      }
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(duckdbColumnsSchema), rows.toIndexedSeq)
+    })
+
   /** CREATE/DROP SEQUENCE side effects ([[Sequences]]); empty result
     * like DuckDB's DDL.
     */
@@ -3702,6 +3807,9 @@ object GraftSparkExtensions {
     maintenanceNoopFn,
     txnCtlFn,
     seqCtlFn,
+    commentCtlFn,
+    duckdbTablesFn,
+    duckdbColumnsFn,
     tableInfoFn,
     showTablesFn,
     tempTableAsFn,

@@ -80,6 +80,7 @@ object TempTables {
     if (dir == null) false
     else {
       SparkSession.active.catalog.dropTempView(name.toLowerCase)
+      Comments.dropTable(name)
       // Inside a transaction the dropped snapshot is the ROLLBACK
       // target — deletion defers to the scratch root's JVM-exit
       // cleanup, the same lifecycle superseded mutation snapshots get.
