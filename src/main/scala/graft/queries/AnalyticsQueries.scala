@@ -2453,6 +2453,34 @@ object AnalyticsQueries {
          WHERE t.table_name = 'graft_q124' ORDER BY c.column_name""")
   }
 
+  // String-similarity scalars (round 15): DuckDB's jaccard (character
+  // SETS), jaro_winkler_similarity (0.7-threshold Winkler boost),
+  // damerau_levenshtein (FULL Damerau — dl('ca','abc')=2, not OSA's 3)
+  // and hamming (equal-length, DuckDB's error texts) as codegen-inlined
+  // StaticInvoke scalars (functions/StringSimilarity) — the fuzzy side
+  // of dedup scripts. Identical statement text both engines; float
+  // similarities integer-floored to micro units.
+  declare("q125_string_sim",
+    """SELECT d1.doc_id AS a, d2.doc_id AS b,
+         CAST(floor(jaccard(d1.text, d2.text) * 1e6) AS BIGINT) AS jac_micro,
+         CAST(floor(jaro_winkler_similarity(substr(d1.text, 1, 40), substr(d2.text, 1, 40)) * 1e6) AS BIGINT) AS jw_micro,
+         damerau_levenshtein(substr(d1.text, 1, 12), substr(d2.text, 1, 12)) AS dl,
+         hamming(substr(d1.text, 1, 10), substr(d2.text, 1, 10)) AS ham
+       FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+       WHERE d1.doc_id < 30 AND length(d1.text) >= 10 AND length(d2.text) >= 10
+       ORDER BY a""") { (spark, sfDir) =>
+    t(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT d1.doc_id AS a, d2.doc_id AS b,
+           CAST(floor(jaccard(d1.text, d2.text) * 1e6) AS BIGINT) AS jac_micro,
+           CAST(floor(jaro_winkler_similarity(substr(d1.text, 1, 40), substr(d2.text, 1, 40)) * 1e6) AS BIGINT) AS jw_micro,
+           damerau_levenshtein(substr(d1.text, 1, 12), substr(d2.text, 1, 12)) AS dl,
+           hamming(substr(d1.text, 1, 10), substr(d2.text, 1, 10)) AS ham
+         FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+         WHERE d1.doc_id < 30 AND length(d1.text) >= 10 AND length(d2.text) >= 10
+         ORDER BY a""")
+  }
+
   // DuckDB statement parity: `COPY tbl FROM 'path'` import direction
   // executing (sql/CopyToRewrite FROM branch → copy_from TVF →
   // insertInto append). The Spark side runs the real pipeline — export

@@ -1910,7 +1910,34 @@ object GraftSparkExtensions {
         // Sequences (sql/Sequences) — nondeterministic by declaration so
         // CSE/constant folding can't collapse or pre-advance them.
         aliasFn("nextval", (1, 1))(a => graft.functions.NextVal(a(0))),
-        aliasFn("currval", (1, 1))(a => graft.functions.CurrVal(a(0))))
+        aliasFn("currval", (1, 1))(a => graft.functions.CurrVal(a(0))),
+        // String-similarity scalars (functions/StringSimilarity —
+        // DuckDB-1.0-pinned semantics incl. error texts and the
+        // 0.7-threshold Winkler boost); StaticInvoke = codegen-inlined.
+        aliasFn("jaccard", (2, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.StringSimilarity"),
+          org.apache.spark.sql.types.DoubleType, "jaccardChars", a,
+          inputTypes = Seq(StringType, StringType))),
+        aliasFn("hamming", (2, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.StringSimilarity"),
+          org.apache.spark.sql.types.LongType, "hamming", a,
+          inputTypes = Seq(StringType, StringType))),
+        aliasFn("mismatches", (2, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.StringSimilarity"),
+          org.apache.spark.sql.types.LongType, "hamming", a,
+          inputTypes = Seq(StringType, StringType))),
+        aliasFn("jaro_similarity", (2, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.StringSimilarity"),
+          org.apache.spark.sql.types.DoubleType, "jaro", a,
+          inputTypes = Seq(StringType, StringType))),
+        aliasFn("jaro_winkler_similarity", (2, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.StringSimilarity"),
+          org.apache.spark.sql.types.DoubleType, "jaroWinkler", a,
+          inputTypes = Seq(StringType, StringType))),
+        aliasFn("damerau_levenshtein", (2, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.StringSimilarity"),
+          org.apache.spark.sql.types.LongType, "damerauLevenshtein", a,
+          inputTypes = Seq(StringType, StringType))))
     }
   }
 
