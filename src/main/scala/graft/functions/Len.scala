@@ -54,6 +54,22 @@ object StringCompat {
   def regexQuoteUtf8(s: UTF8String): UTF8String =
     UTF8String.fromString(java.util.regex.Pattern.quote(s.toString))
 
+  /** DuckDB's strip_accents (pinned on 1.0): NFD-decompose and drop
+    * combining marks — â→a, ó→o — while NON-decomposable letters stay
+    * (ß, æ, ł survive; DuckDB keeps them too). The input text returns
+    * recomposed characters untouched, so normalize back to NFC is not
+    * needed: after mark-stripping the remainder is plain base letters.
+    */
+  def stripAccents(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{Mn}+", ""))
+
+  /** DuckDB's nfc_normalize: Unicode NFC composition (e +  ́ → é). */
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
   /** Translate a C/Python strftime format (DuckDB's strftime/strptime
     * dialect) to the JVM DateTimeFormatter pattern Spark's
     * date_format/to_timestamp consume. Literal ALPHABETIC runs are

@@ -2453,6 +2453,26 @@ object AnalyticsQueries {
          WHERE t.table_name = 'graft_q124' ORDER BY c.column_name""")
   }
 
+  // Unicode normalization (round 15): strip_accents (NFD + drop
+  // combining marks; non-decomposable ß/æ/ł survive, exactly DuckDB's
+  // behavior) and nfc_normalize (combining sequences compose — the
+  // length drop from 2 to 1 on e+U+0301 is the observable). VALUES
+  // carry the accented text so the statement is self-contained and
+  // identical on both engines.
+  declare("q126_normalize",
+    "SELECT v, strip_accents(v) AS stripped, " +
+      "CAST(length(nfc_normalize(v)) AS BIGINT) AS nfc_len, CAST(length(v) AS BIGINT) AS raw_len " +
+      "FROM (VALUES ('âéîöü müller'), " +
+      "('ß æ ñ'), ('łódź'), " +
+      "('é combining')) t(v) ORDER BY v") { (spark, sfDir) =>
+    spark.sql(
+      "SELECT v, strip_accents(v) AS stripped, " +
+        "CAST(length(nfc_normalize(v)) AS BIGINT) AS nfc_len, CAST(length(v) AS BIGINT) AS raw_len " +
+        "FROM (VALUES ('âéîöü müller'), " +
+        "('ß æ ñ'), ('łódź'), " +
+        "('é combining')) t(v) ORDER BY v")
+  }
+
   // String-similarity scalars (round 15): DuckDB's jaccard (character
   // SETS), jaro_winkler_similarity (0.7-threshold Winkler boost),
   // damerau_levenshtein (FULL Damerau — dl('ca','abc')=2, not OSA's 3)

@@ -1937,7 +1937,16 @@ object GraftSparkExtensions {
         aliasFn("damerau_levenshtein", (2, 2))(a => StaticInvoke(
           Class.forName("graft.functions.StringSimilarity"),
           org.apache.spark.sql.types.LongType, "damerauLevenshtein", a,
-          inputTypes = Seq(StringType, StringType))))
+          inputTypes = Seq(StringType, StringType))),
+        // Unicode normalization (functions/Len.scala StringCompat):
+        // strip_accents = NFD + drop combining marks (ß/æ/ł survive,
+        // as DuckDB keeps them); nfc_normalize = NFC composition.
+        aliasFn("strip_accents", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.StringCompat"),
+          StringType, "stripAccents", a, inputTypes = Seq(StringType))),
+        aliasFn("nfc_normalize", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.StringCompat"),
+          StringType, "nfcNormalize", a, inputTypes = Seq(StringType))))
     }
   }
 
