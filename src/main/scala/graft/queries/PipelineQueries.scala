@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Engine
-import graft.operators.{Bpe, Dedup, Multimodal, QualityClassifier, RangeJoin, Scratch, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, PageRank, QualityClassifier, RangeJoin, Scratch, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
 
 /** Declared queries for the training-data-pipeline operators (the
@@ -390,6 +390,45 @@ object PipelineQueries {
     } { case (_, dirs) => dirs.foreach(Scratch.delete(spark, _)) }
     Dedup.incrementalNear(inc, known, index, threshold = 0.8)
       .select("doc_id").orderBy("doc_id")
+  }
+
+  // PageRank (round 15): the crawl-prioritization score, 3 rounds of
+  // INTEGER fixed-point PageRank over a deterministic orders-derived
+  // graph (u = custkey, v = hash of orderkey into a 5000-node universe).
+  // Integer contributions (r div outdeg) and damping ((85·s) div 100)
+  // make the result bit-identical across engines and partitionings —
+  // float PageRank can't be hash-compared (per-node Σ reorders). The
+  // oracle unrolls the same three rounds as chained CTEs; the engine
+  // iterates with scratch-materialized state (operators/PageRank).
+  declare("graph_pagerank",
+    """WITH edges AS (SELECT CAST(o_custkey AS BIGINT) u,
+                CAST((o_orderkey * 7 + 3) % 5000 AS BIGINT) v FROM orders),
+       deg AS (SELECT u, COUNT(*) d FROM edges GROUP BY 1),
+       nodes AS (SELECT DISTINCT node FROM
+                 (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)),
+       r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) r FROM nodes),
+       step1 AS (SELECT e.v AS node, SUM(r0.r // deg.d) s
+                 FROM edges e JOIN r0 ON e.u = r0.node JOIN deg ON e.u = deg.u
+                 GROUP BY 1),
+       r1 AS (SELECT n.node, 150000000000 + (85 * COALESCE(s.s, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN step1 s ON n.node = s.node),
+       step2 AS (SELECT e.v AS node, SUM(r1.r // deg.d) s
+                 FROM edges e JOIN r1 ON e.u = r1.node JOIN deg ON e.u = deg.u
+                 GROUP BY 1),
+       r2 AS (SELECT n.node, 150000000000 + (85 * COALESCE(s.s, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN step2 s ON n.node = s.node),
+       step3 AS (SELECT e.v AS node, SUM(r2.r // deg.d) s
+                 FROM edges e JOIN r2 ON e.u = r2.node JOIN deg ON e.u = deg.u
+                 GROUP BY 1),
+       r3 AS (SELECT n.node, 150000000000 + (85 * COALESCE(s.s, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN step3 s ON n.node = s.node)
+       SELECT node, CAST(r AS BIGINT) r FROM r3
+       ORDER BY r DESC, node LIMIT 20""") { (spark, sfDir) =>
+    val edges = t(spark, sfDir, "orders").select(
+      col("o_custkey").cast("long").as("u"),
+      ((col("o_orderkey") * 7 + 3) % 5000).cast("long").as("v"))
+    PageRank.iterate(edges, iters = 3)
+      .orderBy(desc("r"), asc("node")).limit(20)
   }
 
   declare("graph_reachability",

@@ -1781,6 +1781,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.sortBy(t => (-t._3, t._1)).toSeq == out.toSeq)
   }
 
+  test("PageRank integer fixed-point matches the hand-computed rounds") {
+    import spark.implicits._
+    // 1→2, 1→3, 2→3, 3→1: deg(1)=2, deg(2)=1, deg(3)=1; scale 1000,
+    // base = 1000*15/100 = 150.
+    // round 1: c(1)=500 each to 2,3; c(2)=1000 to 3; c(3)=1000 to 1
+    //   r(1) = 150 + 85*1000 div 100 = 1000
+    //   r(2) = 150 + 85*500  div 100 = 575
+    //   r(3) = 150 + 85*1500 div 100 = 1425
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("u", "v")
+    val r1 = PageRank.iterate(edges, iters = 1, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 1000L, 2L -> 575L, 3L -> 1425L), r1.toString)
+    // round 2 from (1000, 575, 1425): contributions
+    //   to 2: 1000 div 2 = 500; to 3: 500 + 575 = 1075; to 1: 1425
+    //   r(1) = 150 + 85*1425 div 100 = 150 + 1211 = 1361
+    //   r(2) = 150 + 85*500  div 100 = 575
+    //   r(3) = 150 + 85*1075 div 100 = 150 + 913 = 1063
+    val r2 = PageRank.iterate(edges, iters = 2, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1361L, 2L -> 575L, 3L -> 1063L), r2.toString)
+    // a sink-only node keeps collecting; a source-only node decays to base
+    val e2 = Seq((7L, 8L)).toDF("u", "v")
+    val s = PageRank.iterate(e2, iters = 1, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s == Map(7L -> 150L, 8L -> 1000L), s.toString)
+  }
+
   test("Bpe.encode applies merges in rank order with greedy L2R passes") {
     import spark.implicits._
     val corpus = Seq((0L, "scan sscan scscan ssccan anan aan xyz a")).toDF("doc_id", "text")
