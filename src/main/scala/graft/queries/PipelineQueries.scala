@@ -392,6 +392,46 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  // Time-series gap-fill (round 15): the regular-grid + forward-fill
+  // (LOCF) shape every metrics pipeline materializes — per-key hour
+  // grid from generate_series, last-observation-carried-forward via
+  // ASOF LEFT JOIN, leading grid points NULL. One statement, IDENTICAL
+  // text on both engines: DuckDB runs its native ASOF; here the same
+  // text composes three dialect lanes (temporal generate_series, the
+  // select-list unnest, and the ASOF rewrite onto the linear asof_join
+  // TVF — union + one hash shuffle, no join operator, plan-asserted in
+  // QueryPlanSpec's as-of audit).
+  declare("events_gapfill",
+    """CREATE OR REPLACE TEMP TABLE gf_b AS
+         SELECT user_id, ts, value FROM events
+         WHERE event_type = 'purchase' AND user_id < 5;
+       CREATE OR REPLACE TEMP TABLE gf_grid AS
+         SELECT user_id,
+                unnest(generate_series(date_trunc('hour', mn),
+                  date_trunc('hour', mx), INTERVAL 6 HOUR)) AS gts
+         FROM (SELECT user_id, MIN(ts) mn, MAX(ts) mx FROM gf_b GROUP BY 1) s;
+       SELECT g.user_id, g.gts, value
+       FROM gf_grid g ASOF LEFT JOIN gf_b b
+         ON g.user_id = b.user_id AND g.gts >= b.ts
+       ORDER BY 1, 2""") { (spark, sfDir) =>
+    t(spark, sfDir, "events").createOrReplaceTempView("events")
+    Seq(
+      """CREATE OR REPLACE TEMP TABLE gf_b AS
+         SELECT user_id, ts, value FROM events
+         WHERE event_type = 'purchase' AND user_id < 5""",
+      """CREATE OR REPLACE TEMP TABLE gf_grid AS
+         SELECT user_id,
+                unnest(generate_series(date_trunc('hour', mn),
+                  date_trunc('hour', mx), INTERVAL 6 HOUR)) AS gts
+         FROM (SELECT user_id, MIN(ts) mn, MAX(ts) mx FROM gf_b GROUP BY 1) s"""
+    ).foreach(s => spark.sql(s).collect())
+    spark.sql(
+      """SELECT g.user_id, g.gts, value
+         FROM gf_grid g ASOF LEFT JOIN gf_b b
+           ON g.user_id = b.user_id AND g.gts >= b.ts
+         ORDER BY 1, 2""")
+  }
+
   // PageRank (round 15): the crawl-prioritization score, 3 rounds of
   // INTEGER fixed-point PageRank over a deterministic orders-derived
   // graph (u = custkey, v = hash of orderkey into a 5000-node universe).

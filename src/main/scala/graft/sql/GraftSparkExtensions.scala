@@ -1938,6 +1938,16 @@ object GraftSparkExtensions {
           Class.forName("graft.functions.StringSimilarity"),
           org.apache.spark.sql.types.LongType, "damerauLevenshtein", a,
           inputTypes = Seq(StringType, StringType))),
+        // Select-list generate_series (DuckDB's LIST-returning form —
+        // `unnest(generate_series(a, b, step))` per row): Spark's
+        // codegen'd Sequence shares DuckDB's INCLUSIVE bounds for both
+        // integral and timestamp+interval forms. The same name stays a
+        // TVF in FROM position — scalar and table function registries
+        // are separate namespaces, exactly like DuckDB's own dual
+        // generate_series.
+        aliasFn("generate_series", (2, 3))(a =>
+          org.apache.spark.sql.catalyst.expressions.Sequence(
+            a(0), a(1), a.lift(2))),
         // Unicode normalization (functions/Len.scala StringCompat):
         // strip_accents = NFD + drop combining marks (ß/æ/ł survive,
         // as DuckDB keeps them); nfc_normalize = NFC composition.
