@@ -1373,7 +1373,11 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // `2 ** 3` executes now; a quoted-identifier base still declines.
     hint("SELECT \"my col\" ** 3 FROM rn_t", "power(a, b)")
     hint("ATTACH 'other.db' AS other", "catalog")
-    hint("CREATE SEQUENCE seq_x", "monotonically_increasing_id")
+    // CREATE SEQUENCE with a plain identifier executes now
+    // (SequenceSpec); a quoted name still declines to the hint.
+    assert(spark.sql("CREATE OR REPLACE SEQUENCE seq_x").collect().isEmpty)
+    spark.sql("DROP SEQUENCE seq_x").collect()
+    hint("CREATE SEQUENCE \"my seq\"", "monotonically_increasing_id")
     hint("INSERT OR IGNORE INTO t VALUES (1)", "ANTI JOIN")
   }
 
