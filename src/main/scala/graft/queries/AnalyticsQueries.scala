@@ -2501,6 +2501,31 @@ object AnalyticsQueries {
          ORDER BY a""")
   }
 
+  // Postgres-style match operators (round 15): `~` is DuckDB's FULL
+  // string regex match (regexp_full_match — 'abcdef' ~ 'cd' is FALSE,
+  // pinned), `!~` its negation, `~~`/`!~~` are [NOT] LIKE. Spark
+  // parses none of these infix (its `~` is unary bitwise NOT), so the
+  // parse-failure chain's textual operand extraction splices
+  // regexp_full_match / LIKE; patterns stay in the RE2∩java.regex
+  // dialect so both engines evaluate them identically. Identical
+  // statement text both engines.
+  declare("q127_regex_ops",
+    """SELECT CAST(COUNT(*) FILTER (WHERE p_name ~ '.*(green|blue).*') AS BIGINT) AS re_full,
+         CAST(COUNT(*) FILTER (WHERE p_name !~ '[a-m].*') AS BIGINT) AS re_not,
+         CAST(COUNT(*) FILTER (WHERE p_name ~~ '%al%') AS BIGINT) AS like_op,
+         CAST(COUNT(*) FILTER (WHERE p_name !~~ '%o%') AS BIGINT) AS nlike_op,
+         CAST(COUNT(*) FILTER (WHERE p_type ~ '[A-Z]+') AS BIGINT) AS re_class
+       FROM part""") { (spark, sfDir) =>
+    t(spark, sfDir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT CAST(COUNT(*) FILTER (WHERE p_name ~ '.*(green|blue).*') AS BIGINT) AS re_full,
+           CAST(COUNT(*) FILTER (WHERE p_name !~ '[a-m].*') AS BIGINT) AS re_not,
+           CAST(COUNT(*) FILTER (WHERE p_name ~~ '%al%') AS BIGINT) AS like_op,
+           CAST(COUNT(*) FILTER (WHERE p_name !~~ '%o%') AS BIGINT) AS nlike_op,
+           CAST(COUNT(*) FILTER (WHERE p_type ~ '[A-Z]+') AS BIGINT) AS re_class
+         FROM part""")
+  }
+
   // DuckDB statement parity: `COPY tbl FROM 'path'` import direction
   // executing (sql/CopyToRewrite FROM branch → copy_from TVF →
   // insertInto append). The Spark side runs the real pipeline — export

@@ -345,6 +345,163 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     "(?is)\\A\\s*INSERT\\s+(?:OR\\s+(?:REPLACE|IGNORE)\\b|INTO\\b.*\\bON\\s+CONFLICT\\b).*".r
   private val similarToRe = "(?is).*\\bSIMILAR\\s+TO\\b.*".r
 
+  /** DuckDB's Postgres-style pattern-match operators: `l ~ r` is
+    * regexp_full_match (FULL-string match — `'abcdef' ~ 'cd'` is FALSE,
+    * pinned on 1.0, unlike Postgres's find semantics), `!~` its
+    * negation, `~~`/`!~~` are [NOT] LIKE. Spark's `~` is unary bitwise
+    * NOT, so every infix use is a parse error and rides the failure
+    * chain — no native statement can be claimed (a genuine unary `~`
+    * has no left operand and declines). Operands are recognized
+    * textually over the literal-masked text: string literals, numbers,
+    * dotted identifier chains, function calls, parenthesized groups.
+    * Precedence pinned on 1.0: comparisons are looser (safe on either
+    * boundary); left-adjacent `||`/arithmetic binds FIRST (`'a'||'b' ~
+    * p` groups the concat — the one-operand extraction would misgroup,
+    * and a boolean fed to Spark's `||` silently coerces to concat, so
+    * those decline); right-adjacent `||` is the left-assoc
+    * same-precedence class (`(a ~ b) || c`) and rewrites exactly;
+    * right-adjacent arithmetic binds tighter and declines.
+    */
+  private val tildeKeywords = Set("select", "where", "when", "then",
+    "else", "and", "or", "not", "by", "having", "on", "return",
+    "returns", "case", "set", "limit", "offset", "in", "as", "distinct",
+    "all", "union", "except", "intersect", "from", "join", "between",
+    "like", "ilike", "is", "values", "filter", "qualify")
+
+  private def tildeOpRewrite(text: String): Option[String] = {
+    if (!text.contains("~")) return None
+    def wordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_' || c == '.' || c == '$'
+    var cur = text
+    var changed = false
+    var rounds = 0
+    while (rounds < 64) {
+      rounds += 1
+      val m = ReplaceRewrite.maskLiterals(cur)
+      val n = m.length
+      val ti = m.indexOf('~')
+      if (ti < 0) return if (changed) Some(cur) else None
+      // operator token: [opS, opE) — longest of !~~, ~~, !~, ~
+      var opS = ti
+      var opE = ti + 1
+      if (opE < n && m.charAt(opE) == '~') opE += 1
+      if (opS > 0 && m.charAt(opS - 1) == '!') opS -= 1
+      val op = cur.substring(opS, opE)
+      // ---- right operand [rs, re): literal | paren group | word chain
+      // (with optional call parens) ----
+      var r = opE
+      while (r < n && cur.charAt(r).isWhitespace) r += 1
+      if (r >= n) return None
+      val rs = r
+      if (cur.charAt(r) == '\'') {
+        r += 1
+        var done = false
+        while (r < n && !done) {
+          if (cur.charAt(r) == '\'') {
+            if (r + 1 < n && cur.charAt(r + 1) == '\'') r += 2
+            else { r += 1; done = true }
+          } else r += 1
+        }
+        if (!done) return None
+      } else if (m.charAt(r) == '(') {
+        val c = ReplaceRewrite.closeOf(cur, r)
+        if (c < 0) return None
+        r = c
+      } else if (wordChar(m.charAt(r))) {
+        while (r < n && wordChar(m.charAt(r))) r += 1
+        var k = r
+        while (k < n && cur.charAt(k).isWhitespace) k += 1
+        if (k < n && m.charAt(k) == '(') {
+          val c = ReplaceRewrite.closeOf(cur, k)
+          if (c < 0) return None
+          r = c
+        }
+      } else return None
+      val re = r
+      // ---- left operand (ls, le]: literal | paren group | word chain ----
+      var l = opS - 1
+      while (l >= 0 && cur.charAt(l).isWhitespace) l -= 1
+      if (l < 0) return None
+      val le = l + 1
+      if (cur.charAt(l) == '\'' && m.charAt(l) == ' ') {
+        // closing quote of a masked string literal: forward-scan the
+        // text's literal spans (the mask can't disambiguate doubled
+        // quotes or interior spaces) to find the one ending at l
+        var i = 0
+        var start = -1
+        while (i <= l) {
+          if (cur.charAt(i) == '\'' && m.charAt(i) == ' ') {
+            val s = i
+            i += 1
+            var done = false
+            while (i < n && !done) {
+              if (cur.charAt(i) == '\'') {
+                if (i + 1 < n && cur.charAt(i + 1) == '\'') i += 2
+                else { done = true }
+              } else i += 1
+            }
+            if (i == l) start = s
+            i += 1
+          } else i += 1
+        }
+        if (start < 0) return None
+        l = start - 1
+      } else if (m.charAt(l) == ')') {
+        var depth = 1
+        l -= 1
+        while (l >= 0 && depth > 0) {
+          m.charAt(l) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1
+            case _ =>
+          }
+          l -= 1
+        }
+        if (depth != 0) return None
+        // optional function name directly before the open paren — but
+        // never a clause keyword (`WHERE (a) ~ p` is a plain group)
+        val beforeParen = l
+        while (l >= 0 && cur.charAt(l).isWhitespace) l -= 1
+        val nameEnd = l
+        while (l >= 0 && wordChar(m.charAt(l))) l -= 1
+        if (nameEnd == l ||
+            tildeKeywords(cur.substring(l + 1, nameEnd + 1).toLowerCase))
+          l = beforeParen
+      } else if (wordChar(m.charAt(l))) {
+        while (l >= 0 && wordChar(m.charAt(l))) l -= 1
+      } else return None
+      val ls = l + 1
+      // ---- boundary guards (Postgres precedence, pinned on 1.0):
+      // comparisons =/</> are LOOSER than ~ — safe on either side.
+      // Left-adjacent ||/arithmetic bind first ('a'||'b' ~ p groups the
+      // concat) — one-operand extraction would misgroup, decline.
+      // Right-adjacent || is the left-assoc same-precedence class
+      // ((a ~ b) || c — pinned 'ab' ~ 'a' || 'b' = 'falseb'), so the
+      // rewrite is exact; right-adjacent arithmetic binds tighter
+      // (a ~ b + 1 groups b + 1), decline. ----
+      var pb = ls - 1
+      while (pb >= 0 && cur.charAt(pb).isWhitespace) pb -= 1
+      if (pb >= 0 && "|+-*/%^&~!".indexOf(m.charAt(pb)) >= 0)
+        return None
+      var pa = re
+      while (pa < n && cur.charAt(pa).isWhitespace) pa += 1
+      if (pa < n && "+-*/%^&~![".indexOf(m.charAt(pa)) >= 0)
+        return None
+      val lText = cur.substring(ls, le).trim
+      val rText = cur.substring(rs, re).trim
+      if (lText.isEmpty || rText.isEmpty) return None
+      val repl = op match {
+        case "~" => s"regexp_full_match($lText, $rText)"
+        case "!~" => s"(NOT regexp_full_match($lText, $rText))"
+        case "~~" => s"($lText LIKE $rText)"
+        case "!~~" => s"($lText NOT LIKE $rText)"
+        case _ => return None
+      }
+      cur = cur.substring(0, ls) + repl + cur.substring(re)
+      changed = true
+    }
+    None
+  }
+
   /** DuckDB dollar-quoted string literals — `$$raw$$` and the tagged
     * `$tag$raw$tag$` — converted to standard single-quoted literals
     * (content is RAW in DuckDB: no escape processing; mirrored by
@@ -580,6 +737,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     Some(out.toString)
   }
   private val powOpRe = "(?s).*\\*\\*.*".r
+  private val tildeRe = "(?s).*~.*".r
   private val atTimeZoneRe = "(?is).*\\bAT\\s+TIME\\s+ZONE\\b.*".r
   private val attachRe = "(?is)\\A\\s*(?:ATTACH|DETACH)\\b.*".r
   private val seqHintRe =
@@ -779,6 +937,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             // DOUBLE, unary-minus-on-base precedence pinned on 1.0).
             // Parse-failure only — `**` is never Spark syntax.
             () => powerOpRewrite(text),
+            // Postgres-style match operators ~ / !~ / ~~ / !~~ →
+            // regexp_full_match / [NOT] LIKE. Parse-failure only —
+            // Spark's ~ is unary, so infix uses never parse.
+            () => tildeOpRewrite(text),
             // [NOT] SIMILAR TO '<re>' → [NOT] RLIKE with full-match
             // anchors (DuckDB's SIMILAR TO = regexp_full_match). Only
             // ever seen on parse failure; literal-pattern forms only.
@@ -1064,6 +1226,19 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "mechanical extraction here. Use power(a, b) / " +
                   "pow(a, b) directly — and beware ^ is XOR in Spark, " +
                   "not power.")
+              case tildeRe() =>
+                Some("If you meant the Postgres-style match operators " +
+                  "(DuckDB: expr ~ 'regex' is a FULL-string regex " +
+                  "match, !~ its negation, ~~/!~~ are [NOT] LIKE): " +
+                  "simple operand shapes (literals, columns, function " +
+                  "calls, parenthesized groups) run automatically, but " +
+                  "this statement declined — a ||/arithmetic operator " +
+                  "left-adjacent to the operand binds first in DuckDB, " +
+                  "so the one-operand extraction would misgroup; " +
+                  "parenthesize the operand, or write " +
+                  "regexp_full_match(expr, 'pattern') / expr [NOT] " +
+                  "LIKE 'pat' directly. Spark's own ~ is unary " +
+                  "bitwise NOT.")
               case atTimeZoneRe() =>
                 Some("AT TIME ZONE has no Spark SQL spelling, and its " +
                   "meaning flips with the input's type — so no automatic " +

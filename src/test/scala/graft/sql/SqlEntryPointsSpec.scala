@@ -1361,6 +1361,51 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(one[String]("SELECT 'a**b' || CAST(2 ** 2 AS STRING) -- x ** y\n") == "a**b4.0")
   }
 
+  test("~ match operators execute with DuckDB 1.0 semantics") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    // DuckDB's ~ is regexp_full_match — FULL-string, not Postgres's
+    // find semantics ('abcdef' ~ 'cd' is FALSE, pinned on 1.0).
+    assert(one[Boolean]("SELECT 'abc' ~ '^abc$'"))
+    assert(!one[Boolean]("SELECT 'abcdef' ~ 'cd'"))
+    assert(one[Boolean]("SELECT 'abcdef' ~ '.*cd.*'"))
+    assert(one[Boolean]("SELECT 'abc' !~ '^b'"))
+    assert(!one[Boolean]("SELECT 'abc' !~ 'a.c'"))
+    // ~~ / !~~ are [NOT] LIKE.
+    assert(one[Boolean]("SELECT 'abc' ~~ 'a%'"))
+    assert(one[Boolean]("SELECT 'abc' !~~ 'b%'"))
+    // NULL propagation on either side.
+    assert(spark.sql("SELECT CAST(NULL AS STRING) ~ 'a'").head().isNullAt(0))
+    assert(spark.sql("SELECT 'a' ~ CAST(NULL AS STRING)").head().isNullAt(0))
+    // Column operands on both sides; escaped dots in the pattern.
+    spark.sql("SELECT * FROM VALUES ('ab','a.'), ('ab','b.') AS t(s, p)")
+      .createOrReplaceTempView("tld_t")
+    assert(spark.sql("SELECT s ~ p FROM tld_t ORDER BY p")
+      .collect().map(_.getBoolean(0)).toSeq == Seq(true, false))
+    assert(one[Boolean]("SELECT 'a.c' ~ 'a\\\\.c'"))
+    assert(!one[Boolean]("SELECT 'abc' ~ 'a\\\\.c'"))
+    // Comparison context: ~ binds tighter than = (Postgres precedence).
+    assert(one[Boolean]("SELECT (1=1) = 'x' ~ 'x'"))
+    // WHERE-clause use over a real scan; multiple operators per statement.
+    assert(one[Long]("SELECT CAST(COUNT(*) AS BIGINT) FROM tld_t " +
+      "WHERE s ~ 'a.' AND s !~~ 'c%'") == 2L)
+    // Function-call and parenthesized operands.
+    assert(one[Boolean]("SELECT upper('ab') ~ '[A-Z]+'"))
+    assert(one[Boolean]("SELECT ('a' || 'b') ~ 'ab'"))
+    // ~ binds tighter than = on the right boundary too (pinned:
+    // 'aa' ~ 'a' = true is ('aa' ~ 'a') = true = false).
+    assert(!one[Boolean]("SELECT 'aa' ~ 'a' = true"))
+    // Right-adjacent || is the left-assoc same-precedence class:
+    // ('ab' ~ 'a') || 'b' = 'falseb' (pinned on 1.0).
+    assert(one[String]("SELECT 'ab' ~ 'a' || 'b'") == "falseb")
+    // Strings/comments containing ~ are untouched.
+    assert(one[String]("SELECT 'x~y' || CAST('a' ~ 'a' AS STRING) -- t ~ u\n") == "x~ytrue")
+    // LEFT-adjacent || binds first in DuckDB ('a'||'b' ~ p groups the
+    // concat) — one-operand extraction would misgroup, so it declines
+    // to the hint instead of silently rewriting.
+    val ex = intercept[Exception](spark.sql("SELECT 'a' || 'b' ~ 'ab'"))
+    assert(ex.getMessage.contains("regexp_full_match"), ex.getMessage)
+  }
+
   test("unexecutable constructs land on targeted hints") {
     def hint(sql: String, needle: String): Unit = {
       val ex = intercept[Exception](spark.sql(sql))
