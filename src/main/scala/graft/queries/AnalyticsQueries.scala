@@ -2526,6 +2526,53 @@ object AnalyticsQueries {
          FROM part""")
   }
 
+  // Parquet footer introspection (round 15): DuckDB's parquet_metadata /
+  // parquet_schema / parquet_file_metadata TVFs with matching column
+  // names, so the same diagnostics SQL runs on both engines — the
+  // row-group/statistics view IS the 100 TB data-skipping story (what
+  // min/max pruning and dictionary encoding a scan can exploit). File
+  // listing is driver-side and bounded; footer reads fan out across
+  // executors (graft/sources/ParquetIntrospect). Stats strings render
+  // DuckDB's spellings (timestamps trimmed of trailing fraction zeros,
+  // UTF8 binaries decoded). Identical statement text both engines;
+  // fixed sf0.01 path by the q70 convention (the driver's oracle runs
+  // at sf0.01).
+  declare("q128_parquet_metadata",
+    """SELECT row_group_id, row_group_num_rows, row_group_num_columns, row_group_bytes,
+         column_id, num_values, path_in_schema, type,
+         stats_min_value, stats_max_value, stats_null_count,
+         compression, dictionary_page_offset, data_page_offset,
+         total_compressed_size, total_uncompressed_size
+       FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+       ORDER BY row_group_id, column_id""") { (spark, _) =>
+    spark.sql(
+      """SELECT row_group_id, row_group_num_rows, row_group_num_columns, row_group_bytes,
+           column_id, num_values, path_in_schema, type,
+           stats_min_value, stats_max_value, stats_null_count,
+           compression, dictionary_page_offset, data_page_offset,
+           total_compressed_size, total_uncompressed_size
+         FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+         ORDER BY row_group_id, column_id""")
+  }
+
+  declare("q129_parquet_schema",
+    """SELECT name, type, repetition_type, num_children, converted_type, scale, precision
+       FROM parquet_schema('/root/testdata/sf0.01/orders.parquet')
+       ORDER BY name""") { (spark, _) =>
+    spark.sql(
+      """SELECT name, type, repetition_type, num_children, converted_type, scale, precision
+         FROM parquet_schema('/root/testdata/sf0.01/orders.parquet')
+         ORDER BY name""")
+  }
+
+  declare("q130_parquet_file_metadata",
+    """SELECT created_by, num_rows, num_row_groups
+       FROM parquet_file_metadata('/root/testdata/sf0.01/part.parquet')""") { (spark, _) =>
+    spark.sql(
+      """SELECT created_by, num_rows, num_row_groups
+         FROM parquet_file_metadata('/root/testdata/sf0.01/part.parquet')""")
+  }
+
   // DuckDB statement parity: `COPY tbl FROM 'path'` import direction
   // executing (sql/CopyToRewrite FROM branch → copy_from TVF →
   // insertInto append). The Spark side runs the real pipeline — export

@@ -2268,6 +2268,29 @@ object GraftSparkExtensions {
         matches.map(org.apache.spark.sql.Row(_)))
     })
 
+  /** DuckDB's parquet introspection TVFs ([[graft.sources.ParquetIntrospect]]):
+    * footer reads fan out across executors; only the file LISTING runs
+    * at analysis (bounded, same as a scan's file index).
+    */
+  private def parquetIntrospectFn(name: String)(
+      build: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name), info(name), (args: Seq[Expression]) => {
+      if (args.size != 1)
+        throw new IllegalArgumentException(s"$name(path_glob) — got ${args.size} arguments")
+      require(args.forall(_.foldable), s"$name arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), s"$name arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      build(spark, asString(v(0))).queryExecution.analyzed
+    })
+  val parquetMetadataFn = parquetIntrospectFn("parquet_metadata")(
+    graft.sources.ParquetIntrospect.metadata)
+  val parquetSchemaFn = parquetIntrospectFn("parquet_schema")(
+    graft.sources.ParquetIntrospect.schemaOf)
+  val parquetFileMetadataFn = parquetIntrospectFn("parquet_file_metadata")(
+    graft.sources.ParquetIntrospect.fileMetadata)
+
   /** Embedding math as native codegen'd expressions (graft.functions).
     * Arity is validated here (builders index into args): a wrong-arity
     * call must read as a signature error, not IndexOutOfBoundsException.
@@ -4047,6 +4070,9 @@ object GraftSparkExtensions {
     readJsonAutoFn,
     generateSeriesFn,
     globFn,
+    parquetMetadataFn,
+    parquetSchemaFn,
+    parquetFileMetadataFn,
     duckDescribeFn
   )
 }
