@@ -97,6 +97,30 @@ object Similarity {
     topKScored(scored, k)
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * anchor vector, the top-k most-similar corpus vectors whose label
+    * DIFFERS from the anchor's — the highest-loss negatives a training
+    * batch wants (easy negatives teach nothing; same-label neighbors
+    * are false negatives). Same scale shape as [[bruteForceTopK]]: the
+    * anchor set (a training batch — bounded) broadcasts, the corpus
+    * scans ONCE with the row-local codegen'd cosine, and ranking runs
+    * through the bounded per-partition heaps of `topKScored` — no
+    * corpus self-join, linear in corpus size.
+    * Output: (query_id, rank, neighbor_id, sim), sim = round(cos, 3).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col(labelCol).as("q_label"), col("embedding").as("qe"))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"),
+        col(labelCol).as("n_label"), col("embedding").as("ne"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("n_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ne")), 3).as("sim"))
+    topKScored(scored, k)
+  }
+
   /** Benchmark decontamination in embedding space: flag every corpus
     * vector whose max cosine similarity against ANY eval-set vector
     * reaches `tau` — the semantic leak (a paraphrased copy of an eval

@@ -752,6 +752,37 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // Hard-negative mining (contrastive/retrieval training): per anchor,
+  // the top-k most-similar vectors whose LABEL differs — the
+  // highest-loss negatives a training batch wants; same-label
+  // neighbors are false negatives and easy negatives teach nothing.
+  // Same scale shape as sim_topk_brute (broadcast anchors, one
+  // row-local corpus scan, bounded per-partition heaps); the oracle is
+  // the brute query with the label-mismatch predicate in the join.
+  declare("sim_hard_negatives",
+    """WITH x AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i
+                  FROM embeddings),
+       norms AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM x GROUP BY 1),
+       dots AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+                  SUM(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)) dp
+                FROM x q JOIN x c ON q.i = c.i AND q.vec_id != c.vec_id
+                                  AND q.label != c.label
+                WHERE q.vec_id < 5 GROUP BY 1, 2),
+       scored AS (SELECT query_id, neighbor_id, round(dp/(nq.nn*nc.nn), 3) sim
+                  FROM dots JOIN norms nq ON query_id = nq.vec_id
+                            JOIN norms nc ON neighbor_id = nc.vec_id),
+       ranked AS (SELECT query_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id) AS BIGINT) rnk,
+                    neighbor_id, sim FROM scored)
+       SELECT query_id, rnk, neighbor_id, sim FROM ranked WHERE rnk <= 10
+       ORDER BY query_id, rnk""") { (spark, sfDir) =>
+    val e = t(spark, sfDir, "embeddings")
+    Similarity.hardNegatives(e, e.filter(col("vec_id") < 5), k = 10)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   // ------------------------------------------------------ text analysis
   declare("text_quality",
     """WITH q AS (SELECT doc_id, string_split(text, ' ') ws, length(text) nc

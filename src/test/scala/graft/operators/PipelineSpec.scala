@@ -51,6 +51,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("hard negatives: never the anchor's label, and exactly brute-force minus same-label rows") {
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val labels = embeddings.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hn = Similarity.hardNegatives(embeddings, queries, k = 10).collect()
+    assert(hn.length == 50)
+    hn.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(labels(q) != labels(n), s"same-label pair ($q, $n)")
+    }
+    // ranks are contiguous 1..k per anchor
+    hn.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 10L))
+    }
+    // parity: filtering brute-force's FULL ranking to label mismatches
+    // and re-ranking reproduces the mined set exactly
+    val brute = Similarity.bruteForceTopK(embeddings, queries, k = embeddings.count().toInt)
+      .collect()
+      .filter(r => labels(r.getAs[Long]("query_id")) != labels(r.getAs[Long]("neighbor_id")))
+      .groupBy(_.getAs[Long]("query_id"))
+      .flatMap { case (_, g) =>
+        g.sortBy(r => (-r.getAs[Double]("sim"), r.getAs[Long]("neighbor_id")))
+          .take(10).toSeq }
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val mined = hn.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(mined == brute)
+  }
+
   test("cross-source overlap: hand-computed shingle matrix") {
     import spark.implicits._
     // 2-gram sets: A {a b, b c, c d}, B {b c, c d, d e}, C {x y}.
