@@ -292,6 +292,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** All pairs whose shingle CONTAINMENT — |A∩B| / min(|A|, |B|) —
+    * reaches `threshold`: the asymmetric near-dup measure Jaccard is
+    * blind to. A 50-shingle quote copied whole into a 5000-shingle page
+    * has Jaccard ≈ 1% but containment 1.0 — partial-copy detection
+    * (syndicated bodies inside wrapper pages, quotation mining, doc-in-
+    * doc splices) keys on containment. Candidate generation shares the
+    * inverted-index + hot-shingle-cap machinery with [[jaccardPairs]]
+    * (a contained copy shares ALL its shingles, so the prefix-filter
+    * miss argument holds a fortiori); verification computes both
+    * measures from ONE intersection pass. Output: (a, b, containment,
+    * jaccard), a < b.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      maxShingleDf: Long = AutoShingleDf): DataFrame = {
+    val sh = shinglesJit(docs, n)
+    val cap = resolveShingleCap(maxShingleDf, docs.count())
+    val candidates = jaccardCandidates(sh, cap)
+    val ids = candidates.select(col("a").as("doc_id"))
+      .union(candidates.select(col("b").as("doc_id"))).distinct()
+    val shc = materialize(sh.join(ids, Seq("doc_id"), "left_semi"), "cnidx")
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shA = shc.select(col("doc_id").as("a"), col("shingle").as("sh_a"))
+    val shB = shc.select(col("doc_id").as("bb"), col("shingle").as("sh_b"))
+    val inter = candidates
+      .join(shA, Seq("a"))
+      .join(shB, col("b") === col("bb") && col("sh_a") === col("sh_b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / least(col("sza"), col("szb")))
+          .as("containment"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** splitmix64 finalizer — the per-permutation mixer for minhash. */
   @inline private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L

@@ -146,6 +146,48 @@ object PipelineQueries {
       maxShingleDf = Long.MaxValue).orderBy("a", "b")
   }
 
+  // Asymmetric near-dup: shingle CONTAINMENT |A∩B|/min(|A|,|B|) — the
+  // partial-copy measure Jaccard is blind to. The plant: for every
+  // >=60-token doc under doc_id 40, doc 30000+i is its 12-token
+  // EXCERPT, so (i, 30000+i) has containment 1.0 (every excerpt
+  // shingle is in the source) while Jaccard <= 10/58 — far below any
+  // dedup threshold; doc-level Jaccard dedup would ship the copied
+  // excerpt as "novel" text. The oracle computes the same inverted
+  // index + least(); the engine filters on the UNROUNDED measure and
+  // rounds only the reported values.
+  declare("dedup_containment",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+       exc AS (SELECT doc_id + 30000 AS doc_id,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS text
+               FROM d WHERE len(string_split(text, ' ')) >= 60),
+       corpus AS (SELECT * FROM d UNION ALL SELECT * FROM exc),
+       toks AS (SELECT doc_id, string_split(text, ' ') ws FROM corpus),
+       sh0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) shingles FROM toks),
+       sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+       sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+       inter AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) i
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a, b,
+         round(CAST(i AS DOUBLE)/least(sa.sz, sb.sz), 3) AS containment,
+         round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 3) AS jaccard
+       FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+       WHERE CAST(i AS DOUBLE)/least(sa.sz, sb.sz) >= 0.9
+       ORDER BY a, b""") { (spark, sfDir) =>
+    val d = t(spark, sfDir, "documents").filter(col("doc_id") < 40)
+      .select("doc_id", "text")
+    val exc = d.filter(size(split(col("text"), " ")) >= 60)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 12)).as("text"))
+    Dedup.containmentPairs(d.union(exc), threshold = 0.9,
+        maxShingleDf = Long.MaxValue)
+      .select(col("a"), col("b"),
+        round(col("containment"), 3).as("containment"),
+        round(col("jaccard"), 3).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
   declare("dedup_corpus",
     """WITH corpus AS (SELECT doc_id, text FROM documents
          UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20),

@@ -51,6 +51,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("containment pairs: excerpts hit 1.0 where jaccard stays low; containment >= jaccard always") {
+    import spark.implicits._
+    val base = docs.filter(col("doc_id") < 40).select("doc_id", "text")
+    val longDocs = base.filter(size(split(col("text"), " ")) >= 60)
+    val nPlanted = longDocs.count()
+    assert(nPlanted >= 5, s"plant needs long docs, found $nPlanted")
+    val exc = longDocs
+      .select((col("doc_id") + 30000).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 12)).as("text"))
+    val pairs = Dedup.containmentPairs(base.union(exc), threshold = 0.9,
+      maxShingleDf = Long.MaxValue).collect()
+    // every planted excerpt pairs with its source at containment 1.0
+    val planted = pairs.filter(r => r.getAs[Long]("b") == r.getAs[Long]("a") + 30000)
+    assert(planted.length == nPlanted)
+    planted.foreach { r =>
+      assert(r.getAs[Double]("containment") == 1.0)
+      // 12-token excerpt of a >=60-token source: jaccard <= 10/58
+      assert(r.getAs[Double]("jaccard") < 0.2, r.toString)
+    }
+    pairs.foreach(r => assert(
+      r.getAs[Double]("containment") >= r.getAs[Double]("jaccard") - 1e-12))
+    // threshold honored on the asymmetric measure
+    assert(pairs.forall(_.getAs[Double]("containment") >= 0.9))
+  }
+
   test("hard negatives: never the anchor's label, and exactly brute-force minus same-label rows") {
     val queries = embeddings.filter(col("vec_id") < 5)
     val labels = embeddings.select("vec_id", "label").collect()
