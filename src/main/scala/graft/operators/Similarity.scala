@@ -121,6 +121,30 @@ object Similarity {
     topKScored(scored, k)
   }
 
+  /** Positive-pair mining — the complement of [[hardNegatives]] a
+    * contrastive batch needs on its other side: for each anchor, the
+    * top-k most-similar corpus vectors SHARING the anchor's label
+    * (self excluded). Highest-similarity same-label neighbors make the
+    * tightest anchor/positive pairs (SimCSE-style supervised batches);
+    * pairing with the hard negatives from the same scan shape yields
+    * the full triplet. Identical scale shape: broadcast anchors, ONE
+    * row-local codegen'd-cosine corpus scan, bounded per-partition
+    * heaps — no corpus self-join, linear in corpus size.
+    * Output: (query_id, rank, neighbor_id, sim), sim = round(cos, 3).
+    */
+  def positivePairs(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col(labelCol).as("q_label"), col("embedding").as("qe"))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"),
+        col(labelCol).as("n_label"), col("embedding").as("ne"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id") &&
+        col("q_label") === col("n_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ne")), 3).as("sim"))
+    topKScored(scored, k)
+  }
+
   /** Benchmark decontamination in embedding space: flag every corpus
     * vector whose max cosine similarity against ANY eval-set vector
     * reaches `tau` — the semantic leak (a paraphrased copy of an eval

@@ -357,6 +357,47 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * data-selection dual of [[crossCorpusOverlap]]: instead of flagging
+    * docs that overlap an eval set, score how much of each candidate
+    * document is text the reference corpus has never seen. Selecting
+    * high-novelty docs maximizes marginal information per training
+    * token (anti-curriculum to dedup: dedup removes copies, novelty
+    * RANKS the survivors).
+    *
+    * novelty_millis = ⌊1000 · |doc's distinct n-grams ∉ reference| /
+    * |doc's distinct n-grams|⌋ — exact-integer, hash-stable. Docs with
+    * fewer than n tokens have no n-grams and score 0.
+    *
+    * Scale shape: both sides reduce to distinct (key, shingle) sets;
+    * the reference side collapses to DISTINCT shingles (one map-side-
+    * combined shuffle, linear in reference tokens), the membership
+    * probe is a LEFT JOIN co-partitioned on shingle (AQE picks
+    * broadcast only when the reference is genuinely small), and the
+    * per-doc verdict folds map-side on doc_id. No row ever pairs two
+    * documents — cost is linear in corpus + reference tokens, never
+    * quadratic.
+    */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame, n: Int = 5): DataFrame = {
+    val ds = Dedup.shinglesJit(docs, n)
+    val ref = Dedup.shinglesJit(reference, n).select("shingle").distinct()
+      .withColumn("seen", lit(1))
+    ds.join(ref, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("seen").isNull, 1)).as("n_novel"))
+      .unionByName(
+        // <n-token docs produce no shingles and vanish from the join —
+        // re-seat them with an explicit zero score.
+        docs.filter(size(tokens(col("text"))) < n)
+          .select(col("doc_id").cast("long"), lit(0L).as("n_grams"),
+            lit(0L).as("n_novel")))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        when(col("n_grams") > 0,
+          floor(col("n_novel") * 1000.0 / col("n_grams")))
+          .otherwise(0L).cast("long").as("novelty_millis"))
+  }
+
   /** Within-document repetition metrics (the Gopher-style repetition
     * filters, adapted to the corpus' single-line documents):
     *
@@ -920,6 +961,55 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= perStratum)
       .select("doc_id", "stratum", "rn")
+  }
+
+  /** Temperature-based source sampling — the multilingual-mixing recipe
+    * (α-scaled source distribution, mT5 §3.1 / XLM-R style, fixed here
+    * at α = 1/2): source s with c_s documents gets quota
+    * ⌊N · √c_s / Σ_t √c_t⌋, flattening the head so low-resource sources
+    * are upsampled relative to their raw share. √ (not a free-α pow) is
+    * deliberate: IEEE sqrt is correctly rounded on every engine, and
+    * the weights are then floored to integer MILLIS so quota arithmetic
+    * is EXACT integer math — `pow(c, α)` differs in the last ulp across
+    * libm implementations and would make quotas engine-dependent. The
+    * milli scale keeps totalN·maxW inside BIGINT headroom out to
+    * trillion-doc corpora (√10¹² · 10³ = 10⁹; 10⁹ draws × 10⁹ < 2⁶³);
+    * the ≤0.1% relative weight quantization is far below sampling noise.
+    *
+    * Draws within a source are the stratified-sample draw: md5 of the
+    * id ranks documents, the quota-prefix wins — reproducible,
+    * engine-independent, stable under corpus growth of OTHER sources.
+    *
+    * Scale shape: the source histogram is one map-side-combined
+    * aggregate (cardinality = #sources, tiny); quotas derive from it
+    * with integer arithmetic and broadcast back; candidate selection
+    * reuses the two-phase bounded-heap prefix (state ≤ sources × maxQ
+    * per task) so the per-source window ranks only survivors — the
+    * corpus is never globally sorted. maxQ is a one-number driver
+    * aggregate (bounded), the codebook-collect pattern.
+    *
+    * Output: (doc_id, source, rn, quota), rn ≤ quota.
+    */
+  def temperatureSample(docs: DataFrame, sourceCol: String, totalN: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col(sourceCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("w", floor(sqrt(col("c")) * 1e3).cast("long"))
+    val totalW = counts.agg(sum("w").as("tw"))
+    // `div`, not `/`: Spark's `/` on BIGINT is DOUBLE division, and
+    // totalN·w overflows the 53-bit mantissa at corpus scale — integer
+    // division keeps quotas exact (and matches DuckDB's `//`).
+    val quotas = counts.crossJoin(broadcast(totalW))
+      .select(col("stratum"),
+        expr(s"(${totalN}L * w) div tw").cast("long").as("quota"))
+    val maxQ = quotas.agg(max("quota")).head().getLong(0).toInt
+    val ranked = stratifiedSample(
+      docs.withColumn("__stratum", col(sourceCol).cast("string")),
+      "__stratum", maxQ, idCol)
+    ranked.join(broadcast(quotas), Seq("stratum"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("stratum").as("source"), col("rn"), col("quota"))
   }
 
   /** LM-perplexity quality filtering (the CCNet recipe, Wenzek et al.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Engine
-import graft.operators.{Bpe, Dedup, Multimodal, PageRank, QualityClassifier, RangeJoin, Scratch, Similarity, TextAnalysis}
+import graft.operators.{Behavior, Bpe, Dedup, Multimodal, PageRank, QualityClassifier, RangeJoin, Scratch, Similarity, TextAnalysis, Triangles}
 import graft.streaming.EventsStreaming
 
 /** Declared queries for the training-data-pipeline operators (the
@@ -474,6 +474,83 @@ object PipelineQueries {
          ORDER BY 1, 2""")
   }
 
+  // Weekly cohort retention (round 15): users bucketed by first-event
+  // week; per (cohort, offset) the count still active — the retention
+  // triangle. Everything keys on user_id (two map-side-combined aggs +
+  // one co-partitioned join); final fold is weeks², tiny. Monday-based
+  // date_trunc(week) agrees across engines; the day-diff is always a
+  // multiple of 7 so the //7 is exact.
+  declare("events_retention",
+    """WITH fs AS (SELECT user_id u, CAST(date_trunc('week', MIN(ts)) AS DATE) cohort_week
+                   FROM events GROUP BY 1),
+       act AS (SELECT DISTINCT user_id u, CAST(date_trunc('week', ts) AS DATE) act_week
+               FROM events)
+       SELECT cohort_week, CAST((act_week - cohort_week) // 7 AS BIGINT) week_offset,
+         COUNT(*) n_users
+       FROM act JOIN fs USING (u)
+       GROUP BY 1, 2 ORDER BY 1, 2""") { (spark, sfDir) =>
+    Behavior.weeklyRetention(t(spark, sfDir, "events"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  // Ordered conversion funnel (round 15): signup → view → purchase, the
+  // later steps within 30 days of the user's FIRST signup, each step
+  // strictly after the previous (greedy mins — a user converts iff any
+  // ordered chain exists). k−1 cascaded user-keyed join+min aggs: no
+  // events self-join on time, no per-user sort; state per stage is one
+  // timestamp per surviving user.
+  declare("events_funnel",
+    """WITH s1 AS (SELECT user_id u, MIN(ts) t1 FROM events
+                   WHERE event_type = 'signup' GROUP BY 1),
+       d1 AS (SELECT u, t1, t1 + INTERVAL 30 DAY AS deadline FROM s1),
+       s2 AS (SELECT d1.u, MIN(e.ts) t2, MIN(d1.deadline) deadline
+              FROM events e JOIN d1 ON e.user_id = d1.u
+              WHERE e.event_type = 'view' AND e.ts > d1.t1 AND e.ts <= d1.deadline
+              GROUP BY 1),
+       s3 AS (SELECT s2.u, MIN(e.ts) t3
+              FROM events e JOIN s2 ON e.user_id = s2.u
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s2.deadline
+              GROUP BY 1)
+       SELECT CAST(1 AS BIGINT) step_idx, 'signup' step, COUNT(*) n_users FROM s1
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), 'view', COUNT(*) FROM s2
+       UNION ALL
+       SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3
+       ORDER BY step_idx""") { (spark, sfDir) =>
+    Behavior.funnel(t(spark, sfDir, "events"),
+        steps = Seq("signup", "view", "purchase"), windowDays = 30)
+      .orderBy("step_idx")
+  }
+
+  // Triangle counting (round 15): per-node triangle membership over a
+  // deterministic lineitem-derived graph (each row plants the closed
+  // triple (okey, pkey, skey) mod 3000, so triangles exist at every SF).
+  // Engine: degree-ordered wedge closure — Σ out-deg² ≤ O(m^1.5), the
+  // hub-proof orientation. Oracle: the canonical a<b<c triple join,
+  // an independent formulation of the same set.
+  declare("graph_triangles",
+    """WITH raw AS (SELECT l_orderkey % 3000 x, l_partkey % 3000 y,
+                      l_suppkey % 3000 z FROM lineitem),
+       e0 AS (SELECT x u, y v FROM raw UNION ALL SELECT y, z FROM raw
+              UNION ALL SELECT z, x FROM raw),
+       e AS (SELECT DISTINCT least(u, v) a, greatest(u, v) b FROM e0 WHERE u != v),
+       tri AS (SELECT e1.a x, e1.b y, e2.b z
+               FROM e e1 JOIN e e2 ON e2.a = e1.b
+                         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+       SELECT node, COUNT(*) n_tri FROM (
+         SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+         UNION ALL SELECT z FROM tri)
+       GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    val raw = t(spark, sfDir, "lineitem").select(
+      (col("l_orderkey") % 3000).as("x"),
+      (col("l_partkey") % 3000).as("y"),
+      (col("l_suppkey") % 3000).as("z"))
+    val edges = raw.select(col("x").as("u"), col("y").as("v"))
+      .union(raw.select(col("y").as("u"), col("z").as("v")))
+      .union(raw.select(col("z").as("u"), col("x").as("v")))
+    Triangles.perNode(edges).orderBy("node")
+  }
+
   // PageRank (round 15): the crawl-prioritization score, 3 rounds of
   // INTEGER fixed-point PageRank over a deterministic orders-derived
   // graph (u = custkey, v = hash of orderkey into a 5000-node universe).
@@ -821,6 +898,35 @@ object PipelineQueries {
        ORDER BY query_id, rnk""") { (spark, sfDir) =>
     val e = t(spark, sfDir, "embeddings")
     Similarity.hardNegatives(e, e.filter(col("vec_id") < 5), k = 10)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  // Positive-pair mining (round 15) — the other side of the contrastive
+  // batch: per anchor, top-k most-similar SAME-label vectors (self
+  // excluded); with sim_hard_negatives this completes the triplet. Same
+  // scale shape (broadcast anchors, one row-local cosine scan, bounded
+  // heaps); the oracle flips the label predicate to equality.
+  declare("sim_positive_pairs",
+    """WITH x AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i
+                  FROM embeddings),
+       norms AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM x GROUP BY 1),
+       dots AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+                  SUM(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)) dp
+                FROM x q JOIN x c ON q.i = c.i AND q.vec_id != c.vec_id
+                                  AND q.label = c.label
+                WHERE q.vec_id < 5 GROUP BY 1, 2),
+       scored AS (SELECT query_id, neighbor_id, round(dp/(nq.nn*nc.nn), 3) sim
+                  FROM dots JOIN norms nq ON query_id = nq.vec_id
+                            JOIN norms nc ON neighbor_id = nc.vec_id),
+       ranked AS (SELECT query_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id) AS BIGINT) rnk,
+                    neighbor_id, sim FROM scored)
+       SELECT query_id, rnk, neighbor_id, sim FROM ranked WHERE rnk <= 10
+       ORDER BY query_id, rnk""") { (spark, sfDir) =>
+    val e = t(spark, sfDir, "embeddings")
+    Similarity.positivePairs(e, e.filter(col("vec_id") < 5), k = 10)
       .withColumnRenamed("rank", "rnk")
       .orderBy("query_id", "rnk")
   }
@@ -1876,6 +1982,32 @@ object PipelineQueries {
       .orderBy("stratum", "rn")
   }
 
+  // Temperature sampling (round 15): the α=1/2 source-rebalancing draw
+  // (mT5 §3.1 recipe) over the skewed lang distribution — en's raw
+  // share flattens toward the tail languages. Weights are
+  // floor(sqrt(c)·1000) BIGINTs and quotas integer-divide, so the
+  // arithmetic is exact on both engines (a free-α pow would differ in
+  // the last ulp across libms); draws are the md5-ranked stratified
+  // prefix, quota-deep per language.
+  declare("sample_temperature",
+    """WITH counts AS (SELECT lang AS stratum, COUNT(*) c FROM documents GROUP BY 1),
+       w AS (SELECT stratum, CAST(floor(sqrt(c) * 1000) AS BIGINT) w FROM counts),
+       tw AS (SELECT SUM(w) tw FROM w),
+       quotas AS (SELECT stratum, CAST((200 * w) // tw AS BIGINT) quota
+                  FROM w CROSS JOIN tw),
+       r AS (SELECT doc_id, lang AS stratum,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+             FROM documents)
+       SELECT doc_id, stratum AS source, rn, quota
+       FROM r JOIN quotas USING (stratum)
+       WHERE rn <= quota
+       ORDER BY source, rn""") { (spark, sfDir) =>
+    TextAnalysis.temperatureSample(t(spark, sfDir, "documents"),
+        sourceCol = "lang", totalN = 200L)
+      .orderBy("source", "rn")
+  }
+
   // Windowed PMI collocations — phrase/stopword discovery for tokenizer
   // and filter design. Row-local pair generation (no positions self-join),
   // PMI as the ratio (no cross-engine log), exact-integer counts through
@@ -2024,6 +2156,39 @@ object PipelineQueries {
     TextAnalysis.crossCorpusOverlap(
         docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10), n = 5)
       .orderBy("corpus_id", "probe_id")
+  }
+
+  // N-gram novelty scoring (round 15) — the data-selection dual of
+  // decontamination: per candidate doc, the per-mille of its distinct
+  // 5-grams the reference corpus (docs ≥ 100) has never seen. High
+  // novelty = high marginal information per training token. Linear in
+  // corpus + reference (distinct-shingle sets, one co-partitioned
+  // membership join, map-side-combined per-doc fold).
+  declare("text_ngram_novelty",
+    """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+       r AS (SELECT text FROM documents WHERE doc_id >= 100),
+       cs0 AS (SELECT doc_id, string_split(text, ' ') ws FROM c),
+       cs1 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-4, 0)),
+                 i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]) gs FROM cs0),
+       cs AS (SELECT DISTINCT doc_id, unnest(gs) AS shingle FROM cs1),
+       rs0 AS (SELECT string_split(text, ' ') ws FROM r),
+       rs1 AS (SELECT list_transform(generate_series(1, greatest(len(ws)-4, 0)),
+                 i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]) gs FROM rs0),
+       rs AS (SELECT DISTINCT unnest(gs) AS shingle FROM rs1),
+       j AS (SELECT doc_id, COUNT(*) n_grams,
+               SUM(CASE WHEN rs.shingle IS NULL THEN 1 ELSE 0 END) n_novel
+             FROM cs LEFT JOIN rs USING (shingle) GROUP BY 1)
+       SELECT doc_id, CAST(n_grams AS BIGINT) n_grams, CAST(n_novel AS BIGINT) n_novel,
+         CAST(floor(n_novel * 1000.0 / n_grams) AS BIGINT) novelty_millis
+       FROM j
+       UNION ALL
+       SELECT doc_id, 0, 0, 0 FROM c
+       WHERE text IS NULL OR len(string_split(text, ' ')) < 5
+       ORDER BY doc_id""") { (spark, sfDir) =>
+    val docs = t(spark, sfDir, "documents")
+    TextAnalysis.ngramNovelty(
+        docs.filter(col("doc_id") < 100), docs.filter(col("doc_id") >= 100), n = 5)
+      .orderBy("doc_id")
   }
 
   declare("text_repetition",

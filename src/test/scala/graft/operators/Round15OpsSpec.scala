@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Engine, SparkTestSession}
+
+/** Behavior pins for the round-15 operator tranche: cohort retention,
+  * ordered funnels, triangle counting, temperature sampling, n-gram
+  * novelty, and positive-pair mining. The DuckDB oracles check
+  * engine-parity; these pin the SEMANTICS on hand-built inputs where
+  * the expected answer is known by construction.
+  */
+class Round15OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private def docs = Engine.table(spark, SparkTestSession.sfDir, "documents")
+  private def events = Engine.table(spark, SparkTestSession.sfDir, "events")
+  private def embeddings = Engine.table(spark, SparkTestSession.sfDir, "embeddings")
+
+  test("retention: offset-0 row per cohort equals cohort size; offsets non-negative") {
+    val r = Behavior.weeklyRetention(events).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getAs[Long]("week_offset") >= 0))
+    val cohortSizes = events.groupBy("user_id").agg(min("ts").as("f"))
+      .select(date_trunc("week", col("f")).cast("date").as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(x => (x.getAs[java.sql.Date]("w").toString, x.getAs[Long]("n"))).toMap
+    val offset0 = r.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(x => (x.getAs[java.sql.Date]("cohort_week").toString, x.getAs[Long]("n_users"))).toMap
+    // every user is active in their first week by definition
+    assert(offset0 == cohortSizes)
+  }
+
+  test("funnel: greedy-chain semantics on a hand-built event log") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // u1 converts fully in order; u2 views BEFORE signup (no chain);
+    // u3 purchases outside the 30-day window; u4 signup only.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-02 00:00:00"), "view"),
+      (1L, ts("2024-01-03 00:00:00"), "purchase"),
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-02 00:00:00"), "signup"),
+      (3L, ts("2024-01-01 00:00:00"), "signup"),
+      (3L, ts("2024-01-02 00:00:00"), "view"),
+      (3L, ts("2024-03-01 00:00:00"), "purchase"),
+      (4L, ts("2024-01-01 00:00:00"), "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val f = Behavior.funnel(ev, Seq("signup", "view", "purchase"), windowDays = 30)
+      .orderBy("step_idx").collect()
+    assert(f.map(_.getAs[Long]("n_users")).toSeq == Seq(4L, 2L, 1L))
+    // counts are monotone non-increasing by construction
+    val ns = f.map(_.getAs[Long]("n_users"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("funnel: greedy min does not block a later completing chain") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // earliest view (day 2) precedes the purchase (day 5): greedy chain
+    // signup(1) -> view(2) -> purchase(5) completes even though another
+    // view (day 6) comes after the purchase.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-02 00:00:00"), "view"),
+      (1L, ts("2024-01-06 00:00:00"), "view"),
+      (1L, ts("2024-01-05 00:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val f = Behavior.funnel(ev, Seq("signup", "view", "purchase"), 30)
+      .orderBy("step_idx").collect()
+    assert(f.map(_.getAs[Long]("n_users")).toSeq == Seq(1L, 1L, 1L))
+  }
+
+  test("triangles: K4 plus a pendant edge — 3 per K4 node, pendant in none") {
+    import spark.implicits._
+    // K4 on {0,1,2,3}: C(4,3)=4 triangles, each node in 3. Node 9 hangs
+    // off node 0 by one edge — never in a triangle. Edges given in
+    // mixed orientation with a duplicate and a self-loop to exercise
+    // canonicalization.
+    val edges = Seq(
+      (0L, 1L), (1L, 0L), (0L, 2L), (0L, 3L), (1L, 2L), (3L, 1L), (2L, 3L),
+      (0L, 9L), (5L, 5L)
+    ).toDF("u", "v")
+    val got = Triangles.perNode(edges).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("n_tri"))).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("temperature sampling flattens the head: en's share drops toward sqrt-proportional") {
+    val total = docs.count()
+    val enRaw = docs.filter(col("lang") === "en").count().toDouble / total
+    val sample = TextAnalysis.temperatureSample(docs, "lang", totalN = 200L)
+    val rows = sample.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("rn") <= r.getAs[Long]("quota")))
+    val enShare = rows.count(_.getAs[String]("source") == "en").toDouble / rows.length
+    // α=1/2 pulls the head language's share strictly below its raw share
+    assert(enShare < enRaw, s"en sampled $enShare vs raw $enRaw")
+    // deterministic: a second run draws the identical set
+    val again = TextAnalysis.temperatureSample(docs, "lang", totalN = 200L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == rows.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("ngram novelty: a verbatim reference copy scores 0, alien text 1000") {
+    import spark.implicits._
+    val ref = docs.filter(col("doc_id") >= 100).select("doc_id", "text")
+    val someRefText = ref.orderBy("doc_id").select("text").head().getString(0)
+    val alien = (1 to 30).map(i => s"zzq$i").mkString(" ")
+    val cand = Seq((1L, someRefText), (2L, alien)).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(cand, ref, n = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("novelty_millis"))).toMap
+    assert(got(1L) == 0L, "verbatim copy of a reference doc must score 0")
+    assert(got(2L) == 1000L, "text sharing no 5-gram with the reference must score 1000")
+  }
+
+  test("positive pairs: every neighbor shares the anchor's label; ranks dense from 1") {
+    val anchors = embeddings.filter(col("vec_id") < 5)
+    val labels = embeddings.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val got = Similarity.positivePairs(embeddings, anchors, k = 10).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(q != n)
+      assert(labels(q) == labels(n), s"neighbor $n label != anchor $q label")
+    }
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+}
