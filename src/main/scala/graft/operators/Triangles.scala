@@ -16,24 +16,31 @@ object Triangles {
     * canonicalized first). Output: (node, n_tri) for nodes in ≥1
     * triangle.
     *
-    * Algorithm — degree-ordered wedge closure (the standard distributed
-    * formulation, cf. Suri & Vassilvitskii, WWW'11): orient every
-    * undirected edge from its LOWER-rank endpoint to its higher, with
-    * rank = (degree, id) packed into one comparable long. Each triangle
-    * {x,y,z} then materializes as exactly ONE wedge (x→y, x→z) with
-    * rank(y) < rank(z) closed by the oriented edge y→z — counted once,
-    * no per-triangle dedup pass. The orientation is the scale lever:
-    * out-degree under degree-ordering is bounded by O(√m) on any graph,
-    * so wedge generation is Σ out-deg² ≤ O(m^1.5) instead of the
-    * Σ deg² blow-up a hub suffers un-oriented (a 10⁶-degree hub would
-    * otherwise emit 10¹² wedges from one node).
+    * Algorithm — degree-ordered ADJACENCY INTERSECTION (the compact
+    * form of Suri & Vassilvitskii's wedge closure, WWW'11): orient
+    * every undirected edge from its LOWER-rank endpoint to its higher,
+    * rank = (degree, id) packed into one comparable long. A triangle
+    * with ranks x < y < z is then exactly one edge (x→y) whose
+    * endpoints share the out-neighbor z: per oriented edge (u→v),
+    * W = outAdj(u) ∩ outAdj(v) closes |W| triangles, each counted ONCE
+    * (at its lowest-rank edge). Out-degree under degree-ordering is
+    * O(√m) on any graph, so Σ|outAdj| payload is O(m) with bounded
+    * arrays and total intersection work is O(m^1.5) — hub-proof where
+    * the un-oriented form emits deg² wedges. vs the explicit wedge
+    * join: the same asymptotic work, but the 2·#wedges intermediate
+    * ROWS (24M at sf0.1 — the shuffle that dominated the first cut of
+    * this operator) collapse into m edge rows carrying short arrays,
+    * and the intersection itself is row-local `array_intersect`.
     *
-    * Shuffle plan: degree = one map-side-combined aggregate; rank
-    * attachment = two joins keyed on the edge endpoints; wedges = one
-    * self-join on the oriented source; closure = one join on the
-    * (dst₁, dst₂) pair, co-partitioned with the oriented edge set. All
-    * joins are key-partitioned equi-joins — AQE handles the skew that
-    * degree-ordering hasn't already flattened.
+    * Shuffle plan: canonical distinct + degree aggregate; rank
+    * attachment joins (AQE broadcasts the rank table when the node set
+    * is small); ONE scratch materialization of the oriented edges (they
+    * feed three consumers — the adjacency build and both sides of the
+    * per-edge join — scratch runs the producing plan once, the
+    * [[Dedup]] convention); adjacency = one groupBy(src); the per-edge
+    * attach is a src-keyed join that REUSES the adjacency partitioning
+    * plus one dst-keyed join; the three corner folds are
+    * map-side-combined aggregates over output-sized rows.
     *
     * Rank packing requires node ids in [0, 2³¹): degree ≤ 2³¹ shifts
     * left 31 bits and the id fills the low bits — strictly ordered by
@@ -50,19 +57,31 @@ object Triangles {
     val ranked = e
       .join(deg.select(col("n").as("a"), col("rank").as("ra")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("rank").as("rb")), Seq("b"))
-    val oriented = ranked.select(
-      when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
-      when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
-      when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("dstRank"))
-    val e1 = oriented.select(col("src"), col("dst").as("y"), col("dstRank").as("ry"))
-    val e2 = oriented.select(col("src"), col("dst").as("z"), col("dstRank").as("rz"))
-    val wedges = e1.join(e2, Seq("src")).filter(col("ry") < col("rz"))
-    val closing = oriented.select(col("src").as("y"), col("dst").as("z"))
-    val tris = wedges.join(closing, Seq("y", "z"))
-      .select(col("src").as("x"), col("y"), col("z"))
-    tris.select(col("x").as("node"))
-      .union(tris.select(col("y").as("node")))
-      .union(tris.select(col("z").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    // the consumers of the scratch dataset are lazy, so it must outlive
+    // this method: the session shutdown hook owns cleanup (Scratch
+    // contract) — no eager delete, the path binding is discarded.
+    val (oriented, _) = Scratch.materialize(
+      ranked.select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst")),
+      "tri_oriented")
+    val adj = oriented.groupBy("src").agg(collect_list("dst").as("nbrs"))
+    val withAdj = oriented
+      .join(adj, Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        array_intersect(col("nbrs"), col("nbrs_v")).as("w"))
+      .filter(size(col("w")) > 0)
+    // all three triangle corners fold in ONE pass: per edge, emit
+    // (u, |W|), (v, |W|) and (w, 1) for each w ∈ W, then a single
+    // map-side-combined sum — three separate corner aggregates would
+    // recompute the join+intersection lineage three times.
+    withAdj.select(explode(concat(
+        array(
+          struct(col("src").as("node"), size(col("w")).cast("long").as("c")),
+          struct(col("dst").as("node"), size(col("w")).cast("long").as("c"))),
+        transform(col("w"), wi => struct(wi.as("node"), lit(1L).as("c"))))).as("e"))
+      .groupBy(col("e.node").as("node"))
+      .agg(sum(col("e.c")).cast("long").as("n_tri"))
   }
 }

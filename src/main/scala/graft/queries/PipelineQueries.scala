@@ -523,14 +523,19 @@ object PipelineQueries {
   }
 
   // Triangle counting (round 15): per-node triangle membership over a
-  // deterministic lineitem-derived graph (each row plants the closed
-  // triple (okey, pkey, skey) mod 3000, so triangles exist at every SF).
-  // Engine: degree-ordered wedge closure — Σ out-deg² ≤ O(m^1.5), the
-  // hub-proof orientation. Oracle: the canonical a<b<c triple join,
-  // an independent formulation of the same set.
+  // deterministic lineitem-derived graph — each row plants the closed
+  // triple (h(okey), h(pkey), h(skey)) in a 100003-node space, so
+  // triangles exist at every SF while the graph stays SPARSE (a small
+  // modulus goes dense as rows grow: at sf0.1, mod 3000 hit 33%
+  // density and wedge closure exploded to ~10⁹ wedges/100 s — the
+  // density, not the operator, was the cost). Engine: degree-ordered
+  // wedge closure — Σ out-deg² ≤ O(m^1.5), the hub-proof orientation.
+  // Oracle: the canonical a<b<c triple join, an independent
+  // formulation of the same set.
   declare("graph_triangles",
-    """WITH raw AS (SELECT l_orderkey % 3000 x, l_partkey % 3000 y,
-                      l_suppkey % 3000 z FROM lineitem),
+    """WITH raw AS (SELECT (l_orderkey * 7 + 1) % 100003 x,
+                      (l_partkey * 13 + 5) % 100003 y,
+                      (l_suppkey * 31 + 11) % 100003 z FROM lineitem),
        e0 AS (SELECT x u, y v FROM raw UNION ALL SELECT y, z FROM raw
               UNION ALL SELECT z, x FROM raw),
        e AS (SELECT DISTINCT least(u, v) a, greatest(u, v) b FROM e0 WHERE u != v),
@@ -541,13 +546,17 @@ object PipelineQueries {
          SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
          UNION ALL SELECT z FROM tri)
        GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
-    val raw = t(spark, sfDir, "lineitem").select(
-      (col("l_orderkey") % 3000).as("x"),
-      (col("l_partkey") % 3000).as("y"),
-      (col("l_suppkey") % 3000).as("z"))
-    val edges = raw.select(col("x").as("u"), col("y").as("v"))
-      .union(raw.select(col("y").as("u"), col("z").as("v")))
-      .union(raw.select(col("z").as("u"), col("x").as("v")))
+    // one lineitem scan emits all three planted edges per row (the
+    // 3-way union form scans the table three times).
+    val edges = t(spark, sfDir, "lineitem").select(
+        ((col("l_orderkey") * 7 + 1) % 100003).as("x"),
+        ((col("l_partkey") * 13 + 5) % 100003).as("y"),
+        ((col("l_suppkey") * 31 + 11) % 100003).as("z"))
+      .select(explode(array(
+        struct(col("x").as("u"), col("y").as("v")),
+        struct(col("y").as("u"), col("z").as("v")),
+        struct(col("z").as("u"), col("x").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
     Triangles.perNode(edges).orderBy("node")
   }
 
