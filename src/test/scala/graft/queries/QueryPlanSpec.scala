@@ -295,6 +295,61 @@ class QueryPlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), s"expected broadcast expand:\n$plan")
   }
 
+  test("retention never self-joins events on time: user-keyed equi-joins only") {
+    val plan = planString(q("events_retention"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"retention must be user-keyed equi-joins:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"first-seen / activity aggs must partial-aggregate map-side:\n$plan")
+  }
+
+  test("funnel stages are user-keyed equi-joins, no time-range self-join") {
+    val plan = planString(q("events_funnel"))
+    // the deadline window is a FILTER on the joined row, never a range
+    // join condition that would degrade to a nested loop
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel cascade must stay equi-join + filter:\n$plan")
+  }
+
+  test("triangle closure is equi-joins over bounded adjacency, never cartesian") {
+    val plan = planString(q("graph_triangles"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge/closure work must be equi-joins:\n$plan")
+    assert(plan.contains("array_intersect"),
+      s"closure must be the row-local adjacency intersection:\n$plan")
+  }
+
+  test("temperature sampling: quota join broadcasts, corpus never globally sorted") {
+    val plan = planString(q("sample_temperature"))
+    assert(!plan.contains("CartesianProduct"),
+      s"quota attach must not be cartesian (the 1-row total may broadcast):\n$plan")
+    // the global Sort allowed is the presentation ORDER BY over the
+    // quota-sized sample; the corpus-sized side must reach the heaps
+    // un-sorted — asserted by the window running on the candidate set
+    // (bounded heap output), which the mapPartitions stage precedes.
+    assert(plan.contains("MapPartitions") || plan.contains("mapPartitions"),
+      s"two-phase bounded-heap candidate stage missing:\n$plan")
+  }
+
+  test("ngram novelty is one membership join plus map-side folds") {
+    val plan = planString(q("text_ngram_novelty"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"novelty must never pair documents:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"per-doc verdict must partial-aggregate map-side:\n$plan")
+  }
+
+  test("positive pairs broadcast the anchors, not the corpus") {
+    val plan = planString(q("sim_positive_pairs"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"anchor side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("flagship entry returns rows") {
     val rows = graft.SparkEntry.entry(spark).collect()
     assert(rows.length == 2)
