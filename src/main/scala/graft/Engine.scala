@@ -19,6 +19,15 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Shuffles START at 8× the core count and AQE coalesces small ones
+      // back down — small queries keep their 32-ish effective partitions
+      // while payload-heavy shuffles (triangle adjacency attach at 20×
+      // edges: 142 s spilling at 32 static partitions, 43 s at 256) keep
+      // enough splits to fit in memory. This is the knob a 1000-executor
+      // deploy would raise again — partition count tracks data, the
+      // coalesce floor tracks cores.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
