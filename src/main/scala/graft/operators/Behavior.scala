@@ -96,4 +96,42 @@ object Behavior {
     }
     countsDfs.reduce(_ unionByName _)
   }
+
+  /** Batch sessionization: split each user's event stream into sessions
+    * at inactivity gaps larger than `gapMinutes` — the batch counterpart
+    * of the streaming session windows (graft.streaming.EventsStreaming),
+    * for backfills and historical re-sessionization. Boundary semantics
+    * match the streaming form: a new session starts when the gap
+    * STRICTLY exceeds the threshold.
+    *
+    * Scale shape: one window pass partitioned BY USER (hash-distributed
+    * across executors — a per-user sort is events-per-user-sized, never
+    * corpus-sized; this is what Window.partitionBy is for, unlike the
+    * keyless global window the packing operator refuses), then one
+    * map-side-combined aggregate per (user, session). Ordering ties on
+    * ts break by the id column, so session numbering is deterministic.
+    *
+    * duration_secs is whole-second floor-diff (both engines' shared
+    * convention: floor(epoch(end)) − floor(epoch(start))).
+    *
+    * Output: (user_id, session_id, n_events, start_ts, duration_secs).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col(tsCol) > col("__prev") + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
+        .otherwise(0L))
+      .withColumn("session_id", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol).as("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+          .cast("long").as("duration_secs"))
+  }
 }

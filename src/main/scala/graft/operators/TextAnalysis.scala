@@ -1012,6 +1012,73 @@ object TextAnalysis {
       .select(col("doc_id"), col("stratum").as("source"), col("rn"), col("quota"))
   }
 
+  /** Token-budget data selection: per group (language/source), take
+    * documents in descending-quality order until the group's token
+    * budget is filled — the "best docs under a token cap" draw a
+    * fixed-size training mix wants (quality here = per-mille unique-
+    * token ratio, the exact-integer proxy; ties break by id). The
+    * greedy convention matches [[packShards]]: a document is kept iff
+    * the tokens BEFORE it are under budget, so the crossing document is
+    * included and a group overshoots by at most one document.
+    *
+    * Scale shape: the per-group ordered cumsum runs on SURVIVORS of a
+    * bounded per-partition heap pre-prune (≤ budget+1 docs per group
+    * per partition — every kept doc costs ≥1 token, so no group can
+    * select more; the [[stratifiedSample]] two-phase shape), never on
+    * the corpus: the Window.partitionBy(group) sort touches
+    * groups × (budget+1) × partitions rows, a vanishing fraction.
+    * Output identical to the naive full-corpus window.
+    *
+    * Output: (group, rn, doc_id, n_tok, quality), rn = quality rank
+    * within group.
+    */
+  def tokenBudgetSelect(docs: DataFrame, groupCol: String, budgetTokens: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0)
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = tokens(col(textCol))
+    val scored = docs.select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("doc_id"),
+        size(ws).cast("long").as("n_tok"),
+        floor(size(array_distinct(ws)) * 1000.0 / size(ws)).cast("long").as("quality"))
+      .filter(col("n_tok") > 0)
+    // Heap cap: no group can select more than budget+1 docs (each costs
+    // ≥1 token). A budget so large the cap would blow task memory falls
+    // back to the exact full window — correctness over the pre-prune.
+    val cap = (budgetTokens + 1).min(1000000L).toInt
+    val pruned = if (budgetTokens + 1 > 1000000L) scored
+    else scored.as[(String, Long, Long, Long)].mapPartitions { it =>
+      // min-heap on (quality, -id): evict the WORST kept (lowest quality,
+      // then largest id) once over cap, leaving each partition's best.
+      val ord = Ordering.Tuple2[Long, Long]
+      val heaps = collection.mutable.HashMap
+        .empty[String, collection.mutable.PriorityQueue[(Long, Long, Long)]]
+      it.foreach { case (g, id, n, q) =>
+        val h = heaps.getOrElseUpdate(g,
+          collection.mutable.PriorityQueue.empty[(Long, Long, Long)](
+            Ordering.by[(Long, Long, Long), (Long, Long)](e => (-e._1, e._2))(ord)))
+        if (h.size < cap) h.enqueue((q, id, n))
+        else if (q > h.head._1 || (q == h.head._1 && id < h.head._2)) {
+          h.dequeue(); h.enqueue((q, id, n))
+        }
+      }
+      heaps.iterator.flatMap { case (g, h) =>
+        h.iterator.map(e => (g, e._2, e._3, e._1))
+      }
+    }.toDF("grp", "doc_id", "n_tok", "quality")
+    val w = Window.partitionBy("grp").orderBy(desc("quality"), col("doc_id"))
+    pruned
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum_before",
+        (sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - col("n_tok")).cast("long"))
+      .filter(col("cum_before") < budgetTokens)
+      .select(col("grp").as("group"), col("rn"), col("doc_id"),
+        col("n_tok"), col("quality"))
+  }
+
   /** LM-perplexity quality filtering (the CCNet recipe, Wenzek et al.
     * 2020): score every document by its average negative log-likelihood
     * under an interpolated bigram/unigram language model trained on the

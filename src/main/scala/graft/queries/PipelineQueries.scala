@@ -522,6 +522,78 @@ object PipelineQueries {
       .orderBy("step_idx")
   }
 
+  // Batch sessionization (round 15): the batch counterpart of the
+  // streaming session windows, for backfills — new session when the
+  // inactivity gap strictly exceeds 12h. One window pass partitioned BY
+  // USER (hash-distributed; per-user sort is user-history-sized, never
+  // corpus-sized), ties broken by event_id; duration is the shared
+  // floor-epoch convention.
+  declare("events_sessions_batch",
+    """WITH o AS (SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev FROM events),
+       g AS (SELECT user_id, ts,
+               SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 720 MINUTE
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+             FROM o)
+       SELECT user_id, CAST(session_id AS BIGINT) session_id, COUNT(*) n_events,
+         MIN(ts) start_ts,
+         CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) duration_secs
+       FROM g GROUP BY 1, 2 ORDER BY 1, 2""") { (spark, sfDir) =>
+    Behavior.sessionize(t(spark, sfDir, "events"), gapMinutes = 720)
+      .orderBy("user_id", "session_id")
+  }
+
+  // Token-budget selection (round 15): per language, the best documents
+  // by unique-token-ratio quality until a 2000-token budget fills
+  // (crossing doc included — the packShards greedy convention). The
+  // per-group window runs on bounded-heap survivors (≤ budget+1 docs
+  // per group per partition), never the corpus.
+  declare("sample_token_budget",
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents),
+       q AS (SELECT doc_id, lang AS "group", CAST(len(ws) AS BIGINT) n_tok,
+               CAST(floor(len(list_distinct(ws)) * 1000.0 / len(ws)) AS BIGINT) quality
+             FROM d WHERE len(ws) > 0),
+       r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY "group"
+                 ORDER BY quality DESC, doc_id) AS BIGINT) rn,
+               SUM(n_tok) OVER (PARTITION BY "group" ORDER BY quality DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok cum_before
+             FROM q)
+       SELECT "group", rn, doc_id, n_tok, quality FROM r WHERE cum_before < 2000
+       ORDER BY "group", rn""") { (spark, sfDir) =>
+    TextAnalysis.tokenBudgetSelect(t(spark, sfDir, "documents"),
+        groupCol = "lang", budgetTokens = 2000L)
+      .orderBy("group", "rn")
+  }
+
+  // Tokenizer fertility (round 15): per language, lexical units per
+  // whitespace word (how much a BPE-ish tokenizer fragments each
+  // language) and chars per lexical unit — the stats a multilingual
+  // token-budget plan is priced with. One scan, row-local counts,
+  // map-side-combined sums, exact-integer ratios.
+  declare("tokens_fertility",
+    """SELECT lang,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) n_words,
+         CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) n_lex,
+         CAST(floor(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 1000.0 /
+              SUM(len(string_split(text, ' ')))) AS BIGINT) fertility_millis,
+         CAST(floor(SUM(length(text)) * 1000.0 /
+              SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))) AS BIGINT)
+           chars_per_lex_millis
+       FROM documents GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    t(spark, sfDir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        size(TextAnalysis.regexTokens(col("text"))).cast("long").as("nl"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy("lang")
+      .agg(sum("nw").as("n_words"), sum("nl").as("n_lex"),
+        floor(sum("nl") * 1000.0 / sum("nw")).cast("long").as("fertility_millis"),
+        floor(sum("nc") * 1000.0 / sum("nl")).cast("long").as("chars_per_lex_millis"))
+      .orderBy("lang")
+  }
+
   // Triangle counting (round 15): per-node triangle membership over a
   // deterministic lineitem-derived graph — each row plants the closed
   // triple (h(okey), h(pkey), h(skey)) in a 100003-node space, so

@@ -115,6 +115,63 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(got(2L) == 1000L, "text sharing no 5-gram with the reference must score 1000")
   }
 
+  test("sessionize: strictly-exceeds boundary, tie-stable ordering, floor-diff duration") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // gaps: exactly 30 min (same session), 30 min + 1 s (new session);
+    // two events at the identical ts (tie broken by event_id).
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (1L, 11L, ts("2024-01-01 00:30:00")), // gap == 30min -> SAME session
+      (1L, 12L, ts("2024-01-01 01:00:01")), // gap 30min+1s -> NEW session
+      (1L, 13L, ts("2024-01-01 01:00:01")), // tie ts -> same session
+      (2L, 20L, ts("2024-01-01 00:00:00.400")),
+      (2L, 21L, ts("2024-01-01 00:00:01.600"))  // duration floor(1.6)-floor(0.4)=1
+    ).toDF("user_id", "event_id", "ts")
+    val got = Behavior.sessionize(ev, gapMinutes = 30)
+      .orderBy("user_id", "session_id").collect()
+    val u1 = got.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.map(r => (r.getAs[Long]("session_id"), r.getAs[Long]("n_events"))).toSeq ==
+      Seq((1L, 2L), (2L, 2L)))
+    val u2 = got.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length == 1 && u2.head.getAs[Long]("duration_secs") == 1L)
+  }
+
+  test("token budget: crossing doc included, next excluded; pre-prune equals naive window") {
+    import spark.implicits._
+    // group g: quality order is d1 (q=1000, 900 tok), d2 (q=1000, 900),
+    // d3 (q=500, 900): budget 2000 -> d1 (before=0), d2 (before=900),
+    // d3 (before=1800 < 2000, CROSSES and is included); d4 excluded.
+    def mk(id: Long, nUniq: Int, nTot: Int): (Long, String, String) = {
+      val toks = (1 to nUniq).map(i => s"w${id}_$i") ++
+        Seq.fill(nTot - nUniq)(s"w${id}_1")
+      (id, "g", toks.mkString(" "))
+    }
+    val docs = Seq(mk(1, 900, 900), mk(2, 900, 900), mk(3, 450, 900),
+      mk(4, 100, 900)).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.tokenBudgetSelect(docs, "lang", budgetTokens = 2000L)
+      .orderBy("rn").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    // parity with the corpus-scale draw on real data: the bounded-heap
+    // survivors yield the same set as the naive full window
+    val real = Engine.table(spark, SparkTestSession.sfDir, "documents")
+    val fast = TextAnalysis.tokenBudgetSelect(real, "lang", 2000L)
+      .collect().map(r => (r.getAs[String]("group"), r.getAs[Long]("doc_id"))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(col("text"), " ")
+    val w = Window.partitionBy("lang").orderBy(desc("quality"), col("doc_id"))
+    val naive = real
+      .select(col("lang"), col("doc_id"), size(ws).cast("long").as("n_tok"),
+        floor(size(array_distinct(ws)) * 1000.0 / size(ws)).cast("long").as("quality"))
+      .filter(col("n_tok") > 0)
+      .withColumn("cum_before",
+        sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - col("n_tok"))
+      .filter(col("cum_before") < 2000)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet
+    assert(fast == naive)
+  }
+
   test("positive pairs: every neighbor shares the anchor's label; ranks dense from 1") {
     val anchors = embeddings.filter(col("vec_id") < 5)
     val labels = embeddings.select("vec_id", "label").collect()
