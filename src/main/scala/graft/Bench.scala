@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Engine.session: AQE starts shuffles wide and coalesces small
+      // ones to core count — payload-heavy shuffles keep enough splits.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -82,7 +87,10 @@ object Bench {
       "dedup_semantic", "embed_clusters",
       "events_stream_hourly", "events_stream_enriched",
       "events_stream_dedup", "events_stream_attrib",
-      "events_stream_sessions", "quality_classifier")
+      "events_stream_sessions", "quality_classifier",
+      // round-15 additions that are multi-job by construction (scratch
+      // materialization inside the operator)
+      "graph_triangles", "dedup_containment", "graph_pagerank")
     def sweep(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
