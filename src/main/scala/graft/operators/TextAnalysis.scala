@@ -257,6 +257,64 @@ object TextAnalysis {
         sum("n_tok").as("shard_tokens"))
   }
 
+  /** Skip-gram training-pair extraction — the word2vec data-prep pass
+    * (Mikolov et al. 2013): frequency-based subsampling of common words
+    * (keep an occurrence with probability min(1, √(t·N/f)) — the
+    * classic `sample` heuristic), then (center, context) pairs over the
+    * COMPACTED kept sequence within ±`window` positions, aggregated to
+    * pair counts (the input a negative-sampling trainer consumes).
+    *
+    * Subsampling is DETERMINISTIC and engine-neutral: each occurrence's
+    * uniform draw is the first 8 hex chars of md5(doc_id "_" pos)
+    * compared LEXICALLY against the word's keep-threshold rendered as
+    * an 8-char hex string (⌊√(t·N/f)·2³²⌋, saturated at 2³²−1 — a
+    * keep-everything word loses only the h = "ffffffff" draw, ~2⁻³²
+    * per occurrence, identically on every engine). The hex-string
+    * compare is the [[hashSplit]] trick; it needs no hex→int parsing
+    * on either engine.
+    *
+    * Scale shape: the vocabulary (Zipf-small) aggregates once and its
+    * threshold table joins back occurrence-side with the strategy left
+    * to AQE (broadcast when it fits, shuffle when web-scale); the
+    * compaction row_number windows BY DOCUMENT (history-sized
+    * partitions, hash-distributed); pair generation is `window`
+    * co-partitioned equi-joins on (doc, cpos+k) — no quadratic per-doc
+    * blowup; the pair table folds map-side. The top-K cut is the
+    * standard TakeOrdered path.
+    *
+    * Output: (center, context, cnt) — top `topK` by (cnt desc, center,
+    * context).
+    */
+  def skipgramPairs(docs: DataFrame, window: Int = 2, t: Double = 1e-3,
+      topK: Int = 100, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && topK >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos0", "word")))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("f"))
+    val tot = vocab.agg(sum("f").cast("long").as("n_total"))
+    val thr = vocab.crossJoin(broadcast(tot))
+      .select(col("word"), lower(lpad(hex(
+        least(floor(sqrt(lit(t) * col("n_total") / col("f")) * 4294967296.0),
+          lit(4294967295.0)).cast("long")), 8, "0")).as("thr"))
+    val kept = toks.join(thr, Seq("word"))
+      .filter(substring(md5(concat_ws("_", col("doc_id"), col("pos"))), 1, 8) < col("thr"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val seq = kept.select(col("doc_id"), col("word"),
+      row_number().over(w).as("cpos"))
+    val pairs = (1 to window).map { k =>
+      seq.as("a").join(seq.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("b.cpos") === col("a.cpos") + k)
+        .select(col("a.word").as("center"), col("b.word").as("context"))
+    }.reduce(_ unionByName _)
+    pairs.groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("center"), col("context"))
+      .limit(topK)
+  }
+
   /** Corpus-frequency document scoring — the exact-integer core of unigram
     * LM quality signals. Builds the global token frequency table (one
     * explode + aggregate with map-side partials), joins it back to every

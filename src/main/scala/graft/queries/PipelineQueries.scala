@@ -567,6 +567,36 @@ object PipelineQueries {
       .orderBy("group", "rn")
   }
 
+  // Skip-gram pair extraction (round 15): the word2vec data-prep pass —
+  // deterministic frequency subsampling (md5-hex draw vs a per-word
+  // ⌊√(t·N/f)·2³²⌋ threshold rendered as hex, the hashSplit trick) then
+  // windowed pairs over the compacted kept sequence, folded to counts.
+  // Vocabulary joins are AQE-sized; compaction windows by document.
+  declare("tokens_skipgram_pairs",
+    """WITH toks0 AS (SELECT doc_id, unnest(string_split(text, ' ')) word,
+             generate_subscripts(string_split(text, ' '), 1) pos FROM documents),
+       tk AS (SELECT * FROM toks0 WHERE word <> ''),
+       vocab AS (SELECT word, COUNT(*) f FROM tk GROUP BY 1),
+       tot AS (SELECT CAST(SUM(f) AS BIGINT) n_total FROM vocab),
+       thr AS (SELECT word, printf('%08x', CAST(least(
+                 floor(sqrt(CAST(0.001 AS DOUBLE) * n_total / f) * 4294967296.0),
+                 4294967295.0) AS BIGINT)) thr
+               FROM vocab CROSS JOIN tot),
+       kept AS (SELECT doc_id, pos, tk.word FROM tk JOIN thr USING (word)
+                WHERE substr(md5(doc_id || '_' || pos), 1, 8) < thr),
+       sq AS (SELECT doc_id, word,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) cpos FROM kept),
+       pairs AS (SELECT a.word center, b.word context FROM sq a JOIN sq b
+                   ON a.doc_id = b.doc_id AND b.cpos = a.cpos + 1
+                 UNION ALL
+                 SELECT a.word, b.word FROM sq a JOIN sq b
+                   ON a.doc_id = b.doc_id AND b.cpos = a.cpos + 2)
+       SELECT center, context, COUNT(*) cnt FROM pairs GROUP BY 1, 2
+       ORDER BY cnt DESC, center, context LIMIT 100""") { (spark, sfDir) =>
+    TextAnalysis.skipgramPairs(t(spark, sfDir, "documents"),
+      window = 2, t = 1e-3, topK = 100)
+  }
+
   // Tokenizer fertility (round 15): per language, lexical units per
   // whitespace word (how much a BPE-ish tokenizer fragments each
   // language) and chars per lexical unit — the stats a multilingual

@@ -172,6 +172,26 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(fast == naive)
   }
 
+  test("skipgram: saturated t disables subsampling; pairs match hand-rolled windows") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    // t huge -> every threshold saturates at ffffffff -> everything kept
+    val got = TextAnalysis.skipgramPairs(df, window = 2, t = 1e9, topK = 100)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("cnt"))).toMap
+    val want = Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("c", "d") -> 1L,
+      ("a", "c") -> 1L, ("b", "d") -> 1L, ("x", "y") -> 1L)
+    assert(got == want)
+  }
+
+  test("skipgram subsampling shrinks the pair mass as t decreases") {
+    def mass(t: Double): Long =
+      TextAnalysis.skipgramPairs(docs, window = 2, t = t, topK = 1000000)
+        .agg(sum("cnt")).head().getLong(0)
+    val loose = mass(1e9); val tight = mass(1e-4)
+    assert(tight < loose, s"t=1e-4 mass $tight !< saturated mass $loose")
+    assert(tight > 0, "subsampling must not empty the corpus")
+  }
+
   test("positive pairs: every neighbor shares the anchor's label; ranks dense from 1") {
     val anchors = embeddings.filter(col("vec_id") < 5)
     val labels = embeddings.select("vec_id", "label").collect()
