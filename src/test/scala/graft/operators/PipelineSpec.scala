@@ -23,6 +23,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact) // banding recall ~1 at J>=0.9; verification kills FPs
   }
 
+  test("prefix filter is lossless: thresholded pairs equal the full-index reference") {
+    // t ≈ 0 makes the prefix the whole sorted set (ceil(n·ε) = 1 → len = n),
+    // i.e. the pre-PPJoin full inverted index; its verified output filtered
+    // at 0.5 is the exact reference the prefix-filtered run must equal.
+    val reference = Dedup.jaccardPairs(docs, threshold = 1e-9,
+        maxShingleDf = Long.MaxValue)
+      .filter(col("jaccard") >= 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = Dedup.jaccardPairs(docs, threshold = 0.5,
+        maxShingleDf = Long.MaxValue)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reference.nonEmpty)
+    assert(filtered == reference)
+  }
+
   test("simhash candidates cover the exact near-dup pairs (recall)") {
     val exact = Dedup.jaccardPairs(docs, threshold = 0.8, maxShingleDf = Long.MaxValue)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
