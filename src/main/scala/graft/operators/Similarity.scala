@@ -447,6 +447,32 @@ object Similarity {
     topKScored(scored, k)
   }
 
+  /** k-NN GRAPH construction: IVF top-k where the query side is itself
+    * corpus-sized — the neighbor graph agglomerative semantic dedup and
+    * graph-based clustering consume. Identical probe semantics to
+    * [[ivfTopK]] (same assignment, same probe selection, same quantized
+    * ranking), but the probe table joins the cell-bucketed corpus by
+    * CELL as a plain co-partitioned equi-join — `ivfTopK`'s
+    * broadcast(probes) hint is correct for a bounded query batch and
+    * fatal for a corpus-sized one, so here the strategy is AQE's.
+    * Cost is Σ_cell |cell|·|probes into cell| — the standard IVF-graph
+    * bill, tuned by nProbe and the codebook size, never corpus².
+    * Output: (query_id, rank, neighbor_id, sim) for every queried
+    * vector.
+    */
+  def knnGraph(corpus: DataFrame, centroids: DataFrame, k: Int = 10,
+      nProbe: Int = 4, queries: Option[DataFrame] = None): DataFrame = {
+    val res = assignToCentroidsKeepHandle(corpus, centroids)
+    val q = queries.getOrElse(corpus)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probes = probeSelection(q, centroids, res, nProbe)
+    val scored = res.assigned.join(probes, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qe"), col("embedding")), 3).as("sim"))
+    topKScored(scored, k)
+  }
+
   /** Deterministic Lloyd's k-means for IVF/SemDeDup codebooks: assignment
     * by quantized cosine (id tie-break), centroid update =
     * double-precision element-wise mean. Two regimes, switched on

@@ -1013,6 +1013,55 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // kNN-graph construction (round 15): IVF top-k with a CORPUS-SIZED
+  // query side — the neighbor graph agglomerative dedup / clustering
+  // consumes. Same probe semantics as sim_topk_ivf; the probe table
+  // joins the bucketed corpus by cell co-partitioned (no broadcast
+  // hint — fatal at graph scale). Queries capped at vec_id < 500 to
+  // bound the relational oracle; the operator takes the whole corpus.
+  declare("sim_knn_graph",
+    """WITH x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i
+                  FROM embeddings),
+       norms AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM x GROUP BY 1),
+       vc AS (SELECT a.vec_id, c.vec_id cid,
+                round(SUM(CAST(a.v AS DOUBLE)*CAST(c.v AS DOUBLE))/(na.nn*nc2.nn), 6) csim
+              FROM x a JOIN x c ON a.i = c.i AND c.vec_id < 16
+              JOIN norms na ON a.vec_id = na.vec_id
+              JOIN norms nc2 ON c.vec_id = nc2.vec_id
+              GROUP BY a.vec_id, c.vec_id, na.nn, nc2.nn),
+       asg AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) rn
+                 FROM vc) WHERE rn = 1),
+       probes AS (SELECT vec_id query_id, cid FROM (
+                 SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) rn
+                 FROM vc WHERE vec_id < 500) WHERE rn <= 4),
+       cands AS (SELECT DISTINCT p.query_id, a.vec_id neighbor_id
+                 FROM probes p JOIN asg a ON p.cid = a.cid
+                 WHERE a.vec_id != p.query_id),
+       dots AS (SELECT cd.query_id, cd.neighbor_id,
+                  SUM(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)) dp
+                FROM cands cd
+                JOIN x q ON q.vec_id = cd.query_id
+                JOIN x c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+                GROUP BY 1, 2),
+       scored AS (SELECT query_id, neighbor_id, round(dp/(nq.nn*nc.nn), 3) sim
+                  FROM dots JOIN norms nq ON query_id = nq.vec_id
+                            JOIN norms nc ON neighbor_id = nc.vec_id),
+       ranked AS (SELECT query_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id) AS BIGINT) rnk,
+                    neighbor_id, sim FROM scored)
+       SELECT query_id, rnk, neighbor_id, sim FROM ranked WHERE rnk <= 5
+       ORDER BY query_id, rnk""") { (spark, sfDir) =>
+    val e = t(spark, sfDir, "embeddings")
+    Similarity.knnGraph(e, e.filter(col("vec_id") < 16), k = 5, nProbe = 4,
+        queries = Some(e.filter(col("vec_id") < 500)))
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   // Positive-pair mining (round 15) — the other side of the contrastive
   // batch: per anchor, top-k most-similar SAME-label vectors (self
   // excluded); with sim_hard_negatives this completes the triplet. Same

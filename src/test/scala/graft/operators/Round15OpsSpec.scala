@@ -172,6 +172,20 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(fast == naive)
   }
 
+  test("knn graph probing all cells equals brute force for every corpus vector") {
+    val centroids = embeddings.filter(col("vec_id") < 8)
+    val graph = Similarity.knnGraph(embeddings, centroids, k = 5, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val brute = Similarity.bruteForceTopK(embeddings, embeddings, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(graph == brute)
+    // every vector is a node in the graph
+    val n = embeddings.count()
+    assert(graph.map(_._1).size == n)
+  }
+
   test("skipgram: saturated t disables subsampling; pairs match hand-rolled windows") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
