@@ -97,6 +97,46 @@ object Behavior {
     countsDfs.reduce(_ unionByName _)
   }
 
+  /** Within-session event-type transition counts — the Markov path
+    * analysis (what users do next): for consecutive events inside one
+    * [[sessionize]] session, count each (from_type, to_type) edge and
+    * report its per-mille share of the from-type's outgoing mass.
+    * Transitions never cross a session boundary (the lag restarts per
+    * (user, session)), so "next" means next within the same visit.
+    *
+    * Scale shape: the sessionizing window plus ONE more lag over the
+    * same (user-keyed) partitioning — Spark evaluates both window
+    * specs in one Exchange; the transition fold is a map-side-combined
+    * aggregate over the (typeCount²)-small edge set, and the share
+    * join divides by the from-type totals (tiny, AQE broadcasts).
+    *
+    * Output: (from_type, to_type, n, share_millis).
+    */
+  def transitions(events: DataFrame, gapMinutes: Int,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val sessioned = events
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("__new", when(col("__prev_ts").isNull ||
+        col(tsCol) > col("__prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
+        .otherwise(0L))
+      .withColumn("__sid", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col(userCol), col("__sid"))
+      .orderBy(col(tsCol), col(idCol))
+    val edges = sessioned
+      .withColumn("from_type", lag(col(typeCol), 1).over(ws))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = edges.groupBy("from_type").agg(sum("n").as("tot"))
+    edges.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        floor(col("n") * 1000.0 / col("tot")).cast("long").as("share_millis"))
+  }
+
   /** Batch sessionization: split each user's event stream into sessions
     * at inactivity gaps larger than `gapMinutes` — the batch counterpart
     * of the streaming session windows (graft.streaming.EventsStreaming),

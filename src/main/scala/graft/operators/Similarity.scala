@@ -121,6 +121,49 @@ object Similarity {
     topKScored(scored, k)
   }
 
+  /** Greedy k-center (farthest-point) coreset selection — the
+    * diversity-maximizing draw active-learning and eval-set curation
+    * use: seed with the lowest id, then k−1 times pick the vector
+    * FARTHEST (max min-distance, ties → lowest id) from everything
+    * selected so far. The selected set 2-approximates the optimal
+    * k-center cover (Gonzalez 1985).
+    *
+    * Distance is integer millis of (1 − cosine): `1000 − round(cos·10³)`
+    * — ONE rounding step, so both the argmax and the reported distance
+    * are engine-exact. A selected vector's self-distance is 0, so it can
+    * never be re-picked; the seed reports distance 0.
+    *
+    * Scale shape: k − 1 rounds, each ONE corpus scan against the
+    * broadcast selected set (row-local cosine fold, map-side min,
+    * single-row argmax collect — the k-bounded driver-action pattern of
+    * the k-means codebook builder). Never corpus²; cost = k linear
+    * passes, and k is coreset-sized by definition.
+    *
+    * Output: (sel_rank, vec_id, dist_milli), rank 1..k in pick order.
+    */
+  def kCenterSelect(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    val seed = vecs.agg(min("vec_id")).head().getLong(0)
+    var sel = Vector((1L, seed, 0L))
+    for (r <- 2 to k) {
+      val ids = sel.map(_._2)
+      val s = broadcast(vecs.filter(col("vec_id").isin(ids: _*))
+        .select(col("embedding").as("se")))
+      val best = vecs.crossJoin(s)
+        .select(col("vec_id"),
+          (lit(1000) - round(cosine(col("embedding"), col("se")) * 1000, 0))
+            .cast("long").as("d"))
+        .groupBy("vec_id").agg(min("d").as("d"))
+        .orderBy(desc("d"), asc("vec_id")).limit(1).head()
+      sel :+= ((r.toLong, best.getLong(0), best.getLong(1)))
+    }
+    sel.toDF("sel_rank", "vec_id", "dist_milli")
+  }
+
   /** Positive-pair mining — the complement of [[hardNegatives]] a
     * contrastive batch needs on its other side: for each anchor, the
     * top-k most-similar corpus vectors SHARING the anchor's label

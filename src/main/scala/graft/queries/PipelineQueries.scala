@@ -545,6 +545,33 @@ object PipelineQueries {
       .orderBy("user_id", "session_id")
   }
 
+  // Event-type transitions (round 15): the Markov path analysis over
+  // sessionized streams — consecutive-event (from, to) edges within a
+  // 12h-gap session, with each edge's per-mille share of its from-type's
+  // outgoing mass. Session lag restarts at boundaries, so "next" never
+  // crosses a visit.
+  declare("events_transitions",
+    """WITH o AS (SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev FROM events),
+       g AS (SELECT user_id, event_id, ts, event_type,
+               SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 720 MINUTE
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+             FROM o),
+       e AS (SELECT lag(event_type) OVER (PARTITION BY user_id, sid
+               ORDER BY ts, event_id) from_type, event_type to_type FROM g),
+       edges AS (SELECT from_type, to_type, COUNT(*) n FROM e
+                 WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT from_type, SUM(n) tot FROM edges GROUP BY 1)
+       SELECT from_type, to_type, CAST(n AS BIGINT) n,
+         CAST(floor(n * 1000.0 / tot) AS BIGINT) share_millis
+       FROM edges JOIN tot USING (from_type)
+       ORDER BY from_type, to_type""") { (spark, sfDir) =>
+    Behavior.transitions(t(spark, sfDir, "events"), gapMinutes = 720)
+      .orderBy("from_type", "to_type")
+  }
+
   // Token-budget selection (round 15): per language, the best documents
   // by unique-token-ratio quality until a 2000-token budget fills
   // (crossing doc included — the packShards greedy convention). The
@@ -1011,6 +1038,45 @@ object PipelineQueries {
     Similarity.hardNegatives(e, e.filter(col("vec_id") < 5), k = 10)
       .withColumnRenamed("rank", "rnk")
       .orderBy("query_id", "rnk")
+  }
+
+  // Greedy k-center coreset selection (round 15): seed = lowest id,
+  // then 3 farthest-point picks (max min-dist, ties → lowest id) — the
+  // diversity draw for eval-set curation (Gonzalez 1985 2-approx).
+  // Distance = 1000 − round(cos·10³): ONE rounding, engine-exact. The
+  // oracle unrolls the greedy rounds as chained argmax CTEs over the
+  // pair matrix (self-pairs kept: their 0 distance is what makes a
+  // selected point unpickable); the engine never forms the matrix —
+  // k−1 broadcast-selected corpus scans.
+  declare("sim_kcenter",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+       x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM e),
+       norms AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM x GROUP BY 1),
+       mat AS (SELECT a.vec_id va, b.vec_id vb,
+                 CAST(1000 - round(SUM(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE))
+                   /(na.nn*nb.nn)*1000, 0) AS BIGINT) d
+               FROM x a JOIN x b ON a.i = b.i
+               JOIN norms na ON a.vec_id = na.vec_id
+               JOIN norms nb ON b.vec_id = nb.vec_id
+               GROUP BY a.vec_id, b.vec_id, na.nn, nb.nn),
+       s1 AS (SELECT MIN(vec_id) v FROM e),
+       d2 AS (SELECT va v, MIN(d) d FROM mat JOIN s1 ON vb = s1.v GROUP BY 1),
+       s2 AS (SELECT v, d FROM d2 ORDER BY d DESC, v LIMIT 1),
+       d3 AS (SELECT va v, MIN(d) d FROM mat
+              WHERE vb IN (SELECT v FROM s1 UNION ALL SELECT v FROM s2) GROUP BY 1),
+       s3 AS (SELECT v, d FROM d3 ORDER BY d DESC, v LIMIT 1),
+       d4 AS (SELECT va v, MIN(d) d FROM mat
+              WHERE vb IN (SELECT v FROM s1 UNION ALL SELECT v FROM s2
+                           UNION ALL SELECT v FROM s3) GROUP BY 1),
+       s4 AS (SELECT v, d FROM d4 ORDER BY d DESC, v LIMIT 1)
+       SELECT CAST(1 AS BIGINT) sel_rank, v vec_id, CAST(0 AS BIGINT) dist_milli FROM s1
+       UNION ALL SELECT 2, v, d FROM s2
+       UNION ALL SELECT 3, v, d FROM s3
+       UNION ALL SELECT 4, v, d FROM s4
+       ORDER BY sel_rank""") { (spark, sfDir) =>
+    Similarity.kCenterSelect(
+        t(spark, sfDir, "embeddings").filter(col("vec_id") < 300), k = 4)
+      .orderBy("sel_rank")
   }
 
   // kNN-graph construction (round 15): IVF top-k with a CORPUS-SIZED

@@ -172,6 +172,42 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(fast == naive)
   }
 
+  test("transitions never cross a session boundary; shares sum to ~1000 per from-type") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // u1: A->B inside one session, then a >12h gap: B->C must NOT count.
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "A"),
+      (1L, 2L, ts("2024-01-01 00:10:00"), "B"),
+      (1L, 3L, ts("2024-01-02 00:00:00"), "C"),
+      (1L, 4L, ts("2024-01-02 00:05:00"), "A")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Behavior.transitions(ev, gapMinutes = 720).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n"))).toMap
+    assert(got == Map(("A", "B") -> 1L, ("C", "A") -> 1L))
+    val real = Behavior.transitions(events, gapMinutes = 720)
+    val sums = real.groupBy("from_type")
+      .agg(sum("share_millis").as("s")).collect().map(_.getAs[Long]("s"))
+    // floors lose at most (#to_types - 1) millis per from-type
+    sums.foreach(s => assert(s >= 990 && s <= 1000, s.toString))
+  }
+
+  test("k-center picks the farthest-first order on a planted geometry") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // seed (min id)
+      // near the seed but outside the milli-quantization (cos ≈ 0.989 →
+      // d = 11; a 0.01 offset would round to d = 0 and tie with the
+      // selected points' self-distance) — picked LAST
+      (1L, Seq(1.0f, 0.15f)),
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal
+      (3L, Seq(-1.0f, 0.0f))   // antipodal — farthest, picked 2nd
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(vecs, k = 4)
+      .orderBy("sel_rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == Seq(0L, 3L, 2L, 1L))
+  }
+
   test("knn graph probing all cells equals brute force for every corpus vector") {
     val centroids = embeddings.filter(col("vec_id") < 8)
     val graph = Similarity.knnGraph(embeddings, centroids, k = 5, nProbe = 8)
