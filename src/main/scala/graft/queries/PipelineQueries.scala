@@ -545,6 +545,69 @@ object PipelineQueries {
       .orderBy("user_id", "session_id")
   }
 
+  // Hourly anomaly detection (round 15): hours whose event count sits
+  // more than 2σ from the hourly mean — flagged with EXACT INTEGER
+  // arithmetic: (n·H − tot)² > 4·(H·ss − tot²) is (n−μ)² > 4σ² with
+  // both sides cross-multiplied by H² (counts are integers, so tot and
+  // ss = Σn² are exact integer sums — no float mean/variance whose
+  // summation order could differ across engines; BIGINT headroom holds
+  // to ~10⁹ n·H). Two tiny aggregates over the hour table.
+  declare("events_anomaly_hours",
+    """WITH hrs AS (SELECT date_trunc('hour', ts) h, COUNT(*) n FROM events GROUP BY 1),
+       stats AS (SELECT CAST(COUNT(*) AS BIGINT) hh, CAST(SUM(n) AS BIGINT) tot,
+                   CAST(SUM(n*n) AS BIGINT) ss FROM hrs)
+       SELECT h, CAST(n AS BIGINT) n
+       FROM hrs CROSS JOIN stats
+       WHERE (n*hh - tot)*(n*hh - tot) > 4*(hh*ss - tot*tot)
+       ORDER BY h""") { (spark, sfDir) =>
+    val hrs = t(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hrs.agg(count(lit(1)).cast("long").as("hh"),
+      sum("n").cast("long").as("tot"),
+      sum(col("n") * col("n")).cast("long").as("ss"))
+    hrs.crossJoin(broadcast(stats))
+      .filter((col("n") * col("hh") - col("tot")) * (col("n") * col("hh") - col("tot"))
+        > lit(4) * (col("hh") * col("ss") - col("tot") * col("tot")))
+      .select(col("h"), col("n").cast("long").as("n"))
+      .orderBy("h")
+  }
+
+  // IVF cell-occupancy report (round 15): the index-balance diagnostic
+  // an ANN deploy reads before trusting its nProbe recall math — rows
+  // per cell plus each cell's per-mille share (a hot cell means probes
+  // scan far more than corpus/cells). Assignment is the same row-local
+  // broadcast-codebook argmax the search path uses; the report is one
+  // map-side-combined aggregate.
+  declare("sim_ivf_occupancy",
+    """WITH x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i
+                  FROM embeddings),
+       norms AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM x GROUP BY 1),
+       vc AS (SELECT a.vec_id, c.vec_id cid,
+                round(SUM(CAST(a.v AS DOUBLE)*CAST(c.v AS DOUBLE))/(na.nn*nc2.nn), 6) csim
+              FROM x a JOIN x c ON a.i = c.i AND c.vec_id < 16
+              JOIN norms na ON a.vec_id = na.vec_id
+              JOIN norms nc2 ON c.vec_id = nc2.vec_id
+              GROUP BY a.vec_id, c.vec_id, na.nn, nc2.nn),
+       asg AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) rn
+                 FROM vc) WHERE rn = 1),
+       occ AS (SELECT cid, COUNT(*) n FROM asg GROUP BY 1),
+       tot AS (SELECT SUM(n) t FROM occ)
+       SELECT cid, CAST(n AS BIGINT) n_vectors,
+         CAST(floor(n * 1000.0 / t) AS BIGINT) share_millis
+       FROM occ CROSS JOIN tot ORDER BY cid""") { (spark, sfDir) =>
+    val e = t(spark, sfDir, "embeddings")
+    val occ = Similarity.assignToCentroids(e, e.filter(col("vec_id") < 16))
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+    val tot = occ.agg(sum("n").as("t"))
+    occ.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n").cast("long").as("n_vectors"),
+        floor(col("n") * 1000.0 / col("t")).cast("long").as("share_millis"))
+      .orderBy("cid")
+  }
+
   // Event-type transitions (round 15): the Markov path analysis over
   // sessionized streams — consecutive-event (from, to) edges within a
   // 12h-gap session, with each edge's per-mille share of its from-type's
