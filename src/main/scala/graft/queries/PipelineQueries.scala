@@ -545,6 +545,61 @@ object PipelineQueries {
       .orderBy("user_id", "session_id")
   }
 
+  // Filter-ablation overlap matrix (round 15): before committing to a
+  // filter stack, which rule removes what and how much the removals
+  // OVERLAP (a filter whose removals are a subset of another's is
+  // free to drop). Three production rules — gopher keep, blocklist
+  // hit, short-doc — as row-local verdicts; the matrix is a doc-keyed
+  // self-join of the removed-long-table (≤ filters × docs rows,
+  // co-partitioned), output filters²-small. Diagonal = per-filter
+  // removed totals.
+  declare("quality_ablation",
+    """WITH q AS (SELECT doc_id, text, string_split(text, ' ') ws,
+                         string_split(text, chr(10)) ls FROM documents),
+       c AS (SELECT doc_id, ws,
+         CAST(len(ws) AS BIGINT) n_words,
+         CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) n_word_chars,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) n_alpha_words,
+         CAST(len(list_filter(ws, w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS BIGINT) n_stop,
+         CAST((length(text) - length(replace(text, '#', ''))) / 1
+            + (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) n_sym,
+         CAST(len(ls) AS BIGINT) n_lines,
+         CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) n_bullet,
+         CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS BIGINT) n_ellipsis
+         FROM q),
+       v AS (SELECT doc_id,
+         NOT ((n_words BETWEEN 50 AND 100000)
+           AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10
+           AND n_sym * 10 <= n_words
+           AND n_bullet * 10 <= n_lines * 9
+           AND n_ellipsis * 10 <= n_lines * 3
+           AND n_alpha_words * 5 >= n_words * 4
+           AND n_stop >= 2) AS r_gopher,
+         len(list_filter(ws, w -> list_contains(['slow','dup','big'], w))) > 0 AS r_blocklist,
+         n_words < 30 AS r_short
+         FROM c),
+       lng AS (SELECT doc_id, 'blocklist' f FROM v WHERE r_blocklist
+               UNION ALL SELECT doc_id, 'gopher' FROM v WHERE r_gopher
+               UNION ALL SELECT doc_id, 'short' FROM v WHERE r_short)
+       SELECT a.f fa, b.f fb, COUNT(*) n_removed_both
+       FROM lng a JOIN lng b ON a.doc_id = b.doc_id AND a.f <= b.f
+       GROUP BY 1, 2 ORDER BY 1, 2""") { (spark, sfDir) =>
+    val docs = t(spark, sfDir, "documents")
+    val g = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), (!col("keep")).as("removed"), lit("gopher").as("f"))
+    val b = TextAnalysis.blocklistFilter(docs, Seq("slow", "dup", "big"))
+      .select(col("doc_id"), (col("n_hits") > 0).as("removed"), lit("blocklist").as("f"))
+    val s = docs.select(col("doc_id"),
+      (size(split(col("text"), " ")) < 30).as("removed"), lit("short").as("f"))
+    val lng = g.unionByName(b).unionByName(s).filter(col("removed"))
+      .select("doc_id", "f")
+    lng.as("a").join(lng.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.f") <= col("b.f"))
+      .groupBy(col("a.f").as("fa"), col("b.f").as("fb"))
+      .agg(count(lit(1)).as("n_removed_both"))
+      .orderBy("fa", "fb")
+  }
+
   // Hourly anomaly detection (round 15): hours whose event count sits
   // more than 2σ from the hourly mean — flagged with EXACT INTEGER
   // arithmetic: (n·H − tot)² > 4·(H·ss − tot²) is (n−μ)² > 4σ² with
