@@ -275,6 +275,94 @@ object Multimodal {
     BmpFeature(assetId, width.toLong, height.toLong, sum, nz)
   }
 
+  /** 64-bit average-hash of a decoded BMP: (asset_id, h_hi, h_lo) as two
+    * 32-bit halves (bit 63 would flip a single BIGINT's sign).
+    */
+  final case class AHash(asset_id: Long, h_hi: Long, h_lo: Long)
+
+  /** Average-hash (aHash) each BMP through the REAL decoder: sample an
+    * 8×8 grid of the blue channel (source row ⌊i·H/8⌋, col ⌊j·W/8⌋ —
+    * walking the bottom-up padded rows like [[parseBmp]]), threshold
+    * each sample against the integer mean (⌊Σ/64⌋, strict >), and pack
+    * the 64 bits into two 32-bit halves. The classic perceptual
+    * fingerprint: near-identical images (re-encodes, small edits) land
+    * within a few bits. Row-local — one pass, no shuffle.
+    */
+  def imageAHash(spark: SparkSession, bmps: Dataset[BmpAsset]): Dataset[AHash] = {
+    import spark.implicits._
+    bmps.mapPartitions(it => it.map { a =>
+      val bmp = a.bmp
+      val b = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte,
+        s"asset ${a.asset_id}: not a BMP")
+      val off = b.getInt(10)
+      val width = b.getInt(18)
+      val height = math.abs(b.getInt(22))
+      require(b.getShort(28) == 24 && b.getInt(30) == 0,
+        s"asset ${a.asset_id}: only uncompressed 24-bpp supported")
+      val stride = (width * 3 + 3) & ~3
+      val s = new Array[Int](64)
+      var sum = 0L
+      var i = 0
+      while (i < 8) {
+        val srcRow = i * height / 8
+        val fileRow = height - 1 - srcRow // positive height = bottom-up
+        var j = 0
+        while (j < 8) {
+          val c = j * width / 8
+          val v = bmp(off + fileRow * stride + c * 3) & 0xff
+          s(i * 8 + j) = v
+          sum += v
+          j += 1
+        }
+        i += 1
+      }
+      val mean = sum / 64
+      var hi = 0L; var lo = 0L
+      var k = 0
+      while (k < 64) {
+        if (s(k) > mean) {
+          if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+        }
+        k += 1
+      }
+      AHash(a.asset_id, hi, lo)
+    })
+  }
+
+  /** Perceptual near-duplicate image pairs: aHash each BMP, generate
+    * candidates by PIGEONHOLE chunk banding (the 64 bits split into 8
+    * byte-chunks; hamming ≤ maxDist < 8 forces at least one identical
+    * chunk, so banding is EXACT — no recall loss, unlike the
+    * probabilistic simhash bands), verify with codegen'd
+    * xor + bit_count. Scale shape mirrors [[Dedup.simhashPairs]]: the
+    * band join shuffles (chunk_idx, chunk_value) keys, never all pairs.
+    * Output: (a, b, hamming), a < b, hamming ≤ maxDist.
+    */
+  def imageNearDupPairs(spark: SparkSession, bmps: Dataset[BmpAsset],
+      maxDist: Int = 6): DataFrame = {
+    require(maxDist < 8, "8-chunk pigeonhole banding guarantees recall only for maxDist < 8")
+    import spark.implicits._
+    val hashes = imageAHash(spark, bmps).toDF()
+    val chunks = hashes.select(col("asset_id"), col("h_hi"), col("h_lo"),
+        explode(sequence(lit(0), lit(7))).as("ck"))
+      .withColumn("cv", expr(
+        // halves are 32-bit non-negative, so arithmetic >> is safe
+        "CASE WHEN ck < 4 THEN (h_hi >> (ck * 8)) & 255" +
+          " ELSE (h_lo >> ((ck - 4) * 8)) & 255 END"))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.ck") === col("y.ck") && col("x.cv") === col("y.cv") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"),
+        col("x.h_hi").as("hia"), col("x.h_lo").as("loa"),
+        col("y.h_hi").as("hib"), col("y.h_lo").as("lob"))
+      .distinct()
+    cand.select(col("a"), col("b"),
+        (bit_count(col("hia").bitwiseXOR(col("hib"))) +
+          bit_count(col("loa").bitwiseXOR(col("lob")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** A Y4M (YUV4MPEG2) video asset: a complete uncompressed stream. */
   final case class Y4mAsset(asset_id: Long, y4m: Array[Byte])
 

@@ -1961,6 +1961,53 @@ object PipelineQueries {
       .toDF().orderBy("asset_id")
   }
 
+  // Perceptual image near-dup (round 15): aHash-64 through the REAL BMP
+  // decoder (8×8 blue-channel grid vs integer mean, bottom-up padded
+  // rows), pigeonhole 8-byte-chunk banding (EXACT for hamming ≤ 6 — at
+  // most 6 differing bits touch ≤ 6 of 8 chunks), codegen'd
+  // xor+bit_count verify. The plant: docs 30000+i are first-byte
+  // perturbations of doc i — the tiny-edit near-identical image. The
+  // oracle recomputes the hash arithmetic from the text bytes the synth
+  // encoded and compares ALL pairs.
+  declare("multimodal_image_neardup",
+    """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       d1 AS (SELECT doc_id + 30000 AS doc_id, 'Z' || substr(text, 2) AS text
+              FROM d0 WHERE doc_id < 20),
+       d AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1),
+       dims AS (SELECT doc_id, text,
+                  greatest(1, CAST(ceil(length(text) / 16.0) AS BIGINT)) hh FROM d),
+       grid AS (SELECT doc_id, text, hh, i.g i, j.g j
+                FROM dims, generate_series(0, 7) i(g), generate_series(0, 7) j(g)),
+       samp AS (SELECT doc_id, i * 8 + j k,
+                  ((i * hh) // 8) * 16 + (j * 16) // 8 + 1 AS idx, text
+                FROM grid),
+       vals AS (SELECT doc_id, k,
+                  CASE WHEN idx <= length(text) THEN ascii(substr(text, idx, 1))
+                       ELSE 0 END v
+                FROM samp),
+       means AS (SELECT doc_id, SUM(v) // 64 mean FROM vals GROUP BY 1),
+       hashes AS (SELECT v.doc_id,
+                    SUM(CASE WHEN v > mean AND k < 32
+                             THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) h_hi,
+                    SUM(CASE WHEN v > mean AND k >= 32
+                             THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) h_lo
+                  FROM vals v JOIN means m ON v.doc_id = m.doc_id GROUP BY 1),
+       pairs AS (SELECT x.doc_id a, y.doc_id b,
+                   bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) hamming
+                 FROM hashes x JOIN hashes y ON x.doc_id < y.doc_id)
+       SELECT a, b, CAST(hamming AS BIGINT) hamming FROM pairs
+       WHERE hamming <= 6 ORDER BY a, b""") { (spark, sfDir) =>
+    val base = t(spark, sfDir, "documents").filter(col("doc_id") < 200)
+      .select("doc_id", "text")
+    val pert = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        concat(lit("Z"), expr("substr(text, 2)")).as("text"))
+    Multimodal.imageNearDupPairs(spark,
+        Multimodal.synthesizeBmp(spark, base.union(pert), width = 16),
+        maxDist = 6)
+      .orderBy("a", "b")
+  }
+
   declare("multimodal_png",
     """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
        ch AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(text)),

@@ -172,6 +172,30 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(fast == naive)
   }
 
+  test("image near-dup: planted perturbations pair up; banding equals all-pairs") {
+    import spark.implicits._
+    val base = docs.filter(col("doc_id") < 60).select("doc_id", "text")
+    val pert = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        concat(lit("Z"), expr("substr(text, 2)")).as("text"))
+    val bmps = Multimodal.synthesizeBmp(spark, base.union(pert), width = 16)
+    val banded = Multimodal.imageNearDupPairs(spark, bmps, maxDist = 6)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // every planted single-byte perturbation is a near-dup of its source
+    (0L until 10L).foreach(i => assert(banded.contains((i, i + 30000)),
+      s"planted pair ($i, ${i + 30000}) missing"))
+    // pigeonhole banding is exact: equals the all-pairs hamming filter
+    val h = Multimodal.imageAHash(spark, bmps).toDF()
+    val all = h.as("x").join(h.as("y"),
+        col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"),
+        (bit_count(col("x.h_hi").bitwiseXOR(col("y.h_hi"))) +
+          bit_count(col("x.h_lo").bitwiseXOR(col("y.h_lo")))).as("d"))
+      .filter(col("d") <= 6)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(banded == all)
+  }
+
   test("transitions never cross a session boundary; shares sum to ~1000 per from-type") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)
