@@ -164,6 +164,60 @@ object Similarity {
     sel.toDF("sel_rank", "vec_id", "dist_milli")
   }
 
+  /** Maximal Marginal Relevance (MMR, Carbonell & Goldstein 1998):
+    * greedy diversity-aware retrieval — each round picks the candidate
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-selected, the
+    * dedup-at-retrieval-time a RAG context builder or eval-sampler
+    * wants (pure top-k returns k copies of the same best hit).
+    *
+    * Integer scoring: relevance and redundancy are round(cos·10³)
+    * millis, λ in millis — score = λ·r − (1000−λ)·maxSel is exact
+    * BIGINT arithmetic, ties → lowest id; the first pick's redundancy
+    * is 0. Selected ids are excluded outright (their self-similarity
+    * 1000 would still out-score a dense cluster's members).
+    *
+    * Scale shape: relevance = ONE corpus scan against the broadcast
+    * query vector, scratch-materialized (every round reads it);
+    * each round = one corpus scan against the broadcast selected set
+    * (row-local cosine, map-side max) + a single-row argmax collect —
+    * the k-bounded driver-action pattern shared with [[kCenterSelect]].
+    *
+    * Output: (sel_rank, vec_id, score) in pick order.
+    */
+  def mmrSelect(corpus: DataFrame, queryVec: DataFrame, k: Int,
+      lambdaMillis: Long = 700L): DataFrame = {
+    require(k >= 1 && lambdaMillis >= 0 && lambdaMillis <= 1000)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    val q = broadcast(queryVec.select(col("embedding").as("qe")).limit(1))
+    val (rel, _) = Scratch.materialize(
+      vecs.crossJoin(q).select(col("vec_id"),
+        round(cosine(col("embedding"), col("qe")) * 1000, 0).cast("long").as("r")),
+      "mmr_rel")
+    val first = rel.orderBy(desc("r"), asc("vec_id")).limit(1).head()
+    var sel = Vector((1L, first.getLong(0), lambdaMillis * first.getLong(1)))
+    for (rk <- 2 to k) {
+      val ids = sel.map(_._2)
+      val s = broadcast(vecs.filter(col("vec_id").isin(ids: _*))
+        .select(col("embedding").as("se")))
+      val best = vecs.crossJoin(s)
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("se")) * 1000, 0)
+            .cast("long").as("ms"))
+        .groupBy("vec_id").agg(max("ms").as("maxSel"))
+        .join(rel, Seq("vec_id"))
+        .filter(!col("vec_id").isin(ids: _*))
+        .select(col("vec_id"),
+          (lit(lambdaMillis) * col("r") -
+            lit(1000L - lambdaMillis) * col("maxSel")).as("score"))
+        .orderBy(desc("score"), asc("vec_id")).limit(1).head()
+      sel :+= ((rk.toLong, best.getLong(0), best.getLong(1)))
+    }
+    sel.toDF("sel_rank", "vec_id", "score")
+  }
+
   /** Positive-pair mining — the complement of [[hardNegatives]] a
     * contrastive batch needs on its other side: for each anchor, the
     * top-k most-similar corpus vectors SHARING the anchor's label

@@ -1158,6 +1158,58 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // MMR diverse retrieval (round 15, Carbonell & Goldstein 1998): four
+  // greedy picks maximizing 700·relevance − 300·max-sim-to-selected
+  // (millis, exact integer, ties → lowest id) against query vector 0 —
+  // the dedup-at-retrieval a RAG context builder wants. The oracle
+  // unrolls the greedy rounds over the pair matrix; the engine never
+  // forms it (scratch relevance + k−1 broadcast-selected scans).
+  declare("sim_mmr",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id >= 1 AND vec_id < 300),
+       q0 AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM e),
+       xq AS (SELECT unnest(embedding) v, generate_subscripts(embedding, 1) i FROM q0),
+       norms AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM x GROUP BY 1),
+       qn AS (SELECT sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM xq),
+       rel AS (SELECT a.vec_id,
+                 CAST(round(SUM(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE))/(na.nn*qn.nn)*1000, 0) AS BIGINT) r
+               FROM x a JOIN xq b ON a.i = b.i
+               JOIN norms na ON a.vec_id = na.vec_id CROSS JOIN qn
+               GROUP BY a.vec_id, na.nn, qn.nn),
+       mat AS (SELECT a.vec_id va, b.vec_id vb,
+                 CAST(round(SUM(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE))/(na.nn*nb.nn)*1000, 0) AS BIGINT) m
+               FROM x a JOIN x b ON a.i = b.i
+               JOIN norms na ON a.vec_id = na.vec_id
+               JOIN norms nb ON b.vec_id = nb.vec_id
+               GROUP BY a.vec_id, b.vec_id, na.nn, nb.nn),
+       s1 AS (SELECT vec_id v, 700*r score FROM rel ORDER BY r DESC, vec_id LIMIT 1),
+       d2 AS (SELECT va v, MAX(m) ms FROM mat JOIN s1 ON vb = s1.v GROUP BY 1),
+       s2 AS (SELECT d2.v, 700*r - 300*ms score FROM d2 JOIN rel ON d2.v = rel.vec_id
+              WHERE d2.v NOT IN (SELECT v FROM s1)
+              ORDER BY score DESC, d2.v LIMIT 1),
+       sel2 AS (SELECT v FROM s1 UNION ALL SELECT v FROM s2),
+       d3 AS (SELECT va v, MAX(m) ms FROM mat WHERE vb IN (SELECT v FROM sel2) GROUP BY 1),
+       s3 AS (SELECT d3.v, 700*r - 300*ms score FROM d3 JOIN rel ON d3.v = rel.vec_id
+              WHERE d3.v NOT IN (SELECT v FROM sel2)
+              ORDER BY score DESC, d3.v LIMIT 1),
+       sel3 AS (SELECT v FROM sel2 UNION ALL SELECT v FROM s3),
+       d4 AS (SELECT va v, MAX(m) ms FROM mat WHERE vb IN (SELECT v FROM sel3) GROUP BY 1),
+       s4 AS (SELECT d4.v, 700*r - 300*ms score FROM d4 JOIN rel ON d4.v = rel.vec_id
+              WHERE d4.v NOT IN (SELECT v FROM sel3)
+              ORDER BY score DESC, d4.v LIMIT 1)
+       SELECT CAST(1 AS BIGINT) sel_rank, v vec_id, CAST(score AS BIGINT) score FROM s1
+       UNION ALL SELECT 2, v, CAST(score AS BIGINT) FROM s2
+       UNION ALL SELECT 3, v, CAST(score AS BIGINT) FROM s3
+       UNION ALL SELECT 4, v, CAST(score AS BIGINT) FROM s4
+       ORDER BY sel_rank""") { (spark, sfDir) =>
+    val e = t(spark, sfDir, "embeddings")
+    Similarity.mmrSelect(
+        e.filter(col("vec_id") >= 1 && col("vec_id") < 300),
+        e.filter(col("vec_id") === 0), k = 4, lambdaMillis = 700L)
+      .orderBy("sel_rank")
+  }
+
   // Greedy k-center coreset selection (round 15): seed = lowest id,
   // then 3 farthest-point picks (max min-dist, ties → lowest id) — the
   // diversity draw for eval-set curation (Gonzalez 1985 2-approx).

@@ -216,6 +216,25 @@ class Round15OpsSpec extends AnyFunSuite {
     sums.foreach(s => assert(s >= 990 && s <= 1000, s.toString))
   }
 
+  test("mmr trades relevance for diversity on a planted geometry") {
+    import spark.implicits._
+    val q = Seq((99L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (1L, Seq(1.0f, 0.0f)),      // r=1000 — picked first
+      (2L, Seq(0.95f, 0.05f)),    // r≈999 but redundant with 1
+      (3L, Seq(0.5f, 0.866f))     // r=500, diverse
+    ).toDF("vec_id", "embedding")
+    // diversity-heavy λ: the diverse low-relevance vector beats the
+    // redundant high-relevance one on round 2
+    val got = Similarity.mmrSelect(cands, q, k = 3, lambdaMillis = 300L)
+      .orderBy("sel_rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == Seq(1L, 3L, 2L))
+    // relevance-heavy λ flips rounds 2 and 3
+    val rel = Similarity.mmrSelect(cands, q, k = 3, lambdaMillis = 900L)
+      .orderBy("sel_rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(rel == Seq(1L, 2L, 3L))
+  }
+
   test("k-center picks the farthest-first order on a planted geometry") {
     import spark.implicits._
     val vecs = Seq(
