@@ -712,6 +712,68 @@ object PipelineQueries {
       .orderBy("group", "rn")
   }
 
+  // Hapax share per source (round 15): what fraction (per-mille) of a
+  // source's token occurrences are corpus-wide hapax legomena — the
+  // vocab-health signal separating genuinely novel text from OCR/spam
+  // noise (both inflate hapax, but against quality scores they split).
+  // One corpus pass to the Zipf-small vocabulary, hapax set joined back
+  // occurrence-side (AQE-sized), per-source fold map-side combined.
+  declare("text_hapax_by_source",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) w FROM documents),
+       tk AS (SELECT * FROM tok WHERE w <> ''),
+       vocab AS (SELECT w, COUNT(*) f FROM tk GROUP BY 1),
+       j AS (SELECT source, CASE WHEN f = 1 THEN 1 ELSE 0 END h FROM tk JOIN vocab USING (w))
+       SELECT source, COUNT(*) n_tokens, CAST(SUM(h) AS BIGINT) n_hapax,
+         CAST(floor(SUM(h) * 1000.0 / COUNT(*)) AS BIGINT) hapax_millis
+       FROM j GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    val tk = t(spark, sfDir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = tk.groupBy("w").agg(count(lit(1)).as("f"))
+    tk.join(vocab, Seq("w"))
+      .select(col("source"), when(col("f") === 1, 1L).otherwise(0L).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), sum("h").cast("long").as("n_hapax"),
+        floor(sum("h") * 1000.0 / count(lit(1))).cast("long").as("hapax_millis"))
+      .orderBy("source")
+  }
+
+  // Degree histogram of the lineitem graph (round 15): node counts per
+  // log2 degree bucket — the shape check (hub mass, tail width) read
+  // before trusting degree-ordered algorithms' cost estimates. Bucket
+  // = bit length − 1 via bin() string length on BOTH engines — exact
+  // integer/string ops (floor(log2(2^k)) could differ in the last ulp
+  // across libms).
+  declare("graph_degree_hist",
+    """WITH raw AS (SELECT (l_orderkey * 7 + 1) % 100003 x,
+                      (l_partkey * 13 + 5) % 100003 y,
+                      (l_suppkey * 31 + 11) % 100003 z FROM lineitem),
+       e0 AS (SELECT x u, y v FROM raw UNION ALL SELECT y, z FROM raw
+              UNION ALL SELECT z, x FROM raw),
+       e AS (SELECT DISTINCT least(u, v) a, greatest(u, v) b FROM e0 WHERE u != v),
+       deg AS (SELECT n, COUNT(*) d FROM
+               (SELECT a n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       b AS (SELECT n, CAST(length(bin(d)) - 1 AS BIGINT) bucket FROM deg)
+       SELECT bucket, COUNT(*) n_nodes FROM b GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    val raw = t(spark, sfDir, "lineitem").select(
+        ((col("l_orderkey") * 7 + 1) % 100003).as("x"),
+        ((col("l_partkey") * 13 + 5) % 100003).as("y"),
+        ((col("l_suppkey") * 31 + 11) % 100003).as("z"))
+      .select(explode(array(
+        struct(col("x").as("u"), col("y").as("v")),
+        struct(col("y").as("u"), col("z").as("v")),
+        struct(col("z").as("u"), col("x").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val e = raw.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .select((length(bin(col("d"))) - 1).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("bucket")
+  }
+
   // Skip-gram pair extraction (round 15): the word2vec data-prep pass —
   // deterministic frequency subsampling (md5-hex draw vs a per-word
   // ⌊√(t·N/f)·2³²⌋ threshold rendered as hex, the hashSplit trick) then
