@@ -269,24 +269,35 @@ object Dedup {
     * heuristic. At t = 0.5 the index halves and the candidate join's
     * pair fan-out roughly quarters — the knob that matters most at web
     * scale, where candidate generation dominates the dedup bill.
+    *
+    * Filter ORDER is part of the contract (round 16): the df cap is
+    * computed over the FULL inverted index and applied FIRST, then the
+    * prefix filter runs over the reduced per-document sets. Two reasons:
+    * (a) "in >0.1% of documents" is a statement about true document
+    * frequency, not frequency-within-prefixes; (b) both stages are then
+    * pure relational algebra a SQL oracle can replicate verbatim
+    * (df-filter the shingle CTE, then sort+slice each doc's remaining
+    * list) — which is exactly what the declared dedup_threshold_curve
+    * oracle does. The reverse order (prefix first, df over prefixes)
+    * would make the cap depend on the prefix layout and be unmirrorable.
     */
   private[operators] def jaccardCandidates(sh: DataFrame, cap: Long,
       jaccardThreshold: Option[Double] = None): DataFrame = {
-    val base = jaccardThreshold match {
+    val cool =
+      if (cap == Long.MaxValue) sh
+      else {
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      }
+    val candIndex = jaccardThreshold match {
       case Some(t) if t > 0.0 =>
-        sh.groupBy("doc_id").agg(sort_array(collect_set(col("shingle"))).as("shs"))
+        cool.groupBy("doc_id").agg(sort_array(collect_set(col("shingle"))).as("shs"))
           .select(col("doc_id"), explode(slice(col("shs"), lit(1),
             (size(col("shs")) - ceil(size(col("shs")) * lit(t)) + 1)
               .cast("int"))).as("shingle"))
-      case _ => sh
+      case _ => cool
     }
-    val candIndex =
-      if (cap == Long.MaxValue) base
-      else {
-        val hot = base.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("shingle")
-        base.join(hot, Seq("shingle"), "left_anti")
-      }
     candIndex.select(col("doc_id").as("a"), col("shingle"))
       .join(candIndex.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
       .filter(col("a") < col("b"))

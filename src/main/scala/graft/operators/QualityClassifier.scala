@@ -115,6 +115,30 @@ object QualityClassifier {
     row.getDouble(0) / row.getLong(1)
   }
 
+  /** Scoring under a PUBLISHED integer-milli lexicon model — the shipped
+    * artifact a 100 TB filter job actually runs (training happens once,
+    * offline; the fleet only scores). `weightsMilli` maps literal tokens
+    * to milli-weights; the score is the exact integer
+    * `z_milli = interceptMilli + Σ w(tok) · [tok ∈ doc]` and the keep
+    * decision is `z_milli >= 0` ⟺ `sigmoid(z/1000) >= 0.5` — no float
+    * anywhere, so a SQL engine recomputes it bit-for-bit (this is what
+    * makes the declared gate query oracle-able where raw GD training,
+    * whose float gradient sums reorder across partitionings, is not).
+    * For a small lexicon the weights inline as literals in one codegen'd
+    * projection (presence terms over one `split`); a 1e5-token production
+    * lexicon would swap the fold for a broadcast map lookup with the same
+    * row-local shape. Output: input columns + `z_milli` (long) + `keep`.
+    */
+  def scoreLexicon(docs: DataFrame, weightsMilli: Seq[(String, Long)],
+      interceptMilli: Long, textCol: String = "text"): DataFrame = {
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val z = weightsMilli.foldLeft(lit(interceptMilli).cast("long")) {
+      case (acc, (tok, w)) =>
+        acc + when(array_contains(toks, tok), lit(w)).otherwise(lit(0L))
+    }
+    docs.withColumn("z_milli", z).withColumn("keep", col("z_milli") >= 0)
+  }
+
   /** Row-local scoring pass: corpus columns + `p` (quality probability).
     * The model broadcasts; one narrow map — the 100 TB filter shape.
     */

@@ -126,8 +126,18 @@ object PipelineQueries {
     Dedup.minhashLsh(t(spark, sfDir, "documents"), threshold = 0.8).orderBy("a", "b")
   }
 
+  // Char-5-gram Jaccard near-dup (hardened round 16): the corpus plants a
+  // TAIL-TRUNCATED near-copy of every >=200-char doc under doc_id 120
+  // (doc 40000+i = doc i minus its last 15 chars) — char-gram Jaccard of
+  // each planted pair is >= ~0.9, so the gate entry carries real pair
+  // mass at every SF instead of vacuously agreeing on zero rows (the
+  // round-15 verdict's finding: at sf0.01 no natural pair reaches 0.5).
   declare("dedup_ngram_jaccard",
-    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+    """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+       d AS (SELECT * FROM d0
+             UNION ALL
+             SELECT doc_id + 40000, substr(text, 1, length(text) - 15)
+             FROM d0 WHERE length(text) >= 200),
        sh0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(length(text)-4, 0)),
                  i -> substr(text, i, 5)) gs FROM d),
        sh AS (SELECT DISTINCT doc_id, unnest(gs) AS shingle FROM sh0),
@@ -141,7 +151,12 @@ object PipelineQueries {
        ORDER BY a, b""") { (spark, sfDir) =>
     // Uncapped candidate generation: the oracle computes the exact
     // predicate, so the engine must not prefix-filter hot shingles here.
-    Dedup.jaccardPairs(t(spark, sfDir, "documents").filter(col("doc_id") < 120),
+    val d0 = t(spark, sfDir, "documents").filter(col("doc_id") < 120)
+      .select("doc_id", "text")
+    val planted = d0.filter(length(col("text")) >= 200)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        col("text").substr(lit(1), length(col("text")) - 15).as("text"))
+    Dedup.jaccardPairs(d0.union(planted),
       threshold = 0.5, n = 5, charGrams = true,
       maxShingleDf = Long.MaxValue).orderBy("a", "b")
   }
@@ -1464,27 +1479,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  // Dedup-threshold calibration curve (round 15): the pair-count
-  // histogram across Jaccard deciles ≥ 0.5 — the diagnostic a pipeline
-  // reads BEFORE committing to a dedup threshold (where does the pair
-  // mass sit; how much more would 0.7 remove than 0.8). Same
+  // Dedup-threshold calibration curve (round 15; hardened round 16): the
+  // pair-count histogram across Jaccard deciles ≥ 0.5 — the diagnostic a
+  // pipeline reads BEFORE committing to a dedup threshold (where does the
+  // pair mass sit; how much more would 0.7 remove than 0.8). Same
   // inverted-index candidate pass the dedup itself runs — the curve
   // costs one verify, not one run per candidate threshold.
+  //
+  // Round 16: declares the CAPPED candidate pass — the plan that actually
+  // ships at 100 TB (the uncapped self-join is df² under a corpus-wide
+  // hot shingle). The cap is pure arithmetic (df > greatest(64,
+  // n_docs//1000), Dedup.resolveShingleCap) applied to the full inverted
+  // index BEFORE the lossless PPJoin prefix filter, so the oracle
+  // replicates the exact candidate set relationally: df-filter the
+  // shingle CTE, sort+slice each doc's remaining shingles to the
+  // t=0.5 prefix, self-join prefixes, then verify exact Jaccard over the
+  // FULL shingle sets (the cap affects candidates only, never values).
   declare("dedup_threshold_curve",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
        sh0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) shingles FROM toks),
        sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+       cap AS (SELECT greatest(64, COUNT(*) // 1000) c FROM documents),
+       hot AS (SELECT shingle FROM sh GROUP BY 1
+               HAVING COUNT(*) > (SELECT c FROM cap)),
+       cool AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       pref AS (SELECT doc_id,
+                  unnest(list_slice(shs, 1,
+                    CAST(len(shs) - ceil(len(shs) * CAST(0.5 AS DOUBLE)) + 1 AS INT))) AS shingle
+                FROM (SELECT doc_id, list_sort(list(shingle)) shs FROM cool GROUP BY 1)),
+       cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+                FROM pref x JOIN pref y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
        sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
-       inter AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) i
-                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       inter AS (SELECT c.a, c.b, COUNT(*) i
+                 FROM cand c JOIN sh x ON x.doc_id = c.a
+                      JOIN sh y ON y.doc_id = c.b AND x.shingle = y.shingle
                  GROUP BY 1, 2),
        jac AS (SELECT a, b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) j FROM inter
                JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id)
        SELECT CAST(floor(j * 10) AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) n_pairs
        FROM jac WHERE j >= 0.5 GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
     Dedup.jaccardPairs(t(spark, sfDir, "documents"), threshold = 0.5,
-        maxShingleDf = Long.MaxValue)
+        maxShingleDf = Dedup.AutoShingleDf)
       .select(floor(col("jaccard") * 10).cast("long").as("decile"))
       .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
       .orderBy("decile")
@@ -1706,31 +1742,57 @@ object PipelineQueries {
       .orderBy("stage")
   }
 
-  // Model-based quality filtering (round 15): hashed-bag-of-words
-  // logistic regression (the fastText-style quality classifier) trained
-  // with distributed full-batch GD (treeAggregate gradients — MLlib's
-  // own shape), then a row-local scoring pass. Deliberately ORACLE-LESS:
-  // float gradient sums reorder across partitionings, so weights are
-  // ulp-stable only per-layout; separation quality is spec-pinned in
-  // PipelineSpec. The training target here is a lexical property the
-  // model can actually learn from bag-of-words ("document contains
-  // 'the'" — the synthetic corpus's lang column is a metadata label
-  // drawn over one shared token pool, textually unlearnable); output
-  // compares the model's keep decision against the target per source.
-  declare("quality_classifier") { (spark, sfDir) =>
+  // Model-based quality filtering (round 15; oracled round 16): the
+  // fastText-style quality classifier, split the way production splits
+  // it. TRAINING — hashed-bag-of-words logistic regression under
+  // distributed full-batch GD (treeAggregate gradients, MLlib's own
+  // shape) — runs once, offline, and is deliberately ungated: float
+  // gradient sums reorder across partitionings, so weights are ulp-
+  // stable only per-layout; separation quality is spec-pinned in
+  // PipelineSpec. The gate declares the SCORING pass under the model
+  // that training PUBLISHED: the milli-quantized lexicon below is the
+  // round-16 dim-512/iters-30/lr-10 model's weights for the corpus's
+  // top-24 tokens + the target token, frozen as integer literals (the
+  // deploy artifact). The keep decision `z_milli >= 0` ⟺ `p >= 0.5`
+  // is exact integer arithmetic, so DuckDB recomputes it bit-for-bit.
+  // Training target: "document contains 'the'" — a lexical property a
+  // bag-of-words model can actually learn (the synthetic lang column is
+  // metadata over one shared token pool, textually unlearnable); the
+  // published model indeed puts w('the') = +24.621 against intercept
+  // -7.667 with every other weight small — the output compares its keep
+  // decision against the target per source.
+  private val qualityInterceptMilli = -7667L
+  private val qualityLexicon: Seq[(String, Long)] = Seq(
+    "a" -> 1102L, "agg" -> 1350L, "batch" -> -1562L, "column" -> 301L,
+    "customer" -> -2034L, "data" -> -883L, "filter" -> 390L,
+    "group" -> -2491L, "hash" -> -307L, "join" -> -215L, "key" -> -1042L,
+    "line" -> 1456L, "merge" -> 1888L, "order" -> -829L, "row" -> 66L,
+    "scan" -> -1010L, "slow" -> -1082L, "small" -> -1378L,
+    "spark" -> 1729L, "stream" -> -980L, "table" -> -1024L,
+    "the" -> 24621L, "value" -> 568L, "vector" -> -1975L,
+    "window" -> 1213L)
+
+  declare("quality_classifier",
+    s"""WITH d AS (SELECT source,
+           string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+       z AS (SELECT source, list_contains(ws, 'the') AS target,
+           $qualityInterceptMilli${qualityLexicon.map { case (tok, w) =>
+             s" + (CASE WHEN list_contains(ws, '$tok') THEN $w ELSE 0 END)"
+           }.mkString} AS zm
+         FROM d)
+       SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+         CAST(SUM(CASE WHEN target THEN 1 ELSE 0 END) AS BIGINT) n_target,
+         CAST(SUM(CASE WHEN zm >= 0 THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+         CAST(SUM(CASE WHEN (zm >= 0) = target THEN 1 ELSE 0 END) AS BIGINT) n_agree
+       FROM z GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
     val docs = t(spark, sfDir, "documents").withColumn("label",
-      array_contains(split(col("text"), " "), "the").cast("double"))
-    // dim 512: collision-free over this corpus's vocabulary (at 256 the
-    // target token 'the' shares a bucket with the common token 'value',
-    // which erases the signal — the classic feature-hashing failure mode;
-    // production dims are 1e5+ for the same reason).
-    val w = QualityClassifier.train(docs, "label", dim = 512, iters = 30, lr = 10.0)
-    QualityClassifier.score(docs, w)
+      array_contains(split(coalesce(col("text"), lit("")), " "), "the"))
+    QualityClassifier.scoreLexicon(docs, qualityLexicon, qualityInterceptMilli)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("label")).cast("long").as("n_target"),
-        sum(when(col("p") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
-        sum(when((col("p") >= 0.5) === (col("label") > 0.5), 1L).otherwise(0L))
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_target"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep") === col("label"), 1L).otherwise(0L))
           .as("n_agree"))
       .orderBy("source")
   }

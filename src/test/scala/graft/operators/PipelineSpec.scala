@@ -1072,6 +1072,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc.sum >= 114, s"classifier should separate planted classes: ${acc.sum}/120")
   }
 
+  test("scoreLexicon: exact integer z_milli and keep = (z >= 0)") {
+    import spark.implicits._
+    // presence indicators over DISTINCT-irrelevant tokens: repeated 'buy'
+    // counts once per presence term; absent tokens contribute 0; null
+    // text scores just the intercept.
+    val docs = Seq((1L, "buy now buy cheap"), (2L, "clear prose"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val lex = Seq("buy" -> -900L, "cheap" -> -300L, "clear" -> 1500L)
+    val got = QualityClassifier.scoreLexicon(docs, lex, interceptMilli = 1000L)
+      .select("doc_id", "z_milli", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1000L - 900L - 300L, false),
+      (2L, 1000L + 1500L, true), (3L, 1000L, true)))
+  }
+
   test("vocabCoverage: hand-computed OOV rates under a tiny vocabulary") {
     import spark.implicits._
     // vocab top-2 by count (tie → token asc): a(4), b(3). OOV = {c, d}.
