@@ -2128,6 +2128,28 @@ object AnalyticsQueries {
          FROM graft_q110_events""")
   }
 
+  // AT TIME ZONE (round 16): DuckDB's type-polymorphic construct, both
+  // directions — a naive wall clock interpreted in a zone (→ instant,
+  // epoch-compared) and an instant rendered as a zone's wall clock (the
+  // chained form; string-compared — both engines trim trailing
+  // fractional zeros). The oracle runs the construct NATIVELY in DuckDB;
+  // the engine rewrites it onto to_utc_timestamp/from_utc_timestamp by
+  // the operand's syntactic source (GraftSparkExtensions.
+  // atTimeZoneRewrite). floor() before the BIGINT cast in both texts —
+  // DuckDB's CAST rounds where Spark's truncates.
+  declare("q131_at_time_zone",
+    """SELECT event_id,
+         CAST(floor(extract(epoch FROM (ts AT TIME ZONE 'America/New_York'))) AS BIGINT) AS ep_ny,
+         CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS VARCHAR) AS wall_ny
+       FROM events WHERE event_id < 30 ORDER BY event_id""") { (spark, sfDir) =>
+    graft.Engine.events(spark, sfDir).createOrReplaceTempView("graft_q131_events")
+    spark.sql(
+      """SELECT event_id,
+           CAST(floor(extract(epoch FROM (ts AT TIME ZONE 'America/New_York'))) AS BIGINT) AS ep_ny,
+           CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS STRING) AS wall_ny
+         FROM graft_q131_events WHERE event_id < 30 ORDER BY event_id""")
+  }
+
   // Temporal generate_series (round 15): DATE/TIMESTAMP bounds with an
   // INTERVAL step — DuckDB returns TIMESTAMPs even for DATE bounds
   // (1.0-pinned); the splice is Spark's codegen'd sequence()+explode.

@@ -502,6 +502,139 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     None
   }
 
+  /** DuckDB's `expr AT TIME ZONE 'zone'` (round 16). The construct is
+    * TYPE-polymorphic in DuckDB: on a naive TIMESTAMP it interprets the
+    * wall-clock fields in `zone` and returns the TIMESTAMPTZ instant; on
+    * a TIMESTAMPTZ it renders the instant as `zone` wall clock and
+    * returns naive TIMESTAMP (both pinned on 1.0). This engine reads
+    * parquet timestamps the way DuckDB reads the same files — as naive
+    * wall clocks (the session pins UTC, so values agree across engines)
+    * — so the direction is decided SYNTACTICALLY, mirroring where DuckDB
+    * TIMESTAMPTZ values can actually come from: an operand that is
+    * itself an AT TIME ZONE result (already rewritten to
+    * to_utc_timestamp by an earlier round of this loop or the failure
+    * chain's recursion) or a TIMESTAMPTZ-returning builtin
+    * (now/current_timestamp/get_current_timestamp) takes the
+    * instant→wall direction (from_utc_timestamp); every other operand is
+    * a naive wall clock and takes wall→instant (to_utc_timestamp).
+    * Under a UTC session the from_utc_timestamp result renders and
+    * epoch-extracts exactly like DuckDB's naive TIMESTAMP. Only ever
+    * runs on parse failure (Spark has no AT TIME ZONE grammar), so no
+    * native statement can be claimed. Operands are recognized textually
+    * over the literal-masked text: typed/plain string literals, dotted
+    * identifier chains, function calls, parenthesized groups; the zone
+    * must be a string literal. Left-adjacent arithmetic/concat declines
+    * (one-operand extraction would misgroup) to the landing-pad hint.
+    */
+  private def atTimeZoneRewrite(text: String): Option[String] = {
+    def wordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_' || c == '.' || c == '$'
+    val atRe = "(?is)\\bAT\\s+TIME\\s+ZONE\\b".r
+    val instantHeadRe =
+      "(?is)\\A(?:to_utc_timestamp|now|current_timestamp|get_current_timestamp)\\s*(?:\\(.*)?\\z".r
+    var cur = text
+    var changed = false
+    var rounds = 0
+    while (rounds < 16) {
+      rounds += 1
+      val m = ReplaceRewrite.maskLiterals(cur)
+      val n = m.length
+      val mt = atRe.findFirstMatchIn(m).getOrElse(
+        return if (changed) Some(cur) else None)
+      // ---- zone: a string literal straight after the keywords ----
+      var r = mt.end
+      while (r < n && cur.charAt(r).isWhitespace) r += 1
+      if (r >= n || cur.charAt(r) != '\'') return None
+      val zs = r
+      r += 1
+      var zdone = false
+      while (r < n && !zdone) {
+        if (cur.charAt(r) == '\'') {
+          if (r + 1 < n && cur.charAt(r + 1) == '\'') r += 2
+          else { r += 1; zdone = true }
+        } else r += 1
+      }
+      if (!zdone) return None
+      val zone = cur.substring(zs, r)
+      val re0 = r
+      // ---- left operand (ls, le] ----
+      var l = mt.start - 1
+      while (l >= 0 && cur.charAt(l).isWhitespace) l -= 1
+      if (l < 0) return None
+      val le = l + 1
+      if (cur.charAt(l) == '\'' && m.charAt(l) == ' ') {
+        // closing quote of a masked literal: forward-scan literal spans
+        // to find the one ending here, then pull in a typed-literal
+        // keyword (TIMESTAMP '...' / DATE '...') if present.
+        var i = 0
+        var start = -1
+        while (i <= l) {
+          if (cur.charAt(i) == '\'' && m.charAt(i) == ' ') {
+            val s = i
+            i += 1
+            var done = false
+            while (i < n && !done) {
+              if (cur.charAt(i) == '\'') {
+                if (i + 1 < n && cur.charAt(i + 1) == '\'') i += 2
+                else done = true
+              } else i += 1
+            }
+            if (i == l) start = s
+            i += 1
+          } else i += 1
+        }
+        if (start < 0) return None
+        l = start - 1
+        while (l >= 0 && cur.charAt(l).isWhitespace) l -= 1
+        val kwEnd = l
+        while (l >= 0 && wordChar(m.charAt(l))) l -= 1
+        val kw = cur.substring(l + 1, kwEnd + 1).toLowerCase
+        if (!Set("timestamp", "timestamp_ntz", "date").contains(kw))
+          l = start - 1
+      } else if (m.charAt(l) == ')') {
+        var depth = 1
+        l -= 1
+        while (l >= 0 && depth > 0) {
+          m.charAt(l) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1
+            case _ =>
+          }
+          l -= 1
+        }
+        if (depth != 0) return None
+        val beforeParen = l
+        while (l >= 0 && cur.charAt(l).isWhitespace) l -= 1
+        val nameEnd = l
+        while (l >= 0 && wordChar(m.charAt(l))) l -= 1
+        if (nameEnd == l ||
+            tildeKeywords(cur.substring(l + 1, nameEnd + 1).toLowerCase))
+          l = beforeParen
+      } else if (wordChar(m.charAt(l))) {
+        while (l >= 0 && wordChar(m.charAt(l))) l -= 1
+      } else return None
+      val ls = l + 1
+      // left-adjacent operator binds first in DuckDB — decline rather
+      // than misgroup (same policy as the ~ rewrite).
+      var pb = ls - 1
+      while (pb >= 0 && cur.charAt(pb).isWhitespace) pb -= 1
+      if (pb >= 0 && "|+-*/%^&~!".indexOf(m.charAt(pb)) >= 0) return None
+      val lText = cur.substring(ls, le).trim
+      if (lText.isEmpty) return None
+      // strip redundant outer parens to classify the operand's source
+      var core = lText
+      while (core.startsWith("(") && core.endsWith(")") &&
+          ReplaceRewrite.closeOf(core, 0) == core.length)
+        core = core.substring(1, core.length - 1).trim
+      val fn =
+        if (instantHeadRe.findFirstIn(core).isDefined) "from_utc_timestamp"
+        else "to_utc_timestamp"
+      cur = cur.substring(0, ls) + fn + "(" + lText + ", " + zone + ")" +
+        cur.substring(re0)
+      changed = true
+    }
+    None
+  }
+
   /** DuckDB dollar-quoted string literals — `$$raw$$` and the tagged
     * `$tag$raw$tag$` — converted to standard single-quoted literals
     * (content is RAW in DuckDB: no escape processing; mirrored by
@@ -941,6 +1074,11 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             // regexp_full_match / [NOT] LIKE. Parse-failure only —
             // Spark's ~ is unary, so infix uses never parse.
             () => tildeOpRewrite(text),
+            // AT TIME ZONE → to_utc_timestamp/from_utc_timestamp by the
+            // operand's syntactic source (DuckDB's two type-directions).
+            // Parse-failure only — Spark has no AT TIME ZONE grammar.
+            () => text match { case atTimeZoneRe() =>
+              atTimeZoneRewrite(text); case _ => None },
             // [NOT] SIMILAR TO '<re>' → [NOT] RLIKE with full-match
             // anchors (DuckDB's SIMILAR TO = regexp_full_match). Only
             // ever seen on parse failure; literal-pattern forms only.
@@ -1240,13 +1378,18 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "LIKE 'pat' directly. Spark's own ~ is unary " +
                   "bitwise NOT.")
               case atTimeZoneRe() =>
-                Some("AT TIME ZONE has no Spark SQL spelling, and its " +
-                  "meaning flips with the input's type — so no automatic " +
-                  "rewrite. For a naive timestamp interpreted as wall " +
-                  "time in a zone use to_utc_timestamp(ts, 'zone'); for " +
-                  "rendering an instant in a zone use " +
-                  "from_utc_timestamp(ts, 'zone'); the session displays " +
-                  "instants in spark.sql.session.timeZone.")
+                Some("AT TIME ZONE runs automatically for common operand " +
+                  "shapes (identifiers, function calls, parenthesized " +
+                  "groups, typed literals, chained AT TIME ZONE — a " +
+                  "string-literal zone): a wall-clock operand interprets " +
+                  "in the zone (to_utc_timestamp), an instant-source " +
+                  "operand (a previous AT TIME ZONE, now()) renders in " +
+                  "the zone (from_utc_timestamp) — but this statement's " +
+                  "shape declined (non-literal zone, or an adjacent " +
+                  "operator that would misgroup the one-operand " +
+                  "extraction). Write to_utc_timestamp(ts, 'zone') / " +
+                  "from_utc_timestamp(ts, 'zone') directly; the session " +
+                  "displays instants in spark.sql.session.timeZone.")
               case attachRe() =>
                 Some("ATTACH/DETACH are DuckDB-engine-specific. The " +
                   "Spark equivalents are catalogs and external tables: " +

@@ -1945,7 +1945,7 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(back.getLong(0) == 1L && back.getString(1) == "x")
   }
 
-  test("EXTRACT(epoch FROM x) rewrites onto epoch(); AT TIME ZONE hints") {
+  test("EXTRACT(epoch FROM x) rewrites onto epoch(); AT TIME ZONE executes") {
     val v = spark.sql(
       "SELECT EXTRACT(epoch FROM TIMESTAMP '2020-01-01 00:00:01.5')")
       .head().getDouble(0)
@@ -1957,9 +1957,10 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // Inside a string literal: data, not the construct.
     assert(spark.sql("SELECT 'EXTRACT(epoch FROM x)' AS s")
       .head().getString(0) == "EXTRACT(epoch FROM x)")
-    val ex = intercept[Exception](spark.sql(
-      "SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC'"))
-    assert(ex.getMessage.contains("to_utc_timestamp"), s"got: ${ex.getMessage}")
+    // AT TIME ZONE executes since round 16 (both directions spec'd in
+    // their own test below); epoch composes with it in one statement.
+    assert(spark.sql("SELECT EXTRACT(epoch FROM TIMESTAMP '2020-01-01 " +
+      "00:00:00' AT TIME ZONE 'UTC')").head().getDouble(0) == 1.5778368e9)
   }
 
   test("reader TVFs take DuckDB named options") {
@@ -2173,6 +2174,37 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // A string LITERAL containing the words is untouched.
     assert(spark.sql("SELECT 'x SIMILAR TO y' AS v").head().getString(0) ==
       "x SIMILAR TO y")
+  }
+
+  test("AT TIME ZONE executes both DuckDB directions; edge shapes decline") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    // Direction 1 (wall → instant): interpret the naive literal as NY
+    // wall clock; its UTC rendering under the UTC session shifts +5h.
+    assert(one[String]("SELECT CAST(TIMESTAMP '2024-01-15 00:00:00' " +
+      "AT TIME ZONE 'America/New_York' AS STRING)") == "2024-01-15 05:00:00")
+    // Direction 2 (instant → wall): a chained AT TIME ZONE is a
+    // TIMESTAMPTZ source, parenthesized or not (left-assoc).
+    assert(one[String]("SELECT CAST((TIMESTAMP '2024-01-15 00:00:00' " +
+      "AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS STRING)") ==
+      "2024-01-14 19:00:00")
+    assert(one[String]("SELECT CAST(TIMESTAMP '2024-01-15 00:00:00' " +
+      "AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS STRING)") ==
+      "2024-01-14 19:00:00")
+    // now() is a TIMESTAMPTZ builtin in DuckDB → instant direction; the
+    // NY wall clock is 4-5 h behind the UTC instant.
+    val d = one[Long]("SELECT CAST(unix_timestamp(now()) - " +
+      "unix_timestamp(now() AT TIME ZONE 'America/New_York') AS BIGINT)")
+    assert(d == 14400L || d == 18000L, s"NY offset: $d")
+    // Summer instant: DST honored (UTC-4).
+    assert(one[String]("SELECT CAST((TIMESTAMP '2024-07-15 12:00:00' " +
+      "AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS STRING)") ==
+      "2024-07-15 08:00:00")
+    // Non-literal zone declines LOUDLY with the guidance hint.
+    val ex = intercept[Exception](spark.sql(
+      "SELECT TIMESTAMP '2024-01-15 00:00:00' AT TIME ZONE concat('U','TC')"))
+    assert(ex.getMessage.contains("to_utc_timestamp"), s"got: ${ex.getMessage}")
+    // A string LITERAL containing the words is untouched.
+    assert(one[String]("SELECT 'x AT TIME ZONE y'") == "x AT TIME ZONE y")
   }
 
   test("round-15 advice fixes: temp+ASOF composition, no-space INSERT, " +
