@@ -2150,6 +2150,31 @@ object AnalyticsQueries {
          FROM graft_q131_events WHERE event_id < 30 ORDER BY event_id""")
   }
 
+  // UNION-distinct recursive CTE (round 16): the cyclic-closure form —
+  // doubling mod 97 revisits nodes forever, so UNION ALL recursion
+  // would never terminate and Spark natively REJECTS the distinct form
+  // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE). The engine rewrites the
+  // verbatim statement onto fixpoint() (RecursiveUnionRewrite →
+  // Fixpoint.iterate's semi-naive set closure); the DuckDB oracle runs
+  // the identical statement natively. Seeded from the nation table so
+  // the lane exercises real inputs.
+  declare("q132_recursive_union",
+    """WITH RECURSIVE reach AS (
+         SELECT CAST(MIN(n_nationkey) + 1 AS BIGINT) AS node FROM nation
+         UNION
+         SELECT (j.node * m.f) % 97 AS node
+         FROM reach j, (SELECT 2 AS f UNION ALL SELECT 3 AS f) m)
+       SELECT node FROM reach ORDER BY node""") { (spark, sfDir) =>
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """WITH RECURSIVE reach AS (
+           SELECT CAST(MIN(n_nationkey) + 1 AS BIGINT) AS node FROM nation
+           UNION
+           SELECT (j.node * m.f) % 97 AS node
+           FROM reach j, (SELECT 2 AS f UNION ALL SELECT 3 AS f) m)
+         SELECT node FROM reach ORDER BY node""")
+  }
+
   // Temporal generate_series (round 15): DATE/TIMESTAMP bounds with an
   // INTERVAL step — DuckDB returns TIMESTAMPs even for DATE bounds
   // (1.0-pinned); the splice is Spark's codegen'd sequence()+explode.

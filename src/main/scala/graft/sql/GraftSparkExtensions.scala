@@ -1247,9 +1247,12 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "allowMissingColumns = true).")
               case recursiveRe() =>
                 Some("Spark 4.1 hosts standard UNION ALL recursive CTEs " +
-                  "natively, and the common linear `WITH RECURSIVE r USING " +
-                  "KEY (...)` form is rewritten to run automatically " +
-                  "(fixpoint_keyed) — this statement matched neither. For " +
+                  "natively, single-CTE UNION-distinct recursion " +
+                  "(`WITH RECURSIVE r AS (seed UNION step) SELECT ...`) " +
+                  "is rewritten to run automatically (fixpoint), and so " +
+                  "is the common linear `WITH RECURSIVE r USING " +
+                  "KEY (...)` form " +
+                  "(fixpoint_keyed) — this statement matched none. For " +
                   "general fixpoints use the table functions directly: " +
                   "SELECT ... FROM fixpoint('seed_view', " +
                   "'SELECT ... FROM __frontier ...'[, max_rounds[, buckets]]) " +
@@ -1622,6 +1625,28 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       }
     case positionalRe() if positionalShaped(sqlText) =>
       preRewrite(positionalPreRewrite(sqlText))
+    // UNION-distinct recursive CTEs: the statement PARSES natively and
+    // dies in analysis (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so it
+    // must be claimed pre-delegation; the rewrite splices fixpoint(),
+    // which computes exactly the set-semantics closure. Native UNION
+    // ALL recursion and non-recursive bodies never match the shape.
+    case _ if RecursiveUnionRewrite.isShaped(sqlText) =>
+      RecursiveUnionRewrite.rewrite(sqlText) match {
+        case Some(r) => preRewrite(r)
+        case None => throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            ("This UNION-distinct WITH RECURSIVE shape could not be " +
+              "rewritten (the single-CTE form `WITH RECURSIVE r [(cols)] " +
+              "AS (seed UNION step) SELECT ...` runs automatically via " +
+              "the fixpoint() table function) — check for multiple " +
+              "CTEs in one WITH, a recursive reference in the seed " +
+              "branch, or UNION ALL mixed after the recursive UNION. " +
+              "Use the table function directly: SELECT * FROM " +
+              "fixpoint('<seed view or SQL>', '<step SQL over " +
+              "__frontier>'[, max_rounds]); Spark runs UNION ALL " +
+              "recursion natively.")))
+      }
     // DuckDB temp-table DML (CREATE TEMP TABLE [AS], INSERT INTO a
     // registered temp table or INSERT ... RETURNING, DROP TABLE of a
     // temp table) — materialized-snapshot semantics via TempTables.
@@ -2579,10 +2604,22 @@ object GraftSparkExtensions {
       val viewName =
         s"__frontier_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val boundStep = stepSql.replace("__frontier", viewName)
+      val seedDf = tableOrSql(spark, asString(v(0)))
+      val seedCols = seedDf.columns.toIndexedSeq
       val out =
         try graft.operators.Fixpoint.iterate(
-          spark.table(asString(v(0))),
-          frontier => { frontier.createOrReplaceTempView(viewName); spark.sql(boundStep) },
+          seedDf,
+          frontier => {
+            frontier.createOrReplaceTempView(viewName)
+            val stepOut = spark.sql(boundStep)
+            // POSITIONAL column matching, the recursive-CTE convention
+            // (a step `SELECT e.dst FROM __frontier ...` needn't alias
+            // its output back to the seed's names).
+            require(stepOut.columns.length == seedCols.length,
+              s"fixpoint step returned ${stepOut.columns.length} columns; " +
+                s"the seed has ${seedCols.length} (${seedCols.mkString(", ")})")
+            stepOut.toDF(seedCols: _*)
+          },
           maxRounds, buckets)
         finally { spark.catalog.dropTempView(viewName); () }
       out.queryExecution.analyzed

@@ -2176,6 +2176,44 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       "x SIMILAR TO y")
   }
 
+  test("UNION-distinct WITH RECURSIVE executes via fixpoint; edges decline") {
+    import spark.implicits._
+    // A cyclic graph: UNION ALL recursion would never terminate here.
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (9L, 9L))
+      .toDF("src", "dst").createOrReplaceTempView("ru_edges")
+    val got = spark.sql(
+      """WITH RECURSIVE reach AS (
+           SELECT CAST(1 AS BIGINT) AS node
+           UNION
+           SELECT e.dst FROM reach j JOIN ru_edges e ON e.src = j.node)
+         SELECT node FROM reach ORDER BY node""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L))
+    // CTE column-alias list carries through; multi-branch seeds stay in
+    // the seed; the final query can aggregate over the closure.
+    val n = spark.sql(
+      """WITH RECURSIVE r (x) AS (
+           SELECT 1 UNION SELECT 2
+           UNION
+           SELECT x * 2 FROM r WHERE x < 20)
+         SELECT CAST(COUNT(*) AS BIGINT) FROM r""").head().getLong(0)
+    // {1,2} ∪ doubling under 20: 1 2 4 8 16 32 — set semantics
+    assert(n == 6L)
+    // Native UNION ALL recursion is untouched by the claim.
+    assert(spark.sql(
+      """WITH RECURSIVE c AS (SELECT 1 AS i UNION ALL SELECT i+1 FROM c WHERE i < 3)
+         SELECT CAST(SUM(i) AS BIGINT) FROM c""").head().getLong(0) == 6L)
+    // Multiple CTEs in one WITH: declines to the guidance hint.
+    val ex = intercept[Exception](spark.sql(
+      """WITH RECURSIVE r AS (SELECT 1 AS x UNION SELECT x+1 FROM r WHERE x < 3),
+            o AS (SELECT 9 AS y)
+         SELECT * FROM r JOIN o ON true"""))
+    assert(ex.getMessage.contains("fixpoint"), s"got: ${ex.getMessage}")
+    // A string literal containing the words is data, not the construct.
+    assert(spark.sql("SELECT 'WITH RECURSIVE r UNION x'").head().getString(0)
+      == "WITH RECURSIVE r UNION x")
+  }
+
   test("AT TIME ZONE executes both DuckDB directions; edge shapes decline") {
     def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
     // Direction 1 (wall → instant): interpret the naive literal as NY
