@@ -2150,6 +2150,33 @@ object AnalyticsQueries {
          FROM graft_q131_events WHERE event_id < 30 ORDER BY event_id""")
   }
 
+  // Macro bodies containing subqueries (round 16): parameter
+  // substitution descends into the nested plans (MacroRewrite.
+  // deepTransform) — faithful for every macro DuckDB accepts, since its
+  // binder rejects parameter/column name collisions at creation. The
+  // oracle runs the identical DDL+call script natively (multi-statement,
+  // last result wins); counts stay exact integers.
+  declare("q133_macro_subquery",
+    """CREATE OR REPLACE TEMP MACRO orders_above(thr) AS
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_totalprice > thr);
+       CREATE OR REPLACE TEMP MACRO rich(k) AS
+         k IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000);
+       SELECT orders_above(150000) AS n_above, orders_above(250000) AS n_high,
+         CAST((SELECT COUNT(*) FROM customer WHERE rich(c_custkey)) AS BIGINT) AS n_rich""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """CREATE OR REPLACE TEMP MACRO orders_above(thr) AS
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_totalprice > thr)""")
+    spark.sql(
+      """CREATE OR REPLACE TEMP MACRO rich(k) AS
+           k IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""")
+    spark.sql(
+      """SELECT orders_above(150000) AS n_above, orders_above(250000) AS n_high,
+           CAST((SELECT COUNT(*) FROM customer WHERE rich(c_custkey)) AS BIGINT) AS n_rich""")
+  }
+
   // UNION-distinct recursive CTE (round 16): the cyclic-closure form —
   // doubling mod 97 revisits nodes forever, so UNION ALL recursion
   // would never terminate and Spark natively REJECTS the distinct form

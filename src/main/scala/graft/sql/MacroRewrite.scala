@@ -4,8 +4,9 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{Exists, Expression, ExpressionInfo, ListQuery, NamedExpression, PlanExpression, ScalarSubquery}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Tier-1 landing for DuckDB's `CREATE MACRO` (the reference host's
   * capability — DuckDB ≥1.3, MainDistributionPipeline.yml:29): the first
@@ -58,6 +59,41 @@ object MacroRewrite {
 
   private val headRe =
     """(?is)\A\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+([A-Za-z_]\w*)\s*\(""".r
+
+  /** transformUp that also descends into nested SUBQUERY PLANS (scalar/
+    * IN/EXISTS bodies): Expression.transformUp stops at a PlanExpression
+    * node without entering its plan, so parameter substitution inside a
+    * macro's subquery needs the explicit recursion —
+    * transformAllExpressionsWithSubqueries over the inner plan (which
+    * itself recurses into deeper subqueries), wrapped back with
+    * withNewPlan.
+    */
+  private def deepTransform(e: Expression)(
+      f: PartialFunction[Expression, Expression]): Expression =
+    e.transformUp { case x =>
+      // Descend FIRST (a PlanExpression may itself match f — e.g. the
+      // exprId refresh — and its inner plan still needs the rule), then
+      // apply f to the node.
+      val descended = x match {
+        case pe: PlanExpression[_] if pe.plan.isInstanceOf[LogicalPlan] =>
+          val inner = pe.plan.asInstanceOf[LogicalPlan]
+            .transformAllExpressionsWithSubqueries(f)
+          pe.asInstanceOf[PlanExpression[LogicalPlan]].withNewPlan(inner)
+        case other => other
+      }
+      f.applyOrElse(descended, identity[Expression])
+    }
+
+  /** Expression.exists extended through nested subquery plans. */
+  private def deepExists(e: Expression)(p: Expression => Boolean): Boolean =
+    e.exists(x => p(x) || (x match {
+      case pe: PlanExpression[_] => pe.plan match {
+        case lp: LogicalPlan =>
+          lp.exists(_.expressions.exists(deepExists(_)(p)))
+        case _ => false
+      }
+      case _ => false
+    }))
 
   /** Session-scoped (name → ordered (param, defaultText)) signatures of
     * registered macros — what [[namedCallRewrite]] needs to lower
@@ -268,29 +304,31 @@ object MacroRewrite {
         pn.toLowerCase -> e
     }.toMap
     val paramNamesLower = params.map(_.name.toLowerCase).toSet
-    if (defaultTemplates.values.exists(_.exists {
+    if (defaultTemplates.values.exists(deepExists(_) {
       case a: UnresolvedAttribute =>
         a.nameParts.size == 1 && paramNamesLower(a.nameParts.head.toLowerCase)
       case _ => false
     })) return None
 
-    // A body (or default) carrying a subquery (scalar/IN/EXISTS — any
-    // PlanExpression) declines to the hint: parameter substitution via
-    // transformUp walks the EXPRESSION tree only, not the nested plan, so
-    // a parameter named inside the subquery would silently bind to a
-    // same-named call-site column instead — wrong results, no error.
-    // Declining is the only faithful option until substitution descends
-    // into plans.
+    // Bodies carrying subqueries (scalar/IN/EXISTS) EXECUTE since round
+    // 16: parameter substitution descends into the nested plans via
+    // [[deepTransform]]. This is faithful for every macro DuckDB itself
+    // accepts — DuckDB's binder REJECTS at creation any macro whose
+    // parameter name collides with a column reachable inside the body
+    // ("Conflicting column names", pinned on 1.0), so in a valid macro
+    // every single-part identifier matching a parameter IS the
+    // parameter, at any plan depth. (Colliding macros DuckDB refuses
+    // would run here with parameter-wins binding — a documented
+    // widening, never a silent divergence on shared inputs.)
     val allTemplates = template +: defaultTemplates.values.toSeq
-    if (allTemplates.exists(_.exists(_.isInstanceOf[PlanExpression[_]])))
-      return None
 
     // A self-referential body or default (direct recursion) would
     // register fine and then die at every call site with the analyzer's
     // opaque max-iterations failure as the macro expands into itself
     // forever. DuckDB's binder rejects it at creation ("recursive macros
     // are not supported"); raise the same clean error at the same point.
-    if (allTemplates.exists(_.exists {
+    // deepExists: the reference may hide inside a subquery plan.
+    if (allTemplates.exists(deepExists(_) {
       case f: UnresolvedFunction =>
         f.nameParts.size == 1 && f.nameParts.head.equalsIgnoreCase(name)
       case _ => false
@@ -325,10 +363,19 @@ object MacroRewrite {
       // the `b := x` named CALL syntax is not Spark SQL and declines at
       // the call site's own parse).
       val full = args ++ lowered.drop(args.size).map(defaultTemplates)
-      template.transformUp {
+      val substituted = deepTransform(template) {
         case a: UnresolvedAttribute if a.nameParts.size == 1 &&
             lowered.contains(a.nameParts.head.toLowerCase) =>
           full(lowered.indexOf(a.nameParts.head.toLowerCase))
+      }
+      // Every call site must carry FRESH subquery exprIds: two
+      // expansions of one template otherwise share an id and the
+      // analyzer's subquery machinery conflates them — the second
+      // orders_above(x) silently returns the first's result.
+      deepTransform(substituted) {
+        case s: ScalarSubquery => s.copy(exprId = NamedExpression.newExprId)
+        case e: Exists => e.copy(exprId = NamedExpression.newExprId)
+        case l: ListQuery => l.copy(exprId = NamedExpression.newExprId)
       }
     }
     registry.registerFunction(fid,

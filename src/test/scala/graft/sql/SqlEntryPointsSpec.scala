@@ -738,18 +738,18 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.FunctionIdentifier("columns"))
   }
 
-  test("macro body with a subquery declines to the hint (no silent param capture)") {
-    // transformUp substitution does not descend into PlanExpression plans,
-    // so a parameter named inside the subquery would bind to a same-named
-    // call-site column instead — wrong results. Such bodies must decline.
-    val ex = intercept[Exception](spark.sql(
-      "CREATE MACRO sub_macro(a) AS a + (SELECT max(n_nationkey) FROM nation)"))
-    assert(ex.getMessage.contains("TEMPORARY FUNCTION"),
-      s"expected the SQL-UDF hint, got: ${ex.getMessage}")
-    // Nothing was registered despite the rewrite having parsed the body.
-    val ex2 = intercept[Exception](spark.sql("SELECT sub_macro(1)").collect())
-    assert(ex2.getMessage.toLowerCase.contains("unresolved_routine") ||
-      ex2.getMessage.contains("sub_macro"), s"got: ${ex2.getMessage}")
+  test("macro body with a subquery executes; repeated calls stay independent") {
+    import spark.implicits._
+    // Round 16: substitution descends into PlanExpression plans
+    // (deepTransform), so subquery bodies register and run.
+    Seq(1, 5, 9).toDF("n").createOrReplaceTempView("subm_t")
+    spark.sql(
+      "CREATE OR REPLACE TEMP MACRO sub_macro(a) AS a + (SELECT max(n) FROM subm_t WHERE n < a)")
+    // TWO calls in one statement must not share subquery exprIds — the
+    // regression the q133 gate caught: the second call silently
+    // returning the first's subquery result.
+    val r = spark.sql("SELECT sub_macro(6) AS x, sub_macro(100) AS y").head()
+    assert(r.getInt(0) == 11 && r.getInt(1) == 109, s"got: $r")
   }
 
   test("self-referential macro raises a clean recursive-macro error at creation") {
@@ -2174,6 +2174,38 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // A string LITERAL containing the words is untouched.
     assert(spark.sql("SELECT 'x SIMILAR TO y' AS v").head().getString(0) ==
       "x SIMILAR TO y")
+  }
+
+  test("macro bodies containing subqueries execute with deep substitution") {
+    import spark.implicits._
+    Seq((1, 10), (2, 20), (3, 30)).toDF("x", "y")
+      .createOrReplaceTempView("mq_t")
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    // Parameter substituted INSIDE the subquery plan (the round-16
+    // capability — pinned against DuckDB 1.0: m(2) = 2).
+    spark.sql("CREATE OR REPLACE TEMP MACRO mq_max(v) AS " +
+      "(SELECT max(x) FROM mq_t WHERE x <= v)")
+    assert(one[Int]("SELECT mq_max(2)") == 2)
+    // EXISTS and IN forms (DuckDB-pinned: true/false, true/false).
+    spark.sql("CREATE OR REPLACE TEMP MACRO mq_has(v) AS " +
+      "EXISTS(SELECT 1 FROM mq_t WHERE x = v)")
+    assert(one[Boolean]("SELECT mq_has(2)") && !one[Boolean]("SELECT mq_has(9)"))
+    spark.sql("CREATE OR REPLACE TEMP MACRO mq_in(v) AS " +
+      "(v IN (SELECT x FROM mq_t))")
+    assert(one[Boolean]("SELECT mq_in(3)") && !one[Boolean]("SELECT mq_in(9)"))
+    // Trailing default whose value lands inside the subquery.
+    spark.sql("CREATE OR REPLACE TEMP MACRO mq_sum(lo, hi := 100) AS " +
+      "(SELECT CAST(sum(y) AS BIGINT) FROM mq_t WHERE x BETWEEN lo AND hi)")
+    assert(one[Long]("SELECT mq_sum(2)") == 50L)
+    assert(one[Long]("SELECT mq_sum(1, 2)") == 30L)
+    // Macro-in-WHERE over another relation: substitution yields a plain
+    // IN-subquery per DuckDB's expansion.
+    Seq(1, 9).toDF("k").createOrReplaceTempView("mq_s")
+    assert(one[Long]("SELECT CAST(COUNT(*) AS BIGINT) FROM mq_s WHERE mq_in(k)") == 1L)
+    // Self-reference hiding inside a subquery still rejects at creation.
+    val ex = intercept[Exception](spark.sql(
+      "CREATE TEMP MACRO mq_rec(v) AS (SELECT max(x) FROM mq_t WHERE x <= mq_rec(v))"))
+    assert(ex.getMessage.contains("recursive"), s"got: ${ex.getMessage}")
   }
 
   test("UNION-distinct WITH RECURSIVE executes via fixpoint; edges decline") {
