@@ -3121,14 +3121,42 @@ object GraftSparkExtensions {
     "delimiter" -> "sep", "quote" -> "quote", "escape" -> "escape",
     "nullstr" -> "nullValue", "dateformat" -> "dateFormat",
     "timestampformat" -> "timestampFormat", "comment" -> "comment")
+  /** DuckDB `ignore_errors = true` → Spark `mode = DROPMALFORMED`, the
+    * semantics-changing reader option that must NOT be silently ignored
+    * (both skip unparseable records instead of failing). Documented
+    * divergence, warned once per session: DuckDB skips at CAST
+    * granularity during its own parse, Spark drops whole malformed
+    * records under the inferred schema — row sets can differ on inputs
+    * where only some casts fail.
+    */
+  private def ignoreErrorsMode(name: String,
+      reader: org.apache.spark.sql.DataFrameReader, o: Map[String, Any])
+      : (org.apache.spark.sql.DataFrameReader, Map[String, Any]) =
+    o.get("ignore_errors") match {
+      case Some(x) =>
+        val on = x match {
+          case b: java.lang.Boolean => b.booleanValue()
+          case other => asString(other).equalsIgnoreCase("true")
+        }
+        if (on && warnedMaintenance.add(s"$name.ignore_errors"))
+          System.err.println(s"graft: $name ignore_errors maps to Spark " +
+            "mode=DROPMALFORMED — malformed RECORDS are dropped whole " +
+            "(DuckDB skips at cast granularity; row sets can differ on " +
+            "partially-malformed rows)")
+        (if (on) reader.option("mode", "DROPMALFORMED") else reader,
+          o - "ignore_errors")
+      case None => (reader, o)
+    }
+
   private def csvReader(spark: org.apache.spark.sql.SparkSession,
       v: IndexedSeq[Any], o: Map[String, Any]): org.apache.spark.sql.DataFrame = {
-    val base = spark.read
+    val base0 = spark.read
       .option("header", (if (v.size >= 2) asBool(v(1))
         else o.get("header").map(asBool).getOrElse(true)).toString)
       .option("sep", if (v.size >= 3) asString(v(2)) else ",")
       .option("inferSchema", "true")
-    applyReaderOpts("read_csv", base, o - "header", csvOptMap - "header",
+    val (base, opts) = ignoreErrorsMode("read_csv", base0, o)
+    applyReaderOpts("read_csv", base, opts - "header", csvOptMap - "header",
       Set("auto_detect", "sample_size", "compression", "parallel",
         "all_varchar")).csv(asString(v(0)))
   }
@@ -3137,11 +3165,12 @@ object GraftSparkExtensions {
   private def jsonReader(spark: org.apache.spark.sql.SparkSession,
       v: IndexedSeq[Any], o: Map[String, Any]): org.apache.spark.sql.DataFrame = {
     // DuckDB format='array' = one JSON array per file → Spark multiLine.
-    val base = o.get("format").map(asString(_).toLowerCase) match {
+    val base0 = o.get("format").map(asString(_).toLowerCase) match {
       case Some("array") => spark.read.option("multiLine", "true")
       case _ => spark.read
     }
-    applyReaderOpts("read_json", base, o - "format",
+    val (base, opts) = ignoreErrorsMode("read_json", base0, o)
+    applyReaderOpts("read_json", base, opts - "format",
       Map("dateformat" -> "dateFormat", "timestampformat" -> "timestampFormat"),
       Set("auto_detect", "sample_size", "compression", "records",
         "maximum_object_size")).json(asString(v(0)))

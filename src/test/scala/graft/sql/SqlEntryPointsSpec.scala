@@ -1976,9 +1976,21 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // Detection knobs Spark's inference replaces are accepted-ignored.
     assert(spark.sql(s"SELECT COUNT(*) FROM read_csv('$dir/t.csv', " +
       "auto_detect = true, delim = '|')").head().getLong(0) == 2L)
-    // A semantics-changing option declines loudly, never swallowed.
+    // ignore_errors executes as mode=DROPMALFORMED (round 16): the
+    // wrong-arity row is dropped instead of failing the read; the
+    // documented divergence (record- vs cast-granular skipping) is
+    // warned once on stderr.
+    java.nio.file.Files.write(dir.resolve("bad.csv"),
+      "a|b\n1|x\n2|y|EXTRA|COLS\n3|z\n".getBytes)
+    val ie = spark.sql(s"SELECT * FROM read_csv('$dir/bad.csv', " +
+      "delim = '|', ignore_errors = true) ORDER BY a").collect()
+    assert(ie.map(_.getInt(0)).toSeq == Seq(1, 3), s"got: ${ie.mkString(",")}")
+    // ignore_errors = false is a no-op spelling of the default.
+    assert(spark.sql(s"SELECT COUNT(*) FROM read_csv('$dir/t.csv', " +
+      "delim = '|', ignore_errors = false)").head().getLong(0) == 2L)
+    // Other semantics-changing options still decline loudly.
     val ex = intercept[Exception](spark.sql(
-      s"SELECT * FROM read_csv('$dir/t.csv', ignore_errors = true)"))
+      s"SELECT * FROM read_csv('$dir/t.csv', new_line = '\\n')"))
     assert(ex.getMessage.contains("unsupported option"), s"got: ${ex.getMessage}")
     // JSON format='array' → multiLine; parquet union_by_name → mergeSchema.
     assert(spark.sql(s"SELECT COUNT(*) FROM read_json('$dir/arr.json', " +
