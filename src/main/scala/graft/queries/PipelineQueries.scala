@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Engine
-import graft.operators.{Behavior, Bpe, Dedup, Multimodal, PageRank, QualityClassifier, RangeJoin, Scratch, Similarity, TextAnalysis, Triangles}
+import graft.operators.{Behavior, Bpe, Dedup, Multimodal, PageRank, QualityClassifier, RangeJoin, Scratch, Similarity, SuffixSpans, TextAnalysis, Triangles}
 import graft.streaming.EventsStreaming
 
 /** Declared queries for the training-data-pipeline operators (the
@@ -2839,6 +2839,56 @@ object PipelineQueries {
        FROM toks t JOIN agg a USING (doc_id) ORDER BY doc_id""") { (spark, sfDir) =>
     TextAnalysis.spanDupStats(plantedCorpus(t(spark, sfDir, "documents")))
       .orderBy("doc_id")
+  }
+
+  // Exact-substring span dedup by suffix-key SORT (round 16; Lee et al.
+  // 2022's ExactSubstr shape — sort length-bounded suffix keys, mark
+  // neighbor-equal runs spanning >= 2 documents): maximal duplicated
+  // spans of ANY length >= 15 tokens as (doc_id, start, end, len) rows.
+  // The plant: doc 50000+i wraps a 31-token excerpt of doc i (tokens
+  // 10..40) in two doc-unique pad tokens, so each pair shares one
+  // 31-token span with interior boundaries — reported as ONE maximal
+  // run, not seventeen 15-grams. The oracle recomputes the identical
+  // position set relationally (15-gram inverted index + gaps-and-islands
+  // runs — output-equivalent to the suffix sort by construction); the
+  // engine runs the ONE-shuffle sorted-neighbor plan the paper uses.
+  declare("text_span_suffix",
+    """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+       tok0 AS (SELECT doc_id, string_split(text, ' ') ws FROM d0),
+       chim AS (SELECT doc_id + 50000 AS doc_id,
+                  'cpre' || doc_id || ' ' ||
+                  array_to_string(list_slice(ws, 10, 40), ' ') ||
+                  ' cpost' || doc_id AS text
+                FROM tok0 WHERE len(ws) >= 60),
+       corpus AS (SELECT * FROM d0 UNION ALL SELECT * FROM chim),
+       toks AS (SELECT doc_id, string_split(text, ' ') ws FROM corpus),
+       g AS (SELECT doc_id, s, array_to_string(list_slice(ws, s, s + 14), ' ') AS k
+             FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, greatest(len(ws) - 14, 0))) AS s
+                   FROM toks) u),
+       hot AS (SELECT k FROM (SELECT DISTINCT doc_id, k FROM g) t
+               GROUP BY k HAVING COUNT(*) >= 2),
+       pos AS (SELECT DISTINCT doc_id, p FROM
+               (SELECT doc_id, unnest(generate_series(s, s + 14)) AS p
+                FROM g WHERE k IN (SELECT k FROM hot)) u),
+       isl AS (SELECT doc_id, p,
+                 p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+               FROM pos)
+       SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+         CAST(MAX(p) AS BIGINT) AS span_end,
+         CAST(MAX(p) - MIN(p) + 1 AS BIGINT) AS span_len
+       FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""") {
+    (spark, sfDir) =>
+    val d0 = t(spark, sfDir, "documents").filter(col("doc_id") < 40)
+      .select("doc_id", "text")
+    val tok0 = d0.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val chim = tok0.filter(size(col("ws")) >= 60)
+      .select((col("doc_id") + 50000).as("doc_id"),
+        concat(concat(lit("cpre"), col("doc_id")), lit(" "),
+          concat_ws(" ", slice(col("ws"), 10, 31)), lit(" "),
+          concat(lit("cpost"), col("doc_id"))).as("text"))
+    SuffixSpans.dupSpans(d0.union(chim), minLen = 15)
+      .orderBy("doc_id", "span_start")
   }
 
   // Span-level SCRUB over a corpus with PARTIAL overlap: chimera docs

@@ -1072,6 +1072,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc.sum >= 114, s"classifier should separate planted classes: ${acc.sum}/120")
   }
 
+  test("SuffixSpans: maximal spans with exact boundaries; equals the index form") {
+    import spark.implicits._
+    // docB embeds tokens 5..25 of docA (21 tokens) between unique pads;
+    // docC is unrelated. ONE maximal span per doc, interior boundaries.
+    val aToks = (1 to 40).map(i => s"a$i")
+    val corpus = Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, ("padL " + aToks.slice(4, 25).mkString(" ") + " padR")),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = SuffixSpans.dupSpans(corpus, minLen = 15)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 5L, 25L, 21L), (2L, 2L, 22L, 21L)))
+    // A span shorter than the threshold is invisible.
+    val none = SuffixSpans.dupSpans(corpus, minLen = 22).count()
+    assert(none == 0L)
+    // Output-equivalence with the inverted-index formulation on real
+    // data: per-doc (covered tokens, run count) must match spanDupStats
+    // at the same n — the two plans compute one semantics.
+    val viaSort = SuffixSpans.dupSpans(docs, minLen = 15)
+      .groupBy("doc_id")
+      .agg(sum("span_len").as("dup_tokens"), count(lit(1)).as("n_spans"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaIndex = TextAnalysis.spanDupStats(docs, n = 15)
+      .select("doc_id", "dup_tokens", "n_spans")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSort == viaIndex)
+  }
+
   test("scoreLexicon: exact integer z_milli and keep = (z >= 0)") {
     import spark.implicits._
     // presence indicators over DISTINCT-irrelevant tokens: repeated 'buy'
