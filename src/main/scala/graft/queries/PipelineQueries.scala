@@ -381,6 +381,62 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  // Streaming incremental dedup (round 16): the crawl-pipeline production
+  // shape under the REAL streaming engine — the increment (docs < 200)
+  // lands as four single-file micro-batches (maxFilesPerTrigger=1,
+  // Trigger.AvailableNow), each screened against a STANDING archive index
+  // seeded from docs >= 200 and upserted per batch via foreachBatch
+  // (StreamingDedup). Semantics are greedy-vs-everything-SEEN (dropped
+  // docs index too), which makes the kept set independent of batch
+  // boundaries (1-batch == 4-batch, spec-pinned) and gives the oracle a
+  // CLOSED non-recursive form: keep d iff no archive doc and no
+  // smaller-id increment doc shares its hash or reaches Jaccard 0.8.
+  declare("dedup_streaming_near",
+    """WITH known AS (SELECT doc_id, text FROM documents WHERE doc_id >= 200),
+       newd AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       kh AS (SELECT DISTINCT md5(text) h FROM known),
+       nh AS (SELECT doc_id, md5(text) h FROM newd),
+       exdrop AS (SELECT doc_id FROM nh WHERE h IN (SELECT h FROM kh)
+                  UNION
+                  SELECT b.doc_id FROM nh a JOIN nh b
+                  ON a.h = b.h AND a.doc_id < b.doc_id),
+       ta AS (SELECT doc_id, string_split(text, ' ') ws FROM newd),
+       sa0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh FROM ta),
+       sha AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sa0),
+       tb AS (SELECT doc_id, string_split(text, ' ') ws FROM known),
+       sb0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh FROM tb),
+       shb AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sb0),
+       sza AS (SELECT doc_id, COUNT(*) sz FROM sha GROUP BY 1),
+       szb AS (SELECT doc_id, COUNT(*) sz FROM shb GROUP BY 1),
+       crossi AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) i
+                  FROM sha x JOIN shb y ON x.shingle = y.shingle GROUP BY 1, 2),
+       selfi AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) i
+                 FROM sha x JOIN sha y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       neardrop AS (
+         SELECT a AS doc_id FROM crossi
+         JOIN sza ON a = sza.doc_id JOIN szb ON b = szb.doc_id
+         WHERE CAST(i AS DOUBLE)/(sza.sz + szb.sz - i) >= 0.8
+         UNION
+         SELECT b AS doc_id FROM selfi
+         JOIN sza s1 ON a = s1.doc_id JOIN sza s2 ON b = s2.doc_id
+         WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.8)
+       SELECT doc_id FROM newd
+       WHERE doc_id NOT IN (SELECT doc_id FROM exdrop)
+         AND doc_id NOT IN (SELECT doc_id FROM neardrop)
+       ORDER BY doc_id""") { (spark, sfDir) =>
+    val d = t(spark, sfDir, "documents")
+    val inc = d.filter(col("doc_id") < 200).select("doc_id", "text")
+    val known = d.filter(col("doc_id") >= 200).select("doc_id", "text")
+    val (staging, schema) = graft.streaming.StreamingDedup.stageBatches(
+      inc, 4, i => (i * 50L, (i + 1) * 50L))
+    graft.streaming.StreamingDedup
+      .runFileStream(spark, staging, schema, known, threshold = 0.8)
+      .orderBy("doc_id")
+  }
+
   declare("dedup_incremental_near_idx",
     // The same operator driven through the precomputed-ArchiveIndex path
     // AND the production crawl shape: the ARCHIVE is the bulk of the

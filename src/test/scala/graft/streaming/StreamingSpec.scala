@@ -245,6 +245,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed == source)
   }
 
+  test("streaming dedup: kept set is batch-boundary invariant and drops planted dups") {
+    import spark.implicits._
+    // Archive doc 1000 + increment: 10 is an exact copy of archive text,
+    // 11/12 are near-copies of each other (greedy keeps 11), 13 unique.
+    val body = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 60).map(i => s"alt$i").mkString(" ")
+    val archive = Seq((1000L, body)).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, body),                                  // exact dup of archive
+      (11L, other),                                 // kept (first of pair)
+      (12L, other + " tail"),                       // near-dup of 11
+      (13L, (1 to 60).map(i => s"uniq$i").mkString(" "))) // kept
+      .toDF("doc_id", "text")
+    def run(nBatches: Int, bound: Int => (Long, Long)): Set[Long] = {
+      val (staging, schema) =
+        graft.streaming.StreamingDedup.stageBatches(inc, nBatches, bound)
+      graft.streaming.StreamingDedup
+        .runFileStream(spark, staging, schema, archive, threshold = 0.8)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val fourBatches = run(4, i => (10L + i, 11L + i))
+    assert(fourBatches == Set(11L, 13L), s"got $fourBatches")
+    // Seen-based indexing makes the result independent of batching.
+    val oneBatch = run(1, _ => (0L, 1000L))
+    assert(oneBatch == fourBatches)
+  }
+
   test("stream-static enrichment broadcasts the dimension in every micro-batch") {
     val q = EventsStreaming.enrichedAgg(spark, SparkTestSession.sfDir)
       .writeStream.format("memory").queryName("enriched_plan_probe")
