@@ -2499,6 +2499,29 @@ object AnalyticsQueries {
                 nextval('graft_q123') AS c, currval('graft_q123') AS d""")
   }
 
+  // SEQUENCE bounds + CYCLE (round 16): the remaining sequence options
+  // execute — MINVALUE/MAXVALUE with wraparound (ascending wraps to
+  // MINVALUE, not START) and a descending bounded sequence — identical
+  // DDL+call script on both engines, call order deterministic.
+  declare("q134_sequence_cycle",
+    """CREATE OR REPLACE SEQUENCE graft_q134 START 8 MAXVALUE 10 CYCLE;
+       CREATE OR REPLACE SEQUENCE graft_q134d INCREMENT -2 MINVALUE -5 MAXVALUE 4 CYCLE;
+       SELECT nextval('graft_q134') AS a, nextval('graft_q134') AS b,
+              nextval('graft_q134') AS c, nextval('graft_q134') AS d,
+              nextval('graft_q134d') AS e, nextval('graft_q134d') AS f,
+              nextval('graft_q134d') AS g, nextval('graft_q134d') AS h,
+              nextval('graft_q134d') AS i, nextval('graft_q134d') AS j""") {
+    (spark, sfDir) =>
+    spark.sql("CREATE OR REPLACE SEQUENCE graft_q134 START 8 MAXVALUE 10 CYCLE").collect()
+    spark.sql("CREATE OR REPLACE SEQUENCE graft_q134d INCREMENT -2 MINVALUE -5 MAXVALUE 4 CYCLE").collect()
+    spark.sql(
+      """SELECT nextval('graft_q134') AS a, nextval('graft_q134') AS b,
+                nextval('graft_q134') AS c, nextval('graft_q134') AS d,
+                nextval('graft_q134d') AS e, nextval('graft_q134d') AS f,
+                nextval('graft_q134d') AS g, nextval('graft_q134d') AS h,
+                nextval('graft_q134d') AS i, nextval('graft_q134d') AS j""")
+  }
+
   // COMMENT ON + system-table introspection (round 15): table and
   // column comments execute against the temp-table layer (Comments
   // registry; the TABLE form parses natively in Spark and is claimed

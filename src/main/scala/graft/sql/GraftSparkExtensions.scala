@@ -929,9 +929,11 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val checkpointRe =
     "(?is)\\A\\s*(?:FORCE\\s+)?CHECKPOINT(?:\\s+[A-Za-z_]\\w*)?\\s*;?\\s*\\z".r
   // CREATE/DROP SEQUENCE (no sequence grammar in Spark — parse-failure
-  // only). START/INCREMENT parse here; the exotic options (MINVALUE/
-  // MAXVALUE/CYCLE) decline loudly inside the rewrite rather than
-  // half-running a bounded sequence as an unbounded one.
+  // only). The full option surface executes since round 16: START/
+  // INCREMENT plus MINVALUE/MAXVALUE bounds and [NO] CYCLE wraparound
+  // (semantics + error texts DuckDB-1.0-pinned in Sequences/
+  // SequenceSpec); NO MINVALUE/NO MAXVALUE are the explicit-default
+  // spellings. Anything else still declines loudly.
   private val createSeqRe =
     ("(?is)\\A\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?SEQUENCE\\s+" +
       "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s*(.*?)\\s*;?\\s*\\z").r
@@ -939,25 +941,38 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     "(?is)\\A\\s*DROP\\s+SEQUENCE\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s*;?\\s*\\z".r
   private val seqStartRe = "(?i)START(?:\\s+WITH)?\\s+(-?\\d+)".r
   private val seqIncRe = "(?i)INCREMENT(?:\\s+BY)?\\s+(-?\\d+)".r
+  private val seqMinRe = "(?i)(?<!NO\\s)MINVALUE\\s+(-?\\d+)".r
+  private val seqMaxRe = "(?i)(?<!NO\\s)MAXVALUE\\s+(-?\\d+)".r
+  private val seqNoMinRe = "(?i)NO\\s+MINVALUE".r
+  private val seqNoMaxRe = "(?i)NO\\s+MAXVALUE".r
+  private val seqCycleRe = "(?i)(?<!NO\\s)CYCLE".r
+  private val seqNoCycleRe = "(?i)NO\\s+CYCLE".r
   private def sequenceRewrite(sql: String): Option[String] = sql match {
     case createSeqRe(replace, ifNot, name, opts) =>
       val start = seqStartRe.findFirstMatchIn(opts).map(_.group(1).toLong)
       val inc = seqIncRe.findFirstMatchIn(opts).map(_.group(1).toLong)
-      val leftover = seqIncRe.replaceAllIn(
-        seqStartRe.replaceAllIn(opts, ""), "").trim
+      val minV = seqMinRe.findFirstMatchIn(opts).map(_.group(1).toLong)
+      val maxV = seqMaxRe.findFirstMatchIn(opts).map(_.group(1).toLong)
+      val cycle = seqNoCycleRe.findFirstIn(opts).isEmpty &&
+        seqCycleRe.findFirstIn(opts).isDefined
+      val leftover = Seq(seqIncRe, seqStartRe, seqMinRe, seqMaxRe,
+        seqNoMinRe, seqNoMaxRe, seqNoCycleRe, seqCycleRe)
+        .foldLeft(opts)((s, re) => re.replaceAllIn(s, "")).trim
       if (leftover.nonEmpty)
         throw new org.apache.spark.sql.AnalysisException(
           "USER_RAISED_EXCEPTION",
           Map("errorMessage" ->
             (s"CREATE SEQUENCE: unsupported option(s) '$leftover' — " +
-              "START [WITH] n and INCREMENT [BY] n run here; MINVALUE/" +
-              "MAXVALUE/CYCLE bounds are not implemented (a bounded " +
-              "cycle silently running unbounded would be wrong).")))
+              "START [WITH] n, INCREMENT [BY] n, MINVALUE/MAXVALUE n, " +
+              "NO MINVALUE/MAXVALUE, and [NO] CYCLE run here.")))
+      def enc(o: Option[Long]) = o.map(_.toString).getOrElse("")
       Some(s"SELECT * FROM seq_ctl('create', '$name', " +
-        s"${start.getOrElse(1L)}, ${inc.getOrElse(1L)}, " +
+        s"'${enc(start)}', '${inc.getOrElse(1L)}', " +
+        s"'${enc(minV)}', '${enc(maxV)}', $cycle, " +
         s"${replace != null}, ${ifNot != null})")
     case dropSeqRe(ifExists, name) =>
-      Some(s"SELECT * FROM seq_ctl('drop', '$name', 0, 0, false, ${ifExists != null})")
+      Some(s"SELECT * FROM seq_ctl('drop', '$name', '', '', '', '', " +
+        s"false, false, ${ifExists != null})")
     case _ => None
   }
   // COMMENT ON (temp tables route through the Comments registry; the
@@ -1401,8 +1416,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "(read_parquet('path'), spark.read.jdbc).")
               case seqHintRe() =>
                 Some("CREATE/DROP SEQUENCE with a plain identifier name " +
-                  "and START/INCREMENT options runs automatically " +
-                  "(session-scoped counter; nextval/currval execute), " +
+                  "and START/INCREMENT/MINVALUE/MAXVALUE/[NO] CYCLE " +
+                  "options runs automatically (session-scoped counter; " +
+                  "nextval/currval execute), " +
                   "but this statement's shape declined. For distributed " +
                   "unique ids prefer monotonically_increasing_id(), or " +
                   "row_number() OVER (ORDER BY ...) for dense ordered ids.")
@@ -4148,16 +4164,23 @@ object GraftSparkExtensions {
     */
   val seqCtlFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("seq_ctl"), info("seq_ctl"), (args: Seq[Expression]) => {
-      require(args.size == 6 && args.forall(_.foldable),
-        "seq_ctl(op, name, start, increment, replace, ifClause) — constants")
+      require(args.size == 9 && args.forall(_.foldable),
+        "seq_ctl(op, name, start, increment, min, max, cycle, replace, " +
+          "ifClause) — constants; ''-encoded optionals")
       val v = args.map(_.eval(null)).toIndexedSeq
+      def optLong(x: Any): Option[Long] = {
+        val s = asString(x); if (s.isEmpty) None else Some(s.toLong)
+      }
       asString(v(0)) match {
         case "create" => Sequences.create(asString(v(1)),
-          v(2).toString.toLong, v(3).toString.toLong,
-          orReplace = v(4).toString.toBoolean,
-          ifNotExists = v(5).toString.toBoolean)
+          start = optLong(v(2)),
+          increment = asString(v(3)).toLong,
+          minValue = optLong(v(4)), maxValue = optLong(v(5)),
+          cycle = v(6).toString.toBoolean,
+          orReplace = v(7).toString.toBoolean,
+          ifNotExists = v(8).toString.toBoolean)
         case "drop" => Sequences.drop(asString(v(1)),
-          ifExists = v(5).toString.toBoolean)
+          ifExists = v(8).toString.toBoolean)
         case other => throw new IllegalArgumentException(
           s"seq_ctl: unknown operation '$other'")
       }

@@ -4,9 +4,20 @@ import org.apache.spark.sql.SparkSession
 
 /** Session-scoped sequences — DuckDB's `CREATE SEQUENCE` / `nextval` /
   * `currval` surface (reference host engine; semantics pinned on 1.0:
-  * START/INCREMENT options, duplicate-create and missing-sequence
-  * Catalog Errors, currval-before-nextval Sequence Error, CREATE OR
-  * REPLACE resets state).
+  * START/INCREMENT options, MINVALUE/MAXVALUE bounds with [NO] CYCLE
+  * wraparound, duplicate-create and missing-sequence Catalog Errors,
+  * currval-before-nextval Sequence Error, CREATE OR REPLACE resets
+  * state, bound-violating START rejected at creation with DuckDB's
+  * Parser Error text).
+  *
+  * Bounds semantics (all DuckDB-1.0-pinned in SequenceSpec): defaults
+  * are MINVALUE 1 / MAXVALUE Long.Max for ascending sequences and
+  * MINVALUE Long.Min / MAXVALUE -1 for descending; START defaults to
+  * MINVALUE ascending, MAXVALUE descending; stepping past a bound
+  * throws `Sequence Error: nextval: reached maximum|minimum value of
+  * sequence "name" (bound)` without CYCLE and wraps to the opposite
+  * bound with it (ascending wraps to MINVALUE, descending to MAXVALUE
+  * — START is NOT the wrap target).
   *
   * Scale contract, stated not hidden: a sequence is a single atomic
   * counter — inherently serialized state, exactly as single-node DuckDB
@@ -21,12 +32,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Sequences {
 
-  private final class State(val increment: Long, start: Long) {
-    private val next = new java.util.concurrent.atomic.AtomicLong(start)
+  private final class State(val increment: Long, start: Long,
+      minV: Long, maxV: Long, cycle: Boolean) {
+    private var nextV: Long = start
+    private var pastBound = false // advance overflowed Long
     @volatile var defined = false
     @volatile var current: Long = start
-    def nextval(): Long = {
-      val v = next.getAndAdd(increment)
+    def nextval(name: String): Long = this.synchronized {
+      if (pastBound || (increment > 0 && nextV > maxV) ||
+          (increment < 0 && nextV < minV)) {
+        if (!cycle) {
+          if (increment > 0) throw new IllegalStateException(
+            s"""Sequence Error: nextval: reached maximum value of sequence "$name" ($maxV)""")
+          else throw new IllegalStateException(
+            s"""Sequence Error: nextval: reached minimum value of sequence "$name" ($minV)""")
+        }
+        nextV = if (increment > 0) minV else maxV
+        pastBound = false
+      }
+      val v = nextV
+      try nextV = math.addExact(v, increment)
+      catch { case _: ArithmeticException => pastBound = true }
       current = v
       defined = true
       v
@@ -39,15 +65,27 @@ object Sequences {
   private def key(name: String): (SparkSession, String) =
     (SparkSession.active, name.toLowerCase)
 
-  def create(name: String, start: Long = 1L, increment: Long = 1L,
-      orReplace: Boolean = false, ifNotExists: Boolean = false): Unit = {
+  def create(name: String, start: Option[Long] = None, increment: Long = 1L,
+      minValue: Option[Long] = None, maxValue: Option[Long] = None,
+      cycle: Boolean = false, orReplace: Boolean = false,
+      ifNotExists: Boolean = false): Unit = {
+    val asc = increment >= 0
+    val minV = minValue.getOrElse(if (asc) 1L else Long.MinValue)
+    val maxV = maxValue.getOrElse(if (asc) Long.MaxValue else -1L)
+    val st = start.getOrElse(if (asc) minV else maxV)
+    // DuckDB validates START against the bounds at CREATION (Parser
+    // Error), not lazily at first nextval.
+    if (st > maxV) throw new IllegalStateException(
+      s"Parser Error: START value ($st) cannot be greater than MAXVALUE ($maxV)")
+    if (st < minV) throw new IllegalStateException(
+      s"Parser Error: START value ($st) cannot be less than MINVALUE ($minV)")
     val k = key(name)
     if (registry.containsKey(k) && !orReplace) {
       if (ifNotExists) return
       throw new IllegalStateException(
         s"""Catalog Error: Sequence with name "$name" already exists!""")
     }
-    registry.put(k, new State(increment, start))
+    registry.put(k, new State(increment, st, minV, maxV, cycle))
     ()
   }
 
@@ -67,7 +105,7 @@ object Sequences {
     s
   }
 
-  def nextval(name: String): Long = lookup(name).nextval()
+  def nextval(name: String): Long = lookup(name).nextval(name)
 
   def currval(name: String): Long = {
     val s = lookup(name)

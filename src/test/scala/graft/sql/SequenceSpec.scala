@@ -51,9 +51,41 @@ class SequenceSpec extends AnyFunSuite {
     assert(spark.sql("DROP SEQUENCE IF EXISTS seq_d").collect().isEmpty)
   }
 
-  test("MINVALUE/CYCLE options decline loudly instead of running unbounded") {
+  test("MINVALUE/MAXVALUE bounds and [NO] CYCLE execute, DuckDB-pinned") {
+    def nv(s: String): Long =
+      spark.sql(s"SELECT nextval('$s')").head().getLong(0)
+    // Ascending CYCLE wraps to MINVALUE (default 1), not to START.
+    spark.sql("CREATE OR REPLACE SEQUENCE seq_c START 8 MAXVALUE 10 CYCLE")
+    assert((1 to 6).map(_ => nv("seq_c")) == Seq(8L, 9L, 10L, 1L, 2L, 3L))
+    // NO CYCLE (default): stepping past MAXVALUE throws DuckDB's text.
+    spark.sql("CREATE OR REPLACE SEQUENCE seq_b START 9 MAXVALUE 10")
+    assert((1 to 2).map(_ => nv("seq_b")) == Seq(9L, 10L))
+    val exMax = intercept[Exception](nv("seq_b"))
+    assert(exMax.getMessage.contains("reached maximum value"), exMax.getMessage)
+    // Descending wraps to MAXVALUE; underflow text names the minimum.
+    spark.sql(
+      "CREATE OR REPLACE SEQUENCE seq_d INCREMENT -2 MINVALUE -5 MAXVALUE 4 CYCLE")
+    assert((1 to 7).map(_ => nv("seq_d")) == Seq(4L, 2L, 0L, -2L, -4L, 4L, 2L))
+    spark.sql("CREATE OR REPLACE SEQUENCE seq_u INCREMENT -1 MINVALUE -3 START -2")
+    assert((1 to 2).map(_ => nv("seq_u")) == Seq(-2L, -3L))
+    val exMin = intercept[Exception](nv("seq_u"))
+    assert(exMin.getMessage.contains("reached minimum value"), exMin.getMessage)
+    // START defaults to MINVALUE ascending / MAXVALUE descending.
+    spark.sql("CREATE OR REPLACE SEQUENCE seq_m MINVALUE 5")
+    assert(nv("seq_m") == 5L)
+    spark.sql("CREATE OR REPLACE SEQUENCE seq_n INCREMENT -1")
+    assert(nv("seq_n") == -1L)
+    // Bound-violating START rejected at creation, DuckDB's Parser Error.
+    val exSt = intercept[Exception](
+      spark.sql("CREATE SEQUENCE seq_e2 START 20 MAXVALUE 10"))
+    assert(exSt.getMessage.contains("cannot be greater than MAXVALUE"),
+      exSt.getMessage)
+    val exSt2 = intercept[Exception](spark.sql("CREATE SEQUENCE seq_e3 START 0"))
+    assert(exSt2.getMessage.contains("cannot be less than MINVALUE"),
+      exSt2.getMessage)
+    // Truly unknown options still decline loudly.
     val ex = intercept[Exception](
-      spark.sql("CREATE SEQUENCE seq_e MINVALUE 0 MAXVALUE 10 CYCLE"))
+      spark.sql("CREATE SEQUENCE seq_e OWNED BY tbl"))
     assert(ex.getMessage.contains("unsupported option"), ex.getMessage)
   }
 }
