@@ -90,7 +90,9 @@ object Bench {
       "events_stream_sessions", "quality_classifier",
       // round-15 additions that are multi-job by construction (scratch
       // materialization inside the operator)
-      "graph_triangles", "dedup_containment", "graph_pagerank")
+      "graph_triangles", "dedup_containment", "graph_pagerank",
+      // round-16: stream-start floors + per-batch writes; fixpoint rounds
+      "dedup_streaming_near", "q132_recursive_union")
     def sweep(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
