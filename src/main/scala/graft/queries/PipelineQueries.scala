@@ -3074,6 +3074,58 @@ object PipelineQueries {
     spark.sql("SELECT * FROM span_scrub('graft_span_sql_v') ORDER BY doc_id")
   }
 
+  // LP-OPTIMAL data mixture under a character budget (round 16): the lane
+  // where the reference's actual PURPOSE — mathematical optimization in
+  // SQL — meets the pipeline scope. Per-source stats (capacity = total
+  // chars, quality = mean chars per doc in millis with a deterministic
+  // name-rank tiebreak, so objectives are strictly distinct) become a
+  // data-derived LP: maximize Σ q_s·x_s s.t. Σ x_s <= budget,
+  // 0 <= x_s <= cap_s — solved by the engine's OWN bounded simplex
+  // through the reference's model surface (ModelRegistry +
+  // HighsFunctions.solve, objective negated for the minimizer). This is
+  // fractional knapsack, whose optimum under distinct ratios is the
+  // UNIQUE greedy vertex — so the DuckDB oracle recomputes it as a
+  // cumulative-sum window, no solver needed, and the comparison is
+  // exact integers (caps/budget integral → the vertex is integral; the
+  // stats collect is K-bounded: one row per source).
+  declare("mix_lp_budget",
+    """WITH stats AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) chars,
+             COUNT(*) n FROM documents GROUP BY 1),
+       q AS (SELECT source, chars,
+               (1000 * chars // n) * 100 +
+                 (ROW_NUMBER() OVER (ORDER BY source) - 1) AS qm
+             FROM stats),
+       b AS (SELECT SUM(chars) // 3 AS budget FROM stats),
+       g AS (SELECT source, chars, qm,
+               COALESCE(SUM(chars) OVER (ORDER BY qm DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+             FROM q)
+       SELECT source,
+         CAST(LEAST(chars, GREATEST(0, (SELECT budget FROM b) - cumb)) AS BIGINT)
+           AS x_chars
+       FROM g ORDER BY source""") { (spark, sfDir) =>
+    val stats = t(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(sum(col("n_chars")).cast("long").as("chars"),
+        count(lit(1)).as("n"))
+      .orderBy("source")
+      .collect() // K-bounded: one row per source
+    val qs = stats.zipWithIndex.map { case (r, i) =>
+      val qm = Math.floorDiv(1000L * r.getLong(1), r.getLong(2)) * 100L + i
+      (r.getString(0), r.getLong(1), qm)
+    }
+    val budget = qs.map(_._2).sum / 3L
+    graft.highs.Workloads.register(spark, "graft_mix_lp",
+      qs.toSeq.map { case (s, cap, qm) =>
+        (s, 0.0, cap.toDouble, -qm.toDouble, "continuous") },
+      Seq(("budget", -graft.highs.Workloads.Inf, budget.toDouble)),
+      qs.toSeq.map { case (s, _, _) => ("budget", s, 1.0) })
+    graft.highs.HighsFunctions.solve(spark, "graft_mix_lp")
+      .select(col("variable_name").as("source"),
+        round(col("solution_value")).cast("long").as("x_chars"))
+      .orderBy("source")
+  }
+
   // Deterministic corpus mixing toward target weights 4:2:1:1 over four
   // sources — the binding source keeps all rows, the rest downsample by
   // an md5-prefix threshold derived from the SAME float expression in
