@@ -1072,6 +1072,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc.sum >= 114, s"classifier should separate planted classes: ${acc.sum}/120")
   }
 
+  test("capped candidate plan: full-index df cap is an anti-join before the prefix filter") {
+    val sh = Dedup.shinglesJit(docs, 3)
+    val plan = Dedup.jaccardCandidates(sh, 64, Some(0.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti-join cap in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs stage in:\n$plan")
+    // the df count partial-aggregates before its exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"no partial agg in:\n$plan")
+  }
+
   test("SuffixSpans: maximal spans with exact boundaries; equals the index form") {
     import spark.implicits._
     // docB embeds tokens 5..25 of docA (21 tokens) between unique pads;

@@ -187,6 +187,30 @@ class QueryPlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg in:\n$plan")
   }
 
+  test("suffix-span dedup is sort-based: a range exchange, no join operator") {
+    val plan = planString(graft.operators.SuffixSpans.dupSpans(
+      graft.Engine.table(spark, sfDir, "documents"), minLen = 15))
+    // The duplicate discovery is the SORT (range partitioning + in-
+    // partition neighbor scan) — the suffix-array economics. Any join
+    // operator here means the plan regressed to the inverted-index form.
+    assert(plan.contains("rangepartitioning"), s"no range sort in:\n$plan")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "CartesianProduct", "BroadcastNestedLoopJoin").foreach(op =>
+      assert(!plan.contains(op), s"unexpected $op in:\n$plan"))
+  }
+
+  test("capped jaccard verify phase never goes all-pairs") {
+    // The candidate stage (df-cap anti-join + prefix filter) executes
+    // inside a scratch materialization and is plan-audited in
+    // PipelineSpec where it is accessible; the final verify phase read
+    // here must join candidate ids only — no all-pairs operator.
+    val plan = planString(graft.operators.Dedup.jaccardPairs(
+      graft.Engine.table(spark, sfDir, "documents"), threshold = 0.5,
+      maxShingleDf = graft.operators.Dedup.AutoShingleDf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs stage in:\n$plan")
+  }
+
   test("mixture sampling is a broadcast threshold join plus a row-local filter") {
     val plan = planString(q("sample_mixture"))
     assert(plan.contains("BroadcastHashJoin"), s"thresholds should broadcast:\n$plan")
