@@ -1072,6 +1072,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc.sum >= 114, s"classifier should separate planted classes: ${acc.sum}/120")
   }
 
+  test("z-order layout keeps BOTH columns' file stats tight (measured via footers)") {
+    import spark.implicits._
+    // A grid where the two keys are independent: single-column sorting
+    // makes the OTHER column's per-file stats span the whole domain;
+    // the Morton curve keeps both bounded.
+    val n = 1 << 14
+    val grid = spark.range(n).select(
+      (col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    def spread(df: org.apache.spark.sql.DataFrame, colName: String): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_zq").toString
+      df.write.mode("overwrite").parquet(dir)
+      // per-FILE min/max via one read keyed by input file — what a
+      // footer-stats-driven reader would prune on
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col(colName)) - min(col(colName))).as("spread"))
+        .agg(avg("spread")).head().getDouble(0)
+    }
+    val zOrdered = ZOrder.cluster(grid, "x", "y", bits = 7, partitions = 16)
+    val ySorted = grid.repartitionByRange(16, col("y")).sortWithinPartitions("y")
+    val zx = spread(zOrdered, "x"); val zy = spread(zOrdered, "y")
+    val sx = spread(ySorted, "x"); val sy = spread(ySorted, "y")
+    // y-sorted: y tight but x spans the whole 0..127 domain in EVERY
+    // file. z-ordered: BOTH bounded well below the domain (ideal 16-way
+    // Morton split of a 128x128 grid = 32x32 regions; range-boundary
+    // sampling slop admits some excess).
+    assert(sx > 120, s"y-sorted x-spread should span the domain: $sx")
+    assert(zx < 0.7 * sx, s"z-order x-spread $zx vs y-sorted $sx")
+    assert(zx < 80 && zy < 80, s"both spreads bounded: $zx / $zy (y-sorted: $sx / $sy)")
+  }
+
   test("capped candidate plan: full-index df cap is an anti-join before the prefix filter") {
     val sh = Dedup.shinglesJit(docs, 3)
     val plan = Dedup.jaccardCandidates(sh, 64, Some(0.5))
