@@ -858,6 +858,61 @@ object TextAnalysis {
     }.mkString("CASE ", " ", s" ELSE '${splits.last._1}' END")
   }
 
+  /** Okapi BM25 ranked retrieval (Robertson & Walker 1994, public) for a
+    * fixed query over the corpus — the lexical-retrieval baseline every
+    * RAG/data-curation stack measures embedding search against. Fixed
+    * k1 = 1.2, b = 0.75 — DELIBERATELY rationals (6/5, 3/4): the tf
+    * normalization then multiplies through to the exact integer ratio
+    *   tfnorm = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)
+    * (T = corpus token count, dl = doc length, N = docs), so the only
+    * float is the idf ln — and each (doc, term) contribution is floored
+    * to integer MICRO units BEFORE the per-doc sum, making the score a
+    * deterministic integer sum (a float sum's addend order would differ
+    * across partitionings; ln itself matches across engines' libms, the
+    * corpus-divergence precedent). Negative idf for >half-corpus terms
+    * participates as-is, the standard Robertson behavior.
+    *
+    * Scale shape: query terms are a tiny broadcast list; df/dl/T are one
+    * corpus pass each (map-side combined); scoring touches only docs
+    * containing a query term (the inverted-index semi-join); top-k folds
+    * into TakeOrdered. Output: (rank, doc_id, score_micro) top `k` by
+    * (score desc, doc_id asc).
+    */
+  def bm25Rank(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val stats = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    val nRow = stats.agg(count(lit(1)), sum("dl")).head()
+    val n = nRow.getLong(0)
+    val t = nRow.getLong(1)
+    val q = queryTerms.toDF("tok")
+    val qtoks = toks.join(broadcast(q), Seq("tok"))
+    val df = qtoks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val tf = qtoks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val perTerm = tf.join(broadcast(df), Seq("tok"))
+      .join(stats, Seq("doc_id"))
+      .select(col("doc_id"),
+        floor(lit(1e6) *
+          log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (lit(22.0 * t) * col("tf")) /
+          (lit(10.0 * t) * col("tf") + lit(3.0 * t) +
+            lit(9.0 * n) * col("dl"))).cast("long").as("micro"))
+    // top-k FIRST (orderBy+limit folds to distributed TakeOrdered — a
+    // global window here would funnel every scored doc through one
+    // partition), then rank over the k survivors only.
+    val scored = perTerm.groupBy("doc_id").agg(sum("micro").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "doc_id", "score_micro")
+  }
+
   /** Per-group vocabulary coverage: what fraction of each group's token
     * occurrences falls OUTSIDE the global top-`topK` vocabulary — the
     * tokenizer/vocab OOV-rate diagnostic run before committing to a vocab

@@ -2371,6 +2371,45 @@ object PipelineQueries {
       .orderBy("doc_id", "rn")
   }
 
+  // Okapi BM25 ranked retrieval (round 16; Robertson & Walker 1994) —
+  // the lexical baseline RAG stacks measure embedding search against.
+  // k1 = 1.2, b = 0.75 chosen as RATIONALS so the tf normalization
+  // multiplies through to the exact integer ratio
+  // 22·T·tf / (10·T·tf + 3·T + 9·dl·N); the only float is the idf ln,
+  // and each (doc, term) contribution floors to MICRO units BEFORE the
+  // per-doc sum — an integer sum both engines compute identically (a
+  // float sum would reorder across partitionings; ln matches across
+  // libms, the corpus-divergence precedent). Negative idf for
+  // >half-corpus terms participates as-is (standard Robertson).
+  declare("text_bm25_rank",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
+         FROM documents),
+       stats AS (SELECT doc_id, len(string_split(text, ' ')) dl FROM documents),
+       tot AS (SELECT COUNT(*) n, SUM(dl) t FROM stats),
+       q AS (SELECT unnest(['data', 'merge', 'window']) AS tok),
+       qt AS (SELECT doc_id, t.tok FROM toks t JOIN q USING (tok)),
+       dfreq AS (SELECT tok, COUNT(*) df
+                 FROM (SELECT DISTINCT doc_id, tok FROM qt) GROUP BY 1),
+       tf AS (SELECT doc_id, tok, COUNT(*) tf FROM qt GROUP BY 1, 2),
+       perterm AS (SELECT f.doc_id,
+           CAST(floor(1e6 *
+             ln((CAST(tot.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) *
+             (22.0 * tot.t * f.tf) /
+             (10.0 * tot.t * f.tf + 3.0 * tot.t + 9.0 * tot.n * s.dl))
+             AS BIGINT) AS micro
+         FROM tf f JOIN dfreq d USING (tok) JOIN stats s USING (doc_id)
+         CROSS JOIN tot),
+       scored AS (SELECT doc_id, SUM(micro) score_micro FROM perterm GROUP BY 1),
+       ranked AS (SELECT doc_id, score_micro,
+           ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) rn
+         FROM scored)
+       SELECT CAST(rn AS BIGINT) AS rank, doc_id,
+         CAST(score_micro AS BIGINT) AS score_micro
+       FROM ranked WHERE rn <= 10 ORDER BY rank""") { (spark, sfDir) =>
+    TextAnalysis.bm25Rank(t(spark, sfDir, "documents"),
+      Seq("data", "merge", "window"), k = 10).orderBy("rank")
+  }
+
   declare("text_heavy_hitters",
     """WITH toks AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
        cnt AS (SELECT tok, COUNT(*) n FROM toks GROUP BY 1),

@@ -1072,6 +1072,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc.sum >= 114, s"classifier should separate planted classes: ${acc.sum}/120")
   }
 
+  test("bm25Rank: hand-computed scores, tie order, and a TakeOrdered top-k plan") {
+    import spark.implicits._
+    // 3 docs, query = {q}: doc 1 has tf=2 over dl=4, doc 2 tf=1 over
+    // dl=2, doc 3 no hit. N=3, T=9, df=2 → idf = ln((3-2+0.5)/2.5) =
+    // ln(0.6) < 0 (the standard Robertson negative idf for a
+    // majority-corpus term), so the LESS matching doc ranks first;
+    // tfnorm = 22·T·tf/(10·T·tf+3T+9·dl·N).
+    val docs = Seq((1L, "q a q b"), (2L, "q c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Rank(docs, Seq("q"), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def micro(tf: Long, dl: Long): Long = {
+      val n = 3.0; val t = 9.0
+      math.floor(1e6 * math.log((n - 2 + 0.5) / 2.5) *
+        (22.0 * t * tf) / (10.0 * t * tf + 3.0 * t + 9.0 * dl * n)).toLong
+    }
+    assert(got.toSeq == Seq((1L, 2L, micro(1, 2)), (2L, 1L, micro(2, 4))))
+    // A rare term scores POSITIVE and the hit outranks the miss.
+    val got2 = TextAnalysis.bm25Rank(docs, Seq("x"), k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.toSeq == Seq((1L, 3L)))
+    // top-k folds into TakeOrdered — never a global window over all
+    // scored docs.
+    val plan = TextAnalysis.bm25Rank(docs, Seq("q"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
+  }
+
   test("z-order layout keeps BOTH columns' file stats tight (measured via footers)") {
     import spark.implicits._
     // A grid where the two keys are independent: single-column sorting
