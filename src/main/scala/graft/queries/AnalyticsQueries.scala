@@ -2499,6 +2499,66 @@ object AnalyticsQueries {
                 nextval('graft_q123') AS c, currval('graft_q123') AS d""")
   }
 
+  // Scalar-parity pack (round 16): the DuckDB scalars a paste-sweep of
+  // common idioms found missing — gcd/lcm/even/signbit/isfinite/isinf/
+  // sha256/to_base/from_hex/format/struct_extract/range (the scalar
+  // LIST form)/regexp_split_to_array/product/age/to_days-family/
+  // encode-decode — registered as codegen'd expressions
+  // (StaticInvoke helpers in functions/ScalarCompat, native Spark
+  // expressions elsewhere), every value pinned against DuckDB running
+  // the equivalent text natively. Arrays render via array_to_string
+  // (the driver hasher takes scalars only).
+  declare("q135_scalar_parity2",
+    """SELECT
+         CAST(gcd(12, 18) AS BIGINT) AS g, CAST(lcm(4, 6) AS BIGINT) AS l,
+         even(2.5) AS e1, even(-2.5) AS e2, even(3.0) AS e3,
+         signbit(-1.0) AS s1, signbit(-0.0) AS s2,
+         isfinite(1.0) AS f1, isinf(CAST('inf' AS DOUBLE)) AS f2,
+         isfinite(CAST('nan' AS DOUBLE)) AS f3,
+         sha256('abc') AS h,
+         to_base(255, 16) AS tb, to_base(255, 16, 6) AS tb6,
+         format('{}-{}', 1, 'x') AS fm, format('{1}/{0}', 'a', 'b') AS fm2,
+         format('{{}} {}', 5) AS fm3,
+         struct_extract({'a': 1, 'b': 2}, 'a') AS se,
+         array_to_string(range(3), ',') AS r1,
+         array_to_string(range(5, 2, -1), ',') AS r2,
+         CAST(len(range(2, 2)) AS BIGINT) AS r3,
+         array_to_string(range(0, 10, 3), ',') AS r4,
+         array_to_string(regexp_split_to_array('a1b2c', '[0-9]'), '|') AS rs,
+         decode(encode('ab')) AS ed,
+         CAST((SELECT product(x) FROM (VALUES (2.0), (3.0), (4.0)) t(x)) AS BIGINT) AS pr,
+         CAST(DATE '2024-01-01' + to_days(30) AS DATE) AS td,
+         CAST(DATE '2024-01-01' + to_years(2) AS DATE) AS ty,
+         CAST(TIMESTAMP '2024-03-05 10:00:00'
+           - age(TIMESTAMP '2024-03-05 10:00:00',
+                 TIMESTAMP '2024-01-01 00:00:00') AS VARCHAR) AS ag""") {
+    (spark, _) =>
+    spark.sql(
+      """SELECT
+           CAST(gcd(12, 18) AS BIGINT) AS g, CAST(lcm(4, 6) AS BIGINT) AS l,
+           even(2.5) AS e1, even(-2.5) AS e2, even(3.0) AS e3,
+           signbit(-1.0) AS s1, signbit(-0.0) AS s2,
+           isfinite(1.0) AS f1, isinf(CAST('inf' AS DOUBLE)) AS f2,
+           isfinite(CAST('nan' AS DOUBLE)) AS f3,
+           sha256('abc') AS h,
+           to_base(255, 16) AS tb, to_base(255, 16, 6) AS tb6,
+           format('{}-{}', 1, 'x') AS fm, format('{1}/{0}', 'a', 'b') AS fm2,
+           format('{{}} {}', 5) AS fm3,
+           struct_extract({'a': 1, 'b': 2}, 'a') AS se,
+           array_to_string(range(3), ',') AS r1,
+           array_to_string(range(5, 2, -1), ',') AS r2,
+           CAST(len(range(2, 2)) AS BIGINT) AS r3,
+           array_to_string(range(0, 10, 3), ',') AS r4,
+           array_to_string(regexp_split_to_array('a1b2c', '[0-9]'), '|') AS rs,
+           decode(encode('ab')) AS ed,
+           CAST((SELECT product(x) FROM (VALUES (2.0), (3.0), (4.0)) t(x)) AS BIGINT) AS pr,
+           CAST(DATE '2024-01-01' + to_days(30) AS DATE) AS td,
+           CAST(DATE '2024-01-01' + to_years(2) AS DATE) AS ty,
+           CAST(TIMESTAMP '2024-03-05 10:00:00'
+             - age(TIMESTAMP '2024-03-05 10:00:00',
+                   TIMESTAMP '2024-01-01 00:00:00') AS STRING) AS ag""")
+  }
+
   // SEQUENCE bounds + CYCLE (round 16): the remaining sequence options
   // execute — MINVALUE/MAXVALUE with wraparound (ascending wraps to
   // MINVALUE, not START) and a descending bounded sequence — identical

@@ -1827,6 +1827,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
 
 object GraftSparkExtensions {
 
+  /** txid_current(): session-monotonic statement id source. */
+  private[sql] val txidCounter = new java.util.concurrent.atomic.AtomicLong(1000L)
+
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftSparkExtensions].getName, name)
 
@@ -2315,7 +2318,178 @@ object GraftSparkExtensions {
           StringType, "stripAccents", a, inputTypes = Seq(StringType))),
         aliasFn("nfc_normalize", (1, 1))(a => StaticInvoke(
           Class.forName("graft.functions.StringCompat"),
-          StringType, "nfcNormalize", a, inputTypes = Seq(StringType))))
+          StringType, "nfcNormalize", a, inputTypes = Seq(StringType))),
+        // ---- round-16 scalar-parity pack (each value pinned on 1.0 in
+        // q135_scalar_parity2 / SqlEntryPointsSpec) ----
+        aliasFn("sha256", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.Sha2(a(0), Literal(256))),
+        aliasFn("gcd", (2, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.LongType, "gcd", a,
+          inputTypes = Seq(org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.LongType))),
+        aliasFn("lcm", (2, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.LongType, "lcm", a,
+          inputTypes = Seq(org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.LongType))),
+        aliasFn("even", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.DoubleType, "even", a,
+          inputTypes = Seq(org.apache.spark.sql.types.DoubleType))),
+        // DuckDB 1.0 pins signbit(-0.0) = false — it is a value test
+        // (x < 0), not an IEEE bit test.
+        aliasFn("signbit", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.LessThan(
+            Cast(a(0), org.apache.spark.sql.types.DoubleType), Literal(0.0))),
+        aliasFn("isinf", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.EqualTo(org.apache.spark.sql.catalyst.expressions.Abs(Cast(a(0), org.apache.spark.sql.types.DoubleType)),
+            Literal(Double.PositiveInfinity))),
+        aliasFn("isfinite", (1, 1)) { a =>
+          val d = Cast(a(0), org.apache.spark.sql.types.DoubleType)
+          org.apache.spark.sql.catalyst.expressions.And(
+            org.apache.spark.sql.catalyst.expressions.Not(
+              org.apache.spark.sql.catalyst.expressions.IsNaN(d)),
+            org.apache.spark.sql.catalyst.expressions.Not(
+              org.apache.spark.sql.catalyst.expressions.EqualTo(org.apache.spark.sql.catalyst.expressions.Abs(d), Literal(Double.PositiveInfinity))))
+        },
+        aliasFn("regexp_split_to_array", (2, 2))(a =>
+          StringSplit(a(0), a(1), Literal(-1))),
+        aliasFn("to_base", (2, 3))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          StringType, "toBase",
+          if (a.size == 3) a else a :+ Literal(0),
+          inputTypes = Seq(org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.IntegerType))),
+        aliasFn("from_hex", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.Unhex(a(0))),
+        aliasFn("struct_extract", (2, 2))(a =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+            a(0), a(1))),
+        // set-returning subscripts of a list's (only) dimension — the
+        // generate_series-unnest convention; dim must be the literal 1.
+        aliasFn("generate_subscripts", (2, 2)) { a =>
+          require(a(1).foldable && String.valueOf(a(1).eval(null)) == "1",
+            "generate_subscripts: only dimension 1 exists for lists")
+          org.apache.spark.sql.catalyst.expressions.Explode(org.apache.spark.sql.catalyst.expressions.Sequence(
+            Literal(1), Size(a(0)), None))
+        },
+        // Scalar LIST range (the FROM-position TVF is a separate
+        // registry, as in DuckDB): EXCLUSIVE stop, empty when the step
+        // direction cannot reach it (Spark's Sequence is inclusive and
+        // throws on mismatched direction, so both get built explicitly).
+        aliasFn("range", (1, 3)) { a =>
+          import org.apache.spark.sql.catalyst.expressions.{And => EAnd,
+            GreaterThan, GreaterThanOrEqual, If, LessThan => ELt,
+            LessThanOrEqual, Or => EOr, Sequence => ESeq}
+          def long(e: Expression) = Cast(e, org.apache.spark.sql.types.LongType)
+          val (start, stop, step) = a.size match {
+            case 1 => (Literal(0L), long(a(0)), Literal(1L))
+            case 2 => (long(a(0)), long(a(1)), Literal(1L))
+            case _ => (long(a(0)), long(a(1)), long(a(2)))
+          }
+          val empty = EOr(
+            EAnd(GreaterThan(step, Literal(0L)),
+              GreaterThanOrEqual(start, stop)),
+            EAnd(ELt(step, Literal(0L)), LessThanOrEqual(start, stop)))
+          val last = If(GreaterThan(step, Literal(0L)),
+            Subtract(stop, Literal(1L)), Add(stop, Literal(1L)))
+          If(empty,
+            Slice(CreateArray(Seq(start)), Literal(1), Literal(0)),
+            ESeq(start, last, Some(step)))
+        },
+        // DuckDB format(): fmt-style '{}'/'{i}' templates (and '{{'
+        // escapes), translated at ANALYSIS onto Spark's codegen'd
+        // format_string with positional %n$s specifiers; format specs
+        // ('{:.2f}') decline loudly. The template must be a constant —
+        // it is in every sane call site.
+        aliasFn("format", (1, Int.MaxValue)) { a =>
+          require(a.head.foldable && a.head.dataType == StringType,
+            "format(template, ...): the template must be a constant string")
+          val raw = String.valueOf(a.head.eval(null))
+          val sb = new StringBuilder
+          var i = 0
+          var next = 1 // 1-based %n$s positions
+          while (i < raw.length) {
+            raw.charAt(i) match {
+              case '{' if i + 1 < raw.length && raw.charAt(i + 1) == '{' =>
+                sb.append('{'); i += 2
+              case '}' if i + 1 < raw.length && raw.charAt(i + 1) == '}' =>
+                sb.append('}'); i += 2
+              case '{' =>
+                val close = raw.indexOf('}', i)
+                require(close > 0, s"format: unbalanced '{' in '$raw'")
+                val body = raw.substring(i + 1, close)
+                require(!body.contains(':'),
+                  "format: '{:spec}' format specifiers are not supported " +
+                    "here — use printf() for C-style formatting")
+                if (body.isEmpty) { sb.append(s"%$next\\$$s"); next += 1 }
+                else {
+                  val idx = body.toInt + 1
+                  sb.append(s"%$idx\\$$s")
+                }
+                i = close + 1
+              case '%' => sb.append("%%"); i += 1
+              case c => sb.append(c); i += 1
+            }
+          }
+          org.apache.spark.sql.catalyst.expressions.FormatString(
+            (Literal(sb.toString
+              .replace("\\$", "$")) +: a.tail.map(Cast(_, StringType))): _*)
+        },
+        // age(a, b) = the instant difference as a day-time interval —
+        // value-identical to DuckDB's mixed interval under epoch/pandas
+        // comparison (DuckDB's month decomposition flattens the same).
+        aliasFn("age", (2, 2))(a =>
+          new org.apache.spark.sql.catalyst.expressions.SubtractTimestamps(
+            Cast(a(0), TimestampType), Cast(a(1), TimestampType))),
+        aliasFn("to_days", (1, 1))(a =>
+          new org.apache.spark.sql.catalyst.expressions.MakeDTInterval(
+            Cast(a(0), org.apache.spark.sql.types.IntegerType), Literal(0))),
+        aliasFn("to_hours", (1, 1))(a =>
+          new org.apache.spark.sql.catalyst.expressions.MakeDTInterval(
+            Literal(0), Cast(a(0), org.apache.spark.sql.types.IntegerType))),
+        aliasFn("to_minutes", (1, 1))(a =>
+          new org.apache.spark.sql.catalyst.expressions.MakeDTInterval(
+            Literal(0), Literal(0),
+            Cast(a(0), org.apache.spark.sql.types.IntegerType))),
+        aliasFn("to_seconds", (1, 1))(a =>
+          new org.apache.spark.sql.catalyst.expressions.MakeDTInterval(
+            Literal(0), Literal(0), Literal(0),
+            Cast(a(0), org.apache.spark.sql.types.DecimalType(18, 6)))),
+        aliasFn("to_months", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.MakeYMInterval(
+            Literal(0), Cast(a(0), org.apache.spark.sql.types.IntegerType))),
+        aliasFn("to_years", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.MakeYMInterval(
+            Cast(a(0), org.apache.spark.sql.types.IntegerType), Literal(0))),
+        // DuckDB encode(str) = UTF-8 BLOB / decode(blob) = string; the
+        // 2-arg charset forms keep Spark's native behavior.
+        aliasFn("encode", (1, 2))(a =>
+          if (a.size == 1) Cast(a(0), org.apache.spark.sql.types.BinaryType)
+          else org.apache.spark.sql.catalyst.expressions.Encode(a(0), a(1))),
+        aliasFn("decode", (1, 2))(a =>
+          if (a.size == 1) Cast(a(0), StringType)
+          else org.apache.spark.sql.catalyst.expressions.StringDecode(a(0), a(1))),
+        // product(): Spark carries the aggregate internally (used by its
+        // own pandas parity) but registers no SQL name; DuckDB does.
+        aliasFn("product", (1, 1))(a =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.Product(
+            Cast(a(0), org.apache.spark.sql.types.DoubleType))
+            .toAggregateExpression()),
+        // txid_current(): a session-monotonic statement id — each
+        // statement analysis is its own implicit transaction here.
+        aliasFn("txid_current", (0, 0))(_ =>
+          Literal(GraftSparkExtensions.txidCounter.incrementAndGet())),
+        // setseed(): Spark's rand(seed) seeds per-expression, not
+        // per-session — a silent no-op would hide that, so warn once.
+        aliasFn("setseed", (1, 1)) { _ =>
+          if (warnedMaintenance.add("setseed"))
+            System.err.println("graft: setseed() is a no-op — Spark " +
+              "seeds randomness per expression: rand(42)")
+          Literal(null, org.apache.spark.sql.types.NullType)
+        })
     }
   }
 

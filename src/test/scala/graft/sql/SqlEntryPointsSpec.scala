@@ -2188,6 +2188,31 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       "x SIMILAR TO y")
   }
 
+  test("round-16 scalar-parity pack: session scalars and edge shapes") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    // txid_current: monotonic across statements (one implicit txn each).
+    val t1 = one[Long]("SELECT txid_current()")
+    val t2 = one[Long]("SELECT txid_current()")
+    assert(t2 > t1 && t1 > 0)
+    // setseed: NULL-returning warn-once no-op, never an error.
+    assert(spark.sql("SELECT setseed(0.5)").head().isNullAt(0))
+    // generate_subscripts is set-returning (1-based), dim must be 1.
+    assert(spark.sql("SELECT generate_subscripts(array(10, 20, 30), 1) AS s")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val exDim = intercept[Exception](spark.sql(
+      "SELECT generate_subscripts(array(1), 2)"))
+    assert(exDim.getMessage.contains("dimension"), exDim.getMessage)
+    // format: '{:spec}' declines loudly toward printf.
+    val exFmt = intercept[Exception](spark.sql("SELECT format('{:.2f}', 1.5)"))
+    assert(exFmt.getMessage.contains("printf"), exFmt.getMessage)
+    // range: the scalar LIST form coexists with the FROM-position TVF.
+    assert(one[Long]("SELECT CAST(COUNT(*) AS BIGINT) FROM range(3)") == 3L)
+    assert(one[String]("SELECT array_to_string(range(-2), ',')") == "")
+    // gcd edge: gcd(0, 0) = 0 (DuckDB-pinned), signs dropped.
+    assert(one[Long]("SELECT gcd(0, 0)") == 0L)
+    assert(one[Long]("SELECT gcd(-12, 18)") == 6L)
+  }
+
   test("macro bodies containing subqueries execute with deep substitution") {
     import spark.implicits._
     Seq((1, 10), (2, 20), (3, 30)).toDF("x", "y")
