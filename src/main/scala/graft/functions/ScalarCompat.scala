@@ -42,4 +42,36 @@ object ScalarCompat {
       else ("0" * (minLength - s.length)) + s)
   }
   def toBase(n: Long, radix: Int): UTF8String = toBase(n, radix, 0)
+
+  /** DuckDB unicode()/ord(): first CODE POINT (not UTF-16 unit); empty
+    * string = -1, NULL handled by the null-safe invoke.
+    */
+  def unicodeCp(s: UTF8String): Int = {
+    val str = s.toString
+    if (str.isEmpty) -1 else str.codePointAt(0)
+  }
+
+  /** DuckDB trunc(): toward zero, double-preserving. */
+  def trunc(x: Double): Double =
+    if (x < 0) math.ceil(x) else math.floor(x)
+
+  /** DuckDB bar(x, min, max, width): a width-bounded block-character
+    * gauge — full blocks plus one partial eighth block, the DuckDB
+    * rendering (pinned: bar(5,0,10,10) = '█████').
+    */
+  def bar(x: Double, minV: Double, maxV: Double, width: Double): UTF8String = {
+    val partials = Array("", "▏", "▎", "▍", "▌", "▋", "▊", "▉")
+    val frac0 = if (maxV <= minV) 0.0 else (x - minV) / (maxV - minV)
+    val frac = math.max(0.0, math.min(1.0, frac0))
+    val eighths = math.round(frac * width * 8).toInt
+    val full = eighths / 8
+    UTF8String.fromString("█" * full + partials(eighths % 8))
+  }
+
+  /** DuckDB yearweek(): ISO week-based year * 100 + ISO week. */
+  def yearWeek(daysSinceEpoch: Int): Long = {
+    val d = java.time.LocalDate.ofEpochDay(daysSinceEpoch.toLong)
+    d.get(java.time.temporal.IsoFields.WEEK_BASED_YEAR) * 100L +
+      d.get(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR)
+  }
 }

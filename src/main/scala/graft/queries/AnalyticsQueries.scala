@@ -2559,6 +2559,67 @@ object AnalyticsQueries {
                    TIMESTAMP '2024-01-01 00:00:00') AS STRING) AS ag""")
   }
 
+  // Scalar-parity pack, second sweep batch (round 16): unicode/ord,
+  // bar gauges, 1-arg trunc, ISO week family, julian, timezone() (the
+  // function spelling of AT TIME ZONE), stepped list_slice, list_zip/
+  // any_value/select/where/grade_up, dot_product, editdist3, multi-unit
+  // interval strings (INTERVAL '1 month 2 days' -> make_interval), and
+  // first/last with in-argument ORDER BY (lowered onto the ordered-
+  // collect element). Identical construct set runs natively in DuckDB.
+  declare("q136_scalar_parity3",
+    """SELECT
+         CAST(unicode('€') AS BIGINT) AS u1, CAST(unicode('') AS BIGINT) AS u2,
+         bar(5, 0, 10, 10) AS b1,
+         CAST(trunc(CAST(2.9 AS DOUBLE)) AS DOUBLE) AS t1,
+         CAST(trunc(CAST(-2.9 AS DOUBLE)) AS DOUBLE) AS t2,
+         CAST(week(DATE '2024-01-15') AS BIGINT) AS w,
+         CAST(isodow(DATE '2024-01-14') AS BIGINT) AS iso,
+         CAST(yearweek(DATE '2024-01-15') AS BIGINT) AS yw,
+         julian(DATE '2024-01-01') AS j,
+         CAST(floor(extract(epoch FROM
+           timezone('America/New_York', TIMESTAMP '2024-01-15 00:00:00')))
+           AS BIGINT) AS tz,
+         array_to_string(list_slice([1,2,3,4,5], 1, 5, 2), ',') AS ls,
+         array_to_string(list_slice([1,2,3,4,5], 2, 4, 2), ',') AS ls2,
+         CAST(list_any_value([NULL, 3, 4]) AS BIGINT) AS lav,
+         array_to_string(list_select([10,20,30], [1,3]), ',') AS lsel,
+         array_to_string(list_where([10,20,30], [true,false,true]), ',') AS lw,
+         array_to_string(list_grade_up([30,10,20]), ',') AS lg,
+         list_dot_product([1.0,2.0], [3.0,4.0]) AS ldp,
+         CAST(editdist3('kitten', 'sitting') AS BIGINT) AS ed,
+         CAST(DATE '2024-01-01' + INTERVAL '1 month 2 days' AS DATE) AS iv,
+         (SELECT first(x ORDER BY x DESC)
+          FROM (VALUES (1), (3), (2)) t(x)) AS fo,
+         (SELECT last(x ORDER BY x DESC)
+          FROM (VALUES (1), (3), (2)) t(x)) AS lo""") { (spark, _) =>
+    spark.sql(
+      """SELECT
+           CAST(unicode('€') AS BIGINT) AS u1, CAST(unicode('') AS BIGINT) AS u2,
+           bar(5, 0, 10, 10) AS b1,
+           CAST(trunc(CAST(2.9 AS DOUBLE)) AS DOUBLE) AS t1,
+           CAST(trunc(CAST(-2.9 AS DOUBLE)) AS DOUBLE) AS t2,
+           CAST(week(DATE '2024-01-15') AS BIGINT) AS w,
+           CAST(isodow(DATE '2024-01-14') AS BIGINT) AS iso,
+           CAST(yearweek(DATE '2024-01-15') AS BIGINT) AS yw,
+           julian(DATE '2024-01-01') AS j,
+           CAST(floor(extract(epoch FROM
+             timezone('America/New_York', TIMESTAMP '2024-01-15 00:00:00')))
+             AS BIGINT) AS tz,
+           array_to_string(list_slice([1,2,3,4,5], 1, 5, 2), ',') AS ls,
+           array_to_string(list_slice([1,2,3,4,5], 2, 4, 2), ',') AS ls2,
+           CAST(list_any_value([NULL, 3, 4]) AS BIGINT) AS lav,
+           array_to_string(list_select([10,20,30], [1,3]), ',') AS lsel,
+           array_to_string(list_where([10,20,30], [true,false,true]), ',') AS lw,
+           array_to_string(list_grade_up([30,10,20]), ',') AS lg,
+           list_dot_product([1.0,2.0], [3.0,4.0]) AS ldp,
+           CAST(editdist3('kitten', 'sitting') AS BIGINT) AS ed,
+           CAST(DATE '2024-01-01' + INTERVAL '1 month 2 days' AS DATE) AS iv,
+           (SELECT first(x ORDER BY x DESC)
+            FROM (VALUES (1), (3), (2)) t(x)) AS fo,
+           (SELECT last(x ORDER BY x DESC)
+            FROM (VALUES (1), (3), (2)) t(x)) AS lo""")
+  }
+
   // SEQUENCE bounds + CYCLE (round 16): the remaining sequence options
   // execute — MINVALUE/MAXVALUE with wraparound (ascending wraps to
   // MINVALUE, not START) and a descending bounded sequence — identical

@@ -150,6 +150,68 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       "(?i)\\b(date_diff|datediff)(\\s*\\(\\s*')", "duck_$1$2")
     if (out == sql) None else Some(out)
   }
+
+  /** DuckDB multi-unit interval strings — `INTERVAL '1 month 2 days'` —
+    * which Spark's parser rejects (it wants typed units: INTERVAL '1'
+    * MONTH). Rewritten onto make_interval(...), whose CalendarInterval
+    * result adds to dates/timestamps regardless of the year-month /
+    * day-time mix (a typed-literal sum could not — Spark cannot add a
+    * YearMonthInterval to a DayTimeInterval). Parse-failure only; a
+    * content that is not a signed number-unit sequence (time-of-day
+    * forms, fractional seconds) declines.
+    */
+  private val intervalUnitSlots: Map[String, Int] = Map(
+    "year" -> 0, "years" -> 0, "month" -> 1, "months" -> 1,
+    "week" -> 2, "weeks" -> 2, "day" -> 3, "days" -> 3,
+    "hour" -> 4, "hours" -> 4, "minute" -> 5, "minutes" -> 5,
+    "min" -> 5, "mins" -> 5, "second" -> 6, "seconds" -> 6,
+    "sec" -> 6, "secs" -> 6)
+  private def intervalLiteralRewrite(text: String): Option[String] = {
+    // match the bare keyword on the mask, then skip RAW whitespace only
+    // (the mask blanks the literal, so a \s* would swallow it).
+    val kw = "(?i)\\bINTERVAL\\b".r
+    var changed = false
+    var cur = text
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val mask = ReplaceRewrite.maskLiterals(cur)
+      val hit = kw.findAllMatchIn(mask).flatMap { km =>
+        var q = km.end
+        while (q < cur.length && cur.charAt(q).isWhitespace) q += 1
+        if (q >= cur.length || cur.charAt(q) != '\'') None
+        else {
+          val close = cur.indexOf('\'', q + 1)
+          if (close < 0) None
+          else {
+            val content = cur.substring(q + 1, close)
+            val unitSeq = "(?i)\\A\\s*(?:[-+]?\\d+\\s+[a-z]+\\s*){2,}\\z".r
+            if (unitSeq.findFirstIn(content).isEmpty) None
+            else Some((km.start, close + 1, content))
+          }
+        }
+      }.toSeq.headOption
+      hit match {
+        case None => return if (changed) Some(cur) else None
+        case Some((start, end, content)) =>
+          val slots = new Array[Long](7)
+          val pair = "(?i)([-+]?\\d+)\\s+([a-z]+)".r
+          var ok = true
+          pair.findAllMatchIn(content).foreach { pm =>
+            intervalUnitSlots.get(pm.group(2).toLowerCase) match {
+              case Some(i) => slots(i) += pm.group(1).toLong
+              case None => ok = false
+            }
+          }
+          if (!ok) return None
+          val repl = s"make_interval(${slots(0)}, ${slots(1)}, ${slots(2)}, " +
+            s"${slots(3)}, ${slots(4)}, ${slots(5)}, ${slots(6)})"
+          cur = cur.substring(0, start) + repl + cur.substring(end)
+          changed = true
+      }
+    }
+    if (changed) Some(cur) else None
+  }
   // DuckDB maintenance statements, none of which Spark parses. CREATE/
   // DROP INDEX and VACUUM have no Spark counterpart and no semantic
   // effect beyond performance — they become warn-once no-ops returning
@@ -1115,6 +1177,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               SampleRewrite.rewrite(text); case _ => None },
             () => text match { case duckDateRe() =>
               duckDateRewrite(text); case _ => None },
+            // multi-unit interval strings → make_interval (parse-failure
+            // only; Spark wants typed units).
+            () => intervalLiteralRewrite(text),
             () => maintenanceRewrite(text),
             () => sequenceRewrite(text),
             () => commentColumnRewrite(text),
@@ -1882,6 +1947,27 @@ object GraftSparkExtensions {
     StaticInvoke(Class.forName("graft.functions.StringCompat"), StringType,
       "regexQuoteUtf8", Seq(sep), inputTypes = Seq(StringType))
 
+  /** DuckDB's 4-arg stepped slice `list_slice(l, b, e, step)` — 1-based
+    * INCLUSIVE bounds clamped to the list, elements at b, b+step, ...
+    * <= e. Positive bounds/step only (the negative-from-end form has no
+    * mechanical mapping here).
+    */
+  private def steppedSlice(l: Expression, b: Expression, e: Expression,
+      step: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Cast,
+      ElementAt, Greatest, GreaterThan, If, LambdaFunction => LF, Least,
+      Literal, Sequence, Size, Slice}
+    import org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
+    val intT = org.apache.spark.sql.types.IntegerType
+    val lo = Greatest(Seq(Cast(b, intT), Literal(1)))
+    val hi = Least(Seq(Cast(e, intT), Size(l)))
+    val i = UnresolvedNamedLambdaVariable(Seq("gss_i"))
+    If(GreaterThan(lo, hi),
+      Slice(l, Literal(1), Literal(0)),
+      ArrayTransform(Sequence(lo, hi, Some(Cast(step, intT))),
+        LF(ElementAt(l, i), Seq(i))))
+  }
+
   val duckdbAliasFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.{ArrayAppend, ArrayCompact,
       ArrayContains, ArrayDistinct, ArrayFilter, ArrayMax, ArrayMin,
@@ -2079,10 +2165,12 @@ object GraftSparkExtensions {
         // DuckDB slicing is 1-based INCLUSIVE: list_slice(l, b, e) keeps
         // elements b..e → Spark Slice(l, b, e-b+1). Positive bounds only
         // (DuckDB's negative-from-end form has no native counterpart).
-        aliasFn("list_slice", (3, 3))(a =>
-          Slice(a(0), a(1), Add(Subtract(a(2), a(1)), Literal(1)))),
-        aliasFn("array_slice", (3, 3))(a =>
-          Slice(a(0), a(1), Add(Subtract(a(2), a(1)), Literal(1)))),
+        aliasFn("list_slice", (3, 4))(a =>
+          if (a.size == 3) Slice(a(0), a(1), Add(Subtract(a(2), a(1)), Literal(1)))
+          else steppedSlice(a(0), a(1), a(2), a(3))),
+        aliasFn("array_slice", (3, 4))(a =>
+          if (a.size == 3) Slice(a(0), a(1), Add(Subtract(a(2), a(1)), Literal(1)))
+          else steppedSlice(a(0), a(1), a(2), a(3))),
         // DuckDB returns NULL for a missing element where Spark's
         // array_position returns 0 — map 0 back to NULL.
         aliasFn("list_position", (2, 2))(a =>
@@ -2133,7 +2221,8 @@ object GraftSparkExtensions {
         kernel("inner_product", 0) ++
         kernel("negative_inner_product", 1) ++
         kernel("distance", 2) ++
-        kernel("cosine_distance", 3)
+        kernel("cosine_distance", 3) ++
+        kernel("dot_product", 0) // DuckDB's other name for inner_product
     } ++ {
       // DuckDB aggregate NAMES onto Spark's native aggregate expressions
       // (the analyzer wraps an AggregateFunction from the registry in the
@@ -2489,6 +2578,131 @@ object GraftSparkExtensions {
             System.err.println("graft: setseed() is a no-op — Spark " +
               "seeds randomness per expression: rand(42)")
           Literal(null, org.apache.spark.sql.types.NullType)
+        },
+        // ---- round-16 parity pack, second sweep batch ----
+        aliasFn("to_hex", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.Hex(a(0))),
+        aliasFn("unicode", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.IntegerType, "unicodeCp", a,
+          inputTypes = Seq(StringType))),
+        aliasFn("ord", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.IntegerType, "unicodeCp", a,
+          inputTypes = Seq(StringType))),
+        aliasFn("bar", (4, 4))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          StringType, "bar", a,
+          inputTypes = Seq(org.apache.spark.sql.types.DoubleType,
+            org.apache.spark.sql.types.DoubleType,
+            org.apache.spark.sql.types.DoubleType,
+            org.apache.spark.sql.types.DoubleType))),
+        // trunc: the 1-arg numeric form is DuckDB's toward-zero truncate
+        // (double-preserving); the 2-arg form keeps Spark's native
+        // trunc(date, fmt).
+        aliasFn("trunc", (1, 2))(a =>
+          if (a.size == 2)
+            org.apache.spark.sql.catalyst.expressions.TruncDate(a(0), a(1))
+          else StaticInvoke(
+            Class.forName("graft.functions.ScalarCompat"),
+            org.apache.spark.sql.types.DoubleType, "trunc", a,
+            inputTypes = Seq(org.apache.spark.sql.types.DoubleType))),
+        aliasFn("week", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.WeekOfYear(
+            Cast(a(0), org.apache.spark.sql.types.DateType))),
+        // isodow: Monday = 1 .. Sunday = 7 (Spark's weekday is Monday=0)
+        aliasFn("isodow", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.Add(
+            org.apache.spark.sql.catalyst.expressions.WeekDay(
+              Cast(a(0), org.apache.spark.sql.types.DateType)), Literal(1))),
+        aliasFn("yearweek", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.LongType, "yearWeek",
+          Seq(Cast(a(0), org.apache.spark.sql.types.DateType)),
+          inputTypes = Seq(org.apache.spark.sql.types.DateType))),
+        // julian day number of a DATE: unix days + 2440588 (pinned:
+        // julian(DATE '1970-01-01') = 2440588.0)
+        aliasFn("julian", (1, 1))(a =>
+          Cast(org.apache.spark.sql.catalyst.expressions.Add(
+            org.apache.spark.sql.catalyst.expressions.UnixDate(
+              Cast(a(0), org.apache.spark.sql.types.DateType)),
+            Literal(2440588)), org.apache.spark.sql.types.DoubleType)),
+        // timezone(tz, x) = DuckDB's function spelling of AT TIME ZONE:
+        // same syntactic source dispatch as the textual rewrite — an
+        // operand that is itself an instant source takes the
+        // instant→wall direction, everything else is a wall clock.
+        aliasFn("timezone", (2, 2)) { a =>
+          val instantSource = a(1).exists {
+            case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+                if f.nameParts.size == 1 =>
+              Seq("to_utc_timestamp", "now", "current_timestamp",
+                "get_current_timestamp")
+                .contains(f.nameParts.head.toLowerCase)
+            case _ => false
+          }
+          if (instantSource)
+            org.apache.spark.sql.catalyst.expressions.FromUTCTimestamp(
+              Cast(a(1), TimestampType), a(0))
+          else
+            org.apache.spark.sql.catalyst.expressions.ToUTCTimestamp(
+              Cast(a(1), TimestampType), a(0))
+        },
+        aliasFn("editdist3", (2, 2))(a =>
+          org.apache.spark.sql.catalyst.expressions.Levenshtein(a(0), a(1))),
+        aliasFn("list_zip", (2, 2))(a =>
+          org.apache.spark.sql.catalyst.expressions.ArraysZip(a)),
+        aliasFn("list_any_value", (1, 1))(a =>
+          graft.functions.DuckIndex(
+            org.apache.spark.sql.catalyst.expressions.ArrayCompact(a(0)),
+            Literal(1))),
+        aliasFn("list_select", (2, 2)) { a =>
+          val i = UnresolvedNamedLambdaVariable(Seq("gls_i"))
+          org.apache.spark.sql.catalyst.expressions.ArrayTransform(a(1),
+            LambdaFunction(graft.functions.DuckIndex(a(0), i), Seq(i)))
+        },
+        aliasFn("list_where", (2, 2)) { a =>
+          val x = UnresolvedNamedLambdaVariable(Seq("glw_x"))
+          val m = UnresolvedNamedLambdaVariable(Seq("glw_m"))
+          val s = UnresolvedNamedLambdaVariable(Seq("glw_s"))
+          val zipped = org.apache.spark.sql.catalyst.expressions.ZipWith(
+            a(0), a(1),
+            LambdaFunction(
+              org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(
+                Seq(Literal("v"), x, Literal("k"), m)), Seq(x, m)))
+          val kept = org.apache.spark.sql.catalyst.expressions.ArrayFilter(
+            zipped, LambdaFunction(
+              org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+                s, Literal("k")), Seq(s)))
+          val s2 = UnresolvedNamedLambdaVariable(Seq("glw_t"))
+          org.apache.spark.sql.catalyst.expressions.ArrayTransform(kept,
+            LambdaFunction(
+              org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+                s2, Literal("v")), Seq(s2)))
+        },
+        // grade_up: the 1-based positions that would sort the list —
+        // (value, position) pairs struct-sorted, positions extracted.
+        aliasFn("list_grade_up", (1, 1)) { a =>
+          val s = UnresolvedNamedLambdaVariable(Seq("glg_s"))
+          org.apache.spark.sql.catalyst.expressions.ArrayTransform(
+            org.apache.spark.sql.catalyst.expressions.SortArray(
+              org.apache.spark.sql.catalyst.expressions.ArraysZip(Seq(a(0),
+                org.apache.spark.sql.catalyst.expressions.Sequence(
+                  Literal(1), Size(a(0)), None))), Literal(true)),
+            LambdaFunction(
+              org.apache.spark.sql.catalyst.expressions.GetStructField(
+                s, 1, None), Seq(s)))
+        },
+        // current_setting(name): the Spark conf value (string) or NULL —
+        // DuckDB's pragma-reading diagnostic, pointed at this engine's
+        // configuration space.
+        aliasFn("current_setting", (1, 1)) { a =>
+          require(a(0).foldable && a(0).dataType == StringType,
+            "current_setting(name): the name must be a constant string")
+          val name = String.valueOf(a(0).eval(null))
+          val v = try org.apache.spark.sql.SparkSession.active.conf
+            .getOption(name).orNull
+          catch { case scala.util.control.NonFatal(_) => null }
+          if (v == null) Literal(null, StringType) else Literal(v)
         })
     }
   }

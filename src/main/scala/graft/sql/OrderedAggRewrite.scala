@@ -34,9 +34,10 @@ package graft.sql
   */
 object OrderedAggRewrite {
   private val callRe =
-    "(?i)\\b(string_agg|listagg|group_concat|array_agg|list)\\s*\\(".r
+    "(?i)\\b(string_agg|listagg|group_concat|array_agg|list|first|last)\\s*\\(".r
   private val shapedRe =
-    "(?is).*\\b(?:string_agg|listagg|group_concat|array_agg|list)\\s*\\(.*\\bORDER\\s+BY\\b.*".r
+    ("(?is).*\\b(?:string_agg|listagg|group_concat|array_agg|list|first|last)" +
+      "\\s*\\(.*\\bORDER\\s+BY\\b.*").r
 
   /** Index of the first depth-0 `ORDER BY` inside an (already
     * literal-masked) argument text, or -1.
@@ -170,6 +171,13 @@ object OrderedAggRewrite {
           val repl: Option[String] =
             if (name == "array_agg" || name == "list")
               parseKeys(keysText).flatMap(arrayForm(args, _, filterSuffix))
+            else if (name == "first" || name == "last")
+              // first/last BY the sort keys = the 1st/-1st element of
+              // the ordered collect (round 16; DuckDB's in-arg ORDER BY
+              // forms of first/last).
+              parseKeys(keysText).flatMap(arrayForm(args, _, filterSuffix))
+                .map(arr =>
+                  s"element_at($arr, ${if (name == "first") "1" else "-1"})")
             else {
               val fn = if (name == "group_concat") "string_agg" else name
               Some(s"$fn($args) WITHIN GROUP (ORDER BY ${keysText.trim})" +
