@@ -16,8 +16,19 @@ object ScalarCompat {
     x
   }
 
+  /** DuckDB lcm(): errors (not wraps) when the result leaves BIGINT —
+    * multiplyExact/absExact surface the overflow the way DuckDB's
+    * out-of-range error does instead of silently returning a wrapped
+    * value.
+    */
   def lcm(a: Long, b: Long): Long =
-    if (a == 0 || b == 0) 0 else math.abs(a / gcd(a, b) * b)
+    if (a == 0 || b == 0) 0
+    else
+      try Math.absExact(Math.multiplyExact(a / gcd(a, b), b))
+      catch {
+        case _: ArithmeticException => throw new ArithmeticException(
+          s"lcm($a, $b) is out of range for BIGINT")
+      }
 
   /** DuckDB even(): round AWAY from zero to the next even integer;
     * already-even integers stay (even(2.0) = 2, even(3.0) = 4,

@@ -314,10 +314,15 @@ object Dedup {
     * boilerplate phrase otherwise contributes df² candidate pairs — at
     * web scale one templated sentence shared by a million pages is 10^12
     * pairs, so the cap DEFAULTS ON ([[AutoShingleDf]], 0.1% of the corpus
-    * with a floor of 64, costing one count() job). This is standard
-    * prefix-filtering: it can only miss a pair whose EVERY shared shingle
-    * is hotter than the cap — vanishingly rare at thresholds >= 0.5 with
-    * the loose default. Pass `Long.MaxValue` for exact uncapped generation
+    * with a floor of 64, costing one count() job). Since round 16 the cap
+    * is applied BEFORE the prefix filter (so the candidate order is
+    * mirrorable as pure relational algebra — see [[jaccardCandidates]]),
+    * which widens the miss window: a pair can be missed whenever its
+    * Jaccard over the post-cap (cool) shingle sets falls below the
+    * threshold, even if its full-set Jaccard clears it — still rare at
+    * thresholds >= 0.5 with the loose default, since that needs a large
+    * share of the overlap to sit on corpus-hot shingles. Pass
+    * `Long.MaxValue` for exact uncapped generation
     * (the declared oracle queries do, keeping the correctness gate exact).
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,

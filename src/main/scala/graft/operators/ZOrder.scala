@@ -27,8 +27,17 @@ object ZOrder {
   def quantize(x: Column, minV: Long, maxV: Long, bits: Int): Column = {
     val buckets = (1L << bits) - 1
     if (maxV <= minV) lit(0L)
-    else ((x.cast("long") - lit(minV)) * lit(buckets) / lit(maxV - minV))
-      .cast("long")
+    else {
+      // Both (x - min) and (max - min) can leave Long for ranges wider
+      // than 2^63 — widen EVERYTHING to decimal(38,0) before any
+      // arithmetic (Spark's decimal→long cast ROUNDS, so the floor is
+      // explicit; the numerator is non-negative, so floor == the Long
+      // integer division wherever Long doesn't overflow and SQL oracles
+      // recompute it bit-for-bit).
+      val range = new java.math.BigDecimal((BigInt(maxV) - BigInt(minV)).bigInteger)
+      floor((x.cast("decimal(38,0)") - lit(minV)) * lit(buckets) / lit(range))
+        .cast("long")
+    }
   }
 
   /** Morton interleave of two `bits`-bit quantized values: bit i of `qx`
@@ -57,6 +66,10 @@ object ZOrder {
       bits: Int = 8, partitions: Int = 0): DataFrame = {
     val b = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    // Empty or all-null input has no bounds: every row (there may be
+    // null-keyed rows even when the frame isn't empty) lands on z = 0.
+    if (b.isNullAt(0) || b.isNullAt(2))
+      return df.withColumn("z", lit(0L))
     val z = zValue(col(xCol), col(yCol), b.getLong(0), b.getLong(1),
       b.getLong(2), b.getLong(3), bits)
     val out = df.withColumn("z", z)

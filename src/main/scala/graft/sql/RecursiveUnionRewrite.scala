@@ -48,20 +48,29 @@ object RecursiveUnionRewrite {
   private val headRe =
     "(?is)\\A\\s*WITH\\s+RECURSIVE\\s+([A-Za-z_]\\w*)\\s*(\\([\\w\\s,]*\\))?\\s*AS\\s*\\(".r
 
-  /** Cheap gate for the preRewrite arm: WITH RECURSIVE head and at least
-    * one UNION not followed by ALL, both outside string literals.
+  /** Gate for the preRewrite arm: WITH RECURSIVE head AND a
+    * parenthesis-depth-0 distinct UNION inside the recursive CTE body
+    * itself (outside string literals). The body requirement matters: a
+    * natively-valid UNION ALL recursive CTE whose FINAL query (or a
+    * nested subquery) contains a distinct UNION — e.g. `WITH RECURSIVE c
+    * AS (... UNION ALL ...) SELECT i FROM c UNION SELECT 99` — must fall
+    * through to native delegation, not be claimed and hinted.
     */
   def isShaped(sql: String): Boolean = {
     val m = ReplaceRewrite.maskLiterals(sql)
-    headRe.findFirstMatchIn(m).isDefined && hasDistinctUnion(m)
-  }
-
-  private def hasDistinctUnion(mask: String): Boolean =
-    words(mask).sliding(2).exists {
-      case Vector((w, _), (nx, _)) => w == "UNION" && nx != "ALL"
-      case Vector((w, _)) => w == "UNION"
-      case _ => false
+    val hm = headRe.findFirstMatchIn(m).getOrElse(return false)
+    val openIdx = hm.end - 1
+    val closeAfter = ReplaceRewrite.closeOf(sql, openIdx)
+    if (closeAfter <= 0 || closeAfter > sql.length) return false
+    val bodyMask = m.substring(openIdx + 1, closeAfter - 1)
+    val depth = depthAt(bodyMask)
+    val ws = words(bodyMask)
+    ws.zipWithIndex.exists { case ((w, off), wi) =>
+      w == "UNION" && depth(off) == 0 &&
+        !(wi + 1 < ws.length && ws(wi + 1)._1 == "ALL" &&
+          depth(ws(wi + 1)._2) == 0)
     }
+  }
 
   /** Uppercased word tokens with start offsets. */
   private def words(mask: String): Vector[(String, Int)] = {

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -25,33 +25,90 @@ import graft.operators.Dedup
   * boundaries. It also matches the crawl-history contract — a page is a
   * duplicate of something previously CRAWLED, not previously shipped.
   *
-  * Standing state is four append-only parquet directories (hash set, LSH
-  * band table, seen text, kept ids) — at 100 TB these are the persisted
-  * bucketed tables a nightly job compacts; per batch the engine appends
-  * O(|batch|) rows and never rewrites the archive. Screening cost per
-  * batch: the band-bucket join probes the standing band table (bucketed
-  * by (band, bh) in production, a co-located join), and exact
-  * verification touches only candidate documents' text via semi-join —
-  * the [[Dedup.incrementalNear]] economics, lifted to a stream.
+  * Standing state is three HASH-PARTITIONED parquet tables (hash set, LSH
+  * band table, seen text) plus an append-only kept-id log. Each standing
+  * table is laid out in `buckets` directory partitions keyed by
+  * `pmod(xxhash64(key), buckets)` — band table by (band, bh), hash set by
+  * h, seen text by doc_id — and every batch write lands one file per
+  * touched bucket. The layout choice is deliberate: catalog `bucketBy`
+  * would co-locate the probe JOIN (no shuffle of the archive side) but
+  * Spark still SCANS every bucket of a bucketed table under a join, so
+  * per-batch cost would grow with the archive. Directory partitioning by
+  * key hash instead lets each batch compute the (≤ buckets, K-bounded)
+  * set of partition values its keys touch and read the standing table
+  * with `bkt IN (...)` — a partition-PRUNED scan, so the archive I/O per
+  * batch is O(|batch keys| / buckets × archive), not O(archive). At a
+  * 100 TB archive with buckets sized like any shuffle (thousands), a
+  * small increment touches a small fraction of the partitions and the
+  * per-batch wall tracks the increment, not the archive (probed in
+  * StreamingSpec's 25×-archive contrast and plan-asserted: the probe scan
+  * carries partition filters and selects only touched partitions).
+  * Exact verification touches only candidate documents' text via the
+  * same pruned-scan + semi-join — the [[Dedup.incrementalNear]]
+  * economics, lifted to a stream. Appending one file per touched bucket
+  * per batch accumulates small files; [[Session.compact]] rewrites each
+  * standing table to one file per partition (auto-run every
+  * `compactEvery` batches — the knob a production deployment sets to its
+  * small-file budget, or disables and runs nightly).
   */
 object StreamingDedup {
+
+  private val BK = "bkt"
 
   /** Per-query standing state rooted under one temp directory. */
   final class Session private[StreamingDedup] (
       spark: SparkSession, root: java.nio.file.Path, threshold: Double,
-      numHashes: Int, numBands: Int, shingleN: Int) {
-    private val hashesDir = root.resolve("hashes").toString
-    private val bandsDir = root.resolve("bands").toString
-    private val seenDir = root.resolve("seen").toString
+      numHashes: Int, numBands: Int, shingleN: Int, buckets: Int,
+      compactEvery: Int) {
+    // Standing-table paths are versioned so compaction can rewrite to a
+    // fresh directory and swap (readers of the old path in flight within
+    // processBatch are never concurrent with compact — both run on the
+    // foreachBatch thread).
+    private var hashesVer = 0
+    private var bandsVer = 0
+    private var seenVer = 0
+    private def hashesDir = root.resolve(s"hashes-v$hashesVer").toString
+    private def bandsDir = root.resolve(s"bands-v$bandsVer").toString
+    private def seenDir = root.resolve(s"seen-v$seenVer").toString
     private val keptDir = root.resolve("kept").toString
+    private var batches = 0L
+
+    private def bandBkt: Column =
+      pmod(xxhash64(col("band"), col("bh")), lit(buckets.toLong)).cast("int")
+    private def hashBkt: Column =
+      pmod(xxhash64(col("h")), lit(buckets.toLong)).cast("int")
+    private def docBkt: Column =
+      pmod(xxhash64(col("doc_id")), lit(buckets.toLong)).cast("int")
+
+    /** Write `df` into the hash-partitioned layout: one file per touched
+      * bucket (the repartition keys rows to one task per bucket value).
+      */
+    private def writePartitioned(df: DataFrame, bkt: Column, path: String,
+        mode: String): Unit =
+      df.withColumn(BK, bkt).repartition(col(BK))
+        .write.mode(mode).partitionBy(BK).parquet(path)
+
+    /** The partition values a batch's keys touch — K-bounded by
+      * `buckets` (a driver-side collect of at most `buckets` ints).
+      */
+    private def touched(df: DataFrame, bkt: Column): Seq[Int] =
+      df.select(bkt.as(BK)).distinct().collect().map(_.getInt(0)).toSeq
+
+    /** Partition-pruned read of a standing table: only directories whose
+      * bucket value appears in the batch's key set are scanned.
+      */
+    private def pruned(path: String, touchedBkts: Seq[Int]): DataFrame =
+      spark.read.parquet(path).filter(
+        if (touchedBkts.isEmpty) lit(false)
+        else col(BK).isInCollection(touchedBkts))
 
     private[StreamingDedup] def seed(archive: DataFrame): Unit = {
       val a = archive.select(col("doc_id").cast("long").as("doc_id"),
         col("text"))
-      Dedup.archiveHashes(a).write.mode("overwrite").parquet(hashesDir)
-      Dedup.minhashBands(a, numHashes, numBands, shingleN)
-        .write.mode("overwrite").parquet(bandsDir)
-      a.write.mode("overwrite").parquet(seenDir)
+      writePartitioned(Dedup.archiveHashes(a), hashBkt, hashesDir, "overwrite")
+      writePartitioned(Dedup.minhashBands(a, numHashes, numBands, shingleN),
+        bandBkt, bandsDir, "overwrite")
+      writePartitioned(a, docBkt, seenDir, "overwrite")
       // kept starts empty, schema-stable
       a.select(col("doc_id")).limit(0).write.mode("overwrite").parquet(keptDir)
     }
@@ -63,32 +120,37 @@ object StreamingDedup {
         col("text")).localCheckpoint(true)
       if (batch.isEmpty) return
       val nh = batch.select(col("doc_id"),
-        md5(coalesce(col("text"), lit(""))).as("h"))
-      // exact screen: hash seen in the archive, or an earlier same-batch id
-      val dropExact = nh.join(sp.read.parquet(hashesDir), Seq("h"), "left_semi")
+        md5(coalesce(col("text"), lit(""))).as("h")).localCheckpoint(true)
+      // exact screen: hash seen in the archive (pruned to the batch's hash
+      // buckets), or an earlier same-batch id
+      val dropExact = nh
+        .join(pruned(hashesDir, touched(nh, hashBkt)).select("h"),
+          Seq("h"), "left_semi")
         .select("doc_id")
         .union(nh.select(col("doc_id").as("a"), col("h"))
           .join(nh.select(col("doc_id").as("doc_id"), col("h")), Seq("h"))
           .filter(col("a") < col("doc_id")).select("doc_id"))
         .distinct()
-      // near screen: band-bucket candidates vs the SEEN index + within
-      // batch (a < b drops b), verified exactly on candidate text only
+      // near screen: band-bucket candidates vs the SEEN index (pruned to
+      // the batch's band buckets) + within batch (a < b drops b), verified
+      // exactly on candidate text only
       val nb = Dedup.minhashBands(batch, numHashes, numBands, shingleN)
         .localCheckpoint(true)
-      val seenBands = sp.read.parquet(bandsDir)
+      val seenBands = pruned(bandsDir, touched(nb, bandBkt))
       val crossCands = nb.select(col("doc_id").as("a"), col("band"), col("bh"))
         .join(seenBands.select(col("doc_id").as("b"), col("band"), col("bh")),
           Seq("band", "bh"))
-        .select("a", "b").distinct()
+        .select("a", "b").distinct().localCheckpoint(true)
       val selfCands = nb.select(col("doc_id").as("a"), col("band"), col("bh"))
         .join(nb.select(col("doc_id").as("b"), col("band"), col("bh")),
           Seq("band", "bh"))
         .filter(col("a") < col("b")).select("a", "b").distinct()
       val candSeenIds = crossCands.select(col("b").as("doc_id")).distinct()
+      val candSeen = pruned(seenDir, touched(candSeenIds, docBkt))
+        .select("doc_id", "text")
+        .join(candSeenIds, Seq("doc_id"), "left_semi")
       val sh = Dedup.shinglesJit(batch, shingleN)
-        .union(Dedup.shinglesJit(
-          sp.read.parquet(seenDir).join(candSeenIds, Seq("doc_id"), "left_semi"),
-          shingleN))
+        .union(Dedup.shinglesJit(candSeen, shingleN))
       // verifyJaccard is symmetric in (a, b); the DROPPED side must be
       // column `a` — the batch doc for cross candidates, the LARGER id
       // for within-batch pairs (greedy: the earlier id was seen first).
@@ -102,20 +164,74 @@ object StreamingDedup {
         .join(dropNear, Seq("doc_id"), "left_anti")
         .write.mode("append").parquet(keptDir)
       // upsert: EVERYTHING seen enters the standing index
-      nh.select("h").distinct().write.mode("append").parquet(hashesDir)
-      nb.write.mode("append").parquet(bandsDir)
-      batch.write.mode("append").parquet(seenDir)
+      writePartitioned(nh.select("h").distinct(), hashBkt, hashesDir, "append")
+      writePartitioned(nb, bandBkt, bandsDir, "append")
+      writePartitioned(batch, docBkt, seenDir, "append")
+      batches += 1
+      if (compactEvery > 0 && batches % compactEvery == 0) compact()
+    }
+
+    /** Rewrite each standing table into one file per bucket partition
+      * (reads the old layout, writes a fresh versioned directory, swaps,
+      * deletes the old). Run automatically every `compactEvery` batches;
+      * a production deployment calls it from its maintenance window
+      * instead — the rewrite is O(archive), the per-batch appends are
+      * O(batch).
+      */
+    def compact(): Unit = {
+      def rewrite(oldPath: String, newPath: String): Unit = {
+        spark.read.parquet(oldPath).repartition(col(BK))
+          .write.mode("overwrite").partitionBy(BK).parquet(newPath)
+        val p = java.nio.file.Paths.get(oldPath)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      }
+      val (oh, ob, os) = (hashesDir, bandsDir, seenDir)
+      hashesVer += 1; bandsVer += 1; seenVer += 1
+      rewrite(oh, hashesDir); rewrite(ob, bandsDir); rewrite(os, seenDir)
     }
 
     def kept(): DataFrame = spark.read.parquet(keptDir)
+
+    /** Diagnostics for specs/probes: the pruned standing-band scan
+      * processBatch would perform for a batch's touched-bucket set, and
+      * the parquet file count of the standing band table.
+      */
+    private[graft] def prunedBandScan(touchedBkts: Seq[Int]): DataFrame =
+      pruned(bandsDir, touchedBkts)
+    private[graft] def bandTouched(batch: DataFrame): Seq[Int] =
+      touched(Dedup.minhashBands(
+        batch.select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        numHashes, numBands, shingleN), bandBkt)
+    private[graft] def bandFiles: Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(bandsDir))
+      try {
+        val it = s.iterator()
+        val out = Seq.newBuilder[java.nio.file.Path]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) out += p
+        }
+        out.result()
+      } finally s.close()
+    }
   }
 
-  /** Seed a session's standing state from the archive. */
+  /** Seed a session's standing state from the archive. `buckets` sizes
+    * the standing tables' partition fan-out — size it like any shuffle
+    * (archive index size / healthy partition size); the default suits
+    * test scale. `compactEvery` > 0 auto-compacts the standing tables
+    * every that many batches.
+    */
   def open(spark: SparkSession, archive: DataFrame, threshold: Double = 0.8,
-      numHashes: Int = 128, numBands: Int = 32, shingleN: Int = 3): Session = {
+      numHashes: Int = 128, numBands: Int = 32, shingleN: Int = 3,
+      buckets: Int = 64, compactEvery: Int = 16): Session = {
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup")
     root.toFile.deleteOnExit()
-    val s = new Session(spark, root, threshold, numHashes, numBands, shingleN)
+    val s = new Session(spark, root, threshold, numHashes, numBands,
+      shingleN, buckets, compactEvery)
     s.seed(archive)
     s
   }

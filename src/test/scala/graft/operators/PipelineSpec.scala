@@ -1130,6 +1130,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(sx > 120, s"y-sorted x-spread should span the domain: $sx")
     assert(zx < 0.7 * sx, s"z-order x-spread $zx vs y-sorted $sx")
     assert(zx < 80 && zy < 80, s"both spreads bounded: $zx / $zy (y-sorted: $sx / $sy)")
+    // Degenerate inputs (round-17 advice fix): empty and all-null frames
+    // have no bounds — cluster returns z = 0 rows instead of an NPE.
+    assert(ZOrder.cluster(grid.limit(0), "x", "y").count() == 0L)
+    val nulls = spark.range(3).select(lit(null).cast("long").as("x"),
+      lit(null).cast("long").as("y"))
+    assert(ZOrder.cluster(nulls, "x", "y").select("z").collect()
+      .forall(_.getLong(0) == 0L))
+    // Wide-range inputs that overflow (x-min)*buckets in Long arithmetic
+    // still quantize monotonically (the decimal-widened multiply).
+    val wide = Seq(Long.MinValue + 1, -1L, 0L, Long.MaxValue).toDF("x")
+      .select(col("x"), lit(0L).as("y"))
+    val q = wide.select(ZOrder.quantize(col("x"), Long.MinValue + 1,
+      Long.MaxValue, 8).as("q")).collect().map(_.getLong(0)).toSeq
+    assert(q == q.sorted && q.head == 0L && q.last == 255L, s"q=$q")
   }
 
   test("capped candidate plan: full-index df cap is an anti-join before the prefix filter") {

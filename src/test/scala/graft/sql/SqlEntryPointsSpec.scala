@@ -2211,6 +2211,18 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // gcd edge: gcd(0, 0) = 0 (DuckDB-pinned), signs dropped.
     assert(one[Long]("SELECT gcd(0, 0)") == 0L)
     assert(one[Long]("SELECT gcd(-12, 18)") == 6L)
+    // lcm: in-range values exact; BIGINT overflow ERRORS (DuckDB raises
+    // out-of-range) instead of silently wrapping (round-17 advice fix).
+    assert(one[Long]("SELECT lcm(4, 6)") == 12L)
+    val exLcm = intercept[Exception](spark.sql(
+      s"SELECT lcm(${Long.MaxValue}, ${Long.MaxValue - 1})").head())
+    assert(exLcm.getMessage.contains("out of range"), exLcm.getMessage)
+    // decode: 1-arg blob→string and 2-arg charset keep the DuckDB alias;
+    // 3+ args delegate to Spark's native variadic decode (round-17 fix —
+    // the alias must not shadow it).
+    assert(one[String]("SELECT decode(encode('hi'))") == "hi")
+    assert(one[String]("SELECT decode(2, 1, 'one', 2, 'two', 'other')") == "two")
+    assert(one[String]("SELECT decode(7, 1, 'one', 'other')") == "other")
   }
 
   test("macro bodies containing subqueries execute with deep substitution") {
@@ -2272,6 +2284,13 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(spark.sql(
       """WITH RECURSIVE c AS (SELECT 1 AS i UNION ALL SELECT i+1 FROM c WHERE i < 3)
          SELECT CAST(SUM(i) AS BIGINT) FROM c""").head().getLong(0) == 6L)
+    // ...even when the FINAL query (outside the CTE body) contains a
+    // distinct UNION: the gate keys on the BODY, so this runs natively
+    // instead of being claimed and hinted (round-17 advice fix).
+    assert(spark.sql(
+      """WITH RECURSIVE c AS (SELECT 1 AS i UNION ALL SELECT i+1 FROM c WHERE i < 3)
+         SELECT i FROM c UNION SELECT 99 AS i""")
+      .collect().map(_.getInt(0)).toSet == Set(1, 2, 3, 99))
     // Multiple CTEs in one WITH: declines to the guidance hint.
     val ex = intercept[Exception](spark.sql(
       """WITH RECURSIVE r AS (SELECT 1 AS x UNION SELECT x+1 FROM r WHERE x < 3),

@@ -272,6 +272,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneBatch == fourBatches)
   }
 
+  test("streaming dedup standing index: probe scan is partition-pruned, not a full scan") {
+    import spark.implicits._
+    // Archive big enough that its band table spans every bucket; the
+    // probe batch is ONE document, so its band keys touch few buckets.
+    val archive = (1000L until 1400L).map(i =>
+      (i, (1 to 40).map(j => s"a${i}w$j").mkString(" "))).toDF("doc_id", "text")
+    val sess = graft.streaming.StreamingDedup.open(spark, archive,
+      threshold = 0.8, buckets = 64, compactEvery = 0)
+    val batch = Seq((1L, (1 to 40).map(j => s"probe$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val touched = sess.bandTouched(batch)
+    // One doc = 32 band keys -> at most 32 of 64 buckets.
+    assert(touched.nonEmpty && touched.size <= 32, s"touched=$touched")
+    val probe = sess.prunedBandScan(touched)
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in probe plan:\n" +
+      probe.queryExecution.executedPlan))
+    // The pruning must happen at the SCAN (partition filters), not as a
+    // post-scan filter over a full read.
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filters:\n${probe.queryExecution.executedPlan}")
+    val filesRead = scan.metrics("numFiles").value
+    val filesTotal = sess.bandFiles.size
+    assert(filesRead > 0 && filesRead <= touched.size,
+      s"read $filesRead files for ${touched.size} buckets")
+    assert(filesRead < filesTotal,
+      s"probe read all $filesTotal standing files — no pruning")
+  }
+
+  test("streaming dedup compaction preserves the kept set and collapses small files") {
+    import spark.implicits._
+    val body = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 60).map(i => s"alt$i").mkString(" ")
+    val archive = Seq((1000L, body)).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, body), (11L, other), (12L, other + " tail"),
+      (13L, (1 to 60).map(i => s"uniq$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // compactEvery=2: the 4-batch run compacts twice mid-stream; the kept
+    // set must match the uncompacted spec-pinned result.
+    val sess = graft.streaming.StreamingDedup.open(spark, archive,
+      threshold = 0.8, buckets = 16, compactEvery = 2)
+    (0 until 4).foreach { i =>
+      sess.processBatch(inc.filter(col("doc_id") === (10L + i)), i.toLong)
+    }
+    assert(sess.kept().collect().map(_.getLong(0)).toSet == Set(11L, 13L))
+    // batch 4 auto-compacted: the standing band table is one file per
+    // touched bucket; a further batch appends new small files on top,
+    // and an explicit compact collapses them again.
+    val afterAuto = sess.bandFiles.size
+    assert(afterAuto <= 16, s"post-auto-compact files=$afterAuto")
+    val batch5 = Seq((20L, body)).toDF("doc_id", "text")
+    sess.processBatch(batch5, 5L) // exact dup: dropped but still indexed
+    val afterAppend = sess.bandFiles.size
+    assert(afterAppend > afterAuto, s"append did not add files ($afterAppend)")
+    sess.compact()
+    assert(sess.bandFiles.size < afterAppend)
+    // the standing index still answers probes after the swap
+    assert(sess.kept().collect().map(_.getLong(0)).toSet == Set(11L, 13L))
+  }
+
   test("stream-static enrichment broadcasts the dimension in every micro-batch") {
     val q = EventsStreaming.enrichedAgg(spark, SparkTestSession.sfDir)
       .writeStream.format("memory").queryName("enriched_plan_probe")
