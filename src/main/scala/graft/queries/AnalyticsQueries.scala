@@ -754,6 +754,41 @@ object AnalyticsQueries {
   }
 
   // ------------------------------------------------------------------
+  // ASOF JOIN inside a SUBQUERY (round 17): the literal DuckDB syntax
+  // nested in a derived table — AsofJoinRewrite.rewriteNested recurses
+  // the TVF splice into parenthesized blocks, so the pasted statement
+  // RUNS instead of raising the hint. Oracle = DuckDB's own native
+  // nested ASOF; same views and aggregate discipline as
+  // q29_asof_literal (CAST SUM to BIGINT — DuckDB SUM(BIGINT) is
+  // HUGEINT).
+  // ------------------------------------------------------------------
+  declare("q139_asof_nested",
+    """SELECT user_id, COUNT(*) AS n_matched,
+         CAST(SUM(CAST(date_diff('day', last_order, ts) AS BIGINT)) AS BIGINT) AS sum_gap_days
+       FROM (SELECT e.user_id AS user_id, e.ts AS ts, last_order
+             FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+             ASOF JOIN (SELECT o_custkey AS user_id,
+                          CAST(o_orderdate AS TIMESTAMP) AS ot,
+                          o_orderdate AS last_order FROM orders) o
+               ON e.user_id = o.user_id AND e.ts >= o.ot) m
+       GROUP BY user_id ORDER BY user_id""") { (spark, sfDir) =>
+    Engine.events(spark, sfDir).select(col("user_id"), col("ts"))
+      .createOrReplaceTempView("graft_asofn_ev")
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("ot"),
+        col("o_orderdate").as("last_order"))
+      .createOrReplaceTempView("graft_asofn_ord")
+    spark.sql(
+      """SELECT user_id, COUNT(*) AS n_matched,
+           CAST(SUM(CAST(datediff(ts, last_order) AS BIGINT)) AS BIGINT) AS sum_gap_days
+         FROM (SELECT e.user_id AS user_id, e.ts AS ts, last_order
+               FROM graft_asofn_ev e ASOF JOIN graft_asofn_ord o
+                 ON e.user_id = o.user_id AND e.ts >= o.ot) m
+         GROUP BY user_id ORDER BY user_id""")
+  }
+
+  // ------------------------------------------------------------------
   // Range (theta) join against a small banding relation -> broadcast
   // nested loop; never a shuffle of the fact table.
   // ------------------------------------------------------------------
@@ -2618,6 +2653,56 @@ object AnalyticsQueries {
             FROM (VALUES (1), (3), (2)) t(x)) AS fo,
            (SELECT last(x ORDER BY x DESC)
             FROM (VALUES (1), (3), (2)) t(x)) AS lo""")
+  }
+
+  // COLUMNS through arbitrary expression trees (round 17): the whole
+  // select item re-binds per matched column — `min(COLUMNS(s)) + 1`,
+  // lockstep same-set repeats (`max(COLUMNS(s)) - min(COLUMNS(s))`),
+  // and a CAST wrapping the tree — each output named by the PLAIN
+  // source column (DuckDB 1.0 pinned). Distinct per-item sets keep the
+  // output names collision-free. Identical statement text on both
+  // engines; min/max/+/- on stored doubles are single IEEE ops,
+  // representation-stable.
+  declare("q137_columns_nested",
+    """CREATE OR REPLACE TEMP VIEW q137_t AS
+         SELECT l_orderkey AS k, l_quantity AS qty, l_extendedprice AS px
+         FROM lineitem WHERE l_orderkey < 100;
+       SELECT min(COLUMNS('qty')) + 1,
+              max(COLUMNS('px')) - min(COLUMNS('px')),
+              CAST(min(COLUMNS('^k')) AS BIGINT)
+       FROM q137_t""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW q137_t AS
+           SELECT l_orderkey AS k, l_quantity AS qty, l_extendedprice AS px
+           FROM lineitem WHERE l_orderkey < 100""").collect()
+    spark.sql(
+      """SELECT min(COLUMNS('qty')) + 1,
+                max(COLUMNS('px')) - min(COLUMNS('px')),
+                CAST(min(COLUMNS('^k')) AS BIGINT)
+         FROM q137_t""")
+  }
+
+  // The bare COLUMNS set in a ROW-LEVEL expression tree (round 17):
+  // `COLUMNS(*) + COLUMNS(*)` doubles every column per row — no
+  // function wrap at all, the set appears twice and expands in
+  // lockstep. Addition of a stored double to itself is one IEEE op,
+  // representation-stable; k is exact BIGINT and unique, so ORDER BY 1
+  // (the doubled key) is a total order.
+  declare("q138_columns_rowexpr",
+    """CREATE OR REPLACE TEMP VIEW q138_t AS
+         SELECT l_orderkey * 10 + l_linenumber AS k,
+                l_quantity AS qty, l_extendedprice AS px
+         FROM lineitem WHERE l_orderkey < 100;
+       SELECT COLUMNS(*) + COLUMNS(*) FROM q138_t ORDER BY 1""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW q138_t AS
+           SELECT l_orderkey * 10 + l_linenumber AS k,
+                  l_quantity AS qty, l_extendedprice AS px
+           FROM lineitem WHERE l_orderkey < 100""").collect()
+    spark.sql("SELECT COLUMNS(*) + COLUMNS(*) FROM q138_t ORDER BY 1")
   }
 
   // SEQUENCE bounds + CYCLE (round 16): the remaining sequence options

@@ -297,4 +297,39 @@ object AsofJoinRewrite {
     Some(sql.substring(0, selStart) + newSel +
       s"FROM $tvf AS ${lalias.getOrElse(lname)} " + sql.substring(endPos))
   }
+
+  /** Recurse the splice into parenthesized SUBQUERY blocks (round 17):
+    * `FROM (SELECT ... ASOF JOIN ...) x`, an ASOF inside a CTE body, a
+    * scalar subquery, etc. Each parenthesized block that starts with
+    * SELECT and carries the ASOF shape at its own top level is rewritten
+    * by [[rewrite]] in place (the block is a complete one-table query,
+    * so every conservative guard applies unchanged inside it); deeper
+    * nesting recurses. One block per call — the caller's preRewrite
+    * re-entry picks up any remaining occurrence, exactly like the
+    * top-level arm.
+    */
+  def rewriteNested(sql: String): Option[String] = {
+    val mask = ReplaceRewrite.maskLiterals(sql)
+    var i = 0
+    while (i < mask.length) {
+      if (mask.charAt(i) == '(') {
+        val close = ReplaceRewrite.closeOf(sql, i)
+        if (close > 0 && close <= sql.length) {
+          val inner = sql.substring(i + 1, close - 1)
+          val startsSelect =
+            """(?is)\A\s*SELECT\b""".r.findFirstIn(inner).isDefined
+          if (startsSelect && QualifyRewrite.allWords(inner).exists(_._1 == "ASOF")) {
+            rewrite(inner).orElse(rewriteNested(inner)) match {
+              case Some(r) =>
+                return Some(sql.substring(0, i + 1) + r +
+                  sql.substring(close - 1))
+              case None => () // guards declined: fall through to the hint
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
 }

@@ -1131,7 +1131,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             () => text match { case usingKeyRe() =>
               UsingKeyRewrite.rewrite(text); case _ => None },
             () => text match { case asofRe() =>
-              AsofJoinRewrite.rewrite(text); case _ => None },
+              AsofJoinRewrite.rewrite(text)
+                .orElse(AsofJoinRewrite.rewriteNested(text)); case _ => None },
             () => text match { case excludeRe() =>
               ExcludeRewrite.rewrite(text); case _ => None },
             () => text match { case replaceStarRe() =>
@@ -1680,7 +1681,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
           .functionRegistry.functionExists(FunctionIdentifier("columns"))
         catch { case scala.util.control.NonFatal(_) => false }
       if (userHasColumnsFn) sqlText
-      else ColumnsRewrite.rewrite(sqlText).getOrElse {
+      // Re-enter: each pass expands ONE select-list item, so several
+      // COLUMNS-bearing items resolve across passes (q137's shape).
+      else ColumnsRewrite.rewrite(sqlText).map(preRewrite).getOrElse {
         // Hint only when the statement genuinely IS the DuckDB construct
         // (a select-list COLUMNS the rewrite declined) — a raw string
         // literal containing the text passes through untouched.
@@ -1756,7 +1759,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     // The result re-enters preRewrite (like POSITIONAL) so a prefix
     // another arm claims is still honored.
     case _ if asofShaped(sqlText) =>
-      AsofJoinRewrite.rewrite(sqlText).map(preRewrite).getOrElse(
+      AsofJoinRewrite.rewrite(sqlText)
+        .orElse(AsofJoinRewrite.rewriteNested(sqlText))
+        .map(preRewrite).getOrElse(
         throw new org.apache.spark.sql.AnalysisException(
           "USER_RAISED_EXCEPTION",
           Map("errorMessage" ->
@@ -1764,8 +1769,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               "(FROM l ASOF [LEFT] JOIN r ON l.k = r.k AND l.ts >= " +
               "r.ts — any of >=, >, <=, < in either conjunct order — " +
               "or USING (k, ts), explicit select list or left-side " +
-              "star, single-part view names) run automatically, but " +
-              "this shape doesn't — and left unrewritten Spark would " +
+              "star, single-part view names, including inside a " +
+              "parenthesized subquery or CTE body) run automatically, " +
+              "but this shape doesn't — and left unrewritten Spark would " +
               "misparse ASOF as a table alias. Use the asof_join() " +
               "table function directly: asof_join('left_view', " +
               "'right_view', 'on_col', 'left_order', 'right_order', " +
@@ -2558,9 +2564,13 @@ object GraftSparkExtensions {
         aliasFn("encode", (1, 2))(a =>
           if (a.size == 1) Cast(a(0), org.apache.spark.sql.types.BinaryType)
           else org.apache.spark.sql.catalyst.expressions.Encode(a(0), a(1))),
-        aliasFn("decode", (1, 2))(a =>
+        // 3+ args = Spark's native variadic decode(expr, search, result,
+        // ..., default) — delegate so the alias doesn't shadow it.
+        aliasFn("decode", (1, Int.MaxValue))(a =>
           if (a.size == 1) Cast(a(0), StringType)
-          else org.apache.spark.sql.catalyst.expressions.StringDecode(a(0), a(1))),
+          else if (a.size == 2)
+            org.apache.spark.sql.catalyst.expressions.StringDecode(a(0), a(1))
+          else org.apache.spark.sql.catalyst.expressions.Decode.createExpr(a)),
         // product(): Spark carries the aggregate internally (used by its
         // own pandas parity) but registers no SQL name; DuckDB does.
         aliasFn("product", (1, 1))(a =>

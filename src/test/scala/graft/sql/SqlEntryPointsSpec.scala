@@ -303,6 +303,42 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       s"expected decline-to-hint for the subquery left side, got: ${sub.getMessage}")
   }
 
+  test("ASOF JOIN inside subqueries and CTE bodies executes (round 17)") {
+    registerMarket()
+    // Derived-table form: FROM (SELECT ... ASOF JOIN ...) m.
+    val sub = spark.sql(
+      """SELECT sym, CAST(COUNT(*) AS BIGINT) AS n, SUM(px) AS spx
+         FROM (SELECT t.sym AS sym, tt, px, tag
+               FROM sq_trades t ASOF JOIN sq_quotes q
+                 ON t.sym = q.sym AND t.tt >= q.qt) m
+         GROUP BY sym ORDER BY sym""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // trades (1,20)->110, (1,25)->110, (2,99)->50; (1,5)/(3,10) unmatched
+    assert(sub == Seq((1L, 2L, 220.0), (2L, 1L, 50.0)), s"got $sub")
+    // CTE-body form.
+    val cte = spark.sql(
+      """WITH m AS (SELECT t.sym AS sym, tt, px
+                    FROM sq_trades t ASOF JOIN sq_quotes q
+                      ON t.sym = q.sym AND t.tt >= q.qt)
+         SELECT sym, tt, px FROM m ORDER BY sym, tt""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cte == Set((1L, 20L, 110.0), (1L, 25L, 110.0), (2L, 99L, 50.0)),
+      s"got $cte")
+    // Scalar-subquery form: the block rewrites in expression position.
+    val scalar = spark.sql(
+      """SELECT (SELECT SUM(px) FROM sq_trades t ASOF JOIN sq_quotes q
+                 ON t.sym = q.sym AND t.tt >= q.qt) AS s""")
+      .head().getDouble(0)
+    assert(scalar == 270.0, s"got $scalar")
+    // A DECLINED inner shape (right-qualified select column) still
+    // lands on the hint, not a misparse.
+    val ex = intercept[Exception](spark.sql(
+      """SELECT * FROM (SELECT t.sym, q.px
+                        FROM sq_trades t ASOF JOIN sq_quotes q
+                          ON t.sym = q.sym AND t.tt >= q.qt) m"""))
+    assert(ex.getMessage.contains("asof_join("), s"got: ${ex.getMessage}")
+  }
+
   test("DESCRIBE works natively; the literal SUMMARIZE statement RUNS (rewrite to the TVF)") {
     registerMarket()
     val desc = spark.sql("DESCRIBE sq_quotes").collect().map(_.getString(0)).toSet
