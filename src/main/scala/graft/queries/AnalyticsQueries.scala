@@ -2705,6 +2705,47 @@ object AnalyticsQueries {
     spark.sql("SELECT COLUMNS(*) + COLUMNS(*) FROM q138_t ORDER BY 1")
   }
 
+  // Catalog-table keyed ingest (round 17): CREATE TABLE with PRIMARY
+  // KEY (constraint stripped, key registered — CatalogPkRewrite), then
+  // INSERT OR REPLACE / ON CONFLICT DO NOTHING / DO UPDATE SET against
+  // the CATALOG table (temp_upsert's catalog path: keyed anti-join +
+  // union staged OUTSIDE the table, then INSERT OVERWRITE — the
+  // idempotent-ingest recipe run mechanically; ignore mode appends only
+  // fresh rows). IDENTICAL script on both engines; DuckDB executes its
+  // native constraint machinery. Arithmetic: one *2 / one + per double,
+  // representation-stable.
+  declare("q140_catalog_upsert",
+    """CREATE OR REPLACE TABLE graft_q140 (k BIGINT PRIMARY KEY, v DOUBLE);
+       INSERT INTO graft_q140 SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey < 200;
+       INSERT OR REPLACE INTO graft_q140
+         SELECT o_orderkey, o_totalprice * 2 FROM orders
+         WHERE o_orderkey >= 100 AND o_orderkey < 300;
+       INSERT INTO graft_q140 SELECT o_orderkey, CAST(-1.0 AS DOUBLE)
+         FROM orders WHERE o_orderkey < 350
+         ON CONFLICT (k) DO NOTHING;
+       INSERT INTO graft_q140 SELECT o_orderkey, CAST(5.0 AS DOUBLE)
+         FROM orders WHERE o_orderkey < 100
+         ON CONFLICT (k) DO UPDATE SET v = v + EXCLUDED.v;
+       SELECT k, v FROM graft_q140 ORDER BY k""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    Seq(
+      "CREATE OR REPLACE TABLE graft_q140 (k BIGINT PRIMARY KEY, v DOUBLE)",
+      """INSERT INTO graft_q140 SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey < 200""",
+      """INSERT OR REPLACE INTO graft_q140
+         SELECT o_orderkey, o_totalprice * 2 FROM orders
+         WHERE o_orderkey >= 100 AND o_orderkey < 300""",
+      """INSERT INTO graft_q140 SELECT o_orderkey, CAST(-1.0 AS DOUBLE)
+         FROM orders WHERE o_orderkey < 350
+         ON CONFLICT (k) DO NOTHING""",
+      """INSERT INTO graft_q140 SELECT o_orderkey, CAST(5.0 AS DOUBLE)
+         FROM orders WHERE o_orderkey < 100
+         ON CONFLICT (k) DO UPDATE SET v = v + EXCLUDED.v""")
+      .foreach(s => spark.sql(s).collect())
+    spark.sql("SELECT k, v FROM graft_q140 ORDER BY k")
+  }
+
   // SEQUENCE bounds + CYCLE (round 16): the remaining sequence options
   // execute — MINVALUE/MAXVALUE with wraparound (ascending wraps to
   // MINVALUE, not START) and a descending bounded sequence — identical

@@ -1419,18 +1419,17 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "..., ROW_NUMBER() OVER (...) AS rn FROM t) WHERE rn <= k.")
               case insertOrRe() =>
                 Some("INSERT OR REPLACE / OR IGNORE / ON CONFLICT [(cols)] " +
-                  "DO NOTHING run automatically against graft TEMP tables " +
-                  "(declare the key: CREATE TEMP TABLE t (id INTEGER " +
-                  "PRIMARY KEY, ...), or name it in ON CONFLICT (cols)) — " +
-                  "but this target is a catalog parquet table, which " +
-                  "declares no primary key. The idempotent-ingest idiom " +
-                  "here: de-duplicate the increment against the target " +
-                  "first — INSERT INTO t SELECT * FROM inc LEFT ANTI JOIN " +
-                  "t USING (key_cols) (OR IGNORE), or stage the merged " +
-                  "state and INSERT OVERWRITE (OR REPLACE). ON CONFLICT " +
-                  "DO UPDATE SET ... [WHERE ...] (EXCLUDED.c = incoming " +
-                  "row) runs against graft temp tables too; for catalog " +
-                  "tables stage a MERGE-style join.")
+                  "DO NOTHING / DO UPDATE SET ... run automatically " +
+                  "against graft TEMP tables AND catalog tables (declare " +
+                  "the key: CREATE [TEMP] TABLE t (id INTEGER PRIMARY " +
+                  "KEY, ...), or name it in ON CONFLICT (cols)) — but " +
+                  "this statement still failed: check that the target " +
+                  "exists, is not a view, and has a declared or stated " +
+                  "conflict target. Manual idiom: de-duplicate the " +
+                  "increment against the target first — INSERT INTO t " +
+                  "SELECT * FROM inc LEFT ANTI JOIN t USING (key_cols) " +
+                  "(OR IGNORE), or stage the merged state and INSERT " +
+                  "OVERWRITE (OR REPLACE).")
               case similarToRe() =>
                 Some("If you meant DuckDB's [NOT] SIMILAR TO: the " +
                   "literal-pattern form (expr SIMILAR TO '<regex>') " +
@@ -1748,6 +1747,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     // (duckdb_tables() reads their description as fallback).
     case commentTableRe(tbl, lit) if TempTables.exists(tbl) =>
       s"SELECT * FROM comment_ctl('table', '$tbl', '', $lit)"
+    // CREATE TABLE with PRIMARY KEY / UNIQUE: Spark 4.1 parses the
+    // constraint but v1 tables reject it in analysis — strip it,
+    // register the key columns (the conflict target INSERT OR REPLACE /
+    // ON CONFLICT resolve against, catalog path), and re-enter with the
+    // constraint-free DDL.
+    case CatalogPkRewritten(stripped, name, keys) =>
+      TempTables.setKeys(name, keys)
+      preRewrite(stripped)
     case TempTableRewritten(r) => r
     // ASOF JOIN must ALSO be caught before delegation, not only in the
     // parse-failure chain: without an explicit left alias Spark PARSES
@@ -4059,12 +4066,17 @@ object GraftSparkExtensions {
   private def alignInsert(target: org.apache.spark.sql.DataFrame,
       src: org.apache.spark.sql.DataFrame, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    // Source column names can carry dots (an unaliased `CAST(-1.0 AS
+    // DOUBLE)` select item) — quote them so col() doesn't split a
+    // nested-field path.
+    def q(c: String): org.apache.spark.sql.Column =
+      col("`" + c.replace("`", "``") + "`")
     val tf = target.schema.fields
     if (cols.isEmpty) {
       require(src.columns.length == tf.length,
         s"INSERT: ${src.columns.length} column(s) provided, table has ${tf.length}")
       src.select(src.columns.toIndexedSeq.zip(tf.toIndexedSeq).map { case (c, f) =>
-        col(c).cast(f.dataType).as(f.name) }: _*)
+        q(c).cast(f.dataType).as(f.name) }: _*)
     } else {
       require(src.columns.length == cols.length,
         s"INSERT: column list has ${cols.length} name(s), query produces ${src.columns.length}")
@@ -4073,7 +4085,7 @@ object GraftSparkExtensions {
       require(unknown.isEmpty, s"INSERT: no such column(s): ${unknown.mkString(", ")}")
       src.select(tf.toIndexedSeq.map { f =>
         byPos.get(f.name.toLowerCase) match {
-          case Some(sc) => col(sc).cast(f.dataType).as(f.name)
+          case Some(sc) => q(sc).cast(f.dataType).as(f.name)
           case None => lit(null).cast(f.dataType).as(f.name)
         }
       }: _*)
@@ -4138,20 +4150,42 @@ object GraftSparkExtensions {
       def fail(msg: String): Nothing =
         throw new org.apache.spark.sql.AnalysisException(
           "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
-      if (!TempTables.exists(name))
-        fail(s"INSERT OR ${mode.toUpperCase} / ON CONFLICT executes against " +
-          s"graft temp tables only, and '$name' is not one. For a catalog " +
-          "parquet table use the idempotent-ingest idiom: INSERT INTO t " +
-          "SELECT * FROM inc LEFT ANTI JOIN t USING (keys) (ignore), or " +
-          "stage the merged state and INSERT OVERWRITE (replace).")
+      val isTemp = TempTables.exists(name)
+      // Catalog (non-temp) tables execute too (round 17): the upsert is
+      // the staged-INSERT-OVERWRITE recipe run mechanically. tableExists
+      // on the session catalog sees persistent tables, not temp views —
+      // an unclaimed name keeps DuckDB's error shape.
+      val isCatalog = !isTemp &&
+        (try spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(name))
+        catch { case scala.util.control.NonFatal(_) => false })
+      if (!isTemp && !isCatalog)
+        fail(s"INSERT OR ${mode.toUpperCase} / ON CONFLICT: '$name' is " +
+          "neither a graft temp table nor a catalog table (views cannot " +
+          "be upserted).")
       val target = spark.table(name)
+      // Temp path: atomic view re-registration (snapshot semantics).
+      // Catalog path: materialize the merged state OUTSIDE the table
+      // first — overwriting a table from a plan that reads the same
+      // table is unsafe — then INSERT OVERWRITE, positionally aligned.
+      // At scale both are one keyed anti-join + union + one table
+      // rewrite; the ignore mode appends only the fresh rows instead.
+      def commit(df: org.apache.spark.sql.DataFrame): Unit =
+        if (isTemp) TempTables.put(name, df)
+        else {
+          val (merged, _) = graft.operators.Scratch.materialize(
+            df.select(target.columns.map(col).toIndexedSeq: _*),
+            s"cat_$name")
+          merged.write.mode("overwrite").insertInto(name)
+        }
       val keys = {
         val stated = asString(v(3)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         if (stated.nonEmpty) stated
         else TempTables.keysOf(name).getOrElse(fail(
           s"'$name' has no PRIMARY KEY declared and the statement names no " +
-            "conflict target — declare one (CREATE TEMP TABLE t (id INTEGER " +
-            "PRIMARY KEY, ...)) or use ON CONFLICT (cols) DO NOTHING."))
+            "conflict target — declare one (CREATE [TEMP] TABLE t (id " +
+            "INTEGER PRIMARY KEY, ...)) or use ON CONFLICT (cols) DO " +
+            "NOTHING."))
       }
       val missing = keys.filterNot(k =>
         target.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
@@ -4170,9 +4204,8 @@ object GraftSparkExtensions {
             fail("PRIMARY KEY or UNIQUE constraint violated: duplicate key " +
               s"in the inserted rows (${keys.mkString(", ")} = " +
               s"${dupKeys.head.toSeq.init.mkString(", ")})")
-          TempTables.put(name,
-            target.join(staged.select(keyCols: _*), keys, "left_anti")
-              .unionByName(staged))
+          commit(target.join(staged.select(keyCols: _*), keys, "left_anti")
+            .unionByName(staged))
           nInput
         case "ignore" =>
           // Conflicts lose silently — against the target AND within the
@@ -4184,7 +4217,10 @@ object GraftSparkExtensions {
           val (freshStaged, _) =
             graft.operators.Scratch.materialize(fresh, s"upsf_$name")
           val nFresh = freshStaged.count()
-          TempTables.put(name, target.unionByName(freshStaged))
+          if (isTemp) TempTables.put(name, target.unionByName(freshStaged))
+          else // catalog: conflicts lose, so only the fresh rows APPEND
+            freshStaged.select(target.columns.map(col).toIndexedSeq: _*)
+              .write.mode("append").insertInto(name)
           nFresh
         case "update" =>
           // ON CONFLICT DO UPDATE SET ... [WHERE ...] — DuckDB 1.0
@@ -4260,8 +4296,7 @@ object GraftSparkExtensions {
           val (freshStaged, _) =
             graft.operators.Scratch.materialize(fresh, s"upsu_$name")
           val nFresh = freshStaged.count()
-          TempTables.put(name,
-            untouched.unionByName(updated).unionByName(freshStaged))
+          commit(untouched.unionByName(updated).unionByName(freshStaged))
           nFresh + nUpdated
         case other => fail(s"temp_upsert: unknown mode '$other'")
       }

@@ -72,6 +72,16 @@ object TempTableRewrite {
   private def esc(s: String) =
     s.replace("\\", "\\\\").replace("'", "''")
 
+  /** Persistent-catalog presence (NOT temp views — a view upsert must
+    * keep DuckDB's error shape, raised by the TVF).
+    */
+  private def catalogHas(name: String): Boolean =
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))
+    } catch { case NonFatal(_) => false }
+
   /** Optional leading column list: a parenthesized ident CSV followed
     * by MORE text (a bare `(SELECT ...)` body has no trailing text
     * after its close paren). None = unparseable (unbalanced paren).
@@ -105,10 +115,12 @@ object TempTableRewrite {
           TempTables.drop(name)
           Some("SELECT CAST(NULL AS BIGINT) AS Count WHERE 1 = 0")
         case insertOrRe(modeWord, name, rest) =>
-          // INSERT OR REPLACE / OR IGNORE — keyed upsert against a graft
-          // temp table's declared PRIMARY KEY. Catalog tables fall to
-          // the insertOrRe hint (the anti-join/OVERWRITE idiom).
-          if (!TempTables.exists(name)) return None
+          // INSERT OR REPLACE / OR IGNORE — keyed upsert against the
+          // declared PRIMARY KEY: graft temp tables AND (round 17)
+          // catalog tables (the upsert TVF runs the staged
+          // INSERT-OVERWRITE recipe there; the PK comes from the
+          // constraint-stripping CREATE TABLE claim).
+          if (!TempTables.exists(name) && !catalogHas(name)) return None
           val words = QualifyRewrite.topLevelWords(rest)
           if (words.exists(_._1 == "?")) return None
           // RETURNING / an explicit ON CONFLICT on top of the shorthand
@@ -143,7 +155,8 @@ object TempTableRewrite {
           }
           conflictAt match {
             case Some(pos) =>
-              if (!isTemp || returning.isDefined) return None
+              if ((!isTemp && !catalogHas(name)) || returning.isDefined)
+                return None
               val clause = body0.substring(pos).trim
               val headRe = ("(?is)\\AON\\s+CONFLICT\\s*" +
                 "(?:\\(([^)]*)\\)\\s*)?DO\\s+(NOTHING|UPDATE)\\b").r

@@ -2190,6 +2190,47 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     Seq("up_t", "up_n").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("catalog-table upsert: PK-stripping CREATE, OR REPLACE/IGNORE, " +
+    "ON CONFLICT, and edge errors (round 17)") {
+    def one(sql: String): Long = spark.sql(sql).head().getLong(0)
+    // CREATE TABLE with PRIMARY KEY: constraint stripped, key registered,
+    // table lands in the catalog (not a temp view).
+    spark.sql("CREATE OR REPLACE TABLE up_cat (id INT PRIMARY KEY, s STRING) USING parquet")
+    assert(spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier("up_cat")))
+    // plain INSERT stays native (no Count row); state checked below
+    spark.sql("INSERT INTO up_cat VALUES (1,'a'), (2,'b')").collect()
+    assert(one("INSERT OR REPLACE INTO up_cat VALUES (2,'B'), (3,'c')") == 2L)
+    assert(one("INSERT OR IGNORE INTO up_cat VALUES (3,'X'), (4,'d')") == 1L)
+    assert(one("INSERT INTO up_cat VALUES (4,'Y'), (5,'e') " +
+      "ON CONFLICT (id) DO NOTHING") == 1L)
+    assert(one("INSERT INTO up_cat VALUES (1,'z') " +
+      "ON CONFLICT (id) DO UPDATE SET s = EXCLUDED.s || up_cat.s") == 1L)
+    val state = spark.table("up_cat").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(state == Seq(1 -> "za", 2 -> "B", 3 -> "c", 4 -> "d", 5 -> "e"),
+      s"got $state")
+    // Duplicate key within one REPLACE increment errors like DuckDB.
+    val dup = intercept[Exception](
+      spark.sql("INSERT OR REPLACE INTO up_cat VALUES (7,'x'), (7,'y')"))
+    assert(dup.getMessage.contains("duplicate key"), s"got: ${dup.getMessage}")
+    // Table-level PRIMARY KEY (a, b) strips and registers the pair.
+    spark.sql("CREATE OR REPLACE TABLE up_cat2 " +
+      "(a INT, b INT, v INT, PRIMARY KEY (a, b)) USING parquet")
+    spark.sql("INSERT INTO up_cat2 VALUES (1,1,10), (1,2,20)")
+    assert(one("INSERT OR REPLACE INTO up_cat2 VALUES (1,2,99), (2,1,30)") == 2L)
+    val s2 = spark.table("up_cat2").orderBy("a", "b").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(s2 == Seq((1, 1, 10), (1, 2, 99), (2, 1, 30)), s"got $s2")
+    // A plain VIEW target is refused with a named error, not mutated.
+    spark.sql("CREATE OR REPLACE TEMP VIEW up_cat_v AS SELECT 1 AS id")
+    val vw = intercept[Exception](
+      spark.sql("INSERT INTO up_cat_v VALUES (2) ON CONFLICT (id) DO NOTHING"))
+    assert(vw.getMessage.contains("view") ||
+      vw.getMessage.contains("ANTI JOIN"), s"got: ${vw.getMessage}")
+    Seq("up_cat", "up_cat2").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("SIMILAR TO executes as anchored full-match; edge shapes decline") {
     import spark.implicits._
     Seq("abc", "abcd", "ABC", "a1c", "x\nabc").toDF("s")
