@@ -1551,12 +1551,36 @@ object PipelineQueries {
   // shingle CTE, sort+slice each doc's remaining shingles to the
   // t=0.5 prefix, self-join prefixes, then verify exact Jaccard over the
   // FULL shingle sets (the cap affects candidates only, never values).
+  //
+  // Round 17: the histogram gets a CURVE — near-copies planted at three
+  // truncation depths (keep the first ceil(n·0.95 / 0.75 / 0.55) tokens
+  // of every ≥60-token doc under doc_id 120), so pair mass lands in
+  // deciles ≈9 / ≈7 / ≈5 at every SF (a prefix copy's Jaccard is
+  // (keep−2)/(n−2)) — plus the cross-depth pairs and natural dup mass.
+  // The factors are CAST AS DOUBLE in both texts: bare 0.95 is DECIMAL
+  // in DuckDB and ceil at an exact-integer boundary could differ from
+  // the double product Spark computes.
   declare("dedup_threshold_curve",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    """WITH seed AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+                     WHERE doc_id < 120 AND len(string_split(text, ' ')) >= 60),
+       p1 AS (SELECT doc_id + 50000 AS doc_id,
+                array_to_string(list_slice(ws, 1,
+                  CAST(ceil(len(ws) * CAST(0.95 AS DOUBLE)) AS INT)), ' ') AS text FROM seed),
+       p2 AS (SELECT doc_id + 60000 AS doc_id,
+                array_to_string(list_slice(ws, 1,
+                  CAST(ceil(len(ws) * CAST(0.75 AS DOUBLE)) AS INT)), ' ') AS text FROM seed),
+       p3 AS (SELECT doc_id + 70000 AS doc_id,
+                array_to_string(list_slice(ws, 1,
+                  CAST(ceil(len(ws) * CAST(0.55 AS DOUBLE)) AS INT)), ' ') AS text FROM seed),
+       corpus AS (SELECT doc_id, text FROM documents
+                  UNION ALL SELECT * FROM p1
+                  UNION ALL SELECT * FROM p2
+                  UNION ALL SELECT * FROM p3),
+       toks AS (SELECT doc_id, string_split(text, ' ') ws FROM corpus),
        sh0 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) shingles FROM toks),
        sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
-       cap AS (SELECT greatest(64, COUNT(*) // 1000) c FROM documents),
+       cap AS (SELECT greatest(64, COUNT(*) // 1000) c FROM corpus),
        hot AS (SELECT shingle FROM sh GROUP BY 1
                HAVING COUNT(*) > (SELECT c FROM cap)),
        cool AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
@@ -1575,7 +1599,17 @@ object PipelineQueries {
                JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id)
        SELECT CAST(floor(j * 10) AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) n_pairs
        FROM jac WHERE j >= 0.5 GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
-    Dedup.jaccardPairs(t(spark, sfDir, "documents"), threshold = 0.5,
+    val d = t(spark, sfDir, "documents").select("doc_id", "text")
+    val seed = d.filter(col("doc_id") < 120)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 60)
+    def plantAt(off: Int, f: Double) = seed.select(
+      (col("doc_id") + off).as("doc_id"),
+      concat_ws(" ", slice(col("ws"), lit(1),
+        ceil(size(col("ws")) * lit(f)).cast("int"))).as("text"))
+    val corpus = d.union(plantAt(50000, 0.95))
+      .union(plantAt(60000, 0.75)).union(plantAt(70000, 0.55))
+    Dedup.jaccardPairs(corpus, threshold = 0.5,
         maxShingleDf = Dedup.AutoShingleDf)
       .select(floor(col("jaccard") * 10).cast("long").as("decile"))
       .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
