@@ -179,3 +179,63 @@ case class EntropyAgg(
     copy(child = c(0))
   override def prettyName: String = "entropy"
 }
+
+/** `mad(x)` — median absolute deviation, DuckDB 1.0 pinned:
+  * median(abs(x - median(x))) with percentile_cont(0.5) interpolation
+  * at both levels (even counts average the two middle order
+  * statistics), NULLs dropped, empty group → NULL, single value → 0.0,
+  * numeric input computed as DOUBLE (the registration casts).
+  *
+  * The nested-aggregate shape has no one-pass SQL form; the buffer is
+  * the SAME value→count map the histogram aggregate carries (map-side
+  * partial merge, per-group state O(distinct values)), and both medians
+  * resolve exactly from the weighted order statistics at eval — no
+  * second pass over the data, no per-row buffer.
+  */
+case class MadAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends FreqAggBase {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def supported(dt: DataType): Boolean =
+    dt == DoubleType // the registration casts numerics to DOUBLE
+
+  /** k-th (0-based) order statistic of the weighted sorted values. */
+  private def orderStat(sorted: Array[(Double, Long)], k: Long): Double = {
+    var c = 0L
+    var i = 0
+    while (i < sorted.length) {
+      c += sorted(i)._2
+      if (c > k) return sorted(i)._1
+      i += 1
+    }
+    sorted(sorted.length - 1)._1
+  }
+
+  /** percentile_cont(0.5) over the weighted multiset. */
+  private def contMedian(sorted: Array[(Double, Long)], n: Long): Double =
+    if (n % 2 == 1) orderStat(sorted, n / 2)
+    else (orderStat(sorted, n / 2 - 1) + orderStat(sorted, n / 2)) / 2.0
+
+  override def eval(buf: mutable.HashMap[Any, Long]): Any = {
+    if (buf.isEmpty) return null
+    val entries = buf.toArray
+      .map { case (k, n) => (k.asInstanceOf[Double], n) }.sortBy(_._1)
+    val total = entries.iterator.map(_._2).sum
+    val m = contMedian(entries, total)
+    val devs = entries.map { case (v, n) => (math.abs(v - m), n) }
+    val merged = mutable.LinkedHashMap.empty[Double, Long]
+    devs.foreach { case (d, n) => merged.update(d, merged.getOrElse(d, 0L) + n) }
+    contMedian(merged.toArray.sortBy(_._1), total)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MadAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MadAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MadAgg =
+    copy(child = c(0))
+  override def prettyName: String = "mad"
+}

@@ -2705,6 +2705,28 @@ object AnalyticsQueries {
     spark.sql("SELECT COLUMNS(*) + COLUMNS(*) FROM q138_t ORDER BY 1")
   }
 
+  // mad() — median absolute deviation (round 17): the nested-aggregate
+  // shape (median of |x − median(x)|) no one-pass SQL can express —
+  // a TypedImperativeAggregate over the histogram's value→count buffer
+  // (map-side partial merge, exact weighted percentile_cont(0.5) at
+  // both levels). Identical statement on both engines; medians average
+  // two stored doubles (one IEEE op), representation-stable.
+  declare("q141_mad",
+    """SELECT l_returnflag,
+         mad(l_extendedprice) AS mad_price,
+         mad(l_quantity) AS mad_qty,
+         mad(l_orderkey) AS mad_key
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+           mad(l_extendedprice) AS mad_price,
+           mad(l_quantity) AS mad_qty,
+           mad(l_orderkey) AS mad_key
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
   // Catalog-table keyed ingest (round 17): CREATE TABLE with PRIMARY
   // KEY (constraint stripped, key registered — CatalogPkRewrite), then
   // INSERT OR REPLACE / ON CONFLICT DO NOTHING / DO UPDATE SET against

@@ -2371,6 +2371,10 @@ object GraftSparkExtensions {
         // dropped, empty→NULL) and entropy (log2 Shannon, empty→0.0).
         aliasFn("histogram", (1, 1))(a => graft.functions.HistogramAgg(a(0))),
         aliasFn("entropy", (1, 1))(a => graft.functions.EntropyAgg(a(0))),
+        // mad(x): median absolute deviation (nested-aggregate shape —
+        // the one real round-16 sweep miss), numeric input as DOUBLE.
+        aliasFn("mad", (1, 1))(a => graft.functions.MadAgg(
+          Cast(a(0), org.apache.spark.sql.types.DoubleType))),
         // Sequences (sql/Sequences) — nondeterministic by declaration so
         // CSE/constant folding can't collapse or pre-advance them.
         aliasFn("nextval", (1, 1))(a => graft.functions.NextVal(a(0))),

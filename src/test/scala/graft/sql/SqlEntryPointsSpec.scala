@@ -2231,6 +2231,31 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     Seq("up_cat", "up_cat2").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("mad() computes the interpolated median absolute deviation (round 17)") {
+    def one(sql: String): Any = spark.sql(sql).head().get(0)
+    // DuckDB 1.0 pinned: median([1,2,3,100]) = 2.5; devs [.5,.5,1.5,97.5]
+    // → even-count average of the two middle = 1.0.
+    assert(one("SELECT mad(x) FROM (VALUES (1.0),(2.0),(3.0),(100.0)) t(x)") == 1.0)
+    // integers compute as DOUBLE; NULLs dropped; empty → NULL; single → 0.
+    assert(one("SELECT mad(x) FROM (VALUES (1),(2),(3),(100)) t(x)") == 1.0)
+    assert(one("SELECT mad(x) FROM (VALUES (1.0),(NULL),(3.0)) t(x)") == 1.0)
+    assert(spark.sql("SELECT mad(x) FROM (VALUES (CAST(NULL AS DOUBLE))) t(x)")
+      .head().isNullAt(0))
+    assert(one("SELECT mad(x) FROM (VALUES (5.0)) t(x)") == 0.0)
+    // grouped + map-side partial merge across partitions.
+    import spark.implicits._
+    val df = (1 to 1001).map(i => (i % 2, i.toDouble)).toDF("g", "x")
+      .repartition(8)
+    df.createOrReplaceTempView("mad_t")
+    val rows = spark.sql(
+      "SELECT g, mad(x) FROM mad_t GROUP BY g ORDER BY g").collect()
+    // odd g: 1,3,...,1001 (501 values, median 501, devs 0,2,..,500 →
+    // median dev 250); even g: 2,4,...,1000 (500 values, median 501,
+    // devs 1,3,..,499 doubled-sided → 250)
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(250.0, 250.0),
+      rows.mkString(","))
+  }
+
   test("SIMILAR TO executes as anchored full-match; edge shapes decline") {
     import spark.implicits._
     Seq("abc", "abcd", "ABC", "a1c", "x\nabc").toDF("s")
