@@ -57,7 +57,10 @@ case class DuckIndex(left: Expression, right: Expression)
       else TypeCheckResult.TypeCheckFailure(
         "struct['key'] requires a constant string key")
     case m: MapType =>
-      if (right.dataType == m.keyType) TypeCheckResult.TypeCheckSuccess
+      val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+      if (right.dataType == m.keyType ||
+        (integral(right.dataType) && integral(m.keyType)))
+        TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
         s"map key type ${m.keyType.simpleString} expected, " +
           s"got ${right.dataType.simpleString}")
@@ -70,7 +73,9 @@ case class DuckIndex(left: Expression, right: Expression)
     case StringType => StringType
     case s: StructType =>
       if (structOrdinal >= 0) s.fields(structOrdinal).dataType else NullType
-    case m: MapType => m.valueType
+    // DuckDB 1.0 pinned: map[key] returns a LIST of the matching values
+    // (empty when absent), not a bare value.
+    case m: MapType => ArrayType(m.valueType, m.valueContainsNull)
     case other => other
   }
 
@@ -114,14 +119,24 @@ case class DuckIndex(left: Expression, right: Expression)
         val map = v.asInstanceOf[MapData]
         val keys = map.keyArray()
         val n = map.numElements()
+        // integral keys compare widened (the literal's type need not
+        // match the map's exact integral width)
+        def matches(x: Any): Boolean = (x, k) match {
+          case (a: Number, b: Number)
+            if !x.isInstanceOf[Double] && !x.isInstanceOf[Float] &&
+              !k.isInstanceOf[Double] && !k.isInstanceOf[Float] =>
+            a.longValue() == b.longValue()
+          case _ => x == k
+        }
+        val out = Seq.newBuilder[Any]
         var i = 0
         while (i < n) {
-          if (!keys.isNullAt(i) && keys.get(i, m.keyType) == k)
-            return if (map.valueArray().isNullAt(i)) null
-              else map.valueArray().get(i, m.valueType)
+          if (!keys.isNullAt(i) && matches(keys.get(i, m.keyType)))
+            out += (if (map.valueArray().isNullAt(i)) null
+              else map.valueArray().get(i, m.valueType))
           i += 1
         }
-        null
+        new GenericArrayData(out.result())
       case _ => null
     }
   }
@@ -203,4 +218,41 @@ case class DuckSlice(child: Expression, lower: Expression, upper: Expression)
     copy(child = newChildren(0), lower = newChildren(1), upper = newChildren(2))
 
   override def prettyName: String = "duck_slice"
+}
+
+/** DuckDB's 2-arg `map(keys_list, values_list)` constructor sharing its
+  * name with the variadic `map(k1, v1, ...)` (round 17): two ARRAY
+  * arguments build the map by zipping the lists (DuckDB's constructor;
+  * duplicate keys error under Spark's default EXCEPTION dedup policy,
+  * matching DuckDB's constraint error), while any other 2-arg shape
+  * keeps Spark's native single-entry semantics — `MAP {k: v}` literals
+  * lower onto exactly that call. Dispatch happens on the RESOLVED child
+  * types via a lazily-built inner expression, so unresolved-analysis
+  * never needs the answer early.
+  */
+case class DuckMap2(left: Expression, right: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(left, right)
+
+  @transient private lazy val impl: Expression =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_, _), ArrayType(_, _)) =>
+        org.apache.spark.sql.catalyst.expressions.MapFromArrays(left, right)
+      case _ =>
+        org.apache.spark.sql.catalyst.expressions.CreateMap(Seq(left, right))
+    }
+
+  override def dataType: DataType = impl.dataType
+  override def nullable: Boolean = impl.nullable
+  override def foldable: Boolean = impl.foldable
+  override def checkInputDataTypes(): TypeCheckResult =
+    impl.checkInputDataTypes()
+  override def eval(input: InternalRow): Any = impl.eval(input)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DuckMap2 =
+    copy(left = newChildren(0), right = newChildren(1))
+
+  override def prettyName: String = "map"
 }

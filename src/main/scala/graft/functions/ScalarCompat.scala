@@ -62,6 +62,27 @@ object ScalarCompat {
     if (str.isEmpty) -1 else str.codePointAt(0)
   }
 
+  /** DuckDB format_bytes(): binary units, one decimal — pinned on 1.0:
+    * format_bytes(0) = '0 bytes', (999) = '999 bytes', (1024) =
+    * '1.0 KiB', (1536) = '1.5 KiB', (1048576) = '1.0 MiB', (-2048) =
+    * '-2.0 KiB'; 1048575 renders '1024.0 KiB' (the divide stops at the
+    * first unit whose quotient is < 1024 before rounding).
+    */
+  def formatBytes(n: Long): UTF8String = {
+    val abs = math.abs(n.toDouble)
+    if (abs < 1024) UTF8String.fromString(s"$n bytes")
+    else {
+      val units = Array("KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
+      var v = abs
+      var u = -1
+      while (v >= 1024 && u < units.length - 1) { v /= 1024; u += 1 }
+      val signed = if (n < 0) -v else v
+      UTF8String.fromString(
+        String.format(java.util.Locale.ROOT, "%.1f %s",
+          Double.box(signed), units(u)))
+    }
+  }
+
   /** DuckDB trunc(): toward zero, double-preserving. */
   def trunc(x: Double): Double =
     if (x < 0) math.ceil(x) else math.floor(x)

@@ -2727,6 +2727,87 @@ object AnalyticsQueries {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   }
 
+  // Scalar-parity pack, third sweep batch (round 17): the 2-arg
+  // map(keys, values) list constructor + map[key]→LIST indexing,
+  // DuckDB's group-0 defaults for regexp_extract[_all], format_bytes,
+  // today(), bias-corrected sample skewness/kurtosis (Spark's natives
+  // are population moments — composed correction, one rounding step),
+  // and list_aggregate. Identical statement runs natively in DuckDB.
+  declare("q142_scalar_parity4",
+    """SELECT
+         map(['a','b'], [1, 2])['b'][1] AS m1,
+         CAST(len(map([1,2],['x','y'])[9]) AS BIGINT) AS m2,
+         regexp_extract('abc123', '[a-z]+') AS re0,
+         regexp_extract('abc123', '([a-z]+)([0-9]+)', 2) AS re2,
+         array_to_string(regexp_extract_all('a1b2', '[0-9]'), ',') AS rea,
+         format_bytes(0) AS fb0, format_bytes(999) AS fb1,
+         format_bytes(1024) AS fb2, format_bytes(1536) AS fb3,
+         format_bytes(1048576) AS fb4, format_bytes(-2048) AS fb5,
+         today() = current_date AS tdy,
+         (SELECT round(skewness(CAST(x AS DOUBLE)), 3)
+          FROM (VALUES (1),(2),(10)) t(x)) AS sk,
+         (SELECT round(kurtosis(CAST(x AS DOUBLE)), 3)
+          FROM (VALUES (1),(2),(10),(3)) t(x)) AS ku,
+         CAST(list_aggregate([1,2,3], 'sum') AS BIGINT) AS la""") {
+    (spark, _) =>
+    spark.sql(
+      """SELECT
+           map(['a','b'], [1, 2])['b'][1] AS m1,
+           CAST(len(map([1,2],['x','y'])[9]) AS BIGINT) AS m2,
+           regexp_extract('abc123', '[a-z]+') AS re0,
+           regexp_extract('abc123', '([a-z]+)([0-9]+)', 2) AS re2,
+           array_to_string(regexp_extract_all('a1b2', '[0-9]'), ',') AS rea,
+           format_bytes(0) AS fb0, format_bytes(999) AS fb1,
+           format_bytes(1024) AS fb2, format_bytes(1536) AS fb3,
+           format_bytes(1048576) AS fb4, format_bytes(-2048) AS fb5,
+           today() = current_date AS tdy,
+           (SELECT round(skewness(CAST(x AS DOUBLE)), 3)
+            FROM (VALUES (1),(2),(10)) t(x)) AS sk,
+           (SELECT round(kurtosis(CAST(x AS DOUBLE)), 3)
+            FROM (VALUES (1),(2),(10),(3)) t(x)) AS ku,
+           CAST(list_aggregate([1,2,3], 'sum') AS BIGINT) AS la""")
+  }
+
+  // DISTINCT ON over a GROUP BY block (round 17): DuckDB applies the
+  // per-group pick AFTER aggregation with the trailing ORDER BY as the
+  // tiebreak — the rewrite nests the grouped block and appends the ON
+  // exprs / sort keys as hidden columns (they resolve only inside the
+  // block's scope). Deterministic: count DESC then priority breaks all
+  // ties. Identical statement on both engines.
+  declare("q143_distinct_on_group",
+    """SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n
+       FROM orders GROUP BY o_orderstatus, o_orderpriority
+       ORDER BY o_orderstatus, COUNT(*) DESC, o_orderpriority""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, COUNT(*) DESC, o_orderpriority""")
+  }
+
+  // DISTINCT ON over a QUALIFY block (round 17): QUALIFY filters the
+  // windowed rows FIRST (keep each priority's 10 smallest keys), then
+  // DISTINCT ON picks per group under the trailing ORDER BY (the
+  // largest of those 10 — a non-projected tiebreak would also work via
+  // the hidden columns). o_orderkey is unique → fully deterministic.
+  declare("q144_distinct_on_qualify",
+    """SELECT DISTINCT ON (o_orderpriority) o_orderpriority, o_orderkey
+       FROM orders
+       QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderkey) <= 10
+       ORDER BY o_orderpriority, o_orderkey DESC""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT DISTINCT ON (o_orderpriority) o_orderpriority, o_orderkey
+         FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_orderkey) <= 10
+         ORDER BY o_orderpriority, o_orderkey DESC""")
+  }
+
   // Catalog-table keyed ingest (round 17): CREATE TABLE with PRIMARY
   // KEY (constraint stripped, key registered — CatalogPkRewrite), then
   // INSERT OR REPLACE / ON CONFLICT DO NOTHING / DO UPDATE SET against

@@ -52,6 +52,17 @@ object DistinctOnRewrite {
       words.lift(selIdx + 2).exists(_._1 == "ON")
   }
 
+  /** One trailing ORDER BY item: (expression text, direction suffix). */
+  private def splitKey(item: String): (String, String) = {
+    val m = ("(?is)\\s+((?:ASC|DESC)\\b)?\\s*(NULLS\\s+(?:FIRST|LAST)\\b)?" +
+      "\\s*\\z").r.findFirstMatchIn(item)
+    m match {
+      case Some(mm) if mm.start < item.length && mm.group(0).trim.nonEmpty =>
+        (item.substring(0, mm.start).trim, " " + mm.group(0).trim)
+      case _ => (item.trim, "")
+    }
+  }
+
   def rewrite(sql: String): Option[String] = {
     val words = QualifyRewrite.topLevelWords(sql)
     if (words.exists(_._1 == "?")) return None
@@ -62,8 +73,21 @@ object DistinctOnRewrite {
     if (selIdx > 0 && words.head._1 != "WITH") return None
     if (!(words.lift(selIdx + 1).exists(_._1 == "DISTINCT") &&
       words.lift(selIdx + 2).exists(_._1 == "ON"))) return None
-    if (words.exists(w => Set("GROUP", "HAVING", "QUALIFY", "UNION",
-      "INTERSECT", "EXCEPT").contains(w._1))) return None
+    // Set operations (round 17): DISTINCT ON binds to its OWN query
+    // block (DuckDB 1.0 pinned) — rewrite the first block alone,
+    // parenthesize, reattach the set-op tail (the union's trailing
+    // ORDER BY stays global; the block's row choice is then arbitrary
+    // on both engines, as with any ORDER-BY-less DISTINCT ON).
+    words.find(w => Set("UNION", "INTERSECT", "EXCEPT")(w._1)
+        && w._2 > words(selIdx)._2) match {
+      case Some(setW) =>
+        val head = sql.substring(0, setW._2)
+        val tail = sql.substring(setW._2)
+        val prefix = sql.substring(0, words(selIdx)._2)
+        return rewrite(head).map(r =>
+          prefix + "( " + r.substring(prefix.length) + " ) " + tail)
+      case None => ()
+    }
     val onPos = words(selIdx + 2)._2
     val parenStart = sql.indexOf('(', onPos + 2)
     if (parenStart < 0) return None
@@ -100,9 +124,69 @@ object DistinctOnRewrite {
       }
     } else ons
     val prefix = sql.substring(0, words(selIdx)._2)
-    Some(prefix + s"SELECT $outList FROM ( SELECT *, row_number() OVER " +
-      s"(PARTITION BY $ons ORDER BY $winOrder) AS __graft_rn $fromSection " +
-      s") __graft_d WHERE __graft_rn = 1" +
-      (if (trail.isEmpty) "" else " " + trail))
+    val hasGroup = words.exists(w =>
+      (w._1 == "GROUP" || w._1 == "HAVING") && w._2 > fromPos && w._2 < trailPos)
+    val hasQualify = words.exists(w =>
+      w._1 == "QUALIFY" && w._2 > fromPos && w._2 < trailPos)
+    if (!hasGroup && !hasQualify)
+      return Some(prefix + s"SELECT $outList FROM ( SELECT *, row_number() OVER " +
+        s"(PARTITION BY $ons ORDER BY $winOrder) AS __graft_rn $fromSection " +
+        s") __graft_d WHERE __graft_rn = 1" +
+        (if (trail.isEmpty) "" else " " + trail))
+    // GROUP BY / HAVING / QUALIFY shapes (round 17): DuckDB applies
+    // DISTINCT ON over the GROUPED (resp. QUALIFY-filtered) rows, with
+    // the trailing ORDER BY as the per-group tiebreak — so the original
+    // block (sans DISTINCT ON) becomes an inner subquery and the window
+    // splice runs OVER it. The ON exprs and sort keys are appended to
+    // the inner select list as hidden columns (they may be aggregates
+    // or non-projected source columns — both resolve only INSIDE the
+    // block's own scope), partition/order/outer-sort all reference the
+    // hidden names, and the outer projection EXCEPTs them away.
+    if (rawList == "*") return None // star over an aggregate block
+    val onItems = ReplaceRewrite.splitTop(ons).map(_.trim).filter(_.nonEmpty)
+    if (onItems.isEmpty) return None
+    val keyItems: Vector[(String, String)] =
+      if (trail.toUpperCase.startsWith("ORDER")) {
+        val stopIdx = QualifyRewrite.topLevelWords(trail)
+          .find(w => Set("LIMIT", "OFFSET", "FETCH")(w._1))
+          .map(_._2).getOrElse(trail.length)
+        val keysText = trail.substring("ORDER".length, stopIdx).trim
+          .replaceFirst("(?i)\\Aby\\b", "").trim
+        if (keysText.isEmpty) Vector.empty
+        else ReplaceRewrite.splitTop(keysText).map(_.trim).map(splitKey)
+      } else Vector.empty
+    val onHidden = onItems.zipWithIndex.map { case (e, i) =>
+      (e, s"__graft_on$i") }
+    val keyHidden = keyItems.zipWithIndex.map { case ((e, d), i) =>
+      (e, d, s"__graft_k$i") }
+    val hiddenSel = (onHidden.map { case (e, n) => s"$e AS $n" } ++
+      keyHidden.map { case (e, _, n) => s"$e AS $n" }).mkString(", ")
+    val inner0 = s"SELECT $rawList, $hiddenSel $fromSection"
+    val inner =
+      if (hasQualify) QualifyRewrite.rewrite(inner0).getOrElse(return None)
+      else inner0
+    val partCols = onHidden.map(_._2).mkString(", ")
+    val ordClause =
+      if (keyHidden.nonEmpty)
+        keyHidden.map { case (_, d, n) => n + d }.mkString(", ")
+      else partCols
+    val hiddenNames = (onHidden.map(_._2) ++ keyHidden.map(_._3)).mkString(", ")
+    val limTail =
+      if (trail.toUpperCase.startsWith("ORDER")) {
+        val stopIdx = QualifyRewrite.topLevelWords(trail)
+          .find(w => Set("LIMIT", "OFFSET", "FETCH")(w._1))
+          .map(_._2).getOrElse(trail.length)
+        trail.substring(stopIdx).trim
+      } else trail
+    val outerOrder =
+      if (keyHidden.nonEmpty)
+        "ORDER BY " + keyHidden.map { case (_, d, n) => n + d }.mkString(", ")
+      else ""
+    Some(prefix + s"SELECT * EXCEPT ($hiddenNames, __graft_rn) FROM ( " +
+      s"SELECT *, row_number() OVER (PARTITION BY $partCols ORDER BY " +
+      s"$ordClause) AS __graft_rn FROM ( $inner ) __graft_g ) __graft_d " +
+      "WHERE __graft_rn = 1" +
+      (if (outerOrder.isEmpty) "" else " " + outerOrder) +
+      (if (limTail.isEmpty) "" else " " + limTail))
   }
 }

@@ -2375,6 +2375,57 @@ object GraftSparkExtensions {
         // the one real round-16 sweep miss), numeric input as DOUBLE.
         aliasFn("mad", (1, 1))(a => graft.functions.MadAgg(
           Cast(a(0), org.apache.spark.sql.types.DoubleType))),
+        // Round-17 sweep pack: DuckDB's 2-arg map(keys, values)
+        // constructor coexisting with the variadic map(k, v, ...).
+        aliasFn("map", (0, Int.MaxValue))(a =>
+          if (a.size == 2) graft.functions.DuckMap2(a(0), a(1))
+          else org.apache.spark.sql.catalyst.expressions.CreateMap(a)),
+        // regexp_extract[_all]: DuckDB's 2-arg default is group 0 (the
+        // whole match); Spark's native default of 1 errors on
+        // group-less patterns.
+        aliasFn("regexp_extract", (2, 3))(a =>
+          org.apache.spark.sql.catalyst.expressions.RegExpExtract(a(0), a(1),
+            if (a.size > 2) a(2) else Literal(0))),
+        aliasFn("regexp_extract_all", (2, 3))(a =>
+          org.apache.spark.sql.catalyst.expressions.RegExpExtractAll(a(0), a(1),
+            if (a.size > 2) a(2) else Literal(0))),
+        aliasFn("format_bytes", (1, 1))(a =>
+          StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
+            StringType, "formatBytes",
+            Seq(Cast(a(0), org.apache.spark.sql.types.LongType)),
+            inputTypes = Seq(org.apache.spark.sql.types.LongType))),
+        aliasFn("today", (0, 0))(_ =>
+          org.apache.spark.sql.catalyst.expressions.CurrentDate()),
+        // skewness/kurtosis: DuckDB reports the BIAS-CORRECTED sample
+        // statistics where Spark's natives are population moments —
+        // compose the correction from the population value and n
+        // (n < 3 / n < 4 and zero-variance groups are NULL, pinned).
+        aliasFn("skewness", (1, 1)) { a =>
+          import org.apache.spark.sql.catalyst.expressions._
+          val x = Cast(a(0), org.apache.spark.sql.types.DoubleType)
+          val n = Cast(aggregate.Count(x).toAggregateExpression(),
+            org.apache.spark.sql.types.DoubleType)
+          val g1 = aggregate.Skewness(x).toAggregateExpression()
+          val corrected = Multiply(g1, Divide(
+            Sqrt(Multiply(n, Subtract(n, Literal(1.0)))),
+            Subtract(n, Literal(2.0))))
+          If(Or(LessThan(n, Literal(3.0)), IsNaN(g1)),
+            Literal(null, org.apache.spark.sql.types.DoubleType), corrected)
+        },
+        aliasFn("kurtosis", (1, 1)) { a =>
+          import org.apache.spark.sql.catalyst.expressions._
+          val x = Cast(a(0), org.apache.spark.sql.types.DoubleType)
+          val n = Cast(aggregate.Count(x).toAggregateExpression(),
+            org.apache.spark.sql.types.DoubleType)
+          val g2 = aggregate.Kurtosis(x).toAggregateExpression()
+          val corrected = Divide(
+            Multiply(
+              Add(Multiply(Add(n, Literal(1.0)), g2), Literal(6.0)),
+              Subtract(n, Literal(1.0))),
+            Multiply(Subtract(n, Literal(2.0)), Subtract(n, Literal(3.0))))
+          If(Or(LessThan(n, Literal(4.0)), IsNaN(g2)),
+            Literal(null, org.apache.spark.sql.types.DoubleType), corrected)
+        },
         // Sequences (sql/Sequences) — nondeterministic by declaration so
         // CSE/constant folding can't collapse or pre-advance them.
         aliasFn("nextval", (1, 1))(a => graft.functions.NextVal(a(0))),

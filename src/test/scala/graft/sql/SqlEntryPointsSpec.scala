@@ -1211,11 +1211,19 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(one[String]("SELECT ('abcdef')[2:3]") == "bc")
     assert(one[String]("SELECT ('abcdef')[-3:-2]") == "de")
     assert(one[String]("SELECT ('abcdef')[3:]") == "cdef")
-    // Struct and map literals; struct/map bracket access.
+    // Struct and map literals; struct/map bracket access. DuckDB 1.0
+    // pinned: map[key] yields a LIST of matches (empty when absent);
+    // struct bracket stays scalar.
     assert(one[Int]("SELECT ({'a': 1, 'b': 2})['b']") == 2)
-    assert(one[Int]("SELECT (MAP {'x': 10, 'y': 20})['y']") == 20)
+    assert(arr[Int]("SELECT (MAP {'x': 10, 'y': 20})['y']") == List(20))
     // Map keys are expressions (ints, even nested literals), not names.
-    assert(one[String]("SELECT (MAP {1: 'a', 2 + 1: 'b'})[3]") == "b")
+    assert(arr[String]("SELECT (MAP {1: 'a', 2 + 1: 'b'})[3]") == List("b"))
+    assert(arr[String]("SELECT (MAP {1: 'a'})[9]") == Nil)
+    // DuckDB's 2-arg map(keys, values) list constructor (round 17).
+    assert(arr[String]("SELECT map([1,2],['a','b'])[1]") == List("a"))
+    // the 2-arg scalar shape keeps Spark's single-entry semantics
+    // (MAP {k: v} literals lower onto it)
+    assert(one[Int]("SELECT element_at(map('k', 7), 'k')") == 7)
     val st = spark.sql("SELECT {'a': [1, 2], 'b': {'c': 3}} AS s").head()
       .getStruct(0)
     assert(st.getSeq[Int](0).toList == List(1, 2))
@@ -1787,10 +1795,43 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       """WITH q AS (SELECT * FROM sq_quotes)
          SELECT DISTINCT ON (sym) tag FROM q ORDER BY sym, px LIMIT 1""")
     assert(dw.collect().map(_.getString(0)).toSeq == Seq("a"))
-    // GROUP BY forms decline to the window-form hint.
-    val ex = intercept[Exception](spark.sql(
-      "SELECT DISTINCT ON (sym) COUNT(*) FROM sq_quotes GROUP BY sym"))
-    assert(ex.getMessage.contains("row_number"), s"got: ${ex.getMessage}")
+    // GROUP BY / HAVING / QUALIFY / set-op shapes EXECUTE (round 17;
+    // all values DuckDB 1.0 pinned): DISTINCT ON applies over the
+    // grouped (resp. QUALIFY-filtered) rows, ORDER BY is the tiebreak.
+    val dg = spark.sql(
+      "SELECT DISTINCT ON (sym) sym, COUNT(*) AS n FROM sq_quotes " +
+        "GROUP BY sym ORDER BY sym")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dg == Seq((1L, 3L), (2L, 1L)), s"got $dg")
+    val dg2 = spark.sql(
+      "SELECT DISTINCT ON (sym) sym, qt, COUNT(*) AS n FROM sq_quotes " +
+        "GROUP BY sym, qt ORDER BY sym, qt DESC")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dg2 == Seq((1L, 30L, 1L), (2L, 15L, 1L)), s"got $dg2")
+    // HAVING + an aggregate expression as the tiebreak key (resolves
+    // only inside the grouped block — the hidden-column nesting).
+    val dh = spark.sql(
+      "SELECT DISTINCT ON (sym) sym, max(px) AS m FROM sq_quotes " +
+        "GROUP BY sym, qt HAVING max(px) > 60 ORDER BY sym, max(px)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(dh == Seq((1L, 100.0)), s"got $dh")
+    // QUALIFY filters FIRST, then DISTINCT ON picks per group; the
+    // tiebreak references a non-projected source column.
+    val dq = spark.sql(
+      "SELECT DISTINCT ON (sym) sym, tag FROM sq_quotes " +
+        "QUALIFY row_number() OVER (PARTITION BY sym ORDER BY qt) <= 2 " +
+        "ORDER BY sym, qt DESC")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dq == Seq((1L, "b"), (2L, "d")), s"got $dq")
+    // Set operation: DISTINCT ON binds to its own block; no block
+    // ORDER BY → arbitrary-but-one row per group on both engines.
+    val du = spark.sql(
+      "SELECT DISTINCT ON (sym) sym, tag FROM sq_quotes WHERE qt > 10 " +
+        "UNION ALL SELECT 9L AS sym, 'z' AS tag ORDER BY sym")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(du.map(_._1) == Seq(1L, 2L, 9L), s"got $du")
+    assert(Set("b", "c").contains(du.head._2) && du(1)._2 == "d" &&
+      du(2)._2 == "z", s"got $du")
   }
 
   test("UNION BY NAME: executes with NULL-fill, dedup, trailing clauses") {
