@@ -851,6 +851,38 @@ object Similarity {
     topKScored(scored, k)
   }
 
+  /** IVF-PQ with the EXACT RE-RANK tail (round 17) — the production ANN
+    * ladder's last rung (the standard IVFADC + re-ranking refinement,
+    * Jégou et al. TPAMI 2011): the ADC scan produces a `shortlist`-deep
+    * candidate set per query reading only (cid, codes), and ONLY the
+    * survivors' raw embeddings are fetched — a join against the corpus
+    * keyed by vec_id that touches q·shortlist rows, not the corpus —
+    * for exact cosine scoring. Output ranks/scores are exact cosine
+    * (round 3, [[bruteForceTopK]]'s reporting contract) over the
+    * shortlist, so recall vs brute force is governed by shortlist depth
+    * × nProbe; with nProbe ≥ the centroid count and shortlist ≥ the
+    * corpus this EQUALS bruteForceTopK exactly (spec-pinned), and at any
+    * setting the re-ranked top-k recall is ≥ the raw-ADC top-k recall on
+    * the same candidates (exact scores fix quantization inversions —
+    * measured in PipelineSpec's recall envelope).
+    */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebookVecs: DataFrame, m: Int, k: Int = 10,
+      nProbe: Int = 4, shortlist: Int = 100): DataFrame = {
+    val cands = ivfPqTopK(corpus, queries, centroids, codebookVecs, m,
+      k = shortlist, nProbe = nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    val scored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .join(cands, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ne")), 3).as("sim"))
+    topKScored(scored, k)
+  }
+
   /** Sign-LSH bucketing: 16-bit bucket from the signs of dot products with
     * 16 (deterministic) hyperplane vectors. Identical vectors always share
     * a bucket, so exact-duplicate recall is 1; near-dup recall follows the

@@ -1260,6 +1260,41 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // IVF-PQ + EXACT RE-RANK (round 17) — the production ANN ladder's
+  // last rung (IVFADC + re-ranking, Jégou et al. 2011): ADC shortlist
+  // over (cid, codes) only, then exact cosine on the survivors' raw
+  // embeddings (a q·shortlist fetch, never a corpus rescore). Declared
+  // at the FULL parity setting (all buckets probed, shortlist ≥ corpus)
+  // where the ladder's output provably equals brute force — the oracle
+  // is the plain exact top-k, while the engine walks the whole
+  // IVF+PQ+re-rank path; the pruned settings' recall envelope (re-rank
+  // ≥ raw ADC at equal probe budget) is spec-pinned in PipelineSpec.
+  declare("sim_topk_ivfpq_rerank",
+    """WITH x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i
+                  FROM embeddings),
+       norms AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM x GROUP BY 1),
+       dots AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+                  SUM(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)) dp
+                FROM x q JOIN x c ON q.i = c.i AND q.vec_id != c.vec_id
+                WHERE q.vec_id < 5 GROUP BY 1, 2),
+       scored AS (SELECT query_id, neighbor_id, round(dp/(nq.nn*nc.nn), 3) sim
+                  FROM dots JOIN norms nq ON query_id = nq.vec_id
+                            JOIN norms nc ON neighbor_id = nc.vec_id),
+       ranked AS (SELECT query_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id) AS BIGINT) rnk,
+                    neighbor_id, sim FROM scored)
+       SELECT query_id, rnk, neighbor_id, sim FROM ranked WHERE rnk <= 10
+       ORDER BY query_id, rnk""") { (spark, sfDir) =>
+    val e = t(spark, sfDir, "embeddings")
+    Similarity.ivfPqRerankTopK(e, e.filter(col("vec_id") < 5),
+        centroids = e.filter(col("vec_id") < 16),
+        codebookVecs = e.filter(col("vec_id") < 64), m = 4, k = 10,
+        nProbe = 16, shortlist = 1000000)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   // Hard-negative mining (contrastive/retrieval training): per anchor,
   // the top-k most-similar vectors whose LABEL differs — the
   // highest-loss negatives a training batch wants; same-label

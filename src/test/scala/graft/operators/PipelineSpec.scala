@@ -1949,6 +1949,40 @@ class PipelineSpec extends AnyFunSuite {
       .forall(_.getLong(1) == 10L))
   }
 
+  test("IVF-PQ re-rank: full-probe full-shortlist equals brute force; " +
+    "pruned recall envelope >= raw ADC (round 17)") {
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val centroids = embeddings.filter(col("vec_id") < 16)
+    val cb = embeddings.filter(col("vec_id") < 64)
+    val m = 4
+    val n = embeddings.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bf = rows(Similarity.bruteForceTopK(embeddings, queries, k = 10))
+    // nProbe = all centroids + shortlist = corpus → EXACT parity.
+    val full = rows(Similarity.ivfPqRerankTopK(embeddings, queries,
+      centroids, cb, m, k = 10, nProbe = 16, shortlist = n))
+    assert(full == bf)
+    // Pruned settings: re-ranked recall@10 vs brute force must be >= the
+    // raw ADC ranking's recall on the SAME probe budget (exact scores
+    // can only fix quantization inversions inside the candidate set).
+    val truth = bf.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    def recall(got: Seq[(Long, Long, Long)]): Double = {
+      val byQ = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+      byQ.map { case (q, s) =>
+        s.intersect(truth(q)).size.toDouble / truth(q).size }.sum / byQ.size
+    }
+    val adc = recall(rows(Similarity.ivfPqTopK(embeddings, queries,
+      centroids, cb, m, k = 10, nProbe = 4)))
+    val rr = recall(rows(Similarity.ivfPqRerankTopK(embeddings, queries,
+      centroids, cb, m, k = 10, nProbe = 4, shortlist = 50)))
+    assert(rr >= adc, s"re-rank recall $rr < raw ADC recall $adc")
+    assert(rr > 0.0)
+  }
+
   test("PQ guards: dimension must divide into m; unknown ADC code throws") {
     import spark.implicits._
     val vecs = Seq((0L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
