@@ -256,3 +256,45 @@ case class DuckMap2(left: Expression, right: Expression)
 
   override def prettyName: String = "map"
 }
+
+/** DuckDB's `datetrunc(part, x)` — date_trunc that PRESERVES the input
+  * family (round 17, pinned on 1.0: datetrunc('month', DATE) is a DATE,
+  * datetrunc('month', TIMESTAMP) a TIMESTAMP; Spark's date_trunc always
+  * yields a timestamp). Dispatch on the resolved child type via a
+  * lazily-built inner expression; 'day' over a DATE is the identity
+  * (TruncDate has no DAY format).
+  */
+case class DuckDateTrunc(part: Expression, child: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(part, child)
+
+  @transient private lazy val impl: Expression = child.dataType match {
+    case DateType =>
+      val p = if (part.foldable) String.valueOf(part.eval(null)).toLowerCase
+        else ""
+      if (Set("day", "days", "d", "dayofmonth")(p)) child
+      else org.apache.spark.sql.catalyst.expressions.TruncDate(child, part)
+    case _ =>
+      // the inner expression is invisible to ResolveTimeZone — set the
+      // session zone explicitly or TruncTimestamp NPEs at eval
+      val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      org.apache.spark.sql.catalyst.expressions.TruncTimestamp(part,
+        org.apache.spark.sql.catalyst.expressions.Cast(child, TimestampType,
+          tz), tz)
+  }
+
+  override def dataType: DataType = impl.dataType
+  override def nullable: Boolean = impl.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!part.foldable)
+      TypeCheckResult.TypeCheckFailure("datetrunc part must be a constant")
+    else impl.checkInputDataTypes()
+  override def eval(input: InternalRow): Any = impl.eval(input)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DuckDateTrunc =
+    copy(part = newChildren(0), child = newChildren(1))
+
+  override def prettyName: String = "datetrunc"
+}

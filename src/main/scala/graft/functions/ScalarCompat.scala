@@ -83,6 +83,60 @@ object ScalarCompat {
     }
   }
 
+  /** DuckDB century()/decade() on the extracted year (round 17;
+    * positive-era formulas — the proleptic BC corner is not pinned).
+    */
+  def century(year: Int): Int = Math.floorDiv(year - 1, 100) + 1
+  def decade(year: Int): Int = Math.floorDiv(year, 10)
+
+  /** Γ(x) via the Lanczos approximation (g = 7, 9 coefficients — the
+    * standard public-domain parameterization; ~1e-13 relative error on
+    * the real line, reflection formula for x < 0.5). DuckDB's gamma()
+    * comes from the C runtime's tgamma — agreement to ~12 significant
+    * digits, so gate queries round.
+    */
+  private val lanczos = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  def gammaFn(x: Double): Double =
+    if (x.isNaN) x
+    else if (x < 0.5) math.Pi / (math.sin(math.Pi * x) * gammaFn(1.0 - x))
+    else {
+      val z = x - 1.0
+      var a = lanczos(0)
+      val t = z + 7.5
+      var i = 1
+      while (i < 9) { a += lanczos(i) / (z + i); i += 1 }
+      math.sqrt(2.0 * math.Pi) * math.pow(t, z + 0.5) * math.exp(-t) * a
+    }
+
+  def lgammaFn(x: Double): Double = math.log(math.abs(gammaFn(x)))
+
+  /** DuckDB datesub(part, start, end): COMPLETE calendar intervals
+    * between two dates (datediff counts boundary CROSSINGS instead —
+    * datesub('month', Jan 15, Mar 14) = 1 where datediff = 2, both
+    * pinned on 1.0). ChronoUnit.between is exactly the complete-interval
+    * contract. Date-resolution parts only; the sub-day parts ride the
+    * epoch arithmetic the registration builds.
+    */
+  def dateSubDays(part: UTF8String, startDays: Int, endDays: Int): Long = {
+    val s = java.time.LocalDate.ofEpochDay(startDays.toLong)
+    val e = java.time.LocalDate.ofEpochDay(endDays.toLong)
+    import java.time.temporal.ChronoUnit
+    part.toString.toLowerCase match {
+      case "year" | "years" | "y" => ChronoUnit.YEARS.between(s, e)
+      case "quarter" | "quarters" => ChronoUnit.MONTHS.between(s, e) / 3
+      case "month" | "months" | "mon" => ChronoUnit.MONTHS.between(s, e)
+      case "week" | "weeks" | "w" => ChronoUnit.WEEKS.between(s, e)
+      case "day" | "days" | "d" => ChronoUnit.DAYS.between(s, e)
+      case other => throw new IllegalArgumentException(
+        s"datesub: unsupported part '$other' for DATE inputs " +
+          "(year/quarter/month/week/day)")
+    }
+  }
+
   /** DuckDB trunc(): toward zero, double-preserving. */
   def trunc(x: Double): Double =
     if (x < 0) math.ceil(x) else math.floor(x)

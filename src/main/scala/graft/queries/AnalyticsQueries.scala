@@ -2808,6 +2808,65 @@ object AnalyticsQueries {
          ORDER BY o_orderpriority, o_orderkey DESC""")
   }
 
+  // Scalar-parity pack, fourth sweep batch (round 17): date-part
+  // spellings (century/decade/era/isoyear, datesub = COMPLETE
+  // intervals vs datediff's boundary crossings, datetrunc preserving
+  // the input family), arithmetic-word aliases (divide = truncating
+  // int division, multiply, FLOORED fdiv/fmod — fmod(-7.5, 2) = 0.5,
+  // not C's -1.5), gcd/lcm long spellings, the Lanczos gamma family
+  // (one rounding step — libm tgamma vs Lanczos agree to ~12 digits),
+  // str_split_regex, and struct_insert with := named fields (UpdateFields;
+  // replaces-vs-errors on existing names documented). Sweep 4: 58/60
+  // (BIT-type get_bit and timezone_hour out of scope). All values
+  // DuckDB-1.0-pinned; identical statement on both engines.
+  declare("q145_scalar_parity5",
+    """SELECT
+         array_to_string(str_split_regex('a1b22c', '[0-9]+'), ',') AS ssr,
+         CAST(century(DATE '2024-03-01') AS BIGINT) AS cen,
+         CAST(decade(DATE '2024-03-01') AS BIGINT) AS dec,
+         CAST(era(DATE '2024-03-01') AS BIGINT) AS er,
+         CAST(isoyear(DATE '2023-01-01') AS BIGINT) AS iy1,
+         CAST(isoyear(DATE '2024-12-30') AS BIGINT) AS iy2,
+         CAST(datesub('month', DATE '2024-01-15', DATE '2024-03-14') AS BIGINT) AS dsm,
+         CAST(datesub('day', DATE '2024-01-01', DATE '2024-03-01') AS BIGINT) AS dsd,
+         CAST(datesub('hour', TIMESTAMP '2024-01-01 10:30:00',
+                      TIMESTAMP '2024-01-02 09:00:00') AS BIGINT) AS dsh,
+         CAST(datetrunc('month', DATE '2024-05-15') AS DATE) AS dtd,
+         CAST(datetrunc('hour', TIMESTAMP '2024-05-15 10:45:11') AS TIMESTAMP) AS dtt,
+         CAST(greatest_common_divisor(12, 18) AS BIGINT) AS g,
+         CAST(least_common_multiple(4, 6) AS BIGINT) AS l,
+         CAST(divide(-7, 2) AS BIGINT) AS dv,
+         CAST(multiply(3, 4) AS BIGINT) AS mu,
+         fdiv(CAST(-7.0 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS fd,
+         fmod(CAST(-7.5 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS fm,
+         round(gamma(CAST(5.0 AS DOUBLE)), 6) AS ga,
+         round(lgamma(CAST(5.0 AS DOUBLE)), 6) AS lg,
+         struct_insert({'a': 1}, b := 42).b AS si""") { (spark, _) =>
+    spark.sql(
+      """SELECT
+           array_to_string(str_split_regex('a1b22c', '[0-9]+'), ',') AS ssr,
+           CAST(century(DATE '2024-03-01') AS BIGINT) AS cen,
+           CAST(decade(DATE '2024-03-01') AS BIGINT) AS dec,
+           CAST(era(DATE '2024-03-01') AS BIGINT) AS er,
+           CAST(isoyear(DATE '2023-01-01') AS BIGINT) AS iy1,
+           CAST(isoyear(DATE '2024-12-30') AS BIGINT) AS iy2,
+           CAST(datesub('month', DATE '2024-01-15', DATE '2024-03-14') AS BIGINT) AS dsm,
+           CAST(datesub('day', DATE '2024-01-01', DATE '2024-03-01') AS BIGINT) AS dsd,
+           CAST(datesub('hour', TIMESTAMP '2024-01-01 10:30:00',
+                        TIMESTAMP '2024-01-02 09:00:00') AS BIGINT) AS dsh,
+           CAST(datetrunc('month', DATE '2024-05-15') AS DATE) AS dtd,
+           CAST(datetrunc('hour', TIMESTAMP '2024-05-15 10:45:11') AS TIMESTAMP) AS dtt,
+           CAST(greatest_common_divisor(12, 18) AS BIGINT) AS g,
+           CAST(least_common_multiple(4, 6) AS BIGINT) AS l,
+           CAST(divide(-7, 2) AS BIGINT) AS dv,
+           CAST(multiply(3, 4) AS BIGINT) AS mu,
+           fdiv(CAST(-7.0 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS fd,
+           fmod(CAST(-7.5 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS fm,
+           round(gamma(CAST(5.0 AS DOUBLE)), 6) AS ga,
+           round(lgamma(CAST(5.0 AS DOUBLE)), 6) AS lg,
+           struct_insert({'a': 1}, b := 42).b AS si""")
+  }
+
   // Catalog-table keyed ingest (round 17): CREATE TABLE with PRIMARY
   // KEY (constraint stripped, key registered — CatalogPkRewrite), then
   // INSERT OR REPLACE / ON CONFLICT DO NOTHING / DO UPDATE SET against

@@ -862,6 +862,52 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     if (changed) Some(cur) else None
   }
 
+  /** DuckDB's `struct_insert(s, b := 2, ...)` — the `:=` named fields
+    * lower to quoted name/value pairs for the registered struct_insert
+    * function (round 17). First argument rides verbatim; any named
+    * argument not of the `name := expr` shape declines the call.
+    */
+  private val structInsertRe = "(?i)\\bstruct_insert\\s*\\(".r
+  private def structInsertRewrite(text: String): Option[String] = {
+    if (structInsertRe.findFirstIn(
+      ReplaceRewrite.maskLiterals(text)).isEmpty) return None
+    var cur = text
+    var changed = false
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val masked = ReplaceRewrite.maskLiterals(cur)
+      val hit = structInsertRe.findAllMatchIn(masked).flatMap { m =>
+        val open = masked.indexOf('(', m.start)
+        val close = ReplaceRewrite.closeOf(cur, open)
+        if (close < 0) None
+        else {
+          val inner = cur.substring(open + 1, close - 1)
+          if (structInsertRe.findFirstIn(
+              ReplaceRewrite.maskLiterals(inner)).isDefined ||
+            !inner.contains(":=")) None
+          else Some((m.start, close, inner))
+        }
+      }.toSeq.headOption
+      hit match {
+        case None =>
+          return if (changed) Some(cur) else None
+        case Some((s, close, inner)) =>
+          val parts = ReplaceRewrite.splitTop(inner).map(_.trim)
+          if (parts.size < 2) return None
+          val namedRe = """(?s)\A([A-Za-z_]\w*)\s*:=\s*(.+)\z""".r
+          val pairs = parts.tail.map { p =>
+            val m = namedRe.findFirstMatchIn(p).getOrElse(return None)
+            s"'${m.group(1)}', ${m.group(2).trim}"
+          }.mkString(", ")
+          cur = cur.substring(0, s) +
+            s"struct_insert(${parts.head}, $pairs)" + cur.substring(close)
+          changed = true
+      }
+    }
+    if (changed) Some(cur) else None
+  }
+
   /** `expr [NOT] SIMILAR TO '<regex>'` → `expr [NOT] RLIKE
     * '\A(?:<regex>)\z'` — DuckDB's SIMILAR TO is regexp_full_match
     * (its own docs), and the full-match anchors carry that onto
@@ -1203,6 +1249,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             // named-call lowering (struct_pack has no macro signature
             // and would decline there).
             () => structPackRewrite(text),
+            () => structInsertRewrite(text),
             // Named-argument macro CALL sites (`f(x, b := 1)`): `:=` is
             // not Spark syntax, so the statement only ever arrives here;
             // lowered to positional against the registered signature.
@@ -2425,6 +2472,136 @@ object GraftSparkExtensions {
             Multiply(Subtract(n, Literal(2.0)), Subtract(n, Literal(3.0))))
           If(Or(LessThan(n, Literal(4.0)), IsNaN(g2)),
             Literal(null, org.apache.spark.sql.types.DoubleType), corrected)
+        },
+        // Round-17 sweep pack, batch 2 (fourth idiom sweep): date-part
+        // spellings, arithmetic-word aliases, gamma family,
+        // struct_insert, datesub/datetrunc.
+        aliasFn("str_split_regex", (2, 2))(a =>
+          org.apache.spark.sql.catalyst.expressions.StringSplit(a(0), a(1),
+            Literal(-1))),
+        aliasFn("century", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.IntegerType, "century",
+          Seq(org.apache.spark.sql.catalyst.expressions.Year(
+            Cast(a(0), org.apache.spark.sql.types.DateType))),
+          inputTypes = Seq(org.apache.spark.sql.types.IntegerType))),
+        aliasFn("decade", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.IntegerType, "decade",
+          Seq(org.apache.spark.sql.catalyst.expressions.Year(
+            Cast(a(0), org.apache.spark.sql.types.DateType))),
+          inputTypes = Seq(org.apache.spark.sql.types.IntegerType))),
+        // era: 1 AD, 0 BC (DuckDB/Postgres date_part 'era').
+        aliasFn("era", (1, 1)) { a =>
+          import org.apache.spark.sql.catalyst.expressions._
+          If(LessThanOrEqual(Year(
+            Cast(a(0), org.apache.spark.sql.types.DateType)), Literal(0)),
+            Literal(0), Literal(1))
+        },
+        // isoyear: the ISO week-numbering year = calendar year of the
+        // week's Thursday (isodow 4) — shift to Thursday, take year.
+        aliasFn("isoyear", (1, 1)) { a =>
+          import org.apache.spark.sql.catalyst.expressions._
+          val d = Cast(a(0), org.apache.spark.sql.types.DateType)
+          Year(DateAdd(d, Subtract(Literal(3), WeekDay(d))))
+        },
+        // datesub: COMPLETE calendar intervals (datediff counts
+        // boundary crossings — both pinned); date parts via ChronoUnit,
+        // sub-day parts over the epoch difference.
+        aliasFn("datesub", (3, 3)) { a =>
+          import org.apache.spark.sql.catalyst.expressions._
+          val part = a(0)
+          val sub = Set("hour", "hours", "h", "minute", "minutes", "min",
+            "second", "seconds", "s", "millisecond", "milliseconds",
+            "microsecond", "microseconds")
+          val p = if (part.foldable) String.valueOf(part.eval(null))
+            .toLowerCase else ""
+          if (sub(p)) {
+            // unix_micros difference (a CAST to BIGINT would be epoch
+            // SECONDS); a complete sub-day interval is the truncated
+            // quotient
+            val us = Subtract(
+              UnixMicros(Cast(a(2), org.apache.spark.sql.types.TimestampType)),
+              UnixMicros(Cast(a(1), org.apache.spark.sql.types.TimestampType)))
+            val unitUs = p match {
+              case "hour" | "hours" | "h" => 3600000000L
+              case "minute" | "minutes" | "min" => 60000000L
+              case "second" | "seconds" | "s" => 1000000L
+              case x if x.startsWith("milli") => 1000L
+              case _ => 1L
+            }
+            IntegralDivide(us, Literal(unitUs))
+          } else StaticInvoke(
+            Class.forName("graft.functions.ScalarCompat"),
+            org.apache.spark.sql.types.LongType, "dateSubDays",
+            Seq(part, Cast(a(1), org.apache.spark.sql.types.DateType),
+              Cast(a(2), org.apache.spark.sql.types.DateType)),
+            inputTypes = Seq(StringType,
+              org.apache.spark.sql.types.DateType,
+              org.apache.spark.sql.types.DateType))
+        },
+        aliasFn("datetrunc", (2, 2))(a =>
+          graft.functions.DuckDateTrunc(a(0), a(1))),
+        aliasFn("greatest_common_divisor", (2, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.LongType, "gcd", a,
+          inputTypes = Seq(org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.LongType))),
+        aliasFn("least_common_multiple", (2, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.LongType, "lcm", a,
+          inputTypes = Seq(org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.LongType))),
+        // arithmetic-word spellings: divide = truncating integer
+        // division, multiply; fdiv/fmod = FLOORED division/modulo
+        // (fmod(-7.5, 2.0) = 0.5 — DuckDB pins the floored form, not
+        // C's truncating fmod).
+        aliasFn("divide", (2, 2))(a =>
+          org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            a(0), a(1))),
+        aliasFn("multiply", (2, 2))(a =>
+          org.apache.spark.sql.catalyst.expressions.Multiply(a(0), a(1))),
+        aliasFn("fdiv", (2, 2)) { a =>
+          import org.apache.spark.sql.catalyst.expressions._
+          val x = Cast(a(0), org.apache.spark.sql.types.DoubleType)
+          val y = Cast(a(1), org.apache.spark.sql.types.DoubleType)
+          Cast(Floor(Divide(x, y)), org.apache.spark.sql.types.DoubleType)
+        },
+        aliasFn("fmod", (2, 2)) { a =>
+          import org.apache.spark.sql.catalyst.expressions._
+          val x = Cast(a(0), org.apache.spark.sql.types.DoubleType)
+          val y = Cast(a(1), org.apache.spark.sql.types.DoubleType)
+          Subtract(x, Multiply(
+            Cast(Floor(Divide(x, y)), org.apache.spark.sql.types.DoubleType),
+            y))
+        },
+        aliasFn("gamma", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.DoubleType, "gammaFn",
+          Seq(Cast(a(0), org.apache.spark.sql.types.DoubleType)),
+          inputTypes = Seq(org.apache.spark.sql.types.DoubleType))),
+        aliasFn("lgamma", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.DoubleType, "lgammaFn",
+          Seq(Cast(a(0), org.apache.spark.sql.types.DoubleType)),
+          inputTypes = Seq(org.apache.spark.sql.types.DoubleType))),
+        // struct_insert(s, 'name', expr, ...) — the := named args are
+        // lowered textually by structInsertRewrite; Spark's UpdateFields
+        // REPLACES an existing field where DuckDB errors (documented).
+        aliasFn("struct_insert", (3, Int.MaxValue)) { a =>
+          import org.apache.spark.sql.catalyst.expressions._
+          require(a.size % 2 == 1,
+            "struct_insert(struct, 'name', value, ...) — name/value pairs")
+          val ops = a.drop(1).grouped(2).map { p =>
+            val n = p(0) match {
+              case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+                s.toString
+              case other => throw new IllegalArgumentException(
+                s"struct_insert: field name must be a string literal, got $other")
+            }
+            WithField(n, p(1))
+          }.toSeq
+          UpdateFields(a(0), ops)
         },
         // Sequences (sql/Sequences) — nondeterministic by declaration so
         // CSE/constant folding can't collapse or pre-advance them.

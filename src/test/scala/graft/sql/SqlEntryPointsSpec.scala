@@ -2272,6 +2272,32 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     Seq("up_cat", "up_cat2").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("round-17 sweep pack 2: struct_insert, datesub/datetrunc edges") {
+    def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
+    // struct_insert: := named fields, multiple at once, nested value.
+    assert(one[Int]("SELECT struct_insert({'a': 1}, b := 2, c := 3).c") == 3)
+    val st = spark.sql("SELECT struct_insert({'a': 1}, b := {'x': 9}) AS s")
+      .head().getStruct(0)
+    assert(st.getInt(0) == 1 && st.getStruct(1).getInt(0) == 9)
+    // datesub: complete intervals, negative direction truncates toward
+    // zero (ChronoUnit contract, matching DuckDB's complete intervals).
+    assert(one[Long](
+      "SELECT datesub('month', DATE '2024-03-14', DATE '2024-01-15')") == -1L)
+    assert(one[Long](
+      "SELECT datesub('week', DATE '2024-01-01', DATE '2024-01-20')") == 2L)
+    // unsupported part errors with guidance, not a wrong number.
+    val ex = intercept[Exception](spark.sql(
+      "SELECT datesub('fortnight', DATE '2024-01-01', DATE '2024-02-01')")
+      .collect())
+    assert(ex.getMessage.contains("datesub"), ex.getMessage)
+    // datetrunc preserves the input family (DATE in → DATE out).
+    assert(spark.sql("SELECT datetrunc('month', DATE '2024-05-15')")
+      .schema.head.dataType == org.apache.spark.sql.types.DateType)
+    assert(spark.sql(
+      "SELECT datetrunc('day', DATE '2024-05-15')").head().get(0).toString
+      == "2024-05-15")
+  }
+
   test("mad() computes the interpolated median absolute deviation (round 17)") {
     def one(sql: String): Any = spark.sql(sql).head().get(0)
     // DuckDB 1.0 pinned: median([1,2,3,100]) = 2.5; devs [.5,.5,1.5,97.5]
