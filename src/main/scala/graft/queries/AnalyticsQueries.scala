@@ -2808,6 +2808,23 @@ object AnalyticsQueries {
          ORDER BY o_orderpriority, o_orderkey DESC""")
   }
 
+  // COLUMNS in the WHERE clause (round 17): DuckDB applies the
+  // containing condition to every matched column and ANDs the copies —
+  // per top-level AND/OR segment, parenthesized. Identical statement
+  // on both engines; exact-integer filter and projection.
+  declare("q146_columns_where",
+    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+       FROM lineitem
+       WHERE COLUMNS('^l_(quantity|linenumber)') > 3 AND l_orderkey < 300
+       ORDER BY l_orderkey, l_linenumber""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+         FROM lineitem
+         WHERE COLUMNS('^l_(quantity|linenumber)') > 3 AND l_orderkey < 300
+         ORDER BY l_orderkey, l_linenumber""")
+  }
+
   // Scalar-parity pack, fourth sweep batch (round 17): date-part
   // spellings (century/decade/era/isoyear, datesub = COMPLETE
   // intervals vs datediff's boundary crossings, datetrunc preserving

@@ -95,7 +95,11 @@ object ColumnsRewrite {
     * different sets are a DuckDB binder error ("Multiple different
     * STAR/COLUMNS ... not supported") and decline here too.
     */
-  private def parseItem(item: String): Option[Call] = {
+  /** The shared span/template computation: every COLUMNS occurrence in
+    * `item` must carry the same argument text; the returned template
+    * holds one NUL per occurrence. None = not a claimable shape.
+    */
+  private def parseTemplate(item: String): Option[(String, String)] = {
     val occRe = """(?i)\bCOLUMNS\s*\(""".r
     val masked = ReplaceRewrite.maskLiterals(item)
     val ms = occRe.findAllMatchIn(masked).toList
@@ -123,13 +127,23 @@ object ColumnsRewrite {
       pos = c
     }
     sb.append(item.substring(pos))
-    val template = sb.toString
-    if (template == "\u0000")
-      Some(Call(arg, col => s"`$col`")) // bare set: names are the columns
-    else
-      Some(Call(arg,
-        col => template.replace("\u0000", s"`$col`") + s" AS `$col`"))
+    Some((arg, sb.toString))
   }
+
+  private def parseItem(item: String): Option[Call] =
+    parseTemplate(item).map { case (arg, template) =>
+      if (template == "\u0000")
+        Call(arg, col => s"`$col`") // bare set: names are the columns
+      else
+        Call(arg,
+          col => template.replace("\u0000", s"`$col`") + s" AS `$col`")
+    }
+
+  /** A WHERE-side shape: same template, no output alias. */
+  private def parsePred(item: String): Option[Call] =
+    parseTemplate(item).map { case (arg, template) =>
+      Call(arg, col => template.replace("\u0000", s"`$col`"))
+    }
 
   /** The context plus which item is a recognized COLUMNS shape:
     * (selStart, items, idx, call, fromPos); None when no item qualifies.
@@ -214,12 +228,10 @@ object ColumnsRewrite {
       """(?i)\bCOLUMNS\s*\(""".r.findFirstIn(stripped).isDefined
   }
 
-  def rewrite(sql: String): Option[String] = {
-    val (selStart, items, idx, call, fromPos) =
-      columnsItem(sql).getOrElse(return None)
-
-    // FROM's target: a plain single-part name, and the FROM..clause span
-    // carries no top-level comma (comma join).
+  /** The single-table FROM target's column list — a plain single-part
+    * catalog-resolvable name, no comma join in the FROM span.
+    */
+  private def tableCols(sql: String, fromPos: Int): Option[Seq[String]] = {
     val afterFrom = fromPos + "FROM".length
     val nameM = """\A\s*([A-Za-z_]\w*)""".r
       .findFirstMatchIn(sql.substring(afterFrom)).getOrElse(return None)
@@ -232,11 +244,20 @@ object ColumnsRewrite {
       .findFirstMatchIn(tail)
     val fromSpan = clauseM.map(cm => tail.substring(0, cm.start)).getOrElse(tail)
     if (fromSpan.contains(",")) return None
-
     val spark = try org.apache.spark.sql.SparkSession.active
       catch { case NonFatal(_) => return None }
-    val cols = try spark.table(tname).columns catch { case NonFatal(_) => return None }
-    val kept = resolveCols(call.arg, cols.toSeq).getOrElse(return None)
+    try Some(spark.table(tname).columns.toSeq)
+    catch { case NonFatal(_) => None }
+  }
+
+  def rewrite(sql: String): Option[String] =
+    rewriteSelectList(sql).orElse(rewriteWherePreds(sql))
+
+  private def rewriteSelectList(sql: String): Option[String] = {
+    val (selStart, items, idx, call, fromPos) =
+      columnsItem(sql).getOrElse(return None)
+    val cols = tableCols(sql, fromPos).getOrElse(return None)
+    val kept = resolveCols(call.arg, cols).getOrElse(return None)
     if (kept.isEmpty) return None // DuckDB errors on zero matches; hint here
 
     val projected = kept.map(call.render).mkString(", ")
@@ -245,5 +266,54 @@ object ColumnsRewrite {
     // item (or the FROM clause) when flattened onto one line.
     val newList = items.updated(idx, projected).mkString(",\n")
     Some(sql.substring(0, selStart) + " " + newList + "\n" + sql.substring(fromPos))
+  }
+
+  /** COLUMNS inside the WHERE clause (round 17, DuckDB 1.0 pinned):
+    * the containing condition applies to every matched column and the
+    * copies AND together — `WHERE COLUMNS(*) > 1 OR a = 1` is
+    * `(a>1 AND b>1 AND c>1) OR a = 1`. Each top-level AND/OR segment of
+    * the WHERE section expands independently and parenthesized, so
+    * precedence against neighbouring segments is preserved; a segment
+    * whose COLUMNS shape the template parser declines declines the
+    * statement (the caller hints).
+    */
+  private def rewriteWherePreds(sql: String): Option[String] = {
+    val (_, _, fromPos) = selectItems(sql).getOrElse(return None)
+    val words = QualifyRewrite.topLevelWords(sql)
+    val whereW = words.find(w => w._1 == "WHERE" && w._2 > fromPos)
+      .getOrElse(return None)
+    val endPos = words.find(w => Set("GROUP", "HAVING", "ORDER", "LIMIT",
+      "OFFSET", "FETCH", "QUALIFY", "WINDOW")(w._1) && w._2 > whereW._2)
+      .map(_._2).getOrElse(sql.length)
+    val secStart = whereW._2 + "WHERE".length
+    val section = sql.substring(secStart, endPos)
+    val colRe = """(?i)\bCOLUMNS\s*\(""".r
+    if (colRe.findFirstIn(ReplaceRewrite.maskLiterals(section)).isEmpty)
+      return None
+    val cols = tableCols(sql, fromPos).getOrElse(return None)
+    val seps = QualifyRewrite.topLevelWords(section)
+      .filter(w => w._1 == "AND" || w._1 == "OR")
+    val bounds = (Vector(0) ++
+      seps.flatMap(w => Vector(w._2, w._2 + w._1.length))) :+ section.length
+    val out = new StringBuilder
+    var last = 0
+    var changed = false
+    bounds.grouped(2).foreach { g =>
+      val (s, e) = (g(0), g(1))
+      val seg = section.substring(s, e)
+      if (colRe.findFirstIn(ReplaceRewrite.maskLiterals(seg)).isDefined) {
+        val call = parsePred(seg.trim).getOrElse(return None)
+        val kept = resolveCols(call.arg, cols).getOrElse(return None)
+        if (kept.isEmpty) return None
+        out.append(section.substring(last, s))
+        out.append(kept.map(call.render).mkString("(", " AND ", ")"))
+        last = e
+        changed = true
+      }
+    }
+    if (!changed) return None
+    out.append(section.substring(last))
+    Some(sql.substring(0, secStart) + " " + out.toString.trim + " " +
+      sql.substring(endPos))
   }
 }

@@ -1746,10 +1746,11 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               "round(COLUMNS('^x'), 1), min(COLUMNS(*)) + 1, lockstep " +
               "repeats like max(COLUMNS(s)) - min(COLUMNS(s)) — " +
               "single resolvable table, ≥1 matching column, every " +
-              "excluded name present) run automatically, but this one " +
-              "doesn't — e.g. two DIFFERENT sets in one expression " +
-              "(a DuckDB binder error too), a join source, or COLUMNS " +
-              "in WHERE. Enumerate the columns explicitly " +
+              "excluded name present) run automatically — including " +
+              "COLUMNS in WHERE (the per-column AND expansion) — but " +
+              "this one doesn't: e.g. two DIFFERENT sets in one " +
+              "expression (a DuckDB binder error too) or a join " +
+              "source. Enumerate the columns explicitly " +
               "(df.select(df.columns.map(c => expr(...)): _*)), or use " +
               "* EXCLUDE (...) / * REPLACE (...), which do run here.")))
       }

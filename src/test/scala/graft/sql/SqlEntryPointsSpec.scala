@@ -764,6 +764,29 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val exJ = intercept[Exception](spark.sql(
       "SELECT COLUMNS('^q') FROM sq_quotes a JOIN sq_quotes b ON a.sym = b.sym"))
     assert(exJ.getMessage.contains("could not be expanded"), s"got: ${exJ.getMessage}")
+    // COLUMNS in WHERE (round 17, DuckDB 1.0 pinned): the condition
+    // applies to every matched column, copies ANDed, segment-wise
+    // parenthesized against OR neighbours.
+    val dw1 = spark.sql(
+      "SELECT sym, qt FROM sq_quotes WHERE COLUMNS('^q|^p') > 60 ORDER BY qt")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // qt>60 never holds (qt<=30) except... qt values 10..30; px 50..120:
+    // both >60 requires qt>60 → empty? Use a satisfiable bound instead:
+    val dw2 = spark.sql(
+      "SELECT sym, qt FROM sq_quotes WHERE COLUMNS('^q|^p') > 15 ORDER BY qt")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // qt>15 AND px>15: rows (1,20,110), (1,30,120) qualify
+    assert(dw1 == Seq() && dw2 == Seq((1L, 20L), (1L, 30L)), s"$dw1 / $dw2")
+    // OR neighbour stays outside the AND-group.
+    val dw3 = spark.sql(
+      "SELECT qt FROM sq_quotes WHERE COLUMNS('^q|^p') > 15 OR tag = 'd' " +
+        "ORDER BY qt").collect().map(_.getLong(0)).toSeq
+    assert(dw3 == Seq(15L, 20L, 30L), s"got $dw3")
+    // ... and composes with a COLUMNS select list on the same pass.
+    val dw4 = spark.sql(
+      "SELECT min(COLUMNS('^q')) FROM sq_quotes WHERE COLUMNS('^q|^p') > 15")
+      .head().getLong(0)
+    assert(dw4 == 20L)
     // A session with its OWN columns function keeps it — even for a
     // statement the rewrite could have expanded.
     spark.udf.register("columns", (s: String) => s.length)
