@@ -36,6 +36,7 @@ object CatalogPkRewrite {
       "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s*\\(").r
 
   private val tablePkRe = """(?is)\APRIMARY\s+KEY\s*\(([^)]*)\)\z""".r
+  private val tableUqRe = """(?is)\AUNIQUE\s*\(([^)]*)\)\z""".r
   private val pkWordsRe = """(?is)\s*\bPRIMARY\s+KEY\b""".r
   private val uqWordRe = """(?is)\s*\bUNIQUE\b""".r
 
@@ -68,6 +69,12 @@ object CatalogPkRewrite {
     val tail = sql.substring(close).trim.stripSuffix(";").trim
     if (tail.nonEmpty && !tail.matches("(?is)USING\\s+\\w+")) return None
     val colNameRe = """(?s)\A\s*([A-Za-z_]\w*)\s""".r
+    // Named constraints (`CONSTRAINT x PRIMARY KEY (...)`) would fall
+    // into the inline branches below and register the bogus identifier
+    // `CONSTRAINT` as a key column — decline the whole statement and
+    // delegate natively instead (round 18, ADVICE).
+    if (maskDefs.exists(_.trim.matches("(?is)\\ACONSTRAINT\\b.*")))
+      return None
     var pk = Vector.empty[String]
     var uq = Vector.empty[String]
     val kept = rawDefs.zip(maskDefs).flatMap { case (raw0, masked0) =>
@@ -79,6 +86,13 @@ object CatalogPkRewrite {
           val csv = tablePkRe.findFirstMatchIn(raw).get.group(1)
           pk ++= csv.split(",").map(_.trim).filter(_.nonEmpty)
           None
+        case tableUqRe(_) =>
+          // table-level UNIQUE (a, b): strip the whole def (round 18,
+          // ADVICE — it previously fell into the inline branch and left
+          // a malformed `(a, b)` def behind).
+          val csv = tableUqRe.findFirstMatchIn(raw).get.group(1)
+          uq ++= csv.split(",").map(_.trim).filter(_.nonEmpty)
+          None
         case _ if pkWordsRe.findFirstIn(masked).isDefined =>
           colNameRe.findFirstMatchIn(raw + " ").foreach(cm => pk :+= cm.group(1))
           Some(stripAt(raw, masked, pkWordsRe))
@@ -89,8 +103,13 @@ object CatalogPkRewrite {
       }
     }
     if ((pk.isEmpty && uq.isEmpty) || kept.isEmpty) return None
+    val keys = if (pk.nonEmpty) pk else uq
+    // Every registered key must be a plain identifier — anything else
+    // means the def parse went sideways; decline rather than register
+    // garbage the upsert path would later resolve against.
+    if (!keys.forall(_.matches("[A-Za-z_]\\w*"))) return None
     val stripped = sql.substring(0, open) + "(" + kept.mkString(", ") + ")" +
       (if (tail.isEmpty) "" else " " + tail)
-    Some((stripped, name, (if (pk.nonEmpty) pk else uq).toSeq))
+    Some((stripped, name, keys.toSeq))
   } catch { case NonFatal(_) => None }
 }

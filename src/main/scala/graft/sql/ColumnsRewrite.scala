@@ -291,8 +291,18 @@ object ColumnsRewrite {
     if (colRe.findFirstIn(ReplaceRewrite.maskLiterals(section)).isEmpty)
       return None
     val cols = tableCols(sql, fromPos).getOrElse(return None)
+    // The AND closing a BETWEEN is part of that predicate, not a
+    // conjunction — `COLUMNS(*) BETWEEN 1 AND 5` is ONE segment. An OR
+    // cannot intervene (precedence makes that invalid SQL), so a single
+    // pending flag suffices (NOT BETWEEN tokenizes the same way).
+    var betweenPending = false
     val seps = QualifyRewrite.topLevelWords(section)
-      .filter(w => w._1 == "AND" || w._1 == "OR")
+      .filter { w =>
+        if (w._1 == "BETWEEN") { betweenPending = true; false }
+        else if (w._1 == "AND" && betweenPending) {
+          betweenPending = false; false
+        } else w._1 == "AND" || w._1 == "OR"
+      }
     val bounds = (Vector(0) ++
       seps.flatMap(w => Vector(w._2, w._2 + w._1.length))) :+ section.length
     val out = new StringBuilder

@@ -63,6 +63,36 @@ object DistinctOnRewrite {
     }
   }
 
+  /** Resolve a purely-numeric ORDER BY item (an output-column ordinal,
+    * `ORDER BY 2 DESC`) against the select list: the Nth item's
+    * expression, its trailing top-level `AS alias` stripped — the
+    * window / hidden-column contexts the key is spliced into resolve
+    * in SOURCE scope, where output ordinals and aliases don't exist.
+    * Spliced verbatim the ordinal would order by the constant N —
+    * silently wrong row picks (round 18, ADVICE). None = the ordinal
+    * cannot be resolved (out of range, a `*` item, or an expression
+    * the parser rejects once the alias is stripped — e.g. a bare
+    * alias) — the caller declines so the hint fires instead.
+    */
+  private def resolveOrdinal(items: Vector[String], key: String)
+      : Option[String] = {
+    if (!key.matches("\\d+")) return Some(key)
+    val n = try key.toInt catch { case _: NumberFormatException => return None }
+    if (n < 1 || n > items.length) return None
+    val item = items(n - 1).trim
+    if (item == "*" || item.endsWith(".*")) return None
+    val expr = QualifyRewrite.topLevelWords(item).reverse
+      .find(_._1 == "AS") match {
+      case Some((_, pos)) => item.substring(0, pos).trim
+      case None => item
+    }
+    try {
+      org.apache.spark.sql.SparkSession.active.sessionState.sqlParser
+        .parseExpression(expr)
+      Some(expr)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   def rewrite(sql: String): Option[String] = {
     val words = QualifyRewrite.topLevelWords(sql)
     if (words.exists(_._1 == "?")) return None
@@ -112,6 +142,10 @@ object DistinctOnRewrite {
     val trail = sql.substring(trailPos).trim.stripSuffix(";").trim
     // The window's ORDER BY: the query's own sort keys when present
     // (DuckDB keeps the first row under that order), else the ON exprs.
+    // Output-column ordinals resolve against the select list — inside
+    // the OVER clause they would be constants (the outer trailing ORDER
+    // BY keeps them: there they ARE positional).
+    val selItems = ReplaceRewrite.splitTop(rawList).map(_.trim).toVector
     val winOrder = if (trail.toUpperCase.startsWith("ORDER")) {
       val t2 = trail
       val stopIdx = QualifyRewrite.topLevelWords(t2)
@@ -120,7 +154,10 @@ object DistinctOnRewrite {
       t2.substring("ORDER".length, stopIdx).trim
         .replaceFirst("(?i)\\Aby\\b", "").trim match {
         case "" => ons
-        case keys => keys
+        case keys => ReplaceRewrite.splitTop(keys).map(_.trim).map(splitKey)
+          .map { case (e, d) =>
+            resolveOrdinal(selItems, e).map(_ + d).getOrElse(return None)
+          }.mkString(", ")
       }
     } else ons
     val prefix = sql.substring(0, words(selIdx)._2)
@@ -154,6 +191,11 @@ object DistinctOnRewrite {
           .replaceFirst("(?i)\\Aby\\b", "").trim
         if (keysText.isEmpty) Vector.empty
         else ReplaceRewrite.splitTop(keysText).map(_.trim).map(splitKey)
+          .map { case (e, d) =>
+            // ordinals: hoisted verbatim they'd become constant hidden
+            // columns (round 18, ADVICE) — resolve or decline
+            (resolveOrdinal(selItems, e).getOrElse(return None), d)
+          }
       } else Vector.empty
     val onHidden = onItems.zipWithIndex.map { case (e, i) =>
       (e, s"__graft_on$i") }

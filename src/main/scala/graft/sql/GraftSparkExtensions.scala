@@ -1800,9 +1800,12 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     // register the key columns (the conflict target INSERT OR REPLACE /
     // ON CONFLICT resolve against, catalog path), and re-enter with the
     // constraint-free DDL.
+    // The ctl TVF executes the stripped DDL and registers the keys only
+    // after the CREATE succeeds (round 18, ADVICE — the old eager
+    // setKeys left stale registrations behind failed CREATEs).
     case CatalogPkRewritten(stripped, name, keys) =>
-      TempTables.setKeys(name, keys)
-      preRewrite(stripped)
+      s"SELECT * FROM catalog_pk_ctl('${name.replace("'", "''")}', " +
+        s"'${keys.mkString(",")}', '${stripped.replace("'", "''")}')"
     case TempTableRewritten(r) => r
     // ASOF JOIN must ALSO be caught before delegation, not only in the
     // parse-failure chain: without an explicit left alias Spark PARSES
@@ -4403,6 +4406,17 @@ object GraftSparkExtensions {
       // table is unsafe — then INSERT OVERWRITE, positionally aligned.
       // At scale both are one keyed anti-join + union + one table
       // rewrite; the ignore mode appends only the fresh rows instead.
+      //
+      // DURABILITY CAVEAT (documented divergence, round 18): v1 INSERT
+      // OVERWRITE truncates the target before writing, so a crash
+      // mid-write can lose the table's prior rows — weaker than
+      // DuckDB's transactional ON CONFLICT. The staged materialize
+      // above guards only the self-read, not durability. A v1
+      // file-source table offers no atomic commit to build on (its
+      // location is fixed metadata; a scratch-write + rename still
+      // races readers); production deployments point this at a table
+      // format with a real commit protocol (Iceberg/Delta MERGE), where
+      // the same staged plan commits atomically.
       def commit(df: org.apache.spark.sql.DataFrame): Unit =
         if (isTemp) TempTables.put(name, df)
         else {
@@ -4772,6 +4786,26 @@ object GraftSparkExtensions {
         Seq.empty)
     })
 
+  /** Constraint-stripped catalog CREATE TABLE ([[CatalogPkRewrite]]):
+    * executes the stripped DDL and registers the key columns ONLY after
+    * it succeeds — a failing CREATE must not leave a stale/garbage key
+    * registration behind (round 18, ADVICE). Empty result like DuckDB's
+    * DDL.
+    */
+  val catalogPkCtlFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("catalog_pk_ctl"), info("catalog_pk_ctl"), (args: Seq[Expression]) => {
+      require(args.size == 3 && args.forall(_.foldable),
+        "catalog_pk_ctl(table, keysCsv, strippedDdl) — constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      val (name, keysCsv, ddl) = (asString(v(0)), asString(v(1)), asString(v(2)))
+      val spark = org.apache.spark.sql.SparkSession.active
+      spark.sql(ddl).collect() // throws on failure; keys stay unregistered
+      TempTables.setKeys(name, keysCsv.split(",").map(_.trim).toSeq)
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq.empty)
+    })
+
   private val duckdbTablesSchema = StructType.fromDDL(
     "database_name STRING, schema_name STRING, table_name STRING, " +
       "temporary BOOLEAN, comment STRING")
@@ -4950,6 +4984,7 @@ object GraftSparkExtensions {
     txnCtlFn,
     seqCtlFn,
     commentCtlFn,
+    catalogPkCtlFn,
     duckdbTablesFn,
     duckdbColumnsFn,
     tableInfoFn,

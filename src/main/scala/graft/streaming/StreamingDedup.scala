@@ -128,17 +128,23 @@ object StreamingDedup {
           if (deltaFiles == 0) b
           else b.unionByName(spark.read.parquet(deltaPath))
         }
-        baseVer += 1
+        // Write the new base to the v+1 path BEFORE advancing the
+        // version — a failed write must leave the session on the old,
+        // intact base (round 18, ADVICE).
+        val next = root.resolve(s"$name-base-v${baseVer + 1}").toString
         merged.withColumn(BK, bkt).repartition(col(BK))
-          .write.mode("overwrite").partitionBy(BK).parquet(basePath)
+          .write.mode("overwrite").partitionBy(BK).parquet(next)
+        baseVer += 1
         deltaFiles = 0
         baseDf = null
         Seq(old, deltaPath).foreach { d =>
           val p = java.nio.file.Paths.get(d)
-          if (java.nio.file.Files.exists(p))
-            java.nio.file.Files.walk(p)
-              .sorted(java.util.Comparator.reverseOrder())
+          if (java.nio.file.Files.exists(p)) {
+            val s = java.nio.file.Files.walk(p)
+            try s.sorted(java.util.Comparator.reverseOrder())
               .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+            finally s.close()
+          }
         }
       }
 
@@ -174,18 +180,22 @@ object StreamingDedup {
     private val keptDir = root.resolve("kept").toString
     private var batches = 0L
 
-    /** The partition values a batch's keys touch — K-bounded by
-      * `buckets` (a driver-side collect of at most `buckets` ints).
-      * None when `approxKeys` already saturates the bucket range (≥ 2×
-      * buckets distinct-ish keys land in every bucket w.h.p.): pruning
-      * could not pay for its own collect job, so the probe reads the
-      * full base — exactly the pre-layout plan, nothing lost.
+    /** An observed touched-bucket set as the probe's pruning argument:
+      * None (scan all, no filter) when every bucket is touched — the
+      * filter could prune nothing. The set itself is K-bounded by
+      * `buckets` (collect_set over the bucket column), and it rides an
+      * action the batch runs ANYWAY (the checkpoint job) as an observed
+      * metric — round 18 replaced the r17 per-batch distinct-collect
+      * jobs (~1.3 s/batch of pure driver overhead) with this.
       */
-    private def touched(df: DataFrame, bkt: Column,
-        approxKeys: Long): Option[Seq[Int]] =
-      if (approxKeys >= 2L * buckets) None
-      else Some(df.select(bkt.as(BK)).distinct().collect()
-        .map(_.getInt(0)).toSeq)
+    private def pruneArg(bkts: Seq[Int]): Option[Seq[Int]] =
+      if (bkts.size >= buckets) None else Some(bkts)
+
+    /** Await one checkpoint job's observed metrics row. */
+    private def observed(obs: org.apache.spark.sql.Observation)
+        : org.apache.spark.sql.Row =
+      scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(600, "s"))
 
     private[StreamingDedup] def seed(archive: DataFrame): Unit = {
       val a = archive.select(col("doc_id").cast("long").as("doc_id"),
@@ -197,19 +207,29 @@ object StreamingDedup {
       a.select(col("doc_id")).limit(0).write.mode("overwrite").parquet(keptDir)
     }
 
-    /** The foreachBatch body: screen, record kept, upsert the index. */
+    /** The foreachBatch body: screen, record kept, upsert the index.
+      * Per-batch metrics (row count, touched-bucket sets) ride the
+      * checkpoint jobs the batch runs anyway as observed metrics — no
+      * separate count()/distinct-collect driver jobs per batch.
+      */
     def processBatch(batch0: DataFrame, batchId: Long): Unit = {
       val sp = batch0.sparkSession
+      val obsB = org.apache.spark.sql.Observation()
       val batch = batch0.select(col("doc_id").cast("long").as("doc_id"),
-        col("text")).localCheckpoint(true)
-      val nBatch = batch.count()
-      if (nBatch == 0) return
+        col("text"))
+        .observe(obsB, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      if (observed(obsB).getLong(0) == 0) return
+      val obsH = org.apache.spark.sql.Observation()
       val nh = batch.select(col("doc_id"),
-        md5(coalesce(col("text"), lit(""))).as("h")).localCheckpoint(true)
+        md5(coalesce(col("text"), lit(""))).as("h"))
+        .observe(obsH, collect_set(hashBkt).as("bkts"))
+        .localCheckpoint(true)
       // exact screen: hash seen in the archive (pruned to the batch's hash
       // buckets), or an earlier same-batch id
       val dropExact = nh
-        .join(hashesT.probe(touched(nh, hashBkt, nBatch)).select("h"),
+        .join(hashesT.probe(pruneArg(observed(obsH).getSeq[Int](0)))
+            .select("h"),
           Seq("h"), "left_semi")
         .select("doc_id")
         .union(nh.select(col("doc_id").as("a"), col("h"))
@@ -219,19 +239,25 @@ object StreamingDedup {
       // near screen: band-bucket candidates vs the SEEN index (pruned to
       // the batch's band buckets) + within batch (a < b drops b), verified
       // exactly on candidate text only
+      val obsN = org.apache.spark.sql.Observation()
       val nb = Dedup.minhashBands(batch, numHashes, numBands, shingleN)
+        .observe(obsN, collect_set(bandBkt).as("bkts"))
         .localCheckpoint(true)
-      val seenBands = bandsT.probe(touched(nb, bandBkt, nBatch * numBands))
+      val seenBands = bandsT.probe(pruneArg(observed(obsN).getSeq[Int](0)))
+      val obsC = org.apache.spark.sql.Observation()
+      val bBkt = pmod(xxhash64(col("b")), lit(buckets.toLong)).cast("int")
       val crossCands = nb.select(col("doc_id").as("a"), col("band"), col("bh"))
         .join(seenBands.select(col("doc_id").as("b"), col("band"), col("bh")),
           Seq("band", "bh"))
-        .select("a", "b").distinct().localCheckpoint(true)
+        .select("a", "b").distinct()
+        .observe(obsC, collect_set(bBkt).as("bkts"))
+        .localCheckpoint(true)
       val selfCands = nb.select(col("doc_id").as("a"), col("band"), col("bh"))
         .join(nb.select(col("doc_id").as("b"), col("band"), col("bh")),
           Seq("band", "bh"))
         .filter(col("a") < col("b")).select("a", "b").distinct()
       val candSeenIds = crossCands.select(col("b").as("doc_id")).distinct()
-      val candSeen = seenT.probe(touched(candSeenIds, docBkt, 0L))
+      val candSeen = seenT.probe(pruneArg(observed(obsC).getSeq[Int](0)))
         .select("doc_id", "text")
         .join(candSeenIds, Seq("doc_id"), "left_semi")
       val sh = Dedup.shinglesJit(batch, shingleN)
@@ -347,22 +373,27 @@ object StreamingDedup {
       val dir = staging.resolve(s"stage$i")
       increment.filter(col("doc_id") >= lo && col("doc_id") < hi)
         .coalesce(1).write.parquet(dir.toString)
-      val part = java.nio.file.Files.list(dir).iterator()
+      val listing = java.nio.file.Files.list(dir)
       var moved = false
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) {
-          val dst = staging.resolve(f"b$i%03d.parquet")
-          java.nio.file.Files.move(p, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
-          moved = true
+      try {
+        val part = listing.iterator()
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            val dst = staging.resolve(f"b$i%03d.parquet")
+            java.nio.file.Files.move(p, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+            moved = true
+          }
         }
-      }
+      } finally listing.close()
       require(moved, s"batch $i produced no parquet part file")
       // remove the now-empty stage dir so the source never globs it
-      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
     }
     (staging.toString, increment.schema)
   }

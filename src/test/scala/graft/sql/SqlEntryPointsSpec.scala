@@ -2295,6 +2295,65 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     Seq("up_cat", "up_cat2").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("round-18 ADVICE fixes: table-level UNIQUE, CONSTRAINT decline, " +
+    "no stale keys on failed CREATE, ordinal DISTINCT ON, COLUMNS BETWEEN") {
+    def one(sql: String): Long = spark.sql(sql).head().getLong(0)
+    // Table-level UNIQUE (a, b): the whole def strips (previously the
+    // inline branch left a malformed `(a, b)` remnant and registered
+    // the bogus identifier UNIQUE) and the pair is the conflict target.
+    spark.sql("CREATE OR REPLACE TABLE u18_t " +
+      "(a INT, b INT, v INT, UNIQUE (a, b)) USING parquet")
+    spark.sql("INSERT INTO u18_t VALUES (1,1,10), (1,2,20)")
+    assert(one("INSERT OR REPLACE INTO u18_t VALUES (1,2,99), (2,1,30)") == 2L)
+    val s = spark.table("u18_t").orderBy("a", "b").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(s == Seq((1, 1, 10), (1, 2, 99), (2, 1, 30)), s"got $s")
+    // Named CONSTRAINT defs decline the strip (Spark's own constraint
+    // error surfaces) and register NO key for the name.
+    intercept[Exception](spark.sql("CREATE OR REPLACE TABLE u18_c " +
+      "(id INT, CONSTRAINT pk_x PRIMARY KEY (id)) USING parquet"))
+    assert(graft.sql.TempTables.keysOf("u18_c").isEmpty)
+    // A FAILING stripped CREATE leaves no stale registration: u18_t
+    // already exists (no OR REPLACE / IF NOT EXISTS), so the CREATE
+    // errors — and the failed statement's single-column key must NOT
+    // replace the registered (a, b) pair.
+    intercept[Exception](spark.sql(
+      "CREATE TABLE u18_t (z INT PRIMARY KEY) USING parquet"))
+    assert(graft.sql.TempTables.keysOf("u18_t").contains(Seq("a", "b")))
+    spark.sql("DROP TABLE IF EXISTS u18_t")
+    // DISTINCT ON with an ordinal ORDER BY key (previously spliced as
+    // the constant N into the window/hidden columns — wrong row picks).
+    spark.sql("CREATE OR REPLACE TEMP VIEW d18 AS SELECT * FROM VALUES " +
+      "('a', 1), ('a', 5), ('b', 2), ('b', 7) AS t(g, x)")
+    val top = spark.sql(
+      "SELECT DISTINCT ON (g) g, x FROM d18 ORDER BY 1, 2 DESC")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(top == Seq("a" -> 5, "b" -> 7), s"got $top")
+    val ga = spark.sql(
+      "SELECT DISTINCT ON (g) g, sum(x) AS sx FROM d18 GROUP BY g, x " +
+        "ORDER BY 2 DESC")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ga == Seq("b" -> 7L, "a" -> 5L), s"got $ga")
+    // An unresolvable ordinal (out of range) declines to the hint, not
+    // a silently-constant sort.
+    val oor = intercept[Exception](spark.sql(
+      "SELECT DISTINCT ON (g) g, sum(x) AS sx FROM d18 GROUP BY g, x " +
+        "ORDER BY 9 DESC").collect())
+    assert(oor.getMessage != null)
+    // COLUMNS in WHERE with BETWEEN: the closing AND is part of the
+    // predicate, not a conjunction boundary.
+    spark.sql("CREATE OR REPLACE TEMP VIEW c18 AS SELECT * FROM VALUES " +
+      "(1, 2), (3, 9), (4, 5) AS t(p, q)")
+    val cb = spark.sql(
+      "SELECT p, q FROM c18 WHERE COLUMNS(*) BETWEEN 1 AND 5 ORDER BY p")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(cb == Seq(1 -> 2, 4 -> 5), s"got $cb")
+    val cbMix = spark.sql("SELECT p, q FROM c18 " +
+      "WHERE COLUMNS(*) BETWEEN 1 AND 5 AND p > 1 ORDER BY p")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(cbMix == Seq(4 -> 5), s"got $cbMix")
+  }
+
   test("round-17 sweep pack 2: struct_insert, datesub/datetrunc edges") {
     def one[T](sql: String): T = spark.sql(sql).head().get(0).asInstanceOf[T]
     // struct_insert: := named fields, multiple at once, nested value.
