@@ -59,6 +59,21 @@ object StreamingDedup {
 
   private val BK = "bkt"
 
+  /** Driver-side pool for a batch's independent Spark actions (the
+    * derived checkpoints, the kept write, the three index appends).
+    * Bounded small: it carries ACTION SUBMISSION concurrency, not
+    * compute — the work itself runs on Spark's scheduler. Daemon
+    * threads so a stopped session never hangs the JVM.
+    */
+  private[streaming] lazy val actionEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-sdedup-action")
+          t.setDaemon(true)
+          t
+        }))
+
   /** Per-query standing state rooted under one temp directory. Each
     * standing table is BASE + DELTA (the LSM/lakehouse shape): the base
     * is hash-partitioned by bucket and serves partition-PRUNED probes;
@@ -200,11 +215,23 @@ object StreamingDedup {
     private[StreamingDedup] def seed(archive: DataFrame): Unit = {
       val a = archive.select(col("doc_id").cast("long").as("doc_id"),
         col("text"))
-      hashesT.seed(Dedup.archiveHashes(a))
-      bandsT.seed(Dedup.minhashBands(a, numHashes, numBands, shingleN))
-      seenT.seed(a)
-      // kept starts empty, schema-stable
-      a.select(col("doc_id")).limit(0).write.mode("overwrite").parquet(keptDir)
+      // Four independent writes, each scanning the source itself (NOT a
+      // checkpoint of the archive — at a 100 TB archive that
+      // materialization is the thing to avoid), run concurrently: the
+      // bootstrap is the lane's single biggest serial span and the
+      // writes don't depend on each other.
+      val seeds = Seq(
+        scala.concurrent.Future(hashesT.seed(Dedup.archiveHashes(a)))(
+          StreamingDedup.actionEc),
+        scala.concurrent.Future(bandsT.seed(
+          Dedup.minhashBands(a, numHashes, numBands, shingleN)))(
+          StreamingDedup.actionEc),
+        scala.concurrent.Future(seenT.seed(a))(StreamingDedup.actionEc),
+        // kept starts empty, schema-stable
+        scala.concurrent.Future(a.select(col("doc_id")).limit(0)
+          .write.mode("overwrite").parquet(keptDir))(StreamingDedup.actionEc))
+      seeds.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration(3600, "s")))
     }
 
     /** The foreachBatch body: screen, record kept, upsert the index.
@@ -214,22 +241,64 @@ object StreamingDedup {
       */
     def processBatch(batch0: DataFrame, batchId: Long): Unit = {
       val sp = batch0.sparkSession
+      // ONE batch materialization carrying the content hash and BOTH
+      // its observed metrics (row count + touched hash buckets) — the
+      // separate nh checkpoint was a second serial job per batch.
       val obsB = org.apache.spark.sql.Observation()
       val batch = batch0.select(col("doc_id").cast("long").as("doc_id"),
-        col("text"))
-        .observe(obsB, count(lit(1)).as("n"))
-        .localCheckpoint(true)
-      if (observed(obsB).getLong(0) == 0) return
-      val obsH = org.apache.spark.sql.Observation()
-      val nh = batch.select(col("doc_id"),
+        col("text"),
         md5(coalesce(col("text"), lit(""))).as("h"))
-        .observe(obsH, collect_set(hashBkt).as("bkts"))
+        .observe(obsB, count(lit(1)).as("n"),
+          collect_set(hashBkt).as("bkts"))
+        .localCheckpoint(true)
+      val bRow = observed(obsB)
+      val nBatch = bRow.getLong(0)
+      if (nBatch == 0) return
+      // AQE is OFF inside micro-batch execution (Spark disables it for
+      // streaming plans), so every batch-local shuffle would run at the
+      // session's full spark.sql.shuffle.partitions — sized for the big
+      // batch lanes, pure task-scheduling overhead at small-increment
+      // scale (the r17 bench floor was ~2.9 s per 50-doc batch, mostly
+      // 32-task stages over a few thousand rows). Size the batch's
+      // shuffles to the increment instead — ~20k docs per partition,
+      // floored at 4, capped at the session setting so a
+      // production-sized batch keeps the configured width. This is the
+      // same move AQE's partition coalescing would make if it ran.
+      val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
+      sp.conf.set("spark.sql.shuffle.partitions",
+        math.max(4L, math.min(prevParts.toLong, nBatch / 20000L + 4L))
+          .toString)
+      try processBatchSized(batch, bRow.getSeq[Int](1))
+      finally sp.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+
+    private def processBatchSized(batch: DataFrame,
+        hashTouched: Seq[Int]): Unit = {
+      val sp = batch.sparkSession
+      // The batch's actions (derived checkpoints, the kept write,
+      // 3 index appends) each decompose into several small jobs
+      // (broadcast materializations, file commits) that the foreachBatch
+      // thread would otherwise run strictly serially — measured ~37
+      // jobs/batch averaging ~50 ms, i.e. the bench-scale floor is job
+      // SCHEDULING, not data. Independent actions run concurrently on
+      // [[StreamingDedup.actionEc]] instead; Spark's scheduler is
+      // thread-safe and at production batch sizes the same overlap
+      // hides the small side's I/O behind the big probe job.
+      def fork[T](body: => T): scala.concurrent.Future[T] =
+        scala.concurrent.Future(body)(StreamingDedup.actionEc)
+      def await[T](f: scala.concurrent.Future[T]): T =
+        scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration(600, "s"))
+      val obsN = org.apache.spark.sql.Observation()
+      val nh = batch.select("doc_id", "h")
+      val nb = Dedup.minhashBands(batch.select("doc_id", "text"),
+        numHashes, numBands, shingleN)
+        .observe(obsN, collect_set(bandBkt).as("bkts"))
         .localCheckpoint(true)
       // exact screen: hash seen in the archive (pruned to the batch's hash
       // buckets), or an earlier same-batch id
       val dropExact = nh
-        .join(hashesT.probe(pruneArg(observed(obsH).getSeq[Int](0)))
-            .select("h"),
+        .join(hashesT.probe(pruneArg(hashTouched)).select("h"),
           Seq("h"), "left_semi")
         .select("doc_id")
         .union(nh.select(col("doc_id").as("a"), col("h"))
@@ -239,10 +308,6 @@ object StreamingDedup {
       // near screen: band-bucket candidates vs the SEEN index (pruned to
       // the batch's band buckets) + within batch (a < b drops b), verified
       // exactly on candidate text only
-      val obsN = org.apache.spark.sql.Observation()
-      val nb = Dedup.minhashBands(batch, numHashes, numBands, shingleN)
-        .observe(obsN, collect_set(bandBkt).as("bkts"))
-        .localCheckpoint(true)
       val seenBands = bandsT.probe(pruneArg(observed(obsN).getSeq[Int](0)))
       val obsC = org.apache.spark.sql.Observation()
       val bBkt = pmod(xxhash64(col("b")), lit(buckets.toLong)).cast("int")
@@ -260,7 +325,7 @@ object StreamingDedup {
       val candSeen = seenT.probe(pruneArg(observed(obsC).getSeq[Int](0)))
         .select("doc_id", "text")
         .join(candSeenIds, Seq("doc_id"), "left_semi")
-      val sh = Dedup.shinglesJit(batch, shingleN)
+      val sh = Dedup.shinglesJit(batch.select("doc_id", "text"), shingleN)
         .union(Dedup.shinglesJit(candSeen, shingleN))
       // verifyJaccard is symmetric in (a, b); the DROPPED side must be
       // column `a` — the batch doc for cross candidates, the LARGER id
@@ -270,15 +335,24 @@ object StreamingDedup {
             selfCands.select(col("b").as("a"), col("a").as("b"))), sh)
         .filter(col("jaccard") >= threshold)
         .select(col("a").as("doc_id")).distinct()
-      batch.select("doc_id")
-        .join(dropExact, Seq("doc_id"), "left_anti")
-        .join(dropNear, Seq("doc_id"), "left_anti")
-        .write.mode("append").parquet(keptDir)
-      // upsert: EVERYTHING seen enters the standing index — one flat
-      // delta file per table, O(batch)
-      hashesT.append(nh.select("h").distinct())
-      bandsT.append(nb)
-      seenT.append(batch)
+      // The kept write and the three index appends are independent
+      // actions over already-checkpointed inputs — run them
+      // concurrently. SAFE against self-matching: every probe above
+      // built its base∪delta file index EAGERLY (spark.read.parquet
+      // lists files at DataFrame creation), so delta files appended
+      // here are invisible to this batch's own scans — the batch never
+      // screens against itself.
+      val tails = Seq(
+        fork(batch.select("doc_id")
+          .join(dropExact, Seq("doc_id"), "left_anti")
+          .join(dropNear, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(keptDir)),
+        // upsert: EVERYTHING seen enters the standing index — one flat
+        // delta file per table, O(batch)
+        fork(hashesT.append(nh.select("h").distinct())),
+        fork(bandsT.append(nb)),
+        fork(seenT.append(batch.select("doc_id", "text"))))
+      tails.foreach(await(_))
       batches += 1
       if (compactEvery > 0 && batches % compactEvery == 0) compact()
     }
@@ -368,7 +442,8 @@ object StreamingDedup {
     val staging = java.nio.file.Files.createTempDirectory("graft_sdedup_in")
     staging.toFile.deleteOnExit()
     val base = System.currentTimeMillis() - 3600L * 1000
-    (0 until nBatches).foreach { i =>
+    val staged = (0 until nBatches).map { i =>
+      scala.concurrent.Future {
       val (lo, hi) = boundsOf(i)
       val dir = staging.resolve(s"stage$i")
       increment.filter(col("doc_id") >= lo && col("doc_id") < hi)
@@ -394,7 +469,10 @@ object StreamingDedup {
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
       finally walk.close()
+      }(StreamingDedup.actionEc)
     }
+    staged.foreach(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration(3600, "s")))
     (staging.toString, increment.schema)
   }
 }
