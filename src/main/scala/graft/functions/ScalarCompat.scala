@@ -160,4 +160,61 @@ object ScalarCompat {
     d.get(java.time.temporal.IsoFields.WEEK_BASED_YEAR) * 100L +
       d.get(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR)
   }
+
+  /** DuckDB millennium(): 3rd millennium = 2001-3000 (Postgres
+    * convention, same shape as century/decade above).
+    */
+  def millennium(year: Int): Int = Math.floorDiv(year - 1, 1000) + 1
+
+  // --- BIT lane (round 18). DuckDB's BIT (bitstring) modeled as its
+  // VARCHAR form — a '0'/'1' string — which is exactly what CAST(b AS
+  // VARCHAR) yields in DuckDB, so values round-trip the oracle compare.
+  // get_bit/set_bit carry DuckDB's left-0-based indexing and its
+  // out-of-range ERROR (not NULL); bitstring() pads with '0' on the
+  // left to the requested width.
+
+  /** BIT '...' literal validator: every char 0/1 (reference semantics:
+    * DuckDB rejects other chars at parse).
+    */
+  def bitFromString(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c != '0' && c != '1')
+        throw new IllegalArgumentException(
+          s"Invalid character '$c' in BIT string literal (0/1 only)")
+      i += 1
+    }
+    s
+  }
+
+  def getBit(s: UTF8String, idx: Int): Int = {
+    val str = s.toString
+    if (idx < 0 || idx >= str.length)
+      throw new ArithmeticException(
+        s"bit index $idx out of valid range (0..${str.length - 1})")
+    if (str.charAt(idx) == '1') 1 else 0
+  }
+
+  def setBit(s: UTF8String, idx: Int, v: Int): UTF8String = {
+    val str = s.toString
+    if (idx < 0 || idx >= str.length)
+      throw new ArithmeticException(
+        s"bit index $idx out of valid range (0..${str.length - 1})")
+    UTF8String.fromString(
+      str.substring(0, idx) + (if (v == 0) '0' else '1') +
+        str.substring(idx + 1))
+  }
+
+  /** DuckDB bitstring(str, len): left-pad with '0' to len; a len
+    * shorter than the input errors (DuckDB: "length must be ...").
+    */
+  def bitstring(s: UTF8String, len: Int): UTF8String = {
+    val str = bitFromString(s).toString
+    if (len < str.length)
+      throw new IllegalArgumentException(
+        s"bitstring length $len is smaller than input length ${str.length}")
+    UTF8String.fromString(("0" * (len - str.length)) + str)
+  }
 }

@@ -3437,6 +3437,226 @@ object AnalyticsQueries {
         sum(when(col("ka").isNull, 1L).otherwise(0L)).as("n_null_matches"))
   }
 
+  // ------------------------------------------------------------------
+  // Round 18: fifth dialect sweep — EXTRACT field parity, the BIT
+  // lane, SIMILAR TO constant folding, window-frame EXCLUDE, DISTINCT
+  // ON across set-op chains, and the natively-passing sweep idioms
+  // pinned (FILTER (WHERE), named WINDOW, GROUP/ORDER BY ALL,
+  // try_strptime, ::VARCHAR / CAST AS TEXT).
+  // ------------------------------------------------------------------
+
+  // EXTRACT fields Spark rejects, claimed pre-delegation and mapped to
+  // BIGINT-cast scalar templates (era/isoyear/century/decade/
+  // millennium/timezone*/julian/isodow/dayofyear/micro/millisecond) in
+  // both spellings (EXTRACT(f FROM x), date_part('f', x)). Identical
+  // statement runs natively in DuckDB. julian rounds to 5 decimals
+  // (JDN + day fraction — one shared formula, but the engines' double
+  // division orders differ in the last ulp).
+  declare("q147_extract_fields",
+    """SELECT o_orderkey AS k,
+         EXTRACT(isoyear FROM o_orderdate) AS iy,
+         EXTRACT(century FROM o_orderdate) AS cen,
+         EXTRACT(decade FROM o_orderdate) AS dec,
+         EXTRACT(millennium FROM o_orderdate) AS mil,
+         EXTRACT(era FROM o_orderdate) AS er,
+         EXTRACT(isodow FROM o_orderdate) AS idw,
+         EXTRACT(dayofyear FROM o_orderdate) AS doy,
+         round(EXTRACT(julian FROM o_orderdate), 5) AS jul,
+         EXTRACT(timezone FROM o_orderdate) AS tz,
+         EXTRACT(timezone_hour FROM o_orderdate) AS tzh,
+         EXTRACT(timezone_minute FROM o_orderdate) AS tzm,
+         date_part('era', o_orderdate) AS dp_er,
+         datepart('decade', o_orderdate) AS dp_dec,
+         EXTRACT(microsecond FROM TIMESTAMP '2024-01-01 00:00:11.123456') AS us,
+         EXTRACT(millisecond FROM TIMESTAMP '2024-01-01 00:00:11.123456') AS ms
+       FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey AS k,
+           EXTRACT(isoyear FROM o_orderdate) AS iy,
+           EXTRACT(century FROM o_orderdate) AS cen,
+           EXTRACT(decade FROM o_orderdate) AS dec,
+           EXTRACT(millennium FROM o_orderdate) AS mil,
+           EXTRACT(era FROM o_orderdate) AS er,
+           EXTRACT(isodow FROM o_orderdate) AS idw,
+           EXTRACT(dayofyear FROM o_orderdate) AS doy,
+           round(EXTRACT(julian FROM o_orderdate), 5) AS jul,
+           EXTRACT(timezone FROM o_orderdate) AS tz,
+           EXTRACT(timezone_hour FROM o_orderdate) AS tzh,
+           EXTRACT(timezone_minute FROM o_orderdate) AS tzm,
+           date_part('era', o_orderdate) AS dp_er,
+           datepart('decade', o_orderdate) AS dp_dec,
+           EXTRACT(microsecond FROM TIMESTAMP '2024-01-01 00:00:11.123456') AS us,
+           EXTRACT(millisecond FROM TIMESTAMP '2024-01-01 00:00:11.123456') AS ms
+         FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""")
+  }
+
+  // BIT lane: BIT literals (modeled as the VARCHAR form), get_bit/
+  // set_bit (left-0-based, out-of-range ERRORS pinned in the spec),
+  // bitstring left-pad, type-dispatched bit_count — plus the
+  // length-less CAST spellings (::VARCHAR, CAST AS VARCHAR) the lane
+  // rides on. Identical statement runs natively in DuckDB.
+  declare("q148_bit_lane",
+    """SELECT
+         CAST(get_bit(BIT '0110', 0) AS BIGINT) AS g0,
+         CAST(get_bit(BIT '0110', 1) AS BIGINT) AS g1,
+         CAST(set_bit(BIT '0110', 2, 0) AS VARCHAR) AS sb,
+         set_bit(BIT '00000000', 7, 1)::VARCHAR AS sb2,
+         CAST(bitstring('0110', 8) AS VARCHAR) AS bs,
+         CAST(bit_count(BIT '011010') AS BIGINT) AS bc,
+         CAST(bit_count(CAST(200 AS BIGINT)) AS BIGINT) AS bci,
+         CAST(7 AS TEXT) AS t7""") { (spark, _) =>
+    spark.sql(
+      """SELECT
+           CAST(get_bit(BIT '0110', 0) AS BIGINT) AS g0,
+           CAST(get_bit(BIT '0110', 1) AS BIGINT) AS g1,
+           CAST(set_bit(BIT '0110', 2, 0) AS VARCHAR) AS sb,
+           set_bit(BIT '00000000', 7, 1)::VARCHAR AS sb2,
+           CAST(bitstring('0110', 8) AS VARCHAR) AS bs,
+           CAST(bit_count(BIT '011010') AS BIGINT) AS bc,
+           CAST(bit_count(CAST(200 AS BIGINT)) AS BIGINT) AS bci,
+           CAST(7 AS TEXT) AS t7""")
+  }
+
+  // SIMILAR TO with constant-folded literal concat chains ('||' binds
+  // tighter than SIMILAR TO, so the real pattern is the concat result)
+  // — full-match anchoring onto RLIKE as in the literal form; ESCAPE
+  // raises the same not-implemented error the host does (pinned in
+  // the spec). Identical statement runs natively in DuckDB.
+  declare("q149_similar_concat",
+    """SELECT p_partkey AS k, p_name FROM part
+       WHERE p_name SIMILAR TO '.*' || 'an' || '.*'
+         AND p_name NOT SIMILAR TO '.*' || 'lavender' || '.*'
+       ORDER BY p_partkey""") { (spark, sfDir) =>
+    t(spark, sfDir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT p_partkey AS k, p_name FROM part
+         WHERE p_name SIMILAR TO '.*' || 'an' || '.*'
+           AND p_name NOT SIMILAR TO '.*' || 'lavender' || '.*'
+         ORDER BY p_partkey""")
+  }
+
+  // Window-frame EXCLUDE (CURRENT ROW / GROUP / TIES / NO OTHERS)
+  // decomposed onto stock window algebra — subtraction for sum/count/
+  // avg, frame-splitting least/greatest for min/max, peer-frame
+  // subtraction for GROUP/TIES (every derived window shares the
+  // original PARTITION/ORDER, so each column still runs in ONE
+  // WindowExec pass — plan-asserted in the spec). l_quantity holds
+  // integral doubles, so the subtraction algebra is representation-
+  // exact. Identical statement runs natively in DuckDB.
+  declare("q150_window_exclude",
+    """CREATE OR REPLACE TEMP VIEW q150_t AS
+         SELECT l_orderkey * 10 + l_linenumber AS k, l_quantity AS q,
+                l_orderkey % 7 AS g
+         FROM lineitem WHERE l_orderkey < 400;
+       SELECT k,
+         sum(q) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS s_cr,
+         CAST(count(*) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS c_cr,
+         avg(q) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN 3 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS a_cr,
+         min(q) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS mn_cr,
+         max(q) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS mx_cr,
+         sum(q) OVER (PARTITION BY g ORDER BY q RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING EXCLUDE GROUP) AS s_gp,
+         sum(q) OVER (PARTITION BY g ORDER BY q RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING EXCLUDE TIES) AS s_ti,
+         CAST(count(q) OVER (PARTITION BY g ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS BIGINT) AS c_ti,
+         sum(q) OVER (PARTITION BY g ORDER BY q RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS s_rcr,
+         sum(q) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE NO OTHERS) AS s_no
+       FROM q150_t ORDER BY k""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW q150_t AS
+           SELECT l_orderkey * 10 + l_linenumber AS k, l_quantity AS q,
+                  l_orderkey % 7 AS g
+           FROM lineitem WHERE l_orderkey < 400""").collect()
+    spark.sql(
+      """SELECT k,
+           sum(q) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS s_cr,
+           CAST(count(*) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS c_cr,
+           avg(q) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN 3 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS a_cr,
+           min(q) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS mn_cr,
+           max(q) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS mx_cr,
+           sum(q) OVER (PARTITION BY g ORDER BY q RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING EXCLUDE GROUP) AS s_gp,
+           sum(q) OVER (PARTITION BY g ORDER BY q RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING EXCLUDE TIES) AS s_ti,
+           CAST(count(q) OVER (PARTITION BY g ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS BIGINT) AS c_ti,
+           sum(q) OVER (PARTITION BY g ORDER BY q RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS s_rcr,
+           sum(q) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE NO OTHERS) AS s_no
+         FROM q150_t ORDER BY k""")
+  }
+
+  // DISTINCT ON across set-operation chains (round 18): EVERY shaped
+  // block rewrites, not just the head; the trailing ORDER BY stays
+  // chain-global. Per-block payloads are functions of the ON exprs, so
+  // the (block-level-ORDER-BY-less) row pick is value-deterministic on
+  // both engines. Identical statement runs natively in DuckDB.
+  declare("q151_distinct_on_setops",
+    """SELECT DISTINCT ON (o_custkey % 10)
+           CAST(o_custkey % 10 AS BIGINT) AS g,
+           CAST((o_custkey % 10) * 2 AS BIGINT) AS v
+       FROM orders WHERE o_orderkey < 500
+       UNION ALL
+       SELECT DISTINCT ON (c_nationkey)
+           CAST(c_nationkey AS BIGINT) AS g,
+           CAST(c_nationkey + 100 AS BIGINT) AS v
+       FROM customer
+       ORDER BY g, v""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT DISTINCT ON (o_custkey % 10)
+             CAST(o_custkey % 10 AS BIGINT) AS g,
+             CAST((o_custkey % 10) * 2 AS BIGINT) AS v
+         FROM orders WHERE o_orderkey < 500
+         UNION ALL
+         SELECT DISTINCT ON (c_nationkey)
+             CAST(c_nationkey AS BIGINT) AS g,
+             CAST(c_nationkey + 100 AS BIGINT) AS v
+         FROM customer
+         ORDER BY g, v""")
+  }
+
+  // Fifth-sweep idioms that pass NATIVELY through the dialect pipeline
+  // — pinned so a regression in the rewrite chain (which re-parses
+  // every statement) surfaces as a gate failure, not a silent
+  // behavior change: FILTER (WHERE) aggregates, the named WINDOW
+  // clause, GROUP BY ALL / ORDER BY ALL, try_strptime, and a
+  // window-over-aggregate. Integer sums keep the cumulative window
+  // representation-exact. Identical statement runs natively in DuckDB.
+  declare("q152_sweep5_native",
+    """CREATE OR REPLACE TEMP VIEW q152_t AS
+         SELECT o_custkey % 5 AS g, o_orderkey AS k, o_totalprice AS p
+         FROM orders WHERE o_orderkey < 300;
+       SELECT g, fsum, fcnt, CAST(sum(fsum2) OVER w AS BIGINT) AS cum, ts
+       FROM (
+         SELECT CAST(g AS BIGINT) AS g,
+           CAST(sum(k) FILTER (WHERE k % 2 = 0) AS BIGINT) AS fsum,
+           sum(k) AS fsum2,
+           CAST(count(*) FILTER (WHERE p > 1000) AS BIGINT) AS fcnt,
+           try_strptime('2024-0' || CAST(g + 1 AS VARCHAR) || '-01',
+                        '%Y-%m-%d') AS ts
+         FROM q152_t GROUP BY ALL
+       ) q
+       WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY ALL""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW q152_t AS
+           SELECT o_custkey % 5 AS g, o_orderkey AS k, o_totalprice AS p
+           FROM orders WHERE o_orderkey < 300""").collect()
+    spark.sql(
+      """SELECT g, fsum, fcnt, CAST(sum(fsum2) OVER w AS BIGINT) AS cum, ts
+         FROM (
+           SELECT CAST(g AS BIGINT) AS g,
+             CAST(sum(k) FILTER (WHERE k % 2 = 0) AS BIGINT) AS fsum,
+             sum(k) AS fsum2,
+             CAST(count(*) FILTER (WHERE p > 1000) AS BIGINT) AS fcnt,
+             try_strptime('2024-0' || CAST(g + 1 AS VARCHAR) || '-01',
+                          '%Y-%m-%d') AS ts
+           FROM q152_t GROUP BY ALL
+         ) q
+         WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY ALL""")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

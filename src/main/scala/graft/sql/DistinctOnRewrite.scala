@@ -25,12 +25,12 @@ package graft.sql
   *
   * A leading WITH rides along untouched (CTE bodies are parenthesized,
   * so the top-level SELECT is the query's own; CTE names stay visible
-  * inside the new subquery). Declines to the hint: top-level GROUP
-  * BY/HAVING (aggregate DISTINCT ON needs the grouped relation, a
-  * different splice), set operations, QUALIFY (order the rewrites would
-  * apply in is ambiguous), `*` select lists that this would have to
-  * rename around (`SELECT DISTINCT ON (a) *` is supported — the star
-  * becomes `* EXCEPT (__graft_rn)`), and positional `?` parameters.
+  * inside the new subquery). GROUP BY/HAVING/QUALIFY blocks rewrite
+  * via the hidden-column splice (round 17); set-operation chains
+  * rewrite EVERY shaped block, head or not (round 18), keeping the
+  * chain-global trailing ORDER BY/LIMIT outside the blocks. Declines
+  * to the hint: `*` select lists over aggregate blocks, parenthesized
+  * set-op branches (their own scope), and positional `?` parameters.
   */
 object DistinctOnRewrite {
 
@@ -46,10 +46,12 @@ object DistinctOnRewrite {
     */
   def isShaped(sql: String): Boolean = {
     val words = QualifyRewrite.topLevelWords(sql)
-    val selIdx = words.indexWhere(_._1 == "SELECT")
-    selIdx >= 0 &&
-      words.lift(selIdx + 1).exists(_._1 == "DISTINCT") &&
-      words.lift(selIdx + 2).exists(_._1 == "ON")
+    // ANY top-level block of a set-op chain may carry the construct
+    // (round 18), so every top-level SELECT is a candidate, not just
+    // the first.
+    words.indices.exists(i => words(i)._1 == "SELECT" &&
+      words.lift(i + 1).exists(_._1 == "DISTINCT") &&
+      words.lift(i + 2).exists(_._1 == "ON"))
   }
 
   /** One trailing ORDER BY item: (expression text, direction suffix). */
@@ -101,22 +103,61 @@ object DistinctOnRewrite {
     // Only the head statement (or a WITH's final SELECT) — anything
     // before SELECT other than a WITH prefix declines.
     if (selIdx > 0 && words.head._1 != "WITH") return None
-    if (!(words.lift(selIdx + 1).exists(_._1 == "DISTINCT") &&
-      words.lift(selIdx + 2).exists(_._1 == "ON"))) return None
-    // Set operations (round 17): DISTINCT ON binds to its OWN query
-    // block (DuckDB 1.0 pinned) — rewrite the first block alone,
-    // parenthesize, reattach the set-op tail (the union's trailing
-    // ORDER BY stays global; the block's row choice is then arbitrary
-    // on both engines, as with any ORDER-BY-less DISTINCT ON).
-    words.find(w => Set("UNION", "INTERSECT", "EXCEPT")(w._1)
-        && w._2 > words(selIdx)._2) match {
-      case Some(setW) =>
-        val head = sql.substring(0, setW._2)
-        val tail = sql.substring(setW._2)
-        val prefix = sql.substring(0, words(selIdx)._2)
-        return rewrite(head).map(r =>
-          prefix + "( " + r.substring(prefix.length) + " ) " + tail)
-      case None => ()
+    val headShaped = words.lift(selIdx + 1).exists(_._1 == "DISTINCT") &&
+      words.lift(selIdx + 2).exists(_._1 == "ON")
+    // Set operations (round 17; EVERY block since round 18): DISTINCT
+    // ON binds to its OWN query block (DuckDB 1.0 pinned) — split the
+    // chain at the top-level set operators, rewrite each block that is
+    // itself DISTINCT-ON-shaped (parenthesized — a rewritten block is
+    // a subquery), keep the rest, and reattach the operators plus the
+    // GLOBAL trailing ORDER BY/LIMIT (which belongs to the whole
+    // chain, never to the last block: only the head block can carry a
+    // block-level ORDER BY in unparenthesized SQL, so non-head blocks'
+    // DISTINCT ON picks are arbitrary on both engines).
+    val setOps = words.filter(w => Set("UNION", "INTERSECT", "EXCEPT")(w._1))
+      .filter(_._2 > words(selIdx)._2)
+    if (setOps.isEmpty && !headShaped) return None
+    if (setOps.nonEmpty) {
+      val prefix = sql.substring(0, words(selIdx)._2)
+      val bounds = (words(selIdx)._2 +: setOps.map(_._2)) :+ sql.length
+      val blocks = bounds.sliding(2).map(p => sql.substring(p(0), p(1))).toVector
+      var globalTrail = ""
+      var any = false
+      val out = new StringBuilder(prefix)
+      blocks.zipWithIndex.foreach { case (block0, i) =>
+        var block = block0
+        // Non-head blocks open with the operator words (UNION [ALL] /
+        // BY NAME / ...): the body starts at the first top-level
+        // SELECT or '('.
+        val bw = QualifyRewrite.topLevelWords(block)
+        val bodyPos =
+          if (i == 0) 0
+          else bw.find(w => w._1 == "SELECT" || w._1 == "(").map(_._2)
+            .getOrElse(return None)
+        var body = block.substring(bodyPos)
+        val opText = block.substring(0, bodyPos)
+        if (i == blocks.length - 1) {
+          // Split the chain-global trail off the last block.
+          val tw = QualifyRewrite.topLevelWords(body)
+          tw.find(w => trailing(w._1)).foreach { w =>
+            globalTrail = body.substring(w._2)
+            body = body.substring(0, w._2)
+          }
+        }
+        val rewrote: Option[String] =
+          if (body.trim.startsWith("(")) None // parenthesized: own scope
+          else if (isShaped(body)) rewrite(body) match {
+            case Some(r) => Some(r)
+            case None => return None // shaped but unrewritable: hint
+          }
+          else None
+        if (rewrote.isDefined) any = true
+        out.append(opText)
+          .append(rewrote.map(r => "( " + r + " ) ").getOrElse(body))
+      }
+      if (!any) return None
+      out.append(globalTrail)
+      return Some(out.toString)
     }
     val onPos = words(selIdx + 2)._2
     val parenStart = sql.indexOf('(', onPos + 2)

@@ -942,16 +942,43 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
         } else { lit.append(text.charAt(k)); k += 1 }
       }
       if (!closed) return None
-      // The literal must BE the whole pattern: a trailing `|| ...`
-      // concat (which binds tighter than SIMILAR TO in DuckDB, so the
-      // real pattern is the concat result) or an ESCAPE clause would
-      // make the spliced anchors land mid-pattern — decline to the
-      // hint rather than full-match the wrong regex.
+      // Constant-fold a `'a' || 'b' || ...` literal concat chain into
+      // the pattern (round 18 — `||` binds tighter than SIMILAR TO in
+      // DuckDB, so the real pattern is the concat result). Any
+      // non-literal operand in the chain declines to the hint: the
+      // folded anchors would land mid-pattern on the wrong regex.
       var t = k
       while (t < text.length && text.charAt(t).isWhitespace) t += 1
-      if (t + 1 < text.length && text.charAt(t) == '|' &&
-        text.charAt(t + 1) == '|') return None
-      if (text.regionMatches(true, t, "ESCAPE", 0, 6)) return None
+      while (t + 1 < text.length && text.charAt(t) == '|' &&
+          text.charAt(t + 1) == '|') {
+        t += 2
+        while (t < text.length && text.charAt(t).isWhitespace) t += 1
+        if (t >= text.length || text.charAt(t) != '\'') return None
+        var kk = t + 1
+        var cl = false
+        while (kk < text.length && !cl) {
+          if (text.charAt(kk) == '\'') {
+            if (kk + 1 < text.length && text.charAt(kk + 1) == '\'') {
+              lit.append("''"); kk += 2
+            } else { cl = true; kk += 1 }
+          } else { lit.append(text.charAt(kk)); kk += 1 }
+        }
+        if (!cl) return None
+        k = kk
+        t = k
+        while (t < text.length && text.charAt(t).isWhitespace) t += 1
+      }
+      // ESCAPE parity: the host itself rejects it ("Not implemented
+      // Error: Custom escape in SIMILAR TO"), so the matching behavior
+      // is the same LOUD error, not a hint or a silently-wrong anchor.
+      if (text.regionMatches(true, t, "ESCAPE", 0, 6))
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            ("Not implemented: custom ESCAPE in SIMILAR TO (the " +
+              "reference engine rejects it too). Escape regex " +
+              "metacharacters with a backslash in the pattern " +
+              "instead.")))
       val pat = lit.toString
       Seq("[[:" -> "POSIX class [[:...:]]", "(?P<" -> "named group (?P<...>)")
         .foreach { case (needle, what) =>
@@ -977,6 +1004,69 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     out.append(text.substring(pos))
     Some(out.toString)
   }
+  /** `BIT '<bits>'` typed literal → `graft_bit('<bits>')` (round 18).
+    * Spark rejects the BIT typed literal at parse
+    * (UNSUPPORTED_TYPED_LITERAL), so this only ever runs in the
+    * failure chain — a native statement can't be claimed. The engine
+    * models BIT as its VARCHAR form; graft_bit validates 0/1 chars.
+    */
+  private val bitLiteralRe = "(?i)\\bBIT\\s+'([01]+)'".r
+  private def bitLiteralRewrite(text: String): Option[String] = {
+    val masked = ReplaceRewrite.maskLiterals(text)
+    val ms = bitLiteralRe.findAllMatchIn(text)
+      .filter(m => masked.charAt(m.start) != ' ').toList
+    if (ms.isEmpty) return None
+    val sb = new StringBuilder
+    var pos = 0
+    ms.foreach { m =>
+      sb.append(text.substring(pos, m.start))
+        .append(s"graft_bit('${m.group(1)}')")
+      pos = m.end
+    }
+    sb.append(text.substring(pos))
+    Some(sb.toString)
+  }
+
+  /** DuckDB's length-less string-type spellings in CAST position
+    * (round 18): `CAST(x AS VARCHAR|TEXT|BPCHAR)` and `x::VARCHAR`
+    * fail Spark's parser (DATATYPE_MISSING_SIZE / UNSUPPORTED_
+    * DATATYPE), so this only ever runs in the failure chain. BLOB maps
+    * to BINARY. `AS <type>` is claimed ONLY inside a CAST/TRY_CAST
+    * extent — a select-list alias that merely happens to be named
+    * `text` is never touched; `::<type>` is unambiguous (always a
+    * cast). Parenthesized VARCHAR(n) passes through to Spark's own.
+    */
+  private val castTypeWordRe =
+    "(?i)\\bAS\\s+(VARCHAR|TEXT|BPCHAR|BLOB)\\b(?!\\s*\\()".r
+  private val colonTypeWordRe =
+    "(?i)::\\s*(VARCHAR|TEXT|BPCHAR|BLOB)\\b(?!\\s*\\()".r
+  private def typeSpellRewrite(text: String): Option[String] = {
+    val masked = ReplaceRewrite.maskLiterals(text)
+    def target(w: String) =
+      if (w.equalsIgnoreCase("BLOB")) "BINARY" else "STRING"
+    val castExtents = "(?i)\\b(?:TRY_)?CAST\\s*\\(".r
+      .findAllMatchIn(masked).flatMap { m =>
+        val open = masked.indexOf('(', m.start)
+        val close = ReplaceRewrite.closeOf(text, open)
+        if (close < 0) None else Some((open, close))
+      }.toList
+    val repls = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
+    colonTypeWordRe.findAllMatchIn(masked).foreach(m =>
+      repls += ((m.start, m.end, "::" + target(m.group(1)))))
+    castTypeWordRe.findAllMatchIn(masked).foreach { m =>
+      if (castExtents.exists(e => m.start > e._1 && m.end < e._2))
+        repls += ((m.start, m.end, "AS " + target(m.group(1))))
+    }
+    if (repls.isEmpty) return None
+    val sb = new StringBuilder
+    var pos = 0
+    repls.toList.sortBy(_._1).foreach { case (a, b, r) =>
+      sb.append(text.substring(pos, a)).append(r); pos = b
+    }
+    sb.append(text.substring(pos))
+    Some(sb.toString)
+  }
+
   private val powOpRe = "(?s).*\\*\\*.*".r
   private val tildeRe = "(?s).*~.*".r
   private val atTimeZoneRe = "(?is).*\\bAT\\s+TIME\\s+ZONE\\b.*".r
@@ -1205,9 +1295,21 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               atTimeZoneRewrite(text); case _ => None },
             // [NOT] SIMILAR TO '<re>' → [NOT] RLIKE with full-match
             // anchors (DuckDB's SIMILAR TO = regexp_full_match). Only
-            // ever seen on parse failure; literal-pattern forms only.
+            // ever seen on parse failure; literal patterns and
+            // constant-folded `'a' || 'b'` literal concat chains.
             () => text match { case similarToRe() =>
               similarToRewrite(text); case _ => None },
+            // BIT '<bits>' typed literal → graft_bit (parse-failure
+            // only: UNSUPPORTED_TYPED_LITERAL is a parse rejection).
+            () => bitLiteralRewrite(text),
+            // Length-less VARCHAR/TEXT/BPCHAR (→ STRING) and BLOB
+            // (→ BINARY) in CAST / :: position (parse-failure only:
+            // DATATYPE_MISSING_SIZE / UNSUPPORTED_DATATYPE).
+            () => typeSpellRewrite(text),
+            // Window-frame EXCLUDE clauses (parse-failure only: Spark's
+            // frame grammar has no EXCLUDE) — frame-splitting /
+            // peer-subtraction decomposition onto stock window aggs.
+            () => ExcludeFrameRewrite.rewrite(text),
             () => text match { case columnsRe() =>
               ColumnsRewrite.rewrite(text); case _ => None },
             () => text match { case fromFirstRe() =>
@@ -1344,15 +1446,17 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "Dataset API df.sample(fraction, seed).")
               case distinctOnRe() =>
                 Some("If you meant DuckDB/Postgres SELECT DISTINCT ON " +
-                  "(exprs): the common form (single query block, " +
-                  "optional WITH prefix, trailing ORDER BY as the " +
-                  "per-group tiebreak) runs automatically via a " +
-                  "row_number() window rewrite — but this one wasn't " +
-                  "that shape (GROUP BY/HAVING, set operations, and " +
-                  "QUALIFY decline). Write the window form directly: " +
-                  "SELECT ... FROM (SELECT *, row_number() OVER " +
-                  "(PARTITION BY exprs ORDER BY tiebreak) rn FROM t) " +
-                  "WHERE rn = 1.")
+                  "(exprs): the common forms run automatically via a " +
+                  "row_number() window rewrite — plain blocks with the " +
+                  "trailing ORDER BY as the per-group tiebreak, GROUP " +
+                  "BY/HAVING/QUALIFY blocks (hidden-column splice), " +
+                  "and every shaped block of a set-operation chain — " +
+                  "but this one wasn't that shape (star select lists " +
+                  "over aggregate blocks, parenthesized set-op " +
+                  "branches, and ? parameters decline). Write the " +
+                  "window form directly: SELECT ... FROM (SELECT *, " +
+                  "row_number() OVER (PARTITION BY exprs ORDER BY " +
+                  "tiebreak) rn FROM t) WHERE rn = 1.")
               case insertByNameRe() =>
                 Some("If you meant DuckDB's INSERT INTO tbl BY NAME " +
                   "<query>: the common form runs automatically " +
@@ -1479,12 +1583,29 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "OVERWRITE (OR REPLACE).")
               case similarToRe() =>
                 Some("If you meant DuckDB's [NOT] SIMILAR TO: the " +
-                  "literal-pattern form (expr SIMILAR TO '<regex>') " +
-                  "runs automatically as a fully-anchored RLIKE, but " +
-                  "this statement wasn't that shape — non-literal " +
-                  "patterns (columns, concat) and ESCAPE clauses " +
-                  "decline. Write expr RLIKE '^(?:pattern)$' directly, " +
+                  "literal-pattern form (expr SIMILAR TO '<regex>', " +
+                  "including constant '<a>' || '<b>' literal concat " +
+                  "chains) runs automatically as a fully-anchored " +
+                  "RLIKE, but this statement wasn't that shape — " +
+                  "genuinely dynamic patterns (columns, function " +
+                  "calls) decline, and ESCAPE raises the engine's " +
+                  "not-implemented error (the reference rejects it " +
+                  "too). Write expr RLIKE '^(?:pattern)$' directly, " +
                   "or regexp_full_match(expr, 'pattern').")
+              case _ if ExcludeFrameRewrite.isShaped(sqlText) =>
+                Some("If you meant a window-frame EXCLUDE clause: the " +
+                  "decomposable forms run automatically — EXCLUDE " +
+                  "CURRENT ROW for sum/count/avg over any ROWS/RANGE " +
+                  "frame and for min/max over integer-bounded ROWS " +
+                  "frames; EXCLUDE GROUP/TIES for sum/count/avg over " +
+                  "RANGE frames (or ROWS UNBOUNDED..UNBOUNDED) with an " +
+                  "ORDER BY; EXCLUDE NO OTHERS always — but this one " +
+                  "declined: GROUPS frames, min/max under GROUP/TIES, " +
+                  "bounded ROWS frames under GROUP/TIES (peers may " +
+                  "straddle the frame edge), DISTINCT aggregates, " +
+                  "FILTER clauses, and non-literal offsets have no " +
+                  "sound decomposition here. Rewrite manually, e.g. " +
+                  "sum(x) OVER frame - x for EXCLUDE CURRENT ROW.")
               case powOpRe() =>
                 Some("DuckDB's ** power operator runs automatically as " +
                   "power(l, r) (left-associative, DOUBLE result, unary " +
@@ -1659,27 +1780,74 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     Some(sb.toString)
   }
 
-  /** `EXTRACT(EPOCH FROM x)` → `epoch(x)` — the one EXTRACT field
-    * DuckDB has and Spark rejects (INVALID_EXTRACT_FIELD at analysis,
-    * so the statement parses natively and must be claimed here). The
-    * engine's epoch() alias already carries DuckDB's DOUBLE-seconds
-    * contract, EXTRACT(epoch) included (pinned on 1.0: both spell the
-    * same fractional value).
+  /** EXTRACT fields DuckDB has and Spark rejects
+    * (INVALID_EXTRACT_FIELD at analysis, so the statement parses
+    * natively and must be claimed pre-delegation): epoch (the original
+    * field — the engine's epoch() alias carries DuckDB's DOUBLE-seconds
+    * contract), plus the round-18 set — era/isoyear/century/decade/
+    * millennium on the registered scalar aliases, the session-offset
+    * trio timezone/timezone_hour/timezone_minute (the engine pins the
+    * session to UTC, where DuckDB's naive-TIMESTAMP answer is 0; NULL
+    * passes through), julian (DuckDB's JDN-plus-day-fraction spelling:
+    * 2440588 + epoch-days, exactly `2440588 + unix_micros/86.4e9`),
+    * isodow (Mon=1..Sun=7), dayofyear, and the SECONDS-INCLUSIVE
+    * microsecond/millisecond fields (DuckDB: 11.123456 s → 11123456).
+    * The same fields are claimed in the `date_part('<field>', x)` /
+    * `datepart` spellings — literal field only, so Spark's native
+    * date_part keeps every field it already supports. Results CAST to
+    * DuckDB's BIGINT (julian: DOUBLE).
     */
-  private val extractEpochRe =
-    "(?i)\\bEXTRACT\\s*\\(\\s*EPOCH\\s+FROM\\b".r
-  private def extractEpochRewrite(text: String): Option[String] = {
+  private val duckExtractFields =
+    "timezone_hour|timezone_minute|timezone|epoch|era|isoyear|century|" +
+      "decade|millennium|julian|isodow|dayofyear|microseconds|" +
+      "microsecond|milliseconds|millisecond"
+  private val extractFieldRe =
+    ("(?i)\\bEXTRACT\\s*\\(\\s*(" + duckExtractFields + ")\\s+FROM\\b").r
+  private val datePartFieldRe =
+    ("(?i)\\b(?:date_part|datepart)\\s*\\(\\s*'(" + duckExtractFields +
+      ")'\\s*,").r
+  private def duckExtractTemplate(field: String, e: String): String =
+    field.toLowerCase match {
+      case "epoch" => s"epoch($e)"
+      case f @ ("era" | "isoyear" | "century" | "decade" | "millennium") =>
+        s"CAST($f($e) AS BIGINT)"
+      case "timezone" | "timezone_hour" | "timezone_minute" =>
+        s"CAST(CASE WHEN CAST(($e) AS TIMESTAMP) IS NULL THEN NULL " +
+          "ELSE 0 END AS BIGINT)"
+      case "julian" =>
+        s"CAST(2440588.0 + unix_micros(CAST(($e) AS TIMESTAMP)) / " +
+          "86400000000.0 AS DOUBLE)"
+      case "isodow" =>
+        s"CAST(weekday(CAST(($e) AS DATE)) + 1 AS BIGINT)"
+      case "dayofyear" =>
+        s"CAST(dayofyear(CAST(($e) AS DATE)) AS BIGINT)"
+      case "microsecond" | "microseconds" =>
+        s"CAST(pmod(unix_micros(CAST(($e) AS TIMESTAMP)), 60000000) " +
+          "AS BIGINT)"
+      case "millisecond" | "milliseconds" =>
+        s"CAST(pmod(unix_micros(CAST(($e) AS TIMESTAMP)), 60000000) " +
+          "DIV 1000 AS BIGINT)"
+    }
+  private def extractFieldRewrite(text: String): Option[String] = {
     val masked = ReplaceRewrite.maskLiterals(text)
-    val ms = extractEpochRe.findAllMatchIn(masked).toList
+    // EXTRACT(field FROM e): field is a bare word, match on masked;
+    // date_part('field', e): field is a literal (masked to spaces), so
+    // match raw text and require the call keyword itself unmasked.
+    val ms =
+      (extractFieldRe.findAllMatchIn(masked).map(m => (m, true)) ++
+        datePartFieldRe.findAllMatchIn(text).filter(m =>
+          masked.charAt(m.start) != ' ').map(m => (m, false)))
+        .toList.sortBy(_._1.start)
     if (ms.isEmpty) return None
     val sb = new StringBuilder
     var pos = 0
-    for (m <- ms if m.start >= pos) {
+    for ((m, _) <- ms if m.start >= pos) {
       val open = masked.indexOf('(', m.start)
       val close = ReplaceRewrite.closeOf(text, open)
       if (close < 0) return None
       val inner = text.substring(m.end, close - 1).trim
-      sb.append(text.substring(pos, m.start)).append(s"epoch($inner)")
+      sb.append(text.substring(pos, m.start))
+        .append(duckExtractTemplate(m.group(1), inner))
       pos = close
     }
     sb.append(text.substring(pos))
@@ -1691,9 +1859,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
         namedReaderNameRe.findFirstIn(sqlText).isDefined &&
         namedReaderCallRewrite(sqlText).isDefined =>
       preRewrite(namedReaderCallRewrite(sqlText).get)
-    case _ if extractEpochRe.findFirstIn(sqlText).isDefined &&
-        extractEpochRewrite(sqlText).isDefined =>
-      preRewrite(extractEpochRewrite(sqlText).get)
+    case _ if (extractFieldRe.findFirstIn(sqlText).isDefined ||
+        datePartFieldRe.findFirstIn(sqlText).isDefined) &&
+        extractFieldRewrite(sqlText).isDefined =>
+      preRewrite(extractFieldRewrite(sqlText).get)
     // DuckDB's `**` power operator. Spark PARSES `a ** b` — as
     // multiply(a, star) — and only dies later in analysis with a
     // confusing INVALID_USAGE_OF_STAR_OR_REGEX, so the parse-failure
@@ -1919,14 +2088,16 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
           "USER_RAISED_EXCEPTION",
           Map("errorMessage" ->
             ("SELECT DISTINCT ON (exprs) could not be rewritten: the " +
-              "common form (single query block, optional WITH prefix, " +
-              "trailing ORDER BY as the per-group tiebreak) runs " +
-              "automatically via a row_number() window rewrite, but " +
-              "this one doesn't (GROUP BY/HAVING, set operations, " +
-              "QUALIFY, and ? parameters decline). Write the window " +
-              "form directly: SELECT ... FROM (SELECT *, row_number() " +
-              "OVER (PARTITION BY exprs ORDER BY tiebreak) rn FROM t) " +
-              "WHERE rn = 1.")))
+              "common forms run automatically via a row_number() " +
+              "window rewrite — plain blocks (optional WITH prefix, " +
+              "trailing ORDER BY as the per-group tiebreak), GROUP " +
+              "BY/HAVING/QUALIFY blocks, and every shaped block of a " +
+              "set-operation chain — but this one doesn't (star " +
+              "select lists over aggregate blocks, parenthesized " +
+              "set-op branches, and ? parameters decline). Write the " +
+              "window form directly: SELECT ... FROM (SELECT *, " +
+              "row_number() OVER (PARTITION BY exprs ORDER BY " +
+              "tiebreak) rn FROM t) WHERE rn = 1.")))
       }
     case _ => sqlText
   }
@@ -2509,6 +2680,54 @@ object GraftSparkExtensions {
           val d = Cast(a(0), org.apache.spark.sql.types.DateType)
           Year(DateAdd(d, Subtract(Literal(3), WeekDay(d))))
         },
+        aliasFn("millennium", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.IntegerType, "millennium",
+          Seq(org.apache.spark.sql.catalyst.expressions.Year(
+            Cast(a(0), org.apache.spark.sql.types.DateType))),
+          inputTypes = Seq(org.apache.spark.sql.types.IntegerType))),
+        // try_strptime: DuckDB's null-on-parse-failure strptime (round
+        // 18). Same C-dialect format translation; failOnError=false is
+        // the whole difference.
+        aliasFn("try_strptime", (2, 2))(a =>
+          GetTimestamp(a(0),
+            cFormatLiteral("try_strptime", a(1), forParse = true),
+            TimestampType, failOnError = false)),
+        // BIT lane (round 18): DuckDB's BIT modeled as its VARCHAR form
+        // ('0'/'1' string — what CAST(b AS VARCHAR) yields there, so
+        // values compare 1:1). BIT '<bits>' literals arrive via the
+        // parse-failure bitLiteralRewrite as graft_bit(...); get_bit/
+        // set_bit carry DuckDB's left-0-based index + out-of-range
+        // ERROR; bit_count dispatches BIT-string vs integer on the
+        // resolved type (BitCountCompat) so Spark's integer form stays.
+        // bit_length/octet_length on modeled BIT follow VARCHAR
+        // semantics — documented divergence (SURVEY §residue).
+        aliasFn("graft_bit", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          StringType, "bitFromString", Seq(a(0)),
+          inputTypes = Seq(StringType))),
+        aliasFn("get_bit", (2, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.IntegerType, "getBit",
+          Seq(a(0), Cast(a(1), org.apache.spark.sql.types.IntegerType)),
+          inputTypes = Seq(StringType,
+            org.apache.spark.sql.types.IntegerType))),
+        aliasFn("set_bit", (3, 3))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          StringType, "setBit",
+          Seq(a(0), Cast(a(1), org.apache.spark.sql.types.IntegerType),
+            Cast(a(2), org.apache.spark.sql.types.IntegerType)),
+          inputTypes = Seq(StringType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.IntegerType))),
+        aliasFn("bitstring", (2, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          StringType, "bitstring",
+          Seq(a(0), Cast(a(1), org.apache.spark.sql.types.IntegerType)),
+          inputTypes = Seq(StringType,
+            org.apache.spark.sql.types.IntegerType))),
+        aliasFn("bit_count", (1, 1))(a =>
+          graft.functions.BitCountCompat(a(0))),
         // datesub: COMPLETE calendar intervals (datediff counts
         // boundary crossings — both pinned); date parts via ChronoUnit,
         // sub-day parts over the epoch difference.

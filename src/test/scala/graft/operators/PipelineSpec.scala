@@ -1186,6 +1186,16 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id", "dup_tokens", "n_spans")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaSort == viaIndex)
+    // The 128-bit fingerprint keys (the 100 TB default — 28-byte
+    // shuffle rows instead of the joined token string) compute the
+    // IDENTICAL span set as the exact string keys, row for row.
+    val fpRows = SuffixSpans.dupSpans(docs, minLen = 15)
+      .collect().map(_.toSeq).toSet
+    val exactRows = SuffixSpans.dupSpans(docs, minLen = 15,
+        fingerprint = false)
+      .collect().map(_.toSeq).toSet
+    assert(fpRows == exactRows)
+    assert(fpRows.nonEmpty)
   }
 
   test("scoreLexicon: exact integer z_milli and keep = (z >= 0)") {

@@ -1,0 +1,244 @@
+package graft.sql
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Round-18 dialect pack: window-frame EXCLUDE decomposition, the
+  * duck-only EXTRACT/date_part fields, the BIT lane, SIMILAR TO
+  * constant folding + the ESCAPE parity error, length-less type
+  * spellings (::VARCHAR / CAST AS TEXT / BLOB), DISTINCT ON across
+  * set-op chains, try_strptime. Every pinned value was produced by
+  * DuckDB 1.x on the identical statement (reference host surface).
+  */
+class Round18DialectSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().toSeq.map(_.toSeq)
+  private def one[T](sql: String): T =
+    spark.sql(sql).collect().head.get(0).asInstanceOf[T]
+
+  // ---------------------------------------------------------------
+  // Window-frame EXCLUDE
+  // ---------------------------------------------------------------
+
+  test("EXCLUDE CURRENT ROW: sum/max subtraction and split match DuckDB") {
+    assert(rows("SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 2 " +
+      "PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM " +
+      "(VALUES (1),(2),(3),(4)) t(x) ORDER BY x") ==
+      Seq(Seq(1, 5L), Seq(2, 8L), Seq(3, 7L), Seq(4, 5L)))
+    assert(rows("SELECT x, max(x) OVER (ORDER BY x ROWS BETWEEN 2 " +
+      "PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM " +
+      "(VALUES (1),(2),(3),(4)) t(x) ORDER BY x") ==
+      Seq(Seq(1, 3), Seq(2, 4), Seq(3, 4), Seq(4, 3)))
+    // Partitioned min via the frame split (least of the two sides).
+    assert(rows("SELECT x, min(x) OVER (PARTITION BY x%2 ORDER BY x " +
+      "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) " +
+      "AS s FROM (VALUES (1),(2),(3),(4),(5)) t(x) ORDER BY x") ==
+      Seq(Seq(1, 3), Seq(2, 4), Seq(3, 1), Seq(4, 2), Seq(5, 3)))
+    // Frame that never contains the current row: EXCLUDE is a no-op.
+    assert(rows("SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 1 " +
+      "FOLLOWING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM " +
+      "(VALUES (1),(2),(3)) t(x) ORDER BY x") ==
+      Seq(Seq(1, 5L), Seq(2, 3L), Seq(3, null)))
+    // Frame exactly the current row: typed NULL (sum and min paths).
+    assert(rows("SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN CURRENT " +
+      "ROW AND CURRENT ROW EXCLUDE CURRENT ROW) FROM (VALUES (1)) t(x)")
+      == Seq(Seq(null)))
+    assert(rows("SELECT min(x) OVER (ORDER BY x ROWS BETWEEN CURRENT " +
+      "ROW AND CURRENT ROW EXCLUDE CURRENT ROW) FROM (VALUES (1)) t(x)")
+      == Seq(Seq(null)))
+  }
+
+  test("EXCLUDE CURRENT ROW: NULL-argument rows keep DuckDB's contract") {
+    // sum: excluding the only non-NULL row leaves an all-NULL frame.
+    assert(rows("SELECT x, sum(v) OVER (ORDER BY x ROWS BETWEEN 1 " +
+      "PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM " +
+      "(VALUES (1,NULL),(2,10),(3,NULL)) t(x,v) ORDER BY x") ==
+      Seq(Seq(1, 10L), Seq(2, null), Seq(3, 10L)))
+    assert(rows("SELECT x, count(v) OVER (ORDER BY x ROWS BETWEEN 1 " +
+      "PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM " +
+      "(VALUES (1,NULL),(2,10),(3,NULL)) t(x,v) ORDER BY x") ==
+      Seq(Seq(1, 1L), Seq(2, 0L), Seq(3, 1L)))
+  }
+
+  test("EXCLUDE GROUP / TIES: peer subtraction matches DuckDB") {
+    assert(rows("SELECT x, sum(x) OVER (ORDER BY x RANGE BETWEEN 2 " +
+      "PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS s FROM " +
+      "(VALUES (1),(2),(2),(4)) t(x) ORDER BY x") ==
+      Seq(Seq(1, 4L), Seq(2, 5L), Seq(2, 5L), Seq(4, 4L)))
+    assert(rows("SELECT x, count(x) OVER (ORDER BY x RANGE BETWEEN 1 " +
+      "PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS s FROM " +
+      "(VALUES (1),(2),(2),(4)) t(x) ORDER BY x") ==
+      Seq(Seq(1, 2L), Seq(2, 1L), Seq(2, 1L), Seq(4, 0L)))
+    assert(rows("SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN " +
+      "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS s " +
+      "FROM (VALUES (1),(2),(2),(4)) t(x) ORDER BY x") ==
+      Seq(Seq(1, 9L), Seq(2, 7L), Seq(2, 7L), Seq(4, 9L)))
+    assert(rows("SELECT x, avg(x) OVER (ORDER BY x RANGE BETWEEN 5 " +
+      "PRECEDING AND 5 FOLLOWING EXCLUDE TIES) AS s FROM " +
+      "(VALUES (1),(2),(2),(4)) t(x) ORDER BY x") ==
+      Seq(Seq(1, 2.25), Seq(2, 2.3333333333333335),
+        Seq(2, 2.3333333333333335), Seq(4, 2.25)))
+  }
+
+  test("EXCLUDE NO OTHERS strips; declining shapes hit the hint") {
+    assert(rows("SELECT x, sum(x) OVER (ORDER BY x ROWS 2 PRECEDING " +
+      "EXCLUDE NO OTHERS) AS s FROM (VALUES (1),(2),(3)) t(x) ORDER BY x")
+      == Seq(Seq(1, 1L), Seq(2, 3L), Seq(3, 6L)))
+    def hint(sql: String): Unit = {
+      val ex = intercept[Exception](spark.sql(sql))
+      assert(ex.getMessage.contains("EXCLUDE"), ex.getMessage)
+    }
+    // GROUPS frames: Spark has no GROUPS mode at all.
+    hint("SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING " +
+      "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM (VALUES (1)) t(x)")
+    // min under GROUP: not subtraction-decomposable.
+    hint("SELECT min(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING " +
+      "AND 1 FOLLOWING EXCLUDE GROUP) FROM (VALUES (1)) t(x)")
+    // bounded ROWS under TIES: peers may straddle the frame edge.
+    hint("SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING " +
+      "AND 1 FOLLOWING EXCLUDE TIES) FROM (VALUES (1)) t(x)")
+  }
+
+  test("EXCLUDE decomposition stays in ONE Window node (no extra shuffle)") {
+    val df = spark.sql("SELECT x, sum(x) OVER (PARTITION BY x % 2 " +
+      "ORDER BY x ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE " +
+      "CURRENT ROW) AS s FROM (VALUES (1),(2),(3),(4)) t(x)")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.size == 1, df.queryExecution.optimizedPlan.toString)
+  }
+
+  // ---------------------------------------------------------------
+  // EXTRACT / date_part fields
+  // ---------------------------------------------------------------
+
+  test("duck-only EXTRACT fields match DuckDB (both spellings)") {
+    assert(rows("SELECT EXTRACT(era FROM DATE '2024-03-05'), " +
+      "EXTRACT(isoyear FROM DATE '2024-12-30'), " +
+      "EXTRACT(century FROM DATE '2024-03-05'), " +
+      "EXTRACT(decade FROM DATE '2024-03-05'), " +
+      "EXTRACT(millennium FROM DATE '2024-03-05'), " +
+      "EXTRACT(isodow FROM DATE '2024-03-05'), " +
+      "EXTRACT(dayofyear FROM DATE '2024-03-05')") ==
+      Seq(Seq(1L, 2025L, 21L, 202L, 3L, 2L, 65L)))
+    assert(rows("SELECT EXTRACT(timezone FROM TIMESTAMP '2024-01-01 " +
+      "10:00:00'), EXTRACT(timezone_hour FROM TIMESTAMP '2024-01-01 " +
+      "10:00:00'), EXTRACT(timezone_minute FROM TIMESTAMP '2024-01-01 " +
+      "10:00:00')") == Seq(Seq(0L, 0L, 0L)))
+    assert(one[Boolean](
+      "SELECT EXTRACT(timezone FROM CAST(NULL AS TIMESTAMP)) IS NULL"))
+    // julian: JDN + day fraction (DuckDB's spelling, not astronomical).
+    assert(one[Double]("SELECT round(EXTRACT(julian FROM TIMESTAMP " +
+      "'2024-03-05 10:45:11.123456'), 5)") == 2460375.44805)
+    assert(one[Double](
+      "SELECT EXTRACT(julian FROM DATE '2024-03-05')") == 2460375.0)
+    // Seconds-inclusive sub-second fields.
+    assert(rows("SELECT EXTRACT(microsecond FROM TIMESTAMP '2024-01-01 " +
+      "00:00:11.123456'), EXTRACT(millisecond FROM TIMESTAMP " +
+      "'2024-01-01 00:00:11.123456')") == Seq(Seq(11123456L, 11123L)))
+    // date_part spelling for duck-only fields; native fields untouched.
+    assert(rows("SELECT date_part('era', DATE '2024-03-05'), " +
+      "datepart('timezone_hour', TIMESTAMP '2024-01-01 00:00:00')") ==
+      Seq(Seq(1L, 0L)))
+    assert(one[Int]("SELECT CAST(date_part('year', DATE '2024-03-05') " +
+      "AS INT)") == 2024)
+  }
+
+  // ---------------------------------------------------------------
+  // BIT lane
+  // ---------------------------------------------------------------
+
+  test("BIT literals, get_bit/set_bit/bitstring/bit_count match DuckDB") {
+    assert(rows("SELECT get_bit(BIT '0110', 0), get_bit(BIT '0110', 1)")
+      == Seq(Seq(0, 1)))
+    assert(one[String](
+      "SELECT CAST(set_bit(BIT '0110', 2, 0) AS VARCHAR)") == "0100")
+    assert(one[String](
+      "SELECT set_bit(BIT '00000000', 7, 1)::VARCHAR") == "00000001")
+    assert(one[String](
+      "SELECT CAST(bitstring('0110', 8) AS VARCHAR)") == "00000110")
+    assert(rows("SELECT bit_count(BIT '011010'), bit_count(7), " +
+      "bit_count(CAST(200 AS BIGINT))") == Seq(Seq(3L, 3L, 3L)))
+    // DuckDB errors (not NULLs) out of range — same index wording.
+    val ex = intercept[Exception](
+      spark.sql("SELECT get_bit(BIT '0110', 9)").collect())
+    assert(ex.getMessage.contains("out of valid range"), ex.getMessage)
+    val ex2 = intercept[Exception](
+      spark.sql("SELECT set_bit(BIT '0110', -1, 1)").collect())
+    assert(ex2.getMessage.contains("out of valid range"), ex2.getMessage)
+    val ex3 = intercept[Exception](
+      spark.sql("SELECT bitstring('0110', 2)").collect())
+    assert(ex3.getMessage.contains("smaller"), ex3.getMessage)
+  }
+
+  // ---------------------------------------------------------------
+  // Type spellings
+  // ---------------------------------------------------------------
+
+  test("length-less VARCHAR/TEXT/BLOB spellings execute in cast position") {
+    assert(one[String]("SELECT 5::VARCHAR") == "5")
+    assert(one[String]("SELECT CAST(5 AS TEXT)") == "5")
+    assert(one[String]("SELECT TRY_CAST('abc' AS VARCHAR)") == "abc")
+    assert(one[Array[Byte]]("SELECT CAST('ab' AS BLOB)")
+      .sameElements("ab".getBytes))
+    // An alias merely NAMED text is untouched (parses natively).
+    assert(spark.sql("SELECT 1 AS text").columns.toSeq == Seq("text"))
+    // Parenthesized VARCHAR(n) passes through untouched (both engines
+    // treat the cast as plain VARCHAR — no truncation).
+    assert(one[String]("SELECT CAST('abcdef' AS VARCHAR(3))") == "abcdef")
+  }
+
+  // ---------------------------------------------------------------
+  // SIMILAR TO folding + ESCAPE
+  // ---------------------------------------------------------------
+
+  test("SIMILAR TO folds literal concat chains; ESCAPE raises host error") {
+    assert(one[Boolean]("SELECT 'abc' SIMILAR TO 'a' || 'b' || 'c'"))
+    assert(!one[Boolean]("SELECT 'abd' SIMILAR TO 'a' || 'b' || 'c'"))
+    assert(one[Boolean]("SELECT 'abc' NOT SIMILAR TO 'x' || '.*'"))
+    // Mixed literal/dynamic chain declines to the hint.
+    val exDyn = intercept[Exception](
+      spark.sql("SELECT 'abc' SIMILAR TO 'a' || upper('b')"))
+    assert(exDyn.getMessage.contains("RLIKE"), exDyn.getMessage)
+    // ESCAPE: DuckDB itself rejects it — same loud error here.
+    val ex = intercept[Exception](
+      spark.sql("SELECT 'a%c' SIMILAR TO 'a\\%c' ESCAPE '\\'"))
+    assert(ex.getMessage.contains("Not implemented"), ex.getMessage)
+  }
+
+  // ---------------------------------------------------------------
+  // DISTINCT ON across set-op chains
+  // ---------------------------------------------------------------
+
+  test("DISTINCT ON rewrites every set-op block, trail stays global") {
+    assert(rows("SELECT DISTINCT ON (x%2) x FROM (VALUES (1),(2),(3)) " +
+      "t(x) UNION ALL SELECT DISTINCT ON (y%3) y FROM " +
+      "(VALUES (4),(5),(6)) u(y) ORDER BY 1") ==
+      Seq(Seq(1), Seq(2), Seq(4), Seq(5), Seq(6)))
+    // Later-block-only shape (head block plain).
+    assert(rows("SELECT y FROM (VALUES (0)) z(y) UNION ALL SELECT " +
+      "DISTINCT ON (y%3) y FROM (VALUES (4),(5),(6)) u(y) ORDER BY 1")
+      == Seq(Seq(0), Seq(4), Seq(5), Seq(6)))
+    // INTERSECT: both blocks dedup before the set op.
+    assert(rows("SELECT DISTINCT ON (x%2) x FROM (VALUES (1),(2),(3)) " +
+      "t(x) INTERSECT SELECT DISTINCT ON (y%3) y FROM " +
+      "(VALUES (1),(2),(6)) u(y) ORDER BY 1") == Seq(Seq(1), Seq(2)))
+    // Head block alone still honors its ORDER BY tiebreak.
+    assert(rows("SELECT DISTINCT ON (x%2) x FROM (VALUES (1),(2),(3)) " +
+      "t(x) ORDER BY x DESC") == Seq(Seq(3), Seq(2)))
+  }
+
+  // ---------------------------------------------------------------
+  // try_strptime
+  // ---------------------------------------------------------------
+
+  test("try_strptime parses like strptime, NULL on failure") {
+    assert(one[java.sql.Timestamp](
+      "SELECT try_strptime('2024-01-02', '%Y-%m-%d')").toString
+      .startsWith("2024-01-02"))
+    assert(one[Boolean]("SELECT try_strptime('nope', '%Y') IS NULL"))
+  }
+}

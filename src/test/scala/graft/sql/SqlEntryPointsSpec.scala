@@ -1479,9 +1479,12 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       assert(ex.getMessage.contains(needle),
         s"for [$sql] expected '$needle', got: ${ex.getMessage}")
     }
-    // Literal-pattern SIMILAR TO executes now; the non-literal
-    // (concat) pattern shape still declines to the hint.
-    hint("SELECT 'abc' SIMILAR TO 'ab' || '.'", "RLIKE")
+    // Literal patterns AND constant-folded literal concat chains
+    // execute now (round 18); a genuinely dynamic pattern (function
+    // call) still declines to the hint.
+    assert(spark.sql("SELECT 'abc' SIMILAR TO 'ab' || '.'")
+      .head().getBoolean(0))
+    hint("SELECT 'abc' SIMILAR TO upper('a.c')", "RLIKE")
     // `2 ** 3` executes now; a quoted-identifier base still declines.
     hint("SELECT \"my col\" ** 3 FROM rn_t", "power(a, b)")
     hint("ATTACH 'other.db' AS other", "catalog")
