@@ -1295,6 +1295,106 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // ANN tuning grid (round 18, verdict stretch): the recall/scan-cost
+  // table a 100 TB ANN deployment actually consults before picking
+  // nProbe — per setting, EXACT-integer hits@10 vs brute force and the
+  // candidate rows scanned. Both sides compute the full grid
+  // independently (the oracle re-derives assignment, probe ranking,
+  // and per-cell candidacy in SQL — same round-6 centroid ranking,
+  // same round-3 scoring tie-breaks), so the recall numbers are
+  // cross-engine-verified, not self-reported. All-integer output: no
+  // float-compare hazard. The 4-point driver loop is a REPORT artifact
+  // (each point is a distributed job; only 4 scalars come back).
+  declare("sim_ann_recall_grid",
+    """WITH x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i
+                  FROM embeddings),
+       norms AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM x GROUP BY 1),
+       qdots AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+                   SUM(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)) dp
+                 FROM x q JOIN x c ON q.i = c.i AND q.vec_id != c.vec_id
+                 WHERE q.vec_id < 5 GROUP BY 1, 2),
+       qcos AS (SELECT query_id, neighbor_id, round(dp/(nq.nn*nc.nn), 3) sim
+                FROM qdots JOIN norms nq ON query_id = nq.vec_id
+                           JOIN norms nc ON neighbor_id = nc.vec_id),
+       brute AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) rn FROM qcos)
+                 WHERE rn <= 10),
+       vc AS (SELECT a.vec_id, c.vec_id cid,
+                round(SUM(CAST(a.v AS DOUBLE)*CAST(c.v AS DOUBLE))/(na.nn*nc2.nn), 6) csim
+              FROM x a JOIN x c ON a.i = c.i AND c.vec_id < 16
+              JOIN norms na ON a.vec_id = na.vec_id
+              JOIN norms nc2 ON c.vec_id = nc2.vec_id
+              GROUP BY a.vec_id, c.vec_id, na.nn, nc2.nn),
+       asg AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cid) rn FROM vc) WHERE rn = 1),
+       proberk AS (SELECT vec_id query_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY csim DESC, cid) prn
+                   FROM vc WHERE vec_id < 5),
+       grid AS (SELECT * FROM (VALUES (1),(2),(4),(8)) g(np)),
+       cand AS (SELECT g.np, p.query_id, a.vec_id neighbor_id
+                FROM grid g JOIN proberk p ON p.prn <= g.np
+                JOIN asg a ON a.cid = p.cid
+                WHERE a.vec_id != p.query_id),
+       ivfk AS (SELECT np, query_id, neighbor_id FROM (
+                  SELECT c.np, c.query_id, c.neighbor_id,
+                    row_number() OVER (PARTITION BY c.np, c.query_id
+                      ORDER BY q.sim DESC, c.neighbor_id) rn
+                  FROM cand c JOIN qcos q ON q.query_id = c.query_id
+                    AND q.neighbor_id = c.neighbor_id) WHERE rn <= 10),
+       hits AS (SELECT np, count(*) h FROM ivfk
+                JOIN brute USING (query_id, neighbor_id) GROUP BY 1),
+       scn AS (SELECT np, count(*) s FROM cand GROUP BY 1)
+       SELECT CAST(g.np AS BIGINT) AS nprobe,
+         CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+         CAST((SELECT count(*) FROM brute) AS BIGINT) AS total,
+         CAST(coalesce(scn.s, 0) AS BIGINT) AS scanned_rows,
+         CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS corpus_rows
+       FROM grid g LEFT JOIN hits h ON g.np = h.np
+       LEFT JOIN scn ON g.np = scn.np
+       ORDER BY nprobe""") { (spark, sfDir) =>
+    val e = t(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+    val centroids = e.filter(col("vec_id") < 16)
+    val brute = Similarity.bruteForceTopK(e, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val total = brute.count()
+    val corpusN = e.count()
+    val assigned = Similarity.assignToCentroids(e, centroids)
+      .select("vec_id", "cid")
+    // Probe ranking mirrors the engine's probe selection exactly:
+    // round-6 cosine desc, then centroid id.
+    val cents = broadcast(centroids
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
+    val proberk = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(cents)
+      .select(col("query_id"),
+        round(Similarity.cosine(col("qe"), col("ce")), 6).as("csim"),
+        col("cid"))
+      .withColumn("prn", row_number().over(w))
+    val rows = Seq(1, 2, 4, 8).map { np =>
+      val probes = proberk.filter(col("prn") <= np)
+        .select("query_id", "cid")
+      val cand = assigned.join(probes, Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+      val scanned = cand.count()
+      val hits = Similarity.ivfTopK(e, queries, centroids, k = 10,
+          nProbe = np)
+        .select("query_id", "neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id")).count()
+      (np.toLong, hits, total, scanned, corpusN)
+    }
+    import spark.implicits._
+    rows.toDF("nprobe", "hits", "total", "scanned_rows", "corpus_rows")
+      .orderBy("nprobe")
+  }
+
   // Hard-negative mining (contrastive/retrieval training): per anchor,
   // the top-k most-similar vectors whose LABEL differs — the
   // highest-loss negatives a training batch wants; same-label
