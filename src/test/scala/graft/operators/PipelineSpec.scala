@@ -1993,6 +1993,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(rr > 0.0)
   }
 
+  test("ANN tuning grid: hits monotone in nProbe, scan cost strictly grows") {
+    // The sim_ann_recall_grid lane's envelope: more probes can only add
+    // candidates, so hits@10 vs brute force is non-decreasing and the
+    // scanned-candidate count strictly increases (until all cells are
+    // probed); total is 10 per query throughout.
+    val grid = graft.SparkEntry.queries("sim_ann_recall_grid")(
+      spark, SparkTestSession.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(grid.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(grid.sliding(2).forall(p => p(1)._2 >= p(0)._2),
+      s"hits not monotone: ${grid.mkString(", ")}")
+    assert(grid.sliding(2).forall(p => p(1)._4 > p(0)._4),
+      s"scan cost not growing: ${grid.mkString(", ")}")
+    assert(grid.forall(g => g._2 <= g._3))
+  }
+
   test("PQ guards: dimension must divide into m; unknown ADC code throws") {
     import spark.implicits._
     val vecs = Seq((0L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
