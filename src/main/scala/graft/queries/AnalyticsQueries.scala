@@ -3657,6 +3657,32 @@ object AnalyticsQueries {
          ORDER BY ALL""")
   }
 
+  // read_json columns={...} explicit schema (round 18): DuckDB's
+  // brace-struct schema option folds to a DDL string the reader
+  // applies via .schema() — declared types override inference, listed
+  // columns project in order, missing fields read NULL (both engines,
+  // pinned by the 'c' column). q113/q69 convention: each engine
+  // round-trips its OWN JSON artifact under the identical script.
+  declare("q153_read_json_columns",
+    """COPY (SELECT n_nationkey, n_name FROM nation)
+         TO '/tmp/graft_q153_oracle.json' (FORMAT JSON);
+       SELECT k, n_name, c
+       FROM read_json('/tmp/graft_q153_oracle.json',
+         columns={'n_nationkey': 'DOUBLE', 'n_name': 'VARCHAR', 'c': 'BIGINT'})
+         t(k, n_name, c)
+       ORDER BY k""") { (spark, sfDir) =>
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """COPY (SELECT n_nationkey, n_name FROM nation)
+         TO '/tmp/graft_q153_spark.json' (FORMAT JSON)""").collect()
+    spark.sql(
+      """SELECT k, n_name, c
+         FROM read_json('/tmp/graft_q153_spark.json',
+           columns={'n_nationkey': 'DOUBLE', 'n_name': 'VARCHAR', 'c': 'BIGINT'})
+           t(k, n_name, c)
+         ORDER BY k""")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1743,8 +1743,24 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       val close = ReplaceRewrite.closeOf(text, open)
       if (close < 0 || open < pos) ()
       else {
-        val args = ReplaceRewrite.splitTop(text.substring(open + 1, close - 1))
-          .map(_.trim)
+        // splitTop tracks parens but not braces: re-merge fragments of
+        // a brace-struct value (columns={'a': 'T', 'b': 'U'}) that the
+        // comma split tore apart (round 18).
+        val args0 = ReplaceRewrite.splitTop(text.substring(open + 1, close - 1))
+        val args = {
+          val merged = Vector.newBuilder[String]
+          val cur = new StringBuilder
+          var bal = 0
+          for (p <- args0) {
+            if (cur.nonEmpty) cur.append(',')
+            cur.append(p)
+            bal += ReplaceRewrite.maskLiterals(p)
+              .count(_ == '{') - ReplaceRewrite.maskLiterals(p).count(_ == '}')
+            if (bal <= 0) { merged += cur.toString; cur.clear(); bal = 0 }
+          }
+          if (cur.nonEmpty) merged += cur.toString
+          merged.result()
+        }.map(_.trim)
         val keep = Vector.newBuilder[String]
         val named = Vector.newBuilder[(String, String)]
         var ok = true
@@ -1757,6 +1773,23 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               rawV match {
                 case litRe(b) => named += key -> b.replace("''", "'")
                 case bareRe() => named += key -> rawV
+                // columns={'name': 'TYPE', ...} (round 18): DuckDB's
+                // explicit-schema option — folded to a DDL string the
+                // reader applies via .schema(). Only the all-literal
+                // brace form; anything else stays a native error.
+                case v if key.equalsIgnoreCase("columns") &&
+                    v.startsWith("{") && v.endsWith("}") =>
+                  val entryRe =
+                    """\A'((?:[^']|'')*)'\s*:\s*'((?:[^']|'')*)'\z""".r
+                  val fields = ReplaceRewrite
+                    .splitTop(v.substring(1, v.length - 1))
+                    .map(_.trim).filter(_.nonEmpty)
+                    .map {
+                      case entryRe(n, t) =>
+                        n.replace("''", "'") + " " + t.replace("''", "'")
+                      case _ => ok = false; ""
+                    }
+                  if (ok) named += key -> fields.mkString(", ")
                 case _ => ok = false // expression value — native error
               }
             case _ => keep += a
@@ -4024,6 +4057,34 @@ object GraftSparkExtensions {
       case None => (reader, o)
     }
 
+  /** DuckDB's `columns={'name': 'TYPE'}` explicit-schema option (round
+    * 18): the rewrite folds the brace form to a DDL string; the
+    * length-less DuckDB type spellings normalize to Spark's
+    * (VARCHAR/TEXT/BPCHAR → STRING, BLOB → BINARY) and the schema
+    * applies via reader.schema(), which also disables inference.
+    */
+  private def applyColumnsSchema(name: String,
+      reader: org.apache.spark.sql.DataFrameReader, o: Map[String, Any])
+      : (org.apache.spark.sql.DataFrameReader, Map[String, Any]) =
+    o.get("columns") match {
+      case Some(ddl0) =>
+        val ddl = "(?i)\\b(?:VARCHAR|TEXT|BPCHAR)\\b(?!\\s*\\()".r
+          .replaceAllIn("(?i)\\bBLOB\\b".r
+            .replaceAllIn(asString(ddl0), "BINARY"), "STRING")
+        val schema =
+          try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              throw new org.apache.spark.sql.AnalysisException(
+                "USER_RAISED_EXCEPTION",
+                Map("errorMessage" ->
+                  (s"$name columns={...}: could not parse the declared " +
+                    s"schema '$ddl' — ${e.getMessage}")))
+          }
+        (reader.schema(schema), o - "columns")
+      case None => (reader, o)
+    }
+
   private def csvReader(spark: org.apache.spark.sql.SparkSession,
       v: IndexedSeq[Any], o: Map[String, Any]): org.apache.spark.sql.DataFrame = {
     val base0 = spark.read
@@ -4031,7 +4092,8 @@ object GraftSparkExtensions {
         else o.get("header").map(asBool).getOrElse(true)).toString)
       .option("sep", if (v.size >= 3) asString(v(2)) else ",")
       .option("inferSchema", "true")
-    val (base, opts) = ignoreErrorsMode("read_csv", base0, o)
+    val (base1, o1) = applyColumnsSchema("read_csv", base0, o)
+    val (base, opts) = ignoreErrorsMode("read_csv", base1, o1)
     applyReaderOpts("read_csv", base, opts - "header", csvOptMap - "header",
       Set("auto_detect", "sample_size", "compression", "parallel",
         "all_varchar")).csv(asString(v(0)))
@@ -4045,7 +4107,8 @@ object GraftSparkExtensions {
       case Some("array") => spark.read.option("multiLine", "true")
       case _ => spark.read
     }
-    val (base, opts) = ignoreErrorsMode("read_json", base0, o)
+    val (base1, o1) = applyColumnsSchema("read_json", base0, o)
+    val (base, opts) = ignoreErrorsMode("read_json", base1, o1)
     applyReaderOpts("read_json", base, opts - "format",
       Map("dateformat" -> "dateFormat", "timestampformat" -> "timestampFormat"),
       Set("auto_detect", "sample_size", "compression", "records",

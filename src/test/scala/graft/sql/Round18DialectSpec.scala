@@ -232,6 +232,33 @@ class Round18DialectSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // read_json / read_csv columns={...}
+  // ---------------------------------------------------------------
+
+  test("reader columns={...}: declared types, projection order, missing-NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r18rj")
+    val f = dir.resolve("a.json")
+    java.nio.file.Files.write(f,
+      "{\"a\": 1, \"b\": \"x\"}\n{\"a\": 2, \"b\": \"y\"}\n".getBytes)
+    val got = spark.sql(s"SELECT * FROM read_json('${f}', " +
+      "columns={'b': 'VARCHAR', 'a': 'DOUBLE', 'c': 'BIGINT'})")
+    assert(got.columns.toSeq == Seq("b", "a", "c"))
+    assert(got.collect().map(_.toSeq).toSeq ==
+      Seq(Seq("x", 1.0, null), Seq("y", 2.0, null)))
+    val csv = dir.resolve("c.csv")
+    java.nio.file.Files.write(csv, "1,foo\n2,bar\n".getBytes)
+    val gotCsv = spark.sql(s"SELECT * FROM read_csv('${csv}', " +
+      "columns={'x': 'BIGINT', 'y': 'VARCHAR'}, header=false)")
+    assert(gotCsv.collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "foo"), Seq(2L, "bar")))
+    // Unparseable declared schema raises the targeted error.
+    val ex = intercept[Exception](spark.sql(
+      s"SELECT * FROM read_json('${f}', columns={'a': 'NOT A TYPE'})")
+      .collect())
+    assert(ex.getMessage.contains("could not parse"), ex.getMessage)
+  }
+
+  // ---------------------------------------------------------------
   // try_strptime
   // ---------------------------------------------------------------
 
