@@ -30,6 +30,11 @@ object Engine {
         (cpus * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // TIME 'hh:mm:ss' literals and the TIME type (round 18): Spark
+      // 4.1 ships the type behind this flag (off → UNSUPPORTED_TIME_
+      // TYPE at parse); DuckDB has TIME unconditionally, so pasted
+      // scripts expect it.
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -3683,6 +3683,66 @@ object AnalyticsQueries {
          ORDER BY k""")
   }
 
+  // Sixth-sweep operator pack (round 18): the Postgres-style operators
+  // DuckDB hosts — ^@ starts-with, && list overlap (NULL-blind), @> /
+  // <@ containment (contained-side NULLs ignored), quantified
+  // comparisons over lists (= ANY / > ALL via exists/forall — Spark's
+  // three-valued lambdas match DuckDB exactly), and the in-parens
+  // IGNORE NULLS spelling (last(x IGNORE NULLS) — the carry-forward
+  // idiom). Identical statement runs natively in DuckDB.
+  declare("q154_sweep6_ops",
+    """SELECT l_orderkey * 10 + l_linenumber AS k,
+         [CAST(l_orderkey % 5 AS BIGINT), CAST(l_linenumber AS BIGINT)]
+           && [CAST(0 AS BIGINT), CAST(7 AS BIGINT)] AS ov,
+         [CAST(l_orderkey % 5 AS BIGINT), CAST(l_linenumber AS BIGINT)]
+           @> [CAST(l_linenumber AS BIGINT)] AS ct,
+         [CAST(l_linenumber AS BIGINT)]
+           <@ [CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)] AS cb,
+         l_returnflag ^@ 'A' AS sw,
+         l_quantity > any([CAST(10.0 AS DOUBLE), CAST(25.0 AS DOUBLE)]) AS qa,
+         l_quantity > all([CAST(10.0 AS DOUBLE), CAST(25.0 AS DOUBLE)]) AS qb,
+         last(CASE WHEN l_quantity > 25 THEN l_orderkey END IGNORE NULLS)
+           OVER (ORDER BY l_orderkey * 10 + l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+       FROM lineitem WHERE l_orderkey < 300 ORDER BY k""") { (spark, sfDir) =>
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_orderkey * 10 + l_linenumber AS k,
+           [CAST(l_orderkey % 5 AS BIGINT), CAST(l_linenumber AS BIGINT)]
+             && [CAST(0 AS BIGINT), CAST(7 AS BIGINT)] AS ov,
+           [CAST(l_orderkey % 5 AS BIGINT), CAST(l_linenumber AS BIGINT)]
+             @> [CAST(l_linenumber AS BIGINT)] AS ct,
+           [CAST(l_linenumber AS BIGINT)]
+             <@ [CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)] AS cb,
+           l_returnflag ^@ 'A' AS sw,
+           l_quantity > any([CAST(10.0 AS DOUBLE), CAST(25.0 AS DOUBLE)]) AS qa,
+           l_quantity > all([CAST(10.0 AS DOUBLE), CAST(25.0 AS DOUBLE)]) AS qb,
+           last(CASE WHEN l_quantity > 25 THEN l_orderkey END IGNORE NULLS)
+             OVER (ORDER BY l_orderkey * 10 + l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+         FROM lineitem WHERE l_orderkey < 300 ORDER BY k""")
+  }
+
+  // LIMIT <p>% (round 18): DuckDB's percent limit — floor(n·p/100)
+  // rows of the sorted result (10% of 3 rows = 0, 67% = 2, pinned) —
+  // via a row_number/count window wrap over the sorted body (keys
+  // resolve against the body's OUTPUT columns - the wrap's scope; a
+  // non-projected source-column key surfaces the unresolved-column
+  // error instead of silently picking rows). The sort is a tie-broken
+  // total order so both engines keep the same prefix.
+  // Identical statement runs natively in DuckDB.
+  declare("q155_limit_percent",
+    """SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+       WHERE o_orderkey < 1000
+       ORDER BY p DESC, k LIMIT 10%""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+         WHERE o_orderkey < 1000
+         ORDER BY p DESC, k LIMIT 10%""")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1362,6 +1362,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             () => OrderedAggRewrite.rewrite(text),
             () => text match { case qualifyRe() =>
               QualifyRewrite.rewrite(text); case _ => None },
+            // Round-18 sixth-sweep operators (all parse-failure-only;
+            // BEFORE the bracket rewrite so list-literal operands are
+            // still intact — their brackets re-enter the chain after
+            // the operator splice).
+            () => ListOpRewrite.rewriteOps(text),
+            () => ListOpRewrite.rewriteQuantified(text),
+            () => ListOpRewrite.rewriteIgnoreNulls(text),
+            () => ListOpRewrite.rewriteLimitPercent(text),
             // LAST deliberately: bracket/brace literal syntax only ever
             // appears in statements stock Spark cannot parse at all, and
             // running it after the structural rewrites lets e.g. a

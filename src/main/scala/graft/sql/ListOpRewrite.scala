@@ -1,0 +1,315 @@
+package graft.sql
+
+/** Round-18 sixth-sweep operators — Postgres-style spellings DuckDB
+  * hosts that Spark's grammar lacks, all PARSE-FAILURE-ONLY (none of
+  * these token sequences is valid Spark SQL, so no native statement
+  * can ever be claimed):
+  *
+  *  - `a ^@ b` (starts-with) → `startswith(a, b)` (NULL propagation
+  *    and the ''-prefix-of-anything contract match, pinned).
+  *  - `a && b` (list overlap / list_has_any) → `arrays_overlap` over
+  *    NULL-compacted operands: DuckDB's `&&` is NULL-BLIND —
+  *    `[1,NULL] && [NULL]` is FALSE, not NULL — while whole-NULL
+  *    operands stay NULL (compact(NULL) is NULL; pinned).
+  *  - `a @> b` / `a <@ b` (contains-all) → `forall` over the compacted
+  *    CONTAINED side with a strict per-element `coalesce(array_contains
+  *    (container, t), false)`: DuckDB ignores NULL elements of the
+  *    contained side (`[1,2] @> [NULL]` is TRUE), treats an unmatched
+  *    element as plain FALSE even when the container holds NULLs
+  *    (`[1,NULL] @> [2]` is FALSE), and returns NULL only for
+  *    whole-NULL operands — hence the explicit IS NULL case.
+  *  - `l <op> ANY|SOME|ALL (<list>)` (quantified comparison) →
+  *    `exists` / `forall` with the comparison inside the lambda:
+  *    Spark's three-valued lambda semantics match DuckDB's exactly
+  *    (= any([1,NULL]) → NULL, = any([2,NULL]) → TRUE, any([]) →
+  *    FALSE, all([]) → TRUE; all pinned). Scalar-SUBQUERY operands
+  *    decline — the host itself rejects them ("use IN").
+  *  - `fn(args IGNORE|RESPECT NULLS)` (the in-parens DuckDB spelling)
+  *    → `fn(args) IGNORE|RESPECT NULLS` (Spark's suffix position).
+  *  - trailing `ORDER BY ... LIMIT <p>%` (percent limit) → a
+  *    row_number/count window pair over the sorted body with
+  *    `floor(n·p/100)` kept rows (DuckDB's rounding: 10% of 3 rows =
+  *    0, 67% = 2; pinned). Requires the explicit ORDER BY (a percent
+  *    of an unordered result is arbitrary rows on both engines —
+  *    declined to the hint rather than picked silently).
+  *
+  * Operand extraction reuses the tilde-operator discipline
+  * (GraftSparkExtensions.tildeOpRewrite, round 14): one operand on
+  * each side — a literal, a word chain (optional call parens), or a
+  * parenthesized group — with tighter-binding neighbors (arithmetic,
+  * concat, brackets) DECLINING to the hint instead of misgrouping.
+  */
+object ListOpRewrite {
+
+  private def wordChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == '.' || c == '$'
+
+  /** End index (exclusive) of the right operand starting at/after
+    * `from`: literal | paren group | word chain w/ optional call parens
+    * | bracket literal (the duck list form — rewritten later in the
+    * chain).
+    */
+  private def scanRight(cur: String, m: String, from: Int): Option[Int] = {
+    val n = m.length
+    var r = from
+    while (r < n && cur.charAt(r).isWhitespace) r += 1
+    if (r >= n) return None
+    if (cur.charAt(r) == '\'') {
+      r += 1
+      var done = false
+      while (r < n && !done) {
+        if (cur.charAt(r) == '\'') {
+          if (r + 1 < n && cur.charAt(r + 1) == '\'') r += 2
+          else { r += 1; done = true }
+        } else r += 1
+      }
+      if (!done) None else Some(r)
+    } else if (m.charAt(r) == '(') {
+      val c = ReplaceRewrite.closeOf(cur, r)
+      if (c < 0) None else Some(c)
+    } else if (m.charAt(r) == '[') {
+      // bracket list literal: balanced [ ] scan on the masked text
+      var depth = 0
+      var i = r
+      while (i < n) {
+        m.charAt(i) match {
+          case '[' => depth += 1
+          case ']' => depth -= 1; if (depth == 0) return Some(i + 1)
+          case _ =>
+        }
+        i += 1
+      }
+      None
+    } else if (wordChar(m.charAt(r))) {
+      while (r < n && wordChar(m.charAt(r))) r += 1
+      var k = r
+      while (k < n && cur.charAt(k).isWhitespace) k += 1
+      if (k < n && m.charAt(k) == '(') {
+        val c = ReplaceRewrite.closeOf(cur, k)
+        if (c < 0) None else Some(c)
+      } else Some(r)
+    } else None
+  }
+
+  private val clauseKeywords = Set("select", "where", "and", "or", "on",
+    "when", "then", "else", "by", "having", "qualify", "not", "in",
+    "as", "from", "join", "case", "limit", "all", "any", "some")
+
+  /** Start index of the left operand whose last char sits at `at`
+    * (inclusive): mirrors scanRight. Returns the start index.
+    */
+  private def scanLeft(cur: String, m: String, at: Int): Option[Int] = {
+    var l = at
+    while (l >= 0 && cur.charAt(l).isWhitespace) l -= 1
+    if (l < 0) return None
+    if (cur.charAt(l) == '\'' && m.charAt(l) == ' ') {
+      // closing quote of a masked literal: forward-scan literal spans
+      var i = 0
+      var start = -1
+      val n = m.length
+      while (i <= l) {
+        if (cur.charAt(i) == '\'' && m.charAt(i) == ' ') {
+          val s = i
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            if (cur.charAt(i) == '\'') {
+              if (i + 1 < n && cur.charAt(i + 1) == '\'') i += 2
+              else done = true
+            } else i += 1
+          }
+          if (i == l) start = s
+          i += 1
+        } else i += 1
+      }
+      if (start < 0) None else Some(start)
+    } else if (m.charAt(l) == ']') {
+      var depth = 0
+      var i = l
+      while (i >= 0) {
+        m.charAt(i) match {
+          case ']' => depth += 1
+          case '[' => depth -= 1; if (depth == 0) return Some(i)
+          case _ =>
+        }
+        i -= 1
+      }
+      None
+    } else if (m.charAt(l) == ')') {
+      var depth = 1
+      l -= 1
+      while (l >= 0 && depth > 0) {
+        m.charAt(l) match {
+          case ')' => depth += 1
+          case '(' => depth -= 1
+          case _ =>
+        }
+        l -= 1
+      }
+      if (depth != 0) return None
+      // optional function name directly before the open paren — but
+      // never a clause keyword
+      val beforeParen = l
+      while (l >= 0 && cur.charAt(l).isWhitespace) l -= 1
+      val nameEnd = l
+      while (l >= 0 && wordChar(m.charAt(l))) l -= 1
+      if (nameEnd == l ||
+        clauseKeywords(cur.substring(l + 1, nameEnd + 1).toLowerCase))
+        Some(beforeParen + 1)
+      else Some(l + 1)
+    } else if (wordChar(m.charAt(l))) {
+      while (l >= 0 && wordChar(m.charAt(l))) l -= 1
+      Some(l + 1)
+    } else None
+  }
+
+  /** Tighter-binding neighbor guards (the tilde discipline): decline if
+    * the char left of the left operand or right of the right operand
+    * binds tighter than a comparison.
+    */
+  private def neighborsSafe(cur: String, m: String, ls: Int, re: Int)
+      : Boolean = {
+    var pb = ls - 1
+    while (pb >= 0 && cur.charAt(pb).isWhitespace) pb -= 1
+    if (pb >= 0 && "|+-*/%^&~!@<".indexOf(m.charAt(pb)) >= 0) return false
+    var pa = re
+    while (pa < m.length && cur.charAt(pa).isWhitespace) pa += 1
+    if (pa < m.length && "+-*/%^&~!@[<|".indexOf(m.charAt(pa)) >= 0)
+      return false
+    true
+  }
+
+  /** `^@`, `&&`, `@>`, `<@` — one per pass, re-entering via the chain's
+    * recursion for multiples and for bracket-literal operands.
+    */
+  def rewriteOps(text: String): Option[String] = {
+    val ops = Seq("^@", "&&", "@>", "<@")
+    if (!ops.exists(text.contains)) return None
+    var cur = text
+    var changed = false
+    var rounds = 0
+    while (rounds < 64) {
+      rounds += 1
+      val m = ReplaceRewrite.maskLiterals(cur)
+      val hits = ops.flatMap { op =>
+        val i = m.indexOf(op)
+        if (i >= 0) Some((i, op)) else None
+      }
+      if (hits.isEmpty) return if (changed) Some(cur) else None
+      val (oi, op) = hits.minBy(_._1)
+      val re = scanRight(cur, m, oi + op.length).getOrElse(return None)
+      val ls = scanLeft(cur, m, oi - 1).getOrElse(return None)
+      if (!neighborsSafe(cur, m, ls, re)) return None
+      val a = cur.substring(ls, oi).trim
+      val b = cur.substring(oi + op.length, re).trim
+      if (a.isEmpty || b.isEmpty) return None
+      val repl = op match {
+        case "^@" => s"startswith($a, $b)"
+        case "&&" => s"arrays_overlap(array_compact($a), array_compact($b))"
+        case "@>" =>
+          s"(CASE WHEN ($a) IS NULL OR ($b) IS NULL THEN NULL ELSE " +
+            s"forall(array_compact($b), __graft_t -> " +
+            s"coalesce(array_contains($a, __graft_t), false)) END)"
+        case "<@" =>
+          s"(CASE WHEN ($a) IS NULL OR ($b) IS NULL THEN NULL ELSE " +
+            s"forall(array_compact($a), __graft_t -> " +
+            s"coalesce(array_contains($b, __graft_t), false)) END)"
+      }
+      cur = cur.substring(0, ls) + repl + cur.substring(re)
+      changed = true
+    }
+    if (changed) Some(cur) else None
+  }
+
+  private val quantRe =
+    "(?i)(==|=|<>|!=|<=|>=|<|>)\\s*(ANY|ALL|SOME)\\s*\\(".r
+
+  /** `l <op> ANY|SOME|ALL (list)` → exists/forall with the comparison
+    * in the lambda. Subquery operands decline (the host demands IN).
+    */
+  def rewriteQuantified(text: String): Option[String] = {
+    var cur = text
+    var changed = false
+    var rounds = 0
+    while (rounds < 64) {
+      rounds += 1
+      val m = ReplaceRewrite.maskLiterals(cur)
+      val hit = quantRe.findFirstMatchIn(m) match {
+        case Some(h) => h
+        case None => return if (changed) Some(cur) else None
+      }
+      val open = m.indexOf('(', hit.end - 1)
+      val close = ReplaceRewrite.closeOf(cur, open)
+      if (close < 0) return None
+      val inner = cur.substring(open + 1, close - 1).trim
+      if (inner.toUpperCase.startsWith("SELECT") ||
+        inner.toUpperCase.startsWith("WITH") ||
+        inner.toUpperCase.startsWith("FROM")) return None
+      val ls = scanLeft(cur, m, hit.start - 1).getOrElse(return None)
+      if (!neighborsSafe(cur, m, ls, close)) return None
+      val l = cur.substring(ls, hit.start).trim
+      if (l.isEmpty) return None
+      val op = hit.group(1)
+      val fn = if (hit.group(2).equalsIgnoreCase("ALL")) "forall" else "exists"
+      cur = cur.substring(0, ls) +
+        s"$fn($inner, __graft_t -> ($l) $op __graft_t)" +
+        cur.substring(close)
+      changed = true
+    }
+    if (changed) Some(cur) else None
+  }
+
+  private val ignoreNullsInParensRe =
+    "(?i)\\s+(IGNORE|RESPECT)\\s+NULLS\\s*\\)".r
+
+  /** `fn(x IGNORE NULLS)` → `fn(x) IGNORE NULLS` (Spark's suffix
+    * grammar position). Parse-failure only.
+    */
+  def rewriteIgnoreNulls(text: String): Option[String] = {
+    val m = ReplaceRewrite.maskLiterals(text)
+    val hits = ignoreNullsInParensRe.findAllMatchIn(m).toList
+    if (hits.isEmpty) return None
+    val sb = new StringBuilder
+    var pos = 0
+    hits.foreach { h =>
+      sb.append(text.substring(pos, h.start))
+        .append(") ").append(h.group(1).toUpperCase).append(" NULLS")
+      pos = h.end
+    }
+    sb.append(text.substring(pos))
+    Some(sb.toString)
+  }
+
+  private val limitPctRe =
+    "(?is)\\bLIMIT\\s+(\\d+(?:\\.\\d+)?)\\s*%\\s*;?\\s*\\z".r
+
+  /** Trailing `ORDER BY <keys> LIMIT <p>%` → row_number/count window
+    * wrap keeping floor(n·p/100) rows. Requires the ORDER BY; ordinal
+    * sort keys decline (they would be constants inside OVER).
+    */
+  def rewriteLimitPercent(text: String): Option[String] = {
+    val m = ReplaceRewrite.maskLiterals(text)
+    val hit = limitPctRe.findFirstMatchIn(m).getOrElse(return None)
+    val pct = hit.group(1)
+    val words = QualifyRewrite.topLevelWords(text)
+    // the LIMIT must be top-level (not inside a subquery)
+    val limW = words.reverse.find(w => w._1 == "LIMIT").getOrElse(return None)
+    if (limW._2 != hit.start) return None
+    val ordW = words.filter(w => w._1 == "ORDER" && w._2 < hit.start)
+      .lastOption.getOrElse(return None)
+    val keys = text.substring(ordW._2, hit.start).trim
+      .replaceFirst("(?i)\\Aorder\\s+by\\b", "").trim
+    if (keys.isEmpty) return None
+    if (ReplaceRewrite.splitTop(keys).map(_.trim)
+      .exists(k => k.split("\\s+").headOption.exists(_.matches("\\d+"))))
+      return None // ordinal keys: constants inside OVER
+    val body = text.substring(0, ordW._2).trim
+    if (body.isEmpty) return None
+    Some(
+      s"SELECT * EXCEPT (__graft_rn, __graft_n) FROM ( " +
+        s"SELECT *, row_number() OVER (ORDER BY $keys) AS __graft_rn, " +
+        s"count(*) OVER () AS __graft_n FROM ( $body ) __graft_lp ) " +
+        s"WHERE __graft_rn <= floor(__graft_n * $pct / 100.0) " +
+        s"ORDER BY $keys")
+  }
+}

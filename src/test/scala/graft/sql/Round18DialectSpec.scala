@@ -259,6 +259,63 @@ class Round18DialectSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // Sixth-sweep operators (round 18): ^@, &&, @>, <@, quantified
+  // ANY/ALL/SOME, in-parens IGNORE NULLS, LIMIT %, TIME literals.
+  // Every pinned value from DuckDB 1.x on the identical statement.
+  // ---------------------------------------------------------------
+
+  test("list operators ^@ && @> <@ carry DuckDB's NULL semantics") {
+    assert(rows("SELECT 'abc' ^@ 'ab', 'abc' ^@ 'b', '' ^@ '', 'a' ^@ ''")
+      == Seq(Seq(true, false, true, true)))
+    assert(rows("SELECT NULL ^@ 'a', 'abc' ^@ NULL") == Seq(Seq(null, null)))
+    // && is NULL-BLIND on elements, NULL on whole-NULL operands.
+    assert(rows("SELECT [1,2] && [2,3], [1] && CAST(array() AS ARRAY<INT>), " +
+      "[1,CAST(NULL AS INT)] && [CAST(NULL AS INT)], " +
+      "CAST(NULL AS ARRAY<INT>) && [1]") ==
+      Seq(Seq(true, false, false, null)))
+    // @> ignores contained-side NULL elements; strict FALSE on misses.
+    assert(rows("SELECT [1,2] @> [2], [1,2] @> [2,3], " +
+      "[1,2] @> CAST(array() AS ARRAY<INT>), [1,2] @> [CAST(NULL AS INT)], " +
+      "[1,CAST(NULL AS INT)] @> [2], CAST(NULL AS ARRAY<INT>) @> [1]") ==
+      Seq(Seq(true, false, true, true, false, null)))
+    assert(rows("SELECT [1,2] <@ [1,2,3], [1,4] <@ [1,2,3]") ==
+      Seq(Seq(true, false)))
+  }
+
+  test("quantified comparisons over lists match DuckDB's 3VL") {
+    assert(rows("SELECT 2 = any([1, CAST(NULL AS INT)]), " +
+      "2 = any([2, CAST(NULL AS INT)]), 2 = any(CAST(array() AS ARRAY<INT>)), " +
+      "5 > all([1, CAST(NULL AS INT)]), 5 > all([10, CAST(NULL AS INT)]), " +
+      "2 = all(CAST(array() AS ARRAY<INT>)), 1 = some([1,2])") ==
+      Seq(Seq(null, true, false, null, false, true, true)))
+    // WHERE-position use (the paste idiom) and arithmetic-left decline.
+    assert(rows("SELECT x FROM (VALUES (1),(2)) t(x) WHERE x = any([1, 3])")
+      == Seq(Seq(1)))
+    // subquery operand: the host itself demands IN — stays an error.
+    intercept[Exception](spark.sql(
+      "SELECT 2 = any((SELECT 1))").collect())
+  }
+
+  test("in-parens IGNORE NULLS and LIMIT percent execute") {
+    assert(rows("SELECT last(x IGNORE NULLS) OVER (ORDER BY y) FROM " +
+      "(VALUES (1, 1),(CAST(NULL AS INT), 2)) t(x, y)") ==
+      Seq(Seq(1), Seq(1)))
+    // LIMIT p% keeps floor(n·p/100) of the sorted rows (DuckDB pins:
+    // 10% of 3 = 0, 67% = 2).
+    assert(rows("SELECT x FROM (VALUES (1),(2),(3)) t(x) ORDER BY x DESC " +
+      "LIMIT 67%") == Seq(Seq(3), Seq(2)))
+    assert(rows("SELECT x FROM (VALUES (1),(2),(3)) t(x) ORDER BY x " +
+      "LIMIT 10%").isEmpty)
+  }
+
+  test("TIME literals and accessors work under the round-18 type flag") {
+    assert(one[String]("SELECT CAST(TIME '12:30:05' AS STRING)")
+      == "12:30:05")
+    assert(rows("SELECT hour(TIME '12:30:05'), minute(TIME '12:30:05')")
+      == Seq(Seq(12, 30)))
+  }
+
+  // ---------------------------------------------------------------
   // try_strptime
   // ---------------------------------------------------------------
 
