@@ -33,7 +33,9 @@ object ProfileRound18 {
         if (args.length > 3) args(3) else "both")
       case "retime" => retime(
         if (args.length > 1) args(1) else "/root/testdata/sf0.1",
-        if (args.length > 2) args(2).toInt else 3)
+        if (args.length > 2) args(2).toInt else 3,
+        if (args.length > 3) args.drop(3).toSeq
+        else Seq("sim_kcenter", "sim_hard_negatives"))
       case "bucketgrid" => bucketGrid(
         if (args.length > 1) args(1) else "/root/testdata/sf0.1")
       case other => sys.error(s"unknown mode $other")
@@ -101,13 +103,14 @@ object ProfileRound18 {
     spark.stop()
   }
 
-  private def retime(sfDir: String, n: Int): Unit = {
+  private def retime(sfDir: String, n: Int,
+      lanes: Seq[String] = Seq("sim_kcenter", "sim_hard_negatives")): Unit = {
     val spark = Engine.session()
     spark.conf.set("spark.graft.scratchDir",
       s"${System.getProperty("java.io.tmpdir")}/graft_prof18rt")
     spark.range(1000000).selectExpr("sum(id)").write.format("noop")
       .mode("overwrite").save()
-    for (name <- Seq("sim_kcenter", "sim_hard_negatives"); run <- 1 to n) {
+    for (name <- lanes; run <- 1 to n) {
       val t0 = System.nanoTime()
       val rows = graft.SparkEntry.queries(name)(spark, sfDir).count()
       val t = (System.nanoTime() - t0) / 1e9
