@@ -1068,6 +1068,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   }
 
   private val powOpRe = "(?s).*\\*\\*.*".r
+  private val groupsFrameRe =
+    "(?is).*\\bGROUPS\\s+(?:BETWEEN|UNBOUNDED|CURRENT|\\d).*".r
   private val tildeRe = "(?s).*~.*".r
   private val atTimeZoneRe = "(?is).*\\bAT\\s+TIME\\s+ZONE\\b.*".r
   private val attachRe = "(?is)\\A\\s*(?:ATTACH|DETACH)\\b.*".r
@@ -1600,6 +1602,19 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "not-implemented error (the reference rejects it " +
                   "too). Write expr RLIKE '^(?:pattern)$' directly, " +
                   "or regexp_full_match(expr, 'pattern').")
+              // GROUPS frame mode: the reference host itself rejects it
+              // ("GROUPS mode for window functions is not implemented
+              // yet"), so no-parse parity IS parity — but land on a
+              // matching message + the emulation recipe instead of a
+              // raw syntax error.
+              case groupsFrameRe() =>
+                Some("GROUPS mode for window functions is not " +
+                  "implemented (the reference host rejects it too). " +
+                  "Emulate it exactly: compute dense_rank() OVER " +
+                  "(PARTITION ... ORDER BY keys) AS dr in a subquery, " +
+                  "then use RANGE BETWEEN n PRECEDING AND m FOLLOWING " +
+                  "over ORDER BY dr — peer groups become unit steps of " +
+                  "dr, which is precisely the GROUPS frame.")
               case _ if ExcludeFrameRewrite.isShaped(sqlText) =>
                 Some("If you meant a window-frame EXCLUDE clause: the " +
                   "decomposable forms run automatically — EXCLUDE " +

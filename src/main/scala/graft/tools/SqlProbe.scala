@@ -36,7 +36,7 @@ object SqlProbe {
         case e: Throwable =>
           fail += 1
           val msg = Option(e.getMessage).getOrElse("")
-            .linesIterator.take(3).mkString(" | ").take(300)
+            .linesIterator.take(9).mkString(" | ").take(800)
           println(s"FAIL [$i] $head\n       [${e.getClass.getName}] $msg")
       }
     }

@@ -308,6 +308,14 @@ class Round18DialectSpec extends AnyFunSuite {
       "LIMIT 10%").isEmpty)
   }
 
+  test("GROUPS frame mode lands on the parity hint (host rejects it too)") {
+    val ex = intercept[Exception](spark.sql(
+      "SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND " +
+        "CURRENT ROW) FROM (VALUES (1)) t(x)"))
+    assert(ex.getMessage.contains("GROUPS mode"), ex.getMessage)
+    assert(ex.getMessage.contains("dense_rank"), ex.getMessage)
+  }
+
   test("TIME literals and accessors work under the round-18 type flag") {
     assert(one[String]("SELECT CAST(TIME '12:30:05' AS STRING)")
       == "12:30:05")
