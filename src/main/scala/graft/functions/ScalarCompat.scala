@@ -217,4 +217,73 @@ object ScalarCompat {
         s"bitstring length $len is smaller than input length ${str.length}")
     UTF8String.fromString(("0" * (len - str.length)) + str)
   }
+
+  // --- Path parsing (round 18, seventh sweep). DuckDB's parse_path
+  // family, 'both'-separator mode (/ and \): the list keeps a leading
+  // separator as its own '/' component; parse_dirname is the FIRST
+  // component ('/' for absolute paths — pinned), parse_filename the
+  // last, optionally extension-trimmed.
+
+  private def pathParts(str: String): Array[String] = {
+    val head =
+      if (str.startsWith("/") || str.startsWith("\\"))
+        Array(str.substring(0, 1))
+      else Array.empty[String]
+    head ++ str.split("[/\\\\]+").filter(_.nonEmpty)
+  }
+
+  def parsePath(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      pathParts(s.toString).map(UTF8String.fromString(_: String))
+        .asInstanceOf[Array[Any]])
+
+  def parseFilename(s: UTF8String, trimExtension: Boolean): UTF8String = {
+    val parts = pathParts(s.toString)
+    if (parts.isEmpty) return UTF8String.fromString("")
+    val f = parts.last
+    UTF8String.fromString(
+      if (trimExtension && f.lastIndexOf('.') > 0)
+        f.substring(0, f.lastIndexOf('.'))
+      else f)
+  }
+
+  def parseDirname(s: UTF8String): UTF8String = {
+    val parts = pathParts(s.toString)
+    UTF8String.fromString(if (parts.isEmpty) "" else parts.head)
+  }
+
+  /** DuckDB json_merge_patch: RFC 7386 — a non-object patch replaces
+    * the target outright; object patches merge recursively with null
+    * values REMOVING keys. Jackson (Spark's bundled JSON stack)
+    * preserves insertion order, matching DuckDB's output ordering
+    * (target keys first, new patch keys appended; pinned).
+    */
+  private lazy val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def jsonMergePatch(a: UTF8String, b: UTF8String): UTF8String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    def merge(t: JsonNode, p: JsonNode): JsonNode =
+      if (p == null || !p.isObject) if (p == null) p else p.deepCopy()
+      else {
+        val out: ObjectNode =
+          if (t != null && t.isObject)
+            t.deepCopy().asInstanceOf[ObjectNode]
+          else jsonMapper.createObjectNode()
+        val it = p.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNull) { out.remove(e.getKey); () }
+          else {
+            out.set[ObjectNode](e.getKey,
+              merge(out.get(e.getKey), e.getValue))
+            ()
+          }
+        }
+        out
+      }
+    UTF8String.fromString(jsonMapper.writeValueAsString(
+      merge(jsonMapper.readTree(a.toString), jsonMapper.readTree(b.toString))))
+  }
 }

@@ -3743,6 +3743,51 @@ object AnalyticsQueries {
          ORDER BY p DESC, k LIMIT 10%""")
   }
 
+  // Seventh-sweep parity pack (round 18): JSON merge-patch/keys/arrow
+  // operators, string+negative array_slice (DuckSlice), path parsing,
+  // base64 round-trip, nextafter, in-argument ORDER BY on order-
+  // insensitive aggregates (stripped), and the FILTER-without-WHERE
+  // shorthand. List-returning functions stringify for the driver's
+  // hasher. Identical statement runs natively in DuckDB.
+  declare("q156_sweep7_parity",
+    """SELECT
+         json_merge_patch('{"a":{"x":1}}', '{"a":{"y":2},"b":null}') AS jm,
+         array_to_string(json_keys('{"a":1,"b":2}'), ',') AS jk,
+         '{"a": {"b": 7}}'->'a'->>'b' AS arrow,
+         '[5,6]' -> 0 AS a0,
+         '[5,6]' ->> 1 AS a1,
+         array_slice('abcde', 2, 3) AS sl,
+         array_to_string(array_slice([10,20,30,40], -3, -2), ',') AS slneg,
+         array_to_string(parse_path('/a/b/c.txt'), '|') AS pp,
+         parse_filename('/a/b/c.txt', true) AS pf,
+         parse_dirname('/a/b/c.txt') AS pd,
+         CAST(from_base64(to_base64(CAST('graft' AS BLOB))) AS VARCHAR) AS b64,
+         nextafter(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS na,
+         (SELECT CAST(count(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS BIGINT)
+          FROM orders) AS cd,
+         (SELECT CAST(sum(o_orderkey) FILTER (o_orderkey % 2 = 0) AS BIGINT)
+          FROM orders WHERE o_orderkey < 100) AS fsh""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT
+           json_merge_patch('{"a":{"x":1}}', '{"a":{"y":2},"b":null}') AS jm,
+           array_to_string(json_keys('{"a":1,"b":2}'), ',') AS jk,
+           '{"a": {"b": 7}}'->'a'->>'b' AS arrow,
+           '[5,6]' -> 0 AS a0,
+           '[5,6]' ->> 1 AS a1,
+           array_slice('abcde', 2, 3) AS sl,
+           array_to_string(array_slice([10,20,30,40], -3, -2), ',') AS slneg,
+           array_to_string(parse_path('/a/b/c.txt'), '|') AS pp,
+           parse_filename('/a/b/c.txt', true) AS pf,
+           parse_dirname('/a/b/c.txt') AS pd,
+           CAST(from_base64(to_base64(CAST('graft' AS BLOB))) AS VARCHAR) AS b64,
+           nextafter(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS na,
+           (SELECT CAST(count(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS BIGINT)
+            FROM orders) AS cd,
+           (SELECT CAST(sum(o_orderkey) FILTER (o_orderkey % 2 = 0) AS BIGINT)
+            FROM orders WHERE o_orderkey < 100) AS fsh""")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1237,7 +1237,12 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
         def reparseOrChain(text: String, depth: Int): Option[T] =
           try Some(reparse(text)) catch {
             case scala.util.control.NonFatal(_) =>
-              if (depth >= 4) None else chain(text, depth)
+              // Cap 8 (round 18, was 4): each rewrite consumes its
+              // construct so progress is structural; a real pasted
+              // statement can stack arrows + ordered-agg + FILTER
+              // shorthand + brackets + one more and genuinely needs
+              // five layers (q156).
+              if (depth >= 8) None else chain(text, depth)
           }
         def chain(text: String, depth: Int): Option[T] = {
           // Every applicable rewrite is a candidate (one may decline a
@@ -1372,6 +1377,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             () => ListOpRewrite.rewriteQuantified(text),
             () => ListOpRewrite.rewriteIgnoreNulls(text),
             () => ListOpRewrite.rewriteLimitPercent(text),
+            // Seventh sweep: JSON arrow operators (-> / ->>, lambda-
+            // guarded) and the FILTER-without-WHERE shorthand.
+            () => ListOpRewrite.rewriteJsonArrows(text),
+            () => ListOpRewrite.rewriteFilterShorthand(text),
             // LAST deliberately: bracket/brace literal syntax only ever
             // appears in statements stock Spark cannot parse at all, and
             // running it after the structural rewrites lets e.g. a
@@ -2453,14 +2462,17 @@ object GraftSparkExtensions {
         aliasFn("strpos", (2, 2))(a => StringInstr(a(0), a(1))),
         aliasFn("array_length", (1, 1))(a => graft.functions.Len(a(0))),
         aliasFn("list_length", (1, 1))(a => graft.functions.Len(a(0))),
-        // DuckDB slicing is 1-based INCLUSIVE: list_slice(l, b, e) keeps
-        // elements b..e → Spark Slice(l, b, e-b+1). Positive bounds only
-        // (DuckDB's negative-from-end form has no native counterpart).
+        // DuckDB slicing is 1-based INCLUSIVE. The 3-arg form routes
+        // through DuckSlice (round 18): lists AND strings, negative
+        // from-the-end bounds, clamping, inverted-range-empty — the
+        // full pinned bracket-slice contract (it previously mapped to
+        // Spark's Slice: lists only, positive bounds only). 4-arg
+        // stepped form unchanged.
         aliasFn("list_slice", (3, 4))(a =>
-          if (a.size == 3) Slice(a(0), a(1), Add(Subtract(a(2), a(1)), Literal(1)))
+          if (a.size == 3) graft.functions.DuckSlice(a(0), a(1), a(2))
           else steppedSlice(a(0), a(1), a(2), a(3))),
         aliasFn("array_slice", (3, 4))(a =>
-          if (a.size == 3) Slice(a(0), a(1), Add(Subtract(a(2), a(1)), Literal(1)))
+          if (a.size == 3) graft.functions.DuckSlice(a(0), a(1), a(2))
           else steppedSlice(a(0), a(1), a(2), a(3))),
         // DuckDB returns NULL for a missing element where Spark's
         // array_position returns 0 — map 0 back to NULL.
@@ -2644,6 +2656,75 @@ object GraftSparkExtensions {
           org.apache.spark.sql.catalyst.expressions.GetJsonObject(a(0), a(1))),
         aliasFn("json_extract", (2, 2))(a =>
           org.apache.spark.sql.catalyst.expressions.GetJsonObject(a(0), a(1))),
+        // Round-18 seventh sweep: JSON group aggregates, merge-patch,
+        // object keys, path parsing, base64, nextafter, the
+        // approximate-quantile spellings, and the error-corrected
+        // float-agg names.
+        aliasFn("json_keys", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.JsonObjectKeys(a(0))),
+        // json_group_array/object: to_json over one ordered collect —
+        // json_group_object pairs k/v in ONE collect (two separate
+        // collect_lists could disagree on order).
+        aliasFn("json_group_array", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.StructsToJson(
+            Map.empty[String, String],
+            org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(a(0)).toAggregateExpression())),
+        aliasFn("json_group_object", (2, 2))(a =>
+          org.apache.spark.sql.catalyst.expressions.StructsToJson(
+            Map.empty[String, String],
+            org.apache.spark.sql.catalyst.expressions.MapFromEntries(
+              org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(org.apache.spark.sql.catalyst.expressions.CreateStruct(
+                Seq(a(0), a(1)))).toAggregateExpression()))),
+        aliasFn("json_merge_patch", (2, 8))(a =>
+          a.reduceLeft((l, r) => StaticInvoke(
+            Class.forName("graft.functions.ScalarCompat"),
+            StringType, "jsonMergePatch", Seq(l, r),
+            inputTypes = Seq(StringType, StringType)))),
+        aliasFn("parse_path", (1, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.ArrayType(StringType), "parsePath",
+          Seq(a(0)), inputTypes = Seq(StringType))),
+        aliasFn("parse_filename", (1, 3))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          StringType, "parseFilename",
+          Seq(a(0), if (a.size >= 2) Cast(a(1), org.apache.spark.sql.types.BooleanType)
+            else Literal(false)),
+          inputTypes = Seq(StringType, org.apache.spark.sql.types.BooleanType))),
+        aliasFn("parse_dirname", (1, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          StringType, "parseDirname", Seq(a(0)),
+          inputTypes = Seq(StringType))),
+        aliasFn("to_base64", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.Base64(a(0))),
+        aliasFn("from_base64", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.UnBase64(a(0))),
+        aliasFn("nextafter", (2, 2))(a => StaticInvoke(
+          classOf[java.lang.Math], org.apache.spark.sql.types.DoubleType,
+          "nextAfter",
+          Seq(Cast(a(0), org.apache.spark.sql.types.DoubleType),
+            Cast(a(1), org.apache.spark.sql.types.DoubleType)),
+          inputTypes = Seq(org.apache.spark.sql.types.DoubleType,
+            org.apache.spark.sql.types.DoubleType))),
+        // favg/fsum: DuckDB's error-corrected (Kahan) float aggregates.
+        // Spark's sum/avg are plain left-fold doubles — values can
+        // differ in the last ulps under catastrophic cancellation
+        // (documented divergence; ordinary data agrees).
+        aliasFn("favg", (1, 1))(a => org.apache.spark.sql.catalyst.expressions.aggregate.Average(
+          Cast(a(0), org.apache.spark.sql.types.DoubleType))),
+        aliasFn("fsum", (1, 1))(a => org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+          Cast(a(0), org.apache.spark.sql.types.DoubleType))),
+        aliasFn("sumkahan", (1, 1))(a => org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+          Cast(a(0), org.apache.spark.sql.types.DoubleType))),
+        // approx_quantile / reservoir_quantile → Spark's t-digest
+        // percentile (both sides approximate — availability parity;
+        // reservoir's sample-size arg has no Spark counterpart and is
+        // accepted-and-ignored).
+        aliasFn("approx_quantile", (2, 2))(a =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile(a(0),
+            Cast(a(1), org.apache.spark.sql.types.DoubleType))),
+        aliasFn("reservoir_quantile", (2, 3))(a =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile(a(0),
+            Cast(a(1), org.apache.spark.sql.types.DoubleType))),
         // Value-frequency aggregates (functions/HistogramAgg.scala):
         // DuckDB's histogram (MAP value→count, keys ascending, NULLs
         // dropped, empty→NULL) and entropy (log2 Shannon, empty→0.0).

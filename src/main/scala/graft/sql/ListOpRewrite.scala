@@ -221,6 +221,130 @@ object ListOpRewrite {
     if (changed) Some(cur) else None
   }
 
+  /** JSON arrow operators (round-18 seventh sweep): `j -> k` extracts
+    * as JSON text (the engine's json_extract / get_json_object — the
+    * documented string-quoting divergence applies), `j ->> k` as
+    * unquoted text (exact). Keys: string literals (field names, or
+    * '$...' paths passed verbatim) and integer literals (0-based array
+    * index, DuckDB-pinned: '[5,6]' -> 0 is '5'). Left-associative
+    * chains resolve earliest-first, so the rewritten call becomes the
+    * next round's left operand. Parse-failure only.
+    */
+  private val hofNames = Set("transform", "filter", "exists", "forall",
+    "aggregate", "reduce", "zip_with", "map_filter", "map_zip_with",
+    "transform_keys", "transform_values", "array_sort", "list_transform",
+    "list_filter", "list_reduce", "list_where", "list_select",
+    "list_grade_up")
+
+  /** Name of the innermost call enclosing `pos`, lowercased ("" when
+    * not inside any call or the paren is a bare group).
+    */
+  private def enclosingCallee(cur: String, m: String, pos: Int): String = {
+    var depth = 0
+    var i = pos
+    var open = -1
+    while (i >= 0 && open < 0) {
+      m.charAt(i) match {
+        case ')' => depth += 1
+        case '(' => if (depth == 0) open = i else depth -= 1
+        case _ =>
+      }
+      i -= 1
+    }
+    if (open < 0) return ""
+    var l = open - 1
+    while (l >= 0 && cur.charAt(l).isWhitespace) l -= 1
+    val e = l
+    while (l >= 0 && wordChar(m.charAt(l))) l -= 1
+    if (e == l) "" else cur.substring(l + 1, e + 1).toLowerCase
+  }
+
+  def rewriteJsonArrows(text: String): Option[String] = {
+    if (!text.contains("->")) return None
+    var cur = text
+    var changed = false
+    var rounds = 0
+    while (rounds < 256) {
+      rounds += 1
+      val m = ReplaceRewrite.maskLiterals(cur)
+      var oi = m.indexOf("->")
+      var applied = false
+      while (oi >= 0 && !applied) {
+        val isText = oi + 2 < m.length && m.charAt(oi + 2) == '>'
+        val opLen = if (isText) 3 else 2
+        def skip(): Unit = { oi = m.indexOf("->", oi + opLen) }
+        // `->` is ALSO Spark's lambda arrow; lambdas are only legal as
+        // a higher-order function's argument, so an occurrence inside
+        // a call to a known HOF name is SKIPPED — splicing a lambda
+        // arrow into json_extract would be silent corruption.
+        if (hofNames(enclosingCallee(cur, m, oi))) skip()
+        else {
+          val reOpt = scanRight(cur, m, oi + opLen)
+          val lsOpt = scanLeft(cur, m, oi - 1)
+          if (reOpt.isEmpty || lsOpt.isEmpty) skip()
+          else {
+            val re = reOpt.get
+            val ls = lsOpt.get
+            val l = cur.substring(ls, oi).trim
+            val kRaw = cur.substring(oi + opLen, re).trim
+            // Same-precedence left-assoc chains: a FOLLOWING arrow is
+            // fine (this splice becomes its left operand next round);
+            // other tight-binding neighbors skip the occurrence.
+            var pb = ls - 1
+            while (pb >= 0 && cur.charAt(pb).isWhitespace) pb -= 1
+            var pa = re
+            while (pa < m.length && cur.charAt(pa).isWhitespace) pa += 1
+            val nextIsArrow = pa + 1 < m.length && m.charAt(pa) == '-' &&
+              m.charAt(pa + 1) == '>'
+            val badLeft =
+              pb >= 0 && "|+-*/%^&~!@<".indexOf(m.charAt(pb)) >= 0
+            val badRight = !nextIsArrow && pa < m.length &&
+              "+-*/%^&~!@[<|".indexOf(m.charAt(pa)) >= 0
+            val path =
+              if (kRaw.matches("\\d+")) Some(s"'$$[$kRaw]'")
+              else if (kRaw.startsWith("'") && kRaw.length >= 2) {
+                val k = kRaw.substring(1, kRaw.length - 1)
+                if (k.startsWith("$")) Some(kRaw) else Some(s"'$$.$k'")
+              } else None // lambda body / expression key: skip
+            if (l.isEmpty || badLeft || badRight || path.isEmpty) skip()
+            else {
+              val fn = if (isText) "json_extract_string" else "json_extract"
+              cur = cur.substring(0, ls) +
+                s"$fn($l, ${path.get})" + cur.substring(re)
+              applied = true
+            }
+          }
+        }
+      }
+      if (!applied) return if (changed) Some(cur) else None
+      changed = true
+    }
+    if (changed) Some(cur) else None
+  }
+
+  private val filterShorthandRe =
+    "(?i)\\bFILTER\\s*\\(\\s*(?!WHERE\\b)".r
+
+  /** DuckDB's `agg(x) FILTER (cond)` shorthand (no WHERE keyword) →
+    * Spark's `FILTER (WHERE cond)`. Parse-failure only — a scalar
+    * `filter(arr, fn)` call that parses natively never reaches the
+    * chain, and inside the chain a corrupted splice of one simply
+    * fails to re-parse (dead candidate branch).
+    */
+  def rewriteFilterShorthand(text: String): Option[String] = {
+    val m = ReplaceRewrite.maskLiterals(text)
+    val hits = filterShorthandRe.findAllMatchIn(m).toList
+    if (hits.isEmpty) return None
+    val sb = new StringBuilder
+    var pos = 0
+    hits.foreach { h =>
+      sb.append(text.substring(pos, h.end)).append("WHERE ")
+      pos = h.end
+    }
+    sb.append(text.substring(pos))
+    Some(sb.toString)
+  }
+
   private val quantRe =
     "(?i)(==|=|<>|!=|<=|>=|<|>)\\s*(ANY|ALL|SOME)\\s*\\(".r
 

@@ -34,10 +34,17 @@ package graft.sql
   */
 object OrderedAggRewrite {
   private val callRe =
-    "(?i)\\b(string_agg|listagg|group_concat|array_agg|list|first|last)\\s*\\(".r
+    ("(?i)\\b(string_agg|listagg|group_concat|array_agg|list|first|last|" +
+      "count|sum|avg|min|max|bool_and|bool_or|any_value)\\s*\\(").r
   private val shapedRe =
-    ("(?is).*\\b(?:string_agg|listagg|group_concat|array_agg|list|first|last)" +
+    ("(?is).*\\b(?:string_agg|listagg|group_concat|array_agg|list|first|last|" +
+      "count|sum|avg|min|max|bool_and|bool_or|any_value)" +
       "\\s*\\(.*\\bORDER\\s+BY\\b.*").r
+  // Order-INSENSITIVE aggregates: DuckDB accepts (and ignores) an
+  // in-argument ORDER BY on these — count(DISTINCT x ORDER BY x) is a
+  // common paste shape — so the rewrite simply strips it (round 18).
+  private val orderInsensitive = Set("count", "sum", "avg", "min", "max",
+    "bool_and", "bool_or", "any_value")
 
   /** Index of the first depth-0 `ORDER BY` inside an (already
     * literal-masked) argument text, or -1.
@@ -178,6 +185,8 @@ object OrderedAggRewrite {
               parseKeys(keysText).flatMap(arrayForm(args, _, filterSuffix))
                 .map(arr =>
                   s"element_at($arr, ${if (name == "first") "1" else "-1"})")
+            else if (orderInsensitive(name))
+              Some(s"$name($args)" + filterSuffix)
             else {
               val fn = if (name == "group_concat") "string_agg" else name
               Some(s"$fn($args) WITHIN GROUP (ORDER BY ${keysText.trim})" +

@@ -324,6 +324,64 @@ class Round18DialectSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // Seventh sweep: JSON arrows/merge-patch/keys/group aggs, path
+  // parsing, slices over strings, order-insensitive in-arg ORDER BY,
+  // FILTER shorthand. DuckDB 1.x pins throughout.
+  // ---------------------------------------------------------------
+
+  test("JSON arrows, merge_patch, keys, group aggregates match DuckDB") {
+    assert(rows("SELECT '{\"a\": {\"b\": 7}}'->'a'->>'b', " +
+      "'[5,6]' -> 0, '[5,6]' ->> 1") == Seq(Seq("7", "5", "6")))
+    assert(one[String]("SELECT json_merge_patch('{\"a\":{\"x\":1}}', " +
+      "'{\"a\":{\"y\":2},\"b\":null}')") == "{\"a\":{\"x\":1,\"y\":2}}")
+    assert(one[String](
+      "SELECT json_merge_patch('{\"a\":1}', '3')") == "3")
+    assert(rows("SELECT json_keys('{\"a\":1,\"b\":2}')")
+      .head.head.asInstanceOf[scala.collection.Seq[_]].toSeq == Seq("a", "b"))
+    // Group aggregates (single partition → arrival order, as DuckDB).
+    assert(rows("SELECT json_group_array(x), json_group_object(x, x*2) " +
+      "FROM (VALUES (1),(2)) t(x)") ==
+      Seq(Seq("[1,2]", "{\"1\":2,\"2\":4}")))
+  }
+
+  test("JSON arrows never touch lambda arrows (HOF-call guard)") {
+    // A statement in the failure chain (brackets) with lambdas whose
+    // bodies are literal ints/strings — the corruption shape the
+    // enclosing-call guard exists for.
+    val lam = rows("SELECT transform([1,2], x -> 1), " +
+      "filter([1,2], x -> x > 1), '[5,6]' -> 0").head
+    assert(lam(0).asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(1, 1))
+    assert(lam(1).asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(2))
+    assert(lam(2) == "5")
+  }
+
+  test("array_slice over strings and negative bounds (DuckSlice route)") {
+    assert(one[String]("SELECT array_slice('abcde', 2, 3)") == "bc")
+    assert(rows("SELECT array_slice([10,20,30,40], -3, -2)")
+      .head.head.asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(20, 30))
+  }
+
+  test("parse_path family, base64 round-trip, nextafter") {
+    assert(rows("SELECT parse_path('/a/b/c.txt')")
+      .head.head.asInstanceOf[scala.collection.Seq[_]].toSeq == Seq("/", "a", "b", "c.txt"))
+    assert(rows("SELECT parse_filename('/a/b/c.txt'), " +
+      "parse_filename('/a/b/c.txt', true), parse_dirname('/a/b/c.txt'), " +
+      "parse_dirname('a/b')") == Seq(Seq("c.txt", "c", "/", "a")))
+    assert(one[String]("SELECT CAST(from_base64(to_base64(" +
+      "CAST('hi' AS BLOB))) AS STRING)") == "hi")
+    assert(one[Double]("SELECT nextafter(CAST(1.0 AS DOUBLE), " +
+      "CAST(2.0 AS DOUBLE))") == 1.0000000000000002)
+  }
+
+  test("order-insensitive aggs strip in-arg ORDER BY; FILTER shorthand") {
+    assert(rows("SELECT count(DISTINCT x ORDER BY x), sum(x ORDER BY x) " +
+      "FROM (VALUES (1),(2)) t(x)") == Seq(Seq(2L, 3L)))
+    assert(rows("SELECT list(x) FILTER (x > 1) FROM " +
+      "(VALUES (1),(2),(3)) t(x)").head.head.asInstanceOf[scala.collection.Seq[_]].toSeq ==
+      Seq(2, 3))
+  }
+
+  // ---------------------------------------------------------------
   // try_strptime
   // ---------------------------------------------------------------
 
