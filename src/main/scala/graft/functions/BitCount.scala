@@ -63,3 +63,119 @@ object BitCountCompat {
     n
   }
 }
+
+/** DuckDB's `bitstring_agg(x[, min, max])` (round 18): a bitstring —
+  * modeled as its VARCHAR form like the rest of the BIT lane — with one
+  * position per integer in [min, max], '1' where the value occurred.
+  * The 1-arg form derives the range from the GROUP's observed min/max
+  * (DuckDB pulls them from table statistics and errors when it can't;
+  * the group's own extremes are the same range whenever the statement
+  * runs at all, since out-of-range values are errors). The 3-arg form
+  * takes explicit FOLDABLE bounds and raises DuckDB's out-of-range
+  * error text for values outside them. NULLs are ignored; an all-NULL
+  * or empty group yields NULL. State is the distinct-value set plus
+  * observed extremes — O(distinct) with map-side partial aggregation,
+  * the [[FreqAggBase]] envelope.
+  */
+case class BitstringAgg(
+    child: Expression, loExpr: Option[Expression], hiExpr: Option[Expression],
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[BitstringAgg.Buf] {
+
+  override def children: Seq[Expression] =
+    Seq(child) ++ loExpr.toSeq ++ hiExpr.toSeq
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      if (loExpr.forall(_.foldable) && hiExpr.forall(_.foldable))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "bitstring_agg bounds must be constants")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitstring_agg requires an integer column, got ${other.simpleString}")
+  }
+
+  private lazy val bounds: Option[(Long, Long)] = (loExpr, hiExpr) match {
+    case (Some(l), Some(h)) =>
+      val lv = l.eval(null); val hv = h.eval(null)
+      if (lv == null || hv == null) None
+      else Some((lv.asInstanceOf[Number].longValue(),
+        hv.asInstanceOf[Number].longValue()))
+    case _ => None
+  }
+
+  override def createAggregationBuffer(): BitstringAgg.Buf =
+    new BitstringAgg.Buf(Long.MaxValue, Long.MinValue,
+      scala.collection.mutable.HashSet.empty[Long])
+
+  override def update(buf: BitstringAgg.Buf, row: org.apache.spark.sql
+      .catalyst.InternalRow): BitstringAgg.Buf = {
+    val v = child.eval(row)
+    if (v != null) {
+      val x = v.asInstanceOf[Number].longValue()
+      bounds.foreach { case (lo, hi) =>
+        if (x < lo || x > hi) throw new IllegalArgumentException(
+          s"Out of Range Error: Value $x is outside of provided min and " +
+            s"max range ($lo <-> $hi)")
+      }
+      if (x < buf.min) buf.min = x
+      if (x > buf.max) buf.max = x
+      buf.set += x
+    }
+    buf
+  }
+
+  override def merge(a: BitstringAgg.Buf, b: BitstringAgg.Buf): BitstringAgg.Buf = {
+    if (b.min < a.min) a.min = b.min
+    if (b.max > a.max) a.max = b.max
+    a.set ++= b.set
+    a
+  }
+
+  override def eval(buf: BitstringAgg.Buf): Any = {
+    if (buf.set.isEmpty) return null
+    val (lo, hi) = bounds.getOrElse((buf.min, buf.max))
+    val n = hi - lo + 1
+    if (n <= 0 || n > 1000000) throw new IllegalArgumentException(
+      s"bitstring_agg range [$lo, $hi] is empty or over 1e6 positions")
+    val sb = new java.lang.StringBuilder(n.toInt)
+    var i = 0L
+    while (i < n) { sb.append(if (buf.set.contains(lo + i)) '1' else '0'); i += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def serialize(buf: BitstringAgg.Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * (2 + 1 + buf.set.size))
+    bb.putLong(buf.min); bb.putLong(buf.max); bb.putLong(buf.set.size.toLong)
+    buf.set.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BitstringAgg.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val mn = bb.getLong; val mx = bb.getLong; val sz = bb.getLong
+    val s = scala.collection.mutable.HashSet.empty[Long]
+    var i = 0L
+    while (i < sz) { s += bb.getLong; i += 1 }
+    new BitstringAgg.Buf(mn, mx, s)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BitstringAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitstringAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): BitstringAgg =
+    copy(child = c(0),
+      loExpr = if (c.length > 1) Some(c(1)) else None,
+      hiExpr = if (c.length > 2) Some(c(2)) else None)
+  override def prettyName: String = "bitstring_agg"
+}
+
+object BitstringAgg {
+  final class Buf(var min: Long, var max: Long,
+      val set: scala.collection.mutable.HashSet[Long])
+}

@@ -90,7 +90,14 @@ case class DuckIndex(left: Expression, right: Expression)
 
   override def eval(input: InternalRow): Any = {
     val v = left.eval(input)
-    if (v == null) return null
+    // DuckDB 1.0 pinned: a NULL map or NULL key yields the EMPTY list —
+    // map['k'] and map_extract agree — where every other input type
+    // propagates NULL. The map arm therefore dispatches before the
+    // null-input early return.
+    if (v == null) left.dataType match {
+      case _: MapType => return new GenericArrayData(Array.empty[Any])
+      case _ => return null
+    }
     left.dataType match {
       case ArrayType(et, _) =>
         val i = right.eval(input)
@@ -115,7 +122,7 @@ case class DuckIndex(left: Expression, right: Expression)
         }
       case m: MapType =>
         val k = right.eval(input)
-        if (k == null) return null
+        if (k == null) return new GenericArrayData(Array.empty[Any])
         val map = v.asInstanceOf[MapData]
         val keys = map.keyArray()
         val n = map.numElements()

@@ -30,6 +30,51 @@ object ScalarCompat {
           s"lcm($a, $b) is out of range for BIGINT")
       }
 
+  /** DuckDB substring_grapheme (round 18): substring semantics over
+    * GRAPHEME CLUSTERS (BreakIterator) instead of code units — 1-based
+    * start, negative counts from the end, length clamps.
+    */
+  def substringGrapheme(s: org.apache.spark.unsafe.types.UTF8String,
+      start: Long, len: Long): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    val it = java.text.BreakIterator.getCharacterInstance
+    it.setText(str)
+    val bounds = scala.collection.mutable.ArrayBuffer[Int](0)
+    var b = it.next()
+    while (b != java.text.BreakIterator.DONE) { bounds += b; b = it.next() }
+    val n = bounds.length - 1 // grapheme count
+    if (len < 0) throw new IllegalArgumentException(
+      "substring_grapheme: negative length")
+    // DuckDB substring index semantics: 1-based; 0 acts like 1 with one
+    // fewer kept char; negative counts from the end.
+    var from = if (start > 0) start - 1 else if (start < 0) n + start else 0
+    var count = if (start == 0 && len > 0) len - 1 else len
+    if (from < 0) { count += from; from = 0 }
+    if (from >= n || count <= 0)
+      return org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+    count = math.min(count, n.toLong) // pre-clamp: from + count can't overflow
+    val to = math.min(n.toLong, from + count).toInt
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      str.substring(bounds(from.toInt), bounds(to)))
+  }
+
+  /** DuckDB's postfix `!` / factorial() semantics (round 18): n < 2 —
+    * including NEGATIVE n — returns 1 (pinned on 1.0: (-1)! = 1), the
+    * result is EXACT integer arithmetic (DuckDB computes in HUGEINT),
+    * and overflow past the type's range errors instead of wrapping.
+    * DECIMAL(38,0) holds 33! = 8.68e36; 34! ≈ 2.95e38 overflows it AND
+    * DuckDB's HUGEINT (max 1.70e38) alike, so the two engines share the
+    * exact domain 0..33.
+    */
+  def duckFactorial(n: Long): org.apache.spark.sql.types.Decimal = {
+    if (n > 33) throw new ArithmeticException(
+      s"factorial($n) is out of range (DuckDB's HUGEINT overflows at 34!)")
+    var acc = java.math.BigInteger.ONE
+    var i = 2L
+    while (i <= n) { acc = acc.multiply(java.math.BigInteger.valueOf(i)); i += 1 }
+    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(acc), 38, 0)
+  }
+
   /** DuckDB even(): round AWAY from zero to the next even integer;
     * already-even integers stay (even(2.0) = 2, even(3.0) = 4,
     * even(-2.5) = -4).

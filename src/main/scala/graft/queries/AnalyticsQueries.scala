@@ -3788,6 +3788,169 @@ object AnalyticsQueries {
             FROM orders WHERE o_orderkey < 100) AS fsh""")
   }
 
+  // Eighth-sweep parity pack (round 18): the regr_* family + corr /
+  // covar (native on both engines, pinned against drift), product,
+  // kurtosis_pop (Spark's population kurtosis IS DuckDB's _pop form),
+  // bitstring_agg (1-arg stats range + 3-arg bounds), map_extract
+  // (LIST result, [] when absent), postfix `!` factorial (exact
+  // integer, (-n)! = 1), prefix `@` absolute value, epoch_ns, the
+  // non-literal INTERVAL (expr) UNIT constructor, and the long to_*
+  // interval constructors. Doubles ride round(): the two engines'
+  // summation orders differ in the last ulps (measured: regr_r2 at
+  // 1e-19, kurtosis at 1e-12) and the driver compare hashes exact
+  // values. array_to_string('') of the empty list is NULL in DuckDB
+  // and '' here — coalesced on both sides.
+  declare("q157_sweep8_parity",
+    """SELECT
+         round(regr_slope(o_totalprice, o_custkey), 6) AS rs,
+         round(regr_intercept(o_totalprice, o_custkey), 2) AS ri,
+         round(regr_r2(o_totalprice, o_custkey), 10) AS rr2,
+         CAST(regr_count(o_totalprice, o_custkey) AS BIGINT) AS rn,
+         round(regr_avgx(o_totalprice, o_custkey), 4) AS rax,
+         round(regr_sxy(o_totalprice, o_custkey), 0) AS rsxy,
+         round(corr(o_totalprice, o_custkey), 8) AS cr,
+         round(covar_pop(o_totalprice, o_custkey), 2) AS cvp,
+         round(covar_samp(o_totalprice, o_custkey), 2) AS cvs,
+         round(kurtosis_pop(o_totalprice), 8) AS kp,
+         (SELECT round(product(n_regionkey + 1), 0) FROM nation) AS prod,
+         (SELECT CAST(bitstring_agg(n_regionkey) AS VARCHAR) FROM nation) AS bs,
+         (SELECT CAST(bitstring_agg(n_regionkey, 0, 7) AS VARCHAR) FROM nation) AS bs3,
+         coalesce(array_to_string(map_extract(map(['a','b'],[1,2]), 'a'), ','), '') AS meh,
+         coalesce(array_to_string(map_extract(map(['a','b'],[1,2]), 'zz'), ','), '') AS mem,
+         CAST(20! AS BIGINT) AS f20,
+         CAST((-3)! AS BIGINT) AS fneg,
+         @(-42) AS absop,
+         epoch_ns(TIMESTAMP '2024-01-01 00:00:00.123456') AS ens,
+         epoch_us(TIMESTAMP '2024-01-01 00:00:00.123456') AS eus,
+         (CAST('2024-01-01' AS DATE) + INTERVAL (7) DAY)::DATE AS ivd,
+         (CAST('2024-01-31' AS DATE) + INTERVAL (1) MONTH)::DATE AS ivm,
+         (CAST('2024-01-01' AS DATE) + to_weeks(2))::DATE AS tw,
+         (CAST('2024-01-01' AS DATE) + to_decades(1))::DATE AS tdec
+       FROM orders""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT
+           round(regr_slope(o_totalprice, o_custkey), 6) AS rs,
+           round(regr_intercept(o_totalprice, o_custkey), 2) AS ri,
+           round(regr_r2(o_totalprice, o_custkey), 10) AS rr2,
+           CAST(regr_count(o_totalprice, o_custkey) AS BIGINT) AS rn,
+           round(regr_avgx(o_totalprice, o_custkey), 4) AS rax,
+           round(regr_sxy(o_totalprice, o_custkey), 0) AS rsxy,
+           round(corr(o_totalprice, o_custkey), 8) AS cr,
+           round(covar_pop(o_totalprice, o_custkey), 2) AS cvp,
+           round(covar_samp(o_totalprice, o_custkey), 2) AS cvs,
+           round(kurtosis_pop(o_totalprice), 8) AS kp,
+           (SELECT round(product(n_regionkey + 1), 0) FROM nation) AS prod,
+           (SELECT CAST(bitstring_agg(n_regionkey) AS VARCHAR) FROM nation) AS bs,
+           (SELECT CAST(bitstring_agg(n_regionkey, 0, 7) AS VARCHAR) FROM nation) AS bs3,
+           coalesce(array_to_string(map_extract(map(['a','b'],[1,2]), 'a'), ','), '') AS meh,
+           coalesce(array_to_string(map_extract(map(['a','b'],[1,2]), 'zz'), ','), '') AS mem,
+           CAST(20! AS BIGINT) AS f20,
+           CAST((-3)! AS BIGINT) AS fneg,
+           @(-42) AS absop,
+           epoch_ns(TIMESTAMP '2024-01-01 00:00:00.123456') AS ens,
+           epoch_us(TIMESTAMP '2024-01-01 00:00:00.123456') AS eus,
+           (CAST('2024-01-01' AS DATE) + INTERVAL (7) DAY)::DATE AS ivd,
+           (CAST('2024-01-31' AS DATE) + INTERVAL (1) MONTH)::DATE AS ivm,
+           (CAST('2024-01-01' AS DATE) + to_weeks(2))::DATE AS tw,
+           (CAST('2024-01-01' AS DATE) + to_decades(1))::DATE AS tdec
+         FROM orders""")
+  }
+
+  // DEFAULT column values + joined DML (round 18): CREATE TEMP TABLE
+  // with per-column DEFAULT expressions (filled for omitted columns
+  // and the DEFAULT keyword — DuckDB evaluates the expression per
+  // insert), UPDATE ... FROM (arbitrary-match-once via one rid-keyed
+  // join round-trip) and DELETE ... USING (NOT EXISTS anti-join).
+  // IDENTICAL statement script on both engines.
+  declare("q158_defaults_joined_dml",
+    """CREATE OR REPLACE TEMP TABLE graft_q158d (a INTEGER DEFAULT 7,
+         b VARCHAR DEFAULT upper('x'), c INTEGER);
+       INSERT INTO graft_q158d (c) VALUES (1);
+       INSERT INTO graft_q158d VALUES (DEFAULT, DEFAULT, 2);
+       INSERT INTO graft_q158d (b, c) VALUES (DEFAULT, 3);
+       INSERT INTO graft_q158d VALUES (5, 'q', 4);
+       CREATE OR REPLACE TEMP TABLE graft_q158u (k INTEGER, v INTEGER);
+       INSERT INTO graft_q158u VALUES (1, 10), (2, 20), (3, 30), (4, 40);
+       UPDATE graft_q158u SET v = s.nv FROM (VALUES (1, 100), (3, 300)) s(k, nv)
+         WHERE graft_q158u.k = s.k;
+       DELETE FROM graft_q158u USING (VALUES (2)) s(k) WHERE graft_q158u.k = s.k;
+       SELECT d.a, d.b, d.c, u.k, u.v FROM graft_q158d d
+         JOIN graft_q158u u ON d.c = u.k ORDER BY d.c""") { (spark, sfDir) =>
+    Seq(
+      """CREATE OR REPLACE TEMP TABLE graft_q158d (a INTEGER DEFAULT 7,
+         b VARCHAR DEFAULT upper('x'), c INTEGER)""",
+      "INSERT INTO graft_q158d (c) VALUES (1)",
+      "INSERT INTO graft_q158d VALUES (DEFAULT, DEFAULT, 2)",
+      "INSERT INTO graft_q158d (b, c) VALUES (DEFAULT, 3)",
+      "INSERT INTO graft_q158d VALUES (5, 'q', 4)",
+      "CREATE OR REPLACE TEMP TABLE graft_q158u (k INTEGER, v INTEGER)",
+      "INSERT INTO graft_q158u VALUES (1, 10), (2, 20), (3, 30), (4, 40)",
+      """UPDATE graft_q158u SET v = s.nv FROM (VALUES (1, 100), (3, 300)) s(k, nv)
+         WHERE graft_q158u.k = s.k""",
+      "DELETE FROM graft_q158u USING (VALUES (2)) s(k) WHERE graft_q158u.k = s.k"
+    ).foreach(s => spark.sql(s).collect())
+    spark.sql(
+      """SELECT d.a, d.b, d.c, u.k, u.v FROM graft_q158d d
+         JOIN graft_q158u u ON d.c = u.k ORDER BY d.c""")
+  }
+
+  // Eighth-sweep batch 2 (round 18): log() SHADOWED to DuckDB's
+  // base-10 (Spark's 1-arg log is ln — the one silently-wrong-value
+  // case this sweep found; the 2-arg base form already agrees),
+  // arbitrary(), list_concat/array_concat with DuckDB's NULL-operand
+  // pass-through, array_unique (the distinct-non-NULL COUNT),
+  // substring_grapheme, count_if, to_base/bin, prefix/suffix, ord,
+  // mismatches — plus the natively-passing list comprehension and
+  // regexp_split_to_array pinned as regression gates. The regex
+  // pattern is spelled [0-9]: backslash-in-literal parsing is the
+  // documented dialect divergence (Spark consumes \d's backslash,
+  // DuckDB keeps it).
+  declare("q159_sweep8_batch2",
+    """SELECT
+         round(log(100), 10) AS lg,
+         round(log(2, 32), 10) AS lgb,
+         round(ln(exp(1)), 10) AS lnn,
+         (SELECT CAST(count_if(n_regionkey > 2) AS BIGINT) FROM nation) AS ci,
+         array_to_string(list_concat([1, 2], [3]), ',') AS lc1,
+         array_to_string(list_concat([1], NULL), ',') AS lc2,
+         CAST(array_unique([1, 1, 2, NULL]) AS BIGINT) AS au,
+         substring_grapheme('abcdef', 2, 3) AS sg,
+         substring_grapheme('abcdef', -2, 2) AS sgn,
+         to_base(255, 16) AS tb,
+         bin(5) AS bn,
+         prefix('abcdef', 'abc') AS pf,
+         suffix('abcdef', 'def') AS sf,
+         CAST(ord('A') AS BIGINT) AS o,
+         CAST(mismatches('abcd', 'abed') AS BIGINT) AS mm,
+         CAST(damerau_levenshtein('ab', 'ba') AS BIGINT) AS dl,
+         array_to_string([x * 2 FOR x IN [1, 2, 3] IF x > 1], ',') AS lcomp,
+         array_to_string(regexp_split_to_array('a1b2c', '[0-9]'), ',') AS rs""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT
+           round(log(100), 10) AS lg,
+           round(log(2, 32), 10) AS lgb,
+           round(ln(exp(1)), 10) AS lnn,
+           (SELECT CAST(count_if(n_regionkey > 2) AS BIGINT) FROM nation) AS ci,
+           array_to_string(list_concat([1, 2], [3]), ',') AS lc1,
+           array_to_string(list_concat([1], NULL), ',') AS lc2,
+           CAST(array_unique([1, 1, 2, NULL]) AS BIGINT) AS au,
+           substring_grapheme('abcdef', 2, 3) AS sg,
+           substring_grapheme('abcdef', -2, 2) AS sgn,
+           to_base(255, 16) AS tb,
+           bin(5) AS bn,
+           prefix('abcdef', 'abc') AS pf,
+           suffix('abcdef', 'def') AS sf,
+           CAST(ord('A') AS BIGINT) AS o,
+           CAST(mismatches('abcd', 'abed') AS BIGINT) AS mm,
+           CAST(damerau_levenshtein('ab', 'ba') AS BIGINT) AS dl,
+           array_to_string([x * 2 FOR x IN [1, 2, 3] IF x > 1], ',') AS lcomp,
+           array_to_string(regexp_split_to_array('a1b2c', '[0-9]'), ',') AS rs""")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

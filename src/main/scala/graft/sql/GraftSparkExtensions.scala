@@ -1381,6 +1381,13 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             // guarded) and the FILTER-without-WHERE shorthand.
             () => ListOpRewrite.rewriteJsonArrows(text),
             () => ListOpRewrite.rewriteFilterShorthand(text),
+            // Eighth sweep: postfix `!` factorial, prefix `@` absolute
+            // value, the non-literal INTERVAL (expr) UNIT constructor,
+            // and unnest({...}) struct expansion.
+            () => ListOpRewrite.rewriteFactorial(text),
+            () => ListOpRewrite.rewriteAbsOp(text),
+            () => ListOpRewrite.rewriteIntervalExpr(text),
+            () => ListOpRewrite.rewriteUnnestStruct(text),
             // LAST deliberately: bracket/brace literal syntax only ever
             // appears in statements stock Spark cannot parse at all, and
             // running it after the structural rewrites lets e.g. a
@@ -2230,6 +2237,22 @@ object GraftSparkExtensions {
     * `list_distinct` here keeps one NULL (Spark array_distinct) where
     * DuckDB drops NULLs.
     */
+  /** DuckDB list_concat/array_concat: a NULL operand is IGNORED beside
+    * a non-NULL one ([1] ++ NULL = [1]); all-NULL stays NULL — unlike
+    * Spark's concat (NULL if ANY input is NULL). A bare NULL LITERAL
+    * is dropped at build time (NullType would coerce concat to
+    * STRING); runtime nulls route through the If chain.
+    */
+  private def duckListConcat(a: Expression, b: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Concat, If, IsNull, Literal}
+    (a, b) match {
+      case (Literal(null, org.apache.spark.sql.types.NullType), _) => b
+      case (_, Literal(null, org.apache.spark.sql.types.NullType)) => a
+      case _ =>
+        If(IsNull(a), b, If(IsNull(b), a, Concat(Seq(a, b))))
+    }
+  }
+
   private def aliasFn(name: String, arity: (Int, Int))(
       build: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
@@ -2345,6 +2368,9 @@ object GraftSparkExtensions {
         Cast(Cast(a(0), TimestampType), org.apache.spark.sql.types.DoubleType)),
       aliasFn("epoch_ms", (1, 1))(a => UnixMillis(Cast(a(0), TimestampType))),
       aliasFn("epoch_us", (1, 1))(a => UnixMicros(Cast(a(0), TimestampType))),
+      aliasFn("epoch_ns", (1, 1))(a =>
+        org.apache.spark.sql.catalyst.expressions.Multiply(
+          UnixMicros(Cast(a(0), TimestampType)), Literal(1000L))),
       // strftime/strptime: the FORMAT is a constant translated from the
       // C dialect to the JVM pattern at analysis (%Y→yyyy, literal
       // letter runs quoted); an untranslatable directive raises a named
@@ -2785,6 +2811,69 @@ object GraftSparkExtensions {
           If(Or(LessThan(n, Literal(4.0)), IsNaN(g2)),
             Literal(null, org.apache.spark.sql.types.DoubleType), corrected)
         },
+        // Round-18 eighth-sweep pack: kurtosis_pop IS Spark's native
+        // population excess kurtosis (verified bit-equal on shared
+        // inputs) — only the zero-variance NaN needs DuckDB's NULL;
+        // gen_random_uuid is uuid()'s other DuckDB spelling;
+        // map_extract shares duck_index's MAP arm (LIST result, []
+        // for absent/NULL keys AND NULL maps — 1.0-pinned);
+        // bitstring_agg emits the VARCHAR-modeled bitstring
+        // (functions/BitCount.scala) with DuckDB's out-of-range error
+        // on explicit bounds; graft_factorial is the postfix-`!`
+        // landing pad (ScalarCompat.duckFactorial — exact
+        // DECIMAL(38,0), (-n)! = 1, identical 0..33 domain).
+        aliasFn("kurtosis_pop", (1, 1)) { a =>
+          import org.apache.spark.sql.catalyst.expressions._
+          val g2 = aggregate.Kurtosis(
+            Cast(a(0), org.apache.spark.sql.types.DoubleType))
+            .toAggregateExpression()
+          If(IsNaN(g2),
+            Literal(null, org.apache.spark.sql.types.DoubleType), g2)
+        },
+        aliasFn("gen_random_uuid", (0, 0))(_ =>
+          org.apache.spark.sql.catalyst.expressions.Uuid()),
+        // DuckDB's 1-arg log() is LOG BASE 10 where Spark's is ln — a
+        // pasted statement would silently compute the wrong value, so
+        // the name is SHADOWED with arity dispatch (the 2-arg base form
+        // agrees on both engines already). ln/log2/log10 natives match.
+        // Divergence: log(0) errors in DuckDB, NULL here (non-ANSI).
+        aliasFn("log", (1, 2))(a =>
+          if (a.size == 1)
+            org.apache.spark.sql.catalyst.expressions.Log10(a(0))
+          else org.apache.spark.sql.catalyst.expressions.Logarithm(a(0), a(1))),
+        // arbitrary(x) = DuckDB's first-seen value incl. NULL.
+        aliasFn("arbitrary", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.aggregate.First(a(0),
+            ignoreNulls = false)),
+        // list_concat/array_concat: NULL operands are IGNORED beside a
+        // non-NULL one ([1] ++ NULL = [1]); all-NULL stays NULL —
+        // unlike Spark's concat (NULL if ANY input is NULL). Pinned.
+        aliasFn("list_concat", (2, 2))(a => duckListConcat(a(0), a(1))),
+        aliasFn("array_concat", (2, 2))(a => duckListConcat(a(0), a(1))),
+        // array_unique: COUNT of distinct non-NULL elements (not the
+        // deduplicated list); [] → 0, NULL → NULL.
+        aliasFn("array_unique", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.Size(
+            org.apache.spark.sql.catalyst.expressions.ArrayDistinct(
+              org.apache.spark.sql.catalyst.expressions.ArrayCompact(a(0))),
+            legacySizeOfNull = false)),
+        aliasFn("substring_grapheme", (2, 3))(a =>
+          StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
+            StringType, "substringGrapheme",
+            Seq(a(0), Cast(a(1), org.apache.spark.sql.types.LongType),
+              if (a.size > 2) Cast(a(2), org.apache.spark.sql.types.LongType)
+              else Literal(Long.MaxValue)),
+            inputTypes = Seq(StringType, org.apache.spark.sql.types.LongType,
+              org.apache.spark.sql.types.LongType))),
+        aliasFn("map_extract", (2, 2))(a =>
+          graft.functions.DuckIndex(a(0), a(1))),
+        aliasFn("bitstring_agg", (1, 3))(a =>
+          graft.functions.BitstringAgg(a(0), a.lift(1), a.lift(2))),
+        aliasFn("graft_factorial", (1, 1))(a =>
+          StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
+            org.apache.spark.sql.types.DecimalType(38, 0), "duckFactorial",
+            Seq(Cast(a(0), org.apache.spark.sql.types.LongType)),
+            inputTypes = Seq(org.apache.spark.sql.types.LongType))),
         // Round-17 sweep pack, batch 2 (fourth idiom sweep): date-part
         // spellings, arithmetic-word aliases, gamma family,
         // struct_insert, datesub/datetrunc.
@@ -3158,6 +3247,42 @@ object GraftSparkExtensions {
         aliasFn("to_years", (1, 1))(a =>
           org.apache.spark.sql.catalyst.expressions.MakeYMInterval(
             Cast(a(0), org.apache.spark.sql.types.IntegerType), Literal(0))),
+        // The longer to_* constructors (round 18): weeks scale to days,
+        // the sub-second pair to fractional seconds, and the
+        // decade/century/millennium trio to years — DuckDB's own
+        // decompositions (to_decades(1) = 3600 days = 10 years).
+        aliasFn("to_weeks", (1, 1))(a =>
+          new org.apache.spark.sql.catalyst.expressions.MakeDTInterval(
+            Cast(org.apache.spark.sql.catalyst.expressions.Multiply(Cast(a(0),
+              org.apache.spark.sql.types.LongType), Literal(7L)),
+              org.apache.spark.sql.types.IntegerType), Literal(0))),
+        aliasFn("to_milliseconds", (1, 1))(a =>
+          new org.apache.spark.sql.catalyst.expressions.MakeDTInterval(
+            Literal(0), Literal(0), Literal(0),
+            Cast(org.apache.spark.sql.catalyst.expressions.Divide(
+              Cast(a(0), org.apache.spark.sql.types.DoubleType),
+              Literal(1000.0)), org.apache.spark.sql.types.DecimalType(18, 6)))),
+        aliasFn("to_microseconds", (1, 1))(a =>
+          new org.apache.spark.sql.catalyst.expressions.MakeDTInterval(
+            Literal(0), Literal(0), Literal(0),
+            Cast(org.apache.spark.sql.catalyst.expressions.Divide(
+              Cast(a(0), org.apache.spark.sql.types.DoubleType),
+              Literal(1000000.0)), org.apache.spark.sql.types.DecimalType(18, 6)))),
+        aliasFn("to_decades", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.MakeYMInterval(
+            Cast(org.apache.spark.sql.catalyst.expressions.Multiply(Cast(a(0),
+              org.apache.spark.sql.types.LongType), Literal(10L)),
+              org.apache.spark.sql.types.IntegerType), Literal(0))),
+        aliasFn("to_centuries", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.MakeYMInterval(
+            Cast(org.apache.spark.sql.catalyst.expressions.Multiply(Cast(a(0),
+              org.apache.spark.sql.types.LongType), Literal(100L)),
+              org.apache.spark.sql.types.IntegerType), Literal(0))),
+        aliasFn("to_millennia", (1, 1))(a =>
+          org.apache.spark.sql.catalyst.expressions.MakeYMInterval(
+            Cast(org.apache.spark.sql.catalyst.expressions.Multiply(Cast(a(0),
+              org.apache.spark.sql.types.LongType), Literal(1000L)),
+              org.apache.spark.sql.types.IntegerType), Literal(0))),
         // DuckDB encode(str) = UTF-8 BLOB / decode(blob) = string; the
         // 2-arg charset forms keep Spark's native behavior.
         aliasFn("encode", (1, 2))(a =>
@@ -4599,6 +4724,130 @@ object GraftSparkExtensions {
         Seq(org.apache.spark.sql.Row(n)))
     })
 
+  /** DuckDB's joined UPDATE — `UPDATE t SET ... FROM <source> [WHERE
+    * pred]` (round 18, via [[UpdateDeleteRewrite]]). Semantics pinned
+    * on 1.0: a target row matching ANY source row under the predicate
+    * is updated ONCE, from an arbitrary matching source row (DuckDB
+    * picks its scan-order first; `first()` over the per-row group is
+    * the same contract); rows without a match keep their values; the
+    * Count is the number of DISTINCT target rows updated.
+    *
+    * Shape: the target is stamped with a row id and MATERIALIZED once
+    * (monotonically_increasing_id is nondeterministic — two plans
+    * would disagree), the matched (rid, new values) pairs come from one
+    * join of the stamped snapshot against the source text spliced
+    * verbatim (so `t.col` / `s.col` references resolve exactly as
+    * written), reduced to one row per rid, and joined back — two
+    * shuffles of O(matched), one pass of the target, never target².
+    */
+  val updateFromFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("update_from"), info("update_from"), (args: Seq[Expression]) => {
+      require(args.size == 4 && args.forall(_.foldable),
+        "update_from(table, set_assignments, source, where_or_empty) — constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "update_from arguments must be non-NULL")
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{col, first, lit, when}
+      val table = asString(v(0))
+      val setText = asString(v(1))
+      val srcText = asString(v(2)).trim
+      val whereText = asString(v(3)).trim
+      val assignments = ReplaceRewrite.splitTop(setText).map { a =>
+        val eq = topLevelEq(a)
+        require(eq > 0, s"update_from: assignment without '=': $a")
+        val n = a.substring(0, eq).trim
+        require(n.matches("[A-Za-z_]\\w*"),
+          s"update_from: assignment target must be a plain column name, got '$n'")
+        n -> a.substring(eq + 1).trim
+      }
+      val target = spark.table(table)
+      val missing = assignments.map(_._1).filterNot(n =>
+        target.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(missing.isEmpty,
+        s"update_from: no such column(s): ${missing.mkString(", ")}")
+      val (stamped, stampDir) = graft.operators.Scratch.materialize(
+        target.withColumn("__graft_rid",
+          org.apache.spark.sql.functions.monotonically_increasing_id()),
+        s"updf_$table")
+      stamped.createOrReplaceTempView("__graft_upd_stamped")
+      try {
+        val setSel = assignments.zipWithIndex.map { case ((_, rhs), i) =>
+          s"($rhs) AS __graft_set_$i" }
+        val matchedSql =
+          s"SELECT $table.__graft_rid AS __graft_rid, ${setSel.mkString(", ")} " +
+            s"FROM __graft_upd_stamped AS $table, $srcText" +
+            (if (whereText.isEmpty) "" else s" WHERE $whereText")
+        val matched = spark.sql(matchedSql)
+          .groupBy("__graft_rid")
+          .agg(first(col("__graft_set_0")).as("__graft_set_0"),
+            assignments.indices.drop(1).map(i =>
+              first(col(s"__graft_set_$i")).as(s"__graft_set_$i")): _*)
+          .withColumn("__graft_hit", lit(true))
+        val joined = stamped.join(matched, Seq("__graft_rid"), "left")
+        val projected = joined.select(
+          target.schema.fields.toIndexedSeq.map { f =>
+            assignments.zipWithIndex.collectFirst {
+              case ((n, _), i) if n.equalsIgnoreCase(f.name) =>
+                when(col("__graft_hit"),
+                  col(s"__graft_set_$i").cast(f.dataType))
+                  .otherwise(col(f.name)).as(f.name)
+            }.getOrElse(col(f.name))
+          }: _*)
+        val nMatched = matched.count()
+        if (TempTables.exists(table)) TempTables.put(table, projected)
+        else {
+          val (staged, stageDir) =
+            graft.operators.Scratch.materialize(projected, "update_from_stage")
+          staged.write.mode("overwrite").insertInto(table)
+          graft.operators.Scratch.delete(spark, stageDir)
+        }
+        LocalRelation.fromExternalRows(
+          DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+          Seq(org.apache.spark.sql.Row(nMatched)))
+      } finally {
+        spark.catalog.dropTempView("__graft_upd_stamped")
+        graft.operators.Scratch.delete(spark, stampDir)
+      }
+    })
+
+  /** DuckDB's joined DELETE — `DELETE FROM t USING <source> [WHERE
+    * pred]` (round 18): rows with ANY predicate match against the
+    * source are removed; the kept set is one correlated NOT EXISTS
+    * (a null-safe anti-join — Spark plans it without target²).
+    */
+  val deleteUsingFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("delete_using"), info("delete_using"), (args: Seq[Expression]) => {
+      require(args.size == 3 && args.forall(_.foldable),
+        "delete_using(table, source, where_or_empty) — constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "delete_using arguments must be non-NULL")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val table = asString(v(0))
+      val srcText = asString(v(1)).trim
+      val whereText = asString(v(2)).trim
+      val target = spark.table(table)
+      val keptSql =
+        s"SELECT $table.* FROM $table WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM $srcText" +
+          (if (whereText.isEmpty) "" else s" WHERE $whereText") + ")"
+      val kept = spark.sql(keptSql)
+      val nBefore = target.count()
+      var nKept = 0L
+      if (TempTables.exists(table)) {
+        TempTables.put(table, kept)
+        nKept = spark.table(table).count()
+      } else {
+        val (staged, stageDir) =
+          graft.operators.Scratch.materialize(kept, "delete_using_stage")
+        nKept = staged.count()
+        staged.write.mode("overwrite").insertInto(table)
+        graft.operators.Scratch.delete(spark, stageDir)
+      }
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq(org.apache.spark.sql.Row(nBefore - nKept)))
+    })
+
   /** Landing pads for [[TempTableRewrite]] — DuckDB's temp-table DML
     * over [[TempTables]] (materialized scratch-parquet snapshots fronted
     * by same-named temp views). All eager at analysis like every
@@ -4647,8 +4896,33 @@ object GraftSparkExtensions {
       val inlinePkRe = "(?is)\\bPRIMARY\\s+KEY\\s*\\z".r
       val constraintPkRe =
         "(?is)\\A\\s*PRIMARY\\s+KEY\\s*\\(([^)]*)\\)\\s*\\z".r
+      // DEFAULT <expr> (round 18): stripped from the def — Spark's
+      // parseTableSchema rejects it — and recorded as raw SQL text the
+      // INSERT paths compile per statement (DuckDB's evaluation point).
+      // The expr runs to the def's end minus trailing constraint words,
+      // so `DEFAULT upper('x') NOT NULL PRIMARY KEY` parses all three.
+      val defaultRe = "(?is)\\bDEFAULT\\s+(.+)\\z".r
+      val tailConstraintRe =
+        "(?is)\\s+(NOT\\s+NULL|PRIMARY\\s+KEY|UNIQUE)\\s*\\z".r
       var pkCols = Seq.empty[String]
-      val defs = ReplaceRewrite.splitTop(asString(v(1))).flatMap { part =>
+      var defaults = Map.empty[String, String]
+      val defs = ReplaceRewrite.splitTop(asString(v(1))).flatMap { part0 =>
+        val part = defaultRe.findFirstMatchIn(part0) match {
+          case Some(dm) =>
+            var ex = dm.group(1).trim
+            var tail = ""
+            var hit = tailConstraintRe.findFirstMatchIn(ex)
+            while (hit.isDefined) {
+              tail = ex.substring(hit.get.start) + tail
+              ex = ex.substring(0, hit.get.start)
+              hit = tailConstraintRe.findFirstMatchIn(ex)
+            }
+            val colName = part0.trim.split("\\s+").headOption.getOrElse("")
+            if (colName.nonEmpty && ex.trim.nonEmpty)
+              defaults += colName.toLowerCase -> ex.trim
+            part0.substring(0, dm.start) + tail
+          case None => part0
+        }
         constraintPkRe.findFirstMatchIn(part) match {
           case Some(m) =>
             pkCols ++= m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
@@ -4675,6 +4949,7 @@ object GraftSparkExtensions {
       TempTables.put(name, spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
       if (pkCols.nonEmpty) TempTables.setKeys(name, pkCols)
+      TempTables.setDefaults(name, defaults)
       LocalRelation.fromExternalRows(
         DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
         Seq.empty)
@@ -4685,9 +4960,56 @@ object GraftSparkExtensions {
     * the source's outputs positionally and unlisted target columns are
     * NULL — both with insert-style casts to the target types.
     */
+  /** Textual DEFAULT-keyword substitution in a `VALUES (...), (...)`
+    * insert body (round 18): each bare DEFAULT item becomes the
+    * target column's declared default expression (parenthesized — it
+    * is spliced into an expression position), or a typed NULL when the
+    * column declares none — DuckDB's contract. Position maps through
+    * the statement's column list when one was given. Non-VALUES bodies
+    * pass through untouched (DEFAULT inside a SELECT keeps the native
+    * error, as in DuckDB).
+    */
+  private def substituteDefaultKeyword(body0: String,
+      target: org.apache.spark.sql.types.StructType, cols: Seq[String],
+      defaults: Map[String, String]): String = {
+    val body = body0.trim
+    if (!body.regionMatches(true, 0, "VALUES", 0, 6)) return body0
+    if (!"(?i)\\bDEFAULT\\b".r.findFirstIn(
+      ReplaceRewrite.maskLiterals(body)).isDefined) return body0
+    val rowsText = body.substring(6)
+    val fieldAt: Int => Option[org.apache.spark.sql.types.StructField] =
+      i => if (cols.nonEmpty)
+        cols.lift(i).flatMap(c =>
+          target.fields.find(_.name.equalsIgnoreCase(c)))
+      else target.fields.lift(i)
+    val rows = ReplaceRewrite.splitTop(rowsText).map(_.trim).map { row =>
+      if (!row.startsWith("(")) row
+      else {
+        val close = ReplaceRewrite.closeOf(row, 0)
+        if (close != row.length) row
+        else {
+          val items = ReplaceRewrite.splitTop(row.substring(1, close - 1))
+          val out = items.zipWithIndex.map { case (item, i) =>
+            if (!item.trim.equalsIgnoreCase("DEFAULT")) item
+            else fieldAt(i) match {
+              case Some(f) => defaults.get(f.name.toLowerCase) match {
+                case Some(d) => s"($d)"
+                case None => s"CAST(NULL AS ${f.dataType.sql})"
+              }
+              case None => item // arity mismatch: surface downstream
+            }
+          }
+          "(" + out.mkString(", ") + ")"
+        }
+      }
+    }
+    "VALUES " + rows.mkString(", ")
+  }
+
   private def alignInsert(target: org.apache.spark.sql.DataFrame,
-      src: org.apache.spark.sql.DataFrame, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+      src: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      defaults: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
     // Source column names can carry dots (an unaliased `CAST(-1.0 AS
     // DOUBLE)` select item) — quote them so col() doesn't split a
     // nested-field path.
@@ -4708,7 +5030,12 @@ object GraftSparkExtensions {
       src.select(tf.toIndexedSeq.map { f =>
         byPos.get(f.name.toLowerCase) match {
           case Some(sc) => q(sc).cast(f.dataType).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
+          case None => defaults.get(f.name.toLowerCase) match {
+            // Unlisted column with a declared DEFAULT: compile the
+            // expression here (per-insert evaluation, as in DuckDB).
+            case Some(d) => expr(d).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
         }
       }: _*)
     }
@@ -4724,7 +5051,10 @@ object GraftSparkExtensions {
     val cols = asString(v(2)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val ret = asString(v(3)).trim
     val target = spark.table(name)
-    val aligned = alignInsert(target, spark.sql(asString(v(1))), cols)
+    val defaults = TempTables.defaultsOf(name)
+    val aligned = alignInsert(target,
+      spark.sql(substituteDefaultKeyword(
+        asString(v(1)), target.schema, cols, defaults)), cols, defaults)
     // One materialization of the inserted rows: it feeds the append AND
     // (lazily) the RETURNING projection; the dir lives until the
     // scratch root's shutdown cleanup, so the returned plan stays
@@ -4824,7 +5154,11 @@ object GraftSparkExtensions {
         target.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
       if (missing.nonEmpty)
         fail(s"conflict target column(s) not in '$name': ${missing.mkString(", ")}")
-      val aligned = alignInsert(target, spark.sql(asString(v(1))), cols)
+      val upsDefaults = TempTables.defaultsOf(name)
+      val aligned = alignInsert(target,
+        spark.sql(substituteDefaultKeyword(
+          asString(v(1)), target.schema, cols, upsDefaults)),
+        cols, upsDefaults)
       val (staged, _) = graft.operators.Scratch.materialize(aligned, s"ups_$name")
       val keyCols = keys.map(col)
       val dupKeys = staged.groupBy(keyCols: _*)
@@ -5366,6 +5700,8 @@ object GraftSparkExtensions {
     copyFromFn,
     updateTableFn,
     deleteFromFn,
+    updateFromFn,
+    deleteUsingFn,
     maintenanceNoopFn,
     txnCtlFn,
     seqCtlFn,

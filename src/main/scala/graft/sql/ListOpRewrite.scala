@@ -404,6 +404,159 @@ object ListOpRewrite {
     Some(sb.toString)
   }
 
+  /** Postfix factorial `x!` (round-18 eighth sweep) → graft_factorial
+    * (ScalarCompat.duckFactorial — DuckDB's exact-integer semantics,
+    * (-n)! = 1, identical 0..33 domain). Parse-failure only: Spark has
+    * no postfix operator, and `!=` / prefix-NOT occurrences are
+    * excluded by the neighbor guards (a `!` directly followed by `=`
+    * or preceding an operand is not postfix).
+    */
+  def rewriteFactorial(text: String): Option[String] = {
+    if (!text.contains("!")) return None
+    var cur = text
+    var changed = false
+    var rounds = 0
+    while (rounds < 64) {
+      rounds += 1
+      val m = ReplaceRewrite.maskLiterals(cur)
+      var i = 0
+      var applied = false
+      while (i < m.length && !applied) {
+        if (m.charAt(i) == '!' &&
+          (i + 1 >= m.length || m.charAt(i + 1) != '=') &&
+          (i == 0 || m.charAt(i - 1) != '!')) {
+          // postfix: an operand must END directly before the `!`
+          val lsOpt = scanLeft(cur, m, i - 1)
+          lsOpt match {
+            case Some(ls) if cur.substring(ls, i).trim.nonEmpty &&
+                !clauseKeywords(cur.substring(ls, i).trim.toLowerCase) &&
+                neighborsSafe(cur, m, ls, i + 1) =>
+              val a = cur.substring(ls, i).trim
+              cur = cur.substring(0, ls) + s"graft_factorial($a)" +
+                cur.substring(i + 1)
+              applied = true
+            case _ => i += 1
+          }
+        } else i += 1
+      }
+      if (!applied) return if (changed) Some(cur) else None
+      changed = true
+    }
+    if (changed) Some(cur) else None
+  }
+
+  /** Prefix absolute-value `@x` (round-18) → abs(x). Skips `@>` / `<@`
+    * (the containment operators, rewritten by [[rewriteOps]]).
+    * Parse-failure only — `@` is not a Spark SQL token.
+    */
+  def rewriteAbsOp(text: String): Option[String] = {
+    if (!text.contains("@")) return None
+    var cur = text
+    var changed = false
+    var rounds = 0
+    while (rounds < 64) {
+      rounds += 1
+      val m = ReplaceRewrite.maskLiterals(cur)
+      var i = 0
+      var applied = false
+      while (i < m.length && !applied) {
+        if (m.charAt(i) == '@' &&
+          (i + 1 >= m.length || m.charAt(i + 1) != '>') &&
+          (i == 0 || (m.charAt(i - 1) != '<' && !wordChar(m.charAt(i - 1))))) {
+          scanRight(cur, m, i + 1) match {
+            case Some(re) if neighborsSafe(cur, m, i, re) =>
+              val b = cur.substring(i + 1, re).trim
+              if (b.isEmpty) i += 1
+              else {
+                cur = cur.substring(0, i) + s"abs($b)" + cur.substring(re)
+                applied = true
+              }
+            case _ => i += 1
+          }
+        } else i += 1
+      }
+      if (!applied) return if (changed) Some(cur) else None
+      changed = true
+    }
+    if (changed) Some(cur) else None
+  }
+
+  private val intervalExprRe = "(?i)\\bINTERVAL\\s*\\(".r
+  private val intervalUnits = Map(
+    "year" -> "to_years", "month" -> "to_months", "week" -> "to_weeks",
+    "day" -> "to_days", "hour" -> "to_hours", "minute" -> "to_minutes",
+    "second" -> "to_seconds", "millisecond" -> "to_milliseconds",
+    "microsecond" -> "to_microseconds", "decade" -> "to_decades",
+    "century" -> "to_centuries", "centuries" -> "to_centuries",
+    "millennium" -> "to_millennia", "millennia" -> "to_millennia")
+
+  /** DuckDB's non-literal interval constructor `INTERVAL (expr) UNIT`
+    * (round 18) → the engine's to_<unit>s() constructors (registered
+    * aliases over MakeDTInterval/MakeYMInterval, so month-end clamping
+    * and fractional seconds match). Spark's INTERVAL grammar only
+    * takes literals — parse-failure only.
+    */
+  def rewriteIntervalExpr(text: String): Option[String] = {
+    val m0 = ReplaceRewrite.maskLiterals(text)
+    val hits = intervalExprRe.findAllMatchIn(m0).toList
+    if (hits.isEmpty) return None
+    val sb = new StringBuilder
+    var pos = 0
+    var changed = false
+    for (h <- hits if h.start >= pos) {
+      val open = m0.indexOf('(', h.start)
+      val close = ReplaceRewrite.closeOf(text, open) // index AFTER ')'
+      if (close > 0) {
+        var u = close
+        while (u < text.length && text.charAt(u).isWhitespace) u += 1
+        var ue = u
+        while (ue < text.length && text.charAt(ue).isLetter) ue += 1
+        val unitWord = text.substring(u, ue).toLowerCase
+        val unit = intervalUnits.get(unitWord)
+          .orElse(intervalUnits.get(unitWord.stripSuffix("s")))
+        unit match {
+          case Some(fn) =>
+            val inner = text.substring(open + 1, close - 1)
+            sb.append(text.substring(pos, h.start)).append(s"$fn($inner)")
+            pos = ue
+            changed = true
+          case None => // INTERVAL (literal) without a unit etc: leave
+        }
+      }
+    }
+    if (!changed) return None
+    sb.append(text.substring(pos))
+    Some(sb.toString)
+  }
+
+  private val unnestBraceRe = "(?i)\\bunnest\\s*\\(\\s*\\{".r
+
+  /** `unnest({...struct literal...})` (round 18) — DuckDB expands a
+    * struct argument into one column per field; Spark's explode only
+    * takes arrays/maps. inline(array(struct)) produces exactly the
+    * per-field columns. Only the textually-decidable brace-literal
+    * form is claimed (a struct-typed column reference parses natively
+    * into explode and keeps Spark's own analysis error).
+    */
+  def rewriteUnnestStruct(text: String): Option[String] = {
+    val m0 = ReplaceRewrite.maskLiterals(text)
+    val hits = unnestBraceRe.findAllMatchIn(m0).toList
+    if (hits.isEmpty) return None
+    val sb = new StringBuilder
+    var pos = 0
+    for (h <- hits if h.start >= pos) {
+      val open = m0.indexOf('(', h.start)
+      val close = ReplaceRewrite.closeOf(text, open)
+      if (close < 0) return None
+      val inner = text.substring(open + 1, close - 1)
+      sb.append(text.substring(pos, h.start))
+        .append(s"inline(array($inner))")
+      pos = close
+    }
+    sb.append(text.substring(pos))
+    Some(sb.toString)
+  }
+
   private val limitPctRe =
     "(?is)\\bLIMIT\\s+(\\d+(?:\\.\\d+)?)\\s*%\\s*;?\\s*\\z".r
 

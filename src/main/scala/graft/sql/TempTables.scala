@@ -44,6 +44,24 @@ object TempTables {
   def keysOf(name: String): Option[Seq[String]] =
     Option(pkRegistry.get(key(name)))
 
+  /** Declared column DEFAULT expressions (round 18): column-name
+    * (lowercased) → the default's SQL text, recorded by CREATE TEMP
+    * TABLE and applied by INSERTs that omit the column or write the
+    * DEFAULT keyword. DuckDB evaluates the expression per insert —
+    * these are raw SQL texts compiled at insert time, not frozen
+    * values.
+    */
+  private val defaultsRegistry = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Map[String, String]]()
+
+  def setDefaults(name: String, defs: Map[String, String]): Unit = {
+    if (defs.nonEmpty) defaultsRegistry.put(key(name), defs)
+    ()
+  }
+
+  def defaultsOf(name: String): Map[String, String] =
+    Option(defaultsRegistry.get(key(name))).getOrElse(Map.empty)
+
   def exists(name: String): Boolean =
     try registry.containsKey(key(name))
     catch { case scala.util.control.NonFatal(_) => false }
@@ -77,6 +95,7 @@ object TempTables {
   def drop(name: String): Boolean = {
     val dir = registry.remove(key(name))
     pkRegistry.remove(key(name))
+    defaultsRegistry.remove(key(name))
     if (dir == null) false
     else {
       SparkSession.active.catalog.dropTempView(name.toLowerCase)

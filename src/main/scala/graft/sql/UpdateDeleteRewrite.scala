@@ -89,12 +89,26 @@ object UpdateDeleteRewrite {
           if (!tbl.matches("[A-Za-z_]\\w*") || !isPlainV1Table(tbl)) return None
           val setStart = words(2)._2 + "SET".length
           val whereW = words.find(w => w._1 == "WHERE" && w._2 > setStart)
+          // Joined UPDATE (round 18): a top-level FROM between SET and
+          // WHERE routes to the update_from TVF (arbitrary-match-once
+          // semantics, DuckDB-pinned).
+          val fromW = words.find(w => w._1 == "FROM" && w._2 > setStart &&
+            whereW.forall(w._2 < _._2))
           val setText = stripSemi(sql.substring(setStart,
-            whereW.map(_._2).getOrElse(sql.length)))
+            fromW.orElse(whereW).map(_._2).getOrElse(sql.length)))
           val whereText = whereW
             .map(w => stripSemi(sql.substring(w._2 + "WHERE".length)))
             .getOrElse("")
           if (setText.isEmpty) return None
+          fromW match {
+            case Some((_, fp)) =>
+              val srcText = stripSemi(sql.substring(fp + "FROM".length,
+                whereW.map(_._2).getOrElse(sql.length)))
+              if (srcText.isEmpty) return None
+              return Some(s"SELECT * FROM update_from('${esc(tbl)}', " +
+                s"'${esc(setText)}', '${esc(srcText)}', '${esc(whereText)}')")
+            case None =>
+          }
           // update_table compiles the predicate inside a Project
           // (when(expr(where), ...)), where Spark forbids IN/EXISTS
           // subqueries ("only allowed in Filter") — the raw error
@@ -122,13 +136,26 @@ object UpdateDeleteRewrite {
           if (words.length < 2 || words(1)._1 != "FROM") return None
           val fromEnd = words(1)._2 + "FROM".length
           val whereW = words.find(w => w._1 == "WHERE" && w._2 > fromEnd)
+          // Joined DELETE (round 18): DELETE FROM t USING src WHERE ...
+          // routes to the delete_using TVF (NOT EXISTS anti-join).
+          val usingW = words.find(w => w._1 == "USING" && w._2 > fromEnd &&
+            whereW.forall(w._2 < _._2))
           val tbl = stripSemi(sql.substring(fromEnd,
-            whereW.map(_._2).getOrElse(sql.length))).trim
+            usingW.orElse(whereW).map(_._2).getOrElse(sql.length))).trim
           if (!tbl.matches("[A-Za-z_]\\w*") || !isPlainV1Table(tbl)) return None
           val whereText = whereW
             .map(w => stripSemi(sql.substring(w._2 + "WHERE".length)))
             .getOrElse("")
-          Some(s"SELECT * FROM delete_from('${esc(tbl)}', '${esc(whereText)}')")
+          usingW match {
+            case Some((_, up)) =>
+              val srcText = stripSemi(sql.substring(up + "USING".length,
+                whereW.map(_._2).getOrElse(sql.length)))
+              if (srcText.isEmpty) return None
+              Some(s"SELECT * FROM delete_using('${esc(tbl)}', " +
+                s"'${esc(srcText)}', '${esc(whereText)}')")
+            case None =>
+              Some(s"SELECT * FROM delete_from('${esc(tbl)}', '${esc(whereText)}')")
+          }
         case _ => None
       }
     } catch {

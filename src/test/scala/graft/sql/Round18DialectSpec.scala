@@ -391,4 +391,178 @@ class Round18DialectSpec extends AnyFunSuite {
       .startsWith("2024-01-02"))
     assert(one[Boolean]("SELECT try_strptime('nope', '%Y') IS NULL"))
   }
+
+  // ---------------------------------------------------------------
+  // Eighth sweep: postfix !, prefix @, INTERVAL (expr) UNIT,
+  // unnest(struct literal), map_extract, bitstring_agg, kurtosis_pop,
+  // epoch_ns, gen_random_uuid, long to_* constructors.
+  // All pinned values from DuckDB 1.0 on the identical statement.
+  // ---------------------------------------------------------------
+
+  test("postfix factorial: DuckDB's exact-integer semantics") {
+    assert(rows("SELECT CAST(5! AS BIGINT), CAST(0! AS BIGINT), " +
+      "CAST((-3)! AS BIGINT)") == Seq(Seq(120L, 1L, 1L)))
+    // 33! is the shared exact ceiling (DECIMAL(38,0) here, HUGEINT
+    // there — both overflow at 34!).
+    assert(one[String]("SELECT CAST(33! AS STRING)") ==
+      "8683317618811886495518194401280000000")
+    intercept[Exception] { rows("SELECT 34!") }
+    // DuckDB's own precedence traps decline rather than misgroup:
+    // `2 + 3!` is (2+3)! there (the postfix binds LOOSER than +), and
+    // `5! * 2` is a parse error on BOTH engines.
+    intercept[Exception] { rows("SELECT 2 + 3!") }
+    intercept[Exception] { rows("SELECT 5! * 2") }
+  }
+
+  test("prefix @ absolute value") {
+    assert(rows("SELECT @(-7), @(3.5)") ==
+      Seq(Seq(7, new java.math.BigDecimal("3.5"))))
+    // `@2 - 3` is @(2-3)=1 in DuckDB (looser than binary minus) —
+    // declined here rather than computed as abs(2)-3 = -1.
+    intercept[Exception] { rows("SELECT @2 - 3") }
+  }
+
+  test("INTERVAL (expr) UNIT: non-literal interval constructor") {
+    assert(one[java.sql.Date](
+      "SELECT (DATE '2024-01-31' + INTERVAL (1) MONTH)::DATE")
+      .toString == "2024-02-29")
+    // The `::` spelling fails Spark's parse, so the chain claims it;
+    // a bare `a + INTERVAL (x) DAY` can PARSE natively (INTERVAL(x) as
+    // a call + DAY as alias) and keeps the native unresolved-routine
+    // error — the parse-failure-only contract's documented edge.
+    assert(rows("SELECT ('2024-01-01'::DATE + INTERVAL (x) DAY)::DATE " +
+      "AS d FROM (VALUES (0),(1),(2)) t(x) ORDER BY 1")
+      .map(_.head.toString) ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+    // Parenthesized: a bare top-level `expr + INTERVAL (n) MINUTE`
+    // parses natively (MINUTE becomes the select-item alias) and keeps
+    // Spark's unresolved-routine error — same edge as above.
+    assert(one[java.sql.Timestamp](
+      "SELECT (TIMESTAMP '2024-01-01 10:00:00' + INTERVAL (90) MINUTE)")
+      .toString.startsWith("2024-01-01 11:30:00"))
+  }
+
+  test("unnest(struct literal) expands to per-field columns") {
+    val df = spark.sql("SELECT unnest({'a': 1, 'b': 'x'})")
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.collect().head.toSeq == Seq(1, "x"))
+  }
+
+  test("map_extract / map[key]: LIST result, [] for NULL map AND key") {
+    def lst(sql: String): Seq[Any] =
+      rows(sql).head.head.asInstanceOf[scala.collection.Seq[Any]].toSeq
+    assert(lst("SELECT map_extract(map('a', 1), 'a')") == Seq(1))
+    assert(lst("SELECT map_extract(map('a', 1), 'zz')") == Seq())
+    assert(lst("SELECT map_extract(CAST(NULL AS MAP<STRING,INT>), 'a')") == Seq())
+    assert(lst("SELECT map_extract(map('a', 1), CAST(NULL AS STRING))") == Seq())
+    // value genuinely NULL: [NULL], distinguishable from absent [].
+    assert(lst("SELECT map_extract(map('a', CAST(NULL AS INT)), 'a')") ==
+      Seq(null))
+  }
+
+  test("bitstring_agg: 1-arg observed range, 3-arg bounds + range error") {
+    assert(one[String]("SELECT bitstring_agg(x) FROM " +
+      "(VALUES (2),(5),(9)) t(x)") == "10010001")
+    assert(one[String]("SELECT bitstring_agg(x, 0, 10) FROM " +
+      "(VALUES (2),(5)) t(x)") == "00100100000")
+    val e = intercept[Exception] {
+      rows("SELECT bitstring_agg(x, 0, 4) FROM (VALUES (5)) t(x)") }
+    assert(e.getMessage.contains("outside of provided min and max range") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("outside of provided min and max range")))
+    assert(rows("SELECT bitstring_agg(x) FROM (VALUES (CAST(NULL AS INT))) t(x)")
+      == Seq(Seq(null)))
+  }
+
+  test("kurtosis_pop is the population excess kurtosis, NULL on zero variance") {
+    val k = one[Double]("SELECT kurtosis_pop(x) FROM " +
+      "(VALUES (1.0),(2.0),(4.0),(8.0)) t(x)")
+    assert(math.abs(k - -1.0989792060491494) < 1e-12) // DuckDB 1.0
+    assert(one[Double]("SELECT kurtosis_pop(x) FROM (VALUES (1.0),(2.0)) t(x)")
+      == -2.0)
+    assert(rows("SELECT kurtosis_pop(x) FROM (VALUES (1.0)) t(x)") ==
+      Seq(Seq(null)))
+  }
+
+  test("epoch_ns / gen_random_uuid / long to_* constructors") {
+    assert(one[Long]("SELECT epoch_ns(TIMESTAMP '2024-01-01 00:00:00.123456')")
+      == 1704067200123456000L)
+    val us = rows("SELECT gen_random_uuid(), gen_random_uuid()").head
+    assert(us(0) != null && us(1) != null && us(0) != us(1))
+    assert(one[String]("SELECT CAST(to_weeks(2) AS STRING)").contains("14 00"))
+    assert(one[String]("SELECT CAST(to_milliseconds(1500) AS STRING)")
+      .contains("00:00:01.5"))
+    assert(one[String]("SELECT CAST(to_decades(1) AS STRING)").contains("10-0"))
+  }
+
+  // ---------------------------------------------------------------
+  // DEFAULT column values (temp tables) + joined UPDATE/DELETE
+  // ---------------------------------------------------------------
+
+  test("log() is DuckDB's base-10; 2-arg base form unchanged") {
+    assert(one[Double]("SELECT log(100)") == 2.0)
+    assert(one[Double]("SELECT log(2, 32)") == 5.0)
+    assert(one[Double]("SELECT ln(100)") == math.log(100))
+  }
+
+  test("batch-2 sweep scalars match DuckDB") {
+    // arbitrary: first-seen INCLUDING NULL.
+    assert(rows("SELECT arbitrary(x) FROM (SELECT x FROM " +
+      "(VALUES (CAST(NULL AS INT)),(2)) t(x) ORDER BY x NULLS FIRST) s")
+      == Seq(Seq(null)))
+    // list_concat NULL pass-through vs all-NULL NULL.
+    def lst(sql: String): Any = rows(sql).head.head
+    assert(lst("SELECT list_concat([1], NULL)")
+      .asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(1))
+    assert(lst("SELECT list_concat(CAST(NULL AS ARRAY<INT>), " +
+      "CAST(NULL AS ARRAY<INT>))") == null)
+    assert(lst("SELECT array_concat([1], [NULL])")
+      .asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(1, null))
+    // array_unique: distinct non-NULL COUNT.
+    assert(rows("SELECT array_unique([1,1,2,NULL]), array_unique([]), " +
+      "array_unique(CAST(NULL AS ARRAY<INT>))") == Seq(Seq(2, 0, null)))
+    // substring_grapheme over a multi-codepoint cluster.
+    assert(one[String](
+      "SELECT substring_grapheme('ábc', 1, 2)") == "áb")
+    assert(one[String]("SELECT substring_grapheme('abcdef', -2, 2)") == "ef")
+    assert(one[String]("SELECT substring_grapheme('abcdef', 2)") == "bcdef")
+  }
+
+  test("CREATE TEMP TABLE DEFAULTs fill omitted columns and the DEFAULT keyword") {
+    spark.sql("DROP TABLE IF EXISTS t18_def")
+    spark.sql("CREATE TEMP TABLE t18_def (a INT DEFAULT 7, " +
+      "b VARCHAR DEFAULT upper('x'), c INT)")
+    spark.sql("INSERT INTO t18_def (c) VALUES (1)")
+    spark.sql("INSERT INTO t18_def VALUES (DEFAULT, DEFAULT, 2)")
+    spark.sql("INSERT INTO t18_def (b, c) VALUES (DEFAULT, 3)")
+    spark.sql("INSERT INTO t18_def VALUES (5, 'q', 4)")
+    assert(rows("SELECT * FROM t18_def ORDER BY c") == Seq(
+      Seq(7, "X", 1), Seq(7, "X", 2), Seq(7, "X", 3), Seq(5, "q", 4)))
+    spark.sql("DROP TABLE t18_def")
+  }
+
+  test("UPDATE ... FROM / DELETE ... USING: DuckDB's joined DML") {
+    spark.sql("DROP TABLE IF EXISTS t18_dml")
+    spark.sql("CREATE TEMP TABLE t18_dml (k INT, v INT)")
+    spark.sql("INSERT INTO t18_dml VALUES (1, 10), (2, 20), (3, 30)")
+    assert(rows("UPDATE t18_dml SET v = s.nv FROM " +
+      "(VALUES (1, 100), (3, 300)) s(k, nv) WHERE t18_dml.k = s.k") ==
+      Seq(Seq(2L)))
+    assert(rows("SELECT * FROM t18_dml ORDER BY k") ==
+      Seq(Seq(1, 100), Seq(2, 20), Seq(3, 300)))
+    // Multi-match updates ONCE (arbitrary source row — both values
+    // legal; DuckDB picks scan order).
+    assert(rows("UPDATE t18_dml SET v = s.nv FROM " +
+      "(VALUES (2, 7), (2, 7)) s(k, nv) WHERE t18_dml.k = s.k") ==
+      Seq(Seq(1L)))
+    assert(rows("SELECT v FROM t18_dml WHERE k = 2") == Seq(Seq(7)))
+    assert(rows("DELETE FROM t18_dml USING (VALUES (2)) s(k) " +
+      "WHERE t18_dml.k = s.k") == Seq(Seq(1L)))
+    assert(rows("SELECT k FROM t18_dml ORDER BY k") ==
+      Seq(Seq(1), Seq(3)))
+    // No-match UPDATE: Count 0, rows untouched.
+    assert(rows("UPDATE t18_dml SET v = 0 FROM (SELECT 99 AS k) s " +
+      "WHERE t18_dml.k = s.k") == Seq(Seq(0L)))
+    spark.sql("DROP TABLE t18_dml")
+  }
 }
