@@ -306,6 +306,116 @@ object ScalarCompat {
   private lazy val jsonMapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** json(s): validated minification — Jackson round-trip; DuckDB's
+    * malformed-input error shape on bad input (round 18).
+    */
+  def jsonMinify(s: UTF8String): UTF8String =
+    try UTF8String.fromString(
+      jsonMapper.writeValueAsString(jsonMapper.readTree(s.toString)))
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"Malformed JSON: ${s.toString.take(80)}", e)
+    }
+
+  def jsonValidCheck(s: UTF8String): Boolean =
+    try { jsonMapper.readTree(s.toString); true }
+    catch { case _: Exception => false }
+
+  private def jsonTypeName(n: com.fasterxml.jackson.databind.JsonNode): String =
+    if (n.isObject) "OBJECT"
+    else if (n.isArray) "ARRAY"
+    else if (n.isTextual) "VARCHAR"
+    else if (n.isBoolean) "BOOLEAN"
+    else if (n.isNull) "NULL"
+    else if (n.isIntegralNumber)
+      { if (n.asLong() >= 0) "UBIGINT" else "BIGINT" }
+    else "DOUBLE"
+
+  /** json_type 1-arg: DuckDB's type-name vocabulary — non-negative
+    * integers report UBIGINT, negative BIGINT (1.0-pinned).
+    */
+  def jsonTypeOf(s: UTF8String): UTF8String =
+    UTF8String.fromString(jsonTypeName(jsonMapper.readTree(s.toString)))
+
+  /** Minimal duck-JSONPath walker for the 2-arg forms: `$`, `.key`,
+    * `[idx]` segments; any miss → null (DuckDB returns SQL NULL).
+    */
+  private def jsonAt(s: String, path: String)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    var n = jsonMapper.readTree(s)
+    var p = path.trim
+    if (p.startsWith("$")) p = p.substring(1)
+    while (p.nonEmpty && n != null) {
+      if (p.startsWith(".")) {
+        var e = 1
+        while (e < p.length && p.charAt(e) != '.' && p.charAt(e) != '[') e += 1
+        n = if (n.isObject) n.get(p.substring(1, e)) else null
+        p = p.substring(e)
+      } else if (p.startsWith("[")) {
+        val close = p.indexOf(']')
+        if (close < 0) return null
+        val idx = try p.substring(1, close).trim.toInt
+          catch { case _: NumberFormatException => return null }
+        n = if (n.isArray) n.get(idx) else null
+        p = p.substring(close + 1)
+      } else return null
+    }
+    n
+  }
+
+  def jsonTypeAt(s: UTF8String, path: UTF8String): UTF8String = {
+    val n = jsonAt(s.toString, path.toString)
+    if (n == null) null else UTF8String.fromString(jsonTypeName(n))
+  }
+
+  /** json_contains(haystack, needle): MySQL-style containment at any
+    * subtree — object needles subset-match per key, array needles
+    * element-subset-match, scalars match by node equality; the needle
+    * may match anywhere in the haystack (1.0-pinned:
+    * '{"x":1}' is contained in '{"a":{"x":1,"y":2}}').
+    */
+  def jsonContains(h: UTF8String, n: UTF8String): Boolean = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val hay = jsonMapper.readTree(h.toString)
+    val nee = jsonMapper.readTree(n.toString)
+    def containedAt(t: JsonNode, c: JsonNode): Boolean =
+      if (c.isObject)
+        t.isObject && {
+          val it = c.fields()
+          var ok = true
+          while (ok && it.hasNext) {
+            val e = it.next()
+            val tv = t.get(e.getKey)
+            ok = tv != null && containedAt(tv, e.getValue)
+          }
+          ok
+        }
+      else if (c.isArray)
+        t.isArray && {
+          val it = c.elements()
+          var ok = true
+          while (ok && it.hasNext) {
+            val ce = it.next()
+            val te = t.elements()
+            var hit = false
+            while (!hit && te.hasNext) hit = containedAt(te.next(), ce)
+            ok = hit
+          }
+          ok
+        }
+      else t == c
+    def anywhere(t: JsonNode): Boolean =
+      containedAt(t, nee) || {
+        if (t.isContainerNode) {
+          val it = t.elements()
+          var hit = false
+          while (!hit && it.hasNext) hit = anywhere(it.next())
+          hit
+        } else false
+      }
+    anywhere(hay)
+  }
+
   def jsonMergePatch(a: UTF8String, b: UTF8String): UTF8String = {
     import com.fasterxml.jackson.databind.JsonNode
     import com.fasterxml.jackson.databind.node.ObjectNode

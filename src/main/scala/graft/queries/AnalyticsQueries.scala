@@ -3951,6 +3951,76 @@ object AnalyticsQueries {
            array_to_string(regexp_split_to_array('a1b2c', '[0-9]'), ',') AS rs""")
   }
 
+  // Default null ordering (round 18): DuckDB sorts NULLs LAST by
+  // default — ASC and DESC, statement and window ORDER BY alike —
+  // where Spark's ASC default is NULLS FIRST. The engine now spells
+  // the host default out (sql/DuckNullOrder: every bare ASC sort key
+  // gains NULLS LAST after a successful native parse, with fallback),
+  // so a pasted ORDER BY over a nullable key returns the host's rows
+  // under LIMIT and the host's window frames for NULL rows. The LIMIT
+  // here is what makes the gate sensitive: without the transform the
+  // NULL row displaces a real one.
+  declare("q160_null_order",
+    """SELECT x, grp,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY x) AS BIGINT) AS rn,
+         CAST(first_value(x) OVER (PARTITION BY grp ORDER BY x) AS INTEGER) AS fv
+       FROM (VALUES (1, 'a'), (NULL, 'a'), (2, 'a'), (NULL, 'b'), (3, 'b')) t(x, grp)
+       ORDER BY grp, x LIMIT 4""") { (spark, sfDir) =>
+    spark.sql(
+      """SELECT x, grp,
+           CAST(row_number() OVER (PARTITION BY grp ORDER BY x) AS BIGINT) AS rn,
+           CAST(first_value(x) OVER (PARTITION BY grp ORDER BY x) AS INTEGER) AS fv
+         FROM (VALUES (1, 'a'), (NULL, 'a'), (2, 'a'), (NULL, 'b'), (3, 'b')) t(x, grp)
+         ORDER BY grp, x LIMIT 4""")
+  }
+
+  // Eighth-sweep batch 3 (round 18): the JSON utility family —
+  // json/json_valid/json_type (DuckDB's vocabulary: UBIGINT for
+  // non-negative integers)/json_quote/json_array/json_object (typed
+  // constructors, functions/JsonBuild.scala)/json_contains
+  // (MySQL-style subtree containment)/json_array_length with a path —
+  // plus regexp_extract NAME LISTS (STRUCT of capture groups) and the
+  // unsigned/HUGEINT type spellings (widened to the next signed type /
+  // DECIMAL; typeof reports the signed name, documented).
+  declare("q161_sweep8_json",
+    """SELECT
+         regexp_extract('2024-01-15', '([0-9]+)-([0-9]+)', ['y', 'm']).y AS ry,
+         regexp_extract('2024-01-15', '([0-9]+)-([0-9]+)', ['y', 'm']).m AS rm,
+         json_type('{"a":1}') AS jt, json_type('1') AS jtu, json_type('-2') AS jtn,
+         json_type('{"a":[1]}', '$.a') AS jtp,
+         json_valid('{') AS jv, json_valid('[1,2]') AS jok,
+         json('{ "a":  1 }') AS jm,
+         json_quote('s') AS jq, CAST(json_quote([1,2]) AS VARCHAR) AS jql,
+         json_array('a', 1, NULL)::VARCHAR AS ja,
+         json_object('k', 1, 'j', 'v')::VARCHAR AS jo,
+         json_contains('{"a":1,"b":[2,3]}', '3') AS jc1,
+         json_contains('{"a":1}', '2') AS jc2,
+         json_contains('{"a":{"x":1,"y":2}}', '{"x":1}') AS jc3,
+         CAST(json_array_length('{"a":[1,2]}', '$.a') AS BIGINT) AS jal,
+         CAST(255::UTINYINT AS BIGINT) AS ut,
+         CAST(5000000000::UBIGINT AS VARCHAR) AS ub,
+         CAST('99999999999999999999999999999999999999'::HUGEINT AS VARCHAR) AS hg""") {
+    (spark, sfDir) =>
+    spark.sql(
+      """SELECT
+           regexp_extract('2024-01-15', '([0-9]+)-([0-9]+)', ['y', 'm']).y AS ry,
+           regexp_extract('2024-01-15', '([0-9]+)-([0-9]+)', ['y', 'm']).m AS rm,
+           json_type('{"a":1}') AS jt, json_type('1') AS jtu, json_type('-2') AS jtn,
+           json_type('{"a":[1]}', '$.a') AS jtp,
+           json_valid('{') AS jv, json_valid('[1,2]') AS jok,
+           json('{ "a":  1 }') AS jm,
+           json_quote('s') AS jq, CAST(json_quote([1,2]) AS VARCHAR) AS jql,
+           json_array('a', 1, NULL)::VARCHAR AS ja,
+           json_object('k', 1, 'j', 'v')::VARCHAR AS jo,
+           json_contains('{"a":1,"b":[2,3]}', '3') AS jc1,
+           json_contains('{"a":1}', '2') AS jc2,
+           json_contains('{"a":{"x":1,"y":2}}', '{"x":1}') AS jc3,
+           CAST(json_array_length('{"a":[1,2]}', '$.a') AS BIGINT) AS jal,
+           CAST(255::UTINYINT AS BIGINT) AS ut,
+           CAST(5000000000::UBIGINT AS VARCHAR) AS ub,
+           CAST('99999999999999999999999999999999999999'::HUGEINT AS VARCHAR) AS hg""")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

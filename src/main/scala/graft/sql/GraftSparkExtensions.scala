@@ -1037,13 +1037,26 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     * cast). Parenthesized VARCHAR(n) passes through to Spark's own.
     */
   private val castTypeWordRe =
-    "(?i)\\bAS\\s+(VARCHAR|TEXT|BPCHAR|BLOB)\\b(?!\\s*\\()".r
+    ("(?i)\\bAS\\s+(VARCHAR|TEXT|BPCHAR|BLOB|UTINYINT|USMALLINT|" +
+      "UINTEGER|UBIGINT|HUGEINT)\\b(?!\\s*\\()").r
   private val colonTypeWordRe =
-    "(?i)::\\s*(VARCHAR|TEXT|BPCHAR|BLOB)\\b(?!\\s*\\()".r
+    ("(?i)::\\s*(VARCHAR|TEXT|BPCHAR|BLOB|UTINYINT|USMALLINT|" +
+      "UINTEGER|UBIGINT|HUGEINT)\\b(?!\\s*\\()").r
   private def typeSpellRewrite(text: String): Option[String] = {
     val masked = ReplaceRewrite.maskLiterals(text)
-    def target(w: String) =
-      if (w.equalsIgnoreCase("BLOB")) "BINARY" else "STRING"
+    // Unsigned widths land on the next-wider signed Spark type (the
+    // value range fits; typeof() reports the signed name — documented);
+    // HUGEINT on DECIMAL(38,0), the same exact-integer envelope the
+    // factorial lane uses.
+    def target(w: String) = w.toUpperCase match {
+      case "BLOB" => "BINARY"
+      case "UTINYINT" => "SMALLINT"
+      case "USMALLINT" => "INT"
+      case "UINTEGER" => "BIGINT"
+      case "UBIGINT" => "DECIMAL(20,0)"
+      case "HUGEINT" => "DECIMAL(38,0)"
+      case _ => "STRING"
+    }
     val castExtents = "(?i)\\b(?:TRY_)?CAST\\s*\\(".r
       .findAllMatchIn(masked).flatMap { m =>
         val open = masked.indexOf('(', m.start)
@@ -2174,19 +2187,38 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     case _ => sqlText
   }
 
+  /** Parse with DuckDB's default null ordering (round 18): the text
+    * must parse as-is first (anything else falls to the hint chain),
+    * then the NULLS LAST transform re-parses — falling back to the
+    * untransformed plan if the spelled-out form is rejected anywhere
+    * (e.g. a bare ALL key, an exotic position). Passed as the chain's
+    * reparse too, so rewritten statements' spliced orderings carry the
+    * host's null placement.
+    */
+  private def parseDuckOrdered[T](text: String, parse: String => T): T = {
+    val plan = parse(text)
+    DuckNullOrder.rewrite(text) match {
+      case Some(t2) =>
+        try parse(t2)
+        catch { case scala.util.control.NonFatal(_) => plan }
+      case None => plan
+    }
+  }
   override def parsePlan(sqlText: String): LogicalPlan = {
     val pre = preRewrite(sqlText)
-    withHint(pre, delegate.parsePlan)(delegate.parsePlan(pre))
+    withHint(pre, parseDuckOrdered(_, delegate.parsePlan))(
+      parseDuckOrdered(pre, delegate.parsePlan))
   }
   override def parseQuery(sqlText: String): LogicalPlan = {
     val pre = preRewrite(sqlText)
-    withHint(pre, delegate.parseQuery)(delegate.parseQuery(pre))
+    withHint(pre, parseDuckOrdered(_, delegate.parseQuery))(
+      parseDuckOrdered(pre, delegate.parseQuery))
   }
   override def parsePlanWithParameters(
       sqlText: String, parameters: ParameterContext): LogicalPlan = {
     val pre = preRewrite(sqlText)
-    withHint(pre, delegate.parsePlanWithParameters(_, parameters))(
-      delegate.parsePlanWithParameters(pre, parameters))
+    withHint(pre, parseDuckOrdered(_, delegate.parsePlanWithParameters(_, parameters)))(
+      parseDuckOrdered(pre, delegate.parsePlanWithParameters(_, parameters)))
   }
   override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)
@@ -2688,6 +2720,46 @@ object GraftSparkExtensions {
         // float-agg names.
         aliasFn("json_keys", (1, 1))(a =>
           org.apache.spark.sql.catalyst.expressions.JsonObjectKeys(a(0))),
+        // Round-18 eighth sweep, JSON utilities (ScalarCompat /
+        // functions/JsonBuild.scala): validated minify, validity,
+        // DuckDB's type vocabulary (UBIGINT for non-negative ints),
+        // MySQL-style containment, and the typed constructors.
+        aliasFn("json", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"), StringType,
+          "jsonMinify", Seq(a(0)), inputTypes = Seq(StringType))),
+        aliasFn("json_valid", (1, 1))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.BooleanType,
+          "jsonValidCheck", Seq(a(0)), inputTypes = Seq(StringType))),
+        aliasFn("json_type", (1, 2))(a =>
+          if (a.size == 1) StaticInvoke(
+            Class.forName("graft.functions.ScalarCompat"), StringType,
+            "jsonTypeOf", Seq(a(0)), inputTypes = Seq(StringType))
+          else StaticInvoke(
+            Class.forName("graft.functions.ScalarCompat"), StringType,
+            "jsonTypeAt", Seq(a(0), a(1)),
+            inputTypes = Seq(StringType, StringType),
+            returnNullable = true)),
+        aliasFn("json_contains", (2, 2))(a => StaticInvoke(
+          Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.BooleanType,
+          "jsonContains", Seq(a(0), a(1)),
+          inputTypes = Seq(StringType, StringType))),
+        aliasFn("json_quote", (1, 1))(a =>
+          graft.functions.JsonQuoteExpr(a(0))),
+        aliasFn("json_array", (0, Int.MaxValue))(a =>
+          graft.functions.JsonArrayExpr(a)),
+        aliasFn("json_object", (0, Int.MaxValue))(a =>
+          graft.functions.JsonObjectExpr(
+            a.zipWithIndex.map { case (e, i) =>
+              if (i % 2 == 0) Cast(e, StringType) else e })),
+        // json_array_length grows DuckDB's 2-arg path form (the 1-arg
+        // form is Spark-native and untouched on the native path).
+        aliasFn("json_array_length", (1, 2))(a =>
+          if (a.size == 1)
+            org.apache.spark.sql.catalyst.expressions.LengthOfJsonArray(a(0))
+          else org.apache.spark.sql.catalyst.expressions.LengthOfJsonArray(
+            org.apache.spark.sql.catalyst.expressions.GetJsonObject(a(0), a(1)))),
         // json_group_array/object: to_json over one ordered collect —
         // json_group_object pairs k/v in ONE collect (two separate
         // collect_lists could disagree on order).
@@ -2768,9 +2840,37 @@ object GraftSparkExtensions {
         // regexp_extract[_all]: DuckDB's 2-arg default is group 0 (the
         // whole match); Spark's native default of 1 errors on
         // group-less patterns.
-        aliasFn("regexp_extract", (2, 3))(a =>
-          org.apache.spark.sql.catalyst.expressions.RegExpExtract(a(0), a(1),
-            if (a.size > 2) a(2) else Literal(0))),
+        aliasFn("regexp_extract", (2, 3)) { a =>
+          import org.apache.spark.sql.catalyst.expressions.{CreateArray,
+            CreateNamedStruct, RegExpExtract}
+          // 3rd-arg NAME LIST (round 18): DuckDB returns a STRUCT of
+          // the capture groups under the given names. The list arrives
+          // as array('y','m') — a bracket-literal rewrite or the
+          // explicit call — with literal string elements.
+          def nameList(e: Expression): Option[Seq[String]] = e match {
+            case CreateArray(items, _)
+                if items.forall(i => i.foldable && i.dataType == StringType) =>
+              Some(items.map(_.eval(null)).map(v =>
+                if (v == null) "" else v.toString))
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+                if u.nameParts.map(_.toLowerCase) == Seq("array") =>
+              val items = u.arguments
+              if (items.nonEmpty && items.forall(i =>
+                i.foldable && i.dataType == StringType))
+                Some(items.map(_.eval(null)).map(v =>
+                  if (v == null) "" else v.toString))
+              else None
+            case _ => None
+          }
+          a.lift(2).flatMap(nameList) match {
+            case Some(names) =>
+              CreateNamedStruct(names.zipWithIndex.flatMap { case (n, i) =>
+                Seq(Literal(n), RegExpExtract(a(0), a(1), Literal(i + 1)))
+              })
+            case None =>
+              RegExpExtract(a(0), a(1), if (a.size > 2) a(2) else Literal(0))
+          }
+        },
         aliasFn("regexp_extract_all", (2, 3))(a =>
           org.apache.spark.sql.catalyst.expressions.RegExpExtractAll(a(0), a(1),
             if (a.size > 2) a(2) else Literal(0))),
@@ -4940,10 +5040,21 @@ object GraftSparkExtensions {
       }
       // DuckDB's length-less string spellings → Spark's STRING (Spark
       // demands a length on bare VARCHAR); parenthesized forms pass
-      // through to Spark's own VARCHAR(n).
+      // through to Spark's own VARCHAR(n). Unsigned widths widen to
+      // the next signed type, HUGEINT to DECIMAL(38,0), BLOB to BINARY
+      // (round 18 — same table as typeSpellRewrite).
       val normalized = defs.map(d =>
-        "(?i)\\b(?:VARCHAR|TEXT|BPCHAR)\\b(?!\\s*\\()".r
-          .replaceAllIn(d, "STRING"))
+        ("(?i)\\b(?:VARCHAR|TEXT|BPCHAR|BLOB|UTINYINT|USMALLINT|" +
+          "UINTEGER|UBIGINT|HUGEINT)\\b(?!\\s*\\()").r
+          .replaceAllIn(d, m => m.matched.toUpperCase match {
+            case "BLOB" => "BINARY"
+            case "UTINYINT" => "SMALLINT"
+            case "USMALLINT" => "INT"
+            case "UINTEGER" => "BIGINT"
+            case "UBIGINT" => "DECIMAL(20,0)"
+            case "HUGEINT" => "DECIMAL(38,0)"
+            case _ => "STRING"
+          }))
       val schema = spark.sessionState.sqlParser.parseTableSchema(
         normalized.mkString(", "))
       TempTables.put(name, spark.createDataFrame(

@@ -528,6 +528,88 @@ class Round18DialectSpec extends AnyFunSuite {
     assert(one[String]("SELECT substring_grapheme('abcdef', 2)") == "bcdef")
   }
 
+  // ---------------------------------------------------------------
+  // JSON utilities + named-group regexp + unsigned spellings
+  // ---------------------------------------------------------------
+
+  test("json utility family matches DuckDB") {
+    assert(rows("SELECT json_type('1'), json_type('-2'), json_type('1.5'), " +
+      "json_type('\"x\"'), json_type('true'), json_type('null'), " +
+      "json_type('[1]'), json_type('{}')") ==
+      Seq(Seq("UBIGINT", "BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN",
+        "NULL", "ARRAY", "OBJECT")))
+    assert(rows("SELECT json_type('{\"a\":[1]}', '$.a'), " +
+      "json_type('{\"a\":1}', '$.b')") == Seq(Seq("ARRAY", null)))
+    assert(rows("SELECT json_valid('{\"a\":1}'), json_valid('[1,'), " +
+      "json_valid('1'), json_valid('abc')") ==
+      Seq(Seq(true, false, true, false)))
+    assert(one[String]("SELECT json(' [ 1 , 2 ] ')") == "[1,2]")
+    intercept[Exception] { rows("SELECT json('bad')") }
+    assert(rows("SELECT json_quote(1), json_quote('s'), " +
+      "json_quote(CAST(NULL AS INT))") == Seq(Seq("1", "\"s\"", null)))
+    assert(rows("SELECT json_array('a', 1, NULL), json_array(), " +
+      "json_object('k', 1), json_object()") ==
+      Seq(Seq("[\"a\",1,null]", "[]", "{\"k\":1}", "{}")))
+    intercept[Exception] { rows("SELECT json_object('k')") }
+    assert(rows("SELECT json_contains('[1,2,3]', '[1,3]'), " +
+      "json_contains('[[1],2]', '[1]'), " +
+      "json_contains('{\"a\":1,\"b\":2}', '{\"a\":1}'), " +
+      "json_contains('{\"a\":1}', '2')") ==
+      Seq(Seq(true, true, true, false)))
+    assert(one[Long](
+      "SELECT CAST(json_array_length('{\"a\":[1,2]}', '$.a') AS BIGINT)") == 2L)
+  }
+
+  test("regexp_extract name list returns a struct of capture groups") {
+    val df = spark.sql("SELECT regexp_extract('2024-01-15', " +
+      "'([0-9]+)-([0-9]+)', ['y', 'm']) AS s")
+    val row = df.collect().head.getStruct(0)
+    assert(row.getString(0) == "2024" && row.getString(1) == "01")
+    assert(df.schema.fields.head.dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq == Seq("y", "m"))
+  }
+
+  test("unsigned and HUGEINT type spellings widen losslessly") {
+    // Range is NOT enforced (the widened signed type accepts what the
+    // unsigned width would reject in DuckDB) — documented divergence.
+    assert(rows("SELECT CAST(255::UTINYINT AS BIGINT), " +
+      "CAST(65535::USMALLINT AS BIGINT), " +
+      "CAST(5000000000::UBIGINT AS VARCHAR)") ==
+      Seq(Seq(255L, 65535L, "5000000000")))
+    assert(one[String]("SELECT CAST(" +
+      "'99999999999999999999999999999999999999'::HUGEINT AS VARCHAR)") ==
+      "99999999999999999999999999999999999999")
+  }
+
+  // ---------------------------------------------------------------
+  // Default null ordering (DuckNullOrder)
+  // ---------------------------------------------------------------
+
+  test("bare ORDER BY sorts NULLs LAST like the host; explicit spellings win") {
+    def xs(sql: String): Seq[Any] = rows(sql).map(_.head)
+    assert(xs("SELECT x FROM (VALUES (NULL),(1),(2)) t(x) ORDER BY x") ==
+      Seq(1, 2, null))
+    assert(xs("SELECT x FROM (VALUES (NULL),(1),(2)) t(x) ORDER BY x DESC") ==
+      Seq(2, 1, null))
+    assert(xs("SELECT x FROM (VALUES (NULL),(1),(2)) t(x) " +
+      "ORDER BY x NULLS FIRST") == Seq(null, 1, 2))
+    // LIMIT sees the host's rows (a NULL no longer displaces a value).
+    assert(xs("SELECT x FROM (VALUES (NULL),(1),(2)) t(x) ORDER BY x LIMIT 2")
+      == Seq(1, 2))
+    // Window ORDER BY carries the same default.
+    assert(rows("SELECT x, row_number() OVER (ORDER BY x) AS rn FROM " +
+      "(VALUES (NULL),(1)) t(x) ORDER BY rn") ==
+      Seq(Seq(1, 1L), Seq(null, 2L)))
+    // ORDER BY ALL keeps Spark's per-key defaults (no per-key NULLS
+    // syntax exists there) — documented divergence, pinned.
+    assert(xs("SELECT x FROM (VALUES (NULL),(1)) t(x) ORDER BY ALL") ==
+      Seq(null, 1))
+    // Multi-key with mixed explicitness: only the bare key transforms.
+    assert(rows("SELECT g, x FROM (VALUES (1, NULL),(1, 2),(2, NULL)) " +
+      "t(g, x) ORDER BY g DESC, x") ==
+      Seq(Seq(2, null), Seq(1, 2), Seq(1, null)))
+  }
+
   test("CREATE TEMP TABLE DEFAULTs fill omitted columns and the DEFAULT keyword") {
     spark.sql("DROP TABLE IF EXISTS t18_def")
     spark.sql("CREATE TEMP TABLE t18_def (a INT DEFAULT 7, " +
