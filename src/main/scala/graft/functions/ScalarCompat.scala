@@ -306,6 +306,14 @@ object ScalarCompat {
   private lazy val jsonMapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Out-of-range enum cast (round 18): DuckDB's conversion-error
+    * shape. Always throws — the graft_enum CASE routes here only when
+    * membership failed.
+    */
+  def enumConvertFail(v: UTF8String, name: UTF8String): UTF8String =
+    throw new IllegalArgumentException(
+      s"Conversion Error: Could not convert string '$v' to ENUM $name")
+
   /** json(s): validated minification — Jackson round-trip; DuckDB's
     * malformed-input error shape on bad input (round 18).
     */

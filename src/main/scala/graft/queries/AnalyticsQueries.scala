@@ -4021,6 +4021,29 @@ object AnalyticsQueries {
            CAST('99999999999999999999999999999999999999'::HUGEINT AS VARCHAR) AS hg""")
   }
 
+  // ENUM types + utility statements (round 18): CREATE TYPE ... AS
+  // ENUM registers a session enum (sql/EnumTypes) modeled as VARCHAR
+  // with plan-time-inlined membership validation — casts raise DuckDB's
+  // conversion error out of range, TRY_CAST yields NULL, enum_range
+  // folds to the value list. The same script exercises the SET k TO v
+  // spelling (rewritten to Spark's SET k = v) — both engines accept it.
+  declare("q162_enum_types",
+    """CREATE TYPE graft_mood AS ENUM ('sad', 'ok', 'happy');
+       SELECT
+         'happy'::graft_mood::VARCHAR AS m,
+         CAST('ok' AS graft_mood)::VARCHAR AS c,
+         TRY_CAST('nope' AS graft_mood) IS NULL AS t,
+         array_to_string(enum_range(NULL::graft_mood), ',') AS r""") {
+    (spark, sfDir) =>
+    spark.sql("CREATE TYPE graft_mood AS ENUM ('sad', 'ok', 'happy')").collect()
+    spark.sql(
+      """SELECT
+           'happy'::graft_mood::VARCHAR AS m,
+           CAST('ok' AS graft_mood)::VARCHAR AS c,
+           TRY_CAST('nope' AS graft_mood) IS NULL AS t,
+           array_to_string(enum_range(NULL::graft_mood), ',') AS r""")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1401,6 +1401,27 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             () => ListOpRewrite.rewriteAbsOp(text),
             () => ListOpRewrite.rewriteIntervalExpr(text),
             () => ListOpRewrite.rewriteUnnestStruct(text),
+            // Registered-enum casts (x::mood, CAST(x AS mood),
+            // enum_range folding — parse-failure only: the type word
+            // is UNSUPPORTED_DATATYPE).
+            () => EnumTypes.castRewrite(text),
+            // Postgres-style `SET key TO value` → Spark's `SET key = value`.
+            () => "(?is)\\A(\\s*SET\\s+\\w+)\\s+TO\\s+(.+)\\z".r
+              .findFirstMatchIn(text)
+              .map(m2 => m2.group(1) + " = " + m2.group(2)),
+            // EXPLAIN ANALYZE → EXPLAIN (the host's profile text is
+            // engine-specific anyway; the plan still renders).
+            () => "(?is)\\A(\\s*)EXPLAIN\\s+ANALYZE\\b(.*)\\z".r
+              .findFirstMatchIn(text)
+              .map(m2 => m2.group(1) + "EXPLAIN" + m2.group(2)),
+            // Bare `SHOW <table>` (DuckDB's DESCRIBE alias — Spark's
+            // SHOW grammar rejects it, so parse-failure only).
+            () => "(?is)\\A\\s*SHOW\\s+([A-Za-z_]\\w*)\\s*;?\\s*\\z".r
+              .findFirstMatchIn(text)
+              .filterNot(m2 => Set("TABLES", "DATABASES", "VIEWS",
+                "FUNCTIONS", "SCHEMAS", "COLUMNS", "CATALOGS",
+                "PARTITIONS", "ALL").contains(m2.group(1).toUpperCase))
+              .map(m2 => s"SELECT * FROM duck_describe('${m2.group(1)}')"),
             // LAST deliberately: bracket/brace literal syntax only ever
             // appears in statements stock Spark cannot parse at all, and
             // running it after the structural rewrites lets e.g. a
@@ -2061,6 +2082,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       s"SELECT * FROM catalog_pk_ctl('${name.replace("'", "''")}', " +
         s"'${keys.mkString(",")}', '${stripped.replace("'", "''")}')"
     case TempTableRewritten(r) => r
+    // CREATE TYPE ... AS ENUM / DROP TYPE (round 18 — sql/EnumTypes):
+    // session enum registry; casts claim in the failure chain.
+    case EnumDdlRewritten(r) => r
     // ASOF JOIN must ALSO be caught before delegation, not only in the
     // parse-failure chain: without an explicit left alias Spark PARSES
     // `FROM l ASOF JOIN r ...` with `l` aliased "ASOF" — the ON form
@@ -2275,6 +2299,33 @@ object GraftSparkExtensions {
     * is dropped at build time (NullType would coerce concat to
     * STRING); runtime nulls route through the If chain.
     */
+  /** graft_enum / graft_enum_try builder: membership CASE over the
+    * registered value list, inlined as a literal array at plan time
+    * (sql/EnumTypes holds the session registry; the name argument must
+    * be a foldable string).
+    */
+  private def enumCastExpr(nameE: Expression, x: Expression,
+      tryMode: Boolean): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayContains, Cast,
+      CreateArray, If, IsNull, Literal}
+    require(nameE.foldable && nameE.dataType == StringType,
+      "graft_enum: the type name must be a constant string")
+    val name = nameE.eval(null).toString
+    val vals = graft.sql.EnumTypes.get(name).getOrElse(
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+          s"Type with name $name does not exist!")))
+    val s = Cast(x, StringType)
+    val arr = CreateArray(vals.map(v => Literal(v)))
+    val miss: Expression =
+      if (tryMode) Literal(null, StringType)
+      else StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
+        StringType, "enumConvertFail", Seq(s, Literal(name)),
+        inputTypes = Seq(StringType, StringType))
+    If(IsNull(s), Literal(null, StringType),
+      If(ArrayContains(arr, s), s, miss))
+  }
+
   private def duckListConcat(a: Expression, b: Expression): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{Concat, If, IsNull, Literal}
     (a, b) match {
@@ -2974,6 +3025,13 @@ object GraftSparkExtensions {
             org.apache.spark.sql.types.DecimalType(38, 0), "duckFactorial",
             Seq(Cast(a(0), org.apache.spark.sql.types.LongType)),
             inputTypes = Seq(org.apache.spark.sql.types.LongType))),
+        // Enum-cast landing pads (round 18 — sql/EnumTypes): the value
+        // list inlines at plan time from the driver-side registry, so
+        // executors validate against a literal array; out-of-range
+        // raises DuckDB's conversion error (graft_enum) or yields NULL
+        // (graft_enum_try, the TRY_CAST form).
+        aliasFn("graft_enum", (2, 2))(a => enumCastExpr(a(0), a(1), tryMode = false)),
+        aliasFn("graft_enum_try", (2, 2))(a => enumCastExpr(a(0), a(1), tryMode = true)),
         // Round-17 sweep pack, batch 2 (fourth idiom sweep): date-part
         // spellings, arithmetic-word aliases, gamma family,
         // struct_insert, datesub/datetrunc.

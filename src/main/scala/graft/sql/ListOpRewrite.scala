@@ -95,6 +95,12 @@ object ListOpRewrite {
     "when", "then", "else", "by", "having", "qualify", "not", "in",
     "as", "from", "join", "case", "limit", "all", "any", "some")
 
+  /** Public bridge for sibling rewrites (EnumTypes' `x::enum` claim
+    * reuses the operand discipline).
+    */
+  private[sql] def scanLeftPub(cur: String, m: String, at: Int): Option[Int] =
+    scanLeft(cur, m, at)
+
   /** Start index of the left operand whose last char sits at `at`
     * (inclusive): mirrors scanRight. Returns the start index.
     */

@@ -582,6 +582,39 @@ class Round18DialectSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // ENUM types + utility statements
+  // ---------------------------------------------------------------
+
+  test("CREATE TYPE AS ENUM: validated casts, enum_range, DROP TYPE") {
+    spark.sql("CREATE TYPE t18mood AS ENUM ('sad', 'ok', 'happy')").collect()
+    assert(rows("SELECT 'happy'::t18mood, CAST('ok' AS t18mood), " +
+      "TRY_CAST('nope' AS t18mood)") == Seq(Seq("happy", "ok", null)))
+    // NULL passes through; out-of-range raises the host's conversion
+    // error shape.
+    assert(rows("SELECT CAST(NULL AS t18mood)") == Seq(Seq(null)))
+    val e = intercept[Exception] { rows("SELECT 'nope'::t18mood") }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("Could not convert string 'nope'")))
+    assert(rows("SELECT array_to_string(enum_range(NULL::t18mood), ',')")
+      == Seq(Seq("sad,ok,happy")))
+    spark.sql("DROP TYPE t18mood").collect()
+    intercept[Exception] { rows("SELECT 'happy'::t18mood") }
+    // DROP TYPE on a missing name errors; IF EXISTS is silent.
+    intercept[Exception] { spark.sql("DROP TYPE t18mood").collect() }
+    spark.sql("DROP TYPE IF EXISTS t18mood").collect()
+  }
+
+  test("SET k TO v, EXPLAIN ANALYZE, bare SHOW <table> execute") {
+    assert(rows("SET t18key TO 42") == Seq(Seq("t18key", "42")))
+    assert(one[String]("EXPLAIN ANALYZE SELECT 1").contains("Physical Plan"))
+    spark.sql("SELECT 1 AS a, 'x' AS b").createOrReplaceTempView("t18show")
+    val d = spark.sql("SHOW t18show")
+    assert(d.collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+  }
+
+  // ---------------------------------------------------------------
   // Default null ordering (DuckNullOrder)
   // ---------------------------------------------------------------
 
