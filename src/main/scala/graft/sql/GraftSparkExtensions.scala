@@ -5101,7 +5101,17 @@ object GraftSparkExtensions {
       // through to Spark's own VARCHAR(n). Unsigned widths widen to
       // the next signed type, HUGEINT to DECIMAL(38,0), BLOB to BINARY
       // (round 18 — same table as typeSpellRewrite).
-      val normalized = defs.map(d =>
+      val normalized = defs.map { d0 =>
+        // Registered ENUM type names in column position → STRING (the
+        // enum model's storage type; membership validation lives in the
+        // cast path, round 18). Only the def's TYPE word (second token)
+        // is considered — a column merely NAMED like an enum is safe.
+        val d = {
+          val toks = d0.trim.split("\\s+", 3)
+          if (toks.length >= 2 && EnumTypes.get(toks(1)).isDefined)
+            (Seq(toks(0), "STRING") ++ toks.drop(2)).mkString(" ")
+          else d0
+        }
         ("(?i)\\b(?:VARCHAR|TEXT|BPCHAR|BLOB|UTINYINT|USMALLINT|" +
           "UINTEGER|UBIGINT|HUGEINT)\\b(?!\\s*\\()").r
           .replaceAllIn(d, m => m.matched.toUpperCase match {
@@ -5112,7 +5122,8 @@ object GraftSparkExtensions {
             case "UBIGINT" => "DECIMAL(20,0)"
             case "HUGEINT" => "DECIMAL(38,0)"
             case _ => "STRING"
-          }))
+          })
+      }
       val schema = spark.sessionState.sqlParser.parseTableSchema(
         normalized.mkString(", "))
       TempTables.put(name, spark.createDataFrame(

@@ -606,6 +606,16 @@ class Round18DialectSpec extends AnyFunSuite {
     spark.sql("DROP TYPE IF EXISTS t18mood").collect()
   }
 
+  test("registered enum as a temp-table column type maps to its VARCHAR model") {
+    spark.sql("CREATE TYPE t18col AS ENUM ('a', 'b')").collect()
+    spark.sql("DROP TABLE IF EXISTS t18et")
+    spark.sql("CREATE TEMP TABLE t18et (id INT, m t18col)").collect()
+    spark.sql("INSERT INTO t18et VALUES (1, 'a'::t18col)").collect()
+    assert(rows("SELECT id, m FROM t18et") == Seq(Seq(1, "a")))
+    spark.sql("DROP TABLE t18et")
+    spark.sql("DROP TYPE t18col").collect()
+  }
+
   test("SET k TO v, EXPLAIN ANALYZE, bare SHOW <table> execute") {
     assert(rows("SET t18key TO 42") == Seq(Seq("t18key", "42")))
     assert(one[String]("EXPLAIN ANALYZE SELECT 1").contains("Physical Plan"))
