@@ -4044,6 +4044,38 @@ object AnalyticsQueries {
            array_to_string(enum_range(NULL::graft_mood), ',') AS r""")
   }
 
+  // Collations + TIMESTAMPTZ (round 18): DuckDB's NOCASE / NOACCENT /
+  // NOCASE.NOACCENT collation names map textually onto Spark's
+  // UTF8_LCASE / UNICODE_AI / UNICODE_CI_AI (the DuckDB names are
+  // NEVER valid Spark collations, so the pre-delegation map cannot
+  // shadow native usage) — equality, ordering, and the ß≠ss edge all
+  // verified value-identical. TIMESTAMPTZ lands on Spark's TIMESTAMP
+  // (LTZ) under the UTC session pin: the cast spelling, the `::` form,
+  // and the typed literal (compared via epoch_us — the VARCHAR prints
+  // differ by DuckDB's '+00' suffix, documented).
+  declare("q163_collate_tz",
+    """SELECT
+         'ABC' COLLATE NOCASE = 'abc' AS nc,
+         'Straße' COLLATE NOACCENT = 'Strasse' AS na0,
+         'café' COLLATE NOACCENT = 'cafe' AS na,
+         'CAFÉ' COLLATE NOCASE.NOACCENT = 'cafe' AS nca,
+         (SELECT string_agg(name, ',' ORDER BY name COLLATE NOCASE)
+          FROM (VALUES ('b'),('A'),('c')) t(name)) AS ord,
+         epoch_us(CAST('2024-01-01 10:00:00+02' AS TIMESTAMPTZ)) AS tz,
+         epoch_us(TIMESTAMPTZ '2024-06-01 00:30:00+02') AS tz2""") {
+    (spark, sfDir) =>
+    spark.sql(
+      """SELECT
+           'ABC' COLLATE NOCASE = 'abc' AS nc,
+           'Straße' COLLATE NOACCENT = 'Strasse' AS na0,
+           'café' COLLATE NOACCENT = 'cafe' AS na,
+           'CAFÉ' COLLATE NOCASE.NOACCENT = 'cafe' AS nca,
+           (SELECT string_agg(name, ',' ORDER BY name COLLATE NOCASE)
+            FROM (VALUES ('b'),('A'),('c')) t(name)) AS ord,
+           epoch_us(CAST('2024-01-01 10:00:00+02' AS TIMESTAMPTZ)) AS tz,
+           epoch_us(TIMESTAMPTZ '2024-06-01 00:30:00+02') AS tz2""")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

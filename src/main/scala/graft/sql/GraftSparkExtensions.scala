@@ -1038,10 +1038,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     */
   private val castTypeWordRe =
     ("(?i)\\bAS\\s+(VARCHAR|TEXT|BPCHAR|BLOB|UTINYINT|USMALLINT|" +
-      "UINTEGER|UBIGINT|HUGEINT)\\b(?!\\s*\\()").r
+      "UINTEGER|UBIGINT|HUGEINT|TIMESTAMPTZ)\\b(?!\\s*\\()").r
   private val colonTypeWordRe =
     ("(?i)::\\s*(VARCHAR|TEXT|BPCHAR|BLOB|UTINYINT|USMALLINT|" +
-      "UINTEGER|UBIGINT|HUGEINT)\\b(?!\\s*\\()").r
+      "UINTEGER|UBIGINT|HUGEINT|TIMESTAMPTZ)\\b(?!\\s*\\()").r
   private def typeSpellRewrite(text: String): Option[String] = {
     val masked = ReplaceRewrite.maskLiterals(text)
     // Unsigned widths land on the next-wider signed Spark type (the
@@ -1055,6 +1055,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       case "UINTEGER" => "BIGINT"
       case "UBIGINT" => "DECIMAL(20,0)"
       case "HUGEINT" => "DECIMAL(38,0)"
+      // Under the UTC session pin Spark's TIMESTAMP (LTZ) carries
+      // DuckDB's TIMESTAMPTZ values exactly.
+      case "TIMESTAMPTZ" => "TIMESTAMP"
       case _ => "STRING"
     }
     val castExtents = "(?i)\\b(?:TRY_)?CAST\\s*\\(".r
@@ -1322,6 +1325,27 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             // BIT '<bits>' typed literal → graft_bit (parse-failure
             // only: UNSUPPORTED_TYPED_LITERAL is a parse rejection).
             () => bitLiteralRewrite(text),
+            // TIMESTAMPTZ '<ts>' typed literal → a TIMESTAMP cast
+            // (UNSUPPORTED_TYPED_LITERAL; the UTC session pin makes
+            // Spark's LTZ carry the same instant).
+            () => {
+              val re = "(?i)\\bTIMESTAMPTZ\\s+'([^']*)'".r
+              val masked = ReplaceRewrite.maskLiterals(text)
+              val ms = re.findAllMatchIn(text)
+                .filter(m2 => masked.charAt(m2.start) != ' ').toList
+              if (ms.isEmpty) None
+              else {
+                val sb = new StringBuilder
+                var pos = 0
+                ms.foreach { m2 =>
+                  sb.append(text.substring(pos, m2.start))
+                    .append(s"CAST('${m2.group(1)}' AS TIMESTAMP)")
+                  pos = m2.end
+                }
+                sb.append(text.substring(pos))
+                Some(sb.toString)
+              }
+            },
             // Length-less VARCHAR/TEXT/BPCHAR (→ STRING) and BLOB
             // (→ BINARY) in CAST / :: position (parse-failure only:
             // DATATYPE_MISSING_SIZE / UNSUPPORTED_DATATYPE).
@@ -1960,7 +1984,39 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     Some(sb.toString)
   }
 
+  /** DuckDB collation names → Spark collation names (round 18).
+    * NOCASE/NOACCENT are NEVER valid Spark collations (always
+    * COLLATION_INVALID_NAME — a SparkException the parse-failure chain
+    * does not see), so the textual map can't shadow native usage:
+    * NOCASE → UTF8_LCASE, NOACCENT → UNICODE_AI, the combined form →
+    * UNICODE_CI_AI. Other host collations (language codes) keep their
+    * native error.
+    */
+  private val duckCollateRe =
+    "(?i)(\\bCOLLATE\\s+)(NOCASE\\.NOACCENT|NOACCENT\\.NOCASE|NOCASE|NOACCENT)\\b".r
+  private def duckCollateRewrite(text: String): Option[String] = {
+    val masked = ReplaceRewrite.maskLiterals(text)
+    val ms = duckCollateRe.findAllMatchIn(masked).toList
+    if (ms.isEmpty) return None
+    val sb = new StringBuilder
+    var pos = 0
+    ms.foreach { m =>
+      val mapped = m.group(2).toUpperCase match {
+        case "NOCASE" => "UTF8_LCASE"
+        case "NOACCENT" => "UNICODE_AI"
+        case _ => "UNICODE_CI_AI"
+      }
+      sb.append(text.substring(pos, m.start)).append(m.group(1)).append(mapped)
+      pos = m.end
+    }
+    sb.append(text.substring(pos))
+    Some(sb.toString)
+  }
+
   private def preRewrite(sqlText: String): String = sqlText match {
+    case _ if "(?i)\\bCOLLATE\\s+NO".r.findFirstIn(sqlText).isDefined &&
+        duckCollateRewrite(sqlText).isDefined =>
+      preRewrite(duckCollateRewrite(sqlText).get)
     case _ if sqlText.contains("=") &&
         namedReaderNameRe.findFirstIn(sqlText).isDefined &&
         namedReaderCallRewrite(sqlText).isDefined =>

@@ -616,6 +616,21 @@ class Round18DialectSpec extends AnyFunSuite {
     spark.sql("DROP TYPE t18col").collect()
   }
 
+  test("DuckDB collation names map to Spark collations; TIMESTAMPTZ lands on LTZ") {
+    assert(rows("SELECT 'ABC' COLLATE NOCASE = 'abc', " +
+      "'café' COLLATE NOACCENT = 'cafe', " +
+      "'Straße' COLLATE NOACCENT = 'Strasse', " + // ß ≠ ss on BOTH engines
+      "'CAFÉ' COLLATE NOCASE.NOACCENT = 'cafe'") ==
+      Seq(Seq(true, true, false, true)))
+    assert(rows("SELECT name FROM (VALUES ('b'),('A'),('c')) t(name) " +
+      "ORDER BY name COLLATE NOCASE").map(_.head) == Seq("A", "b", "c"))
+    assert(one[Long]("SELECT epoch_us(TIMESTAMPTZ '2024-01-01 10:00:00+02')")
+      == 1704096000000000L)
+    assert(one[Long](
+      "SELECT epoch_us('2024-01-01 10:00:00+02'::TIMESTAMPTZ)")
+      == 1704096000000000L)
+  }
+
   test("SET k TO v, EXPLAIN ANALYZE, bare SHOW <table> execute") {
     assert(rows("SET t18key TO 42") == Seq(Seq("t18key", "42")))
     assert(one[String]("EXPLAIN ANALYZE SELECT 1").contains("Physical Plan"))
