@@ -96,6 +96,37 @@ object JsonBuild {
     UTF8String.fromString(mapper.writeValueAsString(n))
 }
 
+/** DuckDB's `x::JSON` / CAST(x AS JSON) (round 18): a STRING operand is
+  * VALIDATED and passed through UNCHANGED (the host preserves the
+  * original text — ' { "a" : 1 } '::JSON keeps its spaces; malformed
+  * input raises the conversion error, or NULL under tryMode/TRY_CAST);
+  * any other type converts to its JSON text like json_quote.
+  */
+case class JsonCastExpr(child: Expression, tryMode: Boolean)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    child.dataType match {
+      case StringType =>
+        try { JsonBuild.mapper.readTree(v.toString); v }
+        catch {
+          case e: Exception =>
+            if (tryMode) null
+            else throw new IllegalArgumentException(
+              s"Conversion Error: Malformed JSON: ${v.toString.take(80)}", e)
+        }
+      case dt => JsonBuild.write(JsonBuild.toNode(dt, v))
+    }
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): JsonCastExpr = copy(child = c(0))
+  override def prettyName: String = "json_cast"
+}
+
 case class JsonQuoteExpr(child: Expression)
     extends Expression with CodegenFallback {
   override def children: Seq[Expression] = Seq(child)

@@ -4076,6 +4076,30 @@ object AnalyticsQueries {
            epoch_us(TIMESTAMPTZ '2024-06-01 00:30:00+02') AS tz2""")
   }
 
+  // Sweep-8 closing pack (round 18): `::JSON` casts (string operands
+  // VALIDATE and pass through unchanged — the host preserves the
+  // original text, spaces included; struct/list operands convert to
+  // their JSON text; TRY_CAST nulls malformed input), DuckDB's row()
+  // unnamed-struct constructor, and the MAP {'k': v} literal with
+  // bracket indexing (LIST result).
+  declare("q164_sweep8_final",
+    """SELECT
+         ' { "a" : 1 } '::JSON AS keep,
+         ({'x': 1}::JSON)::VARCHAR AS conv,
+         ([1,2]::JSON)::VARCHAR AS lconv,
+         TRY_CAST('bad' AS JSON) IS NULL AS bad,
+         row(1, 'x') = row(1, 'x') AS req,
+         (MAP {'a': 1, 'b': 2})['b'][1] AS mlit""") { (spark, sfDir) =>
+    spark.sql(
+      """SELECT
+           ' { "a" : 1 } '::JSON AS keep,
+           ({'x': 1}::JSON)::VARCHAR AS conv,
+           ([1,2]::JSON)::VARCHAR AS lconv,
+           TRY_CAST('bad' AS JSON) IS NULL AS bad,
+           row(1, 'x') = row(1, 'x') AS req,
+           (MAP {'a': 1, 'b': 2})['b'][1] AS mlit""")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1429,6 +1429,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             // enum_range folding — parse-failure only: the type word
             // is UNSUPPORTED_DATATYPE).
             () => EnumTypes.castRewrite(text),
+            // ::JSON / CAST(x AS JSON) — validate-and-preserve for
+            // strings, convert-to-JSON-text otherwise.
+            () => ListOpRewrite.rewriteJsonCast(text),
             // Postgres-style `SET key TO value` → Spark's `SET key = value`.
             () => "(?is)\\A(\\s*SET\\s+\\w+)\\s+TO\\s+(.+)\\z".r
               .findFirstMatchIn(text)
@@ -3088,6 +3091,16 @@ object GraftSparkExtensions {
         // (graft_enum_try, the TRY_CAST form).
         aliasFn("graft_enum", (2, 2))(a => enumCastExpr(a(0), a(1), tryMode = false)),
         aliasFn("graft_enum_try", (2, 2))(a => enumCastExpr(a(0), a(1), tryMode = true)),
+        // ::JSON / CAST(x AS JSON) landing pads (functions/JsonBuild).
+        aliasFn("graft_json_cast", (1, 1))(a =>
+          graft.functions.JsonCastExpr(a(0), tryMode = false)),
+        aliasFn("graft_json_try_cast", (1, 1))(a =>
+          graft.functions.JsonCastExpr(a(0), tryMode = true)),
+        // DuckDB row(...): an unnamed struct (field names differ —
+        // col1/col2 here vs v1/v2 there — but equality and unnesting
+        // agree; field access by name errors on BOTH).
+        aliasFn("row", (0, Int.MaxValue))(a =>
+          org.apache.spark.sql.catalyst.expressions.CreateStruct(a)),
         // Round-17 sweep pack, batch 2 (fourth idiom sweep): date-part
         // spellings, arithmetic-word aliases, gamma family,
         // struct_insert, datesub/datetrunc.

@@ -563,6 +563,66 @@ object ListOpRewrite {
     Some(sb.toString)
   }
 
+  /** DuckDB's JSON casts (round 18): `x::JSON` and [TRY_]CAST(x AS
+    * JSON) → graft_json_cast[_try] (functions/JsonBuild.JsonCastExpr —
+    * strings validate-and-pass-through, other types convert to JSON
+    * text). Parse-failure only: JSON is UNSUPPORTED_DATATYPE in Spark.
+    */
+  def rewriteJsonCast(text: String): Option[String] = {
+    if (!"(?i)\\bJSON\\b".r.findFirstIn(text).isDefined) return None
+    var cur = text
+    var m = ReplaceRewrite.maskLiterals(cur)
+    var changed = false
+
+    val castRe = """(?i)\b(TRY_)?CAST\s*\(""".r
+    var scan = true
+    while (scan) {
+      scan = false
+      for (h <- castRe.findAllMatchIn(m) if !scan) {
+        val open = m.indexOf('(', h.start)
+        val close = ReplaceRewrite.closeOf(cur, open)
+        if (close > 0) {
+          val inner = cur.substring(open + 1, close - 1)
+          val innerM = m.substring(open + 1, close - 1)
+          val asRe = """(?i)\bAS\s+JSON\s*\z""".r
+          asRe.findFirstMatchIn(innerM).foreach { am =>
+            val operand = inner.substring(0, am.start).trim
+            if (operand.nonEmpty) {
+              val fn = if (h.group(1) != null) "graft_json_try_cast"
+                else "graft_json_cast"
+              cur = cur.substring(0, h.start) + s"$fn($operand)" +
+                cur.substring(close)
+              m = ReplaceRewrite.maskLiterals(cur)
+              changed = true
+              scan = true
+            }
+          }
+        }
+      }
+    }
+
+    val colonRe = """(?i)::\s*JSON\b""".r
+    var again = true
+    while (again) {
+      again = false
+      for (h <- colonRe.findAllMatchIn(m) if !again) {
+        scanLeft(cur, m, h.start - 1) match {
+          case Some(ls) =>
+            val operand = cur.substring(ls, h.start).trim
+            if (operand.nonEmpty) {
+              cur = cur.substring(0, ls) + s"graft_json_cast($operand)" +
+                cur.substring(h.end)
+              m = ReplaceRewrite.maskLiterals(cur)
+              changed = true
+              again = true
+            }
+          case None =>
+        }
+      }
+    }
+    if (changed) Some(cur) else None
+  }
+
   private val limitPctRe =
     "(?is)\\bLIMIT\\s+(\\d+(?:\\.\\d+)?)\\s*%\\s*;?\\s*\\z".r
 

@@ -616,6 +616,16 @@ class Round18DialectSpec extends AnyFunSuite {
     spark.sql("DROP TYPE t18col").collect()
   }
 
+  test("::JSON casts: strings validate-and-preserve, other types convert; row()") {
+    assert(one[String]("SELECT ' { \"a\" : 1 } '::JSON") == " { \"a\" : 1 } ")
+    assert(one[String]("SELECT ({'x': 1}::JSON)::VARCHAR") == "{\"x\":1}")
+    assert(one[String]("SELECT CAST(1.5 AS JSON)") == "1.5")
+    assert(rows("SELECT TRY_CAST('bad' AS JSON)") == Seq(Seq(null)))
+    intercept[Exception] { rows("SELECT 'bad'::JSON") }
+    assert(rows("SELECT CAST(NULL AS JSON)") == Seq(Seq(null)))
+    assert(rows("SELECT row(1, 'x') = row(1, 'x')") == Seq(Seq(true)))
+  }
+
   test("DuckDB collation names map to Spark collations; TIMESTAMPTZ lands on LTZ") {
     assert(rows("SELECT 'ABC' COLLATE NOCASE = 'abc', " +
       "'café' COLLATE NOACCENT = 'cafe', " +
