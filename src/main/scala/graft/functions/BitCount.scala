@@ -67,10 +67,13 @@ object BitCountCompat {
 /** DuckDB's `bitstring_agg(x[, min, max])` (round 18): a bitstring —
   * modeled as its VARCHAR form like the rest of the BIT lane — with one
   * position per integer in [min, max], '1' where the value occurred.
-  * The 1-arg form derives the range from the GROUP's observed min/max
-  * (DuckDB pulls them from table statistics and errors when it can't;
-  * the group's own extremes are the same range whenever the statement
-  * runs at all, since out-of-range values are errors). The 3-arg form
+  * The 1-arg form derives the range from the COLUMN-WIDE min/max
+  * (DuckDB pulls them from table statistics, so all groups share one
+  * range). A global (ungrouped) 1-arg call computes that range here
+  * directly — the group IS the column; the GROUP BY case is rewritten
+  * by [[graft.sql.BitstringGlobalRange]] into per-group collect_set +
+  * a column-wide range so groups lacking the global extremes still get
+  * full-length, correctly-positioned strings. The 3-arg form
   * takes explicit FOLDABLE bounds and raises DuckDB's out-of-range
   * error text for values outside them. NULLs are ignored; an all-NULL
   * or empty group yields NULL. State is the distinct-value set plus
@@ -178,4 +181,48 @@ case class BitstringAgg(
 object BitstringAgg {
   final class Buf(var min: Long, var max: Long,
       val set: scala.collection.mutable.HashSet[Long])
+}
+
+/** Scalar companion to [[BitstringAgg]] for the GROUPED 1-arg form
+  * (spliced by [[graft.sql.BitstringGlobalRange]]): renders one
+  * group's distinct-value set against the COLUMN-WIDE [lo, hi] range,
+  * so every group's bitstring has the same length and bit positions —
+  * DuckDB's statistics-derived semantics. NULL for an empty/NULL set
+  * (all-NULL group), same 1e6-position guard as the aggregate.
+  */
+case class BitstringFromSet(set: Expression, lo: Expression, hi: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(set, lo, hi)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s = set.eval(input)
+    if (s == null) return null
+    val arr = s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() == 0) return null
+    val loV = lo.eval(input); val hiV = hi.eval(input)
+    if (loV == null || hiV == null) return null
+    val l = loV.asInstanceOf[Number].longValue()
+    val h = hiV.asInstanceOf[Number].longValue()
+    val n = h - l + 1
+    if (n <= 0 || n > 1000000) throw new IllegalArgumentException(
+      s"bitstring_agg range [$l, $h] is empty or over 1e6 positions")
+    val et = set.dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val present = new java.util.HashSet[Long]()
+    var i = 0
+    while (i < arr.numElements()) {
+      present.add(arr.get(i, et).asInstanceOf[Number].longValue()); i += 1
+    }
+    val sb = new java.lang.StringBuilder(n.toInt)
+    var p = 0L
+    while (p < n) { sb.append(if (present.contains(l + p)) '1' else '0'); p += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): BitstringFromSet =
+    copy(set = c(0), lo = c(1), hi = c(2))
+  override def prettyName: String = "bitstring_from_set"
 }

@@ -28,9 +28,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * (to_json stays the native spelling).
   */
 object JsonBuild {
-  private[functions] val mapper =
+  private[graft] val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
   private val f = JsonNodeFactory.instance
+
+  /** DuckDB's timestamp text: seconds always present (LocalDateTime
+    * .toString drops ":00" seconds, diverging on every whole-minute
+    * value), fractional micros only when nonzero, trailing zeros
+    * trimmed — '2024-01-01 00:00:00', '... 01:02:03.5'.
+    */
+  private[functions] def timestampText(micros: Long): String = {
+    val ldt = DateTimeUtils.microsToLocalDateTime(micros)
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+      f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:" +
+      f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    val us = ldt.getNano / 1000
+    if (us == 0) base
+    else {
+      var frac = f"$us%06d"
+      while (frac.endsWith("0")) frac = frac.dropRight(1)
+      s"$base.$frac"
+    }
+  }
 
   def toNode(dt: DataType, v: Any): JsonNode = {
     if (v == null) return f.nullNode()
@@ -46,9 +65,8 @@ object JsonBuild {
       case StringType => f.textNode(v.toString)
       case DateType => f.textNode(
         DateTimeUtils.daysToLocalDate(v.asInstanceOf[Int]).toString)
-      case TimestampType | TimestampNTZType => f.textNode(
-        DateTimeUtils.microsToLocalDateTime(v.asInstanceOf[Long])
-          .toString.replace('T', ' '))
+      case TimestampType | TimestampNTZType =>
+        f.textNode(timestampText(v.asInstanceOf[Long]))
       case ArrayType(et, _) =>
         val arr = v.asInstanceOf[ArrayData]
         val out = f.arrayNode(arr.numElements())

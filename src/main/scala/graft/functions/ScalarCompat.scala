@@ -336,7 +336,10 @@ object ScalarCompat {
     else if (n.isBoolean) "BOOLEAN"
     else if (n.isNull) "NULL"
     else if (n.isIntegralNumber)
-      { if (n.asLong() >= 0) "UBIGINT" else "BIGINT" }
+      // bigIntegerValue, not asLong: integers above Long.MaxValue
+      // (DuckDB's UBIGINT range) wrap/saturate under asLong and would
+      // misreport the sign.
+      { if (n.bigIntegerValue().signum() >= 0) "UBIGINT" else "BIGINT" }
     else "DOUBLE"
 
   /** json_type 1-arg: DuckDB's type-name vocabulary — non-negative
@@ -448,5 +451,149 @@ object ScalarCompat {
       }
     UTF8String.fromString(jsonMapper.writeValueAsString(
       merge(jsonMapper.readTree(a.toString), jsonMapper.readTree(b.toString))))
+  }
+
+  // -----------------------------------------------------------------
+  // DuckDB regexp options family (round 19): regexp_replace is
+  // FIRST-match-only unless the options string carries 'g'; options
+  // also apply to regexp_matches / regexp_extract[_all]. Replacement
+  // backrefs are RE2 rewrites (\0 whole match, \1..\9 groups, \\ a
+  // backslash, $ LITERAL) — not Java's $N. Patterns are thread-locally
+  // cached (LRU 64): options are constants and patterns near-always
+  // are, so the hot path compiles once per task thread.
+  // -----------------------------------------------------------------
+
+  private val rxCache: ThreadLocal[java.util.LinkedHashMap[String,
+      java.util.regex.Pattern]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, java.util.regex.Pattern](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.util.regex.Pattern]) =
+          size() > 64
+      })
+
+  private def rxCompiled(p: String, flags: Int): java.util.regex.Pattern = {
+    val key = flags.toString + " " + p
+    val c = rxCache.get()
+    var pat = c.get(key)
+    if (pat == null) { pat = java.util.regex.Pattern.compile(p, flags); c.put(key, pat) }
+    pat
+  }
+
+  /** DuckDB option chars → (Java flags, global). 'c' is the
+    * case-sensitive default; 'm'/'n'/'p' (newline-sensitive) are Java's
+    * default dot semantics already; unknown chars raise the host's
+    * error; 'g' outside regexp_replace raises the host's targeted one.
+    */
+  private def rxOpts(opts: String, allowGlobal: Boolean): (Int, Boolean) = {
+    var flags = 0; var global = false
+    var i = 0
+    while (i < opts.length) {
+      opts.charAt(i) match {
+        case 'c' | 'm' | 'n' | 'p' =>
+        case 'i' => flags |= java.util.regex.Pattern.CASE_INSENSITIVE |
+          java.util.regex.Pattern.UNICODE_CASE
+        case 's' => flags |= java.util.regex.Pattern.DOTALL
+        case 'l' => flags |= java.util.regex.Pattern.LITERAL
+        case 'g' =>
+          if (allowGlobal) global = true
+          else throw new IllegalArgumentException(
+            "Option 'g' (global replace) is only valid for regexp_replace")
+        case c => throw new IllegalArgumentException(
+          s"Unrecognized Regex option $c")
+      }
+      i += 1
+    }
+    (flags, global)
+  }
+
+  /** RE2 rewrite expansion into sb; false = invalid rewrite (lone or
+    * unknown escape, group out of range) — RE2 then leaves the INPUT
+    * unchanged, which the caller mimics.
+    */
+  private def rxExpand(rep: String, m: java.util.regex.Matcher,
+      sb: java.lang.StringBuilder): Boolean = {
+    var i = 0
+    while (i < rep.length) {
+      val c = rep.charAt(i)
+      if (c == '\\') {
+        if (i + 1 >= rep.length) return false
+        val d = rep.charAt(i + 1)
+        if (d == '\\') { sb.append('\\'); i += 2 }
+        else if (d >= '0' && d <= '9') {
+          val g = d - '0'
+          if (g > m.groupCount()) return false
+          val gv = m.group(g)
+          if (gv != null) sb.append(gv)
+          i += 2
+        } else return false
+      } else { sb.append(c); i += 1 }
+    }
+    true
+  }
+
+  def duckRegexpReplace(s: UTF8String, p: UTF8String, r: UTF8String,
+      opts: UTF8String): UTF8String = {
+    val (flags, global) = rxOpts(opts.toString, allowGlobal = true)
+    val input = s.toString
+    val m = rxCompiled(p.toString, flags).matcher(input)
+    val rep = r.toString
+    val sb = new java.lang.StringBuilder
+    var last = 0       // input copied through here
+    var prevEnd = -1   // end of the previous REPLACED match
+    var searchFrom = 0
+    var done = false
+    while (!done && searchFrom <= input.length && m.find(searchFrom)) {
+      if (m.start() == m.end() && m.start() == prevEnd) {
+        // RE2 skips an empty match abutting the previous match's end.
+        searchFrom = m.end() + 1
+      } else {
+        sb.append(input, last, m.start())
+        if (!rxExpand(rep, m, sb)) return s
+        last = m.end(); prevEnd = m.end()
+        searchFrom = if (m.end() == m.start()) m.end() + 1 else m.end()
+        if (!global) done = true
+      }
+    }
+    sb.append(input, last, input.length)
+    UTF8String.fromString(sb.toString)
+  }
+
+  def duckRegexpMatches(s: UTF8String, p: UTF8String,
+      opts: UTF8String): Boolean = {
+    val (flags, _) = rxOpts(opts.toString, allowGlobal = false)
+    rxCompiled(p.toString, flags).matcher(s.toString).find()
+  }
+
+  def duckRegexpExtract(s: UTF8String, p: UTF8String, group: Long,
+      opts: UTF8String): UTF8String = {
+    val (flags, _) = rxOpts(opts.toString, allowGlobal = false)
+    val m = rxCompiled(p.toString, flags).matcher(s.toString)
+    if (!m.find()) return UTF8String.EMPTY_UTF8
+    val g = group.toInt
+    if (g < 0 || g > m.groupCount()) throw new IllegalArgumentException(
+      s"group index $g is out of range for pattern ${p.toString}")
+    val gv = m.group(g)
+    if (gv == null) UTF8String.EMPTY_UTF8 else UTF8String.fromString(gv)
+  }
+
+  def duckRegexpExtractAll(s: UTF8String, p: UTF8String, group: Long,
+      opts: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (flags, _) = rxOpts(opts.toString, allowGlobal = false)
+    val m = rxCompiled(p.toString, flags).matcher(s.toString)
+    val g = group.toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    while (m.find()) {
+      if (g < 0 || g > m.groupCount()) throw new IllegalArgumentException(
+        s"group index $g is out of range for pattern ${p.toString}")
+      val gv = m.group(g)
+      out += (if (gv == null) UTF8String.EMPTY_UTF8
+        else UTF8String.fromString(gv))
+      if (m.end() == m.start() && m.end() < s.toString.length) {
+        // zero-width: Matcher.find() self-advances, nothing to do
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 }

@@ -127,7 +127,7 @@ object TextAnalysis {
     val stopArr = array(gopherStop.map(lit): _*)
     def occ(sub: String) =
       ((length(col(textCol)) -
-        length(regexp_replace(col(textCol), java.util.regex.Pattern.quote(sub), ""))) /
+        length(SparkCols.regexpReplaceAll(col(textCol), java.util.regex.Pattern.quote(sub), ""))) /
         sub.length).cast("long")
     docs.select(
       col(idCol).as("doc_id"),
@@ -354,8 +354,8 @@ object TextAnalysis {
     * normalization-insensitive dedup. Pure codegen'd builtins, row-local.
     */
   def normalizeForDedup(textCol: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(lower(textCol), "[^a-z0-9 ]", " "),
+    trim(SparkCols.regexpReplaceAll(
+      SparkCols.regexpReplaceAll(lower(textCol), "[^a-z0-9 ]", " "),
       " +", " "))
 
   /** PII redaction patterns — written in the common RE2 ∩ java.util.regex
@@ -385,7 +385,7 @@ object TextAnalysis {
     val (cleaned, counts) =
       piiPatterns.foldLeft((col(textCol), Vector.empty[Column])) {
         case ((c, acc), (pat, tag)) =>
-          (regexp_replace(c, pat, tag),
+          (SparkCols.regexpReplaceAll(c, pat, tag),
             acc :+ size(regexp_extract_all(c, lit(pat), lit(0))).cast("long"))
       }
     docs.select(col(idCol).as("doc_id"), cleaned.as("clean_text"),

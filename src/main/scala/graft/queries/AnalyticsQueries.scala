@@ -4100,6 +4100,120 @@ object AnalyticsQueries {
            (MAP {'a': 1, 'b': 2})['b'][1] AS mlit""")
   }
 
+  // Raw-backslash literals + the regexp options family (round 19,
+  // verdict-18 #1): the statement below runs as IDENTICAL TEXT on both
+  // engines — '\d'/'\s'/'\w' classes reach the regex engine with their
+  // backslashes (sql/DuckLiterals doubles them at parser entry; Spark's
+  // one unescape restores DuckDB's no-escape literal semantics), and
+  // regexp_replace carries DuckDB's contract: FIRST match only without
+  // options, 'g' for global, 'i' case-fold, RE2 \N replacement backrefs
+  // ($N is literal text). functions/ScalarCompat.duckRegexpReplace.
+  declare("q165_raw_backslash",
+    """SELECT doc_id,
+         regexp_matches(text, '\d+') AS has_num,
+         regexp_replace(text, '\s+', '_') AS first_ws,
+         regexp_replace(text, '\s+', '_', 'g') AS all_ws,
+         regexp_replace(text, '(\w+) (\w+)', '\2 \1') AS swapped,
+         regexp_replace(text, '[AEIOU]', '#', 'gi') AS vowels,
+         regexp_extract(text, '\w+', 0) AS first_word,
+         CAST(length('\') AS INT) AS bs1, CAST(length('\\') AS INT) AS bs2
+       FROM documents WHERE doc_id <= 200 ORDER BY doc_id""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT doc_id,
+           regexp_matches(text, '\d+') AS has_num,
+           regexp_replace(text, '\s+', '_') AS first_ws,
+           regexp_replace(text, '\s+', '_', 'g') AS all_ws,
+           regexp_replace(text, '(\w+) (\w+)', '\2 \1') AS swapped,
+           regexp_replace(text, '[AEIOU]', '#', 'gi') AS vowels,
+           regexp_extract(text, '\w+', 0) AS first_word,
+           CAST(length('\') AS INT) AS bs1, CAST(length('\\') AS INT) AS bs2
+         FROM documents WHERE doc_id <= 200 ORDER BY doc_id""")
+  }
+
+  // Enum definition order (round 19, verdict-18 #5): ORDER BY on an
+  // enum cast and enum-vs-enum comparisons honor declaration order
+  // (sql/EnumTypes.ordRewrite → graft_enum_ord index CASE); enum vs
+  // bare VARCHAR stays lexicographic like the host (probed). Identical
+  // statement text on both engines.
+  declare("q166_enum_order",
+    """CREATE TYPE graft_sev AS ENUM ('low', 'mid', 'high');
+       SELECT string_agg(x, ',' ORDER BY x::graft_sev) AS ord,
+         max('low'::graft_sev < 'mid'::graft_sev) AS lt,
+         max('high'::graft_sev <= 'mid'::graft_sev) AS le,
+         max('mid'::graft_sev > 'low') AS vs_varchar
+       FROM (VALUES ('high'),('low'),('mid')) t(x)""") { (spark, sfDir) =>
+    spark.sql("DROP TYPE IF EXISTS graft_sev")
+    spark.sql("CREATE TYPE graft_sev AS ENUM ('low', 'mid', 'high')")
+    spark.sql(
+      """SELECT string_agg(x, ',' ORDER BY x::graft_sev) AS ord,
+           max('low'::graft_sev < 'mid'::graft_sev) AS lt,
+           max('high'::graft_sev <= 'mid'::graft_sev) AS le,
+           max('mid'::graft_sev > 'low') AS vs_varchar
+         FROM (VALUES ('high'),('low'),('mid')) t(x)""")
+  }
+
+  // ATTACH/DETACH (round 19, verdict-18 #4): a parquet DIRECTORY
+  // attaches as a database of external tables addressed name.<table>.
+  // The Spark side runs the real ATTACH statements; the oracle computes
+  // the same result over its plain views (DuckDB's own ATTACH wants a
+  // .duckdb file — the directory form is this engine's mapping of the
+  // construct, so the RESULT is what's cross-checked).
+  declare("q167_attach_db",
+    """SELECT r.r_name, count(*) AS n_nations
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name ORDER BY r.r_name""") { (spark, sfDir) =>
+    spark.sql("DETACH IF EXISTS graft_ext")
+    spark.sql(s"ATTACH '$sfDir' AS graft_ext (READ_ONLY)")
+    val out = spark.sql(
+      """SELECT r.r_name, count(*) AS n_nations
+         FROM graft_ext.nation n
+         JOIN graft_ext.region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name ORDER BY r.r_name""").cache()
+    out.count() // materialize before DETACH drops the tables
+    spark.sql("DETACH graft_ext")
+    out
+  }
+
+  // json_transform[_strict] (round 19, verdict-18 #6): the JSON
+  // structure argument translates to a Spark schema (type-spelling
+  // map) and lands on from_json. Identical text on both engines; the
+  // per-row arm reshapes json built FROM the documents table.
+  declare("q168_json_transform",
+    """SELECT doc_id,
+         (json_transform(json_object('len', length(text), 'head',
+            substr(text, 1, 8)), '{"len": "BIGINT", "head": "VARCHAR"}')).len
+           AS jlen,
+         (json_transform('{"a": 1, "b": "x"}',
+            '{"a": "INTEGER", "b": "VARCHAR", "c": "DOUBLE"}')).b AS jb,
+         (json_transform('{"a": 1}', '{"a": "INTEGER", "c": "DOUBLE"}')).c
+           IS NULL AS jmiss,
+         array_to_string(json_transform('[1.5, 2.5]', '["DOUBLE"]'), ',')
+           AS jlist,
+         (json_transform('{"n": {"x": 7}}', '{"n": {"x": "BIGINT"}}')).n.x
+           AS jnest,
+         (json_transform('{"d": "2024-01-02"}', '{"d": "DATE"}')).d AS jdate
+       FROM documents WHERE doc_id < 50 ORDER BY doc_id""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT doc_id,
+           (json_transform(json_object('len', length(text), 'head',
+              substr(text, 1, 8)), '{"len": "BIGINT", "head": "VARCHAR"}')).len
+             AS jlen,
+           (json_transform('{"a": 1, "b": "x"}',
+              '{"a": "INTEGER", "b": "VARCHAR", "c": "DOUBLE"}')).b AS jb,
+           (json_transform('{"a": 1}', '{"a": "INTEGER", "c": "DOUBLE"}')).c
+             IS NULL AS jmiss,
+           array_to_string(json_transform('[1.5, 2.5]', '["DOUBLE"]'), ',')
+             AS jlist,
+           (json_transform('{"n": {"x": 7}}', '{"n": {"x": "BIGINT"}}')).n.x
+             AS jnest,
+           (json_transform('{"d": "2024-01-02"}', '{"d": "DATE"}')).d AS jdate
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -128,8 +128,9 @@ object CopyToRewrite {
     // DELIMITER/QUOTE/ESCAPE/NULL are CSV notions on both engines.
     if ((delimiter.isDefined || quote.isDefined || escape.isDefined ||
       nullStr.isDefined) && fmt != "csv") return None
+    // Quote-doubling only (DuckLiterals entry doubling rides along).
     def lit(s: String) =
-      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+      "'" + s.replace("'", "''") + "'"
     // Extra writer/reader options ride as one 'k=v;k=v' argument so the
     // TVF arities stay stable ('=' / ';' cannot appear in the values:
     // codec names are words and any option value containing them

@@ -35,6 +35,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     GraftSparkExtensions.duckdbAliasFns.foreach(ext.injectFunction)
     GraftSparkExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectParser((_, delegate) => new GraftHintParser(delegate))
+    // Grouped 1-arg bitstring_agg → column-wide range (ADVICE-18 #1).
+    ext.injectOptimizerRule(_ => BitstringGlobalRange)
   }
 }
 
@@ -747,6 +749,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               val close = text.indexOf(marker, start)
               if (close < 0) return None // unclosed — not the construct
               val raw = text.substring(start, close)
+              // Dollar-quote innards are RAW (the DuckLiterals entry
+              // scan skips $...$), so this embedding doubles
+              // backslashes itself: the one unescape at re-parse
+              // restores them.
               sb.append('\'')
                 .append(raw.replace("\\", "\\\\").replace("'", "''"))
                 .append('\'')
@@ -809,7 +815,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
         else if (base.endsWith(".json") || base.endsWith(".jsonl") ||
           base.endsWith(".ndjson")) "read_json_auto"
         else return None
-      val relit = path.replace("\\", "\\\\").replace("'", "''")
+      val relit = path.replace("'", "''") // raw backslashes: DuckLiterals scope
       sb.append(text.substring(pos, kwEnd))
         .append(s" $reader('$relit')")
       pos = k
@@ -992,13 +998,12 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "(\\p{Alpha} classes / (?<name>...) groups).")))
         }
       val not = m.group(1) != null
-      // Backslashes double throughout — the rewritten text re-parses as
-      // a Spark '...' literal whose unescape strips one level, while
-      // DuckDB (the semantics being matched) does no escape processing
-      // in standard string literals. Applies to the user's pattern AND
-      // the added \A/\z anchors.
+      // The pattern slice already carries THIS level's backslash
+      // doubling (DuckLiterals entry transform), so it embeds as-is;
+      // only the added \A/\z anchors need their own doubling to
+      // survive the one unescape at re-parse.
       out.append(if (not) "NOT RLIKE" else "RLIKE")
-        .append(" '\\\\A(?:").append(pat.replace("\\", "\\\\")).append(")\\\\z'")
+        .append(" '\\\\A(?:").append(pat).append(")\\\\z'")
       pos = k
     }
     out.append(text.substring(pos))
@@ -1089,6 +1094,13 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
   private val tildeRe = "(?s).*~.*".r
   private val atTimeZoneRe = "(?is).*\\bAT\\s+TIME\\s+ZONE\\b.*".r
   private val attachRe = "(?is)\\A\\s*(?:ATTACH|DETACH)\\b.*".r
+  // ATTACH [DATABASE] [IF NOT EXISTS] '<path>' [AS name] [(READ_ONLY)]
+  private val attachStmtRe =
+    ("""(?is)\A\s*ATTACH\s+(?:DATABASE\s+)?(IF\s+NOT\s+EXISTS\s+)?""" +
+      """'([^']+)'\s*(?:AS\s+([A-Za-z_]\w*)\s*)?""" +
+      """(\(\s*READ_ONLY\s*\)\s*)?;?\s*\z""").r
+  private val detachStmtRe =
+    """(?is)\A\s*DETACH\s+(?:DATABASE\s+)?(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*\z""".r
   private val seqHintRe =
     "(?is)\\A\\s*(?:CREATE|DROP)\\s+SEQUENCE\\b.*".r
   private val setVariableRe =
@@ -1285,7 +1297,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             () => text match { case summarizeTableRe(tbl) =>
               Some(s"SELECT * FROM summarize('$tbl')"); case _ => None },
             () => text match { case summarizeQueryRe(q) =>
-              Some(s"SELECT * FROM summarize('${q.replace("\\", "\\\\").replace("'", "''")}')")
+              Some(s"SELECT * FROM summarize('${q.replace("'", "''")}')")
               case _ => None },
             () => text match { case usingKeyRe() =>
               UsingKeyRewrite.rewrite(text); case _ => None },
@@ -1742,11 +1754,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
                   "from_utc_timestamp(ts, 'zone') directly; the session " +
                   "displays instants in spark.sql.session.timeZone.")
               case attachRe() =>
-                Some("ATTACH/DETACH are DuckDB-engine-specific. The " +
-                  "Spark equivalents are catalogs and external tables: " +
-                  "register a catalog in spark.sql.catalog.<name> conf, " +
-                  "or read the foreign data directly " +
-                  "(read_parquet('path'), spark.read.jdbc).")
+                Some("ATTACH '<directory>' AS name runs automatically " +
+                  "(every parquet file under the directory registers as " +
+                  "name.<table>; DETACH name drops them), but this " +
+                  "statement's shape declined. Database-FILE attaches " +
+                  "(.duckdb) are DuckDB-engine-specific — register a " +
+                  "catalog in spark.sql.catalog.<name> conf, or read " +
+                  "the foreign data directly (read_parquet('path'), " +
+                  "spark.read.jdbc).")
               case seqHintRe() =>
                 Some("CREATE/DROP SEQUENCE with a plain identifier name " +
                   "and START/INCREMENT/MINVALUE/MAXVALUE/[NO] CYCLE " +
@@ -1899,8 +1914,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
         if (ok && ns.nonEmpty) {
           val payload = GraftSparkExtensions.NamedOptsMarker +
             ns.map { case (k, x) => k + "\u001F" + x }.mkString("\u001E")
-          val lit = "'" + payload.replace("\\", "\\\\")
-            .replace("'", "''") + "'"
+          val lit = "'" + payload.replace("'", "''") + "'"
           sb.append(text.substring(pos, open + 1))
             .append((keep.result() :+ lit).mkString(", "))
           pos = close - 1
@@ -2144,6 +2158,30 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     // CREATE TYPE ... AS ENUM / DROP TYPE (round 18 — sql/EnumTypes):
     // session enum registry; casts claim in the failure chain.
     case EnumDdlRewritten(r) => r
+    // ATTACH '<dir>' AS name / DETACH name (round 19): parquet
+    // directories become session-catalog databases (attach_db TVF);
+    // .duckdb-file attaches keep the targeted hint below.
+    case attachStmtRe(ifne, path, alias, _) =>
+      val lower = path.toLowerCase
+      if (lower.endsWith(".duckdb") || lower.endsWith(".db") ||
+        lower.endsWith(".sqlite") || path == ":memory:" ||
+        lower.startsWith("md:"))
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            ("ATTACH of a database FILE is DuckDB-engine-specific (no " +
+              ".duckdb reader here). ATTACH '<directory>' AS name runs " +
+              "automatically — every parquet file under the directory " +
+              "registers as name.<table>.")))
+      val dbName = Option(alias).map(_.trim).filter(_.nonEmpty).getOrElse {
+        val base = path.replaceAll("[/\\\\]+$", "")
+        base.substring(base.lastIndexOf('/').max(base.lastIndexOf('\\')) + 1)
+          .replaceAll("\\.[A-Za-z0-9]+$", "")
+      }
+      s"SELECT * FROM attach_db('${path.replace("'", "''")}', " +
+        s"'${dbName.replace("'", "''")}', '${ifne != null}')"
+    case detachStmtRe(ife, name) =>
+      s"SELECT * FROM detach_db('$name', '${ife != null}')"
     // ASOF JOIN must ALSO be caught before delegation, not only in the
     // parse-failure chain: without an explicit left alias Spark PARSES
     // `FROM l ASOF JOIN r ...` with `l` aliased "ASOF" — the ON form
@@ -2287,23 +2325,31 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       case None => plan
     }
   }
+  // Entry points double literal backslashes ONCE (sql/DuckLiterals):
+  // the one unescape at parse consumes the doubling, so values carry
+  // DuckDB's raw-literal semantics; rewrites and TVF re-entries stay
+  // level-consistent (see DuckLiterals' scaladoc).
   override def parsePlan(sqlText: String): LogicalPlan = {
-    val pre = preRewrite(sqlText)
+    val pre = preRewrite(DuckLiterals.doubleBackslashes(sqlText))
     withHint(pre, parseDuckOrdered(_, delegate.parsePlan))(
       parseDuckOrdered(pre, delegate.parsePlan))
   }
   override def parseQuery(sqlText: String): LogicalPlan = {
-    val pre = preRewrite(sqlText)
+    val pre = preRewrite(DuckLiterals.doubleBackslashes(sqlText))
     withHint(pre, parseDuckOrdered(_, delegate.parseQuery))(
       parseDuckOrdered(pre, delegate.parseQuery))
   }
   override def parsePlanWithParameters(
       sqlText: String, parameters: ParameterContext): LogicalPlan = {
-    val pre = preRewrite(sqlText)
+    val pre = preRewrite(DuckLiterals.doubleBackslashes(sqlText))
     withHint(pre, parseDuckOrdered(_, delegate.parsePlanWithParameters(_, parameters)))(
       parseDuckOrdered(pre, delegate.parsePlanWithParameters(_, parameters)))
   }
-  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  // Expression fragments (TVF-spliced SET/WHERE texts, df.selectExpr)
+  // get the same treatment: by the time a fragment reaches expr() it is
+  // back at DuckDB level (its embedding literal was unescaped once).
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(DuckLiterals.doubleBackslashes(sqlText))
   override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)
   override def parseFunctionIdentifier(sqlText: String) = delegate.parseFunctionIdentifier(sqlText)
   override def parseMultipartIdentifier(sqlText: String) = delegate.parseMultipartIdentifier(sqlText)
@@ -2363,6 +2409,57 @@ object GraftSparkExtensions {
     * (sql/EnumTypes holds the session registry; the name argument must
     * be a foldable string).
     */
+  /** json_transform structure → Spark schema → JsonToStructs. */
+  private def jsonTransformExpr(j: Expression, structure: Expression,
+      strict: Boolean): Expression = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructField,
+      StructType}
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+    if (!structure.foldable || structure.dataType != StringType)
+      fail("json_transform: the structure argument must be a constant JSON string")
+    val sv = structure.eval(null)
+    if (sv == null) fail("json_transform: the structure must not be NULL")
+    val node =
+      try graft.functions.JsonBuild.mapper.readTree(sv.toString)
+      catch { case scala.util.control.NonFatal(_) =>
+        fail(s"json_transform: malformed JSON structure: ${sv.toString.take(80)}") }
+    def toType(n: com.fasterxml.jackson.databind.JsonNode): DataType =
+      if (n.isTextual) {
+        val raw = n.asText.trim
+        val mapped = raw.toUpperCase match {
+          case "VARCHAR" | "TEXT" | "BPCHAR" | "JSON" => "STRING"
+          case "BLOB" => "BINARY"
+          case "UTINYINT" => "SMALLINT"
+          case "USMALLINT" => "INT"
+          case "UINTEGER" => "BIGINT"
+          case "UBIGINT" => "DECIMAL(20,0)"
+          case "HUGEINT" => "DECIMAL(38,0)"
+          case "TIMESTAMPTZ" => "TIMESTAMP"
+          case other => other
+        }
+        try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(mapped)
+        catch { case scala.util.control.NonFatal(_) =>
+          fail(s"json_transform: unknown type spelling '$raw'") }
+      } else if (n.isObject) {
+        val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+        n.fields().forEachRemaining(e =>
+          fields += StructField(e.getKey, toType(e.getValue)))
+        StructType(fields.toSeq)
+      } else if (n.isArray && n.size() == 1) {
+        ArrayType(toType(n.get(0)), containsNull = true)
+      } else fail("json_transform: structure must be an object, a " +
+        "one-element array, or a type-name string (nested freely)")
+    val dt = toType(node)
+    if (!dt.isInstanceOf[StructType] && !dt.isInstanceOf[ArrayType])
+      fail("json_transform: a scalar top-level structure has no " +
+        "from_json mapping here — wrap it in an object or use ::TYPE")
+    org.apache.spark.sql.catalyst.expressions.JsonToStructs(dt,
+      if (strict) Map("mode" -> "FAILFAST") else Map.empty[String, String], j)
+  }
+
   private def enumCastExpr(nameE: Expression, x: Expression,
       tryMode: Boolean): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{ArrayContains, Cast,
@@ -2494,7 +2591,33 @@ object GraftSparkExtensions {
       aliasFn("string_split_regex", (2, 2))(a =>
         StringSplit(a(0), a(1), Literal(-1))),
       aliasFn("len", (1, 1))(a => graft.functions.Len(a(0))),
-      aliasFn("regexp_matches", (2, 2))(a => RLike(a(0), a(1))),
+      aliasFn("regexp_matches", (2, 3))(a =>
+        if (a.size == 2) RLike(a(0), a(1))
+        else StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
+          org.apache.spark.sql.types.BooleanType, "duckRegexpMatches",
+          Seq(a(0), a(1), a(2)),
+          inputTypes = Seq(StringType, StringType, StringType))),
+      // DuckDB's regexp_replace: FIRST match only unless options carry
+      // 'g'; RE2 \N rewrite backrefs ($N is literal); i/s/l/c/m/n/p
+      // option chars. Spark's positional 4-arg form (an INTEGER 4th
+      // argument) still routes native.
+      aliasFn("regexp_replace", (3, 4))(a => {
+        import org.apache.spark.sql.types.{IntegerType => IT, LongType => LT,
+          ShortType => ShT, ByteType => BT}
+        val positional = a.size == 4 &&
+          (a(3).dataType match {
+            case IT | LT | ShT | BT => true
+            case _ => false
+          })
+        if (positional)
+          org.apache.spark.sql.catalyst.expressions.RegExpReplace(
+            a(0), a(1), a(2), Cast(a(3), IT))
+        else StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
+          StringType, "duckRegexpReplace",
+          Seq(a(0), a(1), a(2),
+            if (a.size > 3) a(3) else Literal("")),
+          inputTypes = Seq(StringType, StringType, StringType, StringType))
+      }),
       // Full-string match (what DuckDB's SIMILAR TO desugars to):
       // anchor the pattern and reuse find-semantics RLike. The Literal
       // values hold runtime \A/\z — no SQL-literal escaping at the
@@ -2950,7 +3073,7 @@ object GraftSparkExtensions {
         // regexp_extract[_all]: DuckDB's 2-arg default is group 0 (the
         // whole match); Spark's native default of 1 errors on
         // group-less patterns.
-        aliasFn("regexp_extract", (2, 3)) { a =>
+        aliasFn("regexp_extract", (2, 4)) { a =>
           import org.apache.spark.sql.catalyst.expressions.{CreateArray,
             CreateNamedStruct, RegExpExtract}
           // 3rd-arg NAME LIST (round 18): DuckDB returns a STRUCT of
@@ -2977,13 +3100,29 @@ object GraftSparkExtensions {
               CreateNamedStruct(names.zipWithIndex.flatMap { case (n, i) =>
                 Seq(Literal(n), RegExpExtract(a(0), a(1), Literal(i + 1)))
               })
+            case None if a.size == 4 =>
+              // 4th-arg OPTIONS string (round 19).
+              StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
+                StringType, "duckRegexpExtract",
+                Seq(a(0), a(1),
+                  Cast(a(2), org.apache.spark.sql.types.LongType), a(3)),
+                inputTypes = Seq(StringType, StringType,
+                  org.apache.spark.sql.types.LongType, StringType))
             case None =>
               RegExpExtract(a(0), a(1), if (a.size > 2) a(2) else Literal(0))
           }
         },
-        aliasFn("regexp_extract_all", (2, 3))(a =>
-          org.apache.spark.sql.catalyst.expressions.RegExpExtractAll(a(0), a(1),
-            if (a.size > 2) a(2) else Literal(0))),
+        aliasFn("regexp_extract_all", (2, 4))(a =>
+          if (a.size == 4)
+            StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
+              org.apache.spark.sql.types.ArrayType(StringType, false),
+              "duckRegexpExtractAll",
+              Seq(a(0), a(1),
+                Cast(a(2), org.apache.spark.sql.types.LongType), a(3)),
+              inputTypes = Seq(StringType, StringType,
+                org.apache.spark.sql.types.LongType, StringType))
+          else org.apache.spark.sql.catalyst.expressions.RegExpExtractAll(
+            a(0), a(1), if (a.size > 2) a(2) else Literal(0))),
         aliasFn("format_bytes", (1, 1))(a =>
           StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
             StringType, "formatBytes",
@@ -3077,8 +3216,16 @@ object GraftSparkExtensions {
               org.apache.spark.sql.types.LongType))),
         aliasFn("map_extract", (2, 2))(a =>
           graft.functions.DuckIndex(a(0), a(1))),
-        aliasFn("bitstring_agg", (1, 3))(a =>
-          graft.functions.BitstringAgg(a(0), a.lift(1), a.lift(2))),
+        aliasFn("bitstring_agg", (1, 3))(a => {
+          // DuckDB has no 2-arg form — accepting one would silently
+          // drop the explicit min bound and run the observed-range
+          // path instead. Binder error, like the host.
+          if (a.size == 2) throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION",
+            Map("errorMessage" ->
+              "bitstring_agg expects 1 or 3 arguments (value[, min, max]), got 2"))
+          graft.functions.BitstringAgg(a(0), a.lift(1), a.lift(2))
+        }),
         aliasFn("graft_factorial", (1, 1))(a =>
           StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
             org.apache.spark.sql.types.DecimalType(38, 0), "duckFactorial",
@@ -3091,6 +3238,33 @@ object GraftSparkExtensions {
         // (graft_enum_try, the TRY_CAST form).
         aliasFn("graft_enum", (2, 2))(a => enumCastExpr(a(0), a(1), tryMode = false)),
         aliasFn("graft_enum_try", (2, 2))(a => enumCastExpr(a(0), a(1), tryMode = true)),
+        // Definition-order index (round 19): validated cast → 1-based
+        // member index via array_position, so ORDER BY/comparisons on
+        // enum casts honor declaration order like the host (NULL in →
+        // NULL out; out-of-range raises through the inner graft_enum).
+        aliasFn("graft_enum_ord", (2, 2))(a => {
+          import org.apache.spark.sql.catalyst.expressions.{ArrayPosition,
+            CreateArray}
+          require(a(0).foldable && a(0).dataType == StringType,
+            "graft_enum_ord: the type name must be a constant string")
+          val name = a(0).eval(null).toString
+          val vals = graft.sql.EnumTypes.get(name).getOrElse(
+            throw new org.apache.spark.sql.AnalysisException(
+              "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+                s"Type with name $name does not exist!")))
+          ArrayPosition(CreateArray(vals.map(v => Literal(v))),
+            enumCastExpr(a(0), a(1), tryMode = false))
+        }),
+        // DuckDB json_transform[_strict] (round 19, verdict-18 #6): the
+        // JSON structure argument (leaf values = DuckDB type spellings,
+        // objects / one-element arrays = struct/list nesting) translates
+        // to a Spark schema via the same spelling map the reader
+        // columns={...} option uses, landing on from_json. Non-strict
+        // nulls failed leaf casts like the host; _strict FAILFASTs.
+        aliasFn("json_transform", (2, 2))(a =>
+          jsonTransformExpr(a(0), a(1), strict = false)),
+        aliasFn("json_transform_strict", (2, 2))(a =>
+          jsonTransformExpr(a(0), a(1), strict = true)),
         // ::JSON / CAST(x AS JSON) landing pads (functions/JsonBuild).
         aliasFn("graft_json_cast", (1, 1))(a =>
           graft.functions.JsonCastExpr(a(0), tryMode = false)),
@@ -5775,6 +5949,79 @@ object GraftSparkExtensions {
         Seq.empty)
     })
 
+  /** ATTACH '<dir>' AS name (round 19, verdict-18 #4): registers every
+    * parquet file (and dataset subdirectory) under <dir> as an EXTERNAL
+    * table `name.<base>` in a session-catalog database, so pasted
+    * multi-database scripts address `name.tbl` exactly as in DuckDB.
+    * `.duckdb`-file attaches have no reader here and keep the targeted
+    * hint (raised at the preRewrite claim). READ_ONLY is accepted and
+    * recorded only in spirit — external parquet tables take no writes
+    * through this lane anyway. DETACH drops the database (CASCADE;
+    * external tables: files untouched). Eager ctl TVFs, the
+    * TempTables/catalog_pk_ctl pattern: work happens once at analysis,
+    * result is DuckDB's empty Count shape.
+    */
+  val attachDbFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("attach_db"), info("attach_db"), (args: Seq[Expression]) => {
+      require(args.size == 3 && args.forall(_.foldable),
+        "attach_db(path, name, ifNotExists) — constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      val path = asString(v(0)); val name = asString(v(1))
+      val ifNotExists = asString(v(2)) == "true"
+      val spark = org.apache.spark.sql.SparkSession.active
+      def fail(msg: String): Nothing =
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+      if (spark.catalog.databaseExists(name)) {
+        if (!ifNotExists)
+          fail(s"""Unique file handle conflict: Database "$name" is already attached!""")
+      } else {
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(hPath) || !fs.getFileStatus(hPath).isDirectory)
+          fail(s"ATTACH: '$path' is not a readable directory (this " +
+            "engine attaches DIRECTORIES of parquet files as databases; " +
+            ".duckdb files have no reader here)")
+        val entries = fs.listStatus(hPath).toSeq
+        val tables = entries.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) None
+          else if (st.isFile &&
+            (n.toLowerCase.endsWith(".parquet") || n.toLowerCase.endsWith(".parq")))
+            Some(n.replaceAll("(?i)\\.(parquet|parq)$", "") -> st.getPath)
+          else if (st.isDirectory) Some(n -> st.getPath)
+          else None
+        }.filter(_._1.matches("[A-Za-z_]\\w*"))
+        if (tables.isEmpty)
+          fail(s"ATTACH: no parquet tables found under '$path'")
+        spark.sql(s"CREATE DATABASE `$name`")
+        tables.foreach { case (tbl, p) =>
+          spark.sql(s"CREATE TABLE `$name`.`$tbl` USING parquet " +
+            s"LOCATION '${p.toString.replace("'", "''")}'")
+        }
+      }
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq.empty)
+    })
+
+  val detachDbFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("detach_db"), info("detach_db"), (args: Seq[Expression]) => {
+      require(args.size == 2 && args.forall(_.foldable),
+        "detach_db(name, ifExists) — constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      val name = asString(v(0)); val ifExists = asString(v(1)) == "true"
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (!spark.catalog.databaseExists(name)) {
+        if (!ifExists) throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            s"""Database "$name" not found"""))
+      } else spark.sql(s"DROP DATABASE `$name` CASCADE")
+      LocalRelation.fromExternalRows(
+        DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
+        Seq.empty)
+    })
+
   private val duckdbTablesSchema = StructType.fromDDL(
     "database_name STRING, schema_name STRING, table_name STRING, " +
       "temporary BOOLEAN, comment STRING")
@@ -5956,6 +6203,8 @@ object GraftSparkExtensions {
     seqCtlFn,
     commentCtlFn,
     catalogPkCtlFn,
+    attachDbFn,
+    detachDbFn,
     duckdbTablesFn,
     duckdbColumnsFn,
     tableInfoFn,

@@ -101,6 +101,10 @@ object ListOpRewrite {
   private[sql] def scanLeftPub(cur: String, m: String, at: Int): Option[Int] =
     scanLeft(cur, m, at)
 
+  /** Right-operand bridge for EnumTypes' comparison wrap. */
+  private[sql] def scanRightPub(cur: String, m: String, from: Int): Option[Int] =
+    scanRight(cur, m, from)
+
   /** Start index of the left operand whose last char sits at `at`
     * (inclusive): mirrors scanRight. Returns the start index.
     */

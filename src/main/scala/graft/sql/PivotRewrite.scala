@@ -28,8 +28,10 @@ object PivotRewrite {
   private val headRe =
     """(?is)\A\s*PIVOT\s+([A-Za-z_]\w*)\s+ON\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)(?:\s+IN\s*\((.*?)\))?\s+USING\s+(.*?)(?:\s+GROUP\s+BY\s+(.*?))?\s*;?\s*\z""".r
 
+  // Quote-doubling only (slices carry the DuckLiterals entry
+  // doubling; one unescape at re-parse consumes it).
   private def esc(s: String) =
-    s.replace("\\", "\\\\").replace("'", "''")
+    s.replace("'", "''")
 
   def rewrite(sql: String): Option[String] = {
     val m = headRe.findFirstMatchIn(sql).getOrElse(return None)

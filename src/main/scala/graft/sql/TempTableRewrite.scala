@@ -66,11 +66,11 @@ object TempTableRewrite {
     """(?is)\A\s*(CREATE\s+(OR\s+REPLACE\s+)?TEMP|INSERT\s+(OR\s+(REPLACE|IGNORE)\s+)?INTO|DROP\s+TABLE)\b""".r
       .findFirstIn(sql).isDefined
 
-  // Backslashes double too: the TVF call is parsed as a '...'
-  // literal whose unescape would otherwise strip them from regexes
-  // in the spliced body.
+  // Quote-doubling only: the spliced slice already carries this
+  // level's backslash doubling (DuckLiterals entry transform); the
+  // one unescape at re-parse consumes it.
   private def esc(s: String) =
-    s.replace("\\", "\\\\").replace("'", "''")
+    s.replace("'", "''")
 
   /** Persistent-catalog presence (NOT temp views — a view upsert must
     * keep DuckDB's error shape, raised by the TVF).

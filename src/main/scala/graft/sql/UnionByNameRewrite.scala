@@ -79,8 +79,9 @@ object UnionByNameRewrite {
     val rhs = sql.substring(rhsStart, trailPos).trim.stripSuffix(";").trim
     val trail = sql.substring(trailPos).trim.stripSuffix(";").trim
     if (lhs.isEmpty || rhs.isEmpty) return None
+    // Quote-doubling only (DuckLiterals entry doubling rides along).
     def lit(s: String) =
-      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+      "'" + s.replace("'", "''") + "'"
     val call = op match {
       case "UNION" => s"union_by_name(${lit(lhs)}, ${lit(rhs)}, $isAll)"
       case _ =>

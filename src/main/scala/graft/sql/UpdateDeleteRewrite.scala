@@ -63,11 +63,11 @@ object UpdateDeleteRewrite {
       }
     } catch { case NonFatal(_) => false }
 
-  // Backslashes double too: the spliced text becomes a '...' SQL
-  // literal whose unescape would otherwise strip them (a regex
-  // '\\d+' in a SET expression would silently become 'd+').
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("'", "''")
+  // Quote-doubling only: the spliced slice already carries this
+  // level's backslash doubling (DuckLiterals entry transform), and the
+  // one unescape at re-parse consumes it — the TVF receives the
+  // fragment at DuckDB level and re-doubles via parseExpression.
+  private def esc(s: String): String = s.replace("'", "''")
 
   private def stripSemi(s: String): String = {
     val t = s.trim

@@ -135,8 +135,10 @@ object UsingKeyRewrite {
       after >= finalSql.length || finalSql.charAt(after) != '.'
     }
     if (bare != 1) return None // a JOIN <name> etc. would not resolve
+    // Quote-doubling only: the slice carries this level's backslash
+    // doubling already (DuckLiterals entry transform).
     def esc(s: String) =
-      s.replace("\\", "\\\\").replace("'", "''")
+      s.replace("'", "''")
     val tvf = s"fixpoint_keyed('${esc(seedSql)}', '${esc(stepSql)}', " +
       s"'${keys.mkString(",")}')"
     Some(fromRe.replaceFirstIn(finalSql,

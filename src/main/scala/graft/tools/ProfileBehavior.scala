@@ -59,7 +59,7 @@ object ProfileBehavior {
     val off = docs.agg(max("doc_id")).head().getLong(0) + 1
     val bigCand = mat((0 until factor).map { k =>
       cand.select((col("doc_id") + lit(k * off)).as("doc_id"),
-        regexp_replace(col("text"), "\\s+", s" n${k}q ").as("text"))
+        graft.operators.SparkCols.regexpReplaceAll(col("text"), "\\s+", s" n${k}q ").as("text"))
     }.reduce(_ union _), "cand")
 
     val emb = Engine.table(spark, sfDir, "embeddings")

@@ -32,7 +32,7 @@ object ProfileDedup {
         val big = (0 until factor).map { k =>
           if (k == 0) base
           else base.select((col("doc_id") + lit(k * boff)).as("doc_id"),
-            regexp_replace(col("text"), "\\s+", s" c${k}z ").as("text"))
+            graft.operators.SparkCols.regexpReplaceAll(col("text"), "\\s+", s" c${k}z ").as("text"))
         }.reduce(_ union _)
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_profdedup/corpus"
         big.write.mode("overwrite").parquet(dir)

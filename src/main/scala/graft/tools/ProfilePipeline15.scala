@@ -31,7 +31,7 @@ object ProfilePipeline15 {
       if (k == 0) docs
       else docs.select((col("doc_id") + lit(k * off)).as("doc_id"),
         concat(col("source"), lit(s"_$k")).as("source"), col("lang"),
-        regexp_replace(col("text"), "\\s+", s" c${k}z ").as("text"),
+        graft.operators.SparkCols.regexpReplaceAll(col("text"), "\\s+", s" c${k}z ").as("text"),
         col("n_chars"))
     }.reduce(_ union _)
     val dDir = s"$scratchBase/docs"

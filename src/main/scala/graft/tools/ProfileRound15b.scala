@@ -31,7 +31,7 @@ object ProfileRound15b {
     val bigDocs = mat((0 until factor).map { k =>
       if (k == 0) docs
       else docs.select((col("doc_id") + lit(k * off)).as("doc_id"),
-        regexp_replace(col("text"), "\\s+", s" s${k}z ").as("text"))
+        graft.operators.SparkCols.regexpReplaceAll(col("text"), "\\s+", s" s${k}z ").as("text"))
     }.reduce(_ union _), "docs")
 
     val emb = Engine.table(spark, sfDir, "embeddings")

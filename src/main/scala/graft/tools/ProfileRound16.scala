@@ -40,7 +40,7 @@ object ProfileRound16 {
       if (k == 0) docs
       else docs.select((col("doc_id") + lit(k * off)).as("doc_id"),
         concat(lit("the quick hotZboiler shared prefix phrase "),
-          regexp_replace(col("text"), "\\s+", s" s${k}z ")).as("text"))
+          graft.operators.SparkCols.regexpReplaceAll(col("text"), "\\s+", s" s${k}z ")).as("text"))
     }.reduce(_ union _), "docs")
     println(s"[r16] docs 1x=${docs.count()} ${factor}x=${bigDocs.count()}")
 
@@ -68,7 +68,7 @@ object ProfileRound16 {
       if (k == 0) docs
       else docs.select((col("doc_id") + lit(k * off)).as("doc_id"),
         concat(lit("the quick hotZboiler shared prefix phrase "),
-          regexp_replace(col("text"), "\\s+", s" s${k}z ")).as("text"))
+          graft.operators.SparkCols.regexpReplaceAll(col("text"), "\\s+", s" s${k}z ")).as("text"))
     }.reduce(_ union _), "cdocs")
     for ((capMode, cap) <- Seq(("capped", Dedup.AutoShingleDf),
         ("uncapped", Long.MaxValue))) {

@@ -39,7 +39,7 @@ object ProfileRound17 {
     val bigDocs = mat((0 until factor).map { k =>
       if (k == 0) docs
       else docs.select((col("doc_id") + lit(k * off)).as("doc_id"),
-        regexp_replace(col("text"), "\\s+", s" s${k}z ").as("text"))
+        graft.operators.SparkCols.regexpReplaceAll(col("text"), "\\s+", s" s${k}z ").as("text"))
     }.reduce(_ union _), "docs")
 
     // The SAME increment (200 docs, 4 batches) probes both archives.
@@ -95,7 +95,7 @@ object ProfileRound17 {
       if (k == 0) docs
       else docs.select((col("doc_id") + lit(k * off)).as("doc_id"),
         concat(lit("the quick hotZboiler shared prefix phrase "),
-          regexp_replace(col("text"), "\\s+", s" s${k}z ")).as("text"))
+          graft.operators.SparkCols.regexpReplaceAll(col("text"), "\\s+", s" s${k}z ")).as("text"))
     }.reduce(_ union _).write.mode("overwrite").parquet(dir)
     val bigDocs = spark.read.parquet(dir)
     println(s"[r17 ops] docs ${factor}x=${bigDocs.count()}")

@@ -77,7 +77,7 @@ object ProfileRound18 {
       if (k == 0) docs
       else docs.select((col("doc_id") + lit(k * off)).as("doc_id"),
         concat(lit("the quick hotZboiler shared prefix phrase "),
-          regexp_replace(col("text"), "\\s+", s" s${k}z ")).as("text"))
+          graft.operators.SparkCols.regexpReplaceAll(col("text"), "\\s+", s" s${k}z ")).as("text"))
     }.reduce(_ union _).write.mode("overwrite").parquet(dir)
     val bigDocs = spark.read.parquet(dir)
     println(s"[r18 ops] docs ${factor}x=${bigDocs.count()}")

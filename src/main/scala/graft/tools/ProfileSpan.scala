@@ -21,7 +21,7 @@ object ProfileSpan {
     val big = (0 until factor).map { k =>
       if (k == 0) docs
       else docs.select((col("doc_id") + lit(k * off)).as("doc_id"),
-        regexp_replace(col("text"), "\\s+", s" c${k}z ").as("text"))
+        graft.operators.SparkCols.regexpReplaceAll(col("text"), "\\s+", s" c${k}z ").as("text"))
     }.reduce(_ union _)
     val dir = s"$scratchBase/corpus"
     big.write.mode("overwrite").parquet(dir)

@@ -90,7 +90,7 @@ object ScaleProbe {
     val big = (0 until factor).map { k =>
       if (k == 0) docs
       else docs.select((col("doc_id") + lit(k * off)).as("doc_id"),
-        regexp_replace(col("text"), "\\s+", s" c${k}z ").as("text"))
+        graft.operators.SparkCols.regexpReplaceAll(col("text"), "\\s+", s" c${k}z ").as("text"))
     }.reduce(_ union _)
     // Materialize so the probe measures dedup over real parquet input,
     // not synthesis fused into the dedup plan.

@@ -474,6 +474,24 @@ class Round18DialectSpec extends AnyFunSuite {
       == Seq(Seq(null)))
   }
 
+  test("bitstring_agg: grouped 1-arg uses the COLUMN-WIDE range (r19)") {
+    // DuckDB derives the 1-arg range from column statistics, so every
+    // group shares [min(x), max(x)] of the WHOLE column — groups that
+    // lack the global extremes still get full-length strings.
+    assert(rows("SELECT g, bitstring_agg(x) AS b FROM (VALUES (1, 2), " +
+      "(1, 5), (2, 9), (2, 3)) t(g, x) GROUP BY g ORDER BY g") ==
+      Seq(Seq(1, "10010000"), Seq(2, "01000001")))
+    // Alongside other aggregates + an all-NULL group → NULL string.
+    assert(rows("SELECT g, count(x) AS c, bitstring_agg(x) AS b FROM " +
+      "(VALUES (1, 4), (1, 6), (2, CAST(NULL AS INT))) t(g, x) " +
+      "GROUP BY g ORDER BY g") ==
+      Seq(Seq(1, 2L, "101"), Seq(2, 0L, null)))
+    // DuckDB has no 2-arg form: binder error, not a silent range drop.
+    val e = intercept[Exception] {
+      rows("SELECT bitstring_agg(x, 0) FROM (VALUES (1)) t(x)") }
+    assert(e.getMessage.contains("1 or 3 arguments"))
+  }
+
   test("kurtosis_pop is the population excess kurtosis, NULL on zero variance") {
     val k = one[Double]("SELECT kurtosis_pop(x) FROM " +
       "(VALUES (1.0),(2.0),(4.0),(8.0)) t(x)")
@@ -547,6 +565,16 @@ class Round18DialectSpec extends AnyFunSuite {
     intercept[Exception] { rows("SELECT json('bad')") }
     assert(rows("SELECT json_quote(1), json_quote('s'), " +
       "json_quote(CAST(NULL AS INT))") == Seq(Seq("1", "\"s\"", null)))
+    // UBIGINT-range integers: asLong would wrap negative (r19 fix).
+    assert(one[String]("SELECT json_type('18446744073709551615')")
+      == "UBIGINT")
+    // Whole-minute timestamps keep the seconds field; fractional
+    // micros trim trailing zeros — DuckDB's timestamp text (r19 fix).
+    assert(rows("SELECT json_quote(TIMESTAMP '2024-01-01 00:00:00'), " +
+      "json_quote(TIMESTAMP '2024-03-05 01:02:03.5'), " +
+      "json_quote(TIMESTAMP '2024-03-05 01:02:03.000123')") ==
+      Seq(Seq("\"2024-01-01 00:00:00\"", "\"2024-03-05 01:02:03.5\"",
+        "\"2024-03-05 01:02:03.000123\"")))
     assert(rows("SELECT json_array('a', 1, NULL), json_array(), " +
       "json_object('k', 1), json_object()") ==
       Seq(Seq("[\"a\",1,null]", "[]", "{\"k\":1}", "{}")))
@@ -676,6 +704,23 @@ class Round18DialectSpec extends AnyFunSuite {
     assert(rows("SELECT g, x FROM (VALUES (1, NULL),(1, 2),(2, NULL)) " +
       "t(g, x) ORDER BY g DESC, x") ==
       Seq(Seq(2, null), Seq(1, 2), Seq(1, null)))
+  }
+
+  test("bare ORDER BY key ENDING in a string literal still gets NULLS LAST (r19)") {
+    def xs(sql: String): Seq[Any] = rows(sql).map(_.head)
+    // The literal is blanked in the masked scan; the insertion must
+    // land AFTER it in the raw text (not mid-literal, which would trip
+    // the reparse fallback and silently drop the transform).
+    assert(xs("SELECT x FROM (VALUES (NULL),('b'),('a')) t(x) " +
+      "ORDER BY x || 'suffix'") == Seq("a", "b", null))
+    // Both keys in a multi-key list keep working.
+    assert(rows("SELECT g, x FROM (VALUES (1, NULL),(1, 'a'),(2, NULL)) " +
+      "t(g, x) ORDER BY g || '', x") ==
+      Seq(Seq(1, "a"), Seq(1, null), Seq(2, null)))
+    // A trailing comment after the key: still host-ordered (the
+    // insertion lands at the masked end, before the comment).
+    assert(xs("SELECT x FROM (VALUES (NULL),(1)) t(x) ORDER BY x -- c\n")
+      == Seq(1, null))
   }
 
   test("CREATE TEMP TABLE DEFAULTs fill omitted columns and the DEFAULT keyword") {

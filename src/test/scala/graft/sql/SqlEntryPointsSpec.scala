@@ -994,7 +994,7 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     // regex-any (the trap the alias exists to avoid).
     assert(one("string_split('a.b.c', '.')").getSeq[String](0) ==
       Seq("a", "b", "c"))
-    assert(one("string_split_regex('a1b22c', '\\\\d+')").getSeq[String](0) ==
+    assert(one("string_split_regex('a1b22c', '\\d+')").getSeq[String](0) ==
       Seq("a", "b", "c"))
     assert(one("len('hello')").getLong(0) == 5L)
     assert(one("len(list_value(1, 2, 3))").getLong(0) == 3L)
@@ -1013,8 +1013,8 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       .getSeq[Int](0) == Seq(2, 3))
     assert(one("list_distinct(list_value(1, 1, 2))").getSeq[Int](0).sorted ==
       Seq(1, 2))
-    assert(one("regexp_matches('abc123', '\\\\d+')").getBoolean(0))
-    assert(!one("regexp_matches('abcdef', '\\\\d+')").getBoolean(0))
+    assert(one("regexp_matches('abc123', '\\d+')").getBoolean(0))
+    assert(!one("regexp_matches('abcdef', '\\d+')").getBoolean(0))
     // Arity errors are signatures, not index errors.
     val ex = intercept[Exception](spark.sql("SELECT len()"))
     assert(ex.getMessage.contains("argument"), s"got: ${ex.getMessage}")
@@ -1448,8 +1448,8 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       .createOrReplaceTempView("tld_t")
     assert(spark.sql("SELECT s ~ p FROM tld_t ORDER BY p")
       .collect().map(_.getBoolean(0)).toSeq == Seq(true, false))
-    assert(one[Boolean]("SELECT 'a.c' ~ 'a\\\\.c'"))
-    assert(!one[Boolean]("SELECT 'abc' ~ 'a\\\\.c'"))
+    assert(one[Boolean]("SELECT 'a.c' ~ 'a\\.c'"))
+    assert(!one[Boolean]("SELECT 'abc' ~ 'a\\.c'"))
     // Comparison context: ~ binds tighter than = (Postgres precedence).
     assert(one[Boolean]("SELECT (1=1) = 'x' ~ 'x'"))
     // WHERE-clause use over a real scan; multiple operators per statement.
@@ -1487,7 +1487,9 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     hint("SELECT 'abc' SIMILAR TO upper('a.c')", "RLIKE")
     // `2 ** 3` executes now; a quoted-identifier base still declines.
     hint("SELECT \"my col\" ** 3 FROM rn_t", "power(a, b)")
-    hint("ATTACH 'other.db' AS other", "catalog")
+    // Directory attaches EXECUTE since round 19; database-FILE attaches
+    // keep a targeted hint naming the working form.
+    hint("ATTACH 'other.db' AS other", "DuckDB-engine-specific")
     // CREATE SEQUENCE with a plain identifier executes now
     // (SequenceSpec); a quoted name still declines to the hint.
     assert(spark.sql("CREATE OR REPLACE SEQUENCE seq_x").collect().isEmpty)
@@ -1508,7 +1510,8 @@ class SqlEntryPointsSpec extends AnyFunSuite {
       if (f.exists) { if (f.isDirectory) f.listFiles.foreach(del); f.delete(); () }
     del(new java.io.File(whDir, tbl))
     spark.sql(s"CREATE TABLE $tbl USING parquet AS SELECT 'a12b34' AS s")
-    spark.sql(s"""UPDATE $tbl SET s = regexp_replace(s, '\\\\d+', '#')""")
+    // DuckDB's regexp_replace is FIRST-match-only without 'g' (r19).
+    spark.sql(s"""UPDATE $tbl SET s = regexp_replace(s, '\\d+', '#', 'g')""")
     assert(spark.table(tbl).head().getString(0) == "a#b#")
     // Duplicate SET targets error instead of silently keeping one.
     val dup = intercept[Exception](
