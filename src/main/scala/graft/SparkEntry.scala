@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, HighsQueries, PipelineQueries}
+import graft.queries.{AnalyticsQueries, HighsQueries, PipelineQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +22,11 @@ object SparkEntry {
     HighsQueries.queries("highs_solve")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    HighsQueries.queries ++ AnalyticsQueries.queries ++ PipelineQueries.queries
+    HighsQueries.queries ++ AnalyticsQueries.queries ++ PipelineQueries.queries ++ TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    HighsQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles
+    HighsQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles ++ TpchQueries.oracles
 }

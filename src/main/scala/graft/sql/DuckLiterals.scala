@@ -34,20 +34,86 @@ package graft.sql
   */
 object DuckLiterals {
 
-  /** Double each backslash inside '...' string literals. Quoted
-    * identifiers ("..."/`...`), comments, and dollar-quoted strings
-    * pass through untouched (the dollar-quote rewrite handles its own
-    * embedding).
+  private def wordCh(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** Double each backslash inside '...' string literals, and fold
+    * DuckDB's `E'...'` ESCAPED literals (round 19: C-style \n/\t/\r/
+    * \b/\f, octal \ooo, hex \xHH, unicode \uXXXX/\UXXXXXXXX, \\, \';
+    * an unknown escape drops the backslash, host-probed) into plain
+    * literals carrying the UNESCAPED value. Quoted identifiers
+    * ("..."/`...`), comments, and dollar-quoted strings pass through
+    * untouched (the dollar-quote rewrite handles its own embedding).
     */
   def doubleBackslashes(text: String): String = {
-    if (text.indexOf('\\') < 0) return text
+    if (text.indexOf('\\') < 0 &&
+      text.indexOf("E'") < 0 && text.indexOf("e'") < 0) return text
     val n = text.length
     val sb = new java.lang.StringBuilder(n + 8)
     var i = 0
     var changed = false
     while (i < n) {
       val c = text.charAt(i)
-      if (c == '\'') {
+      if ((c == 'E' || c == 'e') && i + 1 < n && text.charAt(i + 1) == '\'' &&
+        (i == 0 || !wordCh(text.charAt(i - 1)))) {
+        // E'...' escaped literal → unescape to the VALUE, re-emit as a
+        // plain literal under this transform's postcondition (raw
+        // backslashes doubled, quotes doubled).
+        i += 2
+        val value = new java.lang.StringBuilder
+        var done = false
+        while (i < n && !done) {
+          val d = text.charAt(i)
+          if (d == '\\' && i + 1 < n) {
+            val e2 = text.charAt(i + 1)
+            e2 match {
+              case 'n' => value.append('\n'); i += 2
+              case 't' => value.append('\t'); i += 2
+              case 'r' => value.append('\r'); i += 2
+              case 'b' => value.append('\b'); i += 2
+              case 'f' => value.append('\f'); i += 2
+              case '\\' => value.append('\\'); i += 2
+              case '\'' => value.append('\''); i += 2
+              case 'x' =>
+                var j = i + 2; var h = 0; var cnt = 0
+                while (j < n && cnt < 2 && hexVal(text.charAt(j)) >= 0) {
+                  h = h * 16 + hexVal(text.charAt(j)); j += 1; cnt += 1
+                }
+                if (cnt == 0) { value.append('x'); i += 2 }
+                else { value.append(h.toChar); i = j }
+              case 'u' | 'U' =>
+                val want = if (e2 == 'u') 4 else 8
+                var j = i + 2; var h = 0; var cnt = 0
+                while (j < n && cnt < want && hexVal(text.charAt(j)) >= 0) {
+                  h = h * 16 + hexVal(text.charAt(j)); j += 1; cnt += 1
+                }
+                if (cnt < want) { value.append(e2); i += 2 }
+                else { value.appendCodePoint(h); i = j }
+              case o if o >= '0' && o <= '7' =>
+                var j = i + 1; var v = 0; var cnt = 0
+                while (j < n && cnt < 3 && text.charAt(j) >= '0' &&
+                  text.charAt(j) <= '7') {
+                  v = v * 8 + (text.charAt(j) - '0'); j += 1; cnt += 1
+                }
+                value.append(v.toChar); i = j
+              case other => value.append(other); i += 2 // unknown: drop \
+            }
+          } else if (d == '\\') { value.append('\\'); i += 1 }
+          else if (d == '\'') {
+            if (i + 1 < n && text.charAt(i + 1) == '\'') {
+              value.append('\''); i += 2
+            } else { done = true; i += 1 }
+          } else { value.append(d); i += 1 }
+        }
+        sb.append('\'')
+          .append(value.toString.replace("\\", "\\\\").replace("'", "''"))
+          .append('\'')
+        changed = true
+      } else if (c == '\'') {
         sb.append(c); i += 1
         var done = false
         while (i < n && !done) {

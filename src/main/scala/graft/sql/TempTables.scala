@@ -78,7 +78,52 @@ object TempTables {
     // root's JVM-exit cleanup; a mutation-heavy loop trades that disk
     // for never breaking a reader.
     registry.put(key(name), dir)
+    pending.remove(key(name))
     ()
+  }
+
+  // --- Coalesced appends (round 19, verdict-18 #8) -------------------
+  //
+  // A multi-statement ingest script pays one FULL-table parquet
+  // rewrite per INSERT under put(). When the appended rows are already
+  // immutable (a materialized stage dir or a literal LocalRelation),
+  // the union plan `current ∪ staged` is snapshot-stable FOREVER — all
+  // its leaves are frozen — so the fronting view can point at the lazy
+  // union and defer materialization. The snapshot contract stays
+  // observable at every statement boundary (reads see exactly the
+  // mutated content; later mutations of OTHER tables can't reach into
+  // the frozen leaves). Depth-capped: each append adds one union
+  // level, and a 1000-statement ingest loop would otherwise pay
+  // O(depth) analysis per read, so the cap rematerializes. Transactions
+  // flush first — BEGIN/ROLLBACK reason over materialized dirs.
+
+  private val pending = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Int]()
+
+  private val maxPendingDepth = 32
+
+  /** Register `df` (current ∪ frozen-appendix) as the table's content
+    * WITHOUT materializing, provided the pending chain stays shallow.
+    * Callers guarantee every new leaf in `df` is immutable.
+    */
+  def putLazy(name: String, df: DataFrame): Unit = {
+    val d = Option(pending.get(key(name))).map(_.intValue()).getOrElse(0)
+    if (d >= maxPendingDepth || txnActive) put(name, df)
+    else {
+      df.createOrReplaceTempView(name)
+      pending.put(key(name), d + 1)
+      ()
+    }
+  }
+
+  /** Materialize every pending lazy chain of this session (transaction
+    * boundaries and EXPORT need real dirs).
+    */
+  def flushPending(): Unit = {
+    val spark = SparkSession.active
+    import scala.jdk.CollectionConverters._
+    pending.keySet.asScala.toSeq.collect { case (s, n) if s eq spark => n }
+      .foreach(n => put(n, spark.table(n)))
   }
 
   /** Current content (the fronting view). */
@@ -94,6 +139,7 @@ object TempTables {
 
   def drop(name: String): Boolean = {
     val dir = registry.remove(key(name))
+    pending.remove(key(name))
     pkRegistry.remove(key(name))
     defaultsRegistry.remove(key(name))
     if (dir == null) false
@@ -129,6 +175,7 @@ object TempTables {
 
   def txnBegin(): Unit = {
     val spark = SparkSession.active
+    flushPending() // BEGIN captures dirs; lazy chains must be real
     val snap = names().map(n =>
       n -> ((registry.get(key(n)), keysOf(n)))).toMap
     if (txnRegistry.putIfAbsent(spark, snap) != null)
@@ -152,6 +199,7 @@ object TempTables {
     snap.foreach { case (n, (dir, pk)) =>
       spark.read.parquet(dir).createOrReplaceTempView(n)
       registry.put(key(n), dir)
+      pending.remove(key(n))
       pk match {
         case Some(cols) => pkRegistry.put(key(n), cols)
         case None => pkRegistry.remove(key(n)); ()

@@ -103,6 +103,22 @@ class Round19DialectSpec extends AnyFunSuite {
     assert(one[String]("SELECT 'plain'") == "plain")
   }
 
+  test("E'...' escaped literals unescape like the host") {
+    // Named escapes, hex, octal, escaped quote, doubled backslash,
+    // unknown escape drops the backslash — all host-probed values.
+    assert(one[String]("SELECT E'a\\nb'") == "a\nb")
+    assert(one[Int]("SELECT length(E'a\\nb')") == 2 + 1)
+    assert(one[String]("SELECT E'\\x41B'") == "AB")
+    assert(one[String]("SELECT E'\\101'") == "A")
+    assert(one[String]("SELECT E'it\\'s'") == "it's")
+    assert(one[String]("SELECT e'tab\\there'") == "tab\there")
+    assert(one[String]("SELECT E'back\\\\slash'") == "back\\slash")
+    assert(one[String]("SELECT E'\\q'") == "q")
+    // Mixed with a plain raw literal in the same statement.
+    assert(rows("SELECT E'a\\tb' AS x, 'c\\td' AS y").head ==
+      Seq("a\tb", "c\\td"))
+  }
+
   test("enum ORDER BY and enum-vs-enum comparisons honor definition order") {
     spark.sql("DROP TYPE IF EXISTS g19_mood")
     spark.sql("CREATE TYPE g19_mood AS ENUM ('sad', 'ok', 'happy')")
