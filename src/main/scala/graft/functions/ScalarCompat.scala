@@ -533,6 +533,98 @@ object ScalarCompat {
     true
   }
 
+  // --- Ninth-sweep scalars (round 19) --------------------------------
+
+  /** RE2's QuoteMeta, DuckDB's regexp_escape: every ASCII char outside
+    * [A-Za-z0-9_] gets a backslash; multibyte chars pass through.
+    */
+  def regexpEscape(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length + 8)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c >= 0x80) sb.append(c)
+      else { sb.append('\\'); sb.append(c) }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def graphemeClusters(str: String): Array[Int] = {
+    val it = java.text.BreakIterator.getCharacterInstance
+    it.setText(str)
+    val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var p = it.first()
+    while (p != java.text.BreakIterator.DONE) { b += p; p = it.next() }
+    b.toArray // boundaries incl. 0 and str.length
+  }
+
+  /** DuckDB left_grapheme / right_grapheme: count in GRAPHEME CLUSTERS;
+    * negative n drops |n| clusters from the other end (the left()/
+    * right() contract).
+    */
+  def leftGrapheme(s: UTF8String, n: Long): UTF8String = {
+    val str = s.toString
+    val b = graphemeClusters(str)
+    val total = b.length - 1
+    val take =
+      if (n >= 0) math.min(n, total.toLong).toInt
+      else math.max(0L, total + n).toInt
+    UTF8String.fromString(str.substring(0, b(take)))
+  }
+
+  def rightGrapheme(s: UTF8String, n: Long): UTF8String = {
+    val str = s.toString
+    val b = graphemeClusters(str)
+    val total = b.length - 1
+    val take =
+      if (n >= 0) math.min(n, total.toLong).toInt
+      else math.max(0L, total + n).toInt
+    UTF8String.fromString(str.substring(b(total - take)))
+  }
+
+  /** DuckDB md5_number / md5_number_lower / md5_number_upper: the MD5
+    * digest read LITTLE-ENDIAN as unsigned integers — lower = bytes
+    * 8..16 as UBIGINT, upper = bytes 0..8, full = all 16 as HUGEINT.
+    * Modeled as DECIMAL(20,0)/DECIMAL(38,0), the engine's unsigned
+    * envelope.
+    */
+  private def md5LeUnsigned(s: UTF8String, from: Int, to: Int)
+      : java.math.BigInteger = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes)
+    var acc = java.math.BigInteger.ZERO
+    var i = to - 1
+    while (i >= from) {
+      acc = acc.shiftLeft(8)
+        .or(java.math.BigInteger.valueOf((d(i) & 0xff).toLong))
+      i -= 1
+    }
+    acc
+  }
+
+  def md5NumberLower(s: UTF8String): org.apache.spark.sql.types.Decimal =
+    org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(md5LeUnsigned(s, 8, 16)), 20, 0)
+
+  def md5NumberUpper(s: UTF8String): org.apache.spark.sql.types.Decimal =
+    org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(md5LeUnsigned(s, 0, 8)), 20, 0)
+
+  /** Full 128-bit md5_number: DuckDB's HUGEINT — the digest little-
+    * endian as a SIGNED two's-complement int128 (host-probed: values
+    * with the top bit set print negative). 39 digits exceed
+    * DECIMAL(38,0), so the engine carries the exact decimal DIGITS as
+    * VARCHAR — value-identical, type-documented.
+    */
+  def md5Number(s: UTF8String): UTF8String = {
+    var v = md5LeUnsigned(s, 0, 16)
+    if (v.testBit(127)) v = v.subtract(java.math.BigInteger.ONE.shiftLeft(128))
+    UTF8String.fromString(v.toString)
+  }
+
   def duckRegexpReplace(s: UTF8String, p: UTF8String, r: UTF8String,
       opts: UTF8String): UTF8String = {
     val (flags, global) = rxOpts(opts.toString, allowGlobal = true)

@@ -216,7 +216,12 @@ object VectorExpressions {
       }
       s += 1
     }
-    total
+    // Round-6 quantized like every other ranking path (assignment,
+    // probe selection, codes): shortlist ranks become exactly
+    // replicable by a SQL oracle regardless of either engine's
+    // float-summation order; genuine near-ties fall to the
+    // neighbor-id tiebreak deterministically on both sides (round 19).
+    round6(total)
   }
 
   /** Row-local nearest-centroid kernel: id of the codebook vector with the

@@ -4166,14 +4166,16 @@ object AnalyticsQueries {
        GROUP BY r.r_name ORDER BY r.r_name""") { (spark, sfDir) =>
     spark.sql("DETACH IF EXISTS graft_ext")
     spark.sql(s"ATTACH '$sfDir' AS graft_ext (READ_ONLY)")
-    val out = spark.sql(
+    // Materialize to scratch BEFORE DETACH drops the tables — a cache()
+    // would leak a session cache entry past the lane (tripping the
+    // no-cache-leak invariant other specs assert).
+    val (out, _) = graft.operators.Scratch.materialize(spark.sql(
       """SELECT r.r_name, count(*) AS n_nations
          FROM graft_ext.nation n
          JOIN graft_ext.region r ON n.n_regionkey = r.r_regionkey
-         GROUP BY r.r_name ORDER BY r.r_name""").cache()
-    out.count() // materialize before DETACH drops the tables
+         GROUP BY r.r_name ORDER BY r.r_name"""), "attach_lane")
     spark.sql("DETACH graft_ext")
-    out
+    out.orderBy("r_name")
   }
 
   // json_transform[_strict] (round 19, verdict-18 #6): the JSON
@@ -4212,6 +4214,37 @@ object AnalyticsQueries {
              AS jnest,
            (json_transform('{"d": "2024-01-02"}', '{"d": "DATE"}')).d AS jdate
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""")
+  }
+
+  // Ninth-sweep scalar pack (round 19): descending list sort, grapheme
+  // left/right, RE2 QuoteMeta, LIKE-with-escape function spellings, the
+  // md5-as-integer family (md5_number's UHUGEINT modeled as its exact
+  // decimal digits — both sides cast to VARCHAR). Identical text on
+  // both engines; the per-row arm runs over documents.
+  declare("q169_sweep9_scalars",
+    """SELECT doc_id,
+         array_to_string(array_reverse_sort(string_split(substr(text, 1, 40), ' ')), '|') AS rsort,
+         left_grapheme(text, 12) AS lg,
+         right_grapheme(text, 7) AS rg,
+         regexp_escape(substr(text, 1, 20)) AS resc,
+         like_escape(text, '%key%order%', '\') AS lk,
+         CAST(md5_number_lower(text) AS VARCHAR) AS mlo,
+         CAST(md5_number_upper(text) AS VARCHAR) AS mhi,
+         CAST(md5_number(text) AS VARCHAR) AS mfull
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT doc_id,
+           array_to_string(array_reverse_sort(string_split(substr(text, 1, 40), ' ')), '|') AS rsort,
+           left_grapheme(text, 12) AS lg,
+           right_grapheme(text, 7) AS rg,
+           regexp_escape(substr(text, 1, 20)) AS resc,
+           like_escape(text, '%key%order%', '\') AS lk,
+           CAST(md5_number_lower(text) AS VARCHAR) AS mlo,
+           CAST(md5_number_upper(text) AS VARCHAR) AS mhi,
+           CAST(md5_number(text) AS VARCHAR) AS mfull
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""")
   }
 
   val declared: Seq[Declared] = all.result()

@@ -206,6 +206,33 @@ class Round19DialectSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("DuckDB-engine-specific"))
   }
 
+  test("ninth-sweep scalars match DuckDB") {
+    // Descending list sort: DESC + NULLS LAST like the host.
+    assert(rows("SELECT array_reverse_sort(array(2, CAST(NULL AS INT), 3, 1)) l")
+      .head.head.asInstanceOf[scala.collection.Seq[Any]].toSeq ==
+      Seq(3, 2, 1, null))
+    // Grapheme left/right with negative counts (host-probed).
+    assert(rows("SELECT left_grapheme('héllo', 2) a, " +
+      "right_grapheme('héllo', 2) b, left_grapheme('ab', -1) c, " +
+      "right_grapheme('ab', 0) d").head == Seq("hé", "lo", "a", ""))
+    // RE2 QuoteMeta: every ASCII non-word char escapes.
+    assert(one[String]("SELECT regexp_escape('a.b')") == "a\\.b")
+    assert(one[String]("SELECT regexp_escape('a-b c_d')") == "a\\-b\\ c_d")
+    // LIKE-with-escape function spellings.
+    assert(rows("SELECT like_escape('a%b', 'a\\%b', '\\') a, " +
+      "like_escape('axb', 'a\\%b', '\\') b, " +
+      "not_like_escape('axb', 'a\\%b', '\\') c, " +
+      "ilike_escape('A_B', 'a\\_b', '\\') d").head ==
+      Seq(true, false, true, true))
+    // md5-as-integer family (values pinned against DuckDB 1.0).
+    assert(one[String]("SELECT CAST(md5_number_lower('abc') AS VARCHAR)")
+      == "8250560606382298838")
+    assert(one[String]("SELECT CAST(md5_number_upper('abc') AS VARCHAR)")
+      == "12704604231530709392")
+    assert(one[String]("SELECT CAST(md5_number('abc') AS VARCHAR)")
+      == "152195979970564155685860391459828531600")
+  }
+
   test("backslash literals inside executed temp-table DML keep raw semantics") {
     spark.sql("DROP TABLE IF EXISTS t19_bs")
     spark.sql("CREATE TEMP TABLE t19_bs AS SELECT 'a12b34' AS s")
