@@ -533,6 +533,16 @@ object ScalarCompat {
     true
   }
 
+  /** DuckDB divide(): the // operator as a function — trunc integer
+    * division on integral args, plain division on floats, NULL on a
+    * zero divisor (host contract; ANSI Spark would error).
+    */
+  def duckDivideInt(a: Long, b: Long): java.lang.Long =
+    if (b == 0L) null else java.lang.Long.valueOf(a / b)
+
+  def duckDivideFloat(a: Double, b: Double): java.lang.Double =
+    if (b == 0.0) null else java.lang.Double.valueOf(a / b)
+
   // --- Ninth-sweep scalars (round 19) --------------------------------
 
   /** RE2's QuoteMeta, DuckDB's regexp_escape: every ASCII char outside

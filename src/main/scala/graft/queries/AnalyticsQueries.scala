@@ -4247,6 +4247,37 @@ object AnalyticsQueries {
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""")
   }
 
+  // Tenth-batch closures (round 19): divide() NULL-on-zero, typeof in
+  // the host vocabulary, date_add with an INTERVAL argument, and
+  // DISTINCT ordered aggregates (array_agg DISTINCT + ORDER BY via the
+  // distinct sort-struct lowering; string_agg DISTINCT via WITHIN
+  // GROUP). Identical text on both engines.
+  declare("q170_sweep10",
+    """SELECT doc_id % 5 AS g,
+         array_to_string(array_agg(DISTINCT doc_id % 3 ORDER BY doc_id % 3), ',') AS dlist,
+         array_to_string(array_agg(DISTINCT doc_id % 3 ORDER BY doc_id % 3 DESC), ',') AS dlist_d,
+         string_agg(DISTINCT CAST(doc_id % 3 AS VARCHAR), '|' ORDER BY CAST(doc_id % 3 AS VARCHAR)) AS slist,
+         CAST(divide(max(doc_id), 3) AS BIGINT) AS dv,
+         CAST(divide(max(doc_id), 0) AS BIGINT) AS dz,
+         CAST(divide(max(doc_id) * 1.0, 4) AS DOUBLE) AS dvf,
+         max(typeof(1.5)) AS ty,
+         CAST(max(date_add(DATE '2024-01-01', INTERVAL 3 DAY)) AS VARCHAR) AS da
+       FROM documents WHERE doc_id < 50 GROUP BY 1 ORDER BY 1""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT doc_id % 5 AS g,
+           array_to_string(array_agg(DISTINCT doc_id % 3 ORDER BY doc_id % 3), ',') AS dlist,
+           array_to_string(array_agg(DISTINCT doc_id % 3 ORDER BY doc_id % 3 DESC), ',') AS dlist_d,
+           string_agg(DISTINCT CAST(doc_id % 3 AS VARCHAR), '|' ORDER BY CAST(doc_id % 3 AS VARCHAR)) AS slist,
+           CAST(divide(max(doc_id), 3) AS BIGINT) AS dv,
+           CAST(divide(max(doc_id), 0) AS BIGINT) AS dz,
+           CAST(divide(max(doc_id) * 1.0, 4) AS DOUBLE) AS dvf,
+           max(typeof(1.5)) AS ty,
+           CAST(max(date_add(DATE '2024-01-01', INTERVAL 3 DAY)) AS VARCHAR) AS da
+         FROM documents WHERE doc_id < 50 GROUP BY 1 ORDER BY 1""")
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -3220,6 +3220,26 @@ object GraftSparkExtensions {
             org.apache.spark.sql.catalyst.expressions.ArrayDistinct(
               org.apache.spark.sql.catalyst.expressions.ArrayCompact(a(0))),
             legacySizeOfNull = false)),
+        // Tenth-batch closures (round 19): typeof in the host's type
+        // vocabulary (plan-time literal) and date_add with an INTERVAL
+        // second argument; divide() NULL-on-zero lands at the round-16
+        // arithmetic-word registration below.
+        aliasFn("typeof", (1, 1))(a => Literal(
+          (a(0).dataType match {
+            // Pasted TIMESTAMP literals land on Spark's LTZ under the
+            // UTC pin — report the host's spelling for them.
+            case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+            case dt => duckTypeOf(dt)
+          }).replace(", ", ","))),
+        aliasFn("date_add", (2, 2))(a => a(1).dataType match {
+          case _: org.apache.spark.sql.types.DayTimeIntervalType |
+               _: org.apache.spark.sql.types.YearMonthIntervalType |
+               org.apache.spark.sql.types.CalendarIntervalType =>
+            org.apache.spark.sql.catalyst.expressions.Add(
+              Cast(a(0), TimestampType), a(1))
+          case _ =>
+            org.apache.spark.sql.catalyst.expressions.DateAdd(a(0), a(1))
+        }),
         // Ninth sweep (round 19): descending list sort (DESC, NULLS
         // LAST — Spark's sort_array(x, false) contract matches the
         // host's), grapheme-cluster left/right, RE2 QuoteMeta,
@@ -3466,13 +3486,30 @@ object GraftSparkExtensions {
           org.apache.spark.sql.types.LongType, "lcm", a,
           inputTypes = Seq(org.apache.spark.sql.types.LongType,
             org.apache.spark.sql.types.LongType))),
-        // arithmetic-word spellings: divide = truncating integer
-        // division, multiply; fdiv/fmod = FLOORED division/modulo
-        // (fmod(-7.5, 2.0) = 0.5 — DuckDB pins the floored form, not
-        // C's truncating fmod).
-        aliasFn("divide", (2, 2))(a =>
-          org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-            a(0), a(1))),
+        // arithmetic-word spellings: divide = the // operator as a
+        // function (trunc integer division on integral args, plain
+        // division on floats, NULL on a zero divisor — round 19,
+        // host-probed; a StaticInvoke so ConstantFolding can't raise
+        // on literal zeros), multiply; fdiv/fmod = FLOORED
+        // division/modulo (fmod(-7.5, 2.0) = 0.5 — DuckDB pins the
+        // floored form, not C's truncating fmod).
+        aliasFn("divide", (2, 2))(a => {
+          import org.apache.spark.sql.types._
+          val integral = Seq(a(0), a(1)).forall(_.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          })
+          if (integral)
+            StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
+              LongType, "duckDivideInt",
+              Seq(Cast(a(0), LongType), Cast(a(1), LongType)),
+              inputTypes = Seq(LongType, LongType))
+          else
+            StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
+              DoubleType, "duckDivideFloat",
+              Seq(Cast(a(0), DoubleType), Cast(a(1), DoubleType)),
+              inputTypes = Seq(DoubleType, DoubleType))
+        }),
         aliasFn("multiply", (2, 2))(a =>
           org.apache.spark.sql.catalyst.expressions.Multiply(a(0), a(1))),
         aliasFn("fdiv", (2, 2)) { a =>

@@ -100,16 +100,31 @@ object OrderedAggRewrite {
     */
   private def arrayForm(valueExpr: String, keys: Vector[Key],
       filterSuffix: String): Option[String] = {
-    if ("(?is)\\A\\s*DISTINCT\\b".r.findFirstIn(valueExpr).isDefined)
-      return None // DISTINCT-with-order: no Spark form; decline.
+    // DISTINCT-with-order (round 19): the host REQUIRES the order key
+    // to appear in the argument list, so the single-key
+    // key-equals-value shape is the whole legal surface — the same
+    // sort-struct lowering with array_distinct spliced around the
+    // inner agg (distinct structs = distinct values when key = value;
+    // NULL survives as a struct element, matching the host).
+    val distinctM = "(?is)\\A\\s*DISTINCT\\b".r.findFirstMatchIn(valueExpr)
+    val value = distinctM match {
+      case Some(m) =>
+        val v = valueExpr.substring(m.end).trim
+        if (keys.length != 1) return None
+        if (keys.head.expr.replaceAll("\\s+", " ").trim !=
+          v.replaceAll("\\s+", " ").trim) return None
+        v
+      case None => valueExpr
+    }
     val fields = new StringBuilder
     keys.zipWithIndex.foreach { case (k, i) =>
       if (!k.nullsFirst)
         fields.append(s"'_n${i + 1}', (${k.expr}) IS NULL, ")
       fields.append(s"'_o${i + 1}', ${k.expr}, ")
     }
-    fields.append(s"'_v', $valueExpr")
-    val agg = s"array_agg(named_struct($fields))$filterSuffix"
+    fields.append(s"'_v', $value")
+    val agg0 = s"array_agg(named_struct($fields))$filterSuffix"
+    val agg = if (distinctM.isDefined) s"array_distinct($agg0)" else agg0
     if (keys.forall(!_.desc))
       Some(s"transform(array_sort($agg), s -> s._v)")
     else if (keys.length == 1) {

@@ -233,6 +233,37 @@ class Round19DialectSpec extends AnyFunSuite {
       == "152195979970564155685860391459828531600")
   }
 
+  test("tenth-batch closures: divide, typeof vocabulary, date_add, DISTINCT ordered aggs") {
+    // divide(): // as a function — trunc int division, float division,
+    // NULL on zero (host-probed: 3 / 3.75 / -3 / NULL).
+    assert(rows("SELECT divide(7, 2) a, divide(7.5, 2) b, divide(-7, 2) c, " +
+      "divide(7, 0) d, divide(7.5, 0.0) e").head ==
+      Seq(3L, 3.75, -3L, null, null))
+    // typeof in DuckDB's vocabulary.
+    assert(rows("SELECT typeof(CAST(1 AS BIGINT)) a, typeof('x') b, " +
+      "typeof(1.5) c, typeof(DATE '2024-01-01') d, " +
+      "typeof(TIMESTAMP '2024-01-01 00:00:00') e").head ==
+      Seq("BIGINT", "VARCHAR", "DECIMAL(2,1)", "DATE", "TIMESTAMP"))
+    // date_add with an INTERVAL argument (host returns a timestamp).
+    assert(one[java.sql.Timestamp](
+      "SELECT date_add(DATE '2024-01-01', INTERVAL 3 DAY)")
+      .toString.startsWith("2024-01-04 00:00:00"))
+    assert(one[java.sql.Timestamp](
+      "SELECT date_add(TIMESTAMP '2024-01-01 00:00:00', INTERVAL 90 MINUTE)")
+      .toString.startsWith("2024-01-01 01:30:00"))
+    // DISTINCT ordered array_agg: distinct-then-sort, NULLS LAST both
+    // directions (host-probed).
+    assert(rows("SELECT array_agg(DISTINCT x ORDER BY x) FROM " +
+      "(VALUES (1),(CAST(NULL AS INT)),(2),(1)) t(x)").head.head
+      .asInstanceOf[scala.collection.Seq[Any]].toSeq == Seq(1, 2, null))
+    assert(rows("SELECT array_agg(DISTINCT x ORDER BY x DESC) FROM " +
+      "(VALUES (1),(CAST(NULL AS INT)),(2),(1)) t(x)").head.head
+      .asInstanceOf[scala.collection.Seq[Any]].toSeq == Seq(2, 1, null))
+    // string_agg with DISTINCT + ORDER BY (WITHIN GROUP path).
+    assert(one[String]("SELECT string_agg(DISTINCT x, ',' ORDER BY x) " +
+      "FROM (VALUES ('b'),('a'),('b')) t(x)") == "a,b")
+  }
+
   test("backslash literals inside executed temp-table DML keep raw semantics") {
     spark.sql("DROP TABLE IF EXISTS t19_bs")
     spark.sql("CREATE TEMP TABLE t19_bs AS SELECT 'a12b34' AS s")
