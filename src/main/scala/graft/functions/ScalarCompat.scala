@@ -474,7 +474,7 @@ object ScalarCompat {
       })
 
   private def rxCompiled(p: String, flags: Int): java.util.regex.Pattern = {
-    val key = flags.toString + " " + p
+    val key = flags.toString + "\u0000" + p
     val c = rxCache.get()
     var pat = c.get(key)
     if (pat == null) { pat = java.util.regex.Pattern.compile(p, flags); c.put(key, pat) }

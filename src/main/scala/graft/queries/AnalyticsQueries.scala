@@ -4278,6 +4278,114 @@ object AnalyticsQueries {
          FROM documents WHERE doc_id < 50 GROUP BY 1 ORDER BY 1""")
   }
 
+  // ------------------------------------------------------------------
+  // Eleventh sweep (round 20, verdict-19 #6): multi-statement DuckDB
+  // WORKFLOWS — whole pasted scripts where the rewrite chains INTERACT
+  // (a prepared statement inserting through a sequence inside a
+  // transaction, a macro over the result; COPY TO feeding read_parquet
+  // back into temp-table DML; ATTACH feeding a CTAS that must SNAPSHOT
+  // before DETACH drops the source). q93/q99 convention: both engines
+  // execute the IDENTICAL statement script.
+  // ------------------------------------------------------------------
+
+  declare("q171_script_ingest",
+    """CREATE OR REPLACE SEQUENCE graft_q171_seq START 100;
+       CREATE OR REPLACE TEMP TABLE graft_q171 (id BIGINT, seg VARCHAR, total DOUBLE);
+       CREATE OR REPLACE MACRO graft_q171_cents(x) AS CAST(round(x * 100, 0) AS BIGINT);
+       PREPARE graft_q171_ins AS INSERT INTO graft_q171
+         SELECT nextval('graft_q171_seq'), $1, CAST(round(sum(c_acctbal), 2) AS DOUBLE)
+         FROM customer WHERE c_mktsegment = $1;
+       BEGIN TRANSACTION;
+       EXECUTE graft_q171_ins('BUILDING');
+       EXECUTE graft_q171_ins('MACHINERY');
+       COMMIT;
+       EXECUTE graft_q171_ins('AUTOMOBILE');
+       SELECT id, seg, graft_q171_cents(total) AS cents FROM graft_q171 ORDER BY id""") {
+    (spark, sfDir) =>
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    Seq(
+      "CREATE OR REPLACE SEQUENCE graft_q171_seq START 100",
+      "CREATE OR REPLACE TEMP TABLE graft_q171 (id BIGINT, seg VARCHAR, total DOUBLE)",
+      "CREATE OR REPLACE MACRO graft_q171_cents(x) AS CAST(round(x * 100, 0) AS BIGINT)",
+      """PREPARE graft_q171_ins AS INSERT INTO graft_q171
+         SELECT nextval('graft_q171_seq'), $1, CAST(round(sum(c_acctbal), 2) AS DOUBLE)
+         FROM customer WHERE c_mktsegment = $1""",
+      "BEGIN TRANSACTION",
+      "EXECUTE graft_q171_ins('BUILDING')",
+      "EXECUTE graft_q171_ins('MACHINERY')",
+      "COMMIT",
+      "EXECUTE graft_q171_ins('AUTOMOBILE')"
+    ).foreach(s => spark.sql(s).collect())
+    spark.sql(
+      "SELECT id, seg, graft_q171_cents(total) AS cents FROM graft_q171 ORDER BY id")
+  }
+
+  declare("q172_script_copy_roundtrip",
+    """CREATE OR REPLACE TEMP TABLE graft_q172 AS
+         SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_totalprice > 200000;
+       UPDATE graft_q172 SET o_orderpriority = 'TOP' WHERE o_totalprice > 400000;
+       COPY graft_q172 TO '/tmp/graft_q172.parquet' (FORMAT PARQUET);
+       CREATE OR REPLACE TEMP TABLE graft_q172_back AS SELECT * FROM read_parquet('/tmp/graft_q172.parquet');
+       DELETE FROM graft_q172_back WHERE o_orderpriority <> 'TOP';
+       SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS cents
+       FROM graft_q172_back GROUP BY 1 ORDER BY 1""") { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    Seq(
+      """CREATE OR REPLACE TEMP TABLE graft_q172 AS
+         SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_totalprice > 200000""",
+      "UPDATE graft_q172 SET o_orderpriority = 'TOP' WHERE o_totalprice > 400000",
+      "COPY graft_q172 TO '/tmp/graft_q172.parquet' (FORMAT PARQUET)",
+      "CREATE OR REPLACE TEMP TABLE graft_q172_back AS SELECT * FROM read_parquet('/tmp/graft_q172.parquet')",
+      "DELETE FROM graft_q172_back WHERE o_orderpriority <> 'TOP'"
+    ).foreach(s => spark.sql(s).collect())
+    spark.sql(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS cents
+         FROM graft_q172_back GROUP BY 1 ORDER BY 1""")
+  }
+
+  // ATTACH feeding a CTAS that must SNAPSHOT before DETACH drops the
+  // source tables (q167 oracle convention: DuckDB's own ATTACH wants a
+  // .duckdb file, so the oracle computes the same result over its plain
+  // views — the RESULT is what's cross-checked; the Spark side runs the
+  // real script).
+  declare("q173_script_attach_etl",
+    """SELECT r_name, CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT n.n_name, r.r_name
+             FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey)
+       GROUP BY r_name ORDER BY r_name""") { (spark, sfDir) =>
+    Seq(
+      "DETACH IF EXISTS graft_q173_db",
+      s"ATTACH '$sfDir' AS graft_q173_db (READ_ONLY)",
+      """CREATE OR REPLACE TEMP TABLE graft_q173 AS
+         SELECT n.n_name, r.r_name
+         FROM graft_q173_db.nation n
+         JOIN graft_q173_db.region r ON n.n_regionkey = r.r_regionkey""",
+      "DETACH graft_q173_db"
+    ).foreach(s => spark.sql(s).collect())
+    spark.sql(
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n
+         FROM graft_q173 GROUP BY r_name ORDER BY r_name""")
+  }
+
+  // Round-20 closures gate lane: window FILTER (CASE rewrite), min/max
+  // under EXCLUDE GROUP/TIES (order algebra + distinct-key helpers),
+  // and `//` with a zero divisor (host NULL) — identical text.
+  private val q174Sql =
+    """SELECT o_orderkey AS k,
+         CAST(count(*) FILTER (WHERE o_totalprice > 250000) OVER (ORDER BY o_orderkey) AS BIGINT) AS wf,
+         CAST(sum(o_orderkey % 100) FILTER (WHERE o_orderkey % 2 = 0) OVER (ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS wfs,
+         CAST(min(o_orderkey) OVER (ORDER BY o_orderkey RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING EXCLUDE GROUP) AS BIGINT) AS xg,
+         CAST(max(o_orderkey) OVER (ORDER BY o_orderkey RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING EXCLUDE TIES) AS BIGINT) AS xt,
+         CAST(o_orderkey // 7 AS BIGINT) AS dv,
+         CAST(o_orderkey // (o_orderkey % 3) AS BIGINT) AS dz
+       FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""
+  declare("q174_sweep11", q174Sql) { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q174Sql)
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -57,6 +57,35 @@ object TpchQueries {
       spark.sql(sql)
     }, Some(sql))
 
+  /** Round-20 fixture lanes (verdict-19 #4): Q3/Q4/Q12/Q13/Q22 need
+    * only COLUMNS the reduced schema drops, so each lane synthesizes
+    * them DETERMINISTICALLY inside the statement itself — a fixture CTE
+    * shadows the table name and derives the missing columns from keys
+    * (`o_orderkey % 3 AS o_shippriority`, ship/commit/receipt dates as
+    * key-offset intervals from l_shipdate, a seven-value l_shipmode
+    * wheel, LIKE-able o_comment sentences, two-digit-prefix c_phone).
+    * Q22 additionally filters the orders fixture (`o_custkey % 10 <>
+    * 3`) because the synthetic data gives EVERY customer orders — the
+    * official anti-join would be vacuously empty. The CTE bodies read
+    * `main.<table>` — DuckDB's default schema, mirrored on the Spark
+    * side by the engine's own directory ATTACH — so the IDENTICAL
+    * statement text runs on both engines with the official query body
+    * untouched below the WITH clause.
+    */
+  private var mainAttached: Option[(SparkSession, String)] = None
+  private def laneWithMain(name: String, tables: Seq[String],
+      sql: String): Unit =
+    all += Declared(name, (spark, sfDir) => {
+      tables.foreach(tb =>
+        t(spark, sfDir, tb).createOrReplaceTempView(tb))
+      if (!mainAttached.contains((spark, sfDir))) {
+        spark.sql("DETACH IF EXISTS main")
+        spark.sql(s"ATTACH '$sfDir' AS main")
+        mainAttached = Some((spark, sfDir))
+      }
+      spark.sql(sql)
+    }, Some(sql))
+
   lane("tpch_q01", Seq("lineitem"),
     """SELECT l_returnflag, l_linestatus,
          CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
@@ -160,6 +189,102 @@ object TpchQueries {
        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
        LIMIT 100""")
+
+  /** Shared lineitem fixture for Q4/Q12: commit/receipt dates as
+    * deterministic key offsets around l_shipdate (commit spans −5..+34
+    * days so both orders of l_commitdate vs l_receiptdate occur), plus
+    * the official seven-mode l_shipmode wheel.
+    */
+  private val lineitemFixture =
+    """lineitem AS (SELECT l.*,
+  l_shipdate + INTERVAL (CAST(l_partkey % 40 AS INT) - 5) DAY AS l_commitdate,
+  l_shipdate + INTERVAL (CAST(l_linenumber * 7 % 30 AS INT)) DAY AS l_receiptdate,
+  CASE CAST(l_suppkey % 7 AS INT) WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+    WHEN 2 THEN 'AIR' WHEN 3 THEN 'RAIL' WHEN 4 THEN 'TRUCK'
+    WHEN 5 THEN 'FOB' ELSE 'REG AIR' END AS l_shipmode
+  FROM main.lineitem l)"""
+
+  laneWithMain("tpch_q03", Seq("customer", "lineitem"),
+    """WITH orders AS (SELECT o.*, CAST(o_orderkey % 3 AS INT)
+    AS o_shippriority FROM main.orders o)
+SELECT l_orderkey,
+  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+    AS revenue,
+  o_orderdate, o_shippriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < date '1996-03-15'
+  AND l_shipdate > date '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_shippriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10""")
+
+  laneWithMain("tpch_q04", Seq("orders"),
+    "WITH " + lineitemFixture + """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= date '1996-07-01'
+  AND o_orderdate < date '1996-07-01' + interval '3' month
+  AND EXISTS (
+    SELECT * FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_commitdate < l_receiptdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority""")
+
+  laneWithMain("tpch_q12", Seq("orders"),
+    "WITH " + lineitemFixture + """
+SELECT l_shipmode,
+  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commitdate < l_receiptdate
+  AND l_shipdate < l_commitdate
+  AND l_receiptdate >= date '1996-01-01'
+  AND l_receiptdate < date '1996-01-01' + interval '1' year
+GROUP BY l_shipmode
+ORDER BY l_shipmode""")
+
+  laneWithMain("tpch_q13", Seq("customer"),
+    """WITH orders AS (SELECT o.*,
+  CASE WHEN o_orderkey % 5 = 0 THEN 'was special requests sleep'
+    WHEN o_orderkey % 7 = 0 THEN 'special packages requests wake'
+    ELSE 'quiet ordinary deposits' END AS o_comment FROM main.orders o)
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey
+    AND o_comment NOT LIKE '%special%requests%'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""")
+
+  laneWithMain("tpch_q22", Seq.empty,
+    """WITH customer AS (SELECT c.*,
+  CAST(11 + c_custkey % 25 AS VARCHAR) || '-' ||
+    CAST(100 + c_custkey % 900 AS VARCHAR) AS c_phone FROM main.customer c),
+orders AS (SELECT o.* FROM main.orders o WHERE o_custkey % 10 <> 3)
+SELECT cntrycode, count(*) AS numcust,
+  CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT substring(c_phone FROM 1 FOR 2) AS cntrycode, c_acctbal
+  FROM customer
+  WHERE substring(c_phone FROM 1 FOR 2) IN ('13','31','23','29','30','18','17')
+    AND c_acctbal > (
+      SELECT avg(c_acctbal) FROM customer
+      WHERE c_acctbal > 0.00
+        AND substring(c_phone FROM 1 FOR 2)
+          IN ('13','31','23','29','30','18','17'))
+    AND NOT EXISTS (
+      SELECT * FROM orders WHERE o_custkey = c_custkey)) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode""")
 
   val declared: Seq[Declared] = all.result()
 

@@ -236,6 +236,61 @@ object ExcludeFrameRewrite {
             s"(CASE WHEN $cnt $overF - $cnt $overP$backN = 0 THEN NULL " +
               s"ELSE (sum($arg) $overF - coalesce(sum($arg) $overP, 0)" +
               s"$backS) / ($cnt $overF - $cnt $overP$backN) END)")
+          case "min" | "max" =>
+            // Order algebra + prev/next distinct key via the
+            // graft_excl_mm marker (see ExcludeGroupMinMax.scala).
+            // Requires the aggregate argument to BE the single ASC
+            // sort key — the only shape where "strictly below/above
+            // the peer group" is recoverable from plain windows.
+            def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+            val pm = ReplaceRewrite.maskLiterals(prefix)
+            val ob = "(?i)\\bORDER\\s+BY\\b".r.findAllMatchIn(pm).toList
+              .lastOption.getOrElse(return None)
+            var keyText = prefix.substring(ob.end).trim
+            val keyMask = pm.substring(ob.end)
+            // single key only (no top-level comma)
+            var d = 0
+            keyMask.foreach {
+              case '(' => d += 1
+              case ')' => d -= 1
+              case ',' if d == 0 => return None
+              case _ =>
+            }
+            keyText = "(?i)\\s+ASC\\z".r.replaceAllIn(keyText, "")
+            if (norm(keyText) != norm(arg)) return None
+            def kind(b: String, preceding: Boolean): Option[String] = {
+              val t = b.trim.replaceAll("\\s+", " ")
+              val u = t.toUpperCase
+              if (u == "CURRENT ROW") Some("none")
+              else if (u == (if (preceding) "UNBOUNDED PRECEDING"
+                             else "UNBOUNDED FOLLOWING")) Some("unbounded")
+              else {
+                val dir = if (preceding) "PRECEDING" else "FOLLOWING"
+                val rev = if (preceding) "FOLLOWING" else "PRECEDING"
+                if (u.endsWith(" " + dir)) {
+                  val mag = t.substring(0, t.length - dir.length).trim
+                  if (mag.matches("\\d+(\\.\\d+)?")) Some(mag) else None
+                } else if (u.endsWith(" " + rev)) {
+                  // spansCurrent already holds, so a reversed-direction
+                  // bound can only be a zero offset.
+                  val mag = t.substring(0, t.length - rev.length).trim
+                  if (mag.matches("0+(\\.0+)?")) Some("0") else None
+                } else None
+              }
+            }
+            val rows = fType == "ROWS" // peersContained ⇒ UNB..UNB
+            val loB = if (rows) "UNBOUNDED PRECEDING" else b1
+            val hiB = if (rows) "UNBOUNDED FOLLOWING" else b2
+            val hiKind = kind(hiB, preceding = false).getOrElse(return None)
+            val loKind = kind(loB, preceding = true).getOrElse(return None)
+            val loUnb = loKind == "unbounded"
+            val (winText, other) =
+              if (fn == "min")
+                (over(s"RANGE BETWEEN $loB AND CURRENT ROW"), hiKind)
+              else
+                (over(s"RANGE BETWEEN CURRENT ROW AND $hiB"), loKind)
+            Some(s"graft_excl_mm('$fn', '${if (mode == "GROUP") "group"
+              else "ties"}', $fn($arg) $winText, '$other', '$loUnb')")
           case _ => None
         }
       case _ => None

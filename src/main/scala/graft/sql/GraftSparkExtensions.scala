@@ -37,6 +37,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, delegate) => new GraftHintParser(delegate))
     // Grouped 1-arg bitstring_agg → column-wide range (ADVICE-18 #1).
     ext.injectOptimizerRule(_ => BitstringGlobalRange)
+    // `//` (parsed as ` div `) → DuckDB divide semantics (verdict-19 #5).
+    ext.injectResolutionRule(_ => DuckIntDivide)
+    // min/max under EXCLUDE GROUP/TIES: splice the prev/next-distinct-
+    // key helper windows above the marker's Window node (verdict-19 #3).
+    // Post-hoc so ExtractWindowExpressions has already run.
+    ext.injectPostHocResolutionRule(_ => ExcludeGroupMinMaxRule)
   }
 }
 
@@ -2042,6 +2048,15 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
         datePartFieldRe.findFirstIn(sqlText).isDefined) &&
         extractFieldRewrite(sqlText).isDefined =>
       preRewrite(extractFieldRewrite(sqlText).get)
+    // Window FILTER: `agg(x) FILTER (WHERE p) OVER w`. Spark PARSES the
+    // clause and dies in a BUILT-IN analyzer rule ("not supported
+    // yet"), which runs before any injected resolution rule — so the
+    // CASE-rewrite must claim pre-delegation too. Non-whitelisted
+    // shapes pass through untouched and keep Spark's loud error.
+    case _ if { val u = sqlText.toUpperCase
+        u.contains("FILTER") && u.contains("OVER") } &&
+        ListOpRewrite.rewriteWindowFilter(sqlText).isDefined =>
+      preRewrite(ListOpRewrite.rewriteWindowFilter(sqlText).get)
     // DuckDB's `**` power operator. Spark PARSES `a ** b` — as
     // multiply(a, star) — and only dies later in analysis with a
     // confusing INVALID_USAGE_OF_STAR_OR_REGEX, so the parse-failure
@@ -2504,6 +2519,40 @@ object GraftSparkExtensions {
       case _ =>
         If(IsNull(a), b, If(IsNull(b), a, Concat(Seq(a, b))))
     }
+  }
+
+  /** DuckDB's `divide()` / the `//` operator (one function on the host,
+    * probed v1.0.0): TRUNCATING division on integral args returning the
+    * WIDER of the two argument types (divide(7::TINYINT, 2::TINYINT) →
+    * TINYINT 3; -7 // 2 → -3), PLAIN division on float/decimal args
+    * returning DOUBLE (7.5 // 2 → 3.75 — no truncation), and NULL on a
+    * zero divisor either way. StaticInvoke so ConstantFolding can't
+    * raise on literal zeros. Shared by the `divide` alias and by
+    * [[DuckIntDivide]], which retargets every parsed `div`
+    * (the `//` rewrite's spelling) onto these semantics.
+    */
+  private[sql] def duckDivideExpr(l: Expression, r: Expression): Expression = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val integral = Seq(l, r).forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    if (integral) {
+      def w(t: DataType): Int = t match {
+        case ByteType => 1; case ShortType => 2
+        case IntegerType => 3; case _ => 4
+      }
+      val out = if (w(l.dataType) >= w(r.dataType)) l.dataType else r.dataType
+      Cast(StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
+        LongType, "duckDivideInt",
+        Seq(Cast(l, LongType), Cast(r, LongType)),
+        inputTypes = Seq(LongType, LongType)), out)
+    } else
+      StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
+        DoubleType, "duckDivideFloat",
+        Seq(Cast(l, DoubleType), Cast(r, DoubleType)),
+        inputTypes = Seq(DoubleType, DoubleType))
   }
 
   private def aliasFn(name: String, arity: (Int, Int))(
@@ -3284,12 +3333,28 @@ object GraftSparkExtensions {
           StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
             org.apache.spark.sql.types.DecimalType(20, 0), "md5NumberUpper",
             Seq(a(0)), inputTypes = Seq(StringType))),
-        // md5_number is UHUGEINT (128-bit unsigned) on the host — past
-        // DECIMAL(38,0)'s top — so it lands as its exact decimal digits.
+        // md5_number is HUGEINT (128-bit SIGNED) on the host v1.0.0 —
+        // round-20 re-probe: md5_number('b') =
+        // -149750030552373788046256512903076123758 (top-bit digests print
+        // negative; pinned in Round20DialectSpec). 39 digits exceed
+        // DECIMAL(38,0), so it lands as its exact decimal digits.
         aliasFn("md5_number", (1, 1))(a =>
           StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
             StringType, "md5Number",
             Seq(a(0)), inputTypes = Seq(StringType))),
+        // Internal marker for min/max EXCLUDE GROUP/TIES (emitted only
+        // by ExcludeFrameRewrite; rewritten by ExcludeGroupMinMaxRule).
+        aliasFn("graft_excl_mm", (5, 5))(a => {
+          def s(e: Expression, what: String): String = e match {
+            case Literal(v, StringType) if v != null => v.toString
+            case _ => throw new org.apache.spark.sql.AnalysisException(
+              "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+                s"graft_excl_mm: $what must be a string literal"))
+          }
+          ExclMinMaxMarker(a(2), s(a(0), "fn") == "min",
+            s(a(1), "mode") == "group", s(a(3), "other"),
+            s(a(4), "hiUnb") == "true")
+        }),
         aliasFn("substring_grapheme", (2, 3))(a =>
           StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
             StringType, "substringGrapheme",
@@ -3493,23 +3558,7 @@ object GraftSparkExtensions {
         // on literal zeros), multiply; fdiv/fmod = FLOORED
         // division/modulo (fmod(-7.5, 2.0) = 0.5 — DuckDB pins the
         // floored form, not C's truncating fmod).
-        aliasFn("divide", (2, 2))(a => {
-          import org.apache.spark.sql.types._
-          val integral = Seq(a(0), a(1)).forall(_.dataType match {
-            case ByteType | ShortType | IntegerType | LongType => true
-            case _ => false
-          })
-          if (integral)
-            StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
-              LongType, "duckDivideInt",
-              Seq(Cast(a(0), LongType), Cast(a(1), LongType)),
-              inputTypes = Seq(LongType, LongType))
-          else
-            StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
-              DoubleType, "duckDivideFloat",
-              Seq(Cast(a(0), DoubleType), Cast(a(1), DoubleType)),
-              inputTypes = Seq(DoubleType, DoubleType))
-        }),
+        aliasFn("divide", (2, 2))(a => duckDivideExpr(a(0), a(1))),
         aliasFn("multiply", (2, 2))(a =>
           org.apache.spark.sql.catalyst.expressions.Multiply(a(0), a(1))),
         aliasFn("fdiv", (2, 2)) { a =>
@@ -5018,23 +5067,50 @@ object GraftSparkExtensions {
       val instrumented = src.observe(obs,
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
-      val writer0 = instrumented.write.mode("overwrite")
+      // Host parity (round 20): DuckDB's un-partitioned COPY TO writes
+      // ONE FILE at exactly `path`; Spark's writers emit a part-file
+      // DIRECTORY, which breaks any script that hands the path to a
+      // file consumer (q172's round-trip had DuckDB refusing to
+      // overwrite the engine's directory). A file-extension target with
+      // no PARTITION_BY therefore stages a single-writer output
+      // (coalesce(1) — the same single-file cost the host pays) and
+      // renames the part file onto the path. PARTITION_BY keeps the
+      // parallel hive-layout directory — the 100 TB export path.
+      val singleFile = partition.isEmpty &&
+        path.matches("(?i).*\\.(parquet|parq|csv|tsv|json|jsonl|ndjson)\\z")
+      val outPath = if (singleFile) path + ".__graft_stage__" else path
+      val frame = if (singleFile) instrumented.coalesce(1) else instrumented
+      val writer0 = frame.write.mode("overwrite")
       val writer1 =
         if (partition.isEmpty) writer0 else writer0.partitionBy(partition: _*)
       val writer = opts.get("compression")
         .map(c => writer1.option("compression", c)).getOrElse(writer1)
       fmt match {
-        case "parquet" => writer.parquet(path)
+        case "parquet" => writer.parquet(outPath)
         case "csv" =>
           val w = csvOptionKeys.foldLeft(writer) { case (wr, (k, opt)) =>
             opts.get(k).map(x => wr.option(opt, x)).getOrElse(wr) }
-          w.option("header", header.toString).csv(path)
+          w.option("header", header.toString).csv(outPath)
         case "json" =>
           // DuckDB's FORMAT JSON export is newline-delimited objects --
           // exactly Spark's json writer (compression already applied).
-          writer.json(path)
+          writer.json(outPath)
         case other => throw new IllegalArgumentException(
           s"copy_to: unsupported format '$other' (parquet, csv, json)")
+      }
+      if (singleFile) {
+        val conf = spark.sessionState.newHadoopConf()
+        val sp = new org.apache.hadoop.fs.Path(outPath)
+        val fs = sp.getFileSystem(conf)
+        val parts = fs.listStatus(sp).filter(s =>
+          s.isFile && s.getPath.getName.startsWith("part-"))
+        require(parts.length == 1,
+          s"copy_to: expected one staged part file, found ${parts.length}")
+        val tp = new org.apache.hadoop.fs.Path(path)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        if (!fs.rename(parts.head.getPath, tp))
+          throw new IllegalStateException(s"copy_to: rename to $path failed")
+        fs.delete(sp, true)
       }
       val n = obs.get("n") match {
         case l: java.lang.Number => l.longValue()
@@ -5586,16 +5662,26 @@ object GraftSparkExtensions {
     // (round 19, verdict-18 #8). Query sources still stage once (their
     // inputs could mutate later), then append lazily too: the staged
     // dir is frozen, so the union plan stays snapshot-stable.
-    val localRows: Option[Long] = if (!intoTemp) None else (try {
-      aligned.queryExecution.optimizedPlan match {
-        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-          Some(lr.data.length.toLong)
-        case _ => None
-      }
-    } catch { case scala.util.control.NonFatal(_) => None })
-    val staged =
-      if (localRows.isDefined) aligned
-      else graft.operators.Scratch.materialize(aligned, s"ins_$name")._1
+    // Register the OPTIMIZED LocalRelation itself, not `aligned`: the
+    // eligibility check runs AFTER ComputeCurrentTime folds
+    // now()/current_timestamp/current_date, so re-registering the
+    // unoptimized plan would re-evaluate those on every later read of
+    // the union view — inserted values drifting per query (round-19
+    // ADVICE). The LocalRelation's rows are frozen, like the old
+    // parquet stage froze them.
+    val localRel: Option[org.apache.spark.sql.catalyst.plans.logical.LocalRelation] =
+      if (!intoTemp) None else (try {
+        aligned.queryExecution.optimizedPlan match {
+          case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            Some(lr)
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None })
+    val localRows: Option[Long] = localRel.map(_.data.length.toLong)
+    val staged = localRel match {
+      case Some(lr) => org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, lr)
+      case None => graft.operators.Scratch.materialize(aligned, s"ins_$name")._1
+    }
     if (intoTemp) TempTables.putLazy(name, target.union(staged))
     else staged.write.mode("append").insertInto(name)
     // Literal sources know their row count without a job.
@@ -6075,6 +6161,19 @@ object GraftSparkExtensions {
     * TempTables/catalog_pk_ctl pattern: work happens once at analysis,
     * result is DuckDB's empty Count shape.
     */
+  /** Names attach_db created, keyed per session. DETACH may only drop
+    * names in this set: the host refuses to DETACH anything that was
+    * not ATTACHed ("Failed to detach database with name "s1": database
+    * not found" — probed v1.0.0, including for CREATE SCHEMA schemas),
+    * and without the registry a DETACH of a user-created database would
+    * DROP ... CASCADE managed table data (round-19 ADVICE).
+    */
+  private val attachedDbs: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def attachKey(spark: org.apache.spark.sql.SparkSession,
+      name: String): String =
+    java.lang.System.identityHashCode(spark) + "/" + name.toLowerCase
+
   val attachDbFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("attach_db"), info("attach_db"), (args: Seq[Expression]) => {
       require(args.size == 3 && args.forall(_.foldable),
@@ -6113,6 +6212,7 @@ object GraftSparkExtensions {
           spark.sql(s"CREATE TABLE `$name`.`$tbl` USING parquet " +
             s"LOCATION '${p.toString.replace("'", "''")}'")
         }
+        attachedDbs.add(attachKey(spark, name))
       }
       LocalRelation.fromExternalRows(
         DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
@@ -6126,11 +6226,19 @@ object GraftSparkExtensions {
       val v = args.map(_.eval(null)).toIndexedSeq
       val name = asString(v(0)); val ifExists = asString(v(1)) == "true"
       val spark = org.apache.spark.sql.SparkSession.active
-      if (!spark.catalog.databaseExists(name)) {
+      // Only databases THIS session attached are detachable — a
+      // user-created database (CREATE SCHEMA + managed tables) gets the
+      // host's not-found error instead of a silent CASCADE drop of its
+      // managed data (round-19 ADVICE; host message probed v1.0.0).
+      if (!attachedDbs.contains(attachKey(spark, name)) ||
+          !spark.catalog.databaseExists(name)) {
         if (!ifExists) throw new org.apache.spark.sql.AnalysisException(
           "USER_RAISED_EXCEPTION", Map("errorMessage" ->
-            s"""Database "$name" not found"""))
-      } else spark.sql(s"DROP DATABASE `$name` CASCADE")
+            s"""Failed to detach database with name "$name": database not found"""))
+      } else {
+        spark.sql(s"DROP DATABASE `$name` CASCADE")
+        attachedDbs.remove(attachKey(spark, name))
+      }
       LocalRelation.fromExternalRows(
         DataTypeUtils.toAttributes(StructType.fromDDL("Count BIGINT")),
         Seq.empty)

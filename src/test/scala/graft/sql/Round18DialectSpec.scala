@@ -94,8 +94,12 @@ class Round18DialectSpec extends AnyFunSuite {
     // GROUPS frames: Spark has no GROUPS mode at all.
     hint("SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING " +
       "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM (VALUES (1)) t(x)")
-    // min under GROUP: not subtraction-decomposable.
-    hint("SELECT min(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING " +
+    // min under GROUP executes since round 20 when the argument IS the
+    // sort key (Round20DialectSpec); other arguments still decline.
+    assert(rows("SELECT min(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING " +
+      "AND 1 FOLLOWING EXCLUDE GROUP) FROM (VALUES (1)) t(x)") ==
+      Seq(Seq(null)))
+    hint("SELECT min(x + 1) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING " +
       "AND 1 FOLLOWING EXCLUDE GROUP) FROM (VALUES (1)) t(x)")
     // bounded ROWS under TIES: peers may straddle the frame edge.
     hint("SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING " +
