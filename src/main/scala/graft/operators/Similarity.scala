@@ -97,6 +97,69 @@ object Similarity {
     topKScored(scored, k)
   }
 
+  /** Graph-walk ANN (round 20, verdict-19 stretch #8): greedy BEAM
+    * SEARCH over a materialized k-NN neighbor graph — the third ANN
+    * family next to IVF and PQ, the distributed analogue of an
+    * HNSW-layer-0 search. Per query: seed the beam with the `entries`
+    * lowest vec_ids (deterministic entry points), then `rounds` times
+    * expand every beam member through its graph out-edges, score the
+    * new candidates against the query (quantized cosine, id
+    * tie-breaks — replicable across engines), and keep the top-`beam`.
+    * The answer is the final beam's top-k.
+    *
+    * Scale shape: `graph` joins the beam by its source id — a
+    * co-partitioned equi-join; candidate embeddings come from ONE
+    * corpus equi-join per round; entry points broadcast. Per-round
+    * cost is O(|Q| · beam · outDegree) rows — never corpus², and the
+    * beam bound makes each round's shuffle |Q|·beam-sized. Rounds are
+    * FIXED (not converge-tested): each round is a full shuffle stage
+    * at 100 TB, so the knob is explicit; each round's beam
+    * materializes to scratch ([[graft.operators.Scratch]]) to keep the
+    * plan depth constant like the engine's other fixpoints.
+    * Output: (query_id, rank, neighbor_id, sim), sim = round(cos, 3).
+    */
+  def graphWalkTopK(corpus: DataFrame, graph: DataFrame, queries: DataFrame,
+      k: Int, beam: Int = 8, rounds: Int = 2, entries: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val edges = graph.select(col("query_id").as("src"),
+      col("neighbor_id").as("dst"))
+    def scoreCands(cands: DataFrame): DataFrame =
+      cands.join(corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne")), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qe"), col("ne")), 3).as("sim"))
+    def cut(scored: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      scored.select(col("query_id"), col("neighbor_id"), col("sim"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= n).drop("rn")
+    }
+    val entry = corpus.orderBy("vec_id").limit(entries)
+      .select(col("vec_id").as("neighbor_id"))
+    var (beamDf, _) = Scratch.materialize(
+      cut(scoreCands(q.select(col("query_id")).crossJoin(broadcast(entry))),
+        beam), "walk_beam")
+    for (_ <- 1 to rounds) {
+      val expanded = beamDf
+        .join(edges, beamDf("neighbor_id") === edges("src"))
+        .select(col("query_id"), col("dst").as("neighbor_id")).distinct()
+      val next = cut(scoreCands(expanded)
+        .unionByName(beamDf)
+        .dropDuplicates("query_id", "neighbor_id"), beam)
+      beamDf = Scratch.materialize(next, "walk_beam")._1
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    beamDf.select(col("query_id"),
+        row_number().over(w).cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+      .filter(col("rank") <= k)
+  }
+
   /** Hard-negative mining for contrastive/retrieval training: for each
     * anchor vector, the top-k most-similar corpus vectors whose label
     * DIFFERS from the anchor's — the highest-loss negatives a training

@@ -1654,6 +1654,139 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+
+  // Graph-walk ANN (round 20, verdict-19 stretch #8): greedy beam
+  // search over a materialized k-NN graph — the third ANN family next
+  // to IVF and PQ (Similarity.graphWalkTopK: entry points = the 4
+  // lowest vec_ids, beam 16, 3 expansion rounds, quantized cosine with
+  // id tie-breaks). The oracle replicates the ENTIRE walk relationally
+  // (graph construction, per-round expand/score/cut, final top-k), so
+  // every beam decision is cross-engine-verified. Corpus bounded at
+  // vec_id < 300 for the all-pairs oracle; the operator itself takes
+  // any corpus + any neighbor graph (sim_knn_graph's IVF graph at
+  // scale).
+  declare("sim_ann_graph_walk",
+    """WITH x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i
+                  FROM embeddings WHERE vec_id < 300),
+       norms AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM x GROUP BY 1),
+       dots AS (SELECT a.vec_id va, b.vec_id vb, SUM(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE)) dp
+                FROM x a JOIN x b ON a.i = b.i AND a.vec_id != b.vec_id GROUP BY 1, 2),
+       sims AS (SELECT va, vb, round(dp/(na.nn*nb.nn), 3) sim
+                FROM dots JOIN norms na ON va = na.vec_id JOIN norms nb ON vb = nb.vec_id),
+       graph AS (SELECT va src, vb dst FROM (
+                   SELECT va, vb, row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb) rn
+                   FROM sims) WHERE rn <= 5),
+       entries AS (SELECT vec_id FROM embeddings WHERE vec_id < 300 ORDER BY vec_id LIMIT 4),
+       b0 AS (SELECT qid, nid, sim FROM (
+                SELECT va qid, vb nid, sim,
+                  row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb) rn
+                FROM sims WHERE va < 8 AND vb IN (SELECT vec_id FROM entries)) WHERE rn <= 16),
+       e1 AS (SELECT DISTINCT b.qid, g.dst nid FROM b0 b JOIN graph g ON b.nid = g.src
+              WHERE g.dst != b.qid),
+       u1 AS (SELECT DISTINCT qid, nid, sim FROM (
+                SELECT e.qid, e.nid, s.sim FROM e1 e JOIN sims s ON s.va = e.qid AND s.vb = e.nid
+                UNION ALL SELECT qid, nid, sim FROM b0)),
+       b1 AS (SELECT qid, nid, sim FROM (
+                SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+                FROM u1) WHERE rn <= 16),
+       e2 AS (SELECT DISTINCT b.qid, g.dst nid FROM b1 b JOIN graph g ON b.nid = g.src
+              WHERE g.dst != b.qid),
+       u2 AS (SELECT DISTINCT qid, nid, sim FROM (
+                SELECT e.qid, e.nid, s.sim FROM e2 e JOIN sims s ON s.va = e.qid AND s.vb = e.nid
+                UNION ALL SELECT qid, nid, sim FROM b1)),
+       b2 AS (SELECT qid, nid, sim FROM (
+                SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+                FROM u2) WHERE rn <= 16)
+       , e3 AS (SELECT DISTINCT b.qid, g.dst nid FROM b2 b JOIN graph g ON b.nid = g.src
+              WHERE g.dst != b.qid),
+       u3 AS (SELECT DISTINCT qid, nid, sim FROM (
+                SELECT e.qid, e.nid, s.sim FROM e3 e JOIN sims s ON s.va = e.qid AND s.vb = e.nid
+                UNION ALL SELECT qid, nid, sim FROM b2)),
+       b3 AS (SELECT qid, nid, sim FROM (
+                SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+                FROM u3) WHERE rn <= 16)
+       SELECT qid query_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) rnk,
+         nid neighbor_id, sim
+       FROM b3
+       QUALIFY rnk <= 5
+       ORDER BY query_id, rnk""") { (spark, sfDir) =>
+    val e = t(spark, sfDir, "embeddings")
+    val sub = e.filter(col("vec_id") < 300)
+    val graph = Similarity.bruteForceTopK(sub, sub, k = 5)
+    Similarity.graphWalkTopK(sub, graph, sub.filter(col("vec_id") < 8),
+        k = 5, beam = 16, rounds = 3, entries = 4)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  // The graph family's recall point for the ANN grid: recall@5 of the
+  // walk against the exact top-5 over the same corpus (375 milli at
+  // beam 16 / 3 rounds on the synthetic embeddings — random vectors
+  // have no navigable manifold, exactly the degradation the grid is
+  // for; IVF at full probes sits at 1000).
+  declare("sim_ann_graph_recall",
+    """WITH x AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i
+                  FROM embeddings WHERE vec_id < 300),
+       norms AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) nn FROM x GROUP BY 1),
+       dots AS (SELECT a.vec_id va, b.vec_id vb, SUM(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE)) dp
+                FROM x a JOIN x b ON a.i = b.i AND a.vec_id != b.vec_id GROUP BY 1, 2),
+       sims AS (SELECT va, vb, round(dp/(na.nn*nb.nn), 3) sim
+                FROM dots JOIN norms na ON va = na.vec_id JOIN norms nb ON vb = nb.vec_id),
+       graph AS (SELECT va src, vb dst FROM (
+                   SELECT va, vb, row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb) rn
+                   FROM sims) WHERE rn <= 5),
+       entries AS (SELECT vec_id FROM embeddings WHERE vec_id < 300 ORDER BY vec_id LIMIT 4),
+       b0 AS (SELECT qid, nid, sim FROM (
+                SELECT va qid, vb nid, sim,
+                  row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb) rn
+                FROM sims WHERE va < 8 AND vb IN (SELECT vec_id FROM entries)) WHERE rn <= 16),
+       e1 AS (SELECT DISTINCT b.qid, g.dst nid FROM b0 b JOIN graph g ON b.nid = g.src
+              WHERE g.dst != b.qid),
+       u1 AS (SELECT DISTINCT qid, nid, sim FROM (
+                SELECT e.qid, e.nid, s.sim FROM e1 e JOIN sims s ON s.va = e.qid AND s.vb = e.nid
+                UNION ALL SELECT qid, nid, sim FROM b0)),
+       b1 AS (SELECT qid, nid, sim FROM (
+                SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+                FROM u1) WHERE rn <= 16),
+       e2 AS (SELECT DISTINCT b.qid, g.dst nid FROM b1 b JOIN graph g ON b.nid = g.src
+              WHERE g.dst != b.qid),
+       u2 AS (SELECT DISTINCT qid, nid, sim FROM (
+                SELECT e.qid, e.nid, s.sim FROM e2 e JOIN sims s ON s.va = e.qid AND s.vb = e.nid
+                UNION ALL SELECT qid, nid, sim FROM b1)),
+       b2 AS (SELECT qid, nid, sim FROM (
+                SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+                FROM u2) WHERE rn <= 16)
+       , e3 AS (SELECT DISTINCT b.qid, g.dst nid FROM b2 b JOIN graph g ON b.nid = g.src
+              WHERE g.dst != b.qid),
+       u3 AS (SELECT DISTINCT qid, nid, sim FROM (
+                SELECT e.qid, e.nid, s.sim FROM e3 e JOIN sims s ON s.va = e.qid AND s.vb = e.nid
+                UNION ALL SELECT qid, nid, sim FROM b2)),
+       b3 AS (SELECT qid, nid, sim FROM (
+                SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+                FROM u3) WHERE rn <= 16),
+       walk AS (SELECT qid, nid FROM (
+         SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+         FROM b3) WHERE rn <= 5),
+       exact AS (SELECT va qid, vb nid FROM (
+         SELECT va, vb, row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb) rn
+         FROM sims WHERE va < 8) WHERE rn <= 5)
+       SELECT 'graph' AS family,
+         CAST((count(*) * 1000) // 40 AS BIGINT) AS recall_milli
+       FROM walk w JOIN exact e ON w.qid = e.qid AND w.nid = e.nid""") { (spark, sfDir) =>
+    val e = t(spark, sfDir, "embeddings")
+    val sub = e.filter(col("vec_id") < 300)
+    val graph = Similarity.bruteForceTopK(sub, sub, k = 5)
+    val wq = sub.filter(col("vec_id") < 8)
+    val walk = Similarity.graphWalkTopK(sub, graph, wq,
+      k = 5, beam = 16, rounds = 3, entries = 4)
+    val exact = Similarity.bruteForceTopK(sub, wq, k = 5)
+    walk.join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .agg((count(lit(1)) * 1000 / 40).cast("long").as("recall_milli"))
+      .select(lit("graph").as("family"), col("recall_milli"))
+  }
+
   // Positive-pair mining (round 15) — the other side of the contrastive
   // batch: per anchor, top-k most-similar SAME-label vectors (self
   // excluded); with sim_hard_negatives this completes the triplet. Same
