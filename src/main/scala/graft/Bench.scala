@@ -51,6 +51,29 @@ object Bench {
     def sentinelSafe(): Double =
       try sentinel() catch { case e: Throwable =>
         System.err.println(s"[bench] sentinel failed: ${e.getMessage}"); -1.0 }
+    // IO sentinel (round 20): the compute sentinel above is CPU-bound and
+    // stayed in band (0.145/0.199) on a day the shuffle/scratch-heavy
+    // lanes read 2-4x their round-18 record values — an interleaved
+    // r18-jar vs r19-jar A/B (5 reps/JVM, alternating) showed NO
+    // code-level difference, so the drift is the box's IO side, which
+    // the compute sentinel cannot see. This probe times a fixed
+    // write+read parquet round trip; it is RECORDED (sentinel_io_*) for
+    // cross-round reading, not gated on — no trusted band exists yet.
+    def ioSentinelSafe(): Double =
+      try {
+        val dir = "/tmp/graft_bench_io_sentinel"
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.range(2000000L)
+            .selectExpr("id", "cast(id % 97 as string) s")
+            .write.mode("overwrite").parquet(dir)
+          spark.read.parquet(dir).groupBy("s").count()
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        ts(1)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] io sentinel failed: ${e.getMessage}"); -1.0 }
     // One discarded warm probe first: the before/after pair must differ
     // only by machine load, not by which one paid the sentinel plan's
     // first-touch codegen.
@@ -143,15 +166,19 @@ object Bench {
         (after > 0 && (inflated(after) || skewed(after, before)))
     }
     var sentinelBefore = sentinelSafe()
+    var ioBefore = ioSentinelSafe()
     var results = sweep()
     var sentinelAfter = sentinelSafe()
+    var ioAfter = ioSentinelSafe()
     var retried = false
     if (hot(sentinelBefore, sentinelAfter)) {
       System.err.println(f"[bench] contended sweep detected (sentinel_before=$sentinelBefore%.3f s, sentinel_after=$sentinelAfter%.3f s) — retrying once")
       retried = true
       sentinelBefore = sentinelSafe()
+      ioBefore = ioSentinelSafe()
       results = sweep()
       sentinelAfter = sentinelSafe()
+      ioAfter = ioSentinelSafe()
     }
     val contended = hot(sentinelBefore, sentinelAfter)
     val ok = results.collect { case (k, Some(v)) => k -> v }
@@ -198,7 +225,7 @@ object Bench {
         val n = ratios.length
         if (n % 2 == 1) ratios(n / 2) else (ratios(n / 2 - 1) + ratios(n / 2)) / 2
       }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sentinel_before":$sentinelBefore,"sentinel_after":$sentinelAfter,"retried":$retried,"contended":$contended,"overlap_ratio":$overlapRatio,"overlap_median":$overlapMedian,"overlap_n":${common.size},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sentinel_before":$sentinelBefore,"sentinel_after":$sentinelAfter,"sentinel_io_before":$ioBefore,"sentinel_io_after":$ioAfter,"retried":$retried,"contended":$contended,"overlap_ratio":$overlapRatio,"overlap_median":$overlapMedian,"overlap_n":${common.size},"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a bounded tail, which truncates the
     // per-query map once the suite is large; a file sidesteps the tail so
