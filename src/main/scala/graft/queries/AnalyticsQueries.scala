@@ -4386,6 +4386,45 @@ object AnalyticsQueries {
     spark.sql(q174Sql)
   }
 
+  // Twelfth sweep (round 20): three closures from the round's
+  // differential probe. Parallel unnest() lockstep (the host zips,
+  // padding shorter lists NULL — Spark's multi-generator chain was a
+  // silent CROSS product, fixed by ParallelUnnestZip), any_value with
+  // an honored in-argument ORDER BY (first NON-NULL under the order —
+  // was silently stripped as order-insensitive), and the PIVOT/UNPIVOT
+  // statement forms over SUBQUERY sources.
+  private val q175Sql =
+    """SELECT g,
+         CAST(any_value(doc_id ORDER BY length(text) * 1000 + doc_id DESC) AS BIGINT) AS longest_doc,
+         CAST(any_value(doc_id ORDER BY length(text) * 1000 + doc_id) AS BIGINT) AS shortest_doc
+       FROM (SELECT doc_id % 7 AS g, doc_id, text FROM documents WHERE doc_id < 200) t
+       GROUP BY g ORDER BY g"""
+  declare("q175_any_value_ordered", q175Sql) { (spark, sfDir) =>
+    t(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    spark.sql(q175Sql)
+  }
+
+  private val q176Sql =
+    """SELECT u, v, w FROM (
+         SELECT unnest([d1, d2, d3]) AS u, unnest(['a','b']) AS v, unnest([d1 + 10]) AS w
+         FROM (SELECT doc_id AS d1, doc_id * 2 AS d2, doc_id * 3 AS d3
+               FROM documents WHERE doc_id < 40) s
+       ) ORDER BY u NULLS FIRST, v NULLS FIRST, w NULLS FIRST"""
+  declare("q176_unnest_zip", q176Sql) { (spark, sfDir) =>
+    t(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    spark.sql(q176Sql)
+  }
+
+  private val q177Sql =
+    """PIVOT (SELECT o_orderstatus s, o_orderpriority p, o_totalprice
+             FROM orders WHERE o_orderkey < 800)
+       ON p USING count(*) AS n, max(o_totalprice) AS mx
+       GROUP BY s ORDER BY s"""
+  declare("q177_pivot_subquery", q177Sql) { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q177Sql)
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -368,7 +368,8 @@ LIMIT 100""")
 
   laneWithMain("tpch_q09", Seq("part", "supplier", "lineitem", "orders", "nation"),
     """WITH """ + partsuppFixture + """
-SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+SELECT nation, o_year,
+  CAST(SUM(CAST(round(amount * 100, 0) AS BIGINT)) AS BIGINT) AS profit_cents
 FROM (
   SELECT n_name AS nation,
     CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,

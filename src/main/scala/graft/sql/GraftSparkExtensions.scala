@@ -43,6 +43,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // key helper windows above the marker's Window node (verdict-19 #3).
     // Post-hoc so ExtractWindowExpressions has already run.
     ext.injectPostHocResolutionRule(_ => ExcludeGroupMinMaxRule)
+    // Parallel unnest() lockstep-zip (round 20): DuckDB evaluates
+    // multiple unnests in one select list in lockstep, Spark chains
+    // them into a cross product. Post-hoc so ExtractGenerator has run.
+    ext.injectPostHocResolutionRule(_ => ParallelUnnestZip)
   }
 }
 
@@ -2812,7 +2816,7 @@ object GraftSparkExtensions {
       }
       Seq(
         // DuckDB's bread-and-butter generator name.
-        aliasFn("unnest", (1, 1))(a => Explode(a(0))),
+        aliasFn("unnest", (1, 1))(a => DuckUnnest(a(0))),
         aliasFn("strpos", (2, 2))(a => StringInstr(a(0), a(1))),
         aliasFn("array_length", (1, 1))(a => graft.functions.Len(a(0))),
         aliasFn("list_length", (1, 1))(a => graft.functions.Len(a(0))),

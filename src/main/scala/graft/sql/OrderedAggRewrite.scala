@@ -43,8 +43,11 @@ object OrderedAggRewrite {
   // Order-INSENSITIVE aggregates: DuckDB accepts (and ignores) an
   // in-argument ORDER BY on these — count(DISTINCT x ORDER BY x) is a
   // common paste shape — so the rewrite simply strips it (round 18).
+  // any_value is NOT in this set (round-20 probe): the host honors its
+  // ORDER BY — any_value(x ORDER BY y) is the first NON-NULL value
+  // under that order (first() keeps the NULL; any_value skips it).
   private val orderInsensitive = Set("count", "sum", "avg", "min", "max",
-    "bool_and", "bool_or", "any_value")
+    "bool_and", "bool_or")
 
   /** Index of the first depth-0 `ORDER BY` inside an (already
     * literal-masked) argument text, or -1.
@@ -193,6 +196,14 @@ object OrderedAggRewrite {
           val repl: Option[String] =
             if (name == "array_agg" || name == "list")
               parseKeys(keysText).flatMap(arrayForm(args, _, filterSuffix))
+            else if (name == "any_value")
+              // First NON-NULL under the order (host-probed v1.0.0:
+              // any_value(x ORDER BY y) skips leading NULLs where
+              // first() returns them). get() is 0-based and
+              // NULL-on-out-of-bounds, covering the all-NULL group.
+              parseKeys(keysText).flatMap(arrayForm(args, _, filterSuffix))
+                .map(arr =>
+                  s"get(filter($arr, __graft_av -> __graft_av IS NOT NULL), 0)")
             else if (name == "first" || name == "last")
               // first/last BY the sort keys = the 1st/-1st element of
               // the ordered collect (round 16; DuckDB's in-arg ORDER BY

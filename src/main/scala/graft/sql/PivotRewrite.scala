@@ -27,6 +27,15 @@ object PivotRewrite {
 
   private val headRe =
     """(?is)\A\s*PIVOT\s+([A-Za-z_]\w*)\s+ON\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)(?:\s+IN\s*\((.*?)\))?\s+USING\s+(.*?)(?:\s+GROUP\s+BY\s+(.*?))?\s*;?\s*\z""".r
+  // Subquery source (round 20): `PIVOT (SELECT ...) ON ...` — the
+  // balanced-paren slice rides to pivot_auto as query text (its
+  // tableOrSql dispatch runs '('-prefixed sources through spark.sql).
+  private val parenHeadRe = """(?is)\A\s*PIVOT\s*(?=\()""".r
+  private val tailRe =
+    ("""(?is)\A\s+ON\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)""" +
+      """(?:\s+IN\s*\((.*?)\))?\s+USING\s+(.*?)""" +
+      """(?:\s+GROUP\s+BY\s+(.*?))?""" +
+      """(\s+ORDER\s+BY\s+.+?)?(\s+LIMIT\s+\d+)?\s*;?\s*\z""").r
 
   // Quote-doubling only (slices carry the DuckLiterals entry
   // doubling; one unescape at re-parse consumes it).
@@ -34,12 +43,27 @@ object PivotRewrite {
     s.replace("'", "''")
 
   def rewrite(sql: String): Option[String] = {
-    val m = headRe.findFirstMatchIn(sql).getOrElse(return None)
-    val table = m.group(1)
-    val onCol = m.group(2)
-    val inList = Option(m.group(3)).map(_.trim).getOrElse("")
-    val agg = m.group(4).trim
-    val groups = Option(m.group(5)).map(_.trim).getOrElse("")
+    val (table, onCol, inList, agg, groups, suffix) =
+      headRe.findFirstMatchIn(sql) match {
+        case Some(m) =>
+          (m.group(1), m.group(2),
+            Option(m.group(3)).map(_.trim).getOrElse(""),
+            m.group(4).trim,
+            Option(m.group(5)).map(_.trim).getOrElse(""), "")
+        case None =>
+          val h = parenHeadRe.findFirstMatchIn(sql).getOrElse(return None)
+          val open = h.end
+          val close = ReplaceRewrite.closeOf(sql, open)
+          if (close < 0) return None
+          val t = tailRe.findFirstMatchIn(sql.substring(close))
+            .getOrElse(return None)
+          (sql.substring(open, close), t.group(1),
+            Option(t.group(2)).map(_.trim).getOrElse(""),
+            t.group(3).trim,
+            Option(t.group(4)).map(_.trim).getOrElse(""),
+            Option(t.group(5)).getOrElse("") +
+              Option(t.group(6)).getOrElse(""))
+      }
     if (agg.isEmpty) return None
     // Each top-level USING part may carry one trailing alias; with
     // several parts every one must (pivot_auto enforces it too, but
@@ -61,6 +85,6 @@ object PivotRewrite {
       else s", '${esc(groups)}'"
     val inArg = if (inList.isEmpty) "" else s", '${esc(inList)}'"
     Some(s"SELECT * FROM pivot_auto('${esc(table)}', '${esc(onCol)}', " +
-      s"'${esc(agg)}'$groupArg$inArg)")
+      s"'${esc(agg)}'$groupArg$inArg)$suffix")
   }
 }

@@ -29,12 +29,31 @@ object UnpivotRewrite {
   private val columnsStarRe =
     """(?is)\A\s*COLUMNS\s*\(\s*\*\s*(?:EXCLUDE\s*(?:\(([^)]*)\)|([A-Za-z_]\w*)))?\s*\)\s*\z""".r
 
+  // Subquery source (round 20): `UNPIVOT (SELECT ...) ON ...` — the
+  // balanced-paren slice rides through as a derived table.
+  private val parenHeadRe = """(?is)\A\s*UNPIVOT\s*(?=\()""".r
+  private val parenTailRe =
+    """(?is)\A\s+ON\s+(.+?)(?:\s+INTO\s+NAME\s+([A-Za-z_]\w*)\s+VALUE\s+([A-Za-z_]\w*))?\s*;?\s*\z""".r
+
   def rewrite(sql: String): Option[String] = {
-    val m = headRe.findFirstMatchIn(sql).getOrElse(return None)
-    val table = m.group(1)
-    val onList = m.group(2).trim
-    val nameCol = Option(m.group(3)).getOrElse("name")
-    val valueCol = Option(m.group(4)).getOrElse("value")
+    val (table, onList, nameCol, valueCol) =
+      headRe.findFirstMatchIn(sql) match {
+        case Some(m) =>
+          (m.group(1), m.group(2).trim,
+            Option(m.group(3)).getOrElse("name"),
+            Option(m.group(4)).getOrElse("value"))
+        case None =>
+          val h = parenHeadRe.findFirstMatchIn(sql).getOrElse(return None)
+          val open = h.end
+          val close = ReplaceRewrite.closeOf(sql, open)
+          if (close < 0) return None
+          val t = parenTailRe.findFirstMatchIn(sql.substring(close))
+            .getOrElse(return None)
+          (sql.substring(open, close) + " __graft_unpiv",
+            t.group(1).trim,
+            Option(t.group(2)).getOrElse("name"),
+            Option(t.group(3)).getOrElse("value"))
+      }
     val cols: Seq[String] = columnsStarRe.findFirstMatchIn(onList) match {
       case Some(cm) =>
         // Dynamic ON list: every table column except the EXCLUDEd ones,

@@ -162,6 +162,39 @@ class Round20DialectSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS r20_now")
   }
 
+  // ---------------------------------------------------------------
+  // Twelfth sweep (round-20 differential probe)
+  // ---------------------------------------------------------------
+
+  test("parallel unnest() evaluates in lockstep like the host (NULL-padded)") {
+    assert(rows("SELECT unnest([1,2,3]) u, unnest(['a','b']) v") ==
+      Seq(Seq(1, "a"), Seq(2, "b"), Seq(3, null)))
+    assert(rows("SELECT unnest([1,2]) u, unnest([10,20]) v, " +
+      "unnest([100,200,300]) w") ==
+      Seq(Seq(1, 10, 100), Seq(2, 20, 200), Seq(null, null, 300)))
+    // A single unnest and constant companions stay untouched.
+    assert(rows("SELECT 5 c, unnest([1,2]) u") ==
+      Seq(Seq(5, 1), Seq(5, 2)))
+  }
+
+  test("any_value honors its in-argument ORDER BY (first NON-NULL)") {
+    assert(one[Int]("SELECT any_value(x ORDER BY y) FROM " +
+      "(VALUES (NULL, 1),(7, 2),(5, 3)) t(x,y)") == 7)
+    assert(one[Int]("SELECT any_value(x ORDER BY y DESC) FROM " +
+      "(VALUES (NULL, 9),(7, 2),(5, 3)) t(x,y)") == 5)
+    // All-NULL group: NULL, not an out-of-bounds error.
+    assert(one[Any]("SELECT any_value(x ORDER BY y) FROM " +
+      "(VALUES (CAST(NULL AS INT), 1)) t(x,y)") == null)
+  }
+
+  test("PIVOT / UNPIVOT statements accept subquery sources") {
+    assert(rows("PIVOT (SELECT x % 2 AS s, CAST(x % 3 AS STRING) AS p " +
+      "FROM (VALUES (1),(2),(3),(4),(5),(6)) t(x)) ON p USING count(*) " +
+      "GROUP BY s ORDER BY s").length == 2)
+    assert(rows("UNPIVOT (SELECT 1 AS a, 2 AS b) ON a, b INTO NAME k " +
+      "VALUE v") == Seq(Seq("a", 1), Seq("b", 2)))
+  }
+
   test("md5_number is SIGNED HUGEINT (host re-probe, top-bit digest)") {
     // md5('b') has bit 127 set: the host prints it negative.
     assert(one[String]("SELECT md5_number('b')") ==

@@ -902,9 +902,11 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     assert(pipeRaw.contains("|"), s"got: $pipeRaw")
     spark.sql(s"COPY sq_quotes TO '$dir/z.parquet' (FORMAT PARQUET, COMPRESSION zstd)")
     assert(spark.read.parquet(s"$dir/z.parquet").count() == 4)
-    val zFiles = new java.io.File(s"$dir/z.parquet").listFiles
-      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
-    assert(zFiles.nonEmpty && zFiles.forall(_.contains("zstd")), s"got $zFiles")
+    // Round 20: a file-extension target is ONE FILE at the path (host
+    // parity), not a part-file directory; the codec survives in the
+    // parquet footer (read back fine), not the filename.
+    val zTarget = new java.io.File(s"$dir/z.parquet")
+    assert(zTarget.isFile, s"expected a single file at $zTarget")
     // FORMAT JSON executes now (its own test); unsupported shapes
     // still decline to the guidance hint.
     assert(spark.sql(s"COPY sq_quotes TO '$dir/x.json' (FORMAT JSON)")
