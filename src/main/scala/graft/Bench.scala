@@ -78,6 +78,17 @@ object Bench {
     // only by machine load, not by which one paid the sentinel plan's
     // first-touch codegen.
     sentinelSafe()
+    // `probe` mode: time the two sentinels and exit without sweeping.
+    // Used to read the box's state (is now a good time to record?) and to
+    // calibrate the IO band below without paying a 15-minute sweep.
+    if (args.contains("probe")) {
+      ioSentinelSafe() // discard first-touch, like the compute sentinel
+      (1 to 3).foreach { i =>
+        println(f"probe $i: sentinel=${sentinelSafe()}%.3f s io=${ioSentinelSafe()}%.3f s")
+      }
+      spark.stop()
+      return
+    }
     // Time a full materialization of every column: the noop sink consumes
     // each row end-to-end (unlike count(), under which Catalyst prunes all
     // columns and skips projection/UDF work entirely). Each query runs
@@ -158,21 +169,36 @@ object Bench {
     // the retry.
     val nominalSentinel = 0.20
     val sentinelBandTop = 0.30
-    def hot(before: Double, after: Double): Boolean = {
-      def inflated(s: Double) = s > sentinelBandTop
+    // IO band (pinned round 20): `graft.Bench probe` on a quiet box
+    // (loadavg 0.04) read the IO sentinel at 0.59-0.71 s over three
+    // median-of-3 probes → nominal 0.65, top 1.1 (~1.7x, mirroring the
+    // compute band's 1.5x headroom). The contended run_002 read
+    // io_after = 1.41 s (2.2x nominal) while its COMPUTE sentinels were
+    // in band — exactly the blind spot the round-19/20 A/B established
+    // (IO-side box drift the CPU probe cannot see). A reading outside
+    // this band now triggers the retry and blocks promotion like a hot
+    // compute sentinel.
+    val nominalIo = 0.65
+    val ioBandTop = 1.1
+    def hotPair(before: Double, after: Double, nominal: Double, top: Double): Boolean = {
+      def inflated(s: Double) = s > top
       def skewed(a: Double, b: Double) =
-        a > 1.5 * nominalSentinel && b > 0 && a > 1.5 * b
+        a > 1.5 * nominal && b > 0 && a > 1.5 * b
       (before > 0 && (inflated(before) || skewed(before, after))) ||
         (after > 0 && (inflated(after) || skewed(after, before)))
     }
+    def hot(before: Double, after: Double): Boolean =
+      hotPair(before, after, nominalSentinel, sentinelBandTop)
+    def hotIo(before: Double, after: Double): Boolean =
+      hotPair(before, after, nominalIo, ioBandTop)
     var sentinelBefore = sentinelSafe()
     var ioBefore = ioSentinelSafe()
     var results = sweep()
     var sentinelAfter = sentinelSafe()
     var ioAfter = ioSentinelSafe()
     var retried = false
-    if (hot(sentinelBefore, sentinelAfter)) {
-      System.err.println(f"[bench] contended sweep detected (sentinel_before=$sentinelBefore%.3f s, sentinel_after=$sentinelAfter%.3f s) — retrying once")
+    if (hot(sentinelBefore, sentinelAfter) || hotIo(ioBefore, ioAfter)) {
+      System.err.println(f"[bench] contended sweep detected (sentinel_before=$sentinelBefore%.3f s, sentinel_after=$sentinelAfter%.3f s, io_before=$ioBefore%.3f s, io_after=$ioAfter%.3f s) — retrying once")
       retried = true
       sentinelBefore = sentinelSafe()
       ioBefore = ioSentinelSafe()
@@ -180,7 +206,7 @@ object Bench {
       sentinelAfter = sentinelSafe()
       ioAfter = ioSentinelSafe()
     }
-    val contended = hot(sentinelBefore, sentinelAfter)
+    val contended = hot(sentinelBefore, sentinelAfter) || hotIo(ioBefore, ioAfter)
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -238,7 +264,8 @@ object Bench {
     // (BENCH_run_<n>.json, n = first free index) so no measurement is
     // ever lost, and the record at `benchOut` is rewritten ONLY when the
     // run is clean — contended=false, which by construction means both
-    // sentinels are inside the trusted band (hot() arms above). A loaded
+    // the compute AND IO sentinel pairs are inside their trusted bands
+    // (hot()/hotIo() arms above). A loaded
     // box can no longer clobber the record it failed to beat.
     import java.nio.file.{Files, Paths}
     import java.nio.charset.StandardCharsets.UTF_8

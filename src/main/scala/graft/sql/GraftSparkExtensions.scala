@@ -2553,6 +2553,11 @@ object GraftSparkExtensions {
         Seq(Cast(l, LongType), Cast(r, LongType)),
         inputTypes = Seq(LongType, LongType)), out)
     } else
+      // Non-integral operands — including DECIMAL — go through plain
+      // DOUBLE division, NULL on zero divisor. Host-probed 2026-08-16:
+      // typeof(divide(7.5, 2)) = 'DOUBLE' and divide(-7.5, 2) = -3.75
+      // (no flooring), i.e. DuckDB itself sends decimals down its float
+      // `//` path; an exact-decimal branch here would diverge.
       StaticInvoke(Class.forName("graft.functions.ScalarCompat"),
         DoubleType, "duckDivideFloat",
         Seq(Cast(l, DoubleType), Cast(r, DoubleType)),

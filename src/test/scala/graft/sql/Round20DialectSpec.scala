@@ -126,6 +126,16 @@ class Round20DialectSpec extends AnyFunSuite {
     assert(df.schema("a").dataType == org.apache.spark.sql.types.ByteType)
     assert(df.schema("b").dataType == org.apache.spark.sql.types.IntegerType)
     assert(df.collect().head.toSeq == Seq(7.toByte / 2, 3))
+    // DECIMAL operands route through DOUBLE on the host too — probed
+    // 2026-08-16: typeof(divide(7.5, 2)) = 'DOUBLE', divide(-7.5, 2) =
+    // -3.75 (plain division, NOT floored/truncated), decimal-by-decimal
+    // zero divisor → NULL. The ADVICE suggestion of an exact-decimal
+    // branch would DIVERGE from the host; the double path is correct.
+    val dec = spark.sql("SELECT divide(CAST(7.5 AS DECIMAL(10,2)), 2) a, " +
+      "divide(CAST(-7.5 AS DECIMAL(10,2)), 2) b, " +
+      "divide(CAST(1 AS DECIMAL(38,10)), CAST(0 AS DECIMAL(38,10))) c")
+    assert(dec.schema("a").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(dec.collect().head.toSeq == Seq(3.75, -3.75, null))
   }
 
   // ---------------------------------------------------------------
