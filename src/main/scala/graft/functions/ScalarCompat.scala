@@ -191,12 +191,21 @@ object ScalarCompat {
     * rendering (pinned: bar(5,0,10,10) = '█████').
     */
   def bar(x: Double, minV: Double, maxV: Double, width: Double): UTF8String = {
+    // Host-probed (round-20 thirteenth sweep): eighths TRUNCATE (3.49
+    // of 10 → ▍ = 3/8), and the result is space-padded until its UTF-8
+    // BYTE length reaches `width` (each block char is 3 bytes, so
+    // bar(3,0,10,10) is '███ ' — 9 bytes of blocks + 1 space), never
+    // truncated when the blocks alone exceed it.
     val partials = Array("", "▏", "▎", "▍", "▌", "▋", "▊", "▉")
     val frac0 = if (maxV <= minV) 0.0 else (x - minV) / (maxV - minV)
     val frac = math.max(0.0, math.min(1.0, frac0))
-    val eighths = math.round(frac * width * 8).toInt
-    val full = eighths / 8
-    UTF8String.fromString("█" * full + partials(eighths % 8))
+    val bars = frac * width
+    val full = bars.toInt
+    val eighth = ((bars - full) * 8).toInt
+    val sb = new java.lang.StringBuilder("█" * full + partials(eighth))
+    var bytes = sb.length + 2 * (full + (if (eighth > 0) 1 else 0))
+    while (bytes < width) { sb.append(' '); bytes += 1 }
+    UTF8String.fromString(sb.toString)
   }
 
   /** DuckDB yearweek(): ISO week-based year * 100 + ISO week. */
@@ -593,6 +602,89 @@ object ScalarCompat {
       if (n >= 0) math.min(n, total.toLong).toInt
       else math.max(0L, total + n).toInt
     UTF8String.fromString(str.substring(b(total - take)))
+  }
+
+  /** DuckDB length_grapheme: count of grapheme clusters. */
+  def lengthGrapheme(s: UTF8String): Long =
+    graphemeClusters(s.toString).length - 1L
+
+  /** DuckDB chr(): the Unicode CODE POINT (Spark's chr is mod-256
+    * Latin-1, a silent wrong value for any non-ASCII point — chr(8364)
+    * must be '€'). Host errors on invalid points; out-of-range raises.
+    */
+  def duckChr(cp: Long): UTF8String = {
+    if (cp < 0 || cp > 0x10FFFF || !Character.isValidCodePoint(cp.toInt))
+      throw new IllegalArgumentException(s"chr: invalid code point $cp")
+    UTF8String.fromString(new String(Character.toChars(cp.toInt)))
+  }
+
+  /** DuckDB left()/right() with NEGATIVE counts: drop |n| characters
+    * from the other end (left('hello', -1) = 'hell'); Spark returns ''
+    * for any negative n — a silent wrong value on pasted text. Counts
+    * are in code points, matching the host.
+    */
+  def duckLeft(s: UTF8String, n: Long): UTF8String = {
+    val total = s.numChars()
+    val take =
+      if (n >= 0) math.min(n, total.toLong).toInt
+      else math.max(0L, total + n).toInt
+    s.substring(0, take)
+  }
+
+  def duckRight(s: UTF8String, n: Long): UTF8String = {
+    val total = s.numChars()
+    val take =
+      if (n >= 0) math.min(n, total.toLong).toInt
+      else math.max(0L, total + n).toInt
+    s.substring(total - take, total)
+  }
+
+  /** DuckDB's GLOB operator: case-sensitive glob match — `*` any run,
+    * `?` one char, `[set]`/`[!set]` char classes with `-` ranges. A
+    * trailing unclosed `[` matches nothing (host behavior on malformed
+    * patterns is no-match, not an error).
+    */
+  def globMatch(s: UTF8String, pattern: UTF8String): Boolean = {
+    val str = s.toString
+    val pat = pattern.toString
+    def matches(si: Int, pi: Int): Boolean = {
+      var i = si; var j = pi
+      var starI = -1; var starJ = -1
+      while (i < str.length) {
+        if (j < pat.length && (pat.charAt(j) == '?' ||
+            pat.charAt(j) == str.charAt(i)) && pat.charAt(j) != '*' &&
+            pat.charAt(j) != '[') {
+          i += 1; j += 1
+        } else if (j < pat.length && pat.charAt(j) == '[') {
+          val close = pat.indexOf(']', j + 2) // ']' first in set is literal
+          if (close < 0) return false
+          val neg = pat.charAt(j + 1) == '!'
+          val body = pat.substring(j + (if (neg) 2 else 1), close)
+          var hit = false
+          var k = 0
+          while (k < body.length) {
+            if (k + 2 < body.length && body.charAt(k + 1) == '-') {
+              if (str.charAt(i) >= body.charAt(k) &&
+                  str.charAt(i) <= body.charAt(k + 2)) hit = true
+              k += 3
+            } else {
+              if (body.charAt(k) == str.charAt(i)) hit = true
+              k += 1
+            }
+          }
+          if (hit != neg) { i += 1; j = close + 1 }
+          else if (starI >= 0) { starI += 1; i = starI; j = starJ }
+          else return false
+        } else if (j < pat.length && pat.charAt(j) == '*') {
+          starI = i; starJ = j + 1; j += 1
+        } else if (starI >= 0) {
+          starI += 1; i = starI; j = starJ
+        } else return false
+      }
+      while (j < pat.length && pat.charAt(j) == '*') j += 1
+      j == pat.length
+    }
+    matches(0, 0)
   }
 
   /** DuckDB md5_number / md5_number_lower / md5_number_upper: the MD5

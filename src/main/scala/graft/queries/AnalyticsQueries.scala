@@ -4425,6 +4425,75 @@ object AnalyticsQueries {
     spark.sql(q177Sql)
   }
 
+  // Thirteenth sweep (round 20): silent-wrong-value overrides — host
+  // any_value/concat skip NULLs, two-arg ltrim/rtrim/trim take
+  // (string, chars) where Spark's order is REVERSED, left/right accept
+  // negative counts, chr is a code point, dayofweek/weekday/dow are
+  // 0-based-Sunday, DATE - DATE is BIGINT days — plus the missing-name
+  // pack (strlen, xor, geomean, group_concat, length-of-list,
+  // printf/format specs, GLOB, bar byte-padding, clock intervals,
+  // INT[n] casts, datepart struct lists, quantile_disc input typing,
+  // LIMIT n%). IDENTICAL statement text on both engines; every value
+  // deterministic (per-group constants for any_value/group_concat,
+  // pre-rounded doubles under {:.2f}).
+  private val q178Sql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS k,
+       concat(o_orderstatus, NULL, o_orderpriority, '-', o_orderkey) AS cc,
+       ltrim(o_orderpriority, '12345') AS lt,
+       rtrim(o_orderpriority, 'TNEGRU') AS rt,
+       trim(o_orderstatus, 'OF') AS tr,
+       left(o_orderpriority, -3) AS lf,
+       right(o_orderpriority, -3) AS rg,
+       chr(65 + CAST(o_orderkey % 26 AS INT)) AS ch,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dw,
+       CAST(weekday(CAST(o_orderdate AS DATE)) AS BIGINT) AS wd,
+       CAST(date_part('dow', CAST(o_orderdate AS DATE)) AS BIGINT) AS dp_dow,
+       CAST(date_part('isodow', CAST(o_orderdate AS DATE)) AS BIGINT) AS dp_iso,
+       CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS dd,
+       CAST(strlen(o_orderpriority) AS BIGINT) AS sl,
+       CAST(length([o_orderkey, o_orderkey]) AS BIGINT) AS ll,
+       printf('%d|%s', o_orderkey, o_orderstatus) AS pf,
+       format('{:.2f}|{:>6}', round(o_totalprice, 1), o_orderstatus) AS fm,
+       o_orderpriority GLOB '*URGENT' AS gl,
+       bar(CAST(o_orderkey % 10 AS DOUBLE), 0, 10, 10) AS br
+       FROM orders WHERE o_orderkey < 300 ORDER BY k"""
+  declare("q178_sweep13_scalars", q178Sql) { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q178Sql)
+  }
+
+  private val q179Sql =
+    """SELECT g,
+       CAST(any_value(v) AS BIGINT) AS av,
+       round(geomean(p), 6) AS gm,
+       group_concat(s) AS gc,
+       quantile_disc(CAST(o % 100 AS INT), 0.5) AS qd,
+       CAST(xor(bit_or(o), bit_and(o)) AS BIGINT) AS xr
+       FROM (SELECT o_orderkey % 5 AS g,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE (o_orderkey % 5) * 10 END AS v,
+             o_totalprice AS p,
+             'st' || CAST(o_orderkey % 5 AS VARCHAR) AS s,
+             o_orderkey AS o
+             FROM orders WHERE o_orderkey < 500) t
+       GROUP BY g ORDER BY g"""
+  declare("q179_sweep13_aggs", q179Sql) { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q179Sql)
+  }
+
+  private val q180Sql =
+    """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders WHERE o_orderkey < 400)
+       SELECT k,
+       CAST(epoch_us(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '25:01:02') AS BIGINT) AS iv,
+       CAST(struct_extract(datepart(['year','month','day'], DATE '2024-03-05'), 'month') AS BIGINT) AS dpm,
+       CAST(CAST([1,2,3] AS INT[3]) AS VARCHAR) AS arrstr,
+       CAST(array_pop_back([k, k+1, k+2])[2] AS BIGINT) AS pb
+       FROM src ORDER BY k LIMIT 25%"""
+  declare("q180_sweep13_misc", q180Sql) { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q180Sql)
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

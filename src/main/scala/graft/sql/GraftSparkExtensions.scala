@@ -39,6 +39,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => BitstringGlobalRange)
     // `//` (parsed as ` div `) → DuckDB divide semantics (verdict-19 #5).
     ext.injectResolutionRule(_ => DuckIntDivide)
+    // Thirteenth sweep (round 20): type-aware concat dialect, DATE-DATE
+    // day counts, length-of-list, Formatter-safe decimals — inside the
+    // fixpoint so parents keep resolving; quantile_disc input-typed
+    // results in the Once batch (the wrap would re-match itself).
+    ext.injectResolutionRule(_ => ConcatDialect)
+    ext.injectPostHocResolutionRule(_ => SweepThirteenFixups)
     // min/max under EXCLUDE GROUP/TIES: splice the prev/next-distinct-
     // key helper windows above the marker's Window node (verdict-19 #3).
     // Post-hoc so ExtractWindowExpressions has already run.
@@ -1053,10 +1059,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     */
   private val castTypeWordRe =
     ("(?i)\\bAS\\s+(VARCHAR|TEXT|BPCHAR|BLOB|UTINYINT|USMALLINT|" +
-      "UINTEGER|UBIGINT|HUGEINT|TIMESTAMPTZ)\\b(?!\\s*\\()").r
+      "UINTEGER|UBIGINT|UHUGEINT|HUGEINT|TIMESTAMPTZ)\\b(?!\\s*\\()").r
   private val colonTypeWordRe =
     ("(?i)::\\s*(VARCHAR|TEXT|BPCHAR|BLOB|UTINYINT|USMALLINT|" +
-      "UINTEGER|UBIGINT|HUGEINT|TIMESTAMPTZ)\\b(?!\\s*\\()").r
+      "UINTEGER|UBIGINT|UHUGEINT|HUGEINT|TIMESTAMPTZ)\\b(?!\\s*\\()").r
   private def typeSpellRewrite(text: String): Option[String] = {
     val masked = ReplaceRewrite.maskLiterals(text)
     // Unsigned widths land on the next-wider signed Spark type (the
@@ -1069,7 +1075,7 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
       case "USMALLINT" => "INT"
       case "UINTEGER" => "BIGINT"
       case "UBIGINT" => "DECIMAL(20,0)"
-      case "HUGEINT" => "DECIMAL(38,0)"
+      case "UHUGEINT" | "HUGEINT" => "DECIMAL(38,0)"
       // Under the UTC session pin Spark's TIMESTAMP (LTZ) carries
       // DuckDB's TIMESTAMPTZ values exactly.
       case "TIMESTAMPTZ" => "TIMESTAMP"
@@ -1082,10 +1088,34 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
         if (close < 0) None else Some((open, close))
       }.toList
     val repls = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
+    // DuckDB's bracket array types in cast position — `INT[]` (list) and
+    // the fixed-size `INT[3]` (ARRAY) — both land on Spark's ARRAY<T>
+    // (the size is a host-storage property with no Spark equivalent;
+    // values round-trip, typeof reports the unsized name — documented).
+    // Matched before the bare-word pass so `::HUGEINT[3]` rewrites once.
+    val knownWords = Set("VARCHAR", "TEXT", "BPCHAR", "BLOB", "UTINYINT",
+      "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT", "HUGEINT",
+      "TIMESTAMPTZ")
+    val arrayTypeRe =
+      "(?i)(::\\s*|\\bAS\\s+)([A-Za-z_]+)\\s*\\[\\s*(\\d*)\\s*\\]".r
+    arrayTypeRe.findAllMatchIn(masked).foreach { m =>
+      val isColon = m.group(1).trim.startsWith("::")
+      val inCast = castExtents.exists(e => m.start > e._1 && m.end < e._2)
+      if (isColon || inCast) {
+        val w = m.group(2).toUpperCase
+        val inner = if (knownWords(w)) target(w) else m.group(2)
+        val head = if (isColon) "::" else "AS "
+        repls += ((m.start, m.end, s"${head}ARRAY<$inner>"))
+      }
+    }
+    def overlapsArray(m: scala.util.matching.Regex.Match): Boolean =
+      repls.exists(r => m.start < r._2 && m.end > r._1)
     colonTypeWordRe.findAllMatchIn(masked).foreach(m =>
-      repls += ((m.start, m.end, "::" + target(m.group(1)))))
+      if (!overlapsArray(m))
+        repls += ((m.start, m.end, "::" + target(m.group(1)))))
     castTypeWordRe.findAllMatchIn(masked).foreach { m =>
-      if (castExtents.exists(e => m.start > e._1 && m.end < e._2))
+      if (!overlapsArray(m) &&
+          castExtents.exists(e => m.start > e._1 && m.end < e._2))
         repls += ((m.start, m.end, "AS " + target(m.group(1))))
     }
     if (repls.isEmpty) return None
@@ -1436,6 +1466,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             () => ListOpRewrite.rewriteQuantified(text),
             () => ListOpRewrite.rewriteIgnoreNulls(text),
             () => ListOpRewrite.rewriteLimitPercent(text),
+            // Thirteenth sweep: `expr GLOB 'pattern'` (parse-failure
+            // only — Spark has no GLOB token).
+            () => ListOpRewrite.rewriteGlob(text),
             // Seventh sweep: JSON arrow operators (-> / ->>, lambda-
             // guarded) and the FILTER-without-WHERE shorthand.
             () => ListOpRewrite.rewriteJsonArrows(text),
@@ -1446,6 +1479,8 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             () => ListOpRewrite.rewriteFactorial(text),
             () => ListOpRewrite.rewriteAbsOp(text),
             () => ListOpRewrite.rewriteIntervalExpr(text),
+            // Thirteenth sweep: bare clock interval INTERVAL '1:02:03'.
+            () => ListOpRewrite.rewriteIntervalClock(text),
             () => ListOpRewrite.rewriteUnnestStruct(text),
             // Registered-enum casts (x::mood, CAST(x AS mood),
             // enum_range folding — parse-failure only: the type word
@@ -1954,37 +1989,14 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
     * date_part keeps every field it already supports. Results CAST to
     * DuckDB's BIGINT (julian: DOUBLE).
     */
-  private val duckExtractFields =
-    "timezone_hour|timezone_minute|timezone|epoch|era|isoyear|century|" +
-      "decade|millennium|julian|isodow|dayofyear|microseconds|" +
-      "microsecond|milliseconds|millisecond"
+  private def duckExtractFields = GraftSparkExtensions.duckExtractFields
+  private def duckExtractTemplate(field: String, e: String): String =
+    GraftSparkExtensions.duckExtractTemplate(field, e)
   private val extractFieldRe =
     ("(?i)\\bEXTRACT\\s*\\(\\s*(" + duckExtractFields + ")\\s+FROM\\b").r
   private val datePartFieldRe =
     ("(?i)\\b(?:date_part|datepart)\\s*\\(\\s*'(" + duckExtractFields +
       ")'\\s*,").r
-  private def duckExtractTemplate(field: String, e: String): String =
-    field.toLowerCase match {
-      case "epoch" => s"epoch($e)"
-      case f @ ("era" | "isoyear" | "century" | "decade" | "millennium") =>
-        s"CAST($f($e) AS BIGINT)"
-      case "timezone" | "timezone_hour" | "timezone_minute" =>
-        s"CAST(CASE WHEN CAST(($e) AS TIMESTAMP) IS NULL THEN NULL " +
-          "ELSE 0 END AS BIGINT)"
-      case "julian" =>
-        s"CAST(2440588.0 + unix_micros(CAST(($e) AS TIMESTAMP)) / " +
-          "86400000000.0 AS DOUBLE)"
-      case "isodow" =>
-        s"CAST(weekday(CAST(($e) AS DATE)) + 1 AS BIGINT)"
-      case "dayofyear" =>
-        s"CAST(dayofyear(CAST(($e) AS DATE)) AS BIGINT)"
-      case "microsecond" | "microseconds" =>
-        s"CAST(pmod(unix_micros(CAST(($e) AS TIMESTAMP)), 60000000) " +
-          "AS BIGINT)"
-      case "millisecond" | "milliseconds" =>
-        s"CAST(pmod(unix_micros(CAST(($e) AS TIMESTAMP)), 60000000) " +
-          "DIV 1000 AS BIGINT)"
-    }
   private def extractFieldRewrite(text: String): Option[String] = {
     val masked = ReplaceRewrite.maskLiterals(text)
     // EXTRACT(field FROM e): field is a bare word, match on masked;
@@ -2378,6 +2390,43 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
 }
 
 object GraftSparkExtensions {
+  /** EXTRACT/date_part field vocabulary the pre-parse claim and the
+    * registry-level datepart list form share (moved object-side in the
+    * thirteenth sweep so both arms use ONE definition).
+    */
+  private[sql] val duckExtractFields =
+    "timezone_hour|timezone_minute|timezone|epoch|era|isoyear|century|" +
+      "decade|millennium|julian|isodow|dayofyear|microseconds|" +
+      "microsecond|milliseconds|millisecond|dayofweek|weekday|dow"
+
+  private[sql] def duckExtractTemplate(field: String, e: String): String =
+    field.toLowerCase match {
+      case "epoch" => s"epoch($e)"
+      case f @ ("era" | "isoyear" | "century" | "decade" | "millennium") =>
+        s"CAST($f($e) AS BIGINT)"
+      case "timezone" | "timezone_hour" | "timezone_minute" =>
+        s"CAST(CASE WHEN CAST(($e) AS TIMESTAMP) IS NULL THEN NULL " +
+          "ELSE 0 END AS BIGINT)"
+      case "julian" =>
+        s"CAST(2440588.0 + unix_micros(CAST(($e) AS TIMESTAMP)) / " +
+          "86400000000.0 AS DOUBLE)"
+      // dayofweek()/weekday() resolve to the sweep-13 OVERRIDES
+      // (0-based Sunday, the host contract) — isodow derives Mon=1..
+      // Sun=7 from that, NOT from Spark's Monday-0 weekday.
+      case "isodow" =>
+        s"CAST(pmod(dayofweek(CAST(($e) AS DATE)) + 6, 7) + 1 AS BIGINT)"
+      case "dayofweek" | "weekday" | "dow" =>
+        s"CAST(dayofweek(CAST(($e) AS DATE)) AS BIGINT)"
+      case "dayofyear" =>
+        s"CAST(dayofyear(CAST(($e) AS DATE)) AS BIGINT)"
+      case "microsecond" | "microseconds" =>
+        s"CAST(pmod(unix_micros(CAST(($e) AS TIMESTAMP)), 60000000) " +
+          "AS BIGINT)"
+      case "millisecond" | "milliseconds" =>
+        s"CAST(pmod(unix_micros(CAST(($e) AS TIMESTAMP)), 60000000) " +
+          "DIV 1000 AS BIGINT)"
+    }
+
 
   /** txid_current(): session-monotonic statement id source. */
   private[sql] val txidCounter = new java.util.concurrent.atomic.AtomicLong(1000L)
@@ -2468,7 +2517,7 @@ object GraftSparkExtensions {
           case "USMALLINT" => "INT"
           case "UINTEGER" => "BIGINT"
           case "UBIGINT" => "DECIMAL(20,0)"
-          case "HUGEINT" => "DECIMAL(38,0)"
+          case "UHUGEINT" | "HUGEINT" => "DECIMAL(38,0)"
           case "TIMESTAMPTZ" => "TIMESTAMP"
           case other => other
         }
@@ -3752,6 +3801,11 @@ object GraftSparkExtensions {
             "format(template, ...): the template must be a constant string")
           val raw = String.valueOf(a.head.eval(null))
           val sb = new StringBuilder
+          // 1-based arg position -> formatter type, for per-arg casts
+          // ('f'/'e'/'g' need DOUBLE, 'd'/'x'/'o' need BIGINT; Spark's
+          // FormatString hands the raw value to java.util.Formatter,
+          // which rejects e.g. Decimal under %f).
+          val specCasts = scala.collection.mutable.Map.empty[Int, String]
           var i = 0
           var next = 1 // 1-based %n$s positions
           while (i < raw.length) {
@@ -3764,13 +3818,50 @@ object GraftSparkExtensions {
                 val close = raw.indexOf('}', i)
                 require(close > 0, s"format: unbalanced '{' in '$raw'")
                 val body = raw.substring(i + 1, close)
-                require(!body.contains(':'),
-                  "format: '{:spec}' format specifiers are not supported " +
-                    "here — use printf() for C-style formatting")
-                if (body.isEmpty) { sb.append(s"%$next\\$$s"); next += 1 }
+                val (idxPart, specPart) = body.indexOf(':') match {
+                  case -1 => (body, "")
+                  case c => (body.substring(0, c), body.substring(c + 1))
+                }
+                val idx =
+                  if (idxPart.isEmpty) { next += 1; next - 1 }
+                  else idxPart.toInt + 1
+                if (specPart.isEmpty) sb.append(s"%$idx\\$$s")
                 else {
-                  val idx = body.toInt + 1
-                  sb.append(s"%$idx\\$$s")
+                  // fmt-style spec → java.util.Formatter (host-probed):
+                  // {:.2f}→3.14, {:>5}→'    x', {:<4}→'y   ', {:d}, {:x},
+                  // {:o}, {:e}→1.234568e+04, {:08.3f}, {:+d}, {:10d},
+                  // {:,}→123,456,789. Alignment '>' is both engines'
+                  // default; '^' (center) and non-zero fill decline.
+                  val specRe =
+                    "([<>]?)([+ ]?)(#?)(0?)(\\d*)(,?)(?:\\.(\\d+))?([a-zA-Z]?)".r
+                  specPart match {
+                    case specRe(align, sign, _, zero, width, comma, prec,
+                        typ) =>
+                      val leftA = if (align == "<") "-" else ""
+                      val w = width
+                      val p = if (prec == null || prec.isEmpty) "" else s".$prec"
+                      val t = if (typ.isEmpty) {
+                        if (comma == ",") "d" else "s"
+                      } else typ
+                      t match {
+                        case "f" | "F" | "e" | "E" | "g" | "G" =>
+                          sb.append(s"%$idx\\$$$leftA$sign$zero$w$p$t")
+                        case "d" =>
+                          sb.append(s"%$idx\\$$$leftA$sign$zero$comma${w}d")
+                        case "x" | "X" | "o" =>
+                          sb.append(s"%$idx\\$$$leftA$zero$w$t")
+                        case "s" =>
+                          sb.append(s"%$idx\\$$$leftA${w}s")
+                        case other => require(false,
+                          s"format: '{:$specPart}' — type '$other' is not " +
+                            "supported; use printf() for C-style formatting")
+                      }
+                      // remember the cast this spec needs (1-based arg)
+                      specCasts(idx) = t
+                    case _ => require(false,
+                      s"format: '{:$specPart}' format specifier is not " +
+                        "supported — use printf() for C-style formatting")
+                  }
                 }
                 i = close + 1
               case '%' => sb.append("%%"); i += 1
@@ -3778,8 +3869,16 @@ object GraftSparkExtensions {
             }
           }
           org.apache.spark.sql.catalyst.expressions.FormatString(
-            (Literal(sb.toString
-              .replace("\\$", "$")) +: a.tail.map(Cast(_, StringType))): _*)
+            (Literal(sb.toString.replace("\\$", "$")) +:
+              a.tail.zipWithIndex.map { case (arg, i0) =>
+                specCasts.get(i0 + 1) match {
+                  case Some("f" | "F" | "e" | "E" | "g" | "G") =>
+                    Cast(arg, org.apache.spark.sql.types.DoubleType)
+                  case Some("d" | "x" | "X" | "o") =>
+                    Cast(arg, org.apache.spark.sql.types.LongType)
+                  case _ => Cast(arg, StringType)
+                }
+              }): _*)
         },
         // age(a, b) = the instant difference as a day-time interval —
         // value-identical to DuckDB's mixed interval under epoch/pandas
@@ -3993,12 +4092,207 @@ object GraftSparkExtensions {
           require(a(0).foldable && a(0).dataType == StringType,
             "current_setting(name): the name must be a constant string")
           val name = String.valueOf(a(0).eval(null))
+          // The host's own setting names map onto this engine's
+          // equivalents where one exists (TimeZone → the session zone).
+          val mapped = name match {
+            case "TimeZone" | "timezone" => "spark.sql.session.timeZone"
+            case other => other
+          }
           val v = try org.apache.spark.sql.SparkSession.active.conf
-            .getOption(name).orNull
+            .getOption(mapped).orNull
           catch { case scala.util.control.NonFatal(_) => null }
           if (v == null) Literal(null, StringType) else Literal(v)
         })
+    } ++ sweep13Fns
+  }
+
+  /** date_part/datepart: Spark-native for a scalar field (via extract —
+    * the same registry target), the host's STRUCT form for a list of
+    * parts. Fields the host defines differently route through
+    * duckExtractTemplate (the same text the pre-parse claim uses),
+    * parsed back to an expression against the source's SQL text.
+    */
+  private def datePartExpr(a: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, Literal}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.types.LongType
+    val fieldSet = duckExtractFields.split('|').toSet
+    def onePart(name: String, forStruct: Boolean): Expression = {
+      val lower = name.toLowerCase
+      if (fieldSet(lower))
+        org.apache.spark.sql.SparkSession.active.sessionState.sqlParser
+          .parseExpression(duckExtractTemplate(lower, a(1).sql))
+      else {
+        val native = org.apache.spark.sql.catalyst.expressions.Extract
+          .createExpr("date_part", Literal(lower), a(1))
+        // struct fields are BIGINT on the host; the scalar form keeps
+        // Spark's native result type (pre-override behavior).
+        if (forStruct) Cast(native, LongType) else native
+      }
     }
+    a(0) match {
+      case org.apache.spark.sql.catalyst.expressions.CreateArray(parts, _)
+          if parts.nonEmpty && parts.forall(p =>
+            p.foldable && p.dataType == StringType) =>
+        val names = parts.map(p => String.valueOf(p.eval(null)))
+        CreateNamedStruct(names.flatMap(n =>
+          Seq(Literal(n), onePart(n, forStruct = true))))
+      case f if f.foldable && f.dataType == StringType =>
+        onePart(String.valueOf(f.eval(null)), forStruct = false)
+      case _ =>
+        org.apache.spark.sql.catalyst.expressions.Extract
+          .createExpr("date_part", a(0), a(1))
+    }
+  }
+
+  /** Thirteenth-sweep pack (round 20): silent-wrong-value overrides and
+    * missing host names found by differential probing. The overrides
+    * deliberately replace Spark natives whose semantics DIVERGE from the
+    * host on identical text (the monthname/dayname precedent): any_value
+    * skips NULLs, two-arg ltrim/rtrim/trim take (string, chars) — Spark's
+    * argument order is REVERSED — concat skips NULLs after casting every
+    * argument to VARCHAR, chr is a code point (Spark: mod-256),
+    * dayofweek/weekday are 0-based-Sunday (Spark: 1-based / Monday-0),
+    * left/right accept negative counts. All host shapes probed against
+    * DuckDB 1.0 (2026-08-16).
+    */
+  private def sweep13Fns
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, ArrayTransform,
+      Cast, ConcatWs, CreateArray, CurrentDate, CurrentTimestamp, DayOfWeek,
+      Greatest, Literal, Pmod, Size, Slice, Subtract}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, First}
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType,
+      TimestampType}
+    val sc = Class.forName("graft.functions.ScalarCompat")
+    def trimFn(name: String,
+        mk: (Expression, Option[Expression]) => Expression) =
+      aliasFn(name, (1, 2))(a =>
+        mk(a(0), if (a.size == 2) Some(a(1)) else None))
+    Seq(
+      // First(ignoreNulls = true): the host's any_value skips NULLs;
+      // Spark's returns the first value INCLUDING a leading NULL — a
+      // silent wrong value on any column with NULL gaps. SQL text never
+      // reaches this builder (the parser constructs AnyValue directly —
+      // the ConcatDialect rule flips that one); this covers the
+      // name-routed DataFrame path, ignoring an explicit second arg the
+      // same way the host ignores the concept. The in-argument ORDER BY
+      // form routes through OrderedAggRewrite and already carries the
+      // first-NON-NULL contract (q175).
+      aliasFn("any_value", (1, 2))(a =>
+        First(a(0), ignoreNulls = true).toAggregateExpression()),
+      trimFn("ltrim", (s, t) =>
+        org.apache.spark.sql.catalyst.expressions.StringTrimLeft(s, t)),
+      trimFn("rtrim", (s, t) =>
+        org.apache.spark.sql.catalyst.expressions.StringTrimRight(s, t)),
+      trimFn("trim", (s, t) =>
+        org.apache.spark.sql.catalyst.expressions.StringTrim(s, t)),
+      aliasFn("left", (2, 2))(a => StaticInvoke(sc, StringType, "duckLeft",
+        Seq(a(0), Cast(a(1), LongType)),
+        inputTypes = Seq(StringType, LongType))),
+      aliasFn("right", (2, 2))(a => StaticInvoke(sc, StringType, "duckRight",
+        Seq(a(0), Cast(a(1), LongType)),
+        inputTypes = Seq(StringType, LongType))),
+      // Host concat: arguments cast to VARCHAR, NULLs SKIPPED ('a' ||
+      // NULL stays NULL — the || operator parses to Concat directly,
+      // not through the registry). Spark 4 routes functions.concat by
+      // NAME too, and this repo concatenates ARRAYS through it
+      // (Triangles, Bpe), so the choice between the host's stringify
+      // and Spark's array concat needs RESOLVED types: a marker the
+      // ConcatDialect resolution rule replaces (all-array → native
+      // Concat; anything else → NULL-skipping string path).
+      aliasFn("concat", (1, Int.MaxValue))(a => DuckConcatMarker(a)),
+      aliasFn("chr", (1, 1))(a => StaticInvoke(sc, StringType, "duckChr",
+        Seq(Cast(a(0), LongType)), inputTypes = Seq(LongType))),
+      // Sunday = 0 .. Saturday = 6 on the host for BOTH names (Spark:
+      // dayofweek Sunday=1, weekday Monday=0). isodow templates were
+      // repointed off the Spark weekday accordingly.
+      aliasFn("dayofweek", (1, 1))(a =>
+        Subtract(DayOfWeek(a(0)), Literal(1))),
+      aliasFn("weekday", (1, 1))(a =>
+        Subtract(DayOfWeek(a(0)), Literal(1))),
+      aliasFn("geomean", (1, 1))(a =>
+        org.apache.spark.sql.catalyst.expressions.Exp(
+          Average(org.apache.spark.sql.catalyst.expressions.Log(
+            Cast(a(0), DoubleType))).toAggregateExpression())),
+      aliasFn("geometric_mean", (1, 1))(a =>
+        org.apache.spark.sql.catalyst.expressions.Exp(
+          Average(org.apache.spark.sql.catalyst.expressions.Log(
+            Cast(a(0), DoubleType))).toAggregateExpression())),
+      aliasFn("group_concat", (1, 2))(a =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          "string_agg",
+          Seq(a(0), if (a.size == 2) a(1) else Literal(",")),
+          isDistinct = false)),
+      aliasFn("xor", (2, 2))(a =>
+        org.apache.spark.sql.catalyst.expressions.BitwiseXor(
+          Cast(a(0), LongType), Cast(a(1), LongType))),
+      aliasFn("strlen", (1, 1))(a =>
+        org.apache.spark.sql.catalyst.expressions.Length(a(0))),
+      aliasFn("length_grapheme", (1, 1))(a =>
+        StaticInvoke(sc, LongType, "lengthGrapheme", Seq(a(0)),
+          inputTypes = Seq(StringType))),
+      aliasFn("graft_glob", (2, 2))(a => StaticInvoke(sc,
+        org.apache.spark.sql.types.BooleanType, "globMatch",
+        Seq(a(0), a(1)), inputTypes = Seq(StringType, StringType))),
+      // slice(l, 1, 0) is the canonical same-typed empty list.
+      aliasFn("array_pop_back", (1, 1))(a =>
+        Slice(a(0), Literal(1),
+          Greatest(Seq(Subtract(Size(a(0)), Literal(1)), Literal(0))))),
+      aliasFn("array_pop_front", (1, 1))(a =>
+        Slice(a(0), Literal(2),
+          Greatest(Seq(Subtract(Size(a(0)), Literal(1)), Literal(0))))),
+      aliasFn("list_apply", (2, 2))(a => ArrayTransform(a(0), a(1))),
+      aliasFn("apply", (2, 2))(a => ArrayTransform(a(0), a(1))),
+      aliasFn("get_current_timestamp", (0, 0))(_ => CurrentTimestamp()),
+      aliasFn("transaction_timestamp", (0, 0))(_ => CurrentTimestamp()),
+      aliasFn("array_value", (1, Int.MaxValue))(a => CreateArray(a)),
+      // age(x) = age(current_date, x) on the host; the 2-arg form keeps
+      // the earlier registration's day-time-interval contract (this
+      // appended pack replaces it in the registry, so both arities live
+      // here now).
+      aliasFn("age", (1, 2))(a =>
+        new org.apache.spark.sql.catalyst.expressions.SubtractTimestamps(
+          if (a.size == 2) Cast(a(0), TimestampType)
+          else Cast(CurrentDate(), TimestampType),
+          Cast(a(if (a.size == 2) 1 else 0), TimestampType))),
+      // stats(): the host's per-chunk statistics diagnostic; for a
+      // constant the chunk IS the value, so the host string shape is
+      // reproducible exactly. Column inputs decline with the manual form.
+      aliasFn("stats", (1, 1)) { a =>
+        if (!a(0).foldable)
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+              ("stats(col) reads the host's per-chunk storage " +
+                "statistics, which have no Spark equivalent — use " +
+                "SUMMARIZE or min/max/count aggregates instead")))
+        val v = a(0).eval(null)
+        if (v == null)
+          Literal("[Min: NULL, Max: NULL][Has Null: true, Has No Null: " +
+            "false][Approx Unique: 1]")
+        else
+          Literal(s"[Min: $v, Max: $v][Has Null: false, Has No Null: " +
+            "true][Approx Unique: 1]")
+      },
+      // datepart/date_part with a LIST of parts returns the host's
+      // STRUCT{part: BIGINT, ...} (datepart(['year','month'], d)).
+      // Scalar fields delegate to Spark's native extract; fields Spark
+      // rejects or mis-bases reuse the duckExtractTemplate text parsed
+      // back to an expression. Registered over the native name, so the
+      // scalar form must behave identically to before (extract ≡
+      // date_part in Spark's registry).
+      aliasFn("datepart", (2, 2))(a => datePartExpr(a)),
+      aliasFn("date_part", (2, 2))(a => datePartExpr(a)),
+      // alias(): the name a bare column reference binds under; for
+      // other expressions the host prints the expression text.
+      aliasFn("alias", (1, 1)) { a =>
+        a(0) match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            Literal(u.nameParts.last)
+          case l: Literal => Literal(String.valueOf(l.value))
+          case e => Literal(e.sql.toLowerCase)
+        }
+      })
   }
 
   /** DuckDB's `time_bucket(width, ts)`: floor-align `ts` to a grid of
@@ -5542,14 +5836,14 @@ object GraftSparkExtensions {
           else d0
         }
         ("(?i)\\b(?:VARCHAR|TEXT|BPCHAR|BLOB|UTINYINT|USMALLINT|" +
-          "UINTEGER|UBIGINT|HUGEINT)\\b(?!\\s*\\()").r
+          "UINTEGER|UBIGINT|UHUGEINT|HUGEINT)\\b(?!\\s*\\()").r
           .replaceAllIn(d, m => m.matched.toUpperCase match {
             case "BLOB" => "BINARY"
             case "UTINYINT" => "SMALLINT"
             case "USMALLINT" => "INT"
             case "UINTEGER" => "BIGINT"
             case "UBIGINT" => "DECIMAL(20,0)"
-            case "HUGEINT" => "DECIMAL(38,0)"
+            case "UHUGEINT" | "HUGEINT" => "DECIMAL(38,0)"
             case _ => "STRING"
           })
       }

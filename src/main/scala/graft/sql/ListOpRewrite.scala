@@ -625,6 +625,37 @@ object ListOpRewrite {
     * and fractional seconds match). Spark's INTERVAL grammar only
     * takes literals — parse-failure only.
     */
+  /** DuckDB's bare clock interval literal `INTERVAL '1:02:03[.frac]'`
+    * (hours may exceed 24, sign allowed — host-probed; `'1:02'` is a
+    * host error too). Spark needs the HOUR TO SECOND qualifier spelled
+    * out; appending it is value-identical. Parse-failure only
+    * (INVALID_TYPED_LITERAL).
+    */
+  private val clockIntervalRe =
+    "(?i)\\bINTERVAL\\s*('-?\\d+:\\d{1,2}:\\d{1,2}(?:\\.\\d+)?')".r
+  def rewriteIntervalClock(text: String): Option[String] = {
+    val m = ReplaceRewrite.maskLiterals(text)
+    // literals are masked, so match positions come from the raw text
+    // guarded by the INTERVAL keyword being unmasked in m
+    val hits = clockIntervalRe.findAllMatchIn(text).filter { h =>
+      m.regionMatches(true, h.start, "INTERVAL", 0, 8) &&
+        // not already qualified: next word after the literal must not
+        // be a unit keyword
+        !"(?i)\\A\\s*(HOUR|MINUTE|SECOND|DAY|MONTH|YEAR|WEEK)"
+          .r.findFirstIn(text.substring(h.end)).isDefined
+    }.toList
+    if (hits.isEmpty) return None
+    val sb = new StringBuilder
+    var pos = 0
+    hits.foreach { h =>
+      sb.append(text.substring(pos, h.start))
+        .append(s"INTERVAL ${h.group(1)} HOUR TO SECOND")
+      pos = h.end
+    }
+    sb.append(text.substring(pos))
+    Some(sb.toString)
+  }
+
   def rewriteIntervalExpr(text: String): Option[String] = {
     val m0 = ReplaceRewrite.maskLiterals(text)
     val hits = intervalExprRe.findAllMatchIn(m0).toList
@@ -753,6 +784,34 @@ object ListOpRewrite {
     * wrap keeping floor(n·p/100) rows. Requires the ORDER BY; ordinal
     * sort keys decline (they would be constants inside OVER).
     */
+  /** DuckDB's `expr GLOB 'pattern'` operator (round-20 thirteenth
+    * sweep) — case-sensitive glob match (`*`/`?`/`[set]`), which Spark
+    * has no spelling for (unrewritten it's a parse error, never a
+    * silent misparse). Lands on the registered graft_glob scalar
+    * (ScalarCompat.globMatch). `NOT GLOB` is a parser error on the
+    * host too, so only the plain operator rewrites.
+    */
+  private val globWordRe = "(?i)\\bGLOB\\b".r
+  def rewriteGlob(text: String): Option[String] = {
+    var cur = text
+    var changed = false
+    var rounds = 0
+    while (rounds < 32) {
+      rounds += 1
+      val m = ReplaceRewrite.maskLiterals(cur)
+      val hit = globWordRe.findFirstMatchIn(m).getOrElse(
+        return if (changed) Some(cur) else None)
+      val re = scanRight(cur, m, hit.end).getOrElse(return None)
+      val ls = scanLeft(cur, m, hit.start - 1).getOrElse(return None)
+      val a = cur.substring(ls, hit.start).trim
+      val b = cur.substring(hit.end, re).trim
+      if (a.isEmpty || b.isEmpty) return None
+      cur = cur.substring(0, ls) + s"graft_glob($a, $b)" + cur.substring(re)
+      changed = true
+    }
+    if (changed) Some(cur) else None
+  }
+
   def rewriteLimitPercent(text: String): Option[String] = {
     val m = ReplaceRewrite.maskLiterals(text)
     val hit = limitPctRe.findFirstMatchIn(m).getOrElse(return None)
@@ -762,20 +821,36 @@ object ListOpRewrite {
     val limW = words.reverse.find(w => w._1 == "LIMIT").getOrElse(return None)
     if (limW._2 != hit.start) return None
     val ordW = words.filter(w => w._1 == "ORDER" && w._2 < hit.start)
-      .lastOption.getOrElse(return None)
-    val keys = text.substring(ordW._2, hit.start).trim
-      .replaceFirst("(?i)\\Aorder\\s+by\\b", "").trim
-    if (keys.isEmpty) return None
-    if (ReplaceRewrite.splitTop(keys).map(_.trim)
-      .exists(k => k.split("\\s+").headOption.exists(_.matches("\\d+"))))
-      return None // ordinal keys: constants inside OVER
-    val body = text.substring(0, ordW._2).trim
-    if (body.isEmpty) return None
-    Some(
-      s"SELECT * EXCEPT (__graft_rn, __graft_n) FROM ( " +
-        s"SELECT *, row_number() OVER (ORDER BY $keys) AS __graft_rn, " +
-        s"count(*) OVER () AS __graft_n FROM ( $body ) __graft_lp ) " +
-        s"WHERE __graft_rn <= floor(__graft_n * $pct / 100.0) " +
-        s"ORDER BY $keys")
+      .lastOption
+    ordW match {
+      case Some(ow) =>
+        val keys = text.substring(ow._2, hit.start).trim
+          .replaceFirst("(?i)\\Aorder\\s+by\\b", "").trim
+        if (keys.isEmpty) return None
+        if (ReplaceRewrite.splitTop(keys).map(_.trim)
+          .exists(k => k.split("\\s+").headOption.exists(_.matches("\\d+"))))
+          return None // ordinal keys: constants inside OVER
+        val body = text.substring(0, ow._2).trim
+        if (body.isEmpty) return None
+        Some(
+          s"SELECT * EXCEPT (__graft_rn, __graft_n) FROM ( " +
+            s"SELECT *, row_number() OVER (ORDER BY $keys) AS __graft_rn, " +
+            s"count(*) OVER () AS __graft_n FROM ( $body ) __graft_lp ) " +
+            s"WHERE __graft_rn <= floor(__graft_n * $pct / 100.0) " +
+            s"ORDER BY $keys")
+      case None =>
+        // No ORDER BY: the host still takes floor(n*pct/100) rows, an
+        // arbitrary subset — mirror with an unordered row_number()
+        // (round-20 thirteenth sweep; floor semantics probed:
+        // 25% of 10 → 2 rows, 10% of 3 → 0 rows).
+        val body = text.substring(0, hit.start).trim
+        if (body.isEmpty) return None
+        Some(
+          s"SELECT * EXCEPT (__graft_rn, __graft_n) FROM ( " +
+            s"SELECT *, row_number() OVER (ORDER BY " +
+            s"monotonically_increasing_id()) AS __graft_rn, " +
+            s"count(*) OVER () AS __graft_n FROM ( $body ) __graft_lp ) " +
+            s"WHERE __graft_rn <= floor(__graft_n * $pct / 100.0)")
+    }
   }
 }

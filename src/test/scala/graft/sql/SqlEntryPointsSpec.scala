@@ -2461,8 +2461,12 @@ class SqlEntryPointsSpec extends AnyFunSuite {
     val exDim = intercept[Exception](spark.sql(
       "SELECT generate_subscripts(array(1), 2)"))
     assert(exDim.getMessage.contains("dimension"), exDim.getMessage)
-    // format: '{:spec}' declines loudly toward printf.
-    val exFmt = intercept[Exception](spark.sql("SELECT format('{:.2f}', 1.5)"))
+    // format: '{:spec}' EXECUTES since the thirteenth sweep (fmt-spec →
+    // printf translation; host-pinned '1.50'). Unsupported specs (fill
+    // chars, centering) still decline toward printf.
+    assert(one[String]("SELECT format('{:.2f}', 1.5)") == "1.50")
+    val exFmt = intercept[Exception](spark.sql(
+      "SELECT format('{:*>8.2f}', 1.5)"))
     assert(exFmt.getMessage.contains("printf"), exFmt.getMessage)
     // range: the scalar LIST form coexists with the FROM-position TVF.
     assert(one[Long]("SELECT CAST(COUNT(*) AS BIGINT) FROM range(3)") == 3L)
