@@ -1467,8 +1467,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
             () => ListOpRewrite.rewriteIgnoreNulls(text),
             () => ListOpRewrite.rewriteLimitPercent(text),
             // Thirteenth sweep: `expr GLOB 'pattern'` (parse-failure
-            // only — Spark has no GLOB token).
+            // only — Spark has no GLOB token) and function-chaining
+            // `(expr).fn(args)` / `'lit'.fn()`.
             () => ListOpRewrite.rewriteGlob(text),
+            () => ListOpRewrite.rewriteDotCall(text),
             // Seventh sweep: JSON arrow operators (-> / ->>, lambda-
             // guarded) and the FILTER-without-WHERE shorthand.
             () => ListOpRewrite.rewriteJsonArrows(text),

@@ -812,6 +812,49 @@ object ListOpRewrite {
     if (changed) Some(cur) else None
   }
 
+  /** DuckDB's function-chaining syntax `expr.fn(args)` ≡ `fn(expr,
+    * args)` (round-20 thirteenth sweep) for receivers that END
+    * unambiguously — a closing paren (`('hello').upper()`,
+    * `trim(x).len()`), a string literal (`'abc'.upper()`), or a bracket
+    * list (`[1,2].len()` — via the bracket rewrite's array() form).
+    * Bare-identifier receivers (`col.lower()`) are NOT claimed: they
+    * parse natively as qualified names, so a textual rewrite could
+    * shadow a real `schema.function()` call. Chains resolve
+    * leftmost-first, so the rewritten call becomes the next round's
+    * receiver. Parse-failure only.
+    */
+  private val dotCallRe = "\\.\\s*([A-Za-z_]\\w*)\\s*\\(".r
+  def rewriteDotCall(text: String): Option[String] = {
+    var cur = text
+    var changed = false
+    var rounds = 0
+    while (rounds < 64) {
+      rounds += 1
+      val m = ReplaceRewrite.maskLiterals(cur)
+      val hitOpt = dotCallRe.findAllMatchIn(m).find { h =>
+        var p = h.start - 1
+        while (p >= 0 && cur.charAt(p).isWhitespace) p -= 1
+        p >= 0 && (m.charAt(p) == ')' || m.charAt(p) == ']' ||
+          (cur.charAt(p) == '\'' && m.charAt(p) == ' '))
+      }
+      val hit = hitOpt.getOrElse(return if (changed) Some(cur) else None)
+      var p = hit.start - 1
+      while (p >= 0 && cur.charAt(p).isWhitespace) p -= 1
+      val ls = scanLeft(cur, m, p).getOrElse(return None)
+      val receiver = cur.substring(ls, p + 1)
+      val fn = hit.group(1)
+      val open = hit.end - 1
+      val close = ReplaceRewrite.closeOf(cur, open)
+      if (close < 0) return None
+      val args = cur.substring(open + 1, close - 1).trim
+      val call =
+        if (args.isEmpty) s"$fn($receiver)" else s"$fn($receiver, $args)"
+      cur = cur.substring(0, ls) + call + cur.substring(close)
+      changed = true
+    }
+    if (changed) Some(cur) else None
+  }
+
   def rewriteLimitPercent(text: String): Option[String] = {
     val m = ReplaceRewrite.maskLiterals(text)
     val hit = limitPctRe.findFirstMatchIn(m).getOrElse(return None)

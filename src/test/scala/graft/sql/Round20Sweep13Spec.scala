@@ -162,6 +162,22 @@ class Round20Sweep13Spec extends AnyFunSuite {
       "SELECT v FROM (VALUES (1),(2),(3)) t(v) LIMIT 10%").isEmpty)
   }
 
+  test("function-chaining: (expr).fn(args) / 'lit'.fn() / chains") {
+    assert(one[String]("SELECT ('hello').upper()") == "HELLO")
+    assert(one[String]("SELECT 'hello'.upper()") == "HELLO")
+    assert(one[Long]("SELECT trim('  ab  ').len()") == 2L)
+    assert(one[String]("SELECT ('hello').upper().lower()") == "hello")
+    assert(one[Long]("SELECT [1,2,3].len()") == 3L)
+    assert(rows("SELECT ('ab').concat('cd') a, 'x'.repeat(3) b").head ==
+      Seq("abcd", "xxx"))
+    // bare-identifier receivers parse natively as qualified routine
+    // names and stay a loud decline (shadowing a real schema.fn()
+    // would be worse) — documented.
+    val e = intercept[Exception](spark.sql(
+      "SELECT x.upper() FROM (SELECT 'a' AS x) t").collect())
+    assert(e.getMessage.contains("upper"), e.getMessage)
+  }
+
   test("stats/alias/get_current_timestamp/transaction_timestamp/age(x)") {
     assert(one[String]("SELECT stats(5)") ==
       "[Min: 5, Max: 5][Has Null: false, Has No Null: true]" +
