@@ -4494,6 +4494,44 @@ object AnalyticsQueries {
     spark.sql(q180Sql)
   }
 
+  // Fourteenth probe (round-20 close): ANSI fetch syntax, the
+  // TABLESAMPLE method form, FROM-first inside subqueries, and
+  // UPDATE/DELETE/INSERT ... RETURNING. q181 gates the query-side
+  // constructs (bernoulli(100%) keeps every row, so the sample is
+  // deterministic); q182 is a script lane whose RETURNING statements
+  // run mid-script (their row sets hand-verified identical to the
+  // host) and whose gated SELECT proves the mutations left the same
+  // table state on both engines.
+  private val q181Sql =
+    """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS s
+                    FROM orders TABLESAMPLE bernoulli(100%) WHERE o_orderkey < 200)
+       SELECT k, s FROM src
+       WHERE EXISTS (FROM src s2 WHERE s2.k = src.k AND s2.s = src.s)
+       ORDER BY k OFFSET 5 ROWS FETCH NEXT 20 ROWS ONLY"""
+  declare("q181_sweep14_fetch", q181Sql) { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q181Sql)
+  }
+
+  private val q182Stmts = Seq(
+    """CREATE OR REPLACE TEMP TABLE graft_q182 AS
+       SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS s,
+              CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+       FROM orders WHERE o_orderkey < 600""",
+    "UPDATE graft_q182 SET s = s || '+' , cents = cents + 1 WHERE k % 7 = 0 RETURNING k, s, cents",
+    "DELETE FROM graft_q182 WHERE cents % 2 = 1 AND k % 7 = 0 RETURNING *",
+    "INSERT INTO graft_q182 VALUES (9999, 'NEW', 1) RETURNING k, s")
+  private val q182Final =
+    """SELECT s, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS total
+       FROM graft_q182 GROUP BY s ORDER BY s"""
+  declare("q182_sweep14_returning",
+    q182Stmts.mkString(";\n") + ";\n" + q182Final) { (spark, sfDir) =>
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    q182Stmts.foreach(s => spark.sql(s).collect())
+    spark.sql(q182Final)
+  }
+
   val declared: Seq[Declared] = all.result()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -35,4 +35,30 @@ object FromFirstRewrite {
     Some(sql.substring(0, words.head._2) + "SELECT * " +
       sql.substring(words.head._2))
   }
+
+  /** FROM-first inside a PARENTHESIZED subquery — `WHERE EXISTS (FROM t
+    * WHERE ...)`, `SELECT * FROM (FROM t)` (round-20 fourteenth probe;
+    * the host accepts FROM-first in every query position). One splice
+    * per pass: the chain re-parses and recurses for further
+    * occurrences. The inner text goes through the SAME top-level
+    * rewrite, so the `FROM t SELECT cols` variant keeps declining.
+    */
+  def rewriteSubquery(sql: String): Option[String] = {
+    val masked = ReplaceRewrite.maskLiterals(sql)
+    val re = "(?is)\\(\\s*FROM\\b".r
+    for (h <- re.findAllMatchIn(masked)) {
+      val open = h.start
+      val close = ReplaceRewrite.closeOf(sql, open)
+      if (close > 0) {
+        val inner = sql.substring(open + 1, close - 1)
+        rewrite(inner) match {
+          case Some(r) =>
+            return Some(sql.substring(0, open + 1) + r +
+              sql.substring(close - 1))
+          case None =>
+        }
+      }
+    }
+    None
+  }
 }

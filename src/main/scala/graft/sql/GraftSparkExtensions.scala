@@ -1410,6 +1410,9 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               ColumnsRewrite.rewrite(text); case _ => None },
             () => text match { case fromFirstRe() =>
               FromFirstRewrite.rewrite(text); case _ => None },
+            // Fourteenth probe (round-20 close): FROM-first inside a
+            // parenthesized subquery (EXISTS (FROM t WHERE ...)).
+            () => FromFirstRewrite.rewriteSubquery(text),
             () => text match { case pivotStmtRe() =>
               PivotRewrite.rewrite(text); case _ => None },
             () => text match { case unpivotStmtRe() =>
@@ -1420,6 +1423,10 @@ class GraftHintParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInter
               UnionByNameRewrite.rewrite(text); case _ => None },
             () => text match { case usingSampleRe() =>
               SampleRewrite.rewrite(text); case _ => None },
+            // Fourteenth probe: TABLESAMPLE bernoulli(10%) method form
+            // and ANSI OFFSET ... FETCH FIRST/NEXT ... ROWS ONLY.
+            () => SampleRewrite.rewriteTablesampleMethod(text),
+            () => ListOpRewrite.rewriteFetch(text),
             () => text match { case duckDateRe() =>
               duckDateRewrite(text); case _ => None },
             // multi-unit interval strings → make_interval (parse-failure
@@ -5553,6 +5560,108 @@ object GraftSparkExtensions {
         Seq(org.apache.spark.sql.Row(n)))
     })
 
+  /** DELETE ... RETURNING exprs (round-20 fourteenth probe): the host
+    * returns the DELETED rows projected through the RETURNING list.
+    * The projection is captured to scratch BEFORE the staged overwrite
+    * mutates the table (the returned plan is a plain parquet scan of
+    * that snapshot — the scratch dir stays for the session, like every
+    * eager-TVF result that outlives its statement).
+    */
+  val deleteReturningFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("delete_returning"), info("delete_returning"), (args: Seq[Expression]) => {
+      if (args.size != 3)
+        throw new IllegalArgumentException(
+          s"delete_returning(table, where_or_empty, returning_exprs) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "delete_returning arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "delete_returning arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{coalesce, expr, lit}
+      val table = asString(v(0))
+      val whereText = asString(v(1)).trim
+      val retText = asString(v(2)).trim
+      require(retText.nonEmpty, "delete_returning: empty RETURNING list")
+      val base = spark.table(table)
+      val doomed =
+        if (whereText.isEmpty) base
+        else base.filter(coalesce(expr(whereText), lit(false)))
+      val returned = doomed.selectExpr(
+        ReplaceRewrite.splitTop(retText).map(_.trim): _*)
+      val (cap, _) =
+        graft.operators.Scratch.materialize(returned, "delete_returning")
+      val keepPred =
+        if (whereText.isEmpty) lit(false)
+        else !coalesce(expr(whereText), lit(false))
+      val kept = base.filter(keepPred)
+      if (TempTables.exists(table)) TempTables.put(table, kept)
+      else {
+        val (staged, stageDir) =
+          graft.operators.Scratch.materialize(kept, "delete_stage")
+        staged.write.mode("overwrite").insertInto(table)
+        graft.operators.Scratch.delete(spark, stageDir)
+      }
+      cap.queryExecution.analyzed
+    })
+
+  /** UPDATE ... RETURNING exprs: the host returns the NEW row values of
+    * matched rows. The capture projects matched OLD rows through the
+    * SET overrides (evaluated over old values — standard UPDATE
+    * semantics) and then the RETURNING list, snapshotted to scratch
+    * before the overwrite.
+    */
+  val updateReturningFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("update_returning"), info("update_returning"), (args: Seq[Expression]) => {
+      if (args.size != 4)
+        throw new IllegalArgumentException(
+          s"update_returning(table, set_assignments, where_or_empty, returning_exprs) — got ${args.size} arguments")
+      require(args.forall(_.foldable), "update_returning arguments must be constants")
+      val v = args.map(_.eval(null)).toIndexedSeq
+      require(v.forall(_ != null), "update_returning arguments must be non-NULL constants")
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{col, expr, when}
+      val table = asString(v(0))
+      val setText = asString(v(1))
+      val whereText = asString(v(2)).trim
+      val retText = asString(v(3)).trim
+      require(retText.nonEmpty, "update_returning: empty RETURNING list")
+      val assignments = ReplaceRewrite.splitTop(setText).map { a =>
+        val eq = topLevelEq(a)
+        require(eq > 0, s"update_returning: assignment without '=': $a")
+        (a.substring(0, eq).trim, a.substring(eq + 1).trim)
+      }
+      val base = spark.table(table)
+      val matchedOld =
+        if (whereText.isEmpty) base else base.filter(expr(whereText))
+      val newRows = matchedOld.select(
+        base.schema.fieldNames.toIndexedSeq.map { f =>
+          assignments.collectFirst {
+            case (n, rhs) if n.equalsIgnoreCase(f) => expr(rhs).as(f)
+          }.getOrElse(col(f))
+        }: _*)
+      val returned = newRows.selectExpr(
+        ReplaceRewrite.splitTop(retText).map(_.trim): _*)
+      val (cap, _) =
+        graft.operators.Scratch.materialize(returned, "update_returning")
+      // the mutation itself: identical to update_table's projection
+      val projected = base.select(
+        base.schema.fieldNames.toIndexedSeq.map { f =>
+          assignments.collectFirst {
+            case (n, rhs) if n.equalsIgnoreCase(f) =>
+              val newV = expr(rhs)
+              (if (whereText.isEmpty) newV
+               else when(expr(whereText), newV).otherwise(col(f))).as(f)
+          }.getOrElse(col(f))
+        }: _*)
+      if (TempTables.exists(table)) TempTables.put(table, projected)
+      else {
+        val (staged, stageDir) =
+          graft.operators.Scratch.materialize(projected, "update_stage")
+        staged.write.mode("overwrite").insertInto(table)
+        graft.operators.Scratch.delete(spark, stageDir)
+      }
+      cap.queryExecution.analyzed
+    })
+
   val deleteFromFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("delete_from"), info("delete_from"), (args: Seq[Expression]) => {
       if (args.size != 2)
@@ -6723,6 +6832,8 @@ object GraftSparkExtensions {
     copyFromFn,
     updateTableFn,
     deleteFromFn,
+    deleteReturningFn,
+    updateReturningFn,
     updateFromFn,
     deleteUsingFn,
     maintenanceNoopFn,

@@ -812,6 +812,32 @@ object ListOpRewrite {
     if (changed) Some(cur) else None
   }
 
+  /** ANSI fetch syntax (round-20 fourteenth probe — the host executes
+    * it, Spark's grammar has only LIMIT/OFFSET): `[OFFSET k ROW[S]]
+    * FETCH FIRST|NEXT [n] ROW[S] ONLY` → `LIMIT n [OFFSET k]` (count
+    * defaults to 1 per the standard), and a bare `OFFSET k ROWS` drops
+    * the ROWS word. Parse-failure only; window-frame ROWS can't match
+    * (no OFFSET/FETCH adjacency).
+    */
+  private val fetchRe =
+    ("(?is)\\b(?:OFFSET\\s+(\\d+)\\s+ROWS?\\s+)?" +
+      "FETCH\\s+(?:FIRST|NEXT)\\s+(?:(\\d+)\\s+)?ROWS?\\s+ONLY").r
+  private val bareOffsetRowsRe = "(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\b".r
+  def rewriteFetch(text: String): Option[String] = {
+    val m = ReplaceRewrite.maskLiterals(text)
+    fetchRe.findFirstMatchIn(m) match {
+      case Some(h) =>
+        val off = Option(h.group(1)).map(k => s" OFFSET $k").getOrElse("")
+        val n = Option(h.group(2)).getOrElse("1")
+        Some(text.substring(0, h.start) + s"LIMIT $n$off" +
+          text.substring(h.end))
+      case None =>
+        bareOffsetRowsRe.findFirstMatchIn(m).map(h =>
+          text.substring(0, h.start) + s"OFFSET ${h.group(1)}" +
+            text.substring(h.end))
+    }
+  }
+
   /** DuckDB's function-chaining syntax `expr.fn(args)` ≡ `fn(expr,
     * args)` (round-20 thirteenth sweep) for receivers that END
     * unambiguously — a closing paren (`('hello').upper()`,

@@ -44,6 +44,30 @@ object SampleRewrite {
       """(?:\s*\(\s*([A-Za-z_]\w*)?\s*,?\s*(\d+)?\s*\))?""" +
       """(?:\s*REPEATABLE\s*\(\s*(\d+)\s*\))?""").r
 
+  /** DuckDB also spells the method inside TABLESAMPLE itself —
+    * `TABLESAMPLE bernoulli(10%)`, `TABLESAMPLE reservoir(50 ROWS)` —
+    * which Spark's grammar (parenthesized spec only) rejects. Same
+    * method-dropping mapping as the USING SAMPLE forms (round 20).
+    */
+  private val tablesampleMethodRe =
+    ("""(?is)\bTABLESAMPLE\s+([A-Za-z_]\w*)\s*""" +
+      """\(\s*(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?\s*\)""" +
+      """(?:\s*REPEATABLE\s*\(\s*(\d+)\s*\))?""").r
+
+  def rewriteTablesampleMethod(sql: String): Option[String] = {
+    val m = tablesampleMethodRe.findFirstMatchIn(sql).getOrElse(return None)
+    val number = m.group(2)
+    val unit = Option(m.group(3)).map(_.trim.toUpperCase).getOrElse("")
+    val spec = unit match {
+      case "%" | "PERCENT" => s"$number PERCENT"
+      case _ if number.contains(".") => return None
+      case _ => s"$number ROWS"
+    }
+    val rep = Option(m.group(4)).map(s => s" REPEATABLE ($s)").getOrElse("")
+    Some(sql.substring(0, m.start) + s"TABLESAMPLE ($spec)$rep" +
+      sql.substring(m.end))
+  }
+
   def rewrite(sql: String): Option[String] = {
     val m = clauseRe.findFirstMatchIn(sql).getOrElse(return None)
     val number = Option(m.group(2)).getOrElse(m.group(4))

@@ -89,17 +89,29 @@ object UpdateDeleteRewrite {
           if (!tbl.matches("[A-Za-z_]\\w*") || !isPlainV1Table(tbl)) return None
           val setStart = words(2)._2 + "SET".length
           val whereW = words.find(w => w._1 == "WHERE" && w._2 > setStart)
+          // RETURNING exprs (round 20): trailing clause, host returns
+          // the NEW values of matched rows.
+          val retW = words.find(w => w._1 == "RETURNING" && w._2 > setStart)
           // Joined UPDATE (round 18): a top-level FROM between SET and
           // WHERE routes to the update_from TVF (arbitrary-match-once
           // semantics, DuckDB-pinned).
           val fromW = words.find(w => w._1 == "FROM" && w._2 > setStart &&
-            whereW.forall(w._2 < _._2))
+            whereW.forall(w._2 < _._2) && retW.forall(w._2 < _._2))
           val setText = stripSemi(sql.substring(setStart,
-            fromW.orElse(whereW).map(_._2).getOrElse(sql.length)))
+            fromW.orElse(whereW).orElse(retW).map(_._2).getOrElse(sql.length)))
           val whereText = whereW
-            .map(w => stripSemi(sql.substring(w._2 + "WHERE".length)))
+            .map(w => stripSemi(sql.substring(w._2 + "WHERE".length,
+              retW.map(_._2).getOrElse(sql.length))))
+            .getOrElse("")
+          val retText = retW
+            .map(w => stripSemi(sql.substring(w._2 + "RETURNING".length)))
             .getOrElse("")
           if (setText.isEmpty) return None
+          if (retW.isDefined) {
+            if (fromW.isDefined || retText.isEmpty) return None
+            return Some(s"SELECT * FROM update_returning('${esc(tbl)}', " +
+              s"'${esc(setText)}', '${esc(whereText)}', '${esc(retText)}')")
+          }
           fromW match {
             case Some((_, fp)) =>
               val srcText = stripSemi(sql.substring(fp + "FROM".length,
@@ -136,16 +148,28 @@ object UpdateDeleteRewrite {
           if (words.length < 2 || words(1)._1 != "FROM") return None
           val fromEnd = words(1)._2 + "FROM".length
           val whereW = words.find(w => w._1 == "WHERE" && w._2 > fromEnd)
+          // RETURNING exprs (round 20): host returns the DELETED rows.
+          val retW = words.find(w => w._1 == "RETURNING" && w._2 > fromEnd)
           // Joined DELETE (round 18): DELETE FROM t USING src WHERE ...
           // routes to the delete_using TVF (NOT EXISTS anti-join).
           val usingW = words.find(w => w._1 == "USING" && w._2 > fromEnd &&
-            whereW.forall(w._2 < _._2))
+            whereW.forall(w._2 < _._2) && retW.forall(w._2 < _._2))
           val tbl = stripSemi(sql.substring(fromEnd,
-            usingW.orElse(whereW).map(_._2).getOrElse(sql.length))).trim
+            usingW.orElse(whereW).orElse(retW).map(_._2)
+              .getOrElse(sql.length))).trim
           if (!tbl.matches("[A-Za-z_]\\w*") || !isPlainV1Table(tbl)) return None
           val whereText = whereW
-            .map(w => stripSemi(sql.substring(w._2 + "WHERE".length)))
+            .map(w => stripSemi(sql.substring(w._2 + "WHERE".length,
+              retW.map(_._2).getOrElse(sql.length))))
             .getOrElse("")
+          val retText = retW
+            .map(w => stripSemi(sql.substring(w._2 + "RETURNING".length)))
+            .getOrElse("")
+          if (retW.isDefined) {
+            if (usingW.isDefined || retText.isEmpty) return None
+            return Some(s"SELECT * FROM delete_returning('${esc(tbl)}', " +
+              s"'${esc(whereText)}', '${esc(retText)}')")
+          }
           usingW match {
             case Some((_, up)) =>
               val srcText = stripSemi(sql.substring(up + "USING".length,

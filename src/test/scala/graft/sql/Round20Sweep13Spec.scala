@@ -178,6 +178,56 @@ class Round20Sweep13Spec extends AnyFunSuite {
     assert(e.getMessage.contains("upper"), e.getMessage)
   }
 
+  // --- fourteenth probe batch (round-20 close) ----------------------
+
+  test("ANSI fetch: OFFSET k ROWS / FETCH FIRST|NEXT n ROWS ONLY") {
+    assert(rows("SELECT v FROM (VALUES (1),(2),(3)) t(v) ORDER BY v " +
+      "FETCH FIRST 2 ROWS ONLY") == Seq(Seq(1), Seq(2)))
+    assert(rows("SELECT v FROM (VALUES (1),(2),(3)) t(v) ORDER BY v " +
+      "OFFSET 1 ROWS FETCH NEXT 1 ROWS ONLY") == Seq(Seq(2)))
+    // count defaults to 1; bare OFFSET k ROWS
+    assert(rows("SELECT v FROM (VALUES (1),(2)) t(v) ORDER BY v " +
+      "FETCH FIRST ROW ONLY") == Seq(Seq(1)))
+    assert(rows("SELECT v FROM (VALUES (1),(2),(3)) t(v) ORDER BY v " +
+      "OFFSET 2 ROWS") == Seq(Seq(3)))
+  }
+
+  test("TABLESAMPLE method form: bernoulli(100%) / reservoir(n ROWS)") {
+    // method form attaches to a TABLE reference (Spark's grammar puts
+    // TABLESAMPLE before a subquery alias, so the aliased-VALUES shape
+    // stays native-declined on both spellings)
+    spark.sql("SELECT v FROM (VALUES (1),(2),(3)) t(v)")
+      .createOrReplaceTempView("swts")
+    assert(rows("SELECT v FROM swts TABLESAMPLE bernoulli(100%) " +
+      "ORDER BY v") == Seq(Seq(1), Seq(2), Seq(3)))
+    assert(spark.sql("SELECT v FROM swts TABLESAMPLE reservoir(2 ROWS)")
+      .collect().length == 2)
+  }
+
+  test("FROM-first inside subqueries: EXISTS (FROM t WHERE ...)") {
+    assert(rows("SELECT * FROM (VALUES (1),(2)) t(a) WHERE EXISTS " +
+      "(FROM (VALUES (1)) s(b) WHERE s.b = t.a) ORDER BY a") ==
+      Seq(Seq(1)))
+    assert(rows("SELECT * FROM (FROM (VALUES (7)) x(v)) ORDER BY v") ==
+      Seq(Seq(7)))
+  }
+
+  test("UPDATE/DELETE ... RETURNING over temp tables (host-verified)") {
+    spark.sql("CREATE OR REPLACE TEMP TABLE swret(a INT, b STRING)")
+    spark.sql("INSERT INTO swret VALUES (1,'x'),(2,'y'),(3,'z')")
+    // UPDATE returns NEW values of matched rows, exprs over new a
+    val u = spark.sql("UPDATE swret SET b = b || '!', a = a + 10 " +
+      "WHERE a > 1 RETURNING a, b, a*2 AS twice")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Int])
+    assert(u.toSeq == Seq(Seq(12, "y!", 24), Seq(13, "z!", 26)))
+    val d = spark.sql("DELETE FROM swret WHERE a > 11 RETURNING *")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Int])
+    assert(d.toSeq == Seq(Seq(12, "y!"), Seq(13, "z!")))
+    assert(rows("SELECT * FROM swret") == Seq(Seq(1, "x")))
+    val i = spark.sql("INSERT INTO swret VALUES (5,'n') RETURNING b, a")
+    assert(i.collect().map(_.toSeq).toSeq == Seq(Seq("n", 5)))
+  }
+
   test("stats/alias/get_current_timestamp/transaction_timestamp/age(x)") {
     assert(one[String]("SELECT stats(5)") ==
       "[Min: 5, Max: 5][Has Null: false, Has No Null: true]" +
