@@ -32,15 +32,19 @@ object Triangles {
     * this operator) collapse into m edge rows carrying short arrays,
     * and the intersection itself is row-local `array_intersect`.
     *
-    * Shuffle plan: canonical distinct + degree aggregate; rank
-    * attachment joins (AQE broadcasts the rank table when the node set
-    * is small); ONE scratch materialization of the oriented edges (they
-    * feed three consumers — the adjacency build and both sides of the
-    * per-edge join — scratch runs the producing plan once, the
-    * [[Dedup]] convention); adjacency = one groupBy(src); the per-edge
-    * attach is a src-keyed join that REUSES the adjacency partitioning
-    * plus one dst-keyed join; the three corner folds are
-    * map-side-combined aggregates over output-sized rows.
+    * Shuffle plan (round 20 — optimization pass): canonical distinct +
+    * degree aggregate; rank attachment joins (AQE broadcasts the rank
+    * table when the node set is small); ONE scratch materialization of
+    * the ADJACENCY (src, nbrs) — not the oriented edge list. The edge
+    * list is recovered from the adjacency itself by `explode(nbrs)`,
+    * which hands every oriented edge its src-side neighbor array FOR
+    * FREE, so the per-edge attach needs only the one dst-keyed join.
+    * vs the previous shape (materialize oriented edges, rebuild the
+    * adjacency from the scratch scan on BOTH sides of a two-join
+    * attach): one groupBy aggregate instead of two, one join instead of
+    * two, and the scratch round-trip carries n adjacency rows instead
+    * of m edge rows. The three corner folds are map-side-combined
+    * aggregates over output-sized rows.
     *
     * Rank packing requires node ids in [0, 2³¹): degree ≤ 2³¹ shifts
     * left 31 bits and the id fills the low bits — strictly ordered by
@@ -57,17 +61,16 @@ object Triangles {
     val ranked = e
       .join(deg.select(col("n").as("a"), col("rank").as("ra")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("rank").as("rb")), Seq("b"))
+    val oriented = ranked.select(
+      when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
+      when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"))
     // the consumers of the scratch dataset are lazy, so it must outlive
     // this method: the session shutdown hook owns cleanup (Scratch
     // contract) — no eager delete, the path binding is discarded.
-    val (oriented, _) = Scratch.materialize(
-      ranked.select(
-        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
-        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst")),
-      "tri_oriented")
-    val adj = oriented.groupBy("src").agg(collect_list("dst").as("nbrs"))
-    val withAdj = oriented
-      .join(adj, Seq("src"))
+    val (adj, _) = Scratch.materialize(
+      oriented.groupBy("src").agg(collect_list("dst").as("nbrs")), "tri_adj")
+    val withAdj = adj
+      .select(col("src"), col("nbrs"), explode(col("nbrs")).as("dst"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")), Seq("dst"))
       .select(col("src"), col("dst"),
         array_intersect(col("nbrs"), col("nbrs_v")).as("w"))
