@@ -85,6 +85,44 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** [[topKScored]] with an extra grid key `g` (round-20 optimization
+    * pass): per (g, query_id) top-k through the same bounded
+    * per-partition heaps + final window, so the recall-grid lanes rank
+    * every grid point in ONE pass instead of one corpus scan per point.
+    * Output identical to running topKScored per g-slice.
+    */
+  private def topKScoredGrid(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val candidates = scored.select(col("g").cast("long"),
+        col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("sim").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .mapPartitions { it =>
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = collection.mutable.HashMap
+          .empty[(Long, Long), collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (g, q, nb, sim) =>
+          val h = heaps.getOrElseUpdate((g, q),
+            collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+          val e = (-sim, nb)
+          if (h.size < k) h.enqueue(e)
+          else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+        }
+        heaps.iterator.flatMap { case ((g, q), h) =>
+          h.iterator.map(e => (g, q, e._2, -e._1))
+        }
+      }
+      .toDF("g", "query_id", "neighbor_id", "sim")
+    val w = Window.partitionBy("g", "query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    candidates.select(col("g"), col("query_id"),
+        row_number().over(w).cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force top-k cosine neighbors for each query vector.
     * Output: (query_id, rank, neighbor_id, sim) with sim = round(cos, 3).
     */
@@ -122,8 +160,14 @@ object Similarity {
       k: Int, beam: Int = 8, rounds: Int = 2, entries: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val edges = graph.select(col("query_id").as("src"),
-      col("neighbor_id").as("dst"))
+    // Every round joins the neighbor graph; left lazy, the graph's
+    // PRODUCING plan (a brute-force or IVF kNN build — the expensive
+    // part of graph ANN) re-executes once per round. Materialize it once
+    // (round-20 optimization pass; production graph-ANN stores the graph
+    // as a standing index anyway).
+    val (edges, _) = Scratch.materialize(
+      graph.select(col("query_id").as("src"), col("neighbor_id").as("dst")),
+      "walk_graph")
     def scoreCands(cands: DataFrame): DataFrame =
       cands.join(corpus.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("ne")), Seq("neighbor_id"))
@@ -570,6 +614,16 @@ object Similarity {
     * desynchronize between the exact and the PQ search paths.
     */
   private def probeSelection(q: DataFrame, centroids: DataFrame,
+      res: AssignedWithCodebook, nProbe: Int): DataFrame =
+    probeSelectionRanked(q, centroids, res, nProbe).select("query_id", "qe", "cid")
+
+  /** [[probeSelection]] keeping the probe RANK (`prn`, 1-based preference
+    * order of the cell for the query). The grid paths cut the shared
+    * nProbe=max probe set by this rank; both arms produce their cells in
+    * strict (csim desc, cid asc) preference order, so the nProbe=n set is
+    * exactly the prn <= n prefix of the nProbe=max set.
+    */
+  private def probeSelectionRanked(q: DataFrame, centroids: DataFrame,
       res: AssignedWithCodebook, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = q.sparkSession
@@ -578,9 +632,10 @@ object Similarity {
         val nCells = spark.conf.getOption("spark.graft.twoLevelAssignNProbe")
           .map(_.toInt).getOrElse(8)
         q.select(col("query_id"), col("qe"),
-            explode(ColumnBridge.column(graft.functions.TopCentroidsTwoLevel(
-              ColumnBridge.expression(col("qe")), bc, nCells, nProbe))).as("cid"))
-          .select("query_id", "qe", "cid")
+            posexplode(ColumnBridge.column(graft.functions.TopCentroidsTwoLevel(
+              ColumnBridge.expression(col("qe")), bc, nCells, nProbe))))
+          .select(col("query_id"), col("qe"),
+            (col("pos") + 1).cast("int").as("prn"), col("col").as("cid"))
       case None =>
         val c = broadcast(centroids.select(col("vec_id").as("cid"),
           col("embedding").as("ce")))
@@ -588,9 +643,9 @@ object Similarity {
         q.crossJoin(c)
           .select(col("query_id"), col("qe"), col("cid"),
             round(cosine(col("qe"), col("ce")), 6).as("csim"))
-          .withColumn("rn", row_number().over(wq))
-          .filter(col("rn") <= nProbe)
-          .select("query_id", "qe", "cid")
+          .withColumn("prn", row_number().over(wq))
+          .filter(col("prn") <= nProbe)
+          .select("query_id", "qe", "prn", "cid")
     }
   }
 
@@ -944,6 +999,85 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qe"), col("ne")), 3).as("sim"))
     topKScored(scored, k)
+  }
+
+  /** [[ivfPqRerankTopK]] over a GRID of shortlist depths in ONE ADC pass
+    * (round-20 optimization pass). The per-depth loop the shortlist-grid
+    * lane previously ran rebuilt the PQ index, re-scanned ADC, and
+    * re-joined the rerank once per depth; but the ADC ranking is totally
+    * ordered by (negated distance desc, neighbor_id asc), so the
+    * depth-sl candidate set is exactly the rank <= sl prefix of the
+    * depth-max set, and the exact rerank score of a candidate does not
+    * depend on the depth. One ADC pass at max(shortlists), one exact
+    * scoring join over its candidates (scratch-materialized — it feeds
+    * every depth's cut), then per-depth top-k through the shared
+    * grid-keyed heap reducer. Row-identical per depth to calling
+    * [[ivfPqRerankTopK]] with that shortlist (spec-pinned).
+    * Output: (shortlist, query_id, rank, neighbor_id, sim).
+    */
+  def ivfPqRerankTopKGrid(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebookVecs: DataFrame, m: Int, k: Int = 10,
+      nProbe: Int = 4, shortlists: Seq[Int] = Seq(100)): DataFrame = {
+    require(shortlists.nonEmpty, "ivfPqRerankTopKGrid: empty shortlist grid")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = ivfPqTopK(corpus, queries, centroids, codebookVecs, m,
+      k = shortlists.max, nProbe = nProbe)
+      .select(col("query_id"), col("rank").as("srn"), col("neighbor_id"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    val scored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .join(cands, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("srn"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ne")), 3).as("sim"))
+    val (sc, _) = Scratch.materialize(scored, "pq_grid")
+    val grid = broadcast(shortlists.toDF("g"))
+    val exploded = sc.join(grid, sc("srn") <= grid("g"))
+    topKScoredGrid(exploded.select(col("g"), col("query_id"),
+        col("neighbor_id"), col("sim")), k)
+      .withColumnRenamed("g", "shortlist")
+  }
+
+  /** An [[ivfTopKGrid]] result: per-grid-point exact top-k plus the
+    * per-grid-point candidate (scanned-row) counts the recall lane
+    * reports.
+    */
+  final case class IvfGrid(topK: DataFrame, scanned: DataFrame)
+
+  /** [[ivfTopK]] over a GRID of nProbe values in ONE corpus scan
+    * (round-20 optimization pass). Probe cells come ranked in strict
+    * (csim desc, cid) preference order, so the nProbe=n probe set is the
+    * prn <= n prefix of the nProbe=max set, and a candidate's exact
+    * score does not depend on n: scan once at max(nProbes) keeping the
+    * probe rank, scratch-materialize (the scan feeds every grid point's
+    * cut AND the scanned counts), cut by prn per grid point, rank
+    * through the shared grid-keyed heap reducer. Row-identical per n to
+    * [[ivfTopK]] (spec-pinned); `scanned` carries (nprobe,
+    * scanned_rows) = the candidate rows ivfTopK's scan would touch.
+    */
+  def ivfTopKGrid(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int = 10, nProbes: Seq[Int] = Seq(4)): IvfGrid = {
+    require(nProbes.nonEmpty, "ivfTopKGrid: empty nProbe grid")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val res = assignToCentroidsKeepHandle(corpus, centroids)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probes = probeSelectionRanked(q, centroids, res, nProbes.max)
+    val scored = res.assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("prn"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qe"), col("embedding")), 3).as("sim"))
+    val (sc, _) = Scratch.materialize(scored, "ivf_grid")
+    val grid = broadcast(nProbes.toDF("g"))
+    val exploded = sc.join(grid, sc("prn") <= grid("g"))
+    val topK = topKScoredGrid(exploded.select(col("g"), col("query_id"),
+        col("neighbor_id"), col("sim")), k)
+      .withColumnRenamed("g", "nprobe")
+    val scanned = exploded.groupBy(col("g").cast("long").as("nprobe"))
+      .agg(count(lit(1)).as("scanned_rows"))
+    IvfGrid(topK, scanned)
   }
 
   /** Sign-LSH bucketing: 16-bit bucket from the signs of dot products with

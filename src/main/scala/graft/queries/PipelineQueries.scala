@@ -1359,37 +1359,29 @@ object PipelineQueries {
     val e = t(spark, sfDir, "embeddings")
     val queries = e.filter(col("vec_id") < 5)
     val centroids = e.filter(col("vec_id") < 16)
-    val brute = Similarity.bruteForceTopK(e, queries, k = 10)
-      .select("query_id", "neighbor_id")
+    // Round-20 optimization pass: ONE assignment + ONE probe-ranked scan
+    // for the whole nProbe grid (ivfTopKGrid — row-identical per point
+    // to the previous per-nProbe ivfTopK loop, and its `scanned` counts
+    // equal the lane's previous per-nProbe candidate counts, which were
+    // rebuilt from a SECOND assignment + probe window per point). Brute
+    // baseline materialized once.
+    val nps = Seq(1, 2, 4, 8)
+    val (brute, _) = graft.operators.Scratch.materialize(
+      Similarity.bruteForceTopK(e, queries, k = 10)
+        .select("query_id", "neighbor_id"), "grid_brute")
     val total = brute.count()
     val corpusN = e.count()
-    val assigned = Similarity.assignToCentroids(e, centroids)
-      .select("vec_id", "cid")
-    // Probe ranking mirrors the engine's probe selection exactly:
-    // round-6 cosine desc, then centroid id.
-    val cents = broadcast(centroids
-      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
-    val proberk = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(cents)
-      .select(col("query_id"),
-        round(Similarity.cosine(col("qe"), col("ce")), 6).as("csim"),
-        col("cid"))
-      .withColumn("prn", row_number().over(w))
-    val rows = Seq(1, 2, 4, 8).map { np =>
-      val probes = proberk.filter(col("prn") <= np)
-        .select("query_id", "cid")
-      val cand = assigned.join(probes, Seq("cid"))
-        .filter(col("vec_id") =!= col("query_id"))
-      val scanned = cand.count()
-      val hits = Similarity.ivfTopK(e, queries, centroids, k = 10,
-          nProbe = np)
-        .select("query_id", "neighbor_id")
-        .join(brute, Seq("query_id", "neighbor_id")).count()
-      (np.toLong, hits, total, scanned, corpusN)
-    }
+    val grid = Similarity.ivfTopKGrid(e, queries, centroids, k = 10,
+      nProbes = nps)
+    val hitByNp = grid.topK
+      .select("nprobe", "query_id", "neighbor_id")
+      .join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scannedByNp = grid.scanned
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = nps.map(np => (np.toLong, hitByNp.getOrElse(np.toLong, 0L),
+      total, scannedByNp.getOrElse(np.toLong, 0L), corpusN))
     import spark.implicits._
     rows.toDF("nprobe", "hits", "total", "scanned_rows", "corpus_rows")
       .orderBy("nprobe")
@@ -1469,16 +1461,23 @@ object PipelineQueries {
     val queries = e.filter(col("vec_id") < 5)
     val centroids = e.filter(col("vec_id") < 16)
     val cb = e.filter(col("vec_id") < 64)
-    val brute = Similarity.bruteForceTopK(e, queries, k = 10)
-      .select("query_id", "neighbor_id")
+    // Round-20 optimization pass: ONE ADC pass + ONE rerank join for the
+    // whole depth grid (ivfPqRerankTopKGrid — row-identical per depth to
+    // the previous per-depth ivfPqRerankTopK loop, spec-pinned), and the
+    // brute baseline materialized once instead of recomputed by each
+    // depth's hits join + the total count.
+    val sls = Seq(10, 50, 200)
+    val (brute, _) = graft.operators.Scratch.materialize(
+      Similarity.bruteForceTopK(e, queries, k = 10)
+        .select("query_id", "neighbor_id"), "grid_brute")
     val total = brute.count()
-    val rows = Seq(10, 50, 200).map { sl =>
-      val hits = Similarity.ivfPqRerankTopK(e, queries, centroids, cb,
-          m = 4, k = 10, nProbe = 16, shortlist = sl)
-        .select("query_id", "neighbor_id")
-        .join(brute, Seq("query_id", "neighbor_id")).count()
-      (sl.toLong, hits, total)
-    }
+    val hitBySl = Similarity.ivfPqRerankTopKGrid(e, queries, centroids, cb,
+        m = 4, k = 10, nProbe = 16, shortlists = sls)
+      .select("shortlist", "query_id", "neighbor_id")
+      .join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy("shortlist").agg(count(lit(1)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = sls.map(sl => (sl.toLong, hitBySl.getOrElse(sl.toLong, 0L), total))
     import spark.implicits._
     rows.toDF("shortlist", "hits", "total").orderBy("shortlist")
   }

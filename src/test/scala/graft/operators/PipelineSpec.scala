@@ -2131,4 +2131,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == out(3L), s"OOV bigrams must be indistinguishable: $out")
     assert(out(2L) > out(0L) && out(2L) > out(1L))
   }
+
+  test("grid ANN paths are row-identical to the per-point calls (round-20 optimization)") {
+    // The grid operators share one scan/ADC pass across all grid points
+    // by the prefix property of the (score desc, id asc) total order —
+    // this pins that sharing changes NOTHING row-wise.
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val centroids = embeddings.filter(col("vec_id") < 16)
+    val cb = embeddings.filter(col("vec_id") < 64)
+    def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => cols.indices.map(r.get)).toSet
+    val outCols = Seq("query_id", "rank", "neighbor_id", "sim")
+    // IVF nProbe grid vs per-nProbe ivfTopK
+    val nps = Seq(1, 2, 4, 8)
+    val g = Similarity.ivfTopKGrid(embeddings, queries, centroids, k = 10,
+      nProbes = nps)
+    nps.foreach { np =>
+      val per = rows(Similarity.ivfTopK(embeddings, queries, centroids,
+        k = 10, nProbe = np), outCols)
+      val slice = rows(g.topK.filter(col("nprobe") === np), outCols)
+      assert(slice == per, s"ivfTopKGrid slice nProbe=$np diverges")
+    }
+    // scanned counts match the per-point candidate-set sizes
+    val scannedMap = g.scanned.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scannedMap.keySet == nps.map(_.toLong).toSet)
+    assert(nps.init.zip(nps.tail).forall { case (a, b) =>
+      scannedMap(a.toLong) < scannedMap(b.toLong) })
+    // PQ shortlist grid vs per-depth ivfPqRerankTopK
+    val sls = Seq(10, 50, 200)
+    val pg = Similarity.ivfPqRerankTopKGrid(embeddings, queries, centroids,
+      cb, m = 4, k = 10, nProbe = 16, shortlists = sls)
+    sls.foreach { sl =>
+      val per = rows(Similarity.ivfPqRerankTopK(embeddings, queries,
+        centroids, cb, m = 4, k = 10, nProbe = 16, shortlist = sl), outCols)
+      val slice = rows(pg.filter(col("shortlist") === sl), outCols)
+      assert(slice == per, s"ivfPqRerankTopKGrid slice shortlist=$sl diverges")
+    }
+  }
 }
