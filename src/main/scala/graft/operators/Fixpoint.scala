@@ -80,35 +80,84 @@ object Fixpoint {
     * shutdown hook, and the catalog entry lives only as long as the
     * session (in-memory catalog) or is harmless metadata (Hive).
     */
-  private[operators] def persistFrontier(df: DataFrame, name: String, buckets: Int): DataFrame = {
+  private[operators] def persistFrontier(df: DataFrame, name: String, buckets: Int,
+      path: String = null): DataFrame = {
     val spark = df.sparkSession
+    val dir = if (path == null) Scratch.freshDir(spark, name) else path
     df.repartition(buckets, col(H))
       .write
       .bucketBy(buckets, H)
       .sortBy(H)
-      .option("path", Scratch.freshDir(spark, name))
+      .option("path", dir)
       .format("parquet")
       .saveAsTable(name)
     spark.table(name)
   }
+
+  /** On-disk bytes of a persisted frontier dir — driver-side metadata
+    * only (one FileSystem call), the measured input to the adaptive
+    * bucket sizing below.
+    */
+  private def dirBytes(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+
+  /** Bytes-derived bucket count for the round tables when the caller did
+    * not size them (buckets = 0) — guide-§2 scale-adaptive partitioning:
+    * a constant `spark.sql.shuffle.partitions` fan-out pays one write
+    * task + one file PER BUCKET PER ROUND regardless of frontier size
+    * (measured: the 25-round nation closure runs 1.4-2x slower at 32
+    * buckets than at 4, ProfileFixpoint), while a 100 TB closure wants
+    * buckets sized like any shuffle. `ceil(bytes / targetBucketBytes)`
+    * clamped to [1, spark.sql.shuffle.partitions]; the ceiling keeps a
+    * deployment's configured width as the upper bound (a cluster raises
+    * shuffle.partitions, and the cap rises with it), the 128 MB default
+    * target follows the healthy-partition guidance and is overridable
+    * via spark.graft.fixpoint.targetBucketBytes. Round r+1 is sized from
+    * round r's MEASURED bytes (one-round lag; a growing frontier is
+    * corrected the next round, and the clamp bounds the error), the seed
+    * round from the optimizer's size estimate (clamped the same way, so
+    * a garbage estimate degrades to today's constant, never worse).
+    * Rounds may therefore differ in bucket count: the anti-join chain
+    * stays correct (each join is keyed on [[H]] regardless of layout),
+    * every reached-side scan is still bucketed and sort-satisfying, and
+    * any side a width change forces Spark to re-exchange is small by
+    * construction (it was persisted when the frontier was that size).
+    */
+  private def adaptiveBuckets(bytes: Long, cap: Int, targetBytes: Long): Int =
+    math.max(1L, math.min(cap.toLong,
+      (bytes / targetBytes) + (if (bytes % targetBytes == 0) 0 else 1))).toInt
 
   /** The accumulated distinct row set of `seed ∪ step(frontier₀) ∪ …`,
     * iterated until a round adds nothing new. `step` must return the
     * seed's schema. Deterministic for deterministic `step` (set
     * semantics: row order within rounds does not matter).
     *
-    * `buckets` sizes the reached tables' bucket layout (all rounds must
-    * share it); the default follows `spark.sql.shuffle.partitions`. On a
-    * cluster, size it like any shuffle: closure size / healthy partition
-    * size.
+    * `buckets` > 0 pins the reached tables' bucket layout for every
+    * round; the default (0) sizes each round adaptively from measured
+    * frontier bytes (see [[adaptiveBuckets]]) — closure size / healthy
+    * partition size, capped at `spark.sql.shuffle.partitions`.
     */
   def iterate(seed: DataFrame, step: DataFrame => DataFrame,
       maxRounds: Int = 64, buckets: Int = 0): DataFrame = {
     val spark = seed.sparkSession
     val cols = seed.columns.toIndexedSeq
     require(cols.nonEmpty, "Fixpoint.iterate: seed must have at least one column")
-    val nb = if (buckets > 0) buckets
+    val cap = if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val targetBytes = spark.conf.getOption("spark.graft.fixpoint.targetBucketBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    // Next round's bucket count: explicit `buckets` wins; else derived
+    // from the previous persisted frontier's measured bytes (seed round:
+    // the optimizer's estimate) — see adaptiveBuckets.
+    var nextNb =
+      if (buckets > 0) buckets
+      else adaptiveBuckets(
+        seed.queryExecution.optimizedPlan.stats.sizeInBytes
+          .min(BigInt(Long.MaxValue)).toLong, cap, targetBytes)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     def tableName(round: Int) = s"graft_fix_${runId}_r$round"
     def withHash(df: DataFrame): DataFrame =
@@ -116,7 +165,10 @@ object Fixpoint {
     var created = Vector.empty[String]
     def persist(df: DataFrame, round: Int): DataFrame = {
       val name = tableName(round)
-      val out = persistFrontier(df, name, nb)
+      val dir = Scratch.freshDir(spark, name)
+      val out = persistFrontier(df, name, nextNb, dir)
+      if (buckets <= 0)
+        nextNb = adaptiveBuckets(dirBytes(spark, dir), cap, targetBytes)
       created :+= name
       out
     }
@@ -234,8 +286,15 @@ object Fixpoint {
     val cols = seed.columns.toIndexedSeq
     require(keys.nonEmpty && keys.forall(cols.contains),
       s"Fixpoint.iterateKeyed: keys ${keys.mkString(",")} must be seed columns ${cols.mkString(",")}")
-    val nb = if (buckets > 0) buckets
+    val cap = if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val targetBytes = spark.conf.getOption("spark.graft.fixpoint.targetBucketBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    var nextNb =
+      if (buckets > 0) buckets
+      else adaptiveBuckets(
+        seed.queryExecution.optimizedPlan.stats.sizeInBytes
+          .min(BigInt(Long.MaxValue)).toLong, cap, targetBytes)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     def tableName(round: Int) = s"graft_kfix_${runId}_r$round"
     def withKeyHash(df: DataFrame): DataFrame =
@@ -262,7 +321,10 @@ object Fixpoint {
       "spark.graft.keyedFixpointCompactRounds must be >= 1")
     var created = Vector.empty[String]
     def persist(df: DataFrame, name: String): DataFrame = {
-      val out = persistFrontier(df, name, nb)
+      val dir = Scratch.freshDir(spark, name)
+      val out = persistFrontier(df, name, nextNb, dir)
+      if (buckets <= 0)
+        nextNb = adaptiveBuckets(dirBytes(spark, dir), cap, targetBytes)
       created :+= name
       out
     }
