@@ -35,10 +35,15 @@ object PageRank {
       dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
     require(iters >= 0, "PageRank: negative iteration count")
     val spark = edges.sparkSession
+    val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    // Materialize the edge table WITH its out-degree attached (round-20
+    // optimization pass): the degree is static across rounds, but left
+    // as a lazy aggregate it was re-computed and re-joined every
+    // iteration — two joins per round where one suffices. One extra
+    // count+join at build time, d rides the edge row from then on.
     val (eMat, _) = Scratch.materialize(
-      edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v")),
+      e.join(e.groupBy("u").agg(count(lit(1)).as("d")), Seq("u")),
       "pr_edges")
-    val deg = eMat.groupBy("u").agg(count(lit(1)).as("d"))
     val (nodes, _) = Scratch.materialize(
       eMat.select(col("u").as("node"))
         .union(eMat.select(col("v").as("node"))).distinct(),
@@ -49,7 +54,6 @@ object PageRank {
     for (_ <- 1 to iters) {
       val contrib = eMat
         .join(state.withColumnRenamed("node", "u"), Seq("u"))
-        .join(deg, Seq("u"))
         .select(col("v").as("node"), expr("r div d").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
       val next = nodes
